@@ -1,13 +1,89 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is a fixed-parameter instantiation of a
+  * parameterized operator in graft.operators.*; `oracleSql` holds the
+  * equivalent DuckDB SQL over the same parquet tables (column names and
+  * aliases must match the Spark result exactly — the driver sorts columns
+  * by name and hash-compares values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q6MultiAgg(spark, "/root/testdata/sf0.001", "1996")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_filter_count" -> ((s, d) => Relational.q1FilterCount(s, d, "1996-03")),
+    "q2_join_topk" -> ((s, d) => Relational.q2JoinTopk(s, d, "1996-03", 20)),
+    "q3_broadcast_join" -> ((s, d) => Relational.q3BroadcastJoin(s, d, "1996-03", 20)),
+    "q4_nation_agg" -> ((s, d) => Relational.q4NationAgg(s, d, "1996-03")),
+    "q5_monthly" -> ((s, d) => Relational.q5Monthly(s, d, Seq("NATION_3", "NATION_24"))),
+    "q6_multi_agg" -> ((s, d) => Relational.q6MultiAgg(s, d, "1996")),
+    "q7_top_revenue" -> ((s, d) => Relational.q7TopRevenue(s, d, "1998-06-01", 10)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_filter_count" ->
+      """SELECT count(*) AS cnt FROM lineitem
+         WHERE year(l_shipdate)=1996 AND month(l_shipdate)=3""",
+    "q2_join_topk" ->
+      """SELECT o_orderpriority, l_orderkey FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE year(l_shipdate)=1996 AND month(l_shipdate)=3
+         ORDER BY l_orderkey, o_orderpriority LIMIT 20""",
+    "q3_broadcast_join" ->
+      """SELECT l_orderkey, l_linenumber, p_name, s_name FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE year(l_shipdate)=1996 AND month(l_shipdate)=3
+         ORDER BY l_orderkey, l_linenumber LIMIT 20""",
+    "q4_nation_agg" ->
+      """SELECT n_nationkey, n_name, count(*) AS cnt FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE year(l_shipdate)=1996 AND month(l_shipdate)=3
+         GROUP BY n_nationkey, n_name ORDER BY n_nationkey""",
+    "q5_monthly" ->
+      """SELECT n_name, strftime(l_shipdate, '%Y-%m') AS ship_month,
+                count(*) AS cnt
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_3', 'NATION_24')
+         GROUP BY n_name, ship_month ORDER BY n_name, ship_month""",
+    "q6_multi_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 4) AS sum_qty,
+                round(sum(l_extendedprice), 4) AS sum_base_price,
+                round(sum(l_extendedprice*(1-l_discount)), 4) AS sum_disc_price,
+                round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 4) AS sum_charge,
+                round(avg(l_quantity), 6) AS avg_qty,
+                round(avg(l_extendedprice), 6) AS avg_price,
+                round(avg(l_discount), 6) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE year(l_shipdate)=1996
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q7_top_revenue" ->
+      """SELECT c_name, l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                o_orderstatus,
+                round(sum(l_extendedprice*(1-l_discount)), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY c_name, l_orderkey, strftime(o_orderdate, '%Y-%m-%d'),
+                  o_orderstatus
+         ORDER BY sum(l_extendedprice*(1-l_discount)) DESC, l_orderkey
+         LIMIT 10""",
+  )
 }

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational/OLAP tier — the capabilities of the reference's TPC-H-style
+  * RDD programs (reference `assignment5/Q1..Q7.scala`), re-expressed as
+  * declarative DataFrame plans so Catalyst chooses broadcast vs
+  * shuffle joins, pushes filters into the parquet scan, and plans
+  * distributed top-k (`TakeOrderedAndProject`) for the sort+limit shapes.
+  *
+  * Scale posture: every query here is shuffle-bounded — dimension tables
+  * (nation/customer subsets, part, supplier) are explicitly
+  * `broadcast()`-hinted; the only big-big shuffle is orders⋈lineitem on
+  * orderkey, which at 100 TB would additionally be bucketed on orderkey
+  * so the join is co-located (no repartition needed).
+  */
+object Relational {
+
+  /** Component-wise date-prefix predicate (reference Q1.scala:42-51):
+    * the argument `1996`, `1996-03` or `1996-03-15` matches on however
+    * many components are given — component equality, NOT string prefix
+    * (`1996-1` must not match `1996-10`). Maps to year/month/day
+    * comparisons that Catalyst can push to parquet row-group stats.
+    */
+  def dateMatch(c: Column, spec: String): Column = {
+    // Components compare as *strings* in the reference ("1996-1" matches
+    // nothing, because the stored component is "01"). A canonical
+    // zero-padded component is compiled to a numeric year/month/day
+    // comparison (pushdown-friendly); a non-canonical one can never
+    // match and folds to false.
+    def comp(v: String, width: Int, extract: Column => Column): Column = {
+      val canonical = v.length == width && v.forall(_.isDigit)
+      if (canonical) extract(c) === v.toInt else lit(false)
+    }
+    val p = spec.split("-")
+    val conds =
+      Seq(comp(p(0), 4, year)) ++
+        (if (p.length > 1) Seq(comp(p(1), 2, month)) else Nil) ++
+        (if (p.length > 2) Seq(comp(p(2), 2, dayofmonth)) else Nil)
+    conds.reduce(_ && _)
+  }
+
+  /** Q1 equivalent (reference Q1.scala): count lineitems shipped in the
+    * date-prefix window. One scan, no shuffle beyond the final scalar agg.
+    */
+  def q1FilterCount(s: SparkSession, dir: String, date: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(dateMatch(col("l_shipdate"), date))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q2 equivalent (reference Q2.scala): orderpriority+orderkey of
+    * lineitems shipped in the window, by orderkey, first `k`.
+    * (Fixture orders has no o_clerk; o_orderpriority substitutes —
+    * FIXTURES.md §A.) orders⋈lineitem is the one big-big join; Spark
+    * plans TakeOrderedAndProject over it, so only k rows leave each task.
+    */
+  def q2JoinTopk(s: SparkSession, dir: String, date: String, k: Int): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(dateMatch(col("l_shipdate"), date))
+      .select("l_orderkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_orderkey"))
+      .orderBy(col("l_orderkey"), col("o_orderpriority"))
+      .limit(k)
+  }
+
+  /** Q3 equivalent (reference Q3.scala): part+supplier names of shipped
+    * lineitems — two dimension lookups, both broadcast (the reference
+    * `collectAsMap`+broadcast by hand; here a `broadcast()` hint).
+    */
+  def q3BroadcastJoin(s: SparkSession, dir: String, date: String, k: Int): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(dateMatch(col("l_shipdate"), date))
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val p = Tables.part(s, dir).select("p_partkey", "p_name")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("s_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+  }
+
+  /** Q4 equivalent (reference Q4.scala): lineitems shipped in the window,
+    * counted per customer nation. Probe side reduced before the join
+    * (filter first), nation broadcast; orders⋈lineitem shuffles once on
+    * orderkey, then one partial-agg'd groupBy.
+    */
+  def q4NationAgg(s: SparkSession, dir: String, date: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(dateMatch(col("l_shipdate"), date))
+      .select("l_orderkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Q5 equivalent (reference Q5.scala): monthly shipped-lineitem counts
+    * for two nations' customers (reference: CANADA + UNITED STATES; the
+    * synthetic fixture nations are NATION_i). Nation filter reduces
+    * customer before it is broadcast — semi-join reduction as in
+    * reference Q5.scala:66-69 but declarative.
+    */
+  def q5Monthly(s: SparkSession, dir: String, nations: Seq[String]): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select("n_nationkey", "n_name")
+    val cn = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n_name"), col("ship_month"))
+  }
+
+  /** Q6 equivalent (reference Q6.scala, TPC-H Q1 shape): grouped
+    * multi-aggregate over the shipped window. Single scan → single
+    * partial+final hash aggregate; the derived measures stay inside
+    * whole-stage codegen. Sums rounded for engine-portable comparison.
+    */
+  def q6MultiAgg(s: SparkSession, dir: String, date: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(dateMatch(col("l_shipdate"), date))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q7 equivalent (reference Q7.scala, TPC-H Q3 shape): top-k unshipped
+    * orders by revenue. Customer broadcast; orders pre-filtered on
+    * orderdate and lineitem on shipdate before the orderkey shuffle.
+    * (Fixture orders has no o_shippriority; o_orderstatus substitutes.)
+    */
+  def q7TopRevenue(s: SparkSession, dir: String, date: String, k: Int): DataFrame = {
+    val cutoff = to_timestamp(lit(date))
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderstatus"))
+      .agg(sum(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+      .select(col("c_name"), col("l_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"), round(col("revenue"), 4).as("revenue"))
+  }
+}
