@@ -25,7 +25,21 @@ object SparkEntry {
     "q5_monthly" -> ((s, d) => Relational.q5Monthly(s, d, Seq("NATION_3", "NATION_24"))),
     "q6_multi_agg" -> ((s, d) => Relational.q6MultiAgg(s, d, "1996")),
     "q7_top_revenue" -> ((s, d) => Relational.q7TopRevenue(s, d, "1998-06-01", 10)),
+    "word_count" -> ((s, d) => Cooccur.wordCount(s, d)),
+    "prefix_count" -> ((s, d) => Cooccur.prefixCount(s, d)),
+    "bigram_rel_freq" -> ((s, d) => Cooccur.bigramRelFreq(s, d)),
+    "pmi_pairs" -> ((s, d) => Cooccur.pmiPairs(s, d)),
   )
+
+  /** Shared DuckDB CTE: the reference tokenizer over `documents`
+    * (lowercase, whitespace split, strip non-[a-z] edges, drop empties).
+    */
+  private val TokCte =
+    """WITH toks AS (
+         SELECT list_filter(list_transform(string_split_regex(lower(text), '\s+'),
+           t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+           t -> len(t) > 0) AS ts
+         FROM documents)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_filter_count" ->
@@ -85,5 +99,38 @@ object SparkEntry {
                   o_orderstatus
          ORDER BY sum(l_extendedprice*(1-l_discount)) DESC, l_orderkey
          LIMIT 10""",
+    "word_count" -> s"""$TokCte
+         SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(ts) AS word FROM toks) GROUP BY word""",
+    "prefix_count" -> s"""$TokCte
+         SELECT substring(word, 1, 2) AS prefix, count(*) AS cnt
+         FROM (SELECT unnest(ts) AS word FROM toks)
+         WHERE length(word) >= 2 GROUP BY prefix""",
+    "bigram_rel_freq" -> s"""$TokCte,
+         bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+                FROM toks, unnest(range(1, len(ts))) AS u(i)
+                WHERE len(ts) >= 2)
+         SELECT w1, w2, count(*) AS cnt,
+                count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY w1) AS rf
+         FROM bg GROUP BY w1, w2""",
+    "pmi_pairs" -> """WITH toks AS (
+           SELECT list_distinct(list_filter(list_transform(
+             string_split_regex(lower(text), '\s+'),
+             t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+             t -> len(t) > 0)[1:100]) AS ts
+           FROM documents),
+         total AS (SELECT count(*) AS n_lines FROM toks),
+         marg AS (SELECT w, count(*) AS cw
+                  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+         prs AS (SELECT w1, unnest(ts) AS w2
+                 FROM (SELECT ts, unnest(ts) AS w1 FROM toks)),
+         pairs AS (SELECT w1, w2, count(*) AS cnt FROM prs
+                   WHERE w1 <> w2 GROUP BY w1, w2 HAVING count(*) >= 10)
+         SELECT p.w1, p.w2, p.cnt,
+                round(log10(p.cnt * t.n_lines / (m1.cw * m2.cw)), 6) AS pmi
+         FROM pairs p
+         CROSS JOIN total t
+         JOIN marg m1 ON p.w1 = m1.w
+         JOIN marg m2 ON p.w2 = m2.w""",
   )
 }

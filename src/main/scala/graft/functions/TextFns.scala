@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text functions (reference `assignment2/Tokenizer.scala:8-12`,
+  * `WordCount.java:46-49`) as pure Spark built-ins — no UDFs, so every
+  * step stays inside whole-stage codegen and Catalyst can reorder/prune
+  * around them.
+  */
+object TextFns {
+
+  /** Reference tokenizer semantics: whitespace-split → lowercase → strip
+    * leading/trailing non-`[a-z]` runs → drop empties.
+    */
+  def tokenize(c: Column): Column =
+    filter(
+      transform(
+        split(lower(c), "\\s+"),
+        t => regexp_replace(t, "(^[^a-z]+|[^a-z]+$)", "")),
+      t => length(t) > 0)
+
+  /** First `cap` tokens, de-duplicated — the reference's PMI co-occurrence
+    * window (`PairsPMI.java:55-66`: cap 100 then per-line distinct).
+    */
+  def distinctWindow(tokens: Column, cap: Int): Column =
+    array_distinct(slice(tokens, 1, cap))
+}
