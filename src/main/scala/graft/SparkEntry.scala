@@ -29,6 +29,12 @@ object SparkEntry {
     "prefix_count" -> ((s, d) => Cooccur.prefixCount(s, d)),
     "bigram_rel_freq" -> ((s, d) => Cooccur.bigramRelFreq(s, d)),
     "pmi_pairs" -> ((s, d) => Cooccur.pmiPairs(s, d)),
+    "inverted_index" -> ((s, d) => Index.postings(s, d)),
+    "term_df" -> ((s, d) => Index.termDf(s, d)),
+    "postings_lists" -> ((s, d) => Index.postingsLists(s, d)),
+    "bool_and" -> ((s, d) => Index.booleanQuery(s, d, "hash join AND")),
+    "bool_postfix_fetch" ->
+      ((s, d) => Index.booleanQueryFetch(s, d, "hash join AND scan OR")),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -36,9 +42,10 @@ object SparkEntry {
     */
   private val TokCte =
     """WITH toks AS (
-         SELECT list_filter(list_transform(string_split_regex(lower(text), '\s+'),
-           t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-           t -> len(t) > 0) AS ts
+         SELECT doc_id,
+           list_filter(list_transform(string_split_regex(lower(text), '\s+'),
+             t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+             t -> len(t) > 0) AS ts
          FROM documents)"""
 
   def oracleSql: Map[String, String] = Map(
@@ -132,5 +139,31 @@ object SparkEntry {
          CROSS JOIN total t
          JOIN marg m1 ON p.w1 = m1.w
          JOIN marg m2 ON p.w2 = m2.w""",
+    "inverted_index" -> s"""$TokCte
+         SELECT term, doc_id, count(*) AS tf
+         FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+         GROUP BY term, doc_id""",
+    "term_df" -> s"""$TokCte
+         SELECT term, count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+         GROUP BY term""",
+    // postings_lists: nested array-of-struct column — rows-only check.
+    "bool_and" -> s"""$TokCte
+         SELECT doc_id FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+           WHERE term = 'hash'
+         INTERSECT
+         SELECT doc_id FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+           WHERE term = 'join'""",
+    "bool_postfix_fetch" -> s"""$TokCte,
+         hits AS (
+           (SELECT doc_id FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+              WHERE term = 'hash'
+            INTERSECT
+            SELECT doc_id FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+              WHERE term = 'join')
+           UNION
+           SELECT doc_id FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+             WHERE term = 'scan')
+         SELECT h.doc_id, d.text FROM hits h JOIN documents d USING (doc_id)""",
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Information-retrieval tier: inverted index build + boolean retrieval
+  * (references: `BuildInvertedIndexCompressed.java`,
+  * `BuildInvertedIndexHBase.java`, `BooleanRetrievalCompressed.java`).
+  *
+  * The reference hand-rolled gap+VInt compression into a sorted MapFile
+  * and a (term,-1) secondary-sort sentinel for document frequency; here
+  * the index is a parquet-friendly DataFrame whose encodings (dictionary,
+  * RLE, delta) replace the manual compression, and df is just another
+  * aggregate. Point lookups at scale ride parquet min/max + dictionary
+  * pruning on the `term` column.
+  */
+object Index {
+
+  /** Flat postings: one row per (term, doc_id) with term frequency
+    * (reference per-doc histogram, `BuildInvertedIndexCompressed.java:80-92`).
+    */
+  def postings(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document frequency per term (reference's (term,-1) sentinel stream,
+    * `BuildInvertedIndexCompressed.java:87-92,146-151` — here a plain agg).
+    */
+  def termDf(s: SparkSession, dir: String): DataFrame =
+    postings(s, dir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+
+  /** Assembled per-term posting lists, doc-id-sorted, with df — the
+    * reference's reducer-side assembly (`BuildInvertedIndexCompressed
+    * .java:132-174`) as one aggregate; `sort_array` replaces the
+    * secondary sort, parquet encodings replace gap/VInt.
+    */
+  def postingsLists(s: SparkSession, dir: String): DataFrame =
+    postings(s, dir)
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+
+  /** Postfix boolean query evaluator (reference `BooleanRetrievalCompressed
+    * .java:58-113`): whitespace query where a term pushes its doc-id set
+    * and AND/OR pop two and push intersection/union. The stack holds
+    * *DataFrames*, so evaluation is fully distributed — intersection is a
+    * semi join, union is UNION DISTINCT; nothing is collected.
+    */
+  def booleanQuery(s: SparkSession, dir: String, query: String): DataFrame = {
+    val tokens = query.trim.split("\\s+")
+    val terms = tokens.filterNot(t => t == "AND" || t == "OR").distinct.toSeq
+    // One scan+tokenize for ALL query terms (boolean retrieval needs doc
+    // sets, not tf, so array_distinct replaces the groupBy); persisted so
+    // every operand of the postfix fold reuses it instead of re-scanning.
+    val docTerms = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(tokenize(col("text")))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .persist()
+    var stack = List.empty[DataFrame]
+    tokens.foreach {
+      case "AND" =>
+        val b :: a :: rest = stack: @unchecked
+        stack = a.join(b, Seq("doc_id"), "left_semi") :: rest
+      case "OR" =>
+        val b :: a :: rest = stack: @unchecked
+        stack = a.union(b).distinct() :: rest
+      case term =>
+        stack = docTerms.filter(col("term") === term).select("doc_id") :: stack
+    }
+    require(stack.lengthCompare(1) == 0,
+      s"malformed postfix query '$query': ${stack.length} operands left")
+    stack.head
+  }
+
+  /** Retrieval with document fetch (reference seeks the collection file by
+    * byte offset, `BooleanRetrievalCompressed.java:147-152`; here a join
+    * against the documents table).
+    */
+  def booleanQueryFetch(s: SparkSession, dir: String, query: String): DataFrame =
+    booleanQuery(s, dir, query)
+      .join(Tables.documents(s, dir), "doc_id")
+      .select("doc_id", "text")
+}
