@@ -35,6 +35,9 @@ object SparkEntry {
     "bool_and" -> ((s, d) => Index.booleanQuery(s, d, "hash join AND")),
     "bool_postfix_fetch" ->
       ((s, d) => Index.booleanQueryFetch(s, d, "hash join AND scan OR")),
+    // personalized PageRank over the customer⇄supplier graph; iterative +
+    // not SQL-expressible → rows-only check, oracled in GraphSpec instead.
+    "ppr_top10" -> ((s, d) => Graph.pprTopK(s, d, Seq(1L, 2L), 8, 10)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`

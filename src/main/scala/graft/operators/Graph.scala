@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph tier: multi-source personalized PageRank + top-k extraction
+  * (references: `RunPersonalizedPageRankBasic.java`,
+  * `BuildPersonalizedPageRankRecords.java`,
+  * `ExtractTopPersonalizedPageRankNodes.java`).
+  *
+  * The reference ran 2 chained MR jobs per iteration with per-reducer
+  * side files carrying dangling mass and log-space floats for stability.
+  * Here one DataFrame round-trip per iteration: scatter = join on src,
+  * gather = sum per dst, dangling mass = one scalar agg collected to the
+  * driver (the side-file exchange, SURVEY S9), teleport+missing applied
+  * as column arithmetic in linear-space doubles. Graph *structure*
+  * (edges, out-degrees) stays cache-resident and is never shuffled again
+  * after the first partition — only rank messages move, which is what
+  * the reference's dead Schimmy variant was trying to do by hand.
+  *
+  * Multi-source ranks are one column per source, so each iteration is a
+  * single whole-stage-codegen'd aggregate regardless of source count.
+  */
+object Graph {
+
+  private def rankCol(i: Int) = s"rank_$i"
+
+  /** Parse the reference's adjacency-list text format (one line per node:
+    * `nodeid[<ws>neighbor]*`, `BuildPersonalizedPageRankRecords.java:74-92`)
+    * into an edges DataFrame(src, dst).
+    */
+  def adjacencyEdges(s: SparkSession, path: String): DataFrame = {
+    val parts = split(trim(col("value")), "\\s+")
+    s.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        element_at(parts, 1).cast("long").as("src"),
+        slice(parts, 2, Int.MaxValue).as("nbrs"))
+      .select(col("src"), explode(col("nbrs")).as("dst"))
+      .select(col("src"), col("dst").cast("long"))
+  }
+
+  /** Multi-source personalized PageRank. `edges(src, dst)`; returns
+    * `(id, rank_0 .. rank_{sources.size-1})`, one rank column per source.
+    *
+    * Semantics as the reference (`RunPersonalizedPageRankBasic.java
+    * :291-370`, linear space): per iteration each node scatters
+    * rank/outdeg to its out-neighbors; ALL teleport mass and ALL
+    * missing (dangling) mass return to the source node itself:
+    * source slot = alpha + (1-alpha)*(received + missing),
+    * other nodes = (1-alpha)*received.
+    */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
+                           iterations: Int, alpha: Double = 0.15): DataFrame = {
+    val n = sources.size
+    require(n > 0, "at least one source required")
+    val e = edges.select(col("src"), col("dst"))
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(col("id"))
+      .persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // structure side: edges with the sender's out-degree attached once,
+    // hash-partitioned by src and cached, so the per-iteration scatter
+    // join reuses this partitioning and only the (small) ranks side
+    // shuffles — the cluster-scale equivalent is bucketing the edge
+    // table by src so iterations never move the graph again.
+    val struct = e.join(outdeg, "src").repartition(col("src")).persist()
+    struct.count() // materialize structure before the loop
+
+    var ranks = vertices.select(
+      col("id") +: sources.zipWithIndex.map { case (src, i) =>
+        when(col("id") === src, 1.0).otherwise(0.0).as(rankCol(i))
+      }: _*)
+
+    for (_ <- 1 to iterations) {
+      val contribs = struct.join(ranks, struct("src") === ranks("id"))
+        .select(
+          col("dst").as("id") +:
+            (0 until n).map(i => (col(rankCol(i)) / col("outdeg")).as(rankCol(i))): _*)
+      // checkpoint the gathered result ONCE per iteration: both the
+      // dangling-mass scalar and the next ranks derive from it, so the
+      // scatter+gather job runs once, not twice, and lineage stays flat
+      val gathered = contribs.groupBy("id")
+        .agg(sum(rankCol(0)).as(rankCol(0)),
+          (1 until n).map(i => sum(rankCol(i)).as(rankCol(i))): _*)
+        .localCheckpoint()
+      // dangling mass: whatever didn't arrive anywhere (scalar exchange —
+      // the reference's per-reducer side files, S9)
+      val totals = gathered.agg(
+        sum(rankCol(0)).as(rankCol(0)),
+        (1 until n).map(i => sum(rankCol(i)).as(rankCol(i))): _*).collect()(0)
+      val missing = (0 until n).map { i =>
+        1.0 - Option(totals.get(i)).fold(0.0)(_.asInstanceOf[Double])
+      }
+      val withAll = vertices.join(gathered, Seq("id"), "left")
+      ranks = withAll.select(
+        col("id") +: (0 until n).map { i =>
+          val p = coalesce(col(rankCol(i)), lit(0.0))
+          val base = lit(1.0 - alpha) * p
+          (base + when(col("id") === sources(i),
+            lit(alpha) + lit(1.0 - alpha) * lit(missing(i))).otherwise(0.0))
+            .as(rankCol(i))
+        }: _*)
+      // no second checkpoint: lineage above is one cheap join off the
+      // checkpointed `gathered`
+    }
+    ranks
+  }
+
+  /** Top-k nodes per source (reference `ExtractTopPersonalizedPageRank
+    * Nodes.java:41-128`): returns (source, id, rank) — distributed top-k
+    * (TakeOrderedAndProject) per source, no driver-side heaps.
+    */
+  def topK(ranks: DataFrame, sources: Seq[Long], k: Int): DataFrame =
+    sources.zipWithIndex.map { case (src, i) =>
+      ranks.select(lit(src).as("source"), col("id"),
+          col(rankCol(i)).as("rank"))
+        .orderBy(col("rank").desc, col("id"))
+        .limit(k)
+    }.reduce(_ union _)
+
+  /** A deterministic bipartite-ish graph from the fixture tables for the
+    * queries surface: customer ⇄ supplier whenever a lineitem links them
+    * through an order. Supplier ids are offset to avoid key collision.
+    */
+  def customerSupplierEdges(s: SparkSession, dir: String,
+                            supplierOffset: Long = 1000000L): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + supplierOffset).as("sup"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sup").as("dst"))
+      .union(pairs.select(col("sup").as("src"), col("c").as("dst")))
+  }
+
+  /** queries-surface entry: PPR over the customer⇄supplier graph. */
+  def pprTopK(s: SparkSession, dir: String, sources: Seq[Long],
+              iterations: Int, k: Int): DataFrame = {
+    val ranks = personalizedPageRank(
+      customerSupplierEdges(s, dir), sources, iterations)
+    topK(ranks, sources, k)
+      .select(col("source"), col("id"), round(col("rank"), 9).as("rank"))
+  }
+}

@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Dev-only timing probe for the PPR loop (not part of the contract). */
+object PprProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val edges = t("build edges df") { Graph.customerSupplierEdges(spark, dir) }
+    t("edges count") { println("  edges=" + edges.count()) }
+    val ranks = t("ppr 8 iters") {
+      Graph.personalizedPageRank(edges, Seq(1L, 2L), 8)
+    }
+    t("topk action") { Graph.topK(ranks, Seq(1L, 2L), 10).collect() }
+    spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import scala.collection.mutable
+import graft.operators.Graph
+
+/** In-memory sequential oracle with the reference's semantics
+  * (SURVEY §2.7 G9 / `SequentialPersonalizedPageRank.java`): priors at
+  * the source, alpha=0.15, teleport + dangling mass all to the source.
+  */
+object SeqPPR {
+  def run(edges: Seq[(Long, Long)], source: Long, iters: Int,
+          alpha: Double = 0.15): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var r = nodes.map(n => n -> (if (n == source) 1.0 else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val recv = mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for (n <- nodes; outs <- out.get(n); d <- outs)
+        recv(d) += r(n) / outs.size
+      val missing = 1.0 - recv.values.sum
+      r = nodes.map { n =>
+        n -> ((1 - alpha) * recv(n) +
+          (if (n == source) alpha + (1 - alpha) * missing else 0.0))
+      }.toMap
+    }
+    r
+  }
+}
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  val smallEdges: Seq[(Long, Long)] =
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 1L))
+  // node 4 is dangling (no out-edges); node 5 has no in-edges
+
+  test("distributed PPR matches sequential oracle on a dangling graph") {
+    val edges = smallEdges.toDF("src", "dst")
+    val sources = Seq(1L, 4L)
+    val ranks = Graph.personalizedPageRank(edges, sources, 10).collect()
+    sources.zipWithIndex.foreach { case (src, i) =>
+      val oracle = SeqPPR.run(smallEdges, src, 10)
+      ranks.foreach { row =>
+        val id = row.getLong(0)
+        val got = row.getDouble(1 + i)
+        assert(math.abs(got - oracle(id)) < 1e-12,
+          s"source=$src id=$id got=$got want=${oracle(id)}")
+      }
+    }
+  }
+
+  test("mass conserves: ranks sum to 1 per source") {
+    val edges = smallEdges.toDF("src", "dst")
+    val ranks = Graph.personalizedPageRank(edges, Seq(1L), 7).collect()
+    val total = ranks.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-12)
+  }
+
+  test("Gnutella regression: adjacency parse + 3 iterations vs oracle") {
+    val path = "/root/reference/data/p2p-Gnutella08-adj.txt"
+    assume(new java.io.File(path).exists())
+    val edges = Graph.adjacencyEdges(spark, path)
+    val local = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(local.nonEmpty)
+    val oracle = SeqPPR.run(local, 0L, 3)
+    val ranks = Graph.personalizedPageRank(edges, Seq(0L), 3).collect()
+    ranks.foreach { row =>
+      val id = row.getLong(0)
+      assert(math.abs(row.getDouble(1) - oracle(id)) < 1e-12)
+    }
+  }
+
+  test("topK returns k best per source, sorted") {
+    val edges = smallEdges.toDF("src", "dst")
+    val ranks = Graph.personalizedPageRank(edges, Seq(1L, 4L), 5)
+    val top = Graph.topK(ranks, Seq(1L, 4L), 2).collect()
+    assert(top.length == 4)
+    val bySource = top.groupBy(_.getLong(0))
+    bySource.foreach { case (_, rows) =>
+      val rs = rows.map(_.getDouble(2))
+      assert(rs.zip(rs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
