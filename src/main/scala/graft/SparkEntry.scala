@@ -38,6 +38,13 @@ object SparkEntry {
     // personalized PageRank over the customer⇄supplier graph; iterative +
     // not SQL-expressible → rows-only check, oracled in GraphSpec instead.
     "ppr_top10" -> ((s, d) => Graph.pprTopK(s, d, Seq(1L, 2L), 8, 10)),
+    // SGD tier: order-dependent sequential fold — not SQL-expressible,
+    // rows-only checks; exact-semantics oracle lives in MlSpec.
+    "sgd_train" -> ((s, d) => Ml.trainQuery(s, d)),
+    "sgd_train_shuffled" -> ((s, d) => Ml.trainQuery(s, d, Some(42L))),
+    "sgd_apply" -> ((s, d) => Ml.applyQuery(s, d)),
+    "sgd_ensemble_avg" -> ((s, d) => Ml.ensembleQuery(s, d, "average")),
+    "sgd_ensemble_vote" -> ((s, d) => Ml.ensembleQuery(s, d, "vote")),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`

@@ -1,0 +1,132 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** ML tier: logistic-regression spam classifier trained by sequential SGD
+  * (references: `TrainSpamClassifier.scala`, `ApplySpamClassifier.scala`,
+  * `ApplyEnsembleSpamClassifier.scala`).
+  *
+  * Training is an *order-dependent* sequential fold (update rule
+  * `w(f) += (label - prob) * delta` applied instance by instance,
+  * `TrainSpamClassifier.scala:43-49`), so it deliberately runs as a
+  * single-partition typed `mapPartitions` — the one place in the engine
+  * where a Catalyst aggregate is semantically wrong (not commutative).
+  * Scoring/apply is fully distributed: explode features, broadcast-join
+  * the weight table, sum per document.
+  */
+object Ml {
+
+  val DefaultDelta = 0.002
+  val DefaultBuckets = 10007
+
+  /** Deterministic featurization of the documents fixture into the
+    * reference's instance shape `(docid, label, features: Array[Int])`
+    * (`TrainSpamClassifier.scala:78-89`): feature ids are hashed tokens,
+    * label 1.0 for English documents ("spam" stand-in).
+    */
+  def featurize(s: SparkSession, dir: String,
+                buckets: Int = DefaultBuckets): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("docid"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("label"),
+      transform(tokenize(col("text")),
+        t => pmod(hash(t), lit(buckets))).as("features"))
+
+  /** Sequential SGD, one pass in `docid` order (or seeded-random order —
+    * the reference's shuffled trainer, `TrainSpamClassifier.scala:70-77`).
+    * Returns the weight table `(feature, weight)`.
+    */
+  def trainSgd(s: SparkSession, instances: DataFrame,
+               delta: Double = DefaultDelta,
+               shuffleSeed: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val ds = instances.select("docid", "label", "features")
+      .as[(Long, Double, Seq[Int])]
+    val ordered = shuffleSeed match {
+      case Some(seed) => ds.orderBy(rand(seed))   // seeded => reproducible
+      case None       => ds.orderBy("docid")
+    }
+    ordered.coalesce(1).mapPartitions { it =>
+      val w = mutable.HashMap.empty[Int, Double].withDefaultValue(0.0)
+      it.foreach { case (_, label, feats) =>
+        val score = feats.iterator.map(w).sum
+        val prob = 1.0 / (1.0 + math.exp(-score))
+        val g = (label - prob) * delta
+        feats.foreach(f => w(f) += g)
+      }
+      w.iterator
+    }.toDF("feature", "weight")
+  }
+
+  /** Distributed model application (`ApplySpamClassifier.scala:30-68`):
+    * spamminess = Σ w(f) over the instance's features; classify on
+    * sign. Weight table broadcast; explode_outer keeps featureless docs.
+    */
+  def score(instances: DataFrame, model: DataFrame,
+            scoreName: String = "score"): DataFrame =
+    instances
+      .select(col("docid"), col("label"),
+        explode_outer(col("features")).as("feature"))
+      .join(broadcast(model), Seq("feature"), "left")
+      .groupBy("docid", "label")
+      .agg(sum(coalesce(col("weight"), lit(0.0))).as(scoreName))
+
+  def applyModel(instances: DataFrame, model: DataFrame): DataFrame =
+    score(instances, model)
+      .withColumn("pred",
+        when(col("score") > 0, "spam").otherwise("ham"))
+
+  /** 3-model ensemble (`ApplyEnsembleSpamClassifier.scala:58-123`):
+    * `average` = mean score, classify on its sign; `vote` = ±1 per
+    * model, classify on the sign of the sum.
+    */
+  def applyEnsemble(instances: DataFrame, models: Seq[DataFrame],
+                    method: String): DataFrame = {
+    val scored = models.zipWithIndex
+      .map { case (m, i) => score(instances, m, s"score_$i") }
+      .reduce((a, b) => a.join(b, Seq("docid", "label")))
+    val cols = models.indices.map(i => col(s"score_$i"))
+    method match {
+      case "average" =>
+        val avg = cols.reduce(_ + _) / models.size
+        scored.withColumn("score", avg)
+          .withColumn("pred", when(col("score") > 0, "spam").otherwise("ham"))
+          .select("docid", "label", "score", "pred")
+      case "vote" =>
+        val votes = cols.map(c => when(c > 0, 1).otherwise(-1)).reduce(_ + _)
+        scored.withColumn("votes", votes)
+          .withColumn("pred", when(col("votes") > 0, "spam").otherwise("ham"))
+          .select("docid", "label", "votes", "pred")
+      case other => throw new IllegalArgumentException(
+        s"unknown ensemble method '$other' (want average|vote)")
+    }
+  }
+
+  /** queries-surface helpers with fixed featurization over `documents`. */
+  def trainQuery(s: SparkSession, dir: String,
+                 shuffleSeed: Option[Long] = None): DataFrame =
+    trainSgd(s, featurize(s, dir), shuffleSeed = shuffleSeed)
+
+  def applyQuery(s: SparkSession, dir: String): DataFrame = {
+    val inst = featurize(s, dir)
+    applyModel(inst, trainSgd(s, inst))
+      .select(col("docid"), col("label"), round(col("score"), 6).as("score"),
+        col("pred"))
+  }
+
+  /** Ensemble over three disjoint doc_id % 3 training splits. */
+  def ensembleQuery(s: SparkSession, dir: String, method: String): DataFrame = {
+    val inst = featurize(s, dir)
+    val models = (0 until 3).map(i =>
+      trainSgd(s, inst.filter(pmod(col("docid"), lit(3)) === i)))
+    val out = applyEnsemble(inst, models, method)
+    if (method == "average")
+      out.select(col("docid"), col("label"), round(col("score"), 6).as("score"),
+        col("pred"))
+    else out
+  }
+}
