@@ -45,6 +45,22 @@ object SparkEntry {
     "sgd_apply" -> ((s, d) => Ml.applyQuery(s, d)),
     "sgd_ensemble_avg" -> ((s, d) => Ml.ensembleQuery(s, d, "average")),
     "sgd_ensemble_vote" -> ((s, d) => Ml.ensembleQuery(s, d, "vote")),
+    // ---- LLM-data-pipeline extras ----
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.8)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashPairs(s, d, 0.8)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d, 3)),
+    "knn_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
+    "knn_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
+    "lang_id" -> ((s, d) => TextStats.langId(s, d)),
+    "quality_score" -> ((s, d) => TextStats.quality(s, d)),
+    "token_counts" -> ((s, d) => TextStats.tokenCounts(s, d)),
+    "fingerprints" -> ((s, d) => TextStats.fingerprints(s, d)),
+    "sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "hourly_agg" -> ((s, d) => Events.hourlyAgg(s, d)),
+    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
+    "frame_sample" -> ((s, d) => Multimodal.sampleFrames(Multimodal.decode(s, d))),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -175,5 +191,125 @@ object SparkEntry {
            SELECT doc_id FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
              WHERE term = 'scan')
          SELECT h.doc_id, d.text FROM hits h JOIN documents d USING (doc_id)""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY text""",
+    "dedup_jaccard" -> JaccardSql,
+    // MinHash+LSH with 64 hashes / 16 bands has ~0.9998+ recall at
+    // j>=0.8 and exact-Jaccard verification of candidates, so on
+    // non-adversarial data its result equals the exact operator's.
+    "dedup_minhash" -> JaccardSql,
+    "knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT query_id, vec_id, round(sim, 6) AS sim FROM (
+           SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(q.qv, e.v) AS sim,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id)
+                    AS rn
+           FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+         WHERE rn <= 5""",
+    "lang_id" -> LangIdSql,
+    "quality_score" -> {
+      val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
+      s"""$TokCte
+         SELECT doc_id, len(ts) AS n_tokens,
+           round(list_sum(list_transform(ts, t -> len(t)))::DOUBLE / len(ts), 6)
+             AS avg_token_len,
+           round(len(list_filter(ts, t -> list_contains($en, t)))::DOUBLE
+             / len(ts), 6) AS stopword_ratio,
+           round(least(1.0, len(ts) / 100.0) *
+             (0.3 + 0.7 * len(list_filter(ts, t -> list_contains($en, t)))
+               / len(ts)), 6) AS quality
+         FROM toks WHERE len(ts) > 0"""
+    },
+    "token_counts" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+             AS bpe_tokens
+         FROM documents""",
+    // epoch_ms // 1000 floors like Spark's unix_timestamp (epoch()::BIGINT
+    // would round half-up and shift second boundaries)
+    "sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+                  epoch_ms(ts) // 1000 AS ep,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq FROM e)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                min(ep) AS start_epoch, max(ep) AS end_epoch,
+                round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, session_seq""",
+    "hourly_agg" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY hour_epoch, event_type""",
+    "multimodal_meta" ->
+      """SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+                octet_length(text::BLOB) AS n_bytes,
+                ascii(substring(text, 1, 1)) AS first_byte
+         FROM documents""",
   )
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Exact shingle-Jaccard near-dup pairs (threshold 0.8, 3-gram
+    * shingles) — also the oracle for the MinHash+LSH variant.
+    */
+  private lazy val JaccardSql: String = s"""$TokCte,
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(ts) >= 3
+             THEN list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+             ELSE [array_to_string(ts, ' ')] END) AS shs
+         FROM toks),
+       ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+         SELECT doc_a, doc_b,
+                inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+         FROM inter
+         JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa ON doc_a = sa.doc_id
+         JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb ON doc_b = sb.doc_id)
+       WHERE jaccard >= 0.8"""
+
+  /** Stopword-count language ID with fixed priority tie-break, generated
+    * from the same `TextStats.Stopwords` table the Spark side uses.
+    */
+  private lazy val LangIdSql: String = {
+    val sw = graft.operators.TextStats.Stopwords
+    val langs = sw.map(_._1)
+    val cnts = sw.map { case (l, ws) =>
+      s"len(list_filter(ts, t -> list_contains(${sqlList(ws)}, t))) AS cnt_$l"
+    }.mkString(",\n                ")
+    val cases = langs.map { l =>
+      val beats = langs.filter(_ != l)
+        .map(o => s"cnt_$l >= cnt_$o").mkString(" AND ")
+      s"WHEN $beats AND cnt_$l > 0 THEN '$l'"
+    }.mkString("\n                ")
+    s"""$TokCte,
+       scored AS (
+         SELECT doc_id,
+                $cnts
+         FROM toks)
+       SELECT doc_id, ${langs.map(l => s"cnt_$l").mkString(", ")},
+              CASE $cases ELSE 'und' END AS pred_lang
+       FROM scored"""
+  }
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expressions.HashExpressions._
+import graft.functions.TextFns._
+
+/** Deduplication tier (north-star extras, SURVEY §2.10/§7): exact,
+  * n-gram-Jaccard, MinHash+LSH, and SimHash near-duplicate detection
+  * over the `documents` table.
+  *
+  * Scale posture: nothing here is O(n²) over documents. Candidate pairs
+  * always come from an equality join on a *key* — the full text hash
+  * (exact), a shared shingle (Jaccard), an LSH band bucket (MinHash) or
+  * a 16-bit signature bank (SimHash) — so Spark shuffles on that key
+  * and only bucket-mates are ever compared. Expensive exact
+  * verification runs on candidates only.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a token array, space-joined. */
+  def shingles(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(
+        slice(ts, lit(1), greatest(size(ts) - (n - 1), lit(0))),
+        (_, i) => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", ts)))
+
+  private def docShingles(s: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(shingles(tokenize(col("text")), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+
+  /** Exact dedup: one representative (min doc id) + duplicate count per
+    * distinct text. At 100 TB the group key would be xxhash64(text)
+    * (cheap shuffle key, collision-checked); text itself keeps the
+    * DuckDB oracle byte-exact here.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+
+  /** Exact n-gram-Jaccard near-dup pairs. Candidates = docs sharing at
+    * least one shingle (inverted-index self-join); intersection size
+    * falls out of the join, union by inclusion-exclusion. `maxShingleDf`
+    * drops ubiquitous shingles before the join — the standard prefix/
+    * frequency filter that caps bucket skew at scale (hot shingles
+    * otherwise quadratically explode the candidate pair count).
+    */
+  def jaccardPairs(s: SparkSession, dir: String, threshold: Double,
+                   n: Int = 3, maxShingleDf: Option[Int] = None): DataFrame = {
+    // referenced three times (sizes + both sides of the self-join):
+    // cache so tokenize+shingle runs once
+    val docSh = docShingles(s, dir, n).persist()
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
+    val ex0 = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val ex = maxShingleDf match {
+      case Some(limit) =>
+        val rare = ex0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= limit).select("sh")
+        ex0.join(rare, "sh")
+      case None => ex0
+    }
+    val a = ex.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs: signature (custom Catalyst expression)
+    * → `bands` bands of `numHashes/bands` rows → bucket-join on
+    * (band, hash(band slice)) → exact Jaccard verification of the
+    * candidates only. With 64 hashes / 16 bands, recall at j≥0.8 is
+    * 1-(1-0.8⁴)¹⁶ ≈ 0.9998, so results match the exact operator on all
+    * but adversarial inputs while touching a tiny fraction of the pairs.
+    */
+  def minhashPairs(s: SparkSession, dir: String, threshold: Double,
+                   n: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val docSh = docShingles(s, dir, n).persist()
+    val sig = docSh.select(col("doc_id"),
+      minhashSignature(col("shs"), numHashes).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh")))).as("t"))
+      .select(col("doc_id"), col("t.band"), col("t.bh"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    val cand = l.join(r, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ 3: 64-bit signature
+    * (custom expression, tf-weighted) split into 4 16-bit banks; by
+    * pigeonhole any pair within distance 3 agrees on ≥1 bank, so the
+    * bank join finds all of them without pairwise comparison; exact
+    * distance check (`bit_count(xor)`) filters the candidates.
+    */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4 banks of 16 bits guarantee recall only to distance 3")
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), simhash64(tokenize(col("text"))).as("sig"))
+      .persist()
+    val banked = sig.select(col("doc_id"), col("sig"),
+      explode(expr(
+        "transform(sequence(0, 3), " +
+          "i -> struct(i AS bank, shiftright(sig, i * 16) & 65535 AS bv))")).as("t"))
+      .select(col("doc_id"), col("sig"), col("t.bank"), col("t.bv"))
+    val l = banked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("bank"), col("bv"))
+    val r = banked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("bank"), col("bv"))
+    l.join(r, Seq("bank", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

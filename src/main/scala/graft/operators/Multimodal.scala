@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column tier (north-star extras): image/audio/video as
+  * opaque `binary` columns with typed metadata, plus a decode /
+  * feature-extract stage.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked DETERMINISTIC FAKE: it derives plausible
+  * width/height/frame metadata from the blob bytes. Everything around
+  * it — the binary schema, the typed Dataset plumbing, per-partition
+  * batch shape, and the downstream joins — is real and is what matters
+  * at scale; swapping the fake for a JNI/codec call changes one
+  * function body.
+  */
+object Multimodal {
+
+  /** One decoded media record (the fake decoder's output schema). */
+  case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
+                       width: Int, height: Int, n_frames: Int)
+
+  /** Media table: the documents fixture's text re-interpreted as opaque
+    * blobs with a deterministic kind tag — the schema a real ingest
+    * (parquet binary column + metadata) would have.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"))
+
+  /** Metadata projection that needs no decode: byte length, first byte,
+    * kind — the cheap pruning columns a scan would push down before any
+    * expensive decode at 100 TB.
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).select(
+      col("doc_id"),
+      col("kind"),
+      length(col("blob")).as("n_bytes"),
+      ascii(col("blob").cast("string").substr(1, 1)).as("first_byte"))
+
+  /** STUB decoder — deterministic fake. A real implementation would
+    * call an image/audio codec per record batch here (mapPartitions is
+    * exactly where that batch boundary lives); the fake derives
+    * metadata from blob bytes so tests are stable.
+    */
+  private def fakeDecode(kind: String, blob: Array[Byte]): (Int, Int, Int) = {
+    var h = 1125899906842597L // deterministic FNV-ish fold over the bytes
+    var i = 0
+    while (i < blob.length) { h = 31 * h + blob(i); i += 1 }
+    def pick(lo: Int, hi: Int, salt: Int): Int =
+      lo + (((h >>> salt) % (hi - lo)).toInt + (hi - lo)) % (hi - lo)
+    kind match {
+      case "image" => (pick(64, 4096, 0), pick(64, 4096, 8), 1)
+      case "audio" => (1, 1, pick(1000, 48000 * 60, 16))   // samples
+      case _       => (pick(320, 1920, 0), pick(240, 1080, 8), pick(24, 7200, 16))
+    }
+  }
+
+  /** Decode/feature-extract over the media table: typed Dataset,
+    * per-partition batches, stubbed codec (see `fakeDecode`).
+    */
+  def decode(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select("doc_id", "kind", "blob")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, blob) =>
+          val (w, h, f) = fakeDecode(kind, blob)
+          MediaMeta(id, kind, blob.length, w, h, f)
+        }
+      }
+  }
+
+  /** Frame sampling for video rows: every `stride`-th frame index, the
+    * plumbing a frame-level feature extractor would fan out over.
+    */
+  def sampleFrames(decoded: Dataset[MediaMeta], stride: Int = 100): DataFrame =
+    decoded.toDF()
+      .filter(col("kind") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+}

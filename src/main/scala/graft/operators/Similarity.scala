@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity-search tier (north-star extras): cosine top-k over the
+  * `embeddings` table — brute force as the exact baseline, IVF-style
+  * coarse quantization as the scale path.
+  *
+  * Cosine is built from `zip_with` + `aggregate` higher-order functions
+  * in double precision (sequential left-to-right sum — deterministic and
+  * engine-portable); everything stays inside codegen, no UDF.
+  */
+object Similarity {
+
+  /** Double-precision cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact brute-force top-k neighbors for query vectors `vec_id <
+    * numQueries`. The query side is broadcast (tiny); the corpus is
+    * scanned once — at 100 TB this is the per-partition flat scan that
+    * any ANN variant must beat, and the correctness oracle for them.
+    */
+  def bruteForceTopK(s: SparkSession, dir: String,
+                     numQueries: Int, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-style approximate top-k: coarse centroids = the first
+    * `numCentroids` corpus vectors (deterministic stand-in for k-means —
+    * the assignment/probe machinery is identical); every vector is
+    * assigned to its nearest centroid once (broadcast argmax, no
+    * shuffle of the corpus); a query probes only its `nprobe` nearest
+    * centroids' inverted lists. Search cost drops by
+    * ~numCentroids/nprobe at equal plumbing.
+    */
+  def ivfTopK(s: SparkSession, dir: String, numQueries: Int, k: Int,
+              numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cent = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    // inverted lists: nearest centroid per vector
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "centroid_id")
+    // probe set: nprobe nearest centroids per query
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    // search only the probed lists
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+}

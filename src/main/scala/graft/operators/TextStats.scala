@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Text-analysis tier (north-star extras): language ID, quality scoring,
+  * token counting, document fingerprinting — all single-scan projections
+  * over `documents`, no shuffles except the final sink. Heuristics are
+  * deliberately simple closed-form expressions so the DuckDB oracle can
+  * restate them exactly.
+  */
+object TextStats {
+
+  /** Stopword lists per language; fixed priority order breaks ties. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  private def stopCount(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isin(words.map(lit): _*)))
+
+  /** n-gram/stopword-count language ID: count hits per language's
+    * stopword list, argmax with first-listed language winning ties.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+    val scored = Stopwords.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"cnt_$lang", stopCount(col("ts"), words))
+    }
+    // first language whose count >= every other count wins (priority order)
+    val pred = Stopwords.map(_._1).foldRight(lit("und")) { (lang, els) =>
+      val c = col(s"cnt_$lang")
+      val beatsAll = Stopwords.map(_._1).filter(_ != lang)
+        .map(o => c >= col(s"cnt_$o")).reduce(_ && _)
+      when(beatsAll && c > 0, lang).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+      .select(col("doc_id") +: Stopwords.map { case (l, _) => col(s"cnt_$l") }
+        :+ col("pred_lang"): _*)
+  }
+
+  /** Quality features + a bounded score: token count, mean token length,
+    * stopword ratio. The score formula is arbitrary but fixed:
+    * min(1, n_tokens/100) * (0.3 + 0.7 * stopword_ratio).
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val en = Stopwords.head._2
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        round(aggregate(col("ts"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("ts")), 6).as("avg_token_len"),
+        round(stopCount(col("ts"), en).cast("double") / size(col("ts")), 6)
+          .as("stopword_ratio"),
+        round(
+          least(lit(1.0), size(col("ts")) / lit(100.0)) *
+            (lit(0.3) + lit(0.7) * stopCount(col("ts"), en) / size(col("ts"))),
+          6).as("quality"))
+  }
+
+  /** Whitespace token count + a BPE-ish regex token count
+    * (letter runs | single digits | single punctuation marks).
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("ws_tokens"),
+      size(expr(
+        """regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)"""))
+        .as("bpe_tokens"))
+
+  /** Winnowing document fingerprints: xxhash64 over word `n`-gram
+    * shingles, minimum per sliding window of `w` hashes, de-duplicated —
+    * the classic MOSS scheme. Shared substrings of length ≥ n+w-1 words
+    * are guaranteed to share a fingerprint. Emitted exploded
+    * (doc_id, fingerprint) for joinability.
+    */
+  def fingerprints(s: SparkSession, dir: String,
+                   n: Int = 4, w: Int = 5): DataFrame = {
+    val ts = tokenize(col("text"))
+    // Materialize the hash array in its own projection: referencing it
+    // from the window expressions below as a bound attribute keeps it
+    // computed once per row — inlined, Catalyst would re-derive the whole
+    // shingle+hash array per window (O(len²) per document).
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(Dedup.shingles(ts, n), sh => xxhash64(sh)).as("hs"))
+    val hs = col("hs")
+    val mins = when(size(hs) >= w,
+      transform(sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + lit(1), lit(w)))))
+      .otherwise(array(array_min(hs)))
+    hashed.select(col("doc_id"),
+      explode(array_distinct(mins)).as("fingerprint"))
+  }
+}

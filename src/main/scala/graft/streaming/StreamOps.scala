@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * (`graft.operators.Events`): the same session/window semantics
+  * expressed over an unbounded source. The reference is batch-only
+  * (SURVEY §1.1 "Stream: none"); these are north-star additions.
+  *
+  * Scale posture: state is per-user (sessionize) or per-(window, type)
+  * (windowedAgg) — both keyed, so state shards across executors with the
+  * shuffle; watermarks bound state size.
+  */
+object StreamOps {
+
+  /** One event on the wire (epoch seconds). */
+  case class Event(user_id: Long, ep: Long, value: Double)
+
+  /** A closed session emitted downstream. */
+  case class Session(user_id: Long, session_seq: Long, n_events: Long,
+                     start_epoch: Long, end_epoch: Long, sum_value: Double)
+
+  /** Open-session state carried between micro-batches (field names avoid
+    * single letters: the state encoder's generated code clashes on them).
+    */
+  case class OpenSession(seq: Long, start: Long, last: Long,
+                         nEv: Long, total: Double)
+
+  /** Windowed counts+sums per event type with a watermark — the
+    * streaming form of `Events.hourlyAgg`. Append-mode compatible.
+    */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`): a session closes when a later event
+    * arrives more than `gapSeconds` after the previous one (or the group
+    * times out); closed sessions are emitted append-style. Batch twin:
+    * `Events.sessionize`.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[OpenSession]): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          out += Session(userId, s.seq, s.nEv, s.start, s.last, s.total)
+        }
+        state.remove()
+      } else {
+        var cur = state.getOption
+        it.toSeq.sortBy(_.ep).foreach { e =>
+          cur match {
+            case Some(s) if e.ep - s.last <= gapSeconds =>
+              cur = Some(s.copy(last = e.ep, nEv = s.nEv + 1,
+                total = s.total + e.value))
+            case Some(s) =>
+              out += Session(userId, s.seq, s.nEv, s.start, s.last, s.total)
+              cur = Some(OpenSession(s.seq + 1, e.ep, e.ep, 1, e.value))
+            case None =>
+              cur = Some(OpenSession(1, e.ep, e.ep, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // arming a timeout keeps the trigger loop hot (Spark schedules
+          // empty batches to fire it) — only do so when the caller opted in
+          if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fold)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: 3-grams, short arrays collapse to one shingle") {
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), 0), (Seq("a", "b"), 1)
+    ).toDF("ts", "id")
+    val got = df.select(Dedup.shingles($"ts", 3).as("sh")).collect()
+      .map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("exact dedup keeps min doc_id and counts duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("dd").toString
+    Seq((5L, "x y"), (3L, "x y"), (7L, "z"), (9L, "x y"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.exact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 7L -> 1L))
+  }
+
+  test("fixture has planted near-dups; jaccard finds them at 0.8") {
+    val pairs = Dedup.jaccardPairs(spark, sf, 0.8).collect()
+    assert(pairs.nonEmpty, "expected planted near-duplicates in fixture")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
+  test("minhash LSH (verified) equals exact jaccard on the fixture") {
+    val exact = Dedup.jaccardPairs(spark, sf, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(spark, sf, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash bank join finds exactly the brute-force Hamming pairs") {
+    import graft.expressions.HashExpressions.simhash64
+    import graft.functions.TextFns.tokenize
+    val got = Dedup.simhashPairs(spark, sf, 3).collect()
+    got.foreach(r => assert(r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)))
+    // pigeonhole guarantee: banked candidates == full O(n²) scan
+    val sigs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), simhash64(tokenize(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val banked = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banked == brute)
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, Multimodal}
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize: 30-minute gaps split sessions per user") {
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    Seq(
+      (0L, ts(0), 1L, 1.0), (1L, ts(10), 1L, 2.0),   // session 1 (gap 10)
+      (2L, ts(50), 1L, 3.0),                          // session 2 (gap 40)
+      (3L, ts(0), 2L, 5.0)                            // other user
+    ).toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(got.size == 3)
+    assert(got((1L, 1L)) == (2L, 3.0))   // 2 events, value 1+2
+    assert(got((1L, 2L)) == (1L, 3.0))
+    assert(got((2L, 1L)) == (1L, 5.0))
+  }
+
+  test("hourlyAgg covers every event exactly once") {
+    val agg = Events.hourlyAgg(spark, sf)
+    val total = agg.agg(sum("cnt")).collect()(0).getLong(0)
+    val raw = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == raw && raw > 0)
+  }
+
+  test("multimodal decode is deterministic and kind-consistent") {
+    val a = Multimodal.decode(spark, sf).collect().sortBy(_.doc_id)
+    val b = Multimodal.decode(spark, sf).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    a.foreach { m =>
+      assert(m.kind == Seq("image", "audio", "video")((m.doc_id % 3).toInt))
+      assert(m.width > 0 && m.height > 0 && m.n_frames > 0)
+      if (m.kind == "image") assert(m.n_frames == 1)
+    }
+  }
+
+  test("frame sampling strides through video frames only") {
+    val frames = Multimodal.sampleFrames(Multimodal.decode(spark, sf), 100)
+      .collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.getLong(0))
+    byDoc.values.foreach { rows =>
+      val idx = rows.map(_.getInt(1)).sorted
+      assert(idx.head == 0)
+      idx.zip(idx.tail).foreach { case (p, n) => assert(n - p == 100) }
+    }
+  }
+}

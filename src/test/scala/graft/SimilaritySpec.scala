@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).collect()
+      .map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("brute force: exactly k neighbors per query, sorted desc") {
+    val top = Similarity.bruteForceTopK(spark, sf, 5, 4).collect()
+    val by = top.groupBy(_.getLong(0))
+    assert(by.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    by.values.foreach { rows =>
+      assert(rows.length == 4)
+      val sims = rows.sortBy(-_.getDouble(2)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      rows.foreach(r => assert(r.getLong(1) != r.getLong(0)))
+    }
+  }
+
+  test("IVF probes recover a meaningful fraction of exact neighbors") {
+    val exact = Similarity.bruteForceTopK(spark, sf, 5, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf, 5, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size <= exact.size)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall too low")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedAgg over a memory stream matches batch totals") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedAgg(df, "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    in.addData(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0),
+      (ts(70), "click", 4.0), (ts(5), "view", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("win_out")
+      .select(col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(got == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
+  }
+
+  test("streaming sessionize closes a session when the gap passes") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    in.addData(Event(1L, 1000L, 1.0), Event(1L, 1600L, 2.0))
+    q.processAllAvailable()
+    // second batch: 2h later -> closes the first session
+    in.addData(Event(1L, 9000L, 4.0))
+    q.processAllAvailable()
+    val got = spark.table("sess_out").as[Session].collect()
+    q.stop()
+    assert(got.length == 1)
+    assert(got(0) == Session(1L, 1L, 2L, 1000L, 1600L, 3.0))
+  }
+}
