@@ -26,20 +26,29 @@ object Relational {
     */
   def dateMatch(c: Column, spec: String): Column = {
     // Components compare as *strings* in the reference ("1996-1" matches
-    // nothing, because the stored component is "01"). A canonical
-    // zero-padded component is compiled to a numeric year/month/day
-    // comparison (pushdown-friendly); a non-canonical one can never
-    // match and folds to false.
-    def comp(v: String, width: Int, extract: Column => Column): Column = {
-      val canonical = v.length == width && v.forall(_.isDigit)
-      if (canonical) extract(c) === v.toInt else lit(false)
-    }
+    // nothing, because the stored component is "01"); a non-canonical or
+    // impossible component folds to constant false. Canonical prefixes
+    // compile to a half-open timestamp RANGE [lo, hi) rather than
+    // year()/month() extraction: ranges reach the parquet scan as
+    // PushedFilters, so row-group stats (and, on a partitioned table,
+    // partition pruning) skip everything outside the window — the
+    // difference between scanning a month and scanning 100 TB.
+    import java.time.LocalDate
+    def canon(v: String, w: Int) = v.length == w && v.forall(_.isDigit)
     val p = spec.split("-")
-    val conds =
-      Seq(comp(p(0), 4, year)) ++
-        (if (p.length > 1) Seq(comp(p(1), 2, month)) else Nil) ++
-        (if (p.length > 2) Seq(comp(p(2), 2, dayofmonth)) else Nil)
-    conds.reduce(_ && _)
+    if (!p.zip(Seq(4, 2, 2)).forall { case (v, w) => canon(v, w) })
+      return lit(false)
+    try {
+      val (lo, hi) = p.map(_.toInt) match {
+        case Array(y)       => (LocalDate.of(y, 1, 1), LocalDate.of(y + 1, 1, 1))
+        case Array(y, m)    => val d = LocalDate.of(y, m, 1); (d, d.plusMonths(1))
+        case Array(y, m, d) => val x = LocalDate.of(y, m, d); (x, x.plusDays(1))
+        case _              => return lit(false)
+      }
+      c >= lit(lo.atStartOfDay) && c < lit(hi.atStartOfDay)
+    } catch {
+      case _: java.time.DateTimeException => lit(false) // e.g. month 13
+    }
   }
 
   /** Q1 equivalent (reference Q1.scala): count lineitems shipped in the

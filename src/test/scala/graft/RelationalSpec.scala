@@ -17,6 +17,8 @@ class RelationalSpec extends SparkSpec {
     assert(n("1996-01-05") == 1)
     assert(n("1996-01-06") == 0)
     assert(n("1995") == 1)
+    assert(n("1996-13") == 0)      // impossible month folds to false
+    assert(n("1996-02-30") == 0)   // impossible day folds to false
   }
 
   test("q1 counts only the requested window") {
