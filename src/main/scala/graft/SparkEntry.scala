@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, when}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -61,6 +62,19 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
     "frame_sample" -> ((s, d) => Multimodal.sampleFrames(Multimodal.decode(s, d))),
+    // coverage of remaining SURVEY §2 / gap-list operators
+    "semi_join" -> ((s, d) => Relational.semiJoin(s, d, "1996-01-01")),
+    "anti_join" -> ((s, d) => Relational.antiJoin(s, d, "1996-01-01")),
+    "rollup_agg" -> ((s, d) =>
+      Relational.rollupAgg(s, d, Seq("NATION_3", "NATION_24"))),
+    "term_lookup" -> ((s, d) => Index.termLookup(s, d, "spark")),
+    "auc_quality" -> ((s, d) => {
+      val q = TextStats.quality(s, d).select("doc_id", "quality")
+      val lab = q.join(
+        graft.Tables.documents(s, d).select(col("doc_id"),
+          when(col("lang") === "en", 1).otherwise(0).as("y")), "doc_id")
+      Ml.auc(lab, "quality", "y")
+    }),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -260,6 +274,51 @@ object SparkEntry {
                 octet_length(text::BLOB) AS n_bytes,
                 ascii(substring(text, 1, 1)) AS first_byte
          FROM documents""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderdate < TIMESTAMP '1996-01-01')""",
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate < TIMESTAMP '1996-01-01')""",
+    "rollup_agg" ->
+      """SELECT n_name, strftime(l_shipdate, '%Y-%m') AS ship_month,
+                count(*) AS cnt
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_3', 'NATION_24')
+         GROUP BY ROLLUP (n_name, ship_month)""",
+    "term_lookup" -> s"""$TokCte
+         SELECT term, doc_id, count(*) AS tf
+         FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+         WHERE term = 'spark' GROUP BY term, doc_id""",
+    "auc_quality" -> {
+      val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
+      s"""$TokCte,
+         q AS (
+           SELECT doc_id,
+             round(least(1.0, len(ts) / 100.0) *
+               (0.3 + 0.7 * len(list_filter(ts, t -> list_contains($en, t)))
+                 / len(ts)), 6) AS quality
+           FROM toks WHERE len(ts) > 0),
+         lab AS (
+           SELECT q.quality AS s,
+                  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM q JOIN documents d USING (doc_id)),
+         g AS (SELECT s, sum(y) AS p, sum(1 - y) AS n FROM lab GROUP BY s),
+         c AS (SELECT s, p, n,
+                      coalesce(sum(n) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cumn
+               FROM g)
+         SELECT round(sum(p * (cumn + n / 2.0)) / (sum(p) * sum(n)), 6) AS auc
+         FROM c"""
+    },
   )
 
   private def sqlList(words: Seq[String]): String =

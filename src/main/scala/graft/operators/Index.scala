@@ -48,6 +48,14 @@ object Index {
         sort_array(collect_list(struct(col("doc_id"), col("tf"))))
           .as("postings"))
 
+  /** Point lookup of one term's postings (the reference's MapFile /
+    * HBase `Get` path, `BooleanRetrievalCompressed.java:135-145`). On a
+    * sorted/partitioned postings table the term predicate prunes to a
+    * handful of row groups via parquet min/max + dictionary filters.
+    */
+  def termLookup(s: SparkSession, dir: String, term: String): DataFrame =
+    postings(s, dir).filter(col("term") === term)
+
   /** Postfix boolean query evaluator (reference `BooleanRetrievalCompressed
     * .java:58-113`): whitespace query where a term pushes its doc-id set
     * and AND/OR pop two and push intersection/union. The stack holds

@@ -106,6 +106,28 @@ object Ml {
     }
   }
 
+  /** Distributed AUC (reference M6 eval was an external course script —
+    * here a first-class operator): Mann-Whitney rank-sum computed over
+    * score *groups*, exact under ties (each positive at score s counts
+    * negatives below s plus half the negatives tied at s). The global
+    * window runs over distinct scores only, so the sort is tiny even
+    * when the scored set is huge.
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("p"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("n"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumn", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(
+        sum(col("p") * (col("cumn") + col("n") / 2.0)).as("num"),
+        sum(col("p")).as("np"), sum(col("n")).as("nn"))
+      .select(round(col("num") / (col("np") * col("nn")), 6).as("auc"))
+  }
+
   /** queries-surface helpers with fixed featurization over `documents`. */
   def trainQuery(s: SparkSession, dir: String,
                  shuffleSeed: Option[Long] = None): DataFrame =

@@ -157,6 +157,51 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Explicit semi-join (reference Q4.scala:80-83 / Q5.scala:66-69 used
+    * broadcast-map existence filters): customers with at least one order
+    * before the cutoff. LEFT SEMI keeps the build side out of the output
+    * and stops probing on first match.
+    */
+  def semiJoin(s: SparkSession, dir: String, date: String): DataFrame = {
+    val cutoff = to_timestamp(lit(date))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff).select("o_custkey")
+    Tables.customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Anti-join (absent from the reference — SURVEY §2.10 gap list; free
+    * in Spark): customers with NO orders before the cutoff.
+    */
+  def antiJoin(s: SparkSession, dir: String, date: String): DataFrame = {
+    val cutoff = to_timestamp(lit(date))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff).select("o_custkey")
+    Tables.customer(s, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Rollup aggregation (gap-list operator, free in Spark): lineitem
+    * counts by (nation, month) with per-nation and grand totals.
+    */
+  def rollupAgg(s: SparkSession, dir: String, nations: Seq[String]): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select("n_nationkey", "n_name")
+    val cn = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .select(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .rollup(col("n_name"), col("ship_month"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Q7 equivalent (reference Q7.scala, TPC-H Q3 shape): top-k unshipped
     * orders by revenue. Customer broadcast; orders pre-filtered on
     * orderdate and lineitem on shipdate before the orderkey shuffle.
