@@ -28,9 +28,12 @@ object Dedup {
       .otherwise(array(concat_ws(" ", ts)))
 
   private def docShingles(s: SparkSession, dir: String, n: Int): DataFrame =
+    // tokenize is projected to an attribute BEFORE the shingle lambda
+    // references it: inlined, every per-shingle slice would re-run the
+    // whole tokenizer (O(len²) per doc — measured 11s of an 18s query)
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        array_distinct(shingles(tokenize(col("text")), n)).as("shs"))
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .select(col("doc_id"), array_distinct(shingles(col("ts"), n)).as("shs"))
       .filter(size(col("shs")) > 0)
 
   /** Exact dedup: one representative (min doc id) + duplicate count per

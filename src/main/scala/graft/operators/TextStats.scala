@@ -86,14 +86,15 @@ object TextStats {
     */
   def fingerprints(s: SparkSession, dir: String,
                    n: Int = 4, w: Int = 5): DataFrame = {
-    val ts = tokenize(col("text"))
-    // Materialize the hash array in its own projection: referencing it
-    // from the window expressions below as a bound attribute keeps it
-    // computed once per row — inlined, Catalyst would re-derive the whole
-    // shingle+hash array per window (O(len²) per document).
+    // Materialize tokens, then the hash array, each in their own
+    // projection: referencing prior steps as bound attributes keeps them
+    // computed once per row — inlined, Catalyst would re-derive the
+    // token array per shingle and the shingle+hash array per window
+    // (O(len²) per document).
     val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
       .select(col("doc_id"),
-        transform(Dedup.shingles(ts, n), sh => xxhash64(sh)).as("hs"))
+        transform(Dedup.shingles(col("ts"), n), sh => xxhash64(sh)).as("hs"))
     val hs = col("hs")
     val mins = when(size(hs) >= w,
       transform(sequence(lit(0), size(hs) - w),
