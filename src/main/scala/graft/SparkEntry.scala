@@ -68,6 +68,9 @@ object SparkEntry {
     "rollup_agg" -> ((s, d) =>
       Relational.rollupAgg(s, d, Seq("NATION_3", "NATION_24"))),
     "term_lookup" -> ((s, d) => Index.termLookup(s, d, "spark")),
+    "salted_agg" -> ((s, d) =>
+      Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
+        .withColumnRenamed("k", "event_type")),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -293,6 +296,8 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE n_name IN ('NATION_3', 'NATION_24')
          GROUP BY ROLLUP (n_name, ship_month)""",
+    "salted_agg" ->
+      """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type""",
     "term_lookup" -> s"""$TokCte
          SELECT term, doc_id, count(*) AS tf
          FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
