@@ -59,6 +59,7 @@ object SparkEntry {
     "fingerprints" -> ((s, d) => TextStats.fingerprints(s, d)),
     "sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "hourly_agg" -> ((s, d) => Events.hourlyAgg(s, d)),
+    "json_prop_agg" -> ((s, d) => Events.jsonPropAgg(s, d)),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
     "frame_sample" -> ((s, d) => Multimodal.sampleFrames(Multimodal.decode(s, d))),
@@ -266,6 +267,12 @@ object SparkEntry {
                 min(ep) AS start_epoch, max(ep) AS end_epoch,
                 round(sum(value), 4) AS sum_value
          FROM s GROUP BY user_id, session_seq""",
+    "json_prop_agg" ->
+      """SELECT event_type, count((props->>'k')::INT) AS cnt,
+                round(avg((props->>'k')::INT), 6) AS avg_k,
+                min((props->>'k')::INT) AS min_k,
+                max((props->>'k')::INT) AS max_k
+         FROM events GROUP BY event_type""",
     "hourly_agg" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
                 event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value

@@ -39,6 +39,22 @@ object Events {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** JSON property extraction + aggregate (gap-list operator — the
+    * reference had no JSON/map functions): pull `props.k` out of the
+    * JSON column and aggregate per event type. `get_json_object` is a
+    * codegen'd built-in; at scale a repeatedly-queried key would be
+    * materialized to its own column at ingest.
+    */
+  def jsonPropAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("kv"))
+      .groupBy("event_type")
+      .agg(count(col("kv")).as("cnt"),
+        round(avg(col("kv")), 6).as("avg_k"),
+        min(col("kv")).as("min_k"),
+        max(col("kv")).as("max_k"))
+
   /** Tumbling 1-hour windows per event type (batch twin of the
     * streaming windowed aggregation).
     */

@@ -19,8 +19,10 @@ object DedupProbe {
       println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val docSh = docs.select(col("doc_id"),
-      array_distinct(Dedup.shingles(tokenize(col("text")), 3)).as("shs"))
+    val docSh = docs
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("ts"), 3)).as("shs"))
       .persist()
     t("docShingles materialize") { docSh.count() }
     val sig = docSh.select(col("doc_id"),
