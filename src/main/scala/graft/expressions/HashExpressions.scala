@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -13,42 +13,73 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-row scalar computations over `array<string>` token/shingle
   * columns, so an Expression (evaluated inside the task, no extra
   * explode/shuffle) beats the 64-way explode a pure-built-in encoding
-  * would need. Eval-mode only (CodegenFallback): they sit behind a
-  * shuffle-free projection, not in a tight join loop, so interpreted
-  * eval is not the bottleneck; `doGenCode` is a later optimization.
+  * would need.
+  *
+  * Both implement `doGenCode` (a call into the shared static evaluator —
+  * the same pattern Spark's own hash expressions use), so projections
+  * containing them stay inside whole-stage codegen instead of breaking
+  * the span with a CodegenFallback row-by-row interpreter.
   */
 object HashExpressions {
   private def xx(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** Shared evaluator for SimHash64 (called from generated code). */
+  def simhashEval(input: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < input.numElements()) {
+      if (!input.isNullAt(i)) {
+        val h = xx(input.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Shared evaluator for MinHashSignature (called from generated code). */
+  def minhashEval(input: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < input.numElements()) {
+      if (!input.isNullAt(i)) {
+        val s = input.getUTF8String(i)
+        val h1 = xx(s, 0L)
+        val h2 = xx(s, 0x9E3779B97F4A7C15L) | 1L // odd => full-period mix
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < sig(j)) sig(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  private val Evaluator = "graft.expressions.HashExpressions$.MODULE$"
 
   /** 64-bit SimHash over an array of tokens: per-token xxhash64, each bit
     * votes ±1 weighted by occurrence; the sign of each bit-total forms
     * the signature. Near-duplicate texts land within a small Hamming
     * distance.
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < arr.numElements()) {
-        if (!arr.isNullAt(i)) {
-          val h = xx(arr.getUTF8String(i), 42L)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
+    override def nullSafeEval(input: Any): Any =
+      simhashEval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Evaluator.simhashEval($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
   }
@@ -61,30 +92,13 @@ object HashExpressions {
     * Long.MaxValue everywhere (agrees only with other empties).
     */
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k > 0, "k must be positive")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val sig = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < arr.numElements()) {
-        if (!arr.isNullAt(i)) {
-          val s = arr.getUTF8String(i)
-          val h1 = xx(s, 0L)
-          val h2 = xx(s, 0x9E3779B97F4A7C15L) | 1L   // odd => full-period mix
-          var j = 0
-          var h = h1
-          while (j < k) {
-            if (h < sig(j)) sig(j) = h
-            h += h2
-            j += 1
-          }
-        }
-        i += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minhashEval(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Evaluator.minhashEval($c, $k)")
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
   }

@@ -1,0 +1,59 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Vector-similarity expressions over `array<float>` embedding columns.
+  *
+  * The built-in encoding (`aggregate(zip_with(...))`) allocates two
+  * intermediate arrays per comparison; this fused expression runs the
+  * dot products in one pass with no allocation — the difference matters
+  * when brute-force scoring pairs each query against the whole corpus.
+  * Accumulation is sequential left-to-right in double precision, so
+  * results are deterministic and match DuckDB's list_cosine_similarity
+  * on DOUBLE[].
+  */
+object VectorExpressions {
+
+  /** Shared evaluator (also called from generated code). Null elements
+    * count as 0. Returns Double.NaN when either norm is zero, matching
+    * the undefined-cosine convention.
+    */
+  def cosineEval(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  private val Evaluator = "graft.expressions.VectorExpressions$.MODULE$"
+
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      cosineEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Evaluator.cosineEval($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+  }
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -15,8 +15,19 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Double-precision cosine similarity of two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Double-precision cosine similarity of two float-array columns —
+    * fused custom Expression (one pass, no intermediate arrays, stays in
+    * whole-stage codegen). Same left-to-right double accumulation as the
+    * built-in composition below, so results are bit-identical.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineSim(a, b)
+
+  /** Pure-built-ins composition (`aggregate` ∘ `zip_with`) kept as the
+    * no-custom-code reference implementation; allocates two intermediate
+    * arrays per comparison.
+    */
+  def cosineBuiltins(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

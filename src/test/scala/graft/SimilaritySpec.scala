@@ -19,6 +19,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2) + 1.0) < 1e-12)
   }
 
+  test("fused cosine Expression is bit-identical to the built-in composition") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+      .select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"))
+    val both = emb.crossJoin(q).select(
+      Similarity.cosine($"embedding", $"qv").as("fused"),
+      Similarity.cosineBuiltins($"embedding", $"qv").as("builtin"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(both.nonEmpty)
+  }
+
   test("brute force: exactly k neighbors per query, sorted desc") {
     val top = Similarity.bruteForceTopK(spark, sf, 5, 4).collect()
     val by = top.groupBy(_.getLong(0))
