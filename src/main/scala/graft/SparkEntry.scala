@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d, 3)),
     "knn_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
     "knn_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
+    "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
     "token_counts" -> ((s, d) => TextStats.tokenCounts(s, d)),
@@ -229,6 +230,12 @@ object SparkEntry {
                     AS rn
            FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
          WHERE rn <= 5""",
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
     "lang_id" -> LangIdSql,
     "quality_score" -> {
       val en = sqlList(graft.operators.TextStats.Stopwords.head._2)

@@ -55,6 +55,26 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all vector pairs with
+    * similarity ≥ threshold. Exact all-pairs here (corpus fits one
+    * broadcast at test SFs); the 100 TB path reuses the LSH machinery
+    * already in the engine — random-hyperplane sign banding (SimHash
+    * over projections) or the IVF cluster assignment below as the
+    * candidate key, with this exact fused-cosine check verifying
+    * candidates only.
+    */
+  def embeddingPairs(s: SparkSession, dir: String,
+                     threshold: Double): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val l = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val r = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    l.join(broadcast(r), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF-style approximate top-k: coarse centroids = the first
     * `numCentroids` corpus vectors (deterministic stand-in for k-means —
     * the assignment/probe machinery is identical); every vector is
