@@ -39,6 +39,13 @@ object SparkEntry {
     // personalized PageRank over the customer⇄supplier graph; iterative +
     // not SQL-expressible → rows-only check, oracled in GraphSpec instead.
     "ppr_top10" -> ((s, d) => Graph.pprTopK(s, d, Seq(1L, 2L), 8, 10)),
+    // component sizes of the customer⇄supplier graph (rows-only;
+    // union-find oracle in GraphSpec)
+    "graph_components" -> ((s, d) =>
+      Graph.connectedComponents(Graph.customerSupplierEdges(s, d))
+        .groupBy(col("comp")).agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("size"))),
+    "percentiles" -> ((s, d) => Relational.pricePercentiles(s, d)),
     // SGD tier: order-dependent sequential fold — not SQL-expressible,
     // rows-only checks; exact-semantics oracle lives in MlSpec.
     "sgd_train" -> ((s, d) => Ml.trainQuery(s, d)),
@@ -312,6 +319,13 @@ object SparkEntry {
          GROUP BY ROLLUP (n_name, ship_month)""",
     "salted_agg" ->
       """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type""",
+    "percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+         FROM lineitem GROUP BY l_returnflag""",
     "term_lookup" -> s"""$TokCte
          SELECT term, doc_id, count(*) AS tf
          FROM (SELECT doc_id, unnest(ts) AS term FROM toks)

@@ -122,6 +122,44 @@ object Graph {
         .limit(k)
     }.reduce(_ union _)
 
+  /** Connected components by iterative min-label propagation (edges
+    * treated as undirected): every node adopts the minimum component id
+    * among itself and its neighbors until a fixpoint. Convergence is
+    * detected with one scalar agg per iteration (like PPR's dangling
+    * mass); structure stays cached/partitioned, only the label table
+    * shuffles. Worst-case iterations = graph diameter — large-diameter
+    * graphs at 100 TB would switch to the alternating small/large-star
+    * algorithm, same join-shape machinery.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    val vertices = und.select(col("src").as("id")).distinct().persist()
+    var labels = vertices.select(col("id"), col("id").as("comp"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"),
+          (col("nbr_comp") < col("comp")).cast("int").as("changed"))
+        .localCheckpoint()
+      val changes = next.agg(sum(col("changed"))).collect()(0)
+      converged = Option(changes.get(0)).forall(_.asInstanceOf[Long] == 0L)
+      labels = next.select("id", "comp")
+      i += 1
+    }
+    labels
+  }
+
   /** A deterministic bipartite-ish graph from the fixture tables for the
     * queries surface: customer ⇄ supplier whenever a lineitem links them
     * through an order. Supplier ids are offset to avoid key collision.

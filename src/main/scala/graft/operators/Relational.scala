@@ -202,6 +202,20 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Exact percentiles per group (ordered aggregate; linear
+    * interpolation — matches DuckDB's quantile_cont). At 100 TB exact
+    * percentiles of a huge group require a per-group sort; the scale
+    * alternative is `approx_percentile` (t-digest), same call shape.
+    */
+  def pricePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+
   /** Q7 equivalent (reference Q7.scala, TPC-H Q3 shape): top-k unshipped
     * orders by revenue. Customer broadcast; orders pre-filtered on
     * orderdate and lineitem on shipdate before the orderkey shuffle.

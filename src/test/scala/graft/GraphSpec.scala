@@ -70,6 +70,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("connected components match union-find on a multi-component graph") {
+    // components: {1,2,3,4,5} (from smallEdges), {10,11}, {20}... node 20
+    // can't exist alone (no self-edges) so add 20-21
+    val edges = (smallEdges ++ Seq((10L, 11L), (21L, 20L))).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find oracle
+    val all = smallEdges ++ Seq((10L, 11L), (21L, 20L))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    all.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = (all.map(_._1) ++ all.map(_._2)).distinct
+    val oracle = nodes.groupBy(find).values
+      .map(g => g.toSet -> g.min).toMap
+    oracle.foreach { case (members, minId) =>
+      members.foreach(m => assert(got(m) == minId,
+        s"node $m: got ${got(m)} want $minId"))
+    }
+  }
+
   test("topK returns k best per source, sorted") {
     val edges = smallEdges.toDF("src", "dst")
     val ranks = Graph.personalizedPageRank(edges, Seq(1L, 4L), 5)
