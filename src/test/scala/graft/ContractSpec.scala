@@ -1,0 +1,28 @@
+package graft
+
+/** Contract guard: every SparkEntry.queries entry executes and returns
+  * rows on the smallest fixture, every oracleSql key has a matching
+  * query, and the flagship entry is non-empty — the invariants the
+  * driver's smoke/correctness gates assume.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every queries entry runs and returns rows at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sf).count()
+        spark.catalog.clearCache()
+        if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with empty results: $empty")
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without a query: $orphans")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
