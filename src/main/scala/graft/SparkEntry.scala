@@ -32,7 +32,7 @@ object SparkEntry {
     "pmi_pairs" -> ((s, d) => Cooccur.pmiPairs(s, d)),
     "inverted_index" -> ((s, d) => Index.postings(s, d)),
     "term_df" -> ((s, d) => Index.termDf(s, d)),
-    "postings_lists" -> ((s, d) => Index.postingsLists(s, d)),
+    "postings_lists" -> ((s, d) => Index.postingsListsSerialized(s, d)),
     "bool_and" -> ((s, d) => Index.booleanQuery(s, d, "hash join AND")),
     "bool_postfix_fetch" ->
       ((s, d) => Index.booleanQueryFetch(s, d, "hash join AND scan OR")),
@@ -199,7 +199,13 @@ object SparkEntry {
          SELECT term, count(DISTINCT doc_id) AS df
          FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
          GROUP BY term""",
-    // postings_lists: nested array-of-struct column — rows-only check.
+    "postings_lists" -> s"""$TokCte,
+         p AS (SELECT term, doc_id, count(*) AS tf
+               FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+               GROUP BY term, doc_id)
+         SELECT term, count(*) AS df,
+                string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+         FROM p GROUP BY term""",
     "bool_and" -> s"""$TokCte
          SELECT doc_id FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
            WHERE term = 'hash'

@@ -48,6 +48,18 @@ object Index {
         sort_array(collect_list(struct(col("doc_id"), col("tf"))))
           .as("postings"))
 
+  /** `postingsLists` with the postings array serialized to a compact
+    * `docid:tf,docid:tf,...` string — the queries-surface projection
+    * (flat columns hash-compare cleanly against a DuckDB `string_agg`
+    * oracle; the nested array form above is the library API).
+    */
+  def postingsListsSerialized(s: SparkSession, dir: String): DataFrame =
+    postingsLists(s, dir).select(
+      col("term"), col("df"),
+      concat_ws(",",
+        transform(col("postings"),
+          p => concat_ws(":", p("doc_id"), p("tf")))).as("postings"))
+
   /** Point lookup of one term's postings (the reference's MapFile /
     * HBase `Get` path, `BooleanRetrievalCompressed.java:135-145`). On a
     * sorted/partitioned postings table the term predicate prunes to a
