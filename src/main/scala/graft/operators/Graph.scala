@@ -55,7 +55,10 @@ object Graph {
                            iterations: Int, alpha: Double = 0.15): DataFrame = {
     val n = sources.size
     require(n > 0, "at least one source required")
-    val e = edges.select(col("src"), col("dst"))
+    // cache the raw edge list first: vertices, out-degrees and the
+    // structure table all derive from it, and the caller's edge
+    // expression may be an arbitrarily expensive join
+    val e = edges.select(col("src"), col("dst")).persist()
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -69,6 +72,8 @@ object Graph {
     // table by src so iterations never move the graph again.
     val struct = e.join(outdeg, "src").repartition(col("src")).persist()
     struct.count() // materialize structure before the loop
+    vertices.count()
+    e.unpersist()
 
     var ranks = vertices.select(
       col("id") +: sources.zipWithIndex.map { case (src, i) =>
@@ -87,21 +92,24 @@ object Graph {
         .agg(sum(rankCol(0)).as(rankCol(0)),
           (1 until n).map(i => sum(rankCol(i)).as(rankCol(i))): _*)
         .localCheckpoint()
-      // dangling mass: whatever didn't arrive anywhere (scalar exchange —
-      // the reference's per-reducer side files, S9)
-      val totals = gathered.agg(
-        sum(rankCol(0)).as(rankCol(0)),
-        (1 until n).map(i => sum(rankCol(i)).as(rankCol(i))): _*).collect()(0)
-      val missing = (0 until n).map { i =>
-        1.0 - Option(totals.get(i)).fold(0.0)(_.asInstanceOf[Double])
-      }
+      // dangling mass: whatever didn't arrive anywhere (the reference's
+      // per-reducer side files, S9). Kept IN-PLAN as a broadcast 1-row
+      // aggregate rather than collect()ed: no extra action per
+      // iteration, and — because no per-iteration literal is baked into
+      // the plan — every iteration has the same plan shape, so codegen
+      // caches hit instead of compiling a fresh class each round.
+      val missingRow = broadcast(gathered.agg(
+        (lit(1.0) - sum(rankCol(0))).as("miss_0"),
+        (1 until n).map(i => (lit(1.0) - sum(rankCol(i))).as(s"miss_$i")): _*))
       val withAll = vertices.join(gathered, Seq("id"), "left")
+        .crossJoin(missingRow)
       ranks = withAll.select(
         col("id") +: (0 until n).map { i =>
           val p = coalesce(col(rankCol(i)), lit(0.0))
           val base = lit(1.0 - alpha) * p
           (base + when(col("id") === sources(i),
-            lit(alpha) + lit(1.0 - alpha) * lit(missing(i))).otherwise(0.0))
+            lit(alpha) + lit(1.0 - alpha) *
+              coalesce(col(s"miss_$i"), lit(1.0))).otherwise(0.0))
             .as(rankCol(i))
         }: _*)
       // no second checkpoint: lineage above is one cheap join off the
@@ -132,8 +140,13 @@ object Graph {
     * algorithm, same join-shape machinery.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize in ONE pass over the input (explode of both directions)
+    // instead of a self-union, which would evaluate the caller's edge
+    // expression twice
+    val und = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .distinct()
       .repartition(col("src"))
       .persist()
@@ -172,8 +185,12 @@ object Graph {
       .select(col("o_custkey").as("c"),
         (col("l_suppkey") + supplierOffset).as("sup"))
       .distinct()
-    pairs.select(col("c").as("src"), col("sup").as("dst"))
-      .union(pairs.select(col("sup").as("src"), col("c").as("dst")))
+    // both directions in one pass — a self-union would run the
+    // lineitem⋈orders build twice
+    pairs.select(explode(array(
+        struct(col("c").as("src"), col("sup").as("dst")),
+        struct(col("sup").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
   }
 
   /** queries-surface entry: PPR over the customer⇄supplier graph. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Graph
 
-/** Dev-only timing probe for the PPR loop (not part of the contract). */
+/** Dev-only timing probe for the graph tier (not part of the contract). */
 object PprProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,12 +17,16 @@ object PprProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val edges = t("build edges df") { Graph.customerSupplierEdges(spark, dir) }
-    t("edges count") { println("  edges=" + edges.count()) }
-    val ranks = t("ppr 8 iters") {
-      Graph.personalizedPageRank(edges, Seq(1L, 2L), 8)
+    t("ppr_top10 end-to-end") {
+      println("  rows=" + Graph.pprTopK(spark, dir, Seq(1L, 2L), 8, 10).collect().length)
     }
-    t("topk action") { Graph.topK(ranks, Seq(1L, 2L), 10).collect() }
+    t("ppr_top10 warm") {
+      println("  rows=" + Graph.pprTopK(spark, dir, Seq(1L, 2L), 8, 10).collect().length)
+    }
+    t("components end-to-end") {
+      println("  rows=" + Graph.connectedComponents(
+        Graph.customerSupplierEdges(spark, dir)).count())
+    }
     spark.stop()
   }
 }
