@@ -40,6 +40,18 @@ object Tables {
       case _ => df   // already a timestamp (e.g. test-written fixtures)
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The text and vector tables feed compute-heavy per-row work
+    * (tokenization, hashing, vector math). The fixtures are single-row-
+    * group files, so the scan is one task no matter what — spread the
+    * rows across the session's parallelism right after the scan or the
+    * whole tier runs single-threaded. On a real cluster the table
+    * would arrive in many files and this becomes a no-op-sized shuffle.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "embeddings"))
 }

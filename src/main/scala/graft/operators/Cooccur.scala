@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.expressions.OptimizerBarrier
 import graft.functions.TextFns._
 
 /** Text-analytics tier: word/prefix counting, bigram relative frequency,
@@ -46,7 +47,7 @@ object Cooccur {
   def bigramRelFreq(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(tokenize(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 2)
+      .filter(OptimizerBarrier.noPushdown(size(col("ts")) >= 2))
     val bigrams = toks.select(
       explode(expr(
         "transform(slice(ts, 1, size(ts)-1), (x, i) -> " +

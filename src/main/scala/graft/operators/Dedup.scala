@@ -31,10 +31,13 @@ object Dedup {
     // tokenize is projected to an attribute BEFORE the shingle lambda
     // references it: inlined, every per-shingle slice would re-run the
     // whole tokenizer (O(len²) per doc — measured 11s of an 18s query)
+    // no filter on shs here: shingles() always yields >=1 element, and a
+    // filter over the computed column gets pushed below the exchange
+    // with the whole tokenize+shingle expression RE-INLINED into it —
+    // one 12s single-task stage at sf0.1 (see memory: lambda re-inlining)
     Tables.documents(s, dir)
       .select(col("doc_id"), tokenize(col("text")).as("ts"))
       .select(col("doc_id"), array_distinct(shingles(col("ts"), n)).as("shs"))
-      .filter(size(col("shs")) > 0)
 
   /** Exact dedup: one representative (min doc id) + duplicate count per
     * distinct text. At 100 TB the group key would be xxhash64(text)
@@ -57,8 +60,11 @@ object Dedup {
   def jaccardPairs(s: SparkSession, dir: String, threshold: Double,
                    n: Int = 3, maxShingleDf: Option[Int] = None): DataFrame = {
     // referenced three times (sizes + both sides of the self-join):
-    // cache so tokenize+shingle runs once
+    // cache so tokenize+shingle runs once. Materialized EAGERLY —
+    // lazily-persisted plans get recomputed by every concurrent subtree
+    // of the final action (cache stampede) instead of computed once.
     val docSh = docShingles(s, dir, n).persist()
+    docSh.count()
     val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
     val ex0 = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
     val ex = maxShingleDf match {
@@ -96,6 +102,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val docSh = docShingles(s, dir, n).persist()
+    docSh.count() // eager: see jaccardPairs
     val sig = docSh.select(col("doc_id"),
       minhashSignature(col("shs"), numHashes).as("sig"))
     val banded = sig.select(col("doc_id"),
@@ -131,6 +138,7 @@ object Dedup {
     val sig = Tables.documents(s, dir)
       .select(col("doc_id"), simhash64(tokenize(col("text"))).as("sig"))
       .persist()
+    sig.count() // eager: see jaccardPairs
     val banked = sig.select(col("doc_id"), col("sig"),
       explode(expr(
         "transform(sequence(0, 3), " +

@@ -85,6 +85,7 @@ object Index {
         explode(array_distinct(tokenize(col("text")))).as("term"))
       .filter(col("term").isin(terms: _*))
       .persist()
+    docTerms.count() // eager, or every operand subtree recomputes the scan
     var stack = List.empty[DataFrame]
     tokens.foreach {
       case "AND" =>

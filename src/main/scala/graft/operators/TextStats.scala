@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.expressions.OptimizerBarrier
 import graft.functions.TextFns._
 
 /** Text-analysis tier (north-star extras): language ID, quality scoring,
@@ -53,7 +54,7 @@ object TextStats {
     val en = Stopwords.head._2
     Tables.documents(s, dir)
       .select(col("doc_id"), tokenize(col("text")).as("ts"))
-      .filter(size(col("ts")) > 0)
+      .filter(OptimizerBarrier.noPushdown(size(col("ts")) > 0))
       .select(
         col("doc_id"),
         size(col("ts")).as("n_tokens"),

@@ -1,9 +1,9 @@
 package graft.tools
 
+import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
-import graft.functions.TextFns._
+import graft.operators.{Cooccur, Dedup, TextStats}
 
 object TokProbe {
   def main(args: Array[String]): Unit = {
@@ -12,20 +12,26 @@ object TokProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = for {s <- si.submissionTime; c <- si.completionTime} yield (c - s) / 1000.0
+        if (dur.exists(_ > 2.0))
+          println(f"[slowstage] id=${si.stageId} tasks=${si.numTasks} dur=${dur.get}%6.2f")
+      }
+    })
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    t("read only") { docs.select(col("doc_id"), col("text")).count() }
-    t("read only 2") { docs.select(col("doc_id"), col("text")).count() }
-    val toks = docs.select(col("doc_id"), tokenize(col("text")).as("ts"))
-    t("tokenize") { toks.select(sum(size(col("ts")))).collect() }
-    t("tokenize 2") { toks.select(sum(size(col("ts")))).collect() }
-    val sh = toks.select(col("doc_id"), Dedup.shingles(col("ts"), 3).as("shs"))
-    t("tok+shingles") { sh.select(sum(size(col("shs")))).collect() }
-    val shd = toks.select(col("doc_id"), array_distinct(Dedup.shingles(col("ts"), 3)).as("shs"))
-    t("tok+shingles+distinct") { shd.select(sum(size(col("shs")))).collect() }
+    spark.read.parquet(s"$dir/lineitem.parquet").count()
+    t("jaccard cold") { Dedup.jaccardPairs(spark, dir, 0.8).count() }
+    spark.catalog.clearCache()
+    t("minhash") { Dedup.minhashPairs(spark, dir, 0.8).count() }
+    spark.catalog.clearCache()
+    t("quality") { TextStats.quality(spark, dir).count() }
+    spark.catalog.clearCache()
+    t("bigram_rel_freq") { Cooccur.bigramRelFreq(spark, dir).count() }
     spark.stop()
   }
 }
