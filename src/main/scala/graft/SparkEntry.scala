@@ -37,10 +37,10 @@ object SparkEntry {
     "bool_postfix_fetch" ->
       ((s, d) => Index.booleanQueryFetch(s, d, "hash join AND scan OR")),
     // personalized PageRank over the customer⇄supplier graph; iterative +
-    // not SQL-expressible → rows-only check, oracled in GraphSpec instead.
+    // oracled by an unrolled-iteration SQL (see pprOracleSql) + GraphSpec.
     "ppr_top10" -> ((s, d) => Graph.pprTopK(s, d, Seq(1L, 2L), 8, 10)),
-    // component sizes of the customer⇄supplier graph (rows-only;
-    // union-find oracle in GraphSpec)
+    // component sizes of the customer⇄supplier graph; recursive-CTE
+    // closure oracle + union-find oracle in GraphSpec
     "graph_components" -> ((s, d) =>
       Graph.connectedComponents(Graph.customerSupplierEdges(s, d))
         .groupBy(col("comp")).agg(org.apache.spark.sql.functions.count(
@@ -100,7 +100,63 @@ object SparkEntry {
              t -> len(t) > 0) AS ts
          FROM documents)"""
 
+  /** Shared customer⇄supplier graph CTEs (mirrors
+    * `Graph.customerSupplierEdges`). MATERIALIZED: the iterative oracles
+    * below reference `edges` many times and DuckDB would otherwise
+    * re-open the parquet per reference.
+    */
+  private val GraphCte =
+    """pairs AS MATERIALIZED (
+         SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS sup
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       edges AS MATERIALIZED (
+         SELECT c AS src, sup AS dst FROM pairs
+         UNION ALL SELECT sup, c FROM pairs),
+       nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)"""
+
+  /** Personalized-PageRank oracle: the 8 scatter/gather+teleport rounds
+    * unrolled as chained CTEs (SQL can't loop, but a FIXED iteration
+    * count is just 2·iters CTE blocks). Same linear-space arithmetic as
+    * `Graph.personalizedPageRank`, so values agree to well below the
+    * 9-dp rounding both sides apply.
+    */
+  private def pprOracleSql(sources: Seq[Long], iters: Int, k: Int): String = {
+    val n = sources.size
+    val t0cols = sources.zipWithIndex.map { case (s, i) =>
+      s"CASE WHEN id = $s THEN 1.0 ELSE 0.0 END AS r$i" }.mkString(", ")
+    val blocks = (1 to iters).flatMap { it =>
+      val g = s"g$it AS MATERIALIZED (SELECT e.dst AS id, " +
+        (0 until n).map(i => s"sum(t.r$i / od.od) AS r$i").mkString(", ") +
+        s" FROM t${it - 1} t JOIN edges e ON e.src = t.id" +
+        s" JOIN outdeg od ON od.src = t.id GROUP BY e.dst)"
+      val t = s"t$it AS MATERIALIZED (SELECT v.id, " +
+        sources.zipWithIndex.map { case (s, i) =>
+          s"0.85 * coalesce(g.r$i, 0) + CASE WHEN v.id = $s THEN" +
+            s" 0.15 + 0.85 * (1 - (SELECT sum(r$i) FROM g$it)) ELSE 0 END AS r$i"
+        }.mkString(", ") +
+        s" FROM nodes v LEFT JOIN g$it g USING (id))"
+      Seq(g, t)
+    }
+    val tops = sources.zipWithIndex.map { case (s, i) =>
+      s"(SELECT $s AS source, id, round(r$i, 9) AS rank FROM t$iters" +
+        s" ORDER BY r$i DESC, id LIMIT $k)" }.mkString(" UNION ALL ")
+    s"WITH $GraphCte,\n" +
+      "outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),\n" +
+      s"t0 AS (SELECT id, $t0cols FROM nodes),\n" +
+      blocks.mkString(",\n") + "\n" + tops
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10),
+    // exact fixpoint of min-label propagation = min reachable id, which
+    // a recursive closure computes directly
+    "graph_components" -> s"""WITH RECURSIVE $GraphCte,
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+         lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+         SELECT comp, count(*) AS size FROM lab GROUP BY comp""",
     "q1_filter_count" ->
       """SELECT count(*) AS cnt FROM lineitem
          WHERE year(l_shipdate)=1996 AND month(l_shipdate)=3""",

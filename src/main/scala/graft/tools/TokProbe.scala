@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Cooccur, Dedup, TextStats}
+import graft.operators.{Graph, Index}
 
 object TokProbe {
   def main(args: Array[String]): Unit = {
@@ -16,7 +16,7 @@ object TokProbe {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = for {s <- si.submissionTime; c <- si.completionTime} yield (c - s) / 1000.0
-        if (dur.exists(_ > 2.0))
+        if (dur.exists(_ > 1.0))
           println(f"[slowstage] id=${si.stageId} tasks=${si.numTasks} dur=${dur.get}%6.2f")
       }
     })
@@ -25,13 +25,19 @@ object TokProbe {
       println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     spark.read.parquet(s"$dir/lineitem.parquet").count()
-    t("jaccard cold") { Dedup.jaccardPairs(spark, dir, 0.8).count() }
+    t("bool_postfix_fetch") {
+      Index.booleanQueryFetch(spark, dir, "hash join AND scan OR").count()
+    }
     spark.catalog.clearCache()
-    t("minhash") { Dedup.minhashPairs(spark, dir, 0.8).count() }
+    t("bool_postfix_fetch 2") {
+      Index.booleanQueryFetch(spark, dir, "hash join AND scan OR").count()
+    }
     spark.catalog.clearCache()
-    t("quality") { TextStats.quality(spark, dir).count() }
+    t("ppr_top10") { Graph.pprTopK(spark, dir, Seq(1L, 2L), 8, 10).count() }
     spark.catalog.clearCache()
-    t("bigram_rel_freq") { Cooccur.bigramRelFreq(spark, dir).count() }
+    t("components") {
+      Graph.connectedComponents(Graph.customerSupplierEdges(spark, dir)).count()
+    }
     spark.stop()
   }
 }
