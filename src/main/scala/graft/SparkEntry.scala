@@ -325,6 +325,33 @@ object SparkEntry {
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
              AS bpe_tokens
          FROM documents""",
+    // winnowing fingerprints (n=4, w=5): shingle → base-31 poly hash
+    // mod 2^40 (same fold as PolyHashArray) → window-of-5 minima →
+    // distinct. Shingle/window edge cases mirror Dedup.shingles /
+    // TextStats.fingerprints exactly.
+    "fingerprints" -> s"""$TokCte,
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) >= 4
+               THEN list_transform(range(1, len(ts) - 2),
+                      i -> array_to_string(ts[i:i+3], ' '))
+               ELSE [array_to_string(ts, ' ')] END AS shs
+           FROM toks),
+         hs AS (
+           SELECT doc_id,
+             list_transform(shs, s -> list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(s, ''), c -> ord(c)::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1099511627776)) AS hv
+           FROM sh),
+         mins AS (
+           SELECT doc_id,
+             CASE WHEN len(hv) >= 5
+               THEN list_transform(range(0, len(hv) - 4),
+                      i -> list_min(hv[i+1:i+5]))
+               ELSE [list_min(hv)] END AS mv
+           FROM hs)
+         SELECT doc_id, unnest(list_distinct(mv)) AS fingerprint FROM mins""",
     // epoch_ms // 1000 floors like Spark's unix_timestamp (epoch()::BIGINT
     // would round half-up and shift second boundaries)
     "sessionize" ->

@@ -103,8 +103,53 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Shared evaluator for PolyHashArray (called from generated code).
+    * Classic base-31 polynomial hash of each string's code points,
+    * reduced mod 2^40: small enough that an oracle can restate it in
+    * pure SQL without BIGINT overflow, large enough that collisions are
+    * negligible at fixture scale. ASCII inputs only need byte handling,
+    * but decode via UTF8String.toString codepoints for exactness.
+    */
+  def polyHashEval(input: ArrayData): ArrayData = {
+    val mask = (1L << 40) - 1
+    val out = new Array[Long](input.numElements())
+    var i = 0
+    while (i < input.numElements()) {
+      if (!input.isNullAt(i)) {
+        val s = input.getUTF8String(i).toString
+        var h = 0L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h = (h * 31 + cp) & mask
+          j += Character.charCount(cp)
+        }
+        out(i) = h
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-element polynomial hash of an `array<string>` (see
+    * `polyHashEval`): the oracle-replicable hash used by the winnowing
+    * fingerprint operator.
+    */
+  case class PolyHashArray(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      polyHashEval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Evaluator.polyHashEval($c)")
+    override protected def withNewChildInternal(c: Expression): PolyHashArray =
+      copy(child = c)
+  }
+
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  def polyHashArray(c: Column): Column =
+    ColumnBridge.column(PolyHashArray(ColumnBridge.expression(c)))
 
   def minhashSignature(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), k))

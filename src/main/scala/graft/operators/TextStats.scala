@@ -95,7 +95,8 @@ object TextStats {
     val hashed = Tables.documents(s, dir)
       .select(col("doc_id"), tokenize(col("text")).as("ts"))
       .select(col("doc_id"),
-        transform(Dedup.shingles(col("ts"), n), sh => xxhash64(sh)).as("hs"))
+        graft.expressions.HashExpressions.polyHashArray(
+          Dedup.shingles(col("ts"), n)).as("hs"))
     val hs = col("hs")
     val mins = when(size(hs) >= w,
       transform(sequence(lit(0), size(hs) - w),
