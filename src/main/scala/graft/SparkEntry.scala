@@ -114,6 +114,21 @@ object SparkEntry {
          UNION ALL SELECT sup, c FROM pairs),
        nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)"""
 
+  /** Media fake-decode hash (mirrors `Multimodal.fakeDecode`): base-31
+    * fold of the blob bytes mod 2^40, plus kind/byte-length columns.
+    */
+  private val MediaHashCte =
+    """WITH mh AS (
+         SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+           length(text) AS n_bytes,
+           list_reduce(
+             list_prepend(7::BIGINT,
+               list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1099511627776) AS hv
+         FROM documents)"""
+
   /** Personalized-PageRank oracle: the 8 scatter/gather+teleport rounds
     * unrolled as chained CTEs (SQL can't loop, but a FIXED iteration
     * count is just 2·iters CTE blocks). Same linear-space arithmetic as
@@ -387,6 +402,24 @@ object SparkEntry {
                 octet_length(text::BLOB) AS n_bytes,
                 ascii(substring(text, 1, 1)) AS first_byte
          FROM documents""",
+    // same base-31/2^40 fold as Multimodal.fakeDecode (ASCII text, so
+    // codepoints == utf-8 bytes); pick(lo,hi,salt) = lo + (h>>salt)%(hi-lo)
+    "multimodal_decode" -> s"""$MediaHashCte
+         SELECT doc_id, kind, n_bytes,
+           CASE kind WHEN 'image' THEN 64 + (hv % 4032)
+                     WHEN 'audio' THEN 1
+                     ELSE 320 + (hv % 1600) END AS width,
+           CASE kind WHEN 'image' THEN 64 + ((hv // 256) % 4032)
+                     WHEN 'audio' THEN 1
+                     ELSE 240 + ((hv // 256) % 840) END AS height,
+           CASE kind WHEN 'image' THEN 1
+                     WHEN 'audio' THEN 1000 + ((hv // 65536) % 2879000)
+                     ELSE 24 + ((hv // 65536) % 7176) END AS n_frames
+         FROM mh""",
+    "frame_sample" -> s"""$MediaHashCte
+         SELECT doc_id, unnest(range(0, 24 + ((hv // 65536) % 7176), 100))
+                  AS frame_idx
+         FROM mh WHERE kind = 'video'""",
     "semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders

@@ -50,11 +50,14 @@ object Multimodal {
     * metadata from blob bytes so tests are stable.
     */
   private def fakeDecode(kind: String, blob: Array[Byte]): (Int, Int, Int) = {
-    var h = 1125899906842597L // deterministic FNV-ish fold over the bytes
+    // base-31 fold over unsigned bytes mod 2^40: overflow-free on BIGINT
+    // arithmetic, so the driver's SQL oracle can restate it exactly
+    val mask = (1L << 40) - 1
+    var h = 7L
     var i = 0
-    while (i < blob.length) { h = 31 * h + blob(i); i += 1 }
+    while (i < blob.length) { h = (31 * h + (blob(i) & 0xff)) & mask; i += 1 }
     def pick(lo: Int, hi: Int, salt: Int): Int =
-      lo + (((h >>> salt) % (hi - lo)).toInt + (hi - lo)) % (hi - lo)
+      lo + ((h >>> salt) % (hi - lo)).toInt
     kind match {
       case "image" => (pick(64, 4096, 0), pick(64, 4096, 8), 1)
       case "audio" => (1, 1, pick(1000, 48000 * 60, 16))   // samples
