@@ -302,6 +302,42 @@ object SparkEntry {
     // j>=0.8 and exact-Jaccard verification of candidates, so on
     // non-adversarial data its result equals the exact operator's.
     "dedup_minhash" -> JaccardSql,
+    // 40-bit simhash restated: per-token poly fold + 2×(mult/xorshift)
+    // mixing (all mod 2^40, matching SimHash40), per-bit ±1 votes,
+    // 4×10-bit bank join, exact Hamming check
+    "dedup_simhash" -> s"""$TokCte,
+         tok_h AS (
+           SELECT doc_id, th4 AS h FROM (
+             SELECT doc_id,
+               xor(th3, th3 // 1048576) AS th4 FROM (
+               SELECT doc_id, (th2 * 8388593) % 1099511627776 AS th3 FROM (
+                 SELECT doc_id, xor(th1, th1 // 1048576) AS th2 FROM (
+                   SELECT doc_id, (th0 * 8388593) % 1099511627776 AS th1 FROM (
+                     SELECT doc_id, list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(string_split(t, ''),
+                           c -> ord(c)::BIGINT)),
+                       (acc, c) -> (acc * 31 + c) % 1099511627776) AS th0
+                     FROM (SELECT doc_id, unnest(ts) AS t FROM toks)))))) ),
+         bits AS (
+           SELECT doc_id, b,
+                  sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+           FROM tok_h, (SELECT unnest(range(0, 40)) AS b)
+           GROUP BY doc_id, b),
+         sig AS (
+           SELECT doc_id,
+                  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                    AS sig
+           FROM bits GROUP BY doc_id),
+         banked AS (
+           SELECT doc_id, sig, i AS bank, (sig >> (i * 10)) & 1023 AS bv
+           FROM sig, (SELECT unnest(range(0, 4)) AS i))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.sig, b.sig)) AS dist
+         FROM banked a JOIN banked b
+           ON a.bank = b.bank AND a.bv = b.bv AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
     "knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),
@@ -314,6 +350,34 @@ object SparkEntry {
                     AS rn
            FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
          WHERE rn <= 5""",
+    // deterministic IVF (centroids = first 16 vectors, argmax assignment,
+    // 4-probe): same window logic as Similarity.ivfTopK, so exact parity
+    "knn_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                    WHERE vec_id < 16),
+           assigned AS (
+             SELECT vec_id, v, centroid_id FROM (
+               SELECT e.vec_id, e.v, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e CROSS JOIN cent c) WHERE rn = 1),
+           probes AS (
+             SELECT query_id, qv, centroid_id FROM (
+               SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 4)
+         SELECT query_id, vec_id, round(sim, 6) AS sim FROM (
+           SELECT p.query_id, a.vec_id,
+                  list_cosine_similarity(a.v, p.qv) AS sim,
+                  row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY list_cosine_similarity(a.v, p.qv) DESC,
+                             a.vec_id) AS rn
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE a.vec_id <> p.query_id) WHERE rn <= 5""",
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -131,6 +131,56 @@ object HashExpressions {
     new GenericArrayData(out)
   }
 
+  /** Shared evaluator for SimHash40 (called from generated code): same
+    * vote construction as `simhashEval` but over a 40-bit token hash —
+    * base-31 poly fold mod 2^40, then two rounds of multiply(+mask)/
+    * xorshift mixing with constants small enough that every step is
+    * overflow-free BIGINT arithmetic an SQL oracle can restate.
+    */
+  def simhash40Eval(input: ArrayData): Long = {
+    val mask = (1L << 40) - 1
+    val votes = new Array[Int](40)
+    var i = 0
+    while (i < input.numElements()) {
+      if (!input.isNullAt(i)) {
+        val s = input.getUTF8String(i).toString
+        var h = 0L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h = (h * 31 + cp) & mask
+          j += Character.charCount(cp)
+        }
+        h = (h * 8388593L) & mask; h ^= (h >>> 20)
+        h = (h * 8388593L) & mask; h ^= (h >>> 20)
+        var b = 0
+        while (b < 40) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 40) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** 40-bit SimHash over an array of tokens (see `simhash40Eval`) — the
+    * oracle-replicable variant the dedup_simhash query uses; `SimHash64`
+    * (xxhash64-based) remains the stronger library-surface signature.
+    */
+  case class SimHash40(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      simhash40Eval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Evaluator.simhash40Eval($c)")
+    override protected def withNewChildInternal(c: Expression): SimHash40 =
+      copy(child = c)
+  }
+
   /** Per-element polynomial hash of an `array<string>` (see
     * `polyHashEval`): the oracle-replicable hash used by the winnowing
     * fingerprint operator.
@@ -150,6 +200,9 @@ object HashExpressions {
 
   def polyHashArray(c: Column): Column =
     ColumnBridge.column(PolyHashArray(ColumnBridge.expression(c)))
+
+  def simhash40(c: Column): Column =
+    ColumnBridge.column(SimHash40(ColumnBridge.expression(c)))
 
   def minhashSignature(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), k))

@@ -126,23 +126,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs at Hamming distance ≤ 3: 64-bit signature
-    * (custom expression, tf-weighted) split into 4 16-bit banks; by
-    * pigeonhole any pair within distance 3 agrees on ≥1 bank, so the
-    * bank join finds all of them without pairwise comparison; exact
-    * distance check (`bit_count(xor)`) filters the candidates.
+  /** SimHash near-dup pairs at Hamming distance ≤ 3: 40-bit signature
+    * (custom expression, tf-weighted, SQL-restatable hash — see
+    * `SimHash40`) split into 4 10-bit banks; by pigeonhole any pair
+    * within distance 3 agrees on ≥1 bank, so the bank join finds all of
+    * them without pairwise comparison; exact distance check
+    * (`bit_count(xor)`) filters the candidates.
     */
   def simhashPairs(s: SparkSession, dir: String,
                    maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4 banks of 16 bits guarantee recall only to distance 3")
+    require(maxDist <= 3, "4 banks guarantee recall only to distance 3")
     val sig = Tables.documents(s, dir)
-      .select(col("doc_id"), simhash64(tokenize(col("text"))).as("sig"))
+      .select(col("doc_id"), simhash40(tokenize(col("text"))).as("sig"))
       .persist()
     sig.count() // eager: see jaccardPairs
     val banked = sig.select(col("doc_id"), col("sig"),
       explode(expr(
         "transform(sequence(0, 3), " +
-          "i -> struct(i AS bank, shiftright(sig, i * 16) & 65535 AS bv))")).as("t"))
+          "i -> struct(i AS bank, shiftright(sig, i * 10) & 1023 AS bv))")).as("t"))
       .select(col("doc_id"), col("sig"), col("t.bank"), col("t.bv"))
     val l = banked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("bank"), col("bv"))

@@ -45,13 +45,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash bank join finds exactly the brute-force Hamming pairs") {
-    import graft.expressions.HashExpressions.simhash64
+    import graft.expressions.HashExpressions.simhash40
     import graft.functions.TextFns.tokenize
     val got = Dedup.simhashPairs(spark, sf, 3).collect()
     got.foreach(r => assert(r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)))
     // pigeonhole guarantee: banked candidates == full O(n²) scan
     val sigs = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), simhash64(tokenize(col("text"))).as("sig"))
+      .select(col("doc_id"), simhash40(tokenize(col("text"))).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val brute = (for {
       (a, sa) <- sigs; (b, sb) <- sigs
