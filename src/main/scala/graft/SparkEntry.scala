@@ -80,6 +80,14 @@ object SparkEntry {
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
+    "cube_agg" -> ((s, d) => Relational.cubeAgg(s, d)),
+    "window_topk" -> ((s, d) => Relational.windowTopk(s, d, 3)),
+    "distinct_agg" -> ((s, d) => Relational.distinctAgg(s, d)),
+    "except_op" -> ((s, d) => Relational.exceptOp(s, d, "1998-06-01")),
+    "intersect_op" -> ((s, d) => Relational.intersectOp(s, d, "1996-03", "1996-04")),
+    "event_gaps" -> ((s, d) => Events.interArrival(s, d)),
+    "asof_join" -> ((s, d) => Events.asofJoin(s, d, "purchase", "view")),
+    "tfidf_topk" -> ((s, d) => Index.tfidfTopk(s, d, 3)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -431,6 +439,70 @@ object SparkEntry {
                ELSE [list_min(hv)] END AS mv
            FROM hs)
          SELECT doc_id, unnest(list_distinct(mv)) AS fingerprint FROM mins""",
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "window_topk" ->
+      """SELECT * FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) WHERE rnk <= 3""",
+    "distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "except_op" ->
+      """SELECT o_custkey FROM orders
+         WHERE o_orderdate < TIMESTAMP '1998-06-01'
+         EXCEPT
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1998-06-01'""",
+    "intersect_op" ->
+      """SELECT l_suppkey FROM lineitem
+         WHERE year(l_shipdate)=1996 AND month(l_shipdate)=3
+         INTERSECT
+         SELECT l_suppkey FROM lineitem
+         WHERE year(l_shipdate)=1996 AND month(l_shipdate)=4""",
+    "event_gaps" ->
+      """SELECT user_id, event_id, ep,
+                ep - prev_ep AS gap_before, next_ep - ep AS gap_after
+         FROM (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep,
+                  lag(epoch_ms(ts) // 1000) OVER w AS prev_ep,
+                  lead(epoch_ms(ts) // 1000) OVER w AS next_ep
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WHERE prev_ep IS NOT NULL AND next_ep IS NOT NULL""",
+    // ASOF JOIN (DuckDB-native) against the union+carry Spark operator;
+    // right side deduped to max event_id per (user, second) on both sides
+    "asof_join" ->
+      """WITH l AS (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep
+           FROM events WHERE event_type = 'purchase'),
+         r AS (
+           SELECT user_id, epoch_ms(ts) // 1000 AS r_ep,
+                  max(event_id) AS r_event_id,
+                  arg_max(value, event_id) AS r_value
+           FROM events WHERE event_type = 'view'
+           GROUP BY user_id, epoch_ms(ts) // 1000)
+         SELECT l.user_id, l.event_id, l.ep,
+                r.r_event_id, round(r.r_value, 4) AS r_value
+         FROM l ASOF JOIN r
+           ON l.user_id = r.user_id AND r.r_ep <= l.ep""",
+    "tfidf_topk" -> s"""$TokCte,
+         p AS (SELECT term, doc_id, count(*) AS tf
+               FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+               GROUP BY term, doc_id),
+         df AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT term, doc_id, tfidf FROM (
+           SELECT p.term, p.doc_id,
+                  round(p.tf * ln(n.n_docs / df.df), 6) AS tfidf,
+                  row_number() OVER (PARTITION BY p.term
+                    ORDER BY p.tf * ln(n.n_docs / df.df) DESC, p.doc_id) AS rnk
+           FROM p JOIN df USING (term) CROSS JOIN n)
+         WHERE rnk <= 3""",
     // epoch_ms // 1000 floors like Spark's unix_timestamp (epoch()::BIGINT
     // would round half-up and shift second boundaries)
     "sessionize" ->

@@ -64,4 +64,68 @@ object Events {
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Per-user inter-arrival gaps (lag/lead window pair — gap-list
+    * operators): seconds since the previous event and until the next
+    * one. Inner rows only (both neighbors present) so the result is
+    * null-free for the oracle compare.
+    */
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ep = unix_timestamp(col("ts"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), ep.as("ep"),
+        lag(ep, 1).over(w).as("prev_ep"),
+        lead(ep, 1).over(w).as("next_ep"))
+      .filter(col("prev_ep").isNotNull && col("next_ep").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ep"),
+        (col("ep") - col("prev_ep")).as("gap_before"),
+        (col("next_ep") - col("ep")).as("gap_after"))
+  }
+
+  /** As-of join (custom operator the built-in join surface lacks): for
+    * each `leftType` event, the latest `rightType` event of the same
+    * user with ts_r <= ts_l. Implemented as the scalable union+carry
+    * pattern — tag both sides, one window pass carries the most recent
+    * right-side row forward, then keep left rows — ONE shuffle on
+    * user_id, no range-join candidate explosion (a range join would
+    * produce O(|L|·|R|) per user before filtering; this is O(|L|+|R|)).
+    * Right side is pre-deduped to the max event_id per (user, second)
+    * so ties are deterministic. Inner flavor: lefts with no preceding
+    * right are dropped (keeps the result null-free).
+    */
+  def asofJoin(s: SparkSession, dir: String,
+               leftType: String, rightType: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"), col("event_type"), col("value"))
+    val lefts = ev.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id"), col("ep"))
+    val rights = ev.filter(col("event_type") === rightType)
+      .groupBy(col("user_id"), col("ep").as("r_ep"))
+      .agg(max_by(struct(col("event_id"), col("value")), col("event_id"))
+        .as("r"))
+      .select(col("user_id"), col("r_ep"),
+        col("r.event_id").as("r_event_id"), col("r.value").as("r_value"))
+    // union both sides; rights sort before lefts at the same second so
+    // an as-of match may share the left's timestamp
+    val tagged = lefts
+      .select(col("user_id"), col("ep"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("long").as("r_event_id"),
+        lit(null).cast("double").as("r_value"))
+      .unionByName(rights
+        .select(col("user_id"), col("r_ep").as("ep"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          col("r_event_id"), col("r_value")))
+    val w = Window.partitionBy("user_id").orderBy("ep", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .select(col("user_id"), col("event_id"), col("ep"),
+        last(col("r_event_id"), ignoreNulls = true).over(w).as("r_event_id"),
+        last(col("r_value"), ignoreNulls = true).over(w).as("r_value"),
+        col("side"))
+      .filter(col("side") === 1 && col("r_event_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ep"),
+        col("r_event_id"), round(col("r_value"), 4).as("r_value"))
+  }
 }

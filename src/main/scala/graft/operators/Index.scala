@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns._
@@ -59,6 +60,27 @@ object Index {
       concat_ws(",",
         transform(col("postings"),
           p => concat_ws(":", p("doc_id"), p("tf")))).as("postings"))
+
+  /** TF-IDF ranked retrieval: weight = tf · ln(N/df), top-k docs per
+    * term (rank window over the postings — the scoring layer the
+    * reference's boolean retrieval lacked). The doc count and df join
+    * back in-plan (broadcast 1-row / by-term), so nothing is collected.
+    */
+  def tfidfTopk(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val p = postings(s, dir)
+    val nDocs = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val df = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("term")
+      .orderBy(col("tfidf").desc, col("doc_id"))
+    p.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("doc_id"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("term", "doc_id", "tfidf")
+  }
 
   /** Point lookup of one term's postings (the reference's MapFile /
     * HBase `Get` path, `BooleanRetrievalCompressed.java:135-145`). On a

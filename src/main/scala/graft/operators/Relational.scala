@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -200,6 +201,59 @@ object Relational {
       .select(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .rollup(col("n_name"), col("ship_month"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cube aggregation (gap-list operator): all grouping-set combinations
+    * of (returnflag, linestatus) — partial aggregation still applies per
+    * grouping set, so the shuffle carries one row per set per map task.
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+
+  /** Top-k rows per group via a rank window (gap-list: the reference
+    * had no window functions at all): k most expensive orders per
+    * order-priority class. One shuffle on the partition key; the rank
+    * filter prunes before anything else moves.
+    */
+  def windowTopk(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Multiple DISTINCT aggregates in one pass (gap-list operator):
+    * Spark plans this with one Expand + two-phase aggregation — no
+    * per-distinct extra shuffle.
+    */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+
+  /** EXCEPT DISTINCT (gap-list set operation): customers who placed
+    * orders before the cutoff but none on/after it.
+    */
+  def exceptOp(s: SparkSession, dir: String, date: String): DataFrame = {
+    val cutoff = to_timestamp(lit(date))
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderdate") < cutoff).select("o_custkey")
+      .except(o.filter(col("o_orderdate") >= cutoff).select("o_custkey"))
+  }
+
+  /** INTERSECT DISTINCT: suppliers who shipped in both months. */
+  def intersectOp(s: SparkSession, dir: String,
+                  m1: String, m2: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(dateMatch(col("l_shipdate"), m1)).select("l_suppkey")
+      .intersect(li.filter(dateMatch(col("l_shipdate"), m2)).select("l_suppkey"))
   }
 
   /** Exact percentiles per group (ordered aggregate; linear

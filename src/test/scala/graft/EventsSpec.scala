@@ -43,6 +43,37 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin matches a brute-force as-of on the fixture") {
+    val got = Events.asofJoin(spark, sf, "purchase", "view").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val views = ev.filter(_._4 == "view").groupBy(_._1)
+    val expected = ev.filter(_._4 == "purchase").flatMap {
+      case (u, eid, ep, _, _) =>
+        views.getOrElse(u, Array.empty)
+          .filter(_._3 <= ep)
+          .sortBy(v => (v._3, v._2))   // latest second, then max event_id
+          .lastOption
+          .map(v => (u, eid) -> (ep, v._2, math.rint(v._5 * 1e4) / 1e4))
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("interArrival gaps are non-negative and neighbors-only") {
+    val rows = Events.interArrival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(4) >= 0)
+    }
+  }
+
   test("frame sampling strides through video frames only") {
     val frames = Multimodal.sampleFrames(Multimodal.decode(spark, sf), 100)
       .collect()
