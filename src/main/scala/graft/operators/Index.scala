@@ -67,7 +67,8 @@ object Index {
     * back in-plan (broadcast 1-row / by-term), so nothing is collected.
     */
   def tfidfTopk(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val p = postings(s, dir)
+    val p = postings(s, dir).persist()
+    p.count() // eager: df + the weight join both read it
     val nDocs = Tables.documents(s, dir)
       .agg(count(lit(1)).as("n_docs"))
     val df = p.groupBy("term").agg(count(lit(1)).as("df"))
