@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions.HashExpressions._
+import graft.expressions.VectorExpressions.CosineSim
+import graft.expressions.NoPushdown
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so the whole library surface is
+  * reachable from `spark.sql(...)` (and spark-sql / JDBC users), not
+  * just the Scala DataFrame API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  * ...
+  * spark.sql("SELECT simhash40(tokens), cosine_sim(a, b) FROM t")
+  * }}}
+  *
+  * Registration is additive and idempotent — no built-in behavior
+  * changes (SURVEY §7.3: no custom Rule/Strategy is needed; the
+  * extension point carries only the expression library).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+    args.head
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
+      args => SimHash64(one(args, "simhash64"))))
+    ext.injectFunction((FunctionIdentifier("simhash40"),
+      info("simhash40", "simhash40(array<string>) - 40-bit SQL-restatable SimHash"),
+      args => SimHash40(one(args, "simhash40"))))
+    ext.injectFunction((FunctionIdentifier("poly_hash_array"),
+      info("poly_hash_array",
+        "poly_hash_array(array<string>) - per-element base-31 hash mod 2^40"),
+      args => PolyHashArray(one(args, "poly_hash_array"))))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(array<string>, k) - k-permutation MinHash signature"),
+      args => {
+        require(args.length == 2, "minhash_signature expects (array, k)")
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature k must be an integer literal, got $other")
+        }
+        MinHashSignature(args.head, k)
+      }))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(array<float|double>, array<float|double>) - cosine similarity"),
+      args => {
+        require(args.length == 2, "cosine_sim expects 2 arguments")
+        CosineSim(args.head, args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("no_pushdown"),
+      info("no_pushdown",
+        "no_pushdown(expr) - identity; blocks predicate pushdown of the " +
+          "enclosing filter (see OptimizerBarrier)"),
+      args => NoPushdown(one(args, "no_pushdown"))))
+  }
+}

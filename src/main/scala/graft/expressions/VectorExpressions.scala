@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** Vector-similarity expressions over `array<float>` embedding columns.
+/** Vector-similarity expressions over `array<float|double>` embedding
+  * columns.
   *
   * The built-in encoding (`aggregate(zip_with(...))`) allocates two
   * intermediate arrays per comparison; this fused expression runs the
@@ -19,19 +20,25 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
-  /** Shared evaluator (also called from generated code). Null elements
-    * count as 0. Returns Double.NaN when either norm is zero, matching
-    * the undefined-cosine convention.
+  /** Shared evaluator (also called from generated code). `aFloat`/
+    * `bFloat` select the element accessor (float vs double arrays).
+    * Null elements count as 0. Returns Double.NaN when either norm is
+    * zero, matching the undefined-cosine convention.
     */
-  def cosineEval(a: ArrayData, b: ArrayData): Double = {
+  def cosineEval(a: ArrayData, aFloat: Boolean,
+                 b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
-      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
+      val x =
+        if (a.isNullAt(i)) 0.0
+        else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y =
+        if (b.isNullAt(i)) 0.0
+        else if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -44,11 +51,17 @@ object VectorExpressions {
 
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      cosineEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      cosineEval(a.asInstanceOf[ArrayData], isFloat(left),
+        b.asInstanceOf[ArrayData], isFloat(right))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (a, b) => s"$Evaluator.cosineEval($a, $b)")
+      defineCodeGen(ctx, ev,
+        (a, b) => s"$Evaluator.cosineEval($a, ${isFloat(left)}, $b, ${isFloat(right)})")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
   }
