@@ -135,9 +135,11 @@ object Graph {
     * among itself and its neighbors until a fixpoint. Convergence is
     * detected with one scalar agg per iteration (like PPR's dangling
     * mass); structure stays cached/partitioned, only the label table
-    * shuffles. Worst-case iterations = graph diameter — large-diameter
-    * graphs at 100 TB would switch to the alternating small/large-star
-    * algorithm, same join-shape machinery.
+    * shuffles. A pointer-jumping step after each propagation collapses
+    * label chains exponentially, so rounds are O(log diameter) rather
+    * than O(diameter) — the property that keeps the loop bounded on
+    * 100 TB path-shaped graphs (small/large-star would be the next
+    * step up, same join-shape machinery).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // symmetrize in ONE pass over the input (explode of both directions)
@@ -155,15 +157,24 @@ object Graph {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // step 1: adopt the minimum label in the closed neighborhood
       val nbrMin = und.join(labels, und("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old_comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp"),
-          (col("nbr_comp") < col("comp")).cast("int").as("changed"))
+            .as("comp"))
+        .localCheckpoint() // referenced twice below (main + pointer side)
+      // step 2: pointer jump — adopt your label's label. Label chains
+      // collapse exponentially, so rounds go from O(diameter) to
+      // O(log diameter) for two cheap label-table joins per round.
+      val ptr = prop.select(col("id").as("cid"), col("comp").as("ccomp"))
+      val jumped = least(col("comp"), coalesce(col("ccomp"), col("comp")))
+      val next = prop.join(ptr, prop("comp") === col("cid"), "left")
+        .select(prop("id"), jumped.as("comp"),
+          (jumped < col("old_comp")).cast("int").as("changed"))
         .localCheckpoint()
       val changes = next.agg(sum(col("changed"))).collect()(0)
       converged = Option(changes.get(0)).forall(_.asInstanceOf[Long] == 0L)
