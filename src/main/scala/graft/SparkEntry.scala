@@ -88,6 +88,8 @@ object SparkEntry {
     "event_gaps" -> ((s, d) => Events.interArrival(s, d)),
     "asof_join" -> ((s, d) => Events.asofJoin(s, d, "purchase", "view")),
     "tfidf_topk" -> ((s, d) => Index.tfidfTopk(s, d, 3)),
+    "pivot_agg" -> ((s, d) => Relational.pivotAgg(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingPairsLsh(s, d, 0.45)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -503,6 +505,36 @@ object SparkEntry {
                     ORDER BY p.tf * ln(n.n_docs / df.df) DESC, p.doc_id) AS rnk
            FROM p JOIN df USING (term) CROSS JOIN n)
          WHERE rnk <= 3""",
+    "pivot_agg" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4)
+                  AS qty_f,
+                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4)
+                  AS qty_o
+         FROM lineitem GROUP BY l_returnflag""",
+    // random-hyperplane LSH restated: same ±1 plane weights from the
+    // multiplicative hash, same left-to-right double accumulation
+    "dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sig AS (
+           SELECT vec_id, v,
+             list_transform(range(0, 16), p ->
+               CASE WHEN list_reduce(
+                 list_prepend(0.0, list_transform(range(0, len(v)), d ->
+                   v[d + 1] *
+                     (1 - 2 * ((((p * 128 + d) * 2654435761) // 8192) % 2)))),
+                 (acc, x) -> acc + x) >= 0.0 THEN 1 ELSE 0 END) AS bits
+           FROM e),
+         banded AS (
+           SELECT vec_id, v, b AS band,
+             list_reduce(list_prepend(0, bits[b*4+1 : b*4+4]),
+               (acc, x) -> acc * 2 + x) AS bv
+           FROM sig, (SELECT unnest(range(0, 4)) AS b))
+         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
     // epoch_ms // 1000 floors like Spark's unix_timestamp (epoch()::BIGINT
     // would round half-up and shift second boundaries)
     "sessionize" ->

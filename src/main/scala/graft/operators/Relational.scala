@@ -256,6 +256,20 @@ object Relational {
       .intersect(li.filter(dateMatch(col("l_shipdate"), m2)).select("l_suppkey"))
   }
 
+  /** Pivot aggregation (gap-list operator): one column per linestatus,
+    * row per returnflag. Spark plans pivot as a single two-phase
+    * aggregate with CASE projections — no extra shuffle vs a plain
+    * groupBy; explicit value list keeps the schema static (and at scale
+    * avoids the values-discovery pre-query).
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 4))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+
   /** Exact percentiles per group (ordered aggregate; linear
     * interpolation — matches DuckDB's quantile_cont). At 100 TB exact
     * percentiles of a huge group require a per-group sort; the scale

@@ -75,6 +75,49 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Random-hyperplane LSH near-dup pairs — the 100 TB path for
+    * embedding dedup: 16 sign-bits per vector (plane weights ±1 derived
+    * from a deterministic multiplicative hash of (plane, dim), so the
+    * whole pipeline — including the oracle — is reproducible arithmetic),
+    * banded 4×4 bits; candidates share a band value, then the exact
+    * fused-cosine check keeps pairs ≥ threshold. Only bucket-mates are
+    * ever compared: the all-pairs O(n²) of `embeddingPairs` becomes
+    * O(Σ bucket²) with bucket sizes driven by the data's cone structure.
+    */
+  def embeddingPairsLsh(s: SparkSession, dir: String, threshold: Double,
+                        planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val perBand = planes / bands
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    // sign(p,d) = 1-2·bit13(((p·128+d)·2654435761) mod 2^31): cheap,
+    // deterministic, SQL-restatable pseudo-random ±1 plane weights
+    val sig = emb.select(col("vec_id"), col("embedding"), expr(
+      s"""transform(sequence(0, ${planes - 1}), p ->
+            CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0.0D, (acc, d) ->
+              acc + CAST(element_at(embedding, d + 1) AS DOUBLE) *
+                (1 - 2 * ((((p * 128 + d) * 2654435761) div 8192) % 2)))
+              >= 0.0D THEN 1 ELSE 0 END)""").as("bits"))
+    val banded = sig.select(col("vec_id"), col("embedding"), expr(
+      s"""explode(transform(sequence(0, ${bands - 1}), b ->
+            struct(b AS band,
+              aggregate(slice(bits, b * $perBand + 1, $perBand), 0,
+                (acc, x) -> acc * 2 + x) AS bv)))""").as("t"))
+      .select(col("vec_id"), col("embedding"), col("t.band"), col("t.bv"))
+      .persist()
+    banded.count() // eager: both sides of the self-join read it
+    val l = banded.select(col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("band"), col("bv"))
+    val r = banded.select(col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("band"), col("bv"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("va"), col("vb")).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF-style approximate top-k: coarse centroids = the first
     * `numCentroids` corpus vectors (deterministic stand-in for k-means —
     * the assignment/probe machinery is identical); every vector is

@@ -53,4 +53,14 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall=$recall too low")
   }
+
+  test("LSH near-dup pairs are a subset of the exact all-pairs result") {
+    val exact = Similarity.embeddingPairs(spark, sf, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingPairsLsh(spark, sf, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH found pairs the exact scan did not: ${lsh -- exact}")
+    assert(lsh.nonEmpty, "bucket join should surface at least one pair")
+  }
 }

@@ -44,4 +44,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got(0) == Session(1L, 1L, 2L, 1000L, 1600L, 3.0))
   }
+
+  test("dedupStream drops in-watermark duplicates") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "doc_key")
+    val q = StreamOps.dedupStream(df, "doc_key", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    in.addData((ts(0), "a"), (ts(0), "a"), (ts(0), "b"), (ts(1), "c"))
+    q.processAllAvailable()
+    in.addData((ts(0), "a"), (ts(2), "d"))   // (ts0, a) is a duplicate
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").select("doc_key")
+      .collect().map(_.getString(0)).sorted.toSeq
+    q.stop()
+    assert(got == Seq("a", "b", "c", "d"))
+  }
 }
