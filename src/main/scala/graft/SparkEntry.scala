@@ -89,6 +89,7 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Events.asofJoin(s, d, "purchase", "view")),
     "tfidf_topk" -> ((s, d) => Index.tfidfTopk(s, d, 3)),
     "pivot_agg" -> ((s, d) => Relational.pivotAgg(s, d)),
+    "sample_hash" -> ((s, d) => Relational.sampleHash(s, d, 10)),
     "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingPairsLsh(s, d, 0.45)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
@@ -512,6 +513,9 @@ object SparkEntry {
                 round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4)
                   AS qty_o
          FROM lineitem GROUP BY l_returnflag""",
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE (o_orderkey * 2654435761) % 100 < 10""",
     // random-hyperplane LSH restated: same ±1 plane weights from the
     // multiplicative hash, same left-to-right double accumulation
     "dedup_embedding_lsh" ->

@@ -270,6 +270,16 @@ object Relational {
       .withColumnRenamed("F", "qty_f")
       .withColumnRenamed("O", "qty_o")
 
+  /** Deterministic hash-based sampling (the scalable sampling idiom: no
+    * RNG state, reproducible across engines and retries, pushes to the
+    * scan as a plain predicate). Keeps rows whose key hashes into
+    * `[0, pct)` of 100 buckets.
+    */
+  def sampleHash(s: SparkSession, dir: String, pct: Int): DataFrame =
+    Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey") * lit(2654435761L), lit(100)) < pct)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
   /** Exact percentiles per group (ordered aggregate; linear
     * interpolation — matches DuckDB's quantile_cont). At 100 TB exact
     * percentiles of a huge group require a per-group sort; the scale
