@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Structural properties of the round-2 gap-list operators (values are
+  * oracle-checked by the driver; these pin the invariants).
+  */
+class RelationalExtrasSpec extends SparkSpec {
+
+  test("cube covers rollup: every rollup group appears in the cube") {
+    val cube = Relational.cubeAgg(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+    // (flag, status), (flag, null), (null, null) must all be present;
+    // cube adds (null, status)
+    assert(cube.exists { case (f, s) => f.isDefined && s.isDefined })
+    assert(cube.exists { case (f, s) => f.isDefined && s.isEmpty })
+    assert(cube.exists { case (f, s) => f.isEmpty && s.isDefined })
+    assert(cube.contains((None, None)))
+  }
+
+  test("pivot totals equal the plain groupBy totals") {
+    val pivoted = Relational.pivotAgg(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)).fold(0.0)(_.asInstanceOf[Double]) +
+          Option(r.get(2)).fold(0.0)(_.asInstanceOf[Double]))).toMap
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(round(sum("l_quantity"), 4).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    plain.foreach { case (k, v) =>
+      assert(math.abs(pivoted(k) - v) < 1e-6, s"flag $k: ${pivoted(k)} vs $v")
+    }
+  }
+
+  test("window_topk returns at most k rows per group, sorted") {
+    val rows = Relational.windowTopk(spark, sf, 3).collect()
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      assert(g.length <= 3)
+      val prices = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("except and intersect respect set semantics") {
+    val ex = Relational.exceptOp(spark, sf, "1998-06-01").collect()
+      .map(_.getLong(0)).toSet
+    val after = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-06-01")))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert((ex & after).isEmpty)
+    val inter = Relational.intersectOp(spark, sf, "1996-03", "1996-04")
+      .collect().map(_.getLong(0))
+    assert(inter.length == inter.distinct.length)
+  }
+
+  test("hash sampling is deterministic and within a loose band") {
+    val a = Relational.sampleHash(spark, sf, 10).collect().map(_.getLong(0))
+    val b = Relational.sampleHash(spark, sf, 10).collect().map(_.getLong(0))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+    val total = Tables.orders(spark, sf).count()
+    val frac = a.length.toDouble / total
+    assert(frac > 0.02 && frac < 0.3, s"fraction $frac out of band")
+  }
+}
