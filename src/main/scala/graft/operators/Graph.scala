@@ -141,14 +141,18 @@ object Graph {
     * 100 TB path-shaped graphs (small/large-star would be the next
     * step up, same join-shape machinery).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          symmetric: Boolean = false): DataFrame = {
     // symmetrize in ONE pass over the input (explode of both directions)
     // instead of a self-union, which would evaluate the caller's edge
-    // expression twice
-    val und = edges.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
+    // expression twice; callers with an already-undirected edge list
+    // (e.g. customerSupplierEdges) skip the doubling entirely
+    val dir0 = if (symmetric) edges.select(col("src"), col("dst"))
+      else edges.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+    val und = dir0
       .distinct()
       .repartition(col("src"))
       .persist()
