@@ -91,6 +91,8 @@ object SparkEntry {
     "tfidf_topk" -> ((s, d) => Index.tfidfTopk(s, d, 3)),
     "pivot_agg" -> ((s, d) => Relational.pivotAgg(s, d)),
     "sample_hash" -> ((s, d) => Relational.sampleHash(s, d, 10)),
+    "topk_agg" -> ((s, d) => Relational.topkAgg(s, d, 3)),
+    "decimal_agg" -> ((s, d) => Relational.decimalAgg(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingPairsLsh(s, d, 0.45)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
@@ -517,6 +519,19 @@ object SparkEntry {
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE (o_orderkey * 2654435761) % 100 < 10""",
+    // custom-aggregator top-k returns the same rows as the rank window
+    "topk_agg" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) WHERE rnk <= 3""",
+    "decimal_agg" ->
+      """SELECT l_returnflag,
+                sum(l_extendedprice::DECIMAL(18,2)) AS sum_price,
+                sum(l_discount::DECIMAL(18,4)) AS sum_disc,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
     // random-hyperplane LSH restated: same ±1 plane weights from the
     // multiplicative hash, same left-to-right double accumulation
     "dedup_embedding_lsh" ->

@@ -270,6 +270,36 @@ object Relational {
       .withColumnRenamed("F", "qty_f")
       .withColumnRenamed("O", "qty_o")
 
+  /** Top-k per group via the custom `TopKAgg` typed aggregator (UDAF
+    * framework coverage): bounded partial aggregation — at most k rows
+    * per group leave each map task — then one explode back to rows.
+    * Same rows as `windowTopk` by construction (shared tiebreak).
+    */
+  def topkAgg(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val agg = udaf(new graft.functions.Aggregators.TopKAgg(k))
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(agg(col("o_orderkey"), col("o_totalprice")).as("top"))
+      .select(col("o_orderpriority"), explode(col("top")).as("t"))
+      .select(col("o_orderpriority"),
+        col("t._2").as("o_orderkey"), col("t._1").as("o_totalprice"))
+  }
+
+  /** Exact decimal aggregation (type-coverage: the reference had no
+    * decimals at all): fixed-point sums are exact and
+    * order-insensitive, so engine and oracle agree bit-for-bit with no
+    * rounding convention needed.
+    */
+  def decimalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"),
+        col("l_discount").cast("decimal(18,4)").as("d"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("p")).as("sum_price"),
+        sum(col("d")).as("sum_disc"),
+        count(lit(1)).as("cnt"))
+
   /** Deterministic hash-based sampling (the scalable sampling idiom: no
     * RNG state, reproducible across engines and retries, pushes to the
     * scan as a plain predicate). Keeps rows whose key hashes into
