@@ -2,12 +2,15 @@ package graft.tools
 
 import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Index}
+import graft.SparkEntry
 
+/** Dev-only single-query timing probe with slow-stage reporting:
+  * `sbt "runMain graft.tools.TokProbe <query> [query...]"`.
+  */
 object TokProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("ppr_top10")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -15,28 +18,18 @@ object TokProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        val dur = for {s <- si.submissionTime; c <- si.completionTime} yield (c - s) / 1000.0
+        val dur = for {s <- si.submissionTime; c <- si.completionTime}
+          yield (c - s) / 1000.0
         if (dur.exists(_ > 1.0))
-          println(f"[slowstage] id=${si.stageId} tasks=${si.numTasks} dur=${dur.get}%6.2f")
+          println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%3d dur=${dur.get}%5.2f")
       }
     })
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
     spark.read.parquet(s"$dir/lineitem.parquet").count()
-    t("bool_postfix_fetch") {
-      Index.booleanQueryFetch(spark, dir, "hash join AND scan OR").count()
-    }
-    spark.catalog.clearCache()
-    t("bool_postfix_fetch 2") {
-      Index.booleanQueryFetch(spark, dir, "hash join AND scan OR").count()
-    }
-    spark.catalog.clearCache()
-    t("ppr_top10") { Graph.pprTopK(spark, dir, Seq(1L, 2L), 8, 10).count() }
-    spark.catalog.clearCache()
-    t("components") {
-      Graph.connectedComponents(Graph.customerSupplierEdges(spark, dir)).count()
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, dir).count()
+      println(f"[probe] $n%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$rows")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
