@@ -88,6 +88,7 @@ object SparkEntry {
     "intersect_op" -> ((s, d) => Relational.intersectOp(s, d, "1996-03", "1996-04")),
     "event_gaps" -> ((s, d) => Events.interArrival(s, d)),
     "asof_join" -> ((s, d) => Events.asofJoin(s, d, "purchase", "view")),
+    "range_join" -> ((s, d) => Events.rangeJoin(s, d, "click", "purchase")),
     "tfidf_topk" -> ((s, d) => Index.tfidfTopk(s, d, 3)),
     "pivot_agg" -> ((s, d) => Relational.pivotAgg(s, d)),
     "sample_hash" -> ((s, d) => Relational.sampleHash(s, d, 10)),
@@ -496,6 +497,31 @@ object SparkEntry {
                 r.r_event_id, round(r.r_value, 4) AS r_value
          FROM l ASOF JOIN r
            ON l.user_id = r.user_id AND r.r_ep <= l.ep""",
+    // oracle uses the plain BETWEEN theta join; the engine buckets first
+    "range_join" ->
+      """WITH ce AS (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WHERE event_type = 'click'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         cs AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ep, event_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq FROM ce),
+         sess AS (
+           SELECT user_id, session_seq, min(ep) AS start_epoch,
+                  max(ep) + 1800 AS end_epoch
+           FROM cs GROUP BY user_id, session_seq),
+         p AS (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep
+           FROM events WHERE event_type = 'purchase')
+         SELECT s.user_id, s.session_seq, count(*) AS n_probe
+         FROM sess s JOIN p
+           ON p.user_id = s.user_id
+          AND p.ep BETWEEN s.start_epoch AND s.end_epoch
+         GROUP BY s.user_id, s.session_seq""",
     "tfidf_topk" -> s"""$TokCte,
          p AS (SELECT term, doc_id, count(*) AS tf
                FROM (SELECT doc_id, unnest(ts) AS term FROM toks)

@@ -83,6 +83,48 @@ object Events {
         (col("next_ep") - col("ep")).as("gap_after"))
   }
 
+  /** Range (interval) join via bucketing — the scale pattern for theta
+    * joins on time ranges: sessions built over `intervalType` events
+    * become [start, end] intervals; `probeType` events join into the
+    * interval containing them. Instead of the nested-loop a raw
+    * `BETWEEN` theta join would plan, each interval explodes into the
+    * coarse hour-buckets it covers and probes join on the EQUALITY key
+    * (user, bucket) first — candidates are bucket-mates only, the exact
+    * range predicate filters after. Gap-based sessions are disjoint per
+    * user, so every probe lands in at most one interval (deterministic).
+    */
+  def rangeJoin(s: SparkSession, dir: String,
+                intervalType: String, probeType: String,
+                gapMinutes: Int = 30, bucketSecs: Long = 3600L): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    val prev = lag(col("ep"), 1).over(w)
+    val sess = ev.filter(col("event_type") === intervalType)
+      .withColumn("new_s",
+        when(prev.isNull || (col("ep") - prev > gapMinutes * 60L), 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ep")).as("start_epoch"),
+        // a session stays "active" until its gap would have expired
+        (max(col("ep")) + gapMinutes * 60L).as("end_epoch"))
+    val ivals = sess.select(col("user_id"), col("session_seq"),
+      col("start_epoch"), col("end_epoch"),
+      explode(sequence((col("start_epoch") / bucketSecs).cast("long"),
+        (col("end_epoch") / bucketSecs).cast("long"))).as("bucket"))
+    val probes = ev.filter(col("event_type") === probeType)
+      .select(col("user_id"), col("event_id"), col("ep"),
+        (col("ep") / bucketSecs).cast("long").as("bucket"))
+    probes.join(ivals, Seq("user_id", "bucket"))
+      .filter(col("ep").between(col("start_epoch"), col("end_epoch")))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_probe"))
+  }
+
   /** As-of join (custom operator the built-in join surface lacks): for
     * each `leftType` event, the latest `rightType` event of the same
     * user with ts_r <= ts_l. Implemented as the scalable union+carry
