@@ -94,6 +94,7 @@ object SparkEntry {
     "sample_hash" -> ((s, d) => Relational.sampleHash(s, d, 10)),
     "topk_agg" -> ((s, d) => Relational.topkAgg(s, d, 3)),
     "decimal_agg" -> ((s, d) => Relational.decimalAgg(s, d)),
+    "stats_agg" -> ((s, d) => Relational.statsAgg(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingPairsLsh(s, d, 0.45)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
@@ -552,6 +553,13 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY o_orderpriority
                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
            FROM orders) WHERE rnk <= 3""",
+    "stats_agg" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                round(var_samp(l_quantity), 4) AS var_qty,
+                round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+                round(covar_samp(l_extendedprice, l_discount), 4) AS cov_pd
+         FROM lineitem GROUP BY l_returnflag""",
     "decimal_agg" ->
       """SELECT l_returnflag,
                 sum(l_extendedprice::DECIMAL(18,2)) AS sum_price,

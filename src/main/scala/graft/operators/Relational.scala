@@ -300,6 +300,21 @@ object Relational {
         sum(col("d")).as("sum_disc"),
         count(lit(1)).as("cnt"))
 
+  /** Statistical aggregates (variance/stddev/correlation/covariance) —
+    * all single-pass mergeable sketches in Spark, so they scale like
+    * plain sums; rounded on both sides since merge order perturbs the
+    * low bits.
+    */
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_discount")), 4)
+          .as("cov_pd"))
+
   /** Deterministic hash-based sampling (the scalable sampling idiom: no
     * RNG state, reproducible across engines and retries, pushes to the
     * scan as a plain predicate). Keeps rows whose key hashes into
