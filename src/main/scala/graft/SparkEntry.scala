@@ -138,7 +138,7 @@ object SparkEntry {
          SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
              ELSE 'video' END AS kind,
-           length(text) AS n_bytes,
+           octet_length(text::BLOB) AS n_bytes,
            list_reduce(
              list_prepend(7::BIGINT,
                list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
@@ -170,7 +170,7 @@ object SparkEntry {
     }
     val tops = sources.zipWithIndex.map { case (s, i) =>
       s"(SELECT $s AS source, id, round(r$i, 9) AS rank FROM t$iters" +
-        s" ORDER BY r$i DESC, id LIMIT $k)" }.mkString(" UNION ALL ")
+        s" ORDER BY round(r$i, 9) DESC, id LIMIT $k)" }.mkString(" UNION ALL ")
     s"WITH $GraphCte,\n" +
       "outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),\n" +
       s"t0 AS (SELECT id, $t0cols FROM nodes),\n" +
@@ -501,7 +501,7 @@ object SparkEntry {
     // oracle uses the plain BETWEEN theta join; the engine buckets first
     "range_join" ->
       """WITH ce AS (
-           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep,
+           SELECT user_id, event_id, ts, epoch_ms(ts) // 1000 AS ep,
                   CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
                          OR epoch_ms(ts) // 1000
                             - lag(epoch_ms(ts) // 1000) OVER w > 1800
@@ -545,7 +545,7 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         WHERE (o_orderkey * 2654435761) % 100 < 10""",
+         WHERE ((o_orderkey % 2147483648) * 8388593) % 100 < 10""",
     // custom-aggregator top-k returns the same rows as the rank window
     "topk_agg" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (

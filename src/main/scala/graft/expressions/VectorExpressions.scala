@@ -55,6 +55,19 @@ object VectorExpressions {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(e: Expression) = e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left) && ok(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim expects array<float|double> arguments, got " +
+            s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
       cosineEval(a.asInstanceOf[ArrayData], isFloat(left),

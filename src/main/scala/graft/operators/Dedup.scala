@@ -13,7 +13,7 @@ import graft.functions.TextFns._
   * Scale posture: nothing here is O(n²) over documents. Candidate pairs
   * always come from an equality join on a *key* — the full text hash
   * (exact), a shared shingle (Jaccard), an LSH band bucket (MinHash) or
-  * a 16-bit signature bank (SimHash) — so Spark shuffles on that key
+  * a 10-bit signature bank (SimHash) — so Spark shuffles on that key
   * and only bucket-mates are ever compared. Expensive exact
   * verification runs on candidates only.
   */
@@ -136,8 +136,14 @@ object Dedup {
   def simhashPairs(s: SparkSession, dir: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4 banks guarantee recall only to distance 3")
+    // token-less documents are dropped (their all-zero signatures would
+    // pair every such doc with every other at distance 0, and the SQL
+    // oracle's unnest never sees them); barrier keeps the filter from
+    // being pushed below the projection with tokenize re-inlined
     val sig = Tables.documents(s, dir)
-      .select(col("doc_id"), simhash40(tokenize(col("text"))).as("sig"))
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .filter(graft.expressions.OptimizerBarrier.noPushdown(size(col("ts")) > 0))
+      .select(col("doc_id"), simhash40(col("ts")).as("sig"))
       .persist()
     sig.count() // eager: see jaccardPairs
     val banked = sig.select(col("doc_id"), col("sig"),

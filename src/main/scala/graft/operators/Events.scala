@@ -97,9 +97,12 @@ object Events {
                 intervalType: String, probeType: String,
                 gapMinutes: Int = 30, bucketSecs: Long = 3600L): DataFrame = {
     val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"),
+      .select(col("user_id"), col("event_id"), col("ts"),
         unix_timestamp(col("ts")).as("ep"), col("event_type"))
-    val w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    // order by the RAW timestamp (sub-second resolution), exactly like
+    // sessionize and the oracle — ordering by the floored epoch could
+    // place a gap-boundary flag on a different same-second row
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val prev = lag(col("ep"), 1).over(w)
     val sess = ev.filter(col("event_type") === intervalType)
       .withColumn("new_s",
@@ -119,6 +122,7 @@ object Events {
     val probes = ev.filter(col("event_type") === probeType)
       .select(col("user_id"), col("event_id"), col("ep"),
         (col("ep") / bucketSecs).cast("long").as("bucket"))
+
     probes.join(ivals, Seq("user_id", "bucket"))
       .filter(col("ep").between(col("start_epoch"), col("end_epoch")))
       .groupBy("user_id", "session_seq")

@@ -213,7 +213,13 @@ object Graph {
               iterations: Int, k: Int): DataFrame = {
     val ranks = personalizedPageRank(
       customerSupplierEdges(s, dir), sources, iterations)
-    topK(ranks, sources, k)
-      .select(col("source"), col("id"), round(col("rank"), 9).as("rank"))
+    // round BEFORE the top-k cut: mathematically tied ranks can differ
+    // in the last ulps between engines (different add order); ranking
+    // on the shared 9-dp rounding + id tiebreak keeps the selected SET
+    // deterministic, not just the values
+    val rounded = ranks.select(
+      col("id") +: sources.indices.map(i =>
+        round(col(rankCol(i)), 9).as(rankCol(i))): _*)
+    topK(rounded, sources, k)
   }
 }

@@ -50,12 +50,19 @@ object Multimodal {
     * metadata from blob bytes so tests are stable.
     */
   private def fakeDecode(kind: String, blob: Array[Byte]): (Int, Int, Int) = {
-    // base-31 fold over unsigned bytes mod 2^40: overflow-free on BIGINT
-    // arithmetic, so the driver's SQL oracle can restate it exactly
+    // base-31 fold over the decoded text's CODE POINTS mod 2^40:
+    // overflow-free on BIGINT arithmetic and restatable in SQL via
+    // ord() for any unicode input (a byte fold would silently diverge
+    // from the oracle on non-ASCII text)
     val mask = (1L << 40) - 1
     var h = 7L
+    val str = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
-    while (i < blob.length) { h = (31 * h + (blob(i) & 0xff)) & mask; i += 1 }
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (31 * h + cp) & mask
+      i += Character.charCount(cp)
+    }
     def pick(lo: Int, hi: Int, salt: Int): Int =
       lo + ((h >>> salt) % (hi - lo)).toInt
     kind match {

@@ -321,8 +321,11 @@ object Relational {
     * `[0, pct)` of 100 buckets.
     */
   def sampleHash(s: SparkSession, dir: String, pct: Int): DataFrame =
+    // key folded mod 2^31 before the multiply so the product stays
+    // under 2^54 — overflow-free on any engine at any key scale
     Tables.orders(s, dir)
-      .filter(pmod(col("o_orderkey") * lit(2654435761L), lit(100)) < pct)
+      .filter(pmod(pmod(col("o_orderkey"), lit(2147483648L)) * lit(8388593L),
+        lit(100)) < pct)
       .select("o_orderkey", "o_custkey", "o_totalprice")
 
   /** Exact percentiles per group (ordered aggregate; linear

@@ -90,13 +90,15 @@ object StreamOps {
   /** Streaming exact dedup on a key column with a watermark — the
     * streaming form of the dedup tier's exact path (an LLM-ingest
     * pipeline dedups as documents ARRIVE, not in a later batch).
-    * `dropDuplicates` keys state on the dedup column; the watermark
-    * lets Spark evict state older than the delay, which is what keeps
-    * per-key state bounded on an unbounded stream.
+    * `dropDuplicatesWithinWatermark` keys state on the dedup column
+    * ALONE (a repeat key at a different timestamp is still a
+    * duplicate); the watermark lets Spark evict key state older than
+    * the delay, which is what keeps state bounded on an unbounded
+    * stream.
     */
   def dedupStream(events: DataFrame, keyCol: String,
                   watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keyCol, "ts")
+      .dropDuplicatesWithinWatermark(keyCol)
 }

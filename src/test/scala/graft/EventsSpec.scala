@@ -60,7 +60,9 @@ class EventsSpec extends SparkSpec {
           .filter(_._3 <= ep)
           .sortBy(v => (v._3, v._2))   // latest second, then max event_id
           .lastOption
-          .map(v => (u, eid) -> (ep, v._2, math.rint(v._5 * 1e4) / 1e4))
+          .map(v => (u, eid) -> (ep, v._2,
+            BigDecimal(v._5).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
     }.toMap
     assert(got == expected)
     assert(got.nonEmpty)

@@ -55,7 +55,8 @@ class StreamingSpec extends SparkSpec {
     def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
     in.addData((ts(0), "a"), (ts(0), "a"), (ts(0), "b"), (ts(1), "c"))
     q.processAllAvailable()
-    in.addData((ts(0), "a"), (ts(2), "d"))   // (ts0, a) is a duplicate
+    // same key at a LATER ts inside the watermark is still a duplicate
+    in.addData((ts(2), "a"), (ts(2), "d"))
     q.processAllAvailable()
     val got = spark.table("dedup_out").select("doc_key")
       .collect().map(_.getString(0)).sorted.toSeq
