@@ -101,4 +101,29 @@ object StreamOps {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Stream-stream inner join within a time window (the attribution
+    * shape: each right-side event joins left-side events of the same
+    * user from the preceding `windowSecs`). Both sides carry
+    * watermarks and the join condition bounds the time skew, so
+    * Spark can evict buffered state for either side once the
+    * watermark passes — without the interval bound the state would
+    * grow forever. Batch twin: `Events.rangeJoin`.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       windowSecs: Long,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("l_event_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("r_event_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+      l("user_id") === r("user_id") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $windowSecs SECONDS") &&
+        col("l_ts") <= col("r_ts"))
+      .select(l("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"))
+  }
 }

@@ -45,6 +45,26 @@ class StreamingSpec extends SparkSpec {
     assert(got(0) == Session(1L, 1L, 2L, 1000L, 1600L, 3.0))
   }
 
+  test("streamStreamJoin matches lefts in the preceding window only") {
+    implicit val ctx = spark.sqlContext
+    val lin = MemoryStream[(Timestamp, Long, Long)]
+    val rin = MemoryStream[(Timestamp, Long, Long)]
+    val l = lin.toDF().toDF("ts", "user_id", "event_id")
+    val r = rin.toDF().toDF("ts", "user_id", "event_id")
+    val q = StreamOps.streamStreamJoin(l, r, windowSecs = 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    lin.addData((ts(0), 1L, 100L), (ts(30), 1L, 101L), (ts(0), 2L, 102L))
+    rin.addData((ts(5), 1L, 200L))   // joins 100 (5 min before), not 101
+    q.processAllAvailable()
+    val got = spark.table("ssj_out")
+      .select("l_event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((100L, 200L)))
+  }
+
   test("dedupStream drops in-watermark duplicates") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
