@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dev tool: scan every contract query's physical plan for operators
+  * that are usually accidents at scale (cartesian products, nested-loop
+  * joins, single-partition exchanges) and print which queries have them.
+  *
+  * Audit result (round 2, sf0.001): every hit is intentional —
+  * BroadcastNestedLoopJoin appears only for 1-row broadcast scalars
+  * (PMI marginals, PPR dangling mass, tf-idf doc count) and the two
+  * documented brute-force baselines (knn_brute, dedup_embedding) whose
+  * scale paths are knn_ivf / dedup_embedding_lsh; SinglePartition
+  * appears only under global scalar aggregates.
+  */
+object PlanScan {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val suspects = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+      "SinglePartition")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val hits = suspects.filter(plan.contains)
+        if (hits.nonEmpty) println(s"[planscan] $name: ${hits.mkString(", ")}")
+      } catch { case e: Throwable =>
+        println(s"[planscan] $name: ERROR ${e.getClass.getSimpleName}")
+      }
+      spark.catalog.clearCache()
+    }
+    println("[planscan] done")
+    spark.stop()
+  }
+}
