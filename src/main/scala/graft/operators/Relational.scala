@@ -286,9 +286,11 @@ object Relational {
   }
 
   /** Exact decimal aggregation (type-coverage: the reference had no
-    * decimals at all): fixed-point sums are exact and
-    * order-insensitive, so engine and oracle agree bit-for-bit with no
-    * rounding convention needed.
+    * decimals at all): fixed-point sums are exact and order-insensitive.
+    * The final sums are surfaced as doubles — parquet decimal columns
+    * deserialize as arbitrary-precision objects while DuckDB decimals
+    * come back as float64, so a decimal-typed output hash-mismatches on
+    * dtype alone even when every value agrees digit-for-digit.
     */
   def decimalAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -296,8 +298,8 @@ object Relational {
         col("l_extendedprice").cast("decimal(18,2)").as("p"),
         col("l_discount").cast("decimal(18,4)").as("d"))
       .groupBy("l_returnflag")
-      .agg(sum(col("p")).as("sum_price"),
-        sum(col("d")).as("sum_disc"),
+      .agg(round(sum(col("p")).cast("double"), 2).as("sum_price"),
+        round(sum(col("d")).cast("double"), 4).as("sum_disc"),
         count(lit(1)).as("cnt"))
 
   /** Statistical aggregates (variance/stddev/correlation/covariance) —
