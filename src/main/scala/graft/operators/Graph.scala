@@ -26,6 +26,39 @@ object Graph {
 
   private def rankCol(i: Int) = s"rank_$i"
 
+  /** Partition count for the iterative loops, derived from measured
+    * table size rather than session config. Two regimes: spread across
+    * the cluster only while each task keeps >=50k rows (per-stage task
+    * overhead is paid every iteration, so near-empty tasks compound),
+    * then grow with the data at ~2M rows per partition so each task
+    * stays tens-of-MB regardless of scale. A 5B-edge graph gets ~2.5k
+    * partitions with no config change; the sf0.1 fixture graph gets
+    * ~20 instead of `spark.sql.shuffle.partitions` near-empty ones.
+    */
+  private def loopParallelism(s: SparkSession, rows: Long): Int = {
+    val byOverhead = math.min(s.sparkContext.defaultParallelism.toLong,
+      rows / 50000L)
+    val byMemory = rows / 2000000L
+    math.max(1L, math.max(byOverhead, byMemory)).toInt
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `p` and
+    * AQE off — iterative loops materialize per iteration
+    * (localCheckpoint / convergence scalar), so the conf at action time
+    * is what counts. With the loop's partitioning already derived from
+    * the measured graph size, AQE has nothing left to adapt and its
+    * per-exchange re-planning just adds serial driver latency to every
+    * iteration. Both settings are restored afterwards so one query's
+    * loop tuning never leaks into the next query on the shared session.
+    */
+  private def withLoopConf[A](s: SparkSession, p: Int)(body: => A): A = {
+    val keys = Seq("spark.sql.shuffle.partitions" -> p.toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> s.conf.get(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   /** Parse the reference's adjacency-list text format (one line per node:
     * `nodeid[<ws>neighbor]*`, `BuildPersonalizedPageRankRecords.java:74-92`)
     * into an edges DataFrame(src, dst).
@@ -59,10 +92,12 @@ object Graph {
     // structure table all derive from it, and the caller's edge
     // expression may be an arbitrarily expensive join
     val e = edges.select(col("src"), col("dst")).persist()
+    val s = e.sparkSession
+    val p = loopParallelism(s, e.count())
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .repartition(col("id"))
+      .repartition(p, col("id"))
       .persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // structure side: edges with the sender's out-degree attached once,
@@ -70,7 +105,7 @@ object Graph {
     // join reuses this partitioning and only the (small) ranks side
     // shuffles — the cluster-scale equivalent is bucketing the edge
     // table by src so iterations never move the graph again.
-    val struct = e.join(outdeg, "src").repartition(col("src")).persist()
+    val struct = e.join(outdeg, "src").repartition(p, col("src")).persist()
     struct.count() // materialize structure before the loop
     vertices.count()
     e.unpersist()
@@ -80,7 +115,7 @@ object Graph {
         when(col("id") === src, 1.0).otherwise(0.0).as(rankCol(i))
       }: _*)
 
-    for (_ <- 1 to iterations) {
+    withLoopConf(s, p) { for (_ <- 1 to iterations) {
       val contribs = struct.join(ranks, struct("src") === ranks("id"))
         .select(
           col("dst").as("id") +:
@@ -114,7 +149,7 @@ object Graph {
         }: _*)
       // no second checkpoint: lineage above is one cheap join off the
       // checkpointed `gathered`
-    }
+    } }
     ranks
   }
 
@@ -154,15 +189,19 @@ object Graph {
         .select(col("e.src"), col("e.dst"))
     val und = dir0
       .distinct()
-      .repartition(col("src"))
       .persist()
-    val vertices = und.select(col("src").as("id")).distinct().persist()
+    val s = und.sparkSession
+    val p = loopParallelism(s, und.count())
+    val undP = und.repartition(p, col("src")).persist()
+    undP.count()
+    und.unpersist()
+    val vertices = undP.select(col("src").as("id")).distinct().persist()
     var labels = vertices.select(col("id"), col("id").as("comp"))
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    withLoopConf(s, p) { while (!converged && i < maxIter) {
       // step 1: adopt the minimum label in the closed neighborhood
-      val nbrMin = und.join(labels, und("src") === labels("id"))
+      val nbrMin = undP.join(labels, undP("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("comp")).as("nbr_comp"))
       val prop = labels
@@ -184,7 +223,7 @@ object Graph {
       converged = Option(changes.get(0)).forall(_.asInstanceOf[Long] == 0L)
       labels = next.select("id", "comp")
       i += 1
-    }
+    } }
     labels
   }
 

@@ -13,6 +13,15 @@ object PprProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = scala.collection.concurrent.TrieMap[Int, Long]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts(j.jobId) = j.time
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach { s =>
+          println(f"[job] id=${j.jobId}%3d ${(j.time - s) / 1000.0}%6.2f s")
+        }
+    })
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
