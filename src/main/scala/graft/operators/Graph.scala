@@ -115,27 +115,37 @@ object Graph {
         when(col("id") === src, 1.0).otherwise(0.0).as(rankCol(i))
       }: _*)
 
+    import s.implicits._
     withLoopConf(s, p) { for (_ <- 1 to iterations) {
       val contribs = struct.join(ranks, struct("src") === ranks("id"))
         .select(
           col("dst").as("id") +:
             (0 until n).map(i => (col(rankCol(i)) / col("outdeg")).as(rankCol(i))): _*)
-      // checkpoint the gathered result ONCE per iteration: both the
-      // dangling-mass scalar and the next ranks derive from it, so the
-      // scatter+gather job runs once, not twice, and lineage stays flat
+      // checkpoint the gathered result ONCE per iteration; the dangling-
+      // mass scalars ride along as observed metrics on the SAME job (the
+      // reference's per-reducer side files, S9, without their extra job:
+      // one cluster round-trip per iteration total)
+      val obs = org.apache.spark.sql.Observation()
       val gathered = contribs.groupBy("id")
         .agg(sum(rankCol(0)).as(rankCol(0)),
           (1 until n).map(i => sum(rankCol(i)).as(rankCol(i))): _*)
+        .observe(obs, sum(rankCol(0)).as("m_0"),
+          (1 until n).map(i => sum(rankCol(i)).as(s"m_$i")): _*)
         .localCheckpoint()
-      // dangling mass: whatever didn't arrive anywhere (the reference's
-      // per-reducer side files, S9). Kept IN-PLAN as a broadcast 1-row
-      // aggregate rather than collect()ed: no extra action per
-      // iteration, and — because no per-iteration literal is baked into
-      // the plan — every iteration has the same plan shape, so codegen
-      // caches hit instead of compiling a fresh class each round.
-      val missingRow = broadcast(gathered.agg(
-        (lit(1.0) - sum(rankCol(0))).as("miss_0"),
-        (1 until n).map(i => (lit(1.0) - sum(rankCol(i))).as(s"miss_$i")): _*))
+      // feed the scalars back through a broadcast 1-row LocalRelation,
+      // NOT as literals: literals are baked into generated code, so a
+      // fresh class would compile every iteration; broadcast-side values
+      // stay out of the source text and the codegen cache keeps hitting.
+      // Broadcasting a LocalRelation is driver-side — no job.
+      val got = obs.get
+      // null metric = no mass arrived anywhere (fully dangling graph)
+      val missingRow = broadcast(Seq(
+        (0 until n).map { i =>
+          val m = got(s"m_$i")
+          1.0 - (if (m == null) 0.0 else m.asInstanceOf[Double])
+        })
+        .toDF("m").select((0 until n).map(i =>
+          element_at(col("m"), i + 1).as(s"miss_$i")): _*))
       val withAll = vertices.join(gathered, Seq("id"), "left")
         .crossJoin(missingRow)
       ranks = withAll.select(
@@ -215,12 +225,16 @@ object Graph {
       // O(log diameter) for two cheap label-table joins per round.
       val ptr = prop.select(col("id").as("cid"), col("comp").as("ccomp"))
       val jumped = least(col("comp"), coalesce(col("ccomp"), col("comp")))
+      // the convergence scalar rides the checkpoint job as an observed
+      // metric — no separate agg/collect job per round
+      val obs = org.apache.spark.sql.Observation()
       val next = prop.join(ptr, prop("comp") === col("cid"), "left")
         .select(prop("id"), jumped.as("comp"),
-          (jumped < col("old_comp")).cast("int").as("changed"))
+          (jumped < col("old_comp")).cast("long").as("changed"))
+        .observe(obs, sum(col("changed")).as("changes"))
         .localCheckpoint()
-      val changes = next.agg(sum(col("changed"))).collect()(0)
-      converged = Option(changes.get(0)).forall(_.asInstanceOf[Long] == 0L)
+      converged = Option(obs.get("changes"))
+        .forall(v => v == null || v.asInstanceOf[Long] == 0L)
       labels = next.select("id", "comp")
       i += 1
     } }
