@@ -96,6 +96,12 @@ object SparkEntry {
     "decimal_agg" -> ((s, d) => Relational.decimalAgg(s, d)),
     "stats_agg" -> ((s, d) => Relational.statsAgg(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingPairsLsh(s, d, 0.45)),
+    "dedup_fuzzy" -> ((s, d) => Dedup.fuzzyPairs(s, d)),
+    "moving_avg" -> ((s, d) => Events.movingAvg(s, d)),
+    "sliding_window" -> ((s, d) => Events.slidingWindow(s, d)),
+    "rank_fns" -> ((s, d) => Relational.rankFns(s, d)),
+    "grouping_sets_agg" -> ((s, d) => Relational.groupingSetsAgg(s, d)),
+    "ngram_profile" -> ((s, d) => TextStats.ngramProfile(s, d)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -321,39 +327,65 @@ object SparkEntry {
     // 40-bit simhash restated: per-token poly fold + 2×(mult/xorshift)
     // mixing (all mod 2^40, matching SimHash40), per-bit ±1 votes,
     // 4×10-bit bank join, exact Hamming check
-    "dedup_simhash" -> s"""$TokCte,
-         tok_h AS (
-           SELECT doc_id, th4 AS h FROM (
-             SELECT doc_id,
-               xor(th3, th3 // 1048576) AS th4 FROM (
-               SELECT doc_id, (th2 * 8388593) % 1099511627776 AS th3 FROM (
-                 SELECT doc_id, xor(th1, th1 // 1048576) AS th2 FROM (
-                   SELECT doc_id, (th0 * 8388593) % 1099511627776 AS th1 FROM (
-                     SELECT doc_id, list_reduce(
-                       list_prepend(0::BIGINT,
-                         list_transform(string_split(t, ''),
-                           c -> ord(c)::BIGINT)),
-                       (acc, c) -> (acc * 31 + c) % 1099511627776) AS th0
-                     FROM (SELECT doc_id, unnest(ts) AS t FROM toks)))))) ),
-         bits AS (
-           SELECT doc_id, b,
-                  sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1
-                      THEN 1 ELSE -1 END) AS v
-           FROM tok_h, (SELECT unnest(range(0, 40)) AS b)
-           GROUP BY doc_id, b),
-         sig AS (
-           SELECT doc_id,
-                  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
-                    AS sig
-           FROM bits GROUP BY doc_id),
-         banked AS (
-           SELECT doc_id, sig, i AS bank, (sig >> (i * 10)) & 1023 AS bv
-           FROM sig, (SELECT unnest(range(0, 4)) AS i))
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                bit_count(xor(a.sig, b.sig)) AS dist
-         FROM banked a JOIN banked b
-           ON a.bank = b.bank AND a.bv = b.bv AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+    "dedup_simhash" -> SimhashSql,
+    // simhash candidates + exact edit-distance verify (length-difference
+    // prefilter mirrors the operator's cheap pre-cut)
+    "dedup_fuzzy" -> s"""WITH cand AS ($SimhashSql)
+         SELECT c.doc_a, c.doc_b, levenshtein(a.text, b.text) AS edit
+         FROM cand c
+         JOIN documents a ON c.doc_a = a.doc_id
+         JOIN documents b ON c.doc_b = b.doc_id
+         WHERE abs(len(a.text) - len(b.text)) <= 40
+           AND levenshtein(a.text, b.text) <= 40""",
+    "moving_avg" ->
+      """SELECT user_id, event_id, ep, value,
+                round(avg(value) OVER w, 6) AS mov_avg,
+                count(*) OVER w AS mov_cnt
+         FROM (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep, value
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                      RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)""",
+    // each event belongs to exactly two 1h/30min sliding windows; their
+    // starts are the two preceding 1800s grid points
+    "sliding_window" ->
+      """WITH e AS (SELECT event_type, value, epoch_ms(ts) // 1000 AS ep
+                    FROM events),
+           x AS (SELECT event_type, value,
+                        unnest([ep - ep % 1800, ep - ep % 1800 - 1800])
+                          AS win_start
+                 FROM e)
+         SELECT win_start, event_type, count(*) AS cnt,
+                round(sum(value), 4) AS sum_value
+         FROM x GROUP BY win_start, event_type""",
+    "rank_fns" ->
+      """SELECT * FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  round(percent_rank() OVER w, 6) AS pct_rank,
+                  round(cume_dist() OVER w, 6) AS cum_dist,
+                  ntile(4) OVER w AS quartile
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE o_orderkey % 10 = 0""",
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT
+                  AS gid,
+                count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "ngram_profile" ->
+      """WITH g AS (
+           SELECT lang, unnest(list_transform(range(1, len(lt) - 1),
+                  i -> lt[i : i + 2])) AS gram
+           FROM (SELECT lang, lower(text) AS lt FROM documents)
+           WHERE len(lt) >= 3),
+         c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY lang, gram)
+         SELECT lang, gram, cnt, rnk FROM (
+           SELECT lang, gram, cnt,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, gram) AS rnk
+           FROM c) WHERE rnk <= 10""",
     "knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),
@@ -700,6 +732,46 @@ object SparkEntry {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** 40-bit simhash near-dup pairs at Hamming distance ≤ 3 (mirrors
+    * `Dedup.simhashPairs` / `SimHash40`): per-token base-31 poly fold +
+    * 2×(multiply/xorshift) mixing, all mod 2^40, per-bit ±1 votes,
+    * 4×10-bit bank join, exact Hamming check. Also the candidate set
+    * for `dedup_fuzzy`.
+    */
+  private lazy val SimhashSql: String = s"""$TokCte,
+       tok_h AS (
+         SELECT doc_id, th4 AS h FROM (
+           SELECT doc_id,
+             xor(th3, th3 // 1048576) AS th4 FROM (
+             SELECT doc_id, (th2 * 8388593) % 1099511627776 AS th3 FROM (
+               SELECT doc_id, xor(th1, th1 // 1048576) AS th2 FROM (
+                 SELECT doc_id, (th0 * 8388593) % 1099511627776 AS th1 FROM (
+                   SELECT doc_id, list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(string_split(t, ''),
+                         c -> ord(c)::BIGINT)),
+                     (acc, c) -> (acc * 31 + c) % 1099511627776) AS th0
+                   FROM (SELECT doc_id, unnest(ts) AS t FROM toks)))))) ),
+       bits AS (
+         SELECT doc_id, b,
+                sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS v
+         FROM tok_h, (SELECT unnest(range(0, 40)) AS b)
+         GROUP BY doc_id, b),
+       sig AS (
+         SELECT doc_id,
+                sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                  AS sig
+         FROM bits GROUP BY doc_id),
+       banked AS (
+         SELECT doc_id, sig, i AS bank, (sig >> (i * 10)) & 1023 AS bv
+         FROM sig, (SELECT unnest(range(0, 4)) AS i))
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              bit_count(xor(a.sig, b.sig)) AS dist
+       FROM banked a JOIN banked b
+         ON a.bank = b.bank AND a.bv = b.bv AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
 
   /** Exact shingle-Jaccard near-dup pairs (threshold 0.8, 3-gram
     * shingles) — also the oracle for the MinHash+LSH variant.

@@ -162,4 +162,25 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Fuzzy dedup: exact edit-distance verification of SimHash
+    * candidates. Candidates come from the banked signature join
+    * (`simhashPairs` — never all-pairs); the expensive O(len²)
+    * levenshtein runs only on those, behind a length-difference
+    * prefilter (|len(a)-len(b)| > maxEdit already implies
+    * distance > maxEdit, so mismatched-size pairs never reach the
+    * quadratic compare). This is the standard candidate→verify
+    * shape that keeps fuzzy dedup tractable at corpus scale.
+    */
+  def fuzzyPairs(s: SparkSession, dir: String, maxDist: Int = 3,
+                 maxEdit: Int = 40): DataFrame = {
+    val texts = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    simhashPairs(s, dir, maxDist)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxEdit)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("edit"))
+      .filter(col("edit") <= maxEdit)
+  }
 }

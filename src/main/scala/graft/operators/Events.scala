@@ -39,6 +39,39 @@ object Events {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Range-frame moving aggregate: per user, the average and count of
+    * event values in the trailing `rangeSec`-second window ending at
+    * each event (frame = RANGE BETWEEN rangeSec PRECEDING AND CURRENT
+    * ROW on the epoch ordering). Range frames are tie-safe by
+    * construction — events in the same second share one frame — so the
+    * result is deterministic without an event-id tiebreak. Same
+    * shuffle shape as any window: one exchange on user_id.
+    */
+  def movingAvg(s: SparkSession, dir: String,
+                rangeSec: Long = 300): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ep")
+      .rangeBetween(-rangeSec, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"), col("value"))
+      .withColumn("mov_avg", round(avg(col("value")).over(w), 6))
+      .withColumn("mov_cnt", count(lit(1)).over(w))
+  }
+
+  /** Sliding-window aggregation via Spark's `window()`: 1-hour windows
+    * every 30 minutes, so each event lands in exactly two windows
+    * (batch twin of the streaming windowed agg — identical call shape
+    * under `readStream`). Planned as one generate (the two window
+    * assignments) + one aggregate: a single shuffle.
+    */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   /** JSON property extraction + aggregate (gap-list operator — the
     * reference had no JSON/map functions): pull `props.k` out of the
     * JSON column and aggregate per event type. `get_json_object` is a

@@ -330,6 +330,41 @@ object Relational {
         lit(100)) < pct)
       .select("o_orderkey", "o_custkey", "o_totalprice")
 
+  /** Analytic rank functions (percent_rank / cume_dist / ntile) over a
+    * per-priority total order. The orderkey tiebreak makes every rank —
+    * including ntile bucket boundaries — deterministic, so the result is
+    * engine-independent. One shuffle on the partition key, one sort
+    * within partitions; at scale this is the same cost shape as any
+    * windowed rank. Output thinned to orderkeys ≡ 0 (mod 10) AFTER the
+    * windows so ranks are computed over the full table.
+    */
+  def rankFns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cum_dist", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("o_orderkey") % 10 === 0)
+  }
+
+  /** Explicit GROUPING SETS — finer than cube/rollup: per-flag, per-
+    * status, and grand-total rows in one pass (grouping_id
+    * disambiguates the null patterns). Spark expands the sets into one
+    * Expand + single aggregate, so it shuffles once regardless of how
+    * many sets are requested.
+    */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+
   /** Exact percentiles per group (ordered aggregate; linear
     * interpolation — matches DuckDB's quantile_cont). At 100 TB exact
     * percentiles of a huge group require a per-group sort; the scale

@@ -105,4 +105,31 @@ object TextStats {
     hashed.select(col("doc_id"),
       explode(array_distinct(mins)).as("fingerprint"))
   }
+
+  /** Character n-gram language profiles: the top-`k` most frequent
+    * character `n`-grams per labeled language — the model table a
+    * true n-gram language identifier scores against (the stopword
+    * `langId` is the lookup-free variant). Lowercased text is exploded
+    * into overlapping n-grams (the text column is a scan attribute, so
+    * the per-position substring lambda is O(len), not O(len²)), counted
+    * per (lang, gram), then cut to k by a windowed rank with a gram
+    * tiebreak. Two shuffles: the count and the per-lang rank.
+    */
+  def ngramProfile(s: SparkSession, dir: String,
+                   n: Int = 3, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lowered = Tables.documents(s, dir)
+      .select(col("lang"), lower(col("text")).as("lt"))
+    val counts = lowered
+      .filter(length(col("lt")) >= n)
+      .select(col("lang"), explode(
+        transform(sequence(lit(1), length(col("lt")) - (n - 1)),
+          i => col("lt").substr(i, lit(n)))).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("gram"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }
