@@ -176,16 +176,18 @@ object Dedup {
                  maxEdit: Int = 40): DataFrame = {
     val texts = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     simhashPairs(s, dir, maxDist)
+      // explicit width FIRST: the candidate set is tiny in ROWS but each
+      // row carries O(len·maxEdit) verify work, so AQE's size-based
+      // coalesce would funnel the whole verify into one task (measured:
+      // a 21 s single-task stage). An explicit partition count is exempt
+      // from AQE coalescing; placed before the text joins it spreads the
+      // join + filter + DP while shuffling only the id pair, never the
+      // texts (which broadcast onto it).
+      .repartition(s.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .filter(abs(length(col("ta")) - length(col("tb"))) <= maxEdit)
-      // explicit width: the candidate set is tiny in ROWS but each row
-      // carries O(len·maxEdit) verify work, so AQE's size-based coalesce
-      // would funnel all of it into one task (measured: a 21 s
-      // single-task stage). An explicit partition count is exempt from
-      // AQE coalescing and spreads the compute.
-      .repartition(s.sparkContext.defaultParallelism,
-        col("doc_a"), col("doc_b"))
       // thresholded levenshtein runs the banded O(len·maxEdit) DP and
       // returns -1 past the band — not the O(len²) full matrix
       .select(col("doc_a"), col("doc_b"),
