@@ -20,9 +20,13 @@ import graft.expressions.NoPushdown
   * spark.sql("SELECT simhash40(tokens), cosine_sim(a, b) FROM t")
   * }}}
   *
-  * Registration is additive and idempotent — no built-in behavior
-  * changes (SURVEY §7.3: no custom Rule/Strategy is needed; the
-  * extension point carries only the expression library).
+  * Also injects `BandedLevenshteinRule`, an optimizer rule that
+  * rewrites thresholded edit-distance filter predicates
+  * (`levenshtein(a,b) <= k`) to the banded O(len·k) algorithm — an
+  * exact, semantics-preserving rewrite (see the rule's doc). Everything
+  * else is additive and idempotent; no other built-in behavior changes
+  * (SURVEY §7.3: full parity needs no custom Rule/Strategy — this one
+  * is a pure optimization).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -36,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
       args => SimHash64(one(args, "simhash64"))))

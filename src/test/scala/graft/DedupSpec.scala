@@ -35,6 +35,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs: edit values are exact and bounded; subset of simhash") {
+    val cand = Dedup.simhashPairs(spark, sf, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fuzzy = Dedup.fuzzyPairs(spark, sf).collect()
+    assert(fuzzy.nonEmpty, "expected planted near-identical docs in fixture")
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    fuzzy.foreach { r =>
+      val (a, b, edit) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(cand((a, b)), s"($a,$b) not a simhash candidate")
+      assert(edit >= 0 && edit <= 40)
+      // banded value == true distance (reference DP on the raw texts)
+      val (x, y) = (texts(a), texts(b))
+      val prev = Array.range(0, y.length + 1)
+      for (i <- 1 to x.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to y.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      assert(prev(y.length) == edit, s"($a,$b) edit=$edit != dp=${prev(y.length)}")
+    }
+  }
+
   test("minhash LSH (verified) equals exact jaccard on the fixture") {
     val exact = Dedup.jaccardPairs(spark, sf, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -25,6 +25,33 @@ class EventsSpec extends SparkSpec {
     assert(got((2L, 1L)) == (1L, 5.0))
   }
 
+  test("movingAvg: trailing range frame includes same-second ties") {
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    Seq(
+      (0L, ts(0), 1L, 10.0),
+      (1L, ts(100), 1L, 20.0),
+      (2L, ts(100), 1L, 30.0),  // same second as event 1: shared frame
+      (3L, ts(500), 1L, 40.0)   // 400s after: events 1,2 outside 300s? no — 500-100=400 > 300, so alone
+    ).toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.movingAvg(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(4), r.getLong(5))).toMap
+    assert(got(0L) == (10.0, 1L))
+    // ties at t=100 each see {0,1,2}: avg 20, count 3 — regardless of order
+    assert(got(1L) == (20.0, 3L) && got(2L) == (20.0, 3L))
+    assert(got(3L) == (40.0, 1L))
+  }
+
+  test("slidingWindow: every event lands in exactly two 1h/30m windows") {
+    val agg = Events.slidingWindow(spark, sf)
+    val total = agg.agg(sum("cnt")).collect()(0).getLong(0)
+    val raw = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == 2 * raw && raw > 0)
+    // window starts sit on the 1800s grid
+    assert(agg.filter(col("win_start") % 1800 =!= 0).count() == 0)
+  }
+
   test("hourlyAgg covers every event exactly once") {
     val agg = Events.hourlyAgg(spark, sf)
     val total = agg.agg(sum("cnt")).collect()(0).getLong(0)

@@ -29,6 +29,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("BandedLevenshteinRule rewrites filter predicates, same results") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // parquet-backed source: a LocalRelation would be constant-folded at
+    // optimization time and no Filter node would survive to inspect
+    val df = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val filtered = df.filter(levenshtein(col("lang"), lit("en")) <= 1)
+    val levs = filtered.queryExecution.optimizedPlan.collect {
+      case f: LFilter => f.condition.collect { case l: Levenshtein => l }
+    }.flatten
+    assert(levs.nonEmpty && levs.forall(_.threshold.isDefined),
+      s"expected banded levenshtein in optimized filter, got: $levs")
+    // same rows as the unbanded predicate: lang within one edit of "en"
+    val kept = filtered.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = df.select("lang").distinct().collect().map(_.getString(0))
+      .filter { l =>
+        // tiny reference DP
+        val (a, b) = (l, "en")
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length) <= 1
+      }.toSet
+    assert(kept == expected, s"kept=$kept expected=$expected")
+    // projections keep the full distance (no rewrite outside filters)
+    val proj = df.select(levenshtein(col("lang"), lit("en")).as("d"))
+    val projLevs = proj.queryExecution.optimizedPlan.expressions.flatMap(
+      _.collect { case l: Levenshtein => l })
+    assert(projLevs.nonEmpty && projLevs.forall(_.threshold.isEmpty))
+  }
+
   test("cosine_sim and no_pushdown work from SQL") {
     val sim = spark.sql(
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS s")

@@ -19,6 +19,34 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(cube.contains((None, None)))
   }
 
+  test("grouping sets: gid marks the null pattern; totals reconcile") {
+    val rows = Relational.groupingSetsAgg(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    // gid 1 = by-flag (status aggregated), 2 = by-status, 3 = grand total
+    rows.foreach {
+      case (f, s, 1L, _) => assert(f.isDefined && s.isEmpty)
+      case (f, s, 2L, _) => assert(f.isEmpty && s.isDefined)
+      case (f, s, 3L, _) => assert(f.isEmpty && s.isEmpty)
+      case other => fail(s"unexpected gid: $other")
+    }
+    val total = rows.collect { case (_, _, 3L, c) => c }.sum
+    assert(rows.collect { case (_, _, 1L, c) => c }.sum == total)
+    assert(rows.collect { case (_, _, 2L, c) => c }.sum == total)
+    assert(total > 0)
+  }
+
+  test("rank_fns: percent_rank/cume_dist bounds, ntile balance") {
+    val rows = Relational.rankFns(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pr, cd, q) = (r.getDouble(3), r.getDouble(4), r.getInt(5))
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(cd > 0.0 && cd <= 1.0)
+      assert(q >= 1 && q <= 4)
+    }
+  }
+
   test("pivot totals equal the plain groupBy totals") {
     val pivoted = Relational.pivotAgg(spark, sf).collect()
       .map(r => r.getString(0) ->
