@@ -18,6 +18,18 @@ object Bench {
         graft.functions.TextFns.tokenize(
           org.apache.spark.sql.functions.col("text"))))
       .count()
+    // the iterative tier compiles a handful of generated classes on its
+    // first run (janino) — run both loops once on a 40-edge graph so the
+    // measured queries pay their own planning and work, not one-time JIT
+    locally {
+      import org.apache.spark.sql.functions.{col, lit}
+      val tiny = spark.range(40).select(
+        (col("id") % 10).as("src"), ((col("id") + 1) % 10).as("dst"))
+      graft.operators.Graph.topK(
+        graft.operators.Graph.personalizedPageRank(tiny, Seq(1L, 2L), 2),
+        Seq(1L, 2L), 3).count()
+      graft.operators.Graph.connectedComponents(tiny).count()
+    }
     spark.catalog.clearCache()
     // sorted order: deterministic per-query attribution across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Graph tier: multi-source personalized PageRank + top-k extraction
@@ -11,16 +15,28 @@ import graft.Tables
   *
   * The reference ran 2 chained MR jobs per iteration with per-reducer
   * side files carrying dangling mass and log-space floats for stability.
-  * Here one DataFrame round-trip per iteration: scatter = join on src,
-  * gather = sum per dst, dangling mass = one scalar agg collected to the
-  * driver (the side-file exchange, SURVEY S9), teleport+missing applied
-  * as column arithmetic in linear-space doubles. Graph *structure*
-  * (edges, out-degrees) stays cache-resident and is never shuffled again
-  * after the first partition — only rank messages move, which is what
-  * the reference's dead Schimmy variant was trying to do by hand.
+  * Here both fixpoint loops share one design: graph *structure* (edges
+  * + out-degrees) is partitioned once and never moves again; each
+  * iteration is one co-partitioned join (scatter) plus one shuffle of
+  * the rank/label messages (gather); dangling mass / convergence ride
+  * the iteration's single action as scalars (the reference's side-file
+  * exchange, SURVEY S9).
   *
-  * Multi-source ranks are one column per source, so each iteration is a
-  * single whole-stage-codegen'd aggregate regardless of source count.
+  * The two loops sit at different layers, each chosen by measurement:
+  *  - PPR iterates DataFrames — its per-vertex state is a wide row of
+  *    doubles and Tungsten's codegen'd join+agg over UnsafeRows beats
+  *    an RDD cogroup loop ~2x per iteration; per-iteration Catalyst
+  *    re-planning is bounded by `localCheckpoint` truncating lineage.
+  *  - Connected components iterates RDDs with a pinned
+  *    `HashPartitioner` (the GraphX/Pregel layout): its messages are
+  *    bare `(Long, Long)` labels, cheap to move at any layer, and its
+  *    rounds were planning-dominated as DataFrames (two checkpointed
+  *    joins per round); the RDD loop makes per-round driver cost
+  *    microseconds and needs no codegen warm-up.
+  *
+  * Multi-source PPR ranks are one column per source, so each iteration
+  * is a single whole-stage-codegen'd aggregate regardless of source
+  * count.
   */
 object Graph {
 
@@ -42,23 +58,6 @@ object Graph {
     math.max(1L, math.max(byOverhead, byMemory)).toInt
   }
 
-  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `p` and
-    * AQE off — iterative loops materialize per iteration
-    * (localCheckpoint / convergence scalar), so the conf at action time
-    * is what counts. With the loop's partitioning already derived from
-    * the measured graph size, AQE has nothing left to adapt and its
-    * per-exchange re-planning just adds serial driver latency to every
-    * iteration. Both settings are restored afterwards so one query's
-    * loop tuning never leaks into the next query on the shared session.
-    */
-  private def withLoopConf[A](s: SparkSession, p: Int)(body: => A): A = {
-    val keys = Seq("spark.sql.shuffle.partitions" -> p.toString,
-      "spark.sql.adaptive.enabled" -> "false")
-    val prev = keys.map { case (k, _) => k -> s.conf.get(k) }
-    keys.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
-  }
-
   /** Parse the reference's adjacency-list text format (one line per node:
     * `nodeid[<ws>neighbor]*`, `BuildPersonalizedPageRankRecords.java:74-92`)
     * into an edges DataFrame(src, dst).
@@ -74,6 +73,12 @@ object Graph {
       .select(col("src"), col("dst").cast("long"))
   }
 
+  /** Edge DataFrame → RDD[(src, dst)], one pass, no Catalyst round-trip
+    * in the loop afterwards. */
+  private def edgeRdd(edges: DataFrame): RDD[(Long, Long)] =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+
   /** Multi-source personalized PageRank. `edges(src, dst)`; returns
     * `(id, rank_0 .. rank_{sources.size-1})`, one rank column per source.
     *
@@ -84,6 +89,23 @@ object Graph {
     * source slot = alpha + (1-alpha)*(received + missing),
     * other nodes = (1-alpha)*received.
     */
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `p` and
+    * AQE off — the PPR loop materializes per iteration (localCheckpoint
+    * + observed scalars), so the conf at action time is what counts.
+    * With the loop's partitioning already derived from the measured
+    * graph size, AQE has nothing left to adapt and its per-exchange
+    * re-planning just adds serial driver latency to every iteration.
+    * Both settings are restored afterwards so one query's loop tuning
+    * never leaks into the next query on the shared session.
+    */
+  private def withLoopConf[A](s: SparkSession, p: Int)(body: => A): A = {
+    val keys = Seq("spark.sql.shuffle.partitions" -> p.toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> s.conf.get(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
                            iterations: Int, alpha: Double = 0.15): DataFrame = {
     val n = sources.size
@@ -94,10 +116,16 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).persist()
     val s = e.sparkSession
     val p = loopParallelism(s, e.count())
+    import s.implicits._
+    withLoopConf(s, p) {
+    // the structure build runs INSIDE the pinned-partitions scope so the
+    // distinct/join shuffles land directly on p partitions: their output
+    // partitioning (hash(id,p) / hash(src,p)) is exactly what the loop
+    // needs, so no explicit repartition — one fewer full pass over the
+    // edge table, and the loop's scatter join still starts shuffle-free.
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .repartition(p, col("id"))
       .persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // structure side: edges with the sender's out-degree attached once,
@@ -105,7 +133,16 @@ object Graph {
     // join reuses this partitioning and only the (small) ranks side
     // shuffles — the cluster-scale equivalent is bucketing the edge
     // table by src so iterations never move the graph again.
-    val struct = e.join(outdeg, "src").repartition(p, col("src")).persist()
+    // (The loop itself stays a DataFrame loop: Tungsten's codegen'd
+    // hash join/agg over UnsafeRows beats an RDD cogroup loop ~2x per
+    // iteration here — measured both ways; connectedComponents below
+    // makes the opposite call because its label messages are plain
+    // longs and its rounds are planning-dominated.)
+    // shuffle_hash hint: a broadcast of outdeg would leave struct in the
+    // scan's file partitioning and force BOTH loop-join sides to shuffle
+    // every iteration; the shuffle-hash join lands struct on hash(src,p)
+    // (reusing outdeg's agg exchange on the build side)
+    val struct = e.join(outdeg.hint("shuffle_hash"), "src").persist()
     struct.count() // materialize structure before the loop
     vertices.count()
     e.unpersist()
@@ -115,8 +152,7 @@ object Graph {
         when(col("id") === src, 1.0).otherwise(0.0).as(rankCol(i))
       }: _*)
 
-    import s.implicits._
-    withLoopConf(s, p) { for (_ <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       val contribs = struct.join(ranks, struct("src") === ranks("id"))
         .select(
           col("dst").as("id") +:
@@ -159,8 +195,9 @@ object Graph {
         }: _*)
       // no second checkpoint: lineage above is one cheap join off the
       // checkpointed `gathered`
-    } }
+    }
     ranks
+    }
   }
 
   /** Top-k nodes per source (reference `ExtractTopPersonalizedPageRank
@@ -177,68 +214,85 @@ object Graph {
 
   /** Connected components by iterative min-label propagation (edges
     * treated as undirected): every node adopts the minimum component id
-    * among itself and its neighbors until a fixpoint. Convergence is
-    * detected with one scalar agg per iteration (like PPR's dangling
-    * mass); structure stays cached/partitioned, only the label table
-    * shuffles. A pointer-jumping step after each propagation collapses
-    * label chains exponentially, so rounds are O(log diameter) rather
-    * than O(diameter) — the property that keeps the loop bounded on
-    * 100 TB path-shaped graphs (small/large-star would be the next
-    * step up, same join-shape machinery).
+    * among itself and its neighbors until a fixpoint. Same RDD-loop
+    * shape as PPR: structure cached and partitioned once, labels shuffle.
+    * A pointer-jumping step after each propagation collapses label
+    * chains exponentially, so rounds are O(log diameter) rather than
+    * O(diameter) — the property that keeps the loop bounded on 100 TB
+    * path-shaped graphs (small/large-star would be the next step up,
+    * same join-shape machinery). Convergence is one scalar count rolled
+    * into the round's single action.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           symmetric: Boolean = false): DataFrame = {
-    // symmetrize in ONE pass over the input (explode of both directions)
-    // instead of a self-union, which would evaluate the caller's edge
-    // expression twice; callers with an already-undirected edge list
-    // (e.g. customerSupplierEdges) skip the doubling entirely
-    val dir0 = if (symmetric) edges.select(col("src"), col("dst"))
-      else edges.select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
-    val und = dir0
-      .distinct()
-      .persist()
-    val s = und.sparkSession
-    val p = loopParallelism(s, und.count())
-    val undP = und.repartition(p, col("src")).persist()
-    undP.count()
-    und.unpersist()
-    val vertices = undP.select(col("src").as("id")).distinct().persist()
-    var labels = vertices.select(col("id"), col("id").as("comp"))
+    val s = edges.sparkSession
+    val dir0 = edgeRdd(edges)
+    // symmetrize in ONE pass over the input instead of a self-union,
+    // which would evaluate the caller's edge expression twice; callers
+    // with an already-undirected edge list skip the doubling entirely
+    val raw = (if (symmetric) dir0
+      else dir0.flatMap { case (a, b) => Iterator((a, b), (b, a)) })
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val part = new HashPartitioner(loopParallelism(s, raw.count()))
+    // ONE shuffle lands the edges on their loop partitioning; duplicate
+    // edges are dropped in-partition (every copy of (src,dst) hashes to
+    // src's partition) instead of paying a global `distinct` shuffle
+    // first — at 100 TB that is a full extra pass over the edge table.
+    val und = raw.partitionBy(part).mapPartitions({ it =>
+      val seen = new java.util.HashSet[(Long, Long)]()
+      it.filter(seen.add)
+    }, preservesPartitioning = true).persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    raw.unpersist(blocking = false)
+
+    // after symmetrization every vertex appears as a src, so the initial
+    // label table is an in-partition key dedupe — no vertices shuffle
+    var labels: RDD[(Long, Long)] = und.mapPartitions({ it =>
+      val seen = new java.util.HashSet[Long]()
+      it.filter(kv => seen.add(kv._1)).map(kv => (kv._1, kv._1))
+    }, preservesPartitioning = true)
+    var prev: RDD[_] = null
     var converged = false
     var i = 0
-    withLoopConf(s, p) { while (!converged && i < maxIter) {
+    while (!converged && i < maxIter) {
       // step 1: adopt the minimum label in the closed neighborhood
-      val nbrMin = undP.join(labels, undP("src") === labels("id"))
-        .groupBy(col("dst").as("id2"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      val prop = labels
-        .join(nbrMin, labels("id") === col("id2"), "left")
-        .select(col("id"), col("comp").as("old_comp"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp"))
-        .localCheckpoint() // referenced twice below (main + pointer side)
+      val nbrMin = und.join(labels) // co-partitioned: narrow
+        .map { case (_, (dst, comp)) => (dst, comp) }
+        .reduceByKey(part, math.min(_: Long, _: Long)) // the round's message shuffle
+      val prop = labels.leftOuterJoin(nbrMin) // narrow
+        .mapPartitions(_.map { case (id, (comp, opt)) =>
+          (id, math.min(comp, opt.getOrElse(comp)))
+        }, preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // step 2: pointer jump — adopt your label's label. Label chains
-      // collapse exponentially, so rounds go from O(diameter) to
-      // O(log diameter) for two cheap label-table joins per round.
-      val ptr = prop.select(col("id").as("cid"), col("comp").as("ccomp"))
-      val jumped = least(col("comp"), coalesce(col("ccomp"), col("comp")))
-      // the convergence scalar rides the checkpoint job as an observed
-      // metric — no separate agg/collect job per round
-      val obs = org.apache.spark.sql.Observation()
-      val next = prop.join(ptr, prop("comp") === col("cid"), "left")
-        .select(prop("id"), jumped.as("comp"),
-          (jumped < col("old_comp")).cast("long").as("changed"))
-        .observe(obs, sum(col("changed")).as("changes"))
-        .localCheckpoint()
-      converged = Option(obs.get("changes"))
-        .forall(v => v == null || v.asInstanceOf[Long] == 0L)
-      labels = next.select("id", "comp")
+      // collapse exponentially: two label-table shuffles per round buy
+      // O(log diameter) total rounds.
+      val byComp = prop.map { case (id, comp) => (comp, id) } // shuffle
+      val jumped = byComp.join(prop) // comp side now keyed like prop: narrow
+        .map { case (comp, (id, compOfComp)) =>
+          (id, math.min(comp, compOfComp))
+        }
+        .partitionBy(part) // shuffle back to the label layout
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // convergence scalar: the round's single action
+      val changes = jumped.zipPartitions(labels, preservesPartitioning = false) {
+        (a, b) =>
+          val old = scala.collection.mutable.LongMap.empty[Long]
+          b.foreach { case (id, comp) => old(id) = comp }
+          var c = 0L
+          a.foreach { case (id, comp) => if (comp != old(id)) c += 1 }
+          Iterator.single(c)
+      }.reduce(_ + _)
+      converged = changes == 0L
+      prop.unpersist(blocking = false)
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = jumped
+      labels = jumped
       i += 1
-    } }
-    labels
+    }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("comp", LongType, nullable = false)))
+    s.createDataFrame(labels.map { case (id, c) => Row(id, c) }, schema)
   }
 
   /** A deterministic bipartite-ish graph from the fixture tables for the
