@@ -47,8 +47,10 @@ object SparkEntry {
         .groupBy(col("comp")).agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("size"))),
     "percentiles" -> ((s, d) => Relational.pricePercentiles(s, d)),
-    // SGD tier: order-dependent sequential fold — not SQL-expressible,
-    // rows-only checks; exact-semantics oracle lives in MlSpec.
+    // SGD tier: order-dependent sequential fold, replayed by the oracle
+    // as a recursive CTE over poly-hash features (see sgdTrainOracle).
+    // Only sgd_train_shuffled stays rows-only (Spark-rand order);
+    // exact-semantics oracle also lives in MlSpec.
     "sgd_train" -> ((s, d) => Ml.trainQuery(s, d)),
     "sgd_train_shuffled" -> ((s, d) => Ml.trainQuery(s, d, Some(42L))),
     "sgd_apply" -> ((s, d) => Ml.applyQuery(s, d)),
@@ -183,7 +185,123 @@ object SparkEntry {
       blocks.mkString(",\n") + "\n" + tops
   }
 
+  /** SGD-tier oracles: the sequential fold IS SQL-expressible — a
+    * recursive CTE carries the dense weight vector (global vocabulary
+    * order) and replays the reference update rule one instance per
+    * recursion step. Requires the oracle-replicable poly-hash
+    * featurization (`Ml.featurize`), whose base-31 fold mod 2^40 is
+    * restated inline. Weights/scores round to 6dp both sides: the SQL
+    * fold sums each score in vocabulary order, the Scala fold in token
+    * order (~1e-15 relative drift over 500 steps).
+    * `sgd_train_shuffled` alone stays rows-only — its order comes from
+    * Spark's `rand(seed)`, which no other engine reproduces.
+    */
+  private def sgdFoldCte(name: String, steps: String): String =
+    s"""$name AS (
+         SELECT 0::BIGINT AS step, (SELECT w FROM w0) AS w
+         UNION ALL
+         SELECT f.step + 1,
+           list_transform(g.l, i -> f.w[i] +
+             ((d.label - 1.0/(1.0 + exp(-list_sum(
+                 list_transform(g.l, j -> f.w[j] * d.cv[j]))))) * 0.002) * d.cv[i])
+         FROM $name f JOIN $steps d ON d.step = f.step + 1 CROSS JOIN gs g)"""
+
+  /** Shared SGD CTE prefix: featurization, global vocabulary, per-doc
+    * dense count vectors. `WITH RECURSIVE` headed so callers can append
+    * `sgdFoldCte` blocks.
+    */
+  private def sgdCommonCte: String =
+    s"""WITH RECURSIVE ${TokCte.stripPrefix("WITH ")},
+       inst AS MATERIALIZED (
+         SELECT t.doc_id,
+           (CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END)::DOUBLE AS label,
+           list_transform(t.ts, s -> list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(s, ''), c -> ord(c)::BIGINT)),
+               (h, c) -> (h * 31 + c) % 1099511627776) % 10007) AS feats
+         FROM toks t JOIN documents d USING (doc_id)),
+       vord AS MATERIALIZED (
+         SELECT f AS feature, row_number() OVER (ORDER BY f) AS idx
+         FROM (SELECT DISTINCT unnest(feats) AS f FROM inst)),
+       dv AS MATERIALIZED (
+         SELECT i.doc_id, any_value(i.label) AS label,
+                list(coalesce(c.cnt, 0.0) ORDER BY v.idx) AS cv
+         FROM inst i CROSS JOIN vord v
+         LEFT JOIN (SELECT doc_id, f, count(*)::DOUBLE AS cnt
+                    FROM (SELECT doc_id, unnest(feats) AS f FROM inst)
+                    GROUP BY doc_id, f) c
+           ON c.doc_id = i.doc_id AND c.f = v.feature
+         GROUP BY i.doc_id),
+       gs AS MATERIALIZED (
+         SELECT list_transform(range(1, (SELECT count(*)::INT FROM vord) + 1),
+                               x -> x::BIGINT) AS l),
+       w0 AS (SELECT list_transform((SELECT l FROM gs), x -> 0.0::DOUBLE) AS w)"""
+
+  /** Per-model score of every document against a fold's final weights. */
+  private def sgdScoreExpr(w: String): String =
+    s"list_sum(list_transform(g.l, j -> $w.w[j] * d.cv[j]))"
+
+  private def sgdTrainOracle: String =
+    s"""$sgdCommonCte,
+       steps AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY doc_id) AS step, label, cv FROM dv),
+       ${sgdFoldCte("fold", "steps")}
+       SELECT v.feature AS feature, round(fw.w[v.idx], 6) AS weight
+       FROM (SELECT w FROM fold ORDER BY step DESC LIMIT 1) fw
+       CROSS JOIN vord v"""
+
+  private def sgdApplyOracle: String =
+    s"""$sgdCommonCte,
+       steps AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY doc_id) AS step, label, cv FROM dv),
+       ${sgdFoldCte("fold", "steps")},
+       wf AS (SELECT w FROM fold ORDER BY step DESC LIMIT 1)
+       SELECT d.doc_id AS docid, d.label AS label,
+         round(${sgdScoreExpr("wf")}, 6) AS score,
+         CASE WHEN ${sgdScoreExpr("wf")} > 0 THEN 'spam' ELSE 'ham' END AS pred
+       FROM dv d CROSS JOIN wf CROSS JOIN gs g"""
+
+  /** Three folds over the doc_id % 3 training splits (global vocab: a
+    * feature unseen in a split keeps weight 0, which scores identically
+    * to the engine's left-join-with-coalesce). */
+  private def sgdEnsembleCte: String =
+    s"""$sgdCommonCte,
+       steps0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY doc_id)
+         AS step, label, cv FROM dv WHERE doc_id % 3 = 0),
+       steps1 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY doc_id)
+         AS step, label, cv FROM dv WHERE doc_id % 3 = 1),
+       steps2 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY doc_id)
+         AS step, label, cv FROM dv WHERE doc_id % 3 = 2),
+       ${sgdFoldCte("fold0", "steps0")},
+       ${sgdFoldCte("fold1", "steps1")},
+       ${sgdFoldCte("fold2", "steps2")},
+       wa AS (SELECT w FROM fold0 ORDER BY step DESC LIMIT 1),
+       wb AS (SELECT w FROM fold1 ORDER BY step DESC LIMIT 1),
+       wc AS (SELECT w FROM fold2 ORDER BY step DESC LIMIT 1),
+       scored AS (
+         SELECT d.doc_id AS docid, d.label AS label,
+           ${sgdScoreExpr("wa")} AS s0,
+           ${sgdScoreExpr("wb")} AS s1,
+           ${sgdScoreExpr("wc")} AS s2
+         FROM dv d CROSS JOIN wa CROSS JOIN wb CROSS JOIN wc CROSS JOIN gs g)"""
+
   def oracleSql: Map[String, String] = Map(
+    "sgd_train" -> sgdTrainOracle,
+    "sgd_apply" -> sgdApplyOracle,
+    "sgd_ensemble_avg" -> s"""$sgdEnsembleCte
+         SELECT docid, label, round((s0 + s1 + s2) / 3, 6) AS score,
+           CASE WHEN (s0 + s1 + s2) / 3 > 0 THEN 'spam' ELSE 'ham' END AS pred
+         FROM scored""",
+    "sgd_ensemble_vote" -> s"""$sgdEnsembleCte
+         SELECT docid, label,
+           (CASE WHEN s0 > 0 THEN 1 ELSE -1 END) +
+           (CASE WHEN s1 > 0 THEN 1 ELSE -1 END) +
+           (CASE WHEN s2 > 0 THEN 1 ELSE -1 END) AS votes,
+           CASE WHEN (CASE WHEN s0 > 0 THEN 1 ELSE -1 END) +
+                     (CASE WHEN s1 > 0 THEN 1 ELSE -1 END) +
+                     (CASE WHEN s2 > 0 THEN 1 ELSE -1 END) > 0
+                THEN 'spam' ELSE 'ham' END AS pred
+         FROM scored""",
     "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10),
     // exact fixpoint of min-label propagation = min reachable id, which
     // a recursive closure computes directly

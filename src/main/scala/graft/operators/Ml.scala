@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns._
+import graft.expressions.HashExpressions.polyHashArray
 
 /** ML tier: logistic-regression spam classifier trained by sequential SGD
   * (references: `TrainSpamClassifier.scala`, `ApplySpamClassifier.scala`,
@@ -24,17 +25,20 @@ object Ml {
   val DefaultBuckets = 10007
 
   /** Deterministic featurization of the documents fixture into the
-    * reference's instance shape `(docid, label, features: Array[Int])`
+    * reference's instance shape `(docid, label, features: Array[Long])`
     * (`TrainSpamClassifier.scala:78-89`): feature ids are hashed tokens,
-    * label 1.0 for English documents ("spam" stand-in).
+    * label 1.0 for English documents ("spam" stand-in). The hash is the
+    * oracle-replicable base-31 poly fold mod 2^40 (`PolyHashArray`)
+    * rather than murmur3, so the whole SGD tier can be re-derived in
+    * pure SQL by the DuckDB oracle.
     */
   def featurize(s: SparkSession, dir: String,
                 buckets: Int = DefaultBuckets): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id").as("docid"),
       when(col("lang") === "en", 1.0).otherwise(0.0).as("label"),
-      transform(tokenize(col("text")),
-        t => pmod(hash(t), lit(buckets))).as("features"))
+      transform(polyHashArray(tokenize(col("text"))),
+        h => pmod(h, lit(buckets.toLong))).as("features"))
 
   /** Sequential SGD, one pass in `docid` order (or seeded-random order —
     * the reference's shuffled trainer, `TrainSpamClassifier.scala:70-77`).
@@ -45,13 +49,13 @@ object Ml {
                shuffleSeed: Option[Long] = None): DataFrame = {
     import s.implicits._
     val ds = instances.select("docid", "label", "features")
-      .as[(Long, Double, Seq[Int])]
+      .as[(Long, Double, Seq[Long])]
     val ordered = shuffleSeed match {
       case Some(seed) => ds.orderBy(rand(seed))   // seeded => reproducible
       case None       => ds.orderBy("docid")
     }
     ordered.coalesce(1).mapPartitions { it =>
-      val w = mutable.HashMap.empty[Int, Double].withDefaultValue(0.0)
+      val w = mutable.HashMap.empty[Long, Double].withDefaultValue(0.0)
       it.foreach { case (_, label, feats) =>
         val score = feats.iterator.map(w).sum
         val prob = 1.0 / (1.0 + math.exp(-score))
@@ -128,10 +132,15 @@ object Ml {
       .select(round(col("num") / (col("np") * col("nn")), 6).as("auc"))
   }
 
-  /** queries-surface helpers with fixed featurization over `documents`. */
+  /** queries-surface helpers with fixed featurization over `documents`.
+    * Weights are rounded to 6dp for the oracle compare: the DuckDB fold
+    * sums each instance's score in vocabulary order while the Scala fold
+    * sums in token order, a ~1e-15 relative difference that 6dp absorbs.
+    */
   def trainQuery(s: SparkSession, dir: String,
                  shuffleSeed: Option[Long] = None): DataFrame =
     trainSgd(s, featurize(s, dir), shuffleSeed = shuffleSeed)
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
 
   def applyQuery(s: SparkSession, dir: String): DataFrame = {
     val inst = featurize(s, dir)

@@ -30,10 +30,10 @@ class MlSpec extends SparkSpec {
   test("trainSgd reproduces the hand-traced sequential fold exactly") {
     val df = tiny.toDF("docid", "label", "features")
     val got = Ml.trainSgd(spark, df).collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val want = seqSgd(tiny.sortBy(_._1), Ml.DefaultDelta)
-    assert(got.keySet == want.keySet)
-    got.foreach { case (f, w) => assert(math.abs(w - want(f)) < 1e-15) }
+    assert(got.keySet == want.keySet.map(_.toLong))
+    got.foreach { case (f, w) => assert(math.abs(w - want(f.toInt)) < 1e-15) }
     // first-step sanity: instance 0 sees score 0 => prob 0.5,
     // so w(1)=w(2)=+0.001 before instance 1 runs
     assert(want(1) != 0.0)
