@@ -99,6 +99,13 @@ object SparkEntry {
     "stats_agg" -> ((s, d) => Relational.statsAgg(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Similarity.embeddingPairsLsh(s, d, 0.45)),
     "dedup_fuzzy" -> ((s, d) => Dedup.fuzzyPairs(s, d)),
+    // end-to-end dedup: LSH pairs -> components -> canonical survivor
+    "dedup_assign" -> ((s, d) =>
+      Dedup.assignCanonical(s, d, Dedup.minhashPairs(s, d, 0.8))),
+    "approx_agg" -> ((s, d) => Relational.approxAgg(s, d)),
+    "bloom_semi_join" -> ((s, d) => Relational.bloomSemiJoin(s, d)),
+    "media_resize" -> ((s, d) =>
+      Multimodal.resizePlan(Multimodal.decode(s, d))),
     "moving_avg" -> ((s, d) => Events.movingAvg(s, d)),
     "sliding_window" -> ((s, d) => Events.slidingWindow(s, d)),
     "rank_fns" -> ((s, d) => Relational.rankFns(s, d)),
@@ -455,6 +462,49 @@ object SparkEntry {
          JOIN documents b ON c.doc_b = b.doc_id
          WHERE abs(len(a.text) - len(b.text)) <= 40
            AND levenshtein(a.text, b.text) <= 40""",
+    // dup clusters are transitive closures over the near-dup pair graph;
+    // canonical id = min reachable doc id, singletons keep themselves
+    "dedup_assign" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id)
+         SELECT id AS doc_id, min(comp) AS canonical_id
+         FROM walk GROUP BY id""",
+    // sketch results are engine-specific; the oracle pins the exact
+    // values and the deterministic "sketch within tolerance" flags
+    "approx_agg" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey) AS exact_orders,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+                TRUE AS acd_ok, TRUE AS ap50_ok
+         FROM lineitem GROUP BY l_returnflag""",
+    // bloom prefilter + semi join = exactly the semi join
+    "bloom_semi_join" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey
+                         AND c.c_acctbal > 9000)""",
+    // decode oracle + the same floor fit-to-256 arithmetic
+    "media_resize" -> s"""WITH dec AS ($MediaHashCte
+         SELECT doc_id, kind,
+           CASE kind WHEN 'image' THEN 64 + (hv % 4032)
+                     ELSE 320 + (hv % 1600) END AS width,
+           CASE kind WHEN 'image' THEN 64 + ((hv // 256) % 4032)
+                     ELSE 240 + ((hv // 256) % 840) END AS height
+         FROM mh WHERE kind != 'audio')
+         SELECT doc_id, kind, width, height,
+           CASE WHEN greatest(width, height) > 256
+                THEN floor(width * 256 / greatest(width, height))::INT
+                ELSE width END AS new_w,
+           CASE WHEN greatest(width, height) > 256
+                THEN floor(height * 256 / greatest(width, height))::INT
+                ELSE height END AS new_h,
+           greatest(width, height) > 256 AS resized
+         FROM dec""",
     "moving_avg" ->
       """SELECT user_id, event_id, ep, value,
                 round(avg(value) OVER w, 6) AS mov_avg,

@@ -194,4 +194,25 @@ object Dedup {
         levenshtein(col("ta"), col("tb"), maxEdit).as("edit"))
       .filter(col("edit") >= 0)
   }
+
+  /** End-to-end dedup assignment — the operator a training-data pipeline
+    * actually runs. Near-dup PAIRS are only half the job: duplicates
+    * form transitive clusters (a~b, b~c ⇒ {a,b,c}), so the pair list
+    * feeds the connected-components loop and every document maps to its
+    * cluster's canonical (minimum) doc id; documents with no near-dup
+    * map to themselves. Downstream: keep `doc_id = canonical_id` rows,
+    * or join on `canonical_id` to propagate the survivor. Scale shape:
+    * pairs come from an LSH bucket join (never all-pairs), components
+    * from the partitioned label-propagation loop — both already bounded;
+    * the final assignment is one left join on doc_id.
+    */
+  def assignCanonical(s: SparkSession, dir: String,
+                      pairs: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val comps = Graph.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    docs.join(comps, docs("doc_id") === comps("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+  }
 }

@@ -97,4 +97,24 @@ object Multimodal {
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
+
+  /** Resize planning for image/video rows: fit inside `maxSide`² with
+    * aspect preserved, never upscaling — the metadata half of a resize
+    * stage (target dims are what the pipeline partitions/budgets on; the
+    * pixel transform itself lives behind the stubbed codec boundary).
+    * Deterministic floor math so the SQL oracle restates it exactly.
+    */
+  def resizePlan(decoded: Dataset[MediaMeta], maxSide: Int = 256): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    val fit = (c: org.apache.spark.sql.Column) =>
+      floor(c * maxSide / longSide).cast("int")
+    decoded.toDF()
+      .filter(col("kind") =!= "audio")
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        when(longSide > maxSide, fit(col("width")))
+          .otherwise(col("width")).as("new_w"),
+        when(longSide > maxSide, fit(col("height")))
+          .otherwise(col("height")).as("new_h"),
+        (longSide > maxSide).as("resized"))
+  }
 }

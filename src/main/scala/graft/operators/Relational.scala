@@ -379,6 +379,56 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
 
+  /** Bloom-prefiltered semi join — the 100 TB join-pruning pattern.
+    * Build a Bloom filter over the (filtered) dimension's keys in one
+    * pass, broadcast its fixed-size bits to every fact partition, and
+    * drop non-matching fact rows BEFORE the shuffle; the real semi join
+    * then removes the filter's false positives, so the result is exactly
+    * the semi join while the shuffle only carries rows that probably
+    * match. This is what Spark's own runtime-filter optimization injects
+    * when statistics allow — here it is explicit, so the pruning is
+    * guaranteed rather than cost-model-dependent.
+    */
+  def bloomSemiJoin(s: SparkSession, dir: String,
+                    minBal: Double = 9000.0): DataFrame = {
+    val hot = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > minBal)
+      .select(col("c_custkey").cast("long").as("c_custkey"))
+    val bf = hot.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    Tables.orders(s, dir)
+      .filter(mightContain(col("o_custkey").cast("long")))
+      .join(hot, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+  }
+
+  /** Approximate aggregates — the 100 TB path where exact distinct
+    * counts (full shuffle of every key) and exact percentiles (per-group
+    * sort) stop being affordable. `approx_count_distinct` is HLL++
+    * (fixed-size sketch, mergeable, one pass); `approx_percentile` is a
+    * bounded-error rank sketch. Both are deterministic for a given
+    * input, but no other engine reproduces the sketch internals, so the
+    * oracle contract is: emit the EXACT value next to a boolean
+    * "sketch landed within tolerance" — the flag is deterministically
+    * true and hash-checkable, the exact column pins the data.
+    */
+  def approxAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("acd"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"))
+      .select(
+        col("l_returnflag"), col("exact_orders"), col("exact_p50"),
+        (abs(col("acd") - col("exact_orders")) <=
+          col("exact_orders") * 0.10).as("acd_ok"),
+        (abs(col("ap50") - col("exact_p50")) <=
+          col("exact_p50") * 0.05).as("ap50_ok"))
+
   /** Q7 equivalent (reference Q7.scala, TPC-H Q3 shape): top-k unshipped
     * orders by revenue. Customer broadcast; orders pre-filtered on
     * orderdate and lineitem on shipdate before the orderkey shuffle.

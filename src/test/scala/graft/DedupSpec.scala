@@ -89,4 +89,31 @@ class DedupSpec extends SparkSpec {
     assert(banked == brute)
     assert(brute.nonEmpty, "fixture should contain simhash near-dups")
   }
+
+  test("assignCanonical: transitive closure to min id; singletons keep themselves") {
+    val pairs = Dedup.minhashPairs(spark, sf, 0.8)
+    val assign = Dedup.assignCanonical(spark, sf, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(assign.keySet == docs)
+    // union-find oracle over the pair list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val clusters = docs.groupBy(find)
+    clusters.foreach { case (_, members) =>
+      val canon = members.min
+      members.foreach(m => assert(assign(m) == canon,
+        s"doc $m -> ${assign(m)}, want $canon"))
+    }
+    assert(assign.exists { case (d, c) => d != c },
+      "fixture should contain at least one dup cluster")
+  }
 }

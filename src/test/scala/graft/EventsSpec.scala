@@ -114,4 +114,24 @@ class EventsSpec extends SparkSpec {
       idx.zip(idx.tail).foreach { case (p, n) => assert(n - p == 100) }
     }
   }
+
+  test("resizePlan fits inside 256², preserves aspect, never upscales") {
+    val rows = Multimodal.resizePlan(Multimodal.decode(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kind, w, h) = (r.getString(1), r.getInt(2), r.getInt(3))
+      val (nw, nh, resized) = (r.getInt(4), r.getInt(5), r.getBoolean(6))
+      assert(kind != "audio")
+      if (resized) {
+        assert(math.max(w, h) > 256 && math.max(nw, nh) <= 256)
+        // floor fit: new = floor(old * 256 / longSide)
+        val ls = math.max(w, h)
+        assert(nw == w * 256 / ls && nh == h * 256 / ls)
+      } else {
+        assert(nw == w && nh == h && math.max(w, h) <= 256)
+      }
+      assert(nw >= 1 && nh >= 1)
+    }
+    assert(rows.exists(_.getBoolean(6)), "fixture should need some resizes")
+  }
 }

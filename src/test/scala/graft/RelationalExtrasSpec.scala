@@ -89,4 +89,25 @@ class RelationalExtrasSpec extends SparkSpec {
     val frac = a.length.toDouble / total
     assert(frac > 0.02 && frac < 0.3, s"fraction $frac out of band")
   }
+
+  test("approx aggregates land within their declared tolerances") {
+    val rows = Relational.approxAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"HLL outside 10% for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"approx p50 outside 5% for ${r.getString(0)}")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("bloom semi join equals the plain semi join") {
+    val got = Relational.bloomSemiJoin(spark, sf).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = Tables.orders(spark, sf).join(
+        Tables.customer(spark, sf).filter(col("c_acctbal") > 9000)
+          .select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .collect().map(_.getAs[Number]("o_orderkey").longValue).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
