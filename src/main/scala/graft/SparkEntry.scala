@@ -48,9 +48,9 @@ object SparkEntry {
           org.apache.spark.sql.functions.lit(1)).as("size"))),
     "percentiles" -> ((s, d) => Relational.pricePercentiles(s, d)),
     // SGD tier: order-dependent sequential fold, replayed by the oracle
-    // as a recursive CTE over poly-hash features (see sgdTrainOracle).
-    // Only sgd_train_shuffled stays rows-only (Spark-rand order);
-    // exact-semantics oracle also lives in MlSpec.
+    // as a recursive CTE over poly-hash features (see sgdTrainOracle);
+    // the shuffled trainer's seeded permutation is arithmetic, so even
+    // it replays. Exact-semantics oracle also lives in MlSpec.
     "sgd_train" -> ((s, d) => Ml.trainQuery(s, d)),
     "sgd_train_shuffled" -> ((s, d) => Ml.trainQuery(s, d, Some(42L))),
     "sgd_apply" -> ((s, d) => Ml.applyQuery(s, d)),
@@ -199,9 +199,9 @@ object SparkEntry {
     * featurization (`Ml.featurize`), whose base-31 fold mod 2^40 is
     * restated inline. Weights/scores round to 6dp both sides: the SQL
     * fold sums each score in vocabulary order, the Scala fold in token
-    * order (~1e-15 relative drift over 500 steps).
-    * `sgd_train_shuffled` alone stays rows-only — its order comes from
-    * Spark's `rand(seed)`, which no other engine reproduces.
+    * order (~1e-15 relative drift over 500 steps). The shuffled
+    * trainer replays too: its permutation is a seeded multiplicative
+    * hash of docid (see `Ml.trainSgd`), not engine-private randomness.
     */
   private def sgdFoldCte(name: String, steps: String): String =
     s"""$name AS (
@@ -248,14 +248,20 @@ object SparkEntry {
   private def sgdScoreExpr(w: String): String =
     s"list_sum(list_transform(g.l, j -> $w.w[j] * d.cv[j]))"
 
-  private def sgdTrainOracle: String =
+  private def sgdTrainOracle(order: String = "doc_id"): String =
     s"""$sgdCommonCte,
        steps AS MATERIALIZED (
-         SELECT row_number() OVER (ORDER BY doc_id) AS step, label, cv FROM dv),
+         SELECT row_number() OVER (ORDER BY $order) AS step, label, cv FROM dv),
        ${sgdFoldCte("fold", "steps")}
        SELECT v.feature AS feature, round(fw.w[v.idx], 6) AS weight
        FROM (SELECT w FROM fold ORDER BY step DESC LIMIT 1) fw
        CROSS JOIN vord v"""
+
+  /** The shuffled trainer's permutation is the seeded multiplicative
+    * hash from `Ml.trainSgd` (seed 42), replayed verbatim. */
+  private def sgdShuffledOrder(seed: Long): String =
+    s"(doc_id * ${graft.operators.Ml.ShuffleMultiplier + seed}) % " +
+      s"${graft.operators.Ml.ShuffleModulus}, doc_id"
 
   private def sgdApplyOracle: String =
     s"""$sgdCommonCte,
@@ -293,7 +299,8 @@ object SparkEntry {
          FROM dv d CROSS JOIN wa CROSS JOIN wb CROSS JOIN wc CROSS JOIN gs g)"""
 
   def oracleSql: Map[String, String] = Map(
-    "sgd_train" -> sgdTrainOracle,
+    "sgd_train" -> sgdTrainOracle(),
+    "sgd_train_shuffled" -> sgdTrainOracle(sgdShuffledOrder(42L)),
     "sgd_apply" -> sgdApplyOracle,
     "sgd_ensemble_avg" -> s"""$sgdEnsembleCte
          SELECT docid, label, round((s0 + s1 + s2) / 3, 6) AS score,

@@ -40,10 +40,20 @@ object Ml {
       transform(polyHashArray(tokenize(col("text"))),
         h => pmod(h, lit(buckets.toLong))).as("features"))
 
-  /** Sequential SGD, one pass in `docid` order (or seeded-random order —
-    * the reference's shuffled trainer, `TrainSpamClassifier.scala:70-77`).
+  /** Sequential SGD, one pass in `docid` order (or seeded-shuffled
+    * order — the reference's shuffled trainer,
+    * `TrainSpamClassifier.scala:70-77`, which prepended `Random.nextInt`
+    * keys and sorted). The shuffle here is a seeded multiplicative-hash
+    * permutation rather than `rand(seed)`: it plays the same role
+    * (decorrelates instance order from docid order) but is a pure
+    * arithmetic function of (docid, seed), so it is reproducible across
+    * engines and the DuckDB oracle can replay the shuffled fold too —
+    * also the property that makes distributed training resumable.
     * Returns the weight table `(feature, weight)`.
     */
+  val ShuffleModulus = 4294967296L // 2^32
+  val ShuffleMultiplier = 2654435761L // Knuth's multiplicative constant
+
   def trainSgd(s: SparkSession, instances: DataFrame,
                delta: Double = DefaultDelta,
                shuffleSeed: Option[Long] = None): DataFrame = {
@@ -51,7 +61,9 @@ object Ml {
     val ds = instances.select("docid", "label", "features")
       .as[(Long, Double, Seq[Long])]
     val ordered = shuffleSeed match {
-      case Some(seed) => ds.orderBy(rand(seed))   // seeded => reproducible
+      case Some(seed) => ds.orderBy(
+        pmod(col("docid") * (ShuffleMultiplier + seed), lit(ShuffleModulus)),
+        col("docid"))
       case None       => ds.orderBy("docid")
     }
     ordered.coalesce(1).mapPartitions { it =>
