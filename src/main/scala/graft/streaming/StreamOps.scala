@@ -126,4 +126,15 @@ object StreamOps {
       .select(l("user_id"), col("l_event_id"), col("r_event_id"),
         col("l_ts"), col("r_ts"))
   }
+
+  /** Stream-static enrichment join: every micro-batch joins against the
+    * (small) static dimension, broadcast so the streaming side never
+    * shuffles — the standard lookup/enrichment stage of an ingest
+    * pipeline. The static side is re-resolvable per batch (Spark
+    * re-plans it), so a slowly-changing dimension backed by a table
+    * picks up updates between batches.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
 }

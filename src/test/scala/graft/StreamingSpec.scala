@@ -83,4 +83,21 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(got == Seq("a", "b", "c", "d"))
   }
+
+  test("enrichStream broadcast-joins the static dimension per batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamOps.enrichStream(
+        in.toDF().toDF("user_id", "value"), dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    in.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    q.stop()
+    // left join: unknown user 3 survives with a null tier
+    assert(got == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+  }
 }
