@@ -106,6 +106,16 @@ object SparkEntry {
     "bloom_semi_join" -> ((s, d) => Relational.bloomSemiJoin(s, d)),
     "media_resize" -> ((s, d) =>
       Multimodal.resizePlan(Multimodal.decode(s, d))),
+    "session_window_agg" -> ((s, d) => Events.sessionWindowAgg(s, d)),
+    "skew_join_salted" -> ((s, d) =>
+      Skew.saltedJoin(Tables.lineitem(s, d), Tables.part(s, d),
+          "l_partkey", "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum(col("l_extendedprice")), 4)
+            .as("rev"))),
     "moving_avg" -> ((s, d) => Events.movingAvg(s, d)),
     "sliding_window" -> ((s, d) => Events.slidingWindow(s, d)),
     "rank_fns" -> ((s, d) => Relational.rankFns(s, d)),
@@ -512,6 +522,30 @@ object SparkEntry {
                 ELSE height END AS new_h,
            greatest(width, height) > 256 AS resized
          FROM dec""",
+    // native session_window semantics: inclusive-overlap merge (break
+    // only at diff > gap, verified by spec) at microsecond precision;
+    // end = last + gap
+    "session_window_agg" ->
+      """WITH e AS (
+           SELECT user_id, value, epoch_us(ts) AS us,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS seq FROM e)
+         SELECT user_id, min(us) // 1000000 AS start_epoch,
+                (max(us) + 1800000000) // 1000000 AS end_epoch,
+                count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, seq""",
+    // the salt only spreads rows; the joined result is the plain join
+    "skew_join_salted" ->
+      """SELECT p_brand, count(*) AS cnt,
+                round(sum(l_extendedprice), 4) AS rev
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
     "moving_avg" ->
       """SELECT user_id, event_id, ep, value,
                 round(avg(value) OVER w, 6) AS mov_avg,

@@ -88,6 +88,26 @@ object Events {
         min(col("kv")).as("min_k"),
         max(col("kv")).as("max_k"))
 
+  /** Gap sessions via Spark's native `session_window` operator (the
+    * declarative form of `sessionize`'s lag/cumsum construction — one
+    * aggregate, streaming-compatible). Boundary semantics match the lag
+    * form exactly: events exactly `gap` apart still merge (verified by
+    * spec — the session extends through `last + gap` INCLUSIVE), a new
+    * session starts only when `diff > gap`. Window end = last event +
+    * gap; the oracle mirrors this at full microsecond precision.
+    */
+  def sessionWindowAgg(s: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("start_epoch"),
+        unix_timestamp(col("sw.end")).as("end_epoch"),
+        col("n_events"), col("sum_value"))
+
   /** Tumbling 1-hour windows per event type (batch twin of the
     * streaming windowed aggregation).
     */

@@ -37,4 +37,27 @@ object Skew {
       .agg(sum("v").as("s"))
       .groupBy("k")
       .agg(sum("s").as("sum_value"))
+
+  /** Salted replicate join for hot probe keys: the build side is
+    * replicated `salts` times (one copy per salt), the probe side gets a
+    * deterministic row-identity salt, and the join key becomes
+    * (key, salt) — a hot key's rows now spread over `salts` reducers
+    * instead of serializing on one. The result set is identical to the
+    * plain join for any salt assignment, which is what the oracle
+    * checks. Trade-off: build side shuffles `salts`× its size — worth it
+    * exactly when one probe key dominates a reducer (AQE's skew-join
+    * split covers sort-merge joins at runtime; this form also covers
+    * pre-partitioned/bucketed layouts where AQE cannot re-split).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, salts: Int = 8): DataFrame = {
+    val sSmall = small.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val sBig = big.withColumn("salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(salts.toLong)))
+    sBig.join(sSmall,
+        sBig(bigKey) === sSmall(smallKey) && sBig("salt") === sSmall("salt"))
+      .drop(sBig("salt")).drop(sSmall("salt"))
+  }
 }

@@ -52,6 +52,30 @@ class EventsSpec extends SparkSpec {
     assert(agg.filter(col("win_start") % 1800 =!= 0).count() == 0)
   }
 
+  test("sessionWindowAgg: ==gap still merges; breaks past gap; end = last + gap") {
+    val dir = java.nio.file.Files.createTempDirectory("sw").toString
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    Seq(
+      (0L, ts(0), 1L, 1.0),
+      (1L, ts(1799), 1L, 2.0), // 1799s gap: merges
+      (2L, ts(3599), 1L, 4.0), // exactly 1800s after: STILL merges (inclusive)
+      (3L, ts(5400), 1L, 8.0), // 1801s after: breaks
+      (4L, ts(99999), 2L, 16.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.sessionWindowAgg(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val base = 1700000000L
+    assert(got.toSeq == Seq(
+      (1L, base, base + 3599 + 1800, 3L),        // events 0,1,2 merged
+      (1L, base + 5400, base + 5400 + 1800, 1L), // event 3 alone
+      (2L, base + 99999, base + 99999 + 1800, 1L)))
+    // same boundary rule as the lag-form sessionize: both see 2 sessions
+    val lagForm = Events.sessionize(spark, dir).collect()
+    assert(lagForm.count(_.getLong(0) == 1L) == 2)
+  }
+
   test("hourlyAgg covers every event exactly once") {
     val agg = Events.hourlyAgg(spark, sf)
     val total = agg.agg(sum("cnt")).collect()(0).getLong(0)

@@ -29,4 +29,19 @@ class SkewSpec extends SparkSpec {
       assert(math.abs(v - plain(k)) < 1e-6)
     }
   }
+
+  test("saltedJoin result set equals the plain join (hot key included)") {
+    // 'hot' dominates the probe side — the case salting exists for
+    val big = ((1 to 2000).map(i => ("hot", i)) ++
+      (1 to 200).map(i => (s"k${i % 11}", i))).toDF("bk", "bv")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k2", "B"), ("zzz", "Z"))
+      .toDF("sk", "sv")
+    val plain = big.join(small, col("bk") === col("sk"))
+      .select("bk", "bv", "sv").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val salted = Skew.saltedJoin(big, small, "bk", "sk", salts = 4)
+      .select("bk", "bv", "sv").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
 }
