@@ -107,6 +107,8 @@ object SparkEntry {
     "media_resize" -> ((s, d) =>
       Multimodal.resizePlan(Multimodal.decode(s, d))),
     "session_window_agg" -> ((s, d) => Events.sessionWindowAgg(s, d)),
+    // capstone: quality ∧ lang ∧ dedup-survivor in one composed plan
+    "curation_pipeline" -> ((s, d) => Pipeline.curate(s, d)),
     "skew_join_salted" -> ((s, d) =>
       Skew.saltedJoin(Tables.lineitem(s, d), Tables.part(s, d),
           "l_partkey", "p_partkey")
@@ -490,6 +492,22 @@ object SparkEntry {
            SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id)
          SELECT id AS doc_id, min(comp) AS canonical_id
          FROM walk GROUP BY id""",
+    // capstone composition: quality ∧ english ∧ dedup-survivor
+    "curation_pipeline" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+         canon AS (SELECT id AS doc_id, min(comp) AS canonical_id
+                   FROM walk GROUP BY id),
+         qual AS ($QualitySql),
+         lang AS ($LangIdSql)
+         SELECT doc_id, q.n_tokens, q.quality
+         FROM qual q JOIN lang USING (doc_id) JOIN canon USING (doc_id)
+         WHERE lang.pred_lang = 'en' AND q.quality >= 0.2
+           AND canonical_id = doc_id""",
     // sketch results are engine-specific; the oracle pins the exact
     // values and the deterministic "sketch within tolerance" flags
     "approx_agg" ->
@@ -642,19 +660,7 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
     "lang_id" -> LangIdSql,
-    "quality_score" -> {
-      val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
-      s"""$TokCte
-         SELECT doc_id, len(ts) AS n_tokens,
-           round(list_sum(list_transform(ts, t -> len(t)))::DOUBLE / len(ts), 6)
-             AS avg_token_len,
-           round(len(list_filter(ts, t -> list_contains($en, t)))::DOUBLE
-             / len(ts), 6) AS stopword_ratio,
-           round(least(1.0, len(ts) / 100.0) *
-             (0.3 + 0.7 * len(list_filter(ts, t -> list_contains($en, t)))
-               / len(ts)), 6) AS quality
-         FROM toks WHERE len(ts) > 0"""
-    },
+    "quality_score" -> QualitySql,
     "token_counts" ->
       """SELECT doc_id,
            len(regexp_extract_all(text, '\S+')) AS ws_tokens,
@@ -981,6 +987,23 @@ object SparkEntry {
        FROM banked a JOIN banked b
          ON a.bank = b.bank AND a.bv = b.bv AND a.doc_id < b.doc_id
        WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+
+  /** Quality scoring restated (length/stopword heuristics over the
+    * shared tokenizer); also a CTE of the curation-pipeline oracle.
+    */
+  private lazy val QualitySql: String = {
+    val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
+    s"""$TokCte
+       SELECT doc_id, len(ts) AS n_tokens,
+         round(list_sum(list_transform(ts, t -> len(t)))::DOUBLE / len(ts), 6)
+           AS avg_token_len,
+         round(len(list_filter(ts, t -> list_contains($en, t)))::DOUBLE
+           / len(ts), 6) AS stopword_ratio,
+         round(least(1.0, len(ts) / 100.0) *
+           (0.3 + 0.7 * len(list_filter(ts, t -> list_contains($en, t)))
+             / len(ts)), 6) AS quality
+       FROM toks WHERE len(ts) > 0"""
+  }
 
   /** Exact shingle-Jaccard near-dup pairs (threshold 0.8, 3-gram
     * shingles) — also the oracle for the MinHash+LSH variant.

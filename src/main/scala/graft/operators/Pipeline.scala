@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed curation pipeline — the end-to-end shape a training-data
+  * run actually executes, demonstrating that the engine's operators
+  * compose as ordinary DataFrames: every stage below is an independent
+  * declarative plan, so Catalyst prunes columns across the joins and
+  * the stages share scans where possible.
+  *
+  * keep(doc) ⇔ language-ID says English
+  *           ∧ quality score ≥ threshold
+  *           ∧ doc is its near-dup cluster's canonical survivor
+  *
+  * Scale shape: three doc_id-keyed joins (co-partitioned after the
+  * first shuffle); the expensive stages (LSH pair generation, component
+  * clustering) are the already-bounded operators they reuse.
+  */
+object Pipeline {
+
+  def curate(s: SparkSession, dir: String,
+             minQuality: Double = 0.2): DataFrame = {
+    val qual = TextStats.quality(s, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val lang = TextStats.langId(s, dir)
+      .select(col("doc_id"), col("pred_lang"))
+    val canon = Dedup.assignCanonical(
+      s, dir, Dedup.minhashPairs(s, dir, 0.8))
+    qual.join(lang, "doc_id")
+      .join(canon, "doc_id")
+      .filter(col("pred_lang") === "en" &&
+        col("quality") >= minQuality &&
+        col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+  }
+}

@@ -116,4 +116,27 @@ class DedupSpec extends SparkSpec {
     assert(assign.exists { case (d, c) => d != c },
       "fixture should contain at least one dup cluster")
   }
+
+  test("curation pipeline: every keep passes all three gates; each gate excludes someone") {
+    import graft.operators.{Pipeline, TextStats}
+    val kept = Pipeline.curate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kept.nonEmpty)
+    kept.values.foreach(q => assert(q >= 0.2))
+    val lang = TextStats.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    kept.keys.foreach(d => assert(lang(d) == "en"))
+    val assign = Dedup.assignCanonical(spark, sf,
+        Dedup.minhashPairs(spark, sf, 0.8)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.keys.foreach(d => assert(assign(d) == d, s"kept non-canonical $d"))
+    // each gate independently excludes at least one doc
+    val all = assign.keySet
+    assert((all -- kept.keySet).exists(d => lang(d) != "en"))
+    assert((all -- kept.keySet).exists(d => assign(d) != d))
+    val qual = TextStats.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
+    assert((all -- kept.keySet).exists(d =>
+      lang(d) == "en" && assign(d) == d && qual.get(d).exists(_ < 0.2)))
+  }
 }
