@@ -123,6 +123,20 @@ object SparkEntry {
     "rank_fns" -> ((s, d) => Relational.rankFns(s, d)),
     "grouping_sets_agg" -> ((s, d) => Relational.groupingSetsAgg(s, d)),
     "ngram_profile" -> ((s, d) => TextStats.ngramProfile(s, d)),
+    // ---- round 3: subquery surface + curation tier ----
+    "exists_subquery" -> ((s, d) => Relational.existsSubquery(s, d)),
+    "not_in_subquery" -> ((s, d) => Relational.notInSubquery(s, d)),
+    "scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, d)),
+    "outer_join_hist" -> ((s, d) => Relational.outerJoinHist(s, d)),
+    "nullsafe_join" -> ((s, d) => Events.nullsafeJoin(s, d)),
+    "first_last_window" -> ((s, d) => Events.firstLastWindow(s, d)),
+    "leading_tokens" -> ((s, d) => TextStats.leadingTokens(s, d)),
+    "pattern_scrub" -> ((s, d) => TextStats.patternScrub(s, d)),
+    "repetition_frac" -> ((s, d) => TextStats.repetitionFrac(s, d)),
+    "stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "train_test_split" -> ((s, d) => Curation.trainTestSplit(s, d)),
+    "seq_packing" -> ((s, d) => Curation.packSequences(s, d)),
+    "contamination" -> ((s, d) => Curation.contamination(s, d)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -311,6 +325,136 @@ object SparkEntry {
          FROM dv d CROSS JOIN wa CROSS JOIN wb CROSS JOIN wc CROSS JOIN gs g)"""
 
   def oracleSql: Map[String, String] = Map(
+    // ---- round 3: subquery surface + curation tier ----
+    "exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS cnt
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority""",
+    "not_in_subquery" ->
+      """SELECT p_brand, count(*) AS n_parts
+         FROM part
+         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                 WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+                                   AND l_shipdate <  TIMESTAMP '2000-07-01')
+         GROUP BY p_brand""",
+    "scalar_subquery" ->
+      """SELECT p_brand, round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = part.p_partkey)
+         GROUP BY p_brand""",
+    "outer_join_hist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT OUTER JOIN orders o
+             ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY c.c_custkey) cc
+         GROUP BY c_count""",
+    "nullsafe_join" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CASE WHEN value >= 5 THEN (props->>'k')::INT % 10 END AS bucket
+           FROM events),
+         c AS (SELECT bucket, count(*) AS n_click FROM ev
+               WHERE event_type = 'click' GROUP BY bucket),
+         p AS (SELECT bucket, count(*) AS n_purchase FROM ev
+               WHERE event_type = 'purchase' GROUP BY bucket)
+         SELECT c.bucket, n_click, n_purchase
+         FROM c JOIN p ON c.bucket IS NOT DISTINCT FROM p.bucket""",
+    "first_last_window" ->
+      """WITH wv AS (
+           SELECT user_id,
+             first_value(event_type) OVER w AS first_et,
+             last_value(event_type) OVER w AS last_et,
+             nth_value(event_type, 2) OVER w AS second_et
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT user_id, max(first_et) AS first_et, max(last_et) AS last_et,
+                max(second_et) AS second_et
+         FROM wv GROUP BY user_id""",
+    "leading_tokens" -> s"""$TokCte,
+         lead AS (SELECT unnest(list_transform(
+                    range(1, least(3, len(ts)) + 1),
+                    i -> {'pos': i, 'token': ts[i]})) AS e
+                  FROM toks WHERE len(ts) > 0),
+         counts AS (SELECT e.pos AS pos, e.token AS token, count(*) AS cnt
+                    FROM lead GROUP BY e.pos, e.token)
+         SELECT pos, token, cnt, rnk FROM (
+           SELECT pos, token, cnt,
+                  row_number() OVER (PARTITION BY pos
+                    ORDER BY cnt DESC, token) AS rnk
+           FROM counts) WHERE rnk <= 3""",
+    "pattern_scrub" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '\b(customer|key|value)\b'))
+             AS n_matches,
+           length(regexp_replace(text, '\b(customer|key|value)\b', '<X>', 'g'))
+             AS scrubbed_len
+         FROM documents""",
+    "repetition_frac" -> s"""$TokCte,
+         sh AS (SELECT doc_id,
+                  list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shs
+                FROM toks WHERE len(ts) >= 3)
+         SELECT doc_id, len(shs) AS total,
+                round(1.0 - len(list_distinct(shs))::DOUBLE / len(shs), 6)
+                  AS rep_frac
+         FROM sh""",
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ((doc_id % 2147483648) * 8388593) % 100 <
+           CASE WHEN lang = 'en' THEN 10 ELSE 40 END""",
+    "train_test_split" ->
+      """SELECT split, lang, count(*) AS n_docs FROM (
+           SELECT lang,
+             CASE WHEN h < 80 THEN 'train'
+                  WHEN h < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+           FROM (SELECT lang,
+                   ((doc_id % 2147483648) * 8388593) % 100 AS h
+                 FROM documents)) s
+         GROUP BY split, lang""",
+    "seq_packing" -> s"""${TokCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         counts AS MATERIALIZED (
+           SELECT doc_id, doc_id % 8 AS bucket, len(ts) AS n_tokens,
+                  row_number() OVER (PARTITION BY doc_id % 8
+                    ORDER BY doc_id) AS rn
+           FROM toks),
+         packed AS (
+           SELECT bucket, rn, doc_id, n_tokens,
+                  0::BIGINT AS bin, n_tokens AS fill
+           FROM counts WHERE rn = 1
+           UNION ALL
+           SELECT c.bucket, c.rn, c.doc_id, c.n_tokens,
+             CASE WHEN p.fill + c.n_tokens > 256
+               THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + c.n_tokens > 256
+               THEN c.n_tokens ELSE p.fill + c.n_tokens END
+           FROM packed p JOIN counts c
+             ON c.bucket = p.bucket AND c.rn = p.rn + 1)
+         SELECT doc_id, bucket, bin, fill FROM packed""",
+    "contamination" -> s"""$TokCte,
+         sh AS MATERIALIZED (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(ts) >= 4
+               THEN list_transform(range(1, len(ts) - 2),
+                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                      ts[i+3])
+               ELSE [array_to_string(ts, ' ')] END) AS shs
+           FROM toks),
+         ex AS MATERIALIZED (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         ev AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 50 = 0)
+         SELECT a.doc_id, count(*) AS n_shared
+         FROM ex a JOIN ev ON a.sh = ev.sh
+         WHERE a.doc_id % 50 <> 0
+         GROUP BY a.doc_id""",
     "sgd_train" -> sgdTrainOracle(),
     "sgd_train_shuffled" -> sgdTrainOracle(sgdShuffledOrder(42L)),
     "sgd_apply" -> sgdApplyOracle,

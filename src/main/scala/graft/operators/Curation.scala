@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Dataset-curation tier — the split/sample/pack/decontaminate steps a
+  * large-scale training-data pipeline runs between raw corpus and
+  * training shards. Everything is deterministic (hash-derived, never
+  * `rand()`), so runs are reproducible and the DuckDB oracle can
+  * restate each operator exactly.
+  *
+  * Scale posture: sampling and splitting are stateless single-scan
+  * filters (they pushdown-compose with any upstream operator); packing
+  * shuffles once on the bucket key and folds each bucket in a single
+  * streaming pass (secondary sort, no in-memory group collection);
+  * decontamination broadcasts the (small) eval-set fingerprints to the
+  * (huge) training side, the join direction that needs no corpus
+  * shuffle at all.
+  */
+object Curation {
+
+  /** The engine's deterministic percentage hash (same multiplicative
+    * scheme as `Relational.sampleHash`, mod 2^31·8388593 — overflow-free
+    * in BIGINT SQL, so the oracle replays it verbatim): maps any id to
+    * a stable pseudo-uniform value in [0, 100).
+    */
+  def pctHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(8388593L), lit(100))
+
+  /** Stratified sampling: per-stratum keep-percentages (e.g. downsample
+    * the dominant language) applied via the deterministic hash — the
+    * rebalancing step before training-mix assembly. A document's fate
+    * depends only on its id, never on partitioning or row order.
+    */
+  def stratifiedSample(s: SparkSession, dir: String,
+                       rates: Map[String, Int] = Map("en" -> 10),
+                       defaultRate: Int = 40): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (els, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(els)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .filter(pctHash(col("doc_id")) < rate)
+  }
+
+  /** Deterministic train/valid/test split (80/10/10 by default) with
+    * per-(split, stratum) counts — the audit table a pipeline checks
+    * before shipping shards. Split membership is a pure function of
+    * doc_id, so re-runs and incremental appends never migrate a
+    * document across splits.
+    */
+  def trainTestSplit(s: SparkSession, dir: String,
+                     trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), pctHash(col("doc_id")).as("h"))
+      .select(col("lang"),
+        when(col("h") < trainPct, "train")
+          .when(col("h") < trainPct + validPct, "valid")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Greedy sequence packing: bin documents into fixed-capacity context
+    * windows (the pre-tokenization shard layout for LLM training).
+    * Documents are bucketed by `doc_id % buckets`; within a bucket, in
+    * doc_id order, each document joins the current bin unless it would
+    * overflow `capacity` tokens, which opens a new bin (an oversized
+    * document gets a bin of its own). Returns one row per document:
+    * (doc_id, bucket, bin, fill) where fill = bin occupancy after
+    * placement.
+    *
+    * The fold is order-dependent within a bucket, so it runs as the
+    * secondary-sort pattern: one shuffle on the bucket key,
+    * `sortWithinPartitions(bucket, doc_id)`, then a single streaming
+    * pass per partition (bucket changes reset the state — several
+    * buckets sharing a partition is fine, a bucket never spans two).
+    * At 100 TB, `buckets` scales with the cluster (each bucket is one
+    * task's streaming pass, state = two longs); the per-bucket greedy
+    * answer is independent of bucket count.
+    */
+  def packSequences(s: SparkSession, dir: String,
+                    buckets: Int = 8, capacity: Int = 256): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        size(col("ts")).cast("long").as("n_tokens"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curBucket = -1L
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, b, n) =>
+          if (b != curBucket) { curBucket = b; bin = 0L; fill = n }
+          else if (fill + n > capacity) { bin += 1; fill = n }
+          else fill += n
+          (id, b, bin, fill)
+        }
+      }
+      .toDF("doc_id", "bucket", "bin", "fill")
+  }
+
+  /** Eval-set decontamination: flag training documents sharing at least
+    * one word `n`-gram with any held-out eval document (the overlap
+    * check run before every benchmark claim). The eval set here is the
+    * deterministic `doc_id % evalMod == 0` slice; returns
+    * (doc_id, n_shared) = per-training-doc count of distinct shared
+    * n-grams, for thresholding downstream.
+    *
+    * Scale shape: the eval side is tiny by construction, so its
+    * distinct shingle set is collected once (the dimension broadcast)
+    * and the corpus side is a single scan computing
+    * `array_intersect` per document — no shuffle, no cache, no
+    * explode of the 100 TB side. (The first cut materialized an
+    * exploded (doc_id, shingle) table and broadcast-joined it: 3× the
+    * wall time just writing shingle strings through the cache, for
+    * the same answer.)
+    */
+  def contamination(s: SparkSession, dir: String,
+                    n: Int = 4, evalMod: Long = 50): DataFrame = {
+    import s.implicits._
+    // eval slice: ~1/evalMod of the corpus, flattened in the driver.
+    // Raw load, not Tables.documents: the spread-repartition there
+    // shuffles every document's full text before the eval filter can
+    // drop 98% of them (measured 3.3s of a 5s query at sf0.1).
+    val evalShingles = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .select(array_distinct(Dedup.shingles(col("ts"), n)).as("shs"))
+      .as[Seq[String]].collect().flatten.distinct.sorted.toSeq
+    // per-doc shingles probe the eval set in one codegen'd pass via the
+    // SetProbeCount expression (hash table built once per executor —
+    // see its scaladoc for why the built-in encodings pay per row or
+    // per optimizer pass). Barrier keeps the n_shared filter from being
+    // pushed below the projection with the whole probe re-inlined.
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("ts"), n)).as("shs"))
+      .select(col("doc_id"),
+        graft.expressions.HashExpressions.setProbeCount(
+          col("shs"), evalShingles).as("n_shared"))
+      .filter(graft.expressions.OptimizerBarrier.noPushdown(
+        col("n_shared") > 0))
+  }
+}

@@ -227,4 +227,48 @@ object Events {
       .select(col("user_id"), col("event_id"), col("ep"),
         col("r_event_id"), round(col("r_value"), 4).as("r_value"))
   }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): correlate
+    * per-bucket click and purchase volumes where the bucket itself is
+    * nullable (low-value events fall into the NULL bucket, which must
+    * match ITSELF — a plain `=` would silently drop it). Both sides
+    * aggregate before the join, so the null-safe comparison runs over
+    * two tiny keyed tables regardless of event volume.
+    */
+  def nullsafeJoin(s: SparkSession, dir: String,
+                   minValue: Double = 5.0): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      when(col("value") >= minValue,
+        pmod(get_json_object(col("props"), "$.k").cast("int"), lit(10)))
+        .as("bucket"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("bucket").agg(count(lit(1)).as("n_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("bucket").agg(count(lit(1)).as("n_purchase"))
+    clicks.join(purchases, clicks("bucket") <=> purchases("bucket"))
+      .select(clicks("bucket").as("bucket"),
+        col("n_click"), col("n_purchase"))
+  }
+
+  /** Frame-exact value windows: each user's first, last and second
+    * event type over the full partition frame (`first_value` /
+    * `last_value` / `nth_value` with ROWS BETWEEN UNBOUNDED PRECEDING
+    * AND UNBOUNDED FOLLOWING — the default running frame would make
+    * `last_value` vacuously equal the current row). Collapsed to one
+    * row per user; the values are frame-constant, so max() is an
+    * arbitrary-but-exact picker.
+    */
+  def firstLastWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_et"),
+        last(col("event_type")).over(w).as("last_et"),
+        nth_value(col("event_type"), 2).over(w).as("second_et"))
+      .groupBy("user_id")
+      .agg(max("first_et").as("first_et"),
+        max("last_et").as("last_et"),
+        max("second_et").as("second_et"))
+  }
 }

@@ -429,6 +429,87 @@ object Relational {
         (abs(col("ap50") - col("exact_p50")) <=
           col("exact_p50") * 0.05).as("ap50_ok"))
 
+  /** Correlated EXISTS subquery (TPC-H Q4 shape — absent from the
+    * reference, which had no subquery surface at all): orders in a date
+    * window that have at least one returned lineitem, counted by
+    * priority. Expressed as ANSI SQL so Catalyst's subquery
+    * decorrelation (`RewritePredicateSubquery`) plans it — it rewrites
+    * to a left-semi join on orderkey, the same physical shape the
+    * reference hand-built for its semi-joins (Q4.scala:80-83), with the
+    * date filter pushed to the orders scan.
+    */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS cnt
+      FROM graft_orders
+      WHERE o_orderdate >= timestamp'1996-01-01 00:00:00'
+        AND o_orderdate <  timestamp'1996-07-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM graft_lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority""")
+  }
+
+  /** NOT IN subquery (null-aware anti join): parts with no shipment in
+    * a given month, counted by brand. Catalyst plans the null-aware
+    * anti join (`NOT IN` must yield empty if the subquery produces any
+    * null — stricter than plain ANTI); with the non-null key here the
+    * fast path applies. At scale the subquery side is the aggregated
+    * key set, broadcast when small.
+    */
+  def notInSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT p_brand, count(*) AS n_parts
+      FROM graft_part
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM graft_lineitem
+                              WHERE l_shipdate >= timestamp'2000-06-01 00:00:00'
+                                AND l_shipdate <  timestamp'2000-07-01 00:00:00')
+      GROUP BY p_brand""")
+  }
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): revenue from
+    * small-quantity lineitems — below 20% of their part's average
+    * quantity — by brand. Catalyst decorrelates the per-part average
+    * into one aggregate joined back on partkey
+    * (`RewriteCorrelatedScalarSubquery`), so the "per-row subquery"
+    * costs one extra aggregation over lineitem, not N queries.
+    */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT p_brand, round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      FROM graft_lineitem JOIN graft_part ON p_partkey = l_partkey
+      WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                          FROM graft_lineitem l2
+                          WHERE l2.l_partkey = graft_part.p_partkey)
+      GROUP BY p_brand""")
+  }
+
+  /** Left outer join + double aggregation (TPC-H Q13 shape): the
+    * distribution of per-customer order counts, with a non-trivial
+    * predicate in the join's ON clause (urgent orders don't count —
+    * which must NOT drop customers, unlike a WHERE filter). Customers
+    * with no qualifying orders survive as c_count = 0 via
+    * `count(o_orderkey)` skipping nulls.
+    */
+  def outerJoinHist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .select("o_custkey", "o_orderkey", "o_orderpriority")
+    c.join(o,
+        c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   /** Q7 equivalent (reference Q7.scala, TPC-H Q3 shape): top-k unshipped
     * orders by revenue. Customer broadcast; orders pre-filtered on
     * orderdate and lineitem on shipdate before the orderkey shuffle.

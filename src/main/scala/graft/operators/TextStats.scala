@@ -106,6 +106,54 @@ object TextStats {
       explode(array_distinct(mins)).as("fingerprint"))
   }
 
+  /** Leading-token profile: top-`k` tokens at each of the first `lead`
+    * positions, via `posexplode` (position-aware flattening — the
+    * LATERAL VIEW surface). One count shuffle + one per-position rank
+    * window over `lead·|vocab|` rows, independent of corpus size.
+    */
+  def leadingTokens(s: SparkSession, dir: String,
+                    lead: Int = 3, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .select(posexplode(slice(col("ts"), 1, lead)).as(Seq("pos0", "token")))
+      .groupBy((col("pos0") + 1).as("pos"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("pos").orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Pattern scrubbing (the PII-redaction shape: emails/phones/ids in a
+    * real corpus; a fixture-matching token class here): count matches
+    * and measure the redacted text, single scan, codegen'd regex ops
+    * (`regexp_count`/`regexp_replace`). The replacement text itself is
+    * summarized as a length so the oracle compares scalars, not blobs.
+    */
+  def patternScrub(s: SparkSession, dir: String,
+                   pattern: String = "\\b(customer|key|value)\\b",
+                   replacement: String = "<X>"): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(pattern)).as("n_matches"),
+      length(regexp_replace(col("text"), pattern, replacement))
+        .as("scrubbed_len"))
+
+  /** Within-document repetition (Gopher-style quality signal): the
+    * fraction of word `n`-gram occurrences that are repeats of an
+    * earlier n-gram in the same document. 0 = no repetition; →1 =
+    * boilerplate. Pure per-row array math, no shuffle.
+    */
+  def repetitionFrac(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .filter(OptimizerBarrier.noPushdown(size(col("ts")) >= n))
+      .select(col("doc_id"), Dedup.shingles(col("ts"), n).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("total"),
+        round(lit(1.0) -
+          size(array_distinct(col("shs"))).cast("double") / size(col("shs")),
+          6).as("rep_frac"))
+
   /** Character n-gram language profiles: the top-`k` most frequent
     * character `n`-grams per labeled language — the model table a
     * true n-gram language identifier scores against (the stopword
