@@ -27,17 +27,18 @@ object Dedup {
         (_, i) => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
       .otherwise(array(concat_ws(" ", ts)))
 
+  // tokenize is projected to an attribute BEFORE the shingle lambda
+  // references it: inlined, every per-shingle slice would re-run the
+  // whole tokenizer (O(len²) per doc — measured 11s of an 18s query)
+  // no filter on shs here: shingles() always yields >=1 element, and a
+  // filter over the computed column gets pushed below the exchange
+  // with the whole tokenize+shingle expression RE-INLINED into it —
+  // one 12s single-task stage at sf0.1 (see memory: lambda re-inlining)
+  private def docShinglesTokens(toks: DataFrame, n: Int): DataFrame =
+    toks.select(col("doc_id"), array_distinct(shingles(col("ts"), n)).as("shs"))
+
   private def docShingles(s: SparkSession, dir: String, n: Int): DataFrame =
-    // tokenize is projected to an attribute BEFORE the shingle lambda
-    // references it: inlined, every per-shingle slice would re-run the
-    // whole tokenizer (O(len²) per doc — measured 11s of an 18s query)
-    // no filter on shs here: shingles() always yields >=1 element, and a
-    // filter over the computed column gets pushed below the exchange
-    // with the whole tokenize+shingle expression RE-INLINED into it —
-    // one 12s single-task stage at sf0.1 (see memory: lambda re-inlining)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), tokenize(col("text")).as("ts"))
-      .select(col("doc_id"), array_distinct(shingles(col("ts"), n)).as("shs"))
+    docShinglesTokens(TextStats.tokenized(s, dir), n)
 
   /** Exact dedup: one representative (min doc id) + duplicate count per
     * distinct text. At 100 TB the group key would be xxhash64(text)
@@ -98,10 +99,17 @@ object Dedup {
     */
   def minhashPairs(s: SparkSession, dir: String, threshold: Double,
                    n: Int = 3, numHashes: Int = 64,
-                   bands: Int = 16): DataFrame = {
+                   bands: Int = 16): DataFrame =
+    minhashPairsTokens(TextStats.tokenized(s, dir), threshold, n,
+      numHashes, bands)
+
+  /** `minhashPairs` over a pre-tokenized `(doc_id, ts)` frame. */
+  def minhashPairsTokens(toks: DataFrame, threshold: Double,
+                         n: Int = 3, numHashes: Int = 64,
+                         bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val docSh = docShingles(s, dir, n).persist()
+    val docSh = docShinglesTokens(toks, n).persist()
     docSh.count() // eager: see jaccardPairs
     val sig = docSh.select(col("doc_id"),
       minhashSignature(col("shs"), numHashes).as("sig"))
@@ -207,8 +215,11 @@ object Dedup {
     * the final assignment is one left join on doc_id.
     */
   def assignCanonical(s: SparkSession, dir: String,
-                      pairs: DataFrame): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+                      pairs: DataFrame): DataFrame =
+    assignCanonicalDocs(Tables.documents(s, dir).select(col("doc_id")), pairs)
+
+  /** `assignCanonical` with an explicit universe of doc ids. */
+  def assignCanonicalDocs(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comps = Graph.connectedComponents(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     docs.join(comps, docs("doc_id") === comps("id"), "left")

@@ -43,18 +43,21 @@ object Graph {
   private def rankCol(i: Int) = s"rank_$i"
 
   /** Partition count for the iterative loops, derived from measured
-    * table size rather than session config. Two regimes: spread across
-    * the cluster only while each task keeps >=50k rows (per-stage task
-    * overhead is paid every iteration, so near-empty tasks compound),
-    * then grow with the data at ~2M rows per partition so each task
-    * stays tens-of-MB regardless of scale. A 5B-edge graph gets ~2.5k
-    * partitions with no config change; the sf0.1 fixture graph gets
-    * ~20 instead of `spark.sql.shuffle.partitions` near-empty ones.
+    * table size rather than session config. Both loops move NARROW rows
+    * (16-byte label tuples; edge + a handful of rank doubles), so two
+    * regimes: spread across the cluster only once each task keeps
+    * ~150k rows (per-stage task overhead is paid every iteration, so
+    * near-empty tasks compound — a 50k-row target left ~1 MB tasks
+    * where scheduling dominated, measured 2-2.5× slower rounds at
+    * sf0.1), then grow with the data at ~4M rows (~64 MB) per task. A
+    * 5B-edge graph gets ~1.2k partitions with no config change; the
+    * sf0.1 fixture graph gets 8 instead of `spark.sql.shuffle
+    * .partitions` near-empty ones.
     */
   private def loopParallelism(s: SparkSession, rows: Long): Int = {
     val byOverhead = math.min(s.sparkContext.defaultParallelism.toLong,
-      rows / 50000L)
-    val byMemory = rows / 2000000L
+      rows / 150000L)
+    val byMemory = rows / 4000000L
     math.max(1L, math.max(byOverhead, byMemory)).toInt
   }
 
@@ -142,10 +145,12 @@ object Graph {
     // scan's file partitioning and force BOTH loop-join sides to shuffle
     // every iteration; the shuffle-hash join lands struct on hash(src,p)
     // (reusing outdeg's agg exchange on the build side)
+    // lazy persists: unlike the dedup tier's fan-out caches, every loop
+    // action references struct and vertices exactly ONCE, so there is
+    // no stampede to pre-empt — the first iteration's job materializes
+    // both, saving two build-time actions (~1.5s at sf0.1). `e` must
+    // stay cached until then; it is dropped after the loop.
     val struct = e.join(outdeg.hint("shuffle_hash"), "src").persist()
-    struct.count() // materialize structure before the loop
-    vertices.count()
-    e.unpersist()
 
     var ranks = vertices.select(
       col("id") +: sources.zipWithIndex.map { case (src, i) =>
@@ -196,6 +201,7 @@ object Graph {
       // no second checkpoint: lineage above is one cheap join off the
       // checkpointed `gathered`
     }
+    e.unpersist(blocking = false)
     ranks
     }
   }
@@ -300,13 +306,17 @@ object Graph {
     * through an order. Supplier ids are offset to avoid key collision.
     */
   def customerSupplierEdges(s: SparkSession, dir: String,
-                            supplierOffset: Long = 1000000L): DataFrame = {
+                            supplierOffset: Long = 1000000L,
+                            distinctPairs: Boolean = true): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val pairs0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"),
         (col("l_suppkey") + supplierOffset).as("sup"))
-      .distinct()
+    // PPR needs exact edge multiplicity (duplicates skew out-degrees),
+    // but the components loop dedupes in-partition anyway — skipping
+    // the distinct there removes a full shuffle of the edge table
+    val pairs = if (distinctPairs) pairs0.distinct() else pairs0
     // both directions in one pass — a self-union would run the
     // lineitem⋈orders build twice
     pairs.select(explode(array(

@@ -21,12 +21,20 @@ object Pipeline {
 
   def curate(s: SparkSession, dir: String,
              minQuality: Double = 0.2): DataFrame = {
-    val qual = TextStats.quality(s, dir)
+    // tokenize ONCE: quality, language ID and the minhash stage all
+    // project from the same cached (doc_id, ts) intermediate (eagerly
+    // materialized — the stages are concurrent subtrees of one action,
+    // the cache-stampede shape). At cluster scale this cache is the
+    // pipeline's materialized tokenized table.
+    val toks = TextStats.tokenized(s, dir).persist()
+    toks.count()
+    val qual = TextStats.qualityTokens(toks)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
-    val lang = TextStats.langId(s, dir)
+    val lang = TextStats.langIdTokens(toks)
       .select(col("doc_id"), col("pred_lang"))
-    val canon = Dedup.assignCanonical(
-      s, dir, Dedup.minhashPairs(s, dir, 0.8))
+    val canon = Dedup.assignCanonicalDocs(
+      toks.select(col("doc_id")),
+      Dedup.minhashPairsTokens(toks, 0.8))
     qual.join(lang, "doc_id")
       .join(canon, "doc_id")
       .filter(col("pred_lang") === "en" &&

@@ -25,12 +25,22 @@ object TextStats {
   private def stopCount(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isin(words.map(lit): _*)))
 
+  /** The tokenized corpus — the shared intermediate every text-tier
+    * operator projects from. Composed pipelines tokenize ONCE by
+    * persisting this and passing it to the `*Tokens` variants below.
+    */
+  private[operators] def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+
   /** n-gram/stopword-count language ID: count hits per language's
     * stopword list, argmax with first-listed language winning ties.
     */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langIdTokens(tokenized(s, dir))
+
+  /** `langId` over a pre-tokenized `(doc_id, ts)` frame. */
+  def langIdTokens(base: DataFrame): DataFrame = {
     val scored = Stopwords.foldLeft(base) { case (df, (lang, words)) =>
       df.withColumn(s"cnt_$lang", stopCount(col("ts"), words))
     }
@@ -50,10 +60,13 @@ object TextStats {
     * stopword ratio. The score formula is arbitrary but fixed:
     * min(1, n_tokens/100) * (0.3 + 0.7 * stopword_ratio).
     */
-  def quality(s: SparkSession, dir: String): DataFrame = {
+  def quality(s: SparkSession, dir: String): DataFrame =
+    qualityTokens(tokenized(s, dir))
+
+  /** `quality` over a pre-tokenized `(doc_id, ts)` frame. */
+  def qualityTokens(base: DataFrame): DataFrame = {
     val en = Stopwords.head._2
-    Tables.documents(s, dir)
-      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+    base
       .filter(OptimizerBarrier.noPushdown(size(col("ts")) > 0))
       .select(
         col("doc_id"),
