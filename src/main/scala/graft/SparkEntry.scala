@@ -138,6 +138,10 @@ object SparkEntry {
     "train_test_split" -> ((s, d) => Curation.trainTestSplit(s, d)),
     "seq_packing" -> ((s, d) => Curation.packSequences(s, d)),
     "contamination" -> ((s, d) => Curation.contamination(s, d)),
+    "upsert_merge" -> ((s, d) => Relational.upsertMerge(s, d)),
+    "unpivot_measures" -> ((s, d) => Relational.unpivotMeasures(s, d)),
+    "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
+    "funnel_conversion" -> ((s, d) => Events.funnel(s, d)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -327,6 +331,66 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     // ---- round 3: subquery surface + curation tier ----
+    "upsert_merge" ->
+      """WITH latest_base AS (
+           SELECT o_custkey, o_orderdate AS b_date, o_orderstatus AS b_status
+           FROM (SELECT o_custkey, o_orderdate, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1998-01-01') b WHERE rn = 1),
+         latest_delta AS (
+           SELECT o_custkey, o_orderdate AS d_date, o_orderstatus AS d_status
+           FROM (SELECT o_custkey, o_orderdate, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01') d WHERE rn = 1)
+         SELECT coalesce(b.o_custkey, d.o_custkey) AS o_custkey,
+                strftime(coalesce(d_date, b_date), '%Y-%m-%d')
+                  AS last_orderdate,
+                coalesce(d_status, b_status) AS last_status,
+                CASE WHEN d_date IS NOT NULL THEN 'delta' ELSE 'base' END
+                  AS src
+         FROM latest_base b FULL OUTER JOIN latest_delta d
+           ON b.o_custkey = d.o_custkey""",
+    "unpivot_measures" ->
+      """WITH wide AS (
+           SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+                  round(sum(l_extendedprice), 4) AS sum_price,
+                  round(sum(l_discount), 4) AS sum_disc
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'sum_disc', sum_disc FROM wide""",
+    "embedding_centroids" ->
+      """WITH ex AS (
+           SELECT label,
+             unnest(list_transform(range(0, len(embedding)),
+               i -> {'pos': i, 'v': embedding[i + 1]})) AS e
+           FROM embeddings)
+         SELECT label, e.pos AS pos,
+                round(avg(e.v::DOUBLE), 6) AS centroid,
+                count(*) AS n_vecs
+         FROM ex GROUP BY label, e.pos""",
+    "funnel_conversion" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                       epoch_ms(ts) // 1000 AS ep FROM events),
+         v AS (SELECT user_id, min(ep) AS t1 FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(ep) AS t2 FROM ev e
+               JOIN v USING (user_id)
+               WHERE event_type = 'click' AND e.ep > v.t1 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(ep) AS t3 FROM ev e
+               JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND e.ep > c.t2
+               GROUP BY e.user_id)
+         SELECT v.user_id,
+                1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
     "exists_subquery" ->
       """SELECT o_orderpriority, count(*) AS cnt
          FROM orders

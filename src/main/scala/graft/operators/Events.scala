@@ -228,6 +228,32 @@ object Events {
         col("r_event_id"), round(col("r_value"), 4).as("r_value"))
   }
 
+  /** Ordered funnel analysis: how far each user progresses through
+    * view → click → purchase, where each stage must strictly follow the
+    * previous one in (second-granularity) event time. Three filtered
+    * min-aggregations chained by key joins — each stage's frame shrinks,
+    * so the plan is a cascade of small hash joins, never a per-user
+    * sort. Returns (user_id, stage ∈ 1..3) for users with ≥1 view.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ep").as("t1"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("ep") > col("t1"))
+      .groupBy("user_id").agg(min("ep").as("t2"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("ep") > col("t2"))
+      .groupBy("user_id").agg(min("ep").as("t3"))
+    views.join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
+          when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): correlate
     * per-bucket click and purchase volumes where the bucket itself is
     * nullable (low-value events fall into the NULL bucket, which must

@@ -510,6 +510,51 @@ object Relational {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** Upsert/MERGE shape (SCD-1): reconcile a base snapshot (latest
+    * order per customer before `cutoff`) with a delta batch (latest
+    * order after it) — full outer join on the key, delta wins where
+    * present, base survives otherwise, and `src` records which side
+    * produced each row. This is the logical plan a MERGE INTO compiles
+    * to; at 100 TB both sides would be bucketed on the key so the full
+    * outer join is exchange-free.
+    */
+  def upsertMerge(s: SparkSession, dir: String,
+                  cutoff: String = "1998-01-01"): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    def latest(side: DataFrame): DataFrame = side
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderstatus"))
+    val orders = Tables.orders(s, dir)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+    val base = latest(orders.filter(col("o_orderdate") < lit(cutoff)))
+      .withColumnsRenamed(Map("o_orderdate" -> "b_date", "o_orderstatus" -> "b_status"))
+    val delta = latest(orders.filter(col("o_orderdate") >= lit(cutoff)))
+      .withColumnsRenamed(Map("o_orderdate" -> "d_date", "o_orderstatus" -> "d_status"))
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        date_format(coalesce(col("d_date"), col("b_date")), "yyyy-MM-dd")
+          .as("last_orderdate"),
+        coalesce(col("d_status"), col("b_status")).as("last_status"),
+        when(col("d_date").isNotNull, "delta").otherwise("base").as("src"))
+  }
+
+  /** UNPIVOT (wide → long): per-returnflag measure columns melted into
+    * (l_returnflag, measure, value) rows via the native `unpivot`
+    * operator — the inverse of `pivotAgg`. Values are rounded before
+    * the melt so both engines compare the same scalars.
+    */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_price"),
+        round(sum("l_discount"), 4).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+
   /** Q7 equivalent (reference Q7.scala, TPC-H Q3 shape): top-k unshipped
     * orders by revenue. Customer broadcast; orders pre-filtered on
     * orderdate and lineitem on shipdate before the orderkey shuffle.

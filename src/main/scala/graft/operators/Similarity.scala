@@ -162,4 +162,17 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Per-label mean embedding (the class-centroid table an IVF index or
+    * a label-conditioned retrieval layer builds): positions explode via
+    * `posexplode`, one partial-aggregated shuffle on (label, pos) —
+    * mergeable at any scale because a mean is a (sum, count) sketch.
+    * Output: (label, pos, centroid, n_vecs), dim × labels rows.
+    */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_vecs"))
 }
