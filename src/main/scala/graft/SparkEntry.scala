@@ -142,6 +142,7 @@ object SparkEntry {
     "unpivot_measures" -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "funnel_conversion" -> ((s, d) => Events.funnel(s, d)),
+    "media_features" -> ((s, d) => Multimodal.featureExtract(s, d)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -331,6 +332,16 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     // ---- round 3: subquery surface + curation tier ----
+    "media_features" ->
+      """WITH ch AS (
+           SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+             unnest(list_transform(string_split(text, ''),
+               c -> ord(c) % 16)) AS bin
+           FROM documents)
+         SELECT doc_id, kind, bin, count(*) AS cnt
+         FROM ch GROUP BY doc_id, kind, bin""",
     "upsert_merge" ->
       """WITH latest_base AS (
            SELECT o_custkey, o_orderdate AS b_date, o_orderstatus AS b_status

@@ -88,6 +88,36 @@ object Multimodal {
       }
   }
 
+  /** Feature extraction over the media table — the decode→features
+    * stage of a multimodal pipeline, running at the same typed
+    * per-partition batch boundary as `decode` (a real extractor would
+    * hand each batch to a codec/model here). The DETERMINISTIC FAKE
+    * feature is a `bins`-bin code-point histogram of the blob; emitted
+    * exploded as (doc_id, kind, bin, cnt), zero bins omitted, so the
+    * oracle compares exact integers and downstream ops can pivot it
+    * back into a dense vector.
+    */
+  def featureExtract(s: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select("doc_id", "kind", "blob")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, kind, blob) =>
+          val hist = new Array[Long](bins)
+          val str = new String(blob, java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          while (i < str.length) {
+            val cp = str.codePointAt(i)
+            hist(cp % bins) += 1
+            i += Character.charCount(cp)
+          }
+          (0 until bins).iterator.filter(hist(_) > 0)
+            .map(b => (id, kind, b, hist(b)))
+        }
+      }.toDF("doc_id", "kind", "bin", "cnt")
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame index, the
     * plumbing a frame-level feature extractor would fan out over.
     */

@@ -43,6 +43,19 @@ class MergeFunnelSpec extends SparkSpec {
     assert(perPos == total)
   }
 
+  test("media features: histogram counts sum to blob length") {
+    val byDoc = graft.operators.Multimodal.featureExtract(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.map(_.getLong(3)).sum == lens(id))
+      assert(rows.map(_.getInt(2)).forall(b => b >= 0 && b < 16))
+    }
+  }
+
   test("funnel: stages are monotone and bounded") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.nonEmpty)
