@@ -143,6 +143,9 @@ object SparkEntry {
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "funnel_conversion" -> ((s, d) => Events.funnel(s, d)),
     "media_features" -> ((s, d) => Multimodal.featureExtract(s, d)),
+    "date_spine_fill" -> ((s, d) =>
+      Relational.dateSpineFill(s, d, Seq("NATION_3", "NATION_24"))),
+    "argmax_agg" -> ((s, d) => Relational.argMaxAgg(s, d)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -332,6 +335,39 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     // ---- round 3: subquery surface + curation tier ----
+    "date_spine_fill" ->
+      """WITH spine AS (
+           SELECT strftime(('1995-01-01'::DATE + INTERVAL (i) MONTH),
+                    '%Y-%m') AS ship_month
+           FROM range(0, 84) r(i)),
+         nat AS (SELECT n_name FROM nation
+                 WHERE n_name IN ('NATION_3', 'NATION_24')),
+         counts AS (
+           SELECT n_name, strftime(l_shipdate, '%Y-%m') AS ship_month,
+                  count(*) AS cnt
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE n_name IN ('NATION_3', 'NATION_24')
+           GROUP BY n_name, ship_month)
+         SELECT nat.n_name, spine.ship_month, coalesce(cnt, 0) AS cnt
+         FROM nat CROSS JOIN spine
+         LEFT JOIN counts ON counts.n_name = nat.n_name
+           AND counts.ship_month = spine.ship_month""",
+    "argmax_agg" ->
+      """SELECT o_orderstatus,
+             max_by(o_orderpriority,
+                    CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                      + o_orderkey) AS priciest_priority,
+             strftime(min_by(o_orderdate,
+                    CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                      + o_orderkey), '%Y-%m-%d') AS cheapest_date,
+             count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+             bool_or(o_totalprice > 400000) AS any_jumbo,
+             bool_and(o_totalprice > 1000) AS all_above_1k
+         FROM orders
+         GROUP BY o_orderstatus""",
     "media_features" ->
       """WITH ch AS (
            SELECT doc_id,

@@ -136,6 +136,56 @@ object Relational {
       .orderBy(col("n_name"), col("ship_month"))
   }
 
+  /** Calendar densification ("date spine"): Q5's monthly counts LEFT
+    * JOINed onto a generated nation × month grid so months with no
+    * shipments surface as explicit zeros — the gap-filling step every
+    * reporting pipeline needs and GROUP BY alone cannot produce. The
+    * spine is `sequence()`-generated (rows from expressions, no table
+    * scan) and tiny, so it broadcasts; the fact side is the already-
+    * aggregated Q5 output, never the raw table.
+    */
+  def dateSpineFill(s: SparkSession, dir: String, nations: Seq[String],
+                    from: String = "1995-01-01",
+                    months: Int = 84): DataFrame = {
+    val spine = s.range(1).select(explode(sequence(lit(0),
+        lit(months - 1))).as("i"))
+      .select(date_format(add_months(to_date(lit(from)), col("i")), "yyyy-MM")
+        .as("ship_month"))
+    val nat = Tables.nation(s, dir)
+      .filter(col("n_name").isin(nations: _*)).select("n_name")
+    nat.crossJoin(spine)
+      .join(q5Monthly(s, dir, nations), Seq("n_name", "ship_month"), "left")
+      .select(col("n_name"), col("ship_month"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Arg-selecting / conditional aggregate family: per order status the
+    * priority of the most expensive order (`max_by`), the date of the
+    * cheapest (`min_by`), a FILTER-clause conditional count, and
+    * `bool_or`/`every` predicates — the aggregates the reference
+    * emulated with sort-then-take. All partial-aggregable (each carries
+    * one (key, value) pair per group per task). The ordering key packs
+    * (cents, orderkey) into one exact BIGINT so ties are impossible and
+    * both engines pick the same row — `mode()` is deliberately absent:
+    * its tie-break is engine-arbitrary (and sf0.001 ties).
+    */
+  def argMaxAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql("""
+      SELECT o_orderstatus,
+             max_by(o_orderpriority,
+                    CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                      + o_orderkey) AS priciest_priority,
+             date_format(min_by(o_orderdate,
+                    CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                      + o_orderkey), 'yyyy-MM-dd') AS cheapest_date,
+             count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+             bool_or(o_totalprice > 400000) AS any_jumbo,
+             every(o_totalprice > 1000) AS all_above_1k
+      FROM graft_orders
+      GROUP BY o_orderstatus""")
+  }
+
   /** Q6 equivalent (reference Q6.scala, TPC-H Q1 shape): grouped
     * multi-aggregate over the shipped window. Single scan → single
     * partial+final hash aggregate; the derived measures stay inside

@@ -56,6 +56,27 @@ class MergeFunnelSpec extends SparkSpec {
     }
   }
 
+  test("date spine: dense grid, zero-filled months, totals preserved") {
+    val nations = Seq("NATION_3", "NATION_24")
+    val rows = Relational.dateSpineFill(spark, sf, nations).collect()
+    assert(rows.length == nations.length * 84, "dense nation x month grid")
+    val sparse = Relational.q5Monthly(spark, sf, nations).collect()
+    assert(rows.map(_.getLong(2)).sum == sparse.map(_.getLong(2)).sum)
+    assert(rows.exists(_.getLong(2) == 0L), "gap months surface as zeros")
+  }
+
+  test("argmax agg: picks the actual extreme rows") {
+    val rows = Relational.argMaxAgg(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet").collect()
+      .groupBy(_.getString(2)) // o_orderstatus
+    rows.foreach { r =>
+      val grp = orders(r.getString(0))
+      val priciest = grp.maxBy(x => (x.getDouble(3), x.getLong(0)))
+      assert(r.getString(1) == priciest.getString(5))
+      assert(r.getLong(3) == grp.count(_.getDouble(3) > 100000))
+    }
+  }
+
   test("funnel: stages are monotone and bounded") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.nonEmpty)
