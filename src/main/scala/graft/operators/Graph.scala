@@ -207,16 +207,25 @@ object Graph {
   }
 
   /** Top-k nodes per source (reference `ExtractTopPersonalizedPageRank
-    * Nodes.java:41-128`): returns (source, id, rank) — distributed top-k
-    * (TakeOrderedAndProject) per source, no driver-side heaps.
+    * Nodes.java:41-128`): returns (source, id, rank). The per-source
+    * rank columns melt via `posexplode` into one pass with a rank-
+    * filter window (plans `WindowGroupLimit`: each map task keeps its
+    * local top-k before the per-source shuffle) — a union of per-source
+    * sorts would instead evaluate the ranks plan once PER source and
+    * grow the plan linearly with source count.
     */
-  def topK(ranks: DataFrame, sources: Seq[Long], k: Int): DataFrame =
-    sources.zipWithIndex.map { case (src, i) =>
-      ranks.select(lit(src).as("source"), col("id"),
-          col(rankCol(i)).as("rank"))
-        .orderBy(col("rank").desc, col("id"))
-        .limit(k)
-    }.reduce(_ union _)
+  def topK(ranks: DataFrame, sources: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcOf = element_at(array(sources.map(lit): _*), col("idx") + 1)
+    ranks
+      .select(col("id"), posexplode(array(
+        sources.indices.map(i => col(rankCol(i))): _*)).as(Seq("idx", "rank")))
+      .select(srcOf.as("source"), col("id"), col("rank"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("rank").desc, col("id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
 
   /** Connected components by iterative min-label propagation (edges
     * treated as undirected): every node adopts the minimum component id
