@@ -146,6 +146,7 @@ object SparkEntry {
     "date_spine_fill" -> ((s, d) =>
       Relational.dateSpineFill(s, d, Seq("NATION_3", "NATION_24"))),
     "argmax_agg" -> ((s, d) => Relational.argMaxAgg(s, d)),
+    "regression_agg" -> ((s, d) => Relational.regressionAgg(s, d)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -355,6 +356,14 @@ object SparkEntry {
          FROM nat CROSS JOIN spine
          LEFT JOIN counts ON counts.n_name = nat.n_name
            AND counts.ship_month = spine.ship_month""",
+    "regression_agg" ->
+      """SELECT l_returnflag,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             regr_count(l_extendedprice, l_quantity) AS n_pairs
+         FROM lineitem GROUP BY l_returnflag""",
     "argmax_agg" ->
       """SELECT o_orderstatus,
              max_by(o_orderpriority,

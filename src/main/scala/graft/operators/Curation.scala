@@ -81,13 +81,21 @@ object Curation {
     * answer is independent of bucket count.
     */
   def packSequences(s: SparkSession, dir: String,
-                    buckets: Int = 8, capacity: Int = 256): DataFrame = {
+                    buckets: Int = 8, capacity: Int = 256): DataFrame =
+    packDocs(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokenize(col("text")).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens")),
+      buckets, capacity)
+
+  /** The packing core over any `(doc_id, n_tokens)` frame. */
+  def packDocs(counts: DataFrame, buckets: Int, capacity: Int): DataFrame = {
+    val s = counts.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+    counts
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
-        size(col("ts")).cast("long").as("n_tokens"))
+        col("n_tokens").cast("long").as("n_tokens"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "doc_id")
       .as[(Long, Long, Long)]

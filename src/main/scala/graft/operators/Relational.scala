@@ -367,6 +367,23 @@ object Relational {
         round(covar_samp(col("l_extendedprice"), col("l_discount")), 4)
           .as("cov_pd"))
 
+  /** Linear-regression aggregates (`regr_*`): slope, intercept, r²,
+    * and paired-row count of extendedprice against quantity per return
+    * flag — one-pass mergeable moment sketches (sums of x, y, xy, x²),
+    * so they scale exactly like sum/avg. Rounded for engine-portable
+    * float comparison.
+    */
+  def regressionAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+          .as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+          .as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n_pairs"))
+
   /** Deterministic hash-based sampling (the scalable sampling idiom: no
     * RNG state, reproducible across engines and retries, pushes to the
     * scan as a plain predicate). Keeps rows whose key hashes into
