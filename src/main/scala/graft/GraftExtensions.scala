@@ -20,13 +20,17 @@ import graft.expressions.NoPushdown
   * spark.sql("SELECT simhash40(tokens), cosine_sim(a, b) FROM t")
   * }}}
   *
-  * Also injects `BandedLevenshteinRule`, an optimizer rule that
-  * rewrites thresholded edit-distance filter predicates
-  * (`levenshtein(a,b) <= k`) to the banded O(len·k) algorithm — an
-  * exact, semantics-preserving rewrite (see the rule's doc). Everything
-  * else is additive and idempotent; no other built-in behavior changes
-  * (SURVEY §7.3: full parity needs no custom Rule/Strategy — this one
-  * is a pure optimization).
+  * Also injects two optimizer rules — exact, semantics-preserving
+  * rewrites (see each rule's doc):
+  *  - `BandedLevenshteinRule`: thresholded edit-distance filter
+  *    predicates (`levenshtein(a,b) <= k`) run the banded O(len·k)
+  *    algorithm;
+  *  - `StaticSetProbeRule`: `size(array_intersect(col, <literal>))`
+  *    probes a once-per-executor hash set instead of rebuilding the
+  *    constant side's lookup table per row.
+  * Everything else is additive and idempotent; no other built-in
+  * behavior changes (SURVEY §7.3: full parity needs no custom
+  * Rule/Strategy — these are pure optimizations).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -41,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+    ext.injectOptimizerRule(_ => graft.plans.StaticSetProbeRule)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
       args => SimHash64(one(args, "simhash64"))))

@@ -195,28 +195,42 @@ object HashExpressions {
       copy(child = c)
   }
 
-  /** Shared evaluator for SetProbeCount (called from generated code). */
+  /** Shared evaluator for SetProbeCount (called from generated code):
+    * |distinct(input) ∩ set|, with a null element counting iff both
+    * sides contain one — exactly `size(array_intersect(input, lit))`.
+    * Only MATCHED elements enter the per-row dedup set, so its size is
+    * bounded by the reference set, not the row.
+    */
   def setProbeCountEval(input: ArrayData,
-                        set: java.util.HashSet[UTF8String]): Int = {
-    var c = 0
+                        set: java.util.HashSet[UTF8String],
+                        setHasNull: Boolean): Int = {
+    val matched = new java.util.HashSet[UTF8String](8)
+    var nullMatch = 0
     var i = 0
     while (i < input.numElements()) {
-      if (!input.isNullAt(i) && set.contains(input.getUTF8String(i))) c += 1
+      if (input.isNullAt(i)) {
+        if (setHasNull) nullMatch = 1
+      } else {
+        val e = input.getUTF8String(i)
+        if (set.contains(e)) matched.add(e)
+      }
       i += 1
     }
-    c
+    matched.size + nullMatch
   }
 
-  /** Count of an `array<string>`'s elements that belong to a fixed
-    * reference set — the decontamination probe. The set is carried as
-    * one reference object with its hash table built ONCE per executor
-    * (`@transient lazy`), where every built-in encoding pays per row:
+  /** `size(array_intersect(child, <fixed set>))` with the set carried
+    * as ONE reference object whose hash table builds once per executor
+    * (`@transient lazy`) — the decontamination probe. Every built-in
+    * encoding pays per row or per plan instead:
     * `array_intersect(col, lit(set))` rebuilds the lookup table per
     * document, and a 5k-literal `isin` costs the optimizer seconds of
     * fixed-point traversal over a 5k-child `In` before `InSet` kicks in
-    * (both measured 2-4× slower at sf0.1).
+    * (both measured 2-4× slower at sf0.1). `StaticSetProbeRule`
+    * rewrites the built-in form to this expression automatically.
     */
-  case class SetProbeCount(child: Expression, elements: Seq[String])
+  case class SetProbeCount(child: Expression, elements: Seq[String],
+                           setHasNull: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
     @transient private lazy val set = {
@@ -225,10 +239,11 @@ object HashExpressions {
       s
     }
     override def nullSafeEval(input: Any): Any =
-      setProbeCountEval(input.asInstanceOf[ArrayData], set)
+      setProbeCountEval(input.asInstanceOf[ArrayData], set, setHasNull)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("probeSet", set, "java.util.HashSet")
-      defineCodeGen(ctx, ev, c => s"$Evaluator.setProbeCountEval($c, $ref)")
+      defineCodeGen(ctx, ev,
+        c => s"$Evaluator.setProbeCountEval($c, $ref, $setHasNull)")
     }
     override protected def withNewChildInternal(c: Expression): SetProbeCount =
       copy(child = c)
