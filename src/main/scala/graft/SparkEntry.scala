@@ -147,6 +147,7 @@ object SparkEntry {
       Relational.dateSpineFill(s, d, Seq("NATION_3", "NATION_24"))),
     "argmax_agg" -> ((s, d) => Relational.argMaxAgg(s, d)),
     "regression_agg" -> ((s, d) => Relational.regressionAgg(s, d)),
+    "zorder_cluster" -> ((s, d) => Relational.zorderBuckets(s, d)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -356,6 +357,22 @@ object SparkEntry {
          FROM nat CROSS JOIN spine
          LEFT JOIN counts ON counts.n_name = nat.n_name
            AND counts.ship_month = spine.ship_month""",
+    "zorder_cluster" ->
+      """WITH z AS (
+           SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             list_sum(list_transform(range(0, 16), i ->
+               (((l_partkey >> i) & 1) << (2 * i)) +
+               (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS z
+           FROM lineitem),
+         b AS (
+           SELECT l_partkey, l_suppkey,
+             ntile(64) OVER (ORDER BY z, l_orderkey, l_linenumber)
+               AS bucket
+           FROM z)
+         SELECT bucket, count(*) AS n_rows,
+                min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+                min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         FROM b GROUP BY bucket""",
     "regression_agg" ->
       """SELECT l_returnflag,
              round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

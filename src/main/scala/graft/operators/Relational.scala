@@ -367,6 +367,36 @@ object Relational {
         round(covar_samp(col("l_extendedprice"), col("l_discount")), 4)
           .as("cov_pd"))
 
+  /** Z-order clustering: interleave the low 16 bits of two join/filter
+    * keys into one Morton curve position, assign rows to `buckets`
+    * equal-size files in curve order (`ntile` — the file assignment a
+    * `repartitionByRange(z)` table rewrite produces), and emit each
+    * bucket's per-column min/max — the zone map a writer stores so
+    * range pruning works on BOTH columns at once (each bucket spans a
+    * bounded rectangle of (partkey, suppkey) space). Pure integer bit
+    * arithmetic + a rank, exactly restatable in SQL. The global-order
+    * window IS the point at scale — a layout rewrite is a total range
+    * partitioning; Spark runs it as `repartitionByRange` + local sort,
+    * never one task.
+    */
+  def zorderBuckets(s: SparkSession, dir: String,
+                    buckets: Int = 64): DataFrame = {
+    val morton = (0 until 16).map { i =>
+      (shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(1), 2 * i + 1))
+        .cast("long")
+    }.reduce(_ + _)
+    val w = Window.orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"), morton.as("z"))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+  }
+
   /** Linear-regression aggregates (`regr_*`): slope, intercept, r²,
     * and paired-row count of extendedprice against quantity per return
     * flag — one-pass mergeable moment sketches (sums of x, y, xy, x²),

@@ -77,6 +77,20 @@ class MergeFunnelSpec extends SparkSpec {
     }
   }
 
+  test("zorder buckets: clustering narrows per-bucket key rectangles") {
+    val rows = Relational.zorderBuckets(spark, sf, buckets = 16).collect()
+    assert(rows.length == 16)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == spark.read.parquet(s"$sf/lineitem.parquet").count())
+    // locality: the MEDIAN bucket's partkey span must be well under the
+    // global span (z-order clusters both dims; a random assignment
+    // would give every bucket ~the full range)
+    val globalSpan = rows.map(_.getLong(3)).max - rows.map(_.getLong(2)).min
+    val spans = rows.map(r => r.getLong(3) - r.getLong(2)).sorted
+    assert(spans(spans.length / 2) < globalSpan / 2,
+      s"median span ${spans(spans.length / 2)} vs global $globalSpan")
+  }
+
   test("funnel: stages are monotone and bounded") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.nonEmpty)
