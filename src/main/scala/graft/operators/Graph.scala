@@ -238,8 +238,42 @@ object Graph {
     * same join-shape machinery). Convergence is one scalar count rolled
     * into the round's single action.
     */
+  /** Driver-side union-find for edge sets below `driverCutoff`: the
+    * label-propagation loop pays ~3 shuffle rounds of cluster-wide
+    * scheduling regardless of size, which for the kilobyte-scale pair
+    * sets an LSH dedup emits is all overhead (measured ~1s per call at
+    * sf0.1). Same answer as the loop: component = min reachable id.
+    * The cutoff is on the COUNTED edge list, so a 100 TB graph always
+    * takes the distributed path; this is the same small-input collapse
+    * AQE applies to joins.
+    */
+  private def driverComponents(s: SparkSession,
+                               edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rows = parent.keys.map(id => Row(id, find(id))).toSeq
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("comp", LongType, nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-                          symmetric: Boolean = false): DataFrame = {
+                          symmetric: Boolean = false,
+                          driverCutoff: Int = 10000): DataFrame = {
     val s = edges.sparkSession
     val dir0 = edgeRdd(edges)
     // symmetrize in ONE pass over the input instead of a self-union,
@@ -248,7 +282,13 @@ object Graph {
     val raw = (if (symmetric) dir0
       else dir0.flatMap { case (a, b) => Iterator((a, b), (b, a)) })
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val part = new HashPartitioner(loopParallelism(s, raw.count()))
+    val rawCount = raw.count()
+    if (rawCount <= driverCutoff) {
+      val collected = raw.collect()
+      raw.unpersist(blocking = false)
+      return driverComponents(s, collected)
+    }
+    val part = new HashPartitioner(loopParallelism(s, rawCount))
     // ONE shuffle lands the edges on their loop partitioning; duplicate
     // edges are dropped in-partition (every copy of (src,dst) hashes to
     // src's partition) instead of paying a global `distinct` shuffle

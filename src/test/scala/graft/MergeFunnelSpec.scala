@@ -91,6 +91,20 @@ class MergeFunnelSpec extends SparkSpec {
       s"median span ${spans(spans.length / 2)} vs global $globalSpan")
   }
 
+  test("connected components: driver union-find == distributed loop") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L),
+      (12L, 11L), (20L, 21L), (21L, 20L)).toDF("src", "dst")
+    val viaDriver = graft.operators.Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = graft.operators.Graph
+      .connectedComponents(edges, driverCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(3L) == 1L && viaDriver(12L) == 10L
+      && viaDriver(21L) == 20L)
+  }
+
   test("funnel: stages are monotone and bounded") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.nonEmpty)
