@@ -148,6 +148,8 @@ object SparkEntry {
     "argmax_agg" -> ((s, d) => Relational.argMaxAgg(s, d)),
     "regression_agg" -> ((s, d) => Relational.regressionAgg(s, d)),
     "zorder_cluster" -> ((s, d) => Relational.zorderBuckets(s, d)),
+    "multiset_ops" -> ((s, d) =>
+      Relational.multisetOps(s, d, "1996-03", "1996-04")),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -357,6 +359,20 @@ object SparkEntry {
          FROM nat CROSS JOIN spine
          LEFT JOIN counts ON counts.n_name = nat.n_name
            AND counts.ship_month = spine.ship_month""",
+    "multiset_ops" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem
+                    WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 3),
+         b AS (SELECT l_suppkey FROM lineitem
+               WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 4),
+         tagged AS (
+           SELECT 'except_all' AS op, l_suppkey
+           FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+           UNION ALL
+           SELECT 'intersect_all', l_suppkey
+           FROM (SELECT l_suppkey FROM a INTERSECT ALL
+                 SELECT l_suppkey FROM b))
+         SELECT op, l_suppkey, count(*) AS multiplicity
+         FROM tagged GROUP BY op, l_suppkey""",
     "zorder_cluster" ->
       """WITH z AS (
            SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,

@@ -298,6 +298,25 @@ object Relational {
       .except(o.filter(col("o_orderdate") >= cutoff).select("o_custkey"))
   }
 
+  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    * DUPLICATE cardinalities (a supplier shipping 5 times in month 1
+    * and twice in month 2 survives EXCEPT ALL 3 times), which the
+    * distinct variants above erase. Spark plans both as a count-
+    * per-row aggregate + generate, one shuffle each; both results are
+    * union-tagged into one frame so the operator pair verifies as a
+    * single query.
+    */
+  def multisetOps(s: SparkSession, dir: String,
+                  m1: String, m2: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(dateMatch(col("l_shipdate"), m1)).select("l_suppkey")
+    val b = li.filter(dateMatch(col("l_shipdate"), m2)).select("l_suppkey")
+    a.exceptAll(b).withColumn("op", lit("except_all"))
+      .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .groupBy("op", "l_suppkey")
+      .agg(count(lit(1)).as("multiplicity"))
+  }
+
   /** INTERSECT DISTINCT: suppliers who shipped in both months. */
   def intersectOp(s: SparkSession, dir: String,
                   m1: String, m2: String): DataFrame = {
