@@ -40,6 +40,25 @@ object Ml {
       transform(polyHashArray(tokenize(col("text"))),
         h => pmod(h, lit(buckets.toLong))).as("features"))
 
+  /** Parse the reference's spam-instance line format
+    * (`TrainSpamClassifier.scala:78-89`): `docid label feat1 feat2 …`,
+    * whitespace-split, label `spam` → 1.0 else 0.0, features integer
+    * ids. The reference's docids are opaque strings (`clueweb09-…`), so
+    * they surface as `doc_name` and the stable `line_id` from
+    * `Sources.readLines` becomes the numeric `docid` that fixes the
+    * sequential training order (= file order, as the reference's
+    * single-split text input did).
+    */
+  def parseInstances(lines: DataFrame): DataFrame = {
+    val parts = split(trim(col("line")), "\\s+")
+    lines.select(
+      col("line_id").as("docid"),
+      element_at(parts, 1).as("doc_name"),
+      when(element_at(parts, 2) === "spam", 1.0).otherwise(0.0).as("label"),
+      transform(slice(parts, lit(3), greatest(size(parts) - 2, lit(0))),
+        f => f.cast("long")).as("features"))
+  }
+
   /** Sequential SGD, one pass in `docid` order (or seeded-shuffled
     * order — the reference's shuffled trainer,
     * `TrainSpamClassifier.scala:70-77`, which prepended `Random.nextInt`
