@@ -71,7 +71,11 @@ object Graph {
       .filter(length(trim(col("value"))) > 0)
       .select(
         element_at(parts, 1).cast("long").as("src"),
-        slice(parts, 2, Int.MaxValue).as("nbrs"))
+        // length bounded by size(parts), NOT Int.MaxValue: the
+        // sentinel length overflows start+length in Slice's
+        // interpreted eval and silently yields [] (codegen happens to
+        // handle it — the two paths disagree, so never rely on it)
+        slice(parts, lit(2), size(parts)).as("nbrs"))
       .select(col("src"), explode(col("nbrs")).as("dst"))
       .select(col("src"), col("dst").cast("long"))
   }
