@@ -8,21 +8,7 @@ object CcProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // bench-like warmup
-    s.read.parquet(s"$dir/lineitem.parquet").count()
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(org.apache.spark.sql.functions.explode(
-        graft.functions.TextFns.tokenize(
-          org.apache.spark.sql.functions.col("text")))).count()
-    locally {
-      import org.apache.spark.sql.functions.{col}
-      val tiny = s.range(40).select((col("id") % 10).as("src"), ((col("id") + 1) % 10).as("dst"))
-      graft.operators.Graph.topK(graft.operators.Graph.personalizedPageRank(tiny, Seq(1L, 2L), 2), Seq(1L, 2L), 3).count()
-      graft.operators.Graph.connectedComponents(tiny).count()
-    }
-    s.catalog.clearCache()
-    val names = Seq("ppr_top10", "graph_components", "curation_pipeline", "dedup_fuzzy", "dedup_jaccard", "tfidf_topk")
-    // listener prints jobs per query
+    s.read.parquet(s"$dir/documents.parquet").count()
     @volatile var cur = ""
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       private val starts = scala.collection.concurrent.TrieMap[Int, Long]()
@@ -30,10 +16,10 @@ object CcProbe {
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { st =>
           val d = (j.time - st) / 1000.0
-          if (d > 0.15) println(f"[job] $cur ${j.jobId}%3d $d%5.2f s")
+          if (d > 0.1) println(f"[job] $cur ${j.jobId}%3d $d%5.2f s")
         }
     })
-    names.foreach { n =>
+    for (n <- Seq("dedup_simhash", "dedup_fuzzy")) {
       cur = n
       val t0 = System.nanoTime
       SparkEntry.queries(n)(s, dir).count()
