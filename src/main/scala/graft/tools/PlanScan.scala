@@ -7,12 +7,15 @@ import graft.SparkEntry
   * that are usually accidents at scale (cartesian products, nested-loop
   * joins, single-partition exchanges) and print which queries have them.
   *
-  * Audit result (round 2, sf0.001): every hit is intentional —
+  * Audit result (round 3, sf0.001): every hit is intentional —
   * BroadcastNestedLoopJoin appears only for 1-row broadcast scalars
-  * (PMI marginals, PPR dangling mass, tf-idf doc count) and the two
+  * (PMI marginals, PPR dangling mass, tf-idf doc count), the tiny
+  * nation×month spine cross join (date_spine_fill), and the two
   * documented brute-force baselines (knn_brute, dedup_embedding) whose
   * scale paths are knn_ivf / dedup_embedding_lsh; SinglePartition
-  * appears only under global scalar aggregates.
+  * appears under global scalar aggregates and zorder_cluster's total
+  * range order (a layout rewrite IS a global range partitioning — see
+  * its scaladoc).
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {
