@@ -150,6 +150,8 @@ object SparkEntry {
     "zorder_cluster" -> ((s, d) => Relational.zorderBuckets(s, d)),
     "multiset_ops" -> ((s, d) =>
       Relational.multisetOps(s, d, "1996-03", "1996-04")),
+    "event_transitions" -> ((s, d) => Events.eventTransitions(s, d)),
+    "value_streaks" -> ((s, d) => Events.valueStreaks(s, d)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -359,6 +361,35 @@ object SparkEntry {
          FROM nat CROSS JOIN spine
          LEFT JOIN counts ON counts.n_name = nat.n_name
            AND counts.ship_month = spine.ship_month""",
+    "event_transitions" ->
+      """WITH nxt AS (
+           SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         pc AS (SELECT event_type, next_type, count(*) AS cnt
+                FROM nxt WHERE next_type IS NOT NULL
+                GROUP BY event_type, next_type)
+         SELECT event_type, next_type, cnt,
+                round(cnt / sum(cnt) OVER (PARTITION BY event_type), 6)
+                  AS prob
+         FROM pc""",
+    "value_streaks" ->
+      """WITH brk AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR value <= lag(value) OVER w THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         isl AS (
+           SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM brk),
+         lens AS (SELECT user_id, island, count(*) AS len
+                  FROM isl GROUP BY user_id, island)
+         SELECT user_id, max(len) AS longest_streak
+         FROM lens GROUP BY user_id""",
     "multiset_ops" ->
       """WITH a AS (SELECT l_suppkey FROM lineitem
                     WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 3),

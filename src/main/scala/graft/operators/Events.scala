@@ -254,6 +254,47 @@ object Events {
           when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
   }
 
+  /** Event-transition matrix: P(next event type | current type) per
+    * user timeline — `lead` over each user's (ts, event_id) order, pair
+    * counts, then a per-source window total for the probability. Two
+    * shuffles (user window + pair count) regardless of history length;
+    * the output is |types|² rows.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy("event_type")
+    pairs.select(col("event_type"), col("next_type"), col("cnt"),
+      round(col("cnt") / sum(col("cnt")).over(wSrc), 6).as("prob"))
+  }
+
+  /** Gaps-and-islands: longest strictly-increasing value streak per
+    * user. A run boundary is `value <= lag(value)`; the running count
+    * of boundaries labels each maximal island, whose sizes reduce to a
+    * per-user max. Everything stays inside one user-partition window
+    * pass plus two keyed aggregations.
+    */
+  def valueStreaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("brk",
+        when(lag(col("value"), 1).over(w).isNull ||
+          col("value") <= lag(col("value"), 1).over(w), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"))
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): correlate
     * per-bucket click and purchase volumes where the bucket itself is
     * nullable (low-value events fall into the NULL bucket, which must

@@ -105,6 +105,30 @@ class MergeFunnelSpec extends SparkSpec {
       && viaDriver(21L) == 20L)
   }
 
+  test("event transitions: probabilities sum to 1 per source type") {
+    val rows = Events.eventTransitions(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+    val nEvents = graft.Tables.events(spark, sf).count()
+    val nUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers,
+      "transition count = events minus one terminal event per user")
+  }
+
+  test("value streaks: bounded by per-user event counts") {
+    val perUser = graft.Tables.events(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Events.valueStreaks(spark, sf).collect()
+    assert(rows.length == perUser.size)
+    rows.foreach { r =>
+      val st = r.getLong(1)
+      assert(st >= 1 && st <= perUser(r.getLong(0)))
+    }
+  }
+
   test("funnel: stages are monotone and bounded") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.nonEmpty)
