@@ -152,6 +152,9 @@ object SparkEntry {
       Relational.multisetOps(s, d, "1996-03", "1996-04")),
     "event_transitions" -> ((s, d) => Events.eventTransitions(s, d)),
     "value_streaks" -> ((s, d) => Events.valueStreaks(s, d)),
+    "token_entropy" -> ((s, d) => TextStats.tokenEntropy(s, d)),
+    "numeric_hist" -> ((s, d) => Relational.numericHist(s, d)),
+    "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "auc_quality" -> ((s, d) => {
       val q = TextStats.quality(s, d).select("doc_id", "quality")
       val lab = q.join(
@@ -390,6 +393,35 @@ object SparkEntry {
                   FROM isl GROUP BY user_id, island)
          SELECT user_id, max(len) AS longest_streak
          FROM lens GROUP BY user_id""",
+    "token_entropy" -> s"""$TokCte,
+         tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+         cnts AS (SELECT doc_id, t, count(*) AS c FROM tok
+                  GROUP BY doc_id, t)
+       SELECT doc_id, cast(sum(c) AS bigint) AS n_tokens,
+              count(*) AS n_types,
+              round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+              round(cast(count(*) AS double) / sum(c), 6) AS ttr
+       FROM cnts GROUP BY doc_id""",
+    "numeric_hist" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo,
+                           max(l_extendedprice) AS hi FROM lineitem)
+         SELECT cast(least(floor((l_extendedprice - lo) * 20 / (hi - lo)),
+                           19) AS int) AS bucket,
+                count(*) AS cnt, round(sum(l_extendedprice), 4) AS mass
+         FROM lineitem, b
+         GROUP BY 1""",
+    "weighted_sample" ->
+      """WITH keyed AS (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             -ln((((o_orderkey % 2147483648) * 8388593) % 1048576 + 0.5)
+                 / 1048576.0) / o_totalprice AS es_key
+           FROM orders),
+         rnk AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                     ORDER BY es_key, o_orderkey) AS rn
+           FROM keyed)
+       SELECT o_orderpriority, o_orderkey, o_totalprice
+       FROM rnk WHERE rn <= 10""",
     "multiset_ops" ->
       """WITH a AS (SELECT l_suppkey FROM lineitem
                     WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 3),

@@ -157,4 +157,28 @@ object Curation {
       .filter(graft.expressions.OptimizerBarrier.noPushdown(
         col("n_shared") > 0))
   }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row draws a deterministic pseudo-uniform u from its key and
+    * competes on priority key −ln(u)/w (w = o_totalprice); the k
+    * smallest keys per group win. One window pass reproduces
+    * probability-proportional-to-size sampling — no iterative draws, no
+    * `rand()`, so re-runs and the oracle replay it exactly. The rank
+    * filter plans as WindowGroupLimit, so each partition keeps only k
+    * candidates before the group shuffle.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // u on a 2^20 grid, offset half a cell so ln(u) is finite
+    val u = (pmod(pmod(col("o_orderkey"), lit(2147483648L)) * lit(8388593L),
+      lit(1048576L)) + lit(0.5)) / lit(1048576.0)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("es_key"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        (-log(u) / col("o_totalprice")).as("es_key"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+  }
 }

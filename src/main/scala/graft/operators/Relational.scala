@@ -671,6 +671,27 @@ object Relational {
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
         "measure", "value")
 
+  /** Two-pass equi-width histogram over `l_extendedprice`: pass 1 is a
+    * scalar min/max aggregate collected to the driver (the only driver
+    * exchange — two doubles), pass 2 buckets every row against those
+    * literal bounds and reduces to `buckets` rows. The classic
+    * distributed histogram shape: the second pass is a map-side
+    * pre-aggregated groupBy whose shuffle carries at most `buckets`
+    * rows per task regardless of table size.
+    */
+  def numericHist(s: SparkSession, dir: String, buckets: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.agg(min("l_extendedprice"), max("l_extendedprice")).head
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val b = least(
+      floor((col("l_extendedprice") - lit(lo)) * lit(buckets) / lit(hi - lo)),
+      lit((buckets - 1).toLong))
+    li.select(b.cast("int").as("bucket"), col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_extendedprice"), 4).as("mass"))
+  }
+
   /** Q7 equivalent (reference Q7.scala, TPC-H Q3 shape): top-k unshipped
     * orders by revenue. Customer broadcast; orders pre-filtered on
     * orderdate and lineitem on shipdate before the orderkey shuffle.

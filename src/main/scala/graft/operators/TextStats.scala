@@ -167,6 +167,27 @@ object TextStats {
           size(array_distinct(col("shs"))).cast("double") / size(col("shs")),
           6).as("rep_frac"))
 
+  /** Token-distribution summary per document: Shannon entropy (nats)
+    * of the within-doc token frequency distribution plus the type-token
+    * ratio — the two classic lexical-diversity signals (low entropy =
+    * boilerplate/repetition, used alongside `repetitionFrac`). Uses the
+    * algebraic form H = ln(n) − Σc·ln(c)/n so one (doc, token) count
+    * shuffle and one doc-keyed reduce produce it; both shuffles are
+    * pre-aggregated map-side, so it scales with vocabulary, not corpus.
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c")), 6).as("entropy"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6).as("ttr"))
+
   /** Character n-gram language profiles: the top-`k` most frequent
     * character `n`-grams per labeled language — the model table a
     * true n-gram language identifier scores against (the stopword

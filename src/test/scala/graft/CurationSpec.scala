@@ -96,6 +96,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: exact A-ES top-k per priority group") {
+    val k = 5
+    val got = Curation.weightedSample(spark, sf, k).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // recompute the Efraimidis–Spirakis keys driver-side
+    val want = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice").collect()
+      .map { r =>
+        val id = r.getLong(1)
+        val u = ((id % 2147483648L) * 8388593L % 1048576L + 0.5) / 1048576.0
+        (r.getString(0), id, -math.log(u) / r.getDouble(2))
+      }
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(t => (t._3, t._2)).take(k).map(_._2).toSet)
+      .toMap
+    assert(got == want)
+    got.values.foreach(ids => assert(ids.size <= k))
+  }
+
   test("leading tokens: ranks dense per position, positions bounded") {
     val rows = TextStats.leadingTokens(spark, sf, lead = 3, k = 2).collect()
     val byPos = rows.groupBy(_.getInt(0))

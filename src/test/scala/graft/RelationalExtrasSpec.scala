@@ -100,6 +100,16 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("numeric hist: buckets partition the rows, mass adds up") {
+    val li = Tables.lineitem(spark, sf)
+    val rows = Relational.numericHist(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).forall(b => b >= 0 && b <= 19))
+    assert(rows.map(_.getLong(1)).sum == li.count())
+    val total = li.agg(sum("l_extendedprice")).head.getDouble(0)
+    // per-bucket masses rounded to 4dp: 20 buckets of <=0.5e-4 error
+    assert(math.abs(rows.map(_.getDouble(2)).sum - total) < 1e-3)
+  }
+
   test("bloom semi join equals the plain semi join") {
     val got = Relational.bloomSemiJoin(spark, sf).collect()
       .map(_.getLong(0)).sorted.toSeq

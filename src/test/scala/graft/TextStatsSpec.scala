@@ -43,6 +43,20 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Int]("bpe_tokens") == 7)
   }
 
+  test("tokenEntropy: uniform repeats give 0, two balanced types give ln 2") {
+    val dir = java.nio.file.Files.createTempDirectory("te").toString
+    Seq((0L, "aa aa aa aa"), (1L, "ab cd ab cd")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextStats.tokenEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Long]("n_tokens") == 4)
+    assert(rows(0L).getAs[Long]("n_types") == 1)
+    assert(math.abs(rows(0L).getAs[Double]("entropy")) < 1e-9)
+    assert(math.abs(rows(0L).getAs[Double]("ttr") - 0.25) < 1e-9)
+    assert(math.abs(rows(1L).getAs[Double]("entropy") - math.log(2)) < 1e-6)
+    assert(math.abs(rows(1L).getAs[Double]("ttr") - 0.5) < 1e-9)
+  }
+
   test("fingerprints: shared 12-word run implies shared fingerprint") {
     val run = (1 to 12).map(i => s"shared$i").mkString(" ")
     val dir = java.nio.file.Files.createTempDirectory("fp").toString
