@@ -152,6 +152,8 @@ object SparkEntry {
       Relational.multisetOps(s, d, "1996-03", "1996-04")),
     "event_transitions" -> ((s, d) => Events.eventTransitions(s, d)),
     "value_streaks" -> ((s, d) => Events.valueStreaks(s, d)),
+    "ema_smooth" -> ((s, d) => Events.emaSmooth(s, d)),
+    "interpolate_hourly" -> ((s, d) => Events.interpolateHourly(s, d)),
     "token_entropy" -> ((s, d) => TextStats.tokenEntropy(s, d)),
     "numeric_hist" -> ((s, d) => Relational.numericHist(s, d)),
     "weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
@@ -393,6 +395,55 @@ object SparkEntry {
                   FROM isl GROUP BY user_id, island)
          SELECT user_id, max(len) AS longest_streak
          FROM lens GROUP BY user_id""",
+    // order-dependent recurrence replayed as a per-user lockstep
+    // recursive CTE; 1-alpha spelled (1 - 0.2) so both engines fold the
+    // identical double constant and the recurrence matches bit-for-bit
+    "ema_smooth" ->
+      """WITH RECURSIVE ordered AS MATERIALIZED (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, value, rn, value AS ema
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.user_id, o.event_id, o.value, o.rn,
+                  0.2 * o.value + (1 - 0.2) * r.ema
+           FROM ordered o JOIN r ON o.user_id = r.user_id
+             AND o.rn = r.rn + 1)
+       SELECT user_id, event_id, value, round(ema, 6) AS ema FROM r""",
+    "interpolate_hourly" ->
+      """WITH hourly AS (
+           SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                  avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT user_id, min(hour_epoch) AS lo,
+                          max(hour_epoch) AS hi
+                   FROM hourly GROUP BY user_id),
+         spine AS (SELECT user_id,
+                          unnest(range(lo, hi + 1, 3600)) AS hour_epoch
+                   FROM spans),
+         j AS (
+           SELECT s.user_id, s.hour_epoch, h.v,
+             last_value(h.v IGNORE NULLS) OVER w AS pv,
+             last_value(CASE WHEN h.v IS NOT NULL THEN s.hour_epoch END
+               IGNORE NULLS) OVER w AS ph,
+             first_value(h.v IGNORE NULLS) OVER w2 AS nv,
+             first_value(CASE WHEN h.v IS NOT NULL THEN s.hour_epoch END
+               IGNORE NULLS) OVER w2 AS nh
+           FROM spine s LEFT JOIN hourly h USING (user_id, hour_epoch)
+           WINDOW w AS (PARTITION BY s.user_id ORDER BY s.hour_epoch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  w2 AS (PARTITION BY s.user_id ORDER BY s.hour_epoch
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT user_id, hour_epoch,
+         CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+         floor((CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) *
+                  ((hour_epoch - ph)::DOUBLE / (nh - ph)) END)
+               * 1000000.0 + 0.5) / 1000000.0 AS value
+       FROM j""",
     "token_entropy" -> s"""$TokCte,
          tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
          cnts AS (SELECT doc_id, t, count(*) AS c FROM tok

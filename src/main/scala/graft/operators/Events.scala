@@ -295,6 +295,83 @@ object Events {
       .agg(max(col("len")).as("longest_streak"))
   }
 
+  /** Exponential moving average (α = 0.2) over each user's value
+    * timeline — an order-dependent recurrence (ema_i = α·x_i +
+    * (1−α)·ema_{i−1}, seeded with the first value) that no commutative
+    * aggregate expresses. Each user's events are collected into one
+    * sorted array (one shuffle) and folded by a single `aggregate`
+    * lambda; the fold emits the running value per element so the result
+    * explodes back to one row per event. Per-user state is the
+    * timeline length — bounded in practice; a year of hourly telemetry
+    * is ~9k elements. The recurrence is evaluated in the same IEEE
+    * double op order as the oracle's recursive CTE, so values match
+    * bit-for-bit before the final display rounding.
+    */
+  def emaSmooth(s: SparkSession, dir: String, alpha: Double = 0.2): DataFrame = {
+    val acc0 = array().cast(
+      "array<struct<event_id:bigint,value:double,ema:double>>")
+    val folded = Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("value")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), aggregate(col("es"), acc0, (acc, e) => {
+        val seeded = struct(e("event_id").as("event_id"),
+          e("value").as("value"), e("value").as("ema"))
+        val stepped = struct(e("event_id").as("event_id"),
+          e("value").as("value"),
+          (lit(alpha) * e("value") +
+            lit(1 - alpha) * element_at(acc, -1)("ema")).as("ema"))
+        when(size(acc) === 0, array(seeded))
+          .otherwise(concat(acc, array(stepped)))
+      }).as("out"))
+    folded.select(col("user_id"), explode(col("out")).as("o"))
+      .select(col("user_id"), col("o.event_id"), col("o.value"),
+        round(col("o.ema"), 6).as("ema"))
+  }
+
+  /** Time-series gap interpolation: densify each user's hourly mean
+    * value onto a full hour spine (generated `sequence`, bounded by the
+    * user's own first/last hour) and linearly interpolate missing
+    * hours between their nearest observed neighbors. Two window passes
+    * (backward carry + forward carry, IGNORE NULLS) over the spine —
+    * the standard fill idiom; endpoints are always observed because the
+    * spine is span-bounded. Spine size is span-hours per user, so the
+    * operator scales with time range, not event volume.
+    */
+  def interpolateHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(avg(col("value")).as("v"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("hour_epoch").as("lo"), max("hour_epoch").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+    val back = Window.partitionBy("user_id").orderBy("hour_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("hour_epoch")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly, Seq("user_id", "hour_epoch"), "left")
+      .select(col("user_id"), col("hour_epoch"), col("v"),
+        last(col("v"), ignoreNulls = true).over(back).as("pv"),
+        last(when(col("v").isNotNull, col("hour_epoch")), ignoreNulls = true)
+          .over(back).as("ph"),
+        first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
+        first(when(col("v").isNotNull, col("hour_epoch")), ignoreNulls = true)
+          .over(fwd).as("nh"))
+      .select(col("user_id"), col("hour_epoch"),
+        when(col("v").isNotNull, lit(1)).otherwise(lit(0)).as("observed"),
+        // explicit half-up via floor keeps rounding a pure IEEE formula
+        // (round() half-way behavior differs between engines and the
+        // hour-midpoint interpolations land exactly on .xxxxxx5)
+        (floor(when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            ((col("hour_epoch") - col("ph")).cast("double") /
+              (col("nh") - col("ph")))) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("value"))
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): correlate
     * per-bucket click and purchase volumes where the bucket itself is
     * nullable (low-value events fall into the NULL bucket, which must

@@ -139,6 +139,48 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("emaSmooth: matches the driver-side recurrence exactly") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3)))
+    val want = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).toSeq
+      var ema = sorted.head._4
+      sorted.zipWithIndex.map { case (e, i) =>
+        if (i > 0) ema = 0.2 * e._4 + (1 - 0.2) * ema
+        (u, e._3) -> BigDecimal(ema).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val got = Events.emaSmooth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.size == events.length)
+    assert(got == want)
+  }
+
+  test("interpolateHourly: dense spine, bounded interior fills") {
+    val rows = Events.interpolateHourly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous hourly grid, observed at both endpoints
+      sorted.map(_._2).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a == 3600L)
+        case _ =>
+      }
+      assert(sorted.head._3 == 1 && sorted.last._3 == 1)
+      // every interpolated value lies between its observed neighbors
+      val obs = sorted.filter(_._3 == 1).map(t => t._2 -> t._4)
+      sorted.filter(_._3 == 0).foreach { case (_, h, _, v) =>
+        val (ph, pv) = obs.takeWhile(_._1 < h).last
+        val (nh, nv) = obs.dropWhile(_._1 < h).head
+        assert(ph < h && h < nh)
+        assert(v >= math.min(pv, nv) - 1e-6 && v <= math.max(pv, nv) + 1e-6)
+      }
+    }
+  }
+
   test("resizePlan fits inside 256², preserves aspect, never upscales") {
     val rows = Multimodal.resizePlan(Multimodal.decode(spark, sf)).collect()
     assert(rows.nonEmpty)
