@@ -152,6 +152,7 @@ object SparkEntry {
       Relational.multisetOps(s, d, "1996-03", "1996-04")),
     "event_transitions" -> ((s, d) => Events.eventTransitions(s, d)),
     "value_streaks" -> ((s, d) => Events.valueStreaks(s, d)),
+    "kmeans_embed" -> ((s, d) => Similarity.kmeans(s, d)),
     "ema_smooth" -> ((s, d) => Events.emaSmooth(s, d)),
     "interpolate_hourly" -> ((s, d) => Events.interpolateHourly(s, d)),
     "token_entropy" -> ((s, d) => TextStats.tokenEntropy(s, d)),
@@ -293,6 +294,37 @@ object SparkEntry {
   /** Per-model score of every document against a fold's final weights. */
   private def sgdScoreExpr(w: String): String =
     s"list_sum(list_transform(g.l, j -> $w.w[j] * d.cv[j]))"
+
+  /** Unrolled Lloyd's k-means (mirrors `Similarity.kmeans`): `iters`
+    * assignment CTEs with a centroid re-estimation CTE between each.
+    * `list_distance` (sqrt'd Euclidean) vs Spark's squared sum is
+    * argmin-invariant; ties break to the lower cid on both sides.
+    */
+  private def kmeansOracleSql(k: Int = 4, iters: Int = 3): String = {
+    def assign(i: Int) = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, v, cid AS cluster FROM (
+           SELECT vecs.vec_id, vecs.v, $prev.cid,
+             row_number() OVER (PARTITION BY vecs.vec_id
+               ORDER BY list_distance(vecs.v, $prev.c), $prev.cid) AS rn
+           FROM vecs CROSS JOIN $prev) WHERE rn = 1)"""
+    }
+    def cent(i: Int) =
+      s"""c$i AS (SELECT cluster AS cid, list(av ORDER BY pos) AS c FROM (
+           SELECT cluster, e.pos AS pos, avg(e.val) AS av FROM (
+             SELECT cluster, unnest(list_transform(range(1, len(v) + 1),
+               i -> {'pos': i, 'val': v[i]})) AS e FROM a$i)
+           GROUP BY cluster, e.pos) GROUP BY cluster)"""
+    val chain = (1 to iters).flatMap(i =>
+      Seq(assign(i)) ++ (if (i < iters) Seq(cent(i)) else Nil)).mkString(",\n")
+    s"""WITH vecs AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+                      v AS c
+               FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT $k)),
+        $chain
+        SELECT vec_id, cluster FROM a$iters"""
+  }
 
   private def sgdTrainOracle(order: String = "doc_id"): String =
     s"""$sgdCommonCte,
@@ -741,6 +773,7 @@ object SparkEntry {
                 THEN 'spam' ELSE 'ham' END AS pred
          FROM scored""",
     "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10),
+    "kmeans_embed" -> kmeansOracleSql(4, 3),
     // exact fixpoint of min-label propagation = min reachable id, which
     // a recursive closure computes directly
     "graph_components" -> s"""WITH RECURSIVE $GraphCte,

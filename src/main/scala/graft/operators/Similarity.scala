@@ -175,4 +175,55 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
+
+  /** Lloyd's k-means over the embedding column: `iters` assignment
+    * passes, centroids re-estimated between passes. Initial centroids =
+    * the `k` smallest vec_ids (deterministic — no seeded sampling to
+    * keep re-runs and the oracle identical). Per pass: centroids ride
+    * along as one literal array (k·dim doubles — broadcast-sized by
+    * construction), assignment is a codegen'd argmin over a
+    * `transform` of squared distances, and re-estimation is a per-dim
+    * `posexplode` + avg whose shuffle carries k·dim rows. The corpus
+    * is persisted once and scanned `iters` times — the canonical
+    * distributed k-means dataflow (centroid state driver-side, data
+    * never re-shuffled). Output is the final discrete assignment, which
+    * is robust to sub-ulp distance noise between engines.
+    */
+  def kmeans(s: SparkSession, dir: String,
+             k: Int = 4, iters: Int = 3): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    vecs.count() // materialize once before the multi-pass loop
+    var centroids: Seq[(Int, Seq[Double])] = vecs.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+
+    def assign(): DataFrame = {
+      val cLit = array(centroids.map { case (cid, c) =>
+        struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c"))
+      }: _*)
+      // min over struct(dist, cid) is lexicographic: nearest centroid,
+      // ties to the lower cid — mirrored by the oracle's ORDER BY
+      vecs.select(col("vec_id"), col("v"),
+        array_min(transform(cLit, ct =>
+          struct(
+            aggregate(zip_with(col("v"), ct("c"),
+              (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("dist"),
+            ct("cid").as("cid"))))("cid").as("cluster"))
+    }
+
+    for (_ <- 1 until iters) {
+      centroids = assign()
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .collect()
+        .map(r => (r.getInt(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1))))
+        .sortBy(_._1).toSeq
+    }
+    assign().select(col("vec_id"), col("cluster"))
+  }
 }

@@ -54,6 +54,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall=$recall too low")
   }
 
+  test("kmeans matches a driver-side Lloyd's run exactly") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val k = 3; val iters = 2
+    var cents = vecs.take(k).map(_._2)
+    def nearest(v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }.min._2
+    for (_ <- 1 until iters) {
+      val byC = vecs.groupBy { case (_, v) => nearest(v) }
+      cents = cents.indices.flatMap(i => byC.get(i).map { m =>
+        val dim = m.head._2.length
+        Array.tabulate(dim)(d => m.map(_._2(d)).sum / m.length)
+      }).toArray
+    }
+    val want = vecs.map { case (id, v) => id -> nearest(v) }.toMap
+    val got = Similarity.kmeans(spark, sf, k, iters).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == want.keySet)
+    assert(got == want)
+    assert(got.values.toSet.size > 1, "should use more than one cluster")
+  }
+
   test("LSH near-dup pairs are a subset of the exact all-pairs result") {
     val exact = Similarity.embeddingPairs(spark, sf, 0.45).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
