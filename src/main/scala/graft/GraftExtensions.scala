@@ -75,6 +75,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "cosine_sim expects 2 arguments")
         CosineSim(args.head, args(1))
       }))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(string, string) - Jaro-Winkler similarity in [0,1]"),
+      args => {
+        require(args.length == 2, "jaro_winkler expects 2 arguments")
+        graft.expressions.StringExpressions.JaroWinkler(args.head, args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("no_pushdown"),
       info("no_pushdown",
         "no_pushdown(expr) - identity; blocks predicate pushdown of the " +

@@ -153,6 +153,7 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => Events.eventTransitions(s, d)),
     "value_streaks" -> ((s, d) => Events.valueStreaks(s, d)),
     "kmeans_embed" -> ((s, d) => Similarity.kmeans(s, d)),
+    "jaro_winkler_pairs" -> ((s, d) => Dedup.jaroWinklerPairs(s, d)),
     "ema_smooth" -> ((s, d) => Events.emaSmooth(s, d)),
     "interpolate_hourly" -> ((s, d) => Events.interpolateHourly(s, d)),
     "token_entropy" -> ((s, d) => TextStats.tokenEntropy(s, d)),
@@ -427,6 +428,13 @@ object SparkEntry {
                   FROM isl GROUP BY user_id, island)
          SELECT user_id, max(len) AS longest_streak
          FROM lens GROUP BY user_id""",
+    "jaro_winkler_pairs" ->
+      """WITH p AS (SELECT p_partkey AS k, p_name AS n FROM part
+                    WHERE p_partkey % 7 = 0)
+         SELECT a.k AS k1, b.k AS k2,
+                round(jaro_winkler_similarity(a.n, b.n), 6) AS sim
+         FROM p a JOIN p b ON a.k < b.k
+         WHERE jaro_winkler_similarity(a.n, b.n) > 0.8999""",
     // order-dependent recurrence replayed as a per-user lockstep
     // recursive CTE; 1-alpha spelled (1 - 0.2) so both engines fold the
     // identical double constant and the recurrence matches bit-for-bit

@@ -226,4 +226,29 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("canonical_id"))
   }
+
+  /** Jaro-Winkler name-matching pairs (the entity-resolution shape:
+    * short strings where edit distance over-penalizes transpositions).
+    * A deterministic hash sample of `part` self-joins under a broadcast
+    * nested loop — the sampled side is broadcast-sized by construction —
+    * and each pair scores through the native `jaro_winkler` codegen
+    * expression once (barrier keeps the threshold filter from
+    * re-inlining the score). Threshold is 0.8999, off the rational
+    * lattice of Jaro scores, so engine ulp differences cannot flip a
+    * boundary pair.
+    */
+  def jaroWinklerPairs(s: SparkSession, dir: String, mod: Int = 7,
+                       threshold: Double = 0.8999): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(pmod(col("p_partkey"), lit(mod)) === 0)
+    val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"))
+    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"))
+    a.join(broadcast(b), col("k1") < col("k2"))
+      .select(col("k1"), col("k2"),
+        graft.expressions.StringExpressions.jaroWinkler(col("n1"), col("n2"))
+          .as("sim"))
+      .filter(graft.expressions.OptimizerBarrier.noPushdown(
+        col("sim") > threshold))
+      .select(col("k1"), col("k2"), round(col("sim"), 6).as("sim"))
+  }
 }

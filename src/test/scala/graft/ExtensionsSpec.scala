@@ -63,6 +63,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(projLevs.nonEmpty && projLevs.forall(_.threshold.isEmpty))
   }
 
+  test("jaro_winkler: textbook values, edge cases, SQL surface") {
+    def jw(a: String, b: String): Double = spark.sql(
+      s"SELECT jaro_winkler('$a', '$b') AS s").collect()(0).getDouble(0)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(jw("ab", "ba") == 0.0)          // window 0: no matches
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)           // empty side -> 0 (DuckDB parity)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply
+    assert(math.abs(jw("aaxxxxxx", "aayyyyyy") - 0.5) < 1e-12)
+    // symmetry
+    assert(jw("jellyfish", "smellyfish") == jw("smellyfish", "jellyfish"))
+  }
+
   test("cosine_sim and no_pushdown work from SQL") {
     val sim = spark.sql(
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS s")
