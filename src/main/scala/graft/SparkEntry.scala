@@ -1262,8 +1262,8 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "decimal_agg" ->
       """SELECT l_returnflag,
-                round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_price,
-                round(sum(l_discount::DECIMAL(18,4))::DOUBLE, 4) AS sum_disc,
+                sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price,
+                sum(l_discount::DECIMAL(18,4))::DECIMAL(38,4) AS sum_disc,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
     // random-hyperplane LSH restated: same ±1 plane weights from the
