@@ -166,6 +166,9 @@ object SparkEntry {
           when(col("lang") === "en", 1).otherwise(0).as("y")), "doc_id")
       Ml.auc(lab, "quality", "y")
     }),
+    "heavy_hitters" -> ((s, d) => TextStats.heavyHitters(s, d)),
+    "chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
+    "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -433,7 +436,8 @@ object SparkEntry {
                     WHERE p_partkey % 7 = 0)
          SELECT a.k AS k1, b.k AS k2,
                 round(jaro_winkler_similarity(a.n, b.n), 6) AS sim
-         FROM p a JOIN p b ON a.k < b.k
+         FROM p a JOIN p b
+           ON substr(a.n, 1, 1) = substr(b.n, 1, 1) AND a.k < b.k
          WHERE jaro_winkler_similarity(a.n, b.n) > 0.8999""",
     // order-dependent recurrence replayed as a per-user lockstep
     // recursive CTE; 1-alpha spelled (1 - 0.2) so both engines fold the
@@ -1396,6 +1400,38 @@ object SparkEntry {
          SELECT round(sum(p * (cumn + n / 2.0)) / (sum(p) * sum(n)), 6) AS auc
          FROM c"""
     },
+    // sketch-then-verify heavy hitters: the MG candidate superset plus
+    // an exact recount is, by the sketch's guarantee, exactly the
+    // HAVING answer — the oracle never needs to model the sketch
+    "heavy_hitters" -> s"""$TokCte,
+         t AS (SELECT unnest(ts) AS tok FROM toks)
+         SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+         HAVING count(*) * 30 > (SELECT count(*) FROM t)""",
+    // first occurrence of each fixed-width token chunk (by doc id,
+    // then position) survives; later copies counted as dropped
+    "chunk_dedup" -> s"""$TokCte,
+         nz AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+         chunks AS (
+           SELECT doc_id, i AS pos,
+                  array_to_string(ts[i*20+1 : i*20+20], ' ') AS chunk
+           FROM nz, LATERAL (SELECT unnest(range(0, (len(ts)+19)//20)) AS i) u),
+         marked AS (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY chunk
+                    ORDER BY doc_id, pos) AS rn
+           FROM chunks)
+         SELECT doc_id, count(*) AS n_chunks,
+                count(*) FILTER (WHERE rn = 1) AS n_kept
+         FROM marked GROUP BY doc_id""",
+    // batch doc survives iff no corpus near-dup at j>=0.8; LSH candidate
+    // recall ≈ 1 at this threshold (see dedup_minhash note), so the
+    // exact-Jaccard restatement is the answer
+    "incremental_dedup" -> s"""WITH prs AS ($JaccardSql)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 5 = 0 AND doc_id NOT IN (
+           SELECT doc_a FROM prs WHERE doc_a % 5 = 0 AND doc_b % 5 <> 0
+           UNION
+           SELECT doc_b FROM prs WHERE doc_b % 5 = 0 AND doc_a % 5 <> 0)""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -45,4 +45,49 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       ExpressionEncoder()
   }
+
+  /** Misra-Gries heavy-hitter summary with `m` counters: a mergeable,
+    * bounded-state sketch whose candidate set is guaranteed to contain
+    * every item with true frequency > N/(m+1). Partial buffers merge by
+    * summing counts then subtracting the (m+1)-th largest count from
+    * all (Agarwal et al., "Mergeable Summaries"), which preserves the
+    * undercount bound — so the map-side partials stay ≤ m entries and
+    * the shuffle carries O(m) rows total, never the token stream.
+    * Output is the candidate *set*; exact counts come from a follow-up
+    * verification pass (see `TextStats.heavyHitters`), making the final
+    * result independent of sketch internals.
+    */
+  class MisraGriesAgg(m: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long],
+                        tok: String): Map[String, Long] =
+      buf.get(tok) match {
+        case Some(c)              => buf.updated(tok, c + 1)
+        case None if buf.size < m => buf.updated(tok, 1L)
+        case None => // decrement-all step; drop counters that hit zero
+          buf.collect { case (k, c) if c > 1 => k -> (c - 1) }
+      }
+
+    override def merge(a: Map[String, Long],
+                       b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      if (sum.size <= m) sum
+      else {
+        val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(m)
+        sum.collect { case (k, c) if c > cut => k -> (c - cut) }
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Seq[String] =
+      r.keys.toSeq.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[String]] =
+      ExpressionEncoder()
+  }
 }

@@ -103,10 +103,12 @@ object Dedup {
     minhashPairsTokens(TextStats.tokenized(s, dir), threshold, n,
       numHashes, bands)
 
-  /** `minhashPairs` over a pre-tokenized `(doc_id, ts)` frame. */
-  def minhashPairsTokens(toks: DataFrame, threshold: Double,
-                         n: Int = 3, numHashes: Int = 64,
-                         bands: Int = 16): DataFrame = {
+  /** Shingle sets (persisted eagerly) + exploded LSH band buckets
+    * `(doc_id, band, bh)` — the shared front half of every MinHash
+    * consumer (all-pairs and incremental).
+    */
+  private def bandedSignatures(toks: DataFrame, n: Int, numHashes: Int,
+                               bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val docSh = docShinglesTokens(toks, n).persist()
@@ -118,6 +120,14 @@ object Dedup {
         b => struct(b.as("band"),
           hash(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh")))).as("t"))
       .select(col("doc_id"), col("t.band"), col("t.bh"))
+    (docSh, banded)
+  }
+
+  /** `minhashPairs` over a pre-tokenized `(doc_id, ts)` frame. */
+  def minhashPairsTokens(toks: DataFrame, threshold: Double,
+                         n: Int = 3, numHashes: Int = 64,
+                         bands: Int = 16): DataFrame = {
+    val (docSh, banded) = bandedSignatures(toks, n, numHashes, bands)
     val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
     val cand = l.join(r, Seq("band", "bh"))
@@ -229,26 +239,92 @@ object Dedup {
 
   /** Jaro-Winkler name-matching pairs (the entity-resolution shape:
     * short strings where edit distance over-penalizes transpositions).
-    * A deterministic hash sample of `part` self-joins under a broadcast
-    * nested loop — the sampled side is broadcast-sized by construction —
-    * and each pair scores through the native `jaro_winkler` codegen
-    * expression once (barrier keeps the threshold filter from
-    * re-inlining the score). Threshold is 0.8999, off the rational
-    * lattice of Jaro scores, so engine ulp differences cannot flip a
-    * boundary pair.
+    * Candidates are *blocked* on the name's first character — the
+    * standard ER blocking step; an unblocked self-join is O(n²) however
+    * it executes, while blocking makes candidate volume Σ|block|², an
+    * equality key Spark shuffles on at scale. (JW's prefix weighting
+    * means cross-block pairs are weak matches by construction, and the
+    * operator's contract is "pairs within a block".) Each candidate
+    * scores through the native `jaro_winkler` codegen expression once
+    * (barrier keeps the threshold filter from re-inlining the score).
+    * Threshold is 0.8999, off the rational lattice of Jaro scores, so
+    * engine ulp differences cannot flip a boundary pair.
     */
   def jaroWinklerPairs(s: SparkSession, dir: String, mod: Int = 7,
                        threshold: Double = 0.8999): DataFrame = {
     val p = Tables.part(s, dir)
       .filter(pmod(col("p_partkey"), lit(mod)) === 0)
-    val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"))
-    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"))
-    a.join(broadcast(b), col("k1") < col("k2"))
+    val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+      substring(col("p_name"), 1, 1).as("blk"))
+    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      substring(col("p_name"), 1, 1).as("blk"))
+    a.join(b, Seq("blk")).filter(col("k1") < col("k2"))
       .select(col("k1"), col("k2"),
         graft.expressions.StringExpressions.jaroWinkler(col("n1"), col("n2"))
           .as("sim"))
       .filter(graft.expressions.OptimizerBarrier.noPushdown(
         col("sim") > threshold))
       .select(col("k1"), col("k2"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Passage-level (chunk) dedup: each document splits into fixed-width
+    * token chunks; across the whole corpus the first occurrence of a
+    * chunk (by document id, then position) survives and later copies are
+    * dropped. Output is the per-document chunk budget — how much of each
+    * document a chunk-level deduplicator would keep. One explode + one
+    * window over the chunk key + one group-by: the shuffle is keyed on
+    * chunk text (at 100 TB: on `xxhash64(chunk)`), so identical passages
+    * land together regardless of corpus size; no pairwise comparison
+    * exists anywhere.
+    */
+  def chunkDedup(s: SparkSession, dir: String, width: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextStats.tokenized(s, dir).filter(size(col("ts")) > 0)
+    // chunk array projected to an attribute before posexplode — same
+    // lambda re-inlining hazard as docShinglesTokens above
+    val chunked = toks.select(col("doc_id"),
+      transform(
+        sequence(lit(0),
+          ((size(col("ts")) + (width - 1)) / width).cast("int") - 1),
+        i => concat_ws(" ", slice(col("ts"), i * width + lit(1), lit(width))))
+        .as("chunks"))
+    val ex = chunked.select(col("doc_id"),
+      posexplode(col("chunks")).as(Seq("pos", "chunk")))
+    val marked = ex.withColumn("rn",
+      row_number().over(Window.partitionBy("chunk").orderBy("doc_id", "pos")))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, 1)).as("n_kept"))
+  }
+
+  /** Incremental dedup: a "new batch" (deterministic id slice) checked
+    * against the standing corpus without re-deduplicating the corpus.
+    * Band buckets are computed for all docs, but the join is strictly
+    * batch×corpus — at scale the corpus side's signatures are a
+    * persisted artifact of previous runs and only the (small) batch
+    * recomputes, so cost is O(|batch| · bucket-mates), not O(corpus²).
+    * Candidates verify by exact shingle Jaccard; a batch doc survives
+    * iff no corpus near-duplicate exists at `threshold`.
+    */
+  def incrementalDedup(s: SparkSession, dir: String, threshold: Double = 0.8,
+                       mod: Int = 5, n: Int = 3, numHashes: Int = 64,
+                       bands: Int = 16): DataFrame = {
+    val (docSh, banded) = bandedSignatures(
+      TextStats.tokenized(s, dir), n, numHashes, bands)
+    val isBatch = pmod(col("doc_id"), lit(mod)) === 0
+    val bb = banded.filter(isBatch)
+      .select(col("doc_id").as("bid"), col("band"), col("bh"))
+    val cb = banded.filter(!isBatch)
+      .select(col("doc_id").as("cid"), col("band"), col("bh"))
+    val cand = bb.join(cb, Seq("band", "bh"))
+      .select("bid", "cid").distinct()
+    val dropped = cand
+      .join(docSh.select(col("doc_id").as("bid"), col("shs").as("sa")), "bid")
+      .join(docSh.select(col("doc_id").as("cid"), col("shs").as("sb")), "cid")
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))) >= threshold)
+      .select(col("bid")).distinct()
+    docSh.select(col("doc_id")).filter(isBatch)
+      .join(dropped, col("doc_id") === col("bid"), "left_anti")
   }
 }

@@ -214,4 +214,28 @@ object TextStats {
     counts.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** Exact heavy hitters by sketch-then-verify: a Misra-Gries pass
+    * (custom typed `Aggregator`, O(m) state per task) yields a candidate
+    * set guaranteed to contain every token with frequency > N/m; a
+    * second pass recounts the ≤ m candidates exactly and keeps those
+    * strictly above N/m. The result therefore equals the plain
+    * `GROUP BY ... HAVING cnt·m > N` answer while the first pass
+    * shuffles O(m) rows instead of one row per distinct token — the
+    * standard two-pass pattern when the token stream is 100 TB but the
+    * answer is tiny. Driver exchanges only the candidate list (≤ m
+    * strings) and the scalar N.
+    */
+  def heavyHitters(s: SparkSession, dir: String, m: Int = 30): DataFrame = {
+    val toks = tokenized(s, dir).select(explode(col("ts")).as("tok"))
+    val mg = udaf(new graft.functions.Aggregators.MisraGriesAgg(m),
+      org.apache.spark.sql.Encoders.STRING)
+    val head = toks.agg(mg(col("tok")).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands = head.getSeq[String](0)
+    val total = head.getLong(1)
+    toks.filter(col("tok").isin(cands: _*))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * m > total)
+  }
 }

@@ -139,4 +139,33 @@ class DedupSpec extends SparkSpec {
     assert((all -- kept.keySet).exists(d =>
       lang(d) == "en" && assign(d) == d && qual.get(d).exists(_ < 0.2)))
   }
+
+  test("chunkDedup: first occurrence survives, later copies drop") {
+    val dir = java.nio.file.Files.createTempDirectory("cd").toString
+    Seq((1L, "a b c d"), (2L, "c d e"), (3L, "a b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.chunkDedup(spark, dir, width = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: chunks "a b","c d" both novel; doc 2: "c d" dup + "e" novel;
+    // doc 3: "a b" dup
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L)), 3L -> ((1L, 0L))))
+  }
+
+  test("incrementalDedup: survivor set = batch minus corpus near-dup partners") {
+    val pairs = Dedup.minhashPairs(spark, sf, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = all.filter(_ % 5 == 0)
+    val hit = pairs.flatMap { case (a, b) =>
+      (if (a % 5 == 0 && b % 5 != 0) Seq(a) else Nil) ++
+        (if (b % 5 == 0 && a % 5 != 0) Seq(b) else Nil)
+    }.toSet
+    val got = Dedup.incrementalDedup(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == batch -- hit)
+    assert(got.nonEmpty && got != batch,
+      "fixture should drop at least one batch doc")
+  }
 }

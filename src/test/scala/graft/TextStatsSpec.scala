@@ -71,4 +71,37 @@ class TextStatsSpec extends SparkSpec {
     assert((fps(0L) & fps(1L)).nonEmpty, "shared run must share a fingerprint")
     assert((fps(0L) & fps(2L)).isEmpty)
   }
+
+  test("MisraGries candidates always cover items above N/(m+1)") {
+    val agg = new graft.functions.Aggregators.MisraGriesAgg(3)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      // skewed stream over 8 items, folded through random-sized partial
+      // buffers that merge pairwise — exercises reduce AND merge paths
+      val stream = Seq.fill(200)(s"w${math.min(rnd.nextInt(8), rnd.nextInt(8))}")
+      val parts = stream.grouped(1 + rnd.nextInt(30)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val summary = parts.reduce(agg.merge)
+      val n = stream.size
+      val truth = stream.groupBy(identity).view.mapValues(_.size)
+      val must = truth.filter(_._2 > n / 4.0).keys // m+1 = 4
+      val cands = agg.finish(summary).toSet
+      must.foreach(w => assert(cands(w), s"$w lost from $cands"))
+      assert(summary.size <= 3)
+    }
+  }
+
+  test("heavyHitters equals brute-force HAVING on the fixture") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.TextFns.tokenize(col("text"))).as("tok"))
+    val n = toks.count()
+    val m = 30
+    val want = toks.groupBy("tok").count()
+      .filter(col("count") * m > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextStats.heavyHitters(spark, sf, m).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "expected at least one heavy hitter in fixture")
+  }
 }
