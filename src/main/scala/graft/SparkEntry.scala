@@ -169,6 +169,8 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) => TextStats.heavyHitters(s, d)),
     "chunk_dedup" -> ((s, d) => Dedup.chunkDedup(s, d)),
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "triangle_census" -> ((s, d) => Graph.triangleCensus(s, d)),
+    "retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1432,6 +1434,33 @@ object SparkEntry {
            SELECT doc_a FROM prs WHERE doc_a % 5 = 0 AND doc_b % 5 <> 0
            UNION
            SELECT doc_b FROM prs WHERE doc_b % 5 = 0 AND doc_a % 5 <> 0)""",
+    // ordered-wedge triangle enumeration over the thresholded supplier
+    // co-purchase projection; quantile_cont mirrors Spark's interpolated
+    // percentile bit-for-bit (same formula over the same ints)
+    "triangle_census" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         co AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS c
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2),
+         thr AS (SELECT quantile_cont(c, 0.9) AS t FROM co),
+         e AS (SELECT s1 AS u, s2 AS v FROM co, thr WHERE c >= t),
+         w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM e e1 JOIN e e2 ON e1.v = e2.u),
+         cl AS (SELECT w.a, w.c, e3.u AS hit
+                FROM w LEFT JOIN e e3 ON e3.u = w.a AND e3.v = w.c)
+         SELECT (SELECT count(*) FROM e) AS n_edges,
+                count(*) AS n_wedges, count(hit) AS n_triangles
+         FROM cl""",
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts
+                    FROM events GROUP BY user_id)
+         SELECT date_trunc('week', f.first_ts)::DATE AS cohort_week,
+                (date_diff('day', date_trunc('week', f.first_ts),
+                           date_trunc('week', e.ts)) // 7)::INT AS week_offset,
+                count(DISTINCT e.user_id) AS active_users
+         FROM events e JOIN f USING (user_id)
+         GROUP BY 1, 2""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -415,4 +415,25 @@ object Events {
         max("last_et").as("last_et"),
         max("second_et").as("second_et"))
   }
+
+  /** Retention cohort matrix: users cohorted by first-seen ISO week;
+    * cell (cohort, offset) counts distinct users from that cohort active
+    * `offset` weeks later. Two shuffles — the per-user min and the final
+    * distinct-count — both keyed, both partially aggregated map-side;
+    * the user⇄cohort join is a fact-to-fact equality join on user_id
+    * (at 100 TB: both sides bucketed by user_id, or the first-seen table
+    * maintained incrementally as new events arrive).
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+    ev.join(first, "user_id")
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          date_trunc("week", col("first_ts")).cast("date")) / 7)
+          .cast("int").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
 }

@@ -200,4 +200,22 @@ class EventsSpec extends SparkSpec {
     }
     assert(rows.exists(_.getBoolean(6)), "fixture should need some resizes")
   }
+
+  test("retentionCohorts: offset-0 cell covers each cohort's full user set") {
+    val rows = Events.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    // every user is active in their own first week, so the offset-0
+    // cell must equal the cohort's total distinct users
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toString)
+    val cohortOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohorts = cohortOf.groupBy(_._2).view.mapValues(_.size).toMap
+    cohorts.foreach { case (w, n) =>
+      assert(rows((w, 0)) == n.toLong, s"cohort $w offset 0")
+    }
+    // and no cell can exceed its cohort size
+    rows.foreach { case ((w, _), n) => assert(n <= cohorts(w)) }
+  }
 }

@@ -107,4 +107,35 @@ class GraphSpec extends SparkSpec {
       assert(rs.zip(rs.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("triangleCensus matches a brute-force enumeration") {
+    val got = Graph.triangleCensus(spark, sf).collect()(0)
+    // brute force: recompute the thresholded projection in memory
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val co = scala.collection.mutable.Map[(Long, Long), Long]()
+    byOrder.values.foreach { ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.size if ss(i) != ss(j))
+        co((ss(i), ss(j))) = co.getOrElse((ss(i), ss(j)), 0L) + 1
+    }
+    // interpolated p90 (same formula as Spark percentile / quantile_cont)
+    val cs = co.values.toArray.sorted.map(_.toDouble)
+    val pos = 0.9 * (cs.length - 1)
+    val (lo, f) = (pos.toInt, pos - pos.toInt)
+    val thr = if (lo + 1 < cs.length) cs(lo) * (1 - f) + cs(lo + 1) * f
+              else cs(lo)
+    // .iterator first: collect on a Map producing pairs would rebuild a
+    // Map and silently merge edges sharing a first endpoint
+    val edges = co.iterator.collect { case (p, c) if c >= thr => p }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val wedges = for {
+      (a, bs) <- adj.toSeq; b <- bs; c <- adj.getOrElse(b, Set.empty)
+    } yield (a, b, c)
+    val tris = wedges.count { case (a, _, c) => edges((a, c)) }
+    assert(got.getLong(0) == edges.size.toLong)
+    assert(got.getLong(1) == wedges.size.toLong)
+    assert(got.getLong(2) == tris.toLong)
+  }
 }
