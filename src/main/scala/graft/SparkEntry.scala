@@ -171,6 +171,8 @@ object SparkEntry {
     "incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "triangle_census" -> ((s, d) => Graph.triangleCensus(s, d)),
     "retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
+    "dup_cluster_sizes" -> ((s, d) => Dedup.clusterSizes(s, d)),
+    "fk_audit" -> ((s, d) => Relational.fkAudit(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1461,6 +1463,43 @@ object SparkEntry {
                 count(DISTINCT e.user_id) AS active_users
          FROM events e JOIN f USING (user_id)
          GROUP BY 1, 2""",
+    "dup_cluster_sizes" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+         canon AS (SELECT id, min(comp) AS canonical_id
+                   FROM walk GROUP BY id)
+         SELECT sz, count(*) AS n_clusters FROM (
+           SELECT canonical_id, count(*) AS sz FROM canon GROUP BY 1)
+         GROUP BY 1""",
+    "fk_audit" ->
+      """SELECT 'lineitem->orders' AS relation,
+                (SELECT count(*) FROM lineitem) AS n_child,
+                (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders)) AS n_orphans
+         UNION ALL
+         SELECT 'orders->customer',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM customer))
+         UNION ALL
+         SELECT 'lineitem->supplier',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier))
+         UNION ALL
+         SELECT 'customer->nation',
+                (SELECT count(*) FROM customer),
+                (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+                  (SELECT n_nationkey FROM nation))
+         UNION ALL
+         SELECT 'supplier->nation',
+                (SELECT count(*) FROM supplier),
+                (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+                  (SELECT n_nationkey FROM nation))""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -327,4 +327,16 @@ object Dedup {
     docSh.select(col("doc_id")).filter(isBatch)
       .join(dropped, col("doc_id") === col("bid"), "left_anti")
   }
+
+  /** Duplicate-cluster size histogram: how many clusters of each size
+    * the near-dup graph produces — the standard health report after a
+    * dedup run (a fat tail here means a hot template or boilerplate
+    * family). Two cheap keyed aggregations on top of the canonical
+    * assignment; cluster count ≪ doc count, so the second shuffle is
+    * tiny at any scale.
+    */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    assignCanonical(s, dir, minhashPairs(s, dir, 0.8))
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
 }

@@ -720,4 +720,40 @@ object Relational {
       .select(col("c_name"), col("l_orderkey"), col("o_orderdate"),
         col("o_orderstatus"), round(col("revenue"), 4).as("revenue"))
   }
+
+  /** Referential-integrity audit: orphan counts for every FK relation in
+    * the fixture schema — the standing data-quality gate a pipeline runs
+    * before trusting a batch. Each relation is a left-anti join from
+    * child to parent; at scale the parent key set broadcasts when
+    * dimension-sized (nation, customer) and shuffles on the key when
+    * fact-sized (orders), which is exactly what Catalyst picks from
+    * sizes — no hints needed. Counts partially aggregate; nothing wide
+    * ever collects.
+    */
+  def fkAudit(s: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.join(parent, child(ck) === parent(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+    }
+    Seq(
+      rel("lineitem->orders",
+        Tables.lineitem(s, dir).select("l_orderkey"), "l_orderkey",
+        Tables.orders(s, dir).select("o_orderkey"), "o_orderkey"),
+      rel("orders->customer",
+        Tables.orders(s, dir).select("o_custkey"), "o_custkey",
+        Tables.customer(s, dir).select("c_custkey"), "c_custkey"),
+      rel("lineitem->supplier",
+        Tables.lineitem(s, dir).select("l_suppkey"), "l_suppkey",
+        Tables.supplier(s, dir).select("s_suppkey"), "s_suppkey"),
+      rel("customer->nation",
+        Tables.customer(s, dir).select("c_nationkey"), "c_nationkey",
+        Tables.nation(s, dir).select("n_nationkey"), "n_nationkey"),
+      rel("supplier->nation",
+        Tables.supplier(s, dir).select("s_nationkey"), "s_nationkey",
+        Tables.nation(s, dir).select("n_nationkey"), "n_nationkey"))
+      .reduce(_.unionByName(_))
+  }
 }

@@ -168,4 +168,12 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty && got != batch,
       "fixture should drop at least one batch doc")
   }
+
+  test("clusterSizes histogram sums back to the corpus") {
+    val hist = Dedup.clusterSizes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(hist.map { case (sz, n) => sz * n }.sum == docs)
+    assert(hist.exists(_._1 > 1), "fixture should have a multi-doc cluster")
+  }
 }

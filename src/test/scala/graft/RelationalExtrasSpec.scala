@@ -120,4 +120,17 @@ class RelationalExtrasSpec extends SparkSpec {
       .collect().map(_.getAs[Number]("o_orderkey").longValue).sorted.toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("fkAudit: child counts match tables; generated fixture has no orphans") {
+    val rows = Relational.fkAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("lineitem->orders", "orders->customer",
+      "lineitem->supplier", "customer->nation", "supplier->nation"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows("lineitem->orders")._1 == li)
+    assert(rows("lineitem->supplier")._1 == li)
+    rows.values.foreach { case (n, orphans) =>
+      assert(n > 0 && orphans == 0)
+    }
+  }
 }
