@@ -173,6 +173,12 @@ object SparkEntry {
     "retention_cohorts" -> ((s, d) => Events.retentionCohorts(s, d)),
     "dup_cluster_sizes" -> ((s, d) => Dedup.clusterSizes(s, d)),
     "fk_audit" -> ((s, d) => Relational.fkAudit(s, d)),
+    "doc_similarity" -> ((s, d) => Similarity.docSimilarityPairs(s, d)),
+    "interval_union" -> ((s, d) => Events.intervalUnion(s, d)),
+    "zscore_anomalies" -> ((s, d) => Events.zscoreAnomalies(s, d)),
+    "neighbor_jaccard" -> ((s, d) => Graph.neighborJaccard(s, d)),
+    "source_quota" -> ((s, d) => Curation.sourceQuota(s, d)),
+    "token_budget" -> ((s, d) => Curation.tokenBudget(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1500,6 +1506,102 @@ object SparkEntry {
                 (SELECT count(*) FROM supplier),
                 (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
                   (SELECT n_nationkey FROM nation))""",
+    // tf-idf cosine pairs through the shared-term inverted-index join;
+    // norms over the FULL vector, df-pruned (df ≤ 0.2·N) connector terms
+    "doc_similarity" -> s"""$TokCte,
+         posting AS (
+           SELECT doc_id, t AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+           GROUP BY doc_id, t),
+         dfx AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         wt AS (SELECT doc_id, term, df, n_docs,
+                       tf * ln(n_docs::DOUBLE / df) AS w
+                FROM posting JOIN dfx USING (term) CROSS JOIN nd),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                 FROM wt GROUP BY doc_id),
+         kept AS (SELECT * FROM wt WHERE df <= n_docs * 0.2),
+         dots AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  sum(a.w * b.w) AS dot
+           FROM kept a JOIN kept b
+             ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(dot / (na.nrm * nb.nrm), 6) AS sim
+         FROM dots
+         JOIN nrm na ON na.doc_id = doc_a
+         JOIN nrm nb ON nb.doc_id = doc_b
+         WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3""",
+    "interval_union" ->
+      """WITH iv AS (
+           SELECT user_id, event_id,
+                  (epoch_ms(ts) // 1000)::DOUBLE AS ep,
+                  (epoch_ms(ts) // 1000)::DOUBLE + value AS iend
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, ep, iend,
+             max(iend) OVER (PARTITION BY user_id ORDER BY ep, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+           FROM iv),
+         isl AS (
+           SELECT user_id, ep, iend,
+             sum(CASE WHEN prev_max IS NULL OR ep > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ep, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+           FROM m),
+         g AS (SELECT user_id, island, count(*) AS n_iv,
+                      min(ep) AS istart, max(iend) AS iend
+               FROM isl GROUP BY 1, 2)
+         SELECT user_id, sum(n_iv)::BIGINT AS n_intervals,
+                count(*) AS n_islands,
+                round(sum(iend - istart), 4) AS covered_sec
+         FROM g GROUP BY user_id""",
+    // moments rounded to 6 dp BEFORE the z computation on both engines,
+    // so the |z| ≥ 2.5 cut compares identical doubles
+    "zscore_anomalies" ->
+      """WITH st AS (SELECT event_type, round(avg(value), 6) AS mu,
+                            round(stddev_pop(value), 6) AS sigma
+                     FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, value,
+                round((value - mu) / sigma, 4) AS z
+         FROM events e JOIN st USING (event_type)
+         WHERE abs(round((value - mu) / sigma, 4)) >= 2.5""",
+    "neighbor_jaccard" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         deg AS (SELECT sup, count(*) AS deg FROM cs GROUP BY sup),
+         sh AS (SELECT a.sup AS s1, b.sup AS s2, count(*) AS shared
+                FROM cs a JOIN cs b ON a.c = b.c AND a.sup < b.sup
+                GROUP BY 1, 2)
+         SELECT s1, s2, shared,
+                round(shared / (d1.deg + d2.deg - shared), 6) AS jaccard
+         FROM sh
+         JOIN deg d1 ON d1.sup = s1
+         JOIN deg d2 ON d2.sup = s2
+         WHERE round(shared / (d1.deg + d2.deg - shared), 6) >= 0.25""",
+    "source_quota" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ((doc_id % 2147483648) * 8388593) % 100, doc_id)
+               AS rnk
+           FROM documents)
+         WHERE rnk <= 10""",
+    "token_budget" -> s"""$TokCte,
+         t AS (SELECT d.source, d.doc_id, len(ts)::BIGINT AS n_tokens,
+                      ((d.doc_id % 2147483648) * 8388593) % 100 AS h
+               FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+         c AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                   AS cum_tokens
+               FROM t)
+         SELECT source, doc_id, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens - n_tokens < 600""",
   )
 
   private def sqlList(words: Seq[String]): String =

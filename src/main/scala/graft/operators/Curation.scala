@@ -158,6 +158,46 @@ object Curation {
         col("n_shared") > 0))
   }
 
+  /** Per-source document quota: keep at most `cap` documents per source,
+    * chosen by the deterministic hash order (hash, doc_id) — the
+    * per-domain cap a web-corpus pipeline applies so no single site
+    * dominates the training mix. A document's survival depends only on
+    * its id and its source's other ids, never on row order. The rank
+    * filter plans as WindowGroupLimit: each map task keeps its local
+    * top-`cap` per source before the per-source shuffle, so the full
+    * table never moves.
+    */
+  def sourceQuota(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), pctHash(col("doc_id")).as("h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .select("source", "doc_id")
+  }
+
+  /** Token-budget mixing: admit documents per source in deterministic
+    * hash order until the source's cumulative token count reaches
+    * `budget` (the doc that crosses the line is the last one in). This
+    * is the budgeted variant of `sourceQuota` — mixture weights in
+    * tokens, the unit training runs actually meter. One shuffle on
+    * source; the running sum is a single window pass.
+    */
+  def tokenBudget(s: SparkSession, dir: String,
+                  budget: Long = 600): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), pctHash(col("doc_id")).as("h"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each row draws a deterministic pseudo-uniform u from its key and
     * competes on priority key −ln(u)/w (w = o_totalprice); the k

@@ -436,4 +436,61 @@ object Events {
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
+
+  /** Interval-union coverage: treat each event as a half-open interval
+    * [ts, ts + value seconds] and merge overlapping/touching intervals
+    * per user (the classic overlap-merge: an interval opens a new island
+    * iff it starts strictly after the running max end of everything
+    * before it). Output per user: interval count, island count, and
+    * total covered seconds — the "time actually in state" metric naive
+    * `sum(duration)` double-counts whenever intervals overlap.
+    *
+    * One shuffle on user_id; two window passes over the same partition
+    * (running-max-end lag, then island-id cumsum) and one aggregate.
+    * Island boundaries depend only on the (ts, event_id)-ordered prefix
+    * maxima, so the result is partitioning-independent.
+    */
+  def intervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).cast("double").as("ep"), col("value"))
+      .withColumn("iend", col("ep") + col("value"))
+      .withColumn("prev_max", max(col("iend")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("ep") > col("prev_max"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_iv"),
+        min(col("ep")).as("istart"), max(col("iend")).as("iend"))
+      .groupBy("user_id")
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        round(sum(col("iend") - col("istart")), 4).as("covered_sec"))
+  }
+
+  /** Per-type z-score outliers: events whose value deviates from the
+    * event_type mean by ≥ `cut` population standard deviations. The
+    * per-type moments are one partial-aggregated shuffle over a
+    * handful of groups, then broadcast back onto the scan — the big
+    * side is read once and never shuffled, which is the only shape
+    * that survives a 100 TB events table. Moments are rounded to 6 dp
+    * before the z computation so the flag threshold compares identical
+    * doubles on both engines (raw stddev merge order differs).
+    */
+  def zscoreAnomalies(s: SparkSession, dir: String,
+                      cut: Double = 2.5): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(round(avg("value"), 6).as("mu"),
+        round(stddev_pop(col("value")), 6).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
+      .filter(abs(col("z")) >= cut)
+      .select("event_id", "event_type", "value", "z")
+  }
 }

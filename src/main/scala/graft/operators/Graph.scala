@@ -354,6 +354,41 @@ object Graph {
     s.createDataFrame(labels.map { case (id, c) => Row(id, c) }, schema)
   }
 
+  /** Neighborhood-Jaccard item similarity over the customer–supplier
+    * bipartite graph: two suppliers are similar when the customer sets
+    * that bought from them overlap (|A∩B| / |A∪B| ≥ `minSim`) — the
+    * co-occurrence flavor of item-item collaborative filtering. The
+    * shared-count self-join on the customer key enumerates only pairs
+    * with at least one common customer (never the full supplier²
+    * cross), and degrees join back by supplier, so inclusion–exclusion
+    * gives the union size without ever materializing union sets. At
+    * 100 TB the guard is capping the per-customer fan-out (a customer
+    * with d suppliers emits d² pairs — drop or sample whale customers
+    * above a degree cut, same skew treatment as the salted joins).
+    */
+  def neighborJaccard(s: SparkSession, dir: String,
+                      minSim: Double = 0.25): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+      .persist()
+    cs.count() // eager: degrees + both sides of the pair join
+    val deg = cs.groupBy("sup").agg(count(lit(1)).as("deg"))
+    val shared = cs.select(col("c"), col("sup").as("s1"))
+      .join(cs.select(col("c"), col("sup").as("s2")), "c")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(deg.select(col("sup").as("s1"), col("deg").as("d1")), "s1")
+      .join(deg.select(col("sup").as("s2"), col("deg").as("d2")), "s2")
+      .select(col("s1"), col("s2"), col("shared"),
+        round(col("shared") / (col("d1") + col("d2") - col("shared")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minSim)
+  }
+
   /** A deterministic bipartite-ish graph from the fixture tables for the
     * queries surface: customer ⇄ supplier whenever a lineitem links them
     * through an order. Supplier ids are offset to avoid key collision.

@@ -176,6 +176,49 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
 
+  /** All-pairs document similarity over tf-idf vectors via inverted-
+    * index self-join (the Elsayed/Lin/Oard pairwise-similarity pattern:
+    * two documents can only have nonzero dot product through terms they
+    * share, so joining the postings list to itself on `term` enumerates
+    * exactly the contributing (doc_a, doc_b, term) triples). Weight =
+    * tf · ln(N/df); similarity = cosine over the per-doc tf-idf vector.
+    *
+    * Scale posture: the join cost is Σ_term df², so the df-pruning cut
+    * (`maxDfFrac`) removes the near-stopword terms that dominate that
+    * sum while contributing ~0 weight anyway (ln(N/df) → 0 as df → N) —
+    * the standard quadratic-blowup guard for 100 TB corpora. Norms are
+    * computed over the FULL vector (pruning only gates which terms may
+    * *connect* a pair), so scores stay comparable as the cut moves.
+    */
+  def docSimilarityPairs(s: SparkSession, dir: String,
+                         threshold: Double = 0.3,
+                         maxDfFrac: Double = 0.2): DataFrame = {
+    val p = Index.postings(s, dir).persist()
+    p.count() // eager: df, norms and both join sides read it
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val df = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val weighted = p.join(df, "term").crossJoin(broadcast(nDocs))
+      .select(col("term"), col("doc_id"), col("df"), col("n_docs"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+      .persist()
+    weighted.count() // eager: norms + both sides of the pair join
+    p.unpersist(blocking = false)
+    val norms = weighted.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val kept = weighted.filter(col("df") <= col("n_docs") * maxDfFrac)
+    val l = kept.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
+    val r = kept.select(col("term"), col("doc_id").as("doc_b"), col("w").as("wb"))
+    l.join(r, "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Lloyd's k-means over the embedding column: `iters` assignment
     * passes, centroids re-estimated between passes. Initial centroids =
     * the `k` smallest vec_ids (deterministic — no seeded sampling to
