@@ -28,9 +28,10 @@ import graft.expressions.NoPushdown
   *  - `StaticSetProbeRule`: `size(array_intersect(col, <literal>))`
   *    probes a once-per-executor hash set instead of rebuilding the
   *    constant side's lookup table per row.
-  * Everything else is additive and idempotent; no other built-in
-  * behavior changes (SURVEY §7.3: full parity needs no custom
-  * Rule/Strategy — these are pure optimizations).
+  * And one planner strategy — `GraftStrategy`, which plans the
+  * library's native `AsOfJoinPlan` operator (co-partitioned sorted-
+  * merge as-of join, `graft.plans.AsOfJoin`). Everything is additive
+  * and idempotent; no built-in behavior changes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -46,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
     ext.injectOptimizerRule(_ => graft.plans.StaticSetProbeRule)
+    // whole-operator path: plans AsOfJoinPlan → AsOfJoinExec (native
+    // co-partitioned sorted-merge as-of join; see graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
       args => SimHash64(one(args, "simhash64"))))

@@ -174,6 +174,9 @@ object SparkEntry {
     "dup_cluster_sizes" -> ((s, d) => Dedup.clusterSizes(s, d)),
     "fk_audit" -> ((s, d) => Relational.fkAudit(s, d)),
     "doc_similarity" -> ((s, d) => Similarity.docSimilarityPairs(s, d)),
+    // native custom-plan as-of join (AsOfJoinPlan/Exec); same result
+    // contract as asof_join, so the same oracle must hash-match
+    "asof_join_native" -> ((s, d) => Events.asofJoinNative(s, d, "purchase", "view")),
     "interval_union" -> ((s, d) => Events.intervalUnion(s, d)),
     "zscore_anomalies" -> ((s, d) => Events.zscoreAnomalies(s, d)),
     "neighbor_jaccard" -> ((s, d) => Graph.neighborJaccard(s, d)),
@@ -1199,6 +1202,21 @@ object SparkEntry {
     // ASOF JOIN (DuckDB-native) against the union+carry Spark operator;
     // right side deduped to max event_id per (user, second) on both sides
     "asof_join" ->
+      """WITH l AS (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep
+           FROM events WHERE event_type = 'purchase'),
+         r AS (
+           SELECT user_id, epoch_ms(ts) // 1000 AS r_ep,
+                  max(event_id) AS r_event_id,
+                  arg_max(value, event_id) AS r_value
+           FROM events WHERE event_type = 'view'
+           GROUP BY user_id, epoch_ms(ts) // 1000)
+         SELECT l.user_id, l.event_id, l.ep,
+                r.r_event_id, round(r.r_value, 4) AS r_value
+         FROM l ASOF JOIN r
+           ON l.user_id = r.user_id AND r.r_ep <= l.ep""",
+    // identical contract through the native AsOfJoinExec operator
+    "asof_join_native" ->
       """WITH l AS (
            SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep
            FROM events WHERE event_type = 'purchase'),

@@ -228,6 +228,57 @@ object Events {
         col("r_event_id"), round(col("r_value"), 4).as("r_value"))
   }
 
+  /** The as-of join again, through the NATIVE physical operator
+    * (`graft.plans.AsOfJoinExec` via `AsOfJoinPlan` + `GraftStrategy`;
+    * the session must carry `GraftExtensions`). Same contract and
+    * output as `asofJoin` — the right side is pre-aggregated to unique
+    * (user, second) with the max-event_id tiebreak, so "last right row
+    * in child order" is deterministic. Versus the union+carry
+    * composition, only the two inputs shuffle (each once, on the key)
+    * and the merge itself is a single streaming pass with one held row
+    * of state — no window frames over the unioned stream.
+    */
+  def asofJoinNative(s: SparkSession, dir: String,
+                     leftType: String, rightType: String): DataFrame = {
+    import org.apache.spark.sql.graftglue.PlanApi
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"), col("event_type"), col("value"))
+    val lefts = ev.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id"), col("ep"))
+    // repartition on user BEFORE the (user, second) dedup aggregate:
+    // hash(user) satisfies the agg's ClusteredDistribution(user, ep)
+    // (subset key) AND the join's ClusteredDistribution(user), so the
+    // right side shuffles exactly once — without it EnsureRequirements
+    // plans hash(user, ep) for the agg plus a second hash(user)
+    // exchange for the join
+    val rights = ev.filter(col("event_type") === rightType)
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("r_user"), col("ep").as("r_ep"))
+      .agg(max_by(struct(col("event_id"), col("value")), col("event_id"))
+        .as("r"))
+      .select(col("r_user"), col("r_ep"),
+        col("r.event_id").as("r_event_id"), col("r.value").as("r_value"))
+    // self-sufficient on any session: extension-less sessions (e.g. a
+    // bare spark-shell) get the strategy via experimental; sessions
+    // built withExtensions(GraftExtensions) already have it (a second
+    // registration would be harmless — planner candidates dedupe by
+    // first match — but skip it anyway)
+    if (!s.experimental.extraStrategies.exists(_ eq graft.plans.GraftStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    val (lPlan, rPlan) = (PlanApi.analyzed(lefts), PlanApi.analyzed(rights))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) = p.output.find(_.name == name).get
+    val joined = PlanApi.ofRows(s, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, "user_id"), attr(lPlan, "ep"),
+      attr(rPlan, "r_user"), attr(rPlan, "r_ep")))
+    joined.filter(col("r_event_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ep"),
+        col("r_event_id"), round(col("r_value"), 4).as("r_value"))
+  }
+
   /** Ordered funnel analysis: how far each user progresses through
     * view → click → purchase, where each stage must strictly follow the
     * previous one in (second-granularity) event time. Three filtered
