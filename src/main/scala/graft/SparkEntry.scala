@@ -182,6 +182,12 @@ object SparkEntry {
     "neighbor_jaccard" -> ((s, d) => Graph.neighborJaccard(s, d)),
     "source_quota" -> ((s, d) => Curation.sourceQuota(s, d)),
     "token_budget" -> ((s, d) => Curation.tokenBudget(s, d)),
+    "equi_depth_hist" -> ((s, d) => Relational.equiDepthHist(s, d)),
+    "q22_shape" -> ((s, d) => Relational.q22Shape(s, d)),
+    "time_weighted_avg" -> ((s, d) => Events.timeWeightedAvg(s, d)),
+    "latest_snapshot" -> ((s, d) => Events.latestSnapshot(s, d)),
+    "sorted_neighborhood" -> ((s, d) => Dedup.sortedNeighborhood(s, d)),
+    "unigram_logprob" -> ((s, d) => TextStats.unigramLogProb(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1620,6 +1626,82 @@ object SparkEntry {
                FROM t)
          SELECT source, doc_id, n_tokens, cum_tokens FROM c
          WHERE cum_tokens - n_tokens < 600""",
+    // exact-percentile boundaries (rounded 6 dp on both engines), then
+    // bucket = #boundaries strictly below the value
+    "equi_depth_hist" ->
+      """WITH bs AS (
+           SELECT list_transform(
+             quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+             b -> round(b, 6)) AS bs
+           FROM orders)
+         SELECT bucket, count(*) AS cnt,
+                round(min(p), 2) AS lo, round(max(p), 2) AS hi
+         FROM (SELECT o_totalprice AS p,
+                 len(list_filter(bs.bs, b -> o_totalprice > b)) + 1
+                   AS bucket
+               FROM orders, bs)
+         GROUP BY bucket""",
+    "q22_shape" ->
+      """WITH pa AS (SELECT avg(c_acctbal) AS pos_avg
+                     FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS n_cust,
+                round(sum(c_acctbal), 2) AS total_bal
+         FROM customer, pa
+         WHERE c_acctbal > pos_avg
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderdate >= '1998-01-01')
+         GROUP BY c_nationkey""",
+    "time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep,
+                           value
+                    FROM events),
+         l AS (SELECT user_id, ep, value,
+                 lead(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                   AS next_ep
+               FROM e)
+         SELECT user_id,
+                round(sum(value * (next_ep - ep)) /
+                      (max(next_ep) - min(ep)), 6) AS twa,
+                count(*) AS n_held
+         FROM l WHERE next_ep IS NOT NULL
+         GROUP BY user_id""",
+    "latest_snapshot" ->
+      """SELECT user_id, event_type, event_id, ep, value FROM (
+           SELECT user_id, event_type, event_id,
+                  epoch_ms(ts) // 1000 AS ep, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_ms(ts) // 1000 DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1""",
+    // first-raw-token blocks, (text, doc_id) order, rank-window
+    // candidates, exact token-set Jaccard verify
+    "sorted_neighborhood" -> s"""$TokCte,
+         d AS (SELECT t.doc_id, d0.text, list_distinct(t.ts) AS st,
+                      t.ts[1] AS block
+               FROM toks t JOIN documents d0 ON d0.doc_id = t.doc_id
+               WHERE len(t.ts) > 0),
+         rdoc AS (SELECT doc_id, text, st, block,
+                  row_number() OVER (PARTITION BY block
+                    ORDER BY text, doc_id) AS rn
+                FROM d),
+         cand AS (
+           SELECT a.doc_id AS da, b.doc_id AS db,
+                  len(list_intersect(a.st, b.st))::DOUBLE /
+                    len(list_distinct(a.st || b.st)) AS j
+           FROM rdoc a JOIN rdoc b ON a.block = b.block
+             AND b.rn > a.rn AND b.rn <= a.rn + 3)
+         SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+                round(j, 6) AS jaccard
+         FROM cand WHERE j >= 0.5""",
+    "unigram_logprob" -> s"""$TokCte,
+         tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         model AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         tot AS (SELECT sum(cnt)::DOUBLE AS total FROM model)
+         SELECT doc_id, round(avg(ln(cnt / total)), 6) AS avg_logprob,
+                count(*) AS n_tokens
+         FROM tok JOIN model USING (term), tot
+         GROUP BY doc_id""",
   )
 
   private def sqlList(words: Seq[String]): String =

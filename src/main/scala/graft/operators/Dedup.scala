@@ -339,4 +339,46 @@ object Dedup {
     assignCanonical(s, dir, minhashPairs(s, dir, 0.8))
       .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+
+  /** Sorted-neighborhood ER blocking (Hernández–Stolfo): within each
+    * first-token block, order documents by (text, doc_id) and compare
+    * only rows at most `window` positions apart, then verify the
+    * candidates with exact token-set Jaccard. The comparison count is
+    * O(n·window) instead of the block's O(n²) — the fixed-cost
+    * blocking strategy when LSH's probabilistic recall isn't wanted.
+    * Ranks are per-block (row_number over the block partition), so the
+    * sort distributes; no global sequence is ever materialized.
+    */
+  def sortedNeighborhood(s: SparkSession, dir: String,
+                         window: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // block on the first RAW token, not the distinct set's head: set
+    // element order is engine-specific, raw token order is not
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFns.tokenize(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("text"),
+        array_distinct(col("ts")).as("st"),
+        element_at(col("ts"), 1).as("block"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("block").orderBy("text", "doc_id")))
+      .persist()
+    docs.count() // eager: both sides of the neighborhood join
+    val a = docs.select(col("block"), col("rn").as("ra"),
+      col("doc_id").as("doc_a"), col("st").as("sa"))
+    val b = docs.select(col("block"), col("rn").as("rb"),
+      col("doc_id").as("doc_b"), col("st").as("sb"))
+    a.join(b, Seq("block"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + window)
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("j"))
+      .filter(col("j") >= threshold)
+      .select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        round(col("j"), 6).as("jaccard"))
+  }
 }

@@ -228,6 +228,44 @@ object Events {
         col("r_event_id"), round(col("r_value"), 4).as("r_value"))
   }
 
+  /** Time-weighted average of `value` per user: each reading holds
+    * until the next one, so it weighs by its holding duration —
+    * twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first). The metric a
+    * state-sampled gauge needs where the plain `avg` over-counts
+    * burst periods. One window pass (lead) + one aggregate; users
+    * with a single event have no held interval and drop out.
+    */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"), col("value"))
+      .withColumn("next_ep", lead(col("ep"), 1).over(w))
+      .filter(col("next_ep").isNotNull)
+      .groupBy("user_id")
+      .agg(round(sum(col("value") * (col("next_ep") - col("ep"))) /
+          (max(col("next_ep")) - min(col("ep"))), 6).as("twa"),
+        count(lit(1)).as("n_held"))
+  }
+
+  /** Last-write-wins compaction: the latest event per (user, type) —
+    * the CDC/upsert-log collapse every snapshot-serving store runs.
+    * Deterministic tie-break on event_id; the rank filter plans as
+    * WindowGroupLimit, so each map task keeps one candidate per key
+    * before the shuffle — at 100 TB the shuffle carries one row per
+    * (user, type), not the log.
+    */
+  def latestSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ep").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ep", "value")
+  }
+
   /** The as-of join again, through the NATIVE physical operator
     * (`graft.plans.AsOfJoinExec` via `AsOfJoinPlan` + `GraftStrategy`;
     * the session must carry `GraftExtensions`). Same contract and

@@ -756,4 +756,59 @@ object Relational {
         Tables.nation(s, dir).select("n_nationkey"), "n_nationkey"))
       .reduce(_.unionByName(_))
   }
+
+  /** Equi-depth (equal-frequency) histogram of order totals: exact
+    * `percentile` boundaries at i/k, then a second scan assigns each
+    * row by counting boundaries below it (a codegen'd fold over the
+    * broadcast boundary array — no sort, no window over the table).
+    * This two-pass shape is the scalable one: a global `ntile` would
+    * be a single-partition window sort; here pass 1 is one aggregate
+    * and pass 2 is embarrassingly parallel. At 100 TB the exact
+    * percentile swaps for `approx_percentile` (same plan shape, the
+    * t-digest merge is already distributed); boundaries are rounded
+    * to 6 dp on both engines so bucket assignment compares identical
+    * doubles. Equal values straddling a boundary all land in the same
+    * bucket — counts are then only approximately n/k, which is the
+    * honest semantics of an equi-depth histogram over ties.
+    */
+  def equiDepthHist(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_totalprice").as("p"))
+    val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
+    val bounds = o.agg(transform(percentile(col("p"), probs),
+      b => round(b, 6)).as("bs"))
+    o.crossJoin(broadcast(bounds))
+      .select(col("p"),
+        (aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("p") > b, 1).otherwise(0)) + 1)
+          .cast("long").as("bucket")) // DuckDB len() is BIGINT
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col("p")), 2).as("lo"), round(max(col("p")), 2).as("hi"))
+  }
+
+  /** TPC-H Q22 shape (churn variant): per nation, the count and total
+    * balance of customers whose account balance exceeds the average
+    * positive balance and who placed no order on/after `inactiveSince`
+    * (the fixtures give every customer early orders, so classic Q22's
+    * "never ordered" is vacuously empty). The scalar average rides in
+    * as a broadcast 1-row frame (no collect); the inactivity predicate
+    * is a left-anti join — the decorrelated form of NOT EXISTS — whose
+    * right side is pre-filtered by the pushed-down date range before
+    * it ever shuffles.
+    */
+  def q22Shape(s: SparkSession, dir: String,
+               inactiveSince: String = "1998-01-01"): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val posAvg = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("pos_avg"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(inactiveSince).cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(posAvg))
+      .filter(col("c_acctbal") > col("pos_avg"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
 }

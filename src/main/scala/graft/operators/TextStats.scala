@@ -238,4 +238,28 @@ object TextStats {
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * m > total)
   }
+
+  /** Unigram language-model scoring: train the corpus unigram model
+    * (term → count / total) in one aggregate, then score every document
+    * by its mean token log-probability — the cheap LM-quality signal a
+    * curation pipeline thresholds before paying for a real LM pass
+    * (low avg_logprob ≈ unusual/garbled token mix). Two shuffles: the
+    * model build (vocab-sized) and the per-doc mean; the token→model
+    * join is vocab-sized on the build side, so at 100 TB it broadcasts
+    * and the corpus side never moves. No OOV smoothing needed: the
+    * model is trained on the corpus it scores.
+    */
+  def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .persist()
+    tok.count() // eager: model + scoring side both read it
+    val model = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("total"))
+    tok.join(broadcast(model), "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cnt") / col("total"))), 6).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{Dedup, Events, Relational, TextStats}
+
+/** Micro-fixture specs for the second round-3 batch: equi-depth
+  * histogram, Q22 churn shape, time-weighted average, last-write-wins
+  * snapshot, sorted-neighborhood blocking, unigram LM scoring.
+  */
+class Round3BatchBSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("equiDepthHist: boundaries split mass evenly, ties stay together") {
+    val dir = java.nio.file.Files.createTempDirectory("edh").toString
+    Seq.tabulate(100)(i => (i.toLong, (i + 1).toDouble))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.equiDepthHist(spark, dir, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // quartile boundaries of 1..100 at (25.75, 50.5, 75.25)
+    assert(got(1L) == (25L, 1.0, 25.0))
+    assert(got(2L) == (25L, 26.0, 50.0))
+    assert(got(3L) == (25L, 51.0, 75.0))
+    assert(got(4L) == (25L, 76.0, 100.0))
+  }
+
+  test("q22Shape: above-average balance and inactive since cutoff") {
+    val dir = java.nio.file.Files.createTempDirectory("q22").toString
+    Seq((1L, 10.0, 7L), (2L, 200.0, 7L), (3L, 150.0, 8L), (4L, -5.0, 8L))
+      .toDF("c_custkey", "c_acctbal", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // pos_avg = (10+200+150)/3 = 120; customers 2 and 3 are above;
+    // customer 2 ordered recently, customer 3 only before the cutoff
+    Seq((10L, 2L, ts(0)), (11L, 3L, new Timestamp(0L)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.q22Shape(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((8L, 1L, 150.0)))
+  }
+
+  test("timeWeightedAvg: weights by holding time, drops the last reading") {
+    val dir = java.nio.file.Files.createTempDirectory("twa").toString
+    Seq((0L, ts(0), 1L, 10.0), (1L, ts(10), 1L, 20.0), (2L, ts(30), 1L, 99.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.timeWeightedAvg(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // (10*10 + 20*20) / 30 = 16.666667; the t=30 reading holds nothing
+    assert(got(1L) == (16.666667, 2L))
+  }
+
+  test("latestSnapshot: latest per (user, type), ties to max event_id") {
+    val dir = java.nio.file.Files.createTempDirectory("lww").toString
+    Seq(
+      (0L, ts(0), 1L, "view", 1.0), (1L, ts(50), 1L, "view", 2.0),
+      (2L, ts(50), 1L, "view", 3.0), // same second as 1: higher id wins
+      (3L, ts(9), 1L, "click", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.latestSnapshot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(got == Map((1L, "view") -> (2L, 3.0), (1L, "click") -> (3L, 4.0)))
+  }
+
+  test("sortedNeighborhood: near neighbors pair, distant rows do not") {
+    val dir = java.nio.file.Files.createTempDirectory("snm").toString
+    // one block ("apple ..."), sorted by text: docs 1,2 adjacent and
+    // similar; doc 3 shares the block but no other tokens beyond it
+    Seq(
+      (1L, "apple banana cherry"), (2L, "apple banana date"),
+      (3L, "apple zebra yak xylophone"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.sortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.5))) // {apple,banana} / 4 union
+  }
+
+  test("unigramLogProb: mean token log-probability under the corpus model") {
+    val dir = java.nio.file.Files.createTempDirectory("ulp").toString
+    Seq((1L, "a a"), (2L, "b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.unigramLogProb(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // model: a→2/3, b→1/3
+    assert(got(1L) == (BigDecimal(math.log(2.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 2L))
+    assert(got(2L) == (BigDecimal(math.log(1.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 1L))
+  }
+}
