@@ -188,6 +188,10 @@ object SparkEntry {
     "latest_snapshot" -> ((s, d) => Events.latestSnapshot(s, d)),
     "sorted_neighborhood" -> ((s, d) => Dedup.sortedNeighborhood(s, d)),
     "unigram_logprob" -> ((s, d) => TextStats.unigramLogProb(s, d)),
+    "mom_growth" -> ((s, d) =>
+      Relational.momGrowth(s, d, Seq("NATION_3", "NATION_24"))),
+    "chi_square" -> ((s, d) => Events.chiSquare(s, d)),
+    "media_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1702,6 +1706,59 @@ object SparkEntry {
                 count(*) AS n_tokens
          FROM tok JOIN model USING (term), tot
          GROUP BY doc_id""",
+    "mom_growth" ->
+      """WITH monthly AS (
+           SELECT n_name, strftime(l_shipdate, '%Y-%m') AS ship_month,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE n_name IN ('NATION_3', 'NATION_24')
+           GROUP BY n_name, ship_month)
+         SELECT n_name, ship_month, rev,
+                round((rev - lag(rev) OVER w) / lag(rev) OVER w * 100, 4)
+                  AS growth_pct
+         FROM monthly
+         WINDOW w AS (PARTITION BY n_name ORDER BY ship_month)""",
+    // full type×hour grid so never-observed cells contribute expected mass
+    "chi_square" ->
+      """WITH obs AS (
+           SELECT event_type, hour(ts) AS hr, count(*) AS o
+           FROM events GROUP BY 1, 2),
+         rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+         ct AS (SELECT hr, sum(o) AS ct FROM obs GROUP BY 1),
+         tot AS (SELECT sum(o)::DOUBLE AS n FROM obs),
+         grid AS (
+           SELECT rt.event_type, ct.hr, coalesce(obs.o, 0) AS o,
+                  rt.rt * ct.ct / tot.n AS e
+           FROM rt CROSS JOIN ct CROSS JOIN tot
+           LEFT JOIN obs ON obs.event_type = rt.event_type
+             AND obs.hr = ct.hr)
+         SELECT round(sum(pow(o - e, 2) / e), 4) AS chi2,
+                count(*) AS n_cells
+         FROM grid""",
+    // same greedy fold as seq_packing, weights = blob byte lengths
+    "media_shard_plan" ->
+      """WITH RECURSIVE counts AS MATERIALIZED (
+           SELECT doc_id, doc_id % 8 AS bucket,
+                  octet_length(text::BLOB)::BIGINT AS n_tokens,
+                  row_number() OVER (PARTITION BY doc_id % 8
+                    ORDER BY doc_id) AS rn
+           FROM documents),
+         packed AS (
+           SELECT bucket, rn, doc_id, n_tokens,
+                  0::BIGINT AS bin, n_tokens AS fill
+           FROM counts WHERE rn = 1
+           UNION ALL
+           SELECT c.bucket, c.rn, c.doc_id, c.n_tokens,
+             CASE WHEN p.fill + c.n_tokens > 2048
+               THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + c.n_tokens > 2048
+               THEN c.n_tokens ELSE p.fill + c.n_tokens END
+           FROM packed p JOIN counts c
+             ON c.bucket = p.bucket AND c.rn = p.rn + 1)
+         SELECT doc_id, bucket, bin, fill FROM packed""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -228,6 +228,32 @@ object Events {
         col("r_event_id"), round(col("r_value"), 4).as("r_value"))
   }
 
+  /** Chi-square independence statistic between event type and
+    * hour-of-day — the drift check a pipeline runs on a categorical
+    * pair before trusting a segmentation. The contingency table is one
+    * aggregate; marginals re-aggregate from it (cells ≪ rows, so both
+    * are cheap at any scale); expected counts come from the FULL
+    * type × hour grid (a cross of the two small marginal frames), so
+    * never-observed cells still contribute their expected mass.
+    * Output: one row (chi2, n_cells).
+    */
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("o"))
+      .persist()
+    obs.count() // eager: marginals + the grid join all read it
+    val rowTot = obs.groupBy("event_type").agg(sum(col("o")).as("rt"))
+    val colTot = obs.groupBy("hr").agg(sum(col("o")).as("ct"))
+    val total = obs.agg(sum(col("o")).as("n"))
+    rowTot.crossJoin(colTot).crossJoin(broadcast(total))
+      .join(obs, Seq("event_type", "hr"), "left")
+      .select((coalesce(col("o"), lit(0))).as("o"),
+        (col("rt") * col("ct") / col("n")).as("e"))
+      .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"),
+        count(lit(1)).as("n_cells"))
+  }
+
   /** Time-weighted average of `value` per user: each reading holds
     * until the next one, so it weighs by its holding duration —
     * twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first). The metric a

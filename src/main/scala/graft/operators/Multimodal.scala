@@ -44,6 +44,21 @@ object Multimodal {
       length(col("blob")).as("n_bytes"),
       ascii(col("blob").cast("string").substr(1, 1)).as("first_byte"))
 
+  /** Media shard planning: bin-pack blobs into fixed-byte-capacity
+    * shards — the packing layout an ingest run writes so downstream
+    * readers get even-sized media files. Reuses the curation tier's
+    * greedy secondary-sort fold (`Curation.packDocs`) with byte
+    * lengths as the weight; only the cheap metadata column feeds the
+    * plan, blobs themselves never shuffle. Output: (doc_id, bucket,
+    * bin, fill) where bin is the shard ordinal within the bucket.
+    */
+  def shardPlan(s: SparkSession, dir: String,
+                buckets: Int = 8, capacity: Int = 2048): DataFrame =
+    Curation.packDocs(
+      mediaMeta(s, dir).select(col("doc_id"),
+        col("n_bytes").cast("long").as("n_tokens")),
+      buckets, capacity)
+
   /** STUB decoder — deterministic fake. A real implementation would
     * call an image/audio codec per record batch here (mapPartitions is
     * exactly where that batch boundary lives); the fake derives

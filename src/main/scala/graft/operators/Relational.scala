@@ -786,6 +786,38 @@ object Relational {
         round(min(col("p")), 2).as("lo"), round(max(col("p")), 2).as("hi"))
   }
 
+  /** Month-over-month revenue growth per nation: the Q5-shaped join
+    * aggregated to monthly revenue, then one lag window computes the
+    * consecutive-month percent change (first month has no baseline and
+    * reports null). The window partitions by nation — tiny state, no
+    * global sort; the heavy lifting is the same broadcast-dimension
+    * join as Q5.
+    */
+  def momGrowth(s: SparkSession, dir: String,
+                nations: Seq[String]): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select("n_nationkey", "n_name")
+    val cn = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val monthly = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("rev"))
+    val w = Window.partitionBy("n_name").orderBy("ship_month")
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("n_name"), col("ship_month"), col("rev"),
+        round((col("rev") - col("prev")) / col("prev") * 100, 4)
+          .as("growth_pct"))
+  }
+
   /** TPC-H Q22 shape (churn variant): per nation, the count and total
     * balance of customers whose account balance exceeds the average
     * positive balance and who placed no order on/after `inactiveSince`

@@ -9,13 +9,15 @@ import graft.SparkEntry
   *
   * Audit result (round 3, sf0.001): every hit is intentional —
   * BroadcastNestedLoopJoin appears only for 1-row broadcast scalars
-  * (PMI marginals, PPR dangling mass, tf-idf doc count), the tiny
-  * nation×month spine cross join (date_spine_fill), and the two
-  * documented brute-force baselines (knn_brute, dedup_embedding) whose
-  * scale paths are knn_ivf / dedup_embedding_lsh; SinglePartition
-  * appears under global scalar aggregates and zorder_cluster's total
-  * range order (a layout rewrite IS a global range partitioning — see
-  * its scaladoc).
+  * (PMI marginals, PPR dangling mass, tf-idf/doc-similarity/unigram-LM
+  * doc counts and totals, equi-depth boundaries, Q22's positive
+  * average, triangle census' percentile cut), the tiny nation×month
+  * spine cross join (date_spine_fill), and the two documented
+  * brute-force baselines (knn_brute, dedup_embedding) whose scale
+  * paths are knn_ivf / dedup_embedding_lsh; SinglePartition appears
+  * under global scalar aggregates and zorder_cluster's total range
+  * order (a layout rewrite IS a global range partitioning — see its
+  * scaladoc).
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {

@@ -81,6 +81,42 @@ class Round3BatchBSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0.5))) // {apple,banana} / 4 union
   }
 
+  test("chiSquare: independent contingency table scores zero") {
+    val dir = java.nio.file.Files.createTempDirectory("chi").toString
+    def hr(h: Long, i: Long) =
+      new Timestamp(java.sql.Timestamp.valueOf(s"2020-01-01 0$h:00:0$i").getTime)
+    // identical hour distribution for both types -> observed == expected
+    val rows = for {
+      (t, per) <- Seq(("a", 2L), ("b", 3L)); h <- 0L to 1L; i <- 0L until per
+    } yield (t.hashCode.toLong * 100 + h * 10 + i, hr(h, i), 1L, t, 1.0)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.chiSquare(spark, dir).collect().head
+    assert(got.getDouble(0) == 0.0 && got.getLong(1) == 4L)
+  }
+
+  test("momGrowth: percent change is consistent with monthly revenues") {
+    val rows = Relational.momGrowth(spark, sf, Seq("NATION_3"))
+      .orderBy("ship_month").collect()
+    assert(rows.length > 2 && rows.head.isNullAt(3))
+    val (prev, cur) = (rows(0).getDouble(2), rows(1).getDouble(2))
+    val expect = BigDecimal((cur - prev) / prev * 100)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1).getDouble(3) == expect)
+  }
+
+  test("shardPlan: blobs pack greedily under the byte capacity") {
+    val dir = java.nio.file.Files.createTempDirectory("shard").toString
+    Seq((0L, "x" * 6), (1L, "y" * 6), (2L, "z" * 12))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Multimodal
+      .shardPlan(spark, dir, buckets = 1, capacity = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // 6 fits; 6+6 > 10 opens bin 1; the 12-byte blob overflows alone
+    assert(got == Map(0L -> (0L, 6L), 1L -> (1L, 6L), 2L -> (2L, 12L)))
+  }
+
   test("unigramLogProb: mean token log-probability under the corpus model") {
     val dir = java.nio.file.Files.createTempDirectory("ulp").toString
     Seq((1L, "a a"), (2L, "b"))
