@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** DSv2 adjacency-list source: row semantics, column pruning reaching
+  * the reader, src-filter pushdown, multi-file partitioning, and
+  * agreement with the composed `Graph.adjacencyEdges` reader.
+  */
+class AdjacencySourceSpec extends SparkSpec {
+
+  private def writeGraph(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("adj")
+    Files.writeString(dir.resolve("part-0.txt"), lines.mkString("\n"))
+    dir.toString
+  }
+
+  test("reads nodeid neighbor* lines as (src, dst) edges") {
+    val dir = writeGraph(Seq("1 2 3", "2", "", "3 1"))
+    val got = spark.read.format("graft-adjacency").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // node 2 is dangling (no out-edges), the blank line is skipped
+    assert(got == Set((1L, 2L), (1L, 3L), (3L, 1L)))
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = writeGraph(Seq("1 2 3", "5 6", "9 1"))
+    val df = spark.read.format("graft-adjacency").load(dir).select("dst")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("dst"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 6L))
+  }
+
+  test("src filters push into the reader and still re-check above it") {
+    val dir = writeGraph(Seq("1 2 3", "5 6", "9 1"))
+    val df = spark.read.format("graft-adjacency").load(dir)
+      .filter("src >= 5").select("dst")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    // the residual re-check keeps src in the read schema — pushdown is
+    // an optimization, not a correctness dependency
+    assert(scan.scan.asInstanceOf[graft.sources.AdjacencyScanForTest]
+      .pushedForTest.nonEmpty)
+    assert(df.collect().map(_.getLong(0)).toSet == Set(6L, 1L))
+  }
+
+  test("one partition per file; agrees with the composed reader") {
+    val dir = Files.createTempDirectory("adj2")
+    Files.writeString(dir.resolve("a.txt"), "1 2 3\n2 1")
+    Files.writeString(dir.resolve("b.txt"), "7 8\n8 7")
+    val df = spark.read.format("graft-adjacency").load(dir.toString)
+    assert(df.rdd.getNumPartitions == 2)
+    val composed = graft.operators.Graph.adjacencyEdges(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == composed && got.size == 5)
+  }
+}
