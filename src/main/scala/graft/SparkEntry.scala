@@ -1654,7 +1654,7 @@ object SparkEntry {
          FROM customer, pa
          WHERE c_acctbal > pos_avg
            AND c_custkey NOT IN (SELECT o_custkey FROM orders
-                                 WHERE o_orderdate >= '1998-01-01')
+                                 WHERE o_orderpriority = '1-URGENT')
          GROUP BY c_nationkey""",
     "time_weighted_avg" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep,

@@ -818,27 +818,29 @@ object Relational {
           .as("growth_pct"))
   }
 
-  /** TPC-H Q22 shape (churn variant): per nation, the count and total
-    * balance of customers whose account balance exceeds the average
-    * positive balance and who placed no order on/after `inactiveSince`
-    * (the fixtures give every customer early orders, so classic Q22's
-    * "never ordered" is vacuously empty). The scalar average rides in
-    * as a broadcast 1-row frame (no collect); the inactivity predicate
-    * is a left-anti join — the decorrelated form of NOT EXISTS — whose
-    * right side is pre-filtered by the pushed-down date range before
-    * it ever shuffles.
+  /** TPC-H Q22 shape: per nation, the count and total balance of
+    * customers whose account balance exceeds the average positive
+    * balance and who never placed an order matching `excludePriority`
+    * (the fixtures give every customer orders in every year, so
+    * classic Q22's "never ordered" — and any date-window variant — is
+    * vacuously empty at small SFs; the priority predicate keeps the
+    * exact same plan shape with a non-trivial answer at every SF).
+    * The scalar average rides in as a broadcast 1-row frame (no
+    * collect); the exclusion is a left-anti join — the decorrelated
+    * form of NOT EXISTS — whose right side is pre-filtered by the
+    * pushed-down predicate before it ever shuffles.
     */
   def q22Shape(s: SparkSession, dir: String,
-               inactiveSince: String = "1998-01-01"): DataFrame = {
+               excludePriority: String = "1-URGENT"): DataFrame = {
     val c = Tables.customer(s, dir)
     val posAvg = c.filter(col("c_acctbal") > 0)
       .agg(avg(col("c_acctbal")).as("pos_avg"))
-    val recent = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= lit(inactiveSince).cast("timestamp"))
+    val excluded = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === excludePriority)
       .select(col("o_custkey"))
     c.crossJoin(broadcast(posAvg))
       .filter(col("c_acctbal") > col("pos_avg"))
-      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(excluded, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_cust"),
         round(sum(col("c_acctbal")), 2).as("total_bal"))

@@ -8,11 +8,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
-  SupportsRead, Table, TableCapability, TableProvider}
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.sources.{
   DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
   LessThan, LessThanOrEqual}
@@ -57,9 +61,12 @@ class AdjacencyDataSource extends TableProvider with DataSourceRegister {
 }
 
 object AdjacencySource {
+  // nullable like any file source's schema: the writer-side output
+  // resolver rejects nullable data into non-null columns, and the
+  // reader never actually emits nulls
   val schema: StructType = StructType(Seq(
-    StructField("src", LongType, nullable = false),
-    StructField("dst", LongType, nullable = false)))
+    StructField("src", LongType, nullable = true),
+    StructField("dst", LongType, nullable = true)))
 
   /** All regular files under `path` (a file, or one directory level —
     * the layout text ingests use). */
@@ -69,19 +76,26 @@ object AdjacencySource {
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq(path)
     else fs.listStatus(p).toSeq.filter(_.isFile)
+      .filterNot { s => // metadata/hidden files (_SUCCESS, .crc, ...)
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
       .map(_.getPath.toString).sorted
   }
 }
 
 private[sources] class AdjacencyTable(path: String)
-    extends Table with SupportsRead {
-  require(path != null, "graft-adjacency requires a load(path)")
+    extends Table with SupportsRead with SupportsWrite {
+  require(path != null, "graft-adjacency requires a load(path)/save(path)")
   override def name(): String = s"graft-adjacency:$path"
   override def schema(): StructType = AdjacencySource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AdjacencyScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AdjacencyWriteBuilder(path, info)
 }
 
 private[sources] class AdjacencyScanBuilder(path: String)
@@ -188,4 +202,91 @@ private[sources] class AdjacencyReader(
   }
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Write side (the reference's text-sink surface, S8): rows must be
+  * `(src: long, dst: long)`; each task emits one `part-` file where
+  * CONSECUTIVE rows with the same src collapse into one
+  * `src n1 n2 ...` line. Callers cluster first —
+  * `Sources.writeAdjacency` does `repartition(src).sortWithinPartitions
+  * (src, dst)` so every node's full neighbor list lands on one line of
+  * one file (the layout the reference's PageRank jobs consumed).
+  * Overwrite (`truncate`) deletes prior part- files up front on the
+  * driver — documented as non-atomic, like any file-listing sink
+  * without a commit protocol.
+  */
+private[sources] class AdjacencyWriteBuilder(path: String,
+                                             info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val fields = info.schema().fields
+    require(fields.length == 2 &&
+      fields.forall(_.dataType == LongType) &&
+      fields.map(_.name).toSeq == Seq("src", "dst"),
+      s"graft-adjacency writes (src: bigint, dst: bigint); " +
+        s"got ${info.schema().simpleString}")
+    new Write {
+      override def toBatch: BatchWrite = new AdjacencyBatchWrite(
+        path, doTruncate, info.queryId())
+    }
+  }
+}
+
+private[sources] class AdjacencyBatchWrite(path: String, doTruncate: Boolean,
+                                           queryId: String)
+    extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, new Configuration())
+    if (doTruncate && fs.exists(p))
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+        .foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(p)
+    new AdjacencyWriterFactory(path, queryId)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class AdjacencyWriterFactory(path: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new AdjacencyWriter(s"$path/part-$partitionId-$queryId.adj")
+}
+
+private[sources] case class AdjacencyCommit(file: String)
+    extends WriterCommitMessage
+
+private[sources] class AdjacencyWriter(file: String)
+    extends DataWriter[InternalRow] {
+  private val p = new Path(file)
+  private val fs = FileSystem.get(p.toUri, new Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(p, true),
+      java.nio.charset.StandardCharsets.UTF_8))
+  private var curSrc = 0L
+  private var open = false
+
+  override def write(row: InternalRow): Unit = {
+    val (src, dst) = (row.getLong(0), row.getLong(1))
+    if (!open || src != curSrc) {
+      if (open) out.write('\n')
+      out.write(src.toString)
+      curSrc = src
+      open = true
+    }
+    out.write(' ')
+    out.write(dst.toString)
+  }
+  override def commit(): WriterCommitMessage = {
+    if (open) out.write('\n')
+    out.close()
+    AdjacencyCommit(file)
+  }
+  override def abort(): Unit = { out.close(); fs.delete(p, false) }
+  override def close(): Unit = ()
 }

@@ -30,4 +30,20 @@ object Sources {
       .select(monotonically_increasing_id().as("line_id"),
         col("value").as("line"))
   }
+
+  /** Write an edge frame as adjacency-list text via the DSv2 sink:
+    * clusters on src (repartition + in-partition sort) so every node's
+    * full neighbor list is one line of one part file — the layout the
+    * reference's graph jobs consumed (S3/S8). Overwrites prior part
+    * files.
+    */
+  def writeAdjacency(edges: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .sortWithinPartitions("src", "dst")
+      .write.format("graft-adjacency").mode("overwrite").save(path)
+  }
 }

@@ -58,4 +58,26 @@ class AdjacencySourceSpec extends SparkSpec {
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == composed && got.size == 5)
   }
+
+  test("write path round-trips and collapses a node to one line") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("adjw").toString
+    val edges = Seq((1L, 3L), (1L, 2L), (7L, 1L), (2L, 1L))
+      .toDF("src", "dst")
+    graft.sources.Sources.writeAdjacency(edges, out)
+    val back = spark.read.format("graft-adjacency").load(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == Set((1L, 2L), (1L, 3L), (7L, 1L), (2L, 1L)))
+    // node 1's two neighbors share one sorted line in one part file
+    val lines = Files.list(java.nio.file.Path.of(out)).toArray.toSeq
+      .map(_.toString).filter(_.endsWith(".adj"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(lines.count(_.startsWith("1 ")) == 1)
+    assert(lines.find(_.startsWith("1 ")).get == "1 2 3")
+    // overwrite replaces, not appends
+    graft.sources.Sources.writeAdjacency(
+      Seq((9L, 9L)).toDF("src", "dst"), out)
+    val again = spark.read.format("graft-adjacency").load(out).count()
+    assert(again == 1L)
+  }
 }

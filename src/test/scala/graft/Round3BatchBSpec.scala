@@ -27,15 +27,15 @@ class Round3BatchBSpec extends SparkSpec {
     assert(got(4L) == (25L, 76.0, 100.0))
   }
 
-  test("q22Shape: above-average balance and inactive since cutoff") {
+  test("q22Shape: above-average balance without an excluded-class order") {
     val dir = java.nio.file.Files.createTempDirectory("q22").toString
     Seq((1L, 10.0, 7L), (2L, 200.0, 7L), (3L, 150.0, 8L), (4L, -5.0, 8L))
       .toDF("c_custkey", "c_acctbal", "c_nationkey")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     // pos_avg = (10+200+150)/3 = 120; customers 2 and 3 are above;
-    // customer 2 ordered recently, customer 3 only before the cutoff
-    Seq((10L, 2L, ts(0)), (11L, 3L, new Timestamp(0L)))
-      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    // customer 2 has an urgent order, customer 3 only a medium one
+    Seq((10L, 2L, "1-URGENT"), (11L, 3L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val got = Relational.q22Shape(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
