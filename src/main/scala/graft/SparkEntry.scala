@@ -192,6 +192,9 @@ object SparkEntry {
       Relational.momGrowth(s, d, Seq("NATION_3", "NATION_24"))),
     "chi_square" -> ((s, d) => Events.chiSquare(s, d)),
     "media_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
+    "standardize_features" -> ((s, d) => Curation.standardize(s, d)),
+    "rolling_active_users" -> ((s, d) => Events.rollingActiveUsers(s, d)),
+    "common_trigrams" -> ((s, d) => Events.commonTrigrams(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1759,6 +1762,38 @@ object SparkEntry {
            FROM packed p JOIN counts c
              ON c.bucket = p.bucket AND c.rn = p.rn + 1)
          SELECT doc_id, bucket, bin, fill FROM packed""",
+    // train-slice-only moments (hash split), applied to every row
+    "standardize_features" ->
+      """WITH ex AS (
+           SELECT vec_id, (pos - 1)::INT AS pos, x::DOUBLE AS x
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings)),
+         st AS (
+           SELECT pos, round(avg(x), 6) AS mu,
+                  round(stddev_pop(x), 6) AS sigma
+           FROM ex
+           WHERE ((vec_id % 2147483648) * 8388593) % 100 < 80
+           GROUP BY pos)
+         SELECT vec_id, ex.pos, round((x - mu) / sigma, 4) AS z
+         FROM ex JOIN st ON ex.pos = st.pos""",
+    "rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+         spine AS (SELECT DISTINCT day AS d FROM ud)
+         SELECT d AS day, count(DISTINCT user_id) AS active_users
+         FROM ud JOIN spine ON date_diff('day', day, d) BETWEEN 0 AND 6
+         GROUP BY d""",
+    "common_trigrams" ->
+      """WITH t AS (
+           SELECT event_type AS t1,
+                  lead(event_type, 1) OVER w AS t2,
+                  lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT t1 || '>' || t2 || '>' || t3 AS trigram,
+                count(*) AS cnt
+         FROM t WHERE t3 IS NOT NULL
+         GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT 10""",
   )
 
   private def sqlList(words: Seq[String]): String =

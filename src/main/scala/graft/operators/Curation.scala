@@ -198,6 +198,33 @@ object Curation {
       .select("source", "doc_id", "n_tokens", "cum_tokens")
   }
 
+  /** Leakage-free feature standardization: per-dimension mean/stddev
+    * fitted on the TRAIN slice only (the deterministic hash split, so
+    * the fit is reproducible and appends never migrate rows across
+    * the boundary), then applied to every row — the scaler pattern
+    * where fitting on the full table would leak eval statistics into
+    * training features. Stats are dim-sized (one partial-agg shuffle)
+    * and broadcast back onto a single corpus scan; moments round to
+    * 6 dp before the transform so both engines z-score identical
+    * doubles. Output: (vec_id, pos, z).
+    */
+  def standardize(s: SparkSession, dir: String,
+                  trainPct: Int = 80): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .persist()
+    ex.count() // eager: the fit and the transform both read it
+    val stats = ex.filter(pctHash(col("vec_id")) < trainPct)
+      .groupBy("pos")
+      .agg(round(avg(col("x")), 6).as("mu"),
+        round(stddev_pop(col("x")), 6).as("sigma"))
+    ex.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each row draws a deterministic pseudo-uniform u from its key and
     * competes on priority key −ln(u)/w (w = o_totalprice); the k

@@ -228,6 +228,50 @@ object Events {
         col("r_event_id"), round(col("r_value"), 4).as("r_value"))
   }
 
+  /** Rolling 7-day active users per day: for every day with events,
+    * the distinct users active in the trailing `windowDays` window —
+    * the DAU/WAU family. Events first collapse to distinct
+    * (user, day) pairs (the only pass over the raw table); the tiny
+    * day spine broadcasts against those pairs with a range predicate,
+    * so no theta-join explosion touches the event log. At 100 TB the
+    * exact countDistinct swaps for per-day HLL sketches merged over
+    * the window — same two-level shape, mergeable state.
+    */
+  def rollingActiveUsers(s: SparkSession, dir: String,
+                         windowDays: Int = 7): DataFrame = {
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist()
+    userDays.count() // eager: spine + the window join both read it
+    val spine = userDays.select(col("day").as("d")).distinct()
+    userDays.join(broadcast(spine),
+        datediff(col("d"), col("day")).between(0, windowDays - 1))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(col("d").as("day"), col("active_users"))
+  }
+
+  /** Most common event-type trigrams across per-user timelines (two
+    * leads inside the user partition, one global count, distributed
+    * top-k via TakeOrderedAndProject) — the path-mining primitive
+    * behind "what do users do next" analyses. Ties break on the
+    * trigram string so the selected set is deterministic.
+    */
+  def commonTrigrams(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("trigram"))
+      .limit(k)
+  }
+
   /** Chi-square independence statistic between event type and
     * hour-of-day — the drift check a pipeline runs on a categorical
     * pair before trusting a segmentation. The contingency table is one

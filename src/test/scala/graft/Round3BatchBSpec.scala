@@ -117,6 +117,49 @@ class Round3BatchBSpec extends SparkSpec {
     assert(got == Map(0L -> (0L, 6L), 1L -> (1L, 6L), 2L -> (2L, 12L)))
   }
 
+  test("standardize: train-slice moments applied to every row") {
+    val dir = java.nio.file.Files.createTempDirectory("std").toString
+    // pctHash: 1→93, 2→86, 3→79, 4→72 — with trainPct=80, only ids
+    // 3 and 4 fit the fit slice: mu=(1+3)/2=2, sigma_pop=1
+    Seq((1L, Array(9.0f)), (2L, Array(7.0f)), (3L, Array(1.0f)),
+      (4L, Array(3.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Curation.standardize(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 7.0, 2L -> 5.0, 3L -> -1.0, 4L -> 1.0))
+  }
+
+  test("rollingActiveUsers: trailing window counts distinct users") {
+    val dir = java.nio.file.Files.createTempDirectory("rau").toString
+    def day(d: Int, u: Long) = (d * 100L + u,
+      java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 10:00:00"), u, 1.0)
+    // day 1: users 1,2; day 5: user 2; day 20: user 3
+    Seq(day(1, 1L), day(1, 2L), day(5, 2L), day(20, 3L))
+      .map { case (id, t, u, v) => (id, t, u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.rollingActiveUsers(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // window ending day 5 spans days 1-5 -> users {1,2}; day 20 alone
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-05" -> 2L,
+      "2024-01-20" -> 1L))
+  }
+
+  test("commonTrigrams: per-user paths, global counts, stable ties") {
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    val rows = Seq(
+      (0L, ts(0), 1L, "a", 0.0), (1L, ts(1), 1L, "b", 0.0),
+      (2L, ts(2), 1L, "c", 0.0), (3L, ts(3), 1L, "b", 0.0),
+      (4L, ts(0), 2L, "a", 0.0), (5L, ts(1), 2L, "b", 0.0),
+      (6L, ts(2), 2L, "c", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.commonTrigrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a>b>c", 2L), ("b>c>b", 1L)))
+  }
+
   test("unigramLogProb: mean token log-probability under the corpus model") {
     val dir = java.nio.file.Files.createTempDirectory("ulp").toString
     Seq((1L, "a a"), (2L, "b"))
