@@ -91,5 +91,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "no_pushdown(expr) - identity; blocks predicate pushdown of the " +
           "enclosing filter (see OptimizerBarrier)"),
       args => NoPushdown(one(args, "no_pushdown"))))
+    // the engine's canonical tokenizer as a SQL function: the same
+    // split/transform/filter built-in tree as the Column API (resolved
+    // catalyst form — see TextFns.tokenizeExpr), so SQL users tokenize
+    // EXACTLY like Scala users (same codegen, same semantics, no UDF)
+    ext.injectFunction((FunctionIdentifier("graft_tokenize"),
+      info("graft_tokenize",
+        "graft_tokenize(string) - reference tokenizer: lowercase, " +
+          "whitespace split, strip non-letter edges, drop empties"),
+      args => graft.functions.TextFns.tokenizeExpr(
+        one(args, "graft_tokenize"))))
   }
 }

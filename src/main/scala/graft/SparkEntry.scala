@@ -195,6 +195,7 @@ object SparkEntry {
     "standardize_features" -> ((s, d) => Curation.standardize(s, d)),
     "rolling_active_users" -> ((s, d) => Events.rollingActiveUsers(s, d)),
     "common_trigrams" -> ((s, d) => Events.commonTrigrams(s, d)),
+    "time_to_convert" -> ((s, d) => Events.timeToConvert(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1794,6 +1795,21 @@ object SparkEntry {
                 count(*) AS cnt
          FROM t WHERE t3 IS NOT NULL
          GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT 10""",
+    "time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           epoch_ms(ts) // 1000 AS ep
+                    FROM events),
+         f AS (SELECT user_id, min(ep) AS from_ep
+               FROM e WHERE event_type = 'view' GROUP BY user_id),
+         conv AS (
+           SELECT e.user_id, min(e.ep) - min(f.from_ep) AS secs
+           FROM e JOIN f ON e.user_id = f.user_id
+           WHERE e.event_type = 'purchase' AND e.ep >= f.from_ep
+           GROUP BY e.user_id)
+         SELECT count(*) AS n_converted,
+                round(quantile_cont(secs, 0.5), 4) AS p50_sec,
+                round(quantile_cont(secs, 0.9), 4) AS p90_sec
+         FROM conv""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -25,4 +25,25 @@ object TextFns {
     */
   def distinctWindow(tokens: Column, cap: Int): Column =
     array_distinct(slice(tokens, 1, cap))
+
+  /** The tokenizer as a RESOLVED catalyst expression tree (for the SQL
+    * function registration in `GraftExtensions` — injected functions
+    * bypass lambda-variable resolution, so the higher-order lambdas
+    * are built on `NamedLambdaVariable` directly, the form the
+    * analyzer would produce). Must mirror `tokenize` exactly; the
+    * ExtensionsSpec asserts SQL-vs-Column equality.
+    */
+  def tokenizeExpr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    val split = StringSplit(Lower(e), Literal("\\s+"), Literal(-1))
+    val v1 = NamedLambdaVariable("t", StringType, nullable = true)
+    val stripped = ArrayTransform(split, LambdaFunction(
+      RegExpReplace(v1, Literal("(^[^a-z]+|[^a-z]+$)"), Literal("")),
+      Seq(v1)))
+    val v2 = NamedLambdaVariable("u", StringType, nullable = true)
+    ArrayFilter(stripped, LambdaFunction(
+      GreaterThan(Length(v2), Literal(0)), Seq(v2)))
+  }
 }

@@ -228,6 +228,32 @@ object Events {
         col("r_event_id"), round(col("r_value"), 4).as("r_value"))
   }
 
+  /** Time-to-convert distribution: seconds from each user's FIRST
+    * `fromType` event to their first `toType` event at or after it,
+    * summarized as exact percentiles plus the converting-user count.
+    * Two tiny per-user min-aggregations (filter-pushed scans) joined
+    * on the key — never a pairwise event join; the percentile gather
+    * sees one row per converting user.
+    */
+  def timeToConvert(s: SparkSession, dir: String,
+                    fromType: String = "view",
+                    toType: String = "purchase"): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"))
+    val firstFrom = ev.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(col("ep")).as("from_ep"))
+    val conv = ev.filter(col("event_type") === toType)
+      .join(firstFrom, "user_id")
+      .filter(col("ep") >= col("from_ep"))
+      .groupBy("user_id")
+      // from_ep is constant within the group post-join; min selects it
+      .agg((min(col("ep")) - min(col("from_ep"))).as("secs"))
+    conv.agg(count(lit(1)).as("n_converted"),
+      round(percentile(col("secs"), lit(0.5)), 4).as("p50_sec"),
+      round(percentile(col("secs"), lit(0.9)), 4).as("p90_sec"))
+  }
+
   /** Rolling 7-day active users per day: for every day with events,
     * the distinct users active in the trailing `windowDays` window —
     * the DAU/WAU family. Events first collapse to distinct

@@ -127,6 +127,31 @@ object StreamOps {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Running per-user counters carried across micro-batches
+    * (`mapGroupsWithState`, Update mode): each batch folds its events
+    * into the user's persistent (n_events, sum_value) state and emits
+    * the updated row — the live-profile/feature-store shape where
+    * downstream wants the CURRENT per-key aggregate after every
+    * batch, not a windowed slice. State is two numbers per user, so
+    * it shards with the key shuffle like all keyed state here.
+    */
+  case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  def runningCounts(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption
+            .getOrElse(UserStats(userId, 0L, 0.0))
+          val cur = it.foldLeft(prev) { (acc, e) =>
+            UserStats(userId, acc.n_events + 1, acc.sum_value + e.value)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * (small) static dimension, broadcast so the streaming side never
     * shuffles — the standard lookup/enrichment stage of an ingest

@@ -21,4 +21,10 @@ object PlanApi {
   /** Wrap a (resolved) logical plan back into a DataFrame on `s`. */
   def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  // NOTE: classic.ExpressionUtils.expression(Column) is NOT a usable
+  // bridge for injectFunction — it wraps the column's unresolved node
+  // tree in an opaque Unevaluable that the analyzer never revisits
+  // (codegen then throws). Build resolved catalyst trees instead
+  // (see TextFns.tokenizeExpr).
 }

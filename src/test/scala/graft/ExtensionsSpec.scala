@@ -88,4 +88,17 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(n == 5)
   }
+
+  test("graft_tokenize in SQL matches the Column-API tokenizer") {
+    val df = Seq((1L, "The 'Quick', brown FOX!  jumped2 "))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("tok_t")
+    val viaSql = spark.sql("SELECT graft_tokenize(text) AS ts FROM tok_t")
+      .collect()(0).getSeq[String](0)
+    val viaCol = df.select(
+      graft.functions.TextFns.tokenize(col("text")).as("ts"))
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == viaCol)
+    assert(viaSql == Seq("the", "quick", "brown", "fox", "jumped"))
+  }
 }

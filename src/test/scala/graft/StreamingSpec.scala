@@ -100,4 +100,23 @@ class StreamingSpec extends SparkSpec {
     // left join: unknown user 3 survives with a null tier
     assert(got == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
   }
+
+  test("runningCounts carries per-user state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.runningCounts(in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("run_out").start()
+    in.addData(Event(1L, 10L, 1.0), Event(1L, 20L, 2.0), Event(2L, 10L, 5.0))
+    q.processAllAvailable()
+    in.addData(Event(1L, 30L, 4.0))
+    q.processAllAvailable()
+    val got = spark.table("run_out")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n"), max("sum_value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    // user 1's second batch folds ON TOP of batch-1 state: 3 events, 7.0
+    assert(got == Set((1L, 3L, 7.0), (2L, 1L, 5.0)))
+  }
 }
