@@ -196,6 +196,8 @@ object SparkEntry {
     "rolling_active_users" -> ((s, d) => Events.rollingActiveUsers(s, d)),
     "common_trigrams" -> ((s, d) => Events.commonTrigrams(s, d)),
     "time_to_convert" -> ((s, d) => Events.timeToConvert(s, d)),
+    "winsorize" -> ((s, d) => Relational.winsorize(s, d)),
+    "aspect_buckets" -> ((s, d) => Multimodal.aspectBuckets(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1810,6 +1812,34 @@ object SparkEntry {
                 round(quantile_cont(secs, 0.5), 4) AS p50_sec,
                 round(quantile_cont(secs, 0.9), 4) AS p90_sec
          FROM conv""",
+    "winsorize" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+                  round(quantile_cont(l_extendedprice, 0.05), 6) AS blo,
+                  round(quantile_cont(l_extendedprice, 0.95), 6) AS bhi
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag, count(*) AS n,
+                round(avg(l_extendedprice), 4) AS avg_raw,
+                round(avg(least(greatest(l_extendedprice, blo), bhi)), 4)
+                  AS avg_winsorized
+         FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+         GROUP BY l.l_returnflag""",
+    // integer cross-multiplication classes over the fake-decode dims
+    "aspect_buckets" -> s"""$MediaHashCte,
+         dims AS (
+           SELECT doc_id, kind,
+             CASE kind WHEN 'image' THEN 64 + (hv % 4032)
+                       ELSE 320 + (hv % 1600) END AS w,
+             CASE kind WHEN 'image' THEN 64 + ((hv // 256) % 4032)
+                       ELSE 240 + ((hv // 256) % 840) END AS h
+           FROM mh WHERE kind <> 'audio')
+         SELECT kind,
+                CASE WHEN w * 4 < h * 3 THEN 'portrait'
+                     WHEN w * 3 > h * 4 THEN 'wide'
+                     ELSE 'square' END AS bucket,
+                count(*) AS n_media,
+                round(avg(w::BIGINT * h), 2) AS avg_px
+         FROM dims GROUP BY 1, 2""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -59,6 +59,28 @@ object Multimodal {
         col("n_bytes").cast("long").as("n_tokens")),
       buckets, capacity)
 
+  /** Aspect-ratio bucketing over decoded dimensions — the batching
+    * layout multimodal training uses (images of similar aspect batch
+    * together so padding waste stays low). Classes come from integer
+    * cross-multiplication (4w<3h portrait / 3w>4h wide / else square
+    * — no float ratios, so the oracle is exact integer arithmetic).
+    * Audio (1×1) is excluded. Aggregation is per (kind, bucket):
+    * counts + mean pixel load, the table a shard planner consumes.
+    */
+  def aspectBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decode(s, dir).toDF()
+      .filter(col("kind") =!= "audio")
+      .select(col("kind"),
+        when(col("width") * 4 < col("height") * 3, "portrait")
+          .when(col("width") * 3 > col("height") * 4, "wide")
+          .otherwise("square").as("bucket"),
+        (col("width").cast("long") * col("height")).as("px"))
+      .groupBy("kind", "bucket")
+      .agg(count(lit(1)).as("n_media"),
+        round(avg(col("px")), 2).as("avg_px"))
+  }
+
   /** STUB decoder — deterministic fake. A real implementation would
     * call an image/audio codec per record batch here (mapPartitions is
     * exactly where that batch boundary lives); the fake derives

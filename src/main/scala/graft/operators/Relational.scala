@@ -818,6 +818,30 @@ object Relational {
           .as("growth_pct"))
   }
 
+  /** Winsorization: clamp a measure to its per-group [p05, p95] band
+    * and report the group mean before/after — the robust-stats step
+    * that keeps a handful of outlier rows from dominating a model
+    * feature or a revenue metric. Group quantiles are one aggregate
+    * (group count is tiny) broadcast back onto the scan; bounds round
+    * to 6 dp first so both engines clamp at identical doubles. Swap
+    * `percentile` for `approx_percentile` at 100 TB — same shape.
+    */
+  def winsorize(s: SparkSession, dir: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val bounds = li.groupBy("l_returnflag")
+      .agg(round(percentile(col("x"), lit(lo)), 6).as("blo"),
+        round(percentile(col("x"), lit(hi)), 6).as("bhi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_returnflag"), col("x"),
+        least(greatest(col("x"), col("blo")), col("bhi")).as("w"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("avg_raw"),
+        round(avg(col("w")), 4).as("avg_winsorized"))
+  }
+
   /** TPC-H Q22 shape: per nation, the count and total balance of
     * customers whose account balance exceeds the average positive
     * balance and who never placed an order matching `excludePriority`

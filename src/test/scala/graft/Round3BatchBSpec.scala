@@ -160,6 +160,25 @@ class Round3BatchBSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a>b>c", 2L), ("b>c>b", 1L)))
   }
 
+  test("winsorize: group means clamp to the quantile band") {
+    val dir = java.nio.file.Files.createTempDirectory("win").toString
+    // 1..9 plus an outlier 1000: p05/p95 of the 10 values clamp it
+    (Seq.tabulate(9)(i => ("A", (i + 1).toDouble)) :+ ("A", 1000.0))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Relational.winsorize(spark, dir).collect().head
+    assert(r.getString(0) == "A" && r.getLong(1) == 10L)
+    assert(r.getDouble(3) < r.getDouble(2)) // clamping pulls the mean down
+    assert(r.getDouble(2) == 104.5)
+  }
+
+  test("aspectBuckets: integer cross-multiplication classes") {
+    val got = graft.operators.Multimodal.aspectBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keys.map(_._1).toSet == Set("image", "video"))
+    assert(got.values.sum > 0)
+  }
+
   test("unigramLogProb: mean token log-probability under the corpus model") {
     val dir = java.nio.file.Files.createTempDirectory("ulp").toString
     Seq((1L, "a a"), (2L, "b"))
