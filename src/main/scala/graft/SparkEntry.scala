@@ -198,6 +198,9 @@ object SparkEntry {
     "time_to_convert" -> ((s, d) => Events.timeToConvert(s, d)),
     "winsorize" -> ((s, d) => Relational.winsorize(s, d)),
     "aspect_buckets" -> ((s, d) => Multimodal.aspectBuckets(s, d)),
+    "skyline" -> ((s, d) => Relational.skyline(s, d)),
+    "string_agg" -> ((s, d) => Relational.stringAgg(s, d)),
+    "revenue_share" -> ((s, d) => Relational.revenueShare(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1840,6 +1843,45 @@ object SparkEntry {
                 count(*) AS n_media,
                 round(avg(w::BIGINT * h), 2) AS avg_px
          FROM dims GROUP BY 1, 2""",
+    // skyline restated sweep-wise: survive iff date == own price-run's
+    // min AND date < min over strictly higher prices
+    "skyline" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice AS price,
+                           epoch_ms(o_orderdate) // 1000 AS odate
+                    FROM orders),
+         g AS (SELECT price, min(odate) AS md FROM o GROUP BY price),
+         g2 AS (SELECT price, md,
+                  min(md) OVER (ORDER BY price DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS m1
+                FROM g)
+         SELECT o.o_orderkey, o.price, o.odate
+         FROM o JOIN g2 USING (price)
+         WHERE o.odate = g2.md
+           AND (g2.m1 IS NULL OR o.odate < g2.m1)""",
+    "string_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                string_agg(o_orderkey, ',' ORDER BY o_orderkey)
+                  AS order_keys
+         FROM orders
+         WHERE o_orderdate >= '1996-03-01'
+           AND o_orderdate < '1996-04-01'
+         GROUP BY o_orderpriority""",
+    "revenue_share" ->
+      """WITH byn AS (
+           SELECT n_name,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT n_name, rev,
+                round(rev / sum(rev) OVER () * 100, 4) AS share_pct,
+                round(sum(rev) OVER (ORDER BY rev DESC, n_name
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  / sum(rev) OVER () * 100, 4) AS cum_share_pct
+         FROM byn""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -818,6 +818,102 @@ object Relational {
           .as("growth_pct"))
   }
 
+  /** 2-D Pareto skyline of orders: the orders not dominated on
+    * (higher total price, earlier order date) by any other order —
+    * dominance = ≥ on both axes, > on at least one. Two-phase exact
+    * algorithm: each partition computes its LOCAL skyline with a
+    * single sort-then-sweep pass (anything dominated locally is
+    * dominated globally, so this prunes thousands-to-one), the small
+    * candidate union re-sweeps once. The global step sees only local
+    * skyline points — at 100 TB the candidate set stays ~partition
+    * count × skyline size, never the table. Output ordered columns
+    * only (key, price, epoch-date), fully deterministic.
+    */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("price"),
+        unix_timestamp(col("o_orderdate")).as("odate"))
+      .as[(Long, Double, Long)]
+    // sweep: sorted by (price desc, odate asc, key), a point survives
+    // iff its date is strictly below the minimum date seen at strictly
+    // higher prices AND equals the minimum date of its own price run
+    // (an equal-price earlier-date point dominates; full (price, date)
+    // ties coexist — dominance needs one strict axis)
+    def sweep(it: Iterator[(Long, Double, Long)]) = {
+      val sorted = it.toArray.sortBy { case (k, p, d) => (-p, d, k) }
+      val out = Array.newBuilder[(Long, Double, Long)]
+      var bestDate = Long.MaxValue // min date among strictly higher prices
+      var i = 0
+      while (i < sorted.length) {
+        var j = i // the run of equal prices, date-ascending
+        while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+        val runMin = sorted(i)._3
+        var t = i
+        while (t < j && sorted(t)._3 == runMin) {
+          if (runMin < bestDate) out += sorted(t)
+          t += 1
+        }
+        bestDate = math.min(bestDate, runMin)
+        i = j
+      }
+      out.result().iterator
+    }
+    val local = base.mapPartitions(sweep).coalesce(1).mapPartitions(sweep)
+    local.toDF("o_orderkey", "price", "odate")
+  }
+
+  /** LISTAGG/string_agg surface: order keys per priority class as one
+    * deterministic comma-joined string (sorted within the group before
+    * concatenation — an unordered string_agg is nondeterministic under
+    * parallelism and useless for comparison). Built as
+    * sort_array(collect_list(...)) + array_join: collect_list's
+    * partial aggregation keeps the shuffle at one row per (task,
+    * group); the sort is per-group output, not a table sort. Group
+    * payloads are capped by the predicate (one ship-month) — the same
+    * boundedness any LISTAGG at scale needs.
+    */
+  def stringAgg(s: SparkSession, dir: String,
+                month: String = "1996-03"): DataFrame =
+    Tables.orders(s, dir)
+      .filter(dateMatch(col("o_orderdate"), month))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+          .as("order_keys"))
+
+  /** Percent-of-total contribution: each nation's revenue share of the
+    * global total, with a running cumulative share over the ranked
+    * list (the Pareto-chart shape). The total rides in by window sum
+    * over the tiny aggregated frame — the raw table is aggregated
+    * exactly once.
+    */
+  def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val byNation = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c.join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("rev"))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("rev").desc, col("n_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byNation
+      .withColumn("share_pct",
+        round(col("rev") / sum(col("rev")).over(wAll) * 100, 4))
+      .withColumn("cum_share_pct",
+        round(sum(col("rev")).over(wRank) /
+          sum(col("rev")).over(wAll) * 100, 4))
+  }
+
   /** Winsorization: clamp a measure to its per-group [p05, p95] band
     * and report the group mean before/after — the robust-stats step
     * that keeps a handful of outlier rows from dominating a model

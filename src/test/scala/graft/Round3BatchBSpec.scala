@@ -179,6 +179,42 @@ class Round3BatchBSpec extends SparkSpec {
     assert(got.values.sum > 0)
   }
 
+  test("skyline: dominance with price ties and exact duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("sky").toString
+    def od(day: Int) = java.sql.Timestamp.valueOf(f"1996-01-$day%02d 00:00:00")
+    Seq(
+      (1L, 100.0, od(10)), // dominated by 4 (higher price, earlier date)
+      (2L, 200.0, od(5)),  // skyline
+      (3L, 200.0, od(7)),  // price tie, later date -> dominated by 2
+      (4L, 150.0, od(8)),  // dominated by 2
+      (5L, 300.0, od(9)),  // skyline (highest price)
+      (6L, 300.0, od(9)),  // exact duplicate of 5 -> coexists
+      (7L, 50.0, od(1)))   // skyline (earliest date)
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.skyline(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(2L, 5L, 6L, 7L))
+  }
+
+  test("stringAgg: deterministic sorted group concatenation") {
+    val got = Relational.stringAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { s =>
+      val ks = s.split(",").map(_.toLong)
+      assert(ks.sorted.sameElements(ks)) // sorted within each group
+    }
+  }
+
+  test("revenueShare: shares sum to 100 and cumulative ends at 100") {
+    val rows = Relational.revenueShare(spark, sf).collect()
+    val total = rows.map(_.getDouble(2)).sum
+    assert(math.abs(total - 100.0) < 0.01)
+    val lastCum = rows.map(_.getDouble(3)).max
+    assert(math.abs(lastCum - 100.0) < 0.01)
+  }
+
   test("unigramLogProb: mean token log-probability under the corpus model") {
     val dir = java.nio.file.Files.createTempDirectory("ulp").toString
     Seq((1L, "a a"), (2L, "b"))
