@@ -7,15 +7,19 @@ import graft.SparkEntry
   * that are usually accidents at scale (cartesian products, nested-loop
   * joins, single-partition exchanges) and print which queries have them.
   *
-  * Audit result (round 3, sf0.001): every hit is intentional —
-  * BroadcastNestedLoopJoin appears only for 1-row broadcast scalars
-  * (PMI marginals, PPR dangling mass, tf-idf/doc-similarity/unigram-LM
-  * doc counts and totals, equi-depth boundaries, Q22's positive
-  * average, triangle census' percentile cut), the tiny nation×month
-  * spine cross join (date_spine_fill), and the two documented
+  * Audit result (round 3 end, 139 queries, sf0.001): every hit is
+  * intentional — BroadcastNestedLoopJoin appears only for 1-row
+  * broadcast scalars (PMI marginals, PPR dangling mass,
+  * tf-idf/doc-similarity/unigram-LM doc counts and totals, equi-depth
+  * boundaries, Q22's positive average, chi-square's total, triangle
+  * census' percentile cut), tiny broadcast spines with range
+  * predicates (date_spine_fill's nation×month cross,
+  * rolling_active_users' day window), and the two documented
   * brute-force baselines (knn_brute, dedup_embedding) whose scale
   * paths are knn_ivf / dedup_embedding_lsh; SinglePartition appears
-  * under global scalar aggregates and zorder_cluster's total range
+  * under global scalar aggregates (q1, auc, time_to_convert's
+  * percentile gather), dimension-sized global windows
+  * (revenue_share's 25-row frame), and zorder_cluster's total range
   * order (a layout rewrite IS a global range partitioning — see its
   * scaladoc).
   */
