@@ -201,6 +201,7 @@ object SparkEntry {
     "skyline" -> ((s, d) => Relational.skyline(s, d)),
     "string_agg" -> ((s, d) => Relational.stringAgg(s, d)),
     "revenue_share" -> ((s, d) => Relational.revenueShare(s, d)),
+    "boilerplate" -> ((s, d) => TextStats.boilerplate(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1882,6 +1883,25 @@ object SparkEntry {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   / sum(rev) OVER () * 100, 4) AS cum_share_pct
          FROM byn""",
+    // period-split segments; boilerplate = segment df > 3 over
+    // distinct (doc, seg)
+    "boilerplate" ->
+      """WITH segs AS (
+           SELECT doc_id, seg FROM (
+             SELECT doc_id, trim(unnest(string_split(text, '.'))) AS seg
+             FROM documents)
+           WHERE len(seg) > 0),
+         hot AS (
+           SELECT seg, 1 AS hot FROM (
+             SELECT seg, count(*) AS df
+             FROM (SELECT DISTINCT doc_id, seg FROM segs)
+             GROUP BY seg)
+           WHERE df > 3)
+         SELECT doc_id, count(*) AS n_segs,
+                count(hot) AS n_boiler,
+                round(count(hot)::DOUBLE / count(*), 6) AS boiler_frac
+         FROM segs LEFT JOIN hot USING (seg)
+         GROUP BY doc_id""",
   )
 
   private def sqlList(words: Seq[String]): String =

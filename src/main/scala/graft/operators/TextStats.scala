@@ -239,6 +239,34 @@ object TextStats {
       .filter(col("cnt") * m > total)
   }
 
+  /** Cross-document boilerplate detection: sentences (period-split
+    * segments here — the fixture text has no newlines) that recur in
+    * more than `dfCut` documents are boilerplate (nav chrome, license
+    * headers, cookie banners); each document reports its boilerplate
+    * segment fraction for threshold-filtering downstream. Two passes
+    * over the exploded segments — the df table is corpus-boilerplate-
+    * sized and at 100 TB the segment key becomes xxhash64(segment)
+    * so the shuffle carries 8-byte keys, not prose.
+    */
+  def boilerplate(s: SparkSession, dir: String, dfCut: Int = 3): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(filter(
+        transform(split(col("text"), "\\."), t => trim(t)),
+        t => length(t) > 0)).as("seg"))
+      .persist()
+    segs.count() // eager: df build + the flag join both read it
+    val hot = segs.select(col("doc_id"), col("seg")).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCut)
+      .select(col("seg"), lit(1).as("hot"))
+    segs.join(hot, Seq("seg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        count(col("hot")).as("n_boiler"),
+        round(count(col("hot")).cast("double") / count(lit(1)), 6)
+          .as("boiler_frac"))
+  }
+
   /** Unigram language-model scoring: train the corpus unigram model
     * (term → count / total) in one aggregate, then score every document
     * by its mean token log-probability — the cheap LM-quality signal a

@@ -57,7 +57,8 @@ class AdjacencyDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new AdjacencyTable(properties.get("path"))
+    new AdjacencyTable(properties.get("path"),
+      "permissive".equalsIgnoreCase(properties.get("mode")))
 }
 
 object AdjacencySource {
@@ -84,7 +85,7 @@ object AdjacencySource {
   }
 }
 
-private[sources] class AdjacencyTable(path: String)
+private[sources] class AdjacencyTable(path: String, permissive: Boolean)
     extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft-adjacency requires a load(path)/save(path)")
   override def name(): String = s"graft-adjacency:$path"
@@ -93,12 +94,13 @@ private[sources] class AdjacencyTable(path: String)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AdjacencyScanBuilder(path)
+    new AdjacencyScanBuilder(path, permissive)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AdjacencyWriteBuilder(path, info)
 }
 
-private[sources] class AdjacencyScanBuilder(path: String)
+private[sources] class AdjacencyScanBuilder(path: String,
+                                            permissive: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = AdjacencySource.schema
@@ -124,14 +126,16 @@ private[sources] class AdjacencyScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new AdjacencyScan(path, required, pushed)
+  override def build(): Scan =
+    new AdjacencyScan(path, required, pushed, permissive)
 }
 
 /** Test-visible view of what a scan pushed (DSv2 keeps Scan opaque). */
 trait AdjacencyScanForTest { def pushedForTest: Seq[Filter] }
 
 private[sources] class AdjacencyScan(path: String, required: StructType,
-                                     pushed: Array[Filter])
+                                     pushed: Array[Filter],
+                                     permissive: Boolean)
     extends Scan with Batch with AdjacencyScanForTest {
   override def pushedForTest: Seq[Filter] = pushed.toSeq
   override def readSchema(): StructType = required
@@ -141,22 +145,24 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
       .map(f => AdjacencyFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new AdjacencyReaderFactory(
-      required.fieldNames.toSeq, pushed.toSeq)
+      required.fieldNames.toSeq, pushed.toSeq, permissive)
 }
 
 private[sources] case class AdjacencyFilePartition(file: String)
     extends InputPartition
 
 private[sources] class AdjacencyReaderFactory(
-    columns: Seq[String], pushed: Seq[Filter])
+    columns: Seq[String], pushed: Seq[Filter], permissive: Boolean)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new AdjacencyReader(
-      p.asInstanceOf[AdjacencyFilePartition].file, columns, pushed)
+      p.asInstanceOf[AdjacencyFilePartition].file, columns, pushed,
+      permissive)
 }
 
 private[sources] class AdjacencyReader(
-    file: String, columns: Seq[String], pushed: Seq[Filter])
+    file: String, columns: Seq[String], pushed: Seq[Filter],
+    permissive: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val srcOk: Long => Boolean = {
@@ -181,6 +187,19 @@ private[sources] class AdjacencyReader(
   private var i = 1 // cursor into dsts (0 is the node id)
   private val row = new GenericInternalRow(columns.length)
 
+  // strict (default): any unparseable token fails the read with line
+  // context; mode=permissive skips malformed LINES wholesale (a bad
+  // neighbor invalidates the line — emitting its parseable prefix
+  // would silently change graph degree)
+  private def parseLong(tok: String, line: String): Long =
+    try tok.toLong catch {
+      case e: NumberFormatException =>
+        if (permissive) -1L
+        else throw new IllegalArgumentException(
+          s"graft-adjacency: malformed token '$tok' in line '$line' " +
+            s"of $file (use option(\"mode\",\"permissive\") to skip)", e)
+    }
+
   override def next(): Boolean = {
     while (i >= dsts.length) {
       val line = in.readLine()
@@ -188,13 +207,17 @@ private[sources] class AdjacencyReader(
       val t = line.trim
       if (t.nonEmpty) {
         val parts = t.split("\\s+")
-        val s = parts(0).toLong
-        if (srcOk(s) && parts.length > 1) { src = s; dsts = parts; i = 1 }
+        val ok = !permissive || parts.forall(_.matches("[+-]?\\d+"))
+        if (ok) {
+          val s = parseLong(parts(0), t)
+          if (srcOk(s) && parts.length > 1) { src = s; dsts = parts; i = 1 }
+        }
       }
     }
     var c = 0
     while (c < columns.length) {
-      row.setLong(c, if (columns(c) == "src") src else dsts(i).toLong)
+      row.setLong(c,
+        if (columns(c) == "src") src else parseLong(dsts(i), file))
       c += 1
     }
     i += 1

@@ -59,6 +59,19 @@ class AdjacencySourceSpec extends SparkSpec {
     assert(got == composed && got.size == 5)
   }
 
+  test("permissive mode skips malformed lines; strict mode fails loudly") {
+    val dir = writeGraph(Seq("1 2 3", "oops x", "4 5"))
+    val ok = spark.read.format("graft-adjacency")
+      .option("mode", "permissive").load(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-adjacency").load(dir).collect()
+    }
+    assert(e.getMessage.contains("graft-adjacency") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed")))
+  }
+
   test("write path round-trips and collapses a node to one line") {
     import spark.implicits._
     val out = Files.createTempDirectory("adjw").toString
