@@ -202,6 +202,8 @@ object SparkEntry {
     "string_agg" -> ((s, d) => Relational.stringAgg(s, d)),
     "revenue_share" -> ((s, d) => Relational.revenueShare(s, d)),
     "boilerplate" -> ((s, d) => TextStats.boilerplate(s, d)),
+    "quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "rank_normalize" -> ((s, d) => Curation.rankNormalize(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1902,6 +1904,31 @@ object SparkEntry {
                 round(count(hot)::DOUBLE / count(*), 6) AS boiler_frac
          FROM segs LEFT JOIN hot USING (seg)
          GROUP BY doc_id""",
+    // asymmetric affine int8: q = floor((x-lo)/scale + 0.5) — floor,
+    // not round(): midpoint ties must break identically on both engines
+    "quantize_int8" ->
+      """WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+         r AS (SELECT vec_id, v,
+                      list_aggregate(v, 'min') AS lo,
+                      list_aggregate(v, 'max') AS hi
+               FROM v),
+         sc AS (SELECT vec_id, v, lo,
+                  CASE WHEN hi > lo THEN (hi - lo) / 255.0
+                       ELSE 1.0 END AS scale
+                FROM r)
+         SELECT vec_id, round(scale, 9) AS scale,
+                round(lo, 6) AS zero_point,
+                round(list_aggregate(list_transform(v, x ->
+                    abs(x - (lo + floor((x - lo) / scale + 0.5) * scale))),
+                  'max'), 6) AS max_abs_err
+         FROM sc""",
+    "rank_normalize" ->
+      """SELECT source, doc_id, n_chars,
+                round(percent_rank() OVER (PARTITION BY source
+                  ORDER BY n_chars, doc_id), 6) AS norm_score
+         FROM documents""",
   )
 
   private def sqlList(words: Seq[String]): String =

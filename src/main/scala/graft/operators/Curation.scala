@@ -225,6 +225,21 @@ object Curation {
         round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
   }
 
+  /** Per-source rank normalization of a quality signal: each
+    * document's score becomes its percent-rank WITHIN its source —
+    * the calibration step before mixing sources whose raw quality
+    * scales differ (one crawler's 0.8 is another's 0.3; ranks
+    * compare). One shuffle on source; character count stands in for
+    * the quality score so the operator is self-contained.
+    */
+  def rankNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("norm_score", round(percent_rank().over(w), 6))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each row draws a deterministic pseudo-uniform u from its key and
     * competes on priority key −ln(u)/w (w = o_totalprice); the k

@@ -163,6 +163,43 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Int8 affine quantization of the embedding column — the memory
+    * layout an ANN index actually stores (4× smaller than float32,
+    * SIMD-friendly). Per-vector scale/zero-point from the min/max
+    * range (asymmetric affine: q = round((x−min)/scale), x̂ = min +
+    * q·scale); reports the max absolute reconstruction error so a
+    * recall budget can gate the rollout. Pure per-row projection — no
+    * shuffle at any scale; every step is deterministic arithmetic the
+    * oracle replays.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    emb
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))
+      // "scale_raw", NOT "scale": aliasing the rounded output "scale"
+      // in the next select would make its sibling expressions resolve
+      // col("scale") to the ROUNDED lateral alias (Spark 4 lateral
+      // column aliases shadow same-name input columns), silently
+      // quantizing against the display-rounded scale
+      .select(col("vec_id"), col("v"), col("lo"),
+        // degenerate constant vectors quantize with scale 1 (q = 0)
+        when(col("hi") > col("lo"), (col("hi") - col("lo")) / lit(255.0))
+          .otherwise(lit(1.0)).as("scale_raw"))
+      .select(col("vec_id"), round(col("scale_raw"), 9).as("scale"),
+        round(col("lo"), 6).as("zero_point"),
+        // q = floor(r + 0.5), NOT round(r): the max error sits at
+        // quantization midpoints where Spark's HALF_UP and DuckDB's
+        // nearest-even disagree; floor(+0.5) ties identically
+        round(aggregate(
+          transform(col("v"), x =>
+            abs(x - (col("lo") +
+              floor((x - col("lo")) / col("scale_raw") + lit(0.5)) *
+                col("scale_raw")))),
+          lit(0.0), (acc, e) => greatest(acc, e)), 6).as("max_abs_err"))
+  }
+
   /** Per-label mean embedding (the class-centroid table an IVF index or
     * a label-conditioned retrieval layer builds): positions explode via
     * `posexplode`, one partial-aggregated shuffle on (label, pos) —

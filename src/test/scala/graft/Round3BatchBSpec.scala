@@ -215,6 +215,32 @@ class Round3BatchBSpec extends SparkSpec {
     assert(math.abs(lastCum - 100.0) < 0.01)
   }
 
+  test("quantizeInt8: range-affine parameters and bounded error") {
+    val dir = java.nio.file.Files.createTempDirectory("q8").toString
+    import spark.implicits._
+    Seq((1L, Array(0.0f, 255.0f, 100.25f)), (2L, Array(7.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity.quantizeInt8(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // vec 1: scale 1.0, endpoints exact, 100.25 -> q=100 -> err 0.25
+    assert(got(1L) == (1.0, 0.0, 0.25))
+    // constant vector: degenerate scale 1, zero error
+    assert(got(2L) == (1.0, 7.0, 0.0))
+  }
+
+  test("rankNormalize: percent ranks within each source") {
+    val dir = java.nio.file.Files.createTempDirectory("rn").toString
+    import spark.implicits._
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "b", 99L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Curation.rankNormalize(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 0.0))
+  }
+
   test("unigramLogProb: mean token log-probability under the corpus model") {
     val dir = java.nio.file.Files.createTempDirectory("ulp").toString
     Seq((1L, "a a"), (2L, "b"))
