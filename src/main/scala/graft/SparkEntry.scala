@@ -204,6 +204,7 @@ object SparkEntry {
     "boilerplate" -> ((s, d) => TextStats.boilerplate(s, d)),
     "quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "rank_normalize" -> ((s, d) => Curation.rankNormalize(s, d)),
+    "confusion_matrix" -> ((s, d) => Ml.confusionQuery(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1929,6 +1930,9 @@ object SparkEntry {
                 round(percent_rank() OVER (PARTITION BY source
                   ORDER BY n_chars, doc_id), 6) AS norm_score
          FROM documents""",
+    // the single-model apply oracle re-aggregated to (label, pred)
+    "confusion_matrix" -> s"""SELECT label, pred, count(*) AS cnt
+         FROM ($sgdApplyOracle) GROUP BY label, pred""",
   )
 
   private def sqlList(words: Seq[String]): String =

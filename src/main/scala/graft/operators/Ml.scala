@@ -191,4 +191,15 @@ object Ml {
         col("pred"))
     else out
   }
+
+  /** Confusion matrix of the single-model classifier (reference M6's
+    * external eval script, as an in-engine aggregate): one row per
+    * (true label, predicted label) with its count — precision/recall/
+    * F1 all derive from these four numbers downstream. The scored
+    * frame reduces to O(labels²) rows in one partial-agg shuffle.
+    */
+  def confusionQuery(s: SparkSession, dir: String): DataFrame =
+    applyQuery(s, dir)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("cnt"))
 }
