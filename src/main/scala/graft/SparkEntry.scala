@@ -205,6 +205,8 @@ object SparkEntry {
     "quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "rank_normalize" -> ((s, d) => Curation.rankNormalize(s, d)),
     "confusion_matrix" -> ((s, d) => Ml.confusionQuery(s, d)),
+    "best_survivor" -> ((s, d) => Dedup.bestSurvivor(s, d)),
+    "leakage_safe_split" -> ((s, d) => Curation.leakageSafeSplit(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1933,6 +1935,46 @@ object SparkEntry {
     // the single-model apply oracle re-aggregated to (label, pred)
     "confusion_matrix" -> s"""SELECT label, pred, count(*) AS cnt
          FROM ($sgdApplyOracle) GROUP BY label, pred""",
+    // clusters (walk over near-dup pairs) + per-cluster quality argmax
+    "best_survivor" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+         canon AS (SELECT id AS doc_id, min(comp) AS canonical_id
+                   FROM walk GROUP BY id),
+         qual AS ($QualitySql),
+         wq AS (SELECT c.doc_id, c.canonical_id,
+                       coalesce(q.quality, 0.0) AS quality
+                FROM canon c LEFT JOIN qual q ON q.doc_id = c.doc_id),
+         best AS (SELECT canonical_id, doc_id AS keep_id FROM (
+             SELECT canonical_id, doc_id,
+               row_number() OVER (PARTITION BY canonical_id
+                 ORDER BY quality DESC, doc_id) AS rn
+             FROM wq) WHERE rn = 1)
+         SELECT w.doc_id, w.canonical_id,
+                (w.doc_id = b.keep_id) AS keep
+         FROM wq w JOIN best b USING (canonical_id)""",
+    // split by the dup-cluster's canonical id, then count per stratum
+    "leakage_safe_split" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+         canon AS (SELECT id AS doc_id, min(comp) AS canonical_id
+                   FROM walk GROUP BY id),
+         h AS (SELECT d.lang,
+                 ((c.canonical_id % 2147483648) * 8388593) % 100 AS h
+               FROM documents d JOIN canon c ON c.doc_id = d.doc_id)
+         SELECT CASE WHEN h < 80 THEN 'train'
+                     WHEN h < 90 THEN 'valid'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS n_docs
+         FROM h GROUP BY 1, 2""",
   )
 
   private def sqlList(words: Seq[String]): String =

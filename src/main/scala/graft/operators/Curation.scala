@@ -225,6 +225,28 @@ object Curation {
         round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
   }
 
+  /** Leakage-safe train/test split: split membership is decided by the
+    * DUP-CLUSTER's canonical id, not the document's own, so near-
+    * duplicate documents can never straddle the train/eval boundary —
+    * the contamination mode plain per-doc splits are blind to. Returns
+    * per-(split, stratum) counts like `trainTestSplit`; the cluster
+    * assignment reuses the near-dup machinery (pairs → components).
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String,
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val assigned = Dedup.assignCanonical(s, dir,
+      Dedup.minhashPairs(s, dir, 0.8))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(assigned, "doc_id")
+      .select(col("lang"), pctHash(col("canonical_id")).as("h"))
+      .select(col("lang"),
+        when(col("h") < trainPct, "train")
+          .when(col("h") < trainPct + validPct, "valid")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Per-source rank normalization of a quality signal: each
     * document's score becomes its percent-rank WITHIN its source —
     * the calibration step before mixing sources whose raw quality

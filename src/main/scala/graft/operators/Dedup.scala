@@ -237,6 +237,32 @@ object Dedup {
         coalesce(col("comp"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Quality-aware dedup survivorship: instead of `assignCanonical`'s
+    * min-id survivor, each dup cluster keeps its HIGHEST-QUALITY
+    * member (ties to the lower doc_id) — the policy a real pipeline
+    * wants, since the first-crawled copy is often the worst one.
+    * Composition: near-dup pairs → components → per-cluster argmax
+    * over the quality signal. Returns (doc_id, canonical_id, keep)
+    * for every document; the argmax is one per-cluster aggregate over
+    * the (tiny relative to corpus) cluster table joined back by key.
+    */
+  def bestSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val assigned = assignCanonical(s, dir, jaccardPairs(s, dir, 0.8))
+    val q = TextStats.quality(s, dir).select(col("doc_id"), col("quality"))
+    val withQ = assigned.join(q, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("canonical_id"),
+        coalesce(col("quality"), lit(0.0)).as("quality"))
+      .persist()
+    withQ.count() // eager: the argmax and the flag join both read it
+    // min_by on (-quality, doc_id) = max quality, ties to lower id
+    val best = withQ.groupBy("canonical_id")
+      .agg(min_by(col("doc_id"),
+        struct((-col("quality")).as("nq"), col("doc_id"))).as("keep_id"))
+    withQ.join(best, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+  }
+
   /** Jaro-Winkler name-matching pairs (the entity-resolution shape:
     * short strings where edit distance over-penalizes transpositions).
     * Candidates are *blocked* on the name's first character — the

@@ -241,6 +241,37 @@ class Round3BatchBSpec extends SparkSpec {
     assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 0.0))
   }
 
+  test("bestSurvivor: clusters keep their highest-quality member") {
+    val dir = java.nio.file.Files.createTempDirectory("bs").toString
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (4L, base, "s"),            // near-dup of 5, lower quality
+      (5L, base + " the", "s"),   // +1 stopword token -> higher quality
+      (9L, "unrelated words entirely different content here", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.bestSurvivor(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(4L) == (4L, false)) // cluster canonical is min id...
+    assert(got(5L) == (4L, true))  // ...but the keeper is the best doc
+    assert(got(9L) == (9L, true))  // singleton keeps itself
+  }
+
+  test("leakageSafeSplit: near-duplicates never straddle the boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("ls").toString
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // pctHash(1)=93 (test), pctHash(3)=79 (valid) — but both docs are
+    // duplicates, so both follow canonical id 1 into 'test'
+    Seq((1L, t, "en"), (3L, t, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Curation.leakageSafeSplit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("test", "en") -> 2L))
+  }
+
   test("unigramLogProb: mean token log-probability under the corpus model") {
     val dir = java.nio.file.Files.createTempDirectory("ulp").toString
     Seq((1L, "a a"), (2L, "b"))
