@@ -207,6 +207,7 @@ object SparkEntry {
     "confusion_matrix" -> ((s, d) => Ml.confusionQuery(s, d)),
     "best_survivor" -> ((s, d) => Dedup.bestSurvivor(s, d)),
     "leakage_safe_split" -> ((s, d) => Curation.leakageSafeSplit(s, d)),
+    "degree_distribution" -> ((s, d) => Graph.degreeDistribution(s, d)),
   )
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
@@ -1975,6 +1976,9 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 lang, count(*) AS n_docs
          FROM h GROUP BY 1, 2""",
+    "degree_distribution" -> s"""WITH $GraphCte,
+         deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+         SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""",
   )
 
   private def sqlList(words: Seq[String]): String =

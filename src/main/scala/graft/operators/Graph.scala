@@ -354,6 +354,17 @@ object Graph {
     s.createDataFrame(labels.map { case (id, c) => Row(id, c) }, schema)
   }
 
+  /** Out-degree distribution of the customer⇄supplier graph: degree →
+    * node count, the first diagnostic run on any new graph (hub
+    * detection, power-law sanity, skew planning for the iterative
+    * loops). Two keyed aggregations, each partial-agg'd; the second
+    * sees one row per node.
+    */
+  def degreeDistribution(s: SparkSession, dir: String): DataFrame =
+    customerSupplierEdges(s, dir)
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
   /** Neighborhood-Jaccard item similarity over the customer–supplier
     * bipartite graph: two suppliers are similar when the customer sets
     * that bought from them overlap (|A∩B| / |A∪B| ≥ `minSim`) — the

@@ -101,6 +101,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
   }
 
+  test("windowedAgg streams to a parquet file sink with a checkpoint") {
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("ssink").toString
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    // file sinks are append-only: watermark-closed windows only
+    val q = StreamOps.windowedAgg(df, "1 hour", "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/_chk")
+      .format("parquet").start(s"$out/data")
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    in.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the first hour window
+    in.addData((ts(200), "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$out/data")
+      .selectExpr("event_type", "cnt", "sum_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("click", 2L, 3.0)))
+  }
+
   test("runningCounts carries per-user state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
