@@ -101,5 +101,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "whitespace split, strip non-letter edges, drop empties"),
       args => graft.functions.TextFns.tokenizeExpr(
         one(args, "graft_tokenize"))))
+    // the curation tier's deterministic percentage hash (Curation
+    // .pctHash): SQL pipelines sample/split exactly like the Scala API
+    ext.injectFunction((FunctionIdentifier("pct_hash"),
+      info("pct_hash",
+        "pct_hash(bigint) - deterministic pseudo-uniform value in " +
+          "[0, 100) for reproducible sampling/splitting"),
+      args => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Multiply, Pmod}
+        val e = one(args, "pct_hash")
+        Pmod(Multiply(Pmod(e, Literal(2147483648L)), Literal(8388593L)),
+          Literal(100L))
+      }))
+    // exact set-Jaccard of two arrays (the dedup tier's verification
+    // metric) as one expression: |A∩B| / |A∪B| over distinct elements
+    ext.injectFunction((FunctionIdentifier("jaccard_sim"),
+      info("jaccard_sim",
+        "jaccard_sim(array, array) - exact Jaccard similarity of the " +
+          "two arrays' distinct element sets"),
+      args => {
+        require(args.length == 2, "jaccard_sim expects 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.{
+          ArrayIntersect, ArrayUnion, Cast, Divide, Size}
+        import org.apache.spark.sql.types.DoubleType
+        Divide(
+          Cast(Size(ArrayIntersect(args.head, args(1))), DoubleType),
+          Cast(Size(ArrayUnion(args.head, args(1))), DoubleType))
+      }))
   }
 }

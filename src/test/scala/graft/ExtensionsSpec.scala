@@ -89,6 +89,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("pct_hash and jaccard_sim SQL functions match their Column forms") {
+    val viaSql = spark.sql(
+      """SELECT pct_hash(id) AS h,
+                jaccard_sim(array('a','b','c'), array('b','c','d')) AS j
+         FROM range(1, 4)""").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // pctHash: 1→93, 2→86, 3→79 (same constants as Curation.pctHash)
+    assert(viaSql.map(_._1).toSeq == Seq(93L, 86L, 79L))
+    assert(viaSql.forall(_._2 == 0.5)) // |{b,c}| / |{a,b,c,d}|
+    val viaCol = spark.range(1, 4).select(
+      graft.operators.Curation.pctHash(col("id"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(viaCol == Seq(93L, 86L, 79L))
+  }
+
   test("graft_tokenize in SQL matches the Column-API tokenizer") {
     val df = Seq((1L, "The 'Quick', brown FOX!  jumped2 "))
       .toDF("id", "text")
