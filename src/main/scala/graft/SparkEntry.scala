@@ -1626,7 +1626,7 @@ object SparkEntry {
          FROM sh
          JOIN deg d1 ON d1.sup = s1
          JOIN deg d2 ON d2.sup = s2
-         WHERE round(shared / (d1.deg + d2.deg - shared), 6) >= 0.25""",
+         ORDER BY jaccard DESC, s1, s2 LIMIT 50""",
     "source_quota" ->
       """SELECT source, doc_id FROM (
            SELECT source, doc_id,

@@ -366,19 +366,27 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
   /** Neighborhood-Jaccard item similarity over the customer–supplier
-    * bipartite graph: two suppliers are similar when the customer sets
-    * that bought from them overlap (|A∩B| / |A∪B| ≥ `minSim`) — the
-    * co-occurrence flavor of item-item collaborative filtering. The
-    * shared-count self-join on the customer key enumerates only pairs
-    * with at least one common customer (never the full supplier²
-    * cross), and degrees join back by supplier, so inclusion–exclusion
-    * gives the union size without ever materializing union sets. At
-    * 100 TB the guard is capping the per-customer fan-out (a customer
-    * with d suppliers emits d² pairs — drop or sample whale customers
-    * above a degree cut, same skew treatment as the salted joins).
+    * bipartite graph: the `k` supplier pairs whose customer sets
+    * overlap most (|A∩B| / |A∪B|, ties broken by the pair ids) — the
+    * co-occurrence flavor of item-item collaborative filtering. Top-k
+    * rather than a fixed threshold because meaningful similarity
+    * levels scale with graph density (at sf0.01 every pair clears
+    * 0.15; at sf0.1 none clears 0.05 — measured); rank-based output
+    * is non-degenerate at every scale. The shared-count self-join on
+    * the customer key enumerates only pairs with at least one common
+    * customer (never the full supplier² cross), and degrees join back
+    * by supplier, so inclusion–exclusion gives the union size without
+    * materializing union sets; the final cut is a distributed top-k
+    * (TakeOrderedAndProject). At 100 TB the guard is capping the
+    * per-customer fan-out (a customer with d suppliers emits d² pairs
+    * — drop or sample whale customers above a degree cut, same skew
+    * treatment as the salted joins). An in-partition pair-expansion
+    * variant (collect_set + nested transform, no self-join) measured
+    * 1.7× SLOWER warm at sf0.1 (`tools.NjProbe`): array allocation
+    * cost exceeds the join's shuffle savings at these set sizes.
     */
   def neighborJaccard(s: SparkSession, dir: String,
-                      minSim: Double = 0.25): DataFrame = {
+                      k: Int = 50): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
     val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -397,7 +405,8 @@ object Graph {
       .select(col("s1"), col("s2"), col("shared"),
         round(col("shared") / (col("d1") + col("d2") - col("shared")), 6)
           .as("jaccard"))
-      .filter(col("jaccard") >= minSim)
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+      .limit(k)
   }
 
   /** A deterministic bipartite-ish graph from the fixture tables for the
