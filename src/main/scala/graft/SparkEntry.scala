@@ -205,6 +205,8 @@ object SparkEntry {
     "quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "rank_normalize" -> ((s, d) => Curation.rankNormalize(s, d)),
     "confusion_matrix" -> ((s, d) => Ml.confusionQuery(s, d)),
+    "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
+    "lang_confusion" -> ((s, d) => TextStats.langConfusion(s, d)),
     "best_survivor" -> ((s, d) => Dedup.bestSurvivor(s, d)),
     "leakage_safe_split" -> ((s, d) => Curation.leakageSafeSplit(s, d)),
     "degree_distribution" -> ((s, d) => Graph.degreeDistribution(s, d)),
@@ -1979,6 +1981,36 @@ object SparkEntry {
     "degree_distribution" -> s"""WITH $GraphCte,
          deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
          SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""",
+    // quintile boundaries per metric in one pass, assignment by
+    // boundary-count (same shape as equi_depth_hist)
+    "rfm_segments" ->
+      """WITH pc AS (
+           SELECT o_custkey,
+                  date_diff('day', max(o_orderdate)::DATE,
+                            '1998-12-31'::DATE)::DOUBLE AS r,
+                  count(*)::DOUBLE AS f,
+                  sum(o_totalprice) AS m
+           FROM orders GROUP BY o_custkey),
+         bs AS (
+           SELECT
+             list_transform(quantile_cont(r, [0.2, 0.4, 0.6, 0.8]),
+               b -> round(b, 6)) AS rb,
+             list_transform(quantile_cont(f, [0.2, 0.4, 0.6, 0.8]),
+               b -> round(b, 6)) AS fb,
+             list_transform(quantile_cont(m, [0.2, 0.4, 0.6, 0.8]),
+               b -> round(b, 6)) AS mb
+           FROM pc)
+         SELECT len(list_filter(rb, b -> r > b)) + 1 AS r_bucket,
+                len(list_filter(fb, b -> f > b)) + 1 AS f_bucket,
+                len(list_filter(mb, b -> m > b)) + 1 AS m_bucket,
+                count(*) AS n_customers
+         FROM pc, bs
+         GROUP BY 1, 2, 3""",
+    // labeled lang × stopword-heuristic prediction
+    "lang_confusion" -> s"""WITH li AS ($LangIdSql)
+         SELECT d.lang, li.pred_lang, count(*) AS cnt
+         FROM li JOIN documents d ON d.doc_id = li.doc_id
+         GROUP BY d.lang, li.pred_lang""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -914,6 +914,45 @@ object Relational {
           sum(col("rev")).over(wAll) * 100, 4))
   }
 
+  /** RFM segmentation: per customer, recency (days from last order to
+    * the corpus horizon), frequency (order count) and monetary (total
+    * spend), each bucketed into quintiles by exact percentile
+    * boundaries computed in ONE aggregate pass and broadcast back —
+    * the same two-pass equi-depth shape as `equiDepthHist`, never a
+    * global sort. Output: (r_bucket, f_bucket, m_bucket, n_customers),
+    * the segment-size table a CRM pipeline consumes. Bucket 5 = most
+    * orders/spend and most days stale (raw quintile semantics on each
+    * axis; flipping recency is a presentation choice left to the
+    * consumer). Ties share a bucket — integer frequencies make that
+    * the honest semantics.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val horizon = "1998-12-31"
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(
+        datediff(lit(horizon).cast("date"),
+          max(col("o_orderdate")).cast("date")).cast("double").as("r"),
+        count(lit(1)).cast("double").as("f"),
+        sum(col("o_totalprice")).as("m"))
+      .persist()
+    perCust.count() // eager: boundary agg + assignment both read it
+    val probs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
+    val bounds = perCust.agg(
+      transform(percentile(col("r"), probs), b => round(b, 6)).as("rb"),
+      transform(percentile(col("f"), probs), b => round(b, 6)).as("fb"),
+      transform(percentile(col("m"), probs), b => round(b, 6)).as("mb"))
+    def bucket(x: Column, bs: Column): Column =
+      (aggregate(bs, lit(0),
+        (acc, b) => acc + when(x > b, 1).otherwise(0)) + 1).cast("long")
+    perCust.crossJoin(broadcast(bounds))
+      .select(bucket(col("r"), col("rb")).as("r_bucket"),
+        bucket(col("f"), col("fb")).as("f_bucket"),
+        bucket(col("m"), col("mb")).as("m_bucket"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Winsorization: clamp a measure to its per-group [p05, p95] band
     * and report the group mean before/after — the robust-stats step
     * that keeps a handful of outlier rows from dominating a model

@@ -267,6 +267,19 @@ object TextStats {
           .as("boiler_frac"))
   }
 
+  /** Language-ID confusion matrix: predicted language (the stopword
+    * n-gram heuristic) against the labeled `lang` column — the
+    * accuracy audit run before trusting the detector on unlabeled
+    * data. One row per (labeled, predicted) pair; the scored frame
+    * reduces to O(langs²) rows in one partial-agg shuffle.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    langId(s, dir).select(col("doc_id"), col("pred_lang"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Unigram language-model scoring: train the corpus unigram model
     * (term → count / total) in one aggregate, then score every document
     * by its mean token log-probability — the cheap LM-quality signal a

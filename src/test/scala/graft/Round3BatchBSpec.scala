@@ -272,6 +272,28 @@ class Round3BatchBSpec extends SparkSpec {
     assert(got == Map(("test", "en") -> 2L))
   }
 
+  test("rfmSegments: buckets partition customers; totals preserved") {
+    val rows = Relational.rfmSegments(spark, sf).collect()
+    val total = rows.map(_.getLong(3)).sum
+    val nCust = graft.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(total == nCust)
+    assert(rows.forall { r =>
+      (1L to 5L).contains(r.getLong(0)) &&
+        (1L to 5L).contains(r.getLong(1)) && (1L to 5L).contains(r.getLong(2))
+    })
+  }
+
+  test("langConfusion: counts cover the corpus, diagonal non-empty") {
+    val rows = graft.operators.TextStats.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum ==
+      graft.Tables.documents(spark, sf).count())
+    // it's a report, not an accuracy claim — the synthetic corpus only
+    // weakly carries language signal; just require SOME agreement
+    assert(rows.filter(r => r._1 == r._2).map(_._3).sum > 0)
+  }
+
   test("unigramLogProb: mean token log-probability under the corpus model") {
     val dir = java.nio.file.Files.createTempDirectory("ulp").toString
     Seq((1L, "a a"), (2L, "b"))
