@@ -207,6 +207,12 @@ object SparkEntry {
     "confusion_matrix" -> ((s, d) => Ml.confusionQuery(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
     "lang_confusion" -> ((s, d) => TextStats.langConfusion(s, d)),
+    // the reference's headline classifier metric (assignment6 ROC
+    // area), over the single-model scores
+    "sgd_auc" -> ((s, d) => Ml.auc(
+      Ml.applyQuery(s, d).select(col("score"),
+        when(col("label") === 1.0, 1).otherwise(0).as("y")),
+      "score", "y")),
     "best_survivor" -> ((s, d) => Dedup.bestSurvivor(s, d)),
     "leakage_safe_split" -> ((s, d) => Curation.leakageSafeSplit(s, d)),
     "degree_distribution" -> ((s, d) => Graph.degreeDistribution(s, d)),
@@ -2011,6 +2017,20 @@ object SparkEntry {
          SELECT d.lang, li.pred_lang, count(*) AS cnt
          FROM li JOIN documents d ON d.doc_id = li.doc_id
          GROUP BY d.lang, li.pred_lang""",
+    // tie-exact rank-sum AUC over the apply oracle's rounded scores
+    "sgd_auc" -> s"""WITH lab AS (
+           SELECT score AS s,
+                  CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+           FROM ($sgdApplyOracle)),
+         g AS (SELECT s, sum(y) AS p, sum(1 - y) AS n FROM lab GROUP BY s),
+         c AS (SELECT s, p, n,
+                      coalesce(sum(n) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cumn
+               FROM g)
+         SELECT round(sum(p * (cumn + n / 2.0)) / (sum(p) * sum(n)), 6)
+           AS auc
+         FROM c""",
   )
 
   private def sqlList(words: Seq[String]): String =
