@@ -22,6 +22,13 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql without a query: $orphans")
   }
 
+  test("every query is oracle-checked (full coverage, no rows-only)") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty,
+      s"queries without a DuckDB oracle: $unoracled — add one, or " +
+        "consciously relax this guard for a genuinely non-SQL operator")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
