@@ -216,7 +216,31 @@ object SparkEntry {
     "best_survivor" -> ((s, d) => Dedup.bestSurvivor(s, d)),
     "leakage_safe_split" -> ((s, d) => Curation.leakageSafeSplit(s, d)),
     "degree_distribution" -> ((s, d) => Graph.degreeDistribution(s, d)),
+    // dialect-parity demonstration: Spark executes the IDENTICAL SQL
+    // text the oracle runs (AnsiParitySql) over a temp view — the
+    // spark.sql surface as a first-class query path
+    "ansi_sql_parity" -> ((s, d) => {
+      graft.Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(AnsiParitySql)
+    }),
   )
+
+  /** One SQL string, two engines (see `ansi_sql_parity`): restricted
+    * to the ANSI intersection both parse identically — EXTRACT, CASE,
+    * windows over aggregates, explicit BIGINT casts where the
+    * engines' natural result types differ.
+    */
+  private val AnsiParitySql: String =
+    """SELECT o_orderpriority AS priority,
+              CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+              COUNT(*) AS n_orders,
+              ROUND(SUM(o_totalprice), 2) AS total,
+              CAST(RANK() OVER (
+                PARTITION BY CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                ORDER BY ROUND(SUM(o_totalprice), 2) DESC, o_orderpriority)
+                AS BIGINT) AS rnk
+       FROM orders
+       GROUP BY o_orderpriority, EXTRACT(YEAR FROM o_orderdate)"""
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`
     * (lowercase, whitespace split, strip non-[a-z] edges, drop empties).
@@ -2031,6 +2055,8 @@ object SparkEntry {
          SELECT round(sum(p * (cumn + n / 2.0)) / (sum(p) * sum(n)), 6)
            AS auc
          FROM c""",
+    // byte-identical to what Spark executes — see AnsiParitySql
+    "ansi_sql_parity" -> AnsiParitySql,
   )
 
   private def sqlList(words: Seq[String]): String =
