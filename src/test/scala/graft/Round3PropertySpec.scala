@@ -48,6 +48,51 @@ class Round3PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  private val intervalsGen: Gen[List[(Long, Long, Long, Double)]] = for {
+    n <- Gen.choose(3, 25)
+    rows <- Gen.listOfN(n, for {
+      user <- Gen.choose(1L, 3L)
+      start <- Gen.choose(0L, 50L)
+      dur <- Gen.choose(1, 20).map(_.toDouble)
+    } yield (user, start, dur))
+  } yield rows.zipWithIndex.map { case ((u, st, d), i) =>
+    (i.toLong, st, u, d)
+  }
+
+  test("random intervals: union coverage == brute-force merge") {
+    val prop = Prop.forAllNoShrink(intervalsGen) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("ivp").toString
+      rows.map { case (id, st, u, d) =>
+        (id, new Timestamp(1700000000000L + st * 1000L), u, d)
+      }.toDF("event_id", "ts", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Events.intervalUnion(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      // brute-force merge per user over double timestamps
+      val want = rows.groupBy(_._3).map { case (u, rs) =>
+        val ivs = rs.map { case (_, st, _, d) =>
+          (st.toDouble, st.toDouble + d)
+        }.sortBy(iv => (iv._1, iv._2))
+        val merged = ivs.foldLeft(List.empty[(Double, Double)]) {
+          case (acc, (a, b)) => acc match {
+            case (x, y) :: t if a <= y => (x, math.max(y, b)) :: t
+            case _ => (a, b) :: acc
+          }
+        }
+        u -> (merged.length.toLong,
+          BigDecimal(merged.map(iv => iv._2 - iv._1).sum)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      if (got != want) println(s"COUNTEREXAMPLE rows=$rows got=$got want=$want")
+      got == want
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(8)
+      .withInitialSeed(org.scalacheck.rng.Seed(23L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private val pointsGen: Gen[List[(Long, Double, Long)]] = for {
     n <- Gen.choose(3, 30)
     pts <- Gen.listOfN(n, for {
