@@ -8,13 +8,20 @@ import graft.Tables
   * opaque `binary` columns with typed metadata, plus a decode /
   * feature-extract stage.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
+  * The container has no image/audio codecs, so `fakeDecode` is a
   * clearly-marked DETERMINISTIC FAKE: it derives plausible
   * width/height/frame metadata from the blob bytes. Everything around
   * it — the binary schema, the typed Dataset plumbing, per-partition
   * batch shape, and the downstream joins — is real and is what matters
-  * at scale; swapping the fake for a JNI/codec call changes one
-  * function body.
+  * at scale; swapping the fake for a codec call changes one function
+  * body. The batch boundary is a typed `mapPartitions` rather than a
+  * Pandas UDF over `mapInPandas`: this environment has no Python
+  * worker for executor-side code (pyspark is driver-tooling only
+  * here), and the JVM-native form keeps the decode stage inside the
+  * same process — on a Python-enabled cluster the identical pipeline
+  * shape swaps `mapPartitions` for `mapInPandas` with an Arrow batch
+  * per call (schema, partitioning, and batch granularity carry over
+  * one-to-one).
   */
 object Multimodal {
 
