@@ -223,6 +223,8 @@ object SparkEntry {
       graft.Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(AnsiParitySql)
     }),
+    "q16_shape" -> ((s, d) => Relational.q16Shape(s, d)),
+    "gap_percentiles" -> ((s, d) => Events.gapPercentiles(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -2057,6 +2059,31 @@ object SparkEntry {
          FROM c""",
     // byte-identical to what Spark executes — see AnsiParitySql
     "ansi_sql_parity" -> AnsiParitySql,
+    "q16_shape" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey AS partkey,
+                      l_suppkey AS suppkey
+               FROM lineitem) ps
+         JOIN part ON partkey = p_partkey
+         WHERE suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+         LIMIT 30""",
+    "gap_percentiles" ->
+      """WITH g AS (
+           SELECT event_type,
+                  ep - lag(ep) OVER (PARTITION BY event_type, user_id
+                    ORDER BY ep, event_id) AS gap
+           FROM (SELECT event_type, user_id, event_id,
+                        epoch_ms(ts) // 1000 AS ep
+                 FROM events))
+         SELECT event_type, count(*) AS n_gaps,
+                round(quantile_cont(gap, 0.5), 4) AS p50_gap,
+                round(quantile_cont(gap, 0.9), 4) AS p90_gap
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY event_type""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -254,6 +254,25 @@ object Events {
       round(percentile(col("secs"), lit(0.9)), 4).as("p90_sec"))
   }
 
+  /** Median and p90 inter-arrival gap per event type — the summary the
+    * raw `interArrival` listing feeds (capacity planning reads these
+    * two numbers, not 10k gaps). One window pass for the lag, one
+    * percentile aggregate per type.
+    */
+  def gapPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy("ep", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"))
+      .withColumn("gap", col("ep") - lag(col("ep"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap"), lit(0.5)), 4).as("p50_gap"),
+        round(percentile(col("gap"), lit(0.9)), 4).as("p90_gap"))
+  }
+
   /** Rolling 7-day active users per day: for every day with events,
     * the distinct users active in the trailing `windowDays` window —
     * the DAU/WAU family. Events first collapse to distinct

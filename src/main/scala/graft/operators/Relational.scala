@@ -914,6 +914,31 @@ object Relational {
           sum(col("rev")).over(wAll) * 100, 4))
   }
 
+  /** TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    * for parts, excluding suppliers on a complaint list (here: negative
+    * account balance — the fixtures' analog of Q16's LIKE-matched
+    * complaints). The exclusion is a NOT IN over a tiny subquery →
+    * null-aware anti join; the distinct count shuffles once on the
+    * grouping key after the partsupp-shaped join. Top groups by count
+    * with a deterministic tiebreak, Q16's presentation order.
+    */
+  def q16Shape(s: SparkSession, dir: String, limit: Int = 30): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+      .distinct()
+    val bad = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(s, dir)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(bad, col("suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc,
+        col("p_brand"), col("p_type"), col("p_size"))
+      .limit(limit)
+  }
+
   /** RFM segmentation: per customer, recency (days from last order to
     * the corpus horizon), frequency (order count) and monetary (total
     * spend), each bucketed into quintiles by exact percentile
