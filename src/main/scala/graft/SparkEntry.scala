@@ -225,6 +225,9 @@ object SparkEntry {
     }),
     "q16_shape" -> ((s, d) => Relational.q16Shape(s, d)),
     "gap_percentiles" -> ((s, d) => Events.gapPercentiles(s, d)),
+    "q11_shape" -> ((s, d) => Relational.q11Shape(s, d)),
+    "dau_wau" -> ((s, d) => Events.dauWauRatio(s, d)),
+    "zipf_fit" -> ((s, d) => TextStats.zipfFit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -2084,6 +2087,37 @@ object SparkEntry {
                 round(quantile_cont(gap, 0.9), 4) AS p90_gap
          FROM g WHERE gap IS NOT NULL
          GROUP BY event_type""",
+    // mean-relative cut, not Q11's fixed fraction: scale-free
+    "q11_shape" ->
+      """WITH pp AS (SELECT l_partkey,
+                            round(sum(l_extendedprice), 4) AS value
+                     FROM lineitem GROUP BY l_partkey),
+         t AS (SELECT sum(value) / count(*) AS mean_value FROM pp)
+         SELECT l_partkey, value FROM pp, t
+         WHERE value > mean_value * 1.25""",
+    "dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                 FROM ud GROUP BY day),
+         spine AS (SELECT DISTINCT day AS d FROM ud),
+         wau AS (SELECT d, count(DISTINCT user_id) AS wau
+                 FROM ud JOIN spine
+                   ON date_diff('day', day, d) BETWEEN 0 AND 6
+                 GROUP BY d)
+         SELECT day, dau, wau,
+                round(dau::DOUBLE / wau, 6) AS stickiness
+         FROM dau JOIN wau ON day = d""",
+    "zipf_fit" -> s"""$TokCte,
+         tf AS (SELECT t AS term, count(*) AS cnt
+                FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+                ORDER BY cnt DESC, term LIMIT 100),
+         rk AS (SELECT cnt,
+                  row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+                FROM tf)
+         SELECT round(regr_slope(y, x), 6) AS slope,
+                round(regr_r2(y, x), 6) AS r2,
+                count(*) AS n_ranks
+         FROM (SELECT log10(rnk) AS x, log10(cnt) AS y FROM rk)""",
   )
 
   private def sqlList(words: Seq[String]): String =

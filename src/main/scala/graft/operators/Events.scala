@@ -317,6 +317,32 @@ object Events {
       .limit(k)
   }
 
+  /** DAU/WAU stickiness per day: the share of the trailing week's
+    * active users who were also active TODAY — the engagement ratio
+    * product teams track. Reuses the rolling-window shape: one
+    * distinct user-day collapse feeds both the daily and the windowed
+    * distinct counts (two aggregates over the collapsed pairs, joined
+    * on day; never two passes over the raw log).
+    */
+  def dauWauRatio(s: SparkSession, dir: String,
+                  windowDays: Int = 7): DataFrame = {
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist()
+    userDays.count() // eager: both aggregates read it
+    val dau = userDays.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val spine = userDays.select(col("day").as("d")).distinct()
+    val wau = userDays.join(broadcast(spine),
+        datediff(col("d"), col("day")).between(0, windowDays - 1))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
   /** Chi-square independence statistic between event type and
     * hour-of-day — the drift check a pipeline runs on a categorical
     * pair before trusting a segmentation. The contingency table is one

@@ -939,6 +939,30 @@ object Relational {
       .limit(limit)
   }
 
+  /** TPC-H Q11 shape ("important stock"): per-part sales value, kept
+    * only when the part's value exceeds `meanMultiple` × the mean
+    * per-part value — Q11's scalar-subquery-in-HAVING, planned as a
+    * broadcast 1-row cross join + filter above the aggregate. Q11's
+    * literal `total × fraction` cut is density-bound (part count
+    * scales with the corpus, so any fixed fraction eventually selects
+    * nothing — the neighbor_jaccard lesson); a mean-relative cut asks
+    * the same question scale-free. Two passes over the aggregated
+    * (part-count-sized) frame, one over the fact table.
+    */
+  def q11Shape(s: SparkSession, dir: String,
+               meanMultiple: Double = 1.25): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice")), 4).as("value"))
+      .persist()
+    perPart.count() // eager: total + filter both read it
+    val total = perPart.agg(
+      (sum(col("value")) / count(lit(1))).as("mean_value"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") > col("mean_value") * meanMultiple)
+      .select(col("l_partkey"), col("value"))
+  }
+
   /** RFM segmentation: per customer, recency (days from last order to
     * the corpus horizon), frequency (order count) and monetary (total
     * spend), each bucketed into quintiles by exact percentile

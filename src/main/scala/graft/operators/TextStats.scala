@@ -280,6 +280,28 @@ object TextStats {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Zipf's-law check: regression of log10(frequency) on log10(rank)
+    * over the top `k` corpus terms — slope ≈ −1 on natural text, and
+    * drift from that is a cheap synthetic-vs-natural signal for a
+    * corpus intake gate. The rank table is k rows (top-k cut via
+    * TakeOrderedAndProject, ties broken by term); the regression is
+    * one aggregate over it. Output: one row (slope, r2, n_ranks).
+    */
+  def zipfFit(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val tf = tokenized(s, dir)
+      .select(explode(col("ts")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    tf.withColumn("rnk", row_number().over(w))
+      .select(log10(col("rnk")).as("x"), log10(col("cnt")).as("y"))
+      .agg(round(regr_slope(col("y"), col("x")), 6).as("slope"),
+        round(regr_r2(col("y"), col("x")), 6).as("r2"),
+        count(lit(1)).as("n_ranks"))
+  }
+
   /** Unigram language-model scoring: train the corpus unigram model
     * (term → count / total) in one aggregate, then score every document
     * by its mean token log-probability — the cheap LM-quality signal a

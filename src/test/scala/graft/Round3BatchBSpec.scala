@@ -294,6 +294,40 @@ class Round3BatchBSpec extends SparkSpec {
     assert(rows.filter(r => r._1 == r._2).map(_._3).sum > 0)
   }
 
+  test("q11Shape: mean-relative cut keeps only above-mean parts") {
+    val rows = Relational.q11Shape(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vals = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_partkey")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum("l_extendedprice"), 4)
+        .as("v"))
+      .collect().map(_.getDouble(1))
+    val cut = vals.sum / vals.length * 1.25
+    assert(rows.forall(_.getDouble(1) > cut))
+    assert(rows.length == vals.count(_ > cut))
+  }
+
+  test("dauWauRatio: stickiness bounded by (0, 1], dau <= wau") {
+    val rows = graft.operators.Events.dauWauRatio(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getLong(1) <= r.getLong(2) &&
+        r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0
+    })
+  }
+
+  test("zipfFit: mechanics — non-positive slope, r2 in range") {
+    val r = graft.operators.TextStats.zipfFit(spark, sf).collect().head
+    assert(r.getLong(2) > 10L && r.getLong(2) <= 100L) // vocab-capped
+    // frequencies are non-increasing in rank, so the fit can't rise;
+    // the synthetic corpus is nearly UNIFORM (r2 ≈ 0.06 at sf0.001),
+    // which is precisely the non-natural-text signal the operator
+    // exists to surface — naturalness is not asserted here
+    assert(r.getDouble(0) <= 0.0)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+
   test("unigramLogProb: mean token log-probability under the corpus model") {
     val dir = java.nio.file.Files.createTempDirectory("ulp").toString
     Seq((1L, "a a"), (2L, "b"))
