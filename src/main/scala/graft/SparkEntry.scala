@@ -228,6 +228,8 @@ object SparkEntry {
     "q11_shape" -> ((s, d) => Relational.q11Shape(s, d)),
     "dau_wau" -> ((s, d) => Events.dauWauRatio(s, d)),
     "zipf_fit" -> ((s, d) => TextStats.zipfFit(s, d)),
+    "q19_shape" -> ((s, d) => Relational.q19Shape(s, d)),
+    "curated_mix" -> ((s, d) => Pipeline.curatedMix(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -2118,6 +2120,41 @@ object SparkEntry {
                 round(regr_r2(y, x), 6) AS r2,
                 count(*) AS n_ranks
          FROM (SELECT log10(rnk) AS x, log10(cnt) AS y FROM rk)""",
+    "q19_shape" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4)
+                  AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#2' AND p_size <= 10
+                AND l_quantity <= 20)
+            OR (p_brand = 'Brand#17' AND p_size <= 25
+                AND l_quantity <= 35)""",
+    // the capstone pipeline's survivors re-aggregated to the
+    // per-source mix report
+    "curated_mix" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+         canon AS (SELECT id AS doc_id, min(comp) AS canonical_id
+                   FROM walk GROUP BY id),
+         qual AS ($QualitySql),
+         lang AS ($LangIdSql),
+         kept AS (
+           SELECT doc_id, q.n_tokens
+           FROM qual q JOIN lang USING (doc_id) JOIN canon USING (doc_id)
+           WHERE lang.pred_lang = 'en' AND q.quality >= 0.2
+             AND canonical_id = doc_id),
+         bys AS (SELECT d.source, count(*) AS n_docs,
+                        sum(k.n_tokens)::BIGINT AS n_tokens
+                 FROM kept k JOIN documents d USING (doc_id)
+                 GROUP BY d.source),
+         t AS (SELECT sum(n_tokens) AS tok_total FROM bys)
+         SELECT source, n_docs, n_tokens,
+                round(n_tokens / tok_total, 6) AS token_share
+         FROM bys, t""",
   )
 
   private def sqlList(words: Seq[String]): String =

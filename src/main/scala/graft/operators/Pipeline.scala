@@ -42,4 +42,26 @@ object Pipeline {
         col("doc_id") === col("canonical_id"))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
+
+  /** Post-curation mix report: per-source document and token counts of
+    * the SURVIVING corpus with token share — the number a training-mix
+    * owner reads before shipping shards (curation shifts the mix, and
+    * nobody should learn that from the trained model). One broadcast
+    * join of the (small) survivor table back to sources, one aggregate.
+    */
+  def curatedMix(s: SparkSession, dir: String,
+                 minQuality: Double = 0.2): DataFrame = {
+    val kept = curate(s, dir, minQuality).select("doc_id", "n_tokens")
+    val src = graft.Tables.documents(s, dir).select("doc_id", "source")
+    val bySource = kept.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .persist()
+    bySource.count() // eager: total + share projection both read it
+    val total = bySource.agg(sum(col("n_tokens")).as("tok_total"))
+    bySource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tok_total"), 6).as("token_share"))
+  }
 }

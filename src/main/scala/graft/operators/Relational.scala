@@ -939,6 +939,28 @@ object Relational {
       .limit(limit)
   }
 
+  /** TPC-H Q19 shape (disjunctive discounted revenue): revenue over an
+    * OR of brand/size/quantity conjunctions. The point is plan
+    * hygiene, not arithmetic: Catalyst extracts the common
+    * `p_partkey = l_partkey` equality join under the disjunction, and
+    * the per-branch part predicates stay broadcast-side, so the OR
+    * never degrades the join to a nested loop.
+    */
+  def q19Shape(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#2" && col("p_size") <= 10 &&
+          col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#17" && col("p_size") <= 25 &&
+          col("l_quantity") <= 35))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q11 shape ("important stock"): per-part sales value, kept
     * only when the part's value exceeds `meanMultiple` × the mean
     * per-part value — Q11's scalar-subquery-in-HAVING, planned as a
