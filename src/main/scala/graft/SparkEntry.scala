@@ -230,6 +230,7 @@ object SparkEntry {
     "zipf_fit" -> ((s, d) => TextStats.zipfFit(s, d)),
     "q19_shape" -> ((s, d) => Relational.q19Shape(s, d)),
     "curated_mix" -> ((s, d) => Pipeline.curatedMix(s, d)),
+    "q14_shape" -> ((s, d) => Relational.q14Shape(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -2155,6 +2156,16 @@ object SparkEntry {
          SELECT source, n_docs, n_tokens,
                 round(n_tokens / tok_total, 6) AS token_share
          FROM bys, t""",
+    "q14_shape" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END) /
+                      sum(l_extendedprice * (1 - l_discount)) * 100, 4)
+                  AS promo_pct,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY ship_month""",
   )
 
   private def sqlList(words: Seq[String]): String =

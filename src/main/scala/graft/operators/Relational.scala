@@ -961,6 +961,24 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q14 shape (promotion effect): per ship month, the share of
+    * discounted revenue coming from PROMO-type parts — the
+    * conditional-aggregate-ratio idiom (CASE inside SUM over one
+    * scan), Q14's 100·promo/total. One broadcast dimension join, one
+    * keyed aggregate; both sums ride the same partial-agg shuffle.
+    */
+  def q14Shape(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) /
+          sum(rev) * 100, 4).as("promo_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q11 shape ("important stock"): per-part sales value, kept
     * only when the part's value exceeds `meanMultiple` × the mean
     * per-part value — Q11's scalar-subquery-in-HAVING, planned as a
