@@ -231,6 +231,10 @@ object SparkEntry {
     "q19_shape" -> ((s, d) => Relational.q19Shape(s, d)),
     "curated_mix" -> ((s, d) => Pipeline.curatedMix(s, d)),
     "q14_shape" -> ((s, d) => Relational.q14Shape(s, d)),
+    // native interval-join physical operator; same contract as
+    // range_join, so the same oracle must hash-match
+    "range_join_native" ->
+      ((s, d) => Events.rangeJoinNative(s, d, "click", "purchase")),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -1298,6 +1302,31 @@ object SparkEntry {
            ON l.user_id = r.user_id AND r.r_ep <= l.ep""",
     // oracle uses the plain BETWEEN theta join; the engine buckets first
     "range_join" ->
+      """WITH ce AS (
+           SELECT user_id, event_id, ts, epoch_ms(ts) // 1000 AS ep,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WHERE event_type = 'click'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         cs AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ep, event_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq FROM ce),
+         sess AS (
+           SELECT user_id, session_seq, min(ep) AS start_epoch,
+                  max(ep) + 1800 AS end_epoch
+           FROM cs GROUP BY user_id, session_seq),
+         p AS (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep
+           FROM events WHERE event_type = 'purchase')
+         SELECT s.user_id, s.session_seq, count(*) AS n_probe
+         FROM sess s JOIN p
+           ON p.user_id = s.user_id
+          AND p.ep BETWEEN s.start_epoch AND s.end_epoch
+         GROUP BY s.user_id, s.session_seq""",
+    // identical contract through the native IntervalJoinExec operator
+    "range_join_native" ->
       """WITH ce AS (
            SELECT user_id, event_id, ts, epoch_ms(ts) // 1000 AS ep,
                   CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL

@@ -182,6 +182,51 @@ object Events {
       .agg(count(lit(1)).as("n_probe"))
   }
 
+  /** `rangeJoin` again, through the NATIVE interval-join operator
+    * (`graft.plans.IntervalJoinExec` via `GraftStrategy`): sessions
+    * build declaratively exactly as in `rangeJoin`, but probes join
+    * the session intervals through the sorted-merge active-buffer
+    * exec instead of the time-grid bucket join — no grid parameter,
+    * each input moves once, and per-key state is the (tiny) concurrent
+    * interval depth. Same output contract, so the same oracle must
+    * hash-match.
+    */
+  def rangeJoinNative(s: SparkSession, dir: String,
+                      intervalType: String, probeType: String,
+                      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.graftglue.PlanApi
+    if (!s.experimental.extraStrategies.exists(_ eq graft.plans.GraftStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("ep"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prev = lag(col("ep"), 1).over(w)
+    val sess = ev.filter(col("event_type") === intervalType)
+      .withColumn("new_s",
+        when(prev.isNull || (col("ep") - prev > gapMinutes * 60L), 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id").as("s_user"), col("session_seq"))
+      .agg(min(col("ep")).as("start_epoch"),
+        (max(col("ep")) + gapMinutes * 60L).as("end_epoch"))
+    val probes = ev.filter(col("event_type") === probeType)
+      .select(col("user_id"), col("event_id"), col("ep"))
+    val (lPlan, rPlan) = (PlanApi.analyzed(sess), PlanApi.analyzed(probes))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) = p.output.find(_.name == name).get
+    PlanApi.ofRows(s, graft.plans.IntervalJoinPlan(
+        lPlan, rPlan,
+        attr(lPlan, "s_user"), attr(lPlan, "start_epoch"),
+        attr(lPlan, "end_epoch"),
+        attr(rPlan, "user_id"), attr(rPlan, "ep")))
+      .groupBy(col("s_user").as("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_probe"))
+  }
+
   /** As-of join (custom operator the built-in join surface lacks): for
     * each `leftType` event, the latest `rightType` event of the same
     * user with ts_r <= ts_l. Implemented as the scalable union+carry

@@ -47,13 +47,17 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans `AsOfJoinPlan` onto `AsOfJoinExec`; everything else falls
-  * through to the built-in strategies.
+/** Plans the library's custom logical nodes (`AsOfJoinPlan`,
+  * `IntervalJoinPlan`) onto their physical operators; everything else
+  * falls through to the built-in strategies.
   */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lPk, lTs, rPk, rTs) =>
       AsOfJoinExec(lPk, lTs, rPk, rTs, planLater(l), planLater(r)) :: Nil
+    case IntervalJoinPlan(l, r, lPk, lSt, lEn, rPk, rTs) =>
+      IntervalJoinExec(lPk, lSt, lEn, rPk, rTs,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -109,6 +113,11 @@ case class AsOfJoinExec(leftPk: Attribute, leftTs: Attribute,
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val nulls = new GenericInternalRow(nRightCols)
       val joined = new JoinedRow
+      // parents (and a bare collect) expect UnsafeRow — project the
+      // JoinedRow like SortMergeJoin's result projection does
+      val toUnsafe =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(output, output)
       // one copied row of held state: the latest right row whose
       // (pk, ts) is ≤ the left cursor — O(1) memory per partition
       var held: InternalRow = null
@@ -140,7 +149,7 @@ case class AsOfJoinExec(leftPk: Attribute, leftTs: Attribute,
         }
         numOutputRows += 1
         val matched = lPk != null && held != null && pkOrd.equiv(heldPk, lPk)
-        joined(lRow, if (matched) held else nulls)
+        toUnsafe(joined(lRow, if (matched) held else nulls))
       }
     }
   }

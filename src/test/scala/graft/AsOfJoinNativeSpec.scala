@@ -55,6 +55,40 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(native.nonEmpty && native == composed)
   }
 
+  test("native interval join agrees with the composed range join") {
+    val native = Events.rangeJoinNative(spark, sf, "click", "purchase")
+      .collect().map(_.toSeq).toSet
+    val composed = Events.rangeJoin(spark, sf, "click", "purchase")
+      .collect().map(_.toSeq).toSet
+    assert(native.nonEmpty && native == composed)
+  }
+
+  test("interval join: overlapping intervals multi-match, keys isolate") {
+    import org.apache.spark.sql.graftglue.PlanApi
+    import spark.implicits._
+    if (!spark.experimental.extraStrategies
+        .exists(_ eq graft.plans.GraftStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    // user 1: [0,10] and [5,20] OVERLAP; [30,40] separate. user 2: [0,100]
+    val ivals = Seq((1L, 0L, 10L, "a"), (1L, 5L, 20L, "b"),
+      (1L, 30L, 40L, "c"), (2L, 0L, 100L, "d"))
+      .toDF("pk", "st", "en", "iv")
+    val probes = Seq((1L, 7L), (1L, 15L), (1L, 25L), (1L, 40L), (2L, 50L))
+      .toDF("pk2", "ts")
+    val (l, r) = (PlanApi.analyzed(ivals), PlanApi.analyzed(probes))
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          n: String) = p.output.find(_.name == n).get
+    val got = PlanApi.ofRows(spark, graft.plans.IntervalJoinPlan(
+        l, r, a(l, "pk"), a(l, "st"), a(l, "en"), a(r, "pk2"), a(r, "ts")))
+      .collect().map(row => (row.getString(3), row.getLong(5))).toSet
+    assert(got == Set(
+      ("a", 7L), ("b", 7L), // inside both overlapping intervals
+      ("b", 15L),           // only the longer one
+      ("c", 40L),           // inclusive end
+      ("d", 50L)))          // other key; ts=25 matches nothing
+  }
+
   test("plan contains AsOfJoinExec with one exchange per side") {
     val dir = writeEvents(fixture)
     val df = Events.asofJoinNative(spark, dir, "purchase", "view")
