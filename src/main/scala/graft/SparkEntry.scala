@@ -235,6 +235,7 @@ object SparkEntry {
     // range_join, so the same oracle must hash-match
     "range_join_native" ->
       ((s, d) => Events.rangeJoinNative(s, d, "click", "purchase")),
+    "lm_score_tiers" -> ((s, d) => Curation.lmScoreTiers(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -2185,6 +2186,27 @@ object SparkEntry {
          SELECT source, n_docs, n_tokens,
                 round(n_tokens / tok_total, 6) AS token_share
          FROM bys, t""",
+    // unigram scores re-bucketed into deciles (equi-depth boundaries)
+    "lm_score_tiers" -> s"""$TokCte,
+         tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         model AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         tot AS (SELECT sum(cnt)::DOUBLE AS total FROM model),
+         sc AS (SELECT doc_id,
+                       round(avg(ln(cnt / total)), 6) AS avg_logprob,
+                       count(*) AS n_tokens
+                FROM tok JOIN model USING (term), tot
+                GROUP BY doc_id),
+         bs AS (SELECT list_transform(
+                  quantile_cont(avg_logprob,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                  b -> round(b, 6)) AS bs
+                FROM sc)
+         SELECT len(list_filter(bs.bs, b -> avg_logprob > b)) + 1 AS tier,
+                count(*) AS n_docs,
+                round(avg(avg_logprob), 6) AS mean_logprob,
+                sum(n_tokens)::BIGINT AS n_tokens
+         FROM sc, bs
+         GROUP BY tier""",
     "q14_shape" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
                 round(sum(CASE WHEN p_type = 'PROMO'

@@ -247,6 +247,33 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** LM-score tiering: the corpus bucketed into deciles of unigram
+    * log-probability, with per-tier document counts, mean score and
+    * token mass — the table a curation run reads to pick its "drop
+    * the bottom-k tiers" threshold (the cheap stand-in for
+    * perplexity-bucket filtering). Boundaries via one exact-percentile
+    * aggregate broadcast back (equi-depth two-pass shape; swap to
+    * approx_percentile at 100 TB).
+    */
+  def lmScoreTiers(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val scores = TextStats.unigramLogProb(s, dir)
+      .select(col("doc_id"), col("avg_logprob"), col("n_tokens"))
+      .persist()
+    scores.count() // eager: boundaries + assignment both read it
+    val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
+    val bounds = scores.agg(transform(
+      percentile(col("avg_logprob"), probs), b => round(b, 6)).as("bs"))
+    scores.crossJoin(broadcast(bounds))
+      .select(col("avg_logprob"), col("n_tokens"),
+        (aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("avg_logprob") > b, 1).otherwise(0)) + 1)
+          .cast("long").as("tier"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("avg_logprob")), 6).as("mean_logprob"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Per-source rank normalization of a quality signal: each
     * document's score becomes its percent-rank WITHIN its source —
     * the calibration step before mixing sources whose raw quality
