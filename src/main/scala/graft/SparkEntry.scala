@@ -236,6 +236,7 @@ object SparkEntry {
     "range_join_native" ->
       ((s, d) => Events.rangeJoinNative(s, d, "click", "purchase")),
     "lm_score_tiers" -> ((s, d) => Curation.lmScoreTiers(s, d)),
+    "q10_shape" -> ((s, d) => Relational.q10Shape(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -2207,6 +2208,18 @@ object SparkEntry {
                 sum(n_tokens)::BIGINT AS n_tokens
          FROM sc, bs
          GROUP BY tier""",
+    "q10_shape" ->
+      """SELECT c_custkey, c_name, n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 4)
+                  AS lost_revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY lost_revenue DESC, c_custkey
+         LIMIT 20""",
     "q14_shape" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
                 round(sum(CASE WHEN p_type = 'PROMO'

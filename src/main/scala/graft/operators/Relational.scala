@@ -961,6 +961,32 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q10 shape (returned-item losses): revenue tied up in
+    * returned lineitems per customer, top `k` with name and nation —
+    * the churn-risk report. Orders⋈lineitem is the one big-big
+    * shuffle; customer+nation broadcast; the final cut is distributed
+    * top-k (TakeOrderedAndProject), revenue rounded before ranking so
+    * the selected set is engine-stable.
+    */
+  def q10Shape(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c.join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
   /** TPC-H Q14 shape (promotion effect): per ship month, the share of
     * discounted revenue coming from PROMO-type parts — the
     * conditional-aggregate-ratio idiom (CASE inside SUM over one
