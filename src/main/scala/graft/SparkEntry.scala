@@ -237,6 +237,8 @@ object SparkEntry {
       ((s, d) => Events.rangeJoinNative(s, d, "click", "purchase")),
     "lm_score_tiers" -> ((s, d) => Curation.lmScoreTiers(s, d)),
     "q10_shape" -> ((s, d) => Relational.q10Shape(s, d)),
+    "type_daily_corr" -> ((s, d) => Events.typeDailyCorr(s, d)),
+    "token_gini" -> ((s, d) => Curation.tokenGini(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -2208,6 +2210,27 @@ object SparkEntry {
                 sum(n_tokens)::BIGINT AS n_tokens
          FROM sc, bs
          GROUP BY tier""",
+    "type_daily_corr" ->
+      """WITH a AS (SELECT ts::DATE AS day, count(*) AS a FROM events
+                    WHERE event_type = 'click' GROUP BY 1),
+         b AS (SELECT ts::DATE AS day, count(*) AS b FROM events
+               WHERE event_type = 'purchase' GROUP BY 1),
+         j AS (SELECT coalesce(a.a, 0) AS a, coalesce(b.b, 0) AS b
+               FROM a FULL OUTER JOIN b USING (day))
+         SELECT round(corr(a, b), 6) AS daily_corr,
+                count(*) AS n_days
+         FROM j""",
+    "token_gini" -> s"""$TokCte,
+         c AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM toks),
+         r AS (SELECT n_tokens,
+                 row_number() OVER (ORDER BY n_tokens, doc_id) AS i
+               FROM c)
+         SELECT count(*) AS n_docs,
+                sum(n_tokens)::BIGINT AS total_tokens,
+                round(2.0 * sum(i * n_tokens) /
+                  (count(*) * sum(n_tokens)) -
+                  (count(*) + 1.0) / count(*), 6) AS gini
+         FROM r""",
     "q10_shape" ->
       """SELECT c_custkey, c_name, n_name,
                 round(sum(l_extendedprice * (1 - l_discount)), 4)

@@ -247,6 +247,28 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Gini coefficient of token mass across documents — how unequally
+    * the corpus' tokens concentrate in few documents (0 = perfectly
+    * even, →1 = a handful of giants dominate), the balance metric a
+    * mix owner checks before sharding. Standard rank formula
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending token counts; the
+    * rank window runs over one row per document (if that's ever too
+    * big, bucket counts first — the formula degrades gracefully).
+    */
+  def tokenGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokenize(col("text")))
+        .cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens"), col("doc_id"))
+    counts.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(lit(2.0) * sum(col("i") * col("n_tokens")) /
+          (count(lit(1)) * sum(col("n_tokens"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
   /** LM-score tiering: the corpus bucketed into deciles of unigram
     * log-probability, with per-tier document counts, mean score and
     * token mass — the table a curation run reads to pick its "drop

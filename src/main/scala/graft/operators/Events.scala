@@ -362,6 +362,29 @@ object Events {
       .limit(k)
   }
 
+  /** Cross-series correlation: Pearson correlation between two event
+    * types' DAILY counts — "do clicks and purchases move together?".
+    * Two tiny keyed aggregates full-outer-joined on day (absent days
+    * count zero — dropping them would bias the correlation upward),
+    * then one corr aggregate over ~days rows.
+    */
+  def typeDailyCorr(s: SparkSession, dir: String,
+                    typeA: String = "click",
+                    typeB: String = "purchase"): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    def daily(t: String, out: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy("day").agg(count(lit(1)).as(out))
+    daily(typeA, "a").join(daily(typeB, "b")
+        .withColumnRenamed("day", "day_b"),
+        col("day") === col("day_b"), "full_outer")
+      .select(coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .agg(round(corr(col("a"), col("b")), 6).as("daily_corr"),
+        count(lit(1)).as("n_days"))
+  }
+
   /** DAU/WAU stickiness per day: the share of the trailing week's
     * active users who were also active TODAY — the engagement ratio
     * product teams track. Reuses the rolling-window shape: one
