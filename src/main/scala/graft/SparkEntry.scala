@@ -239,6 +239,8 @@ object SparkEntry {
     "q10_shape" -> ((s, d) => Relational.q10Shape(s, d)),
     "type_daily_corr" -> ((s, d) => Events.typeDailyCorr(s, d)),
     "token_gini" -> ((s, d) => Curation.tokenGini(s, d)),
+    "new_vs_returning" -> ((s, d) => Events.newVsReturning(s, d)),
+    "media_duration_stats" -> ((s, d) => Multimodal.durationStats(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -2210,6 +2212,30 @@ object SparkEntry {
                 sum(n_tokens)::BIGINT AS n_tokens
          FROM sc, bs
          GROUP BY tier""",
+    "new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+         f AS (SELECT user_id, min(day) AS first_day
+               FROM ud GROUP BY user_id)
+         SELECT day,
+                sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT
+                  AS n_new,
+                sum(CASE WHEN day = first_day THEN 0 ELSE 1 END)::BIGINT
+                  AS n_returning
+         FROM ud JOIN f USING (user_id)
+         GROUP BY day""",
+    // fake-decode frame counts at fixed rates (24 fps / 16 kHz)
+    "media_duration_stats" -> s"""$MediaHashCte,
+         d AS (
+           SELECT kind,
+             CASE kind WHEN 'audio'
+               THEN (1000 + ((hv // 65536) % 2879000)) / 16000.0
+               ELSE (24 + ((hv // 65536) % 7176)) / 24.0 END AS dur_sec
+           FROM mh WHERE kind <> 'image')
+         SELECT kind, count(*) AS n_media,
+                round(quantile_cont(dur_sec, 0.5), 4) AS p50_sec,
+                round(quantile_cont(dur_sec, 0.9), 4) AS p90_sec,
+                round(sum(dur_sec), 4) AS total_sec
+         FROM d GROUP BY kind""",
     "type_daily_corr" ->
       """WITH a AS (SELECT ts::DATE AS day, count(*) AS a FROM events
                     WHERE event_type = 'click' GROUP BY 1),

@@ -385,6 +385,28 @@ object Events {
         count(lit(1)).as("n_days"))
   }
 
+  /** New vs returning actives per day: a user counts as NEW on their
+    * first-ever day and returning afterwards — the acquisition/
+    * retention split on every product dashboard. First-seen day is one
+    * keyed min-aggregate; the daily split joins it back on user and
+    * compares days. All frames are user-day sized, never the raw log.
+    */
+  def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist()
+    userDays.count() // eager: first-seen + the split both read it
+    val first = userDays.groupBy("user_id")
+      .agg(min(col("day")).as("first_day"))
+    userDays.join(first, "user_id")
+      .groupBy("day")
+      .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+        .as("n_new"),
+        sum(when(col("day") === col("first_day"), 0L).otherwise(1L))
+          .as("n_returning"))
+  }
+
   /** DAU/WAU stickiness per day: the share of the trailing week's
     * active users who were also active TODAY — the engagement ratio
     * product teams track. Reuses the rolling-window shape: one

@@ -88,6 +88,26 @@ object Multimodal {
         round(avg(col("px")), 2).as("avg_px"))
   }
 
+  /** Per-kind duration statistics over the decoded metadata: videos at
+    * 24 fps, audio at 16 kHz sample frames — the media-length profile
+    * a shard planner and a training-cost estimate both consume.
+    * Runs entirely on the decode output (images have no duration and
+    * are excluded); one aggregate per kind.
+    */
+  def durationStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = when(col("kind") === "video", 24.0).otherwise(16000.0)
+    decode(s, dir).toDF()
+      .filter(col("kind") =!= "image")
+      .select(col("kind"),
+        (col("n_frames") / rate).as("dur_sec"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        round(percentile(col("dur_sec"), lit(0.5)), 4).as("p50_sec"),
+        round(percentile(col("dur_sec"), lit(0.9)), 4).as("p90_sec"),
+        round(sum(col("dur_sec")), 4).as("total_sec"))
+  }
+
   /** STUB decoder — deterministic fake. A real implementation would
     * call an image/audio codec per record batch here (mapPartitions is
     * exactly where that batch boundary lives); the fake derives
