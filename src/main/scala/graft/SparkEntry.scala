@@ -241,6 +241,8 @@ object SparkEntry {
     "token_gini" -> ((s, d) => Curation.tokenGini(s, d)),
     "new_vs_returning" -> ((s, d) => Events.newVsReturning(s, d)),
     "media_duration_stats" -> ((s, d) => Multimodal.durationStats(s, d)),
+    "order_size_hist" -> ((s, d) => Relational.orderSizeHist(s, d)),
+    "char_class_profile" -> ((s, d) => TextStats.charClassProfile(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -2212,6 +2214,28 @@ object SparkEntry {
                 sum(n_tokens)::BIGINT AS n_tokens
          FROM sc, bs
          GROUP BY tier""",
+    "order_size_hist" ->
+      """SELECT n_lines, count(*) AS n_orders FROM (
+           SELECT l_orderkey, count(*) AS n_lines
+           FROM lineitem GROUP BY l_orderkey)
+         GROUP BY n_lines""",
+    // keep-classes inverted: strip everything NOT in the class, the
+    // remaining length IS the count; POSIX classes match ASCII in both
+    "char_class_profile" ->
+      """WITH f AS (
+           SELECT source,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+               greatest(length(text), 1) AS digit_frac,
+             length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE /
+               greatest(length(text), 1) AS punct_frac,
+             length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE /
+               greatest(length(text), 1) AS upper_frac
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                round(avg(digit_frac), 6) AS digit_frac,
+                round(avg(punct_frac), 6) AS punct_frac,
+                round(avg(upper_frac), 6) AS upper_frac
+         FROM f GROUP BY source""",
     "new_vs_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
          f AS (SELECT user_id, min(day) AS first_day

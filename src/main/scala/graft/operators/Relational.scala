@@ -961,6 +961,19 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** Lineitems-per-order histogram (the order-size profile; Q13's
+    * two-level aggregation family applied to the lineitem fan-out):
+    * first aggregate counts lines per order, second counts orders per
+    * size. Both keyed, both partial-agg'd; the second input is one
+    * row per order.
+    */
+  def orderSizeHist(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"))
+
   /** TPC-H Q10 shape (returned-item losses): revenue tied up in
     * returned lineitems per customer, top `k` with name and nation —
     * the churn-risk report. Orders⋈lineitem is the one big-big

@@ -280,6 +280,31 @@ object TextStats {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Character-class quality signals per source: mean digit, Punct
+    * and uppercase fractions of raw text — the C4-style heuristics
+    * (pages drowning in digits or symbols are rarely prose) summarized
+    * at the source level for intake gating. Pure per-row projections
+    * (regexp counts over the raw string, no tokenize) into one keyed
+    * aggregate.
+    */
+  def charClassProfile(s: SparkSession, dir: String): DataFrame = {
+    def frac(pattern: String) =
+      (length(regexp_replace(col("text"), pattern, "")).cast("double") /
+        greatest(length(col("text")), lit(1)))
+    // regexp_replace REMOVES non-matching chars… invert: keep = strip
+    // everything NOT in the class, so the remaining length IS the count
+    Tables.documents(s, dir)
+      .select(col("source"),
+        frac("[^0-9]").as("digit_frac"),
+        frac("[^\\p{Punct}]").as("punct_frac"),
+        frac("[^A-Z]").as("upper_frac"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("digit_frac")), 6).as("digit_frac"),
+        round(avg(col("punct_frac")), 6).as("punct_frac"),
+        round(avg(col("upper_frac")), 6).as("upper_frac"))
+  }
+
   /** Zipf's-law check: regression of log10(frequency) on log10(rank)
     * over the top `k` corpus terms — slope ≈ −1 on natural text, and
     * drift from that is a cheap synthetic-vs-natural signal for a
