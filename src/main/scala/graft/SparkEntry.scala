@@ -1397,8 +1397,8 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "decimal_agg" ->
       """SELECT l_returnflag,
-                sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price,
-                sum(l_discount::DECIMAL(18,4))::DECIMAL(38,4) AS sum_disc,
+                round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_price,
+                round(sum(l_discount::DECIMAL(18,4))::DOUBLE, 4) AS sum_disc,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
     // random-hyperplane LSH restated: same ±1 plane weights from the
@@ -1852,21 +1852,34 @@ object SparkEntry {
            FROM packed p JOIN counts c
              ON c.bucket = p.bucket AND c.rn = p.rn + 1)
          SELECT doc_id, bucket, bin, fill FROM packed""",
-    // train-slice-only moments (hash split), applied to every row
+    // train-slice-only moments (hash split), applied to every row;
+    // moments accumulate as EXACT integer sums on a 1e-6 grid so the
+    // fit is order-insensitive (mirrors Curation.standardize)
     "standardize_features" ->
       """WITH ex AS (
            SELECT vec_id, (pos - 1)::INT AS pos, x::DOUBLE AS x
            FROM (SELECT vec_id, unnest(embedding) AS x,
                         generate_subscripts(embedding, 1) AS pos
                  FROM embeddings)),
+         xi AS (
+           SELECT vec_id, pos, x,
+                  CAST(round(x * 1000000.0) AS BIGINT) AS xi
+           FROM ex),
          st AS (
-           SELECT pos, round(avg(x), 6) AS mu,
-                  round(stddev_pop(x), 6) AS sigma
-           FROM ex
+           SELECT pos, count(*) AS n, sum(xi)::BIGINT AS sx,
+                  sum(xi * xi)::HUGEINT AS sxx
+           FROM xi
            WHERE ((vec_id % 2147483648) * 8388593) % 100 < 80
-           GROUP BY pos)
-         SELECT vec_id, ex.pos, round((x - mu) / sigma, 4) AS z
-         FROM ex JOIN st ON ex.pos = st.pos""",
+           GROUP BY pos),
+         m AS (
+           SELECT pos,
+                  (sx::DOUBLE / n) / 1000000.0 AS mu,
+                  sqrt((sxx::DOUBLE / n) / 1000000000000.0
+                       - ((sx::DOUBLE / n) / 1000000.0)
+                         * ((sx::DOUBLE / n) / 1000000.0)) AS sigma
+           FROM st)
+         SELECT vec_id, xi.pos, round((x - mu) / sigma, 4) AS z
+         FROM xi JOIN m ON xi.pos = m.pos""",
     "rolling_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
          spine AS (SELECT DISTINCT day AS d FROM ud)

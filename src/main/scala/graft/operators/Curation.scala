@@ -204,9 +204,13 @@ object Curation {
     * the boundary), then applied to every row — the scaler pattern
     * where fitting on the full table would leak eval statistics into
     * training features. Stats are dim-sized (one partial-agg shuffle)
-    * and broadcast back onto a single corpus scan; moments round to
-    * 6 dp before the transform so both engines z-score identical
-    * doubles. Output: (vec_id, pos, z).
+    * and broadcast back onto a single corpus scan. The moments are
+    * fitted on EXACT order-insensitive sums — each value is quantized
+    * to a 1e-6 grid (integer) and the first/second moments accumulate
+    * as integer/decimal sums, so mu and sigma are bit-identical no
+    * matter how partitions merge; the only doubles appear in the final
+    * mu/sigma/z arithmetic, which both engines evaluate over identical
+    * exact inputs. Output: (vec_id, pos, z).
     */
   def standardize(s: SparkSession, dir: String,
                   trainPct: Int = 80): DataFrame = {
@@ -216,13 +220,21 @@ object Curation {
           .as(Seq("pos", "x")))
       .persist()
     ex.count() // eager: the fit and the transform both read it
+    // quantized value: round-half-up to the 1e-6 grid, exact from there on
+    val xi = round(col("x") * lit(1e6), 0).cast("long")
+    val xiDec = xi.cast("decimal(19,0)")
     val stats = ex.filter(pctHash(col("vec_id")) < trainPct)
       .groupBy("pos")
-      .agg(round(avg(col("x")), 6).as("mu"),
-        round(stddev_pop(col("x")), 6).as("sigma"))
-    ex.join(broadcast(stats), "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(xi).as("sx"),                      // exact: fits long at any SF here
+        sum(xiDec * xiDec).as("sxx"))          // exact: decimal, overflow-proof
+    val mu = (col("sx").cast("double") / col("n")) / lit(1e6)
+    val sigma = sqrt((col("sxx").cast("double") / col("n")) / lit(1e12)
+      - mu * mu)
+    val out = ex.join(broadcast(stats), "pos")
       .select(col("vec_id"), col("pos"),
-        round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
+        round((col("x") - mu) / sigma, 4).as("z"))
+    out
   }
 
   /** Leakage-safe train/test split: split membership is decided by the

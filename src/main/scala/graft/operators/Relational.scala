@@ -367,10 +367,12 @@ object Relational {
         col("l_extendedprice").cast("decimal(18,2)").as("p"),
         col("l_discount").cast("decimal(18,4)").as("d"))
       .groupBy("l_returnflag")
-      // stay in decimal end-to-end: double round-tripping is engine-dependent
-      // in the last ulp, exact decimal digits are not
-      .agg(sum(col("p")).cast("decimal(38,2)").as("sum_price"),
-        sum(col("d")).cast("decimal(38,4)").as("sum_disc"),
+      // the SUM is exact fixed-point; only the final surfaced value is a
+      // double (parquet decimals deserialize as arbitrary-precision
+      // objects while DuckDB returns float64 — same digits, different
+      // dtype — so a decimal-typed output hash-mismatches on dtype alone)
+      .agg(round(sum(col("p")).cast("double"), 2).as("sum_price"),
+        round(sum(col("d")).cast("double"), 4).as("sum_disc"),
         count(lit(1)).as("cnt"))
 
   /** Statistical aggregates (variance/stddev/correlation/covariance) —
