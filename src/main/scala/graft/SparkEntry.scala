@@ -528,7 +528,8 @@ object SparkEntry {
          SELECT a.k AS k1, b.k AS k2,
                 round(jaro_winkler_similarity(a.n, b.n), 6) AS sim
          FROM p a JOIN p b
-           ON substr(a.n, 1, 1) = substr(b.n, 1, 1) AND a.k < b.k
+           ON substr(a.n, 1, 2) = substr(b.n, 1, 2)
+           AND length(a.n) // 4 = length(b.n) // 4 AND a.k < b.k
          WHERE jaro_winkler_similarity(a.n, b.n) > 0.8999""",
     // order-dependent recurrence replayed as a per-user lockstep
     // recursive CTE; 1-alpha spelled (1 - 0.2) so both engines fold the
@@ -1574,11 +1575,23 @@ object SparkEntry {
                 GROUP BY 1, 2),
          thr AS (SELECT quantile_cont(c, 0.9) AS t FROM co),
          e AS (SELECT s1 AS u, s2 AS v FROM co, thr WHERE c >= t),
-         w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-               FROM e e1 JOIN e e2 ON e1.v = e2.u),
-         cl AS (SELECT w.a, w.c, e3.u AS hit
-                FROM w LEFT JOIN e e3 ON e3.u = w.a AND e3.v = w.c)
-         SELECT (SELECT count(*) FROM e) AS n_edges,
+         deg AS (SELECT x, count(*) AS d FROM
+                   (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+                 GROUP BY x),
+         orient AS (
+           SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                       THEN e.u ELSE e.v END AS s,
+                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                       THEN e.v ELSE e.u END AS t,
+                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                       THEN dv.d ELSE du.d END AS dt
+           FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+         w AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+               FROM orient o1 JOIN orient o2 ON o1.s = o2.s
+               WHERE o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t)),
+         cl AS (SELECT w.b, w.c, o3.s AS hit
+                FROM w LEFT JOIN orient o3 ON o3.s = w.b AND o3.t = w.c)
+         SELECT (SELECT count(*) FROM orient) AS n_edges,
                 count(*) AS n_wedges, count(hit) AS n_triangles
          FROM cl""",
     "retention_cohorts" ->

@@ -130,32 +130,54 @@ object Curation {
     * the same answer.)
     */
   def contamination(s: SparkSession, dir: String,
-                    n: Int = 4, evalMod: Long = 50): DataFrame = {
+                    n: Int = 4, evalMod: Long = 50,
+                    driverCutoff: Int = 2000000): DataFrame = {
     import s.implicits._
-    // eval slice: ~1/evalMod of the corpus, flattened in the driver.
-    // Raw load, not Tables.documents: the spread-repartition there
-    // shuffles every document's full text before the eval filter can
-    // drop 98% of them (measured 3.3s of a 5s query at sf0.1).
-    val evalShingles = Tables.load(s, dir, "documents")
+    // eval slice: ~1/evalMod of the corpus. Raw load, not
+    // Tables.documents: the spread-repartition there shuffles every
+    // document's full text before the eval filter can drop 98% of them
+    // (measured 3.3s of a 5s query at sf0.1).
+    val evalSh = Tables.load(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(evalMod)) === 0)
       .select(col("doc_id"), tokenize(col("text")).as("ts"))
-      .select(array_distinct(Dedup.shingles(col("ts"), n)).as("shs"))
-      .as[Seq[String]].collect().flatten.distinct.sorted.toSeq
-    // per-doc shingles probe the eval set in one codegen'd pass via the
-    // SetProbeCount expression (hash table built once per executor —
-    // see its scaladoc for why the built-in encodings pay per row or
-    // per optimizer pass). Barrier keeps the n_shared filter from being
-    // pushed below the projection with the whole probe re-inlined.
-    Tables.documents(s, dir)
+      .select(explode(
+        array_distinct(Dedup.shingles(col("ts"), n))).as("sh"))
+      .distinct()
+    val corpus = Tables.documents(s, dir)
       .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
       .select(col("doc_id"), tokenize(col("text")).as("ts"))
       .select(col("doc_id"),
         array_distinct(Dedup.shingles(col("ts"), n)).as("shs"))
-      .select(col("doc_id"),
-        graft.expressions.HashExpressions.setProbeCount(
-          col("shs"), evalShingles).as("n_shared"))
-      .filter(graft.expressions.OptimizerBarrier.noPushdown(
-        col("n_shared") > 0))
+    // `limit(cutoff+1).collect` answers "does the eval set fit in the
+    // driver?" and fetches it in the same action: < cutoff+1 rows back
+    // means we hold the COMPLETE distinct set (the limit never bit).
+    val probe = evalSh.limit(driverCutoff + 1).as[String].collect()
+    if (probe.length <= driverCutoff) {
+      // per-doc shingles probe the eval set in one codegen'd pass via
+      // the SetProbeCount expression (hash table built once per
+      // executor — see its scaladoc for why the built-in encodings pay
+      // per row or per optimizer pass). Barrier keeps the n_shared
+      // filter from being pushed below the projection with the whole
+      // probe re-inlined.
+      corpus
+        .select(col("doc_id"),
+          graft.expressions.HashExpressions.setProbeCount(
+            col("shs"), probe.sorted.toSeq).as("n_shared"))
+        .filter(graft.expressions.OptimizerBarrier.noPushdown(
+          col("n_shared") > 0))
+    } else {
+      // eval set too big for one executor's memory: distributed
+      // fallback — explode the corpus shingles and semi-count against
+      // the eval shingle table with an ordinary shuffle hash join on
+      // the shingle key. Same answer (n_shared counts DISTINCT shared
+      // shingles either way: both sides are pre-distinct'd), one extra
+      // shuffle — the price of not holding the eval set anywhere whole.
+      corpus
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+        .join(evalSh, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_shared"))
+    }
   }
 
   /** Per-source document quota: keep at most `cap` documents per source,

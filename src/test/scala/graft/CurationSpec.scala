@@ -71,6 +71,20 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall(_.getInt(1) > 0))
   }
 
+  test("contamination: driver-literal path ≡ distributed semi-join path") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // cutoff huge → SetProbeCount literal path; cutoff 0 → the eval set
+    // "doesn't fit", forcing the explode + shuffle-join fallback
+    val literal = asMap(Curation.contamination(spark, sf, n = 3,
+      driverCutoff = Int.MaxValue - 1))
+    val dist = asMap(Curation.contamination(spark, sf, n = 3,
+      driverCutoff = 0))
+    assert(literal.nonEmpty)
+    assert(literal == dist,
+      "both execution paths must flag identical (doc, n_shared) sets")
+  }
+
   test("repetition fraction bounded in [0, 1)") {
     val rows = TextStats.repetitionFrac(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -128,14 +128,36 @@ class GraphSpec extends SparkSpec {
               else cs(lo)
     // .iterator first: collect on a Map producing pairs would rebuild a
     // Map and silently merge edges sharing a first endpoint
-    val edges = co.iterator.collect { case (p, c) if c >= thr => p }.toSet
-    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val und = co.iterator.collect { case (p, c) if c >= thr => p }.toSet
+    // degree-oriented enumeration, mirroring the operator
+    val deg = und.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ord = Ordering.Tuple2[Long, Long]
+    def eta(x: Long) = (deg(x), x)
+    val oriented = und.map { case (u, v) =>
+      if (ord.lt(eta(u), eta(v))) (u, v) else (v, u) }
+    val outAdj = oriented.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val wedges = for {
-      (a, bs) <- adj.toSeq; b <- bs; c <- adj.getOrElse(b, Set.empty)
+      (a, ts) <- outAdj.toSeq
+      b <- ts; c <- ts if ord.lt(eta(b), eta(c))
     } yield (a, b, c)
-    val tris = wedges.count { case (a, _, c) => edges((a, c)) }
-    assert(got.getLong(0) == edges.size.toLong)
+    val tris = wedges.count { case (_, b, c) => oriented((b, c)) }
+    assert(got.getLong(0) == und.size.toLong)
     assert(got.getLong(1) == wedges.size.toLong)
     assert(got.getLong(2) == tris.toLong)
+  }
+
+  test("triangleCensusEdges: degree orientation collapses hub fan-out") {
+    // star: hub 0 — leaves 1..50, plus one leaf-leaf edge (1,2) closing
+    // a single triangle. Degree orientation points every spoke INTO the
+    // hub, so the hub owns no wedges at all: 1 wedge total, where the
+    // old id-orientation (hub = smallest id = out-degree 50) enumerated
+    // C(50,2) = 1225 — the fan-out bound that keeps a power-law hub's
+    // self-join survivable at 100 TB.
+    val e = ((1L to 50L).map(i => (0L, i)) :+ (1L, 2L)).toDF("u", "v")
+    val got = Graph.triangleCensusEdges(e).collect()(0)
+    assert(got.getLong(0) == 51L, "n_edges")
+    assert(got.getLong(1) == 1L, s"oriented wedge volume, got ${got.getLong(1)}")
+    assert(got.getLong(2) == 1L, "n_triangles")
   }
 }
