@@ -122,11 +122,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => {
         require(args.length == 2, "jaccard_sim expects 2 arguments")
         import org.apache.spark.sql.catalyst.expressions.{
-          ArrayIntersect, ArrayUnion, Cast, Divide, Size}
+          ArrayIntersect, ArrayUnion, Cast, Divide, EqualTo, If, Literal,
+          Size}
         import org.apache.spark.sql.types.DoubleType
-        Divide(
-          Cast(Size(ArrayIntersect(args.head, args(1))), DoubleType),
-          Cast(Size(ArrayUnion(args.head, args(1))), DoubleType))
+        val union = Size(ArrayUnion(args.head, args(1)))
+        // two empty arrays → 0/0, which ANSI mode turns into a runtime
+        // DIVIDE_BY_ZERO; define J(∅, ∅) = null instead
+        If(EqualTo(union, Literal(0)),
+          Literal(null, DoubleType),
+          Divide(
+            Cast(Size(ArrayIntersect(args.head, args(1))), DoubleType),
+            Cast(union, DoubleType)))
       }))
   }
 }

@@ -61,6 +61,26 @@ class AdjacencyDataSource extends TableProvider with DataSourceRegister {
       "permissive".equalsIgnoreCase(properties.get("mode")))
 }
 
+/** Java-serializable Hadoop `Configuration` carrier (the pattern the
+  * built-in file sources use via Spark's private
+  * `SerializableConfiguration`): the session's hadoopConf — s3a keys,
+  * fs.defaultFS, kerberos — is captured ONCE on the driver and shipped
+  * to readers/writers, instead of each task building a bare
+  * `new Configuration()` that silently drops those settings.
+  */
+private[sources] class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object AdjacencySource {
   // nullable like any file source's schema: the writer-side output
   // resolver rejects nullable data into non-null columns, and the
@@ -69,11 +89,19 @@ object AdjacencySource {
     StructField("src", LongType, nullable = true),
     StructField("dst", LongType, nullable = true)))
 
+  /** The active session's Hadoop conf when one exists (driver-side
+    * planning), else a default conf (tests constructing pieces
+    * directly). */
+  private[sources] def driverConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** All regular files under `path` (a file, or one directory level —
     * the layout text ingests use). */
-  def listFiles(path: String): Seq[String] = {
+  def listFiles(path: String, conf: Configuration): Seq[String] = {
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf)
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq(path)
     else fs.listStatus(p).toSeq.filter(_.isFile)
@@ -83,6 +111,8 @@ object AdjacencySource {
       }
       .map(_.getPath.toString).sorted
   }
+
+  def listFiles(path: String): Seq[String] = listFiles(path, driverConf())
 }
 
 private[sources] class AdjacencyTable(path: String, permissive: Boolean)
@@ -145,24 +175,26 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
       .map(f => AdjacencyFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new AdjacencyReaderFactory(
-      required.fieldNames.toSeq, pushed.toSeq, permissive)
+      required.fieldNames.toSeq, pushed.toSeq, permissive,
+      new SerializableHadoopConf(AdjacencySource.driverConf()))
 }
 
 private[sources] case class AdjacencyFilePartition(file: String)
     extends InputPartition
 
 private[sources] class AdjacencyReaderFactory(
-    columns: Seq[String], pushed: Seq[Filter], permissive: Boolean)
+    columns: Seq[String], pushed: Seq[Filter], permissive: Boolean,
+    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new AdjacencyReader(
       p.asInstanceOf[AdjacencyFilePartition].file, columns, pushed,
-      permissive)
+      permissive, conf)
 }
 
 private[sources] class AdjacencyReader(
     file: String, columns: Seq[String], pushed: Seq[Filter],
-    permissive: Boolean)
+    permissive: Boolean, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val srcOk: Long => Boolean = {
@@ -177,13 +209,14 @@ private[sources] class AdjacencyReader(
   }
   private val in = {
     val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf.value)
     new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p),
         java.nio.charset.StandardCharsets.UTF_8))
   }
   private var dsts: Array[String] = Array.empty
   private var src = 0L
+  private var curLine = "" // line text, for emit-time error context
   private var i = 1 // cursor into dsts (0 is the node id)
   private val row = new GenericInternalRow(columns.length)
 
@@ -210,14 +243,16 @@ private[sources] class AdjacencyReader(
         val ok = !permissive || parts.forall(_.matches("[+-]?\\d+"))
         if (ok) {
           val s = parseLong(parts(0), t)
-          if (srcOk(s) && parts.length > 1) { src = s; dsts = parts; i = 1 }
+          if (srcOk(s) && parts.length > 1) {
+            src = s; dsts = parts; curLine = t; i = 1
+          }
         }
       }
     }
     var c = 0
     while (c < columns.length) {
       row.setLong(c,
-        if (columns(c) == "src") src else parseLong(dsts(i), file))
+        if (columns(c) == "src") src else parseLong(dsts(i), curLine))
       c += 1
     }
     i += 1
@@ -237,6 +272,17 @@ private[sources] class AdjacencyReader(
   * Overwrite (`truncate`) deletes prior part- files up front on the
   * driver — documented as non-atomic, like any file-listing sink
   * without a commit protocol.
+  *
+  * Task-commit protocol: each ATTEMPT writes an attempt-unique hidden
+  * temp file (`.part-<partition>-<queryId>-<taskId>.adj.tmp` — taskId
+  * differs between a retried attempt and its zombie), the commit
+  * message carries the temp path, and the final rename to
+  * `part-<partition>-<queryId>.adj` happens once, on the driver, in
+  * `BatchWrite.commit` — so a speculative/retried attempt never
+  * clobbers another attempt's output, and a task-level `abort()`
+  * deletes only its OWN temp, never data a sibling committed. The
+  * hidden `.`-prefix keeps half-written temps invisible to the
+  * reader's file listing.
   */
 private[sources] class AdjacencyWriteBuilder(path: String,
                                              info: LogicalWriteInfo)
@@ -260,34 +306,68 @@ private[sources] class AdjacencyWriteBuilder(path: String,
 private[sources] class AdjacencyBatchWrite(path: String, doTruncate: Boolean,
                                            queryId: String)
     extends BatchWrite {
+  private val conf = new SerializableHadoopConf(AdjacencySource.driverConf())
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf.value)
     if (doTruncate && fs.exists(p))
       fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
         .foreach(st => fs.delete(st.getPath, false))
     fs.mkdirs(p)
-    new AdjacencyWriterFactory(path, queryId)
+    new AdjacencyWriterFactory(path, queryId, conf)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  /** Driver-side finalize: rename each committed attempt's temp file to
+    * its final name. Exactly one attempt per partition reaches here
+    * (Spark de-duplicates commit messages), so the rename is race-free.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case AdjacencyCommit(temp, dest) =>
+        val t = new Path(temp)
+        val d = new Path(dest)
+        val fs = FileSystem.get(t.toUri, conf.value)
+        if (fs.exists(d)) fs.delete(d, false)
+        if (!fs.rename(t, d))
+          throw new java.io.IOException(
+            s"graft-adjacency: failed to finalize $temp -> $dest")
+      case _ =>
+    }
+  }
+
+  /** Job-level abort: drop every temp the committed messages mention;
+    * attempts that never committed cleaned their own temp in the
+    * task-level `abort()`. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case AdjacencyCommit(temp, _) =>
+        val t = new Path(temp)
+        FileSystem.get(t.toUri, conf.value).delete(t, false)
+      case _ =>
+    }
+  }
 }
 
-private[sources] class AdjacencyWriterFactory(path: String, queryId: String)
+private[sources] class AdjacencyWriterFactory(path: String, queryId: String,
+                                              conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new AdjacencyWriter(s"$path/part-$partitionId-$queryId.adj")
+    new AdjacencyWriter(
+      s"$path/.part-$partitionId-$queryId-$taskId.adj.tmp",
+      s"$path/part-$partitionId-$queryId.adj", conf)
 }
 
-private[sources] case class AdjacencyCommit(file: String)
+private[sources] case class AdjacencyCommit(temp: String, dest: String)
     extends WriterCommitMessage
 
-private[sources] class AdjacencyWriter(file: String)
+private[sources] class AdjacencyWriter(temp: String, dest: String,
+                                       conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
-  private val p = new Path(file)
-  private val fs = FileSystem.get(p.toUri, new Configuration())
+  private val p = new Path(temp)
+  private val fs = FileSystem.get(p.toUri, conf.value)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(p, true),
       java.nio.charset.StandardCharsets.UTF_8))
@@ -308,8 +388,9 @@ private[sources] class AdjacencyWriter(file: String)
   override def commit(): WriterCommitMessage = {
     if (open) out.write('\n')
     out.close()
-    AdjacencyCommit(file)
+    AdjacencyCommit(temp, dest)
   }
+  // deletes only this attempt's OWN temp — never a sibling's output
   override def abort(): Unit = { out.close(); fs.delete(p, false) }
   override def close(): Unit = ()
 }

@@ -92,5 +92,9 @@ class AdjacencySourceSpec extends SparkSpec {
       Seq((9L, 9L)).toDF("src", "dst"), out)
     val again = spark.read.format("graft-adjacency").load(out).count()
     assert(again == 1L)
+    // the task-commit protocol leaves no attempt temp files behind
+    val leftovers = Files.list(java.nio.file.Path.of(out)).toArray.toSeq
+      .map(_.toString).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"uncleaned attempt temps: $leftovers")
   }
 }

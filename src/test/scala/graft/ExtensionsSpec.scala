@@ -104,6 +104,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaCol == Seq(93L, 86L, 79L))
   }
 
+  test("jaccard_sim of two empty arrays is null, not DIVIDE_BY_ZERO") {
+    val r = spark.sql(
+      """SELECT jaccard_sim(array(), array()) AS j0,
+                jaccard_sim(array(), array('a')) AS j1""").collect()(0)
+    assert(r.isNullAt(0), "J(∅, ∅) must be null under ANSI mode")
+    assert(r.getDouble(1) == 0.0)
+  }
+
   test("graft_tokenize in SQL matches the Column-API tokenizer") {
     val df = Seq((1L, "The 'Quick', brown FOX!  jumped2 "))
       .toDF("id", "text")
