@@ -71,6 +71,13 @@ object SparkEntry {
     "fingerprints" -> ((s, d) => TextStats.fingerprints(s, d)),
     "sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "hourly_agg" -> ((s, d) => Events.hourlyAgg(s, d)),
+    // streaming tier, oracle-gated via deterministic micro-batch replay
+    "stream_window_replay" -> ((s, d) => streaming.StreamReplay.windowReplay(s, d)),
+    "stream_session_replay" -> ((s, d) => streaming.StreamReplay.sessionReplay(s, d)),
+    "stream_dedup_replay" -> ((s, d) => streaming.StreamReplay.dedupReplay(s, d)),
+    "stream_join_replay" -> ((s, d) => streaming.StreamReplay.joinReplay(s, d)),
+    "stream_running_replay" -> ((s, d) => streaming.StreamReplay.runningReplay(s, d)),
+    "stream_enrich_replay" -> ((s, d) => streaming.StreamReplay.enrichReplay(s, d)),
     "json_prop_agg" -> ((s, d) => Events.jsonPropAgg(s, d)),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
@@ -1453,6 +1460,59 @@ object SparkEntry {
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
                 event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
          FROM events GROUP BY hour_epoch, event_type""",
+    // streaming replays: the batch restatement of each streaming op's
+    // FINAL sink table after the deterministic ordered replay. Nothing
+    // arrives late on an ordered replay, so no watermark drops rows.
+    "stream_window_replay" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY hour_epoch, event_type""",
+    // append-mode sessionize emits only CLOSED sessions: each user's
+    // last session is still open at end-of-replay, hence excluded
+    "stream_session_replay" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+                  epoch_ms(ts) // 1000 AS ep,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq FROM e),
+         g AS (
+           SELECT user_id, session_seq, count(*) AS n_events,
+                  min(ep) AS start_epoch, max(ep) AS end_epoch,
+                  round(sum(value), 4) AS sum_value
+           FROM s GROUP BY user_id, session_seq)
+         SELECT user_id, session_seq, n_events, start_epoch, end_epoch,
+                sum_value
+         FROM g
+         WHERE session_seq < (SELECT max(session_seq) FROM g g2
+                              WHERE g2.user_id = g.user_id)""",
+    "stream_dedup_replay" ->
+      """SELECT DISTINCT user_id, ts::DATE AS day FROM events""",
+    // comparisons at MICROSECOND precision: Spark timestamps are micros
+    // while the parquet fixture carries nanos, so the restatement
+    // floors to micros before comparing (epoch_ns // 1000), exactly
+    // the value Spark joins on
+    "stream_join_replay" ->
+      """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+                epoch_ms(l.ts) // 1000 AS l_ep, epoch_ms(r.ts) // 1000 AS r_ep
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND epoch_ns(l.ts) // 1000 >= epoch_ns(r.ts) // 1000 - 3600000000
+          AND epoch_ns(l.ts) // 1000 <= epoch_ns(r.ts) // 1000
+         WHERE l.event_type = 'click' AND r.event_type = 'purchase'""",
+    "stream_running_replay" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY user_id""",
+    "stream_enrich_replay" ->
+      """SELECT e.event_id, e.user_id, e.event_type, d.type_count
+         FROM events e JOIN (SELECT event_type, count(*) AS type_count
+                             FROM events GROUP BY event_type) d
+           USING (event_type)""",
     "multimodal_meta" ->
       """SELECT doc_id,
                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

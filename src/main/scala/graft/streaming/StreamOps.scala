@@ -15,8 +15,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** One event on the wire (epoch seconds). */
-  case class Event(user_id: Long, ep: Long, value: Double)
+  /** One event on the wire (epoch seconds; event_id breaks same-second
+    * ties so the session fold's order never depends on shuffle order).
+    */
+  case class Event(user_id: Long, event_id: Long, ep: Long, value: Double)
 
   /** A closed session emitted downstream. */
   case class Session(user_id: Long, session_seq: Long, n_events: Long,
@@ -60,7 +62,7 @@ object StreamOps {
         state.remove()
       } else {
         var cur = state.getOption
-        it.toSeq.sortBy(_.ep).foreach { e =>
+        it.toSeq.sortBy(e => (e.ep, e.event_id)).foreach { e =>
           cur match {
             case Some(s) if e.ep - s.last <= gapSeconds =>
               cur = Some(s.copy(last = e.ep, nEv = s.nEv + 1,
@@ -96,11 +98,11 @@ object StreamOps {
     * the delay, which is what keeps state bounded on an unbounded
     * stream.
     */
-  def dedupStream(events: DataFrame, keyCol: String,
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark(keyCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-stream inner join within a time window (the attribution
     * shape: each right-side event joins left-side events of the same

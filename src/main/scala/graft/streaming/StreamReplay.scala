@@ -1,0 +1,226 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.Tables
+
+/** Deterministic micro-batch REPLAY of the streaming tier over the
+  * static `events` fixture — the oracle gate for the Structured
+  * Streaming operators. Each replay sorts the events by (ts, event_id),
+  * feeds them through a `MemoryStream` in a fixed number of contiguous
+  * micro-batches (`processAllAvailable` after each, so watermark
+  * advancement per batch is reproducible), and returns the FINAL sink
+  * table as a plain DataFrame for the driver's DuckDB hash-compare.
+  * Watermark semantics are deterministic on a static ordered replay:
+  * nothing ever arrives late, so no row is dropped, and state
+  * eviction points depend only on the fixed batch boundaries.
+  *
+  * These replays are correctness harnesses for the streaming
+  * OPERATORS, not a bulk-processing path: the driver-side sort/collect
+  * feeding the MemoryStream is the test fixture's source, standing in
+  * for Kafka/files; the operators under test are the same objects a
+  * production `readStream` would compose.
+  */
+object StreamReplay {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** One fixture event, typed for the MemoryStream. */
+  case class REvent(ts: Timestamp, event_id: Long, user_id: Long,
+                    event_type: String, value: Double)
+
+  /** (user, UTC day) pair for the dedup replay — `LocalDate` so the
+    * DateType encoding is field-based, independent of JVM timezone. */
+  case class DayRow(ts: Timestamp, user_id: Long, day: java.time.LocalDate)
+
+  private def sortedEvents(s: SparkSession, dir: String): Array[REvent] = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("ts", "event_id")
+      .as[REvent].collect()
+  }
+
+  private def feed[A](in: MemoryStream[A], q: StreamingQuery,
+                      evs: Seq[A], nBatches: Int): Unit = {
+    val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+    evs.grouped(per).foreach { b =>
+      in.addData(b)
+      q.processAllAvailable()
+    }
+  }
+
+  /** Stop the query and hand back the sink's final contents, detached
+    * from the (dropped) memory-sink view via an eager localCheckpoint.
+    */
+  private def finish(s: SparkSession, nm: String,
+                     q: StreamingQuery): DataFrame = {
+    val out = s.table(nm).localCheckpoint()
+    q.stop()
+    s.catalog.dropTempView(nm)
+    out
+  }
+
+  /** W11 gate: watermarked hourly windowed agg, append mode. A sentinel
+    * event 3 h past the last real event pushes the watermark past every
+    * real window so append mode emits them all; the sentinel's own
+    * window stays open and never appears.
+    */
+  def windowReplay(s: SparkSession, dir: String,
+                   nBatches: Int = 4): DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val in = MemoryStream[REvent]
+    val nm = s"stream_win_${ctr.incrementAndGet()}"
+    val q = StreamOps.windowedAgg(in.toDF(), "1 hour", "10 minutes")
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("cnt"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    in.addData(REvent(
+      new Timestamp(evs.last.ts.getTime + 3L * 3600 * 1000),
+      -1L, -1L, "__flush__", 0.0))
+    q.processAllAvailable()
+    finish(s, nm, q).filter(col("event_type") =!= "__flush__")
+  }
+
+  /** W17 gate: stateful gap sessionization. Sessions are emitted when
+    * CLOSED by a later event; each user's final session is still open
+    * at end-of-replay, so the batch restatement excludes each user's
+    * last session.
+    */
+  def sessionReplay(s: SparkSession, dir: String,
+                    nBatches: Int = 4): DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir).map(e =>
+      StreamOps.Event(e.user_id, e.event_id, e.ts.getTime / 1000, e.value))
+    val in = MemoryStream[StreamOps.Event]
+    val nm = s"stream_sess_${ctr.incrementAndGet()}"
+    val q = StreamOps.sessionize(in.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    finish(s, nm, q)
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_epoch"), col("end_epoch"),
+        round(col("sum_value"), 4).as("sum_value"))
+  }
+
+  /** W31 gate: streaming exact dedup on (user, day) — the row is
+    * projected down to exactly the dedup key before the operator, so
+    * the surviving row is identical whichever duplicate wins, and the
+    * final sink equals `SELECT DISTINCT user_id, day`. The long
+    * watermark delay keeps every key's state live across the whole
+    * replay (eviction-free: the semantics under test are the state
+    * plumbing, not the eviction cutoff).
+    */
+  def dedupReplay(s: SparkSession, dir: String,
+                  nBatches: Int = 4): DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir).map { e =>
+      DayRow(e.ts, e.user_id,
+        e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    }
+    val in = MemoryStream[DayRow]
+    val nm = s"stream_dedup_${ctr.incrementAndGet()}"
+    val q = StreamOps.dedupStream(in.toDF(), Seq("user_id", "day"),
+        watermarkDelay = "3650 days")
+      .select(col("user_id"), col("day"))
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    finish(s, nm, q)
+  }
+
+  /** W95 gate: stream-stream interval join (clicks within the hour
+    * before each purchase, per user). Both sides replay in lockstep
+    * from the same global order; the long watermark keeps both join
+    * buffers eviction-free, so the final sink equals the batch
+    * interval join exactly.
+    */
+  def joinReplay(s: SparkSession, dir: String,
+                 nBatches: Int = 4): DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val lin = MemoryStream[REvent]
+    val rin = MemoryStream[REvent]
+    val nm = s"stream_join_${ctr.incrementAndGet()}"
+    val joined = StreamOps.streamStreamJoin(
+      lin.toDF().filter(col("event_type") === "click"),
+      rin.toDF().filter(col("event_type") === "purchase"),
+      windowSecs = 3600, watermarkDelay = "3650 days")
+    val q = joined
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        unix_timestamp(col("l_ts")).as("l_ep"),
+        unix_timestamp(col("r_ts")).as("r_ep"))
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+    evs.grouped(per).foreach { b =>
+      lin.addData(b.toSeq)
+      rin.addData(b.toSeq)
+      q.processAllAvailable()
+    }
+    finish(s, nm, q)
+  }
+
+  /** W31 gate: stream-static broadcast enrichment — every micro-batch
+    * joins against a static dimension (per-type event counts, built
+    * once from the same fixture), broadcast so the stream side never
+    * shuffles. The final sink equals the batch join row-for-row.
+    */
+  def enrichReplay(s: SparkSession, dir: String,
+                   nBatches: Int = 4): DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val dim = Tables.events(s, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("type_count"))
+    val in = MemoryStream[REvent]
+    val nm = s"stream_enrich_${ctr.incrementAndGet()}"
+    val q = StreamOps.enrichStream(in.toDF(), dim, "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("type_count"))
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    finish(s, nm, q)
+  }
+
+  /** W109 gate: running per-user counters (`mapGroupsWithState`, Update
+    * mode). The sink holds every per-batch update; the final state per
+    * user is its row with the highest n_events (strictly monotone), and
+    * must equal the plain batch GROUP BY.
+    */
+  def runningReplay(s: SparkSession, dir: String,
+                    nBatches: Int = 4): DataFrame = {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val evs = sortedEvents(s, dir).map(e =>
+      StreamOps.Event(e.user_id, e.event_id, e.ts.getTime / 1000, e.value))
+    val in = MemoryStream[StreamOps.Event]
+    val nm = s"stream_run_${ctr.incrementAndGet()}"
+    val q = StreamOps.runningCounts(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    finish(s, nm, q)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+  }
+}

@@ -34,10 +34,10 @@ class StreamingSpec extends SparkSpec {
     val q = StreamOps.sessionize(in.toDS(), gapSeconds = 1800)
       .writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
-    in.addData(Event(1L, 1000L, 1.0), Event(1L, 1600L, 2.0))
+    in.addData(Event(1L, 1L, 1000L, 1.0), Event(1L, 2L, 1600L, 2.0))
     q.processAllAvailable()
     // second batch: 2h later -> closes the first session
-    in.addData(Event(1L, 9000L, 4.0))
+    in.addData(Event(1L, 3L, 9000L, 4.0))
     q.processAllAvailable()
     val got = spark.table("sess_out").as[Session].collect()
     q.stop()
@@ -69,7 +69,7 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
     val df = in.toDF().toDF("ts", "doc_key")
-    val q = StreamOps.dedupStream(df, "doc_key", "10 minutes")
+    val q = StreamOps.dedupStream(df, Seq("doc_key"), "10 minutes")
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup_out").start()
     def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
@@ -130,9 +130,9 @@ class StreamingSpec extends SparkSpec {
     val q = StreamOps.runningCounts(in.toDS())
       .writeStream.outputMode("update")
       .format("memory").queryName("run_out").start()
-    in.addData(Event(1L, 10L, 1.0), Event(1L, 20L, 2.0), Event(2L, 10L, 5.0))
+    in.addData(Event(1L, 1L, 10L, 1.0), Event(1L, 2L, 20L, 2.0), Event(2L, 3L, 10L, 5.0))
     q.processAllAvailable()
-    in.addData(Event(1L, 30L, 4.0))
+    in.addData(Event(1L, 4L, 30L, 4.0))
     q.processAllAvailable()
     val got = spark.table("run_out")
       .groupBy("user_id")
