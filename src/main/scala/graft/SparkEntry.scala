@@ -20,6 +20,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_count" -> ((s, d) => Relational.q1FilterCount(s, d, "1996-03")),
+    // second date-prefix arity (year-only), so the oracle guards the
+    // P5 component semantics end-to-end, not just via RelationalSpec
+    "q1_filter_count_year" -> ((s, d) => Relational.q1FilterCount(s, d, "1996")),
+    "q1_filter_count_day" -> ((s, d) => Relational.q1FilterCount(s, d, "1996-03-15")),
     "q2_join_topk" -> ((s, d) => Relational.q2JoinTopk(s, d, "1996-03", 20)),
     "q3_broadcast_join" -> ((s, d) => Relational.q3BroadcastJoin(s, d, "1996-03", 20)),
     "q4_nation_agg" -> ((s, d) => Relational.q4NationAgg(s, d, "1996-03")),
@@ -88,6 +92,7 @@ object SparkEntry {
     "rollup_agg" -> ((s, d) =>
       Relational.rollupAgg(s, d, Seq("NATION_3", "NATION_24"))),
     "term_lookup" -> ((s, d) => Index.termLookup(s, d, "spark")),
+    "term_store_lookup" -> ((s, d) => Index.termStoreLookup(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -897,6 +902,13 @@ object SparkEntry {
     "q1_filter_count" ->
       """SELECT count(*) AS cnt FROM lineitem
          WHERE year(l_shipdate)=1996 AND month(l_shipdate)=3""",
+    "q1_filter_count_year" ->
+      """SELECT count(*) AS cnt FROM lineitem
+         WHERE year(l_shipdate)=1996""",
+    "q1_filter_count_day" ->
+      """SELECT count(*) AS cnt FROM lineitem
+         WHERE year(l_shipdate)=1996 AND month(l_shipdate)=3
+           AND day(l_shipdate)=15""",
     "q2_join_topk" ->
       """SELECT o_orderpriority, l_orderkey FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -1570,6 +1582,10 @@ object SparkEntry {
          SELECT term, doc_id, count(*) AS tf
          FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
          WHERE term = 'spark' GROUP BY term, doc_id""",
+    "term_store_lookup" -> s"""$TokCte
+         SELECT term, doc_id, count(*) AS tf
+         FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+         WHERE term IN ('spark', 'data') GROUP BY term, doc_id""",
     "auc_quality" -> {
       val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
       s"""$TokCte,

@@ -91,6 +91,28 @@ object Index {
   def termLookup(s: SparkSession, dir: String, term: String): DataFrame =
     postings(s, dir).filter(col("term") === term)
 
+  /** S7 queries-surface gate: build the pluggable [[graft.sources.
+    * TermStore]] (parquet backend) from this corpus' postings lists,
+    * then answer point lookups for `terms` through the store's `Get`
+    * path — the reference's build-index-then-interactively-retrieve
+    * flow (`BuildInvertedIndexHBase` → `BooleanRetrievalHBase`) end to
+    * end. Output (term, doc_id, tf) rows, driver-assembled from the
+    * fetched postings exactly like the reference's query client.
+    */
+  def termStoreLookup(s: SparkSession, dir: String,
+                      terms: Seq[String] = Seq("spark", "data")): DataFrame = {
+    import s.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-termstore").toString
+    graft.sources.TermStore.write(postingsLists(s, dir), path)
+    val store = graft.sources.TermStore.parquetBacked(s, path)
+    try {
+      terms.flatMap(t => store.fetchPostings(t).map {
+        case (d, tf) => (t, d, tf)
+      }).toDF("term", "doc_id", "tf")
+    } finally store.close()
+  }
+
   /** Postfix boolean query evaluator (reference `BooleanRetrievalCompressed
     * .java:58-113`): whitespace query where a term pushes its doc-id set
     * and AND/OR pop two and push intersection/union. The stack holds

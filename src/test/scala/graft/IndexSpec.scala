@@ -22,6 +22,21 @@ class IndexSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](ids("a b"))
   }
 
+  test("TermStore point lookup equals the distributed termLookup") {
+    val viaStore = Index.termStoreLookup(spark, sf, Seq("spark"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val direct = Index.termLookup(spark, sf, "spark")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(viaStore.nonEmpty && viaStore == direct)
+    // absent term → empty postings, not an error
+    val store = graft.sources.TermStore.parquetBacked(spark,
+      { val p = java.nio.file.Files.createTempDirectory("ts").toString
+        graft.sources.TermStore.write(Index.postingsLists(spark, sf), p); p })
+    assert(store.fetchPostings("zzz_no_such_term_zzz").isEmpty)
+    assert(store.fetchDocumentSet("zzz_no_such_term_zzz").isEmpty)
+    store.close()
+  }
+
   test("df equals number of docs in posting list") {
     val pl = Index.postingsLists(spark, sf)
     import org.apache.spark.sql.functions._
