@@ -26,7 +26,8 @@ object Bench {
       val tiny = spark.range(40).select(
         (col("id") % 10).as("src"), ((col("id") + 1) % 10).as("dst"))
       graft.operators.Graph.topK(
-        graft.operators.Graph.personalizedPageRank(tiny, Seq(1L, 2L), 2),
+        graft.operators.Graph.personalizedPageRank(tiny, Seq(1L, 2L), 2,
+          danglingFree = true), // the path ppr_top10 takes
         Seq(1L, 2L), 3).count()
       graft.operators.Graph.connectedComponents(tiny).count()
     }

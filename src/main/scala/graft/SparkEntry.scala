@@ -320,7 +320,8 @@ object SparkEntry {
     * `Graph.personalizedPageRank`, so values agree to well below the
     * 9-dp rounding both sides apply.
     */
-  private def pprOracleSql(sources: Seq[Long], iters: Int, k: Int): String = {
+  private def pprOracleSql(sources: Seq[Long], iters: Int, k: Int,
+                           danglingFree: Boolean = false): String = {
     val n = sources.size
     val t0cols = sources.zipWithIndex.map { case (s, i) =>
       s"CASE WHEN id = $s THEN 1.0 ELSE 0.0 END AS r$i" }.mkString(", ")
@@ -329,10 +330,15 @@ object SparkEntry {
         (0 until n).map(i => s"sum(t.r$i / od.od) AS r$i").mkString(", ") +
         s" FROM t${it - 1} t JOIN edges e ON e.src = t.id" +
         s" JOIN outdeg od ON od.src = t.id GROUP BY e.dst)"
+      // dangling-free graphs drop the missing-mass term in lockstep
+      // with Graph.personalizedPageRank's fast path
+      val miss = (i: Int) =>
+        if (danglingFree) ""
+        else s" + 0.85 * (1 - (SELECT sum(r$i) FROM g$it))"
       val t = s"t$it AS MATERIALIZED (SELECT v.id, " +
         sources.zipWithIndex.map { case (s, i) =>
           s"0.85 * coalesce(g.r$i, 0) + CASE WHEN v.id = $s THEN" +
-            s" 0.15 + 0.85 * (1 - (SELECT sum(r$i) FROM g$it)) ELSE 0 END AS r$i"
+            s" 0.15${miss(i)} ELSE 0 END AS r$i"
         }.mkString(", ") +
         s" FROM nodes v LEFT JOIN g$it g USING (id))"
       Seq(g, t)
@@ -888,7 +894,7 @@ object SparkEntry {
                      (CASE WHEN s2 > 0 THEN 1 ELSE -1 END) > 0
                 THEN 'spam' ELSE 'ham' END AS pred
          FROM scored""",
-    "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10),
+    "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10, danglingFree = true),
     "kmeans_embed" -> kmeansOracleSql(4, 3),
     // exact fixpoint of min-label propagation = min reachable id, which
     // a recursive closure computes directly

@@ -1,6 +1,7 @@
 package graft
 
 import scala.collection.mutable
+import org.apache.spark.sql.functions.col
 import graft.operators.Graph
 
 /** In-memory sequential oracle with the reference's semantics
@@ -145,6 +146,27 @@ class GraphSpec extends SparkSpec {
     assert(got.getLong(0) == und.size.toLong)
     assert(got.getLong(1) == wedges.size.toLong)
     assert(got.getLong(2) == tris.toLong)
+  }
+
+  test("PPR dangling-free fast path ≡ generic path on the fixture graph") {
+    val e = Graph.customerSupplierEdges(spark, sf)
+    // precondition the fast path claims: every vertex has out-edges
+    val dangling = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .count()
+    assert(dangling == 0L, "symmetrized graph must have no dangling nodes")
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val generic = ranksOf(Graph.personalizedPageRank(e, Seq(1L, 2L), 4))
+    val fast = ranksOf(Graph.personalizedPageRank(e, Seq(1L, 2L), 4,
+      danglingFree = true, checkpointEvery = 4))
+    assert(fast.keySet == generic.keySet)
+    fast.foreach { case (id, (a0, a1)) =>
+      val (b0, b1) = generic(id)
+      assert(math.abs(a0 - b0) < 1e-12 && math.abs(a1 - b1) < 1e-12,
+        s"rank mismatch at $id")
+    }
   }
 
   test("triangleCensusEdges: degree orientation collapses hub fan-out") {
