@@ -32,8 +32,15 @@ object Bench {
       graft.operators.Graph.connectedComponents(tiny).count()
     }
     spark.catalog.clearCache()
-    // sorted order: deterministic per-query attribution across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // sorted order: deterministic per-query attribution across rounds.
+    // stream_* queries are the streaming tier's micro-batch replay
+    // CORRECTNESS harnesses (MemoryStream + state store, driver-paced):
+    // they gate semantics in Verify but measure harness overhead, not
+    // engine throughput — their batch twins (sessionize, hourly_agg,
+    // q3_broadcast_join, dedup_exact, ...) are what bench here.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("stream_"))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -83,6 +83,41 @@ object Index {
       .select("term", "doc_id", "tfidf")
   }
 
+  /** BM25 ranked retrieval (Okapi, k1 = 1.2, b = 0.75): the standard
+    * probabilistic upgrade of [[tfidfTopk]] — scores saturate in tf and
+    * normalize by document length. Everything joins in-plan: per-doc
+    * lengths ride the postings build, df is an aggregate, and the two
+    * corpus scalars (N, avgdl) broadcast as a 1-row cross join, so the
+    * plan is scan → agg → two keyed joins → rank window
+    * (`WindowGroupLimit` keeps each map task's local top-k before the
+    * per-term shuffle). Constants are written as plain literals (2.2,
+    * 0.25) on BOTH engines so no constant-fold tie-rounding can differ.
+    */
+  def bm25Topk(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+    val lens = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val p = toks
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .persist()
+    p.count() // eager: df and the scoring join both read it
+    val df = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val score = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val w = Window.partitionBy("term")
+      .orderBy(col("score").desc, col("doc_id"))
+    p.join(df, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("term"), col("doc_id"), round(score, 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("term", "doc_id", "score")
+  }
+
   /** Point lookup of one term's postings (the reference's MapFile /
     * HBase `Get` path, `BooleanRetrievalCompressed.java:135-145`). On a
     * sorted/partitioned postings table the term predicate prunes to a

@@ -29,6 +29,20 @@ object StreamReplay {
 
   private val ctr = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Run `body` with shuffle partitions pinned low: every stateful
+    * operator instantiates one state store per shuffle partition per
+    * micro-batch, so a replay over a fixture-sized stream pays 32×
+    * store open/commit overhead per batch for no parallelism gain.
+    * (A production stream sizes this to key cardinality instead.)
+    * Restored afterwards so the shared session is unaffected.
+    */
+  private def withReplayConf[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** One fixture event, typed for the MemoryStream. */
   case class REvent(ts: Timestamp, event_id: Long, user_id: Long,
                     event_type: String, value: Double)
@@ -72,7 +86,7 @@ object StreamReplay {
     * window stays open and never appears.
     */
   def windowReplay(s: SparkSession, dir: String,
-                   nBatches: Int = 4): DataFrame = {
+                   nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val evs = sortedEvents(s, dir)
@@ -98,7 +112,7 @@ object StreamReplay {
     * last session.
     */
   def sessionReplay(s: SparkSession, dir: String,
-                    nBatches: Int = 4): DataFrame = {
+                    nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val evs = sortedEvents(s, dir).map(e =>
@@ -124,7 +138,7 @@ object StreamReplay {
     * plumbing, not the eviction cutoff).
     */
   def dedupReplay(s: SparkSession, dir: String,
-                  nBatches: Int = 4): DataFrame = {
+                  nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val evs = sortedEvents(s, dir).map { e =>
@@ -149,7 +163,7 @@ object StreamReplay {
     * interval join exactly.
     */
   def joinReplay(s: SparkSession, dir: String,
-                 nBatches: Int = 4): DataFrame = {
+                 nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val evs = sortedEvents(s, dir)
@@ -181,7 +195,7 @@ object StreamReplay {
     * shuffles. The final sink equals the batch join row-for-row.
     */
   def enrichReplay(s: SparkSession, dir: String,
-                   nBatches: Int = 4): DataFrame = {
+                   nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val evs = sortedEvents(s, dir)
@@ -204,7 +218,7 @@ object StreamReplay {
     * must equal the plain batch GROUP BY.
     */
   def runningReplay(s: SparkSession, dir: String,
-                    nBatches: Int = 4): DataFrame = {
+                    nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
