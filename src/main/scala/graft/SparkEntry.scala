@@ -93,6 +93,9 @@ object SparkEntry {
       Relational.rollupAgg(s, d, Seq("NATION_3", "NATION_24"))),
     "term_lookup" -> ((s, d) => Index.termLookup(s, d, "spark")),
     "term_store_lookup" -> ((s, d) => Index.termStoreLookup(s, d)),
+    "bm25_topk" -> ((s, d) => Index.bm25Topk(s, d)),
+    "centroid_distances" -> ((s, d) => Similarity.centroidDistances(s, d)),
+    "hapax_profile" -> ((s, d) => TextStats.hapaxProfile(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -1592,6 +1595,61 @@ object SparkEntry {
          SELECT term, doc_id, count(*) AS tf
          FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
          WHERE term IN ('spark', 'data') GROUP BY term, doc_id""",
+    // constants written as literals (2.2, 0.25) on both sides so no
+    // constant-fold tie-rounding can differ; rank on the ROUNDED score
+    "bm25_topk" -> s"""$TokCte,
+         lens AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+         p AS (SELECT term, doc_id, count(*) AS tf
+               FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+               GROUP BY 1, 2),
+         d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         sc AS (SELECT p.term, p.doc_id,
+                  round(ln((n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+                FROM p JOIN d USING (term) JOIN lens USING (doc_id)
+                CROSS JOIN c)
+         SELECT term, doc_id, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY term
+             ORDER BY score DESC, doc_id) AS rnk FROM sc)
+         WHERE rnk <= 10""",
+    // centroids round to 6 dp BEFORE the cosine; fold in ascending pos
+    "centroid_distances" ->
+      """WITH cent AS (
+           SELECT label, (pos - 1)::INT AS pos, round(avg(x), 6) AS c
+           FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                        generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings)
+           GROUP BY 1, 2),
+         v AS (SELECT label, list(c ORDER BY pos) AS v
+               FROM cent GROUP BY label)
+         SELECT a.label AS l1, b.label AS l2,
+           round(
+             list_reduce(list_prepend(0.0, list_transform(
+                 range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+               (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+                   range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])),
+                 (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(
+                   range(1, len(a.v) + 1), i -> b.v[i] * b.v[i])),
+                 (acc, x) -> acc + x))), 6) AS cosine
+         FROM v a JOIN v b ON a.label < b.label""",
+    "hapax_profile" ->
+      """WITH t AS (
+           SELECT source,
+             list_filter(list_transform(string_split_regex(lower(text), '\s+'),
+               x -> regexp_replace(x, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               x -> len(x) > 0) AS ts
+           FROM documents),
+         p AS (SELECT source, term, count(*) AS cnt
+               FROM (SELECT source, unnest(ts) AS term FROM t)
+               GROUP BY 1, 2)
+         SELECT source, count(*)::BIGINT AS vocab,
+                sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+                round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 6) AS hapax_frac
+         FROM p GROUP BY source""",
     "auc_quality" -> {
       val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
       s"""$TokCte,

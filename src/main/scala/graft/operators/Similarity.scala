@@ -213,6 +213,33 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
 
+  /** Pairwise cosine similarity between the per-label centroid vectors
+    * (the class-separation diagnostic run before trusting a labeled
+    * corpus for training: near-identical centroids mean the labels
+    * don't separate in embedding space). Builds on
+    * [[embeddingCentroids]] — centroids round to 6 dp BEFORE the
+    * cosine so both engines fold identical doubles, in fixed ascending
+    * `pos` order. Output is labels² rows (tiny): the heavy work is the
+    * one centroid aggregation, the pair join is a broadcast of a
+    * label-count-sized table.
+    */
+  def centroidDistances(s: SparkSession, dir: String): DataFrame = {
+    val vecs = embeddingCentroids(s, dir)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("pv"))
+      .select(col("label"), transform(col("pv"), p => p("centroid")).as("v"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    val a = vecs.select(col("label").as("l1"), col("v").as("v1"))
+    val b = vecs.select(col("label").as("l2"), col("v").as("v2"))
+    a.join(broadcast(b), col("l1") < col("l2"))
+      .select(col("l1"), col("l2"),
+        round(dot(col("v1"), col("v2")) /
+          (sqrt(dot(col("v1"), col("v1"))) * sqrt(dot(col("v2"), col("v2")))),
+          6).as("cosine"))
+  }
+
   /** All-pairs document similarity over tf-idf vectors via inverted-
     * index self-join (the Elsayed/Lin/Oard pairwise-similarity pattern:
     * two documents can only have nonzero dot product through terms they

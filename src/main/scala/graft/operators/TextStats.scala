@@ -280,6 +280,25 @@ object TextStats {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Hapax-legomena profile per source: vocabulary size, number of
+    * terms occurring exactly once, and their ratio — the corpus-health
+    * diagnostic (a high hapax share flags OCR noise / boilerplate IDs;
+    * a collapsing one flags heavy duplication). One tokenize pass into
+    * a (source, term) count, then a source-level rollup: both
+    * aggregations partial-combine, and the second sees one row per
+    * distinct term, so the full corpus never re-shuffles.
+    */
+  def hapaxProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab"), 6)
+          .as("hapax_frac"))
+
   /** Character-class quality signals per source: mean digit, Punct
     * and uppercase fractions of raw text — the C4-style heuristics
     * (pages drowning in digits or symbols are rarely prose) summarized
