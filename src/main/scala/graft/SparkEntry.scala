@@ -96,6 +96,9 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) => Index.bm25Topk(s, d)),
     "centroid_distances" -> ((s, d) => Similarity.centroidDistances(s, d)),
     "hapax_profile" -> ((s, d) => TextStats.hapaxProfile(s, d)),
+    "nearest_event" -> ((s, d) => Events.nearestEvent(s, d)),
+    "q18_shape" -> ((s, d) => Relational.q18Shape(s, d)),
+    "mode_agg" -> ((s, d) => Relational.modeAgg(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -1650,6 +1653,39 @@ object SparkEntry {
                 round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE
                       / count(*), 6) AS hapax_frac
          FROM p GROUP BY source""",
+    // integer microseconds on both sides (fixture carries nanos; Spark
+    // timestamps are micros)
+    "nearest_event" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_ns(ts) // 1000 AS us FROM events),
+         j AS (SELECT p.event_id AS p_id, c.event_id AS c_id,
+                      abs(c.us - p.us) AS dist_us
+               FROM e p JOIN e c
+                 ON p.user_id = c.user_id
+                AND p.event_type = 'purchase' AND c.event_type = 'click'
+                AND abs(c.us - p.us) <= 3600000000)
+         SELECT p_id, c_id, dist_us FROM (
+           SELECT *, row_number() OVER (PARTITION BY p_id
+             ORDER BY dist_us, c_id) AS rn FROM j)
+         WHERE rn = 1""",
+    "q18_shape" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(l_quantity::DECIMAL(18,2)) >= 150)
+         SELECT o_orderkey, c_custkey, c_name, o_orderpriority,
+                sum_qty::DOUBLE AS sum_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey""",
+    "mode_agg" ->
+      """WITH counts AS (
+           SELECT o_orderpriority, l_returnflag, count(*) AS cnt
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2)
+         SELECT o_orderpriority, l_returnflag AS mode_flag, cnt FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY cnt DESC, l_returnflag) AS rn FROM counts)
+         WHERE rn = 1""",
     "auc_quality" -> {
       val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
       s"""$TokCte,

@@ -801,6 +801,35 @@ object Events {
     * before the z computation so the flag threshold compares identical
     * doubles on both engines (raw stddev merge order differs).
     */
+  /** Nearest-in-time event join: for each purchase, the click of the
+    * same user with the smallest |Δt| within a ±1 h band — the
+    * attribution shape where "closest touchpoint" beats "last
+    * touchpoint" (that one is the as-of join). Equality key (user) +
+    * band predicate bounds the candidate set like every interval join
+    * here; the argmin is one `min_by` over a (distance, id) struct, so
+    * ties break to the lower click id deterministically. All time math
+    * is integer microseconds — exact on both engines. At 100 TB the
+    * refinement is the same as `rangeJoinNative`: bucket both sides by
+    * time so the band predicate prunes before the user-key shuffle.
+    */
+  def nearestEvent(s: SparkSession, dir: String,
+                   bandSec: Long = 3600): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("us").as("c_us"))
+    val d = abs(col("c_us") - col("p_us"))
+    p.join(c, Seq("user_id"))
+      .filter(d <= bandSec * 1000000L)
+      .groupBy(col("p_id"))
+      .agg(min_by(struct(d.as("d"), col("c_id")),
+        struct(d.as("d"), col("c_id"))).as("m"))
+      .select(col("p_id"), col("m.c_id").as("c_id"), col("m.d").as("dist_us"))
+  }
+
   def zscoreAnomalies(s: SparkSession, dir: String,
                       cut: Double = 2.5): DataFrame = {
     val ev = Tables.events(s, dir)

@@ -1134,4 +1134,47 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"),
         round(sum(col("c_acctbal")), 2).as("total_bal"))
   }
+
+  /** Q18 shape (large-volume orders): orders whose total quantity
+    * clears a threshold, enriched with their customer — the
+    * HAVING-then-join-back pattern. The aggregate runs FIRST and the
+    * (tiny) surviving order set drives both joins, so the big table
+    * shuffles once for the group-by and never again; quantity sums are
+    * exact decimal so the HAVING cut can't wobble between engines.
+    */
+  def q18Shape(s: SparkSession, dir: String,
+               minQty: Long = 150L): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .filter(col("sum_qty") >= minQty)
+    big.join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("o_orderpriority"),
+        col("sum_qty").cast("double").as("sum_qty"))
+  }
+
+  /** Deterministic per-group mode: the most frequent l_returnflag per
+    * order priority, ties to the lexicographically smaller value — a
+    * count aggregation plus a 1-row-per-group rank filter (plans as
+    * WindowGroupLimit: each map task keeps its local best before the
+    * per-group shuffle). Built-in `mode()` is tie-nondeterministic in
+    * both engines, so the restatement IS the operator.
+    */
+  def modeAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cnt").desc, col("l_returnflag"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("l_returnflag").as("mode_flag"),
+        col("cnt"))
+  }
 }
