@@ -98,6 +98,12 @@ object SparkEntry {
     "hapax_profile" -> ((s, d) => TextStats.hapaxProfile(s, d)),
     "nearest_event" -> ((s, d) => Events.nearestEvent(s, d)),
     "q18_shape" -> ((s, d) => Relational.q18Shape(s, d)),
+    "q8_shape" -> ((s, d) => Relational.q8Shape(s, d)),
+    "q9_shape" -> ((s, d) => Relational.q9Shape(s, d)),
+    "q12_shape" -> ((s, d) => Relational.q12Shape(s, d)),
+    "q15_shape" -> ((s, d) => Relational.q15Shape(s, d)),
+    "q20_shape" -> ((s, d) => Relational.q20Shape(s, d)),
+    "q21_shape" -> ((s, d) => Relational.q21Shape(s, d)),
     "mode_agg" -> ((s, d) => Relational.modeAgg(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
@@ -1677,6 +1683,96 @@ object SparkEntry {
                 sum_qty::DOUBLE AS sum_qty
          FROM big JOIN orders ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey""",
+    "q8_shape" ->
+      """WITH vol AS (
+           SELECT year(o_orderdate) AS o_year,
+                  l_extendedprice*(1-l_discount) AS v,
+                  sn.n_name AS supp_nation
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region ON cn.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate <  TIMESTAMP '1998-01-01')
+         SELECT o_year,
+                round(sum(CASE WHEN supp_nation = 'NATION_3' THEN v
+                               ELSE 0 END) / sum(v), 6) AS mkt_share
+         FROM vol GROUP BY o_year""",
+    "q9_shape" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+                round((sum((l_extendedprice*(1-l_discount)
+                            - 0.1*p_retailprice*l_quantity)::DECIMAL(18,4))
+                      )::DOUBLE, 2) AS profit
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY n_name, o_year""",
+    "q12_shape" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 90
+                       THEN 'LATE'
+                     WHEN date_diff('day', o_orderdate, l_shipdate) >= 30
+                       THEN 'SLOW'
+                     ELSE 'FAST' END AS delay_bucket,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+         GROUP BY delay_bucket""",
+    "q15_shape" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  round(sum(l_extendedprice*(1-l_discount)), 4) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+    "q20_shape" ->
+      """WITH shipped AS (
+           SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE '%widget%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-01-01'
+           GROUP BY l_suppkey, l_partkey),
+         tot AS (SELECT l_partkey, sum(qty) AS part_qty
+                 FROM shipped GROUP BY l_partkey)
+         SELECT DISTINCT s_suppkey, s_name
+         FROM shipped JOIN tot USING (l_partkey)
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE qty > 0.2 * part_qty""",
+    "q21_shape" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey, l_shipdate
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         per_order AS (
+           SELECT l_orderkey, max(l_shipdate) AS max_ship,
+                  count(DISTINCT l_suppkey) AS nsupp
+           FROM l GROUP BY l_orderkey),
+         winners AS (
+           SELECT l.l_orderkey, min(l_suppkey) AS w_supp,
+                  count(DISTINCT l_suppkey) AS nmax
+           FROM l JOIN per_order USING (l_orderkey)
+           WHERE l.l_shipdate = max_ship AND nsupp >= 2
+           GROUP BY l.l_orderkey)
+         SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM winners JOIN supplier ON w_supp = s_suppkey
+         WHERE nmax = 1
+         GROUP BY s_suppkey, s_name""",
     "mode_agg" ->
       """WITH counts AS (
            SELECT o_orderpriority, l_returnflag, count(*) AS cnt

@@ -1164,6 +1164,195 @@ object Relational {
     * per-group shuffle). Built-in `mode()` is tie-nondeterministic in
     * both engines, so the restatement IS the operator.
     */
+  /** TPC-H Q8 shape (national market share): within one region's
+    * customers and one part type, the fraction of yearly revenue
+    * supplied by a given nation. Adapted to the fixture schema (no
+    * partsupp; p_type stands in for the type filter). The two
+    * dimension chains (customer→nation→region, supplier→nation) are
+    * broadcast; the only big-big shuffle is orders⋈lineitem. The
+    * share is a conditional-sum-over-sum inside one aggregate pass —
+    * no second scan, no self-join.
+    */
+  def q8Shape(s: SparkSession, dir: String,
+              region: String = "ASIA", ptype: String = "PROMO",
+              suppNation: String = "NATION_3"): DataFrame = {
+    val custNation = broadcast(
+      Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === region)
+        .select("c_custkey"))
+    val suppN = broadcast(
+      Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val promoParts = Tables.part(s, dir)
+      .filter(col("p_type") === ptype).select("p_partkey")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === suppNation, col("v")).otherwise(0d)) /
+          sum(col("v")), 6).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit per supplier nation
+    * per order year over a part-name family. No partsupp in the
+    * fixture, so unit cost is modeled as 0.1·p_retailprice — the shape
+    * (filtered 4-way join, two-key rollup) is what's being exercised.
+    * The p_name LIKE filter prunes `part` before the join, and
+    * supplier→nation broadcasts.
+    */
+  def q9Shape(s: SparkSession, dir: String,
+              family: String = "widget"): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_name").contains(family))
+      .select("p_partkey", "p_retailprice")
+    val suppN = broadcast(
+      Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+    Tables.lineitem(s, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir).select(
+          col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      // per-line profit quantized to decimal(18,4) BEFORE the sum: decimal
+      // addition is exact, so the aggregate is merge-order-insensitive and
+      // hashes identically to any engine doing the same quantization.
+      .agg(round(sum(
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.1) * col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(18,4)")).cast("double"), 2).as("profit"))
+  }
+
+  /** TPC-H Q12 shape (shipping-delay priority split): lineitems
+    * bucketed by ship delay (days from order to ship; the fixture has
+    * no shipmode/receiptdate, so the delay band IS the mode), counting
+    * critical- vs normal-priority lines per band. One join, one
+    * aggregate; the shipdate range filter pushes to the parquet scan.
+    */
+  def q12Shape(s: SparkSession, dir: String,
+               year0: String = "1996-01-01",
+               year1: String = "1997-01-01"): DataFrame = {
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(year0).cast("timestamp") &&
+        col("l_shipdate") < lit(year1).cast("timestamp"))
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(delay >= 90, "LATE").when(delay >= 30, "SLOW")
+          .otherwise("FAST").as("delay_bucket"),
+        hi.cast("long").as("hi"), (!hi).cast("long").as("lo"))
+      .groupBy(col("delay_bucket"))
+      .agg(sum(col("hi")).as("high_line_count"),
+        sum(col("lo")).as("low_line_count"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    * keeping the supplier(s) that attain the maximum — the revenue is
+    * rounded BEFORE the max comparison so the tie decision is made on
+    * identical doubles in any engine (oracle-parity rule). The scalar
+    * max is broadcast back, never a sort.
+    */
+  def q15Shape(s: SparkSession, dir: String,
+               q0: String = "1996-01-01", q1: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(q0).cast("timestamp") &&
+        col("l_shipdate") < lit(q1).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("total_rev"))
+      .persist()
+    rev.count() // eager: max + filter both read it
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    val out = rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    out
+  }
+
+  /** TPC-H Q20 shape (excess-share suppliers): suppliers whose shipped
+    * quantity of any part in a name family exceeds a fraction of that
+    * part's total shipped quantity for the year (availqty has no
+    * fixture counterpart, so the threshold is the part's own shipped
+    * total). Aggregate to (supplier, part) FIRST, derive the per-part
+    * total from that same aggregate — the fact table is scanned and
+    * shuffled exactly once, and the distinct is over suppliers only.
+    */
+  def q20Shape(s: SparkSession, dir: String,
+               family: String = "widget", share: Double = 0.2): DataFrame = {
+    val shipped = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.part(s, dir).filter(col("p_name").contains(family))
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val withTot = shipped.withColumn("part_qty",
+      sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+    withTot.filter(col("qty") > lit(share) * col("part_qty"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): in finished
+    * multi-supplier orders, the supplier who alone shipped last (the
+    * unique argmax of l_shipdate; receiptdate/commitdate have no
+    * fixture counterpart). Both the per-order max and the distinct-
+    * supplier count come from ONE aggregate over the joined lines;
+    * the argmax-uniqueness check is a second small aggregate over only
+    * the max-attaining lines.
+    */
+  def q21Shape(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .persist()
+    lines.count() // eager: per-order agg + join-back both read it
+    val perOrder = lines.groupBy(col("l_orderkey").as("k"))
+      .agg(max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_suppkey")).as("nsupp"))
+      .filter(col("nsupp") >= 2)
+    val out = lines
+      .join(perOrder, col("l_orderkey") === col("k") &&
+        col("l_shipdate") === col("max_ship"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_suppkey")).as("w_supp"),
+        countDistinct(col("l_suppkey")).as("nmax"))
+      .filter(col("nmax") === 1)
+      .groupBy(col("w_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("w_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    out
+  }
+
   def modeAgg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.lineitem(s, dir)
