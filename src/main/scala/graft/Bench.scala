@@ -44,8 +44,10 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist() intermediates; drop them so one query's
-      // cache doesn't pressure the next query's measurement
+      // operators track persist()'d intermediates in CacheScope; release
+      // them (library contract), then clearCache as a measurement-tool
+      // backstop so one query's cache never pressures the next query
+      CacheScope.release(spark)
       spark.catalog.clearCache()
       name -> dt
     }

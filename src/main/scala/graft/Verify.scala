@@ -25,7 +25,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache()  // drop operator-persisted caches
+      // the library's cache contract: operators track their persisted
+      // intermediates in CacheScope; the caller releases after the action
+      finally CacheScope.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

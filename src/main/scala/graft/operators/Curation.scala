@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 import graft.functions.TextFns._
 
 /** Dataset-curation tier — the split/sample/pack/decontaminate steps a
@@ -241,7 +241,7 @@ object Curation {
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("pos", "x")))
       .persist()
-    ex.count() // eager: the fit and the transform both read it
+    CacheScope.register(ex) // eager: the fit and the transform both read it
     // quantized value: round-half-up to the 1e-6 grid, exact from there on
     val xi = round(col("x") * lit(1e6), 0).cast("long")
     val xiDec = xi.cast("decimal(19,0)")
@@ -315,7 +315,7 @@ object Curation {
     val scores = TextStats.unigramLogProb(s, dir)
       .select(col("doc_id"), col("avg_logprob"), col("n_tokens"))
       .persist()
-    scores.count() // eager: boundaries + assignment both read it
+    CacheScope.register(scores) // eager: boundaries + assignment both read it
     val probs = array((1 until k).map(i => lit(i.toDouble / k)): _*)
     val bounds = scores.agg(transform(
       percentile(col("avg_logprob"), probs), b => round(b, 6)).as("bs"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 import graft.expressions.HashExpressions._
 import graft.functions.TextFns._
 
@@ -65,7 +65,7 @@ object Dedup {
     // lazily-persisted plans get recomputed by every concurrent subtree
     // of the final action (cache stampede) instead of computed once.
     val docSh = docShingles(s, dir, n).persist()
-    docSh.count()
+    CacheScope.register(docSh)
     val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
     val ex0 = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
     val ex = maxShingleDf match {
@@ -112,7 +112,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val docSh = docShinglesTokens(toks, n).persist()
-    docSh.count() // eager: see jaccardPairs
+    CacheScope.register(docSh) // eager: see jaccardPairs
     val sig = docSh.select(col("doc_id"),
       minhashSignature(col("shs"), numHashes).as("sig"))
     val banded = sig.select(col("doc_id"),
@@ -163,7 +163,7 @@ object Dedup {
       .filter(graft.expressions.OptimizerBarrier.noPushdown(size(col("ts")) > 0))
       .select(col("doc_id"), simhash40(col("ts")).as("sig"))
       .persist()
-    sig.count() // eager: see jaccardPairs
+    CacheScope.register(sig) // eager: see jaccardPairs
     val banked = sig.select(col("doc_id"), col("sig"),
       explode(expr(
         "transform(sequence(0, 3), " +
@@ -253,7 +253,7 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"),
         coalesce(col("quality"), lit(0.0)).as("quality"))
       .persist()
-    withQ.count() // eager: the argmax and the flag join both read it
+    CacheScope.register(withQ) // eager: the argmax and the flag join both read it
     // min_by on (-quality, doc_id) = max quality, ties to lower id
     val best = withQ.groupBy("canonical_id")
       .agg(min_by(col("doc_id"),
@@ -398,7 +398,7 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy("block").orderBy("text", "doc_id")))
       .persist()
-    docs.count() // eager: both sides of the neighborhood join
+    CacheScope.register(docs) // eager: both sides of the neighborhood join
     val a = docs.select(col("block"), col("rn").as("ra"),
       col("doc_id").as("doc_a"), col("st").as("sa"))
     val b = docs.select(col("block"), col("rn").as("rb"),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 
 /** Event-stream tier over the `events` fixture: gap-based
   * sessionization and tumbling-window aggregation — the batch
@@ -333,7 +333,7 @@ object Events {
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
       .persist()
-    userDays.count() // eager: spine + the window join both read it
+    CacheScope.register(userDays) // eager: spine + the window join both read it
     val spine = userDays.select(col("day").as("d")).distinct()
     userDays.join(broadcast(spine),
         datediff(col("d"), col("day")).between(0, windowDays - 1))
@@ -396,7 +396,7 @@ object Events {
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
       .persist()
-    userDays.count() // eager: first-seen + the split both read it
+    CacheScope.register(userDays) // eager: first-seen + the split both read it
     val first = userDays.groupBy("user_id")
       .agg(min(col("day")).as("first_day"))
     userDays.join(first, "user_id")
@@ -420,7 +420,7 @@ object Events {
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
       .persist()
-    userDays.count() // eager: both aggregates read it
+    CacheScope.register(userDays) // eager: both aggregates read it
     val dau = userDays.groupBy("day")
       .agg(countDistinct(col("user_id")).as("dau"))
     val spine = userDays.select(col("day").as("d")).distinct()
@@ -447,7 +447,7 @@ object Events {
       .select(col("event_type"), hour(col("ts")).as("hr"))
       .groupBy("event_type", "hr").agg(count(lit(1)).as("o"))
       .persist()
-    obs.count() // eager: marginals + the grid join all read it
+    CacheScope.register(obs) // eager: marginals + the grid join all read it
     val rowTot = obs.groupBy("event_type").agg(sum(col("o")).as("rt"))
     val colTot = obs.groupBy("hr").agg(sum(col("o")).as("ct"))
     val total = obs.agg(sum(col("o")).as("n"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
-import graft.Tables
+import graft.{CacheScope, Tables}
 
 /** Graph tier: multi-source personalized PageRank + top-k extraction
   * (references: `RunPersonalizedPageRankBasic.java`,
@@ -132,10 +132,10 @@ object Graph {
     // partitioning (hash(id,p) / hash(src,p)) is exactly what the loop
     // needs, so no explicit repartition — one fewer full pass over the
     // edge table, and the loop's scatter join still starts shuffle-free.
-    val vertices = e.select(col("src").as("id"))
+    val vertices = CacheScope.track(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .persist()
+      .persist())
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // structure side: edges with the sender's out-degree attached once,
     // hash-partitioned by src and cached, so the per-iteration scatter
@@ -156,7 +156,8 @@ object Graph {
     // no stampede to pre-empt — the first iteration's job materializes
     // both, saving two build-time actions (~1.5s at sf0.1). `e` must
     // stay cached until then; it is dropped after the loop.
-    val struct = e.join(outdeg.hint("shuffle_hash"), "src").persist()
+    val struct = CacheScope.track(
+      e.join(outdeg.hint("shuffle_hash"), "src").persist())
 
     var ranks = vertices.select(
       col("id") +: sources.zipWithIndex.map { case (src, i) =>
@@ -421,7 +422,7 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .distinct()
       .persist()
-    cs.count() // eager: degrees + both sides of the pair join
+    CacheScope.register(cs) // eager: degrees + both sides of the pair join
     val deg = cs.groupBy("sup").agg(count(lit(1)).as("deg"))
     val shared = cs.select(col("c"), col("sup").as("s1"))
       .join(cs.select(col("c"), col("sup").as("s2")), "c")
@@ -534,7 +535,7 @@ object Graph {
         when(lowFirst, col("v")).otherwise(col("u")).as("t"),
         when(lowFirst, col("dv")).otherwise(col("du")).as("dt"))
       .persist()
-    or.count() // eager: the wedge join fans out from `or` three ways
+    CacheScope.register(or) // eager: the wedge join fans out from `or` three ways
     // wedges = pairs of out-neighbors of one source, kept in (degree,
     // id) order so the closing edge — itself oriented low → high — can
     // only ever be (b, c), never (c, b)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 import graft.functions.TextFns._
 
 /** Information-retrieval tier: inverted index build + boolean retrieval
@@ -68,7 +68,7 @@ object Index {
     */
   def tfidfTopk(s: SparkSession, dir: String, k: Int): DataFrame = {
     val p = postings(s, dir).persist()
-    p.count() // eager: df + the weight join both read it
+    CacheScope.register(p) // eager: df + the weight join both read it
     val nDocs = Tables.documents(s, dir)
       .agg(count(lit(1)).as("n_docs"))
     val df = p.groupBy("term").agg(count(lit(1)).as("df"))
@@ -101,7 +101,7 @@ object Index {
       .select(col("doc_id"), explode(col("ts")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .persist()
-    p.count() // eager: df and the scoring join both read it
+    CacheScope.register(p) // eager: df and the scoring join both read it
     val df = p.groupBy("term").agg(count(lit(1)).as("df"))
     val corpus = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val score = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -165,7 +165,7 @@ object Index {
         explode(array_distinct(tokenize(col("text")))).as("term"))
       .filter(col("term").isin(terms: _*))
       .persist()
-    docTerms.count() // eager, or every operand subtree recomputes the scan
+    CacheScope.register(docTerms) // eager, or every operand subtree recomputes the scan
     var stack = List.empty[DataFrame]
     tokens.foreach {
       case "AND" =>

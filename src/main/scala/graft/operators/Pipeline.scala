@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.CacheScope
 
 /** Composed curation pipeline — the end-to-end shape a training-data
   * run actually executes, demonstrating that the engine's operators
@@ -27,7 +28,7 @@ object Pipeline {
     // the cache-stampede shape). At cluster scale this cache is the
     // pipeline's materialized tokenized table.
     val toks = TextStats.tokenized(s, dir).persist()
-    toks.count()
+    CacheScope.register(toks)
     val qual = TextStats.qualityTokens(toks)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
     val lang = TextStats.langIdTokens(toks)
@@ -58,7 +59,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"))
       .persist()
-    bySource.count() // eager: total + share projection both read it
+    CacheScope.register(bySource) // eager: total + share projection both read it
     val total = bySource.agg(sum(col("n_tokens")).as("tok_total"))
     bySource.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("n_tokens"),

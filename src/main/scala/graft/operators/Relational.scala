@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 
 /** Relational/OLAP tier — the capabilities of the reference's TPC-H-style
   * RDD programs (reference `assignment5/Q1..Q7.scala`), re-expressed as
@@ -1036,7 +1036,7 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg(round(sum(col("l_extendedprice")), 4).as("value"))
       .persist()
-    perPart.count() // eager: total + filter both read it
+    CacheScope.register(perPart) // eager: total + filter both read it
     val total = perPart.agg(
       (sum(col("value")) / count(lit(1))).as("mean_value"))
     perPart.crossJoin(broadcast(total))
@@ -1066,7 +1066,7 @@ object Relational {
         count(lit(1)).cast("double").as("f"),
         sum(col("o_totalprice")).as("m"))
       .persist()
-    perCust.count() // eager: boundary agg + assignment both read it
+    CacheScope.register(perCust) // eager: boundary agg + assignment both read it
     val probs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
     val bounds = perCust.agg(
       transform(percentile(col("r"), probs), b => round(b, 6)).as("rb"),
@@ -1280,7 +1280,7 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
         .as("total_rev"))
       .persist()
-    rev.count() // eager: max + filter both read it
+    CacheScope.register(rev) // eager: max + filter both read it
     val mx = rev.agg(max(col("total_rev")).as("max_rev"))
     val out = rev.crossJoin(broadcast(mx))
       .filter(col("total_rev") === col("max_rev"))
@@ -1333,7 +1333,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .persist()
-    lines.count() // eager: per-order agg + join-back both read it
+    CacheScope.register(lines) // eager: per-order agg + join-back both read it
     val perOrder = lines.groupBy(col("l_orderkey").as("k"))
       .agg(max(col("l_shipdate")).as("max_ship"),
         countDistinct(col("l_suppkey")).as("nsupp"))

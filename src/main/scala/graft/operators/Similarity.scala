@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 
 /** Similarity-search tier (north-star extras): cosine top-k over the
   * `embeddings` table — brute force as the exact baseline, IVF-style
@@ -104,7 +104,7 @@ object Similarity {
                 (acc, x) -> acc * 2 + x) AS bv)))""").as("t"))
       .select(col("vec_id"), col("embedding"), col("t.band"), col("t.bv"))
       .persist()
-    banded.count() // eager: both sides of the self-join read it
+    CacheScope.register(banded) // eager: both sides of the self-join read it
     val l = banded.select(col("vec_id").as("vec_a"),
       col("embedding").as("va"), col("band"), col("bv"))
     val r = banded.select(col("vec_id").as("vec_b"),
@@ -258,14 +258,14 @@ object Similarity {
                          threshold: Double = 0.3,
                          maxDfFrac: Double = 0.2): DataFrame = {
     val p = Index.postings(s, dir).persist()
-    p.count() // eager: df, norms and both join sides read it
+    CacheScope.register(p) // eager: df, norms and both join sides read it
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val df = p.groupBy("term").agg(count(lit(1)).as("df"))
     val weighted = p.join(df, "term").crossJoin(broadcast(nDocs))
       .select(col("term"), col("doc_id"), col("df"), col("n_docs"),
         (col("tf") * log(col("n_docs") / col("df"))).as("w"))
       .persist()
-    weighted.count() // eager: norms + both sides of the pair join
+    CacheScope.register(weighted) // eager: norms + both sides of the pair join
     p.unpersist(blocking = false)
     val norms = weighted.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
@@ -301,7 +301,7 @@ object Similarity {
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
-    vecs.count() // materialize once before the multi-pass loop
+    CacheScope.register(vecs) // materialize once before the multi-pass loop
     var centroids: Seq[(Int, Seq[Double])] = vecs.orderBy("vec_id").limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 import graft.expressions.OptimizerBarrier
 import graft.functions.TextFns._
 
@@ -254,7 +254,7 @@ object TextStats {
         transform(split(col("text"), "\\."), t => trim(t)),
         t => length(t) > 0)).as("seg"))
       .persist()
-    segs.count() // eager: df build + the flag join both read it
+    CacheScope.register(segs) // eager: df build + the flag join both read it
     val hot = segs.select(col("doc_id"), col("seg")).distinct()
       .groupBy("seg").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCut)
@@ -360,7 +360,7 @@ object TextStats {
     val tok = tokenized(s, dir)
       .select(col("doc_id"), explode(col("ts")).as("term"))
       .persist()
-    tok.count() // eager: model + scoring side both read it
+    CacheScope.register(tok) // eager: model + scoring side both read it
     val model = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = model.agg(sum(col("cnt")).as("total"))
     tok.join(broadcast(model), "term")
