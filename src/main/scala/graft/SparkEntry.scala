@@ -105,6 +105,9 @@ object SparkEntry {
     "q20_shape" -> ((s, d) => Relational.q20Shape(s, d)),
     "q21_shape" -> ((s, d) => Relational.q21Shape(s, d)),
     "mode_agg" -> ((s, d) => Relational.modeAgg(s, d)),
+    "column_profile" -> ((s, d) => Relational.columnProfile(s, d)),
+    "robust_scale" -> ((s, d) => Curation.robustScale(s, d)),
+    "covariance_matrix" -> ((s, d) => Similarity.covarianceMatrix(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -1773,6 +1776,64 @@ object SparkEntry {
          FROM winners JOIN supplier ON w_supp = s_suppkey
          WHERE nmax = 1
          GROUP BY s_suppkey, s_name""",
+    "column_profile" ->
+      """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_nulls,
+                count(DISTINCT l_orderkey) AS n_distinct,
+                min(l_orderkey::VARCHAR) AS min_v,
+                max(l_orderkey::VARCHAR) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', count(*),
+                sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT l_returnflag),
+                min(l_returnflag), max(l_returnflag)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_shipdate', count(*),
+                sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT l_shipdate),
+                min(l_shipdate::VARCHAR), max(l_shipdate::VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(*),
+                sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT l_extendedprice::DECIMAL(18,2)),
+                min(l_extendedprice::DECIMAL(18,2)::VARCHAR),
+                max(l_extendedprice::DECIMAL(18,2)::VARCHAR)
+         FROM lineitem""",
+    "robust_scale" ->
+      """WITH ex AS (
+           SELECT vec_id, (pos - 1)::INT AS pos, x::DOUBLE AS x
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings)),
+         med AS (
+           SELECT pos, round(quantile_cont(x, 0.5), 9) AS med
+           FROM ex GROUP BY pos),
+         mad AS (
+           SELECT ex.pos, med,
+                  round(quantile_cont(abs(x - med), 0.5), 9) AS mad
+           FROM ex JOIN med USING (pos) GROUP BY ex.pos, med)
+         SELECT vec_id, ex.pos,
+                CASE WHEN mad <> 0 THEN round((x - med) / mad, 4) END AS z
+         FROM ex JOIN mad USING (pos)""",
+    "covariance_matrix" ->
+      """WITH ex AS (
+           SELECT vec_id, (pos - 1)::INT AS pos,
+                  CAST(round(x::DOUBLE * 1000000.0) AS BIGINT) AS xi
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings)
+           WHERE pos <= 8)
+         SELECT a.pos::BIGINT AS i, b.pos::BIGINT AS j,
+                round((sum(a.xi * b.xi)::DOUBLE / count(*) -
+                       (sum(a.xi)::DOUBLE / count(*)) *
+                       (sum(b.xi)::DOUBLE / count(*))) / 1000000000000.0, 9)
+                  AS cov
+         FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+         GROUP BY a.pos, b.pos""",
     "mode_agg" ->
       """WITH counts AS (
            SELECT o_orderpriority, l_returnflag, count(*) AS cnt

@@ -337,6 +337,36 @@ object Curation {
     * compare). One shuffle on source; character count stands in for
     * the quality score so the operator is self-contained.
     */
+  /** Robust per-dimension scaling of the embedding matrix:
+    * z = (x − median) / MAD — the outlier-insensitive sibling of
+    * [[standardize]] (a single corrupted vector shifts a mean/stddev fit
+    * but not a median/MAD one). Two exact-percentile passes over the
+    * exploded (pos, x) table: medians, then median absolute deviation
+    * around them; both broadcast back (64 rows). Both statistics are
+    * rounded to the 1e-9 grid BEFORE the z division so every engine
+    * divides identical doubles (oracle-parity rule). At 100 TB swap the
+    * exact `percentile` for `approx_percentile` — same two-pass shape,
+    * mergeable sketches instead of per-group sorts.
+    */
+  def robustScale(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .persist()
+    CacheScope.register(ex) // eager: median fit, MAD fit and transform read it
+    val med = ex.groupBy("pos")
+      .agg(round(percentile(col("x"), lit(0.5)), 9).as("med"))
+    val mad = ex.join(broadcast(med), "pos")
+      .groupBy(col("pos"), col("med"))
+      .agg(round(percentile(abs(col("x") - col("med")), lit(0.5)), 9)
+        .as("mad"))
+    ex.join(broadcast(mad), "pos")
+      .select(col("vec_id"), col("pos"),
+        when(col("mad") =!= 0.0,
+          round((col("x") - col("med")) / col("mad"), 4)).as("z"))
+  }
+
   def rankNormalize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")

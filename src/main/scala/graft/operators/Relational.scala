@@ -1353,6 +1353,43 @@ object Relational {
     out
   }
 
+  /** One-pass column profiler (the data-quality audit a pipeline runs
+    * before trusting a new drop): row count, null count, distinct
+    * count, and min/max per profiled column, as one row per column.
+    *
+    * Shape at scale: a SINGLE aggregate over the scan — no per-column
+    * jobs, no unpivot shuffle of ncols×rows. The multi-`count(distinct)`
+    * rewrites through Catalyst's Expand (one shuffle, ncols× expansion
+    * of the aggregate keys only); everything else is a partial agg that
+    * merges map-side. The per-column rows are exploded AFTER the
+    * aggregate from the single result row. Values surface as strings
+    * (doubles via decimal quantization) so one schema carries every
+    * column type; at 100 TB swap `count(distinct)` for
+    * `approx_count_distinct` — same plan minus the Expand.
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    // (name, string-surfaced value expression)
+    val cols: Seq[(String, Column)] = Seq(
+      "l_orderkey" -> col("l_orderkey").cast("string"),
+      "l_returnflag" -> col("l_returnflag"),
+      "l_shipdate" -> col("l_shipdate").cast("string"),
+      "l_extendedprice" ->
+        col("l_extendedprice").cast("decimal(18,2)").cast("string"))
+    val aggs = cols.flatMap { case (n, c) =>
+      Seq(sum(c.isNull.cast("long")).as(s"nulls_$n"),
+        countDistinct(c).as(s"distinct_$n"),
+        min(c).as(s"min_$n"), max(c).as(s"max_$n"))
+    }
+    val one = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = cols.map { case (n, _) =>
+      struct(lit(n).as("column"), col("n_rows"),
+        col(s"nulls_$n").as("n_nulls"), col(s"distinct_$n").as("n_distinct"),
+        col(s"min_$n").as("min_v"), col(s"max_$n").as("max_v"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
   def modeAgg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.lineitem(s, dir)

@@ -333,4 +333,38 @@ object Similarity {
     }
     assign().select(col("vec_id"), col("cluster"))
   }
+
+  /** Exact covariance matrix of the leading `d` embedding dimensions —
+    * the input to a PCA/whitening fit. Single scan: each row explodes
+    * into its d(d+1)/2 upper-triangle products, aggregated by (i, j);
+    * one shuffle whose cardinality is d², independent of corpus size —
+    * the classic "d² accumulators" distributed-covariance shape (at
+    * 100 TB the map side reduces everything; only 36 groups move).
+    *
+    * Determinism: values are quantized to the 1e-6 grid as longs first,
+    * so Σx, Σy and Σxy are EXACT (long / decimal) and merge-order-
+    * insensitive; the covariance (E[xy] − E[x]E[y], computed in doubles
+    * from those exact sums) is bit-identical in any engine.
+    */
+  def covarianceMatrix(s: SparkSession, dir: String, d: Int = 8): DataFrame = {
+    val xi = Tables.embeddings(s, dir)
+      .select(transform(
+        slice(col("embedding").cast("array<double>"), 1, d),
+        x => round(x * lit(1e6), 0).cast("long")).as("xi"))
+    val pairs = xi.select(explode(flatten(
+      transform(sequence(lit(0), lit(d - 1)), i =>
+        transform(sequence(i, lit(d - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            element_at(col("xi"), i + 1).as("a"),
+            element_at(col("xi"), j + 1).as("b")))))).as("p"))
+      .select(col("p.*"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("b")).as("sb"),
+        sum(col("a").cast("decimal(38,0)") * col("b")).as("sab"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round((col("sab").cast("double") / col("n") -
+          (col("sa").cast("double") / col("n")) *
+            (col("sb").cast("double") / col("n"))) / lit(1e12), 9).as("cov"))
+  }
 }
