@@ -106,6 +106,10 @@ object SparkEntry {
     "q21_shape" -> ((s, d) => Relational.q21Shape(s, d)),
     "mode_agg" -> ((s, d) => Relational.modeAgg(s, d)),
     "column_profile" -> ((s, d) => Relational.columnProfile(s, d)),
+    "kn_bigram_logprob" -> ((s, d) => TextStats.knBigramLogProb(s, d)),
+    "lsh_retrieve" -> ((s, d) => Dedup.lshRetrieve(s, d)),
+    "fs_linkage" -> ((s, d) => Dedup.linkageWeights(s, d)),
+    "substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
     "robust_scale" -> ((s, d) => Curation.robustScale(s, d)),
     "covariance_matrix" -> ((s, d) => Similarity.covarianceMatrix(s, d)),
     "salted_agg" -> ((s, d) =>
@@ -1776,6 +1780,75 @@ object SparkEntry {
          FROM winners JOIN supplier ON w_supp = s_suppkey
          WHERE nmax = 1
          GROUP BY s_suppkey, s_name""",
+    // retrieval against the exact-Jaccard pair set (recall ≈ 1 at 0.8 —
+    // see the dedup_minhash note); one row per query doc, null if no match
+    "lsh_retrieve" -> s"""WITH prs AS ($JaccardSql),
+         two_way AS (SELECT doc_a AS q, doc_b AS c, jaccard FROM prs
+                     UNION ALL SELECT doc_b, doc_a, jaccard FROM prs),
+         cand AS (
+           SELECT q, c, jaccard,
+                  row_number() OVER (PARTITION BY q
+                                     ORDER BY jaccard DESC, c) AS rn
+           FROM two_way WHERE q % 50 = 0 AND c % 50 <> 0)
+         SELECT d.doc_id AS query_id, cand.c AS match_id, cand.jaccard
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+         LEFT JOIN cand ON cand.q = d.doc_id AND rn = 1""",
+    // same frozen log2(m/u) literals as the operator, same fixed sum order
+    "fs_linkage" ->
+      """WITH p AS (
+           SELECT p_partkey AS k, string_split(p_name, ' ')[1] AS adj,
+                  string_split(p_name, ' ')[-1] AS noun, p_brand AS b,
+                  p_type AS t, p_size AS sz, p_size // 5 AS band
+           FROM part),
+         pr AS (
+           SELECT a.k AS k1, b.k AS k2,
+             (CASE WHEN a.b = b.b THEN 4.491853096329675
+                   ELSE -3.263034405833794 END) +
+             (CASE WHEN a.t = b.t THEN 2.3504972470841334
+                   ELSE -2.473931188332412 END) +
+             (CASE WHEN a.adj = b.adj THEN 2.925999418556223
+                   ELSE -4.129283016944966 END) +
+             (CASE WHEN a.sz = b.sz THEN 2.0 ELSE -2.0 END) AS w
+           FROM p a JOIN p b
+             ON a.noun = b.noun AND a.band = b.band AND a.k < b.k)
+         SELECT k1, k2, round(w, 6) AS weight FROM pr WHERE w >= 4.0""",
+    // bigram stream via zipped adjacent-token unnests; model CTEs mirror
+    // the Spark re-aggregations of the (w1,w2) counts table exactly
+    "kn_bigram_logprob" -> s"""$TokCte,
+         bi AS (
+           SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1,
+                  unnest(ts[2:len(ts)]) AS w2
+           FROM toks),
+         c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c)::BIGINT AS c1, count(*) AS nfol
+                FROM c12 GROUP BY w1),
+         cont AS (SELECT w2, count(*) AS ncont FROM c12 GROUP BY w2),
+         t AS (SELECT count(*)::DOUBLE AS tt FROM c12)
+         SELECT doc_id,
+                round(avg(ln((greatest(c - 0.75, 0.0) +
+                              0.75 * nfol * (ncont / tt)) / c1)), 6)
+                  AS kn_logprob,
+                count(*) AS n_bigrams
+         FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                 JOIN cont USING (w2), t
+         GROUP BY doc_id""",
+    "substring_spans" -> s"""$TokCte,
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) >= 20
+               THEN list_transform(range(1, len(ts) - 18),
+                      i -> array_to_string(ts[i:i+19], ' '))
+               ELSE [array_to_string(ts, ' ')] END AS wins
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(wins) AS win FROM sh),
+         g AS (SELECT win, count(DISTINCT doc_id) AS nd FROM ex GROUP BY win)
+         SELECT doc_id, n_windows, n_dup_windows,
+                round(n_dup_windows / n_windows, 6) AS dup_frac
+         FROM (SELECT doc_id, count(*) AS n_windows,
+                      sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+                        AS n_dup_windows
+               FROM ex JOIN g USING (win)
+               GROUP BY doc_id)""",
     "column_profile" ->
       """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
                 sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT

@@ -414,4 +414,109 @@ object Dedup {
         greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         round(col("j"), 6).as("jaccard"))
   }
+
+  /** LSH retrieval join: for each document in a designated query set
+    * (`doc_id % mod == 0` stands in for an external query table), the
+    * single most-similar corpus document — LSH band candidates, exact
+    * Jaccard verification at `threshold`, argmax with ties to the lower
+    * doc id; queries with no qualifying match emit a null row (so the
+    * result is always one row per query). This is the cross-table
+    * near-duplicate lookup a pipeline runs to screen NEW data against
+    * an existing corpus (benchmark-contamination / incoming-crawl
+    * checks), built by composing [[minhashPairs]]' candidate machinery
+    * — same recall argument as `dedup_minhash` (≥0.8 Jaccard pairs
+    * survive 64/16 banding with P ≈ 0.9998), so the oracle verifies
+    * against exact Jaccard. Scale: candidates shuffle on (band, bh);
+    * the per-query argmax is a window over each query's candidate
+    * list, partitioned by query — never a corpus-sized sort.
+    */
+  def lshRetrieve(s: SparkSession, dir: String, mod: Int = 50,
+                  threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prs = minhashPairs(s, dir, threshold)
+    val both = prs
+      .select(col("doc_a").as("q"), col("doc_b").as("c"), col("jaccard"))
+      .unionAll(prs
+        .select(col("doc_b").as("q"), col("doc_a").as("c"), col("jaccard")))
+    val cand = both.filter(col("q") % mod === 0 && col("c") % mod =!= 0)
+    val w = Window.partitionBy("q").orderBy(col("jaccard").desc, col("c"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    Tables.documents(s, dir).select(col("doc_id").as("query_id"))
+      .filter(col("query_id") % mod === 0)
+      .join(best, col("query_id") === col("q"), "left")
+      .select(col("query_id"), col("c").as("match_id"), col("jaccard"))
+  }
+
+  /** Fellegi–Sunter record-linkage weights over blocked part pairs:
+    * candidates share a (head-noun, size-band-of-5) block; each of four
+    * fields (brand, type, adjective, exact size) contributes
+    * log2(m/u) on agreement and log2((1−m)/(1−u)) on disagreement,
+    * with m = P(agree | match) and u = P(agree | non-match) FROZEN as
+    * documented literals (u from field cardinality; the EM estimation
+    * step that fits m/u from data is out of scope — the operator is
+    * the scoring join). Pairs scoring ≥ `cutoff` surface, the
+    * classifier's "link" region. Blocking keeps the candidate volume
+    * Σ|block|² — the noun×band key caps block size, the same
+    * quadratic-control argument as [[jaroWinklerPairs]]; the weight is
+    * a fixed-order sum of literal doubles, so any engine computes the
+    * identical bits.
+    */
+  def linkageWeights(s: SparkSession, dir: String,
+                     cutoff: Double = 4.0): DataFrame = {
+    val p = Tables.part(s, dir).select(
+      col("p_partkey").as("k"),
+      element_at(split(col("p_name"), " "), 1).as("adj"),
+      element_at(split(col("p_name"), " "), -1).as("noun"),
+      col("p_brand").as("b"), col("p_type").as("t"), col("p_size").as("sz"),
+      floor(col("p_size") / 5).cast("long").as("band"))
+    def side(suf: String) = p.select(
+      col("k").as(s"k$suf"), col("adj").as(s"adj$suf"), col("noun"),
+      col("b").as(s"b$suf"), col("t").as(s"t$suf"),
+      col("sz").as(s"sz$suf"), col("band"))
+    val weight =
+      when(col("b1") === col("b2"), lit(4.491853096329675))
+        .otherwise(lit(-3.263034405833794)) +
+      when(col("t1") === col("t2"), lit(2.3504972470841334))
+        .otherwise(lit(-2.473931188332412)) +
+      when(col("adj1") === col("adj2"), lit(2.925999418556223))
+        .otherwise(lit(-4.129283016944966)) +
+      when(col("sz1") === col("sz2"), lit(2.0)).otherwise(lit(-2.0))
+    side("1").join(side("2"), Seq("noun", "band"))
+      .filter(col("k1") < col("k2"))
+      .select(col("k1"), col("k2"), weight.as("w"))
+      .filter(col("w") >= cutoff)
+      .select(col("k1"), col("k2"), round(col("w"), 6).as("weight"))
+  }
+
+  /** Exact-substring span dedup (the token-window method of "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2021): every
+    * w-token window of every document, counted with multiplicity; a window
+    * is DUPLICATED if it occurs in ≥2 distinct documents. Returns per-doc
+    * window counts and the duplicated-window fraction — the signal a
+    * curation run thresholds to drop or trim span-duplicated documents
+    * (doc-level near-dup passes miss a copied paragraph inside an
+    * otherwise-unique page; this catches it).
+    *
+    * Shape: explode → one groupBy on the window key → join back on that
+    * same key (co-partitioned from its own aggregate) → per-doc rollup.
+    * The window key here is the token text (byte-exact, oracle-friendly);
+    * at 100 TB it would be a 64-bit rolling hash of the window
+    * ([[graft.expressions.HashExpressions.polyHashArray]], collision-
+    * checked) so only 8-byte keys shuffle — same plan otherwise.
+    */
+  def substringSpans(s: SparkSession, dir: String, w: Int = 20): DataFrame = {
+    val ex = TextStats.tokenized(s, dir)
+      .select(col("doc_id"), explode(shingles(col("ts"), w)).as("win"))
+      .persist()
+    CacheScope.register(ex) // eager: global window counts + rollup read it
+    val global = ex.groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    ex.join(global, "win")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum((col("nd") >= 2).cast("long")).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows"), 6).as("dup_frac"))
+  }
 }

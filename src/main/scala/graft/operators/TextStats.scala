@@ -369,4 +369,49 @@ object TextStats {
       .agg(round(avg(log(col("cnt") / col("total"))), 6).as("avg_logprob"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Interpolated Kneser–Ney bigram log-probability per document — the
+    * standard smoothed-LM quality score one tier above
+    * [[unigramLogProb]] (absolute discount D=0.75, continuation-count
+    * backoff):
+    * P(w2|w1) = (max(c(w1,w2)−D, 0) + D·N₊(w1·)·N₊(·w2)/T) / c(w1·).
+    *
+    * Model tables all derive from ONE aggregate over the corpus bigram
+    * stream (the (w1,w2) counts; follower/continuation counts and the
+    * type total are re-aggregations of that small table), then join
+    * back to the per-doc bigrams on the bigram key — model-side tables
+    * are vocab-sized, so at 100 TB the scoring join shuffles on
+    * (w1,w2) with the model co-partitioned from its own groupBy; no
+    * broadcast of a corpus-sized table anywhere.
+    */
+  def knBigramLogProb(s: SparkSession, dir: String,
+                      discount: Double = 0.75): DataFrame = {
+    val bi = tokenized(s, dir)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .persist()
+    CacheScope.register(bi) // eager: model + scoring side both read it
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .persist()
+    CacheScope.register(c12) // eager: three model re-aggregations read it
+    val c1 = c12.groupBy("w1")
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("nfol"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val types = c12.agg(count(lit(1)).cast("double").as("tt"))
+    val d = lit(discount)
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(round(avg(log(
+        (greatest(col("c") - d, lit(0.0)) +
+          d * col("nfol") * (col("ncont") / col("tt"))) / col("c1"))), 6)
+        .as("kn_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
 }
