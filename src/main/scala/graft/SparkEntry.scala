@@ -108,6 +108,9 @@ object SparkEntry {
     "column_profile" -> ((s, d) => Relational.columnProfile(s, d)),
     "kn_bigram_logprob" -> ((s, d) => TextStats.knBigramLogProb(s, d)),
     "lsh_retrieve" -> ((s, d) => Dedup.lshRetrieve(s, d)),
+    "k_core" -> ((s, d) => Graph.kCore(s, d)),
+    "q13_shape" -> ((s, d) => Relational.q13Shape(s, d)),
+    "q17_shape" -> ((s, d) => Relational.q17Shape(s, d)),
     "fs_linkage" -> ((s, d) => Dedup.linkageWeights(s, d)),
     "substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
     "robust_scale" -> ((s, d) => Curation.robustScale(s, d)),
@@ -339,6 +342,24 @@ object SparkEntry {
     * `Graph.personalizedPageRank`, so values agree to well below the
     * 9-dp rounding both sides apply.
     */
+  /** Unrolled k-core peeling (mirrors `Graph.kCore`: same fixed round
+    * count, same restrict-then-recount per round). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val blocks = (1 to rounds).flatMap { r =>
+      Seq(
+        s"d$r AS MATERIALIZED (SELECT e.src AS id, count(*) AS c" +
+          s" FROM edges e JOIN a${r - 1} s ON e.src = s.id" +
+          s" JOIN a${r - 1} t ON e.dst = t.id GROUP BY e.src)",
+        s"a$r AS MATERIALIZED (SELECT id FROM d$r WHERE c >= $k)")
+    }
+    s"WITH $GraphCte,\n" +
+      "a0 AS MATERIALIZED (SELECT id FROM nodes),\n" +
+      blocks.mkString(",\n") + "\n" +
+      s"SELECT e.src AS id, count(*) AS core_deg FROM edges e" +
+      s" JOIN a$rounds s ON e.src = s.id JOIN a$rounds t ON e.dst = t.id" +
+      " GROUP BY e.src"
+  }
+
   private def pprOracleSql(sources: Seq[Long], iters: Int, k: Int,
                            danglingFree: Boolean = false): String = {
     val n = sources.size
@@ -914,6 +935,24 @@ object SparkEntry {
                 THEN 'spam' ELSE 'ham' END AS pred
          FROM scored""",
     "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10, danglingFree = true),
+    "k_core" -> kCoreOracleSql(3, 6),
+    "q13_shape" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "q17_shape" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+         j AS (SELECT l_partkey, l_quantity, l_extendedprice
+               FROM lineitem JOIN pp ON l_partkey = p_partkey),
+         th AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS thresh
+                FROM j GROUP BY l_partkey)
+         SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2)
+                  AS avg_yearly
+         FROM j JOIN th ON l_partkey = pk
+         WHERE l_quantity < thresh""",
     "kmeans_embed" -> kmeansOracleSql(4, 3),
     // exact fixpoint of min-label propagation = min reachable id, which
     // a recursive closure computes directly

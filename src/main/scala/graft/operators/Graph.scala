@@ -553,4 +553,40 @@ object Graph {
       closed.agg(count(lit(1)).as("n_wedges"),
         count(col("hit")).as("n_triangles")))
   }
+
+  /** k-core peeling over the customer⇄supplier graph: `rounds`
+    * synchronized rounds of "drop every vertex whose degree among
+    * still-active vertices is < k", then the surviving membership with
+    * its within-core degree. Fixed round count (not run-to-fixpoint)
+    * so the computation is exactly restatable: the DuckDB oracle
+    * unrolls the same rounds; a production caller loops until
+    * `active.count()` stops changing — same per-round plan.
+    *
+    * Per round: two semi-join-shaped joins restrict the (cached) edge
+    * table to active endpoints, one groupBy recounts degrees — all
+    * shuffles on the vertex key, so at scale each round is one
+    * co-partitioned pass over surviving edges; the active set shrinks
+    * monotonically and is `localCheckpoint`ed per round to keep the
+    * plan (which would otherwise double per round — `active` appears
+    * under both endpoint joins) and the scheduler's lineage flat.
+    */
+  def kCore(s: SparkSession, dir: String, k: Int = 3,
+            rounds: Int = 6): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    graft.CacheScope.register(e) // eager: every round reads it twice
+    def restrict(act: DataFrame): DataFrame = e
+      .join(act.select(col("id").as("src")), "src")
+      .join(act.select(col("id").as("dst")), "dst")
+    var active = e.select(col("src").as("id")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      active = restrict(active)
+        .groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k)
+        .select(col("src").as("id"))
+        .localCheckpoint()
+    }
+    restrict(active).groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
 }

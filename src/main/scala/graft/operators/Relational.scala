@@ -1353,6 +1353,54 @@ object Relational {
     out
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): how many
+    * customers placed exactly N qualifying orders, INCLUDING the
+    * zero-order customers — the left join is the point of the shape
+    * (an inner join silently drops the biggest bucket). The
+    * qualification filter lives on the orders side BEFORE the join
+    * (≡ an ON-clause predicate), and the first aggregate's key is the
+    * join key, so it reuses the join's partitioning — two shuffles
+    * total, the second over at most max-order-count distinct keys.
+    */
+  def q13Shape(s: SparkSession, dir: String,
+               excludePriority: String = "3-MEDIUM"): DataFrame =
+    Tables.customer(s, dir).select("c_custkey")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= excludePriority)
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): weekly-averaged
+    * revenue from lineitems of one brand's parts whose quantity is
+    * under 20% of that part's average quantity. The per-part average
+    * comes from ONE aggregate over the same brand-filtered join the
+    * outer query reads (cached — the classic correlated-subquery
+    * decorrelation), and the brand dimension broadcasts. Quantities
+    * are integer-valued doubles, so the average is exact in any merge
+    * order; revenue sums in decimal before the final double rounding.
+    */
+  def q17Shape(s: SparkSession, dir: String,
+               brand: String = "Brand#13"): DataFrame = {
+    val pp = Tables.part(s, dir).filter(col("p_brand") === brand)
+      .select("p_partkey")
+    val j = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .persist()
+    CacheScope.register(j) // eager: threshold agg + outer filter read it
+    val th = j.groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("thresh"))
+    j.join(th, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("thresh"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double") / 7.0, 2).as("avg_yearly"))
+  }
+
   /** One-pass column profiler (the data-quality audit a pipeline runs
     * before trusting a new drop): row count, null count, distinct
     * count, and min/max per profiled column, as one row per column.
