@@ -111,6 +111,10 @@ object SparkEntry {
     "k_core" -> ((s, d) => Graph.kCore(s, d)),
     "q13_shape" -> ((s, d) => Relational.q13Shape(s, d)),
     "q17_shape" -> ((s, d) => Relational.q17Shape(s, d)),
+    "hits_scores" -> ((s, d) => Graph.hits(s, d)),
+    "mix_weights" -> ((s, d) => Curation.mixWeights(s, d)),
+    "vocab_coverage" -> ((s, d) => TextStats.vocabCoverage(s, d)),
+    "calibration_bins" -> ((s, d) => Ml.calibrationBins(s, d)),
     "fs_linkage" -> ((s, d) => Dedup.linkageWeights(s, d)),
     "substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
     "robust_scale" -> ((s, d) => Curation.robustScale(s, d)),
@@ -358,6 +362,33 @@ object SparkEntry {
       s"SELECT e.src AS id, count(*) AS core_deg FROM edges e" +
       s" JOIN a$rounds s ON e.src = s.id JOIN a$rounds t ON e.dst = t.id" +
       " GROUP BY e.src"
+  }
+
+  /** Unrolled HITS rounds (mirrors `Graph.hits`: directed c→sup pairs,
+    * L1 normalization per half-round, top-k cut on the 9-dp rounded
+    * score with id tiebreak). */
+  private def hitsOracleSql(rounds: Int, k: Int): String = {
+    val blocks = (1 to rounds).flatMap { r =>
+      Seq(
+        s"ar$r AS MATERIALIZED (SELECT sup, sum(h) AS a FROM pairs p" +
+          s" JOIN h${r - 1} USING (c) GROUP BY sup)",
+        s"a$r AS MATERIALIZED (SELECT sup," +
+          s" a / (SELECT sum(a) FROM ar$r) AS a FROM ar$r)",
+        s"hr$r AS MATERIALIZED (SELECT c, sum(a) AS h FROM pairs p" +
+          s" JOIN a$r USING (sup) GROUP BY c)",
+        s"h$r AS MATERIALIZED (SELECT c," +
+          s" h / (SELECT sum(h) FROM hr$r) AS h FROM hr$r)")
+    }
+    s"WITH $GraphCte,\n" +
+      "h0 AS (SELECT DISTINCT c, 1.0::DOUBLE AS h FROM pairs),\n" +
+      blocks.mkString(",\n") + "\n" +
+      "SELECT * FROM (SELECT 'auth' AS kind, sup AS id," +
+      s" round(a, 9) AS score FROM a$rounds" +
+      s" ORDER BY round(a, 9) DESC, sup LIMIT $k)\n" +
+      "UNION ALL\n" +
+      "SELECT * FROM (SELECT 'hub' AS kind, c AS id," +
+      s" round(h, 9) AS score FROM h$rounds" +
+      s" ORDER BY round(h, 9) DESC, c LIMIT $k)"
   }
 
   private def pprOracleSql(sources: Seq[Long], iters: Int, k: Int,
@@ -936,6 +967,38 @@ object SparkEntry {
          FROM scored""",
     "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10, danglingFree = true),
     "k_core" -> kCoreOracleSql(3, 6),
+    "hits_scores" -> hitsOracleSql(3, 20),
+    "mix_weights" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+             sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_docs, n_tokens,
+             round(pow(n_tokens, 0.3), 6) AS wr FROM per),
+         tot AS (SELECT sum(wr) AS tw, sum(n_tokens)::BIGINT AS tn FROM w)
+         SELECT source, n_docs, n_tokens,
+           round(wr / tw, 6) AS weight,
+           round(wr / tw * tn / n_tokens, 6) AS sample_factor
+         FROM w CROSS JOIN tot""",
+    "vocab_coverage" -> s"""$TokCte,
+         tok AS (SELECT unnest(ts) AS t FROM toks),
+         counts AS MATERIALIZED (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         tot AS (SELECT sum(c)::BIGINT AS total, count(*) AS vocab
+                 FROM counts),
+         ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+                    FROM counts),
+         th AS (SELECT unnest([10, 100, 1000]) AS n_top)
+         SELECT n_top, vocab AS vocab_size, sum(c)::BIGINT AS covered,
+           round(sum(c)::BIGINT / total, 9) AS coverage
+         FROM th JOIN ranked ON r <= n_top CROSS JOIN tot
+         GROUP BY n_top, vocab, total""",
+    "calibration_bins" -> s"""SELECT
+           least(floor(round((1.0 / (1.0 + exp(-score))) * 10, 5))::INT, 9)
+             AS bin,
+           count(*) AS n,
+           round(avg(1.0 / (1.0 + exp(-score))), 6) AS mean_p,
+           round(avg(label), 6) AS frac_pos
+         FROM ($sgdApplyOracle) GROUP BY bin""",
     "q13_shape" ->
       """SELECT c_count, count(*) AS custdist FROM (
            SELECT c_custkey, count(o_orderkey) AS c_count

@@ -398,4 +398,34 @@ object Curation {
       .filter(col("rnk") <= k)
       .select("o_orderpriority", "o_orderkey", "o_totalprice")
   }
+
+  /** α-temperature source mixing weights (the multi-source sampling
+    * table LLaMA/Pile-style pretraining mixes use): each source's
+    * sampling weight ∝ (token count)^α, α<1 up-weighting small sources,
+    * plus the implied per-source sampling factor (weight ÷ natural
+    * share — >1 means up-sampled). One full-scan aggregate to per-source
+    * token totals (whitespace-token `regexp_count`, the `token_counts`
+    * definition), then arithmetic over the tiny per-source frame; the
+    * corpus is read exactly once (`localCheckpoint` pins the per-source
+    * rows before the normalizer aggregate re-reads them). The `pow` is
+    * rounded to 6 dp BEFORE normalizing so both engines cut on the same
+    * doubles.
+    */
+  def mixWeights(s: SparkSession, dir: String,
+                 alpha: Double = 0.3): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("text"), lit("\\S+")).cast("long"))
+          .as("n_tokens"))
+      .withColumn("wr",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)), 6))
+      .localCheckpoint()
+    per.crossJoin(broadcast(per.agg(sum(col("wr")).as("_tw"),
+        sum(col("n_tokens")).as("_tn"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("wr") / col("_tw"), 6).as("weight"),
+        round(col("wr") / col("_tw") * col("_tn") / col("n_tokens"), 6)
+          .as("sample_factor"))
+  }
 }

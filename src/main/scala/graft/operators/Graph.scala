@@ -589,4 +589,55 @@ object Graph {
     restrict(active).groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("core_deg"))
   }
+
+  /** HITS hubs & authorities (Kleinberg) over the DIRECTED
+    * customer→supplier half of the bipartite graph: `rounds`
+    * synchronized mutual-reinforcement rounds (authority = sum of
+    * pointing hubs, hub = sum of pointed-to authorities), each side
+    * L1-normalized per round, then the top-`k` of each side by rounded
+    * score. Fixed round count so the DuckDB oracle unrolls the exact
+    * same updates.
+    *
+    * Each half-round is one equality join of the (cached) edge list
+    * with the current score vector plus a groupBy on the opposite
+    * endpoint — shuffles on vertex keys only, never on pairs. The
+    * normalizer is a lazy one-row aggregate crossJoined back
+    * (broadcast), not a driver action; un-normalized sums are
+    * `localCheckpoint`ed so the normalize step doesn't recompute the
+    * join. Final top-k is `orderBy(...).limit(k)` = distributed
+    * TakeOrdered, never a global single-partition sort. Ranking cuts
+    * on the 9-dp ROUNDED score (id tiebreak) so both engines make the
+    * same cut decisions.
+    */
+  def hits(s: SparkSession, dir: String, rounds: Int = 3,
+           k: Int = 20): DataFrame = {
+    val pairs = customerSupplierEdges(s, dir)
+      .filter(col("src") < lit(1000000L))
+      .select(col("src").as("c"), col("dst").as("sup")).persist()
+    graft.CacheScope.register(pairs) // eager: 2 joins per round read it
+    def l1(df: DataFrame, v: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(sum(col(v)).as("_tot"))))
+        .select(df.columns.filterNot(_ == v).map(col) :+
+          (col(v) / col("_tot")).as(v): _*)
+    var hub = pairs.select(col("c")).distinct()
+      .withColumn("h", lit(1.0)).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auth = l1(pairs.join(hub, "c")
+        .groupBy("sup").agg(sum(col("h")).as("a")).localCheckpoint(), "a")
+      hub = l1(pairs.join(auth, "sup")
+        .groupBy("c").agg(sum(col("a")).as("h")).localCheckpoint(), "h")
+    }
+    val topAuth = auth
+      .orderBy(round(col("a"), 9).desc, col("sup"))
+      .limit(k)
+      .select(lit("auth").as("kind"), col("sup").as("id"),
+        round(col("a"), 9).as("score"))
+    val topHub = hub
+      .orderBy(round(col("h"), 9).desc, col("c"))
+      .limit(k)
+      .select(lit("hub").as("kind"), col("c").as("id"),
+        round(col("h"), 9).as("score"))
+    topAuth.unionAll(topHub)
+  }
 }

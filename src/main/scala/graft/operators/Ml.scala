@@ -202,4 +202,25 @@ object Ml {
     applyQuery(s, dir)
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Calibration table (reliability-diagram bins) of the single-model
+    * classifier: sigmoid the margin into p∈(0,1), decile-bin, and per
+    * bin report count, mean predicted probability, and the empirical
+    * positive rate — the curve that says whether scores are usable as
+    * probabilities. Binning cuts on `floor(round(p·10, 5))` — rounded
+    * BEFORE the floor so a last-ulp `exp` difference between engines
+    * can't flip a bin — clamped so p=1 lands in the top bin. One
+    * partial-agg shuffle over ≤10 keys on top of the scored frame.
+    */
+  def calibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val p = lit(1.0) / (lit(1.0) + exp(-col("score")))
+    applyQuery(s, dir)
+      .select(col("label"), p.as("p"))
+      .withColumn("bin",
+        least(floor(round(col("p") * 10, 5)).cast("int"), lit(9)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("mean_p"),
+        round(avg(col("label")), 6).as("frac_pos"))
+  }
 }

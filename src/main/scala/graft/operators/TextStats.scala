@@ -414,4 +414,39 @@ object TextStats {
         .as("kn_logprob"),
         count(lit(1)).as("n_bigrams"))
   }
+
+  /** Vocabulary coverage curve: what fraction of all corpus token
+    * occurrences the top-N most frequent types cover, at a few N
+    * thresholds — the diagnostic behind vocab-size / tokenizer-budget
+    * decisions. One shuffle to global type counts, then a DISTRIBUTED
+    * top-(max N) (`orderBy.limit` = TakeOrdered, never a global
+    * single-partition sort of the whole vocabulary); the tiny top slice
+    * gets a row_number and a broadcast range-join against the threshold
+    * list. Covered counts stay in exact long arithmetic; the only
+    * double is the final ratio, so parity is bitwise.
+    */
+  def vocabCoverage(s: SparkSession, dir: String,
+                    thresholds: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokenized(s, dir)
+      .select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist()
+    CacheScope.register(counts) // eager: totals + top slice both read it
+    val totals = counts.agg(sum(col("c")).as("_total"),
+      count(lit(1)).as("_vocab"))
+    // tiny (≤ max threshold) slice: single-partition window is fine
+    val ranked = counts.orderBy(col("c").desc, col("t"))
+      .limit(thresholds.max)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("t"))))
+    val thDf = counts.sparkSession
+      .createDataFrame(thresholds.map(Tuple1(_))).toDF("n_top")
+    broadcast(thDf).join(ranked, col("r") <= col("n_top"))
+      .groupBy("n_top").agg(sum(col("c")).as("covered"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_top"), col("_vocab").as("vocab_size"), col("covered"),
+        round(col("covered").cast("double") / col("_total"), 9)
+          .as("coverage"))
+  }
 }
