@@ -115,6 +115,10 @@ object SparkEntry {
     "mix_weights" -> ((s, d) => Curation.mixWeights(s, d)),
     "vocab_coverage" -> ((s, d) => TextStats.vocabCoverage(s, d)),
     "calibration_bins" -> ((s, d) => Ml.calibrationBins(s, d)),
+    "phrase_query" -> ((s, d) => Index.phraseQuery(s, d)),
+    "adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
+    "top_paths" -> ((s, d) => Events.topPaths(s, d)),
+    "naive_bayes" -> ((s, d) => Ml.naiveBayes(s, d)),
     "fs_linkage" -> ((s, d) => Dedup.linkageWeights(s, d)),
     "substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
     "robust_scale" -> ((s, d) => Curation.robustScale(s, d)),
@@ -992,6 +996,72 @@ object SparkEntry {
            round(sum(c)::BIGINT / total, 9) AS coverage
          FROM th JOIN ranked ON r <= n_top CROSS JOIN tot
          GROUP BY n_top, vocab, total""",
+    "phrase_query" -> s"""$TokCte,
+         pos AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ts) + 1),
+               i -> {'p': i, 'term': ts[i]})) AS u
+           FROM toks),
+         pp AS (SELECT doc_id, u.p AS p, u.term AS term FROM pos
+                WHERE u.term IN ('order', 'fast'))
+         SELECT a.doc_id AS doc_id, count(*) AS n_occur
+         FROM pp a JOIN pp b
+           ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         WHERE a.term = 'order' AND b.term = 'fast'
+         GROUP BY a.doc_id""",
+    "adamic_adar" -> s"""WITH $GraphCte,
+         deg AS (SELECT c, count(*) AS deg FROM pairs GROUP BY c),
+         wb AS (SELECT p.c, p.sup, 1.0 / ln(deg) AS w
+                FROM pairs p JOIN deg USING (c)
+                WHERE deg BETWEEN 2 AND 64),
+         sc AS (SELECT a.sup AS s1, b.sup AS s2,
+                  round(sum(a.w), 6) AS aa_score, count(*) AS common
+                FROM wb a JOIN wb b ON a.c = b.c AND a.sup < b.sup
+                GROUP BY a.sup, b.sup)
+         SELECT s1, s2, aa_score, common FROM sc
+         ORDER BY aa_score DESC, s1, s2 LIMIT 50""",
+    "top_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq FROM e),
+         r AS (
+           SELECT user_id, session_seq, event_type,
+                  row_number() OVER (PARTITION BY user_id, session_seq
+                    ORDER BY ts, event_id) AS rn
+           FROM s),
+         p AS (
+           SELECT user_id, session_seq,
+                  string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM r WHERE rn <= 3 GROUP BY user_id, session_seq)
+         SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 15""",
+    "naive_bayes" -> s"""$TokCte,
+         docs AS (SELECT d.doc_id, ts, (lang = 'en')::INT AS y
+                  FROM documents d JOIN toks USING (doc_id)),
+         tok AS (SELECT doc_id, y, unnest(ts) AS tkn FROM docs),
+         tc AS (SELECT tkn, sum(y)::BIGINT AS c1,
+                  sum(1 - y)::BIGINT AS c0 FROM tok GROUP BY tkn),
+         tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c0)::BIGINT AS n0,
+                  count(*) AS v FROM tc),
+         nd AS (SELECT sum(y)::BIGINT AS d1, count(*) AS d FROM docs),
+         sc AS (SELECT doc_id,
+                  sum(ln((c1 + 1.0) / (n1 + v))
+                      - ln((c0 + 1.0) / (n0 + v))) AS llr_tok
+                FROM tok JOIN tc USING (tkn) CROSS JOIN tot
+                GROUP BY doc_id),
+         fin AS (SELECT ds.doc_id,
+                  round(coalesce(llr_tok, 0.0)
+                        + ln(d1 / (d - d1)), 6) AS llr
+                 FROM docs ds LEFT JOIN sc USING (doc_id) CROSS JOIN nd)
+         SELECT doc_id, llr,
+                CASE WHEN llr > 0 THEN 'en' ELSE 'other' END AS pred
+         FROM fin""",
     "calibration_bins" -> s"""SELECT
            least(floor(round((1.0 / (1.0 + exp(-score))) * 10, 5))::INT, 9)
              AS bin,

@@ -842,4 +842,37 @@ object Events {
       .filter(abs(col("z")) >= cut)
       .select("event_id", "event_type", "value", "z")
   }
+
+  /** Top session paths: the `plen`-event-type prefix of every session
+    * (same 30-min-gap sessionization as `sessionize`), joined with `>`
+    * into a path string, counted, top-k paths. The funnel-discovery
+    * complement of `funnelConversion`'s fixed funnel: this one MINES
+    * the common paths. Same single exchange on user_id as sessionize;
+    * the per-session prefix comes from a bounded `slice` of the
+    * sorted event list (struct sort on (ts, event_id) keeps tie order
+    * deterministic), and the path count is a second ≤|paths|-key
+    * shuffle. Top-k cuts on (count, path) — fully deterministic.
+    */
+  def topPaths(s: SparkSession, dir: String, gapMinutes: Int = 30,
+               plen: Int = 3, k: Int = 15): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val epoch = unix_timestamp(col("ts"))
+    val prev = lag(epoch, 1).over(w)
+    val newSession = when(
+      prev.isNull || (epoch - prev > gapMinutes * 60L), 1).otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("new_s", newSession)
+      .withColumn("session_seq",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_join(
+        slice(transform(
+          sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")), 1, plen), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -640,4 +640,36 @@ object Graph {
         round(col("h"), 9).as("score"))
     topAuth.unionAll(topHub)
   }
+
+  /** Adamic–Adar link prediction between suppliers through shared
+    * customers: for every supplier pair with a common customer,
+    * score = Σ 1/ln(deg(customer)) over the common customers, top-k
+    * pairs. The wedge join fans out quadratically in customer degree,
+    * so customers are DEGREE-CAPPED before the join (deg ∈ [2, cap]):
+    * Σ deg² ≤ cap·|E| bounds wedge volume linearly in the edge count —
+    * the orientation-free analogue of the triangle census's
+    * degree-orient fix; a hub customer linked to every supplier says
+    * nothing about supplier affinity anyway (the usual IDF-style
+    * justification). Cut decisions (top-k) happen on the 6-dp ROUNDED
+    * score with pair tiebreak, so both engines rank identically.
+    */
+  def adamicAdar(s: SparkSession, dir: String, k: Int = 50,
+                 degCap: Int = 64): DataFrame = {
+    val adj = customerSupplierEdges(s, dir)
+      .filter(col("src") < lit(1000000L))
+      .select(col("src").as("c"), col("dst").as("sup"))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+      .filter(col("deg").between(2, degCap))
+    val wb = adj.join(deg, "c")
+      .select(col("c"), col("sup"), (lit(1.0) / log(col("deg"))).as("w"))
+      .persist()
+    graft.CacheScope.register(wb) // eager: both wedge sides read it
+    wb.join(wb.select(col("c"), col("sup").as("s2")), "c")
+      .filter(col("sup") < col("s2"))
+      .groupBy(col("sup").as("s1"), col("s2"))
+      .agg(round(sum(col("w")), 6).as("aa_score"),
+        count(lit(1)).as("common"))
+      .orderBy(col("aa_score").desc, col("s1"), col("s2"))
+      .limit(k)
+  }
 }

@@ -190,4 +190,34 @@ object Index {
     booleanQuery(s, dir, query)
       .join(Tables.documents(s, dir), "doc_id")
       .select("doc_id", "text")
+
+  /** Phrase retrieval over a POSITIONAL index: docs containing the
+    * two-word phrase `w1 w2` as adjacent tokens, with the occurrence
+    * count. The positional postings are (term, doc_id, position) rows —
+    * the standard next-word index — and a phrase match is an equality
+    * join `pos₂ = pos₁ + 1` within the doc. The corpus is tokenized
+    * ONCE and restricted to the two query terms immediately after the
+    * generator (on a STORED positional index this restriction is the
+    * parquet dictionary/min-max prune `termLookup` rides); the tiny
+    * two-term slice is cached and joined with itself, so the join is
+    * tiny-vs-tiny regardless of corpus size — never a
+    * positions×positions blowup.
+    */
+  def phraseQuery(s: SparkSession, dir: String,
+                  w1: String = "order", w2: String = "fast"): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokenize(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("term"))
+      .filter(col("term").isin(w1, w2))
+      .persist()
+    CacheScope.register(pos) // eager: both phrase sides read it
+    val a = pos.filter(col("term") === w1)
+      .select(col("doc_id"), col("p"))
+    val b = pos.filter(col("term") === w2)
+      .select(col("doc_id").as("doc_id_b"), col("p").as("p_b"))
+    a.join(b, col("doc_id") === col("doc_id_b") &&
+        col("p_b") === col("p") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occur"))
+  }
 }

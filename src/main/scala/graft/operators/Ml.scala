@@ -3,7 +3,7 @@ package graft.operators
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 import graft.functions.TextFns._
 import graft.expressions.HashExpressions.polyHashArray
 
@@ -212,6 +212,44 @@ object Ml {
     * can't flip a bin — clamped so p=1 lands in the top bin. One
     * partial-agg shuffle over ≤10 keys on top of the scored frame.
     */
+  /** Multinomial Naive Bayes language classifier trained and applied
+    * in one pipeline: per-token class counts with add-one smoothing
+    * over a global vocabulary, per-document log-likelihood ratio
+    * (token term + class-prior term), predict on the ROUNDED llr's
+    * sign so a last-ulp `ln` divergence between engines can't flip a
+    * label. All model statistics are exact integer counts (one
+    * token-key shuffle); scoring is one join of the token stream
+    * against the (vocabulary-sized) count table plus a per-doc sum —
+    * the same two-shuffle shape as `Index.termDf` + `score`, nothing
+    * driver-side. Token-less documents keep their row via the left
+    * join and score on the prior alone.
+    */
+  def naiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"),
+        (col("lang") === "en").cast("int").as("y"))
+      .persist()
+    CacheScope.register(docs) // eager: priors + tokens + output keys
+    val tok = docs.select(col("doc_id"), col("y"), explode(col("ts")).as("t"))
+    val tc = tok.groupBy("t").agg(
+      sum(col("y")).as("c1"), sum(lit(1) - col("y")).as("c0"))
+    val totals = tc.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+      count(lit(1)).as("v"))
+    val nd = docs.agg(sum(col("y")).as("d1"), count(lit(1)).as("d"))
+    val scored = tok.join(tc, "t").crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log((col("c1") + lit(1.0)) / (col("n1") + col("v"))) -
+          log((col("c0") + lit(1.0)) / (col("n0") + col("v")))).as("llr_t"))
+      .groupBy("doc_id").agg(sum(col("llr_t")).as("llr_tok"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"),
+        round(coalesce(col("llr_tok"), lit(0.0)) +
+          log(col("d1") / (col("d") - col("d1"))), 6).as("llr"))
+      .withColumn("pred", when(col("llr") > 0, "en").otherwise("other"))
+  }
+
   def calibrationBins(s: SparkSession, dir: String): DataFrame = {
     val p = lit(1.0) / (lit(1.0) + exp(-col("score")))
     applyQuery(s, dir)
