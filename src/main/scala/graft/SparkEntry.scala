@@ -119,6 +119,10 @@ object SparkEntry {
     "adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     "top_paths" -> ((s, d) => Events.topPaths(s, d)),
     "naive_bayes" -> ((s, d) => Ml.naiveBayes(s, d)),
+    "prf_metrics" -> ((s, d) => Ml.prfMetrics(s, d)),
+    "skew_report" -> ((s, d) => Relational.skewReport(s, d)),
+    "incremental_agg" -> ((s, d) => Events.incrementalAgg(s, d)),
+    "table_checksums" -> ((s, d) => Relational.tableChecksums(s, d)),
     "fs_linkage" -> ((s, d) => Dedup.linkageWeights(s, d)),
     "substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
     "robust_scale" -> ((s, d) => Curation.robustScale(s, d)),
@@ -1062,6 +1066,39 @@ object SparkEntry {
          SELECT doc_id, llr,
                 CASE WHEN llr > 0 THEN 'en' ELSE 'other' END AS pred
          FROM fin""",
+    "prf_metrics" -> s"""SELECT tp, fp, fn, tn,
+           round(tp / (tp + fp), 6) AS prec,
+           round(tp / (tp + fn), 6) AS rec,
+           round((tp + tp) / (tp + tp + fp + fn), 6) AS f1,
+           round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy
+         FROM (SELECT
+           sum(CASE WHEN label = 1.0 AND pred = 'spam' THEN 1 ELSE 0 END)
+             ::BIGINT AS tp,
+           sum(CASE WHEN label = 0.0 AND pred = 'spam' THEN 1 ELSE 0 END)
+             ::BIGINT AS fp,
+           sum(CASE WHEN label = 1.0 AND pred = 'ham' THEN 1 ELSE 0 END)
+             ::BIGINT AS fn,
+           sum(CASE WHEN label = 0.0 AND pred = 'ham' THEN 1 ELSE 0 END)
+             ::BIGINT AS tn
+          FROM ($sgdApplyOracle))""",
+    "skew_report" ->
+      """SELECT n_rows, n_keys, max_cnt,
+           round(n_rows / n_keys, 6) AS avg_cnt,
+           round(max_cnt * n_keys / n_rows, 6) AS skew_factor
+         FROM (SELECT sum(c)::BIGINT AS n_rows, count(*) AS n_keys,
+                 max(c) AS max_cnt
+               FROM (SELECT count(*) AS c FROM lineitem
+                     GROUP BY l_orderkey))""",
+    "incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+           round(sum(value::DECIMAL(18,6))::DOUBLE, 4) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY event_type""",
+    "table_checksums" ->
+      """SELECT doc_id % 64 AS bucket, count(*) AS n_rows,
+           sum((doc_id * 8388593 + n_chars * 31) % 2147483648)::BIGINT
+             AS checksum
+         FROM documents GROUP BY bucket""",
     "calibration_bins" -> s"""SELECT
            least(floor(round((1.0 / (1.0 + exp(-score))) * 10, 5))::INT, 9)
              AS bin,

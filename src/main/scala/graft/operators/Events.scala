@@ -853,6 +853,35 @@ object Events {
     * deterministic), and the path count is a second ≤|paths|-key
     * shuffle. Top-k cuts on (count, path) — fully deterministic.
     */
+  /** Incremental aggregate maintenance: a standing per-type aggregate
+    * (count/sum/min/max) kept current by MERGING a new batch's partial
+    * aggregate into the stored state instead of rescanning history —
+    * the pattern behind every incrementally-maintained 100 TB rollup.
+    * The split point divides events into "state" and "delta"; each
+    * side aggregates independently (in production the state side is a
+    * stored table, not a scan), then the merge is a re-aggregate over
+    * 2×|groups| rows: counts/sums add, min/max fold. The oracle
+    * computes the full-table aggregate directly — passing proves the
+    * merge is lossless. Sums merge in DECIMAL so the merge order
+    * cannot perturb the result.
+    */
+  def incrementalAgg(s: SparkSession, dir: String,
+                     splitDay: Int = 25): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        dayofmonth(col("ts")).as("dom"))
+    def part(df: DataFrame): DataFrame = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    part(ev.filter(col("dom") < splitDay))
+      .unionAll(part(ev.filter(col("dom") >= splitDay)))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("sv")).cast("double"), 4).as("sum_value"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+  }
+
   def topPaths(s: SparkSession, dir: String, gapMinutes: Int = 30,
                plen: Int = 3, k: Int = 15): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -212,6 +212,34 @@ object Ml {
     * can't flip a bin — clamped so p=1 lands in the top bin. One
     * partial-agg shuffle over ≤10 keys on top of the scored frame.
     */
+  /** Precision/recall/F1/accuracy of the single-model classifier
+    * (positive class = spam ≡ label 1.0), derived from the same four
+    * confusion cells `confusionQuery` emits — one conditional-count
+    * aggregate to a single row, every ratio rounded at 6 dp. The
+    * scored frame collapses to four longs in one partial-agg shuffle,
+    * so this costs the same as `confusionQuery` at any scale.
+    */
+  def prfMetrics(s: SparkSession, dir: String): DataFrame = {
+    val tp = sum(when(col("label") === 1.0 && col("pred") === "spam", 1L)
+      .otherwise(0L))
+    val fp = sum(when(col("label") === 0.0 && col("pred") === "spam", 1L)
+      .otherwise(0L))
+    val fn = sum(when(col("label") === 1.0 && col("pred") === "ham", 1L)
+      .otherwise(0L))
+    val tn = sum(when(col("label") === 0.0 && col("pred") === "ham", 1L)
+      .otherwise(0L))
+    applyQuery(s, dir)
+      .agg(tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp") / (col("tp") + col("fp")), 6).as("prec"),
+        round(col("tp") / (col("tp") + col("fn")), 6).as("rec"),
+        round((col("tp") + col("tp")) /
+          (col("tp") + col("tp") + col("fp") + col("fn")), 6).as("f1"),
+        round((col("tp") + col("tn")) /
+          (col("tp") + col("fp") + col("fn") + col("tn")), 6)
+          .as("accuracy"))
+  }
+
   /** Multinomial Naive Bayes language classifier trained and applied
     * in one pipeline: per-token class counts with add-one smoothing
     * over a global vocabulary, per-document log-likelihood ratio

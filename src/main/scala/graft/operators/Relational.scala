@@ -1451,4 +1451,41 @@ object Relational {
       .select(col("o_orderpriority"), col("l_returnflag").as("mode_flag"),
         col("cnt"))
   }
+
+  /** Join-key skew report — the pre-flight diagnostic a planner (or an
+    * engineer) reads before shuffling 100 TB on a key: row count,
+    * distinct keys, max/avg per-key multiplicity, and their ratio (the
+    * skew factor AQE's skew-join mitigation triggers on), for the
+    * lineitem⋈orders key. Two aggregates (per-key counts, then global
+    * moments over the key histogram) — the same cost shape as
+    * `degreeDistribution`. The avg is an exact integer ratio so both
+    * engines divide identical doubles.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("n_rows") / col("n_keys"), 6).as("avg_cnt"),
+        round(col("max_cnt") * col("n_keys") / col("n_rows"), 6)
+          .as("skew_factor"))
+
+  /** Per-bucket table checksums — the anti-entropy fingerprint two
+    * replicas (or a source and its migrated copy) exchange to find
+    * diverging buckets without moving data: documents hashed row-wise
+    * with the engine's overflow-free multiplicative fold (id and
+    * n_chars both feed the fold, so a changed row, not just a missing
+    * one, flips its bucket), summed per `buckets`-way id bucket. One
+    * partial-agg shuffle over `buckets` keys; comparing two tables is
+    * then a `buckets`-row join, not a row-level diff.
+    */
+  def tableChecksums(s: SparkSession, dir: String,
+                     buckets: Int = 64): DataFrame =
+    Tables.documents(s, dir)
+      .select(pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        pmod(col("doc_id") * lit(8388593L) + col("n_chars") * lit(31L),
+          lit(2147483648L)).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
 }
