@@ -123,6 +123,14 @@ object SparkEntry {
     "skew_report" -> ((s, d) => Relational.skewReport(s, d)),
     "incremental_agg" -> ((s, d) => Events.incrementalAgg(s, d)),
     "table_checksums" -> ((s, d) => Relational.tableChecksums(s, d)),
+    "label_prop" -> ((s, d) => Graph.labelPropagation(s, d)),
+    "dsir_weights" -> ((s, d) => Curation.dsirWeights(s, d)),
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    "scd2_history" -> ((s, d) => Relational.scd2History(s, d)),
+    "jaccard_prefix_filter" -> ((s, d) => Dedup.jaccardPrefixFilter(s, d, 0.8)),
+    "ols_trend" -> ((s, d) => Events.olsTrend(s, d)),
+    "markov_stationary" -> ((s, d) => Events.markovStationary(s, d)),
+    "attribution" -> ((s, d) => Events.attribution(s, d)),
     "fs_linkage" -> ((s, d) => Dedup.linkageWeights(s, d)),
     "substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
     "robust_scale" -> ((s, d) => Curation.robustScale(s, d)),
@@ -1099,6 +1107,157 @@ object SparkEntry {
            sum((doc_id * 8388593 + n_chars * 31) % 2147483648)::BIGINT
              AS checksum
          FROM documents GROUP BY bucket""",
+    "label_prop" -> s"""WITH $GraphCte,
+         l0 AS (SELECT id, id AS lbl FROM nodes),
+         c1 AS (SELECT e.src AS id, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l0 l ON e.dst = l.id GROUP BY 1, 2),
+         l1 AS (SELECT id, lbl FROM (
+                  SELECT id, lbl, row_number() OVER
+                    (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+                  FROM c1) WHERE rn = 1),
+         c2 AS (SELECT e.src AS id, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l1 l ON e.dst = l.id GROUP BY 1, 2),
+         l2 AS (SELECT id, lbl FROM (
+                  SELECT id, lbl, row_number() OVER
+                    (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+                  FROM c2) WHERE rn = 1),
+         c3 AS (SELECT e.src AS id, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l2 l ON e.dst = l.id GROUP BY 1, 2),
+         l3 AS (SELECT id, lbl FROM (
+                  SELECT id, lbl, row_number() OVER
+                    (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+                  FROM c3) WHERE rn = 1)
+         SELECT lbl AS community, count(*) AS members FROM l3
+         GROUP BY lbl ORDER BY members DESC, community LIMIT 20""",
+    "dsir_weights" ->
+      """WITH dtoks AS (
+           SELECT doc_id, lang,
+             list_filter(list_transform(string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         tfc AS (SELECT doc_id, lang, w, count(*)::BIGINT AS c
+                 FROM (SELECT doc_id, lang, unnest(ts) AS w FROM dtoks)
+                 GROUP BY 1, 2, 3),
+         raw AS (SELECT w, sum(c)::BIGINT AS rc FROM tfc GROUP BY w),
+         tgt AS (SELECT w, sum(c)::BIGINT AS tc FROM tfc
+                 WHERE lang = 'en' GROUP BY w),
+         lm AS (SELECT r.w, rc, coalesce(tc, 0)::BIGINT AS tc
+                FROM raw r LEFT JOIN tgt USING (w)),
+         tot AS (SELECT sum(rc)::BIGINT AS rtot, sum(tc)::BIGINT AS ttot,
+                   count(*)::BIGINT AS v FROM lm),
+         lr AS (SELECT w, round(
+                  ln((tc + 1)::DOUBLE / (ttot + v))
+                    - ln((rc + 1)::DOUBLE / (rtot + v)), 9) AS lr
+                FROM lm, tot)
+         SELECT doc_id, round(sum(c * lr), 6) AS log_weight
+         FROM tfc JOIN lr USING (w)
+         GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 50""",
+    "source_overlap" ->
+      """WITH stoks AS (
+           SELECT source,
+             list_filter(list_transform(string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT source, list_distinct(
+             CASE WHEN len(ts) >= 3
+               THEN list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               ELSE [array_to_string(ts, ' ')] END) AS shs
+           FROM stoks),
+         ex AS (SELECT DISTINCT source, sh
+                FROM (SELECT source, unnest(shs) AS sh FROM sh)),
+         sizes AS (SELECT source, count(*)::BIGINT AS n
+                   FROM ex GROUP BY source),
+         inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     count(*)::BIGINT AS inter
+                   FROM ex a JOIN ex b
+                     ON a.sh = b.sh AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT src_a, src_b, inter,
+           round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON src_a = sa.source
+         JOIN sizes sb ON src_b = sb.source
+         ORDER BY src_a, src_b""",
+    "ols_trend" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS day,
+             count(*)::BIGINT AS y
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, count(*)::BIGINT AS n_days,
+             sum(day)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(day * y)::BIGINT AS sxy, sum(day * day)::BIGINT AS sxx
+           FROM daily GROUP BY event_type)
+         SELECT event_type, n_days,
+           round((n_days * sxy - sx * sy)::DOUBLE
+             / (n_days * sxx - sx * sx), 6) AS slope,
+           round((sy * sxx - sx * sxy)::DOUBLE
+             / (n_days * sxx - sx * sx), 6) AS intercept
+         FROM stats ORDER BY event_type""",
+    "markov_stationary" ->
+      """WITH seq AS (
+           SELECT event_type, lead(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events),
+         tr AS (SELECT event_type AS cur, nxt, count(*)::BIGINT AS c
+                FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT cur, sum(c)::BIGINT AS tc FROM tr GROUP BY cur),
+         p AS (SELECT cur, nxt, round(c / tc, 9) AS p
+               FROM tr JOIN tot USING (cur)),
+         states AS (SELECT DISTINCT cur AS st FROM tr),
+         v0 AS (SELECT st,
+                  round(1.0 / (SELECT count(*) FROM states), 9) AS vp
+                FROM states),
+         v1 AS (SELECT nxt AS st, round(sum(vp * p), 9) AS vp
+                FROM v0 JOIN p ON st = cur GROUP BY nxt),
+         v2 AS (SELECT nxt AS st, round(sum(vp * p), 9) AS vp
+                FROM v1 JOIN p ON st = cur GROUP BY nxt),
+         v3 AS (SELECT nxt AS st, round(sum(vp * p), 9) AS vp
+                FROM v2 JOIN p ON st = cur GROUP BY nxt)
+         SELECT st AS state, round(vp, 6) AS prob FROM v3 ORDER BY state""",
+    "attribution" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_ms(ts) // 1000 AS ep, event_id
+           FROM events),
+         pur AS (SELECT user_id, ep AS pep, event_id AS pid
+                 FROM ev WHERE event_type = 'purchase'),
+         tch AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+         r AS (SELECT p.user_id, p.pid, t.event_type,
+                 row_number() OVER (PARTITION BY p.user_id, p.pid
+                   ORDER BY t.ep, t.event_id) AS rf,
+                 row_number() OVER (PARTITION BY p.user_id, p.pid
+                   ORDER BY t.ep DESC, t.event_id DESC) AS rl
+               FROM pur p JOIN tch t ON p.user_id = t.user_id
+                 AND t.ep < p.pep AND t.ep >= p.pep - 7 * 86400),
+         ft AS (SELECT event_type AS channel, count(*)::BIGINT AS first_touch
+                FROM r WHERE rf = 1 GROUP BY 1),
+         lt AS (SELECT event_type AS channel, count(*)::BIGINT AS last_touch
+                FROM r WHERE rl = 1 GROUP BY 1)
+         SELECT coalesce(f.channel, l.channel) AS channel,
+           coalesce(first_touch, 0)::BIGINT AS first_touch,
+           coalesce(last_touch, 0)::BIGINT AS last_touch
+         FROM ft f FULL JOIN lt l ON f.channel = l.channel
+         ORDER BY channel""",
+    "scd2_history" ->
+      """WITH base AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         ch AS (SELECT * FROM base
+                WHERE prev IS NULL OR prev <> o_orderpriority)
+         SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%d') AS eff_from,
+           strftime(lead(o_orderdate) OVER w2, '%Y-%m-%d') AS eff_to,
+           row_number() OVER w2 AS version
+         FROM ch
+         WINDOW w2 AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)""",
     "calibration_bins" -> s"""SELECT
            least(floor(round((1.0 / (1.0 + exp(-score))) * 10, 5))::INT, 9)
              AS bin,
@@ -1266,6 +1425,8 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY text""",
     "dedup_jaccard" -> JaccardSql,
+    // lossless prefix filter ⇒ must reproduce the exact join bit-for-bit
+    "jaccard_prefix_filter" -> JaccardSql,
     // MinHash+LSH with 64 hashes / 16 bands has ~0.9998+ recall at
     // j>=0.8 and exact-Jaccard verification of candidates, so on
     // non-adversarial data its result equals the exact operator's.

@@ -428,4 +428,48 @@ object Curation {
         round(col("wr") / col("_tw") * col("_tn") / col("n_tokens"), 6)
           .as("sample_factor"))
   }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its unigrams are under a TARGET
+    * distribution (here: the `lang = 'en'` slice) than under the RAW
+    * corpus distribution — log w(d) = Σ_w c_{d,w}·(ln p_tgt(w) −
+    * ln p_raw(w)), add-one smoothing over the raw vocabulary — and
+    * keep the top-`k` docs. DSIR proper hashes n-grams into buckets;
+    * unigrams-as-features keeps the estimator exactly restatable in
+    * SQL (no engine-specific hash) without changing the structure.
+    *
+    * One tokenize scan → (doc, word) counts; both language models are
+    * tiny per-word aggregates of that frame; the per-word log-ratio
+    * joins back on the word key (at 100 TB the LM table is ≤ vocab
+    * rows — broadcastable). The log-ratio is rounded to 9 dp BEFORE
+    * the per-doc sum (libm vs Math.log last-ulp), the doc score to
+    * 6 dp before the top-k cut, so both engines rank identically.
+    */
+  def dsirWeights(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokenize(col("text")).as("ts"))
+      .select(col("doc_id"), col("lang"), explode(col("ts")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+      .persist()
+    CacheScope.register(tf) // eager: raw LM, target LM, and scoring scans
+    val raw = tf.groupBy("w").agg(sum(col("c")).as("rc"))
+    val tgt = tf.filter(col("lang") === "en")
+      .groupBy("w").agg(sum(col("c")).as("tc"))
+    val lm = raw.join(tgt, Seq("w"), "left")
+      .na.fill(0L, Seq("tc"))
+      .localCheckpoint() // totals below re-read it
+    val lr = lm.crossJoin(broadcast(lm.agg(
+        sum(col("rc")).as("_rtot"), sum(col("tc")).as("_ttot"),
+        count(lit(1)).as("_v"))))
+      .select(col("w"), round(
+        log((col("tc") + 1).cast("double") / (col("_ttot") + col("_v"))) -
+          log((col("rc") + 1).cast("double") / (col("_rtot") + col("_v"))),
+        9).as("lr"))
+    tf.join(lr, "w")
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lr")), 6).as("log_weight"))
+      .orderBy(col("log_weight").desc, col("doc_id"))
+      .limit(k)
+  }
 }

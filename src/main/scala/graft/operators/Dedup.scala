@@ -519,4 +519,94 @@ object Dedup {
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         round(col("n_dup_windows") / col("n_windows"), 6).as("dup_frac"))
   }
+
+  /** PPJoin-style PREFIX-FILTERED exact set-similarity join (Chaudhuri
+    * SSJoin / Xiao PPJoin): same output as [[jaccardPairs]] at the same
+    * threshold, but candidates come only from pairs sharing a token in
+    * their canonical-order PREFIX — each doc indexes just its
+    * `|s| − ⌈t·|s|⌉ + 1` globally-rarest shingles (df-then-shingle
+    * order), which is the provably-lossless prefix for Jaccard ≥ t: a
+    * qualifying pair's common tokens can't all hide in the suffix
+    * (|x∩y| ≥ t·|x| > |suffix|). At t=0.8 the index is ~20% of the
+    * corpus, so candidate volume (and bucket skew — rare tokens have
+    * tiny df by construction) drops ~25× vs the full inverted-index
+    * self-join while staying EXACT, unlike MinHash's probabilistic
+    * recall. Verification joins the (small) candidate-pair set back
+    * to the full postings on co-located (doc, shingle) keys.
+    *
+    * The ⌈t·|s|⌉ is computed on the 9-dp-rounded product so binary
+    * float fuzz (0.8·5 = 4.0000…004) can't shorten a prefix and cost
+    * recall. The CORRECTNESS oracle is the same exact-Jaccard SQL as
+    * `dedup_jaccard` — passing means the filter lost nothing.
+    */
+  def jaccardPrefixFilter(s: SparkSession, dir: String,
+                          threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docSh = docShingles(s, dir, n).persist()
+    CacheScope.register(docSh)
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
+    val ex = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .persist()
+    CacheScope.register(ex) // eager: df count, prefix, and both verify joins
+    val df = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(df, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <=
+        col("nsh") - ceil(round(lit(threshold) * col("nsh"), 9)) + 1)
+      .select("doc_id", "sh")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Cross-source corpus overlap matrix: shingle-set Jaccard between
+    * every pair of `source` values — the corpus-level dedup telemetry a
+    * multi-source pretraining mix needs (how much of source A is
+    * already in source B decides dedup order and mixing weights).
+    *
+    * The pair generator is an inverted shingle→source join over the
+    * DISTINCT (source, shingle) projection, so per-shingle fan-out is
+    * bounded by the number of sources (a handful), never by document
+    * multiplicity: Σ|bucket|² ≤ |sources|²·|shingles| — linear in
+    * corpus size at any scale. Set sizes come off the same projection;
+    * Jaccard is exact (intersection / union via inclusion-exclusion),
+    * rounded to 6 dp on output only (counts are integers — no float
+    * parity hazard in the join or cut).
+    */
+  def sourceOverlap(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val ts = Tables.documents(s, dir)
+      .select(col("source"), tokenize(col("text")).as("ts"))
+    val ex = ts
+      .select(col("source"), explode(array_distinct(shingles(col("ts"), n)))
+        .as("sh"))
+      .distinct()
+      .persist()
+    CacheScope.register(ex) // eager: sizes + both join sides read it
+    val sizes = ex.groupBy("source").agg(count(lit(1)).as("n"))
+    ex.join(ex.select(col("sh"), col("source").as("src_b")), "sh")
+      .filter(col("source") < col("src_b"))
+      .groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -672,4 +672,44 @@ object Graph {
       .orderBy(col("aa_score").desc, col("s1"), col("s2"))
       .limit(k)
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al.) over
+    * the undirected customer⇄supplier graph: labels start as vertex
+    * ids; each round every vertex adopts its neighbors' modal label
+    * with a DETERMINISTIC tie-break (count desc, then min label) so
+    * the rounds are exactly restatable — the DuckDB oracle unrolls the
+    * same update rule per round; asynchronous/randomized LPA variants
+    * trade that determinism for faster mixing. Output is the top-`k`
+    * communities by final size.
+    *
+    * Per round: one equality join of the (cached) symmetric edge list
+    * against the label vector on the neighbor key, a (vertex, label)
+    * count, and a per-vertex argmax window — every shuffle is on a
+    * vertex key, message volume is |E| rows/round, and the argmax
+    * window partitions by vertex (never a global sort). Labels are
+    * `localCheckpoint`ed per round: the next round's join would
+    * otherwise replay the whole prefix and double the plan per round.
+    */
+  def labelPropagation(s: SparkSession, dir: String, rounds: Int = 3,
+                       k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = customerSupplierEdges(s, dir).persist()
+    CacheScope.register(e) // eager: one join per round reads it
+    var lab = e.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lab = e.join(lab.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("cnt").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select("id", "lbl")
+        .localCheckpoint()
+    }
+    lab.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("members"))
+      .orderBy(col("members").desc, col("community"))
+      .limit(k)
+  }
 }

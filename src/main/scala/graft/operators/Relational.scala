@@ -1488,4 +1488,38 @@ object Relational {
           lit(2147483648L)).as("h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+
+  /** Slowly-changing-dimension type-2 history build: treat each
+    * customer's order stream as a change log of their
+    * `o_orderpriority` and emit one versioned row per VALUE CHANGE —
+    * (custkey, value, effective_from, effective_to, version), open
+    * interval (`effective_to` null) on the current value. This is the
+    * warehouse-standard dimension-versioning merge (Kimball SCD2),
+    * built from the log in one pass instead of row-at-a-time MERGE.
+    *
+    * Two windows over the same (custkey × chronological) partitioning
+    * — `lag` to keep change points, `lead`/`row_number` to close
+    * intervals and number versions — so the whole operator is ONE
+    * shuffle on the dimension key followed by two in-partition sorted
+    * passes (Spark reuses the sort between same-keyed windows).
+    * Within-day reorders are tie-broken by order key, so the history
+    * is deterministic and the oracle restates it row-for-row.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+    changes
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("eff_from"),
+        date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd")
+          .as("eff_to"),
+        row_number().over(w).as("version"))
+  }
 }
