@@ -904,4 +904,121 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
   }
+
+  /** Per-type daily-volume OLS trend: closed-form least-squares slope +
+    * intercept of daily event counts against the epoch-day index — the
+    * "is this event type growing?" monitor, fit in one pass instead of
+    * a solver. All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    * EXACT integer aggregates, so slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and
+    * intercept = (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²) are single well-defined
+    * double divisions — no accumulation-order float hazard at all; the
+    * 6-dp rounding is presentation only. Two partial-agg shuffles
+    * (day×type, then type) over keys, never a data movement by row.
+    */
+  def olsTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("day")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("day") * col("y")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("intercept"))
+      .orderBy("event_type")
+  }
+
+  /** Event-type Markov chain: row-normalized first-order transition
+    * matrix from each user's chronological event sequence, then
+    * `rounds` power-iteration steps from the uniform vector toward the
+    * stationary distribution. Fixed round count and 9-dp rounding of
+    * both the transition probabilities and each iterate keep the
+    * arithmetic restatable — the DuckDB oracle unrolls the identical
+    * updates (same chained matrix-vector products).
+    *
+    * The transition matrix is |types|² rows — after one windowed pass
+    * over events (shuffled on user only) every later step is
+    * broadcast-sized regardless of corpus scale; each iteration is a
+    * tiny join+agg, `localCheckpoint`ed so plans don't nest.
+    */
+  def markovStationary(s: SparkSession, dir: String,
+                       rounds: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val tot = trans.groupBy("cur").agg(sum(col("c")).as("tc"))
+    val p = trans.join(tot, "cur")
+      .select(col("cur"), col("nxt"), round(col("c") / col("tc"), 9).as("p"))
+      .localCheckpoint()
+    val states = p.select(col("cur").as("st")).distinct()
+    var v = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("_k"))))
+      .select(col("st"), round(lit(1.0) / col("_k"), 9).as("vp"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      v = v.join(p, col("st") === col("cur"))
+        .groupBy(col("nxt").as("st2"))
+        .agg(round(sum(col("vp") * col("p")), 9).as("vp"))
+        .select(col("st2").as("st"), col("vp"))
+        .localCheckpoint()
+    }
+    v.select(col("st").as("state"), round(col("vp"), 6).as("prob"))
+      .orderBy("state")
+  }
+
+  /** First-/last-touch conversion attribution: every purchase is
+    * attributed to the earliest and latest non-purchase event of the
+    * same user inside a `lookbackDays` window strictly before the
+    * purchase; output is per-channel credit counts. The two credit
+    * assignments are per-conversion argmin/argmax with a total
+    * (epoch, event_id) tie-break, so credit is deterministic.
+    *
+    * The touchpoint join is user-keyed with a banded time predicate —
+    * candidates per conversion are one user's recent events, never a
+    * cross join — and the per-conversion argmin/argmax run in the same
+    * partitioning the join already established (one shuffle total).
+    * Final channel rollups are partial-agg over ≤ |channels| keys.
+    */
+  def attribution(s: SparkSession, dir: String,
+                  lookbackDays: Int = 7): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"), col("event_id"))
+      .persist()
+    CacheScope.register(ev) // eager: purchase and touch sides both read it
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ep").as("pep"), col("event_id").as("pid"))
+    val tch = ev.filter(col("event_type") =!= "purchase")
+    val joined = pur.join(tch, Seq("user_id"))
+      .filter(col("ep") < col("pep") &&
+        col("ep") >= col("pep") - lit(lookbackDays * 86400L))
+    val credited = joined.groupBy("user_id", "pid")
+      .agg(
+        min(struct(col("ep"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_ch"),
+        max(struct(col("ep"), col("event_id"), col("event_type")))
+          .getField("event_type").as("last_ch"))
+    val ft = credited.groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lt = credited.groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    ft.join(lt, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+      .orderBy("channel")
+  }
 }
