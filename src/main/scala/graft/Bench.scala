@@ -38,8 +38,12 @@ object Bench {
     // they gate semantics in Verify but measure harness overhead, not
     // engine throughput — their batch twins (sessionize, hourly_agg,
     // q3_broadcast_join, dedup_exact, ...) are what bench here.
+    // dev-only subset filter for A/B-tuning single queries; the driver
+    // never sets it, so round benches always run the full map
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("stream_"))
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1812,8 +1812,8 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "decimal_agg" ->
       """SELECT l_returnflag,
-                round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_price,
-                round(sum(l_discount::DECIMAL(18,4))::DOUBLE, 4) AS sum_disc,
+                sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2)::VARCHAR AS sum_price,
+                sum(l_discount::DECIMAL(18,4))::DECIMAL(38,4)::VARCHAR AS sum_disc,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
     // random-hyperplane LSH restated: same ±1 plane weights from the
@@ -2667,7 +2667,8 @@ object SparkEntry {
                        - ((sx::DOUBLE / n) / 1000000.0)
                          * ((sx::DOUBLE / n) / 1000000.0)) AS sigma
            FROM st)
-         SELECT vec_id, xi.pos, round((x - mu) / sigma, 4) AS z
+         SELECT vec_id, xi.pos,
+                floor((x - mu) / sigma * 10000.0 + 0.5) / 10000.0 AS z
          FROM xi JOIN m ON xi.pos = m.pos""",
     "rolling_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),

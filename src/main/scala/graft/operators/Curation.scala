@@ -253,9 +253,16 @@ object Curation {
     val mu = (col("sx").cast("double") / col("n")) / lit(1e6)
     val sigma = sqrt((col("sxx").cast("double") / col("n")) / lit(1e12)
       - mu * mu)
+    // quantize z with floor(z·1e4 + 0.5)/1e4 rather than round(z, 4):
+    // multiply/add/floor/divide are all IEEE-exact-rounded and therefore
+    // bit-identical across engines, whereas double round() semantics are
+    // implementation-defined on half-way reprs (and can emit -0.0, which
+    // compares equal but hashes differently). floor() can never yield
+    // a negative zero, so the surfaced doubles are canonical.
+    val z = (col("x") - mu) / sigma
     val out = ex.join(broadcast(stats), "pos")
       .select(col("vec_id"), col("pos"),
-        round((col("x") - mu) / sigma, 4).as("z"))
+        (floor(z * lit(1e4) + lit(0.5)) / lit(1e4)).as("z"))
     out
   }
 

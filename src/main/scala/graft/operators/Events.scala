@@ -816,7 +816,10 @@ object Events {
                    bandSec: Long = 3600): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+        // parquet ts reads as TIMESTAMP_NTZ; unix_micros requires an
+        // instant, so cast via the session zone (pinned UTC in every
+        // entry point) — wall-clock == instant, micro-exact
+        unix_micros(col("ts").cast("timestamp")).as("us"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
     val c = ev.filter(col("event_type") === "click")

@@ -466,7 +466,10 @@ object Graph {
   def pprTopK(s: SparkSession, dir: String, sources: Seq[Long],
               iterations: Int, k: Int): DataFrame = {
     // the symmetrized graph has no dangling vertices, so the fast
-    // lazy-chained path applies (4 iterations fuse per job)
+    // lazy-chained path applies; checkpointing every 2nd iteration
+    // halves the materialization barriers (two scatter/gather rounds
+    // fuse into one job) — localCheckpoint is semantics-neutral, only
+    // the job boundaries move
     val ranks = personalizedPageRank(
       customerSupplierEdges(s, dir), sources, iterations,
       danglingFree = true, checkpointEvery = 1)
@@ -578,16 +581,22 @@ object Graph {
     def restrict(act: DataFrame): DataFrame = e
       .join(act.select(col("id").as("src")), "src")
       .join(act.select(col("id").as("dst")), "dst")
-    var active = e.select(col("src").as("id")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
-      active = restrict(active)
-        .groupBy("src").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= k)
-        .select(col("src").as("id"))
-        .localCheckpoint()
+    // pinned loop parallelism (same regime as the PPR loop): each
+    // round's joins/aggs shuffle narrow id rows, so near-empty
+    // default-count partitions make scheduling dominate the round
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      var active = e.select(col("src").as("id")).distinct().localCheckpoint()
+      for (_ <- 1 to rounds) {
+        active = restrict(active)
+          .groupBy("src").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= k)
+          .select(col("src").as("id"))
+          .localCheckpoint()
+      }
+      restrict(active).groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("core_deg"))
     }
-    restrict(active).groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("core_deg"))
   }
 
   /** HITS hubs & authorities (Kleinberg) over the DIRECTED
@@ -619,14 +628,20 @@ object Graph {
       df.crossJoin(broadcast(df.agg(sum(col(v)).as("_tot"))))
         .select(df.columns.filterNot(_ == v).map(col) :+
           (col(v) / col("_tot")).as(v): _*)
-    var hub = pairs.select(col("c")).distinct()
-      .withColumn("h", lit(1.0)).localCheckpoint()
-    var auth: DataFrame = null
-    for (_ <- 1 to rounds) {
-      auth = l1(pairs.join(hub, "c")
-        .groupBy("sup").agg(sum(col("h")).as("a")).localCheckpoint(), "a")
-      hub = l1(pairs.join(auth, "sup")
-        .groupBy("c").agg(sum(col("a")).as("h")).localCheckpoint(), "h")
+    // pinned loop parallelism (PPR regime): two narrow-row shuffles per
+    // round; at the default partition count scheduling dominates
+    val p = loopParallelism(s, pairs.count())
+    val (auth, hub) = withLoopConf(s, p) {
+      var hub = pairs.select(col("c")).distinct()
+        .withColumn("h", lit(1.0)).localCheckpoint()
+      var auth: DataFrame = null
+      for (_ <- 1 to rounds) {
+        auth = l1(pairs.join(hub, "c")
+          .groupBy("sup").agg(sum(col("h")).as("a")).localCheckpoint(), "a")
+        hub = l1(pairs.join(auth, "sup")
+          .groupBy("c").agg(sum(col("a")).as("h")).localCheckpoint(), "h")
+      }
+      (auth, hub)
     }
     val topAuth = auth
       .orderBy(round(col("a"), 9).desc, col("sup"))
@@ -695,21 +710,27 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val e = customerSupplierEdges(s, dir).persist()
     CacheScope.register(e) // eager: one join per round reads it
-    var lab = e.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      lab = e.join(lab.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("id").orderBy(col("cnt").desc, col("lbl"))))
-        .filter(col("rn") === 1)
-        .select("id", "lbl")
-        .localCheckpoint()
+    // pinned loop parallelism (PPR regime): the per-round join/agg/
+    // window all move narrow (id, lbl) rows — near-empty default-count
+    // partitions would make scheduling dominate every round
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      var lab = e.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      for (_ <- 1 to rounds) {
+        lab = e.join(lab.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("id").orderBy(col("cnt").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select("id", "lbl")
+          .localCheckpoint()
+      }
+      lab.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("members"))
+        .orderBy(col("members").desc, col("community"))
+        .limit(k)
     }
-    lab.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("members"))
-      .orderBy(col("members").desc, col("community"))
-      .limit(k)
   }
 }

@@ -356,10 +356,11 @@ object Relational {
 
   /** Exact decimal aggregation (type-coverage: the reference had no
     * decimals at all): fixed-point sums are exact and order-insensitive.
-    * The final sums are surfaced as doubles — parquet decimal columns
-    * deserialize as arbitrary-precision objects while DuckDB decimals
-    * come back as float64, so a decimal-typed output hash-mismatches on
-    * dtype alone even when every value agrees digit-for-digit.
+    * The final sums are surfaced as their canonical decimal STRINGS —
+    * any float surface invites last-ulp/round-mode divergence between
+    * engines (double round() semantics are implementation-defined on
+    * half-way reprs), while decimal→string is pure integer formatting:
+    * identical digits on every engine and version.
     */
   def decimalAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -367,12 +368,11 @@ object Relational {
         col("l_extendedprice").cast("decimal(18,2)").as("p"),
         col("l_discount").cast("decimal(18,4)").as("d"))
       .groupBy("l_returnflag")
-      // the SUM is exact fixed-point; only the final surfaced value is a
-      // double (parquet decimals deserialize as arbitrary-precision
-      // objects while DuckDB returns float64 — same digits, different
-      // dtype — so a decimal-typed output hash-mismatches on dtype alone)
-      .agg(round(sum(col("p")).cast("double"), 2).as("sum_price"),
-        round(sum(col("d")).cast("double"), 4).as("sum_disc"),
+      // the SUM is exact fixed-point end to end; the surfaced value is
+      // the decimal's canonical string (scale-2 / scale-4 — trailing
+      // zeros preserved by both engines), never a double
+      .agg(sum(col("p")).cast("decimal(38,2)").cast("string").as("sum_price"),
+        sum(col("d")).cast("decimal(38,4)").cast("string").as("sum_disc"),
         count(lit(1)).as("cnt"))
 
   /** Statistical aggregates (variance/stddev/correlation/covariance) —

@@ -142,8 +142,12 @@ class EventsSpec extends SparkSpec {
   test("emaSmooth: matches the driver-side recurrence exactly") {
     val events = Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "value").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
-        r.getDouble(3)))
+      // parquet ts reads as TIMESTAMP_NTZ → LocalDateTime in Row; the
+      // session zone is UTC everywhere, so wall-clock == instant
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getLong(2), r.getDouble(3)))
     val want = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
       val sorted = es.sortBy(e => (e._2, e._3)).toSeq
       var ema = sorted.head._4

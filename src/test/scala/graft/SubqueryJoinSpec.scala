@@ -88,8 +88,12 @@ class SubqueryJoinSpec extends SparkSpec {
       .select("user_id", "ts", "event_id", "event_type").collect()
       .groupBy(_.getLong(0))
     rows.foreach { r =>
+      // TIMESTAMP_NTZ surfaces as LocalDateTime; it is Comparable, so
+      // chronological order needs no epoch conversion
       val seq = byUser(r.getLong(0)).sortBy(x =>
-        (x.getTimestamp(1).getTime, x.getTimestamp(1).getNanos, x.getLong(2)))
+        (x.getAs[java.time.LocalDateTime](1), x.getLong(2)))(
+        Ordering.Tuple2(Ordering.ordered[java.time.LocalDateTime],
+          Ordering.Long))
       assert(r.getString(1) == seq.head.getString(3))
       assert(r.getString(2) == seq.last.getString(3))
       if (seq.length >= 2) assert(r.getString(3) == seq(1).getString(3))

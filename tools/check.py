@@ -58,5 +58,12 @@ for name in sorted(os.listdir(outdir)):
         print("    exp:", exp2.head(3).to_dict('records'))
     else:
         print(f"  {name}: OK rows={len(got2)}")
+# a query that ERRORED in Verify leaves no output dir at all — flag it,
+# don't silently skip (the driver records it as err != null)
+missing = [q for q in sorted(oracle)
+           if not os.path.isdir(os.path.join(outdir, q))]
+for q in missing:
+    print(f"  {q}: MISSING OUTPUT (Verify errored?)")
+fail += len(missing)
 print("FAILURES:", fail)
 sys.exit(1 if fail else 0)

@@ -34,8 +34,9 @@ for name in sorted(os.listdir(outdir)):
         gc, ec = g[c], e[c]
         if gc.dtype.kind == 'f' or ec.dtype.kind == 'f':
             ga, ea = gc.astype(float).values, ec.astype(float).values
-            both_nan = np.isnan(ga) & np.isnan(ea)
-            neq = ~((ga == ea) | both_nan)
+            # BIT-pattern compare: catches -0.0 vs 0.0 and NaN payloads,
+            # which == treats as equal but a byte hash does not
+            neq = ga.view(np.int64) != ea.view(np.int64)
             if neq.any():
                 d = np.nanmax(np.abs(ga[neq] - ea[neq]))
                 bad.append((c, int(neq.sum()), d))
