@@ -297,6 +297,18 @@ object SparkEntry {
     "media_duration_stats" -> ((s, d) => Multimodal.durationStats(s, d)),
     "order_size_hist" -> ((s, d) => Relational.orderSizeHist(s, d)),
     "char_class_profile" -> ((s, d) => TextStats.charClassProfile(s, d)),
+    // round-4 batch: time-series, info-theory, graph reach, BPE, ANN
+    "acf_daily" -> ((s, d) => Events.acfDaily(s, d)),
+    "seasonal_hourly" -> ((s, d) => Events.seasonalHourly(s, d)),
+    "mutual_information" -> ((s, d) => Events.mutualInformation(s, d)),
+    "schema_drift" -> ((s, d) => Events.schemaDrift(s, d)),
+    "decision_stump" -> ((s, d) => Ml.decisionStump(s, d)),
+    "two_hop_reach" -> ((s, d) => Graph.twoHopReach(s, d)),
+    "assortativity" -> ((s, d) => Graph.assortativity(s, d)),
+    "bfs_distances" -> ((s, d) => Graph.bfsDistances(s, d, 1L)),
+    "bpe_pair_counts" -> ((s, d) => TextStats.bpePairCounts(s, d)),
+    "containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d, 0.5)),
+    "embedding_prototypes" -> ((s, d) => Similarity.normalizedPrototypes(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -3106,6 +3118,222 @@ object SparkEntry {
                 count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY ship_month""",
+    // round-4 batch. Every surfaced double is floor(x·10^d + 0.5)/10^d
+    // over exact-integer sufficient statistics — see Events.q scaladoc
+    // (bit-deterministic across engines, never -0.0).
+    "acf_daily" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         daily AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 d ON s.day = d.day),
+         lags AS (SELECT unnest(range(1, 8))::INT AS lag),
+         pairs AS (
+           SELECT l.lag, a.y AS x, b.y AS y
+           FROM lags l JOIN daily a ON true
+           JOIN daily b ON b.day = a.day + l.lag),
+         st AS (
+           SELECT lag, count(*)::BIGINT AS n,
+                  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                  sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                  sum(x * y)::BIGINT AS sxy
+           FROM pairs GROUP BY lag)
+         SELECT lag, n AS n_pairs,
+                floor((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+                      (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx) *
+                       sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)) * 1e6
+                      + 0.5) / 1e6 AS acf
+         FROM st ORDER BY lag""",
+    "seasonal_hourly" ->
+      """WITH bh AS (
+           SELECT event_type, extract(hour FROM ts)::INT AS hr,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, sum(n)::BIGINT AS tot
+                 FROM bh GROUP BY 1),
+         spine AS (
+           SELECT event_type, tot, unnest(range(0, 24))::INT AS hr
+           FROM tot)
+         SELECT s.event_type, s.hr, coalesce(n, 0)::BIGINT AS n,
+                floor(coalesce(n, 0)::DOUBLE / tot * 1e6 + 0.5) / 1e6
+                  AS share
+         FROM spine s LEFT JOIN bh ON s.event_type = bh.event_type
+                                  AND s.hr = bh.hr""",
+    "mutual_information" ->
+      """WITH ev AS (
+           SELECT event_type AS t, extract(hour FROM ts) AS h FROM events),
+         joint AS (SELECT t, h, count(*)::BIGINT AS njh
+                   FROM ev GROUP BY 1, 2),
+         mt AS (SELECT t, count(*)::BIGINT AS nt FROM ev GROUP BY 1),
+         mh AS (SELECT h, count(*)::BIGINT AS nh FROM ev GROUP BY 1),
+         tot AS (SELECT count(*)::DOUBLE AS tn FROM ev),
+         terms AS (
+           SELECT CAST(floor((njh::DOUBLE / tn) *
+                    ln((njh::DOUBLE * tn) / (nt::DOUBLE * nh::DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS ti
+           FROM joint JOIN mt USING (t) JOIN mh USING (h), tot)
+         SELECT sum(ti)::DOUBLE / 1e6 AS mi_nats,
+                count(*)::BIGINT AS n_cells
+         FROM terms""",
+    "schema_drift" ->
+      """WITH ev0 AS (
+           SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS day, value
+           FROM events),
+         cut AS (
+           SELECT day AS cut FROM (
+             SELECT day, sum(count(*)) OVER
+               (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+             FROM ev0 GROUP BY day)
+           WHERE cum >= (SELECT count(*) // 2 FROM ev0)
+           ORDER BY day LIMIT 1),
+         ev AS (
+           SELECT event_type,
+                  CASE WHEN day <= cut THEN 'a' ELSE 'b' END AS slice,
+                  value
+           FROM ev0, cut),
+         ag AS (
+           SELECT event_type,
+             sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN slice = 'a' AND value IS NULL THEN 1 ELSE 0
+                 END)::BIGINT AS null_a,
+             sum(CASE WHEN slice = 'b' AND value IS NULL THEN 1 ELSE 0
+                 END)::BIGINT AS null_b,
+             coalesce(sum(CASE WHEN slice = 'a' THEN
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) END), 0)::BIGINT
+               AS vs_a,
+             coalesce(sum(CASE WHEN slice = 'b' THEN
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) END), 0)::BIGINT
+               AS vs_b
+           FROM ev GROUP BY event_type)
+         SELECT event_type, n_a, n_b,
+           floor(null_a::DOUBLE / n_a * 1e6 + 0.5) / 1e6 AS null_rate_a,
+           floor(null_b::DOUBLE / n_b * 1e6 + 0.5) / 1e6 AS null_rate_b,
+           floor(vs_a::DOUBLE / 1e6 / nullif(n_a - null_a, 0) * 1e6
+                 + 0.5) / 1e6 AS mean_a,
+           floor(vs_b::DOUBLE / 1e6 / nullif(n_b - null_b, 0) * 1e6
+                 + 0.5) / 1e6 AS mean_b
+         FROM ag ORDER BY event_type""",
+    "decision_stump" ->
+      """WITH r0 AS (
+           SELECT l_quantity::BIGINT AS qty,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         bv AS (SELECT qty, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+                FROM r0 GROUP BY qty),
+         tot AS (SELECT sum(n)::BIGINT AS tn, sum(pos)::BIGINT AS tp
+                 FROM bv),
+         cum AS (
+           SELECT qty,
+                  sum(n) OVER w AS cn, sum(pos) OVER w AS cp
+           FROM bv WINDOW w AS (ORDER BY qty ROWS UNBOUNDED PRECEDING)),
+         sc AS (
+           SELECT qty AS threshold,
+                  greatest(cp + (tn - tp) - (cn - cp),
+                           (tp - cp) + (cn - cp))::BIGINT AS n_correct,
+                  tn
+           FROM cum, tot)
+         SELECT threshold, n_correct,
+                floor(n_correct::DOUBLE / tn * 1e6 + 0.5) / 1e6
+                  AS accuracy
+         FROM sc ORDER BY n_correct DESC, threshold LIMIT 1""",
+    "two_hop_reach" -> s"""WITH $GraphCte,
+         deg AS (SELECT src, count(*)::BIGINT AS deg
+                 FROM edges GROUP BY src),
+         mid AS (SELECT src AS m FROM deg WHERE deg <= 64),
+         hops AS (
+           SELECT src AS id, dst AS r FROM edges
+           UNION ALL
+           SELECT e1.src AS id, e2.dst AS r
+           FROM edges e1 JOIN mid ON e1.dst = mid.m
+           JOIN edges e2 ON e2.src = e1.dst)
+         SELECT id, count(DISTINCT r)::BIGINT AS reach
+         FROM hops WHERE id <> r GROUP BY id
+         ORDER BY reach DESC, id LIMIT 50""",
+    "assortativity" -> s"""WITH $GraphCte,
+         deg AS (SELECT src AS id, count(*)::BIGINT AS deg
+                 FROM edges GROUP BY src),
+         ends AS (
+           SELECT dx.deg AS dx, dy.deg AS dy
+           FROM edges e JOIN deg dx ON e.src = dx.id
+                        JOIN deg dy ON e.dst = dy.id),
+         st AS (SELECT count(*)::BIGINT AS m, sum(dx)::BIGINT AS sx,
+                       sum(dx * dx)::BIGINT AS sxx,
+                       sum(dx * dy)::BIGINT AS sxy
+                FROM ends)
+         SELECT m AS n_edge_ends,
+                floor((sxy::DOUBLE / m - (sx::DOUBLE / m) * (sx::DOUBLE / m))
+                    / (sxx::DOUBLE / m - (sx::DOUBLE / m) * (sx::DOUBLE / m))
+                    * 1e6 + 0.5) / 1e6 AS assortativity
+         FROM st""",
+    "bfs_distances" -> s"""WITH RECURSIVE $GraphCte,
+         walk(id, dist) AS (
+           SELECT CAST(1 AS BIGINT) AS id, 0 AS dist
+           UNION
+           SELECT e.dst AS id, w.dist + 1 AS dist
+           FROM walk w JOIN edges e ON e.src = w.id
+           WHERE w.dist < 4)
+         SELECT id, min(dist)::INT AS dist FROM walk GROUP BY id""",
+    "bpe_pair_counts" -> s"""$TokCte,
+         ex AS (SELECT unnest(ts) AS tok FROM toks),
+         cs AS (SELECT string_split(tok, '') AS cs FROM ex
+                WHERE len(tok) >= 2),
+         pairs AS (
+           SELECT unnest(list_transform(range(1, len(cs)),
+                    i -> cs[i] || cs[i + 1])) AS pair
+           FROM cs)
+         SELECT pair, count(*)::BIGINT AS n
+         FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 40""",
+    "containment_pairs" -> s"""$TokCte,
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(ts) >= 3
+               THEN list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               ELSE [array_to_string(ts, ' ')] END) AS shs
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*)::BIGINT AS inter
+           FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         cont AS (
+           SELECT doc_a, doc_b,
+                  inter::DOUBLE / sa.n AS cont
+           FROM inter
+           JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa
+             ON doc_a = sa.doc_id
+           WHERE inter::DOUBLE / sa.n >= 0.5)
+         SELECT doc_a AS contained, doc_b AS container,
+                round(cont, 6) AS containment
+         FROM (SELECT doc_a, doc_b, cont, row_number() OVER
+                 (PARTITION BY doc_a ORDER BY cont DESC, doc_b) AS rn
+               FROM cont)
+         WHERE rn = 1""",
+    "embedding_prototypes" ->
+      """WITH e AS (
+           SELECT label, embedding::DOUBLE[] AS x FROM embeddings),
+         n AS (
+           SELECT label,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(x, v -> v * v)), (a, b) -> a + b)) AS nrm,
+             x
+           FROM e),
+         u AS (
+           SELECT label, unnest(list_transform(x,
+               v -> CAST(floor(v / nrm * 1e9 + 0.5) AS BIGINT))) AS v,
+             generate_subscripts(x, 1) - 1 AS pos
+           FROM n)
+         SELECT label, pos,
+                floor(sum(v)::DOUBLE / count(*) / 1e9 * 1e6 + 0.5) / 1e6
+                  AS proto
+         FROM u GROUP BY label, pos""",
   )
 
   private def sqlList(words: Seq[String]): String =

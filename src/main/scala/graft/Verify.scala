@@ -44,6 +44,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // which queries this invocation attempted (subset runs list fewer
+    // than oracle_sql has): lets check.py flag Verify-time errors as
+    // missing output without false positives on dev subset runs
+    Files.writeString(Paths.get(s"$outDir/_ran.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

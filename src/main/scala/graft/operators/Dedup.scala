@@ -609,4 +609,38 @@ object Dedup {
           .as("jaccard"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Containment near-dup pairs: |A∩B| / |A| ≥ threshold, the
+    * ASYMMETRIC cousin of Jaccard that catches "short doc embedded in
+    * long doc" — a pair Jaccard misses because the union is dominated
+    * by the long side (the quote/boilerplate-inclusion case every
+    * web-corpus dedup needs). Same inverted-index candidate generation
+    * as [[jaccardPairs]] (equality join on the shingle key — shuffles
+    * on shingles, never pairs, df-cap available for hot shingles), but
+    * emitted DIRECTED: (contained, container) whenever the smaller
+    * side's coverage clears the threshold. Output is each contained
+    * doc's best container (max containment, min container id tiebreak).
+    */
+  def containmentPairs(s: SparkSession, dir: String, threshold: Double,
+                       n: Int = 3): DataFrame = {
+    val docSh = docShingles(s, dir, n).persist()
+    CacheScope.register(docSh) // eager: sizes + both join sides read it
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
+    val ex = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val inter = ex.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("na")).as("cont"))
+      .filter(col("cont") >= threshold)
+      .groupBy(col("doc_a").as("contained"))
+      .agg(max(struct(col("cont"), (-col("doc_b")).as("nb")))
+        .as("best"))
+      .select(col("contained"), (-col("best.nb")).as("container"),
+        round(col("best.cont"), 6).as("containment"))
+  }
 }

@@ -1024,4 +1024,161 @@ object Events {
         coalesce(col("last_touch"), lit(0L)).as("last_touch"))
       .orderBy("channel")
   }
+
+  /** floor(x·10^d + 0.5)/10^d — cross-engine-deterministic quantization:
+    * multiply/add/floor/divide are IEEE-exact-rounded (unlike double
+    * round(), whose half-way behavior is implementation-defined), and
+    * floor never emits -0.0, so surfaced doubles are canonical bytes.
+    */
+  private[operators] def q(c: org.apache.spark.sql.Column, d: Int) = {
+    val p = math.pow(10, d)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Autocorrelation of the daily total-event-count series at lags
+    * 1..`maxLag` — the seasonality probe run before fitting any
+    * forecast. The day spine is densified (missing days count 0) so
+    * lags align calendar days, then each lag is a Pearson correlation
+    * over (count[t], count[t+lag]) pairs from one self-join on
+    * day+lag. All sufficient statistics are EXACT integer sums
+    * (counts are ints); only the final correlation arithmetic is
+    * double, identical on both engines. The series is one row per
+    * day — tiny at any corpus scale (the heavy part is the first
+    * groupBy, a standard partial-agg count) — so the lag self-join
+    * never grows past days×maxLag rows.
+    */
+  def acfDaily(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0) // eager: spine bounds + both join sides
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val lags = s.range(1, maxLag + 1).select(col("id").cast("int").as("lag"))
+    val pairs = daily.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("day") + col("lag")).as("day"),
+        col("y").as("x"))
+      .join(daily.select(col("day"), col("y")), Seq("day"))
+    val st = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(n * col("sxx") - col("sx") * col("sx")) *
+      sqrt(n * col("syy") - col("sy") * col("sy"))
+    st.select(col("lag"), col("n").as("n_pairs"),
+        q(num / den, 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** Hour-of-day seasonal profile per event type: each (type, hour)'s
+    * share of the type's total events — the load-shape fingerprint
+    * behind capacity planning and bot detection (humans have diurnal
+    * shape, scrapers don't). Two keyed aggregations; the share divides
+    * two exact counts, so the only double op is one division. Missing
+    * hours surface as explicit zero rows (the dense 24-row profile a
+    * downstream model expects), via one broadcast hour spine.
+    */
+  def seasonalHourly(s: SparkSession, dir: String): DataFrame = {
+    val byHour = Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      .persist()
+    CacheScope.register(byHour) // eager: totals + spine join read it
+    val totals = byHour.groupBy("event_type").agg(sum("n").as("tot"))
+    val spine = totals.crossJoin(
+      broadcast(s.range(0, 24).select(col("id").cast("int").as("hr"))))
+    spine.join(byHour, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        q(coalesce(col("n"), lit(0L)).cast("double") / col("tot"), 6)
+          .as("share"))
+  }
+
+  /** Mutual information between event type and hour-of-day (nats):
+    * Σ p(t,h)·ln(p(t,h)/(p(t)·p(h))) — "how much does the clock tell
+    * you about what users do", the dependence screen run across
+    * feature pairs before modeling. All probabilities are exact
+    * integer-count ratios; ln() is the one libm call, and the PMI
+    * terms are quantized to 6 dp BEFORE the final sum (the project's
+    * round-before-decision rule: both engines sum identical quantized
+    * doubles, in exact arithmetic after scaling by 1e6).
+    */
+  def mutualInformation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("t"), hour(col("ts")).as("h"))
+      .persist()
+    CacheScope.register(ev) // eager: three marginals read it
+    val joint = ev.groupBy("t", "h").agg(count(lit(1)).as("njh"))
+    val mt = ev.groupBy("t").agg(count(lit(1)).as("nt"))
+    val mh = ev.groupBy("h").agg(count(lit(1)).as("nh"))
+    val tot = ev.count()
+    // per-cell PMI contribution, quantized to an exact 1e-6 grid, then
+    // summed as scaled integers — the sum order cannot perturb bits
+    joint.join(broadcast(mt), "t").join(broadcast(mh), "h")
+      .select(((col("njh").cast("double") / lit(tot.toDouble)) *
+        log((col("njh").cast("double") * lit(tot.toDouble)) /
+          (col("nt").cast("double") * col("nh").cast("double"))))
+        .as("term"))
+      .select(floor(col("term") * lit(1e6) + lit(0.5)).cast("long").as("ti"))
+      .agg((sum(col("ti")).cast("double") / lit(1e6)).as("mi_nats"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  /** Schema/data drift report between two halves of the event stream
+    * (split at the median day): per event type, row share, null rate
+    * of `value`, and its mean — the distribution-shift check run when
+    * a pipeline's upstream changes. One pass per slice (a single
+    * groupBy with conditional aggregates — the slice flag is a
+    * column, so no second scan), means from exact integer-quantized
+    * sums (1e-6 grid), and the DRIFT columns are plain differences of
+    * the two slices' metrics.
+    */
+  def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        col("value"))
+      .persist()
+    CacheScope.register(ev0) // eager: median probe + the agg read it
+    // median day from an exact count: day d0 such that half the rows
+    // are at or before it (deterministic, order-insensitive)
+    val half = ev0.count() / 2
+    val cutRow = ev0.groupBy("day").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") >= half)
+      .orderBy("day").limit(1).select("day")
+    val ev = ev0.crossJoin(broadcast(cutRow.withColumnRenamed("day", "cut")))
+      .select(col("event_type"),
+        when(col("day") <= col("cut"), lit("a")).otherwise(lit("b"))
+          .as("slice"),
+        col("value"))
+    def cnt(sl: String) = sum(when(col("slice") === sl, 1L).otherwise(0L))
+    def nulls(sl: String) = sum(when(col("slice") === sl &&
+      col("value").isNull, 1L).otherwise(0L))
+    def vsum(sl: String) = sum(when(col("slice") === sl,
+      floor(col("value") * lit(1e6) + lit(0.5)).cast("long")).otherwise(0L))
+    ev.groupBy("event_type").agg(
+        cnt("a").as("n_a"), cnt("b").as("n_b"),
+        nulls("a").as("null_a"), nulls("b").as("null_b"),
+        vsum("a").as("vs_a"), vsum("b").as("vs_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        q(col("null_a").cast("double") / col("n_a"), 6).as("null_rate_a"),
+        q(col("null_b").cast("double") / col("n_b"), 6).as("null_rate_b"),
+        // nullif: an all-null slice yields mean NULL, not a double /0
+        // → Infinity → ANSI overflow inside the floor quantizer
+        q(col("vs_a").cast("double") / lit(1e6) /
+          nullif(col("n_a") - col("null_a"), lit(0L)), 6).as("mean_a"),
+        q(col("vs_b").cast("double") / lit(1e6) /
+          nullif(col("n_b") - col("null_b"), lit(0L)), 6).as("mean_b"))
+      .orderBy("event_type")
+  }
 }

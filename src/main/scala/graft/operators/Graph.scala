@@ -733,4 +733,100 @@ object Graph {
         .limit(k)
     }
   }
+
+  /** Distinct 2-hop reach per vertex: how many OTHER vertices are
+    * reachable in exactly ≤2 undirected hops — the neighborhood-size
+    * feature fraud/influence models consume. Two equality self-joins on
+    * vertex keys; `degCap` drops hub intermediates first (a 10M-degree
+    * hub would otherwise fan every neighbor pair through itself —
+    * same quadratic-control rule as the wedge ops), so candidate volume
+    * is Σ deg² over CAPPED degrees. The 1-hop and 2-hop sets union
+    * before the distinct count, self excluded. Top-`k` by (reach desc,
+    * id) keeps the result bounded at any graph size.
+    */
+  def twoHopReach(s: SparkSession, dir: String, k: Int = 50,
+                  degCap: Int = 64): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    graft.CacheScope.register(e) // eager: degree filter + both hop joins
+    val mid = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= degCap).select(col("src").as("m"))
+    val hop1 = e.select(col("src").as("id"), col("dst").as("r"))
+    val hop2 = e.select(col("src").as("id"), col("dst").as("m"))
+      .join(mid, "m")
+      .join(e.select(col("src").as("m"), col("dst").as("r")), "m")
+      .select(col("id"), col("r"))
+    hop1.unionAll(hop2)
+      .filter(col("id") =!= col("r"))
+      .groupBy("id").agg(countDistinct(col("r")).as("reach"))
+      .orderBy(col("reach").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Degree assortativity of the undirected graph: the Pearson
+    * correlation between the degrees at the two ends of every edge
+    * (Newman 2002) — positive means hubs attach to hubs, negative the
+    * bipartite/star pattern. Sufficient statistics (Σx, Σx², Σxy over
+    * directed edge ends) are EXACT integer sums — degrees are ints —
+    * so the final correlation is one double expression over identical
+    * exact inputs on both engines; only it is floor-quantized. One
+    * degree agg + one edge join; nothing quadratic anywhere.
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    graft.CacheScope.register(e) // eager: degrees + the edge join read it
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val ends = e
+      .join(deg.select(col("id").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), "dst")
+    val stats = ends.agg(
+      count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    // undirected: each edge appears in both orientations, so the x and
+    // y marginals are identical — one pass collects all three moments
+    val m = col("m").cast("double")
+    val mean = col("sx") / m
+    val cov = col("sxy") / m - mean * mean
+    val va = col("sxx") / m - mean * mean
+    stats.select(col("m").as("n_edge_ends"),
+      (floor(cov / va * lit(1e6) + lit(0.5)) / lit(1e6)).as("assortativity"))
+  }
+
+  /** Multi-hop BFS distances from one source over the undirected
+    * customer⇄supplier graph: (id, dist) for every vertex within
+    * `maxHops`. The frontier loop is the textbook distributed BFS —
+    * per hop one equality join of the (cached, pinned-partition) edge
+    * list against the CURRENT frontier only, anti-joined against the
+    * visited set, so each round moves |frontier| rows, never the
+    * graph. The DuckDB restatement is a recursive CTE with the same
+    * min-distance semantics — a coverage point for iterative reach
+    * queries (the reference's PPR loop is the weighted cousin).
+    */
+  def bfsDistances(s: SparkSession, dir: String, source: Long,
+                   maxHops: Int = 4): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    graft.CacheScope.register(e) // eager: every hop joins it
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      var visited = e.sparkSession.range(1).select(
+        lit(source).as("id"), lit(0).as("dist")).localCheckpoint()
+      var frontier = visited
+      var hop = 0
+      while (hop < maxHops) {
+        hop += 1
+        val next = e.join(frontier.select(col("id").as("src")), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), lit(hop).as("dist"))
+          .localCheckpoint()
+        frontier = next
+        visited = visited.unionAll(next).localCheckpoint()
+      }
+      visited
+    }
+  }
 }

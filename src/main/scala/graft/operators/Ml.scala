@@ -289,4 +289,45 @@ object Ml {
         round(avg(col("p")), 6).as("mean_p"),
         round(avg(col("label")), 6).as("frac_pos"))
   }
+
+  /** Decision stump on one numeric feature: the single threshold
+    * `t` over `l_quantity` that best classifies "was returned"
+    * (l_returnflag = 'R'), scored by training accuracy of the rule
+    * `pred = (qty <= t)` with the polarity chosen per threshold. The
+    * classic 1-D weak learner (the unit AdaBoost stacks), and a
+    * window-function showcase: one sort-free aggregation to per-value
+    * counts, one cumulative window over the (tiny) distinct-value
+    * table, accuracy from EXACT integer counts. The full table never
+    * sorts — only the ≤50-row distinct-quantity spine does. Ties on
+    * accuracy break to the smaller threshold (deterministic).
+    */
+  def decisionStump(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("qty"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val byVal = rows.groupBy("qty")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .persist()
+    CacheScope.register(byVal) // eager: totals + cumulative pass read it
+    val tot = byVal.agg(sum("n").as("tn"), sum("pos").as("tp"))
+    val w = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    byVal
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cp", sum("pos").over(w))
+      .crossJoin(broadcast(tot))
+      // rule A: predict 1 iff qty <= t → correct = cp + (tneg - cneg)
+      // rule B: the complement; accuracy = max of the two polarities
+      .select(col("qty").as("threshold"),
+        greatest(
+          col("cp") + (col("tn") - col("tp")) - (col("cn") - col("cp")),
+          (col("tp") - col("cp")) + (col("cn") - col("cp")))
+          .as("n_correct"),
+        col("tn"))
+      .select(col("threshold"), col("n_correct"),
+        Events.q(col("n_correct").cast("double") / col("tn"), 6)
+          .as("accuracy"))
+      .orderBy(col("n_correct").desc, col("threshold"))
+      .limit(1)
+  }
 }

@@ -367,4 +367,32 @@ object Similarity {
           (col("sa").cast("double") / col("n")) *
             (col("sb").cast("double") / col("n"))) / lit(1e12), 9).as("cov"))
   }
+
+  /** Per-label mean of L2-NORMALIZED embeddings — the class-prototype
+    * build (normalize first so every document votes equally regardless
+    * of magnitude; the un-normalized mean is what [[labelCentroids]]
+    * computes). Higher-order functions only — `transform` for the
+    * scale, `aggregate` for the norm — one narrow pass then one
+    * groupBy(label) whose partial aggregation reduces each partition
+    * to |labels| rows before the shuffle. Output explodes to
+    * (label, pos, v) so the oracle compares scalars. Quantized on the
+    * 1e-6 grid per the round-before-surface rule.
+    */
+  def normalizedPrototypes(s: SparkSession, dir: String): DataFrame = {
+    val x = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    Tables.embeddings(s, dir)
+      // each normalized component is quantized to the 1e-9 integer grid
+      // BEFORE the sum: the per-label accumulation is then an exact
+      // long sum (order-insensitive across partitions/engines); only
+      // the final mean is double arithmetic over identical exact inputs
+      .select(col("label"), transform(x,
+        v => floor(v / norm * lit(1e9) + lit(0.5)).cast("long")).as("u"))
+      .select(col("label"), posexplode(col("u")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .select(col("label"), col("pos"),
+        (floor(col("sv").cast("double") / col("n") / lit(1e9) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("proto"))
+  }
 }

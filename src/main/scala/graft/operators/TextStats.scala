@@ -449,4 +449,29 @@ object TextStats {
         round(col("covered").cast("double") / col("_total"), 9)
           .as("coverage"))
   }
+
+  /** First BPE merge iteration: corpus-wide counts of adjacent
+    * SYMBOL pairs within each token (symbols = characters at
+    * iteration 0), top-`k` pairs — the candidate table a byte-pair-
+    * encoding tokenizer trainer merges from. Characters explode via
+    * one split; the pair construction is a per-token transform (no
+    * join), so the only shuffle is the final pair-count aggregation —
+    * map-side partial combine does the heavy lifting exactly like
+    * word_count. Subsequent BPE iterations would re-run this over the
+    * merged symbol stream; the per-iteration plan is identical.
+    */
+  def bpePairCounts(s: SparkSession, dir: String, k: Int = 40): DataFrame = {
+    val toks = tokenized(s, dir)
+      .select(explode(col("ts")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+    toks
+      .select(split(col("tok"), "").as("cs"))
+      .select(explode(transform(
+        slice(col("cs"), lit(1), size(col("cs")) - 1),
+        (c, i) => concat(c, element_at(col("cs"), i + lit(2)))))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Events, Graph, Ml, Similarity, TextStats}
+
+/** Brute-force in-memory oracles for the round-4 operator batch (the
+  * driver hash-checks values against DuckDB; these pin semantics on the
+  * tiny fixture and run in CI without DuckDB).
+  */
+class Round4OpsSpec extends SparkSpec {
+
+  private def edges(): Array[(Long, Long)] =
+    Graph.customerSupplierEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  test("bfs_distances: matches driver-side BFS from the same source") {
+    val e = edges()
+    val adj = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val src = 1L
+    var dist = Map(src -> 0)
+    var frontier = Set(src)
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    val got = Graph.bfsDistances(spark, sf, src).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == dist, s"got ${got.size} rows, want ${dist.size}")
+  }
+
+  test("two_hop_reach: matches brute-force capped reach") {
+    val e = edges()
+    val adj = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val want = adj.map { case (id, nbrs) =>
+      val two = nbrs.filter(deg(_) <= 64).flatMap(adj.getOrElse(_, Set.empty))
+      id -> ((nbrs ++ two) - id).size
+    }
+    val got = Graph.twoHopReach(spark, sf, k = 1000000).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == want.filter(_._2 > 0))
+  }
+
+  test("assortativity: matches the direct Pearson formula over edge ends") {
+    val e = edges()
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val ends = e.map { case (a, b) => (deg(a), deg(b)) }
+    val m = ends.length.toDouble
+    val sx = ends.map(_._1).sum.toDouble
+    val sxx = ends.map(x => x._1 * x._1).sum.toDouble
+    val sxy = ends.map(x => x._1 * x._2).sum.toDouble
+    val mean = sx / m
+    val want = ((sxy / m - mean * mean) / (sxx / m - mean * mean) * 1e6 + 0.5)
+      .floor / 1e6
+    val row = Graph.assortativity(spark, sf).collect().head
+    assert(row.getLong(0) == ends.length)
+    assert(row.getDouble(1) == want)
+  }
+
+  test("decision_stump: best threshold beats every other threshold") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tn = rows.length.toLong
+    val tp = rows.map(_._2).sum
+    def acc(t: Long): Long = {
+      val cp = rows.filter(_._1 <= t).map(_._2).sum
+      val cn = rows.count(_._1 <= t).toLong
+      math.max(cp + (tn - tp) - (cn - cp), (tp - cp) + (cn - cp))
+    }
+    val best = Ml.decisionStump(spark, sf).collect().head
+    val (bt, bc) = (best.getLong(0), best.getLong(1))
+    assert(bc == acc(bt))
+    rows.map(_._1).distinct.foreach { t =>
+      assert(acc(t) < bc || (acc(t) == bc && t >= bt),
+        s"threshold $t (acc ${acc(t)}) should not beat $bt (acc $bc)")
+    }
+  }
+
+  test("containment_pairs: directed, asymmetric, and threshold-exact") {
+    val got = Dedup.containmentPairs(spark, sf, 0.5).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "self-pairs excluded")
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+    // each contained doc appears exactly once (best container chosen)
+    val ids = got.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("acf_daily: lag-0 sanity via variance, bounded magnitudes") {
+    val rows = Events.acfDaily(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 7)
+    rows.foreach { r =>
+      val a = r.getDouble(2)
+      assert(a >= -1.0000005 && a <= 1.0000005, s"acf out of range: $a")
+    }
+  }
+
+  test("seasonal_hourly: shares sum to ~1 per type, dense 24-hour spine") {
+    val rows = Events.seasonalHourly(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      assert(rs.length == 24, s"$t spine not dense: ${rs.length}")
+      val tot = rs.map(_.getDouble(3)).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$t shares sum to $tot")
+    }
+  }
+
+  test("mutual_information: non-negative and below min marginal entropy") {
+    val row = Events.mutualInformation(spark, sf).collect().head
+    val mi = row.getDouble(0)
+    assert(mi >= -1e-4, s"MI must be ~non-negative, got $mi")
+    // H(type) <= ln(5) for the 5-type fixture; MI <= min(H) always
+    assert(mi <= math.log(24.0) + 1e-6)
+  }
+
+  test("schema_drift: slice counts cover the table") {
+    val rows = Events.schemaDrift(spark, sf).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("bpe_pair_counts: pairs are 2-char, counts positive descending") {
+    val rows = TextStats.bpePairCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0).length == 2))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("embedding_prototypes: unit-ish prototypes, one row per (label,pos)") {
+    val rows = Similarity.normalizedPrototypes(spark, sf).collect()
+    val keys = rows.map(r => (r.getInt(0), r.getInt(1)))
+    assert(keys.distinct.length == keys.length)
+    val dims = rows.groupBy(_.getInt(0)).values.map(_.length).toSet
+    assert(dims == Set(64), s"every label must have 64 dims: $dims")
+  }
+}

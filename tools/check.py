@@ -59,8 +59,12 @@ for name in sorted(os.listdir(outdir)):
     else:
         print(f"  {name}: OK rows={len(got2)}")
 # a query that ERRORED in Verify leaves no output dir at all — flag it,
-# don't silently skip (the driver records it as err != null)
-missing = [q for q in sorted(oracle)
+# don't silently skip (the driver records it as err != null). _ran.json
+# lists what this Verify invocation attempted (dev subset runs less).
+ran_path = os.path.join(outdir, "_ran.json")
+ran = set(json.load(open(ran_path))) if os.path.exists(ran_path) \
+    else set(oracle)
+missing = [q for q in sorted(ran)
            if not os.path.isdir(os.path.join(outdir, q))]
 for q in missing:
     print(f"  {q}: MISSING OUTPUT (Verify errored?)")
