@@ -309,6 +309,11 @@ object SparkEntry {
     "bpe_pair_counts" -> ((s, d) => TextStats.bpePairCounts(s, d)),
     "containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d, 0.5)),
     "embedding_prototypes" -> ((s, d) => Similarity.normalizedPrototypes(s, d)),
+    "frequent_pairs" -> ((s, d) => Relational.frequentPairs(s, d)),
+    "q2_mincost_shape" -> ((s, d) => Relational.q2MincostShape(s, d)),
+    "rolling_median_daily" -> ((s, d) => Events.rollingMedianDaily(s, d)),
+    "pagerank_global" -> ((s, d) => Graph.pagerankGlobal(s, d)),
+    "stream_late_replay" -> ((s, d) => streaming.StreamReplay.lateDataReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -390,6 +395,27 @@ object SparkEntry {
       s"SELECT e.src AS id, count(*) AS core_deg FROM edges e" +
       s" JOIN a$rounds s ON e.src = s.id JOIN a$rounds t ON e.dst = t.id" +
       " GROUP BY e.src"
+  }
+
+  /** Unrolled global-PageRank rounds (mirrors `Graph.pagerankGlobal`:
+    * uniform teleport, no dangling mass on the symmetrized graph,
+    * top-k cut on the 9-dp rounded rank with id tiebreak). */
+  private def pagerankOracleSql(rounds: Int, k: Int): String = {
+    val blocks = (1 to rounds).map { r =>
+      s"r$r AS MATERIALIZED (SELECT e.dst AS id," +
+        s" 0.15 / (SELECT n FROM nn) + 0.85 * sum(p.r / od.od) AS r" +
+        s" FROM edges e JOIN od ON e.src = od.src" +
+        s" JOIN r${r - 1} p ON p.id = e.src GROUP BY e.dst)"
+    }
+    s"WITH $GraphCte,\n" +
+      "od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od" +
+      " FROM edges GROUP BY src),\n" +
+      "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),\n" +
+      "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r" +
+      " FROM nodes),\n" +
+      blocks.mkString(",\n") + "\n" +
+      s"SELECT id, round(r, 9) AS rank FROM r$rounds" +
+      s" ORDER BY round(r, 9) DESC, id LIMIT $k"
   }
 
   /** Unrolled HITS rounds (mirrors `Graph.hits`: directed c→sup pairs,
@@ -3334,6 +3360,66 @@ object SparkEntry {
                 floor(sum(v)::DOUBLE / count(*) / 1e9 * 1e6 + 0.5) / 1e6
                   AS proto
          FROM u GROUP BY label, pos""",
+    "frequent_pairs" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         small AS (
+           SELECT ok FROM items GROUP BY ok HAVING count(*) <= 30),
+         b AS (SELECT i.ok, i.pk FROM items i JOIN small USING (ok))
+         SELECT a.pk AS p1, c.pk AS p2, count(*)::BIGINT AS support
+         FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY support DESC, p1, p2""",
+    "q2_mincost_shape" ->
+      """WITH li AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS cents,
+                  l_quantity::BIGINT AS qty
+           FROM lineitem),
+         best AS (
+           SELECT l_partkey, min(cents::DOUBLE / qty) AS mu
+           FROM li GROUP BY l_partkey)
+         SELECT l_partkey, min(l_suppkey) AS best_supp,
+                floor(min(mu) * 1e6 + 0.5) / 1e6 AS unit_price
+         FROM li JOIN best USING (l_partkey)
+         WHERE cents::DOUBLE / qty = mu
+         GROUP BY l_partkey ORDER BY l_partkey LIMIT 50""",
+    "rolling_median_daily" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         daily AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 d ON s.day = d.day)
+         SELECT day, y AS n_events,
+                -- lower median of the trailing 7-row frame (exact ints)
+                (list_sort(list(y) OVER
+                   (ORDER BY day ROWS 6 PRECEDING)))
+                  [(count(*) OVER (ORDER BY day ROWS 6 PRECEDING)
+                    + 1) // 2]
+                  AS rolling_median
+         FROM daily ORDER BY day""",
+    "pagerank_global" -> pagerankOracleSql(6, 20),
+    "stream_late_replay" ->
+      """WITH main AS (
+           SELECT * FROM events WHERE event_id % 97 <> 0),
+         wm AS (
+           SELECT max(epoch_ms(ts)) - 1800000 AS wm FROM main),
+         kept AS (
+           SELECT ts, event_type FROM main
+           UNION ALL
+           SELECT ts, event_type FROM events, wm
+           WHERE event_id % 97 = 0
+             AND (epoch_ms(ts) // 3600000 + 1) * 3600000 > wm)
+         SELECT (epoch_ms(ts) // 3600000 * 3600) AS hour_epoch,
+                event_type, count(*)::BIGINT AS cnt
+         FROM kept GROUP BY 1, 2""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -1181,4 +1181,33 @@ object Events {
           nullif(col("n_b") - col("null_b"), lit(0L)), 6).as("mean_b"))
       .orderBy("event_type")
   }
+
+  /** 7-day rolling MEDIAN of the daily event count — the robust
+    * smoother ops dashboards use where a mean window is whale-skewed.
+    * Spark has no windowed percentile, so the trailing frame
+    * materializes as `collect_list` + `array_sort` + exact middle
+    * (lower-median for even frames) — fine because the window rides
+    * the one-row-per-DAY series, never raw events (the heavy lifting
+    * is the first groupBy's partial count). Counts are integers, so
+    * the median is exact — no float surface at all.
+    */
+  def rollingMedianDaily(s: SparkSession, dir: String,
+                         window: Int = 7): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0) // eager: bounds + spine join read it
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy("day").rowsBetween(-(window - 1), 0)
+    daily
+      .withColumn("fr", array_sort(collect_list(col("y")).over(w)))
+      .select(col("day"), col("y").as("n_events"),
+        element_at(col("fr"),
+          ((size(col("fr")) + 1) / 2).cast("int")).as("rolling_median"))
+  }
 }

@@ -829,4 +829,42 @@ object Graph {
       visited
     }
   }
+
+  /** Classic global PageRank (uniform teleport) over the undirected
+    * customer⇄supplier graph, fixed `rounds`, top-`k` by 9-dp rounded
+    * rank with id tiebreak. The reference only ships the PERSONALIZED
+    * variant (SURVEY G1-G8); this is its textbook cousin, same loop
+    * shape: structure cached on pinned partitions, only the rank
+    * vector shuffles per round, `localCheckpoint` bounds lineage. The
+    * symmetrized graph has no dangling vertices, so the missing-mass
+    * feedback term is structurally zero and the oracle unrolls as
+    * plain scatter/gather CTE rounds.
+    */
+  def pagerankGlobal(s: SparkSession, dir: String, rounds: Int = 6,
+                     alpha: Double = 0.15, k: Int = 20): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val struct0 = CacheScope.track(
+        e.join(outdeg.hint("shuffle_hash"), "src").persist())
+      val nodes = CacheScope.track(
+        e.select(col("src").as("id")).distinct().persist())
+      val n = nodes.count()
+      var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
+      for (_ <- 1 to rounds) {
+        ranks = struct0.join(ranks, struct0("src") === ranks("id"))
+          .select(col("dst").as("id"), (col("r") / col("outdeg")).as("c"))
+          .groupBy("id").agg(sum("c").as("recv"))
+          .select(col("id"),
+            (lit(alpha / n) + lit(1.0 - alpha) * col("recv")).as("r"))
+          .localCheckpoint()
+      }
+      ranks
+        .orderBy(round(col("r"), 9).desc, col("id"))
+        .limit(k)
+        .select(col("id"), round(col("r"), 9).as("rank"))
+    }
+  }
 }

@@ -1522,4 +1522,68 @@ object Relational {
           .as("eff_to"),
         row_number().over(w).as("version"))
   }
+
+  /** Frequent item PAIRS (market-basket, A-priori level 2): parts that
+    * co-occur in at least `minSupport` orders, by support count. The
+    * per-order item list dedupes first (multiplicity is not support);
+    * `basketCap` drops whale orders before the pair fan-out — the same
+    * Σ|basket|² quadratic control as every wedge/candidate operator
+    * here (a 10k-item basket would emit 50M pairs and says nothing
+    * about pairwise affinity anyway). Pair generation is a per-order
+    * self-join on the order key, so the shuffle is keyed on orders
+    * then pairs — never all-pairs across orders.
+    */
+  def frequentPairs(s: SparkSession, dir: String, minSupport: Int = 3,
+                    basketCap: Int = 30): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist()
+    CacheScope.register(items) // eager: size filter + both pair sides
+    val small = items.groupBy("ok").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= basketCap).select("ok")
+    val b = items.join(small, "ok")
+    b.select(col("ok"), col("pk").as("p1"))
+      .join(b.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+  }
+
+  /** TPC-H Q2's correlated-min shape re-expressed on the star schema
+    * here (no partsupp table): for each part, the supplier offering
+    * its MINIMUM observed unit price (extendedprice/quantity on that
+    * part's lineitems) — the classic "row matching a per-group
+    * aggregate" decorrelation. The subquery plans as one partial-agg'd
+    * groupBy joined back on the group key. Unit prices are doubles
+    * computed from exact integer-scaled inputs (cents / integer qty),
+    * so every engine derives the IDENTICAL double per row; `min` over
+    * those is order-insensitive, and the equality match against the
+    * min is exact — no epsilon, no tie ambiguity (supplier ties break
+    * to min id).
+    */
+  def q2MincostShape(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val unit = col("cents").cast("double") / col("qty")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        // floor(x·100+0.5), not cast: the double nearest an exact
+        // 2-decimal price can sit a hair BELOW it, and a bare cast
+        // truncates that to the wrong cent
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .persist()
+    CacheScope.register(li) // eager: min-agg + match join read it
+    val best = li.groupBy("l_partkey").agg(min(unit).as("mu"))
+    li.join(best, Seq("l_partkey"))
+      .filter(unit === col("mu"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_suppkey")).as("best_supp"),
+        (floor(min(col("mu")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("unit_price"))
+      .orderBy(col("l_partkey"))
+      .limit(k)
+  }
 }

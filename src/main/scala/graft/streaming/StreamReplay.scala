@@ -237,4 +237,41 @@ object StreamReplay {
       .select(col("user_id"), col("n_events"),
         round(col("sum_value"), 4).as("sum_value"))
   }
+
+  /** Late-data DROP gate — the watermark semantic none of the other
+    * replays exercise (their replays are in-order, so nothing is ever
+    * late). Every event with `event_id % stragglerMod == 0` is held
+    * back and fed in one final batch AFTER the in-order main feed. By
+    * then the watermark is `max(main ts) − delay` (Spark tracks event
+    * time in milliseconds), so a straggler whose hour-window END ≤
+    * watermark is dropped by the windowed aggregation's late-row
+    * filter; stragglers inside the lateness allowance still count.
+    * The DuckDB restatement computes the same cutoff arithmetically:
+    * count windows over main ∪ {stragglers with window_end_ms > wm}.
+    * A flush sentinel then pushes the watermark past every real
+    * window so append mode emits them all.
+    */
+  def lateDataReplay(s: SparkSession, dir: String, nBatches: Int = 4,
+                     stragglerMod: Long = 97): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val all = sortedEvents(s, dir)
+    val (stragglers, main) =
+      all.partition(_.event_id % stragglerMod == 0)
+    val in = MemoryStream[REvent]
+    val nm = s"stream_late_${ctr.incrementAndGet()}"
+    val q = StreamOps.windowedAgg(in.toDF(), "1 hour", "30 minutes")
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("cnt"))
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    feed(in, q, main.toSeq, nBatches)
+    in.addData(stragglers.toSeq) // one late batch against the final wm
+    q.processAllAvailable()
+    in.addData(REvent(
+      new Timestamp(all.last.ts.getTime + 3L * 3600 * 1000),
+      -1L, -1L, "__flush__", 0.0))
+    q.processAllAvailable()
+    finish(s, nm, q).filter(col("event_type") =!= "__flush__")
+  }
 }

@@ -139,4 +139,54 @@ class Round4OpsSpec extends SparkSpec {
     val dims = rows.groupBy(_.getInt(0)).values.map(_.length).toSet
     assert(dims == Set(64), s"every label must have 64 dims: $dims")
   }
+
+  test("frequent_pairs: matches brute-force basket pair counts") {
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+      .filter(_._2.length <= 30)
+    val want = baskets.values.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3).toMap
+    val got = operators.Relational.frequentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("q2_mincost_shape: each reported supplier offers the true min") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong / r.getDouble(3)))
+    val minBy = li.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val got = operators.Relational.q2MincostShape(spark, sf).collect()
+    got.foreach { r =>
+      val (pk, supp) = (r.getLong(0), r.getLong(1))
+      val offered = li.filter(x => x._1 == pk && x._2 == supp).map(_._3).min
+      assert(offered == minBy(pk), s"part $pk: supplier $supp not minimal")
+    }
+  }
+
+  test("rolling_median_daily: matches driver-side sliding median") {
+    val rows = Events.rollingMedianDaily(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val ys = rows.map(_.getLong(1))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val frame = ys.slice(math.max(0, i - 6), i + 1).sorted
+      val want = frame((frame.length + 1) / 2 - 1)
+      assert(r.getLong(2) == want, s"day $i: ${r.getLong(2)} != $want")
+    }
+  }
+
+  test("pagerank_global: ranks positive, total mass conserved pre-cut") {
+    val top = Graph.pagerankGlobal(spark, sf, k = 1000000).collect()
+    assert(top.nonEmpty)
+    top.foreach(r => assert(r.getDouble(1) > 0))
+    val mass = top.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass should be ~1")
+  }
 }
