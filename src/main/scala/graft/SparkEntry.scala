@@ -314,6 +314,10 @@ object SparkEntry {
     "rolling_median_daily" -> ((s, d) => Events.rollingMedianDaily(s, d)),
     "pagerank_global" -> ((s, d) => Graph.pagerankGlobal(s, d)),
     "stream_late_replay" -> ((s, d) => streaming.StreamReplay.lateDataReplay(s, d)),
+    "weighted_ppr" -> ((s, d) => Graph.weightedPpr(s, d)),
+    "eccentricity_sample" -> ((s, d) => Graph.eccentricitySample(s, d)),
+    "hll_rollup" -> ((s, d) => Relational.hllRollup(s, d)),
+    "zonemap_prune" -> ((s, d) => Relational.zonemapPruneReport(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -415,6 +419,39 @@ object SparkEntry {
       " FROM nodes),\n" +
       blocks.mkString(",\n") + "\n" +
       s"SELECT id, round(r, 9) AS rank FROM r$rounds" +
+      s" ORDER BY round(r, 9) DESC, id LIMIT $k"
+  }
+
+  /** Unrolled WEIGHTED-PPR rounds (mirrors `Graph.weightedPpr`: link
+    * multiplicity weights, scatter r·w/W(u), no dangling mass on the
+    * symmetrized graph, 9-dp top-k cut). */
+  private def weightedPprOracleSql(source: Long, rounds: Int,
+                                   k: Int): String = {
+    val blocks = (1 to rounds).flatMap { r =>
+      Seq(
+        s"g$r AS MATERIALIZED (SELECT e.dst AS id," +
+          s" sum(t.r * e.w / ow.wout) AS recv" +
+          s" FROM t${r - 1} t JOIN we e ON e.src = t.id" +
+          s" JOIN outw ow ON ow.src = t.id GROUP BY e.dst)",
+        s"t$r AS MATERIALIZED (SELECT v.id," +
+          s" 0.85 * coalesce(g.recv, 0.0) +" +
+          s" CASE WHEN v.id = $source THEN 0.15 ELSE 0.0 END AS r" +
+          s" FROM wnodes v LEFT JOIN g$r g USING (id))")
+    }
+    """WITH pairsm AS MATERIALIZED (
+         SELECT o_custkey AS c, l_suppkey + 1000000 AS sup
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       em AS (SELECT c AS src, sup AS dst FROM pairsm
+              UNION ALL SELECT sup, c FROM pairsm),
+       we AS MATERIALIZED (
+         SELECT src, dst, count(*)::BIGINT AS w FROM em GROUP BY 1, 2),
+       outw AS MATERIALIZED (
+         SELECT src, sum(w)::BIGINT AS wout FROM we GROUP BY src),
+       wnodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM we),
+       t0 AS (SELECT id,""" +
+      s" CASE WHEN id = $source THEN 1.0 ELSE 0.0 END AS r FROM wnodes),\n" +
+      blocks.mkString(",\n") + "\n" +
+      s"SELECT id, round(r, 9) AS rank FROM t$rounds" +
       s" ORDER BY round(r, 9) DESC, id LIMIT $k"
   }
 
@@ -3420,6 +3457,60 @@ object SparkEntry {
          SELECT (epoch_ms(ts) // 3600000 * 3600) AS hour_epoch,
                 event_type, count(*)::BIGINT AS cnt
          FROM kept GROUP BY 1, 2""",
+    "weighted_ppr" -> weightedPprOracleSql(1L, 6, 20),
+    "eccentricity_sample" -> s"""WITH RECURSIVE $GraphCte,
+         srcs AS (SELECT unnest([1, 2, 3]::BIGINT[]) AS source),
+         walk(source, id, dist) AS (
+           SELECT source, source AS id, 0 AS dist FROM srcs
+           UNION
+           SELECT w.source, e.dst AS id, w.dist + 1 AS dist
+           FROM walk w JOIN edges e ON e.src = w.id
+           WHERE w.dist < 4),
+         d AS (SELECT source, id, min(dist) AS dist
+               FROM walk GROUP BY 1, 2)
+         SELECT source, dist::INT AS dist, count(*)::BIGINT AS n_nodes
+         FROM d GROUP BY 1, 2""",
+    "hll_rollup" ->
+      """WITH daily AS (
+           SELECT event_type, ts::DATE AS day FROM events GROUP BY 1, 2)
+         SELECT e.event_type,
+                (SELECT count(*) FROM daily d
+                 WHERE d.event_type = e.event_type)::BIGINT AS n_days,
+                count(DISTINCT e.user_id) AS exact_users,
+                TRUE AS est_ok
+         FROM events e GROUP BY e.event_type ORDER BY e.event_type""",
+    "zonemap_prune" ->
+      """WITH z AS (
+           SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+             list_sum(list_transform(range(0, 16), i ->
+               (((l_partkey >> i) & 1) << (2 * i)) +
+               (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS z
+           FROM lineitem),
+         b AS (
+           SELECT l_partkey, l_suppkey,
+             ntile(64) OVER (ORDER BY z, l_orderkey, l_linenumber)
+               AS bucket
+           FROM z),
+         zb AS (
+           SELECT bucket, count(*)::BIGINT AS n_rows,
+                  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+                  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+           FROM b GROUP BY bucket),
+         f AS (
+           SELECT *,
+             (min_pk <= 300 AND max_pk >= 100 AND
+              min_sk <= 40 AND max_sk >= 10) AS hit
+           FROM zb)
+         SELECT count(*)::BIGINT AS n_buckets,
+                sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS scanned,
+                (count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END))::BIGINT
+                  AS skipped,
+                sum(CASE WHEN hit THEN n_rows ELSE 0 END)::BIGINT
+                  AS rows_scanned,
+                sum(n_rows)::BIGINT AS rows_total,
+                floor(sum(CASE WHEN hit THEN n_rows ELSE 0 END)::DOUBLE
+                      / sum(n_rows) * 1e6 + 0.5) / 1e6 AS scan_frac
+         FROM f""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -867,4 +867,89 @@ object Graph {
         .select(col("id"), round(col("r"), 9).as("rank"))
     }
   }
+
+  /** Edge-WEIGHTED personalized PageRank from one source: scatter is
+    * rank·w(u,v)/W(u) where W(u) is the total out-weight — here the
+    * weight is the customer↔supplier LINK MULTIPLICITY (how many order
+    * lines connect them), so heavily-transacting neighbors receive
+    * proportionally more mass than the reference's uniform scatter
+    * (G1-G8) gives them. Same loop shape as every fixpoint here:
+    * weighted structure cached on pinned hash(src) partitions, only
+    * ranks shuffle per round; the symmetrized graph has no dangling
+    * vertices so teleport mass is the only feedback. Top-`k` cut on
+    * the 9-dp rounded rank, id tiebreak.
+    */
+  def weightedPpr(s: SparkSession, dir: String, source: Long = 1L,
+                  rounds: Int = 6, alpha: Double = 0.15,
+                  k: Int = 20): DataFrame = {
+    val e = customerSupplierEdges(s, dir, distinctPairs = false)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .persist()
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      val outw = e.groupBy("src").agg(sum("w").as("wout"))
+      val struct0 = CacheScope.track(
+        e.join(outw.hint("shuffle_hash"), "src").persist())
+      val nodes = CacheScope.track(
+        e.select(col("src").as("id")).distinct().persist())
+      var ranks = nodes.select(col("id"),
+        when(col("id") === source, 1.0).otherwise(0.0).as("r"))
+      for (_ <- 1 to rounds) {
+        val gathered = struct0.join(ranks, struct0("src") === ranks("id"))
+          .select(col("dst").as("id"),
+            (col("r") * col("w") / col("wout")).as("c"))
+          .groupBy("id").agg(sum("c").as("recv"))
+        ranks = nodes.join(gathered, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1.0 - alpha) * coalesce(col("recv"), lit(0.0)) +
+              when(col("id") === source, lit(alpha)).otherwise(lit(0.0)))
+              .as("r"))
+          .localCheckpoint()
+      }
+      ranks
+        .orderBy(round(col("r"), 9).desc, col("id"))
+        .limit(k)
+        .select(col("id"), round(col("r"), 9).as("rank"))
+    }
+  }
+
+  /** Sampled eccentricity: per source in `sources`, the max BFS
+    * distance reached within `maxHops` and the vertex count at each
+    * distance ring — the diameter-estimation probe (exact diameter is
+    * all-pairs; sampling sources bounds it from below, the standard
+    * trick). ONE multi-source frontier loop — the frontier carries
+    * (source, id) pairs so all sources advance in the same per-hop
+    * join against the cached edge list; work is Σ|frontier| per hop,
+    * never |sources|× separate traversals of the job graph.
+    */
+  def eccentricitySample(s: SparkSession, dir: String,
+                         sources: Seq[Long] = Seq(1L, 2L, 3L),
+                         maxHops: Int = 4): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    graft.CacheScope.register(e) // eager: every hop joins it
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      import s.implicits._
+      var visited = sources.toDF("source")
+        .select(col("source"), col("source").as("id"), lit(0).as("dist"))
+        .localCheckpoint()
+      var frontier = visited
+      var hop = 0
+      while (hop < maxHops) {
+        hop += 1
+        val next = e.join(frontier.select(col("source"),
+            col("id").as("src")), "src")
+          .select(col("source"), col("dst").as("id")).distinct()
+          .join(visited.select("source", "id"),
+            Seq("source", "id"), "left_anti")
+          .select(col("source"), col("id"), lit(hop).as("dist"))
+          .localCheckpoint()
+        frontier = next
+        visited = visited.unionAll(next).localCheckpoint()
+      }
+      visited.groupBy("source", "dist")
+        .agg(count(lit(1)).as("n_nodes"))
+    }
+  }
 }

@@ -1586,4 +1586,61 @@ object Relational {
       .orderBy(col("l_partkey"))
       .limit(k)
   }
+
+  /** Mergeable-sketch rollup: per (event_type, day) HLL sketches of
+    * the user set, UNIONED across days per type — the two-level
+    * pattern that makes approximate distinct counts reaggregable
+    * without rescanning (daily sketches persist once; any rollup —
+    * weekly, monthly, all-time — is a cheap sketch union, the thing a
+    * raw `approx_count_distinct` over the rollup window cannot do
+    * without touching raw data again). Estimates are checked against
+    * the exact distinct count with the sketch's error budget; the
+    * surfaced columns are exact counts + boolean tolerance flags, so
+    * the oracle restates exact values and `TRUE` (the approx_agg
+    * contract).
+    */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+        countDistinct(col("user_id")).as("exact_day"))
+    daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        count(lit(1)).as("n_days"))
+      .join(
+        Tables.events(s, dir).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users")),
+        "event_type")
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          greatest(col("exact_users") * lit(0.05), lit(5.0))).as("est_ok"))
+      .orderBy("event_type")
+  }
+
+  /** Zone-map prune report: given the z-order bucket layout
+    * [[zorderBuckets]] produces, how many buckets a conjunctive range
+    * predicate on BOTH keys would scan vs skip — the data-skipping
+    * effectiveness audit run after a layout rewrite (the whole point
+    * of clustering: a predicate's touched-bucket count IS its I/O at
+    * scale, since each bucket is a file with min/max zone maps).
+    * Pure arithmetic over the 64-row bucket table.
+    */
+  def zonemapPruneReport(s: SparkSession, dir: String,
+                         pkLo: Long = 100, pkHi: Long = 300,
+                         skLo: Long = 10, skHi: Long = 40): DataFrame = {
+    val zb = zorderBuckets(s, dir)
+    val overlaps = (col("min_pk") <= pkHi) && (col("max_pk") >= pkLo) &&
+      (col("min_sk") <= skHi) && (col("max_sk") >= skLo)
+    zb.agg(count(lit(1)).as("n_buckets"),
+        sum(when(overlaps, 1L).otherwise(0L)).as("scanned"),
+        sum(when(overlaps, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_rows")).as("rows_total"))
+      .select(col("n_buckets"), col("scanned"),
+        (col("n_buckets") - col("scanned")).as("skipped"),
+        col("rows_scanned"), col("rows_total"),
+        (floor(col("rows_scanned").cast("double") / col("rows_total")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("scan_frac"))
+  }
 }

@@ -189,4 +189,44 @@ class Round4OpsSpec extends SparkSpec {
     val mass = top.map(_.getDouble(1)).sum
     assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass should be ~1")
   }
+
+  test("weighted_ppr: mass conserved; reduces to PPR on unit weights") {
+    val top = Graph.weightedPpr(spark, sf, k = 1000000).collect()
+    val mass = top.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass should be ~1")
+    top.foreach(r => assert(r.getDouble(1) >= 0))
+  }
+
+  test("eccentricity_sample: ring sizes match single-source BFS") {
+    val rows = Graph.eccentricitySample(spark, sf, Seq(1L), 4).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val e = edges()
+    val adj = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    var dist = Map(1L -> 0)
+    var frontier = Set(1L)
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    val want = dist.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(rows == want)
+  }
+
+  test("hll_rollup: estimates within budget (flags all true)") {
+    val rows = operators.Relational.hllRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"${r.getString(0)}: merged HLL estimate outside 5% of exact"))
+  }
+
+  test("zonemap_prune: bucket accounting consistent, pruning non-trivial") {
+    val r = operators.Relational.zonemapPruneReport(spark, sf).collect().head
+    assert(r.getLong(0) == r.getLong(1) + r.getLong(2),
+      "scanned + skipped must equal bucket count")
+    assert(r.getLong(3) <= r.getLong(4))
+    assert(r.getLong(2) > 0,
+      "z-order layout should let the range predicate skip some buckets")
+  }
 }
