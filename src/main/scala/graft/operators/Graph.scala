@@ -749,12 +749,16 @@ object Graph {
     val e = customerSupplierEdges(s, dir)
       .select(col("src"), col("dst")).persist()
     graft.CacheScope.register(e) // eager: degree filter + both hop joins
+    // the degree table is |V| rows — broadcast it so the cap filter
+    // never shuffles the edge list; the wedge join proper hashes on
+    // the (vertex) mid key with the edge list as build side
     val mid = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= degCap).select(col("src").as("m"))
     val hop1 = e.select(col("src").as("id"), col("dst").as("r"))
     val hop2 = e.select(col("src").as("id"), col("dst").as("m"))
-      .join(mid, "m")
-      .join(e.select(col("src").as("m"), col("dst").as("r")), "m")
+      .join(broadcast(mid), "m")
+      .join(e.select(col("src").as("m"), col("dst").as("r"))
+        .hint("shuffle_hash"), "m")
       .select(col("id"), col("r"))
     hop1.unionAll(hop2)
       .filter(col("id") =!= col("r"))
