@@ -318,6 +318,10 @@ object SparkEntry {
     "eccentricity_sample" -> ((s, d) => Graph.eccentricitySample(s, d)),
     "hll_rollup" -> ((s, d) => Relational.hllRollup(s, d)),
     "zonemap_prune" -> ((s, d) => Relational.zonemapPruneReport(s, d)),
+    "eventually_follows" -> ((s, d) => Events.eventuallyFollows(s, d)),
+    "bounce_rate" -> ((s, d) => Events.bounceRate(s, d)),
+    "mad_anomalies" -> ((s, d) => Events.madAnomalies(s, d)),
+    "clustering_coeff" -> ((s, d) => Graph.clusteringCoeff(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -3511,6 +3515,101 @@ object SparkEntry {
                 floor(sum(CASE WHEN hit THEN n_rows ELSE 0 END)::DOUBLE
                       / sum(n_rows) * 1e6 + 0.5) / 1e6 AS scan_frac
          FROM f""",
+    "eventually_follows" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events),
+         spans AS (
+           SELECT user_id, event_type,
+                  first(us ORDER BY us, event_id) AS f_us,
+                  first(event_id ORDER BY us, event_id) AS f_id,
+                  last(us ORDER BY us, event_id) AS l_us,
+                  last(event_id ORDER BY us, event_id) AS l_id
+           FROM ev GROUP BY 1, 2)
+         SELECT a.event_type AS a, b.event_type AS b,
+                count(*)::BIGINT AS n_users
+         FROM spans a JOIN spans b ON a.user_id = b.user_id
+           AND a.event_type <> b.event_type
+         WHERE a.f_us < b.l_us OR (a.f_us = b.l_us AND a.f_id < b.l_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "bounce_rate" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  epoch_ms(ts) // 1000 AS ep,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM e),
+         sess AS (
+           SELECT user_id, session_seq, count(*) AS n_events,
+                  min(ep) AS start_epoch
+           FROM s GROUP BY 1, 2)
+         SELECT start_epoch // 86400 AS day,
+                count(*)::BIGINT AS n_sessions,
+                sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_bounces,
+                floor(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*) * 1e6 + 0.5) / 1e6 AS bounce_rate
+         FROM sess GROUP BY 1 ORDER BY 1""",
+    "mad_anomalies" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1, 2),
+         med AS (SELECT event_type, quantile_cont(y, 0.5) AS med
+                 FROM daily GROUP BY 1),
+         mad AS (
+           SELECT d.event_type,
+                  quantile_cont(abs(y - med), 0.5) AS mad,
+                  any_value(med) AS med
+           FROM daily d JOIN med USING (event_type)
+           GROUP BY d.event_type),
+         sc AS (
+           SELECT d.event_type, day, y,
+                  floor((y - med) / nullif(mad, 0.0) * 1e4 + 0.5) / 1e4
+                    AS mad_score
+           FROM daily d JOIN mad USING (event_type))
+         SELECT event_type, day, y, mad_score
+         FROM sc WHERE abs(mad_score) > 3.0
+         ORDER BY event_type, day""",
+    "clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         co AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS c
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2),
+         thr AS (SELECT quantile_cont(c, 0.9) AS t FROM co),
+         e AS (SELECT s1 AS u, s2 AS v FROM co, thr WHERE c >= t),
+         deg AS (SELECT x, count(*)::BIGINT AS d FROM
+                   (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+                 GROUP BY x),
+         orient AS (
+           SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                       THEN e.u ELSE e.v END AS s,
+                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                       THEN e.v ELSE e.u END AS t,
+                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                       THEN dv.d ELSE du.d END AS dt
+           FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+         w AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+               FROM orient o1 JOIN orient o2 ON o1.s = o2.s
+               WHERE o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t)),
+         tr AS (SELECT w.a, w.b, w.c
+                FROM w JOIN orient o3 ON o3.s = w.b AND o3.t = w.c),
+         tri AS (
+           SELECT x, count(*)::BIGINT AS t
+           FROM (SELECT unnest([a, b, c]) AS x FROM tr) GROUP BY x)
+         SELECT deg.x AS id, deg.d AS degree,
+                coalesce(t, 0)::BIGINT AS triangles,
+                floor(2.0 * coalesce(t, 0) / (d * (d - 1)) * 1e6 + 0.5)
+                  / 1e6 AS coeff
+         FROM deg LEFT JOIN tri USING (x)
+         WHERE d >= 2 ORDER BY coeff DESC, id LIMIT 30""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -1210,4 +1210,87 @@ object Events {
         element_at(col("fr"),
           ((size(col("fr")) + 1) / 2).cast("int")).as("rolling_median"))
   }
+
+  /** "Eventually-follows" pairs (process mining's successor relation,
+    * not just ADJACENT transitions like `eventTransitions`): for each
+    * ordered type pair (a, b), how many users ever do `a` and then —
+    * any time later — `b`. Per user the relation depends only on each
+    * type's FIRST and LAST occurrence (a→b holds iff first(a) <
+    * last(b)), so the per-user state collapses to 2·|types| epochs
+    * before any pair is formed: the |types|²-safe rewrite of the
+    * naive event×event self-join, which at 100 TB would square each
+    * user's history. Ties (same timestamp) resolve by event_id, the
+    * total order used everywhere here.
+    */
+  def eventuallyFollows(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"))
+    // lexicographic (us, event_id) min/max per (user, type): struct
+    // ordering gives the total-order endpoints without packing both
+    // into one scalar (which would overflow a long)
+    val spans = ev.groupBy("user_id", "event_type")
+      .agg(min(struct(col("us"), col("event_id"))).as("f"),
+        max(struct(col("us"), col("event_id"))).as("l"))
+    val before = col("f.us") < col("l_us") ||
+      (col("f.us") === col("l_us") && col("f.event_id") < col("l_id"))
+    spans.select(col("user_id"), col("event_type").as("a"), col("f"))
+      .join(spans.select(col("user_id"), col("event_type").as("b"),
+        col("l.us").as("l_us"), col("l.event_id").as("l_id")),
+        Seq("user_id"))
+      .filter(col("a") =!= col("b") && before)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Daily bounce rate: share of sessions with exactly one event —
+    * the engagement-quality metric every funnel report leads with.
+    * Rides the [[sessionize]] output (one row per session); the day
+    * key is the session's START day, exact integer counts, one
+    * quantized division per day.
+    */
+  def bounceRate(s: SparkSession, dir: String,
+                 gapMinutes: Int = 30): DataFrame = {
+    sessionize(s, dir, gapMinutes)
+      .select(floor(col("start_epoch") / lit(86400L)).as("day"),
+        when(col("n_events") === 1, 1L).otherwise(0L).as("b"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"), sum("b").as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        q(col("n_bounces").cast("double") / col("n_sessions"), 6)
+          .as("bounce_rate"))
+      .orderBy("day")
+  }
+
+  /** MAD-based volume anomalies: flag (type, day) cells whose daily
+    * count sits more than `cut`·MAD from the type's median — the
+    * robust twin of [[zscoreAnomalies]] (a single whale day inflates
+    * a stddev and masks itself; the median absolute deviation
+    * doesn't). Counts are integers, medians of integers are exact
+    * halves at worst, so every comparison is over engine-identical
+    * doubles; the flag threshold compares quantized values (the
+    * round-before-decision rule).
+    */
+  def madAnomalies(s: SparkSession, dir: String,
+                   cut: Double = 3.0): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily) // eager: median, MAD and the flag scan
+    val med = daily.groupBy("event_type")
+      .agg(percentile(col("y"), lit(0.5)).as("med"))
+    val mad = daily.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(percentile(abs(col("y") - col("med")), lit(0.5)).as("mad"),
+        first(col("med")).as("med"))
+    daily.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("y"),
+        q((col("y") - col("med")) / nullif(col("mad"), lit(0.0)), 4)
+          .as("mad_score"))
+      .filter(abs(col("mad_score")) > cut)
+      .orderBy("event_type", "day")
+  }
 }

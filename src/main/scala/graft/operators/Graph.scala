@@ -956,4 +956,61 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"))
     }
   }
+
+  /** Local clustering coefficient 2·T(v)/(d(v)·(d(v)−1)) over the
+    * thresholded supplier co-purchase graph (the same graph
+    * [[triangleCensus]] censuses) — "how clique-like is each node's
+    * neighborhood", the per-node refinement of the global census.
+    * Triangles enumerate once at their (degree, id)-oriented apex
+    * (identical wedge bound), then credit all three corners via one
+    * explode; degrees come from the undirected edge list. Every ratio
+    * divides exact integers; quantized on the 1e-6 grid.
+    */
+  def clusteringCoeff(s: SparkSession, dir: String, q: Double = 0.9,
+                      k: Int = 30): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey").distinct()
+    val a = li.select(col("l_orderkey").as("kk"), col("l_suppkey").as("s1"))
+    val b = li.select(col("l_orderkey").as("kk"), col("l_suppkey").as("s2"))
+    val co = a.join(b, "kk").filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+      .persist()
+    val thr = co.agg(percentile(col("c"), lit(q))).head().getDouble(0)
+    val e = co.filter(col("c") >= thr)
+      .select(col("s1").as("u"), col("s2").as("v")).persist()
+    graft.CacheScope.register(e) // eager: degrees + orientation read it
+    co.unpersist(blocking = false)
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val or = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("t"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("dt"))
+      .persist()
+    graft.CacheScope.register(or) // eager: three-way wedge fan-out
+    val w = or.select(col("s").as("a"), col("t").as("b"), col("dt").as("db"))
+      .join(or.select(col("s").as("a"), col("t").as("c"), col("dt").as("dc")),
+        "a")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val tri = w.join(or.select(col("s").as("b"), col("t").as("c")),
+        Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("t"))
+    deg.join(tri, Seq("x"), "left")
+      .filter(col("d") >= 2)
+      .select(col("x").as("id"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        (floor(lit(2.0) * coalesce(col("t"), lit(0L)) /
+          (col("d") * (col("d") - 1)) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("coeff"))
+      .orderBy(col("coeff").desc, col("id"))
+      .limit(k)
+  }
 }

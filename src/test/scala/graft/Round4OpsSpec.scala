@@ -229,4 +229,62 @@ class Round4OpsSpec extends SparkSpec {
     assert(r.getLong(2) > 0,
       "z-order layout should let the range predicate skip some buckets")
   }
+
+  test("eventually_follows: matches brute-force event pair scan") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = evs.groupBy(_._1).values.flatMap { es =>
+      (for {
+        x <- es; y <- es
+        if x._2 != y._2 && (x._3 < y._3 || (x._3 == y._3 && x._4 < y._4))
+      } yield (x._2, y._2)).distinct
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Events.eventuallyFollows(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("bounce_rate: bounces never exceed sessions; rate in [0,1]") {
+    val rows = Events.bounceRate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("mad_anomalies: every flagged cell is a genuine MAD outlier") {
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "floor(unix_timestamp(ts) / 86400) as day").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def medianD(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val byType = daily.groupBy(_._1._1).view
+      .mapValues(_.values.map(_.toDouble).toSeq).toMap
+    Events.madAnomalies(spark, sf).collect().foreach { r =>
+      val ys = byType(r.getString(0))
+      val med = medianD(ys)
+      val mad = medianD(ys.map(y => math.abs(y - med)))
+      val score = (r.getLong(2) - med) / mad
+      assert(math.abs(score) > 2.9,
+        s"${r.getString(0)}/${r.getLong(1)} score $score not an outlier")
+    }
+  }
+
+  test("clustering_coeff: coefficients in [0,1], degree >= 2") {
+    val rows = Graph.clusteringCoeff(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      // triangles bounded by pairs of neighbors
+      assert(r.getLong(2) <= r.getLong(1) * (r.getLong(1) - 1) / 2)
+    }
+  }
 }
