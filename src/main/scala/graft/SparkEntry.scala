@@ -322,6 +322,9 @@ object SparkEntry {
     "bounce_rate" -> ((s, d) => Events.bounceRate(s, d)),
     "mad_anomalies" -> ((s, d) => Events.madAnomalies(s, d)),
     "clustering_coeff" -> ((s, d) => Graph.clusteringCoeff(s, d)),
+    "psi_drift" -> ((s, d) => Events.psiDrift(s, d)),
+    "negative_samples" -> ((s, d) => Curation.negativeSamples(s, d)),
+    "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -3610,6 +3613,87 @@ object SparkEntry {
                   / 1e6 AS coeff
          FROM deg LEFT JOIN tri USING (x)
          WHERE d >= 2 ORDER BY coeff DESC, id LIMIT 30""",
+    "psi_drift" ->
+      """WITH ev0 AS (
+           SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS day, value
+           FROM events WHERE value IS NOT NULL),
+         cut AS (
+           SELECT day AS cut FROM (
+             SELECT day, sum(count(*)) OVER
+               (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+             FROM ev0 GROUP BY day)
+           WHERE cum >= (SELECT count(*) // 2 FROM ev0)
+           ORDER BY day LIMIT 1),
+         ev AS (
+           SELECT event_type,
+                  CASE WHEN day <= cut THEN 'a' ELSE 'b' END AS slice,
+                  value
+           FROM ev0, cut),
+         ed AS (
+           SELECT event_type,
+                  quantile_cont(value,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                    AS edges
+           FROM ev WHERE slice = 'a' GROUP BY 1),
+         bk AS (
+           SELECT e.event_type, slice,
+                  len(list_filter(edges, x -> value > x)) AS bucket
+           FROM ev e JOIN ed USING (event_type)),
+         bc AS (
+           SELECT event_type, bucket,
+                  sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END)::BIGINT
+                    AS na,
+                  sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END)::BIGINT
+                    AS nb
+           FROM bk GROUP BY 1, 2),
+         tot AS (SELECT event_type, sum(na)::BIGINT AS ta,
+                        sum(nb)::BIGINT AS tb
+                 FROM bc GROUP BY 1),
+         terms AS (
+           SELECT bc.event_type,
+             CAST(floor((greatest(na::DOUBLE / ta, 1e-6)
+                         - greatest(nb::DOUBLE / tb, 1e-6))
+                   * ln(greatest(na::DOUBLE / ta, 1e-6)
+                        / greatest(nb::DOUBLE / tb, 1e-6))
+                   * 1e6 + 0.5) AS BIGINT) AS ti
+           FROM bc JOIN tot USING (event_type))
+         SELECT event_type, sum(ti)::DOUBLE / 1e6 AS psi,
+                count(*)::BIGINT AS n_buckets
+         FROM terms GROUP BY 1 ORDER BY 1""",
+    "negative_samples" ->
+      """WITH emb AS (
+           SELECT vec_id, label,
+                  ((vec_id % 2147483648) * 8388593) % 100 AS h
+           FROM embeddings),
+         cands AS (
+           SELECT label AS neg_label, vec_id AS neg_id, h AS neg_h
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY label ORDER BY h, vec_id) AS rn
+                 FROM emb)
+           WHERE rn <= 3),
+         j AS (
+           SELECT e.vec_id, c.neg_id, c.neg_label, c.neg_h
+           FROM emb e JOIN cands c ON e.label <> c.neg_label)
+         SELECT vec_id, rank, neg_id, neg_label FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY vec_id ORDER BY neg_h, neg_id) AS rank
+           FROM j)
+         WHERE rank <= 3""",
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                           label AS qlab
+                    FROM embeddings WHERE vec_id < 50),
+              e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                    FROM embeddings)
+         SELECT query_id, negative_id, neg_label, sim FROM (
+           SELECT q.query_id, e.vec_id AS negative_id,
+                  e.label AS neg_label,
+                  round(list_cosine_similarity(q.qv, e.v), 6) AS sim,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY round(list_cosine_similarity(q.qv, e.v), 6)
+                      DESC, e.vec_id) AS rn
+           FROM q CROSS JOIN e WHERE e.label <> q.qlab)
+         WHERE rn = 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

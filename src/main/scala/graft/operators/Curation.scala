@@ -479,4 +479,35 @@ object Curation {
       .orderBy(col("log_weight").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Deterministic negative sampling: for every vector, `k` negatives
+    * drawn from OTHER labels in the global hash order — the
+    * contrastive-pair assembly step of embedding training, made
+    * reproducible (a vector's negatives depend only on ids, never on
+    * partitioning). Scale shape: the global candidate pool collapses
+    * to the top-`k` hash-ranked ids PER LABEL (labels × k rows — the
+    * classic merge argument: the global top-k over "labels ≠ mine" is
+    * contained in the union of each label's top-k), broadcast onto
+    * one scan of the corpus; the full table never self-joins.
+    */
+  def negativeSamples(s: SparkSession, dir: String,
+                      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), pctHash(col("vec_id")).as("h"))
+    val perLabel = Window.partitionBy("label")
+      .orderBy(col("h"), col("vec_id"))
+    val cands = emb
+      .withColumn("rn", row_number().over(perLabel))
+      .filter(col("rn") <= k)
+      .select(col("label").as("neg_label"), col("vec_id").as("neg_id"),
+        col("h").as("neg_h"))
+    val perVec = Window.partitionBy("vec_id")
+      .orderBy(col("neg_h"), col("neg_id"))
+    emb.select(col("vec_id"), col("label"))
+      .join(broadcast(cands), col("label") =!= col("neg_label"))
+      .withColumn("rank", row_number().over(perVec))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neg_id"), col("neg_label"))
+  }
 }

@@ -1293,4 +1293,60 @@ object Events {
       .filter(abs(col("mad_score")) > cut)
       .orderBy("event_type", "day")
   }
+
+  /** Population stability index of `value` per event type between the
+    * two time halves (split at the same median day as [[schemaDrift]]):
+    * PSI = Σ (p_a − p_b)·ln(p_a/p_b) over slice-A decile buckets —
+    * THE drift score ML monitoring dashboards alarm on (0.1 = noted,
+    * 0.25 = shifted). Bucket edges are slice-A's 9 inner deciles (one
+    * tiny array per type, broadcast); both slices then bucket on one
+    * scan (`size(filter(edges, e -> v > e))` — a codegen'd projection,
+    * no per-bucket pass). Proportions floor at 1e-6 (the standard PSI
+    * guard against empty buckets); each term quantizes to the 1e-6
+    * grid before the exact scaled-integer sum, engine-identical.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        col("value"))
+      .filter(col("value").isNotNull)
+      .persist()
+    CacheScope.register(ev0) // eager: cut probe, edges and both scans
+    val half = ev0.count() / 2
+    val cutRow = ev0.groupBy("day").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") >= half)
+      .orderBy("day").limit(1).select(col("day").as("cut"))
+    val ev = ev0.crossJoin(broadcast(cutRow))
+      .select(col("event_type"),
+        when(col("day") <= col("cut"), lit("a")).otherwise(lit("b"))
+          .as("slice"),
+        col("value"))
+      .persist()
+    CacheScope.register(ev) // eager: edge fit + bucket counts read it
+    val edges = ev.filter(col("slice") === "a")
+      .groupBy("event_type")
+      .agg(percentile(col("value"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("edges"))
+    val bucketed = ev.join(broadcast(edges), "event_type")
+      .select(col("event_type"), col("slice"),
+        size(filter(col("edges"), e => col("value") > e)).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("slice") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("slice") === "b", 1L).otherwise(0L)).as("nb"))
+    val tot = bucketed.groupBy("event_type")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val pa = greatest(col("na").cast("double") / col("ta"), lit(1e-6))
+    val pb = greatest(col("nb").cast("double") / col("tb"), lit(1e-6))
+    bucketed.join(broadcast(tot), "event_type")
+      .select(col("event_type"),
+        floor((pa - pb) * log(pa / pb) * lit(1e6) + lit(0.5))
+          .cast("long").as("ti"))
+      .groupBy("event_type")
+      .agg((sum("ti").cast("double") / lit(1e6)).as("psi"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("event_type")
+  }
 }

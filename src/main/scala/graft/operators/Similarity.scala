@@ -395,4 +395,33 @@ object Similarity {
         (floor(col("sv").cast("double") / col("n") / lit(1e9) * lit(1e6)
           + lit(0.5)) / lit(1e6)).as("proto"))
   }
+
+  /** Hard-negative mining: for each query vector, the single MOST
+    * similar vector with a DIFFERENT label — the contrastive-training
+    * pair a retrieval model learns most from (easy negatives are
+    * uninformative; the near-miss is the signal). Same broadcast
+    * query-side shape as [[bruteForceTopK]] with the label inequality
+    * folded into the scan; at 100 TB the candidate side comes from
+    * the IVF/LSH bucket machinery and this exact check scores only
+    * bucket-mates. Ties break to the lower vec id on the 6-dp
+    * rounded similarity.
+    */
+  def hardNegatives(s: SparkSession, dir: String,
+                    numQueries: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlab"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("sim"), 6).desc, col("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlab"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("negative_id"),
+        col("label").as("neg_label"), round(col("sim"), 6).as("sim"))
+  }
 }

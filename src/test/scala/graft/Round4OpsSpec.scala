@@ -278,6 +278,55 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("psi_drift: zero drift on identical slices, per-type rows") {
+    val rows = Events.psiDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // PSI is non-negative by construction (Gibbs' inequality on the
+    // floored proportions, up to the 1e-6 term quantization)
+    rows.foreach(r => assert(r.getDouble(1) >= -1e-5,
+      s"${r.getString(0)}: psi ${r.getDouble(1)} negative"))
+  }
+
+  test("negative_samples: k per vec, never own label, hash-deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = operators.Curation.negativeSamples(spark, sf).collect()
+    val byVec = rows.groupBy(_.getLong(0))
+    assert(byVec.size == emb.size, "every vector gets negatives")
+    byVec.foreach { case (v, rs) =>
+      assert(rs.length == 3)
+      rs.foreach(r => assert(r.getInt(3) != emb(v),
+        s"vec $v sampled its own label"))
+    }
+    val again = operators.Curation.negativeSamples(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
+  test("hard_negatives: reported pair is the true cross-label max") {
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v",
+        "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = operators.Similarity.hardNegatives(spark, sf, 10).collect()
+    got.foreach { r =>
+      val q = emb.find(_._1 == r.getLong(0)).get
+      val best = emb.filter(_._3 != q._3)
+        .map(e => (BigDecimal(cos(q._2, e._2)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, e._1))
+        .max(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+          Ordering.Long.reverse))
+      assert(r.getLong(1) == best._2,
+        s"query ${r.getLong(0)}: got ${r.getLong(1)}, want ${best._2}")
+    }
+  }
+
   test("clustering_coeff: coefficients in [0,1], degree >= 2") {
     val rows = Graph.clusteringCoeff(spark, sf).collect()
     rows.foreach { r =>
