@@ -325,6 +325,9 @@ object SparkEntry {
     "psi_drift" -> ((s, d) => Events.psiDrift(s, d)),
     "negative_samples" -> ((s, d) => Curation.negativeSamples(s, d)),
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "pair_lift" -> ((s, d) => Relational.pairLift(s, d)),
+    "shortest_path_counts" -> ((s, d) => Graph.shortestPathCounts(s, d)),
+    "session_entropy" -> ((s, d) => Events.sessionEntropy(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -460,6 +463,29 @@ object SparkEntry {
       blocks.mkString(",\n") + "\n" +
       s"SELECT id, round(r, 9) AS rank FROM t$rounds" +
       s" ORDER BY round(r, 9) DESC, id LIMIT $k"
+  }
+
+  /** Unrolled BFS-with-path-counts rounds (mirrors
+    * `Graph.shortestPathCounts`: per hop, unvisited neighbors sum
+    * their frontier parents' σ). */
+  private def spcOracleSql(source: Long, hops: Int): String = {
+    val blocks = (1 to hops).flatMap { h =>
+      Seq(
+        s"f$h AS MATERIALIZED (SELECT e.dst AS id, $h AS dist," +
+          s" sum(f.n_paths)::BIGINT AS n_paths" +
+          s" FROM f${h - 1} f JOIN edges e ON e.src = f.id" +
+          s" WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v WHERE v.id = e.dst)" +
+          s" GROUP BY e.dst)",
+        s"v$h AS MATERIALIZED (SELECT id FROM v${h - 1}" +
+          s" UNION ALL SELECT id FROM f$h)")
+    }
+    s"WITH $GraphCte,\n" +
+      s"f0 AS (SELECT CAST($source AS BIGINT) AS id, 0 AS dist," +
+      " 1::BIGINT AS n_paths),\n" +
+      "v0 AS (SELECT id FROM f0),\n" +
+      blocks.mkString(",\n") + "\n" +
+      (0 to hops).map(h => s"SELECT id, dist, n_paths FROM f$h")
+        .mkString(" UNION ALL ")
   }
 
   /** Unrolled HITS rounds (mirrors `Graph.hits`: directed c→sup pairs,
@@ -3694,6 +3720,54 @@ object SparkEntry {
                       DESC, e.vec_id) AS rn
            FROM q CROSS JOIN e WHERE e.label <> q.qlab)
          WHERE rn = 1""",
+    "pair_lift" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         small AS (
+           SELECT ok FROM items GROUP BY ok HAVING count(*) <= 30),
+         b AS (SELECT i.ok, i.pk FROM items i JOIN small USING (ok)),
+         nb AS (SELECT count(DISTINCT ok)::DOUBLE AS n FROM b),
+         singles AS (SELECT pk, count(*)::BIGINT AS s1 FROM b GROUP BY pk),
+         pr AS (
+           SELECT a.pk AS p1, c.pk AS p2, count(*)::BIGINT AS support
+           FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT p1, p2, support,
+                floor(support::DOUBLE * (SELECT n FROM nb)
+                      / (sa.s1 * sb.s1) * 1e4 + 0.5) / 1e4 AS lift
+         FROM pr JOIN singles sa ON p1 = sa.pk
+                 JOIN singles sb ON p2 = sb.pk
+         ORDER BY lift DESC, p1, p2 LIMIT 40""",
+    "shortest_path_counts" -> spcOracleSql(1L, 4),
+    "session_entropy" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM e),
+         bt AS (
+           SELECT user_id, session_seq, event_type, count(*)::BIGINT AS c
+           FROM s GROUP BY 1, 2, 3),
+         ps AS (
+           SELECT user_id, session_seq, sum(c)::BIGINT AS n,
+                  sum(CAST(floor(c::DOUBLE * ln(c) * 1e9 + 0.5)
+                      AS BIGINT))::BIGINT AS sti
+           FROM bt GROUP BY 1, 2),
+         bands AS (
+           SELECT least(n, 5) AS len_band,
+                  CAST(floor((ln(n) - sti::DOUBLE / 1e9 / n) * 1e6 + 0.5)
+                    AS BIGINT) AS hi
+           FROM ps)
+         SELECT len_band, count(*)::BIGINT AS n_sessions,
+                (sum(hi)::DOUBLE / count(*)) / 1e6 AS avg_entropy
+         FROM bands GROUP BY 1 ORDER BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

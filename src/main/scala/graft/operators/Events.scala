@@ -1349,4 +1349,49 @@ object Events {
         count(lit(1)).as("n_buckets"))
       .orderBy("event_type")
   }
+
+  /** Behavioral diversity per session: Shannon entropy (nats) of each
+    * session's event-type distribution, averaged by session-length
+    * band — "do longer sessions explore or repeat", the engagement-
+    * depth profile. Sessions come from the same gap rule as
+    * [[sessionize]]; each session's entropy is computed from ITS OWN
+    * integer counts (deterministic per session), quantized to the
+    * 1e-6 grid, then averaged as exact scaled-integer sums per band —
+    * partition merge order can't move a bit.
+    */
+  def sessionEntropy(s: SparkSession, dir: String,
+                     gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val epoch = unix_timestamp(col("ts"))
+    val prev = lag(epoch, 1).over(w)
+    val newSession = when(
+      prev.isNull || (epoch - prev > gapMinutes * 60L), 1).otherwise(0)
+    val byType = Tables.events(s, dir)
+      .withColumn("new_s", newSession)
+      .withColumn("session_seq",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val perSession = byType
+      // H = ln(n) − Σ c·ln(c)/n. Each c·ln(c) term quantizes to the
+      // 1e-9 integer grid BEFORE the per-session sum — float sums over
+      // an aggregation group follow engine-private row order, so only
+      // integer accumulation is bit-stable across engines
+      .select(col("user_id"), col("session_seq"), col("c"),
+        floor(col("c").cast("double") * log(col("c")) * lit(1e9)
+          + lit(0.5)).cast("long").as("ti"))
+      .groupBy("user_id", "session_seq")
+      .agg(sum("c").as("n"), sum("ti").as("sti"))
+      .select(
+        least(col("n"), lit(5L)).as("len_band"),
+        floor((log(col("n")) -
+          col("sti").cast("double") / lit(1e9) / col("n")) * lit(1e6)
+          + lit(0.5)).cast("long").as("hi"))
+    perSession.groupBy("len_band")
+      .agg(count(lit(1)).as("n_sessions"),
+        ((sum("hi").cast("double") / count(lit(1))) / lit(1e6))
+          .as("avg_entropy"))
+      .orderBy("len_band")
+  }
 }

@@ -957,6 +957,43 @@ object Graph {
     }
   }
 
+  /** Shortest-path COUNTS from one source (σ_v in Brandes' notation —
+    * the first half of betweenness centrality): per vertex within
+    * `maxHops`, its BFS distance and the number of distinct shortest
+    * paths reaching it (σ_v = Σ σ_u over parents one hop closer).
+    * The frontier loop is [[bfsDistances]] carrying one extra long —
+    * path counts aggregate in the SAME per-hop join/groupBy, so the
+    * cost over plain BFS is one sum per round. Counts are exact
+    * integers at any scale.
+    */
+  def shortestPathCounts(s: SparkSession, dir: String, source: Long = 1L,
+                         maxHops: Int = 4): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    graft.CacheScope.register(e) // eager: every hop joins it
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      var visited = e.sparkSession.range(1).select(
+        lit(source).as("id"), lit(0).as("dist"), lit(1L).as("n_paths"))
+        .localCheckpoint()
+      var frontier = visited
+      var hop = 0
+      while (hop < maxHops) {
+        hop += 1
+        val next = e.join(frontier.select(col("id").as("src"),
+            col("n_paths")), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum("n_paths").as("n_paths"))
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), lit(hop).as("dist"), col("n_paths"))
+          .localCheckpoint()
+        frontier = next
+        visited = visited.unionAll(next).localCheckpoint()
+      }
+      visited
+    }
+  }
+
   /** Local clustering coefficient 2·T(v)/(d(v)·(d(v)−1)) over the
     * thresholded supplier co-purchase graph (the same graph
     * [[triangleCensus]] censuses) — "how clique-like is each node's

@@ -1619,6 +1619,44 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Association LIFT over the basket pairs [[frequentPairs]] mines:
+    * lift(a,b) = P(a,b)/(P(a)·P(b)) = support_ab·N/(s_a·s_b) — the
+    * "is this co-occurrence more than chance" score that separates
+    * genuinely-associated items from merely-popular ones (support
+    * alone top-ranks whatever two items are individually common).
+    * Same capped baskets, one extra per-item support aggregation;
+    * everything divides exact integers, quantized at 1e-4.
+    */
+  def pairLift(s: SparkSession, dir: String, minSupport: Int = 3,
+               basketCap: Int = 30, k: Int = 40): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist()
+    CacheScope.register(items) // eager: cap filter + singles + pairs
+    val small = items.groupBy("ok").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= basketCap).select("ok")
+    val b = items.join(small, "ok").persist()
+    CacheScope.register(b) // eager: N + singles + both pair sides
+    val nBaskets = b.select("ok").distinct().count()
+    val singles = b.groupBy("pk").agg(count(lit(1)).as("s1"))
+    val pairs = b.select(col("ok"), col("pk").as("p1"))
+      .join(b.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(singles.select(col("pk").as("p1"), col("s1").as("sa")), "p1")
+      .join(singles.select(col("pk").as("p2"), col("s1").as("sb")), "p2")
+      .select(col("p1"), col("p2"), col("support"),
+        (floor(col("support").cast("double") * lit(nBaskets.toDouble) /
+          (col("sa") * col("sb")) * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
   /** Zone-map prune report: given the z-order bucket layout
     * [[zorderBuckets]] produces, how many buckets a conjunctive range
     * predicate on BOTH keys would scan vs skip — the data-skipping

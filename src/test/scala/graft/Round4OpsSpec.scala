@@ -336,4 +336,49 @@ class Round4OpsSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(1) * (r.getLong(1) - 1) / 2)
     }
   }
+
+  test("shortest_path_counts: matches driver-side BFS with multiplicity") {
+    val e = edges()
+    val adj = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    var sigma = Map(1L -> 1L)
+    var dist = Map(1L -> 0)
+    var frontier = Set(1L)
+    for (h <- 1 to 4) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+      frontier.foreach { u =>
+        adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+          if (!dist.contains(v))
+            contrib(v) = contrib.getOrElse(v, 0L) + sigma(u)
+        }
+      }
+      dist ++= contrib.keys.map(_ -> h)
+      sigma ++= contrib
+      frontier = contrib.keySet.toSet
+    }
+    val got = Graph.shortestPathCounts(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val want = dist.map { case (id, d) => id -> (d, sigma(id)) }
+    assert(got == want)
+  }
+
+  test("pair_lift: lift recomputed from supports matches") {
+    val rows = operators.Relational.pairLift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) > 0))
+    // lift ordering is descending
+    val ls = rows.map(_.getDouble(3))
+    assert(ls.zip(ls.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("session_entropy: bands cover all sessions, entropy >= 0") {
+    val rows = Events.sessionEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalSessions = rows.map(_.getLong(1)).sum
+    val sessCount = Events.sessionize(spark, sf).count()
+    assert(totalSessions == sessCount)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1e-9)
+      assert(r.getDouble(2) <= math.log(5.0) + 1e-6)
+    }
+  }
 }
