@@ -326,6 +326,7 @@ object SparkEntry {
     "negative_samples" -> ((s, d) => Curation.negativeSamples(s, d)),
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "pair_lift" -> ((s, d) => Relational.pairLift(s, d)),
+    "mp_quantiles" -> ((s, d) => Relational.mpQuantiles(s, d)),
     "shortest_path_counts" -> ((s, d) => Graph.shortestPathCounts(s, d)),
     "session_entropy" -> ((s, d) => Events.sessionEntropy(s, d)),
   )
@@ -3740,6 +3741,20 @@ object SparkEntry {
                  JOIN singles sb ON p2 = sb.pk
          ORDER BY lift DESC, p1, p2 LIMIT 40""",
     "shortest_path_counts" -> spcOracleSql(1L, 4),
+    // sketch internals are merge-order-dependent; the CONTRACT (exact
+    // deciles + in-band flags) is not — the approx_agg pattern
+    "mp_quantiles" ->
+      """WITH q AS (
+           SELECT l_returnflag,
+                  quantile_cont(l_extendedprice,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+           FROM lineitem GROUP BY 1),
+         u AS (SELECT l_returnflag, unnest(qs) AS e,
+                      generate_subscripts(qs, 1) AS i
+               FROM q)
+         SELECT l_returnflag, i / 10.0 AS p, round(e, 4) AS exact_q,
+                TRUE AS in_band
+         FROM u""",
     "session_entropy" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, event_type,

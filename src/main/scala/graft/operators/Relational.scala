@@ -1657,6 +1657,39 @@ object Relational {
       .limit(k)
   }
 
+  /** Deterministic mergeable-quantile sketch query: per return flag,
+    * the Munro–Paterson ladder's decile estimates checked against the
+    * exact percentiles with a ±5 %-RANK acceptance band — the
+    * bounded-state alternative to `percentile` (whose buffer is the
+    * whole group) when a 100 TB column needs quantiles in one pass.
+    * Sketch internals ride partial aggregation (O(b·log(N/b)) values
+    * per map task cross the wire); the surfaced columns are the EXACT
+    * percentiles plus boolean in-band flags, so the result is
+    * independent of merge order (the flags hold for ANY merge tree by
+    * the sketch's deterministic error bound).
+    */
+  def mpQuantiles(s: SparkSession, dir: String, b: Int = 512): DataFrame = {
+    val sk = udaf(new graft.functions.Aggregators.MpQuantileAgg(b))
+    val ps = (1 to 9).map(_ / 10.0)
+    val lo = ps.map(p => math.max(0.01, p - 0.05))
+    val hi = ps.map(p => math.min(0.99, p + 0.05))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sk(col("l_extendedprice")).as("sk"),
+        percentile(col("l_extendedprice"),
+          array(ps.map(lit): _*)).as("exact"),
+        percentile(col("l_extendedprice"),
+          array(lo.map(lit): _*)).as("lo"),
+        percentile(col("l_extendedprice"),
+          array(hi.map(lit): _*)).as("hi"))
+      .select(col("l_returnflag"), col("exact"), col("lo"), col("hi"),
+        posexplode(col("sk")).as(Seq("i", "pe")))
+      .select(col("l_returnflag"), col("pe._1").as("p"),
+        round(element_at(col("exact"), col("i") + 1), 4).as("exact_q"),
+        (col("pe._2") >= element_at(col("lo"), col("i") + 1) &&
+          col("pe._2") <= element_at(col("hi"), col("i") + 1)).as("in_band"))
+  }
+
   /** Zone-map prune report: given the z-order bucket layout
     * [[zorderBuckets]] produces, how many buckets a conjunctive range
     * predicate on BOTH keys would scan vs skip — the data-skipping

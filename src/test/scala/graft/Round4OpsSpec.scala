@@ -370,6 +370,27 @@ class Round4OpsSpec extends SparkSpec {
     assert(ls.zip(ls.tail).forall { case (a, b) => a >= b })
   }
 
+  test("mp_quantiles sketch: rank error bounded under adversarial merges") {
+    val agg = new functions.Aggregators.MpQuantileAgg(128)
+    val n = 20000
+    // deterministic non-uniform data: squares mod a prime, so values
+    // cluster — a uniform-only test would hide rank-translation bugs
+    val data = (0 until n).map(i => ((i.toLong * i) % 9973).toDouble)
+    // adversarial merge tree: many tiny partials merged pairwise
+    val partials = data.grouped(97).map(chunk =>
+      chunk.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val sketch = partials.reduce(agg.merge)
+    val est = agg.finish(sketch).toMap
+    val sorted = data.sorted
+    (1 to 9).foreach { i =>
+      val p = i / 10.0
+      val e = est(p)
+      val rank = sorted.count(_ <= e).toDouble / n
+      assert(math.abs(rank - p) < 0.05,
+        f"p=$p est=$e%.1f has rank $rank%.3f (error ${rank - p}%.3f)")
+    }
+  }
+
   test("session_entropy: bands cover all sessions, entropy >= 0") {
     val rows = Events.sessionEntropy(spark, sf).collect()
     assert(rows.nonEmpty)
