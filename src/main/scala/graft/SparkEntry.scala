@@ -329,6 +329,7 @@ object SparkEntry {
     "mp_quantiles" -> ((s, d) => Relational.mpQuantiles(s, d)),
     "shortest_path_counts" -> ((s, d) => Graph.shortestPathCounts(s, d)),
     "session_entropy" -> ((s, d) => Events.sessionEntropy(s, d)),
+    "k_anonymity" -> ((s, d) => Events.kAnonymity(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -3783,6 +3784,28 @@ object SparkEntry {
          SELECT len_band, count(*)::BIGINT AS n_sessions,
                 (sum(hi)::DOUBLE / count(*)) / 1e6 AS avg_entropy
          FROM bands GROUP BY 1 ORDER BY 1""",
+    "k_anonymity" ->
+      """WITH ev AS (
+           SELECT event_type, extract(hour FROM ts)::INT AS hr,
+                  value, user_id
+           FROM events WHERE value IS NOT NULL),
+         ed AS (
+           SELECT quantile_cont(value,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+           FROM ev),
+         cls AS (
+           SELECT event_type, hr,
+                  len(list_filter(edges, x -> value > x)) AS vb,
+                  count(DISTINCT user_id)::BIGINT AS n_users
+           FROM ev, ed GROUP BY 1, 2, 3)
+         SELECT count(*)::BIGINT AS n_classes,
+                sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END)::BIGINT
+                  AS violating_classes,
+                min(n_users) AS min_class_users,
+                floor(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0
+                          END)::DOUBLE / sum(n_users) * 1e6 + 0.5) / 1e6
+                  AS at_risk_share
+         FROM cls""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -1394,4 +1394,42 @@ object Events {
           .as("avg_entropy"))
       .orderBy("len_band")
   }
+
+  /** k-anonymity audit over the quasi-identifier (event_type,
+    * hour-of-day, value decile): how many equivalence classes exist,
+    * how many hold fewer than `k` users, and the re-identification
+    * headline (share of USERS sitting in a violating class) — the
+    * release-gate check run before sharing "anonymized" event data.
+    * One pass to classes (partial-agg'd), one tiny aggregate over the
+    * class table; value deciles come from global exact percentiles so
+    * the bucketing is restatable.
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).as("hr"),
+        col("value"), col("user_id"))
+      .persist()
+    CacheScope.register(ev) // eager: edge fit + class scan read it
+    val edges = ev.agg(percentile(col("value"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("edges"))
+    val classes = ev.crossJoin(broadcast(edges))
+      .select(col("event_type"), col("hr"),
+        size(filter(col("edges"), e => col("value") > e)).as("vb"),
+        col("user_id"))
+      .groupBy("event_type", "hr", "vb")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n_users") < k, 1L).otherwise(0L))
+          .as("violating_classes"),
+        min("n_users").as("min_class_users"),
+        sum(when(col("n_users") < k, col("n_users")).otherwise(0L))
+          .as("users_at_risk"),
+        sum("n_users").as("user_cells"))
+      .select(col("n_classes"), col("violating_classes"),
+        col("min_class_users"),
+        q(col("users_at_risk").cast("double") / col("user_cells"), 6)
+          .as("at_risk_share"))
+  }
 }
