@@ -330,6 +330,9 @@ object SparkEntry {
     "shortest_path_counts" -> ((s, d) => Graph.shortestPathCounts(s, d)),
     "session_entropy" -> ((s, d) => Events.sessionEntropy(s, d)),
     "k_anonymity" -> ((s, d) => Events.kAnonymity(s, d)),
+    "harmonic_centrality" -> ((s, d) => Graph.harmonicCentrality(s, d)),
+    "graph_summary" -> ((s, d) => Graph.graphSummary(s, d)),
+    "intersession_gaps" -> ((s, d) => Events.intersessionGaps(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -3806,6 +3809,66 @@ object SparkEntry {
                           END)::DOUBLE / sum(n_users) * 1e6 + 0.5) / 1e6
                   AS at_risk_share
          FROM cls""",
+    "harmonic_centrality" -> s"""WITH RECURSIVE $GraphCte,
+         srcs AS (SELECT unnest([1, 2, 3]::BIGINT[]) AS source),
+         walk(source, id, dist) AS (
+           SELECT source, source AS id, 0 AS dist FROM srcs
+           UNION
+           SELECT w.source, e.dst AS id, w.dist + 1 AS dist
+           FROM walk w JOIN edges e ON e.src = w.id
+           WHERE w.dist < 4),
+         d AS (SELECT source, id, min(dist) AS dist
+               FROM walk GROUP BY 1, 2),
+         r AS (SELECT source, dist, count(*)::BIGINT AS n
+               FROM d GROUP BY 1, 2)
+         SELECT source,
+                floor((sum(CASE WHEN dist = 1 THEN n ELSE 0 END)::DOUBLE / 1
+                     + sum(CASE WHEN dist = 2 THEN n ELSE 0 END)::DOUBLE / 2
+                     + sum(CASE WHEN dist = 3 THEN n ELSE 0 END)::DOUBLE / 3
+                     + sum(CASE WHEN dist = 4 THEN n ELSE 0 END)::DOUBLE / 4)
+                     * 1e6 + 0.5) / 1e6 AS harmonic,
+                sum(CASE WHEN dist > 0 THEN n ELSE 0 END)::BIGINT
+                  AS reached
+         FROM r GROUP BY source ORDER BY source""",
+    "graph_summary" -> s"""WITH $GraphCte,
+         deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+         a AS (SELECT count(*)::BIGINT AS nv, sum(d)::BIGINT AS nde,
+                      max(d)::BIGINT AS md
+               FROM deg)
+         SELECT nv AS n_vertices, nde // 2 AS n_edges, md AS max_degree,
+                floor(nde::DOUBLE / nv * 1e4 + 0.5) / 1e4 AS avg_degree,
+                floor(nde::DOUBLE / (nv * (nv - 1)) * 1e9 + 0.5) / 1e9
+                  AS density
+         FROM a""",
+    "intersession_gaps" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  epoch_ms(ts) // 1000 AS ep,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM e),
+         sess AS (
+           SELECT user_id, session_seq, min(ep) AS start_epoch,
+                  max(ep) AS end_epoch
+           FROM s GROUP BY 1, 2),
+         g AS (
+           SELECT lead(start_epoch) OVER (PARTITION BY user_id
+                    ORDER BY session_seq) - end_epoch AS gap_sec
+           FROM sess)
+         SELECT count(*)::BIGINT AS n_gaps,
+                min(gap_sec) AS min_gap,
+                CAST(floor(quantile_cont(gap_sec, 0.5) + 0.5) AS BIGINT)
+                  AS p50_gap,
+                CAST(floor(quantile_cont(gap_sec, 0.9) + 0.5) AS BIGINT)
+                  AS p90_gap,
+                max(gap_sec) AS max_gap
+         FROM g WHERE gap_sec IS NOT NULL""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -1395,6 +1395,37 @@ object Events {
       .orderBy("len_band")
   }
 
+  /** Inter-session gap distribution: per user, the idle time between a
+    * session's END and the NEXT session's start (the downtime the gap
+    * rule already split on), summarized as per-user-count-weighted
+    * percentiles — "how long do users stay away", the retention
+    * signal between sessionization and cohort analysis. One window
+    * over the session table (one row per session, tiny), exact
+    * integer seconds.
+    */
+  def intersessionGaps(s: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("session_seq")
+    val sess = sessionize(s, dir, gapMinutes)
+      .select(col("user_id"), col("session_seq"),
+        col("start_epoch"), col("end_epoch"))
+    sess
+      .withColumn("next_start", lead(col("start_epoch"), 1).over(w))
+      .filter(col("next_start").isNotNull)
+      .select((col("next_start") - col("end_epoch")).as("gap_sec"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_sec").as("min_gap"),
+        // floor(x+0.5), not cast: the two engines interpolate with
+        // different formulas (a+f·(b−a) vs a·(1−f)+b·f), so the value
+        // can straddle an integer by one ulp — truncation flips there,
+        // round-to-nearest doesn't (achievable fractions are k/5)
+        floor(percentile(col("gap_sec"), lit(0.5)) + lit(0.5))
+          .cast("long").as("p50_gap"),
+        floor(percentile(col("gap_sec"), lit(0.9)) + lit(0.5))
+          .cast("long").as("p90_gap"),
+        max("gap_sec").as("max_gap"))
+  }
+
   /** k-anonymity audit over the quasi-identifier (event_type,
     * hour-of-day, value decile): how many equivalence classes exist,
     * how many hold fewer than `k` users, and the re-identification

@@ -957,6 +957,55 @@ object Graph {
     }
   }
 
+  /** Harmonic centrality (sampled): per source, Σ 1/d(s, v) over the
+    * vertices reached within `maxHops` — the centrality that stays
+    * finite on disconnected graphs (closeness diverges). Rides the
+    * SAME multi-source frontier loop as [[eccentricitySample]]; the
+    * final score is one fixed four-term expression over the per-ring
+    * counts (n₁/1 + n₂/2 + …), so no float accumulates in
+    * engine-private order.
+    */
+  def harmonicCentrality(s: SparkSession, dir: String,
+                         sources: Seq[Long] = Seq(1L, 2L, 3L),
+                         maxHops: Int = 4): DataFrame = {
+    val ringCols = (0 to maxHops).map(d =>
+      sum(when(col("dist") === d, col("n_nodes")).otherwise(0L))
+        .as(s"n$d"))
+    eccentricitySample(s, dir, sources, maxHops)
+      .groupBy("source")
+      .agg(ringCols.head, ringCols.tail: _*)
+      .select(col("source"),
+        (floor((1 to maxHops).map(d => col(s"n$d").cast("double") / d)
+          .reduce(_ + _) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("harmonic"),
+        (1 to maxHops).map(d => col(s"n$d")).reduce(_ + _).as("reached"))
+      .orderBy("source")
+  }
+
+  /** One-row graph diagnostics: vertex/edge counts, density, average
+    * and max degree — the numbers a capacity plan starts from. Two
+    * aggregates over the (cached) edge list; exact integers except the
+    * two quantized ratios.
+    */
+  def graphSummary(s: SparkSession, dir: String): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    graft.CacheScope.register(e) // eager: degree agg + edge count
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_vertices"),
+        sum("d").as("n_directed_edges"),
+        max("d").as("max_degree"))
+      .select(col("n_vertices"),
+        // symmetrized list: directed count is even; surface as long
+        (col("n_directed_edges") / 2).cast("long").as("n_edges"),
+        col("max_degree"),
+        (floor(col("n_directed_edges").cast("double") / col("n_vertices")
+          * lit(1e4) + lit(0.5)) / lit(1e4)).as("avg_degree"),
+        (floor(col("n_directed_edges").cast("double") /
+          (col("n_vertices") * (col("n_vertices") - 1))
+          * lit(1e9) + lit(0.5)) / lit(1e9)).as("density"))
+  }
+
   /** Shortest-path COUNTS from one source (σ_v in Brandes' notation —
     * the first half of betweenness centrality): per vertex within
     * `maxHops`, its BFS distance and the number of distinct shortest

@@ -402,4 +402,36 @@ class Round4OpsSpec extends SparkSpec {
       assert(r.getDouble(2) <= math.log(5.0) + 1e-6)
     }
   }
+
+  test("harmonic_centrality: consistent with the eccentricity rings") {
+    val rings = Graph.eccentricitySample(spark, sf, Seq(1L), 4).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val want = (1 to 4).map(d => rings.getOrElse(d, 0L).toDouble / d).sum
+    val row = Graph.harmonicCentrality(spark, sf, Seq(1L), 4)
+      .collect().head
+    assert(row.getDouble(1) == math.floor(want * 1e6 + 0.5) / 1e6)
+    assert(row.getLong(2) == (1 to 4).map(rings.getOrElse(_, 0L)).sum)
+  }
+
+  test("graph_summary: counts match the edge list") {
+    val e = edges()
+    val r = Graph.graphSummary(spark, sf).collect().head
+    assert(r.getLong(0) == e.map(_._1).distinct.length)
+    assert(r.getLong(1) == e.length / 2)
+    assert(r.getLong(2) == e.groupBy(_._1).values.map(_.length).max)
+  }
+
+  test("intersession_gaps: all gaps exceed the session gap rule") {
+    val r = Events.intersessionGaps(spark, sf).collect().head
+    assert(r.getLong(1) > 1800, "min inter-session gap must exceed 30min")
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3)
+      && r.getLong(3) <= r.getLong(4))
+  }
+
+  test("k_anonymity: accounting consistent") {
+    val r = Events.kAnonymity(spark, sf).collect().head
+    assert(r.getLong(1) <= r.getLong(0),
+      "violating classes bounded by class count")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
 }
