@@ -578,9 +578,15 @@ object Graph {
     val e = customerSupplierEdges(s, dir)
       .select(col("src"), col("dst")).persist()
     graft.CacheScope.register(e) // eager: every round reads it twice
+    // the active set is a bare id column and shrinks monotonically —
+    // broadcast BOTH membership probes so the edge list never shuffles
+    // (two hash-lookups per edge per round instead of two exchanges of
+    // |E|). At a scale where the vertex set outgrows a broadcast
+    // (~100M+ ids), drop the hint: the joins fall back to shuffles on
+    // src/dst, still equality-keyed.
     def restrict(act: DataFrame): DataFrame = e
-      .join(act.select(col("id").as("src")), "src")
-      .join(act.select(col("id").as("dst")), "dst")
+      .join(broadcast(act.select(col("id").as("src"))), "src")
+      .join(broadcast(act.select(col("id").as("dst"))), "dst")
     // pinned loop parallelism (same regime as the PPR loop): each
     // round's joins/aggs shuffle narrow id rows, so near-empty
     // default-count partitions make scheduling dominate the round
