@@ -333,6 +333,10 @@ object SparkEntry {
     "harmonic_centrality" -> ((s, d) => Graph.harmonicCentrality(s, d)),
     "graph_summary" -> ((s, d) => Graph.graphSummary(s, d)),
     "intersession_gaps" -> ((s, d) => Events.intersessionGaps(s, d)),
+    "user_activity_features" -> ((s, d) => Events.userActivityFeatures(s, d)),
+    "benford_digits" -> ((s, d) => Events.benfordDigits(s, d)),
+    "hist2d" -> ((s, d) => Relational.hist2d(s, d)),
+    "disappearing_items" -> ((s, d) => Relational.disappearingItems(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -3869,6 +3873,78 @@ object SparkEntry {
                   AS p90_gap,
                 max(gap_sec) AS max_gap
          FROM g WHERE gap_sec IS NOT NULL""",
+    "user_activity_features" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ms(ts) // 1000 AS ep,
+                  epoch_ms(ts) // 1000 // 86400 AS day, value
+           FROM events),
+         mx AS (SELECT max(ep) AS end_ep FROM ev),
+         ag AS (
+           SELECT user_id, count(*)::BIGINT AS n_events,
+                  count(DISTINCT day)::BIGINT AS active_days,
+                  min(ep) AS first_ep, max(ep) AS last_ep,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::BIGINT
+                    AS vs
+           FROM ev GROUP BY user_id)
+         SELECT user_id, n_events, active_days,
+                ((SELECT end_ep FROM mx) - last_ep) // 86400
+                  AS recency_days,
+                (last_ep - first_ep) // 86400 AS tenure_days,
+                floor(vs::DOUBLE / 1e6 / n_events * 1e4 + 0.5) / 1e4
+                  AS avg_value,
+                CASE WHEN n_events > 1
+                     THEN (last_ep - first_ep) // (n_events - 1) END
+                  AS avg_gap_sec
+         FROM ag ORDER BY n_events DESC, user_id LIMIT 100""",
+    "benford_digits" ->
+      """WITH d AS (
+           SELECT CAST(regexp_extract(abs(value)::VARCHAR, '[1-9]', 0)
+                  AS INT) AS digit
+           FROM events WHERE value IS NOT NULL AND value <> 0),
+         c AS (SELECT digit, count(*)::BIGINT AS n FROM d
+               WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+         t AS (SELECT sum(n)::DOUBLE AS tot FROM c)
+         SELECT digit, n,
+                floor(n::DOUBLE / tot * 1e6 + 0.5) / 1e6 AS observed,
+                floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1e6 + 0.5) / 1e6
+                  AS benford,
+                floor(pow(n::DOUBLE - ln(1.0 + 1.0 / digit) / ln(10.0)
+                            * tot, 2)
+                      / (ln(1.0 + 1.0 / digit) / ln(10.0) * tot)
+                      * 1e4 + 0.5) / 1e4 AS chi2_term
+         FROM c, t ORDER BY digit""",
+    "hist2d" ->
+      """WITH cells AS (
+           SELECT (l_quantity::BIGINT // 10)::INT AS qty_band,
+                  CAST(floor(l_discount * 20 + 0.5) AS INT) AS disc_band,
+                  count(*)::BIGINT AS n
+           FROM lineitem GROUP BY 1, 2),
+         mq AS (SELECT qty_band, sum(n)::BIGINT AS nq
+                FROM cells GROUP BY 1),
+         md AS (SELECT disc_band, sum(n)::BIGINT AS nd
+                FROM cells GROUP BY 1),
+         t AS (SELECT sum(n)::DOUBLE AS tot FROM cells)
+         SELECT qty_band, disc_band, n,
+                floor(n::DOUBLE * tot / (nq * nd) * 1e4 + 0.5) / 1e4
+                  AS independence_ratio
+         FROM cells JOIN mq USING (qty_band)
+                    JOIN md USING (disc_band), t
+         ORDER BY qty_band, disc_band""",
+    "disappearing_items" ->
+      """WITH li AS (SELECT l_partkey, l_shipdate::DATE AS d
+                     FROM lineitem),
+         mx AS (SELECT max(d) - INTERVAL 60 DAY AS cut FROM li),
+         recent AS (
+           SELECT DISTINCT l_partkey FROM li, mx WHERE d >= cut),
+         hist AS (
+           SELECT l_partkey, count(*)::BIGINT AS n_hist,
+                  strftime(max(d), '%Y-%m-%d') AS last_seen
+           FROM li, mx WHERE d < cut
+           GROUP BY 1)
+         SELECT h.l_partkey, n_hist, last_seen FROM hist h
+         WHERE NOT EXISTS (SELECT 1 FROM recent r
+                           WHERE r.l_partkey = h.l_partkey)
+         ORDER BY n_hist DESC, l_partkey LIMIT 50""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -1426,6 +1426,81 @@ object Events {
         max("gap_sec").as("max_gap"))
   }
 
+  /** Per-user activity feature vector: recency (days since last
+    * event), frequency (events, active days), monetary (summed
+    * value), tenure, and mean inter-event gap — the standard churn-
+    * model feature block, computed in ONE partial-aggregated pass
+    * over the events table (no window, no join; every feature is an
+    * algebraic aggregate). Top-`k` by event count keeps the surfaced
+    * result bounded; the full frame is what a trainer would consume.
+    */
+  def userActivityFeatures(s: SparkSession, dir: String,
+                           k: Int = 100): DataFrame = {
+    val ep = unix_timestamp(col("ts"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), ep.as("ep"),
+        floor(ep / lit(86400L)).as("day"), col("value"))
+      .persist()
+    CacheScope.register(ev) // eager: global max + per-user agg read it
+    val endEpoch = ev.agg(max("ep")).head().getLong(0)
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("active_days"),
+        min("ep").as("first_ep"), max("ep").as("last_ep"),
+        sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("vs"))
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        ((lit(endEpoch) - col("last_ep")) / lit(86400L)).cast("long")
+          .as("recency_days"),
+        ((col("last_ep") - col("first_ep")) / lit(86400L)).cast("long")
+          .as("tenure_days"),
+        (floor(col("vs").cast("double") / lit(1e6) / col("n_events")
+          * lit(1e4) + lit(0.5)) / lit(1e4)).as("avg_value"),
+        when(col("n_events") > 1,
+          (col("last_ep") - col("first_ep")) / (col("n_events") - 1))
+          .cast("long").as("avg_gap_sec"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Benford first-digit screen over `value`: observed leading-digit
+    * share vs Benford's log10(1+1/d) expectation plus the χ²
+    * statistic — the quick forgery/synthetic-data tell (organic
+    * heavy-tailed amounts follow it; fabricated ones rarely do).
+    * First digit extraction is string-free integer math on the
+    * absolute value scaled to [1, 10); every surfaced double is
+    * quantized from exact counts.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    // leading digit = first nonzero digit of the shortest decimal
+    // repr — invariant under plain-vs-scientific formatting and free
+    // of the log10/pow ulp hazard at digit boundaries (both engines
+    // print the same shortest round-trip string for the same double)
+    val v = abs(col("value"))
+    val lead = regexp_extract(v.cast("string"), "[1-9]", 0).cast("int")
+    val counts = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("value") =!= 0.0)
+      .select(lead.as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .persist()
+    CacheScope.register(counts) // eager: total + the per-digit scan
+    val tot = counts.agg(sum("n")).head().getLong(0)
+    // ln(x)/ln(10), NOT a native log10: both engines then evaluate the
+    // identical IEEE expression tree (a correctly-rounded log10 on one
+    // side would differ in the last ulp)
+    val expected = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    counts
+      .select(col("digit"), col("n"),
+        (floor(col("n").cast("double") / lit(tot.toDouble) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("observed"),
+        (floor(expected * lit(1e6) + lit(0.5)) / lit(1e6)).as("benford"),
+        (floor(pow(col("n").cast("double") - expected * lit(tot.toDouble), 2)
+          / (expected * lit(tot.toDouble)) * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
   /** k-anonymity audit over the quasi-identifier (event_type,
     * hour-of-day, value decile): how many equivalence classes exist,
     * how many hold fewer than `k` users, and the re-identification

@@ -1690,6 +1690,66 @@ object Relational {
           col("pe._2") <= element_at(col("hi"), col("i") + 1)).as("in_band"))
   }
 
+  /** 2-D joint histogram of (quantity band, discount band) with the
+    * independence ratio per cell — the bivariate profile that shows
+    * WHERE two columns co-vary (a 1-D histogram per column can't):
+    * cells with ratio ≫ 1 are the correlated pockets a pricing or
+    * skew analysis drills into. Integer band math, one
+    * partial-aggregated pass, marginals recovered from the cell
+    * table itself (no second scan).
+    */
+  def hist2d(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .select((col("l_quantity").cast("long") / lit(10)).cast("int")
+          .as("qty_band"),
+        floor(col("l_discount") * lit(20) + lit(0.5)).cast("int")
+          .as("disc_band"))
+      .groupBy("qty_band", "disc_band")
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    CacheScope.register(cells) // eager: marginals + total + cell scan
+    val mq = cells.groupBy("qty_band").agg(sum("n").as("nq"))
+    val md = cells.groupBy("disc_band").agg(sum("n").as("nd"))
+    val tot = cells.agg(sum("n")).head().getLong(0)
+    cells.join(broadcast(mq), "qty_band")
+      .join(broadcast(md), "disc_band")
+      .select(col("qty_band"), col("disc_band"), col("n"),
+        (floor(col("n").cast("double") * lit(tot.toDouble) /
+          (col("nq") * col("nd")) * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("independence_ratio"))
+      .orderBy("qty_band", "disc_band")
+  }
+
+  /** Disappearing items: parts ordered in the history window but
+    * absent from the last `recentDays` of ship activity — the
+    * assortment-gap / deprecation report (the anti-join twin of
+    * "new items"). Dates compare as exact day numbers; the recent
+    * set stays a semi-join key list, so the big table scans once
+    * per side with the filter pushed to the scan.
+    */
+  def disappearingItems(s: SparkSession, dir: String,
+                        recentDays: Int = 60, k: Int = 50): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("d"))
+      .persist()
+    CacheScope.register(li) // eager: max probe + both window scans
+    // the cutoff stays a broadcast 1-row relation (no driver date
+    // round-trip — the ship column is TIMESTAMP_NTZ and collecting it
+    // marries the code to a JVM date class for no benefit)
+    val cut = broadcast(li.agg(
+      date_sub(max(col("d")), recentDays).as("cut")))
+    val withCut = li.crossJoin(cut)
+    val recent = withCut.filter(col("d") >= col("cut"))
+      .select("l_partkey").distinct()
+    withCut.filter(col("d") < col("cut"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_hist"),
+        date_format(max("d"), "yyyy-MM-dd").as("last_seen"))
+      .join(recent, Seq("l_partkey"), "left_anti")
+      .orderBy(col("n_hist").desc, col("l_partkey"))
+      .limit(k)
+  }
+
   /** Zone-map prune report: given the z-order bucket layout
     * [[zorderBuckets]] produces, how many buckets a conjunctive range
     * predicate on BOTH keys would scan vs skip — the data-skipping
