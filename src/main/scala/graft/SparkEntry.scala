@@ -82,6 +82,7 @@ object SparkEntry {
     "stream_join_replay" -> ((s, d) => streaming.StreamReplay.joinReplay(s, d)),
     "stream_running_replay" -> ((s, d) => streaming.StreamReplay.runningReplay(s, d)),
     "stream_enrich_replay" -> ((s, d) => streaming.StreamReplay.enrichReplay(s, d)),
+    "stream_timeout_replay" -> ((s, d) => streaming.StreamReplay.timeoutSessionReplay(s, d)),
     "json_prop_agg" -> ((s, d) => Events.jsonPropAgg(s, d)),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
@@ -2015,6 +2016,25 @@ object SparkEntry {
          FROM g
          WHERE session_seq < (SELECT max(session_seq) FROM g g2
                               WHERE g2.user_id = g.user_id)""",
+    // the event-time-timeout sessionizer drains COMPLETELY (timeouts
+    // close final sessions), so its oracle is the full batch
+    // sessionization with no last-session exclusion
+    "stream_timeout_replay" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+                  epoch_ms(ts) // 1000 AS ep,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq FROM e)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                min(ep) AS start_epoch, max(ep) AS end_epoch,
+                round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, session_seq""",
     "stream_dedup_replay" ->
       """SELECT DISTINCT user_id, ts::DATE AS day FROM events""",
     // comparisons at MICROSECOND precision: Spark timestamps are micros

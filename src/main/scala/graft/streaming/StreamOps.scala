@@ -89,6 +89,83 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fold)
   }
 
+  /** A timed event for the EVENT-TIME-timeout sessionizer: carries a
+    * real timestamp column so a watermark can be declared on it. */
+  case class TEvent(ts: java.sql.Timestamp, user_id: Long,
+                    event_id: Long, value: Double)
+
+  /** Sessionizer state with a tombstone flag: a session CLOSED by an
+    * event-time timeout keeps its (closed) state so a later new
+    * session continues the per-user sequence numbering — removing
+    * state on timeout would restart `seq` at 1 and break parity with
+    * the batch sessionizer. (A production variant bounds tombstones
+    * by folding the last seq into a compact per-user record.) */
+  case class SessState(seq: Long, start: Long, last: Long,
+                       nEv: Long, total: Double, closed: Boolean)
+
+  /** Gap sessionization closed by EVENT-TIME TIMEOUTS: a session is
+    * emitted when the WATERMARK passes its last event + gap — not
+    * when (if ever) the user's next event happens to arrive, which is
+    * the liveness gap of the successor-closed variant above (a user
+    * who never returns never gets their last session emitted). With
+    * every group armed via `setTimeoutTimestamp(last + gap)`, the
+    * final sink on a drained stream equals the BATCH sessionizer
+    * exactly — including each user's final session — which is what
+    * the oracle (the batch `sessionize` restatement) checks.
+    */
+  def sessionizeEventTime(events: Dataset[TEvent], gapSeconds: Long,
+                          watermarkDelay: String = "1 second")
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fold(userId: Long, it: Iterator[TEvent],
+             state: GroupState[SessState]): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      if (state.hasTimedOut) {
+        val s = state.get
+        if (!s.closed) {
+          out += Session(userId, s.seq, s.nEv, s.start, s.last, s.total)
+          state.update(s.copy(closed = true))
+          // park the tombstone's timeout far past any real watermark
+          state.setTimeoutTimestamp((s.last + gapSeconds) * 1000L +
+            (100L * 365 * 86400 * 1000))
+        }
+      } else {
+        var cur = state.getOption
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val ep = e.ts.getTime / 1000
+          cur match {
+            case Some(s) if !s.closed && ep - s.last <= gapSeconds =>
+              cur = Some(s.copy(last = ep, nEv = s.nEv + 1,
+                total = s.total + e.value))
+            case Some(s) =>
+              // gap exceeded (or tombstone): the prior OPEN session
+              // emits here; a tombstone already emitted at timeout
+              if (!s.closed)
+                out += Session(userId, s.seq, s.nEv, s.start, s.last,
+                  s.total)
+              cur = Some(SessState(s.seq + 1, ep, ep, 1, e.value,
+                closed = false))
+            case None =>
+              cur = Some(SessState(1, ep, ep, 1, e.value, closed = false))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          if (!s.closed)
+            state.setTimeoutTimestamp((s.last + gapSeconds) * 1000L)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
   /** Streaming exact dedup on a key column with a watermark — the
     * streaming form of the dedup tier's exact path (an LLM-ingest
     * pipeline dedups as documents ARRIVE, not in a later batch).

@@ -238,6 +238,39 @@ object StreamReplay {
         round(col("sum_value"), 4).as("sum_value"))
   }
 
+  /** Event-time TIMEOUT gate: sessions close when the WATERMARK
+    * passes last-event + gap (`StreamOps.sessionizeEventTime`), so
+    * after the flush sentinel pushes the watermark past every armed
+    * timeout, the sink holds EVERY session — including each user's
+    * final one, which the successor-closed replay above structurally
+    * cannot emit. The oracle is therefore the full batch sessionize
+    * restatement, no exclusions.
+    */
+  def timeoutSessionReplay(s: SparkSession, dir: String,
+                           nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir).map(e =>
+      StreamOps.TEvent(e.ts, e.user_id, e.event_id, e.value))
+    val in = MemoryStream[StreamOps.TEvent]
+    val nm = s"stream_tmo_${ctr.incrementAndGet()}"
+    val q = StreamOps.sessionizeEventTime(in.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    // sentinel: one far-future event for a synthetic user drives the
+    // watermark past every real session's (last + gap) timeout
+    in.addData(StreamOps.TEvent(
+      new Timestamp(evs.last.ts.getTime + 10L * 3600 * 1000),
+      -1L, -1L, 0.0))
+    q.processAllAvailable()
+    finish(s, nm, q)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_epoch"), col("end_epoch"),
+        round(col("sum_value"), 4).as("sum_value"))
+  }
+
   /** Late-data DROP gate — the watermark semantic none of the other
     * replays exercise (their replays are in-order, so nothing is ever
     * late). Every event with `event_id % stragglerMod == 0` is held

@@ -142,4 +142,54 @@ class StreamingSpec extends SparkSpec {
     // user 1's second batch folds ON TOP of batch-1 state: 3 events, 7.0
     assert(got == Set((1L, 3L, 7.0), (2L, 1L, 5.0)))
   }
+
+  test("sessionizeEventTime: watermark timeout closes a silent user's session") {
+    implicit val ctx = spark.sqlContext
+    import StreamOps.TEvent
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val in = MemoryStream[TEvent]
+    val q = StreamOps.sessionizeEventTime(in.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tmo_out").start()
+    // user 1 goes silent after two events; user 2 keeps the stream
+    // alive and drives the watermark past user 1's last + gap
+    in.addData(TEvent(ts(1000), 1L, 1L, 1.0), TEvent(ts(1600), 1L, 2L, 2.0))
+    q.processAllAvailable()
+    in.addData(TEvent(ts(9000), 2L, 3L, 4.0))
+    q.processAllAvailable()
+    in.addData(TEvent(ts(50000), 2L, 4L, 1.0))
+    q.processAllAvailable()
+    val got = spark.table("tmo_out").as[Session].collect()
+    q.stop()
+    // user 1's session closed by TIMEOUT (no successor event existed);
+    // user 2's first session closed by its own later event's gap
+    assert(got.toSet == Set(
+      Session(1L, 1L, 2L, 1000L, 1600L, 3.0),
+      Session(2L, 1L, 1L, 9000L, 9000L, 4.0)))
+  }
+
+  test("sessionizeEventTime: seq numbering survives a timeout tombstone") {
+    implicit val ctx = spark.sqlContext
+    import StreamOps.TEvent
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val in = MemoryStream[TEvent]
+    val q = StreamOps.sessionizeEventTime(in.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tmo_out2").start()
+    in.addData(TEvent(ts(1000), 1L, 1L, 1.0))
+    q.processAllAvailable()
+    // another user's event fires user 1's timeout (watermark passes)
+    in.addData(TEvent(ts(10000), 2L, 2L, 1.0))
+    q.processAllAvailable()
+    // user 1 returns AFTER the timeout: must be session_seq 2, not 1
+    in.addData(TEvent(ts(20000), 1L, 3L, 5.0))
+    q.processAllAvailable()
+    in.addData(TEvent(ts(90000), 2L, 4L, 1.0))
+    q.processAllAvailable()
+    val got = spark.table("tmo_out2").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_seq)
+    q.stop()
+    assert(got.map(_.session_seq).toSeq == Seq(1L, 2L),
+      s"timeout tombstone must preserve numbering: $got")
+  }
 }
