@@ -338,6 +338,8 @@ object SparkEntry {
     "benford_digits" -> ((s, d) => Events.benfordDigits(s, d)),
     "hist2d" -> ((s, d) => Relational.hist2d(s, d)),
     "disappearing_items" -> ((s, d) => Relational.disappearingItems(s, d)),
+    "join_cardinality" -> ((s, d) => Relational.joinCardinalityForecast(s, d)),
+    "heaps_law" -> ((s, d) => TextStats.heapsLaw(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -3965,6 +3967,53 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM recent r
                            WHERE r.l_partkey = h.l_partkey)
          ORDER BY n_hist DESC, l_partkey LIMIT 50""",
+    "join_cardinality" ->
+      """WITH fa AS (SELECT o_orderkey AS k, count(*)::BIGINT AS ca
+                     FROM orders GROUP BY 1),
+         fb AS (SELECT l_orderkey AS k, count(*)::BIGINT AS cb
+                FROM lineitem GROUP BY 1),
+         prod AS (SELECT k, ca * cb AS p FROM fa JOIN fb USING (k))
+         SELECT sum(p)::BIGINT AS forecast_rows,
+                count(*)::BIGINT AS n_join_keys,
+                max(p)::BIGINT AS max_key_rows,
+                floor(max(p)::DOUBLE / sum(p) * 1e6 + 0.5) / 1e6
+                  AS top_key_share
+         FROM prod""",
+    "heaps_law" -> s"""$TokCte,
+         tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+         p AS (SELECT greatest(1, count(DISTINCT doc_id) // 10) AS per
+               FROM tok),
+         f AS (SELECT t, min(doc_id) AS d0 FROM tok GROUP BY t),
+         ft AS (SELECT least(d0 // per + 1, 10)::INT AS b,
+                       count(*)::BIGINT AS nt
+                FROM f, p GROUP BY 1),
+         sc AS (SELECT least(doc_id // per + 1, 10)::INT AS b,
+                       count(*)::BIGINT AS toks
+                FROM tok, p GROUP BY 1),
+         pts AS (
+           SELECT sc.b,
+                  sum(toks) OVER w AS n_tokens,
+                  sum(coalesce(nt, 0)) OVER w AS v_types
+           FROM sc LEFT JOIN ft ON sc.b = ft.b
+           WINDOW w AS (ORDER BY sc.b ROWS UNBOUNDED PRECEDING)),
+         pl AS (
+           SELECT b, n_tokens, v_types,
+                  CAST(floor(ln(n_tokens::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+                    AS lx,
+                  CAST(floor(ln(v_types::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+                    AS ly
+           FROM pts),
+         fit AS (
+           SELECT count(*)::BIGINT AS m, sum(lx)::BIGINT AS sx,
+                  sum(ly)::BIGINT AS sy,
+                  sum(lx::HUGEINT * ly) AS sxy,
+                  sum(lx::HUGEINT * lx) AS sxx
+           FROM pl)
+         SELECT b, n_tokens, v_types,
+                floor((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                      / (m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      * 1e6 + 0.5) / 1e6 AS beta
+         FROM pl, fit ORDER BY b""",
   )
 
   private def sqlList(words: Seq[String]): String =

