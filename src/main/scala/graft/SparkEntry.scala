@@ -340,6 +340,7 @@ object SparkEntry {
     "disappearing_items" -> ((s, d) => Relational.disappearingItems(s, d)),
     "join_cardinality" -> ((s, d) => Relational.joinCardinalityForecast(s, d)),
     "heaps_law" -> ((s, d) => TextStats.heapsLaw(s, d)),
+    "embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -4014,6 +4015,42 @@ object SparkEntry {
                       / (m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
                       * 1e6 + 0.5) / 1e6 AS beta
          FROM pl, fit ORDER BY b""",
+    "embedding_drift" ->
+      """WITH e AS (
+           SELECT label,
+                  CASE WHEN ((vec_id % 2147483648) * 8388593) % 100 < 50
+                       THEN 'a' ELSE 'b' END AS half,
+                  embedding::DOUBLE[] AS x
+           FROM embeddings),
+         n AS (
+           SELECT label, half,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(x, v -> v * v)), (a, b) -> a + b)) AS nrm,
+             x
+           FROM e),
+         u AS (
+           SELECT label, half,
+             unnest(list_transform(x,
+               v -> CAST(floor(v / nrm * 1e9 + 0.5) AS BIGINT))) AS v,
+             generate_subscripts(x, 1) - 1 AS pos
+           FROM n),
+         c AS (
+           SELECT label, half, pos, sum(v)::BIGINT AS sv
+           FROM u GROUP BY 1, 2, 3),
+         j AS (
+           SELECT a.label, a.sv AS sa, b.sv AS sb
+           FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+           WHERE a.half = 'a' AND b.half = 'b'),
+         ag AS (
+           SELECT label,
+                  sum(sa::HUGEINT * sb) AS num,
+                  sum(sa::HUGEINT * sa) AS na,
+                  sum(sb::HUGEINT * sb) AS nb
+           FROM j GROUP BY label)
+         SELECT label,
+                floor(num::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE))
+                      * 1e6 + 0.5) / 1e6 AS proto_cosine
+         FROM ag ORDER BY label""",
   )
 
   private def sqlList(words: Seq[String]): String =

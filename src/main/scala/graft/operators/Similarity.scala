@@ -396,6 +396,48 @@ object Similarity {
           + lit(0.5)) / lit(1e6)).as("proto"))
   }
 
+  /** Embedding drift: per label, the cosine between the class
+    * prototype computed from each HALF of the corpus (deterministic
+    * hash split) — "has the embedding space moved between cohorts",
+    * the monitoring check run when a new encoder version or data
+    * slice lands (cos ≈ 1 = stable; falling cosines localize the
+    * drift to labels). Everything before the final cosine is EXACT:
+    * components quantize to the 1e-9 integer grid, per-(label, half,
+    * dim) sums are longs, and the mean's 1/n scale factors cancel
+    * inside the cosine — so cos = Σ s_a·s_b / (√Σ s_a²·√Σ s_b²) over
+    * exact decimal dot products, bit-identical on any engine or
+    * partitioning.
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val x = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    val comps = Tables.embeddings(s, dir)
+      .select(col("label"),
+        when(Curation.pctHash(col("vec_id")) < 50, "a").otherwise("b")
+          .as("half"),
+        transform(x, v => floor(v / norm * lit(1e9) + lit(0.5))
+          .cast("long")).as("u"))
+      .select(col("label"), col("half"),
+        posexplode(col("u")).as(Seq("pos", "v")))
+      .groupBy("label", "half", "pos")
+      .agg(sum("v").as("sv"))
+    val a = comps.filter(col("half") === "a")
+      .select(col("label"), col("pos"), col("sv").as("sa"))
+    val b = comps.filter(col("half") === "b")
+      .select(col("label"), col("pos"), col("sv").as("sb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy("label")
+      .agg(
+        sum(col("sa").cast("decimal(38,0)") * col("sb")).as("num"),
+        sum(col("sa").cast("decimal(38,0)") * col("sa")).as("na"),
+        sum(col("sb").cast("decimal(38,0)") * col("sb")).as("nb"))
+      .select(col("label"),
+        (floor(col("num").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("proto_cosine"))
+      .orderBy("label")
+  }
+
   /** Hard-negative mining: for each query vector, the single MOST
     * similar vector with a DIFFERENT label — the contrastive-training
     * pair a retrieval model learns most from (easy negatives are
