@@ -3993,8 +3993,8 @@ object SparkEntry {
                 FROM tok, p GROUP BY 1),
          pts AS (
            SELECT sc.b,
-                  sum(toks) OVER w AS n_tokens,
-                  sum(coalesce(nt, 0)) OVER w AS v_types
+                  (sum(toks) OVER w)::BIGINT AS n_tokens,
+                  (sum(coalesce(nt, 0)) OVER w)::BIGINT AS v_types
            FROM sc LEFT JOIN ft ON sc.b = ft.b
            WINDOW w AS (ORDER BY sc.b ROWS UNBOUNDED PRECEDING)),
          pl AS (
@@ -4005,16 +4005,18 @@ object SparkEntry {
                     AS ly
            FROM pts),
          fit AS (
-           SELECT count(*)::BIGINT AS m, sum(lx)::BIGINT AS sx,
-                  sum(ly)::BIGINT AS sy,
+           SELECT count(*)::HUGEINT AS m, sum(lx)::HUGEINT AS sx,
+                  sum(ly)::HUGEINT AS sy,
                   sum(lx::HUGEINT * ly) AS sxy,
                   sum(lx::HUGEINT * lx) AS sxx
-           FROM pl)
+           FROM pl),
+         fb AS (SELECT m * sxy - sx * sy AS num,
+                       m * sxx - sx * sx AS den FROM fit)
          SELECT b, n_tokens, v_types,
-                floor((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                      / (m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                      * 1e6 + 0.5) / 1e6 AS beta
-         FROM pl, fit ORDER BY b""",
+                CASE WHEN den = 0 THEN 0.0::DOUBLE
+                     ELSE floor(num::DOUBLE / den::DOUBLE * 1e6 + 0.5) / 1e6
+                END AS beta
+         FROM pl, fb ORDER BY b""",
     "embedding_drift" ->
       """WITH e AS (
            SELECT label,

@@ -492,17 +492,23 @@ object TextStats {
           .cast("long").as("ly"))
       .persist()
     CacheScope.register(pts) // eager: fit agg + output read it
-    val fit = pts.agg(count(lit(1)).as("m"),
-      sum("lx").as("sx"), sum("ly").as("sy"),
+    val fit = pts.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+      sum(col("lx").cast("decimal(38,0)")).as("sx"),
+      sum(col("ly").cast("decimal(38,0)")).as("sy"),
       sum(col("lx").cast("decimal(38,0)") * col("ly")).as("sxy"),
       sum(col("lx").cast("decimal(38,0)") * col("lx")).as("sxx"))
-    val m = col("m").cast("double")
-    val beta = (m * col("sxy").cast("double") -
-      col("sx").cast("double") * col("sy").cast("double")) /
-      (m * col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double"))
-    pts.crossJoin(broadcast(fit.select(
-        (floor(beta * lit(1e6) + lit(0.5)) / lit(1e6)).as("beta"))))
+    // The OLS slope combines exact-integer terms (decimal(38,0); the
+    // grid-quantized ln values are ~1e10, so every product fits) and
+    // divides ONCE at the end. On a constant-vocabulary corpus the
+    // numerator cancels to EXACTLY zero here, where the former
+    // double-space `m*sxy - sx*sy` rode a ~1e21-magnitude cancellation
+    // that only coincidentally agreed with the oracle.
+    val num = col("m") * col("sxy") - col("sx") * col("sy")
+    val den = col("m") * col("sxx") - col("sx") * col("sx")
+    val beta = when(den === lit(0), lit(0.0))
+      .otherwise(floor(num.cast("double") / den.cast("double") * lit(1e6)
+        + lit(0.5)) / lit(1e6))
+    pts.crossJoin(broadcast(fit.select(beta.as("beta"))))
       .select(col("b"), col("n_tokens"), col("v_types"), col("beta"))
       .orderBy("b")
   }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextStats
+
+/** Round-5 additions: exercises the Heaps-law fit away from the
+  * degenerate constant-vocabulary point the sf fixtures sit at.
+  */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 100 docs of 10 tokens each where token j of the corpus is
+    * w_floor(sqrt(j)): V(n) ~ sqrt(n), so the fitted Heaps exponent
+    * must land near 0.5 — a real slope, not the 0/0 cancellation.
+    */
+  private lazy val growingDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    (0 until 100).map { i =>
+      val words = (0 until 10).map { k =>
+        val j = i * 10 + k
+        // digits spelled as letters: the tokenizer strips non-[a-z]
+        // edges, so "w31" would collapse to "w"
+        val id = math.sqrt(j.toDouble).toInt.toString
+          .map(c => ('a' + (c - '0')).toChar).mkString
+        s"w$id"
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("heaps_law: growing vocab gives beta ~ 0.5, exact-int fit parity") {
+    val rows = TextStats.heapsLaw(spark, growingDir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 10)
+    val ns = rows.map(_.getLong(1))
+    val vs = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a < b })
+    // vocabulary genuinely grows at every checkpoint — the case the
+    // sf fixtures (constant 31-type vocab) never reach
+    assert(vs.zip(vs.tail).forall { case (a, b) => a < b },
+      s"vocab not strictly growing: ${vs.mkString(",")}")
+    val beta = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) == beta))
+    assert(beta > 0.3 && beta < 0.8, s"V~sqrt(n) corpus fit beta=$beta")
+    // independent exact-integer OLS on the returned checkpoints must
+    // reproduce the operator's quantized slope bit-for-bit
+    def q9(x: Double): BigInt = BigInt(math.floor(x * 1e9 + 0.5).toLong)
+    val lx = ns.map(n => q9(math.log(n.toDouble)))
+    val ly = vs.map(v => q9(math.log(v.toDouble)))
+    val m = BigInt(lx.length)
+    val sx = lx.sum; val sy = ly.sum
+    val sxy = lx.zip(ly).map { case (a, b) => a * b }.sum
+    val sxx = lx.map(a => a * a).sum
+    val num = m * sxy - sx * sy
+    val den = m * sxx - sx * sx
+    val expect =
+      math.floor(num.toDouble / den.toDouble * 1e6 + 0.5) / 1e6
+    assert(beta == expect, s"got $beta, exact-int fit says $expect")
+  }
+
+  test("heaps_law: constant vocab cancels to beta == 0.0 exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("heapsC").toString
+    (0 until 100).map(i => (i.toLong, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextStats.heapsLaw(spark, dir).collect()
+    assert(rows.forall(_.getLong(2) == 3L))
+    // exact decimal numerator cancels to literal zero — no double noise
+    assert(rows.forall(_.getDouble(3) == 0.0))
+  }
+}
