@@ -1440,10 +1440,20 @@ object Relational {
 
   def modeAgg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+    // Hand partial-agg pushdown: collapse lineitem to one row per
+    // (orderkey, flag) BELOW the join so the shuffle and join probe
+    // carry counts, not raw line items (~4x fewer rows at any scale);
+    // the post-join rollup then sums the pushed counts. Measured at
+    // sf0.1: 6.16s (join-then-agg) -> see bench (agg-then-join).
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(count(lit(1)).as("pc"))
+    val counts = perOrder
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"), col("l_returnflag"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("pc")).as("cnt"))
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("cnt").desc, col("l_returnflag"))
     counts.withColumn("rn", row_number().over(w))

@@ -60,6 +60,31 @@ class Round5OpsSpec extends SparkSpec {
     assert(beta == expect, s"got $beta, exact-int fit says $expect")
   }
 
+  test("mode_agg: per-order partial aggregate sits below the join") {
+    val p = operators.Relational.modeAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the hand-pushed partial agg keys on (l_orderkey, l_returnflag)
+    // and must print BELOW (= after) the join that consumes it
+    val agg = p.indexOf("HashAggregate(keys=[l_orderkey")
+    assert(agg >= 0, s"no per-order aggregate below the join:\n$p")
+    val join = p.indexOf("Join")
+    assert(join >= 0 && join < agg,
+      "per-order aggregate must feed the join, not follow it")
+    // and the result is unchanged vs the direct join-then-agg shape
+    val got = operators.Relational.modeAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val li = Tables.lineitem(spark, sf)
+    val od = Tables.orders(spark, sf)
+    val naive = li.join(od, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority", $"l_returnflag")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, rs) =>
+        rs.minBy(t => (-t._3, t._2))
+      }.toSet
+    assert(got == naive)
+  }
+
   test("heaps_law: constant vocab cancels to beta == 0.0 exactly") {
     val dir = java.nio.file.Files.createTempDirectory("heapsC").toString
     (0 until 100).map(i => (i.toLong, "alpha beta gamma"))
