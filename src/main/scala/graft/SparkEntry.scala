@@ -3783,7 +3783,8 @@ object SparkEntry {
          u AS (SELECT l_returnflag, unnest(qs) AS e,
                       generate_subscripts(qs, 1) AS i
                FROM q)
-         SELECT l_returnflag, i / 10.0 AS p, round(e, 4) AS exact_q,
+         SELECT l_returnflag, i / 10.0 AS p,
+                floor(e * 1e4 + 0.5) / 1e4 AS exact_q,
                 TRUE AS in_band
          FROM u""",
     "session_entropy" ->

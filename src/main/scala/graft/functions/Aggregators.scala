@@ -17,6 +17,13 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Aggregators {
 
+  /** Inner-level alias for [[MpQuantileAgg]]'s ladder: the wide
+    * `scala.collection.Seq` so the level-0 fill buffer can be a
+    * mutable ArrayBuffer appended in place between encoder
+    * round-trips while levels >= 1 stay immutable sorted runs.
+    */
+  type CSeq[A] = scala.collection.Seq[A]
+
   /** Ordering: value desc, then id asc — matches the window top-k
     * tiebreak so both forms return identical rows.
     */
@@ -92,10 +99,12 @@ object Aggregators {
   }
 
   /** Munro–Paterson deterministic mergeable quantile summary: a ladder
-    * of sorted buffers, one per level, each of size ≤ `b`. Two full
-    * buffers at level L collapse into one at level L+1 by merge-sort +
-    * take-every-2nd (fixed parity — no randomness, so the sketch is a
-    * pure function of the multiset + merge tree). A level-L element
+    * of sorted buffers, one per level, each held under `2b` values
+    * (a full 2b collapses upward; after any reduce or merge the carry
+    * loop re-checks each level until the bound holds again). A full
+    * level collapses into level L+1 by merge-sort + take-every-2nd
+    * (fixed parity — no randomness, so the sketch is a pure function
+    * of the multiset + merge tree). A level-L element
     * represents 2^L inputs; rank error after collapsing through
     * `levels` levels is ≤ Σ 2^(L-1) per collapse ≈ N·levels/(2b) — at
     * b = 512 and a 2^30-row group that is ~3% rank error, constant
@@ -105,47 +114,84 @@ object Aggregators {
     * alongside the [[MisraGriesAgg]] frequency sketch above.
     */
   class MpQuantileAgg(b: Int) extends Aggregator[
-      Double, Seq[Seq[Double]], Seq[(Double, Double)]] {
+      Double, Seq[CSeq[Double]], Seq[(Double, Double)]] {
 
-    override def zero: Seq[Seq[Double]] = Seq.empty
+    import scala.collection.mutable.ArrayBuffer
 
-    // level 0 is an UNSORTED fill buffer; levels >= 1 are sorted runs
-    private def carry(levels: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    override def zero: Seq[CSeq[Double]] = Seq.empty
+
+    /** Odd-indexed half of a sorted run — fixed parity, so the sketch
+      * stays a pure function of the multiset + merge tree. */
+    private def promote(sorted: Array[Double]): CSeq[Double] = {
+      val out = new Array[Double](sorted.length / 2)
+      var i = 1; var j = 0
+      while (i < sorted.length) { out(j) = sorted(i); j += 1; i += 2 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+
+    // level 0 is an UNSORTED fill buffer; levels >= 1 are sorted runs.
+    // A merge can land up to 4b-2 items on one level and a single
+    // collapse only removes 2b, so RE-CHECK the same level until it is
+    // under threshold before moving up — otherwise the <=2b-per-level
+    // buffer bound (and the O(b log(N/b)) shuffle-size claim) fails on
+    // merge-heavy trees.
+    private def carry(levels: Seq[CSeq[Double]]): Seq[CSeq[Double]] = {
       var ls = levels
       var l = 0
-      // a level holding two runs' worth collapses upward (binary carry)
-      while (l < ls.length && ls(l).length >= 2 * b) {
-        val sorted =
-          if (l == 0) ls(l).sorted else ls(l) // level-0 fill is unsorted
-        val (lo, hi) = sorted.splitAt(2 * b)
-        val promoted = lo.sorted.zipWithIndex
-          .collect { case (v, i) if i % 2 == 1 => v }
-        val up = if (l + 1 < ls.length) ls(l + 1) else Seq.empty
-        ls = ls.updated(l, hi) // keep any overflow at this level
-        ls = if (l + 1 < ls.length)
-          ls.updated(l + 1, merge2(up, promoted))
-        else ls :+ promoted
-        l += 1
+      while (l < ls.length) {
+        if (ls(l).length >= 2 * b) {
+          val arr = ls(l).toArray
+          if (l == 0) java.util.Arrays.sort(arr) // fill is unsorted
+          val promoted = promote(arr.take(2 * b))
+          ls = ls.updated(l, scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(arr.drop(2 * b))) // keep overflow here
+          ls = if (l + 1 < ls.length)
+            ls.updated(l + 1, merge2(ls(l + 1), promoted))
+          else ls :+ promoted
+        } else l += 1
       }
       ls
     }
 
-    private def merge2(a: Seq[Double], bs: Seq[Double]): Seq[Double] =
+    private def merge2(a: CSeq[Double], bs: CSeq[Double]): CSeq[Double] =
       (a ++ bs).sorted
 
-    override def reduce(buf: Seq[Seq[Double]], v: Double): Seq[Seq[Double]] = {
-      val ls = if (buf.isEmpty) Seq(Seq.empty[Double]) else buf
-      // prepend: level 0 is an unsorted fill buffer and List append is
-      // O(n) — the collapse sorts it anyway
-      carry(ls.updated(0, v +: ls.head))
+    override def reduce(buf: Seq[CSeq[Double]], v: Double): Seq[CSeq[Double]] = {
+      // Level 0 is a MUTABLE fill buffer appended in place: the
+      // aggregator owns the buffer object between encoder round-trips,
+      // so the former per-row immutable cons + full-ladder rescan (the
+      // mp_quantiles hot path: one allocation per input row) collapses
+      // to an amortized O(1) append. The ladder above only changes when
+      // the fill buffer reaches exactly 2b.
+      val ls: Seq[CSeq[Double]] =
+        if (buf.isEmpty) Seq(new ArrayBuffer[Double](2 * b)) else buf
+      val l0 = ls.head match {
+        case ab: ArrayBuffer[Double @unchecked] => ab
+        case s => // first touch after a deserialize: re-materialize once
+          val ab = new ArrayBuffer[Double](2 * b); ab ++= s; ab
+      }
+      l0 += v
+      val base = if (l0 eq ls.head) ls else ls.updated(0, l0)
+      if (l0.length < 2 * b) base
+      else if (l0.length == 2 * b) {
+        // the common path: fill hit exactly 2b (one row at a time) —
+        // sort it, promote the odd half, clear IN PLACE, cascade above
+        val arr = l0.toArray
+        java.util.Arrays.sort(arr)
+        val promoted = promote(arr)
+        l0.clear()
+        carry(if (base.length > 1)
+          base.updated(1, merge2(base(1), promoted))
+        else base :+ promoted)
+      } else carry(base) // oversized fill (merged buffer): general carry
     }
 
-    override def merge(a: Seq[Seq[Double]],
-                       b2: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    override def merge(a: Seq[CSeq[Double]],
+                       b2: Seq[CSeq[Double]]): Seq[CSeq[Double]] = {
       val n = math.max(a.length, b2.length)
       val merged = (0 until n).map { l =>
-        val x = if (l < a.length) a(l) else Seq.empty
-        val y = if (l < b2.length) b2(l) else Seq.empty
+        val x: CSeq[Double] = if (l < a.length) a(l) else Seq.empty
+        val y: CSeq[Double] = if (l < b2.length) b2(l) else Seq.empty
         if (l == 0) x ++ y else merge2(x, y)
       }
       carry(merged)
@@ -153,7 +199,7 @@ object Aggregators {
 
     /** Returns (p, estimate) for p in 0.1…0.9: weighted rank over the
       * ladder (level L values count 2^L). */
-    override def finish(r: Seq[Seq[Double]]): Seq[(Double, Double)] = {
+    override def finish(r: Seq[CSeq[Double]]): Seq[(Double, Double)] = {
       val weighted = r.zipWithIndex.flatMap { case (vs, l) =>
         val sorted = if (l == 0) vs.sorted else vs
         sorted.map(v => (v, 1L << l))
@@ -169,7 +215,7 @@ object Aggregators {
       }
     }
 
-    override def bufferEncoder: Encoder[Seq[Seq[Double]]] =
+    override def bufferEncoder: Encoder[Seq[CSeq[Double]]] =
       ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[(Double, Double)]] =
       ExpressionEncoder()

@@ -1695,7 +1695,11 @@ object Relational {
       .select(col("l_returnflag"), col("exact"), col("lo"), col("hi"),
         posexplode(col("sk")).as(Seq("i", "pe")))
       .select(col("l_returnflag"), col("pe._1").as("p"),
-        round(element_at(col("exact"), col("i") + 1), 4).as("exact_q"),
+        // project-wide quantize rule (floor(x*10^d+0.5)/10^d), not
+        // round(): double round() half-way semantics are
+        // implementation-defined across engines
+        (floor(element_at(col("exact"), col("i") + 1) * lit(1e4)
+          + lit(0.5)) / lit(1e4)).as("exact_q"),
         (col("pe._2") >= element_at(col("lo"), col("i") + 1) &&
           col("pe._2") <= element_at(col("hi"), col("i") + 1)).as("in_band"))
   }
