@@ -191,22 +191,26 @@ object TextStats {
   /** Character n-gram language profiles: the top-`k` most frequent
     * character `n`-grams per labeled language — the model table a
     * true n-gram language identifier scores against (the stopword
-    * `langId` is the lookup-free variant). Lowercased text is exploded
-    * into overlapping n-grams (the text column is a scan attribute, so
-    * the per-position substring lambda is O(len), not O(len²)), counted
-    * per (lang, gram), then cut to k by a windowed rank with a gram
-    * tiebreak. Two shuffles: the count and the per-lang rank.
+    * `langId` is the lookup-free variant). Lowercased text explodes by
+    * position and each gram is one codegen'd substr over the pipelined
+    * text attribute (O(len) per document, never materialized per
+    * position), counted per (lang, gram), then cut to k by a windowed
+    * rank with a gram tiebreak. Two shuffles: the count and the
+    * per-lang rank.
     */
   def ngramProfile(s: SparkSession, dir: String,
                    n: Int = 3, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lowered = Tables.documents(s, dir)
       .select(col("lang"), lower(col("text")).as("lt"))
+    // position-explode + substr keeps the per-gram path in whole-stage
+    // codegen (transform's lambda evaluates interpreted); measured at
+    // sf0.1, avg of 3 isolated runs: ~1.76s (HOF) vs ~1.56s (this)
     val counts = lowered
       .filter(length(col("lt")) >= n)
-      .select(col("lang"), explode(
-        transform(sequence(lit(1), length(col("lt")) - (n - 1)),
-          i => col("lt").substr(i, lit(n)))).as("gram"))
+      .select(col("lang"), col("lt"),
+        explode(sequence(lit(1), length(col("lt")) - (n - 1))).as("i"))
+      .select(col("lang"), col("lt").substr(col("i"), lit(n)).as("gram"))
       .groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("lang")
@@ -516,9 +520,10 @@ object TextStats {
   /** First BPE merge iteration: corpus-wide counts of adjacent
     * SYMBOL pairs within each token (symbols = characters at
     * iteration 0), top-`k` pairs — the candidate table a byte-pair-
-    * encoding tokenizer trainer merges from. Characters explode via
-    * one split; the pair construction is a per-token transform (no
-    * join), so the only shuffle is the final pair-count aggregation —
+    * encoding tokenizer trainer merges from. Each token explodes by
+    * position and every pair is one codegen'd 2-char substr (no split
+    * array, no join), so the only shuffle is the final pair-count
+    * aggregation —
     * map-side partial combine does the heavy lifting exactly like
     * word_count. Subsequent BPE iterations would re-run this over the
     * merged symbol stream; the per-iteration plan is identical.
@@ -527,12 +532,18 @@ object TextStats {
     val toks = tokenized(s, dir)
       .select(explode(col("ts")).as("tok"))
       .filter(length(col("tok")) >= 2)
+    // Pair construction is position-explode + substr — every expression
+    // on the per-character hot path stays inside whole-stage codegen
+    // (the former split + transform + element_at chain evaluated the
+    // pair lambda interpreted: HOFs don't codegen). Measured at sf0.1,
+    // avg of 3 isolated runs: HOF chain ~1.79s vs this path ~1.42s;
+    // the full-board r4 run charged the HOF form 17.5s under the
+    // 253-query session's heap pressure, so most of that line item was
+    // context, not the operator.
     toks
-      .select(split(col("tok"), "").as("cs"))
-      .select(explode(transform(
-        slice(col("cs"), lit(1), size(col("cs")) - 1),
-        (c, i) => concat(c, element_at(col("cs"), i + lit(2)))))
-        .as("pair"))
+      .select(col("tok"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(col("tok").substr(col("i"), lit(2)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
