@@ -60,12 +60,27 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // full payload first in the log, and always in a file: the
+    // driver's log-tail parse only sees the LAST ~2000 chars, which a
+    // 250-query map overflows — that full map lives here
     println(json)
-    // also land the JSON in a file: log tails truncate, files don't
     val outFile = java.nio.file.Path.of(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(outFile, json + "\n")
     spark.stop()
+    // LAST stdout line, after spark.stop() so no shutdown noise can
+    // follow it: a compact summary that always fits the 2000-char tail
+    // (3-decimal values, top-20 slowest queries only, full map pointer)
+    def r3(d: Double): Double = math.floor(d * 1000 + 0.5) / 1000
+    val svals = results.map(_._2).sorted
+    val median = if (svals.isEmpty) 0.0
+      else (svals((svals.length - 1) / 2) + svals(svals.length / 2)) / 2
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.length},"median":${r3(median)},""" +
+      s""""queries":$top,"queries_full":"$outFile","sf":"$sfDir"}""")
   }
 }
