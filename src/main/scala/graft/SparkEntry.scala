@@ -3824,19 +3824,33 @@ object SparkEntry {
            SELECT quantile_cont(value,
              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
            FROM ev),
-         cls AS (
+         cr AS (
            SELECT event_type, hr,
                   len(list_filter(edges, x -> value > x)) AS vb,
+                  user_id
+           FROM ev, ed),
+         cls AS (
+           SELECT event_type, hr, vb,
                   count(DISTINCT user_id)::BIGINT AS n_users
-           FROM ev, ed GROUP BY 1, 2, 3)
-         SELECT count(*)::BIGINT AS n_classes,
-                sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END)::BIGINT
-                  AS violating_classes,
-                min(n_users) AS min_class_users,
-                floor(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0
-                          END)::DOUBLE / sum(n_users) * 1e6 + 0.5) / 1e6
-                  AS at_risk_share
-         FROM cls""",
+           FROM cr GROUP BY 1, 2, 3),
+         risk AS (
+           SELECT count(DISTINCT user_id)::BIGINT AS users_at_risk
+           FROM cr WHERE EXISTS (
+             SELECT 1 FROM cls c
+             WHERE c.n_users < 5 AND c.event_type = cr.event_type
+               AND c.hr = cr.hr AND c.vb = cr.vb)),
+         tot AS (SELECT count(DISTINCT user_id)::BIGINT AS total_users
+                 FROM ev),
+         agg AS (
+           SELECT count(*)::BIGINT AS n_classes,
+                  sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END)::BIGINT
+                    AS violating_classes,
+                  min(n_users) AS min_class_users
+           FROM cls)
+         SELECT n_classes, violating_classes, min_class_users,
+                floor(users_at_risk::DOUBLE / total_users * 1e6 + 0.5)
+                  / 1e6 AS at_risk_share
+         FROM agg, risk, tot""",
     "harmonic_centrality" -> s"""WITH RECURSIVE $GraphCte,
          srcs AS (SELECT unnest([1, 2, 3]::BIGINT[]) AS source),
          walk(source, id, dist) AS (

@@ -1504,11 +1504,14 @@ object Events {
   /** k-anonymity audit over the quasi-identifier (event_type,
     * hour-of-day, value decile): how many equivalence classes exist,
     * how many hold fewer than `k` users, and the re-identification
-    * headline (share of USERS sitting in a violating class) — the
-    * release-gate check run before sharing "anonymized" event data.
-    * One pass to classes (partial-agg'd), one tiny aggregate over the
-    * class table; value deciles come from global exact percentiles so
-    * the bucketing is restatable.
+    * headline — the share of distinct USERS sitting in at least one
+    * violating class (a user in several violating classes counts
+    * once), over all distinct users. The release-gate check run before
+    * sharing "anonymized" event data. One pass to classes
+    * (partial-agg'd), a broadcast semi-join of the classed rows
+    * against the (tiny) violating-class list for the user count, and
+    * a tiny aggregate over the class table; value deciles come from
+    * global exact percentiles so the bucketing is restatable.
     */
   def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -1519,23 +1522,35 @@ object Events {
     CacheScope.register(ev) // eager: edge fit + class scan read it
     val edges = ev.agg(percentile(col("value"),
       array((1 to 9).map(i => lit(i / 10.0)): _*)).as("edges"))
-    val classes = ev.crossJoin(broadcast(edges))
+    val classed = ev.crossJoin(broadcast(edges))
       .select(col("event_type"), col("hr"),
         size(filter(col("edges"), e => col("value") > e)).as("vb"),
         col("user_id"))
+      .persist()
+    CacheScope.register(classed) // eager: class table + risk scan
+    val classes = classed
       .groupBy("event_type", "hr", "vb")
       .agg(countDistinct(col("user_id")).as("n_users"))
+      .persist()
+    CacheScope.register(classes) // eager: stats agg + violating filter
+    // the TRUE user share: a user sitting in several violating classes
+    // counts once — distinct users semi-joined against the (tiny,
+    // broadcast) violating-class list over distinct users overall
+    val violating = classes.filter(col("n_users") < k)
+      .select(col("event_type"), col("hr"), col("vb"))
+    val risk = classed.join(broadcast(violating),
+        Seq("event_type", "hr", "vb"), "left_semi")
+      .agg(countDistinct(col("user_id")).as("users_at_risk"))
+    val tot = ev.agg(countDistinct(col("user_id")).as("total_users"))
     classes.agg(
         count(lit(1)).as("n_classes"),
         sum(when(col("n_users") < k, 1L).otherwise(0L))
           .as("violating_classes"),
-        min("n_users").as("min_class_users"),
-        sum(when(col("n_users") < k, col("n_users")).otherwise(0L))
-          .as("users_at_risk"),
-        sum("n_users").as("user_cells"))
+        min("n_users").as("min_class_users"))
+      .crossJoin(risk).crossJoin(tot)
       .select(col("n_classes"), col("violating_classes"),
         col("min_class_users"),
-        q(col("users_at_risk").cast("double") / col("user_cells"), 6)
+        q(col("users_at_risk").cast("double") / col("total_users"), 6)
           .as("at_risk_share"))
   }
 }

@@ -852,8 +852,8 @@ object Graph {
     */
   def pagerankGlobal(s: SparkSession, dir: String, rounds: Int = 6,
                      alpha: Double = 0.15, k: Int = 20): DataFrame = {
-    val e = customerSupplierEdges(s, dir)
-      .select(col("src"), col("dst")).persist()
+    val e = CacheScope.track(customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist())
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
       val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -892,9 +892,10 @@ object Graph {
   def weightedPpr(s: SparkSession, dir: String, source: Long = 1L,
                   rounds: Int = 6, alpha: Double = 0.15,
                   k: Int = 20): DataFrame = {
-    val e = customerSupplierEdges(s, dir, distinctPairs = false)
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      .persist()
+    val e = CacheScope.track(
+      customerSupplierEdges(s, dir, distinctPairs = false)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .persist())
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
       val outw = e.groupBy("src").agg(sum("w").as("wout"))
