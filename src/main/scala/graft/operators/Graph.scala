@@ -815,6 +815,48 @@ object Graph {
     * min-distance semantics — a coverage point for iterative reach
     * queries (the reference's PPR loop is the weighted cousin).
     */
+  /** The ONE multi-source frontier kernel behind [[bfsDistances]],
+    * [[eccentricitySample]], [[harmonicCentrality]] and
+    * [[shortestPathCounts]]: returns (source, id, dist, n_paths) for
+    * every vertex within `maxHops` of each source — min-hop distance
+    * plus the number of distinct shortest paths (σ_v = Σ σ_u over
+    * parents one hop closer; plain-BFS callers just drop the column,
+    * the sum costs the same shuffle the distinct did). Per hop: one
+    * equality join of the cached edge list against the CURRENT
+    * frontier only, a per-(source, dst) partial-agg'd path sum, and an
+    * anti-join against the rings seen so far. Only the NEW ring is
+    * localCheckpoint'ed; the visited set stays a lazy union of the
+    * already-checkpointed rings — the former per-operator loops also
+    * re-materialized the whole visited set every round (O(V) copied
+    * rows per hop, gone here).
+    */
+  private def frontierLoop(e: DataFrame, sources: Seq[Long],
+                           maxHops: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    var rings = Vector(sources.toDF("source")
+      .select(col("source"), col("source").as("id"),
+        lit(0).as("dist"), lit(1L).as("n_paths"))
+      .localCheckpoint())
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val frontier = rings.last
+      val seen = rings.map(_.select("source", "id")).reduce(_ unionAll _)
+      val next = e.join(frontier.select(col("source"),
+          col("id").as("src"), col("n_paths")), "src")
+        .groupBy(col("source"), col("dst"))
+        .agg(sum("n_paths").as("n_paths"))
+        .select(col("source"), col("dst").as("id"), col("n_paths"))
+        .join(seen, Seq("source", "id"), "left_anti")
+        .select(col("source"), col("id"), lit(hop).as("dist"),
+          col("n_paths"))
+        .localCheckpoint()
+      rings :+= next
+    }
+    rings.reduce(_ unionAll _)
+  }
+
   def bfsDistances(s: SparkSession, dir: String, source: Long,
                    maxHops: Int = 4): DataFrame = {
     val e = customerSupplierEdges(s, dir)
@@ -822,21 +864,7 @@ object Graph {
     graft.CacheScope.register(e) // eager: every hop joins it
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      var visited = e.sparkSession.range(1).select(
-        lit(source).as("id"), lit(0).as("dist")).localCheckpoint()
-      var frontier = visited
-      var hop = 0
-      while (hop < maxHops) {
-        hop += 1
-        val next = e.join(frontier.select(col("id").as("src")), "src")
-          .select(col("dst").as("id")).distinct()
-          .join(visited.select("id"), Seq("id"), "left_anti")
-          .select(col("id"), lit(hop).as("dist"))
-          .localCheckpoint()
-        frontier = next
-        visited = visited.unionAll(next).localCheckpoint()
-      }
-      visited
+      frontierLoop(e, Seq(source), maxHops).select("id", "dist")
     }
   }
 
@@ -941,25 +969,8 @@ object Graph {
     graft.CacheScope.register(e) // eager: every hop joins it
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      import s.implicits._
-      var visited = sources.toDF("source")
-        .select(col("source"), col("source").as("id"), lit(0).as("dist"))
-        .localCheckpoint()
-      var frontier = visited
-      var hop = 0
-      while (hop < maxHops) {
-        hop += 1
-        val next = e.join(frontier.select(col("source"),
-            col("id").as("src")), "src")
-          .select(col("source"), col("dst").as("id")).distinct()
-          .join(visited.select("source", "id"),
-            Seq("source", "id"), "left_anti")
-          .select(col("source"), col("id"), lit(hop).as("dist"))
-          .localCheckpoint()
-        frontier = next
-        visited = visited.unionAll(next).localCheckpoint()
-      }
-      visited.groupBy("source", "dist")
+      frontierLoop(e, sources, maxHops)
+        .groupBy("source", "dist")
         .agg(count(lit(1)).as("n_nodes"))
     }
   }
@@ -1029,24 +1040,8 @@ object Graph {
     graft.CacheScope.register(e) // eager: every hop joins it
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      var visited = e.sparkSession.range(1).select(
-        lit(source).as("id"), lit(0).as("dist"), lit(1L).as("n_paths"))
-        .localCheckpoint()
-      var frontier = visited
-      var hop = 0
-      while (hop < maxHops) {
-        hop += 1
-        val next = e.join(frontier.select(col("id").as("src"),
-            col("n_paths")), "src")
-          .groupBy(col("dst").as("id"))
-          .agg(sum("n_paths").as("n_paths"))
-          .join(visited.select("id"), Seq("id"), "left_anti")
-          .select(col("id"), lit(hop).as("dist"), col("n_paths"))
-          .localCheckpoint()
-        frontier = next
-        visited = visited.unionAll(next).localCheckpoint()
-      }
-      visited
+      frontierLoop(e, Seq(source), maxHops)
+        .select("id", "dist", "n_paths")
     }
   }
 

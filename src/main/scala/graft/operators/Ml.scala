@@ -168,17 +168,45 @@ object Ml {
     * sums each instance's score in vocabulary order while the Scala fold
     * sums in token order, a ~1e-15 relative difference that 6dp absorbs.
     */
+
+  /** Per-process memo of the sequential trainer's weights, keyed by
+    * (session, dir, seed, delta). Five metric queries (sgd_apply,
+    * confusion_matrix, prf_metrics, calibration_bins, sgd_auc) derive
+    * from the SAME trained model; each remains a standalone query, but
+    * within one process they reuse one sequential fold instead of five.
+    * The model is ≤ `DefaultBuckets` (10007) rows — a fixed,
+    * corpus-size-independent hash-bucket table, so driver-side
+    * retention is safe at 100 TB exactly like a broadcast dimension.
+    * Weak keys: the memo dies with its session, and unlike a persisted
+    * DataFrame it survives `CacheScope.release` (whose unpersist would
+    * silently re-run the whole fold on next use).
+    */
+  private val modelMemo = new mutable.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Option[Long], Double),
+      Array[(Long, Double)]]]()
+
+  private[graft] def trainedModel(s: SparkSession, dir: String,
+      shuffleSeed: Option[Long] = None,
+      delta: Double = DefaultDelta): DataFrame = {
+    import s.implicits._
+    val perSession = modelMemo.synchronized {
+      modelMemo.getOrElseUpdate(s, scala.collection.concurrent.TrieMap.empty)
+    }
+    val w = perSession.getOrElseUpdate((dir, shuffleSeed, delta),
+      trainSgd(s, featurize(s, dir), delta, shuffleSeed)
+        .as[(Long, Double)].collect())
+    w.toSeq.toDF("feature", "weight")
+  }
+
   def trainQuery(s: SparkSession, dir: String,
                  shuffleSeed: Option[Long] = None): DataFrame =
-    trainSgd(s, featurize(s, dir), shuffleSeed = shuffleSeed)
+    trainedModel(s, dir, shuffleSeed)
       .select(col("feature"), round(col("weight"), 6).as("weight"))
 
-  def applyQuery(s: SparkSession, dir: String): DataFrame = {
-    val inst = featurize(s, dir)
-    applyModel(inst, trainSgd(s, inst))
+  def applyQuery(s: SparkSession, dir: String): DataFrame =
+    applyModel(featurize(s, dir), trainedModel(s, dir))
       .select(col("docid"), col("label"), round(col("score"), 6).as("score"),
         col("pred"))
-  }
 
   /** Ensemble over three disjoint doc_id % 3 training splits. */
   def ensembleQuery(s: SparkSession, dir: String, method: String): DataFrame = {
