@@ -270,6 +270,10 @@ object SparkEntry {
       "score", "y")),
     "best_survivor" -> ((s, d) => Dedup.bestSurvivor(s, d)),
     "leakage_safe_split" -> ((s, d) => Curation.leakageSafeSplit(s, d)),
+    // rows-only audits (no oracleSql: physical-plan facts have no
+    // DuckDB restatement) — W32 bucketed co-location, W123 AQE
+    "bucketed_join_audit" -> ((s, d) => PlanAudits.bucketedJoinAudit(s, d)),
+    "aqe_coalesce_audit" -> ((s, d) => PlanAudits.aqeCoalesceAudit(s, d)),
     "degree_distribution" -> ((s, d) => Graph.degreeDistribution(s, d)),
     // dialect-parity demonstration: Spark executes the IDENTICAL SQL
     // text the oracle runs (AnsiParitySql) over a temp view — the

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-visible audit rows for the two storage/runtime capabilities
+  * that are real library surface but not hash-oracle-able (no DuckDB
+  * restatement exists for physical-plan facts): bucketed co-located
+  * joins (W32) and AQE runtime coalescing (W123). Each runs the
+  * capability END TO END on the round's tables and surfaces the plan
+  * evidence as a one-row DataFrame, so the driver's rows-only gate
+  * sees them every round instead of only `sbt test` (SourcesSpec /
+  * AqeSpec keep the strict asserts).
+  */
+object PlanAudits {
+
+  /** Write orders and lineitem bucketed on the join key, join them
+    * with broadcast disabled, and report the shuffle-exchange count in
+    * the finalized plan (0 = the 100 TB co-location story: both scans
+    * pre-hashed into the same bucket layout, the sort-merge join reads
+    * buckets pairwise and nothing crosses the wire) plus row parity
+    * with the plain unbucketed join.
+    */
+  def bucketedJoinAudit(s: SparkSession, dir: String,
+                        buckets: Int = 8): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bucket_audit").toString
+    val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val (obT, lbT) = (s"graft_audit_ob_$tag", s"graft_audit_lb_$tag")
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join: exchange ELIMINATION is the claim
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .write.option("path", s"$tmp/ob").mode("overwrite")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(obT)
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .write.option("path", s"$tmp/lb").mode("overwrite")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lbT)
+      val joined = s.table(obT)
+        .join(s.table(lbT), col("o_orderkey") === col("l_orderkey"))
+      val joinRows = joined.count()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      val exchanges =
+        plan.collect { case e: ShuffleExchangeExec => e }.length
+      val plainRows = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey")).count()
+      Seq((buckets, exchanges, exchanges == 0, joinRows,
+          joinRows == plainRows))
+        .toDF("buckets", "shuffle_exchanges", "exchange_free",
+          "join_rows", "rows_match_unbucketed")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.sql(s"DROP TABLE IF EXISTS $obT")
+      s.sql(s"DROP TABLE IF EXISTS $lbT")
+    }
+  }
+
+  /** Aggregate orders onto 7 keys under the session's declared shuffle
+    * partition count and report how many partitions the finalized
+    * adaptive plan actually ran — runtime coalescing evidence (a tiny
+    * shuffle must not fan out to the static setting; at 100 TB the
+    * same mechanism right-sizes every post-filter stage).
+    */
+  def aqeCoalesceAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = Tables.orders(s, dir)
+      .select(pmod(col("o_orderkey"), lit(7)).as("k"))
+      .groupBy("k").count()
+    val declared = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val finalParts = agg.rdd.getNumPartitions // finalizes the AQE plan
+    val nGroups = agg.count()
+    Seq((s.conf.get("spark.sql.adaptive.enabled") == "true",
+        declared, finalParts,
+        finalParts < declared || declared == 1, nGroups))
+      .toDF("aqe_enabled", "declared_partitions", "final_partitions",
+        "coalesced", "n_groups")
+  }
+}

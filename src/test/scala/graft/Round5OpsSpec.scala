@@ -85,6 +85,19 @@ class Round5OpsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("plan audits: bucketed join exchange-free, AQE coalesces") {
+    val b = operators.PlanAudits.bucketedJoinAudit(spark, sf).collect()
+    assert(b.length == 1)
+    assert(b.head.getAs[Boolean]("exchange_free"),
+      s"bucketed join shuffled: ${b.head}")
+    assert(b.head.getAs[Boolean]("rows_match_unbucketed"))
+    val a = operators.PlanAudits.aqeCoalesceAudit(spark, sf).collect()
+    assert(a.length == 1)
+    assert(a.head.getAs[Boolean]("aqe_enabled"))
+    assert(a.head.getAs[Boolean]("coalesced"), s"no coalescing: ${a.head}")
+    assert(a.head.getAs[Long]("n_groups") == 7L)
+  }
+
   test("heaps_law: constant vocab cancels to beta == 0.0 exactly") {
     val dir = java.nio.file.Files.createTempDirectory("heapsC").toString
     (0 until 100).map(i => (i.toLong, "alpha beta gamma"))
