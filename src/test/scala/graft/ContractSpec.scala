@@ -23,7 +23,13 @@ class ContractSpec extends SparkSpec {
   }
 
   test("every query is oracle-checked (full coverage, no rows-only)") {
-    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the two plan audits surface PHYSICAL-plan facts (shuffle-exchange
+    // count, finalized AQE partition count) that have no DuckDB
+    // restatement — the consciously-allowed rows-only exceptions; their
+    // strict asserts live in SourcesSpec / AqeSpec / Round5OpsSpec
+    val rowsOnlyAllowed = Set("bucketed_join_audit", "aqe_coalesce_audit")
+    val unoracled = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- rowsOnlyAllowed
     assert(unoracled.isEmpty,
       s"queries without a DuckDB oracle: $unoracled — add one, or " +
         "consciously relax this guard for a genuinely non-SQL operator")
