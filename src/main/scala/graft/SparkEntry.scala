@@ -312,6 +312,7 @@ object SparkEntry {
     "assortativity" -> ((s, d) => Graph.assortativity(s, d)),
     "bfs_distances" -> ((s, d) => Graph.bfsDistances(s, d, 1L)),
     "bpe_pair_counts" -> ((s, d) => TextStats.bpePairCounts(s, d)),
+    "bpe_iter2_counts" -> ((s, d) => TextStats.bpeIter2Counts(s, d)),
     "containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d, 0.5)),
     "embedding_prototypes" -> ((s, d) => Similarity.normalizedPrototypes(s, d)),
     "frequent_pairs" -> ((s, d) => Relational.frequentPairs(s, d)),
@@ -3421,6 +3422,45 @@ object SparkEntry {
            FROM cs)
          SELECT pair, count(*)::BIGINT AS n
          FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 40""",
+    // the greedy left-to-right merge replays as a per-token recursive
+    // scan: carry one symbol; carry=x followed by y emits the merged
+    // xy (which can't re-match as x), anything else flushes the carry
+    "bpe_iter2_counts" ->
+      s"""WITH RECURSIVE ${TokCte.stripPrefix("WITH ")},
+         ex AS (SELECT unnest(ts) AS tok FROM toks),
+         cs AS (SELECT row_number() OVER () AS tid,
+                       string_split(tok, '') AS cs
+                FROM ex WHERE len(tok) >= 2),
+         p1 AS (
+           SELECT unnest(list_transform(range(1, len(cs)),
+                    i -> cs[i] || cs[i + 1])) AS pair
+           FROM cs),
+         xy AS (
+           SELECT pair[1] AS x, pair[2] AS y FROM (
+             SELECT pair, count(*) AS n FROM p1
+             GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)),
+         m(tid, cs, pos, carry, out) AS (
+           SELECT tid, cs, 1, NULL::VARCHAR, []::VARCHAR[] FROM cs
+           UNION ALL
+           SELECT tid, cs, pos + 1,
+                  CASE WHEN carry IS NULL THEN cs[pos]
+                       WHEN carry = x AND cs[pos] = y THEN NULL
+                       ELSE cs[pos] END,
+                  CASE WHEN carry IS NULL THEN out
+                       WHEN carry = x AND cs[pos] = y
+                         THEN list_append(out, x || y)
+                       ELSE list_append(out, carry) END
+           FROM m, xy WHERE pos <= len(cs)),
+         fin AS (
+           SELECT tid, CASE WHEN carry IS NULL THEN out
+                            ELSE list_append(out, carry) END AS ms
+           FROM m WHERE pos = len(cs) + 1),
+         p2 AS (
+           SELECT unnest(list_transform(range(1, len(ms)),
+                    i -> ms[i] || '+' || ms[i + 1])) AS pair
+           FROM fin WHERE len(ms) >= 2)
+         SELECT pair, count(*)::BIGINT AS n
+         FROM p2 GROUP BY pair ORDER BY n DESC, pair LIMIT 40""",
     "containment_pairs" -> s"""$TokCte,
          sh AS (
            SELECT doc_id, list_distinct(

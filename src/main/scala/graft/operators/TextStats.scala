@@ -528,6 +528,53 @@ object TextStats {
     * word_count. Subsequent BPE iterations would re-run this over the
     * merged symbol stream; the per-iteration plan is identical.
     */
+  /** Second BPE iteration: apply iteration 0's WINNING merge (top
+    * pair by count, ties to the lexicographically smaller pair) to
+    * every token's symbol stream with the greedy left-to-right scan
+    * real BPE trainers use, then count adjacent symbol pairs again —
+    * the iteration-1 candidate table, proving the iterate step rather
+    * than documenting it. The winner is a 2-value driver scalar
+    * (argmax — the documented driver-cutoff pattern); the merge is a
+    * per-token carry fold (state = emitted symbols + one carried
+    * symbol; carry==x and next==y emit the merged xy, which can't
+    * re-match as x, reproducing greedy semantics exactly), so the
+    * only shuffle is the final pair-count aggregation. Further
+    * iterations re-run this plan with the next winner. Pairs key as
+    * `sym1+sym2` — at iteration >= 1 symbols are multi-char and plain
+    * concat would conflate (xy,z) with (x,yz).
+    */
+  def bpeIter2Counts(s: SparkSession, dir: String, k: Int = 40): DataFrame = {
+    val top = bpePairCounts(s, dir, 1).collect()(0).getString(0)
+    val (x, y) = (top.substring(0, 1), top.substring(1))
+    val zero = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("carry"))
+    val merged = tokenized(s, dir)
+      .select(explode(col("ts")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(aggregate(split(col("tok"), ""), zero,
+        (acc, c) => struct(
+          when(acc("carry").isNull, acc("out"))
+            .when(acc("carry") === lit(x) && c === lit(y),
+              concat(acc("out"), array(lit(x + y))))
+            .otherwise(concat(acc("out"), array(acc("carry")))).as("out"),
+          when(acc("carry").isNull, c)
+            .when(acc("carry") === lit(x) && c === lit(y),
+              lit(null).cast("string"))
+            .otherwise(c).as("carry")),
+        acc => when(acc("carry").isNull, acc("out"))
+          .otherwise(concat(acc("out"), array(acc("carry")))))
+        .as("ms"))
+    merged.filter(size(col("ms")) >= 2)
+      .select(col("ms"),
+        explode(sequence(lit(1), size(col("ms")) - 1)).as("i"))
+      .select(concat(element_at(col("ms"), col("i")), lit("+"),
+        element_at(col("ms"), col("i") + 1)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   def bpePairCounts(s: SparkSession, dir: String, k: Int = 40): DataFrame = {
     val toks = tokenized(s, dir)
       .select(explode(col("ts")).as("tok"))

@@ -98,6 +98,27 @@ class Round5OpsSpec extends SparkSpec {
     assert(a.head.getAs[Long]("n_groups") == 7L)
   }
 
+  test("bpe_iter2: greedy merge application on a hand-checked corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // winning iteration-0 pair is (a,a): "aaa"->[aa,a], "aaaa"->[aa,aa]
+    // (greedy left-to-right, the merged symbol can't re-merge as x)
+    Seq((0L, "aaa aaaa banana"), (1L, "aaab aa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = operators.TextStats.bpePairCounts(spark, dir, 1)
+      .collect().head.getString(0)
+    assert(top == "aa", s"expected (a,a) to win iteration 0, got $top")
+    val got = operators.TextStats.bpeIter2Counts(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merged streams: aaa->[aa,a]; aaaa->[aa,aa]; banana->[b,a,n,a,n,a];
+    // aaab->[aa,a,b]; aa->[aa] (dropped: single symbol)
+    assert(got("aa+a") == 2L, s"got $got")   // from aaa and aaab
+    assert(got("aa+aa") == 1L)               // from aaaa
+    assert(got("a+b") == 1L)                 // from aaab
+    assert(got("a+n") == 2L && got("n+a") == 2L && got("b+a") == 1L)
+    assert(!got.contains("a+a"), "greedy merge must leave no (a,a) pair")
+  }
+
   test("heaps_law: constant vocab cancels to beta == 0.0 exactly") {
     val dir = java.nio.file.Files.createTempDirectory("heapsC").toString
     (0 until 100).map(i => (i.toLong, "alpha beta gamma"))
