@@ -95,6 +95,7 @@ object SparkEntry {
     "term_lookup" -> ((s, d) => Index.termLookup(s, d, "spark")),
     "term_store_lookup" -> ((s, d) => Index.termStoreLookup(s, d)),
     "bm25_topk" -> ((s, d) => Index.bm25Topk(s, d)),
+    "ranking_metrics" -> ((s, d) => Index.rankingMetrics(s, d)),
     "centroid_distances" -> ((s, d) => Similarity.centroidDistances(s, d)),
     "hapax_profile" -> ((s, d) => TextStats.hapaxProfile(s, d)),
     "nearest_event" -> ((s, d) => Events.nearestEvent(s, d)),
@@ -2144,6 +2145,46 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY term
              ORDER BY score DESC, doc_id) AS rnk FROM sc)
          WHERE rnk <= 10""",
+    // discounted gains quantize to 1e-9 ints BEFORE the per-term sums;
+    // nDCG divides the exact longs once; ranking uses the 1e-6 floor-
+    // quantized BM25 score with doc_id tiebreak on both engines
+    "ranking_metrics" -> s"""$TokCte,
+         lens AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+         po AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                GROUP BY 1, 2),
+         dft AS (SELECT term, count(*)::BIGINT AS df FROM po GROUP BY 1),
+         top AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 10),
+         c AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+               FROM lens),
+         g AS (SELECT po.term, t.df, po.doc_id,
+                 floor(ln((n_docs - t.df + 0.5) / (t.df + 0.5)) * po.tf
+                   * 2.2 / (po.tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   * 1e6 + 0.5) / 1e6 AS score,
+                 least(po.tf, 4)::DOUBLE AS rel
+               FROM po JOIN top t USING (term)
+                 JOIN lens USING (doc_id) CROSS JOIN c),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY term
+                   ORDER BY score DESC, doc_id) AS rnk,
+                 row_number() OVER (PARTITION BY term
+                   ORDER BY rel DESC, doc_id) AS irnk,
+                 max(rel) OVER (PARTITION BY term) AS mrel
+               FROM g),
+         d AS (SELECT term, df,
+                 sum(CASE WHEN rnk <= 10 THEN CAST(floor(rel /
+                   (ln(rnk + 1.0) / ln(2.0)) * 1e9 + 0.5) AS BIGINT)
+                   ELSE 0 END)::BIGINT AS dcg,
+                 sum(CASE WHEN irnk <= 10 THEN CAST(floor(rel /
+                   (ln(irnk + 1.0) / ln(2.0)) * 1e9 + 0.5) AS BIGINT)
+                   ELSE 0 END)::BIGINT AS idcg,
+                 min(CASE WHEN rel = mrel THEN rnk END)::INT AS best_rank
+               FROM r GROUP BY 1, 2)
+         SELECT term, df,
+                floor(dcg::DOUBLE / idcg * 1e6 + 0.5) / 1e6 AS ndcg,
+                best_rank,
+                floor(1.0 / best_rank * 1e6 + 0.5) / 1e6 AS rr
+         FROM d ORDER BY term""",
     // centroids round to 6 dp BEFORE the cosine; fold in ascending pos
     "centroid_distances" ->
       """WITH cent AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{CacheScope, Tables}
@@ -116,6 +116,71 @@ object Index {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("term", "doc_id", "score")
+  }
+
+  /** Ranking-quality eval of the BM25 ranker (W220): nDCG@`k` and the
+    * reciprocal rank of the first maximally-graded document, per
+    * high-df probe term — the measurements a retrieval stack reports
+    * next to the classifier tier's AUC/PRF. Relevance grades are
+    * capped term frequencies (rel = min(tf, 4)): graded,
+    * deterministic, and not what BM25 optimizes (it length-normalizes
+    * and saturates tf), so nDCG < 1 is a real measurement, not an
+    * identity. Discounted gains quantize to the 1e-9 integer grid
+    * BEFORE the per-term sums (float sum order inside a group is
+    * engine-private; integer sums are not); the nDCG ratio divides
+    * exact longs once at the end. Probe terms = top `nTerms` by df
+    * (term tiebreak); the term list and corpus scalars broadcast, so
+    * the plan is scan → postings agg → keyed joins → two rank windows
+    * → per-term agg, nothing driver-side.
+    */
+  def rankingMetrics(s: SparkSession, dir: String, k: Int = 10,
+                     nTerms: Int = 10): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+    val lens = toks
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val p = postings(s, dir).persist()
+    CacheScope.register(p) // eager: df agg + the scoring join read it
+    val dft = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = dft.orderBy(col("df").desc, col("term")).limit(nTerms)
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val rawScore = log((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) * col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val graded = p.join(broadcast(top), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("term"), col("df"), col("doc_id"),
+        (floor(rawScore * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"),
+        least(col("tf"), lit(4L)).cast("double").as("rel"))
+    val wR = Window.partitionBy("term")
+      .orderBy(col("score").desc, col("doc_id"))
+    val wI = Window.partitionBy("term")
+      .orderBy(col("rel").desc, col("doc_id"))
+    val wT = Window.partitionBy("term")
+    def gain(rel: Column, rank: Column): Column =
+      floor(rel / (log(rank.cast("double") + lit(1.0)) / log(lit(2.0)))
+        * lit(1e9) + lit(0.5)).cast("long")
+    graded
+      .withColumn("rnk", row_number().over(wR))
+      .withColumn("irnk", row_number().over(wI))
+      .withColumn("mrel", max(col("rel")).over(wT))
+      .groupBy(col("term"), col("df"))
+      .agg(
+        sum(when(col("rnk") <= k, gain(col("rel"), col("rnk")))
+          .otherwise(0L)).as("dcg"),
+        sum(when(col("irnk") <= k, gain(col("rel"), col("irnk")))
+          .otherwise(0L)).as("idcg"),
+        min(when(col("rel") === col("mrel"), col("rnk"))).as("best_rank"))
+      .select(col("term"), col("df"),
+        (floor(col("dcg").cast("double") / col("idcg") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("ndcg"),
+        col("best_rank"),
+        (floor(lit(1.0) / col("best_rank") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("rr"))
+      .orderBy("term")
   }
 
   /** Point lookup of one term's postings (the reference's MapFile /

@@ -119,6 +119,33 @@ class Round5OpsSpec extends SparkSpec {
     assert(!got.contains("a+a"), "greedy merge must leave no (a,a) pair")
   }
 
+  test("ranking_metrics: BM25 length-normalization vs graded ideal") {
+    val dir = java.nio.file.Files.createTempDirectory("rank").toString
+    // docA: rel 4 (tf 4) but 40 tokens long; docB: rel 2, 4 tokens.
+    // BM25 length-normalizes, so B outranks A while the graded ideal
+    // puts A first -> best_rank 2, rr 0.5, ndcg < 1. Six short filler
+    // docs keep idf positive.
+    val fillers = (2 until 8).map(i =>
+      (i.toLong, s"f${('a' + i).toChar} fx fy fz"))
+    (Seq(
+      (0L, ("t " * 4) + (1 to 36).map(j => s"w$j").mkString(" ")),
+      (1L, "t t b c")) ++ fillers)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Index.rankingMetrics(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t = rows("t")
+    assert(t.getAs[Long]("df") == 2L)
+    assert(t.getAs[Int]("best_rank") == 2, s"got $t")
+    assert(t.getAs[Double]("rr") == 0.5)
+    val ndcg = t.getAs[Double]("ndcg")
+    assert(ndcg > 0.0 && ndcg < 1.0, s"expected real degradation: $ndcg")
+    // single-posting probe terms are trivially perfect
+    rows.values.filter(_.getAs[Long]("df") == 1L).foreach { r =>
+      assert(r.getAs[Double]("ndcg") == 1.0 && r.getAs[Double]("rr") == 1.0)
+    }
+  }
+
   test("heaps_law: constant vocab cancels to beta == 0.0 exactly") {
     val dir = java.nio.file.Files.createTempDirectory("heapsC").toString
     (0 until 100).map(i => (i.toLong, "alpha beta gamma"))
