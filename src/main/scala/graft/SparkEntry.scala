@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d, 3)),
     "knn_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
     "knn_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
+    "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -1749,6 +1750,50 @@ object SparkEntry {
                 round(list_cosine_similarity(a.v, b.v), 6) AS sim
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
+    // recall@5 of the IVF ranking vs brute force: both pipelines are
+    // the knn_brute / knn_ivf oracles verbatim, joined per query
+    "ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           bf AS (
+             SELECT query_id, vec_id FROM (
+               SELECT q.vec_id AS query_id, e2.vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, e2.v) DESC,
+                            e2.vec_id) AS rn
+               FROM e q CROSS JOIN e e2
+               WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id)
+             WHERE rn <= 5),
+           cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                    WHERE vec_id < 16),
+           assigned AS (
+             SELECT vec_id, v, centroid_id FROM (
+               SELECT e.vec_id, e.v, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e CROSS JOIN cent c) WHERE rn = 1),
+           probes AS (
+             SELECT query_id, qv, centroid_id FROM (
+               SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e q CROSS JOIN cent c WHERE q.vec_id < 10)
+             WHERE rn <= 4),
+           ivf AS (
+             SELECT query_id, vec_id FROM (
+               SELECT p.query_id, a.vec_id,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(a.v, p.qv) DESC,
+                            a.vec_id) AS rn
+               FROM assigned a JOIN probes p USING (centroid_id)
+               WHERE a.vec_id <> p.query_id) WHERE rn <= 5)
+         SELECT bf.query_id, count(ivf.vec_id)::BIGINT AS hits,
+                floor(count(ivf.vec_id)::DOUBLE / 5 * 1e6 + 0.5) / 1e6
+                  AS recall
+         FROM bf LEFT JOIN ivf
+           ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+         GROUP BY bf.query_id ORDER BY bf.query_id""",
     "lang_id" -> LangIdSql,
     "quality_score" -> QualitySql,
     "token_counts" ->

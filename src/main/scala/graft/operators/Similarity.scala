@@ -163,6 +163,32 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** ANN quality gate (W221): per-query recall@`k` of the IVF index
+    * against the exact brute-force top-k — THE number that decides
+    * whether an approximate index ships (quantizeInt8's reconstruction
+    * error is the memory side of the same budget). Both rankings come
+    * from the engine's own operators with identical tiebreaks, joined
+    * on (query, neighbor); recall = |IVF ∩ exact| / k as an exact
+    * integer ratio divided once. At 100 TB the ground truth comes from
+    * the same brute-force kernel on a SAMPLED query set — recall is
+    * always estimated on a probe sample, which is precisely this plan.
+    */
+  def annRecall(s: SparkSession, dir: String, numQueries: Int = 10,
+                k: Int = 5, numCentroids: Int = 16,
+                nprobe: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(s, dir, numQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfTopK(s, dir, numQueries, k, numCentroids, nprobe)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (floor(col("hits").cast("double") / k * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Int8 affine quantization of the embedding column — the memory
     * layout an ANN index actually stores (4× smaller than float32,
     * SIMD-friendly). Per-vector scale/zero-point from the min/max

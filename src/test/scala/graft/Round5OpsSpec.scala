@@ -146,6 +146,21 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall: bounded, and exhaustive probing recovers recall 1") {
+    val rows = operators.Similarity.annRecall(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("hits") <= 5L)
+    }
+    // probing every inverted list IS brute force (same tiebreaks)
+    val full = operators.Similarity
+      .annRecall(spark, sf, nprobe = 16, numCentroids = 16).collect()
+    assert(full.forall(_.getAs[Double]("recall") == 1.0),
+      "nprobe == numCentroids must recover the exact top-k")
+  }
+
   test("heaps_law: constant vocab cancels to beta == 0.0 exactly") {
     val dir = java.nio.file.Files.createTempDirectory("heapsC").toString
     (0 until 100).map(i => (i.toLong, "alpha beta gamma"))
