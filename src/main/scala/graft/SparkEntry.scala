@@ -69,6 +69,7 @@ object SparkEntry {
     "knn_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
     "knn_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "kmeans_ff_init" -> ((s, d) => Similarity.farthestFirstInit(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -1794,6 +1795,33 @@ object SparkEntry {
          FROM bf LEFT JOIN ivf
            ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
          GROUP BY bf.query_id ORDER BY bf.query_id""",
+    // Gonzalez farthest-first: 7 unrolled pick/extend rounds (p_i =
+    // argmax over candidates of min distance to the chosen set c_{i-1})
+    "kmeans_ff_init" -> {
+      val rounds = (1 until 8).map { i =>
+        s"""p$i AS (
+             SELECT e.vec_id, min(1 - list_cosine_similarity(e.v, c.v))
+               AS d
+             FROM e, c${i - 1} ch, e c
+             WHERE list_contains(ch.ids, c.vec_id)
+               AND NOT list_contains(ch.ids, e.vec_id)
+             GROUP BY e.vec_id ORDER BY d DESC, e.vec_id LIMIT 1),
+           c$i AS (SELECT list_append(ch.ids, p$i.vec_id) AS ids
+                   FROM c${i - 1} ch, p$i)"""
+      }.mkString(",\n           ")
+      val out = (1 until 8).map(i =>
+        s"UNION ALL SELECT $i::INT, vec_id, floor(d * 1e6 + 0.5) / 1e6 FROM p$i")
+        .mkString("\n         ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+           c0 AS (SELECT [0]::BIGINT[] AS ids),
+           $rounds
+         SELECT * FROM (
+           SELECT 0::INT AS step, 0::BIGINT AS vec_id,
+                  NULL::DOUBLE AS radius
+         $out)
+         ORDER BY step"""
+    },
     "lang_id" -> LangIdSql,
     "quality_score" -> QualitySql,
     "token_counts" ->

@@ -189,6 +189,50 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Deterministic k-center seeding (W222): Gonzalez farthest-first
+    * traversal over cosine distance — start from vec_id 0, repeatedly
+    * pick the vector farthest from every centroid chosen so far (ties
+    * to the smaller id). The principled replacement for the first-k
+    * stand-in seeding `ivfTopK`/`kmeans` document (farthest-first is
+    * the classic 2-approximation for the k-center radius, and unlike
+    * k-means++ it is deterministic, so the oracle replays it exactly).
+    * Each step is one distributed min-distance aggregate + argmax
+    * (k−1 scans of the cached corpus — the canonical implementation;
+    * k is a small constant, and only the 1-row argmax reaches the
+    * driver). Surfaces (step, chosen id, coverage radius at pick):
+    * the radius column is the k-center objective trace a capacity
+    * planner reads to choose k.
+    */
+  def farthestFirstInit(s: SparkSession, dir: String,
+                        k: Int = 8): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .persist()
+    CacheScope.register(emb) // eager: k-1 argmax scans read it
+    var chosen = Vector(0L)
+    val picked = scala.collection.mutable.ArrayBuffer[
+      (Int, Long, Option[Double])]((0, 0L, None))
+    for (step <- 1 until k) {
+      val c = emb.filter(col("vec_id").isInCollection(chosen))
+        .select(col("embedding").as("cv"))
+      val r = emb.filter(!col("vec_id").isInCollection(chosen))
+        .crossJoin(broadcast(c))
+        .select(col("vec_id"),
+          (lit(1.0) - cosine(col("embedding"), col("cv"))).as("d"))
+        .groupBy("vec_id").agg(min(col("d")).as("d"))
+        .orderBy(col("d").desc, col("vec_id"))
+        .limit(1).collect()(0)
+      chosen :+= r.getLong(0)
+      picked += ((step, r.getLong(0), Some(r.getDouble(1))))
+    }
+    picked.toSeq
+      .map { case (st, id, d) =>
+        (st, id, d.map(x => math.floor(x * 1e6 + 0.5) / 1e6))
+      }
+      .toDF("step", "vec_id", "radius")
+      .orderBy("step")
+  }
+
   /** Int8 affine quantization of the embedding column — the memory
     * layout an ANN index actually stores (4× smaller than float32,
     * SIMD-friendly). Per-vector scale/zero-point from the min/max

@@ -161,6 +161,21 @@ class Round5OpsSpec extends SparkSpec {
       "nprobe == numCentroids must recover the exact top-k")
   }
 
+  test("kmeans_ff_init: farthest-first radii are non-increasing") {
+    val rows = operators.Similarity.farthestFirstInit(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 8)
+    assert(rows.head.getInt(0) == 0 && rows.head.getLong(1) == 0L)
+    assert(rows.head.isNullAt(2), "seed step has no radius")
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length, "centroids must be distinct")
+    val radii = rows.tail.map(_.getDouble(2))
+    // farthest-first theorem: each pick's coverage radius can only shrink
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radii not monotone: ${radii.mkString(",")}")
+    assert(radii.forall(r => r >= 0.0 && r <= 2.0))
+  }
+
   test("heaps_law: constant vocab cancels to beta == 0.0 exactly") {
     val dir = java.nio.file.Files.createTempDirectory("heapsC").toString
     (0 until 100).map(i => (i.toLong, "alpha beta gamma"))
