@@ -70,6 +70,7 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "kmeans_ff_init" -> ((s, d) => Similarity.farthestFirstInit(s, d)),
+    "chunk_plan" -> ((s, d) => Curation.chunkPlan(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -1795,6 +1796,20 @@ object SparkEntry {
          FROM bf LEFT JOIN ivf
            ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
          GROUP BY bf.query_id ORDER BY bf.query_id""",
+    "chunk_plan" -> s"""$TokCte,
+         d AS (SELECT doc_id, len(ts)::BIGINT AS n FROM toks
+               WHERE len(ts) > 0),
+         c AS (SELECT doc_id, n,
+                 CASE WHEN n <= 128 THEN 1
+                      ELSE (n - 32 + 95) // 96 END AS nc
+               FROM d),
+         ch AS (SELECT doc_id, n,
+                  unnest(range(0, nc))::BIGINT AS chunk_id
+                FROM c)
+         SELECT doc_id, chunk_id,
+                (chunk_id * 96)::BIGINT AS start_tok,
+                least(128, n - chunk_id * 96)::BIGINT AS chunk_tokens
+         FROM ch""",
     // Gonzalez farthest-first: 7 unrolled pick/extend rounds (p_i =
     // argmax over candidates of min distance to the chosen set c_{i-1})
     "kmeans_ff_init" -> {

@@ -207,6 +207,39 @@ object Curation {
     * tokens, the unit training runs actually meter. One shuffle on
     * source; the running sum is a single window pass.
     */
+  /** Context-window chunk plan (W223): the overlapping-window layout a
+    * pretraining (or RAG-indexing) pipeline cuts each document into —
+    * windows of `maxTokens` advancing by `maxTokens - overlap`, last
+    * window short, empty docs dropped. Pure integer arithmetic over
+    * ONE tokenize pass (no content moves: the plan is (doc, chunk,
+    * start, len) — the chunk TEXT is sliced later, at shard-write
+    * time, exactly like `Multimodal.shardPlan` separates planning from
+    * bytes). Chunk count is the exact integer
+    * ceil((n - overlap) / stride), so both engines agree without a
+    * float anywhere; per-doc fan-out is explode over a
+    * sequence — codegen, no shuffle at all until a downstream
+    * aggregation.
+    */
+  def chunkPlan(s: SparkSession, dir: String, maxTokens: Int = 128,
+                overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokenize(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        when(col("n") <= maxTokens, 1L)
+          .otherwise(expr(s"CAST((n - $overlap + ${stride - 1}) div $stride AS BIGINT)"))
+          .as("nc"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(maxTokens.toLong), col("n") - col("chunk_id") * stride)
+          .as("chunk_tokens"))
+  }
+
   def tokenBudget(s: SparkSession, dir: String,
                   budget: Long = 600): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -176,6 +176,49 @@ class Round5OpsSpec extends SparkSpec {
     assert(radii.forall(r => r >= 0.0 && r <= 2.0))
   }
 
+  test("sgd model memo: memoized weights equal a fresh sequential train") {
+    val fresh = operators.Ml
+      .trainSgd(spark, operators.Ml.featurize(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // two memo reads (first may or may not be the populating call —
+    // other specs share the session) must both equal the fresh fold
+    (1 to 2).foreach { _ =>
+      val memo = operators.Ml.trainedModel(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(memo == fresh, "memo must be bit-identical to a fresh train")
+    }
+  }
+
+  test("chunk_plan: windows tile each doc with exact overlap") {
+    val dir = java.nio.file.Files.createTempDirectory("chunk").toString
+    // 130 letter-safe tokens -> chunks [0,128] and [96,34]
+    val toks130 = (1 to 130).map(j =>
+      "t" + j.toString.map(c => ('a' + (c - '0')).toChar)).mkString(" ")
+    Seq((0L, toks130), (1L, "one two three"), (2L, "   "))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Curation.chunkPlan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toList == List(
+      (0L, 0L, 0L, 128L), (0L, 1L, 96L, 34L), (1L, 0L, 0L, 3L)),
+      s"got ${rows.toList}")
+    // invariants on the real fixture: coverage ends exactly at n,
+    // consecutive windows advance by the stride
+    val sf01 = operators.Curation.chunkPlan(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    sf01.values.foreach { cs =>
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b.getLong(2) - a.getLong(2) == 96L)
+        assert(a.getLong(2) + a.getLong(3) > b.getLong(2),
+          "windows must overlap")
+      }
+      assert(sorted.init.forall(_.getLong(3) == 128L))
+      assert(sorted.last.getLong(3) >= 1L)
+    }
+  }
+
   test("heaps_law: constant vocab cancels to beta == 0.0 exactly") {
     val dir = java.nio.file.Files.createTempDirectory("heapsC").toString
     (0 until 100).map(i => (i.toLong, "alpha beta gamma"))
