@@ -71,6 +71,15 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "kmeans_ff_init" -> ((s, d) => Similarity.farthestFirstInit(s, d)),
     "chunk_plan" -> ((s, d) => Curation.chunkPlan(s, d)),
+    "tokenizer_fertility" -> ((s, d) => TextStats.tokenizerFertility(s, d)),
+    "padding_waste" -> ((s, d) => Curation.paddingWaste(s, d)),
+    "epoch_plan" -> ((s, d) => Curation.epochPlan(s, d)),
+    "filter_funnel" -> ((s, d) => Curation.filterFunnel(s, d)),
+    "minhash_est_error" -> ((s, d) => Dedup.minhashEstError(s, d)),
+    "dedup_savings" -> ((s, d) => Dedup.dedupSavings(s, d)),
+    "term_burstiness" -> ((s, d) => TextStats.termBurstiness(s, d)),
+    "ngram_diversity" -> ((s, d) => TextStats.ngramDiversity(s, d)),
+    "eval_alloc" -> ((s, d) => Curation.evalAlloc(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -1810,6 +1819,162 @@ object SparkEntry {
                 (chunk_id * 96)::BIGINT AS start_tok,
                 least(128, n - chunk_id * 96)::BIGINT AS chunk_tokens
          FROM ch""",
+    "tokenizer_fertility" ->
+      """WITH per AS (
+           SELECT lang,
+             len(regexp_extract_all(text, '\S+'))::BIGINT AS ws,
+             len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT AS bpe,
+             length(text)::BIGINT AS ch
+           FROM documents),
+         g AS (
+           SELECT lang, count(*)::BIGINT AS n_docs,
+                  sum(ws)::BIGINT AS ws_tokens,
+                  sum(bpe)::BIGINT AS bpe_tokens,
+                  sum(ch)::BIGINT AS n_chars
+           FROM per WHERE ws > 0 GROUP BY lang)
+         SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+           floor(bpe_tokens::DOUBLE / ws_tokens * 1e6 + 0.5) / 1e6
+             AS fertility,
+           floor(n_chars::DOUBLE / bpe_tokens * 1e6 + 0.5) / 1e6
+             AS chars_per_token
+         FROM g ORDER BY lang""",
+    "padding_waste" -> s"""$TokCte,
+         d AS (SELECT len(ts)::BIGINT AS n FROM toks WHERE len(ts) > 0),
+         l AS (SELECT unnest([128, 256, 512, 1024]::BIGINT[])
+                 AS context_len),
+         g AS (SELECT context_len, count(*)::BIGINT AS n_docs,
+                 sum(n)::BIGINT AS total_tokens,
+                 sum((n + context_len - 1) // context_len)::BIGINT AS n_seqs
+               FROM d CROSS JOIN l GROUP BY context_len)
+         SELECT context_len, n_docs, total_tokens, n_seqs,
+           (n_seqs * context_len)::BIGINT AS padded_tokens,
+           (n_seqs * context_len - total_tokens)::BIGINT AS pad_waste,
+           floor(total_tokens::DOUBLE / (n_seqs * context_len) * 1e6 + 0.5)
+             / 1e6 AS utilization
+         FROM g ORDER BY context_len""",
+    "epoch_plan" ->
+      """WITH per AS (
+           SELECT source,
+             sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_tokens,
+                 round(pow(n_tokens, 0.3), 6) AS wr FROM per),
+         tot AS (SELECT sum(wr) AS tw, sum(n_tokens)::BIGINT AS tn FROM w),
+         p1 AS (SELECT source, n_tokens, round(wr / tw, 6) AS weight,
+                  (tn * 3)::BIGINT AS budget FROM w CROSS JOIN tot),
+         p2 AS (SELECT *, CAST(floor(weight * budget + 0.5) AS BIGINT)
+                  AS desired_tokens FROM p1),
+         p3 AS (SELECT source, n_tokens, weight, desired_tokens,
+                  least(desired_tokens, n_tokens * 4)::BIGINT
+                    AS allocated_tokens,
+                  desired_tokens > n_tokens * 4 AS clamped, budget
+                FROM p2),
+         a AS (SELECT sum(allocated_tokens)::BIGINT AS alloc FROM p3)
+         SELECT source, n_tokens, weight, desired_tokens, allocated_tokens,
+           clamped,
+           floor(allocated_tokens::DOUBLE / n_tokens * 1e6 + 0.5) / 1e6
+             AS epochs,
+           floor(alloc::DOUBLE / budget * 1e6 + 0.5) / 1e6 AS budget_fill
+         FROM p3 CROSS JOIN a ORDER BY source""",
+    "filter_funnel" -> FilterFunnelSql,
+    "minhash_est_error" -> MinhashEstErrorSql,
+    "dedup_savings" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+         canon AS (SELECT id AS doc_id, min(comp) AS canonical_id
+                   FROM walk GROUP BY id),
+         tk AS (
+           SELECT doc_id, source,
+             len(list_filter(list_transform(
+               string_split_regex(lower(text), '\\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$$)', '', 'g')),
+               t -> len(t) > 0))::BIGINT AS n
+           FROM documents),
+         j AS (SELECT t.source, t.n, t.doc_id, c.canonical_id
+               FROM tk t JOIN canon c USING (doc_id)),
+         g AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(n)::BIGINT AS total_tokens,
+                 sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0
+                   END)::BIGINT AS removed_docs,
+                 sum(CASE WHEN doc_id <> canonical_id THEN n ELSE 0
+                   END)::BIGINT AS removed_tokens
+               FROM j GROUP BY source)
+         SELECT source, n_docs, total_tokens, removed_docs, removed_tokens,
+           CASE WHEN total_tokens > 0
+             THEN floor(removed_tokens::DOUBLE / total_tokens * 1e6 + 0.5)
+               / 1e6
+             ELSE 0.0 END AS savings
+         FROM g ORDER BY source""",
+    "term_burstiness" -> s"""$TokCte,
+         pd AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+         pc AS (SELECT doc_id, t, count(*)::BIGINT AS c
+                FROM pd GROUP BY doc_id, t),
+         st AS (SELECT t, sum(c)::BIGINT AS cf, count(*)::BIGINT AS df,
+                  sum(c * c)::BIGINT AS s2
+                FROM pc GROUP BY t),
+         nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         top AS (SELECT * FROM st ORDER BY cf DESC, t LIMIT 40)
+         SELECT t AS term, cf, df,
+           floor((s2::DOUBLE / cf - cf::DOUBLE / n) * 1e6 + 0.5) / 1e6
+             AS burstiness
+         FROM top CROSS JOIN nn ORDER BY cf DESC, term""",
+    "ngram_diversity" -> s"""$TokCte,
+         base AS (SELECT d.source, t.ts
+                  FROM toks t JOIN documents d USING (doc_id)),
+         g1 AS (SELECT source, 1 AS n, unnest(ts) AS gram FROM base),
+         g2 AS (SELECT source, 2 AS n,
+                  unnest(CASE WHEN len(ts) >= 2
+                    THEN list_transform(range(1, len(ts)),
+                           i -> ts[i] || ' ' || ts[i+1])
+                    ELSE []::VARCHAR[] END) AS gram
+                FROM base),
+         g3 AS (SELECT source, 3 AS n,
+                  unnest(CASE WHEN len(ts) >= 3
+                    THEN list_transform(range(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                    ELSE []::VARCHAR[] END) AS gram
+                FROM base),
+         all_g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+                   UNION ALL SELECT * FROM g3)
+         SELECT source, n, count(*)::BIGINT AS total_grams,
+           count(DISTINCT gram)::BIGINT AS distinct_grams,
+           floor(count(DISTINCT gram)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6
+             AS diversity
+         FROM all_g GROUP BY source, n ORDER BY source, n""",
+    "eval_alloc" ->
+      """WITH tk AS (
+           SELECT lang,
+             len(list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0))::BIGINT AS n
+           FROM documents),
+         per AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n)::BIGINT AS sn, sum(n * n)::BIGINT AS s2
+                 FROM tk GROUP BY lang),
+         pi AS (SELECT lang, n_docs, sn,
+                  CAST(floor(sqrt(greatest(0.0,
+                    (s2::DOUBLE - sn::DOUBLE * sn / n_docs) / n_docs))
+                    * 1e9 + 0.5) AS BIGINT) AS std_i
+                FROM per),
+         tot AS (SELECT sum(n_docs * std_i)::BIGINT AS t FROM pi),
+         sh AS (SELECT lang, n_docs, sn, std_i,
+                  CASE WHEN t > 0
+                    THEN floor((n_docs * std_i)::DOUBLE / t * 1e6 + 0.5)
+                      / 1e6
+                    ELSE 0.0 END AS share
+                FROM pi CROSS JOIN tot)
+         SELECT lang, n_docs,
+           floor(sn::DOUBLE / n_docs * 1e6 + 0.5) / 1e6 AS mean_len,
+           std_i::DOUBLE / 1e9 AS std_len,
+           share,
+           CAST(floor(share * 100 + 0.5) AS BIGINT) AS quota
+         FROM sh ORDER BY lang""",
     // Gonzalez farthest-first: 7 unrolled pick/extend rounds (p_i =
     // argmax over candidates of min distance to the chosen set c_{i-1})
     "kmeans_ff_init" -> {
@@ -4301,6 +4466,112 @@ object SparkEntry {
            (0.3 + 0.7 * len(list_filter(ts, t -> list_contains($en, t)))
              / len(ts)), 6) AS quality
        FROM toks WHERE len(ts) > 0"""
+  }
+
+  /** Curation filter funnel (W227): cumulative survivors of the five
+    * Gopher-style rules; every predicate is cross-multiplied integer
+    * arithmetic, mirroring `Curation.filterFunnel` exactly.
+    */
+  private lazy val FilterFunnelSql: String = {
+    val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
+    s"""$TokCte,
+       mx AS (
+         SELECT doc_id, max(c)::BIGINT AS maxf FROM (
+           SELECT doc_id, t, count(*)::BIGINT AS c
+           FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+           GROUP BY doc_id, t)
+         GROUP BY doc_id),
+       fl AS (
+         SELECT len(ts)::BIGINT AS n,
+           coalesce(list_sum(list_transform(ts, x -> len(x))), 0)::BIGINT
+             AS sumlen,
+           len(list_filter(ts, x -> list_contains($en, x)))::BIGINT
+             AS n_stop,
+           coalesce(maxf, 0)::BIGINT AS maxf
+         FROM toks t LEFT JOIN mx USING (doc_id)),
+       fb AS (
+         SELECT (n >= 10) AS f1, (n <= 5000) AS f2,
+           (sumlen >= n * 2 AND sumlen <= n * 12) AS f3,
+           (n_stop > 0) AS f4, (maxf * 5 <= n) AS f5
+         FROM fl),
+       c AS (
+         SELECT count(*)::BIGINT AS c0,
+           sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+           sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+           sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)::BIGINT AS c3,
+           sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END)::BIGINT
+             AS c4,
+           sum(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0
+             END)::BIGINT AS c5
+         FROM fb)
+       SELECT 0::INT AS stage, 'all_documents' AS rule,
+              c0 AS survivors, (c0 - c0)::BIGINT AS dropped_here FROM c
+       UNION ALL SELECT 1, 'min_length_10', c1, (c0 - c1)::BIGINT FROM c
+       UNION ALL SELECT 2, 'max_length_5000', c2, (c1 - c2)::BIGINT FROM c
+       UNION ALL SELECT 3, 'mean_word_len_2_12', c3, (c2 - c3)::BIGINT FROM c
+       UNION ALL SELECT 4, 'has_stopword', c4, (c3 - c4)::BIGINT FROM c
+       UNION ALL SELECT 5, 'top_token_share_le_20pct', c5,
+         (c4 - c5)::BIGINT FROM c
+       ORDER BY stage"""
+  }
+
+  /** MinHash estimator-error audit (W228): the same affine family over
+    * the 40-bit poly hash as `Dedup.minhashEstError` (constants shared
+    * via `Dedup.MhA`/`MhB`/`MhP`), agreement counted over the signature,
+    * exact Jaccard from the shingle sets.
+    */
+  private lazy val MinhashEstErrorSql: String = {
+    val k = graft.operators.Dedup.MhA.length
+    val p = graft.operators.Dedup.MhP
+    val mins = graft.operators.Dedup.MhA.zip(graft.operators.Dedup.MhB)
+      .map { case (a, b) => s"list_min(list_transform(hv, h -> (h * ${a}" +
+        s" + ${b}) % ${p}))" }
+      .mkString("[", ",\n               ", "]")
+    s"""$TokCte,
+       sh AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(ts) >= 3
+             THEN list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+             ELSE [array_to_string(ts, ' ')] END) AS shs
+         FROM toks),
+       hs AS (
+         SELECT doc_id,
+           list_transform(shs, s -> list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split(s, ''), c -> ord(c)::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1099511627776)) AS hv
+         FROM sh),
+       sig AS (
+         SELECT doc_id,
+           $mins AS sig
+         FROM hs),
+       ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pr AS (
+         SELECT doc_a, doc_b,
+                inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+         FROM inter
+         JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa ON doc_a = sa.doc_id
+         JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb ON doc_b = sb.doc_id
+         WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05),
+       ag AS (
+         SELECT doc_a, doc_b, jaccard,
+           list_sum(list_transform(range(1, ${k + 1}),
+             j -> CASE WHEN x.sig[j] = y.sig[j] THEN 1 ELSE 0
+               END))::BIGINT AS agree
+         FROM pr JOIN sig x ON doc_a = x.doc_id
+                 JOIN sig y ON doc_b = y.doc_id)
+       SELECT doc_a, doc_b,
+         floor(jaccard * 1e6 + 0.5) / 1e6 AS exact_jaccard,
+         agree,
+         floor(agree::DOUBLE / $k * 1e6 + 0.5) / 1e6 AS est_jaccard,
+         floor((agree::DOUBLE / $k - floor(jaccard * 1e6 + 0.5) / 1e6)
+           * 1e6 + 0.5) / 1e6 AS est_error
+       FROM ag ORDER BY doc_a, doc_b"""
   }
 
   /** Exact shingle-Jaccard near-dup pairs (threshold 0.8, 3-gram

@@ -543,4 +543,188 @@ object Curation {
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("neg_id"), col("neg_label"))
   }
+
+  /** Padding-waste curve (W225): for each candidate context length,
+    * the token cost of the naive one-document-per-sequence layout —
+    * sequences minted, padded token volume, waste, utilization. This
+    * is the table that justifies (or kills) sequence packing ([[pack]])
+    * and picks the context length: utilization falling off a cliff at
+    * 1024 is the argument for packing short documents. Everything up
+    * to the final utilization ratio is EXACT integer arithmetic
+    * (ceil-div via `(n + L - 1) div L`); one tokenize scan fans out ×4
+    * through a codegen'd explode, then a 4-group partial aggregate —
+    * no per-doc state, scan-bound at any corpus size.
+    */
+  def paddingWaste(s: SparkSession, dir: String,
+                   lengths: Seq[Int] = Seq(128, 256, 512, 1024)): DataFrame = {
+    val lens = array(lengths.map(l => lit(l.toLong)): _*)
+    Tables.documents(s, dir)
+      .select(size(tokenize(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("n"), explode(lens).as("context_len"))
+      .groupBy("context_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(expr("(n + context_len - 1) div context_len")).as("n_seqs"))
+      .select(col("context_len"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"),
+        (col("n_seqs") * col("context_len")).as("padded_tokens"),
+        (col("n_seqs") * col("context_len") - col("total_tokens"))
+          .as("pad_waste"),
+        Events.q(col("total_tokens").cast("double") /
+          (col("n_seqs") * col("context_len")), 6).as("utilization"))
+      .orderBy("context_len")
+  }
+
+  /** Data-constrained epoch plan (W226): the repetition table from
+    * "Scaling Data-Constrained Language Models" (Muennighoff et al.,
+    * NeurIPS 2023) — given a token budget of `budgetMult`× the corpus
+    * and [[mixWeights]]' α-temperature shares, how many epochs each
+    * source is replayed, with the replay capped at `maxEpochs` (beyond
+    * ~4 epochs repeated data stops buying loss). Surfaces the clamp
+    * and the budget the caps leave unfilled, which is exactly the
+    * number a data-acquisition decision reads. Source cardinality is
+    * tiny at any corpus scale, so after the one corpus scan for token
+    * counts everything is a broadcast of a ≤`sources`-row table.
+    */
+  def epochPlan(s: SparkSession, dir: String, alpha: Double = 0.3,
+                budgetMult: Int = 3, maxEpochs: Int = 4): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(regexp_count(col("text"), lit("\\S+")).cast("long"))
+        .as("n_tokens"))
+      .withColumn("wr",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)), 6))
+      .localCheckpoint() // totals below re-read it
+    val planned = per.crossJoin(broadcast(per.agg(
+        sum(col("wr")).as("_tw"), sum(col("n_tokens")).as("_tn"))))
+      .select(col("source"), col("n_tokens"),
+        round(col("wr") / col("_tw"), 6).as("weight"),
+        (col("_tn") * budgetMult).as("budget"))
+      .select(col("source"), col("n_tokens"), col("weight"), col("budget"),
+        floor(col("weight") * col("budget") + lit(0.5)).cast("long")
+          .as("desired_tokens"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("desired_tokens"),
+        least(col("desired_tokens"), col("n_tokens") * maxEpochs)
+          .as("allocated_tokens"),
+        (col("desired_tokens") > col("n_tokens") * maxEpochs).as("clamped"),
+        col("budget"))
+      .localCheckpoint() // the fill ratio below re-reads it
+    planned.crossJoin(broadcast(
+        planned.agg(sum(col("allocated_tokens")).as("_alloc"))))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("desired_tokens"), col("allocated_tokens"), col("clamped"),
+        Events.q(col("allocated_tokens").cast("double") / col("n_tokens"), 6)
+          .as("epochs"),
+        Events.q(col("_alloc").cast("double") / col("budget"), 6)
+          .as("budget_fill"))
+      .orderBy("source")
+  }
+
+  /** Neyman eval-set allocation (W232): distribute an evaluation
+    * budget of `budget` documents across language strata proportionally
+    * to N_h·σ_h (stratum size × within-stratum std of document length)
+    * — the textbook minimum-variance stratified design, replacing the
+    * proportional-only allocation a naive split uses (a high-variance
+    * stratum needs more eval mass than its share of documents).
+    * Determinism recipe: per-stratum moments are exact integer sums;
+    * σ_h is one sqrt then a 1e-9 grid-quantize TO AN INTEGER, so the
+    * cross-stratum normalizer Σ N_h·σ_h is an order-free LONG sum —
+    * no float accumulation anywhere. One corpus scan, then arithmetic
+    * over a ≤|langs|-row broadcast table.
+    */
+  def evalAlloc(s: SparkSession, dir: String, budget: Int = 100): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("lang"), size(tokenize(col("text"))).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("lang"), col("n_docs"), col("sn"),
+        floor(sqrt(greatest(lit(0.0),
+          (col("s2").cast("double") -
+            col("sn").cast("double") * col("sn") / col("n_docs")) /
+            col("n_docs"))) * lit(1e9) + lit(0.5)).cast("long")
+          .as("std_i"))
+      .localCheckpoint() // the normalizer below re-reads it
+    per.crossJoin(broadcast(
+        per.agg(sum(col("n_docs") * col("std_i")).as("_tot"))))
+      .select(col("lang"), col("n_docs"),
+        Events.q(col("sn").cast("double") / col("n_docs"), 6)
+          .as("mean_len"),
+        (col("std_i").cast("double") / lit(1e9)).as("std_len"),
+        when(col("_tot") > 0,
+          Events.q((col("n_docs") * col("std_i")).cast("double") /
+            col("_tot"), 6)).otherwise(lit(0.0)).as("share"))
+      .select(col("lang"), col("n_docs"), col("mean_len"), col("std_len"),
+        col("share"),
+        floor(col("share") * budget + lit(0.5)).cast("long").as("quota"))
+      .orderBy("lang")
+  }
+
+  /** Curation filter funnel (W227): the Gopher-style attrition table —
+    * documents surviving each successive quality rule (min/max length,
+    * mean word length band, stopword presence, top-token repetition
+    * cap), with per-stage drop counts. Pipelines read this before
+    * shipping a filter config: a stage that drops 40% of a source is
+    * either a bug or a finding. Every rule is evaluated as EXACT
+    * integer arithmetic (mean-word-length and repetition bounds are
+    * cross-multiplied, never divided), so both engines agree row-for-
+    * row. One tokenize scan computes all five flags; the funnel is a
+    * single conditional-aggregate pass — no joins, no re-scans.
+    */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val en = TextStats.Stopwords.head._2
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+    // the repetition signal needs the max within-doc token frequency:
+    // one (doc, token) count shuffle then a doc-keyed max — the
+    // tokenEntropy shape, pre-aggregated map-side, vocab-bounded
+    val maxf = toks
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("maxf"))
+    val flags = toks
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n"),
+        aggregate(col("ts"), lit(0L), (acc, t) => acc + length(t))
+          .as("sumlen"),
+        size(filter(col("ts"), t => t.isin(en.map(lit): _*))).cast("long")
+          .as("n_stop"))
+      .join(maxf, Seq("doc_id"), "left")
+      .select(col("n"), col("sumlen"), col("n_stop"),
+        coalesce(col("maxf"), lit(0L)).as("maxf"))
+      .select(
+        (col("n") >= 10).as("f1"),
+        (col("n") <= 5000).as("f2"),
+        (col("sumlen") >= col("n") * 2 && col("sumlen") <= col("n") * 12)
+          .as("f3"),
+        (col("n_stop") > 0).as("f4"),
+        (col("maxf") * 5 <= col("n")).as("f5"))
+    val cum = flags.select(
+      count(lit(1)).as("c0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L))
+        .as("c3"),
+      sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+        .otherwise(0L)).as("c4"),
+      sum(when(col("f1") && col("f2") && col("f3") && col("f4") &&
+        col("f5"), 1L).otherwise(0L)).as("c5"))
+    val stages = Seq(
+      (0, "all_documents", "c0", "c0"),
+      (1, "min_length_10", "c1", "c0"),
+      (2, "max_length_5000", "c2", "c1"),
+      (3, "mean_word_len_2_12", "c3", "c2"),
+      (4, "has_stopword", "c4", "c3"),
+      (5, "top_token_share_le_20pct", "c5", "c4"))
+    cum.select(explode(array(stages.map { case (i, nm, cur, prev) =>
+        struct(lit(i).as("stage"), lit(nm).as("rule"),
+          col(cur).as("survivors"),
+          (col(prev) - col(cur)).as("dropped_here"))
+      }: _*)).as("s"))
+      .select(col("s.stage").as("stage"), col("s.rule").as("rule"),
+        col("s.survivors").as("survivors"),
+        col("s.dropped_here").as("dropped_here"))
+      .orderBy("stage")
+  }
 }

@@ -643,4 +643,113 @@ object Dedup {
       .select(col("contained"), (-col("best.nb")).as("container"),
         round(col("best.cont"), 6).as("containment"))
   }
+
+  /** Fixed affine family for the oracle-restatable MinHash below:
+    * h_j(x) = (A(j)·x + B(j)) mod P over 40-bit poly-hash values, with
+    * P the largest prime < 2^40 and A(j) < 2^22 — every product stays
+    * under 2^62, so both engines evaluate the same overflow-free BIGINT
+    * arithmetic. Constants are fixed (seeded once, hardcoded) so runs
+    * and the oracle are byte-reproducible.
+    */
+  private[graft] val MhP = 1099511627689L
+  private[graft] val MhA = Seq(3068475L, 1426747L, 3242303L, 2526773L,
+    2192895L, 3084929L, 142135L, 1516249L, 3534771L, 2125783L, 3351925L,
+    3622633L, 2688635L, 2406763L, 246277L, 3356151L)
+  private[graft] val MhB = Seq(474956710717L, 569926007580L, 112175910369L,
+    1027160151963L, 1092029909505L, 219212213410L, 747899766013L,
+    21032708389L, 189963241189L, 762949772444L, 1085129535079L,
+    238379954882L, 1088602824167L, 667375464682L, 672226259792L,
+    55605038449L)
+
+  /** MinHash estimator-error audit (W228): for every document pair with
+    * exact shingle Jaccard ≥ `threshold`, the signature-agreement
+    * estimate (fraction of agreeing positions over `MhA.length`
+    * permutations) next to the exact value it estimates — the
+    * calibration table that tells you whether the production LSH tier's
+    * band thresholds actually sit where the S-curve math says they do
+    * (the [[minhashPairs]] pipeline's ship/no-ship number, exactly as
+    * `ann_recall` gates the IVF index). The production signature uses
+    * xxhash64 (not SQL-restatable); this audit runs the same
+    * construction over the 40-bit poly hash with the fixed affine
+    * family above, so DuckDB replays every bit. Pair universe comes
+    * from the shingle-key equality join (shuffle on shingles, never on
+    * pairs); signatures ride the same cached shingle frame, so the
+    * corpus tokenizes once.
+    */
+  def minhashEstError(s: SparkSession, dir: String,
+                      threshold: Double = 0.05): DataFrame = {
+    val k = MhA.length
+    val docSh = docShingles(s, dir, 3).persist()
+    CacheScope.register(docSh) // sizes + join sides + signatures read it
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
+    val ex = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val inter = ex.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val sig = docSh
+      .select(col("doc_id"), polyHashArray(col("shs")).as("hs"))
+      .select(col("doc_id"), array((0 until k).map { j =>
+        array_min(transform(col("hs"),
+          h => (h * lit(MhA(j)) + lit(MhB(j))) % lit(MhP)))
+      }: _*).as("sig"))
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("agree"))
+      .select(col("doc_a"), col("doc_b"),
+        Events.q(col("jaccard"), 6).as("exact_jaccard"),
+        col("agree"),
+        Events.q(col("agree").cast("double") / k, 6).as("est_jaccard"),
+        Events.q(col("agree").cast("double") / k - Events.q(col("jaccard"), 6),
+          6).as("est_error"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Dedup savings report (W229): per source, the token mass the
+    * near-dup pass actually removes — documents, tokens, and the
+    * share of the source's tokens sitting in non-canonical cluster
+    * members. This is the number that justifies (or kills) running
+    * dedup on a new source: a 0.2% savings on a 10 TB source is not
+    * worth the pass. Composes [[jaccardPairs]] → [[assignCanonical]]
+    * (min-id survivorship, same contract as `dedup_assign`) with one
+    * tokenize scan; the per-source rollup is a tiny aggregate over
+    * the already-shuffled (doc, component) table.
+    */
+  def dedupSavings(s: SparkSession, dir: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val canon = assignCanonical(s, dir, jaccardPairs(s, dir, threshold))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast("long").as("n"))
+    toks.join(canon, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+          .as("removed_docs"),
+        sum(when(col("doc_id") =!= col("canonical_id"), col("n"))
+          .otherwise(0L)).as("removed_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("removed_docs"), col("removed_tokens"),
+        when(col("total_tokens") > 0,
+          Events.q(col("removed_tokens").cast("double") /
+            col("total_tokens"), 6)).otherwise(lit(0.0)).as("savings"))
+      .orderBy("source")
+  }
 }

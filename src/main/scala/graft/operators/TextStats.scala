@@ -595,4 +595,101 @@ object TextStats {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
   }
+
+  /** Tokenizer fertility by language (W224): the per-language cost
+    * table a pipeline checks before committing to a tokenizer — how
+    * many subword ("BPE-ish" regex) tokens each whitespace word and
+    * each character expands into. High-fertility languages burn context
+    * window and training budget; this is the table that decision reads.
+    * Sufficient statistics (doc/word/subword/char counts) are EXACT
+    * integer sums; each surfaced ratio is one double division then the
+    * grid quantize, so both engines agree bitwise. One scan, one
+    * 5-group shuffle — nothing here grows with corpus size except the
+    * scan itself.
+    */
+  /** Term burstiness (W230): the Fano factor (variance-to-mean ratio)
+    * of each top-`k` term's per-document count distribution — Church &
+    * Gale's classic content-vs-function-word separator (a term whose
+    * occurrences clump into few documents scores ≫ 1; one spread
+    * Poisson-thin scores ≈ 1). Sufficient statistics are EXACT integer
+    * sums over one (doc, term) count shuffle (cf = Σc, df, Σc²); the
+    * algebraic form F = Σc²/cf − cf/N is two exact-rounded divisions
+    * and a subtraction, so both engines agree bitwise after the grid
+    * quantize. N is the corpus document count (zeros contribute only
+    * through it — no dense join needed).
+    */
+  def termBurstiness(s: SparkSession, dir: String, k: Int = 40): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perDoc = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("t")
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("s2"))
+      .orderBy(col("cf").desc, col("t"))
+      .limit(k)
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("_n"))))
+      .select(col("t").as("term"), col("cf"), col("df"),
+        Events.q(col("s2").cast("double") / col("cf") -
+          col("cf").cast("double") / col("_n"), 6).as("burstiness"))
+      .orderBy(col("cf").desc, col("term"))
+  }
+
+  /** Distinct-n-gram diversity per source (W231): unique-to-total
+    * n-gram ratios for n = 1, 2, 3 — the standard distinct-n diversity
+    * audit run on generated/synthetic corpora before they enter a
+    * training mix (mode-collapsed sources score near 0 at n ≥ 2).
+    * Documents shorter than n contribute NO n-grams (unlike the dedup
+    * shingler, which pads — here padding would inflate diversity).
+    * One tokenize scan fans out into the three gram levels through
+    * codegen'd explodes; counting is one (source, n, gram) aggregate,
+    * pre-aggregated map-side, vocabulary-bounded.
+    */
+  def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int): Column =
+      if (n == 1) col("ts")
+      else when(size(col("ts")) >= n,
+        transform(
+          slice(col("ts"), lit(1), greatest(size(col("ts")) - (n - 1),
+            lit(0))),
+          (_, i) => concat_ws(" ", slice(col("ts"), i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val base = Tables.documents(s, dir)
+      .select(col("source"), tokenize(col("text")).as("ts"))
+    val exploded = (1 to 3).map { n =>
+      base.select(col("source"), lit(n).as("n"),
+        explode(grams(n)).as("gram"))
+    }.reduce(_ unionAll _)
+    exploded.groupBy("source", "n")
+      .agg(count(lit(1)).as("total_grams"),
+        count_distinct(col("gram")).as("distinct_grams"))
+      .select(col("source"), col("n"), col("total_grams"),
+        col("distinct_grams"),
+        Events.q(col("distinct_grams").cast("double") / col("total_grams"),
+          6).as("diversity"))
+      .orderBy("source", "n")
+  }
+
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(expr("""regexp_extract_all(text, '\\S+', 0)""")).cast("long")
+          .as("ws"),
+        size(expr(
+          """regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)"""))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("ch"))
+      .filter(col("ws") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("ch")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"), col("n_chars"),
+        Events.q(col("bpe_tokens").cast("double") / col("ws_tokens"), 6)
+          .as("fertility"),
+        Events.q(col("n_chars").cast("double") / col("bpe_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy("lang")
 }

@@ -229,4 +229,185 @@ class Round5OpsSpec extends SparkSpec {
     // exact decimal numerator cancels to literal zero — no double noise
     assert(rows.forall(_.getDouble(3) == 0.0))
   }
+
+  test("tokenizer_fertility: punctuation-heavy lang shows fertility > 1") {
+    val dir = java.nio.file.Files.createTempDirectory("fert").toString
+    // plain: 2 words -> 2 subwords; noisy: 2 words -> 6 subwords
+    // ("a.b" -> a . b, "c!" -> c !, "d" -> d)
+    Seq((0L, "ab cd", "plain"), (1L, "a.b c! d", "noisy"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.TextStats.tokenizerFertility(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(rows("plain") == ((2L, 2L, 5L, 1.0)))
+    val (ws, bpe, ch, fert) = rows("noisy")
+    assert(ws == 3L && bpe == 6L && ch == 8L && fert == 2.0)
+  }
+
+  test("padding_waste: exact ceil-div layout and utilization identity") {
+    val dir = java.nio.file.Files.createTempDirectory("pad").toString
+    val toks130 = (1 to 130).map(j =>
+      "t" + j.toString.map(c => ('a' + (c - '0')).toChar)).mkString(" ")
+    Seq((0L, toks130), (1L, "one two three"), (2L, " "))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.Curation.paddingWaste(spark, dir, Seq(128)).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // ceil(130/128) + ceil(3/128) = 3 sequences, 133 real tokens
+    assert(row.getLong(1) == 2L && row.getLong(2) == 133L &&
+      row.getLong(3) == 3L && row.getLong(4) == 384L &&
+      row.getLong(5) == 251L)
+    // invariants on the real fixture: waste + real = padded, and the
+    // one-doc-per-sequence utilization never beats a longer context
+    val curve = operators.Curation.paddingWaste(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    curve.foreach { c =>
+      assert(c.getLong(5) + c.getLong(2) == c.getLong(4))
+      assert(c.getLong(3) >= c.getLong(1))
+    }
+  }
+
+  test("epoch_plan: repetition cap clamps the hungry source") {
+    val dir = java.nio.file.Files.createTempDirectory("epoch").toString
+    // tiny source would be replayed ~60x by its α-weight; cap = 4
+    val small = (0 until 1).map(i => (i.toLong, "tok tok tok", "tiny"))
+    val big = (0 until 200).map(i =>
+      ((i + 10).toLong, Seq.fill(40)("w" + ('a' + i % 26).toChar).mkString(" "),
+        "big"))
+    (small ++ big).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Curation.epochPlan(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tiny = rows("tiny")
+    assert(tiny.getBoolean(5), "tiny source must hit the epoch cap")
+    assert(tiny.getLong(4) == tiny.getLong(1) * 4,
+      "clamped allocation = 4 epochs of the source")
+    assert(tiny.getDouble(6) == 4.0)
+    assert(!rows("big").getBoolean(5))
+    // the clamp leaves budget unfilled, identically on every row
+    val fills = rows.values.map(_.getDouble(7)).toSet
+    assert(fills.size == 1 && fills.head < 1.0)
+  }
+
+  test("filter_funnel: each stage drops its designed offender") {
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    val good = "the quick brown fox jumps over the lazy dog again " * 2
+    val short3 = "one two three"
+    val singles = Seq.fill(12)("a").mkString(" ")        // mean len 1 < 2
+    val nostop = Seq.tabulate(12)(i =>
+      "zx" + ('a' + i).toChar).mkString(" ")             // no stopword
+    val repet = "the cat " * 20                          // maxf 20 of 40
+    Seq((0L, good), (1L, short3), (2L, singles), (3L, nostop), (4L, repet))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Curation.filterFunnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows(0) == ((5L, 0L)))
+    assert(rows(1) == ((4L, 1L)), "short3 drops at min_length")
+    assert(rows(2) == ((4L, 0L)))
+    assert(rows(3) == ((3L, 1L)), "singles drop at mean word len")
+    assert(rows(4) == ((2L, 1L)), "nostop drops at has_stopword")
+    assert(rows(5) == ((1L, 1L)), "repetition drops at top-token share")
+  }
+
+  test("minhash_est_error: identical docs estimate exactly, errors bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("mhe").toString
+    val a = "alpha beta gamma delta epsilon zeta"
+    Seq((0L, a), (1L, a), (2L, "totally different words here now"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Dedup.minhashEstError(spark, dir).collect()
+    CacheScope.release(spark)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 1.0 && r.getLong(3) == 16L &&
+      r.getDouble(4) == 1.0 && r.getDouble(5) == 0.0)
+    // fixture-wide: estimates stay within the k=16 resolution band
+    val fix = operators.Dedup.minhashEstError(spark, sf).collect()
+    CacheScope.release(spark)
+    assert(fix.nonEmpty)
+    fix.foreach { f =>
+      assert(f.getLong(3) >= 0L && f.getLong(3) <= 16L)
+      assert(math.abs(f.getDouble(5)) <= 1.0)
+    }
+    val meanAbs = fix.map(f => math.abs(f.getDouble(5))).sum / fix.length
+    assert(meanAbs < 0.15, s"mean |est error| $meanAbs looks broken")
+  }
+
+  test("dedup_savings: removed token mass lands on the dup's source") {
+    val dir = java.nio.file.Files.createTempDirectory("dsav").toString
+    val dup = "alpha beta gamma delta epsilon zeta"
+    Seq((0L, dup, "a"), (1L, dup, "a"),
+      (2L, "other words entirely unrelated here", "a"),
+      (3L, "solo document in source b", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Dedup.dedupSavings(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    CacheScope.release(spark)
+    val a = rows("a")
+    // doc 1 is the non-canonical copy: 6 tokens of a's 17
+    assert(a.getLong(1) == 3L && a.getLong(3) == 1L && a.getLong(4) == 6L)
+    assert(a.getDouble(5) == math.floor(6.0 / 17 * 1e6 + 0.5) / 1e6)
+    val b = rows("b")
+    assert(b.getLong(3) == 0L && b.getDouble(5) == 0.0)
+  }
+
+  test("term_burstiness: clumped term scores high, spread term zero") {
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    val docs = (0 until 10).map { i =>
+      val filler = "f" + ('a' + i).toChar
+      val extra = if (i == 0) " " + Seq.fill(10)("bursty").mkString(" ")
+        else ""
+      (i.toLong, s"spread $filler$extra")
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.TextStats.termBurstiness(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // bursty: cf=10, df=1, Σc²=100 → F = 100/10 − 10/10 = 9
+    assert(rows("bursty") == ((10L, 1L, 9.0)))
+    // spread: one per doc → Poisson-degenerate, F = 10/10 − 10/10 = 0
+    assert(rows("spread") == ((10L, 10L, 0.0)))
+  }
+
+  test("ngram_diversity: repetition collapses, short docs emit no grams") {
+    val dir = java.nio.file.Files.createTempDirectory("ngd").toString
+    Seq((0L, "a a a a", "rep"), (1L, "a b c d", "div"), (2L, "x", "short"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.TextStats.ngramDiversity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(("rep", 1)) == ((4L, 1L, 0.25)))
+    assert(rows(("rep", 2))._2 == 1L && rows(("rep", 3))._2 == 1L)
+    assert(rows(("div", 1)) == ((4L, 4L, 1.0)))
+    assert(rows(("div", 2)) == ((3L, 3L, 1.0)))
+    assert(rows(("div", 3)) == ((2L, 2L, 1.0)))
+    // a 1-token doc yields no bigrams/trigrams — no padded pseudo-gram
+    assert(rows.contains(("short", 1)) && !rows.contains(("short", 2)) &&
+      !rows.contains(("short", 3)))
+  }
+
+  test("eval_alloc: zero-variance stratum gets zero eval quota") {
+    val dir = java.nio.file.Files.createTempDirectory("neyman").toString
+    val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
+    val wide = Seq((100L, "a b", "wide"),
+      (101L, Seq.fill(10)("w").mkString(" "), "wide"))
+    (flat ++ wide).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Curation.evalAlloc(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val f = rows("flat")
+    assert(f.getDouble(3) == 0.0 && f.getDouble(4) == 0.0 &&
+      f.getLong(5) == 0L)
+    val w = rows("wide")
+    // lengths 2 and 10: mean 6, population std exactly 4
+    assert(w.getDouble(2) == 6.0 && w.getDouble(3) == 4.0)
+    assert(w.getDouble(4) == 1.0 && w.getLong(5) == 100L)
+  }
 }
