@@ -80,6 +80,9 @@ object SparkEntry {
     "term_burstiness" -> ((s, d) => TextStats.termBurstiness(s, d)),
     "ngram_diversity" -> ((s, d) => TextStats.ngramDiversity(s, d)),
     "eval_alloc" -> ((s, d) => Curation.evalAlloc(s, d)),
+    "ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d)),
+    "dedup_bias" -> ((s, d) => Dedup.dedupBias(s, d)),
+    "rank_agreement" -> ((s, d) => Index.rankAgreement(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -1975,6 +1978,29 @@ object SparkEntry {
            share,
            CAST(floor(share * 100 + 0.5) AS BIGINT) AS quota
          FROM sh ORDER BY lang""",
+    // same deterministic assignment CTE as knn_ivf; empty lists kept
+    "ivf_balance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                    WHERE vec_id < 16),
+           assigned AS (
+             SELECT vec_id, centroid_id FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e CROSS JOIN cent c) WHERE rn = 1),
+           counts AS (SELECT centroid_id, count(*)::BIGINT AS nv
+                      FROM assigned GROUP BY centroid_id),
+           tot AS (SELECT count(*)::BIGINT AS t FROM e)
+         SELECT centroid_id, coalesce(nv, 0)::BIGINT AS n_vectors,
+           floor(coalesce(nv, 0)::DOUBLE / t * 1e6 + 0.5) / 1e6 AS share,
+           floor(coalesce(nv, 0)::DOUBLE * 16 / t * 1e6 + 0.5) / 1e6
+             AS load_factor
+         FROM cent LEFT JOIN counts USING (centroid_id) CROSS JOIN tot
+         ORDER BY centroid_id""",
+    "dedup_bias" -> DedupBiasSql,
+    "rank_agreement" -> RankAgreementSql,
     // Gonzalez farthest-first: 7 unrolled pick/extend rounds (p_i =
     // argmax over candidates of min distance to the chosen set c_{i-1})
     "kmeans_ff_init" -> {
@@ -4573,6 +4599,84 @@ object SparkEntry {
            * 1e6 + 0.5) / 1e6 AS est_error
        FROM ag ORDER BY doc_a, doc_b"""
   }
+
+  /** Dedup bias audit (W234): quality terciles (exact global rank cut,
+    * doc_id tiebreak) × near-dup survivorship, removal rate and lift
+    * per band — mirrors `Dedup.dedupBias`.
+    */
+  private lazy val DedupBiasSql: String =
+    s"""WITH RECURSIVE prs AS ($JaccardSql),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                 UNION ALL SELECT doc_b, doc_a FROM prs),
+       walk(id, comp) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+       canon AS (SELECT id AS doc_id, min(comp) AS canonical_id
+                 FROM walk GROUP BY id),
+       qual AS ($QualitySql),
+       banded AS (
+         SELECT q.doc_id, c.canonical_id,
+           ntile(3) OVER (ORDER BY q.quality, q.doc_id) AS band
+         FROM qual q JOIN canon c USING (doc_id)),
+       g AS (
+         SELECT band, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0
+             END)::BIGINT AS removed_docs
+         FROM banded GROUP BY band),
+       tot AS (SELECT sum(n_docs)::BIGINT AS n, sum(removed_docs)::BIGINT
+                 AS r FROM g)
+       SELECT band, n_docs, removed_docs,
+         floor(removed_docs::DOUBLE / n_docs * 1e6 + 0.5) / 1e6
+           AS removal_rate,
+         CASE WHEN r > 0
+           THEN floor((removed_docs::DOUBLE / n_docs) / (r::DOUBLE / n)
+             * 1e6 + 0.5) / 1e6
+           ELSE 0.0 END AS lift
+       FROM g CROSS JOIN tot ORDER BY band"""
+
+  /** Ranker rank-agreement audit (W235): BM25 vs tf-idf top-10 per
+    * term — set overlap and normalized Spearman footrule over the
+    * common documents; both rankings re-derived from the surfaced
+    * quantized scores with doc_id tiebreaks, exactly as
+    * `Index.rankAgreement` does.
+    */
+  private lazy val RankAgreementSql: String = s"""$TokCte,
+       lens AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+       p AS (SELECT term, doc_id, count(*) AS tf
+             FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+             GROUP BY 1, 2),
+       d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+       c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       scb AS (SELECT p.term, p.doc_id,
+                 round(ln((n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                       (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+               FROM p JOIN d USING (term) JOIN lens USING (doc_id)
+               CROSS JOIN c),
+       sa AS (SELECT term, doc_id, rnk AS ra FROM (
+                SELECT *, row_number() OVER (PARTITION BY term
+                  ORDER BY score DESC, doc_id) AS rnk FROM scb)
+              WHERE rnk <= 10),
+       sct AS (SELECT p.term, p.doc_id,
+                 round(p.tf * ln(n_docs / df), 6) AS tfidf
+               FROM p JOIN d USING (term) CROSS JOIN c),
+       sb AS (SELECT term, doc_id, rnk AS rb FROM (
+                SELECT *, row_number() OVER (PARTITION BY term
+                  ORDER BY tfidf DESC, doc_id) AS rnk FROM sct)
+              WHERE rnk <= 10),
+       j AS (SELECT sa.term, sa.ra, sb.rb
+             FROM sa JOIN sb USING (term, doc_id)),
+       g AS (SELECT term, count(*)::BIGINT AS nc,
+               sum(abs(ra - rb))::BIGINT AS fr
+             FROM j GROUP BY term),
+       terms AS (SELECT DISTINCT term FROM sa)
+       SELECT term, coalesce(nc, 0)::BIGINT AS n_common,
+         floor(coalesce(nc, 0)::DOUBLE / 10 * 1e6 + 0.5) / 1e6 AS overlap,
+         coalesce(fr, 0)::BIGINT AS footrule,
+         CASE WHEN nc > 0
+           THEN floor(fr::DOUBLE / (nc * 9) * 1e6 + 0.5) / 1e6
+           ELSE NULL END AS divergence
+       FROM terms LEFT JOIN g USING (term) ORDER BY term"""
 
   /** Exact shingle-Jaccard near-dup pairs (threshold 0.8, 3-gram
     * shingles) — also the oracle for the MinHash+LSH variant.

@@ -752,4 +752,42 @@ object Dedup {
             col("total_tokens"), 6)).otherwise(lit(0.0)).as("savings"))
       .orderBy("source")
   }
+
+  /** Dedup bias audit (W234): does near-dup removal fall evenly across
+    * quality, or does it preferentially delete one end? Documents are
+    * cut into quality terciles (rank order on the surfaced quality
+    * score, doc_id tiebreak) and each band reports its removal rate
+    * and the lift against the corpus-wide rate — lift ≫ 1 on the
+    * low-quality band is the healthy outcome (spam templates
+    * duplicate); lift ≫ 1 on the HIGH band means the dedup threshold
+    * is eating legitimate popular content. The tercile cut here is an
+    * exact global rank (fixture-sized window); at corpus scale the
+    * band boundaries come from two approx-percentile scalars broadcast
+    * into a one-scan band assignment — the rollup is identical.
+    */
+  def dedupBias(s: SparkSession, dir: String,
+                threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = assignCanonical(s, dir, jaccardPairs(s, dir, threshold))
+    val qual = TextStats.quality(s, dir).select(col("doc_id"), col("quality"))
+    val w = Window.orderBy(col("quality"), col("doc_id"))
+    val g = qual.join(canon, "doc_id")
+      .select(col("doc_id"), col("quality"),
+        (col("doc_id") =!= col("canonical_id")).as("removed"))
+      .withColumn("band", ntile(3).over(w))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("removed_docs"))
+      .localCheckpoint() // the corpus-wide rate below re-reads it
+    g.crossJoin(broadcast(g.agg(sum(col("n_docs")).as("_n"),
+        sum(col("removed_docs")).as("_r"))))
+      .select(col("band"), col("n_docs"), col("removed_docs"),
+        Events.q(col("removed_docs").cast("double") / col("n_docs"), 6)
+          .as("removal_rate"),
+        when(col("_r") > 0,
+          Events.q((col("removed_docs").cast("double") / col("n_docs")) /
+            (col("_r").cast("double") / col("_n")), 6))
+          .otherwise(lit(0.0)).as("lift"))
+      .orderBy("band")
+  }
 }

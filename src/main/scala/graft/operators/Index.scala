@@ -285,4 +285,47 @@ object Index {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_occur"))
   }
+
+  /** Ranker rank-agreement audit (W235): per term, how differently the
+    * BM25 and tf-idf rankers order the SAME corpus — top-`k` set
+    * overlap plus a normalized Spearman footrule (Σ|rank_a − rank_b|
+    * over the common documents, scaled by its n_common·(k−1) bound).
+    * This is the table a retrieval stack reads before swapping its
+    * scorer: low overlap on high-df terms is exactly where BM25's
+    * length normalization and tf saturation change outcomes. Ranks are
+    * the engines' own surfaced (quantized) orderings with doc_id
+    * tiebreaks, so both engines re-derive them identically; the
+    * footrule is an exact integer sum. Both rankers' plans are the
+    * shipped operators — the audit adds one equality join on
+    * (term, doc) and a per-term rollup.
+    */
+  def rankAgreement(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val wa = Window.partitionBy("term")
+      .orderBy(col("score").desc, col("doc_id"))
+    val wb = Window.partitionBy("term")
+      .orderBy(col("tfidf").desc, col("doc_id"))
+    val ra = bm25Topk(s, dir, k)
+      .withColumn("ra", row_number().over(wa))
+      .select(col("term"), col("doc_id"), col("ra"))
+    val rb = tfidfTopk(s, dir, k)
+      .withColumn("rb", row_number().over(wb))
+      .select(col("term"), col("doc_id"), col("rb"))
+    val common = ra.join(rb, Seq("term", "doc_id"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("nc"),
+        sum(abs(col("ra") - col("rb")).cast("long")).as("fr"))
+    // keep terms whose top-k sets are DISJOINT (overlap 0 is the
+    // finding, not a row to drop); divergence is undefined there
+    ra.select("term").distinct()
+      .join(common, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("nc"), lit(0L)).as("n_common"),
+        Events.q(coalesce(col("nc"), lit(0L)).cast("double") / k, 6)
+          .as("overlap"),
+        coalesce(col("fr"), lit(0L)).as("footrule"),
+        when(col("nc") > 0,
+          Events.q(col("fr").cast("double") / (col("nc") * (k - 1)), 6))
+          .as("divergence"))
+      .orderBy("term")
+  }
 }

@@ -536,4 +536,38 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("negative_id"),
         col("label").as("neg_label"), round(col("sim"), 6).as("sim"))
   }
+
+  /** IVF inverted-list balance audit (W233): vectors per centroid for
+    * the exact assignment `ivfTopK` searches, including EMPTY lists —
+    * the index-health table read next to `annRecall` before an
+    * approximate index ships (a load factor ≫ 1 on one list means
+    * probe cost concentrates there and recall collapses elsewhere;
+    * empty lists mean wasted probes). `load_factor` is the occupancy
+    * relative to perfect balance (n·C/total, 1.0 = uniform). Same
+    * broadcast-centroids × one-scan argmax plan as the index build
+    * itself; the rollup shuffles C rows.
+    */
+  def ivfBalance(s: SparkSession, dir: String,
+                 numCentroids: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cent = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val counts = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .groupBy("centroid_id").agg(count(lit(1)).as("nv"))
+    cent.select("centroid_id")
+      .join(counts, Seq("centroid_id"), "left")
+      .na.fill(0L, Seq("nv"))
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("_tot"))))
+      .select(col("centroid_id"), col("nv").as("n_vectors"),
+        Events.q(col("nv").cast("double") / col("_tot"), 6).as("share"),
+        Events.q(col("nv").cast("double") * numCentroids / col("_tot"), 6)
+          .as("load_factor"))
+      .orderBy("centroid_id")
+  }
 }

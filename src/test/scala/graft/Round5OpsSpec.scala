@@ -393,6 +393,66 @@ class Round5OpsSpec extends SparkSpec {
       !rows.contains(("short", 3)))
   }
 
+  test("ivf_balance: duplicate centroid yields an empty list, kept") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfb").toString
+    // centroid 1 duplicates centroid 0, so every argmax tie resolves
+    // to centroid 0 and list 1 must surface EMPTY (not vanish)
+    Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.6f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = operators.Similarity.ivfBalance(spark, dir, numCentroids = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(rows(0L) == ((3L, 1.0, 2.0)))
+    assert(rows(1L) == ((0L, 0.0, 0.0)))
+    // fixture-wide: shares sum to 1, every list accounted for
+    val fix = operators.Similarity.ivfBalance(spark, sf).collect()
+    assert(fix.length == 16)
+    assert(fix.map(_.getLong(1)).sum > 0)
+    val shareSum = fix.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+  }
+
+  test("dedup_bias: band stats reconstruct the corpus-wide rate") {
+    val rows = operators.Dedup.dedupBias(spark, sf).collect()
+    CacheScope.release(spark)
+    assert(rows.length == 3)
+    val n = rows.map(_.getLong(1)).sum
+    val r = rows.map(_.getLong(2)).sum
+    assert(n > 0 && r > 0, "fixture must have near-dups to audit")
+    val overall = r.toDouble / n
+    rows.foreach { row =>
+      val rate = row.getLong(2).toDouble / row.getLong(1)
+      assert(math.abs(row.getDouble(3) - rate) < 1e-6)
+      assert(math.abs(row.getDouble(4) - rate / overall) < 1e-5,
+        "lift must be rate / corpus rate")
+    }
+  }
+
+  test("rank_agreement: negative-idf BM25 reverses a zero-idf tf-idf tie") {
+    val dir = java.nio.file.Files.createTempDirectory("ragree").toString
+    // one term in every doc: tf-idf is ln(1)=0 for all (ties -> doc_id
+    // order); BM25's idf ln(0.5/3.5) < 0 reverses the saturation order
+    Seq((0L, "w w w"), (1L, "w w"), (2L, "w"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Index.rankAgreement(spark, dir).collect()
+    CacheScope.release(spark)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "w" && r.getLong(1) == 3L &&
+      r.getDouble(2) == 0.3 && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == math.floor(4.0 / 27 * 1e6 + 0.5) / 1e6)
+    // disjoint top-10s surface as rows with overlap 0 and NULL divergence
+    val fix = operators.Index.rankAgreement(spark, sf).collect()
+    CacheScope.release(spark)
+    assert(fix.exists(_.getLong(1) == 0L))
+    fix.filter(_.getLong(1) == 0L).foreach { f =>
+      assert(f.getLong(3) == 0L && f.isNullAt(4))
+    }
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
