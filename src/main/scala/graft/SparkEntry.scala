@@ -83,6 +83,9 @@ object SparkEntry {
     "ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d)),
     "dedup_bias" -> ((s, d) => Dedup.dedupBias(s, d)),
     "rank_agreement" -> ((s, d) => Index.rankAgreement(s, d)),
+    "markov_attribution" -> ((s, d) => Events.markovAttribution(s, d)),
+    "stl_decompose" -> ((s, d) => Events.stlDecompose(s, d)),
+    "int8_recall" -> ((s, d) => Similarity.int8Recall(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -2001,6 +2004,74 @@ object SparkEntry {
          ORDER BY centroid_id""",
     "dedup_bias" -> DedupBiasSql,
     "rank_agreement" -> RankAgreementSql,
+    "markov_attribution" -> markovAttributionSql(20),
+    "stl_decompose" ->
+      """WITH d0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         b AS (SELECT min(day) AS dd0, max(day) AS dd1 FROM d0),
+         spine AS (SELECT unnest(range(dd0, dd1 + 1)) AS day FROM b),
+         daily AS (SELECT day, coalesce(y, 0)::BIGINT AS y
+                   FROM spine LEFT JOIN d0 USING (day)),
+         tr AS (SELECT day, y,
+                  CAST(floor((sum(y) OVER w)::DOUBLE /
+                    (count(*) OVER w) * 1e6 + 0.5) AS BIGINT) AS trend_i
+                FROM daily
+                WINDOW w AS (ORDER BY day
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         det AS (SELECT day, y, trend_i,
+                   (y * 1000000 - trend_i)::BIGINT AS det_i,
+                   day % 7 AS dow
+                 FROM tr),
+         se AS (SELECT dow,
+                  CAST(floor(sum(det_i)::DOUBLE / count(*) + 0.5)
+                    AS BIGINT) AS seas_i
+                FROM det GROUP BY dow)
+         SELECT day, y AS total,
+           trend_i::DOUBLE / 1e6 AS trend,
+           seas_i::DOUBLE / 1e6 AS seasonal,
+           (det_i - seas_i)::DOUBLE / 1e6 AS residual
+         FROM det JOIN se USING (dow) ORDER BY day""",
+    // same brute-force kernel as knn_brute/ann_recall, corpus side
+    // reconstructed through the quantize_int8 grid (raw scale)
+    "int8_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi
+                  FROM e),
+           rec AS (
+             SELECT vec_id,
+               list_transform(v, x -> lo +
+                 floor((x - lo) /
+                   (CASE WHEN hi > lo THEN (hi - lo) / 255.0
+                         ELSE 1.0 END) + 0.5) *
+                 (CASE WHEN hi > lo THEN (hi - lo) / 255.0
+                       ELSE 1.0 END)) AS rv
+             FROM mm),
+           bf AS (
+             SELECT query_id, vec_id FROM (
+               SELECT q.vec_id AS query_id, e2.vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, e2.v) DESC,
+                            e2.vec_id) AS rn
+               FROM e q CROSS JOIN e e2
+               WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id)
+             WHERE rn <= 5),
+           ap AS (
+             SELECT query_id, vec_id FROM (
+               SELECT q.vec_id AS query_id, r.vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(r.rv, q.v) DESC,
+                            r.vec_id) AS rn
+               FROM e q CROSS JOIN rec r
+               WHERE q.vec_id < 10 AND r.vec_id <> q.vec_id)
+             WHERE rn <= 5)
+         SELECT bf.query_id, count(ap.vec_id)::BIGINT AS hits,
+                floor(count(ap.vec_id)::DOUBLE / 5 * 1e6 + 0.5) / 1e6
+                  AS recall
+         FROM bf LEFT JOIN ap
+           ON bf.query_id = ap.query_id AND bf.vec_id = ap.vec_id
+         GROUP BY bf.query_id ORDER BY bf.query_id""",
     // Gonzalez farthest-first: 7 unrolled pick/extend rounds (p_i =
     // argmax over candidates of min distance to the chosen set c_{i-1})
     "kmeans_ff_init" -> {
@@ -4598,6 +4669,96 @@ object SparkEntry {
          floor((agree::DOUBLE / $k - floor(jaccard * 1e6 + 0.5) / 1e6)
            * 1e6 + 0.5) / 1e6 AS est_error
        FROM ag ORDER BY doc_a, doc_b"""
+  }
+
+  /** Markov removal-effect attribution (W236): sessionized paths →
+    * first-order transition matrix (9-dp) → `rounds` unrolled value
+    * iterations of every chain (full + one per removed channel) on the
+    * 1e-12 LONG probability grid — the exact arithmetic
+    * `Events.markovAttribution` runs, so both engines land
+    * bit-identical.
+    */
+  private def markovAttributionSql(rounds: Int): String = {
+    val vBlocks = (1 to rounds).map { r =>
+      s"""v$r AS MATERIALIZED (
+         SELECT s.chain, s.st,
+           CASE WHEN s.st = 'conv' THEN 1000000000000
+                WHEN s.chain <> 'full' AND s.st = s.chain THEN 0
+                ELSE coalesce(u.pin, 0) END::BIGINT AS pi
+         FROM spine s LEFT JOIN (
+           SELECT v.chain, p.cur AS st,
+             sum(CAST(floor(p.p * v.pi + 0.5) AS BIGINT))::BIGINT AS pin
+           FROM v${r - 1} v JOIN tp p ON p.nxt = v.st
+           WHERE v.chain = 'full' OR v.st <> v.chain
+           GROUP BY v.chain, p.cur) u
+         ON u.chain = s.chain AND u.st = s.st)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS (
+         SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                  OR epoch_ms(ts) // 1000
+                     - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s1 AS (
+         SELECT *, sum(new_s) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM e),
+       s2 AS (
+         SELECT user_id, session_seq, ts, event_id, event_type,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prior_pur
+         FROM s1),
+       kept AS (
+         SELECT user_id, session_seq, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 'conv'
+                ELSE event_type END AS st
+         FROM s2 WHERE coalesce(prior_pur, 0) = 0),
+       sq AS (
+         SELECT *, row_number() OVER w2 AS rn, lead(st) OVER w2 AS nxt
+         FROM kept
+         WINDOW w2 AS (PARTITION BY user_id, session_seq
+           ORDER BY ts, event_id)),
+       tr AS (
+         SELECT 'start' AS cur, st AS nxt FROM sq WHERE rn = 1
+         UNION ALL SELECT st, nxt FROM sq WHERE nxt IS NOT NULL
+         UNION ALL SELECT st, 'null' FROM sq
+           WHERE nxt IS NULL AND st <> 'conv'),
+       tc2 AS (SELECT cur, nxt, count(*)::BIGINT AS c FROM tr GROUP BY 1, 2),
+       tp AS MATERIALIZED (
+         SELECT cur, nxt,
+           round(c::DOUBLE / sum(c) OVER (PARTITION BY cur), 9) AS p
+         FROM tc2),
+       states AS MATERIALIZED (
+         SELECT DISTINCT st FROM
+           (SELECT cur AS st FROM tp UNION ALL SELECT nxt FROM tp)),
+       chains AS MATERIALIZED (
+         SELECT st AS chain FROM states
+         WHERE st NOT IN ('start', 'conv', 'null')
+         UNION ALL SELECT 'full'),
+       spine AS MATERIALIZED (SELECT chain, st FROM chains CROSS JOIN states),
+       v0 AS (SELECT chain, st,
+                CASE WHEN st = 'conv' THEN 1000000000000
+                     ELSE 0 END::BIGINT AS pi
+              FROM spine),
+       $vBlocks,
+       res AS (SELECT chain, pi FROM v$rounds WHERE st = 'start'),
+       fullp AS (SELECT pi AS pf FROM res WHERE chain = 'full'),
+       effs AS (
+         SELECT chain AS channel, pf,
+           CASE WHEN pf > 0
+             THEN CAST(floor((1 - pi::DOUBLE / pf) * 1e6 + 0.5) AS BIGINT)
+             ELSE 0 END AS eff_i
+         FROM res CROSS JOIN fullp WHERE chain <> 'full'),
+       te AS (SELECT sum(eff_i)::BIGINT AS t FROM effs)
+       SELECT channel,
+         floor(pf::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS conv_prob,
+         eff_i::DOUBLE / 1e6 AS removal_effect,
+         CASE WHEN t > 0 THEN floor(eff_i::DOUBLE / t * 1e6 + 0.5) / 1e6
+              ELSE 0.0 END AS attribution
+       FROM effs CROSS JOIN te ORDER BY channel"""
   }
 
   /** Dedup bias audit (W234): quality terciles (exact global rank cut,

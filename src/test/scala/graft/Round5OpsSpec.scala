@@ -453,6 +453,76 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("markov_attribution: hand-solved 3-path chain, exact credits") {
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // u1: click -> purchase; u2: view -> (drop); u3: click -> view -> purchase
+    Seq(
+      (0L, ts(0), 1L, "click"), (1L, ts(1), 1L, "purchase"),
+      (2L, ts(0), 2L, "view"),
+      (3L, ts(0), 3L, "click"), (4L, ts(1), 3L, "view"),
+      (5L, ts(2), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // closed form: p(view)=1/2, p(click)=3/4, p(start)=2/3;
+    // removal effects: click 3/4, view 1/2 -> shares 0.6 / 0.4
+    val rows = operators.Events.markovAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(rows.keySet == Set("click", "view"))
+    assert(rows("click") == ((0.666667, 0.75, 0.6)))
+    assert(rows("view") == ((0.666667, 0.5, 0.4)))
+  }
+
+  test("stl_decompose: constant series decomposes to exact zeros") {
+    val dir = java.nio.file.Files.createTempDirectory("stl").toString
+    def ts(day: Int) = new java.sql.Timestamp(1700000000000L +
+      day * 86400000L)
+    (0 until 14).map(d => (d.toLong, ts(d), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.Events.stlDecompose(spark, dir).collect()
+    CacheScope.release(spark)
+    assert(rows.length == 14)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L)
+      assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0 &&
+        r.getDouble(4) == 0.0)
+    }
+    // real fixture: the decomposition identity holds on the 1e-6 grid
+    val fix = operators.Events.stlDecompose(spark, sf).collect()
+    CacheScope.release(spark)
+    assert(fix.nonEmpty)
+    fix.foreach { r =>
+      val recon = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+      assert(math.abs(recon - r.getLong(1)) < 1e-6,
+        s"trend+seasonal+residual must reconstruct total, got $recon")
+    }
+  }
+
+  test("int8_recall: well-separated directions survive quantization") {
+    val dir = java.nio.file.Files.createTempDirectory("i8r").toString
+    // 12 unit-ish 2D directions 25 degrees apart: inter-vector cosine
+    // gaps (>= 0.09) dwarf the int8 grid error (<= ~0.006), so the
+    // quantized ranking must equal the exact one on every query
+    val vecs = (0 until 12).map { i =>
+      val a = math.toRadians(25.0 * i)
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat), 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = operators.Similarity.int8Recall(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getDouble(2) == 1.0,
+      s"query ${r.getLong(0)} lost recall under int8"))
+    // real fixture: bounded, and the index is not garbage
+    val fix = operators.Similarity.int8Recall(spark, sf).collect()
+    assert(fix.length == 10)
+    fix.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) <= 5L))
+    val mean = fix.map(_.getDouble(2)).sum / fix.length
+    assert(mean >= 0.6, s"mean int8 recall $mean looks broken")
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
