@@ -86,6 +86,8 @@ object SparkEntry {
     "markov_attribution" -> ((s, d) => Events.markovAttribution(s, d)),
     "stl_decompose" -> ((s, d) => Events.stlDecompose(s, d)),
     "int8_recall" -> ((s, d) => Similarity.int8Recall(s, d)),
+    "cv_metrics" -> ((s, d) => Ml.cvMetrics(s, d)),
+    "welch_ttest" -> ((s, d) => Events.welchTtest(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -639,6 +641,38 @@ object SparkEntry {
   /** Per-model score of every document against a fold's final weights. */
   private def sgdScoreExpr(w: String): String =
     s"list_sum(list_transform(g.l, j -> $w.w[j] * d.cv[j]))"
+
+  /** k-fold CV (W239): per fold, a recursive-CTE training on
+    * `doc_id % folds <> f` and the rank-sum AUC of the held-out slice —
+    * the `sgd_train` + `sgd_auc` machinery, parameterized by fold.
+    */
+  private def cvMetricsSql(folds: Int = 3): String = {
+    val blocks = (0 until folds).map { f =>
+      s"""steps_tr$f AS MATERIALIZED (
+           SELECT row_number() OVER (ORDER BY doc_id) AS step, label, cv
+           FROM dv WHERE doc_id % $folds <> $f),
+         ${sgdFoldCte(s"fold$f", s"steps_tr$f")},
+         wf$f AS (SELECT w FROM fold$f ORDER BY step DESC LIMIT 1),
+         sc$f AS MATERIALIZED (
+           SELECT round(${sgdScoreExpr(s"wf$f")}, 6) AS s,
+             CASE WHEN d.label = 1 THEN 1 ELSE 0 END AS y
+           FROM dv d CROSS JOIN wf$f CROSS JOIN gs g
+           WHERE d.doc_id % $folds = $f),
+         g$f AS (SELECT s, sum(y) AS p, sum(1 - y) AS n
+                 FROM sc$f GROUP BY s),
+         c$f AS (SELECT s, p, n,
+             coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS cumn FROM g$f)"""
+    }.mkString(",\n       ")
+    val sels = (0 until folds).map { f =>
+      s"""SELECT $f AS fold,
+           (SELECT count(*) FROM sc$f)::BIGINT AS n_test,
+           (SELECT sum(y) FROM sc$f)::BIGINT AS n_pos,
+           round(sum(p * (cumn + n / 2.0)) / (sum(p) * sum(n)), 6) AS auc
+         FROM c$f"""
+    }.mkString(" UNION ALL ")
+    s"$sgdCommonCte,\n       $blocks\n       $sels ORDER BY fold"
+  }
 
   /** Unrolled Lloyd's k-means (mirrors `Similarity.kmeans`): `iters`
     * assignment CTEs with a centroid re-estimation CTE between each.
@@ -2005,6 +2039,39 @@ object SparkEntry {
     "dedup_bias" -> DedupBiasSql,
     "rank_agreement" -> RankAgreementSql,
     "markov_attribution" -> markovAttributionSql(20),
+    "cv_metrics" -> cvMetricsSql(3),
+    "welch_ttest" ->
+      """WITH st AS (
+           SELECT event_type, count(*)::BIGINT AS n,
+             sum(vi) AS sv, sum(vi * vi) AS sv2
+           FROM (SELECT event_type,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+                 FROM events WHERE value IS NOT NULL)
+           GROUP BY event_type),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n_a, b.n AS n_b,
+             a.sv::DOUBLE AS sva, a.sv2::DOUBLE AS sv2a,
+             b.sv::DOUBLE AS svb, b.sv2::DOUBLE AS sv2b
+           FROM st a JOIN st b ON a.event_type < b.event_type),
+         e AS (
+           SELECT *,
+             ((sv2a - sva * sva / n_a) / (n_a - 1) / 1e12) / n_a AS pa,
+             ((sv2b - svb * svb / n_b) / (n_b - 1) / 1e12) / n_b AS pb
+           FROM p)
+         SELECT type_a, type_b, n_a, n_b,
+           floor(sva / n_a / 1e6 * 1e6 + 0.5) / 1e6 AS mean_a,
+           floor(svb / n_b / 1e6 * 1e6 + 0.5) / 1e6 AS mean_b,
+           CASE WHEN pa + pb > 0
+             THEN floor((sva / n_a / 1e6 - svb / n_b / 1e6)
+               / sqrt(pa + pb) * 1e6 + 0.5) / 1e6
+             ELSE NULL END AS t_stat,
+           CASE WHEN pa + pb > 0
+             THEN floor((pa + pb) * (pa + pb)
+               / (pa * pa / (n_a - 1) + pb * pb / (n_b - 1))
+               * 1e4 + 0.5) / 1e4
+             ELSE NULL END AS df
+         FROM e ORDER BY type_a, type_b""",
     "stl_decompose" ->
       """WITH d0 AS (
            SELECT epoch_ms(ts) // 1000 // 86400 AS day,

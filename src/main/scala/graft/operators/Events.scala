@@ -1554,6 +1554,52 @@ object Events {
           .as("at_risk_share"))
   }
 
+  /** Welch two-sample t-test between event types' value distributions
+    * (W240): the unequal-variance t statistic and Welch–Satterthwaite
+    * df for every type pair — the A/B-testing significance screen the
+    * categorical `chi_square` can't give for a continuous metric.
+    * Determinism recipe: values land on a 1e-6 integer grid per row,
+    * and ALL sufficient statistics (Σv, Σv²) are exact DECIMAL(38)
+    * sums (order-free; a double Σv² would lose associativity and a
+    * BIGINT one overflows past ~10⁶ rows at this grid) — the t/df
+    * arithmetic is then one fixed double expression tree over
+    * identical exact integers on both engines. One scan, |types| rows
+    * of state, a trivially-broadcast pair join.
+    */
+  def welchTtest(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vi").cast("decimal(38,0)")).as("sv"),
+        sum((col("vi") * col("vi")).cast("decimal(38,0)")).as("sv2"))
+      .localCheckpoint() // both sides of the pair join read it
+    def side(sfx: String) = stats.select(
+      col("event_type").as(s"type_$sfx"), col("n").as(s"n_$sfx"),
+      col("sv").cast("double").as(s"sv_$sfx"),
+      col("sv2").cast("double").as(s"sv2_$sfx"))
+    def mean(sfx: String) =
+      col(s"sv_$sfx") / col(s"n_$sfx") / lit(1e6)
+    def vari(sfx: String) =
+      (col(s"sv2_$sfx") - col(s"sv_$sfx") * col(s"sv_$sfx") /
+        col(s"n_$sfx")) / (col(s"n_$sfx") - 1) / lit(1e12)
+    def se2part(sfx: String) = vari(sfx) / col(s"n_$sfx")
+    val se2 = se2part("a") + se2part("b")
+    val dfW = se2 * se2 /
+      (se2part("a") * se2part("a") / (col("n_a") - 1) +
+        se2part("b") * se2part("b") / (col("n_b") - 1))
+    side("a").join(side("b"), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("n_a"), col("n_b"),
+        q(mean("a"), 6).as("mean_a"), q(mean("b"), 6).as("mean_b"),
+        when(se2 > 0, q((mean("a") - mean("b")) / sqrt(se2), 6))
+          .as("t_stat"),
+        when(se2 > 0, q(dfW, 4)).as("df"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** STL-style decomposition of the daily event series (W238):
     * total = trend + seasonal + residual, with trend a centered 7-day
     * moving mean (edge frames shrink — rows, not range, so frames are

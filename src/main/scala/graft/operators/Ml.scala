@@ -358,4 +358,34 @@ object Ml {
       .orderBy(col("n_correct").desc, col("threshold"))
       .limit(1)
   }
+
+  /** k-fold cross-validation of the sequential SGD classifier (W239):
+    * for each hash fold f, train on `docid % folds ≠ f` and report the
+    * held-out AUC on `docid % folds = f` — the variance-aware metric
+    * the single-split `sgd_auc` (train = test there, by the
+    * reference's own design) cannot give: a fold-to-fold AUC spread
+    * wider than the mean's distance to 0.5 means the model is noise.
+    * Each fold's trainer is the same sequential contract as
+    * `sgd_train` (docid order within the fold's slice), so the DuckDB
+    * oracle replays all `folds` trainings as recursive-CTE folds.
+    * Featurization runs ONCE (cached); only the ≤10007-row models and
+    * per-fold score tables multiply.
+    */
+  def cvMetrics(s: SparkSession, dir: String, folds: Int = 3): DataFrame = {
+    val inst = featurize(s, dir).persist()
+    CacheScope.register(inst) // eager: every fold's train+test read it
+    (0 until folds).map { f =>
+      val train = inst.filter(pmod(col("docid"), lit(folds.toLong)) =!= f)
+      val test = inst.filter(pmod(col("docid"), lit(folds.toLong)) === f)
+      val scored = score(test, trainSgd(s, train))
+        .select(round(col("score"), 6).as("s"),
+          when(col("label") === 1.0, 1).otherwise(0).as("y"))
+        .persist()
+      CacheScope.register(scored) // counts + the AUC rank-sum read it
+      scored.agg(count(lit(1)).as("n_test"),
+          sum(col("y")).cast("long").as("n_pos"))
+        .crossJoin(auc(scored, "s", "y"))
+        .select(lit(f).as("fold"), col("n_test"), col("n_pos"), col("auc"))
+    }.reduce(_ unionAll _).orderBy("fold")
+  }
 }

@@ -523,6 +523,55 @@ class Round5OpsSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean int8 recall $mean looks broken")
   }
 
+  test("cv_metrics: separable corpus scores held-out AUC 1 on every fold") {
+    val dir = java.nio.file.Files.createTempDirectory("cv").toString
+    // disjoint vocab per class: every fold's held-out ranking separates
+    val docs = (0 until 12).map { i =>
+      if (i % 2 == 0) (i.toLong, "aaa aaa aaa", "en")
+      else (i.toLong, "bbb bbb bbb", "de")
+    }
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Ml.cvMetrics(spark, dir).collect()
+    CacheScope.release(spark)
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(1)).sum == 12L)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0L && r.getLong(2) < r.getLong(1))
+      assert(r.getDouble(3) == 1.0,
+        s"fold ${r.getInt(0)} held-out AUC ${r.getDouble(3)}")
+    }
+    // real fixture: folds partition the corpus, AUC stays a probability
+    val fix = operators.Ml.cvMetrics(spark, sf).collect()
+    CacheScope.release(spark)
+    assert(fix.map(_.getLong(1)).sum ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    fix.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("welch_ttest: identical samples t=0, shifted samples exact t") {
+    val dir = java.nio.file.Files.createTempDirectory("welch").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val a = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(i), 1L, "a", v) }
+    val b = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      ((i + 10).toLong, ts(i), 1L, "b", v) }
+    val c = Seq(101.0, 102.0, 103.0).zipWithIndex.map { case (v, i) =>
+      ((i + 20).toLong, ts(i), 1L, "c", v) }
+    (a ++ b ++ c).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.Events.welchTtest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = rows(("a", "b"))
+    assert(ab.getDouble(4) == 2.0 && ab.getDouble(5) == 2.0)
+    assert(ab.getDouble(6) == 0.0, "identical samples must give t = 0")
+    assert(ab.getDouble(7) == 4.0, "equal-variance n=3 Welch df is 4")
+    val ac = rows(("a", "c"))
+    // -100 / sqrt(2/3), quantized on the 1e-6 grid
+    assert(ac.getDouble(6) ==
+      math.floor(-100.0 / math.sqrt(2.0 / 3) * 1e6 + 0.5) / 1e6)
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
