@@ -88,6 +88,7 @@ object SparkEntry {
     "int8_recall" -> ((s, d) => Similarity.int8Recall(s, d)),
     "cv_metrics" -> ((s, d) => Ml.cvMetrics(s, d)),
     "welch_ttest" -> ((s, d) => Events.welchTtest(s, d)),
+    "betweenness_sample" -> ((s, d) => Graph.betweennessSample(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -525,6 +526,59 @@ object SparkEntry {
       blocks.mkString(",\n") + "\n" +
       (0 to hops).map(h => s"SELECT id, dist, n_paths FROM f$h")
         .mkString(" UNION ALL ")
+  }
+
+  /** Sampled Brandes betweenness (W241): per source an unrolled
+    * forward-BFS-with-σ (the spcOracleSql blocks) plus the backward
+    * dependency accumulation level by level on the 1e-9 LONG grid —
+    * the exact arithmetic `Graph.betweennessSample` runs.
+    */
+  private def betweennessOracleSql(sources: Seq[Long], hops: Int,
+                                   k: Int): String = {
+    val perSource = sources.zipWithIndex.map { case (src, si) =>
+      val fwd = (1 to hops).flatMap { h =>
+        Seq(
+          s"s${si}f$h AS MATERIALIZED (SELECT e.dst AS id," +
+            s" sum(f.n_paths)::BIGINT AS n_paths" +
+            s" FROM s${si}f${h - 1} f JOIN edges e ON e.src = f.id" +
+            s" WHERE NOT EXISTS (SELECT 1 FROM s${si}v${h - 1} v" +
+            s" WHERE v.id = e.dst)" +
+            s" GROUP BY e.dst)",
+          s"s${si}v$h AS MATERIALIZED (SELECT id FROM s${si}v${h - 1}" +
+            s" UNION ALL SELECT id FROM s${si}f$h)")
+      }
+      val dH = s"s${si}d$hops AS (SELECT id, 0::BIGINT AS di" +
+        s" FROM s${si}f$hops)"
+      val bwd = ((hops - 1) to 0 by -1).flatMap { lvl =>
+        Seq(
+          s"s${si}du$lvl AS MATERIALIZED (SELECT f.id," +
+            s" sum(CAST(floor(f.n_paths::DOUBLE / n.n_paths" +
+            s" * (1000000000 + n.di) + 0.5) AS BIGINT))::BIGINT AS du" +
+            s" FROM s${si}f$lvl f JOIN edges e ON e.src = f.id" +
+            s" JOIN (SELECT nf.id, nf.n_paths, nd.di" +
+            s" FROM s${si}f${lvl + 1} nf" +
+            s" JOIN s${si}d${lvl + 1} nd USING (id)) n ON n.id = e.dst" +
+            s" GROUP BY f.id)",
+          s"s${si}d$lvl AS MATERIALIZED (SELECT f.id," +
+            s" coalesce(u.du, 0)::BIGINT AS di" +
+            s" FROM s${si}f$lvl f LEFT JOIN s${si}du$lvl u USING (id))")
+      }
+      val header =
+        s"s${si}f0 AS (SELECT CAST($src AS BIGINT) AS id," +
+          s" 1::BIGINT AS n_paths),\n" +
+          s"s${si}v0 AS (SELECT id FROM s${si}f0)"
+      (header +: (fwd ++ Seq(dH) ++ bwd)).mkString(",\n")
+    }
+    val unions = sources.indices.flatMap { si =>
+      ((hops - 1) to 0 by -1).map { lvl =>
+        s"SELECT id, di FROM s${si}d$lvl WHERE id <> ${sources(si)}"
+      }
+    }.mkString(" UNION ALL ")
+    s"WITH $GraphCte,\n" + perSource.mkString(",\n") + ",\n" +
+      s"alld AS ($unions)\n" +
+      "SELECT id, floor(sum(di)::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6" +
+      " AS betweenness" +
+      s" FROM alld GROUP BY id ORDER BY betweenness DESC, id LIMIT $k"
   }
 
   /** Unrolled HITS rounds (mirrors `Graph.hits`: directed c→sup pairs,
@@ -2040,6 +2094,7 @@ object SparkEntry {
     "rank_agreement" -> RankAgreementSql,
     "markov_attribution" -> markovAttributionSql(20),
     "cv_metrics" -> cvMetricsSql(3),
+    "betweenness_sample" -> betweennessOracleSql(Seq(1L, 2L, 3L), 4, 30),
     "welch_ttest" ->
       """WITH st AS (
            SELECT event_type, count(*)::BIGINT AS n,

@@ -1105,4 +1105,72 @@ object Graph {
       .orderBy(col("coeff").desc, col("id"))
       .limit(k)
   }
+
+  /** Sampled betweenness centrality (W241), Brandes 2001: the forward
+    * pass is exactly [[shortestPathCounts]]'s multi-source frontier
+    * kernel (dist + σ per source); the backward pass accumulates the
+    * dependency δ_s(v) = Σ_{w: succ(v)} σ_v/σ_w · (1 + δ_s(w)) level
+    * by level from the horizon inward, and betweenness(v) = Σ_s
+    * δ_s(v). Horizon-truncated at `maxHops` over the sampled
+    * `sources` — the estimator every real graph system ships
+    * (exact betweenness is all-pairs); both truncations are part of
+    * the CONTRACT and replayed by the oracle. δ rides a 1e-9 LONG
+    * grid: each edge's contribution floor-quantizes the
+    * (exact-double σ ratio) × (grid dependency) product to an integer
+    * before the per-vertex LONG sum, so no float accumulation order
+    * exists. Per level: one edge join against that ring only — the
+    * backward pass costs what the forward BFS cost, shuffled on the
+    * same keys.
+    */
+  def betweennessSample(s: SparkSession, dir: String,
+                        sources: Seq[Long] = Seq(1L, 2L, 3L),
+                        maxHops: Int = 4, k: Int = 30): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    graft.CacheScope.register(e) // eager: forward + every backward level
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      val bfs = frontierLoop(e, sources, maxHops).persist()
+      graft.CacheScope.register(bfs)
+      var delta = bfs.filter(col("dist") === maxHops)
+        .select(col("source"), col("id"), lit(0L).as("di"))
+        .localCheckpoint()
+      var acc = Vector.empty[DataFrame]
+      for (lvl <- (maxHops - 1) to 0 by -1) {
+        val cur = bfs.filter(col("dist") === lvl)
+          .select(col("source"), col("id").as("v"),
+            col("n_paths").as("sv"))
+        val nxt = bfs.filter(col("dist") === lvl + 1)
+          .select(col("source"), col("id").as("w"),
+            col("n_paths").as("sw"))
+          .join(delta.select(col("source"), col("id").as("w"),
+            col("di").as("dw")), Seq("source", "w"), "left")
+          .na.fill(0L, Seq("dw"))
+        val d = cur
+          .join(e.select(col("src").as("v"), col("dst").as("w")), "v")
+          .join(nxt, Seq("source", "w"))
+          .groupBy(col("source"), col("v"))
+          .agg(sum(floor(col("sv").cast("double") / col("sw") *
+            (lit(1000000000L) + col("dw")) + lit(0.5)).cast("long"))
+            .as("du"))
+          .select(col("source"), col("v").as("id"), col("du"))
+        delta = bfs.filter(col("dist") === lvl)
+          .select(col("source"), col("id"))
+          .join(d, Seq("source", "id"), "left")
+          .select(col("source"), col("id"),
+            coalesce(col("du"), lit(0L)).as("di"))
+          .localCheckpoint()
+        acc :+= delta
+      }
+      acc.reduce(_ unionAll _)
+        .filter(col("id") =!= col("source"))
+        .groupBy("id")
+        .agg(sum(col("di")).as("bci"))
+        .select(col("id"),
+          (floor(col("bci").cast("double") / lit(1e9) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("betweenness"))
+        .orderBy(col("betweenness").desc, col("id"))
+        .limit(k)
+    }
+  }
 }

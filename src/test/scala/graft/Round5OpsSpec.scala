@@ -572,6 +572,54 @@ class Round5OpsSpec extends SparkSpec {
       math.floor(-100.0 / math.sqrt(2.0 / 3) * 1e6 + 0.5) / 1e6)
   }
 
+  test("betweenness_sample: matches driver-side Brandes on the grid") {
+    val e = operators.Graph.customerSupplierEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = e.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    val maxHops = 4
+    val bc = scala.collection.mutable.Map.empty[Long, Long]
+    for (src <- Seq(1L, 2L, 3L)) {
+      var dist = Map(src -> 0)
+      var sigma = Map(src -> 1L)
+      var frontier = Seq(src)
+      val levels = scala.collection.mutable.Map(0 -> frontier)
+      for (h <- 1 to maxHops) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        for (u <- frontier; v <- adj.getOrElse(u, Array.empty[Long])
+             if !dist.contains(v))
+          contrib(v) = contrib.getOrElse(v, 0L) + sigma(u)
+        dist ++= contrib.keys.map(_ -> h)
+        sigma ++= contrib
+        frontier = contrib.keys.toSeq
+        levels(h) = frontier
+      }
+      var delta = levels(maxHops).map(_ -> 0L).toMap
+      for (lvl <- (maxHops - 1) to 0 by -1) {
+        val nd = scala.collection.mutable.Map.empty[Long, Long]
+        for (v <- levels(lvl)) {
+          var acc = 0L
+          for (w <- adj.getOrElse(v, Array.empty[Long])
+               if dist.get(w).contains(lvl + 1))
+            acc += math.floor(sigma(v).toDouble / sigma(w) *
+              (1000000000L + delta(w)) + 0.5).toLong
+          nd(v) = acc
+        }
+        delta = nd.toMap
+        for ((v, d) <- nd if v != src)
+          bc(v) = bc.getOrElse(v, 0L) + d
+      }
+    }
+    val want = bc.toMap.map { case (id, b) =>
+      id -> math.floor(b.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+    }
+    val got = operators.Graph
+      .betweennessSample(spark, sf, k = 1000000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    CacheScope.release(spark)
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
