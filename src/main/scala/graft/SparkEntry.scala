@@ -104,6 +104,7 @@ object SparkEntry {
     "stream_running_replay" -> ((s, d) => streaming.StreamReplay.runningReplay(s, d)),
     "stream_enrich_replay" -> ((s, d) => streaming.StreamReplay.enrichReplay(s, d)),
     "stream_timeout_replay" -> ((s, d) => streaming.StreamReplay.timeoutSessionReplay(s, d)),
+    "stream_cdc_replay" -> ((s, d) => streaming.StreamReplay.cdcReplay(s, d)),
     "json_prop_agg" -> ((s, d) => Events.jsonPropAgg(s, d)),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
@@ -3211,6 +3212,15 @@ object SparkEntry {
          FROM l WHERE next_ep IS NOT NULL
          GROUP BY user_id""",
     "latest_snapshot" ->
+      """SELECT user_id, event_type, event_id, ep, value FROM (
+           SELECT user_id, event_type, event_id,
+                  epoch_ms(ts) // 1000 AS ep, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_ms(ts) // 1000 DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1""",
+    // the drained CDC stream's final state = the batch compaction
+    "stream_cdc_replay" ->
       """SELECT user_id, event_type, event_id, ep, value FROM (
            SELECT user_id, event_type, event_id,
                   epoch_ms(ts) // 1000 AS ep, value,

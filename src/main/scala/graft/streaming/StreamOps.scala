@@ -241,4 +241,34 @@ object StreamOps {
   def enrichStream(events: DataFrame, dim: DataFrame,
                    key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** One CDC/upsert record: the latest (ep, event_id)-versioned value
+    * per (user, type) key is the live row. */
+  case class CdcRow(user_id: Long, event_type: String, event_id: Long,
+                    ep: Long, value: Double)
+
+  /** Streaming CDC apply (W242): maintain the last-write-wins snapshot
+    * per key across micro-batches with `mapGroupsWithState` — the
+    * streaming twin of the batch `latest_snapshot` compaction (W84).
+    * Out-of-order updates WITHIN the replay are resolved by the same
+    * (ep, event_id) version order the batch window uses, so a drained
+    * stream's final state equals the batch snapshot exactly. Update
+    * mode emits the key's current snapshot every time it changes; a
+    * real pipeline would sink that into a keyed store.
+    */
+  def cdcLatest(rows: Dataset[CdcRow]): Dataset[CdcRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(r => (r.user_id, r.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), it: Iterator[CdcRow],
+         state: GroupState[CdcRow]) =>
+          val cur = it.foldLeft(state.getOption.orNull) { (best, e) =>
+            if (best == null || e.ep > best.ep ||
+              (e.ep == best.ep && e.event_id > best.event_id)) e
+            else best
+          }
+          state.update(cur)
+          cur
+      }
+  }
 }

@@ -307,4 +307,35 @@ object StreamReplay {
     q.processAllAvailable()
     finish(s, nm, q).filter(col("event_type") =!= "__flush__")
   }
+
+  /** W242 gate: streaming CDC apply. Every key's snapshot is re-emitted
+    * whenever it changes (update mode); the drained stream's LAST
+    * emission per key — the live row — must equal the batch
+    * `latest_snapshot` compaction exactly, which is the oracle. The
+    * last emission is selected by the same (ep, event_id) version
+    * order the operator folds with, so the replay adds no tiebreak of
+    * its own.
+    */
+  def cdcReplay(s: SparkSession, dir: String,
+                nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val evs = sortedEvents(s, dir).map(e =>
+      StreamOps.CdcRow(e.user_id, e.event_type, e.event_id,
+        e.ts.getTime / 1000, e.value))
+    val in = MemoryStream[StreamOps.CdcRow]
+    val nm = s"stream_cdc_${ctr.incrementAndGet()}"
+    val q = StreamOps.cdcLatest(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    finish(s, nm, q)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ep").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ep"), col("value"))
+  }
 }

@@ -192,4 +192,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.session_seq).toSeq == Seq(1L, 2L),
       s"timeout tombstone must preserve numbering: $got")
   }
+
+  test("cdcLatest keeps the higher version when updates arrive late") {
+    implicit val ctx = spark.sqlContext
+    import StreamOps.CdcRow
+    val in = MemoryStream[CdcRow]
+    val q = StreamOps.cdcLatest(in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_out").start()
+    in.addData(CdcRow(1L, "click", 10L, 500L, 1.0))
+    q.processAllAvailable()
+    // a LOWER-version update arrives in a later batch: state must not
+    // regress; a same-ep higher-event_id row must win the tiebreak
+    in.addData(CdcRow(1L, "click", 5L, 400L, 9.0),
+      CdcRow(1L, "click", 11L, 500L, 2.0))
+    q.processAllAvailable()
+    val fin = spark.table("cdc_out").as[CdcRow].collect()
+      .maxBy(r => (r.ep, r.event_id))
+    q.stop()
+    assert(fin == CdcRow(1L, "click", 11L, 500L, 2.0),
+      s"late lower-version update regressed the snapshot: $fin")
+  }
 }
