@@ -89,6 +89,7 @@ object SparkEntry {
     "cv_metrics" -> ((s, d) => Ml.cvMetrics(s, d)),
     "welch_ttest" -> ((s, d) => Events.welchTtest(s, d)),
     "betweenness_sample" -> ((s, d) => Graph.betweennessSample(s, d)),
+    "modularity" -> ((s, d) => Graph.modularity(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -1363,6 +1364,43 @@ object SparkEntry {
                   FROM c3) WHERE rn = 1)
          SELECT lbl AS community, count(*) AS members FROM l3
          GROUP BY lbl ORDER BY members DESC, community LIMIT 20""",
+    // same 3 label-prop rounds, then Newman Q from exact integer
+    // counts, each community term on a 1e-12 LONG grid
+    "modularity" -> s"""WITH $GraphCte,
+         l0 AS (SELECT id, id AS lbl FROM nodes),
+         c1 AS (SELECT e.src AS id, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l0 l ON e.dst = l.id GROUP BY 1, 2),
+         l1 AS (SELECT id, lbl FROM (
+                  SELECT id, lbl, row_number() OVER
+                    (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+                  FROM c1) WHERE rn = 1),
+         c2 AS (SELECT e.src AS id, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l1 l ON e.dst = l.id GROUP BY 1, 2),
+         l2 AS (SELECT id, lbl FROM (
+                  SELECT id, lbl, row_number() OVER
+                    (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+                  FROM c2) WHERE rn = 1),
+         c3 AS (SELECT e.src AS id, l.lbl, count(*) AS cnt
+                FROM edges e JOIN l2 l ON e.dst = l.id GROUP BY 1, 2),
+         l3 AS (SELECT id, lbl FROM (
+                  SELECT id, lbl, row_number() OVER
+                    (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+                  FROM c3) WHERE rn = 1),
+         det AS (SELECT count(*)::BIGINT AS de FROM edges),
+         intra AS (SELECT ls.lbl, count(*)::BIGINT AS inc
+                   FROM edges e JOIN l3 ls ON e.src = ls.id
+                   JOIN l3 ld ON e.dst = ld.id
+                   WHERE ls.lbl = ld.lbl GROUP BY ls.lbl),
+         degc AS (SELECT l.lbl, count(*)::BIGINT AS dc
+                  FROM edges e JOIN l3 l ON e.src = l.id GROUP BY l.lbl),
+         per AS (SELECT CAST(floor((coalesce(i.inc, 0)::DOUBLE / de -
+                   (d.dc::DOUBLE / de) * (d.dc::DOUBLE / de)) * 1e12
+                   + 0.5) AS BIGINT) AS qi
+                 FROM degc d LEFT JOIN intra i USING (lbl) CROSS JOIN det)
+         SELECT count(*)::BIGINT AS n_communities,
+           (SELECT de // 2 FROM det)::BIGINT AS m_edges,
+           floor(sum(qi)::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS modularity
+         FROM per""",
     "dsir_weights" ->
       """WITH dtoks AS (
            SELECT doc_id, lang,

@@ -721,22 +721,75 @@ object Graph {
     // partitions would make scheduling dominate every round
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      var lab = e.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
-      for (_ <- 1 to rounds) {
-        lab = e.join(lab.withColumnRenamed("id", "dst"), "dst")
-          .groupBy(col("src").as("id"), col("lbl"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("id").orderBy(col("cnt").desc, col("lbl"))))
-          .filter(col("rn") === 1)
-          .select("id", "lbl")
-          .localCheckpoint()
-      }
-      lab.groupBy(col("lbl").as("community"))
+      labelPropAssign(e, rounds)
+        .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("members"))
         .orderBy(col("members").desc, col("community"))
         .limit(k)
+    }
+  }
+
+  /** The label-propagation loop itself: (id, lbl) after `rounds`
+    * deterministic modal-label rounds — shared by [[labelPropagation]]
+    * and [[modularity]]. Caller pins loop parallelism.
+    */
+  private def labelPropAssign(e: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var lab = e.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lab = e.join(lab.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("cnt").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select("id", "lbl")
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** Newman modularity of the label-propagation communities (W243):
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ] — the single number that says
+    * whether the community op found real structure (Q near 0 = the
+    * partition explains nothing beyond degree chance; this bipartite
+    * co-purchase graph scores low by construction, which is itself
+    * the finding). The quality gate for `label_prop`, exactly as
+    * `ann_recall` gates the IVF index. With both edge orientations
+    * present, e_c/m = intra_c/|directed| and d_c/2m = deg_c/|directed|,
+    * so every sufficient statistic is an exact integer count; each
+    * community's term floor-quantizes to a 1e-12 LONG before the
+    * order-free sum. Two keyed joins of the edge list against the
+    * (id → label) table; nothing quadratic.
+    */
+  def modularity(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val e = customerSupplierEdges(s, dir).persist()
+    CacheScope.register(e) // eager: the loop + both modularity joins
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      val lab = labelPropAssign(e, rounds).persist()
+      CacheScope.register(lab)
+      val de = e.count()
+      val intra = e
+        .join(lab.select(col("id").as("src"), col("lbl").as("ls")), "src")
+        .join(lab.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
+        .filter(col("ls") === col("ld"))
+        .groupBy(col("ls").as("lbl")).agg(count(lit(1)).as("inc"))
+      val degC = e
+        .join(lab.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy("lbl").agg(count(lit(1)).as("dc"))
+      degC.join(intra, Seq("lbl"), "left")
+        .select(
+          floor((coalesce(col("inc"), lit(0L)).cast("double") / de -
+            (col("dc").cast("double") / de) *
+              (col("dc").cast("double") / de)) * lit(1e12) + lit(0.5))
+            .cast("long").as("qi"))
+        .agg(sum(col("qi")).as("qsum"), count(lit(1)).as("nc"))
+        .select(col("nc").as("n_communities"),
+          lit(de / 2).as("m_edges"),
+          (floor(col("qsum").cast("double") / lit(1e12) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("modularity"))
     }
   }
 

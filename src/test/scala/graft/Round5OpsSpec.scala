@@ -620,6 +620,38 @@ class Round5OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("modularity: matches driver-side Newman Q over the same labels") {
+    val e = operators.Graph.customerSupplierEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = e.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    var lbl = adj.keys.map(id => id -> id).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (id, nbrs) =>
+        val counts = nbrs.map(lbl).groupBy(identity)
+          .map { case (l, xs) => l -> xs.length }
+        // modal label, ties to the smallest label (cnt DESC, lbl ASC)
+        id -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val de = e.length.toLong
+    val inc = e.filter { case (u, v) => lbl(u) == lbl(v) }
+      .groupBy { case (u, _) => lbl(u) }.map { case (l, xs) => l -> xs.length.toLong }
+    val dc = e.groupBy { case (u, _) => lbl(u) }
+      .map { case (l, xs) => l -> xs.length.toLong }
+    val qsum = dc.map { case (l, d) =>
+      val i = inc.getOrElse(l, 0L)
+      math.floor((i.toDouble / de -
+        (d.toDouble / de) * (d.toDouble / de)) * 1e12 + 0.5).toLong
+    }.sum
+    val wantQ = math.floor(qsum.toDouble / 1e12 * 1e6 + 0.5) / 1e6
+    val row = operators.Graph.modularity(spark, sf).collect().head
+    CacheScope.release(spark)
+    assert(row.getLong(0) == dc.size.toLong)
+    assert(row.getLong(1) == de / 2)
+    assert(row.getDouble(2) == wantQ,
+      s"got ${row.getDouble(2)}, driver-side Q is $wantQ")
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
