@@ -90,6 +90,7 @@ object SparkEntry {
     "welch_ttest" -> ((s, d) => Events.welchTtest(s, d)),
     "betweenness_sample" -> ((s, d) => Graph.betweennessSample(s, d)),
     "modularity" -> ((s, d) => Graph.modularity(s, d)),
+    "l_diversity" -> ((s, d) => Events.lDiversity(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -4420,6 +4421,45 @@ object SparkEntry {
          SELECT len_band, count(*)::BIGINT AS n_sessions,
                 (sum(hi)::DOUBLE / count(*)) / 1e6 AS avg_entropy
          FROM bands GROUP BY 1 ORDER BY 1""",
+    // same exact-percentile decile bucketing as k_anonymity; the
+    // sensitive attribute is the decile, QI = (type, hour)
+    "l_diversity" ->
+      """WITH ev AS (
+           SELECT event_type, extract(hour FROM ts)::INT AS hr,
+                  value, user_id
+           FROM events WHERE value IS NOT NULL),
+         ed AS (
+           SELECT quantile_cont(value,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+           FROM ev),
+         cr AS (
+           SELECT event_type, hr,
+                  len(list_filter(edges, x -> value > x)) AS vb,
+                  user_id
+           FROM ev, ed),
+         cls AS (
+           SELECT event_type, hr,
+                  count(DISTINCT vb)::BIGINT AS l_div,
+                  count(DISTINCT user_id)::BIGINT AS n_users
+           FROM cr GROUP BY 1, 2),
+         risk AS (
+           SELECT count(DISTINCT user_id)::BIGINT AS users_at_risk
+           FROM cr WHERE EXISTS (
+             SELECT 1 FROM cls c
+             WHERE c.l_div < 3 AND c.event_type = cr.event_type
+               AND c.hr = cr.hr)),
+         tot AS (SELECT count(DISTINCT user_id)::BIGINT AS total_users
+                 FROM ev),
+         agg AS (
+           SELECT count(*)::BIGINT AS n_classes,
+                  sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END)::BIGINT
+                    AS weak_classes,
+                  min(l_div)::BIGINT AS min_l
+           FROM cls)
+         SELECT n_classes, weak_classes, min_l,
+           floor(users_at_risk::DOUBLE / total_users * 1e6 + 0.5) / 1e6
+             AS at_risk_share
+         FROM agg CROSS JOIN risk CROSS JOIN tot""",
     "k_anonymity" ->
       """WITH ev AS (
            SELECT event_type, extract(hour FROM ts)::INT AS hr,

@@ -1554,6 +1554,55 @@ object Events {
           .as("at_risk_share"))
   }
 
+  /** l-diversity audit (W244), the companion to [[kAnonymity]]:
+    * k-anonymity only counts SUBJECTS per quasi-identifier class — a
+    * class can hold 50 users who all share one sensitive value, and an
+    * attacker who places a user in it learns that value exactly.
+    * Here the quasi-identifiers are (event_type, hour), the sensitive
+    * attribute is the value decile (the SAME exact-percentile
+    * bucketing the k-audit uses), and each class reports its distinct
+    * sensitive-value count l, with the summary row counting classes
+    * below `l` and the share of users sitting in them. All counts are
+    * exact integers; the only double is the one share division. Same
+    * plan skeleton as the k-audit: one scan, a broadcast 9-edge
+    * bucketer, class-keyed aggregates.
+    */
+  def lDiversity(s: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).as("hr"),
+        col("value"), col("user_id"))
+      .persist()
+    CacheScope.register(ev) // eager: edge fit + class scan read it
+    val edges = ev.agg(percentile(col("value"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("edges"))
+    val classed = ev.crossJoin(broadcast(edges))
+      .select(col("event_type"), col("hr"),
+        size(filter(col("edges"), e => col("value") > e)).as("vb"),
+        col("user_id"))
+      .persist()
+    CacheScope.register(classed) // eager: class agg + risk scan
+    val classes = classed
+      .groupBy("event_type", "hr")
+      .agg(count_distinct(col("vb")).as("l_div"),
+        count_distinct(col("user_id")).as("n_users"))
+      .persist()
+    CacheScope.register(classes)
+    val weak = classes.filter(col("l_div") < l)
+      .select(col("event_type"), col("hr"))
+    val risk = classed.join(broadcast(weak),
+        Seq("event_type", "hr"), "left_semi")
+      .agg(count_distinct(col("user_id")).as("users_at_risk"))
+    val tot = ev.agg(count_distinct(col("user_id")).as("total_users"))
+    classes.agg(count(lit(1)).as("n_classes"),
+        sum(when(col("l_div") < l, 1L).otherwise(0L)).as("weak_classes"),
+        min(col("l_div")).as("min_l"))
+      .crossJoin(risk).crossJoin(tot)
+      .select(col("n_classes"), col("weak_classes"), col("min_l"),
+        q(col("users_at_risk").cast("double") / col("total_users"), 6)
+          .as("at_risk_share"))
+  }
+
   /** Welch two-sample t-test between event types' value distributions
     * (W240): the unequal-variance t statistic and Welch–Satterthwaite
     * df for every type pair — the A/B-testing significance screen the

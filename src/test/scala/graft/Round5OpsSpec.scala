@@ -652,6 +652,32 @@ class Round5OpsSpec extends SparkSpec {
       s"got ${row.getDouble(2)}, driver-side Q is $wantQ")
   }
 
+  test("l_diversity: k-anonymous but value-homogeneous class is caught") {
+    val dir = java.nio.file.Files.createTempDirectory("ldiv").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // class A: 10 users, values spread across deciles (diverse);
+    // class B: 3 users who ALL share one extreme value — k-anonymity
+    // with k=3 passes it, l-diversity must not
+    val a = (1 to 10).map(u =>
+      (u.toLong, ts(u), u.toLong, "view", u * 10.0))
+    val b = (11 to 13).map(u =>
+      ((u + 100).toLong, ts(u), u.toLong, "click", 999.0))
+    (a ++ b).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = operators.Events.lDiversity(spark, dir).collect().head
+    CacheScope.release(spark)
+    assert(row.getLong(0) == 2L, s"expected 2 QI classes: $row")
+    assert(row.getLong(1) == 1L, "the homogeneous class must be flagged")
+    assert(row.getLong(2) == 1L, "its distinct-sensitive count is 1")
+    assert(row.getDouble(3) ==
+      math.floor(3.0 / 13 * 1e6 + 0.5) / 1e6)
+    // real fixture: uniform synthetic values are fully diverse — the
+    // audit's zero finding is itself exact
+    val fix = operators.Events.lDiversity(spark, sf).collect().head
+    CacheScope.release(spark)
+    assert(fix.getLong(1) == 0L && fix.getDouble(3) == 0.0)
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
