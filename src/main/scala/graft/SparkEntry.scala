@@ -87,10 +87,14 @@ object SparkEntry {
     "stl_decompose" -> ((s, d) => Events.stlDecompose(s, d)),
     "int8_recall" -> ((s, d) => Similarity.int8Recall(s, d)),
     "cv_metrics" -> ((s, d) => Ml.cvMetrics(s, d)),
+    "isotonic_calibration" -> ((s, d) => Ml.isotonicCalibration(s, d)),
+    "hashing_collisions" -> ((s, d) => Ml.hashingCollisions(s, d)),
     "welch_ttest" -> ((s, d) => Events.welchTtest(s, d)),
     "betweenness_sample" -> ((s, d) => Graph.betweennessSample(s, d)),
     "modularity" -> ((s, d) => Graph.modularity(s, d)),
     "l_diversity" -> ((s, d) => Events.lDiversity(s, d)),
+    "kaplan_meier" -> ((s, d) => Events.kaplanMeier(s, d)),
+    "holt_forecast" -> ((s, d) => Events.holtForecast(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -161,6 +165,7 @@ object SparkEntry {
     "substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
     "robust_scale" -> ((s, d) => Curation.robustScale(s, d)),
     "covariance_matrix" -> ((s, d) => Similarity.covarianceMatrix(s, d)),
+    "pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -762,6 +767,59 @@ object SparkEntry {
         SELECT vec_id, cluster FROM a$iters"""
   }
 
+  /** Unrolled power iteration (mirrors `Similarity.pcaPower`): the
+    * 1e-9-grid covariance matrix, `iters` exact-integer mat-vec +
+    * max-norm requantize rounds, then the BigInt/HUGEINT Rayleigh
+    * share — every double op runs over exact integers in the same
+    * order as the Scala driver loop.
+    */
+  private def pcaPowerOracleSql(d: Int = 8, iters: Int = 10): String = {
+    val vinit = math.floor(1.0 / math.sqrt(d) * 1e6 + 0.5).toLong
+    val rounds = (1 to iters).map { k =>
+      s"""t$k AS MATERIALIZED (SELECT c.i AS pos, sum(c.cq * v.v) AS t
+           FROM cov c JOIN v${k - 1} v ON c.j = v.pos GROUP BY c.i),
+         m$k AS MATERIALIZED (SELECT max(abs(t)) AS ma FROM t$k),
+         v$k AS MATERIALIZED (SELECT pos, CASE WHEN ma > 0
+             THEN CAST(floor(t::DOUBLE / ma::DOUBLE * 1e6 + 0.5) AS BIGINT)
+             ELSE 0 END AS v
+           FROM t$k, m$k)"""
+    }.mkString(",\n         ")
+    s"""WITH ex AS MATERIALIZED (
+           SELECT vec_id, (pos - 1)::INT AS pos,
+                  CAST(round(x::DOUBLE * 1000000.0) AS BIGINT) AS xi
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings)
+           WHERE pos <= $d),
+         cov AS MATERIALIZED (
+           SELECT a.pos AS i, b.pos AS j,
+                  CAST(floor((sum(a.xi * b.xi)::DOUBLE / count(*) -
+                      (sum(a.xi)::DOUBLE / count(*)) *
+                        (sum(b.xi)::DOUBLE / count(*))) / 1e12 * 1e9
+                    + 0.5) AS BIGINT) AS cq
+           FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+           GROUP BY a.pos, b.pos),
+         v0 AS (SELECT i::INT AS pos, $vinit::BIGINT AS v
+                FROM range($d) t(i)),
+         $rounds,
+         tf AS (SELECT c.i AS pos, sum(c.cq * v.v) AS t
+                FROM cov c JOIN v$iters v ON c.j = v.pos GROUP BY c.i),
+         sv AS (SELECT sum(v * v) AS svv FROM v$iters),
+         nm AS (SELECT sum(v.v::HUGEINT * tf.t) AS num
+                FROM v$iters v JOIN tf ON v.pos = tf.pos),
+         trc AS (SELECT sum(cq) AS tr FROM cov WHERE i = j),
+         sh AS (SELECT CASE WHEN svv > 0 AND tr <> 0
+             THEN floor(num::DOUBLE / (svv::DOUBLE * tr::DOUBLE) * 1e6
+               + 0.5) / 1e6
+             ELSE 0.0 END AS ev_share
+           FROM sv, nm, trc)
+         SELECT v.pos::BIGINT AS pos,
+                floor(v.v::DOUBLE / sqrt(svv::DOUBLE) * 1e6 + 0.5) / 1e6
+                  AS loading,
+                ev_share
+         FROM v$iters v, sv, sh ORDER BY pos"""
+  }
+
   private def sgdTrainOracle(order: String = "doc_id"): String =
     s"""$sgdCommonCte,
        steps AS MATERIALIZED (
@@ -787,6 +845,45 @@ object SparkEntry {
          round(${sgdScoreExpr("wf")}, 6) AS score,
          CASE WHEN ${sgdScoreExpr("wf")} > 0 THEN 'spam' ELSE 'ham' END AS pred
        FROM dv d CROSS JOIN wf CROSS JOIN gs g"""
+
+  /** Closed-form PAV (mirrors `Ml.isotonicCalibration`): interval
+    * means on the 1e-12 LONG grid, then the min/max window lattice —
+    * no recursion, bit-exact against the engine's two window passes.
+    */
+  private def isotonicOracleSql(bins: Int = 12): String =
+    s"""$sgdCommonCte,
+       steps AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY doc_id) AS step, label, cv
+         FROM dv),
+       ${sgdFoldCte("fold", "steps")},
+       wf AS (SELECT w FROM fold ORDER BY step DESC LIMIT 1),
+       sc AS MATERIALIZED (
+         SELECT round(${sgdScoreExpr("wf")}, 6) AS s,
+           CASE WHEN d.label = 1 THEN 1 ELSE 0 END AS y
+         FROM dv d CROSS JOIN wf CROSS JOIN gs g),
+       bnd AS (SELECT min(s) AS smin, max(s) AS smax FROM sc),
+       binned AS (
+         SELECT CASE WHEN smax = smin THEN 0
+           ELSE least(floor((s - smin) / (smax - smin) * $bins),
+                      ${bins - 1})::INT END AS bin, y
+         FROM sc, bnd),
+       bs AS MATERIALIZED (
+         SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+         FROM binned GROUP BY bin),
+       cums AS (SELECT bin, n, sy,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(sy) OVER (ORDER BY bin) AS cy FROM bs),
+       pr AS (SELECT j.bin AS j, k.bin AS k,
+         CAST(floor((k.cy - j.cy + j.sy)::DOUBLE /
+             (k.cn - j.cn + j.n)::DOUBLE * 1e12 + 0.5) AS BIGINT) AS aq
+         FROM cums j JOIN cums k ON j.bin <= k.bin),
+       mn AS (SELECT j, k, min(aq) OVER (PARTITION BY j ORDER BY k DESC
+         ROWS UNBOUNDED PRECEDING) AS m FROM pr),
+       iso AS (SELECT k AS bin, max(m) AS isoq FROM mn GROUP BY k)
+       SELECT b.bin::BIGINT AS bin, b.n,
+         floor(b.sy::DOUBLE / b.n * 1e6 + 0.5) / 1e6 AS pos_rate,
+         floor(i.isoq::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS iso_p
+       FROM bs b JOIN iso i USING (bin) ORDER BY bin"""
 
   /** Three folds over the doc_id % 3 training splits (global vocab: a
     * feature unseen in a split keeps weight 0, which scores identically
@@ -2134,6 +2231,27 @@ object SparkEntry {
     "rank_agreement" -> RankAgreementSql,
     "markov_attribution" -> markovAttributionSql(20),
     "cv_metrics" -> cvMetricsSql(3),
+    "isotonic_calibration" -> isotonicOracleSql(),
+    // the featurizer's own poly hash restated over the distinct vocab
+    "hashing_collisions" -> s"""$TokCte,
+         u AS (SELECT DISTINCT unnest(ts) AS tok FROM toks),
+         h AS (SELECT list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+             (h, c) -> (h * 31 + c) % 1099511627776) % 10007 AS bucket
+           FROM u),
+         l AS (SELECT bucket, count(*)::BIGINT AS load FROM h
+               GROUP BY bucket),
+         d AS (SELECT load, count(*)::BIGINT AS n_buckets FROM l
+               GROUP BY load),
+         o AS (SELECT sum(n_buckets)::BIGINT AS occ FROM d),
+         t AS (SELECT count(*)::BIGINT AS n_toks FROM u),
+         allr AS (SELECT load, n_buckets FROM d
+                  UNION ALL
+                  SELECT 0::BIGINT, (10007 - occ)::BIGINT FROM o)
+         SELECT load, n_buckets,
+           floor(load * n_buckets / n_toks::DOUBLE * 1e6 + 0.5) / 1e6
+             AS tok_share
+         FROM allr, t ORDER BY load""",
     "betweenness_sample" -> betweennessOracleSql(Seq(1L, 2L, 3L), 4, 30),
     "welch_ttest" ->
       """WITH st AS (
@@ -2975,6 +3093,7 @@ object SparkEntry {
                   AS cov
          FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
          GROUP BY a.pos, b.pos""",
+    "pca_power" -> pcaPowerOracleSql(),
     "mode_agg" ->
       """WITH counts AS (
            SELECT o_orderpriority, l_returnflag, count(*) AS cnt
@@ -4460,6 +4579,89 @@ object SparkEntry {
            floor(users_at_risk::DOUBLE / total_users * 1e6 + 0.5) / 1e6
              AS at_risk_share
          FROM agg CROSS JOIN risk CROSS JOIN tot""",
+    // Kaplan–Meier: survival probabilities as exact-integer hazards;
+    // each ln(1 - d/n) factor floor-quantized to the 1e-9 LONG grid
+    // before the (order-free) prefix sum, mirroring Events.kaplanMeier
+    "kaplan_meier" ->
+      """WITH pu AS (
+           SELECT user_id, min(ts)::DATE AS d0,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)::DATE
+                    AS dconv
+           FROM events GROUP BY user_id),
+         hz AS (SELECT max(ts)::DATE AS dmax FROM events),
+         durs AS (
+           SELECT CASE WHEN dconv IS NOT NULL
+                       THEN date_diff('day', d0, dconv)
+                       ELSE date_diff('day', d0, dmax) END AS t,
+                  CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS event
+           FROM pu CROSS JOIN hz),
+         byt AS (
+           SELECT t, sum(event)::BIGINT AS d,
+                  sum(1 - event)::BIGINT AS c, count(*)::BIGINT AS k
+           FROM durs GROUP BY t),
+         n AS (SELECT count(*)::BIGINT AS nn FROM durs),
+         r AS (
+           SELECT t, d, c,
+                  nn - coalesce(sum(k) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+           FROM byt CROSS JOIN n),
+         lq AS (
+           SELECT t, d, c, n_risk,
+                  CAST(floor(ln(greatest(
+                      (n_risk - d)::DOUBLE / n_risk::DOUBLE, 1e-18))
+                    * 1e9 + 0.5) AS BIGINT) AS lnq
+           FROM r),
+         srv AS (
+           SELECT t, d, c, n_risk,
+                  floor(exp((sum(lnq) OVER (ORDER BY t
+                      ROWS UNBOUNDED PRECEDING))::DOUBLE / 1e9)
+                    * 1e6 + 0.5) / 1e6 AS surv
+           FROM lq)
+         SELECT t::BIGINT AS t_day, n_risk, d AS deaths, c AS censored,
+                surv
+         FROM srv WHERE d > 0 ORDER BY t_day""",
+    // Holt linear smoothing: recursive CTE replays the engine's fold in
+    // the same IEEE op order; smoothing constants appear as (1 - a)
+    // expressions so both engines derive the identical double
+    "holt_forecast" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+           SELECT date_diff('day', DATE '2024-01-01', ts::DATE) AS day,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::DOUBLE
+                    / 1e6 AS x
+           FROM events GROUP BY 1),
+         ord AS MATERIALIZED (
+           SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+           FROM daily),
+         r AS (
+           SELECT day, x, rn, x AS level, 0.0::DOUBLE AS trend,
+                  x AS fitted
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.day, o.x, o.rn,
+             CASE WHEN o.rn = 2 THEN o.x
+                  ELSE 0.3 * o.x + (1 - 0.3) * (r.level + r.trend) END,
+             CASE WHEN o.rn = 2 THEN o.x - r.x
+                  ELSE 0.1 * ((0.3 * o.x + (1 - 0.3) *
+                      (r.level + r.trend)) - r.level)
+                    + (1 - 0.1) * r.trend END,
+             CASE WHEN o.rn = 2 THEN r.level
+                  ELSE r.level + r.trend END
+           FROM ord o JOIN r ON o.rn = r.rn + 1),
+         last AS (SELECT * FROM r ORDER BY rn DESC LIMIT 1),
+         fc AS (
+           SELECT (l.day + h.h)::BIGINT AS day, h.h::BIGINT AS horizon,
+                  NULL::DOUBLE AS actual,
+                  floor((l.level + h.h * l.trend) * 1e6 + 0.5) / 1e6
+                    AS fitted
+           FROM last l CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h)
+         SELECT day::BIGINT AS day, 0::BIGINT AS horizon,
+                floor(x * 1e6 + 0.5) / 1e6 AS actual,
+                floor(fitted * 1e6 + 0.5) / 1e6 AS fitted
+         FROM r
+         UNION ALL
+         SELECT * FROM fc
+         ORDER BY day, horizon""",
     "k_anonymity" ->
       """WITH ev AS (
            SELECT event_type, extract(hour FROM ts)::INT AS hr,

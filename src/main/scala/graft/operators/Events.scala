@@ -1813,4 +1813,114 @@ object Events {
       .toDF("channel", "conv_prob", "removal_effect", "attribution")
       .orderBy("channel")
   }
+
+  /** Kaplan–Meier survival curve for time-to-purchase with right
+    * censoring — the estimator behind every churn/retention study that
+    * `time_to_convert` (uncensored means only) cannot give. Per user:
+    * entry day = first event, death = first purchase on/after entry,
+    * users who never purchase are CENSORED at the corpus's last
+    * observed day instead of being dropped (dropping them is the
+    * classic survivorship bias). One pass builds (duration, event)
+    * per user; the curve itself is O(distinct durations): the risk set
+    * n_t falls out of one cumulative window over duration counts
+    * (n_t = N − #{durations < t}), no per-user resort. S(t) is a
+    * product of exact-integer hazards Π(1 − d/n); each factor's ln is
+    * floor-quantized to the 1e-9 LONG grid BEFORE the cumulative sum,
+    * so the running product is an order-free integer prefix sum both
+    * engines replay term-for-term (the `markov_attribution` grid
+    * recipe applied to a product). At 100 TB the per-user reduction is
+    * the only corpus-bound stage; the curve is bounded by the day span.
+    */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val perUser = ev.groupBy("user_id").agg(
+      to_date(min(col("ts"))).as("d0"),
+      to_date(min(when(col("event_type") === "purchase", col("ts"))))
+        .as("dconv"))
+    val horizon = ev.agg(to_date(max(col("ts"))).as("dmax"))
+    val durs = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("dconv").isNotNull, datediff(col("dconv"), col("d0")))
+          .otherwise(datediff(col("dmax"), col("d0"))).as("t"),
+        when(col("dconv").isNotNull, 1L).otherwise(0L).as("event"))
+    val byT = durs.groupBy("t").agg(
+      sum(col("event")).as("d"),
+      sum(lit(1L) - col("event")).as("c"),
+      count(lit(1)).as("k"))
+    val n = durs.count()
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", lit(n) - coalesce(sum(col("k")).over(w), lit(0L)))
+      // ln(1 - d/n) on exact ints, gridded per term, summed exactly
+      .withColumn("lnq",
+        floor(log(greatest((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double"), lit(1e-18)))
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("surv",
+        q(exp(sum(col("lnq")).over(cum).cast("double") / lit(1e9)), 6))
+      .filter(col("d") > 0)
+      .select(col("t").cast("long").as("t_day"), col("n_risk"),
+        col("d").as("deaths"), col("c").as("censored"), col("surv"))
+      .orderBy("t_day")
+  }
+
+  /** Holt double-exponential smoothing (level + trend) of the daily
+    * revenue series with a 7-day-ahead forecast — the trend-aware
+    * upgrade of [[emaSmooth]]'s flat EMA, and the forecaster that
+    * `stl_decompose`'s diagnostic decomposition feeds. Daily totals
+    * are exact: per-event values land on the 1e-6 LONG grid before the
+    * day sum, so the series is merge-order-free at any executor count.
+    * The recurrence (l_t = α·x_t + (1−α)(l+b); b_t = β(l_t−l) +
+    * (1−β)b) is order-dependent, so the ~span-bounded series collapses
+    * to ONE sorted array folded by a single `aggregate` lambda — the
+    * [[emaSmooth]] shape with two-slot carried state — written in the
+    * exact IEEE op order the oracle's recursive CTE replays. In-sample
+    * rows surface the one-step-ahead fit l+b (horizon 0); rows T+1..T+7
+    * extrapolate l_T + h·b_T. Corpus-bound work is one day-keyed agg;
+    * the fold is O(days) regardless of event volume.
+    */
+  def holtForecast(s: SparkSession, dir: String, alpha: Double = 0.3,
+                   beta: Double = 0.1, h: Int = 7): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg((sum(col("v6")).cast("double") / lit(1e6)).as("x"))
+    val acc0 = array().cast(
+      "array<struct<day:int,x:double,level:double,trend:double,fitted:double>>")
+    val folded = daily
+      .select(struct(col("day").cast("int").as("day"), col("x")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(aggregate(col("es"), acc0, (acc, e) => {
+        val lst = element_at(acc, -1)
+        val seeded = struct(e("day").as("day"), e("x").as("x"),
+          e("x").as("level"), lit(0.0).as("trend"),
+          e("x").as("fitted"))
+        val second = struct(e("day").as("day"), e("x").as("x"),
+          e("x").as("level"), (e("x") - lst("x")).as("trend"),
+          lst("level").as("fitted"))
+        val fit = lst("level") + lst("trend")
+        val lvl = lit(alpha) * e("x") + lit(1 - alpha) * fit
+        val stepped = struct(e("day").as("day"), e("x").as("x"),
+          lvl.as("level"),
+          (lit(beta) * (lvl - lst("level")) +
+            lit(1 - beta) * lst("trend")).as("trend"),
+          fit.as("fitted"))
+        when(size(acc) === 0, array(seeded)).otherwise(concat(acc,
+          array(when(size(acc) === 1, second).otherwise(stepped))))
+      }).as("out"))
+    val inSample = folded
+      .select(explode(col("out")).as("o"))
+      .select(col("o.day").cast("long").as("day"), lit(0L).as("horizon"),
+        q(col("o.x"), 6).as("actual"), q(col("o.fitted"), 6).as("fitted"))
+    val fc = folded
+      .select(element_at(col("out"), -1).as("f"))
+      .select(explode(sequence(lit(1), lit(h))).as("hz"), col("f"))
+      .select((col("f.day") + col("hz")).cast("long").as("day"),
+        col("hz").cast("long").as("horizon"),
+        lit(null).cast("double").as("actual"),
+        q(col("f.level") + col("hz") * col("f.trend"), 6).as("fitted"))
+    inSample.unionAll(fc).orderBy("day", "horizon")
+  }
 }

@@ -388,4 +388,88 @@ object Ml {
         .select(lit(f).as("fold"), col("n_test"), col("n_pos"), col("auc"))
     }.reduce(_ unionAll _).orderBy("fold")
   }
+
+  /** Isotonic (PAV) calibration of the classifier margin, at score-bin
+    * granularity: the closed form iso(i) = max_{j≤i} min_{k≥i}
+    * mean(y[j..k]) replaces the sequential pool-adjacent-violators
+    * loop with two window passes over the O(bins²) interval-mean
+    * table — a monotone fit with NO driver-side recursion. The scored
+    * frame reduces to `bins` exact-integer rows in one partial-agg
+    * shuffle (corpus-bound stage); everything after is bins²
+    * arithmetic. Interval means land on the 1e-12 LONG grid before the
+    * min/max lattice, so the fit is order-free and engine-exact; the
+    * monotonicity of the output is asserted by spec, and
+    * `calibration_bins`' raw (possibly non-monotone) positive rates
+    * are the natural input comparison.
+    */
+  def isotonicCalibration(s: SparkSession, dir: String,
+                          bins: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = applyQuery(s, dir).select(col("score").as("s"),
+      when(col("label") === 1.0, 1L).otherwise(0L).as("y"))
+    val bnd = sc.agg(min("s").as("smin"), max("s").as("smax"))
+    val binned = sc.crossJoin(broadcast(bnd))
+      .select(when(col("smax") === col("smin"), 0)
+        .otherwise(least(floor((col("s") - col("smin")) /
+          (col("smax") - col("smin")) * lit(bins)), lit(bins - 1)))
+        .cast("int").as("bin"), col("y"))
+    val bs = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    val wcum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cums = bs.select(col("bin"), col("n"), col("sy"),
+      sum("n").over(wcum).as("cn"), sum("sy").over(wcum).as("cy"))
+    val j = cums.select(col("bin").as("j"), col("n").as("nj"),
+      col("sy").as("syj"), col("cn").as("cnj"), col("cy").as("cyj"))
+    val k = cums.select(col("bin").as("k"), col("cn").as("cnk"),
+      col("cy").as("cyk"))
+    // interval mean of y over bins j..k, exact ints → 1e-12 LONG grid
+    val pr = j.join(k, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        floor((col("cyk") - col("cyj") + col("syj")).cast("double") /
+          (col("cnk") - col("cnj") + col("nj")).cast("double") *
+          lit(1e12) + lit(0.5)).cast("long").as("aq"))
+    val wmin = Window.partitionBy("j").orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val mn = pr.select(col("j"), col("k"), min("aq").over(wmin).as("m"))
+    val iso = mn.groupBy(col("k").as("bin")).agg(max("m").as("isoq"))
+    bs.join(iso, "bin")
+      .select(col("bin").cast("long").as("bin"), col("n"),
+        graft.operators.Events.q(
+          col("sy").cast("double") / col("n"), 6).as("pos_rate"),
+        graft.operators.Events.q(
+          col("isoq").cast("double") / lit(1e12), 6).as("iso_p"))
+      .orderBy("bin")
+  }
+
+  /** Feature-hashing collision audit of [[featurize]]'s 10007-bucket
+    * hash trick: the bucket-load histogram (including empty buckets)
+    * plus the share of distinct tokens sitting at each load — the
+    * table that says how much signal the hashing trick is smearing.
+    * One distinct-token shuffle then a vocabulary-bounded count; the
+    * corpus never moves twice. The base-31 poly hash is the
+    * oracle-replicable one the whole SGD tier uses.
+    */
+  def hashingCollisions(s: SparkSession, dir: String,
+                        buckets: Int = DefaultBuckets): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("tok"))
+      .distinct()
+      .persist()
+    CacheScope.register(toks) // eager: load histogram + total both scan
+    val loads = toks
+      .select(pmod(element_at(polyHashArray(array(col("tok"))), 1),
+        lit(buckets.toLong)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("load"))
+      .groupBy("load").agg(count(lit(1)).as("n_buckets"))
+    val tot = toks.agg(count(lit(1)).as("n_toks"))
+    val zero = loads.agg(sum("n_buckets").as("occ"))
+      .select(lit(0L).as("load"),
+        (lit(buckets.toLong) - col("occ")).as("n_buckets"))
+    loads.unionAll(zero).crossJoin(broadcast(tot))
+      .select(col("load"), col("n_buckets"),
+        graft.operators.Events.q(col("load") * col("n_buckets") /
+          col("n_toks").cast("double"), 6).as("tok_share"))
+      .orderBy("load")
+  }
 }

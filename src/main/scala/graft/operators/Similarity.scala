@@ -618,4 +618,69 @@ object Similarity {
           .as("load_factor"))
       .orderBy("centroid_id")
   }
+
+  /** Top principal component of the leading `d` embedding dimensions by
+    * power iteration — the dimensionality-reduction fit that
+    * [[covarianceMatrix]] is the input to. The distributed stage is the
+    * d²-accumulator covariance scan (one shuffle of d² groups at ANY
+    * corpus size); the iteration itself is d×d arithmetic, so it runs
+    * on the driver like the `markov_attribution` value loop — a 100 TB
+    * corpus changes the scan, never the loop. Determinism: covariance
+    * lands on a 1e-9 LONG grid, the iterate on a 1e-6 LONG grid (max-
+    * norm renormalization keeps every mat-vec product an EXACT integer
+    * sum — order-free across engines); the Rayleigh numerator v'Cv uses
+    * BigInt (HUGEINT in the oracle), and only the final loading/share
+    * divisions are double ops over exact integers. The unrolled-SQL
+    * oracle replays all `iters` rounds term for term.
+    */
+  def pcaPower(s: SparkSession, dir: String, d: Int = 8,
+               iters: Int = 10): DataFrame = {
+    val xi = Tables.embeddings(s, dir)
+      .select(transform(
+        slice(col("embedding").cast("array<double>"), 1, d),
+        x => round(x * lit(1e6), 0).cast("long")).as("xi"))
+    val pairs = xi.select(explode(flatten(
+      transform(sequence(lit(0), lit(d - 1)), i =>
+        transform(sequence(lit(0), lit(d - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            element_at(col("xi"), i + 1).as("a"),
+            element_at(col("xi"), j + 1).as("b")))))).as("p"))
+      .select(col("p.*"))
+    val covRows = pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("b")).as("sb"),
+        sum(col("a").cast("decimal(38,0)") * col("b")).as("sab"))
+      .select(col("i"), col("j"),
+        floor((col("sab").cast("double") / col("n") -
+          (col("sa").cast("double") / col("n")) *
+            (col("sb").cast("double") / col("n"))) / lit(1e12) * lit(1e9)
+          + lit(0.5)).cast("long").as("cq"))
+      .collect()
+    val cov = Array.ofDim[Long](d, d)
+    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    def matvec(v: Array[Long]): Array[Long] =
+      Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+    var v = Array.fill(d)(math.floor(1.0 / math.sqrt(d) * 1e6 + 0.5).toLong)
+    for (_ <- 1 to iters) {
+      val t = matvec(v)
+      val ma = t.map(math.abs).max
+      v = t.map(x => if (ma > 0)
+        math.floor(x.toDouble / ma.toDouble * 1e6 + 0.5).toLong else 0L)
+    }
+    val t = matvec(v)
+    val svv = v.map(x => x * x).sum
+    val num = (0 until d).map(i => BigInt(v(i)) * t(i)).sum
+    val tr = (0 until d).map(i => cov(i)(i)).sum
+    val share =
+      if (svv > 0 && tr != 0)
+        math.floor(num.toDouble / (svv.toDouble * tr.toDouble) * 1e6
+          + 0.5) / 1e6
+      else 0.0
+    val nrm = math.sqrt(svv.toDouble)
+    import s.implicits._
+    (0 until d).map(i => (i.toLong,
+      math.floor(v(i).toDouble / nrm * 1e6 + 0.5) / 1e6, share))
+      .toDF("pos", "loading", "ev_share")
+      .orderBy("pos")
+  }
 }

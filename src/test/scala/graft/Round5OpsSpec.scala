@@ -678,6 +678,124 @@ class Round5OpsSpec extends SparkSpec {
     assert(fix.getLong(1) == 0L && fix.getDouble(3) == 0.0)
   }
 
+  test("kaplan_meier: hand-computed curve with censoring") {
+    val dir = java.nio.file.Files.createTempDirectory("km").toString
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2024-01-${day + 1}%02d").getTime + 3600000L)
+    // u1: enters d0, purchase d2 (t=2 death); u2: enters d0, never
+    // purchases (censored at horizon d5, t=5); u3: first event IS a
+    // purchase (t=0 death); u4: enters d0, purchase d5 (t=5 death)
+    val rows = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(2), 1L, "purchase", 1.0),
+      (3L, ts(0), 2L, "view", 1.0), (4L, ts(3), 2L, "click", 1.0),
+      (5L, ts(1), 3L, "purchase", 1.0),
+      (6L, ts(0), 4L, "view", 1.0), (7L, ts(5), 4L, "purchase", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Events.kaplanMeier(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))))
+    CacheScope.release(spark)
+    val m = got.toMap
+    assert(got.map(_._1).toSeq == Seq(0L, 2L, 5L))
+    assert(m(0L)._1 == 4L && m(0L)._2 == 1L && m(0L)._3 == 0L)
+    assert(m(2L)._1 == 3L && m(2L)._2 == 1L)
+    assert(m(5L)._1 == 2L && m(5L)._2 == 1L && m(5L)._3 == 1L)
+    // survival drops 3/4 → 1/2 → 1/4 (grid arithmetic ≈ exact values)
+    assert(math.abs(m(0L)._4 - 0.75) < 2e-6)
+    assert(math.abs(m(2L)._4 - 0.5) < 2e-6)
+    assert(math.abs(m(5L)._4 - 0.25) < 2e-6)
+    // fixture sanity: survival is non-increasing in t
+    val fix = operators.Events.kaplanMeier(spark, sf).collect()
+      .map(_.getDouble(4))
+    CacheScope.release(spark)
+    assert(fix.zip(fix.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("holt_forecast: exact tracking on a perfectly linear series") {
+    val dir = java.nio.file.Files.createTempDirectory("holt").toString
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2024-01-${day + 1}%02d").getTime + 60000L)
+    // x_t = 10 + 2t: Holt's level locks to x_t and trend to exactly 2
+    // from step 2 on, so fits and forecasts are exact integers
+    val rows = (0 until 10).map(d =>
+      (d.toLong, ts(d), 1L, "view", 10.0 + 2 * d))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Events.holtForecast(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3)))
+    CacheScope.release(spark)
+    assert(got.length == 17)
+    val inS = got.filter(_._2 == 0L)
+    // one-step-ahead fit equals the actual from day 2 onward
+    inS.drop(2).foreach { case (d, _, a, f) =>
+      assert(a.contains(10.0 + 2 * d) && f == 10.0 + 2 * d) }
+    val fc = got.filter(_._2 > 0L)
+    fc.foreach { case (d, h, a, f) =>
+      assert(d == 9 + h && a.isEmpty && f == 10.0 + 2 * d) }
+  }
+
+  test("pca_power: rank-1 corpus recovers its generating direction") {
+    val dir = java.nio.file.Files.createTempDirectory("pca").toString
+    // x_k = k·(0.6, 0.8, 0, …): covariance is rank one, so the top
+    // component IS (0.6, 0.8, 0, …) and it explains all the variance
+    val rows = (-5 to 5).map { k =>
+      val v = Array.fill(8)(0.0f)
+      v(0) = (k * 0.6).toFloat; v(1) = (k * 0.8).toFloat
+      (k.toLong + 10, v.toSeq, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Similarity.pcaPower(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    CacheScope.release(spark)
+    assert(math.abs(got(0)._2 - 0.6) < 1e-4)
+    assert(math.abs(got(1)._2 - 0.8) < 1e-4)
+    got.drop(2).foreach(r => assert(math.abs(r._2) < 1e-4))
+    assert(math.abs(got.head._3 - 1.0) < 1e-4, s"share ${got.head._3}")
+  }
+
+  test("isotonic_calibration: matches a sequential PAV and is monotone") {
+    val rows = operators.Ml.isotonicCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    CacheScope.release(spark)
+    // monotone non-decreasing in bin
+    val iso = rows.map(_._4)
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a }, iso.toSeq)
+    // classic pool-adjacent-violators on the same (weight, rate) bins
+    // must agree with the closed-form window lattice
+    val pav = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double)] // (weight, value)
+    rows.foreach { case (_, n, rate, _) =>
+      pav += ((n.toDouble, rate))
+      while (pav.length >= 2 && pav(pav.length - 2)._2 > pav.last._2) {
+        val (w2, v2) = pav.remove(pav.length - 1)
+        val (w1, v1) = pav.remove(pav.length - 1)
+        pav += ((w1 + w2, (w1 * v1 + w2 * v2) / (w1 + w2)))
+      }
+    }
+    val expanded = pav.flatMap { case (w, v) =>
+      Seq.fill(math.round(w).toInt)(v) }
+    val gotExpanded = rows.flatMap { case (_, n, _, i) =>
+      Seq.fill(n.toInt)(i) }
+    assert(expanded.length == gotExpanded.length)
+    expanded.zip(gotExpanded).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-4, s"PAV $e vs lattice $g") }
+  }
+
+  test("hashing_collisions: load histogram conserves buckets and vocab") {
+    val rows = operators.Ml.hashingCollisions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    CacheScope.release(spark)
+    assert(rows.map(_._2).sum == 10007L, "bucket count conserved")
+    val vocab = rows.map(r => r._1 * r._2).sum
+    assert(vocab > 0)
+    // token shares sum to 1 (each token sits at exactly one load)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
