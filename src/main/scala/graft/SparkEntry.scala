@@ -34,6 +34,7 @@ object SparkEntry {
     "prefix_count" -> ((s, d) => Cooccur.prefixCount(s, d)),
     "bigram_rel_freq" -> ((s, d) => Cooccur.bigramRelFreq(s, d)),
     "pmi_pairs" -> ((s, d) => Cooccur.pmiPairs(s, d)),
+    "textrank_keywords" -> ((s, d) => Cooccur.textrank(s, d)),
     "inverted_index" -> ((s, d) => Index.postings(s, d)),
     "term_df" -> ((s, d) => Index.termDf(s, d)),
     "postings_lists" -> ((s, d) => Index.postingsListsSerialized(s, d)),
@@ -818,6 +819,43 @@ object SparkEntry {
                   AS loading,
                 ev_share
          FROM v$iters v, sv, sh ORDER BY pos"""
+  }
+
+  /** Unrolled weighted PageRank over the adjacent-token graph (mirrors
+    * `Cooccur.textrank`): same scatter expression per round, 9-dp
+    * round before the top-k cut (gather-order sub-ulp noise rounds
+    * away — the `pagerank_global` contract).
+    */
+  private def textrankOracleSql(rounds: Int = 8, k: Int = 20): String = {
+    val blocks = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+           SELECT id, (1 - 0.85) / n + 0.85 * recv AS r FROM (
+             SELECT st.dst AS id, sum(r.r * st.w / st.wout) AS recv
+             FROM st JOIN r${i - 1} r ON st.src = r.id
+             GROUP BY st.dst), nn)"""
+    }.mkString(",\n         ")
+    s"""$TokCte,
+         bp AS (
+           SELECT unnest(list_transform(range(1, len(ts)), i ->
+             {'a': ts[i], 'b': ts[i + 1]})) AS p
+           FROM toks WHERE len(ts) >= 2),
+         pp AS (SELECT p.a AS a, p.b AS b FROM bp WHERE p.a <> p.b),
+         e AS MATERIALIZED (
+           SELECT src, dst, count(*)::BIGINT AS w FROM (
+             SELECT a AS src, b AS dst FROM pp
+             UNION ALL SELECT b AS src, a AS dst FROM pp)
+           GROUP BY src, dst),
+         ow AS MATERIALIZED (SELECT src, sum(w) AS wout FROM e
+           GROUP BY src),
+         st AS MATERIALIZED (
+           SELECT e.src, e.dst, e.w, ow.wout FROM e JOIN ow USING (src)),
+         nn AS MATERIALIZED (SELECT count(DISTINCT src)::BIGINT AS n
+           FROM e),
+         r0 AS MATERIALIZED (
+           SELECT DISTINCT src AS id, 1.0 / n AS r FROM e, nn),
+         $blocks
+         SELECT id AS token, round(r, 9) AS rank FROM r$rounds
+         ORDER BY round(r, 9) DESC, id LIMIT $k"""
   }
 
   private def sgdTrainOracle(order: String = "doc_id"): String =
@@ -1740,6 +1778,7 @@ object SparkEntry {
          SELECT w1, w2, count(*) AS cnt,
                 count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY w1) AS rf
          FROM bg GROUP BY w1, w2""",
+    "textrank_keywords" -> textrankOracleSql(),
     "pmi_pairs" -> """WITH toks AS (
            SELECT list_distinct(list_filter(list_transform(
              string_split_regex(lower(text), '\s+'),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 import graft.expressions.OptimizerBarrier
 import graft.functions.TextFns._
 
@@ -90,5 +90,55 @@ object Cooccur {
       .select(col("w1"), col("w2"), col("cnt"),
         round(log10(col("cnt") * col("n_lines") / (col("cw1") * col("cw2"))), 6)
           .as("pmi"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the adjacent-token co-occurrence graph — the
+    * unsupervised keyword scorer that needs no training data, built
+    * from the same tokenize pass as [[pmiPairs]] and the same fixpoint
+    * shape as `Graph.pagerankGlobal`. The graph is VOCABULARY-bounded
+    * (nodes = distinct tokens, edges = distinct adjacent pairs), so at
+    * 100 TB the corpus-bound stage is the one bigram count shuffle;
+    * the iteration moves |vocab| rank rows per round with the weighted
+    * structure cached. The undirected graph has no dangling nodes, so
+    * the damping feedback is structurally closed; ranks ride doubles
+    * and the final surface rounds at 9 dp before the top-k cut (the
+    * `pagerank_global` contract — sub-ulp gather-order noise rounds
+    * away, the selected SET is deterministic).
+    */
+  def textrank(s: SparkSession, dir: String, rounds: Int = 8,
+               damping: Double = 0.85, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(tokenize(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val pairs = toks.select(
+      explode(expr("transform(slice(ts, 1, size(ts)-1), (x, i) -> " +
+        "struct(x AS a, element_at(ts, i+2) AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .filter(col("a") =!= col("b"))
+    val e = CacheScope.track(pairs.select(
+        explode(array(struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .persist())
+    val outw = e.groupBy("src").agg(sum("w").as("wout"))
+    val struct0 = CacheScope.track(e.join(outw, "src").persist())
+    val nodes = CacheScope.track(
+      e.select(col("src").as("id")).distinct().persist())
+    val n = nodes.count()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to rounds) {
+      ranks = struct0.join(ranks, struct0("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          (col("r") * col("w") / col("wout")).as("c"))
+        .groupBy("id").agg(sum("c").as("recv"))
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) * col("recv")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(round(col("r"), 9).desc, col("id"))
+      .limit(k)
+      .select(col("id").as("token"), round(col("r"), 9).as("rank"))
   }
 }

@@ -796,6 +796,23 @@ class Round5OpsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
   }
 
+  test("textrank_keywords: hub token wins; rank mass is conserved") {
+    val dir = java.nio.file.Files.createTempDirectory("trank").toString
+    // "hub" is adjacent to four distinct words, each of them only to
+    // hub — the co-occurrence star graph where the center must rank top
+    Seq((1L, "hub aa"), (2L, "hub bb"), (3L, "hub cc"), (4L, "hub dd"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Cooccur.textrank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    CacheScope.release(spark)
+    assert(got.head._1 == "hub", got.toSeq)
+    // no dangling nodes → every round preserves total rank mass 1
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-6)
+    assert(got.tail.map(_._2).distinct.length == 1,
+      "the four leaves are symmetric and must tie exactly")
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
