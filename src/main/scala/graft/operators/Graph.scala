@@ -884,7 +884,16 @@ object Graph {
     * rows per hop, gone here).
     */
   private def frontierLoop(e: DataFrame, sources: Seq[Long],
-                           maxHops: Int): DataFrame = {
+                           maxHops: Int): DataFrame =
+    frontierRings(e, sources, maxHops).reduce(_ unionAll _)
+
+  /** The ring-per-hop view of [[frontierLoop]] for callers that walk
+    * levels individually (the Brandes backward pass): ring(d) is
+    * already its own checkpointed frame, so exposing the vector saves
+    * re-filtering the unioned BFS table once per level.
+    */
+  private def frontierRings(e: DataFrame, sources: Seq[Long],
+                            maxHops: Int): Vector[DataFrame] = {
     val s = e.sparkSession
     import s.implicits._
     var rings = Vector(sources.toDF("source")
@@ -907,7 +916,7 @@ object Graph {
         .localCheckpoint()
       rings :+= next
     }
-    rings.reduce(_ unionAll _)
+    rings
   }
 
   def bfsDistances(s: SparkSession, dir: String, source: Long,
@@ -1183,17 +1192,20 @@ object Graph {
     graft.CacheScope.register(e) // eager: forward + every backward level
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      val bfs = frontierLoop(e, sources, maxHops).persist()
-      graft.CacheScope.register(bfs)
-      var delta = bfs.filter(col("dist") === maxHops)
+      // per-level rings straight from the kernel: each is already its
+      // own localCheckpoint'ed frame, so the backward pass touches
+      // exactly ring(lvl) and ring(lvl+1) per level instead of
+      // re-filtering the unioned BFS table (2 full-table scans/level)
+      val rings = frontierRings(e, sources, maxHops)
+      var delta = rings(maxHops)
         .select(col("source"), col("id"), lit(0L).as("di"))
         .localCheckpoint()
       var acc = Vector.empty[DataFrame]
       for (lvl <- (maxHops - 1) to 0 by -1) {
-        val cur = bfs.filter(col("dist") === lvl)
+        val cur = rings(lvl)
           .select(col("source"), col("id").as("v"),
             col("n_paths").as("sv"))
-        val nxt = bfs.filter(col("dist") === lvl + 1)
+        val nxt = rings(lvl + 1)
           .select(col("source"), col("id").as("w"),
             col("n_paths").as("sw"))
           .join(delta.select(col("source"), col("id").as("w"),
@@ -1207,7 +1219,7 @@ object Graph {
             (lit(1000000000L) + col("dw")) + lit(0.5)).cast("long"))
             .as("du"))
           .select(col("source"), col("v").as("id"), col("du"))
-        delta = bfs.filter(col("dist") === lvl)
+        delta = rings(lvl)
           .select(col("source"), col("id"))
           .join(d, Seq("source", "id"), "left")
           .select(col("source"), col("id"),
