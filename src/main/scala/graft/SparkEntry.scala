@@ -96,6 +96,8 @@ object SparkEntry {
     "l_diversity" -> ((s, d) => Events.lDiversity(s, d)),
     "kaplan_meier" -> ((s, d) => Events.kaplanMeier(s, d)),
     "holt_forecast" -> ((s, d) => Events.holtForecast(s, d)),
+    "cusum_changepoint" -> ((s, d) => Events.cusumChangepoint(s, d)),
+    "rrf_fusion" -> ((s, d) => Index.rrfFusion(s, d)),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingPairs(s, d, 0.45)),
     "lang_id" -> ((s, d) => TextStats.langId(s, d)),
     "quality_score" -> ((s, d) => TextStats.quality(s, d)),
@@ -2268,6 +2270,28 @@ object SparkEntry {
          ORDER BY centroid_id""",
     "dedup_bias" -> DedupBiasSql,
     "rank_agreement" -> RankAgreementSql,
+    "rrf_fusion" -> RrfFusionSql,
+    // CUSUM: mean multiplied through so the whole scan is exact LONGs
+    "cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT date_diff('day', DATE '2024-01-01', ts::DATE) AS day,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS x6
+           FROM events GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(x6)::BIGINT AS sx
+                 FROM daily),
+         c AS (SELECT day, x6,
+                 row_number() OVER (ORDER BY day) AS t,
+                 sum(x6) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cum
+               FROM daily),
+         c2 AS (SELECT day, n * cum - t * sx AS c6, n FROM c, tot),
+         mx AS (SELECT max(abs(c6)) AS mx FROM c2),
+         fh AS (SELECT min(day) AS cp_day FROM c2, mx
+                WHERE abs(c6) = mx)
+         SELECT day::BIGINT AS day,
+           floor(c6::DOUBLE / (n * 1e6) * 1e6 + 0.5) / 1e6 AS cusum,
+           (abs(c6) = mx AND day = cp_day) AS is_changepoint
+         FROM c2, mx, fh ORDER BY day""",
     "markov_attribution" -> markovAttributionSql(20),
     "cv_metrics" -> cvMetricsSql(3),
     "isotonic_calibration" -> isotonicOracleSql(),
@@ -5253,7 +5277,10 @@ object SparkEntry {
     * quantized scores with doc_id tiebreaks, exactly as
     * `Index.rankAgreement` does.
     */
-  private lazy val RankAgreementSql: String = s"""$TokCte,
+  /** Shared BM25 + tf-idf ranked-list CTEs (`sa`/`sb`): the prefix for
+    * both `rank_agreement` and `rrf_fusion`.
+    */
+  private lazy val RankersCte: String = s"""$TokCte,
        lens AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
        p AS (SELECT term, doc_id, count(*) AS tf
              FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
@@ -5275,7 +5302,9 @@ object SparkEntry {
        sb AS (SELECT term, doc_id, rnk AS rb FROM (
                 SELECT *, row_number() OVER (PARTITION BY term
                   ORDER BY tfidf DESC, doc_id) AS rnk FROM sct)
-              WHERE rnk <= 10),
+              WHERE rnk <= 10)"""
+
+  private lazy val RankAgreementSql: String = s"""$RankersCte,
        j AS (SELECT sa.term, sa.ra, sb.rb
              FROM sa JOIN sb USING (term, doc_id)),
        g AS (SELECT term, count(*)::BIGINT AS nc,
@@ -5289,6 +5318,28 @@ object SparkEntry {
            THEN floor(fr::DOUBLE / (nc * 9) * 1e6 + 0.5) / 1e6
            ELSE NULL END AS divergence
        FROM terms LEFT JOIN g USING (term) ORDER BY term"""
+
+  /** Reciprocal-rank fusion of the two ranked lists (K = 60): rrf =
+    * Σ 1/(K + rank) over the rankers that listed the doc, quantized at
+    * 9 dp before the per-term re-rank cut (mirrors `Index.rrfFusion`).
+    */
+  private lazy val RrfFusionSql: String = s"""$RankersCte,
+       u AS (SELECT coalesce(sa.term, sb.term) AS term,
+                    coalesce(sa.doc_id, sb.doc_id) AS doc_id,
+                    sa.ra, sb.rb
+             FROM sa FULL JOIN sb
+               ON sa.term = sb.term AND sa.doc_id = sb.doc_id),
+       sc2 AS (SELECT term, doc_id,
+                 floor((coalesce(1.0 / (60 + ra), 0.0) +
+                        coalesce(1.0 / (60 + rb), 0.0)) * 1e9 + 0.5)
+                   / 1e9 AS rrf
+               FROM u),
+       rk AS (SELECT term, doc_id, rrf,
+                row_number() OVER (PARTITION BY term
+                  ORDER BY rrf DESC, doc_id) AS rn
+              FROM sc2)
+       SELECT term, doc_id, rn::BIGINT AS rrf_rank, rrf
+       FROM rk WHERE rn <= 10 ORDER BY term, rrf_rank"""
 
   /** Exact shingle-Jaccard near-dup pairs (threshold 0.8, 3-gram
     * shingles) — also the oracle for the MinHash+LSH variant.

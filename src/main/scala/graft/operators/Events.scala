@@ -1923,4 +1923,39 @@ object Events {
         q(col("f.level") + col("hz") * col("f.trend"), 6).as("fitted"))
     inSample.unionAll(fc).orderBy("day", "horizon")
   }
+
+  /** CUSUM changepoint scan of the daily revenue series: C_t =
+    * Σ_{i≤t}(x_i − x̄), the classic level-shift locator (argmax |C_t|
+    * splits the series at the most likely mean change). Everything is
+    * EXACT integer arithmetic: day totals on the 1e-6 LONG grid, and
+    * the mean multiplied through — C6_t = n·cum_t − t·Σx — so the
+    * argmax and its tie-break (earliest day) are LONG comparisons, no
+    * float anywhere before the surfaced cusum value. One day-keyed agg
+    * is the only corpus-bound stage; the scan itself is O(days). (At
+    * extreme scale the 1e-6-grid day totals would ride DECIMAL(38)
+    * like the Welch moments; LONG holds to ~10¹² value-mass per day.)
+    */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg(sum("v6").as("x6"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x6").as("sx"))
+    val wcum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .withColumn("cum", sum("x6").over(wcum))
+      .withColumn("c6", col("n") * col("cum") - col("t") * col("sx"))
+    val mx = c.agg(max(abs(col("c6"))).as("mx"))
+    val flagged = c.crossJoin(broadcast(mx))
+    val firstHit = flagged.filter(abs(col("c6")) === col("mx"))
+      .agg(min("day").as("cp_day"))
+    flagged.crossJoin(broadcast(firstHit))
+      .select(col("day").cast("long").as("day"),
+        q(col("c6").cast("double") / (col("n") * lit(1e6)), 6).as("cusum"),
+        (abs(col("c6")) === col("mx") && col("day") === col("cp_day"))
+          .as("is_changepoint"))
+      .orderBy("day")
+  }
 }

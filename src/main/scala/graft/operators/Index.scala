@@ -328,4 +328,40 @@ object Index {
           .as("divergence"))
       .orderBy("term")
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the BM25 and
+    * tf-idf rankers: rrf(d) = Σ_r 1/(K + rank_r(d)) over the rankers
+    * that surface the doc in their top-k, K = 60 — the standard hybrid
+    * merge for lexical+semantic retrieval, score-scale-free by
+    * construction. Both input lists are top-k-bounded per term, so the
+    * full outer join and the re-rank window touch ≤ 2k rows per term
+    * at ANY corpus size; the corpus-bound work is the two rankers'
+    * shared postings build. The fused score is a two-term sum written
+    * in fixed expression order (no aggregate), quantized at 9 dp
+    * before the cut — fully engine-deterministic.
+    */
+  def rrfFusion(s: SparkSession, dir: String, k: Int = 10,
+                kc: Int = 60): DataFrame = {
+    val wa = Window.partitionBy("term")
+      .orderBy(col("score").desc, col("doc_id"))
+    val wb = Window.partitionBy("term")
+      .orderBy(col("tfidf").desc, col("doc_id"))
+    val ra = bm25Topk(s, dir, k)
+      .withColumn("ra", row_number().over(wa))
+      .select(col("term"), col("doc_id"), col("ra"))
+    val rb = tfidfTopk(s, dir, k)
+      .withColumn("rb", row_number().over(wb))
+      .select(col("term"), col("doc_id"), col("rb"))
+    val fused = ra.join(rb, Seq("term", "doc_id"), "full")
+      .select(col("term"), col("doc_id"),
+        Events.q(coalesce(lit(1.0) / (lit(kc) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kc) + col("rb")), lit(0.0)), 9)
+          .as("rrf"))
+    val wr = Window.partitionBy("term")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rrf_rank", row_number().over(wr).cast("long"))
+      .filter(col("rrf_rank") <= k)
+      .select("term", "doc_id", "rrf_rank", "rrf")
+      .orderBy("term", "rrf_rank")
+  }
 }

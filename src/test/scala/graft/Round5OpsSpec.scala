@@ -813,6 +813,47 @@ class Round5OpsSpec extends SparkSpec {
       "the four leaves are symmetric and must tie exactly")
   }
 
+  test("cusum_changepoint: locates a clean level shift") {
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2024-01-${day + 1}%02d").getTime + 60000L)
+    // 10,10,10,20,20,20: C_t = (-5,-10,-15,-10,-5,0)·1 ⇒ the max-|C|
+    // split is after day 2, exactly the shift boundary
+    val rows = (0 until 6).map(d =>
+      (d.toLong, ts(d), 1L, "view", if (d < 3) 10.0 else 20.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Events.cusumChangepoint(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    CacheScope.release(spark)
+    assert(got.map(_._2).toSeq ==
+      Seq(-5.0, -10.0, -15.0, -10.0, -5.0, 0.0))
+    assert(got.filter(_._3).map(_._1).toSeq == Seq(2L))
+  }
+
+  test("rrf_fusion: docs on both ranked lists dominate single-list docs") {
+    val rows = operators.Index.rrfFusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    CacheScope.release(spark)
+    // per term: ranks are 1..≤10 and rrf is non-increasing
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to g.length).toSeq)
+      val vs = sorted.map(_._4)
+      assert(vs.zip(vs.tail).forall { case (a, b) => b <= a })
+    }
+    // K=60, k=10: worst both-lists score 2/70 beats best single-list
+    // score 1/61, so every two-ranker doc must outrank one-ranker docs
+    val thresh = 2.0 / 70
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val ranks = g.sortBy(_._3).map(_._4)
+      val firstSingle = ranks.indexWhere(_ < thresh - 1e-9)
+      if (firstSingle >= 0)
+        assert(ranks.drop(firstSingle).forall(_ < thresh - 1e-9))
+    }
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
