@@ -90,6 +90,8 @@ object SparkEntry {
     "cv_metrics" -> ((s, d) => Ml.cvMetrics(s, d)),
     "isotonic_calibration" -> ((s, d) => Ml.isotonicCalibration(s, d)),
     "hashing_collisions" -> ((s, d) => Ml.hashingCollisions(s, d)),
+    "ks_statistic" -> ((s, d) => Ml.ksStatistic(s, d)),
+    "theil_sen" -> ((s, d) => Events.theilSen(s, d)),
     "welch_ttest" -> ((s, d) => Events.welchTtest(s, d)),
     "betweenness_sample" -> ((s, d) => Graph.betweennessSample(s, d)),
     "modularity" -> ((s, d) => Graph.modularity(s, d)),
@@ -924,6 +926,36 @@ object SparkEntry {
          floor(b.sy::DOUBLE / b.n * 1e6 + 0.5) / 1e6 AS pos_rate,
          floor(i.isoq::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS iso_p
        FROM bs b JOIN iso i USING (bin) ORDER BY bin"""
+
+  /** KS separation (mirrors `Ml.ksStatistic`): cross-multiplied CDF
+    * gap |cp·NN − cn·NP| in LONGs; one double division at the end.
+    */
+  private def ksOracleSql: String =
+    s"""$sgdCommonCte,
+       steps AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY doc_id) AS step, label, cv
+         FROM dv),
+       ${sgdFoldCte("fold", "steps")},
+       wf AS (SELECT w FROM fold ORDER BY step DESC LIMIT 1),
+       sc AS MATERIALIZED (
+         SELECT round(${sgdScoreExpr("wf")}, 6) AS s,
+           CASE WHEN d.label = 1 THEN 1 ELSE 0 END AS y
+         FROM dv d CROSS JOIN wf CROSS JOIN gs g),
+       g AS (SELECT s, sum(y)::BIGINT AS p, sum(1 - y)::BIGINT AS n
+             FROM sc GROUP BY s),
+       tot AS (SELECT sum(p)::BIGINT AS np, sum(n)::BIGINT AS nn FROM g),
+       c AS (SELECT s,
+               abs((sum(p) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING))
+                     * nn -
+                   (sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING))
+                     * np) AS gap
+             FROM g, tot),
+       mx AS (SELECT max(gap) AS mx FROM c),
+       at AS (SELECT min(s) AS threshold FROM c, mx WHERE gap = mx)
+       SELECT floor(mx::DOUBLE / (np::DOUBLE * nn) * 1e6 + 0.5) / 1e6
+                AS ks,
+              threshold, np AS n_pos, nn AS n_neg
+       FROM tot, mx, at"""
 
   /** Three folds over the doc_id % 3 training splits (global vocab: a
     * feature unseen in a split keeps weight 0, which scores identically
@@ -2294,6 +2326,38 @@ object SparkEntry {
          FROM c2, mx, fh ORDER BY day""",
     "markov_attribution" -> markovAttributionSql(20),
     "cv_metrics" -> cvMetricsSql(3),
+    "ks_statistic" -> ksOracleSql,
+    // Theil–Sen: pairwise slopes over exact grid integers; medians
+    // pick by row_number under a fully tie-broken order
+    "theil_sen" ->
+      """WITH daily AS (
+           SELECT date_diff('day', DATE '2024-01-01', ts::DATE) AS day,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS x6
+           FROM events GROUP BY 1),
+         dt AS (SELECT day, x6, row_number() OVER (ORDER BY day) AS t
+                FROM daily),
+         sl AS (SELECT a.t AS ti, b.t AS tj,
+                  (b.x6 - a.x6)::DOUBLE / (b.t - a.t) / 1e6 AS sl
+                FROM dt a JOIN dt b ON a.t < b.t),
+         rk AS (SELECT sl, row_number() OVER (ORDER BY sl, ti, tj)
+                  AS rn FROM sl),
+         np AS (SELECT count(*)::BIGINT AS np FROM rk),
+         med AS (SELECT avg(sl) AS slope FROM rk, np
+                 WHERE rn = floor((np + 1) / 2)
+                    OR rn = floor((np + 2) / 2)),
+         res AS (SELECT x6::DOUBLE / 1e6 - slope * t AS r, t
+                 FROM dt, med),
+         rr AS (SELECT r, row_number() OVER (ORDER BY r, t) AS rn
+                FROM res),
+         nn2 AS (SELECT count(*)::BIGINT AS nn FROM rr),
+         ic AS (SELECT avg(r) AS icept FROM rr, nn2
+                WHERE rn = floor((nn + 1) / 2)
+                   OR rn = floor((nn + 2) / 2)),
+         nd AS (SELECT count(*)::BIGINT AS n_days FROM daily)
+         SELECT n_days, np AS n_pairs,
+           floor(slope * 1e6 + 0.5) / 1e6 AS slope,
+           floor(icept * 1e6 + 0.5) / 1e6 AS intercept
+         FROM nd, np, med, ic""",
     "isotonic_calibration" -> isotonicOracleSql(),
     // the featurizer's own poly hash restated over the distinct vocab
     "hashing_collisions" -> s"""$TokCte,

@@ -1958,4 +1958,54 @@ object Events {
           .as("is_changepoint"))
       .orderBy("day")
   }
+
+  /** Theil–Sen robust trend of the daily revenue series: the median of
+    * all pairwise slopes (x_j − x_i)/(t_j − t_i), then the median
+    * residual as intercept — the outlier-proof alternative to
+    * `ols_trend`'s least squares (one wild day moves OLS, not the
+    * median). Day totals are exact 1e-6-grid LONGs, so every pairwise
+    * slope is a double over exact integers; the median picks by
+    * row_number under a FULLY tie-broken order (slope, i, j), making
+    * the selected elements — not just their values — engine-identical.
+    * O(days²) pairs is calendar-bounded at any corpus size; the
+    * corpus-bound stage is the one day-keyed aggregation.
+    */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg(sum("v6").as("x6"))
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+    val a = daily.select(col("t").as("ti"), col("x6").as("xi"))
+    val b = daily.select(col("t").as("tj"), col("x6").as("xj"))
+    val slopes = a.join(b, col("ti") < col("tj"))
+      .select(col("ti"), col("tj"),
+        ((col("xj") - col("xi")).cast("double") /
+          (col("tj") - col("ti")) / lit(1e6)).as("sl"))
+    val ws = Window.orderBy(col("sl"), col("ti"), col("tj"))
+    val ranked = slopes.withColumn("rn", row_number().over(ws))
+    val np = ranked.agg(count(lit(1)).as("np"))
+    // `/` on integers is DOUBLE division in Spark SQL — floor() keeps
+    // the median indices integral and matches the oracle's floor()
+    val slope = ranked.crossJoin(broadcast(np))
+      .filter(col("rn") === floor((col("np") + 1) / 2) ||
+        col("rn") === floor((col("np") + 2) / 2))
+      .agg(avg(col("sl")).as("slope"))
+    val resid = daily.crossJoin(broadcast(slope))
+      .select((col("x6").cast("double") / lit(1e6) -
+        col("slope") * col("t")).as("r"), col("t"))
+    val wr = Window.orderBy(col("r"), col("t"))
+    val rr = resid.withColumn("rn", row_number().over(wr))
+    val nn = rr.agg(count(lit(1)).as("nn"))
+    val icept = rr.crossJoin(broadcast(nn))
+      .filter(col("rn") === floor((col("nn") + 1) / 2) ||
+        col("rn") === floor((col("nn") + 2) / 2))
+      .agg(avg(col("r")).as("icept"))
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(np))
+      .crossJoin(broadcast(slope))
+      .crossJoin(broadcast(icept))
+      .select(col("n_days"), col("np").as("n_pairs"),
+        q(col("slope"), 6).as("slope"), q(col("icept"), 6).as("intercept"))
+  }
 }

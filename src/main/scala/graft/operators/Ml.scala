@@ -442,6 +442,39 @@ object Ml {
       .orderBy("bin")
   }
 
+  /** Kolmogorov–Smirnov separation of the classifier's score
+    * distributions: KS = max_s |F_pos(s) − F_neg(s)|, the
+    * scale-free separability number credit models report next to AUC,
+    * plus the score at which it's attained (the natural operating
+    * threshold). Everything before the surfaced ratio is EXACT: the
+    * scored frame reduces to per-distinct-score (pos, neg) counts, the
+    * CDF gap cross-multiplies to |cp·NN − cn·NP| (LONG), and the
+    * argmax tie-breaks to the smallest score by LONG/6-dp-grid
+    * comparisons. One partial-agg shuffle over distinct scores — the
+    * same shape as [[auc]].
+    */
+  def ksStatistic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = applyQuery(s, dir).groupBy(col("score").as("s"))
+      .agg(sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("p"),
+        sum(when(col("label") === 1.0, 0L).otherwise(1L)).as("n"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g.agg(sum("p").as("np"), sum("n").as("nn"))
+    val c = g.crossJoin(broadcast(tot))
+      .select(col("s"), col("np"), col("nn"),
+        abs(sum(col("p")).over(w) * col("nn") -
+          sum(col("n")).over(w) * col("np")).as("gap"))
+    val mx = c.agg(max("gap").as("mx"))
+    val at = c.crossJoin(broadcast(mx))
+      .filter(col("gap") === col("mx"))
+      .agg(min("s").as("threshold"))
+    tot.crossJoin(broadcast(mx)).crossJoin(broadcast(at))
+      .select(
+        graft.operators.Events.q(col("mx").cast("double") /
+          (col("np").cast("double") * col("nn")), 6).as("ks"),
+        col("threshold"), col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
+
   /** Feature-hashing collision audit of [[featurize]]'s 10007-bucket
     * hash trick: the bucket-load histogram (including empty buckets)
     * plus the share of distinct tokens sitting at each load — the

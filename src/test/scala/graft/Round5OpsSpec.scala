@@ -854,6 +854,49 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("theil_sen: one wild outlier day cannot move the median slope") {
+    val dir = java.nio.file.Files.createTempDirectory("tsen").toString
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2024-01-${day + 1}%02d").getTime + 60000L)
+    // x_t = 5 + 3t with day 5 replaced by 1000: 36 of 45 pairwise
+    // slopes are exactly 3, so the median is 3 and the median
+    // residual (intercept) is 5 — OLS would be dragged far off both
+    val rows = (0 until 10).map { d =>
+      val v = if (d == 4) 1000.0 else 5.0 + 3 * (d + 1)
+      (d.toLong, ts(d), 1L, "view", v)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = operators.Events.theilSen(spark, dir).collect().head
+    CacheScope.release(spark)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 45L)
+    assert(r.getDouble(2) == 3.0, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 5.0, s"intercept ${r.getDouble(3)}")
+  }
+
+  test("ks_statistic: agrees with a driver-side scan of the scored set") {
+    val scored = operators.Ml.applyQuery(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(1)))
+    val got = operators.Ml.ksStatistic(spark, sf).collect().head
+    CacheScope.release(spark)
+    val byS = scored.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s0, g) =>
+        (s0, g.count(_._2 == 1.0).toLong, g.count(_._2 == 0.0).toLong) }
+    val np = byS.map(_._2).sum
+    val nn = byS.map(_._3).sum
+    var (cp, cn, best, bestS) = (0L, 0L, -1L, Double.MaxValue)
+    byS.foreach { case (s0, p, n) =>
+      cp += p; cn += n
+      val gap = math.abs(cp * nn - cn * np)
+      if (gap > best) { best = gap; bestS = s0 }
+    }
+    val ks = math.floor(best.toDouble / (np.toDouble * nn) * 1e6
+      + 0.5) / 1e6
+    assert(got.getDouble(0) == ks)
+    assert(got.getDouble(1) == bestS)
+    assert(got.getLong(2) == np && got.getLong(3) == nn)
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
