@@ -171,6 +171,8 @@ object SparkEntry {
     "robust_scale" -> ((s, d) => Curation.robustScale(s, d)),
     "covariance_matrix" -> ((s, d) => Similarity.covarianceMatrix(s, d)),
     "pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
+    "knn_label_consistency" -> ((s, d) =>
+      Similarity.knnLabelConsistency(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -2065,6 +2067,48 @@ object SparkEntry {
                 round(list_cosine_similarity(a.v, b.v), 6) AS sim
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
+    // IVF-candidate kNN with EVERY vector as a query; exact-integer
+    // agreement counts after the top-k cut (mirrors
+    // Similarity.knnLabelConsistency)
+    "knn_label_consistency" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                    FROM embeddings),
+           cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                    WHERE vec_id < 16),
+           assigned AS (
+             SELECT vec_id, v, label, centroid_id FROM (
+               SELECT e.vec_id, e.v, e.label, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e CROSS JOIN cent c) WHERE rn = 1),
+           probes AS (
+             SELECT query_id, qv, qlabel, centroid_id FROM (
+               SELECT q.vec_id AS query_id, q.v AS qv,
+                 q.label AS qlabel, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e q CROSS JOIN cent c) WHERE rn <= 4),
+           topk AS (
+             SELECT query_id, qlabel, label FROM (
+               SELECT p.query_id, p.qlabel, a.label,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(a.v, p.qv) DESC,
+                            a.vec_id) AS rn
+               FROM assigned a JOIN probes p USING (centroid_id)
+               WHERE a.vec_id <> p.query_id) WHERE rn <= 5),
+           per AS (
+             SELECT query_id, qlabel, count(*)::BIGINT AS kn,
+               sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::BIGINT
+                 AS ag
+             FROM topk GROUP BY 1, 2)
+         SELECT qlabel::BIGINT AS label, count(*)::BIGINT AS n_vecs,
+           floor(sum(ag)::DOUBLE / sum(kn) * 1e6 + 0.5) / 1e6
+             AS consistency,
+           floor(sum(CASE WHEN ag * 2 < kn THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 1e6 + 0.5) / 1e6 AS suspect_share
+         FROM per GROUP BY qlabel ORDER BY label""",
     // recall@5 of the IVF ranking vs brute force: both pipelines are
     // the knn_brute / knn_ivf oracles verbatim, joined per query
     "ann_recall" ->

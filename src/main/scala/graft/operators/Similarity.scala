@@ -619,6 +619,70 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** kNN label-consistency audit — the label-noise detector: for every
+    * vector, the share of its k nearest neighbors (by cosine) carrying
+    * the SAME label; per label we surface the mean consistency and the
+    * share of vectors whose neighborhood majority DISAGREES with their
+    * label (the mislabeling suspects a data-quality pass reviews).
+    * Neighbors come from the IVF probe lists, not an all-pairs scan —
+    * the same candidate generation as [[ivfTopK]], so the audit costs
+    * n·nprobe·(n/C) pairs (sub-quadratic with C ∝ √n) and is the shape
+    * you'd actually run at 100 TB; the probes table is n-proportional,
+    * so it joins by shuffle-hash on the centroid key, never broadcast.
+    * Downstream of the top-k cut everything is exact-integer counts.
+    */
+  def knnLabelConsistency(s: SparkSession, dir: String, k: Int = 5,
+                          numCentroids: Int = 16,
+                          nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding", "label")
+    val cent = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "label", "centroid_id")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = emb
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qlabel"),
+        col("centroid_id"), cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "qv", "qlabel", "centroid_id")
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val perQuery = assigned
+      .join(probes.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .groupBy("query_id", "qlabel")
+      .agg(count(lit(1)).as("kn"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .as("ag"))
+    perQuery.groupBy(col("qlabel"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("ag").as("sag"), sum("kn").as("skn"),
+        sum(when(col("ag") * 2 < col("kn"), 1L).otherwise(0L)).as("nsus"))
+      .select(col("qlabel").cast("long").as("label"), col("n_vecs"),
+        Events.q(col("sag").cast("double") / col("skn"), 6)
+          .as("consistency"),
+        Events.q(col("nsus").cast("double") / col("n_vecs"), 6)
+          .as("suspect_share"))
+      .orderBy("label")
+  }
+
   /** Top principal component of the leading `d` embedding dimensions by
     * power iteration — the dimensionality-reduction fit that
     * [[covarianceMatrix]] is the input to. The distributed stage is the

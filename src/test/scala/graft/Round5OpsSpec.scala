@@ -897,6 +897,33 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.getLong(2) == np && got.getLong(3) == nn)
   }
 
+  test("knn_label_consistency: flags exactly the planted mislabel") {
+    val dir = java.nio.file.Files.createTempDirectory("knnlc").toString
+    // two well-separated clusters; vec 23 sits in cluster 0's region
+    // but carries label 1 — the only vector whose neighborhood
+    // majority disagrees with its label
+    def vec(axis: Int, i: Int): Seq[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(axis) = 1.0f; v(2 + (i % 3)) = 0.01f * (i + 1)
+      v.toSeq
+    }
+    val a = (0 until 12).map(i => (i * 2L, vec(0, i), 0))
+    val b = (0 until 11).map(i => (i * 2L + 1, vec(1, i), 1))
+    val planted = Seq((23L, vec(0, 20), 1))
+    (a ++ b ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Similarity.knnLabelConsistency(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    CacheScope.release(spark)
+    assert(got(0L)._1 == 12L && got(0L)._3 == 0.0,
+      s"cluster 0 clean: ${got(0L)}")
+    assert(got(1L)._1 == 12L)
+    assert(got(1L)._3 == math.floor(1.0 / 12 * 1e6 + 0.5) / 1e6,
+      s"exactly the planted point flagged: ${got(1L)}")
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
