@@ -92,6 +92,8 @@ object SparkEntry {
     "hashing_collisions" -> ((s, d) => Ml.hashingCollisions(s, d)),
     "ks_statistic" -> ((s, d) => Ml.ksStatistic(s, d)),
     "theil_sen" -> ((s, d) => Events.theilSen(s, d)),
+    "gains_table" -> ((s, d) => Ml.gainsTable(s, d)),
+    "forecast_backtest" -> ((s, d) => Events.forecastBacktest(s, d)),
     "welch_ttest" -> ((s, d) => Events.welchTtest(s, d)),
     "betweenness_sample" -> ((s, d) => Graph.betweennessSample(s, d)),
     "modularity" -> ((s, d) => Graph.modularity(s, d)),
@@ -929,6 +931,38 @@ object SparkEntry {
          floor(i.isoq::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS iso_p
        FROM bs b JOIN iso i USING (bin) ORDER BY bin"""
 
+  /** Shared Holt recursion CTEs (`daily`/`ord`/`r`) for
+    * `holt_forecast` and `forecast_backtest`: the recursive fold
+    * replays the engine's aggregate lambda in identical IEEE op order;
+    * smoothing constants appear as (1 - a) expressions so both engines
+    * derive the identical double.
+    */
+  private lazy val HoltCte: String =
+    """daily AS MATERIALIZED (
+           SELECT date_diff('day', DATE '2024-01-01', ts::DATE) AS day,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS x6,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::DOUBLE
+                    / 1e6 AS x
+           FROM events GROUP BY 1),
+         ord AS MATERIALIZED (
+           SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+           FROM daily),
+         r AS (
+           SELECT day, x, rn, x AS level, 0.0::DOUBLE AS trend,
+                  x AS fitted
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.day, o.x, o.rn,
+             CASE WHEN o.rn = 2 THEN o.x
+                  ELSE 0.3 * o.x + (1 - 0.3) * (r.level + r.trend) END,
+             CASE WHEN o.rn = 2 THEN o.x - r.x
+                  ELSE 0.1 * ((0.3 * o.x + (1 - 0.3) *
+                      (r.level + r.trend)) - r.level)
+                    + (1 - 0.1) * r.trend END,
+             CASE WHEN o.rn = 2 THEN r.level
+                  ELSE r.level + r.trend END
+           FROM ord o JOIN r ON o.rn = r.rn + 1)"""
+
   /** KS separation (mirrors `Ml.ksStatistic`): cross-multiplied CDF
     * gap |cp·NN − cn·NP| in LONGs; one double division at the end.
     */
@@ -958,6 +992,38 @@ object SparkEntry {
                 AS ks,
               threshold, np AS n_pos, nn AS n_neg
        FROM tot, mx, at"""
+
+  /** Gains/lift deciles (mirrors `Ml.gainsTable`): ntile under the
+    * full (score desc, docid) tiebreak, exact-integer counts after.
+    */
+  private def gainsOracleSql(deciles: Int = 10): String =
+    s"""$sgdCommonCte,
+       steps AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY doc_id) AS step, label, cv
+         FROM dv),
+       ${sgdFoldCte("fold", "steps")},
+       wf AS (SELECT w FROM fold ORDER BY step DESC LIMIT 1),
+       sc AS MATERIALIZED (
+         SELECT d.doc_id AS docid, round(${sgdScoreExpr("wf")}, 6) AS s,
+           CASE WHEN d.label = 1 THEN 1 ELSE 0 END AS y
+         FROM dv d CROSS JOIN wf CROSS JOIN gs g),
+       dd AS (SELECT y, ntile($deciles) OVER (ORDER BY s DESC, docid)
+                AS dec FROM sc),
+       g2 AS (SELECT dec, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+              FROM dd GROUP BY dec),
+       tot AS (SELECT sum(pos)::BIGINT AS tp, sum(n)::BIGINT AS tn
+               FROM g2),
+       cc AS (SELECT dec, n, pos,
+                sum(pos) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)
+                  AS cpos,
+                sum(n) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING)
+                  AS cn
+              FROM g2)
+       SELECT dec::BIGINT AS decile, n, pos,
+         floor(cpos::DOUBLE / tp * 1e6 + 0.5) / 1e6 AS capture,
+         floor((cpos::DOUBLE / cn) / (tp::DOUBLE / tn) * 1e6 + 0.5)
+           / 1e6 AS lift
+       FROM cc, tot ORDER BY decile"""
 
   /** Three folds over the doc_id % 3 training splits (global vocab: a
     * feature unseen in a split keeps weight 0, which scores identically
@@ -2371,6 +2437,40 @@ object SparkEntry {
     "markov_attribution" -> markovAttributionSql(20),
     "cv_metrics" -> cvMetricsSql(3),
     "ks_statistic" -> ksOracleSql,
+    "gains_table" -> gainsOracleSql(),
+    // Holt vs naive baselines: per-term |error| floor-quantized to an
+    // integer before each mean (mirrors Events.forecastBacktest)
+    "forecast_backtest" ->
+      s"""WITH RECURSIVE $HoltCte,
+         he AS (SELECT CAST(floor(abs((floor(x * 1e6 + 0.5) / 1e6) -
+                    (floor(fitted * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5)
+                  AS BIGINT) AS e6
+                FROM r WHERE rn >= 3),
+         hs AS (SELECT count(*)::BIGINT AS nh, sum(e6)::BIGINT AS sh
+                FROM he),
+         dl AS (SELECT day, x6,
+                  lag(x6, 1) OVER (ORDER BY day) AS p1,
+                  lag(x6, 7) OVER (ORDER BY day) AS p7
+                FROM daily),
+         bs AS (SELECT
+                  sum(CASE WHEN p1 IS NOT NULL THEN 1 END)::BIGINT AS n1,
+                  sum(CASE WHEN p1 IS NOT NULL
+                        THEN abs(x6 - p1) END)::BIGINT AS s1,
+                  sum(CASE WHEN p7 IS NOT NULL THEN 1 END)::BIGINT AS n7,
+                  sum(CASE WHEN p7 IS NOT NULL
+                        THEN abs(x6 - p7) END)::BIGINT AS s7,
+                  count(*)::BIGINT AS n_days
+                FROM dl)
+         SELECT n_days,
+           floor(sh::DOUBLE / nh / 1e6 * 1e6 + 0.5) / 1e6 AS mae_holt,
+           floor(s1::DOUBLE / n1 / 1e6 * 1e6 + 0.5) / 1e6 AS mae_naive1,
+           floor(s7::DOUBLE / n7 / 1e6 * 1e6 + 0.5) / 1e6
+             AS mae_seasonal7,
+           floor((sh::DOUBLE / nh / 1e6) / (s1::DOUBLE / n1 / 1e6)
+             * 1e6 + 0.5) / 1e6 AS mase_holt,
+           floor((s7::DOUBLE / n7 / 1e6) / (s1::DOUBLE / n1 / 1e6)
+             * 1e6 + 0.5) / 1e6 AS mase_seasonal7
+         FROM bs CROSS JOIN hs""",
     // Theil–Sen: pairwise slopes over exact grid integers; medians
     // pick by row_number under a fully tie-broken order
     "theil_sen" ->
@@ -4796,29 +4896,7 @@ object SparkEntry {
     // the same IEEE op order; smoothing constants appear as (1 - a)
     // expressions so both engines derive the identical double
     "holt_forecast" ->
-      """WITH RECURSIVE daily AS MATERIALIZED (
-           SELECT date_diff('day', DATE '2024-01-01', ts::DATE) AS day,
-                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::DOUBLE
-                    / 1e6 AS x
-           FROM events GROUP BY 1),
-         ord AS MATERIALIZED (
-           SELECT day, x, row_number() OVER (ORDER BY day) AS rn
-           FROM daily),
-         r AS (
-           SELECT day, x, rn, x AS level, 0.0::DOUBLE AS trend,
-                  x AS fitted
-           FROM ord WHERE rn = 1
-           UNION ALL
-           SELECT o.day, o.x, o.rn,
-             CASE WHEN o.rn = 2 THEN o.x
-                  ELSE 0.3 * o.x + (1 - 0.3) * (r.level + r.trend) END,
-             CASE WHEN o.rn = 2 THEN o.x - r.x
-                  ELSE 0.1 * ((0.3 * o.x + (1 - 0.3) *
-                      (r.level + r.trend)) - r.level)
-                    + (1 - 0.1) * r.trend END,
-             CASE WHEN o.rn = 2 THEN r.level
-                  ELSE r.level + r.trend END
-           FROM ord o JOIN r ON o.rn = r.rn + 1),
+      s"""WITH RECURSIVE $HoltCte,
          last AS (SELECT * FROM r ORDER BY rn DESC LIMIT 1),
          fc AS (
            SELECT (l.day + h.h)::BIGINT AS day, h.h::BIGINT AS horizon,

@@ -1924,6 +1924,52 @@ object Events {
     inSample.unionAll(fc).orderBy("day", "horizon")
   }
 
+  /** In-sample backtest of the [[holtForecast]] forecaster against the
+    * two standard baselines — naive-1 (yesterday) and seasonal-7 (same
+    * weekday last week): per-method MAE plus MASE (Hyndman's
+    * scale-free mean-absolute-scaled-error, MAE/MAE_naive — MASE < 1
+    * is the publishable "beats naive" bar). Holt errors come from the
+    * operator's own 6-dp-grid fitted values; baseline errors are exact
+    * 1e-6-grid LONG differences; every |error| floor-quantizes to an
+    * integer BEFORE its mean, so the three averages are order-free
+    * exact sums divided once. O(days) throughout after the one
+    * day-keyed aggregation.
+    */
+  def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val holt = holtForecast(s, dir).filter(col("horizon") === 0L)
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .filter(col("rn") >= 3)
+      .select(floor(abs(col("actual") - col("fitted")) * lit(1e6)
+        + lit(0.5)).cast("long").as("e6"))
+      .agg(count(lit(1)).as("nh"), sum("e6").as("sh"))
+    val daily = Tables.events(s, dir)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg(sum("v6").as("x6"))
+    val wd = Window.orderBy("day")
+    val base = daily
+      .withColumn("p1", lag(col("x6"), 1).over(wd))
+      .withColumn("p7", lag(col("x6"), 7).over(wd))
+      .agg(
+        sum(when(col("p1").isNotNull, 1L)).as("n1"),
+        sum(when(col("p1").isNotNull, abs(col("x6") - col("p1"))))
+          .as("s1"),
+        sum(when(col("p7").isNotNull, 1L)).as("n7"),
+        sum(when(col("p7").isNotNull, abs(col("x6") - col("p7"))))
+          .as("s7"),
+        count(lit(1)).as("n_days"))
+    val maeH = col("sh").cast("double") / col("nh") / lit(1e6)
+    val mae1 = col("s1").cast("double") / col("n1") / lit(1e6)
+    val mae7 = col("s7").cast("double") / col("n7") / lit(1e6)
+    base.crossJoin(broadcast(holt))
+      .select(col("n_days"),
+        q(maeH, 6).as("mae_holt"),
+        q(mae1, 6).as("mae_naive1"),
+        q(mae7, 6).as("mae_seasonal7"),
+        q(maeH / mae1, 6).as("mase_holt"),
+        q(mae7 / mae1, 6).as("mase_seasonal7"))
+  }
+
   /** CUSUM changepoint scan of the daily revenue series: C_t =
     * Σ_{i≤t}(x_i − x̄), the classic level-shift locator (argmax |C_t|
     * splits the series at the most likely mean change). Everything is

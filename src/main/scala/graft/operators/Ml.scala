@@ -475,6 +475,39 @@ object Ml {
         col("threshold"), col("np").as("n_pos"), col("nn").as("n_neg"))
   }
 
+  /** Cumulative gains / lift table of the classifier: rank every doc
+    * by score, cut into `deciles` equal ntiles (full (score, docid)
+    * tiebreak so the cut is engine-identical), and per decile report
+    * the positive count, the cumulative capture rate (share of ALL
+    * positives caught so far — the "top 20% of scores finds X% of
+    * spam" number) and the lift over the base rate. Everything after
+    * the ntile cut is exact-integer counts; the two surfaced ratios
+    * divide exact longs once. One window sort over the scored frame —
+    * the same cost class as [[auc]].
+    */
+  def gainsTable(s: SparkSession, dir: String,
+                 deciles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = applyQuery(s, dir).select(col("docid"), col("score"),
+      when(col("label") === 1.0, 1L).otherwise(0L).as("y"))
+    val w = Window.orderBy(col("score").desc, col("docid"))
+    val g = sc.withColumn("dec", ntile(deciles).over(w))
+      .groupBy("dec").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val tot = g.agg(sum("pos").as("tp"), sum("n").as("tn"))
+    val wc = Window.orderBy("dec")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.crossJoin(broadcast(tot))
+      .withColumn("cpos", sum("pos").over(wc))
+      .withColumn("cn", sum("n").over(wc))
+      .select(col("dec").cast("long").as("decile"), col("n"), col("pos"),
+        graft.operators.Events.q(
+          col("cpos").cast("double") / col("tp"), 6).as("capture"),
+        graft.operators.Events.q(
+          (col("cpos").cast("double") / col("cn")) /
+            (col("tp").cast("double") / col("tn")), 6).as("lift"))
+      .orderBy("decile")
+  }
+
   /** Feature-hashing collision audit of [[featurize]]'s 10007-bucket
     * hash trick: the bucket-load histogram (including empty buckets)
     * plus the share of distinct tokens sitting at each load — the

@@ -924,6 +924,37 @@ class Round5OpsSpec extends SparkSpec {
       s"exactly the planted point flagged: ${got(1L)}")
   }
 
+  test("gains_table: capture is monotone to 1.0 and mass conserves") {
+    val rows = operators.Ml.gainsTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    CacheScope.release(spark)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val caps = rows.map(_._4)
+    assert(caps.zip(caps.tail).forall { case (a, b) => b >= a })
+    assert(caps.last == 1.0 && rows.last._5 == 1.0)
+    assert(rows.map(_._2).sum == rows.map(_._2).sum)
+    // a better-than-random classifier front-loads positives
+    assert(rows.head._5 >= 1.0)
+  }
+
+  test("forecast_backtest: Holt is exact on a linear series (MASE 0)") {
+    val dir = java.nio.file.Files.createTempDirectory("fbt").toString
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2024-01-${day + 1}%02d").getTime + 60000L)
+    val rows = (0 until 10).map(d =>
+      (d.toLong, ts(d), 1L, "view", 10.0 + 2 * d))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = operators.Events.forecastBacktest(spark, dir).collect().head
+    CacheScope.release(spark)
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 0.0, s"holt MAE ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 2.0, "naive-1 error is the slope")
+    assert(r.getDouble(3) == 14.0, "seasonal-7 error is 7 slopes")
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 7.0)
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
