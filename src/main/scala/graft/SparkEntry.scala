@@ -175,6 +175,8 @@ object SparkEntry {
     "pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
     "knn_label_consistency" -> ((s, d) =>
       Similarity.knnLabelConsistency(s, d)),
+    "silhouette_labels" -> ((s, d) => Similarity.silhouetteLabels(s, d)),
+    "hill_tail_index" -> ((s, d) => Graph.hillTailIndex(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -3087,6 +3089,63 @@ object SparkEntry {
                 floor(1.0 / best_rank * 1e6 + 0.5) / 1e6 AS rr
          FROM d ORDER BY term""",
     // centroids round to 6 dp BEFORE the cosine; fold in ascending pos
+    // simplified silhouette: 6-dp centroids folded exactly as
+    // centroid_distances; per-vector s on the 1e-9 grid before means
+    "silhouette_labels" ->
+      """WITH cent AS (
+           SELECT label, (pos - 1)::INT AS pos, round(avg(x), 6) AS c
+           FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                        generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings)
+           GROUP BY 1, 2),
+         cvs AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv
+                 FROM cent GROUP BY label),
+         v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x
+               FROM embeddings),
+         d AS (SELECT vec_id, label, clabel,
+                 1.0 - list_reduce(list_prepend(0.0, list_transform(
+                     range(1, len(x) + 1), i -> x[i] * cv[i])),
+                   (acc, e) -> acc + e)
+                 / (sqrt(list_reduce(list_prepend(0.0, list_transform(
+                       range(1, len(x) + 1), i -> x[i] * x[i])),
+                     (acc, e) -> acc + e))
+                  * sqrt(list_reduce(list_prepend(0.0, list_transform(
+                       range(1, len(cv) + 1), i -> cv[i] * cv[i])),
+                     (acc, e) -> acc + e))) AS dist
+               FROM v CROSS JOIN cvs),
+         own AS (SELECT vec_id, label, dist AS a FROM d
+                 WHERE label = clabel),
+         oth AS (SELECT vec_id, min(dist) AS b FROM d
+                 WHERE label <> clabel GROUP BY vec_id),
+         sil AS (SELECT label,
+                   CAST(floor(CASE WHEN greatest(a, b) > 0
+                       THEN (b - a) / greatest(a, b) ELSE 0.0 END
+                     * 1e9 + 0.5) AS BIGINT) AS s9
+                 FROM own JOIN oth USING (vec_id))
+         SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vecs,
+           floor(sum(s9)::DOUBLE / count(*) / 1e9 * 1e6 + 0.5) / 1e6
+             AS silhouette,
+           floor(sum(CASE WHEN s9 < 0 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 1e6 + 0.5) / 1e6 AS misfit_share
+         FROM sil GROUP BY label ORDER BY label""",
+    "hill_tail_index" ->
+      s"""WITH $GraphCte,
+         deg AS (SELECT src AS id, count(*)::BIGINT AS deg FROM edges
+                 GROUP BY src),
+         top AS (SELECT id, deg FROM deg
+                 ORDER BY deg DESC, id LIMIT 50),
+         dm AS (SELECT min(deg)::BIGINT AS dmin FROM top),
+         t AS (SELECT dmin,
+                 CAST(floor(ln(deg::DOUBLE / dmin) * 1e9 + 0.5)
+                   AS BIGINT) AS l9
+               FROM top, dm),
+         g AS (SELECT dmin, count(*)::BIGINT AS m, sum(l9)::BIGINT AS sl
+               FROM t GROUP BY dmin)
+         SELECT m, dmin AS d_tail_min,
+           CASE WHEN sl > 0
+             THEN floor(m::DOUBLE / (sl::DOUBLE / 1e9) * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS alpha
+         FROM g""",
     "centroid_distances" ->
       """WITH cent AS (
            SELECT label, (pos - 1)::INT AS pos, round(avg(x), 6) AS c

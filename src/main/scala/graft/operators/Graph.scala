@@ -858,6 +858,35 @@ object Graph {
       (floor(cov / va * lit(1e6) + lit(0.5)) / lit(1e6)).as("assortativity"))
   }
 
+  /** Hill tail-index estimator over the degree distribution: α̂ =
+    * m / Σ_{i≤m} ln(d_i / d_(m)) on the top-`m` order statistics —
+    * the principled power-law-tail exponent (the degree-side
+    * counterpart of `zipf_fit`'s token fit, and the number that says
+    * whether hub mitigation like degree caps is even needed). The
+    * degree aggregation is the only corpus-bound stage; the top-m cut
+    * is a TakeOrdered and the estimator is O(m). Each ln ratio
+    * floor-quantizes to the 1e-9 LONG grid before the order-free sum;
+    * a uniform tail (all ratios 1) surfaces α = 0 by the zero-sum
+    * guard rather than a division blow-up.
+    */
+  def hillTailIndex(s: SparkSession, dir: String, m: Int = 50): DataFrame = {
+    val e = customerSupplierEdges(s, dir).select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val top = deg.orderBy(col("deg").desc, col("id")).limit(m)
+    val dm = top.agg(min(col("deg")).as("dmin"))
+    top.crossJoin(broadcast(dm))
+      .select(col("dmin"),
+        floor(log(col("deg").cast("double") / col("dmin")) * lit(1e9)
+          + lit(0.5)).cast("long").as("l9"))
+      .groupBy("dmin")
+      .agg(count(lit(1)).as("m"), sum("l9").as("sl"))
+      .select(col("m"), col("dmin").as("d_tail_min"),
+        when(col("sl") > 0,
+          graft.operators.Events.q(col("m").cast("double") /
+            (col("sl").cast("double") / lit(1e9)), 6))
+          .otherwise(lit(0.0)).as("alpha"))
+  }
+
   /** Multi-hop BFS distances from one source over the undirected
     * customer⇄supplier graph: (id, dist) for every vertex within
     * `maxHops`. The frontier loop is the textbook distributed BFS —

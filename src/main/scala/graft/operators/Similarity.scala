@@ -619,6 +619,58 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** Simplified silhouette of the LABEL clustering (distance to own
+    * centroid vs nearest other centroid, cosine distance): the
+    * class-separability score that says whether labels form real
+    * clusters in embedding space — the scalar companion to
+    * [[centroidDistances]]' pairwise matrix and the geometric
+    * counterpart of `knn_label_consistency`. Per vector only
+    * |labels| centroid comparisons (a broadcast of labels·dim
+    * doubles), never a vector-vector pair — the O(n·k) "simplified
+    * silhouette", which is the only formulation that scales.
+    * Per-vector scores floor-quantize to the 1e-9 grid before the
+    * per-label mean (exact LONG sum); centroids round at 6 dp before
+    * the fold exactly as [[centroidDistances]] does. Also surfaces
+    * the share of vectors closer to a FOREIGN centroid (s < 0) — the
+    * misfit rate.
+    */
+  def silhouetteLabels(s: SparkSession, dir: String): DataFrame = {
+    val cents = embeddingCentroids(s, dir).groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("pv"))
+      .select(col("label").as("clabel"),
+        transform(col("pv"), p => p("centroid")).as("cv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, e) => acc + e)
+    val v = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("x"))
+    val d = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (lit(1.0) - dot(col("x"), col("cv")) /
+          (sqrt(dot(col("x"), col("x"))) *
+            sqrt(dot(col("cv"), col("cv"))))).as("dist"))
+    val own = d.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("dist").as("a"))
+    val other = d.filter(col("label") =!= col("clabel"))
+      .groupBy("vec_id").agg(min("dist").as("b"))
+    val sil = own.join(other, "vec_id")
+      .select(col("label"),
+        floor(when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)) * lit(1e9) + lit(0.5))
+          .cast("long").as("s9"))
+    sil.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("s9").as("ss"),
+        sum(when(col("s9") < 0, 1L).otherwise(0L)).as("nneg"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        Events.q(col("ss").cast("double") / col("n_vecs") / lit(1e9), 6)
+          .as("silhouette"),
+        Events.q(col("nneg").cast("double") / col("n_vecs"), 6)
+          .as("misfit_share"))
+      .orderBy("label")
+  }
+
   /** kNN label-consistency audit — the label-noise detector: for every
     * vector, the share of its k nearest neighbors (by cosine) carrying
     * the SAME label; per label we surface the mean consistency and the

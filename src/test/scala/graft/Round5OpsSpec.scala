@@ -955,6 +955,44 @@ class Round5OpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 7.0)
   }
 
+  test("silhouette_labels: separated clusters score near 1, no misfits") {
+    val dir = java.nio.file.Files.createTempDirectory("silh").toString
+    def vec(axis: Int, i: Int): Seq[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(axis) = 1.0f; v(2 + (i % 3)) = 0.01f * (i + 1)
+      v.toSeq
+    }
+    val rows = (0 until 12).map(i => (i * 2L, vec(0, i), 0)) ++
+      (0 until 12).map(i => (i * 2L + 1, vec(1, i), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Similarity.silhouetteLabels(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    CacheScope.release(spark)
+    assert(got.length == 2)
+    got.foreach { case (_, n, s0, mis) =>
+      assert(n == 12L && s0 > 0.8 && mis == 0.0, (n, s0, mis))
+    }
+  }
+
+  test("hill_tail_index: matches a driver-side replay of the estimator") {
+    val got = operators.Graph.hillTailIndex(spark, sf).collect().head
+    val degs = operators.Graph.customerSupplierEdges(spark, sf)
+      .groupBy("src").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    CacheScope.release(spark)
+    val top = degs.sortBy { case (id, d) => (-d, id) }.take(50).map(_._2)
+    val dmin = top.min
+    val sl = top.map(d =>
+      math.floor(math.log(d.toDouble / dmin) * 1e9 + 0.5).toLong).sum
+    val alpha = if (sl > 0)
+      math.floor(50.0 / (sl.toDouble / 1e9) * 1e6 + 0.5) / 1e6 else 0.0
+    assert(got.getLong(0) == 50L)
+    assert(got.getLong(1) == dmin)
+    assert(got.getDouble(2) == alpha)
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
