@@ -177,6 +177,8 @@ object SparkEntry {
       Similarity.knnLabelConsistency(s, d)),
     "silhouette_labels" -> ((s, d) => Similarity.silhouetteLabels(s, d)),
     "hill_tail_index" -> ((s, d) => Graph.hillTailIndex(s, d)),
+    "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
+    "spearman_corr" -> ((s, d) => TextStats.spearmanCorr(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -3433,6 +3435,72 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY o_orderpriority
              ORDER BY cnt DESC, l_returnflag) AS rn FROM counts)
          WHERE rn = 1""",
+    // one shingle join, five cross-multiplied integer threshold tests
+    "dedup_threshold_sweep" -> s"""$TokCte,
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(ts) >= 3
+               THEN list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               ELSE [array_to_string(ts, ' ')] END) AS shs
+           FROM toks),
+         sz AS (SELECT doc_id, len(shs)::BIGINT AS nsh FROM sh),
+         ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*)::BIGINT AS inter
+                FROM ex a JOIN ex b ON a.sh = b.sh
+                  AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         j AS (SELECT doc_a, doc_b, inter, sa.nsh AS na, sb.nsh AS nb
+               FROM it JOIN sz sa ON sa.doc_id = it.doc_a
+                       JOIN sz sb ON sb.doc_id = it.doc_b),
+         th AS (SELECT unnest([5, 6, 7, 8, 9]) AS t),
+         hit AS (SELECT t, doc_a, doc_b FROM j, th
+                 WHERE inter * 10 >= t * (na + nb - inter)),
+         p AS (SELECT t, count(*)::BIGINT AS n_pairs FROM hit
+               GROUP BY t),
+         d AS (SELECT t, count(DISTINCT dd)::BIGINT AS n_docs FROM (
+                 SELECT t, unnest([doc_a, doc_b]) AS dd FROM hit)
+               GROUP BY t)
+         SELECT th.t / 10.0 AS threshold,
+                coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+                coalesce(d.n_docs, 0)::BIGINT AS n_docs
+         FROM th LEFT JOIN p USING (t) LEFT JOIN d USING (t)
+         ORDER BY threshold""",
+    "spearman_corr" -> {
+      val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
+      s"""$TokCte,
+         q AS (SELECT doc_id, len(ts)::BIGINT AS x,
+                 round(least(1.0, len(ts) / 100.0) *
+                   (0.3 + 0.7 *
+                     len(list_filter(ts, t -> list_contains($en, t)))
+                     / len(ts)), 6) AS y
+               FROM toks WHERE len(ts) > 0),
+         rx AS (SELECT x, 2 * prior + cnt + 1 AS rx FROM (
+                  SELECT x, cnt, sum(cnt) OVER (ORDER BY x
+                    ROWS UNBOUNDED PRECEDING) - cnt AS prior
+                  FROM (SELECT x, count(*)::BIGINT AS cnt FROM q
+                        GROUP BY x))),
+         ry AS (SELECT y, 2 * prior + cnt + 1 AS ry FROM (
+                  SELECT y, cnt, sum(cnt) OVER (ORDER BY y
+                    ROWS UNBOUNDED PRECEDING) - cnt AS prior
+                  FROM (SELECT y, count(*)::BIGINT AS cnt FROM q
+                        GROUP BY y))),
+         jn AS (SELECT rx.rx, ry.ry FROM q JOIN rx USING (x)
+                JOIN ry USING (y)),
+         st AS (SELECT count(*)::HUGEINT AS n,
+                  sum(rx)::HUGEINT AS sx, sum(ry)::HUGEINT AS sy,
+                  sum(rx::HUGEINT * ry) AS sxy,
+                  sum(rx::HUGEINT * rx) AS sxx,
+                  sum(ry::HUGEINT * ry) AS syy
+                FROM jn)
+         SELECT n::BIGINT AS n_docs,
+           floor((n * sxy - sx * sy)::DOUBLE /
+             (sqrt((n * sxx - sx * sx)::DOUBLE) *
+              sqrt((n * syy - sy * sy)::DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS spearman
+         FROM st"""
+    },
     "auc_quality" -> {
       val en = sqlList(graft.operators.TextStats.Stopwords.head._2)
       s"""$TokCte,

@@ -790,4 +790,44 @@ object Dedup {
           .otherwise(lit(0.0)).as("lift"))
       .orderBy("band")
   }
+
+  /** Dedup threshold sweep: duplicate-pair and affected-document
+    * counts at Jaccard cutoffs 0.5…0.9 from ONE shingle self-join —
+    * the tuning table consulted before fixing the production dedup
+    * threshold (too low eats distinct documents, too high leaves
+    * near-dups in). Every threshold test is the cross-multiplied
+    * integer `10·inter ≥ t·(na+nb−inter)` — no float compare anywhere
+    * — and all five cutoffs re-read the one cached intersect table, so
+    * the sweep costs one candidate-generation pass regardless of how
+    * many thresholds are probed. Zero-pair thresholds still surface
+    * (count over an empty frame), so the table is always complete.
+    */
+  def dedupThresholdSweep(s: SparkSession, dir: String,
+                          n: Int = 3): DataFrame = {
+    val docSh = docShingles(s, dir, n).persist()
+    CacheScope.register(docSh)
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
+    val ex = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val inter = ex.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("nsh").as("nb")), "doc_b")
+      .persist()
+    CacheScope.register(inter) // eager: five threshold subtrees scan it
+    (5 to 9).map { t =>
+      val hit = inter.filter(col("inter") * 10 >=
+        lit(t.toLong) * (col("na") + col("nb") - col("inter")))
+      val pairs = hit.agg(count(lit(1)).as("n_pairs"))
+      val docs = hit
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      pairs.crossJoin(docs)
+        .select(lit(t.toDouble / 10).as("threshold"),
+          col("n_pairs"), col("n_docs"))
+    }.reduce(_ unionAll _).orderBy("threshold")
+  }
 }

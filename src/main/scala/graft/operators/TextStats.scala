@@ -692,4 +692,46 @@ object TextStats {
         Events.q(col("n_chars").cast("double") / col("bpe_tokens"), 6)
           .as("chars_per_token"))
       .orderBy("lang")
+
+  /** Spearman rank correlation between document length (tokens) and
+    * the quality score — the monotone-association check behind every
+    * "are we just selecting for long documents?" curation review
+    * (Pearson `regression_agg` sees only linear association; length
+    * effects are usually monotone-but-saturating, exactly Spearman's
+    * case). Tie-corrected via AVERAGE ranks, computed without a global
+    * per-row sort: ranks derive from the distinct-value count table
+    * (one window over DISTINCT values, the [[Ml.auc]] trick), doubled
+    * so they stay integers — every sufficient statistic is then an
+    * exact LONG/DECIMAL sum and ρ is one double expression at the end.
+    */
+  def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = quality(s, dir).select(col("doc_id"),
+      col("n_tokens").cast("long").as("x"), col("quality").as("y"))
+      .persist()
+    CacheScope.register(base) // eager: both rank builds scan it
+    // 2×average-rank per distinct value: 2·prior + cnt + 1 (integer)
+    def ranks2(c: String, out: String): DataFrame = {
+      val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, 0)
+      base.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("prior", sum("cnt").over(w) - col("cnt"))
+        .select(col(c), (col("prior") * 2 + col("cnt") + 1).as(out))
+    }
+    val rx = ranks2("x", "rx")
+    val ry = ranks2("y", "ry")
+    val joined = base.join(rx, "x").join(ry, "y")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val stats = joined.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("rx"))).as("sx"), sum(dec(col("ry"))).as("sy"),
+      sum(dec(col("rx")) * col("ry")).as("sxy"),
+      sum(dec(col("rx")) * col("rx")).as("sxx"),
+      sum(dec(col("ry")) * col("ry")).as("syy"))
+    stats.select(col("n").cast("long").as("n_docs"),
+      Events.q((col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+         sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double"))), 6).as("spearman"))
+  }
 }

@@ -993,6 +993,34 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.getDouble(2) == alpha)
   }
 
+  test("dedup_threshold_sweep: a j=0.6 pair drops out above 0.6") {
+    val dir = java.nio.file.Files.createTempDirectory("dts").toString
+    // A and B share 3 of 5 distinct shingles → Jaccard exactly 0.6;
+    // C is unrelated
+    Seq((1L, "a b c d e f"), (2L, "a b c d e g"),
+        (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = operators.Dedup.dedupThresholdSweep(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    CacheScope.release(spark)
+    assert(m(0.5) == ((1L, 2L)) && m(0.6) == ((1L, 2L)), m)
+    assert(m(0.7) == ((0L, 0L)) && m(0.9) == ((0L, 0L)), m)
+  }
+
+  test("spearman_corr: perfectly monotone length–quality gives rho 1") {
+    val dir = java.nio.file.Files.createTempDirectory("spear").toString
+    // all-stopword docs of distinct lengths < 100: quality = n/100,
+    // strictly increasing in length → Spearman exactly 1
+    (1 to 10).map(n => (n.toLong, Seq.fill(n)("the").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextStats.spearmanCorr(spark, dir).collect().head
+    CacheScope.release(spark)
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 1.0, s"rho ${r.getDouble(1)}")
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
