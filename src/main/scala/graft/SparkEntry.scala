@@ -179,6 +179,8 @@ object SparkEntry {
     "hill_tail_index" -> ((s, d) => Graph.hillTailIndex(s, d)),
     "dedup_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     "spearman_corr" -> ((s, d) => TextStats.spearmanCorr(s, d)),
+    "countmin_audit" -> ((s, d) => TextStats.countMinAudit(s, d)),
+    "bloom_fpr_audit" -> ((s, d) => TextStats.bloomFprAudit(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -3436,6 +3438,86 @@ object SparkEntry {
              ORDER BY cnt DESC, l_returnflag) AS rn FROM counts)
          WHERE rn = 1""",
     // one shingle join, five cross-multiplied integer threshold tests
+    // CM sketch from per-term exact counts (occurrence-equivalent);
+    // affine row hashes over the 20 low poly-hash bits
+    "countmin_audit" -> s"""$TokCte,
+         cnt AS (SELECT t, count(*)::BIGINT AS exact
+                 FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+         hx AS (SELECT t, exact,
+                  (list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''),
+                       c -> ord(c)::BIGINT)),
+                     (h, c) -> (h * 31 + c) % 1099511627776)) % 1048576
+                    AS hv
+                FROM cnt),
+         cl AS (SELECT e.row AS row, e.cellv AS cellv,
+                  sum(c)::BIGINT AS cellsum
+                FROM (SELECT unnest([
+                    {'row': 0, 'cellv': ((hv * 37 + 17) % 1048573) % 256},
+                    {'row': 1, 'cellv': ((hv * 8191 + 257) % 1048573) % 256},
+                    {'row': 2, 'cellv': ((hv * 524287 + 65537) % 1048573)
+                       % 256}]) AS e,
+                    exact AS c
+                  FROM hx)
+                GROUP BY 1, 2),
+         top AS (SELECT t, exact, hv FROM hx
+                 ORDER BY exact DESC, t LIMIT 20),
+         pr AS (SELECT t, exact, e.row AS row, e.cellv AS cellv
+                FROM (SELECT t, exact, unnest([
+                    {'row': 0, 'cellv': ((hv * 37 + 17) % 1048573) % 256},
+                    {'row': 1, 'cellv': ((hv * 8191 + 257) % 1048573) % 256},
+                    {'row': 2, 'cellv': ((hv * 524287 + 65537) % 1048573)
+                       % 256}]) AS e
+                  FROM top))
+         SELECT t AS term, exact, min(cellsum) AS est,
+                (min(cellsum) - exact)::BIGINT AS overestimate
+         FROM pr JOIN cl USING (row, cellv)
+         GROUP BY t, exact ORDER BY exact DESC, term""",
+    // m-bit/k=3 Bloom: the filter is the distinct set-bit table; a
+    // probe is a false positive iff all three bits join
+    "bloom_fpr_audit" -> s"""$TokCte,
+         mem AS (SELECT DISTINCT unnest(ts) AS t FROM toks),
+         prb AS (SELECT DISTINCT t FROM (
+                   SELECT t || 'zz' AS t FROM mem
+                   UNION ALL SELECT t || 'qx' FROM mem)
+                 WHERE t NOT IN (SELECT t FROM mem)),
+         mh AS (SELECT (list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(t, ''),
+                      c -> ord(c)::BIGINT)),
+                    (h, c) -> (h * 31 + c) % 1099511627776)) % 1048576
+                   AS hv
+                FROM mem),
+         mb AS (SELECT DISTINCT bit FROM (
+                  SELECT unnest([
+                    ((hv * 37 + 17) % 1048573) % 4096,
+                    ((hv * 8191 + 257) % 1048573) % 4096,
+                    ((hv * 524287 + 65537) % 1048573) % 4096]) AS bit
+                  FROM mh)),
+         ph AS (SELECT t, (list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(t, ''),
+                      c -> ord(c)::BIGINT)),
+                    (h, c) -> (h * 31 + c) % 1099511627776)) % 1048576
+                   AS hv
+                FROM prb),
+         fpc AS (SELECT count(*)::BIGINT AS false_pos FROM (
+                   SELECT t FROM (
+                     SELECT t, unnest([
+                       ((hv * 37 + 17) % 1048573) % 4096,
+                       ((hv * 8191 + 257) % 1048573) % 4096,
+                       ((hv * 524287 + 65537) % 1048573) % 4096]) AS bit
+                     FROM ph)
+                   WHERE bit IN (SELECT bit FROM mb)
+                   GROUP BY t HAVING count(*) = 3)),
+         nm AS (SELECT count(*)::BIGINT AS n_members FROM mem),
+         np2 AS (SELECT count(*)::BIGINT AS n_probes FROM prb),
+         t3 AS (SELECT 1 - exp(3.0 * n_members * ln(1 - 1.0 / 4096))
+                  AS inr FROM nm)
+         SELECT n_members, n_probes, false_pos,
+           CASE WHEN n_probes > 0
+             THEN floor(false_pos::DOUBLE / n_probes * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS fpr,
+           floor(inr * inr * inr * 1e6 + 0.5) / 1e6 AS fpr_theory
+         FROM nm, np2, fpc, t3""",
     "dedup_threshold_sweep" -> s"""$TokCte,
          sh AS (
            SELECT doc_id, list_distinct(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{CacheScope, Tables}
 import graft.expressions.OptimizerBarrier
+import graft.expressions.HashExpressions.polyHashArray
 import graft.functions.TextFns._
 
 /** Text-analysis tier (north-star extras): language ID, quality scoring,
@@ -692,6 +693,102 @@ object TextStats {
         Events.q(col("n_chars").cast("double") / col("bpe_tokens"), 6)
           .as("chars_per_token"))
       .orderBy("lang")
+
+  /** Count-Min sketch audit: build a (depth 3 × width `width`) CM
+    * sketch of the term-frequency stream, then for the top-`topK`
+    * exact terms surface estimate vs truth and the overestimate — the
+    * sketch-error measurement run before trusting approximate counts
+    * at scale (the CM guarantee is est ≥ exact with bounded excess;
+    * the audit shows the ACTUAL excess on this corpus). The sketch
+    * builds from the per-term exact counts (cell(i,c) = Σ counts with
+    * h_i(t)=c — occurrence-equivalent but one shuffle of |vocab| not
+    * |corpus| rows); cells are depth·width groups at any scale. Row
+    * hashes are affine maps of the 20 low bits of the oracle-
+    * replicable base-31 poly hash, every product LONG-safe by
+    * construction.
+    */
+  def countMinAudit(s: SparkSession, dir: String, width: Int = 256,
+                    topK: Int = 20): DataFrame = {
+    val As = Seq(37L, 8191L, 524287L)
+    val Bs = Seq(17L, 257L, 65537L)
+    val P = 1048573L
+    val exact = tokenized(s, dir).select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("exact"))
+      .select(col("t"), col("exact"),
+        (element_at(polyHashArray(array(col("t"))), 1) % lit(1048576L))
+          .as("hv"))
+      .persist()
+    CacheScope.register(exact) // eager: cell build + top-k probe scan
+    def cellOf(i: Int) =
+      pmod(pmod(col("hv") * lit(As(i)) + lit(Bs(i)), lit(P)),
+        lit(width.toLong))
+    val cells = exact.select(explode(array((0 until 3).map(i =>
+        struct(lit(i).as("row"), cellOf(i).as("cell"),
+          col("exact").as("c"))): _*)).as("e"))
+      .select(col("e.*"))
+      .groupBy("row", "cell").agg(sum("c").as("cellsum"))
+    val top = exact.orderBy(col("exact").desc, col("t")).limit(topK)
+      .select(col("t"), col("exact"),
+        explode(array((0 until 3).map(i =>
+          struct(lit(i).as("row"), cellOf(i).as("cell"))): _*)).as("h"))
+      .select(col("t"), col("exact"), col("h.row"), col("h.cell"))
+    top.join(broadcast(cells), Seq("row", "cell"))
+      .groupBy("t", "exact").agg(min("cellsum").as("est"))
+      .select(col("t").as("term"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overestimate"))
+      .orderBy(col("exact").desc, col("term"))
+  }
+
+  /** Bloom-filter false-positive-rate audit: insert the corpus vocab
+    * into an m-bit / k=3-hash Bloom filter, probe with DETERMINISTIC
+    * mutated tokens (two suffix variants per vocab word, anti-joined
+    * against the vocab so every probe is truly absent), and surface
+    * the measured FPR next to the textbook prediction
+    * (1 − (1−1/m)^{kn})^k — the calibration check run before sizing
+    * the production filter that `bloom_semi_join` models. The filter
+    * IS a table of set bit positions (≤ m rows — broadcast-sized by
+    * construction, exactly how a distributed Bloom build works); a
+    * probe is a false positive iff all k of its bits join. Same
+    * LONG-safe affine hash family as [[countMinAudit]]; measured
+    * counts are exact integers, and only the two surfaced rates are
+    * double expressions.
+    */
+  def bloomFprAudit(s: SparkSession, dir: String,
+                    mBits: Int = 4096): DataFrame = {
+    val As = Seq(37L, 8191L, 524287L)
+    val Bs = Seq(17L, 257L, 65537L)
+    val P = 1048573L
+    val members = tokenized(s, dir).select(explode(col("ts")).as("t"))
+      .distinct().persist()
+    CacheScope.register(members) // eager: bits, probes, count scan it
+    val probes = members.select(concat(col("t"), lit("zz")).as("t"))
+      .unionAll(members.select(concat(col("t"), lit("qx")).as("t")))
+      .distinct()
+      .join(members, Seq("t"), "left_anti")
+    def withBits(df: DataFrame): DataFrame = df
+      .select(col("t"),
+        (element_at(polyHashArray(array(col("t"))), 1) % lit(1048576L))
+          .as("hv"))
+      .select(col("t"), explode(array((0 until 3).map(i =>
+        pmod(pmod(col("hv") * lit(As(i)) + lit(Bs(i)), lit(P)),
+          lit(mBits.toLong))): _*)).as("bit"))
+    val setBits = withBits(members).select("bit").distinct()
+    val fp = withBits(probes)
+      .join(broadcast(setBits), Seq("bit"))
+      .groupBy("t").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 3)
+      .agg(count(lit(1)).as("false_pos"))
+    val nm = members.agg(count(lit(1)).as("n_members"))
+    val np = probes.agg(count(lit(1)).as("n_probes"))
+    val inner = lit(1.0) -
+      exp(lit(3.0) * col("n_members") * log(lit(1.0 - 1.0 / mBits)))
+    nm.crossJoin(broadcast(np)).crossJoin(broadcast(fp))
+      .select(col("n_members"), col("n_probes"), col("false_pos"),
+        when(col("n_probes") > 0, Events.q(
+          col("false_pos").cast("double") / col("n_probes"), 6))
+          .otherwise(lit(0.0)).as("fpr"),
+        Events.q(inner * inner * inner, 6).as("fpr_theory"))
+  }
 
   /** Spearman rank correlation between document length (tokens) and
     * the quality score — the monotone-association check behind every

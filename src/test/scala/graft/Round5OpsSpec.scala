@@ -1021,6 +1021,53 @@ class Round5OpsSpec extends SparkSpec {
     assert(r.getDouble(1) == 1.0, s"rho ${r.getDouble(1)}")
   }
 
+  test("countmin_audit: est >= exact always; wide vocab collides") {
+    val dir = java.nio.file.Files.createTempDirectory("cm").toString
+    // 2000 singleton tokens + one hot term: width 256 forces cell
+    // sharing, so the hot term's estimate absorbs colliders. Token
+    // ids spell digits as letters — the tokenizer strips non-[a-z]
+    def w(n: Int) =
+      "w" + n.toString.map(c => ('a' + (c - '0')).toChar)
+    val docs = (0 until 200).map { i =>
+      val toks = (0 until 10).map(j => w(i * 10 + j)) :+ "hot"
+      (i.toLong, toks.mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.TextStats.countMinAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    CacheScope.release(spark)
+    assert(rows.length == 20)
+    rows.foreach { case (t, ex, est, over) =>
+      assert(est >= ex, s"CM guarantee violated for $t")
+      assert(over == est - ex)
+    }
+    assert(rows.head._1 == "hot" && rows.head._2 == 200L)
+    // 2001 terms into 256 cells: collisions are certain somewhere
+    assert(rows.map(_._4).sum > 0, "expected at least one overestimate")
+  }
+
+  test("bloom_fpr_audit: loaded filter shows real false positives") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    def w(n: Int) =
+      "w" + n.toString.map(c => ('a' + (c - '0')).toChar)
+    val docs = (0 until 300).map { i =>
+      (i.toLong, (0 until 10).map(j => w(i * 10 + j)).mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextStats.bloomFprAudit(spark, dir).collect().head
+    CacheScope.release(spark)
+    assert(r.getLong(0) == 3000L)
+    assert(r.getLong(1) > 0L)
+    val (fpr, theory) = (r.getDouble(3), r.getDouble(4))
+    // 3000 keys × 3 hashes into 4096 bits: theory ≈ 0.5; the affine
+    // family is imperfect, so only band-check the measurement
+    assert(theory > 0.3 && theory < 0.8, s"theory $theory")
+    assert(r.getLong(2) > 0L && fpr > 0.1 && fpr <= 1.0, s"fpr $fpr")
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
