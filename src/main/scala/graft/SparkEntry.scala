@@ -118,6 +118,8 @@ object SparkEntry {
     "stream_enrich_replay" -> ((s, d) => streaming.StreamReplay.enrichReplay(s, d)),
     "stream_timeout_replay" -> ((s, d) => streaming.StreamReplay.timeoutSessionReplay(s, d)),
     "stream_cdc_replay" -> ((s, d) => streaming.StreamReplay.cdcReplay(s, d)),
+    "stream_ratelimit_replay" -> ((s, d) =>
+      streaming.StreamReplay.rateLimitReplay(s, d)),
     "json_prop_agg" -> ((s, d) => Events.jsonPropAgg(s, d)),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "multimodal_decode" -> ((s, d) => Multimodal.decode(s, d).toDF()),
@@ -3866,6 +3868,42 @@ object SparkEntry {
                ORDER BY epoch_ms(ts) // 1000 DESC, event_id DESC) AS rn
            FROM events)
          WHERE rn = 1""",
+    // drained token-bucket throttle = the per-user recursive integer
+    // fold (capacity 2, one token per 21600 s of event time)
+    "stream_ratelimit_replay" ->
+      """WITH RECURSIVE ev AS MATERIALIZED (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, ep, rn,
+                  1::BIGINT AS tokens, ep AS anchor, true AS passed
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT o.user_id, o.event_id, o.ep, o.rn,
+             CASE WHEN (CASE WHEN r.tokens + (o.ep - r.anchor) // 21600
+                          >= 2 THEN 2
+                        ELSE r.tokens + (o.ep - r.anchor) // 21600 END)
+                    >= 1
+               THEN (CASE WHEN r.tokens + (o.ep - r.anchor) // 21600
+                       >= 2 THEN 2
+                     ELSE r.tokens + (o.ep - r.anchor) // 21600 END) - 1
+               ELSE (CASE WHEN r.tokens + (o.ep - r.anchor) // 21600
+                       >= 2 THEN 2
+                     ELSE r.tokens + (o.ep - r.anchor) // 21600 END)
+             END,
+             CASE WHEN r.tokens + (o.ep - r.anchor) // 21600 >= 2
+               THEN o.ep
+               ELSE r.anchor + ((o.ep - r.anchor) // 21600) * 21600
+             END,
+             (CASE WHEN r.tokens + (o.ep - r.anchor) // 21600 >= 2
+                THEN 2
+              ELSE r.tokens + (o.ep - r.anchor) // 21600 END) >= 1
+           FROM ev o JOIN r ON o.user_id = r.user_id
+             AND o.rn = r.rn + 1)
+         SELECT user_id, event_id, ep, tokens AS tokens_left
+         FROM r WHERE passed ORDER BY user_id, ep, event_id""",
     // first-raw-token blocks, (text, doc_id) order, rank-window
     // candidates, exact token-set Jaccard verify
     "sorted_neighborhood" -> s"""$TokCte,

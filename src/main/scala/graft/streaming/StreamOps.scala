@@ -271,4 +271,57 @@ object StreamOps {
           cur
       }
   }
+
+  /** Token-bucket state: current tokens plus the refill anchor (the
+    * epoch second up to which refill has been credited — carrying the
+    * anchor instead of a float rate keeps the bucket EXACT integer
+    * arithmetic; while the bucket sits at capacity the anchor snaps to
+    * "now" so idle time doesn't bank beyond the cap). */
+  case class Bucket(tokens: Long, anchor: Long)
+
+  /** Passed event emitted by [[rateLimit]]. */
+  case class Passed(user_id: Long, event_id: Long, ep: Long,
+                    tokens_left: Long)
+
+  /** Per-user token-bucket rate limiter (`flatMapGroupsWithState`,
+    * append mode): an event passes iff its user's bucket holds ≥ 1
+    * token (consume one); buckets refill one token per `refillSecs`
+    * of EVENT time and cap at `capacity` — the stateful throttle a
+    * streaming ingest pipeline puts in front of per-key quotas
+    * (sampling hot users without touching quiet ones). Entirely
+    * integer state: (tokens, refill anchor), so the drained-stream
+    * output replays exactly in the oracle's per-user recursive fold.
+    * Like [[sessionize]], events sort (ep, event_id) within a batch
+    * and rely on batch-ordered arrival across batches (the replay
+    * contract; a production deployment puts a watermark-sorted stage
+    * in front).
+    */
+  def rateLimit(events: Dataset[Event], capacity: Long,
+                refillSecs: Long): Dataset[Passed] = {
+    import events.sparkSession.implicits._
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[Bucket]): Iterator[Passed] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Passed]
+      var cur = state.getOption
+      it.toSeq.sortBy(e => (e.ep, e.event_id)).foreach { e =>
+        val b = cur match {
+          case None => Bucket(capacity, e.ep)
+          case Some(b0) =>
+            val add = (e.ep - b0.anchor) / refillSecs
+            if (b0.tokens + add >= capacity) Bucket(capacity, e.ep)
+            else Bucket(b0.tokens + add, b0.anchor + add * refillSecs)
+        }
+        cur = Some(
+          if (b.tokens >= 1) {
+            out += Passed(userId, e.event_id, e.ep, b.tokens - 1)
+            b.copy(tokens = b.tokens - 1)
+          } else b)
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
+  }
 }

@@ -316,6 +316,29 @@ object StreamReplay {
     * order the operator folds with, so the replay adds no tiebreak of
     * its own.
     */
+  /** W264 gate: per-user token-bucket rate limiting. The drained
+    * append-mode sink (events that PASSED the throttle, with tokens
+    * remaining) equals the oracle's per-user recursive token-bucket
+    * fold exactly — the state is pure integer arithmetic.
+    */
+  def rateLimitReplay(s: SparkSession, dir: String, nBatches: Int = 4,
+                      capacity: Long = 2,
+                      refillSecs: Long = 21600): DataFrame =
+    withReplayConf(s) {
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val evs = sortedEvents(s, dir).map(e =>
+        StreamOps.Event(e.user_id, e.event_id, e.ts.getTime / 1000,
+          e.value))
+      val in = MemoryStream[StreamOps.Event]
+      val nm = s"stream_rl_${ctr.incrementAndGet()}"
+      val q = StreamOps.rateLimit(in.toDS(), capacity, refillSecs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(nm).start()
+      feed(in, q, evs.toSeq, nBatches)
+      finish(s, nm, q).orderBy("user_id", "ep", "event_id")
+    }
+
   def cdcReplay(s: SparkSession, dir: String,
                 nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext

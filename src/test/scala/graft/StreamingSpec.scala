@@ -213,4 +213,28 @@ class StreamingSpec extends SparkSpec {
     assert(fin == CdcRow(1L, "click", 11L, 500L, 2.0),
       s"late lower-version update regressed the snapshot: $fin")
   }
+
+  test("rateLimit: token bucket passes/refills exactly, across batches") {
+    implicit val ctx = spark.sqlContext
+    import StreamOps.{Event, Passed}
+    val in = MemoryStream[Event]
+    // capacity 2, refill one token / 21600 s of event time
+    val q = StreamOps.rateLimit(in.toDS(), 2L, 21600L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rl_out").start()
+    // batch 1: burst of three — third must drop
+    in.addData(Event(1L, 1L, 0L, 1.0), Event(1L, 2L, 10L, 1.0),
+      Event(1L, 3L, 20L, 1.0))
+    q.processAllAvailable()
+    // batch 2 (state carried across the boundary): one refill at
+    // 21620, immediate next drops, another refill at 43300 passes
+    in.addData(Event(1L, 4L, 21620L, 1.0), Event(1L, 5L, 21630L, 1.0),
+      Event(1L, 6L, 43300L, 1.0))
+    q.processAllAvailable()
+    val got = spark.table("rl_out").as[Passed].collect()
+      .sortBy(_.event_id)
+    q.stop()
+    assert(got.map(p => (p.event_id, p.tokens_left)).toSeq ==
+      Seq((1L, 1L), (2L, 0L), (4L, 0L), (6L, 0L)), got.toSeq)
+  }
 }
