@@ -183,6 +183,7 @@ object SparkEntry {
     "spearman_corr" -> ((s, d) => TextStats.spearmanCorr(s, d)),
     "countmin_audit" -> ((s, d) => TextStats.countMinAudit(s, d)),
     "bloom_fpr_audit" -> ((s, d) => TextStats.bloomFprAudit(s, d)),
+    "hll_error_audit" -> ((s, d) => Events.hllErrorAudit(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -970,6 +971,59 @@ object SparkEntry {
              CASE WHEN o.rn = 2 THEN r.level
                   ELSE r.level + r.trend END
            FROM ord o JOIN r ON o.rn = r.rn + 1)"""
+
+  /** HLL audit (mirrors `Events.hllErrorAudit`): rank via an exact
+    * comparison chain, harmonic sum of exact powers of two, same
+    * deterministic linear-counting branch.
+    */
+  private def hllOracleSql: String = {
+    val chain = (35 to 0 by -1).map(k =>
+      s"WHEN suffix >= ${1L << k} THEN ${k + 1}").mkString(" ")
+    s"""WITH pairs AS MATERIALIZED (
+           SELECT DISTINCT event_type, user_id FROM events),
+         h0s AS (SELECT event_type,
+                   (list_reduce(list_prepend(0::BIGINT,
+                      list_transform(
+                        string_split(user_id::VARCHAR, ''),
+                        c -> ord(c)::BIGINT)),
+                      (h, c) -> (h * 31 + c) % 1099511627776)) AS h
+                 FROM pairs),
+         ${(0 until 4).map(i =>
+            s"""mx$i AS (SELECT event_type, xor(hm, hm // 1048576) AS h
+               FROM (SELECT event_type,
+                 (h * 8388593) % 1099511627776 AS hm
+                 FROM ${if (i == 0) "h0s" else s"mx${i - 1}"}))""")
+           .mkString(",\n         ")},
+         hx AS (SELECT event_type, h FROM mx3),
+         rk AS (SELECT event_type, h % 16 AS bucket,
+                  37 - (CASE $chain ELSE 0 END) AS rank
+                FROM (SELECT event_type, h, h >> 4 AS suffix
+                      FROM hx)),
+         regs AS (SELECT event_type, bucket, max(rank)::BIGINT AS mj
+                  FROM rk GROUP BY 1, 2),
+         grid AS (SELECT event_type, unnest(range(0, 16)) AS bucket
+                  FROM (SELECT DISTINCT event_type FROM pairs)),
+         dense AS (SELECT g.event_type, g.bucket,
+                     coalesce(r.mj, 0) AS mj
+                   FROM grid g
+                   LEFT JOIN regs r USING (event_type, bucket)),
+         es AS (SELECT event_type,
+                  sum(pow(2.0, -mj::DOUBLE)) AS ssum,
+                  sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+                FROM dense GROUP BY event_type),
+         ec AS (SELECT event_type,
+                  CASE WHEN 0.673 * 256.0 / ssum <= 40.0 AND v > 0
+                    THEN 16.0 * ln(16.0 / v)
+                    ELSE 0.673 * 256.0 / ssum END AS e
+                FROM es),
+         ex AS (SELECT event_type, count(*)::BIGINT AS exact_distinct
+                FROM pairs GROUP BY event_type)
+         SELECT event_type, exact_distinct,
+           floor(e * 1e4 + 0.5) / 1e4 AS hll_est,
+           floor((e - exact_distinct) / exact_distinct * 1e6 + 0.5)
+             / 1e6 AS rel_err
+         FROM ex JOIN ec USING (event_type) ORDER BY event_type"""
+  }
 
   /** KS separation (mirrors `Ml.ksStatistic`): cross-multiplied CDF
     * gap |cp·NN − cn·NP| in LONGs; one double division at the end.
@@ -3442,6 +3496,7 @@ object SparkEntry {
     // one shingle join, five cross-multiplied integer threshold tests
     // CM sketch from per-term exact counts (occurrence-equivalent);
     // affine row hashes over the 20 low poly-hash bits
+    "hll_error_audit" -> hllOracleSql,
     "countmin_audit" -> s"""$TokCte,
          cnt AS (SELECT t, count(*)::BIGINT AS exact
                  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),

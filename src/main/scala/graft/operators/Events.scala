@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{CacheScope, Tables}
+import graft.expressions.HashExpressions.polyHashArray
 
 /** Event-stream tier over the `events` fixture: gap-based
   * sessionization and tumbling-window aggregation — the batch
@@ -1968,6 +1969,71 @@ object Events {
         q(mae7, 6).as("mae_seasonal7"),
         q(maeH / mae1, 6).as("mase_holt"),
         q(mae7 / mae1, 6).as("mase_seasonal7"))
+  }
+
+  /** HyperLogLog accuracy audit — the third leg of the sketch-audit
+    * trio (Count-Min counts, Bloom membership, HLL cardinality): an
+    * m=16-register HLL of distinct users per event type, surfaced next
+    * to the exact distinct count and the relative error. The sketch is
+    * fully oracle-restatable: registers are MAX leading-rank integers
+    * over the replicable poly hash (top 4 bits route, 36-bit suffix
+    * ranks via an exact comparison chain), the harmonic sum Σ2^(−M)
+    * is a sum of exact powers of two spanning < 53 bits — EXACT in
+    * double and order-free — and the standard small-range linear-
+    * counting branch fires on deterministic integer conditions. The
+    * register table is m rows per group at any scale; this is the
+    * mergeable-sketch shape a 1000-executor rollup would ship.
+    */
+  def hllErrorAudit(s: SparkSession, dir: String): DataFrame = {
+    val m = 16
+    val pairs = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct().persist()
+    CacheScope.register(pairs) // eager: exact count + sketch scan it
+    // short decimal ids leave the raw poly fold with no high-bit
+    // entropy — run FOUR (multiply, xorshift) scramble rounds (the
+    // SimHash40 mixer, doubled: sequential ids survive two rounds as
+    // a near-arithmetic progression, measured as a 5× rank bias);
+    // every step stays in [0, 2^40)
+    val h0 = element_at(
+      polyHashArray(array(col("user_id").cast("string"))), 1)
+    val h = (1 to 4).foldLeft(h0) { (acc, _) =>
+      val hm = (acc * lit(8388593L)) % lit(1099511627776L)
+      hm.bitwiseXOR(shiftright(hm, 20))
+    }
+    // LOW bits route (an affine orbit cycles them uniformly; the top
+    // bits of structured ids cluster), HIGH 36 bits feed the rank
+    val suffix = shiftright(h, 4)
+    val bitlen = coalesce(
+      ((35 to 0 by -1).map(k =>
+        when(suffix >= lit(1L << k), lit(k + 1))) :+ lit(0)): _*)
+    val ranks = pairs.select(col("event_type"),
+      pmod(h, lit(16L)).as("bucket"),
+      (lit(37) - bitlen).cast("long").as("rank"))
+    val regs = ranks.groupBy("event_type", "bucket")
+      .agg(max("rank").as("mj"))
+    // dense m-register grid: empty buckets carry M=0
+    val grid = pairs.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("bucket"))
+    val dense = grid.join(regs, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("mj"))
+    val est = dense.groupBy("event_type")
+      .agg(sum(pow(lit(2.0), -col("mj").cast("double"))).as("ssum"),
+        sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v"))
+      .select(col("event_type"), col("v"),
+        (lit(0.673) * lit(256.0) / col("ssum")).as("e_raw"))
+      .select(col("event_type"),
+        when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("e_raw")).as("e"))
+    val exact = pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("exact_distinct"))
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        q(col("e"), 4).as("hll_est"),
+        q((col("e") - col("exact_distinct")) / col("exact_distinct"), 6)
+          .as("rel_err"))
+      .orderBy("event_type")
   }
 
   /** CUSUM changepoint scan of the daily revenue series: C_t =

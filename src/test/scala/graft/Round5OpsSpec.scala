@@ -1068,6 +1068,22 @@ class Round5OpsSpec extends SparkSpec {
     assert(r.getLong(2) > 0L && fpr > 0.1 && fpr <= 1.0, s"fpr $fpr")
   }
 
+  test("hll_error_audit: estimate lands within sketch error bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val rows = (1 to 5000).map(u =>
+      (u.toLong, ts(u), u.toLong, "view", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = operators.Events.hllErrorAudit(spark, dir).collect().head
+    CacheScope.release(spark)
+    assert(r.getLong(1) == 5000L)
+    // m=16 registers → σ ≈ 26%; band-check at ±2.5σ
+    val err = r.getDouble(3)
+    assert(math.abs(err) < 0.65, s"rel_err $err outside sketch bounds")
+    assert(r.getDouble(2) > 0.0)
+  }
+
   test("eval_alloc: zero-variance stratum gets zero eval quota") {
     val dir = java.nio.file.Files.createTempDirectory("neyman").toString
     val flat = (0 until 10).map(i => (i.toLong, "one two three", "flat"))
