@@ -184,6 +184,10 @@ object SparkEntry {
     "countmin_audit" -> ((s, d) => TextStats.countMinAudit(s, d)),
     "bloom_fpr_audit" -> ((s, d) => TextStats.bloomFprAudit(s, d)),
     "hll_error_audit" -> ((s, d) => Events.hllErrorAudit(s, d)),
+    "kmv_error_audit" -> ((s, d) => Events.kmvErrorAudit(s, d)),
+    "t_closeness" -> ((s, d) => Events.tCloseness(s, d)),
+    "fd_audit" -> ((s, d) => Relational.fdAudit(s, d)),
+    "source_kl" -> ((s, d) => TextStats.sourceKlDivergence(s, d)),
     "salted_agg" -> ((s, d) =>
       Skew.saltedCount(graft.Tables.events(s, d), col("event_type"))
         .withColumnRenamed("k", "event_type")),
@@ -1024,6 +1028,47 @@ object SparkEntry {
              / 1e6 AS rel_err
          FROM ex JOIN ec USING (event_type) ORDER BY event_type"""
   }
+
+  /** KMV audit (mirrors `Events.kmvErrorAudit`): same scrambled poly
+    * hash as the HLL oracle; k-th smallest DISTINCT hash by
+    * row_number; (k−1)·2⁴⁰/h₍ₖ₎ with the exact-set branch under k.
+    */
+  private def kmvOracleSql: String =
+    s"""WITH pairs AS MATERIALIZED (
+           SELECT DISTINCT event_type, user_id FROM events),
+         h0s AS (SELECT event_type,
+                   (list_reduce(list_prepend(0::BIGINT,
+                      list_transform(
+                        string_split(user_id::VARCHAR, ''),
+                        c -> ord(c)::BIGINT)),
+                      (h, c) -> (h * 31 + c) % 1099511627776)) AS h
+                 FROM pairs),
+         ${(0 until 4).map(i =>
+            s"""mx$i AS (SELECT event_type, xor(hm, hm // 1048576) AS h
+               FROM (SELECT event_type,
+                 (h * 8388593) % 1099511627776 AS hm
+                 FROM ${if (i == 0) "h0s" else s"mx${i - 1}"}))""")
+           .mkString(",\n         ")},
+         hs AS (SELECT DISTINCT event_type, h FROM mx3),
+         kth AS (SELECT event_type, h AS hk FROM (
+                   SELECT event_type, h, row_number() OVER (
+                     PARTITION BY event_type ORDER BY h) AS rn
+                   FROM hs) WHERE rn = 64),
+         nh AS (SELECT event_type, count(*)::BIGINT AS n_hashes
+                FROM hs GROUP BY 1),
+         ex AS (SELECT event_type, count(*)::BIGINT AS exact_distinct
+                FROM pairs GROUP BY 1),
+         es AS (SELECT ex.event_type, exact_distinct,
+                  CASE WHEN hk IS NULL THEN n_hashes::DOUBLE
+                       ELSE 63.0 * 1099511627776.0 / hk::DOUBLE
+                  END AS est
+                FROM ex JOIN nh USING (event_type)
+                LEFT JOIN kth USING (event_type))
+         SELECT event_type, exact_distinct,
+           floor(est * 1e4 + 0.5) / 1e4 AS kmv_est,
+           floor((est - exact_distinct) / exact_distinct * 1e6 + 0.5)
+             / 1e6 AS rel_err
+         FROM es ORDER BY event_type"""
 
   /** KS separation (mirrors `Ml.ksStatistic`): cross-multiplied CDF
     * gap |cp·NN − cn·NP| in LONGs; one double division at the end.
@@ -3497,6 +3542,135 @@ object SparkEntry {
     // CM sketch from per-term exact counts (occurrence-equivalent);
     // affine row hashes over the 20 low poly-hash bits
     "hll_error_audit" -> hllOracleSql,
+    "kmv_error_audit" -> kmvOracleSql,
+    // t-closeness: exact-integer EMD via cross-multiplied cumulative
+    // histograms (HUGEINT mirrors Spark's DECIMAL(38)); violation is
+    // the integer test 5·emd_num > 9·n_c·n_g — no double enters a
+    // comparison
+    "t_closeness" ->
+      """WITH ev AS (
+           SELECT event_type, extract(hour FROM ts)::INT AS hr,
+                  value, user_id
+           FROM events WHERE value IS NOT NULL),
+         ed AS (
+           SELECT quantile_cont(value,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+           FROM ev),
+         cr AS MATERIALIZED (
+           SELECT event_type, hr,
+                  len(list_filter(edges, x -> value > x)) AS vb,
+                  user_id
+           FROM ev, ed),
+         cells AS (SELECT event_type, hr, vb, count(*)::BIGINT AS c
+                   FROM cr GROUP BY 1, 2, 3),
+         spine AS (SELECT event_type, hr, unnest(range(0, 10)) AS vb
+                   FROM (SELECT DISTINCT event_type, hr FROM cells)),
+         dense AS (SELECT s.event_type, s.hr, s.vb,
+                     coalesce(c.c, 0)::BIGINT AS c
+                   FROM spine s
+                   LEFT JOIN cells c USING (event_type, hr, vb)),
+         cum AS (SELECT event_type, hr, vb,
+                   (sum(c) OVER (PARTITION BY event_type, hr
+                                 ORDER BY vb))::BIGINT AS cum_c,
+                   (sum(c) OVER (PARTITION BY event_type, hr))::BIGINT
+                     AS n_c
+                 FROM dense),
+         g AS (SELECT vb, sum(c)::BIGINT AS gc FROM dense GROUP BY vb),
+         gcum AS (SELECT vb,
+                    (sum(gc) OVER (ORDER BY vb))::BIGINT AS cum_g,
+                    (sum(gc) OVER ())::BIGINT AS n_g
+                  FROM g),
+         pc AS (SELECT c.event_type, c.hr,
+                  sum(abs(c.cum_c::HUGEINT * g.n_g
+                      - g.cum_g::HUGEINT * c.n_c)) AS emd_num,
+                  max(c.n_c::HUGEINT * g.n_g) AS cd
+                FROM cum c JOIN gcum g USING (vb)
+                WHERE vb < 9 GROUP BY 1, 2),
+         pt AS (SELECT event_type, hr,
+                  floor(emd_num::DOUBLE / (cd * 9)::DOUBLE * 1e6 + 0.5)
+                    / 1e6 AS t,
+                  (emd_num * 5 > cd * 9) AS viol
+                FROM pc),
+         risk AS (
+           SELECT count(DISTINCT user_id)::BIGINT AS users_at_risk
+           FROM cr WHERE EXISTS (
+             SELECT 1 FROM pt
+             WHERE pt.viol AND pt.event_type = cr.event_type
+               AND pt.hr = cr.hr)),
+         tot AS (SELECT count(DISTINCT user_id)::BIGINT AS total_users
+                 FROM ev),
+         agg AS (SELECT count(*)::BIGINT AS n_classes,
+                   sum(CASE WHEN viol THEN 1 ELSE 0 END)::BIGINT
+                     AS violating_classes,
+                   max(t) AS max_t
+                 FROM pt)
+         SELECT n_classes, violating_classes, max_t,
+           floor(users_at_risk::DOUBLE / total_users * 1e6 + 0.5) / 1e6
+             AS at_risk_share
+         FROM agg CROSS JOIN risk CROSS JOIN tot""",
+    // FD audit: per candidate one two-level group-count; g3 = rows
+    // minus the per-group max single-RHS count (all exact integers)
+    "fd_audit" -> {
+      def one(tbl: String, name: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, count(*)::BIGINT AS lhs_groups,
+             sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS violating_groups,
+             (sum(n_rows) - sum(mx))::BIGINT AS g3_rows,
+             (sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0) AS holds
+           FROM (SELECT $lhs, count(*)::BIGINT AS n_rhs,
+                   sum(c)::BIGINT AS n_rows, max(c)::BIGINT AS mx
+                 FROM (SELECT $lhs, $rhs, count(*)::BIGINT AS c
+                       FROM $tbl GROUP BY ALL)
+                 GROUP BY $lhs)"""
+      Seq(
+        one("orders", "o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+        one("orders", "o_custkey->o_orderpriority", "o_custkey",
+          "o_orderpriority"),
+        one("lineitem", "l_orderkey->l_returnflag", "l_orderkey",
+          "l_returnflag"),
+        one("lineitem", "l_orderkey,l_linenumber->l_partkey",
+          "l_orderkey, l_linenumber", "l_partkey"),
+        one("lineitem", "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
+    // per-source unigram KL: dense sources×vocab grid with add-one
+    // smoothing; each ln ratio on the 1e-9 LONG grid weighted by the
+    // exact (c_st+1) before the order-free sum (mirrors
+    // TextStats.sourceKlDivergence)
+    "source_kl" ->
+      """WITH tok AS (
+           SELECT source,
+             unnest(list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0)) AS t
+           FROM documents),
+         st AS MATERIALIZED (
+           SELECT source, t, count(*)::BIGINT AS c_st
+           FROM tok GROUP BY 1, 2),
+         corpus AS (SELECT t, sum(c_st)::BIGINT AS c_t
+                    FROM st GROUP BY 1),
+         tot AS (SELECT sum(c_t)::BIGINT AS n, count(*)::BIGINT AS v
+                 FROM corpus),
+         ps AS (SELECT source, sum(c_st)::BIGINT AS n_s,
+                  count(*)::BIGINT AS vocab_used
+                FROM st GROUP BY 1),
+         grid AS (
+           SELECT p.source, p.n_s, c.t, c.c_t, tot.n, tot.v,
+                  coalesce(s.c_st, 0)::BIGINT AS c_st
+           FROM ps p CROSS JOIN corpus c CROSS JOIN tot
+           LEFT JOIN st s ON s.source = p.source AND s.t = c.t),
+         kl AS (SELECT source, max(n_s)::BIGINT AS n_tokens,
+                  max(v)::BIGINT AS v,
+                  sum((c_st + 1) * CAST(floor(
+                    ln(((c_st + 1) * (n + v))::DOUBLE
+                       / ((c_t + 1) * (n_s + v))::DOUBLE)
+                    * 1e9 + 0.5) AS BIGINT))::BIGINT AS num
+                FROM grid GROUP BY source)
+         SELECT k.source, n_tokens, vocab_used,
+           floor(num::DOUBLE / 1e9 / (n_tokens + v)::DOUBLE * 1e6 + 0.5)
+             / 1e6 AS kl_to_corpus
+         FROM kl k JOIN ps USING (source) ORDER BY source""",
     "countmin_audit" -> s"""$TokCte,
          cnt AS (SELECT t, count(*)::BIGINT AS exact
                  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),

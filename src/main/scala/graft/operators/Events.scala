@@ -1604,6 +1604,85 @@ object Events {
           .as("at_risk_share"))
   }
 
+  /** t-closeness audit (W266), the third privacy gate after
+    * [[kAnonymity]] and [[lDiversity]]: l-diversity only counts
+    * distinct sensitive values — a class whose value-decile histogram
+    * is wildly skewed vs the corpus still leaks (an attacker learns
+    * the deviation). For the ordered decile attribute the
+    * earth-mover's distance collapses to the mean absolute gap of the
+    * cumulative histograms: EMD = (1/(m−1))·Σᵢ|Pᵢ−Qᵢ|. Every cumulative
+    * count is an exact integer and each |Pᵢ−Qᵢ| is cross-multiplied
+    * (|cumᶜ·n − cumᵍ·n_c| over DECIMAL(38) — LONG would overflow the
+    * product past ~3·10⁹ rows), so "class violates t=0.2" is the
+    * integer test 5·emd_num > 9·n_c·n. One scan to the class×decile
+    * grid (dense via an exploded 10-bucket spine so empty cells carry
+    * zeros), a 10-row-per-class cumsum window, then class-bounded
+    * arithmetic; at 100 TB the only corpus-bound stage is the first
+    * groupBy — everything after is O(classes·deciles).
+    */
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val m = 10
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).as("hr"),
+        col("value"), col("user_id"))
+      .persist()
+    CacheScope.register(ev) // eager: edge fit + class scan read it
+    val edges = ev.agg(percentile(col("value"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("edges"))
+    val classed = ev.crossJoin(broadcast(edges))
+      .select(col("event_type"), col("hr"),
+        size(filter(col("edges"), e => col("value") > e)).as("vb"),
+        col("user_id"))
+      .persist()
+    CacheScope.register(classed) // eager: cell counts + risk scan
+    val cells = classed.groupBy("event_type", "hr", "vb")
+      .agg(count(lit(1)).as("c"))
+    // dense 10-bucket spine per class: cumulative histograms need the
+    // empty cells, and the spine is O(classes) — broadcast-sized
+    val spine = cells.select("event_type", "hr").distinct()
+      .select(col("event_type"), col("hr"),
+        explode(sequence(lit(0), lit(m - 1))).as("vb"))
+    val dense = spine.join(cells, Seq("event_type", "hr", "vb"), "left")
+      .na.fill(0L, Seq("c"))
+    val wc = Window.partitionBy("event_type", "hr").orderBy("vb")
+    val cum = dense.select(col("event_type"), col("hr"), col("vb"),
+      sum(col("c")).over(wc).as("cum_c"),
+      sum(col("c")).over(Window.partitionBy("event_type", "hr"))
+        .as("n_c"))
+    val wg = Window.orderBy("vb")
+    val gcum = dense.groupBy("vb").agg(sum(col("c")).as("gc"))
+      .select(col("vb"), sum(col("gc")).over(wg).as("cum_g"),
+        sum(col("gc")).over().as("n_g"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val perClass = cum.join(broadcast(gcum), "vb")
+      .filter(col("vb") < m - 1) // the last cumulative gap is always 0
+      .groupBy("event_type", "hr")
+      .agg(sum(abs(dec(col("cum_c")) * dec(col("n_g"))
+          - dec(col("cum_g")) * dec(col("n_c")))).as("emd_num"),
+        max(dec(col("n_c")) * dec(col("n_g"))).as("cd"))
+      .select(col("event_type"), col("hr"),
+        q(col("emd_num").cast("double")
+            / (col("cd") * lit(m - 1)).cast("double"), 6).as("t"),
+        (col("emd_num") * lit(5) > col("cd") * lit(m - 1))
+          .as("viol"))
+      .persist()
+    CacheScope.register(perClass) // eager: summary agg + risk list
+    val violating = perClass.filter(col("viol"))
+      .select(col("event_type"), col("hr"))
+    val risk = classed.join(broadcast(violating),
+        Seq("event_type", "hr"), "left_semi")
+      .agg(count_distinct(col("user_id")).as("users_at_risk"))
+    val tot = ev.agg(count_distinct(col("user_id")).as("total_users"))
+    perClass.agg(count(lit(1)).as("n_classes"),
+        sum(when(col("viol"), 1L).otherwise(0L)).as("violating_classes"),
+        max(col("t")).as("max_t"))
+      .crossJoin(risk).crossJoin(tot)
+      .select(col("n_classes"), col("violating_classes"), col("max_t"),
+        q(col("users_at_risk").cast("double") / col("total_users"), 6)
+          .as("at_risk_share"))
+  }
+
   /** Welch two-sample t-test between event types' value distributions
     * (W240): the unequal-variance t statistic and Welch–Satterthwaite
     * df for every type pair — the A/B-testing significance screen the
@@ -2032,6 +2111,53 @@ object Events {
       .select(col("event_type"), col("exact_distinct"),
         q(col("e"), 4).as("hll_est"),
         q((col("e") - col("exact_distinct")) / col("exact_distinct"), 6)
+          .as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  /** KMV (k-minimum-values) cardinality audit (W267) — the fourth
+    * sketch audit next to Count-Min / Bloom / HLL, and the one whose
+    * state MERGES by a plain set-union of k values (the property that
+    * makes it the natural distinct-count sketch for map-side partial
+    * aggregation): keep the k smallest distinct hash values; with the
+    * hash uniform on [0,2⁴⁰), E[distinct] ≈ (k−1)·2⁴⁰/h₍ₖ₎. Same
+    * 4-round scrambled poly hash as [[hllErrorAudit]] (short decimal
+    * ids carry no high-bit entropy raw). Everything up to the final
+    * division is exact-integer: distinct hashes, a per-type
+    * row_number over the (collision-free by construction: DISTINCT h)
+    * total order, the k-th value picked by rank. Sparse-range branch:
+    * under k distinct hashes the sketch IS the exact set, estimate =
+    * count. One distinct shuffle + one k-row-per-type window — at
+    * 100 TB the distinct pre-aggregates map-side and the window sees
+    * ≤k·types rows after an early h ≤ per-type-k'th prefilter would
+    * apply (here types are few so the plain window is the same cost).
+    */
+  def kmvErrorAudit(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val pairs = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct().persist()
+    CacheScope.register(pairs) // eager: exact count + sketch scan it
+    val h0 = element_at(
+      polyHashArray(array(col("user_id").cast("string"))), 1)
+    val h = (1 to 4).foldLeft(h0) { (acc, _) =>
+      val hm = (acc * lit(8388593L)) % lit(1099511627776L)
+      hm.bitwiseXOR(shiftright(hm, 20))
+    }
+    val hs = pairs.select(col("event_type"), h.as("h")).distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val kth = hs.select(col("event_type"), col("h"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === k)
+      .select(col("event_type"), col("h").as("hk"))
+    val nh = hs.groupBy("event_type").agg(count(lit(1)).as("n_hashes"))
+    val exact = pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("exact_distinct"))
+    val est = when(col("hk").isNull, col("n_hashes").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1099511627776.0)
+        / col("hk").cast("double"))
+    exact.join(nh, "event_type").join(kth, Seq("event_type"), "left")
+      .select(col("event_type"), col("exact_distinct"),
+        q(est, 4).as("kmv_est"),
+        q((est - col("exact_distinct")) / col("exact_distinct"), 6)
           .as("rel_err"))
       .orderBy("event_type")
   }

@@ -1815,4 +1815,46 @@ object Relational {
         (floor(col("rows_scanned").cast("double") / col("rows_total")
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("scan_frac"))
   }
+
+  /** Functional-dependency / candidate-key audit (W268): for each
+    * declared candidate X→Y, the group counts that decide whether the
+    * dependency holds and HOW broken it is — `violating_groups` (LHS
+    * groups seeing >1 distinct RHS) and the g3 error (minimum rows to
+    * delete so the FD holds: n − Σ_groups max single-RHS count, the
+    * standard TANE/FDEP measure). The schema-discovery companion to
+    * `fk_audit`/`column_profile`: this is the audit that decides
+    * whether a column is safe to use as a dedup key, a partition key,
+    * or a join key at 100 TB. Each candidate costs one two-level
+    * groupBy (map-side partial agg on both levels); candidates union
+    * into one table. All counts exact integers.
+    */
+  def fdAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ords = Tables.orders(s, dir)
+    def audit(df: DataFrame, name: String, lhs: Seq[String],
+              rhs: String): DataFrame = {
+      val rc = df.groupBy((lhs :+ rhs).map(col): _*)
+        .agg(count(lit(1)).as("c"))
+      rc.groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("n_rhs"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("mx"))
+        .agg(count(lit(1)).as("lhs_groups"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+            .as("violating_groups"),
+          (sum(col("n_rows")) - sum(col("mx"))).as("g3_rows"))
+        .select(lit(name).as("fd"), col("lhs_groups"),
+          col("violating_groups"), col("g3_rows"),
+          (col("violating_groups") === 0L).as("holds"))
+    }
+    audit(ords, "o_orderkey->o_custkey", Seq("o_orderkey"), "o_custkey")
+      .unionAll(audit(ords, "o_custkey->o_orderpriority",
+        Seq("o_custkey"), "o_orderpriority"))
+      .unionAll(audit(li, "l_orderkey->l_returnflag",
+        Seq("l_orderkey"), "l_returnflag"))
+      .unionAll(audit(li, "l_orderkey,l_linenumber->l_partkey",
+        Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+      .unionAll(audit(li, "l_partkey->l_suppkey",
+        Seq("l_partkey"), "l_suppkey"))
+      .orderBy("fd")
+  }
 }

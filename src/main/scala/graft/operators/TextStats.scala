@@ -831,4 +831,54 @@ object TextStats {
          sqrt((col("n") * col("syy") - col("sy") * col("sy"))
           .cast("double"))), 6).as("spearman"))
   }
+
+  /** Per-source unigram KL divergence to the corpus distribution
+    * (W269): KL(Pₛ‖Q) with add-one smoothing over the shared corpus
+    * vocabulary — the data-mixing diagnostic that says WHICH source's
+    * token distribution is off-corpus (the per-source counterpart of
+    * `dsir_weights`' per-document importance and `psi_drift`'s
+    * per-feature drift). Determinism recipe (the `hill_tail_index`
+    * ln-grid): each term's ln((c_st+1)(n+V)/((c_t+1)(n_s+V))) is
+    * floor-quantized to a 1e-9 LONG grid, weighted by the exact
+    * integer (c_st+1), and summed order-free in LONGs; the two final
+    * divisions are the only unquantized doubles. The absent-term mass
+    * is NOT dropped: the grid is the dense sources×vocab spine
+    * (smoothing gives every absent term p=1/(nₛ+V)), built by one
+    * broadcastable sources×vocab cross join — vocabulary-bounded, so
+    * at 100 TB the corpus-bound work is exactly two token-count
+    * aggregations (both map-side partial-agg'd); everything after is
+    * O(sources·V).
+    */
+  def sourceKlDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(tokenize(col("text"))).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+      .persist()
+    CacheScope.register(st) // eager: corpus rollup + grid both read it
+    val corpus = st.groupBy("t").agg(sum(col("c_st")).as("c_t"))
+    val totals = corpus.agg(sum(col("c_t")).as("n"),
+      count(lit(1)).as("v"))
+    val perSource = st.groupBy("source").agg(sum(col("c_st")).as("n_s"),
+      count(lit(1)).as("vocab_used"))
+    val grid = perSource.select("source", "n_s")
+      .crossJoin(broadcast(corpus.crossJoin(totals)))
+      .join(st, Seq("source", "t"), "left")
+      .na.fill(0L, Seq("c_st"))
+    val lr = floor(
+      log(((col("c_st") + lit(1)) * (col("n") + col("v"))).cast("double")
+        / ((col("c_t") + lit(1)) * (col("n_s") + col("v")))
+          .cast("double")) * lit(1e9) + lit(0.5)).cast("long")
+    val kl = grid
+      .select(col("source"), col("n_s"), col("v"),
+        ((col("c_st") + lit(1)) * lr).as("term"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"), max(col("v")).as("v"),
+        sum(col("term")).as("num"))
+    kl.join(perSource.select("source", "vocab_used"), "source")
+      .select(col("source"), col("n_tokens"), col("vocab_used"),
+        Events.q(col("num").cast("double") / lit(1e9)
+          / (col("n_tokens") + col("v")).cast("double"), 6)
+          .as("kl_to_corpus"))
+      .orderBy("source")
+  }
 }
