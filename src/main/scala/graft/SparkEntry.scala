@@ -148,6 +148,7 @@ object SparkEntry {
     "kn_bigram_logprob" -> ((s, d) => TextStats.knBigramLogProb(s, d)),
     "lsh_retrieve" -> ((s, d) => Dedup.lshRetrieve(s, d)),
     "k_core" -> ((s, d) => Graph.kCore(s, d)),
+    "k_truss" -> ((s, d) => Graph.kTruss(s, d)),
     "q13_shape" -> ((s, d) => Relational.q13Shape(s, d)),
     "q17_shape" -> ((s, d) => Relational.q17Shape(s, d)),
     "hits_scores" -> ((s, d) => Graph.hits(s, d)),
@@ -312,6 +313,7 @@ object SparkEntry {
     "quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "rank_normalize" -> ((s, d) => Curation.rankNormalize(s, d)),
     "confusion_matrix" -> ((s, d) => Ml.confusionQuery(s, d)),
+    "fairness_audit" -> ((s, d) => Ml.fairnessAudit(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
     "lang_confusion" -> ((s, d) => TextStats.langConfusion(s, d)),
     // the reference's headline classifier metric (assignment6 ROC
@@ -479,6 +481,44 @@ object SparkEntry {
       s"SELECT e.src AS id, count(*) AS core_deg FROM edges e" +
       s" JOIN a$rounds s ON e.src = s.id JOIN a$rounds t ON e.dst = t.id" +
       " GROUP BY e.src"
+  }
+
+  /** Unrolled k-truss peeling (mirrors `Graph.kTruss`: same projection
+    * quantile cut, fixed rounds of support-recount-then-drop, final
+    * recounted support histogram). Triangle enumeration here is the
+    * plain sorted-triple join over (u < v) edges — set-equivalent to
+    * the engine's degree-oriented wedge join, each triangle exactly
+    * once (DuckDB doesn't need the orientation's fan-out bound at
+    * oracle scale). */
+  private def kTrussOracleSql(k: Int, rounds: Int, q: Double): String = {
+    def tri(r: Int) =
+      s"t$r AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c" +
+        s" FROM e$r e1 JOIN e$r e2 ON e2.u = e1.v" +
+        s" JOIN e$r e3 ON e3.u = e1.u AND e3.v = e2.v)"
+    def sup(r: Int) =
+      s"s$r AS MATERIALIZED (SELECT u, v, count(*)::BIGINT AS sup FROM (" +
+        s"SELECT a AS u, b AS v FROM t$r" +
+        s" UNION ALL SELECT a, c FROM t$r" +
+        s" UNION ALL SELECT b, c FROM t$r) GROUP BY 1, 2)"
+    val blocks = (0 until rounds).flatMap { r =>
+      Seq(tri(r), sup(r),
+        s"e${r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$r e" +
+          s" LEFT JOIN s$r s ON s.u = e.u AND s.v = e.v" +
+          s" WHERE coalesce(s.sup, 0) >= ${k - 2})")
+    }
+    "WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),\n" +
+      "co AS MATERIALIZED (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2," +
+      " count(*) AS c FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey" +
+      " AND a.l_suppkey < b.l_suppkey GROUP BY 1, 2),\n" +
+      s"thr AS (SELECT quantile_cont(c, $q) AS t FROM co),\n" +
+      "e0 AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM co, thr" +
+      " WHERE c >= t),\n" +
+      blocks.mkString(",\n") + ",\n" +
+      tri(rounds) + ",\n" + sup(rounds) + "\n" +
+      "SELECT coalesce(s.sup, 0)::BIGINT AS support," +
+      s" count(*)::BIGINT AS n_edges FROM e$rounds e" +
+      s" LEFT JOIN s$rounds s ON s.u = e.u AND s.v = e.v" +
+      " GROUP BY 1 ORDER BY 1"
   }
 
   /** Unrolled global-PageRank rounds (mirrors `Graph.pagerankGlobal`:
@@ -1563,6 +1603,7 @@ object SparkEntry {
          FROM scored""",
     "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10, danglingFree = true),
     "k_core" -> kCoreOracleSql(3, 6),
+    "k_truss" -> kTrussOracleSql(3, 3, 0.9),
     "hits_scores" -> hitsOracleSql(3, 20),
     "mix_weights" ->
       """WITH per AS (
@@ -4389,6 +4430,38 @@ object SparkEntry {
     // the single-model apply oracle re-aggregated to (label, pred)
     "confusion_matrix" -> s"""SELECT label, pred, count(*) AS cnt
          FROM ($sgdApplyOracle) GROUP BY label, pred""",
+    // per-source confusion counts → parity/equalized-odds gaps; the
+    // gaps are differences of the same 6-dp doubles both engines
+    // derive from identical integer ratios, so no extra quantization
+    "fairness_audit" -> s"""WITH sc AS MATERIALIZED (
+           SELECT * FROM ($sgdApplyOracle)),
+         base AS (
+           SELECT d.source AS source, count(*)::BIGINT AS n,
+                  sum(CASE WHEN s.pred = 'spam' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_sel,
+                  sum(CASE WHEN s.label = 1 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_pos,
+                  sum(CASE WHEN s.label = 1 AND s.pred = 'spam'
+                      THEN 1 ELSE 0 END)::BIGINT AS tp,
+                  sum(CASE WHEN s.label = 0 AND s.pred = 'spam'
+                      THEN 1 ELSE 0 END)::BIGINT AS fp
+           FROM sc s JOIN documents d ON d.doc_id = s.docid
+           GROUP BY 1),
+         rates AS (
+           SELECT source, n, n_sel, n_pos,
+                  round(n_sel::DOUBLE / n, 6) AS sel_rate,
+                  CASE WHEN n_pos > 0
+                       THEN round(tp::DOUBLE / n_pos, 6) END AS tpr,
+                  CASE WHEN n - n_pos > 0
+                       THEN round(fp::DOUBLE / (n - n_pos), 6) END AS fpr
+           FROM base),
+         g AS (SELECT max(sel_rate) - min(sel_rate) AS parity_gap,
+                      greatest(max(tpr) - min(tpr),
+                               max(fpr) - min(fpr)) AS eo_gap
+               FROM rates)
+         SELECT r.source, r.n, r.n_sel, r.n_pos, r.sel_rate, r.tpr,
+                r.fpr, g.parity_gap, g.eo_gap
+         FROM rates r CROSS JOIN g""",
     // clusters (walk over near-dup pairs) + per-cluster quality argmax
     "best_survivor" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
          edges AS (SELECT doc_a AS s, doc_b AS d FROM prs

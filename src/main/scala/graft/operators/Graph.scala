@@ -1267,4 +1267,108 @@ object Graph {
         .limit(k)
     }
   }
+
+  /** Per-edge triangle SUPPORT of an undirected edge list `(u, v)`
+    * with u < v and no duplicates — the kernel of [[kTruss]].
+    * Enumeration is the DEGREE-ORIENTED wedge join of
+    * [[triangleCensusEdges]] (out-degree bounded by arboricity, the
+    * only shape whose shuffle volume survives a power-law hub at
+    * 100 TB); each closed wedge then scatters to its 3 canonical
+    * (u < v) edges and a groupBy(u, v) recounts — every join and agg
+    * equality-keyed, nothing quadratic in raw degree. Edges in no
+    * triangle are absent from the result (callers left-join).
+    */
+  private def edgeSupport(act: DataFrame): DataFrame = {
+    val deg = act.select(col("u").as("x"))
+      .unionAll(act.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val or = CacheScope.track(act
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("t"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("dt"))
+      .persist()) // the wedge join reads it three ways
+    val w = or.select(col("s").as("a"), col("t").as("b"), col("dt").as("db"))
+      .join(or.select(col("s").as("a"), col("t").as("c"), col("dt").as("dc")),
+        "a")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val tri = w
+      .join(or.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+      .select("a", "b", "c")
+    tri.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+  }
+
+  /** k-truss peeling over the supplier co-purchase projection (same
+    * 0.9-quantile projection as [[triangleCensus]]): `rounds`
+    * synchronized rounds of "drop every edge whose triangle support
+    * among surviving edges is < k-2", then the survivors' recounted
+    * support histogram `(support, n_edges)`. The truss is the
+    * edge-level tightening of [[kCore]] — a 3-truss keeps only edges
+    * still inside at least one triangle of the remaining subgraph,
+    * the standard community-core extractor (Cohen 2008). Fixed round
+    * count (not run-to-fixpoint) so the computation is exactly
+    * restatable: the DuckDB oracle unrolls the same rounds; a
+    * production caller loops until the edge count stops changing —
+    * same per-round plan.
+    *
+    * Scale shape: each round is one [[edgeSupport]] pass (degree-
+    * oriented, arboricity-bounded fan-out) plus one edge-keyed left
+    * join — per-round cost is O(Σ out-deg²) like the census, never
+    * all-pairs. The surviving edge set shrinks monotonically and is
+    * localCheckpoint-ed per round so the self-joining plan and the
+    * lineage stay flat; loop parallelism is pinned to the measured
+    * edge count (the PPR regime — near-empty default-count partitions
+    * make scheduling dominate these narrow-row rounds).
+    */
+  def kTruss(s: SparkSession, dir: String, k: Int = 3, rounds: Int = 3,
+             q: Double = 0.9): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey").distinct()
+    val a = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s1"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s2"))
+    val co = CacheScope.track(a.join(b, "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+      .persist()) // read for the quantile cut, then the edge filter
+    // one scalar to the driver: the projection's adaptive density cut
+    val thr = co.agg(percentile(col("c"), lit(q))).head().getDouble(0)
+    val e0 = co.filter(col("c") >= thr)
+      .select(col("s1").as("u"), col("s2").as("v"))
+    kTrussEdges(s, e0, k, rounds)
+  }
+
+  /** The peeling kernel of [[kTruss]] over an explicit undirected edge
+    * list `(u, v)` with u < v and no duplicates — factored out so the
+    * truss semantics are testable on synthetic graphs (triangle +
+    * pendant, cliques) independent of the fixture projection.
+    */
+  def kTrussEdges(s: SparkSession, e0: DataFrame, k: Int,
+                  rounds: Int): DataFrame = {
+    var act = e0.localCheckpoint()
+    val p = loopParallelism(s, act.count())
+    withLoopConf(s, p) {
+      for (_ <- 1 to rounds) {
+        act = act.join(edgeSupport(act), Seq("u", "v"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= lit((k - 2).toLong))
+          .select("u", "v").localCheckpoint()
+      }
+      act.join(edgeSupport(act), Seq("u", "v"), "left")
+        .select(coalesce(col("sup"), lit(0L)).as("support"))
+        .groupBy("support").agg(count(lit(1)).as("n_edges"))
+        .orderBy("support")
+    }
+  }
 }

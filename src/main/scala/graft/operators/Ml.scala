@@ -538,4 +538,50 @@ object Ml {
           col("n_toks").cast("double"), 6).as("tok_share"))
       .orderBy("load")
   }
+
+  /** Group-fairness audit of the single-model classifier across the
+    * documents' SOURCE attribute — the governance gate a training-data
+    * pipeline runs before shipping a filter model: per source the
+    * selection rate (share predicted spam, the demographic-parity
+    * quantity), TPR and FPR (the equalized-odds pair), all from exact
+    * integer confusion counts; plus the board-level gaps repeated on
+    * every row — parity_gap = max−min selection rate, eo_gap = the
+    * larger of the TPR and FPR ranges (Hardt et al. 2016's condition
+    * collapsed to its worst-group margin).
+    *
+    * Cost: the scored frame (process-memo model, one broadcast-join
+    * apply pass) joins `documents` on the doc key and collapses to
+    * O(sources) rows in one partial-agg shuffle; the gap summary is a
+    * second aggregate over that tiny table crossJoined back
+    * (broadcast) — nothing driver-side, nothing quadratic. Gaps are
+    * differences of the same 6-dp-rounded doubles both engines
+    * computed from identical integer ratios, so they agree bit-exact
+    * without further quantization.
+    */
+  def fairnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").as("docid"), col("source"))
+    val rates = applyQuery(s, dir).join(docs, "docid")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pred") === "spam", 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("label") === 1.0 && col("pred") === "spam", 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0.0 && col("pred") === "spam", 1L)
+          .otherwise(0L)).as("fp"))
+      .select(col("source"), col("n"), col("n_sel"), col("n_pos"),
+        round(col("n_sel").cast("double") / col("n"), 6).as("sel_rate"),
+        when(col("n_pos") > 0,
+          round(col("tp").cast("double") / col("n_pos"), 6)).as("tpr"),
+        when(col("n") - col("n_pos") > 0,
+          round(col("fp").cast("double") / (col("n") - col("n_pos")), 6))
+          .as("fpr"))
+    val gaps = rates.agg(
+      (max(col("sel_rate")) - min(col("sel_rate"))).as("parity_gap"),
+      greatest(max(col("tpr")) - min(col("tpr")),
+        max(col("fpr")) - min(col("fpr"))).as("eo_gap"))
+    rates.crossJoin(broadcast(gaps))
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Ml}
+
+/** Round-5 batch C: k-truss edge peeling, group-fairness audit. */
+class Round5BatchCSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kTrussEdges: 3-truss drops pendant edges, keeps triangles") {
+    // triangle {1,2,3} + pendant 3-4 + disjoint triangle {5,6,7}
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L)).toDF("u", "v")
+    val hist = Graph.kTrussEdges(spark, e, k = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both triangles survive with support 1 each; the pendant is gone
+    assert(hist == Map(1L -> 6L), s"got $hist")
+  }
+
+  test("kTrussEdges: K4 edges all have support 2; 4-truss keeps K4 only") {
+    // K4 on {1..4} plus a triangle {4,5,6} hanging off vertex 4
+    val k4 = for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)
+    val e = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("u", "v")
+    val t4 = Graph.kTrussEdges(spark, e, k = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=4 needs support >= 2: only the K4's 6 edges qualify, and after
+    // the hanging triangle is peeled each still closes 2 triangles
+    assert(t4 == Map(2L -> 6L), s"got $t4")
+  }
+
+  test("kTrussEdges: cascade — peeling one edge starves the next round") {
+    // two triangles sharing edge (2,3), plus (1,4) making {1,2,3,4}
+    // NOT a K4 (edge (1,4) itself is in no triangle... it is: 1-2-4?
+    // only if (2,4) exists — it does: {2,3,4} triangle). Build
+    // explicitly: edges of two triangles {1,2,3}, {2,3,4}: shared edge
+    // (2,3) has support 2, the other four have support 1.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val t4 = Graph.kTrussEdges(spark, e, k = 4, rounds = 2).collect()
+    // k=4 drops the support-1 edges in round 1; (2,3) then has no
+    // triangle left and drops in round 2 — empty truss
+    assert(t4.isEmpty, s"got ${t4.mkString(",")}")
+  }
+
+  test("fairness_audit: rates bounded, gaps match a driver recompute") {
+    val rows = Ml.fairnessAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "per-source n must cover corpus")
+    val sel = rows.map(_.getDouble(4))
+    assert(sel.forall(r => r >= 0.0 && r <= 1.0))
+    val tprs = rows.flatMap(r => Option(r.get(5)).map(_ => r.getDouble(5)))
+    val fprs = rows.flatMap(r => Option(r.get(6)).map(_ => r.getDouble(6)))
+    assert((tprs ++ fprs).forall(r => r >= 0.0 && r <= 1.0))
+    val parity = rows.head.getDouble(7)
+    assert(math.abs(parity - (sel.max - sel.min)) < 1e-12)
+    val eo = rows.head.getDouble(8)
+    val expectEo = math.max(
+      if (tprs.nonEmpty) tprs.max - tprs.min else Double.NegativeInfinity,
+      if (fprs.nonEmpty) fprs.max - fprs.min else Double.NegativeInfinity)
+    assert(math.abs(eo - expectEo) < 1e-12)
+    // every row repeats the same board-level gaps
+    assert(rows.forall(r => r.getDouble(7) == parity && r.getDouble(8) == eo))
+  }
+
+  test("fairness_audit: confusion counts are internally consistent") {
+    val rows = Ml.fairnessAudit(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, nSel, nPos) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nSel <= n && nPos <= n)
+      // sel_rate is exactly n_sel/n at 6dp
+      assert(math.abs(r.getDouble(4) -
+        math.rint(nSel.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+  }
+}
