@@ -314,6 +314,8 @@ object SparkEntry {
     "rank_normalize" -> ((s, d) => Curation.rankNormalize(s, d)),
     "confusion_matrix" -> ((s, d) => Ml.confusionQuery(s, d)),
     "fairness_audit" -> ((s, d) => Ml.fairnessAudit(s, d)),
+    "cuped_adjust" -> ((s, d) => Events.cupedAdjust(s, d)),
+    "bootstrap_ci" -> ((s, d) => Relational.bootstrapCi(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
     "lang_confusion" -> ((s, d) => TextStats.langConfusion(s, d)),
     // the reference's headline classifier metric (assignment6 ROC
@@ -1603,7 +1605,7 @@ object SparkEntry {
          FROM scored""",
     "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10, danglingFree = true),
     "k_core" -> kCoreOracleSql(3, 6),
-    "k_truss" -> kTrussOracleSql(3, 3, 0.9),
+    "k_truss" -> kTrussOracleSql(3, 2, 0.9),
     "hits_scores" -> hitsOracleSql(3, 20),
     "mix_weights" ->
       """WITH per AS (
@@ -4462,6 +4464,84 @@ object SparkEntry {
          SELECT r.source, r.n, r.n_sel, r.n_pos, r.sel_rate, r.tpr,
                 r.fpr, g.parity_gap, g.eo_gap
          FROM rates r CROSS JOIN g""",
+    // CUPED: 1e-6-grid per-user sums, HUGEINT pooled moments, one
+    // double division per statistic — mirrors Events.cupedAdjust
+    "cuped_adjust" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ms(ts) // 1000 AS t,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT min(t) AS t0, max(t) AS t1 FROM ev),
+         pu AS (
+           SELECT user_id,
+             sum(CASE WHEN t <= CAST(floor((t0 + t1) / 2.0) AS BIGINT)
+                 THEN vi ELSE 0 END)::BIGINT AS x,
+             sum(CASE WHEN t > CAST(floor((t0 + t1) / 2.0) AS BIGINT)
+                 THEN vi ELSE 0 END)::BIGINT AS y
+           FROM ev, b GROUP BY user_id),
+         p AS (SELECT count(*)::HUGEINT AS n,
+                      sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                      sum(x::HUGEINT * x) AS sxx,
+                      sum(y::HUGEINT * y) AS syy,
+                      sum(x::HUGEINT * y) AS sxy
+               FROM pu),
+         st AS (
+           SELECT CASE WHEN (n*sxx - sx*sx) > 0
+                    THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+                    ELSE 0.0 END AS theta,
+                  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                    THEN (n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE
+                      / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
+                    ELSE 0.0 END AS rho2,
+                  sx::DOUBLE / n::DOUBLE / 1e6 AS gx
+           FROM p),
+         ar AS (
+           SELECT CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+                       THEN 'a' ELSE 'b' END AS arm,
+                  count(*)::BIGINT AS n_users,
+                  sum(x)::HUGEINT AS asx, sum(y)::HUGEINT AS asy
+           FROM pu GROUP BY 1)
+         SELECT arm, n_users,
+           floor((asy::DOUBLE / n_users::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6
+             AS mean_y,
+           floor((asy::DOUBLE / n_users::DOUBLE / 1e6
+                  - theta * (asx::DOUBLE / n_users::DOUBLE / 1e6 - gx))
+                 * 1e6 + 0.5) / 1e6 AS mean_y_adj,
+           floor(theta * 1e6 + 0.5) / 1e6 AS theta,
+           floor(rho2 * 1e6 + 0.5) / 1e6 AS var_reduction
+         FROM ar CROSS JOIN st ORDER BY arm""",
+    // Poisson-bootstrap: replicable (k, b) hash through the Poisson(1)
+    // CDF on the 1e7 grid, exact cents sums, rank-picked CI endpoints
+    "bootstrap_ci" ->
+      """WITH o AS (
+           SELECT o_orderkey AS k,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         bs AS (SELECT k, cents, b
+                FROM o CROSS JOIN generate_series(1, 100) t(b)),
+         hw AS (SELECT b, cents,
+                  ((k * 1000003 + b * 7919) % 2147483648) * 8388593
+                    % 10000000 AS h
+                FROM bs),
+         w AS (SELECT b, cents,
+                 CASE WHEN h < 3678794 THEN 0 WHEN h < 7357589 THEN 1
+                      WHEN h < 9196986 THEN 2 WHEN h < 9810118 THEN 3
+                      WHEN h < 9963402 THEN 4 ELSE 5 END AS w
+               FROM hw),
+         m AS (SELECT b, sum(w * cents)::DOUBLE / sum(w)::DOUBLE / 100.0
+                 AS m FROM w GROUP BY b),
+         r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM m),
+         p AS (SELECT count(*)::BIGINT AS n_orders,
+                      sum(cents)::DOUBLE / count(*)::DOUBLE / 100.0 AS mean
+               FROM o)
+         SELECT p.n_orders,
+                floor(p.mean * 1e6 + 0.5) / 1e6 AS mean_price,
+                (SELECT floor(m * 1e6 + 0.5) / 1e6 FROM r WHERE rn = 3)
+                  AS ci_lo,
+                (SELECT floor(m * 1e6 + 0.5) / 1e6 FROM r WHERE rn = 98)
+                  AS ci_hi,
+                100 AS n_resamples
+         FROM p""",
     // clusters (walk over near-dup pairs) + per-cluster quality argmax
     "best_survivor" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
          edges AS (SELECT doc_a AS s, doc_b AS d FROM prs

@@ -2246,4 +2246,75 @@ object Events {
       .select(col("n_days"), col("np").as("n_pairs"),
         q(col("slope"), 6).as("slope"), q(col("icept"), 6).as("intercept"))
   }
+
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013) over the
+    * event stream: per-user PRE-period covariate X (summed value in
+    * the first half of the time range) and post-period metric Y
+    * (second half), deterministic 50/50 arm assignment by the
+    * replicable user-id hash, pooled θ = cov(X,Y)/var(X), and per arm
+    * the raw vs CUPED-adjusted mean Ȳ − θ(X̄ − X̄_pool) — plus the
+    * pooled variance-reduction factor ρ² that says how much smaller
+    * the adjusted CI is. The experimentation readout every
+    * training-data A/B (new filter, new dedup threshold) runs.
+    *
+    * Numerics: per-event values land on the 1e-6 LONG grid, per-user
+    * X/Y are exact LONG sums, and every pooled moment (Σx, Σxy, …)
+    * rides DECIMAL(38,0) — n·Σxy − ΣxΣy stays ~1e31 at sf0.1, far
+    * under DECIMAL(38)/HUGEINT — so θ's numerator/denominator are
+    * exact integers on both engines and divide once into identical
+    * doubles. Cost: one user-keyed partial-agg shuffle (the
+    * sessionize class), then O(1) arm/pooled rows; the time-range
+    * bounds crossJoin back broadcast, never via a driver scalar.
+    */
+  def cupedAdjust(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+    val bounds = ev.agg(min("t").as("t0"), max("t").as("t1"))
+    val mid = ((col("t0") + col("t1")) / lit(2.0)).cast("long")
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(sum(when(col("t") <= mid, col("vi")).otherwise(0L)).as("x"),
+        sum(when(col("t") > mid, col("vi")).otherwise(0L)).as("y"))
+      .localCheckpoint() // pooled + per-arm aggregates both read it
+    val pooled = perUser.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x").cast(dec) * col("x")).cast(dec)).as("sxx"),
+      sum((col("y").cast(dec) * col("y")).cast(dec)).as("syy"),
+      sum((col("x").cast(dec) * col("y")).cast(dec)).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val stats = pooled.select(
+      when(den > 0, num / den).otherwise(lit(0.0)).as("theta"),
+      when(den > 0 && varY > 0, num * num / (den * varY))
+        .otherwise(lit(0.0)).as("rho2"),
+      (col("sx").cast("double") / col("n").cast("double") / lit(1e6))
+        .as("gx"))
+    val arms = perUser
+      .select(
+        when(pmod(pmod(col("user_id"), lit(2147483648L)) * lit(8388593L),
+          lit(100L)) < 50, "a").otherwise("b").as("arm"),
+        col("x"), col("y"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(dec)).as("asx"),
+        sum(col("y").cast(dec)).as("asy"))
+    val meanX = col("asx").cast("double") /
+      col("n_users").cast("double") / lit(1e6)
+    val meanY = col("asy").cast("double") /
+      col("n_users").cast("double") / lit(1e6)
+    arms.crossJoin(broadcast(stats))
+      .select(col("arm"), col("n_users"),
+        q(meanY, 6).as("mean_y"),
+        q(meanY - col("theta") * (meanX - col("gx")), 6).as("mean_y_adj"),
+        q(col("theta"), 6).as("theta"),
+        q(col("rho2"), 6).as("var_reduction"))
+      .orderBy("arm")
+  }
 }

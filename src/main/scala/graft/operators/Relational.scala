@@ -1857,4 +1857,64 @@ object Relational {
         Seq("l_partkey"), "l_suppkey"))
       .orderBy("fd")
   }
+
+  /** Poisson-bootstrap confidence interval for the mean order price —
+    * the one-pass distributed bootstrap (each record enters resample b
+    * with a Poisson(1) multiplicity, so no resample ever materializes):
+    * B resamples, weight from a REPLICABLE hash of (orderkey, b)
+    * mapped through the Poisson(1) CDF on a 1e7 integer grid (capped
+    * at 5 — P(≥5) ≈ 0.37%, documented), weighted means per resample,
+    * CI endpoints picked by rank over the B means (2.5th/97.5th
+    * percentile as row_number 3 and 98 of B=100, fully tie-broken by
+    * (mean, b) so both engines select the same element).
+    *
+    * Scale shape: the ×B row expansion fuses into whole-stage codegen
+    * and partial-aggregates BEFORE the exchange, so the shuffle is B
+    * keys × partitions partials — CPU scales ×B (the algorithm's
+    * defining cost, B a fixed constant), shuffle volume doesn't scale
+    * with the corpus at all. Prices land on the exact cents grid, so
+    * per-resample weighted sums are exact LONGs (≤ ~5·Σcents) and
+    * each mean is one identical double division on both engines.
+    */
+  def bootstrapCi(s: SparkSession, dir: String, b: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+        .as("cents"))
+    val h = pmod(pmod(col("k") * lit(1000003L) + col("b") * lit(7919L),
+      lit(2147483648L)) * lit(8388593L), lit(10000000L))
+    // Poisson(1) CDF thresholds on the 1e7 grid: 0.3678794, 0.7357589,
+    // 0.9196986, 0.9810118, 0.9963402, tail capped at 5
+    val w = when(h < 3678794L, 0L).when(h < 7357589L, 1L)
+      .when(h < 9196986L, 2L).when(h < 9810118L, 3L)
+      .when(h < 9963402L, 4L).otherwise(5L)
+    val means = o
+      .select(col("k"), col("cents"),
+        explode(sequence(lit(1L), lit(b.toLong))).as("b"))
+      .select(col("b"), w.as("w"), col("cents"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        (col("swc").cast("double") / col("sw").cast("double") / lit(100.0))
+          .as("m"))
+    // B rows: the single-partition rank window is over a constant-size
+    // table, never the corpus
+    val ranked = means
+      .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("b"))))
+    // 2.5th/97.5th percentile ranks (ceil convention): 3 and 98 at B=100
+    val loRank = math.max(1, math.ceil(0.025 * b).toInt)
+    val hiRank = math.min(b, math.ceil(0.975 * b).toInt)
+    val ci = ranked.agg(
+      max(when(col("rn") === loRank, col("m"))).as("lo"),
+      max(when(col("rn") === hiRank, col("m"))).as("hi"))
+    val point = o.agg(count(lit(1)).as("n_orders"),
+      (sum(col("cents")).cast("double") / count(lit(1)).cast("double") /
+        lit(100.0)).as("mean"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_orders"),
+        graft.operators.Events.q(col("mean"), 6).as("mean_price"),
+        graft.operators.Events.q(col("lo"), 6).as("ci_lo"),
+        graft.operators.Events.q(col("hi"), 6).as("ci_hi"),
+        lit(b).as("n_resamples"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Ml}
+import graft.operators.{Events, Graph, Ml, Relational}
 
 /** Round-5 batch C: k-truss edge peeling, group-fairness audit. */
 class Round5BatchCSpec extends SparkSpec {
@@ -61,6 +61,67 @@ class Round5BatchCSpec extends SparkSpec {
     assert(math.abs(eo - expectEo) < 1e-12)
     // every row repeats the same board-level gaps
     assert(rows.forall(r => r.getDouble(7) == parity && r.getDouble(8) == eo))
+  }
+
+  test("cuped_adjust: perfectly correlated X/Y collapses the arm gap") {
+    // every user has one pre-period and one identical post-period event
+    // ⇒ Y = X per user ⇒ θ = 1, ρ² = 1, and the adjusted means of both
+    // arms coincide at the pooled grand mean
+    val dir = java.nio.file.Files.createTempDirectory("cuped").toString
+    (1 to 100).flatMap { u =>
+      Seq(
+        (u.toLong * 2, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          u.toLong, "view", u * 1.5, "{}"),
+        (u.toLong * 2 + 1, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+          u.toLong, "view", u * 1.5, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Events.cupedAdjust(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => math.abs(r.getDouble(4) - 1.0) < 1e-9),
+      "theta must be 1 when Y = X")
+    assert(rows.forall(r => math.abs(r.getDouble(5) - 1.0) < 1e-9),
+      "variance reduction must be total when Y = X")
+    val adj = rows.map(_.getDouble(3))
+    assert(math.abs(adj(0) - adj(1)) < 2e-6,
+      s"adjusted means must coincide, got ${adj.mkString(", ")}")
+    // and the raw means must NOT coincide (the hash split is uneven
+    // in user value) — otherwise the test proves nothing
+    val raw = rows.map(_.getDouble(2))
+    assert(math.abs(raw(0) - raw(1)) > 1e-6)
+  }
+
+  test("cuped_adjust: fixture invariants") {
+    val rows = Events.cupedAdjust(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.sameElements(Array("a", "b")))
+    val (theta, vr) = (rows.head.getDouble(4), rows.head.getDouble(5))
+    assert(rows.forall(r => r.getDouble(4) == theta && r.getDouble(5) == vr),
+      "pooled stats must repeat on both rows")
+    assert(vr >= 0.0 && vr <= 1.0, s"rho^2 out of range: $vr")
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.events(spark, sf).filter(col("value").isNotNull)
+        .select("user_id").distinct().count())
+  }
+
+  test("bootstrap_ci: constant prices give a zero-width interval") {
+    val dir = java.nio.file.Files.createTempDirectory("boot").toString
+    (1 to 500).map(i => (i.toLong, 42.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Relational.bootstrapCi(spark, dir).collect().head
+    assert(r.getLong(0) == 500L)
+    assert(r.getDouble(1) == 42.0)
+    assert(r.getDouble(2) == 42.0 && r.getDouble(3) == 42.0,
+      s"CI must collapse on a constant: [${r.getDouble(2)}, ${r.getDouble(3)}]")
+  }
+
+  test("bootstrap_ci: fixture CI brackets the point estimate") {
+    val r = Relational.bootstrapCi(spark, sf).collect().head
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"95% CI [$lo, $hi] should bracket the mean $mean at n=${r.getLong(0)}")
+    assert(r.getInt(4) == 100)
   }
 
   test("fairness_audit: confusion counts are internally consistent") {
