@@ -316,6 +316,8 @@ object SparkEntry {
     "fairness_audit" -> ((s, d) => Ml.fairnessAudit(s, d)),
     "cuped_adjust" -> ((s, d) => Events.cupedAdjust(s, d)),
     "bootstrap_ci" -> ((s, d) => Relational.bootstrapCi(s, d)),
+    "mahalanobis_outliers" -> ((s, d) => Similarity.mahalanobisOutliers(s, d)),
+    "conformal_intervals" -> ((s, d) => Relational.conformalIntervals(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
     "lang_confusion" -> ((s, d) => TextStats.langConfusion(s, d)),
     // the reference's headline classifier metric (assignment6 ROC
@@ -4542,6 +4544,83 @@ object SparkEntry {
                   AS ci_hi,
                 100 AS n_resamples
          FROM p""",
+    // diagonal Mahalanobis per label: 1e-9-grid components, HUGEINT
+    // moments, per-dim terms floor-quantized before the LONG sum
+    "mahalanobis_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+                  unnest(list_transform(embedding, x ->
+                    CAST(floor(x::DOUBLE * 1e9 + 0.5) AS BIGINT))) AS vi,
+                  generate_subscripts(embedding, 1) - 1 AS pos
+           FROM embeddings),
+         st AS (SELECT label, pos, count(*)::HUGEINT AS n,
+                       sum(vi)::HUGEINT AS sv, sum(vi::HUGEINT * vi) AS sv2
+                FROM e GROUP BY 1, 2),
+         mv AS (SELECT label, pos,
+                       sv::DOUBLE / n::DOUBLE / 1e9 AS mu,
+                       CASE WHEN n > 1 THEN
+                         (n * sv2 - sv * sv)::DOUBLE /
+                         (n * (n - 1))::DOUBLE / 1e18
+                       ELSE 0.0 END AS varr
+                FROM st),
+         t AS (SELECT e.vec_id, e.label,
+                 CASE WHEN varr > 0 THEN CAST(floor(
+                   (vi::DOUBLE / 1e9 - mu) * (vi::DOUBLE / 1e9 - mu)
+                     / varr * 1e9 + 0.5) AS BIGINT)
+                 ELSE 0 END AS ti
+               FROM e JOIN mv ON mv.label = e.label AND mv.pos = e.pos),
+         d AS (SELECT vec_id, label, sum(ti)::BIGINT AS sd
+               FROM t GROUP BY 1, 2)
+         SELECT vec_id, label,
+                floor(sd::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS mahal
+         FROM d
+         ORDER BY floor(sd::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 DESC, vec_id
+         LIMIT 20""",
+    // split conformal: exact cents residuals, q-hat by the distinct-
+    // residual cumulative table, held-out coverage
+    "conformal_intervals" ->
+      """WITH o AS (
+           SELECT o_orderkey AS k,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         li AS (SELECT l_orderkey AS k, count(*)::BIGINT AS n_items
+                FROM lineitem GROUP BY 1),
+         base AS (
+           SELECT o.k, o.cents, coalesce(li.n_items, 0) AS n_items,
+                  ((o.k % 2147483648) * 8388593) % 100 AS split
+           FROM o LEFT JOIN li ON li.k = o.k),
+         model AS (
+           SELECT n_items,
+                  CAST(floor(sum(cents)::DOUBLE / count(*) + 0.5) AS BIGINT)
+                    AS yhat
+           FROM base WHERE split < 50 GROUP BY 1),
+         gm AS (SELECT CAST(floor(sum(cents)::DOUBLE / count(*) + 0.5)
+                         AS BIGINT) AS gy,
+                       count(*)::BIGINT AS n_train
+                FROM base WHERE split < 50),
+         scored AS (
+           SELECT b.k, b.split, g.n_train,
+                  abs(b.cents - coalesce(m.yhat, g.gy)) AS r
+           FROM base b LEFT JOIN model m ON m.n_items = b.n_items
+           CROSS JOIN gm g),
+         nc AS (SELECT count(*)::BIGINT AS n_calib FROM scored
+                WHERE split >= 50 AND split < 75),
+         cum AS (
+           SELECT r, sum(c) OVER (ORDER BY r
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM (SELECT r, count(*)::BIGINT AS c FROM scored
+                 WHERE split >= 50 AND split < 75 GROUP BY r)),
+         qh AS (SELECT min(r) AS qhat, max(n_calib) AS n_calib
+                FROM cum CROSS JOIN nc
+                WHERE cum >= ceil((n_calib + 1) * 0.9))
+         SELECT max(n_train)::BIGINT AS n_train,
+                max(q.n_calib)::BIGINT AS n_calib,
+                count(*)::BIGINT AS n_test,
+                floor(max(q.qhat)::DOUBLE / 100.0 * 1e6 + 0.5) / 1e6
+                  AS qhat_price,
+                floor(sum(CASE WHEN r <= q.qhat THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS coverage
+         FROM scored CROSS JOIN qh q WHERE split >= 75""",
     // clusters (walk over near-dup pairs) + per-cluster quality argmax
     "best_survivor" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
          edges AS (SELECT doc_a AS s, doc_b AS d FROM prs

@@ -1917,4 +1917,68 @@ object Relational {
         graft.operators.Events.q(col("hi"), 6).as("ci_hi"),
         lit(b).as("n_resamples"))
   }
+
+  /** Split-conformal prediction interval for order price with a
+    * distribution-free coverage guarantee (Vovk; Lei et al.): hash-split
+    * orders 50/25/25 into train/calibration/test, fit the trivially
+    * restatable predictor (per-item-count mean price on the cents
+    * grid, global-mean fallback for unseen counts), take q̂ as the
+    * ⌈(n_cal+1)(1−α)⌉-th order statistic of calibration |residuals|,
+    * then report the TEST coverage of ŷ ± q̂ — the finite-sample
+    * guarantee says ≥ 1−α in expectation, and measuring it on held-out
+    * data is the point of the audit.
+    *
+    * Scale shape: residuals are exact LONG cents, and q̂ is selected
+    * via the cumulative window over the DISTINCT-residual count table
+    * (the `sgd_auc` trick — the k-th order statistic without a per-row
+    * global sort); everything else is two broadcast joins and
+    * one-row aggregates. The hash split means a row's fate never
+    * depends on partitioning or order.
+    */
+  def conformalIntervals(s: SparkSession, dir: String,
+                         alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+        .as("cents"))
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("n_items"))
+    val base = CacheScope.track(o.join(li, Seq("k"), "left")
+      .na.fill(0L, Seq("n_items"))
+      .withColumn("split", Curation.pctHash(col("k")))
+      .persist()) // train fit + calib quantile + test coverage
+    val train = base.filter(col("split") < 50)
+    val model = train.groupBy("n_items")
+      .agg(floor(sum(col("cents")).cast("double") / count(lit(1)) +
+        lit(0.5)).cast("long").as("yhat"))
+    val gm = train.agg(floor(sum(col("cents")).cast("double") /
+      count(lit(1)) + lit(0.5)).cast("long").as("gy"),
+      count(lit(1)).as("n_train"))
+    val scored = base.join(broadcast(model), Seq("n_items"), "left")
+      .crossJoin(broadcast(gm))
+      .select(col("k"), col("split"), col("n_train"),
+        abs(col("cents") - coalesce(col("yhat"), col("gy"))).as("r"))
+    val calib = scored.filter(col("split") >= 50 && col("split") < 75)
+    val nc = calib.agg(count(lit(1)).as("n_calib"))
+    // q̂ = smallest residual whose cumulative count reaches the rank —
+    // the window runs over DISTINCT residual values only
+    val w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = calib.groupBy("r").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(nc))
+      .filter(col("cum") >=
+        ceil((col("n_calib") + lit(1)) * lit(1.0 - alpha)))
+      .agg(min(col("r")).as("qhat"), max(col("n_calib")).as("n_calib"))
+    scored.filter(col("split") >= 75)
+      .crossJoin(broadcast(qhat))
+      .agg(max(col("n_train")).as("n_train"),
+        max(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_test"),
+        (max(col("qhat")).cast("double") / lit(100.0)).as("qh"),
+        (sum(when(col("r") <= col("qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("cov"))
+      .select(col("n_train"), col("n_calib"), col("n_test"),
+        graft.operators.Events.q(col("qh"), 6).as("qhat_price"),
+        graft.operators.Events.q(col("cov"), 6).as("coverage"))
+  }
 }

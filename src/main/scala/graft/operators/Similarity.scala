@@ -799,4 +799,54 @@ object Similarity {
       .toDF("pos", "loading", "ev_share")
       .orderBy("pos")
   }
+
+  /** Diagonal-Mahalanobis embedding outliers, per label: standardized
+    * squared distance Σ_d (v_d − μ_d)²/σ²_d against the vector's OWN
+    * label population, top-k by score — the distribution-aware outlier
+    * screen (a vector can be near the global centroid yet far from its
+    * label's, which plain centroid cosine misses). Full-covariance
+    * Mahalanobis needs a d×d inverse; the diagonal form is the O(n·d)
+    * one-pass variant that scales, and the standard first screen.
+    *
+    * Numerics: components land on the 1e-9 LONG grid; per-(label, dim)
+    * moments are exact DECIMAL(38) sums, so μ and σ² are identical
+    * doubles on both engines; each per-dim term is floor-quantized to
+    * the 1e-9 grid BEFORE the per-vector sum, which then rides LONGs
+    * order-free. Cost: two n·d-row partial-agg shuffles (moments, then
+    * term sums) plus a broadcast of the labels×dims stats table; top-k
+    * is TakeOrdered on the 6-dp rounded score with vec-id tiebreak.
+    */
+  def mahalanobisOutliers(s: SparkSession, dir: String,
+                          k: Int = 20): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col("embedding").cast("array<double>")
+    val base = CacheScope.track(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(x, v =>
+          floor(v * lit(1e9) + lit(0.5)).cast("long"))).as(Seq("pos", "vi")))
+      .persist()) // read twice: moments, then the term pass
+    val stats = base.groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vi").cast(dec)).as("sv"),
+        sum((col("vi").cast(dec) * col("vi")).cast(dec)).as("sv2"))
+      .select(col("label"), col("pos"),
+        (col("sv").cast("double") / col("n").cast("double") / lit(1e9))
+          .as("mu"),
+        when(col("n") > 1,
+          (col("n").cast(dec) * col("sv2") - col("sv") * col("sv"))
+            .cast("double") /
+            (col("n") * (col("n") - 1)).cast("double") / lit(1e18))
+          .otherwise(lit(0.0)).as("varr"))
+    val dv = col("vi").cast("double") / lit(1e9) - col("mu")
+    val dist = base.join(broadcast(stats), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"),
+        when(col("varr") > 0,
+          floor(dv * dv / col("varr") * lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("ti"))
+      .groupBy("vec_id", "label").agg(sum("ti").as("sd"))
+      .select(col("vec_id"), col("label"),
+        graft.operators.Events.q(col("sd").cast("double") / lit(1e9), 6)
+          .as("mahal"))
+    dist.orderBy(col("mahal").desc, col("vec_id")).limit(k)
+  }
 }

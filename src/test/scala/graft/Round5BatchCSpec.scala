@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Events, Graph, Ml, Relational}
+import graft.operators.{Events, Graph, Ml, Relational, Similarity}
 
 /** Round-5 batch C: k-truss edge peeling, group-fairness audit. */
 class Round5BatchCSpec extends SparkSpec {
@@ -122,6 +122,54 @@ class Round5BatchCSpec extends SparkSpec {
     assert(lo <= mean && mean <= hi,
       s"95% CI [$lo, $hi] should bracket the mean $mean at n=${r.getLong(0)}")
     assert(r.getInt(4) == 100)
+  }
+
+  test("mahalanobis_outliers: a planted far vector ranks first") {
+    val dir = java.nio.file.Files.createTempDirectory("mahal").toString
+    val near = (1 to 50).map(i =>
+      (i.toLong, Array(1.0f + (i % 5) * 0.01f, (i % 7) * 0.01f), 0))
+    val planted = Seq((999L, Array(10.0f, 10.0f), 0))
+    (near ++ planted).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.mahalanobisOutliers(spark, dir).collect()
+    assert(rows.head.getLong(0) == 999L,
+      s"planted outlier must rank first, got ${rows.head}")
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    assert(rows.head.getDouble(2) > rows(1).getDouble(2) * 10,
+      "the planted vector should dominate the in-distribution scores")
+  }
+
+  test("mahalanobis_outliers: fixture scores are finite and sorted") {
+    val rows = Similarity.mahalanobisOutliers(spark, sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.forall(v => v >= 0.0 && !v.isNaN && !v.isInfinite))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+  }
+
+  test("conformal_intervals: perfect predictor gives qhat=0, coverage=1") {
+    // price is EXACTLY a function of item count ⇒ every residual is 0
+    val dir = java.nio.file.Files.createTempDirectory("conf").toString
+    val items = (1 to 400).flatMap { k =>
+      (1 to (k % 3 + 1)).map(j => (k.toLong, j.toLong))
+    }
+    items.toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    items.groupBy(_._1).map { case (k, ls) => (k, ls.size * 100.0) }
+      .toSeq.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Relational.conformalIntervals(spark, dir).collect().head
+    assert(r.getDouble(3) == 0.0, s"qhat must be 0, got ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"coverage must be 1, got ${r.getDouble(4)}")
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) == 400L)
+  }
+
+  test("conformal_intervals: fixture coverage is near the 90% target") {
+    val r = Relational.conformalIntervals(spark, sf).collect().head
+    val cov = r.getDouble(4)
+    // finite-sample guarantee: >= 0.9 in expectation; allow sampling slack
+    assert(cov >= 0.82 && cov <= 1.0, s"coverage $cov implausible for alpha=0.1")
+    assert(r.getDouble(3) > 0.0, "fixture residuals can't all be zero")
   }
 
   test("fairness_audit: confusion counts are internally consistent") {
