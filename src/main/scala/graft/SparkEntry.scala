@@ -318,6 +318,9 @@ object SparkEntry {
     "bootstrap_ci" -> ((s, d) => Relational.bootstrapCi(s, d)),
     "mahalanobis_outliers" -> ((s, d) => Similarity.mahalanobisOutliers(s, d)),
     "conformal_intervals" -> ((s, d) => Relational.conformalIntervals(s, d)),
+    "permutation_test" -> ((s, d) => Events.permutationTest(s, d)),
+    "stream_anomaly_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
     "lang_confusion" -> ((s, d) => TextStats.langConfusion(s, d)),
     // the reference's headline classifier metric (assignment6 ROC
@@ -4621,6 +4624,59 @@ object SparkEntry {
                 floor(sum(CASE WHEN r <= q.qhat THEN 1 ELSE 0 END)::DOUBLE
                       / count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS coverage
          FROM scored CROSS JOIN qh q WHERE split >= 75""",
+    // Fisher randomization: p=0 is the observed hash split; the
+    // comparison is the cross-multiplied HUGEINT test, division-free
+    "permutation_test" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::BIGINT AS v
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         bp AS (
+           SELECT p, v,
+                  ((user_id % 2147483648) * 8388593 + p * 2654435761)
+                    % 100 AS h
+           FROM pu CROSS JOIN generate_series(0, 99) t(p)),
+         g AS (
+           SELECT p,
+                  sum(CASE WHEN h < 50 THEN 1 ELSE 0 END)::HUGEINT AS na,
+                  sum(CASE WHEN h < 50 THEN 0 ELSE 1 END)::HUGEINT AS nb,
+                  sum(CASE WHEN h < 50 THEN v ELSE 0 END)::HUGEINT AS sa,
+                  sum(CASE WHEN h < 50 THEN 0 ELSE v END)::HUGEINT AS sb
+           FROM bp GROUP BY p),
+         dd AS (SELECT p, na, nb, abs(sa * nb - sb * na) AS d,
+                       na * nb AS nn
+                FROM g),
+         o AS (SELECT d AS d0, nn AS nn0, (na + nb)::BIGINT AS n_users
+               FROM dd WHERE p = 0)
+         SELECT max(o.n_users) AS n_users,
+                floor(max(o.d0::DOUBLE / o.nn0::DOUBLE / 1e6) * 1e6 + 0.5)
+                  / 1e6 AS diff_obs,
+                floor(sum(CASE WHEN dd.d * o.nn0 >= o.d0 * dd.nn
+                          THEN 1 ELSE 0 END)::DOUBLE / 100.0 * 1e6 + 0.5)
+                  / 1e6 AS p_value
+         FROM dd CROSS JOIN o""",
+    // drained stream ≡ the preceding-rows window restatement; the flag
+    // is the same cross-multiplied HUGEINT test the state fold runs
+    "stream_anomaly_replay" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ep, value,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vi
+           FROM events),
+         w AS (
+           SELECT user_id, event_id, ep, value, vi,
+                  count(vi) OVER pw AS n,
+                  coalesce(sum(vi) OVER pw, 0) AS sv,
+                  coalesce(sum(vi * vi) OVER pw, 0) AS sv2
+           FROM e
+           WINDOW pw AS (PARTITION BY user_id ORDER BY ep, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING))
+         SELECT user_id, event_id, ep, round(value, 4) AS value
+         FROM w
+         WHERE n >= 5
+           AND (vi::HUGEINT * n - sv) * (vi::HUGEINT * n - sv) * (n - 1)
+               > 9 * n::HUGEINT * (n::HUGEINT * sv2 - sv::HUGEINT * sv)
+         ORDER BY user_id, ep, event_id""",
     // clusters (walk over near-dup pairs) + per-cluster quality argmax
     "best_survivor" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
          edges AS (SELECT doc_a AS s, doc_b AS d FROM prs

@@ -2317,4 +2317,62 @@ object Events {
         q(col("rho2"), 6).as("var_reduction"))
       .orderBy("arm")
   }
+
+  /** Permutation test (Fisher randomization) for the A/B difference in
+    * per-user mean value: permutation p = 0 is the OBSERVED hash
+    * assignment (the same split [[cupedAdjust]] uses), p = 1..P−1 are
+    * deterministic re-randomizations via a (user, p)-keyed replicable
+    * hash, and the p-value is the share of permutations whose
+    * |mean gap| matches or beats the observed one — the
+    * distribution-free significance readout that needs no normality
+    * assumption (the companion to [[welchTtest]]'s parametric t).
+    *
+    * Exactness: the comparison |Δ_p| ≥ |Δ_0| is the cross-multiplied
+    * integer test |sa·nb − sb·na|·(na₀nb₀) ≥ |sa₀nb₀ − sb₀na₀|·(na·nb)
+    * on DECIMAL(38)/HUGEINT (≤ ~1e27 at sf0.1) — no division ever
+    * decides a count. Scale shape: the corpus-bound work is ONE
+    * user-keyed partial-agg shuffle; the permutation layer explodes
+    * only the per-USER table ×P and re-aggregates to P rows
+    * (map-side combined), so the corpus is never scanned twice.
+    */
+  def permutationTest(s: SparkSession, dir: String,
+                      perms: Int = 100): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perUser = Tables.events(s, dir).filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+        .as("v"))
+    // p=0 reduces to Curation.pctHash — the observed assignment
+    val h = pmod(pmod(col("user_id"), lit(2147483648L)) * lit(8388593L) +
+      col("p") * lit(2654435761L), lit(100L))
+    val byP = perUser
+      .select(col("user_id"), col("v"),
+        explode(sequence(lit(0L), lit((perms - 1).toLong))).as("p"))
+      .select(col("p"), when(h < 50, 1L).otherwise(0L).as("isA"), col("v"))
+      .groupBy("p")
+      .agg(sum(col("isA")).as("na"),
+        sum(lit(1L) - col("isA")).as("nb"),
+        sum(when(col("isA") === 1, col("v")).otherwise(0L).cast(dec))
+          .as("sa"),
+        sum(when(col("isA") === 0, col("v")).otherwise(0L).cast(dec))
+          .as("sb"))
+      .select(col("p"), col("na"), col("nb"),
+        abs(col("sa") * col("nb").cast(dec) -
+          col("sb") * col("na").cast(dec)).as("d"),
+        (col("na").cast(dec) * col("nb").cast(dec)).as("nn"))
+      .localCheckpoint() // P rows, read for the observed row + compare
+    val obs = byP.filter(col("p") === 0)
+      .select(col("d").as("d0"), col("nn").as("nn0"),
+        (col("na") + col("nb")).as("n_users"))
+    byP.crossJoin(broadcast(obs))
+      .agg(max(col("n_users")).as("n_users"),
+        sum(when(col("d") * col("nn0") >= col("d0") * col("nn"), 1L)
+          .otherwise(0L)).as("n_ge"),
+        max(col("d0").cast("double") / col("nn0").cast("double") /
+          lit(1e6)).as("dobs"))
+      .select(col("n_users"),
+        q(col("dobs"), 6).as("diff_obs"),
+        q(col("n_ge").cast("double") / lit(perms.toDouble), 6)
+          .as("p_value"))
+  }
 }

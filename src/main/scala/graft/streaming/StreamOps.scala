@@ -324,4 +324,57 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fold)
   }
+
+  /** Running per-user moments on the 1e-3 value grid (all LONG-safe:
+    * vi ≤ ~1e6, Σvi² ≤ ~1e15 at fixture value ranges). */
+  case class Mom(n: Long, sv: Long, sv2: Long)
+
+  /** Flagged anomaly emitted by [[anomalyFlag]]. */
+  case class Flagged(user_id: Long, event_id: Long, ep: Long,
+                     value: Double)
+
+  /** Per-user streaming z-score anomaly flagger
+    * (`flatMapGroupsWithState`, append): an event is flagged iff the
+    * user's RUNNING state — built from strictly-preceding events only —
+    * has n ≥ `minN` and the event deviates more than `z`·σ from the
+    * running mean. The ingest-time data-quality tripwire: it sees each
+    * event exactly once, keeps O(1) state per key, and never looks
+    * ahead.
+    *
+    * State is exact integers on the 1e-3 value grid (n, Σv, Σv²) and
+    * the flag decision is the cross-multiplied integer test
+    * `(vi·n − sv)²·(n−1) > z²·n·(n·sv2 − sv²)` evaluated in BigInt
+    * (HUGEINT in the oracle) — no division or floating point ever
+    * decides a flag, so the drained stream equals the batch
+    * preceding-rows-window restatement bit-exactly. Zero running
+    * variance flags ANY deviation from the constant history (the
+    * strict inequality's natural reading). Like [[rateLimit]], events
+    * sort (ep, event_id) within a batch and rely on batch-ordered
+    * arrival across batches (the replay contract).
+    */
+  def anomalyFlag(events: Dataset[Event], minN: Long = 5,
+                  z: Long = 3): Dataset[Flagged] = {
+    import events.sparkSession.implicits._
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[Mom]): Iterator[Flagged] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Flagged]
+      var cur = state.getOption.getOrElse(Mom(0L, 0L, 0L))
+      it.toSeq.sortBy(e => (e.ep, e.event_id)).foreach { e =>
+        val vi = math.floor(e.value * 1000 + 0.5).toLong
+        if (cur.n >= minN) {
+          val dev = BigInt(vi) * cur.n - cur.sv
+          val lhs = dev * dev * (cur.n - 1)
+          val rhs = BigInt(z * z) * cur.n *
+            (BigInt(cur.n) * cur.sv2 - BigInt(cur.sv) * cur.sv)
+          if (lhs > rhs) out += Flagged(userId, e.event_id, e.ep, e.value)
+        }
+        cur = Mom(cur.n + 1, cur.sv + vi, cur.sv2 + vi * vi)
+      }
+      state.update(cur)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fold)
+  }
 }

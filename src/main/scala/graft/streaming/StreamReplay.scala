@@ -361,4 +361,28 @@ object StreamReplay {
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ep"), col("value"))
   }
+
+  /** W276 gate: per-user running z-score anomaly flags, append mode.
+    * The state decision is pure-integer (`StreamOps.anomalyFlag`), so
+    * the drained sink equals the oracle's preceding-rows window
+    * restatement with the same cross-multiplied HUGEINT test.
+    */
+  def anomalyReplay(s: SparkSession, dir: String,
+                    nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir).map(e =>
+      StreamOps.Event(e.user_id, e.event_id, e.ts.getTime / 1000,
+        e.value))
+    val in = MemoryStream[StreamOps.Event]
+    val nm = s"stream_anom_${ctr.incrementAndGet()}"
+    val q = StreamOps.anomalyFlag(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName(nm).start()
+    feed(in, q, evs.toSeq, nBatches)
+    finish(s, nm, q)
+      .select(col("user_id"), col("event_id"), col("ep"),
+        round(col("value"), 4).as("value"))
+      .orderBy("user_id", "ep", "event_id")
+  }
 }

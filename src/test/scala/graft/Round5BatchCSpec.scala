@@ -172,6 +172,43 @@ class Round5BatchCSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.0, "fixture residuals can't all be zero")
   }
 
+  test("stream_anomaly_replay: batching is invisible to the flags") {
+    // state carries across micro-batches: a 1-batch drain and a 5-batch
+    // drain must flag the exact same events
+    val one = graft.streaming.StreamReplay.anomalyReplay(spark, sf, 1)
+      .collect().map(_.toString).sorted
+    val five = graft.streaming.StreamReplay.anomalyReplay(spark, sf, 5)
+      .collect().map(_.toString).sorted
+    assert(one.nonEmpty, "fixture should produce some flags")
+    assert(one.sameElements(five),
+      s"batch count changed the flags: ${one.length} vs ${five.length}")
+  }
+
+  test("permutation_test: per-user constants make every gap zero, p=1") {
+    val dir = java.nio.file.Files.createTempDirectory("perm").toString
+    // 40 users × exactly 5 events of the same value ⇒ every user's
+    // total is identical ⇒ every permutation's arm gap is exactly 0
+    (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        (i % 40).toLong, "view", 7.25, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.permutationTest(spark, dir).collect().head
+    assert(r.getDouble(2) == 1.0,
+      s"all-equal user means must give p=1, got ${r.getDouble(2)}")
+  }
+
+  test("permutation_test: fixture p-value is a valid randomization share") {
+    val r = Events.permutationTest(spark, sf).collect().head
+    val p = r.getDouble(2)
+    assert(p >= 0.01 - 1e-9, "p=0 always matches itself, so p >= 1/P")
+    assert(p <= 1.0)
+    assert(r.getDouble(1) >= 0.0)
+    assert(r.getLong(0) ==
+      Tables.events(spark, sf).filter(col("value").isNotNull)
+        .select("user_id").distinct().count())
+  }
+
   test("fairness_audit: confusion counts are internally consistent") {
     val rows = Ml.fairnessAudit(spark, sf).collect()
     rows.foreach { r =>
