@@ -319,6 +319,7 @@ object SparkEntry {
     "mahalanobis_outliers" -> ((s, d) => Similarity.mahalanobisOutliers(s, d)),
     "conformal_intervals" -> ((s, d) => Relational.conformalIntervals(s, d)),
     "permutation_test" -> ((s, d) => Events.permutationTest(s, d)),
+    "lof_audit" -> ((s, d) => Similarity.lofAudit(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -2330,6 +2331,61 @@ object SparkEntry {
            floor(sum(CASE WHEN ag * 2 < kn THEN 1 ELSE 0 END)::DOUBLE
              / count(*) * 1e6 + 0.5) / 1e6 AS suspect_share
          FROM per GROUP BY qlabel ORDER BY label""",
+    // LOF over the same IVF probe lists as knn_label_consistency:
+    // grid distances, greatest-reachability, lrd ratios quantized to
+    // 1e12 before the order-free sum, +1 smoothing on sum(reach)
+    "lof_audit" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                    FROM embeddings),
+           cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                    WHERE vec_id < 16),
+           assigned AS (
+             SELECT vec_id, v, centroid_id FROM (
+               SELECT e.vec_id, e.v, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e CROSS JOIN cent c) WHERE rn = 1),
+           probes AS (
+             SELECT query_id, qv, centroid_id FROM (
+               SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e q CROSS JOIN cent c) WHERE rn <= 4),
+           topk AS (
+             SELECT query_id, vec_id, di FROM (
+               SELECT p.query_id, a.vec_id,
+                 CAST(floor((1 - list_cosine_similarity(a.v, p.qv))
+                   * 1e9 + 0.5) AS BIGINT) AS di,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY CAST(floor(
+                     (1 - list_cosine_similarity(a.v, p.qv)) * 1e9 + 0.5)
+                     AS BIGINT), a.vec_id) AS rn
+               FROM assigned a JOIN probes p USING (centroid_id)
+               WHERE a.vec_id <> p.query_id) WHERE rn <= 5),
+           kd AS (SELECT query_id, max(di) AS kd FROM topk GROUP BY 1),
+           sr AS (
+             SELECT t.query_id, count(*)::BIGINT AS kn,
+                    sum(greatest(t.di, o.kd))::BIGINT + 1 AS sreach
+             FROM topk t JOIN kd o ON o.query_id = t.vec_id
+             GROUP BY 1),
+           lrdg AS (
+             SELECT query_id, kn, sreach,
+               CAST(floor(kn::DOUBLE / sreach * 1e12 + 0.5) AS BIGINT)
+                 AS lrdg
+             FROM sr),
+           lf AS (
+             SELECT t.query_id, count(*)::BIGINT AS kn2,
+                    sum(o.lrdg)::BIGINT AS slrd
+             FROM topk t JOIN lrdg o ON o.query_id = t.vec_id
+             GROUP BY 1)
+         SELECT l.query_id AS vec_id, e.label,
+                floor(l.slrd::DOUBLE * g.sreach / (l.kn2 * l.kn2) / 1e12
+                      * 1e6 + 0.5) / 1e6 AS lof
+         FROM lf l JOIN lrdg g ON g.query_id = l.query_id
+         JOIN e ON e.vec_id = l.query_id
+         ORDER BY 3 DESC, 1 LIMIT 20""",
     // recall@5 of the IVF ranking vs brute force: both pipelines are
     // the knn_brute / knn_ivf oracles verbatim, joined per query
     "ann_recall" ->

@@ -849,4 +849,88 @@ object Similarity {
           .as("mahal"))
     dist.orderBy(col("mahal").desc, col("vec_id")).limit(k)
   }
+
+  /** Local Outlier Factor (Breunig et al. 2000) over IVF candidate
+    * lists — the DENSITY-aware outlier screen that catches what a
+    * global screen like [[mahalanobisOutliers]] can't: a point that is
+    * merely in a sparse region scores ~1, a point whose local density
+    * is far below its neighbors' scores ≫ 1. Every vector is a query;
+    * neighbors come from the same probe-list machinery as
+    * [[knnLabelConsistency]] (n·nprobe·(n/C) candidate pairs, never
+    * all-pairs — the only LOF shape that survives 100 TB).
+    *
+    * Numerics: cosine distances land on the 1e-9 LONG grid BEFORE any
+    * arithmetic; k-distance and reachability are max/greatest of those
+    * integers; each neighbor's lrd ratio is floor-quantized to a 1e12
+    * grid before the order-free LONG sum, so both engines make every
+    * selection and every sum identically. A +1 grid-unit smoothing on
+    * Σreach keeps coincident-vector stacks finite (documented; the
+    * classic formulation leaves lrd undefined there). Top-`topn` cut
+    * on the 6-dp rounded score, vec-id tiebreak.
+    */
+  def lofAudit(s: SparkSession, dir: String, k: Int = 5,
+               numCentroids: Int = 16, nprobe: Int = 4,
+               topn: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding", "label")
+    val cent = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "centroid_id")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = emb
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    // candidate distances on the 1e-9 grid; k nearest by (grid, id)
+    val di = floor((lit(1.0) - cosine(col("embedding"), col("qv"))) *
+      lit(1e9) + lit(0.5)).cast("long")
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("di"), col("vec_id"))
+    val topk = CacheScope.track(assigned
+      .join(probes.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), di.as("di"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "di")
+      .persist()) // read for k-dist, Σreach, and the LOF join
+    val kd = topk.groupBy("query_id").agg(max("di").as("kd"))
+    val sr = topk
+      .join(kd.select(col("query_id").as("vec_id"), col("kd")), "vec_id")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("kn"),
+        (sum(greatest(col("di"), col("kd"))) + lit(1L)).as("sreach"))
+    val lrdg = CacheScope.track(sr.select(col("query_id"), col("kn"),
+      col("sreach"),
+      floor(col("kn").cast("double") / col("sreach") * lit(1e12) +
+        lit(0.5)).cast("long").as("lrdg"))
+      .persist()) // joined as both the neighbor and the query side
+    val lof = topk
+      .join(lrdg.select(col("query_id").as("vec_id"), col("lrdg")),
+        "vec_id")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("kn2"), sum(col("lrdg")).as("slrd"))
+    lof
+      .join(lrdg.select(col("query_id"), col("sreach")), "query_id")
+      .join(emb.select(col("vec_id"), col("label")),
+        col("query_id") === col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        graft.operators.Events.q(
+          col("slrd").cast("double") * col("sreach") /
+            (col("kn2") * col("kn2")) / lit(1e12), 6).as("lof"))
+      .orderBy(col("lof").desc, col("vec_id"))
+      .limit(topn)
+  }
 }

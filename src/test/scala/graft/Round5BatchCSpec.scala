@@ -172,6 +172,34 @@ class Round5BatchCSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.0, "fixture residuals can't all be zero")
   }
 
+  test("lof_audit: a density outlier beside a tight cluster tops the list") {
+    val dir = java.nio.file.Files.createTempDirectory("lof").toString
+    // 59 vectors tightly packed around [1, 0] + one at 45 degrees:
+    // the outlier's neighbors are all dense-cluster members, so its
+    // local density is far below theirs => LOF >> 1
+    val cluster = (0 until 59).map { i =>
+      (i.toLong, Array(1.0f, (i % 10) * 0.001f, (i % 7) * 0.001f), 0)
+    }
+    val outlier = Seq((999L, Array(0.8f, 0.6f, 0.0f), 0))
+    (cluster ++ outlier).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.lofAudit(spark, dir).collect()
+    assert(rows.head.getLong(0) == 999L,
+      s"density outlier must rank first, got ${rows.head}")
+    assert(rows.head.getDouble(2) > 1.5,
+      s"outlier LOF should be >> 1, got ${rows.head.getDouble(2)}")
+    // in-cluster points sit at their neighbors' density: LOF ~ 1
+    assert(rows.tail.forall(_.getDouble(2) < rows.head.getDouble(2)))
+  }
+
+  test("lof_audit: fixture scores are positive, finite and sorted") {
+    val rows = Similarity.lofAudit(spark, sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.forall(v => v > 0.0 && !v.isNaN && !v.isInfinite))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+  }
+
   test("stream_anomaly_replay: batching is invisible to the flags") {
     // state carries across micro-batches: a 1-batch drain and a 5-batch
     // drain must flag the exact same events
