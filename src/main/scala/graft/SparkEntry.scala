@@ -320,6 +320,7 @@ object SparkEntry {
     "conformal_intervals" -> ((s, d) => Relational.conformalIntervals(s, d)),
     "permutation_test" -> ((s, d) => Events.permutationTest(s, d)),
     "lof_audit" -> ((s, d) => Similarity.lofAudit(s, d)),
+    "rich_club" -> ((s, d) => Graph.richClub(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -523,6 +524,8 @@ object SparkEntry {
       " WHERE c >= t),\n" +
       blocks.mkString(",\n") + ",\n" +
       tri(rounds) + ",\n" + sup(rounds) + "\n" +
+      s"SELECT -1::BIGINT AS support, count(*)::BIGINT AS n_edges" +
+      s" FROM e$rounds UNION ALL " +
       "SELECT coalesce(s.sup, 0)::BIGINT AS support," +
       s" count(*)::BIGINT AS n_edges FROM e$rounds e" +
       s" LEFT JOIN s$rounds s ON s.u = e.u AND s.v = e.v" +
@@ -1612,6 +1615,36 @@ object SparkEntry {
     "ppr_top10" -> pprOracleSql(Seq(1L, 2L), 8, 10, danglingFree = true),
     "k_core" -> kCoreOracleSql(3, 6),
     "k_truss" -> kTrussOracleSql(3, 2, 0.9),
+    // rich-club φ(k) ladder over the same projection; exact counts,
+    // one division per k
+    "rich_club" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         co AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                       count(*) AS c
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2),
+         thr AS (SELECT quantile_cont(c, 0.9) AS t FROM co),
+         e AS (SELECT s1 AS u, s2 AS v FROM co, thr WHERE c >= t),
+         deg AS (SELECT x, count(*)::BIGINT AS d FROM
+                   (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY x),
+         md AS (SELECT least(du.d, dv.d) AS md
+                FROM e JOIN deg du ON du.x = e.u
+                       JOIN deg dv ON dv.x = e.v),
+         ks AS (SELECT unnest([4, 8, 16, 32, 64, 128]) AS k),
+         nk AS (SELECT k, sum(CASE WHEN d > k THEN 1 ELSE 0 END)::BIGINT
+                    AS n_rich
+                FROM deg CROSS JOIN ks GROUP BY k),
+         ek AS (SELECT k, sum(CASE WHEN md > k THEN 1 ELSE 0 END)::BIGINT
+                    AS e_rich
+                FROM md CROSS JOIN ks GROUP BY k)
+         SELECT nk.k, n_rich, e_rich,
+                CASE WHEN n_rich > 1 THEN
+                  floor(2.0 * e_rich / (n_rich * (n_rich - 1)) * 1e6
+                        + 0.5) / 1e6
+                ELSE 0.0 END AS phi
+         FROM nk JOIN ek USING (k) ORDER BY k""",
     "hits_scores" -> hitsOracleSql(3, 20),
     "mix_weights" ->
       """WITH per AS (

@@ -1312,6 +1312,59 @@ object Graph {
       .groupBy("u", "v").agg(count(lit(1)).as("sup"))
   }
 
+  /** Rich-club coefficient ladder over the supplier co-purchase
+    * projection (same 0.9-quantile cut as [[triangleCensus]]): for
+    * each degree cutoff k, φ(k) = 2·E_k / (N_k·(N_k−1)) with N_k the
+    * nodes of degree > k and E_k the edges whose BOTH endpoints have
+    * degree > k — "do the hubs trade with each other more than
+    * chance" (Colizza et al. 2006), the topology-concentration audit
+    * of the graph tier. Normalized by the complete graph on the rich
+    * set, so φ ∈ [0, 1] exactly.
+    *
+    * One pass: degrees once, every edge annotated with min(du, dv),
+    * then a single crossJoin against the tiny cutoff ladder with
+    * conditional counts — O(|E|·|ks|) rows inside codegen before a
+    * |ks|-key partial agg, no per-k rescans. All counts exact longs;
+    * φ is one division.
+    */
+  def richClub(s: SparkSession, dir: String,
+               ks: Seq[Int] = Seq(4, 8, 16, 32, 64, 128),
+               q: Double = 0.9): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey").distinct()
+    val a = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s1"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s2"))
+    val co = CacheScope.track(a.join(b, "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+      .persist())
+    val thr = co.agg(percentile(col("c"), lit(q))).head().getDouble(0)
+    val e = CacheScope.track(co.filter(col("c") >= thr)
+      .select(col("s1").as("u"), col("s2").as("v")).persist())
+    val deg = CacheScope.track(e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d")).persist())
+    val md = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(least(col("du"), col("dv")).as("md"))
+    val kdf = ks.toDF("k")
+    val nk = deg.crossJoin(broadcast(kdf))
+      .groupBy("k")
+      .agg(sum(when(col("d") > col("k"), 1L).otherwise(0L)).as("n_rich"))
+    val ek = md.crossJoin(broadcast(kdf))
+      .groupBy("k")
+      .agg(sum(when(col("md") > col("k"), 1L).otherwise(0L)).as("e_rich"))
+    nk.join(ek, "k")
+      .select(col("k"), col("n_rich"), col("e_rich"),
+        when(col("n_rich") > 1,
+          graft.operators.Events.q(lit(2.0) * col("e_rich") /
+            (col("n_rich") * (col("n_rich") - 1)), 6))
+          .otherwise(lit(0.0)).as("phi"))
+      .orderBy("k")
+  }
+
   /** k-truss peeling over the supplier co-purchase projection (same
     * 0.9-quantile projection as [[triangleCensus]]): `rounds`
     * synchronized rounds of "drop every edge whose triangle support
@@ -1381,9 +1434,15 @@ object Graph {
           .filter(coalesce(col("sup"), lit(0L)) >= lit((k - 2).toLong))
           .select("u", "v").localCheckpoint()
       }
-      act.join(edgeSupport(or0, act), Seq("u", "v"), "left")
-        .select(coalesce(col("sup"), lit(0L)).as("support"))
-        .groupBy("support").agg(count(lit(1)).as("n_edges"))
+      // the support = -1 row is the survivor TOTAL: it keeps the
+      // result non-empty even when the truss peels to nothing (the
+      // sf0.001 fixture does) and gives the headline count for free
+      act.agg(count(lit(1)).as("n_edges"))
+        .select(lit(-1L).as("support"), col("n_edges"))
+        .unionAll(
+          act.join(edgeSupport(or0, act), Seq("u", "v"), "left")
+            .select(coalesce(col("sup"), lit(0L)).as("support"))
+            .groupBy("support").agg(count(lit(1)).as("n_edges")))
         .orderBy("support")
     }
   }

@@ -14,7 +14,8 @@ class Round5BatchCSpec extends SparkSpec {
     val hist = Graph.kTrussEdges(spark, e, k = 3, rounds = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // both triangles survive with support 1 each; the pendant is gone
-    assert(hist == Map(1L -> 6L), s"got $hist")
+    // (-1 is the survivor-total row)
+    assert(hist == Map(-1L -> 6L, 1L -> 6L), s"got $hist")
   }
 
   test("kTrussEdges: K4 edges all have support 2; 4-truss keeps K4 only") {
@@ -25,7 +26,7 @@ class Round5BatchCSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // k=4 needs support >= 2: only the K4's 6 edges qualify, and after
     // the hanging triangle is peeled each still closes 2 triangles
-    assert(t4 == Map(2L -> 6L), s"got $t4")
+    assert(t4 == Map(-1L -> 6L, 2L -> 6L), s"got $t4")
   }
 
   test("kTrussEdges: cascade — peeling one edge starves the next round") {
@@ -36,10 +37,26 @@ class Round5BatchCSpec extends SparkSpec {
     // (2,3) has support 2, the other four have support 1.
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("u", "v")
-    val t4 = Graph.kTrussEdges(spark, e, k = 4, rounds = 2).collect()
+    val t4 = Graph.kTrussEdges(spark, e, k = 4, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // k=4 drops the support-1 edges in round 1; (2,3) then has no
-    // triangle left and drops in round 2 — empty truss
-    assert(t4.isEmpty, s"got ${t4.mkString(",")}")
+    // triangle left and drops in round 2 — empty truss, total row only
+    assert(t4 == Map(-1L -> 0L), s"got $t4")
+  }
+
+  test("rich_club: phi bounded, club monotonically shrinks with k") {
+    val rows = Graph.richClub(spark, sf).collect()
+    assert(rows.length == 6)
+    val byK = rows.map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    byK.foreach { case (_, n, e, phi) =>
+      assert(phi >= 0.0 && phi <= 1.0, s"phi out of [0,1]: $phi")
+      if (n > 1) assert(e <= n * (n - 1) / 2, "E_k exceeds complete graph")
+    }
+    // raising the degree bar can only shrink the club and its edges
+    byK.sliding(2).foreach { case Array((_, n1, e1, _), (_, n2, e2, _)) =>
+      assert(n2 <= n1 && e2 <= e1)
+    }
   }
 
   test("fairness_audit: rates bounded, gaps match a driver recompute") {
