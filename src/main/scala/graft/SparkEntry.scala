@@ -321,6 +321,7 @@ object SparkEntry {
     "permutation_test" -> ((s, d) => Events.permutationTest(s, d)),
     "lof_audit" -> ((s, d) => Similarity.lofAudit(s, d)),
     "rich_club" -> ((s, d) => Graph.richClub(s, d)),
+    "readability" -> ((s, d) => TextStats.readability(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -1645,6 +1646,34 @@ object SparkEntry {
                         + 0.5) / 1e6
                 ELSE 0.0 END AS phi
          FROM nk JOIN ek USING (k) ORDER BY k""",
+    // Flesch over the shared tokenizer; per-doc scores on the 1e-4
+    // grid before the per-source mean; corpus-ratio wps/spw
+    "readability" ->
+      """WITH d AS (
+           SELECT source,
+             len(list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0))::BIGINT AS w,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS sn,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+               AS y
+           FROM documents),
+         f AS (
+           SELECT source, w, sn, y,
+             CAST(floor((206.835 - 1.015 * (w::DOUBLE / sn)
+                         - 84.6 * (y::DOUBLE / w)) * 1e4 + 0.5) AS BIGINT)
+               AS fi
+           FROM d WHERE w > 0)
+         SELECT source, count(*)::BIGINT AS n_docs,
+                floor(sum(w)::DOUBLE / sum(sn) * 1e6 + 0.5) / 1e6
+                  AS words_per_sent,
+                floor(sum(y)::DOUBLE / sum(w) * 1e6 + 0.5) / 1e6
+                  AS syll_per_word,
+                floor(sum(fi)::DOUBLE / count(*) / 1e4 * 1e6 + 0.5) / 1e6
+                  AS mean_flesch
+         FROM f GROUP BY source ORDER BY source""",
     "hits_scores" -> hitsOracleSql(3, 20),
     "mix_weights" ->
       """WITH per AS (

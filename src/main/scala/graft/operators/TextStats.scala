@@ -881,4 +881,45 @@ object TextStats {
           .as("kl_to_corpus"))
       .orderBy("source")
   }
+
+  /** Per-source readability profile — Flesch reading ease over the
+    * shared reference tokenizer, with sentences as `[.!?]+` terminator
+    * groups (floor 1 so fragments count as one sentence) and syllables
+    * as `[aeiouy]+` vowel groups (the standard cheap proxy; no minimum
+    * per word, documented simple variant). The curation signal that
+    * separates prose from boilerplate/code by STRUCTURE where
+    * `quality_score` uses character ratios.
+    *
+    * Numerics: counts are exact longs; each per-doc Flesch score is
+    * floor-quantized to the 1e-4 grid BEFORE the per-source mean, so
+    * the mean is a ratio of exact integers; words-per-sentence and
+    * syllables-per-word are corpus-level ratios of exact sums. One
+    * partial-agg shuffle over O(sources) keys; every regex runs inside
+    * codegen on the scan.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val w = size(tokenize(col("text"))).cast("long")
+    val sn = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val y = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    val flesch = lit(206.835) -
+      lit(1.015) * (col("w").cast("double") / col("sn")) -
+      lit(84.6) * (col("y").cast("double") / col("w"))
+    Tables.documents(s, dir)
+      .select(col("source"), w.as("w"), sn.as("sn"), y.as("y"))
+      .filter(col("w") > 0)
+      .withColumn("fi",
+        floor(flesch * lit(1e4) + lit(0.5)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("sw"),
+        sum("sn").as("ssn"), sum("y").as("sy"), sum("fi").as("sfi"))
+      .select(col("source"), col("n_docs"),
+        Events.q(col("sw").cast("double") / col("ssn"), 6)
+          .as("words_per_sent"),
+        Events.q(col("sy").cast("double") / col("sw"), 6)
+          .as("syll_per_word"),
+        Events.q(col("sfi").cast("double") / col("n_docs") / lit(1e4), 6)
+          .as("mean_flesch"))
+      .orderBy("source")
+  }
 }

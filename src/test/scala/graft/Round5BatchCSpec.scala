@@ -44,6 +44,33 @@ class Round5BatchCSpec extends SparkSpec {
     assert(t4 == Map(-1L -> 0L), s"got $t4")
   }
 
+  test("readability: hand-computed Flesch on a crafted document") {
+    val dir = java.nio.file.Files.createTempDirectory("read").toString
+    // w=5 tokens, 2 sentence terminators, 7 vowel groups:
+    // one(2) two(1) three(1) four(1) five(2)
+    Seq((1L, "One two three. Four five!", "en", "webA", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TextStats.readability(spark, dir)
+      .collect().head
+    assert(r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 2.5, s"w/s: ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.4, s"syll/w: ${r.getDouble(3)}")
+    val expected = 206.835 - 1.015 * 2.5 - 84.6 * 1.4
+    assert(math.abs(r.getDouble(4) - expected) < 1e-4,
+      s"flesch ${r.getDouble(4)} vs $expected")
+  }
+
+  test("readability: fixture profile is sane per source") {
+    val rows = graft.operators.TextStats.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 1.0, "at least one word per sentence floor")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 6.0)
+      assert(r.getDouble(4) > -300 && r.getDouble(4) < 207)
+    }
+  }
+
   test("rich_club: phi bounded, club monotonically shrinks with k") {
     val rows = Graph.richClub(spark, sf).collect()
     assert(rows.length == 6)
