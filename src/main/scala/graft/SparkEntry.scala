@@ -322,6 +322,7 @@ object SparkEntry {
     "lof_audit" -> ((s, d) => Similarity.lofAudit(s, d)),
     "rich_club" -> ((s, d) => Graph.richClub(s, d)),
     "readability" -> ((s, d) => TextStats.readability(s, d)),
+    "kmv_set_ops" -> ((s, d) => Events.kmvSetOps(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -1121,6 +1122,83 @@ object SparkEntry {
            floor((est - exact_distinct) / exact_distinct * 1e6 + 0.5)
              / 1e6 AS rel_err
          FROM es ORDER BY event_type"""
+
+  /** KMV set-operations oracle (mirrors `Events.kmvSetOps`): same
+    * 4-round scrambled poly hash, per-type k-minimum sketches, merged
+    * union sketch, Jaccard-share intersection estimate; exact truth by
+    * the user-keyed self-join. */
+  private def kmvSetOpsOracleSql(k: Int = 64): String =
+    s"""WITH pairs AS MATERIALIZED (
+           SELECT DISTINCT event_type, user_id FROM events),
+         h0s AS (SELECT event_type,
+                   (list_reduce(list_prepend(0::BIGINT,
+                      list_transform(
+                        string_split(user_id::VARCHAR, ''),
+                        c -> ord(c)::BIGINT)),
+                      (h, c) -> (h * 31 + c) % 1099511627776)) AS h
+                 FROM pairs),
+         ${(0 until 4).map(i =>
+            s"""mx$i AS (SELECT event_type, xor(hm, hm // 1048576) AS h
+               FROM (SELECT event_type,
+                 (h * 8388593) % 1099511627776 AS hm
+                 FROM ${if (i == 0) "h0s" else s"mx${i - 1}"}))""")
+           .mkString(",\n         ")},
+         hs AS (SELECT DISTINCT event_type, h FROM mx3),
+         sk AS MATERIALIZED (
+           SELECT event_type, h FROM (
+             SELECT event_type, h, row_number() OVER (
+               PARTITION BY event_type ORDER BY h) AS rn
+             FROM hs) WHERE rn <= $k),
+         tys AS (SELECT DISTINCT event_type FROM sk),
+         tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+                FROM tys a JOIN tys b ON a.event_type < b.event_type),
+         merged AS (
+           SELECT DISTINCT ta, tb, h FROM (
+             SELECT tp.ta, tp.tb, s.h FROM tp
+               JOIN sk s ON s.event_type = tp.ta
+             UNION ALL
+             SELECT tp.ta, tp.tb, s.h FROM tp
+               JOIN sk s ON s.event_type = tp.tb)),
+         mk AS (SELECT ta, tb, h FROM (
+                  SELECT ta, tb, h, row_number() OVER (
+                    PARTITION BY ta, tb ORDER BY h) AS rn
+                  FROM merged) WHERE rn <= $k),
+         ann AS (
+           SELECT mk.ta, mk.tb, count(*)::BIGINT AS n_mk,
+                  max(mk.h) AS hk,
+                  sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                      THEN 1 ELSE 0 END)::BIGINT AS cb
+           FROM mk
+           LEFT JOIN sk sa ON sa.event_type = mk.ta AND sa.h = mk.h
+           LEFT JOIN sk sb ON sb.event_type = mk.tb AND sb.h = mk.h
+           GROUP BY 1, 2),
+         es AS (
+           SELECT ta, tb, n_mk, cb,
+                  CASE WHEN n_mk < $k THEN n_mk::DOUBLE
+                       ELSE ${k - 1}.0 * 1099511627776.0 / hk::DOUBLE
+                  END AS est
+           FROM ann),
+         ex AS (
+           SELECT a.event_type AS ta, b.event_type AS tb,
+                  count(*)::BIGINT AS exact_inter
+           FROM pairs a JOIN pairs b ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2),
+         cnts AS (SELECT event_type, count(*)::BIGINT AS n
+                  FROM pairs GROUP BY 1)
+         SELECT t.ta, t.tb,
+                (ca.n + cb2.n - coalesce(ex.exact_inter, 0))::BIGINT
+                  AS exact_union,
+                coalesce(ex.exact_inter, 0)::BIGINT AS exact_inter,
+                floor(es.est * 1e4 + 0.5) / 1e4 AS kmv_union,
+                floor(es.cb::DOUBLE / es.n_mk * es.est * 1e4 + 0.5) / 1e4
+                  AS kmv_inter
+         FROM tp t
+         JOIN cnts ca ON ca.event_type = t.ta
+         JOIN cnts cb2 ON cb2.event_type = t.tb
+         LEFT JOIN ex ON ex.ta = t.ta AND ex.tb = t.tb
+         JOIN es ON es.ta = t.ta AND es.tb = t.tb
+         ORDER BY t.ta, t.tb"""
 
   /** KS separation (mirrors `Ml.ksStatistic`): cross-multiplied CDF
     * gap |cp·NN − cn·NP| in LONGs; one double division at the end.
@@ -3709,6 +3787,7 @@ object SparkEntry {
     // affine row hashes over the 20 low poly-hash bits
     "hll_error_audit" -> hllOracleSql,
     "kmv_error_audit" -> kmvOracleSql,
+    "kmv_set_ops" -> kmvSetOpsOracleSql(),
     // t-closeness: exact-integer EMD via cross-multiplied cumulative
     // histograms (HUGEINT mirrors Spark's DECIMAL(38)); violation is
     // the integer test 5·emd_num > 9·n_c·n_g — no double enters a

@@ -2318,6 +2318,87 @@ object Events {
       .orderBy("arm")
   }
 
+  /** KMV sketch SET OPERATIONS audit — the reason KMV is the sketch a
+    * distributed engine ships: two sketches union by merging their
+    * k-minimum value sets (an associative, order-free set union), and
+    * intersection estimates ride the Jaccard share of the merged
+    * sketch (Beyer et al. 2007): est∩ = (|K ∩ S_a ∩ S_b| / |K|) · est∪
+    * with K the k smallest of the merged set. Per event-type PAIR this
+    * reports exact vs estimated union and intersection of the user
+    * sets — the audit that says whether sketch-level audience overlap
+    * is trustworthy before anyone joins raw ID sets at 100 TB.
+    *
+    * Under k distinct hashes the merged sketch IS the union, so both
+    * estimators fall back to exact counts (the same branch the
+    * cardinality audit takes). Cost: one distinct pass builds per-type
+    * hash sets, per-type top-k windows run over type-bounded rows, and
+    * everything pairwise touches only sketch rows (≤ k per type) —
+    * the corpus is scanned once. Exact truth needs the user-keyed
+    * self-join; the SKETCH path never does, which is the point.
+    */
+  def kmvSetOps(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val pairs = CacheScope.track(Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct().persist())
+    val h0 = element_at(
+      polyHashArray(array(col("user_id").cast("string"))), 1)
+    val h = (1 to 4).foldLeft(h0) { (acc, _) =>
+      val hm = (acc * lit(8388593L)) % lit(1099511627776L)
+      hm.bitwiseXOR(shiftright(hm, 20))
+    }
+    val hs = pairs.select(col("event_type"), h.as("h")).distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val sk = CacheScope.track(hs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("event_type"), col("h")).persist())
+    val tys = sk.select(col("event_type")).distinct()
+    val tpairs = tys.select(col("event_type").as("ta"))
+      .crossJoin(tys.select(col("event_type").as("tb")))
+      .filter(col("ta") < col("tb"))
+    val merged = tpairs
+      .join(sk.select(col("event_type").as("ta"), col("h")), Seq("ta"))
+      .select("ta", "tb", "h")
+      .unionAll(tpairs
+        .join(sk.select(col("event_type").as("tb"), col("h")), Seq("tb"))
+        .select("ta", "tb", "h"))
+      .distinct()
+    val wm = Window.partitionBy("ta", "tb").orderBy("h")
+    val mk = merged.withColumn("rn", row_number().over(wm))
+      .filter(col("rn") <= k).select("ta", "tb", "h")
+    val ann = mk
+      .join(sk.select(col("event_type").as("ta"), col("h"),
+        lit(1).as("ina")), Seq("ta", "h"), "left")
+      .join(sk.select(col("event_type").as("tb"), col("h"),
+        lit(1).as("inb")), Seq("tb", "h"), "left")
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_mk"), max("h").as("hk"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L)
+          .otherwise(0L)).as("cb"))
+    val estU = when(col("n_mk") < k, col("n_mk").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1099511627776.0) /
+        col("hk").cast("double"))
+    val ex = pairs.select(col("event_type").as("ta"), col("user_id"))
+      .join(pairs.select(col("event_type").as("tb"), col("user_id")),
+        "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+    val cnts = pairs.groupBy("event_type").agg(count(lit(1)).as("n"))
+    tpairs
+      .join(cnts.select(col("event_type").as("ta"), col("n").as("na")),
+        "ta")
+      .join(cnts.select(col("event_type").as("tb"), col("n").as("nb")),
+        "tb")
+      .join(ex, Seq("ta", "tb"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .join(ann, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"),
+        (col("na") + col("nb") - col("exact_inter")).as("exact_union"),
+        col("exact_inter"),
+        q(estU, 4).as("kmv_union"),
+        q(col("cb").cast("double") / col("n_mk") * estU, 4)
+          .as("kmv_inter"))
+      .orderBy("ta", "tb")
+  }
+
   /** Permutation test (Fisher randomization) for the A/B difference in
     * per-user mean value: permutation p = 0 is the OBSERVED hash
     * assignment (the same split [[cupedAdjust]] uses), p = 1..P−1 are

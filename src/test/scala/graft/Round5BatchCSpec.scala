@@ -71,6 +71,35 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("kmv_set_ops: identical user sets make intersection = union") {
+    val dir = java.nio.file.Files.createTempDirectory("kmvso").toString
+    (0 until 400).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        (i % 200).toLong, if (i < 200) "view" else "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.kmvSetOps(spark, dir).collect().head
+    assert(r.getLong(2) == 200L && r.getLong(3) == 200L,
+      s"exact union/inter must both be 200: $r")
+    assert(r.getDouble(4) == r.getDouble(5),
+      "identical sketches: est_inter must equal est_union exactly")
+  }
+
+  test("kmv_set_ops: fixture estimates are within sketch error") {
+    val rows = Events.kmvSetOps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (eu, ei) = (r.getLong(2), r.getLong(3))
+      val (ku, ki) = (r.getDouble(4), r.getDouble(5))
+      assert(eu >= ei && ei >= 0)
+      assert(ku >= ki - 1e-9 && ki >= 0.0)
+      // k=64 ⇒ σ ≈ 12.7%; allow 4σ + Jaccard-share noise
+      assert(math.abs(ku - eu) / eu < 0.6, s"union est off: $r")
+      if (ei >= 20)
+        assert(math.abs(ki - ei) / ei < 1.0, s"inter est off: $r")
+    }
+  }
+
   test("rich_club: phi bounded, club monotonically shrinks with k") {
     val rows = Graph.richClub(spark, sf).collect()
     assert(rows.length == 6)
