@@ -323,6 +323,8 @@ object SparkEntry {
     "rich_club" -> ((s, d) => Graph.richClub(s, d)),
     "readability" -> ((s, d) => TextStats.readability(s, d)),
     "kmv_set_ops" -> ((s, d) => Events.kmvSetOps(s, d)),
+    "mutual_nn_pairs" -> ((s, d) => Similarity.mutualNnPairs(s, d)),
+    "cohort_ltv" -> ((s, d) => Events.cohortLtv(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -2526,6 +2528,44 @@ object SparkEntry {
          FROM lf l JOIN lrdg g ON g.query_id = l.query_id
          JOIN e ON e.vec_id = l.query_id
          ORDER BY 3 DESC, 1 LIMIT 20""",
+    // mutual top-1 over the IVF probe lists; top-1 cut on the 1e-9
+    // grid distance, mutuality via the reversed-key self-join
+    "mutual_nn_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                    WHERE vec_id < 16),
+           assigned AS (
+             SELECT vec_id, v, centroid_id FROM (
+               SELECT e.vec_id, e.v, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e CROSS JOIN cent c) WHERE rn = 1),
+           probes AS (
+             SELECT query_id, qv, centroid_id FROM (
+               SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                            c.centroid_id) AS rn
+               FROM e q CROSS JOIN cent c) WHERE rn <= 4),
+           top1 AS (
+             SELECT query_id, vec_id, di FROM (
+               SELECT p.query_id, a.vec_id,
+                 CAST(floor((1 - list_cosine_similarity(a.v, p.qv))
+                   * 1e9 + 0.5) AS BIGINT) AS di,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY CAST(floor(
+                     (1 - list_cosine_similarity(a.v, p.qv)) * 1e9 + 0.5)
+                     AS BIGINT), a.vec_id) AS rn
+               FROM assigned a JOIN probes p USING (centroid_id)
+               WHERE a.vec_id <> p.query_id) WHERE rn = 1)
+         SELECT f.query_id AS vec_a, f.vec_id AS vec_b,
+                floor((1.0 - f.di::DOUBLE / 1e9) * 1e6 + 0.5) / 1e6
+                  AS sim
+         FROM top1 f JOIN top1 r
+           ON f.query_id = r.vec_id AND f.vec_id = r.query_id
+         WHERE f.query_id < f.vec_id
+         ORDER BY vec_a""",
     // recall@5 of the IVF ranking vs brute force: both pipelines are
     // the knn_brute / knn_ivf oracles verbatim, joined per query
     "ann_recall" ->
@@ -4143,6 +4183,36 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM orient) AS n_edges,
                 count(*) AS n_wedges, count(hit) AS n_triangles
          FROM cl""",
+    // the revenue companion to retention_cohorts: 1e-6-grid sums,
+    // cumulative window over the tiny cohort×offset table
+    "cohort_ltv" ->
+      """WITH ev AS (
+           SELECT user_id, ts,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+           FROM events WHERE value IS NOT NULL),
+         f AS (SELECT user_id, min(ts) AS first_ts FROM ev GROUP BY 1),
+         cells AS (
+           SELECT date_trunc('week', f.first_ts)::DATE AS cohort_week,
+                  (date_diff('day', date_trunc('week', f.first_ts),
+                             date_trunc('week', e.ts)) // 7)::INT
+                    AS week_offset,
+                  sum(e.v6)::BIGINT AS rev6
+           FROM ev e JOIN f USING (user_id)
+           GROUP BY 1, 2),
+         sizes AS (
+           SELECT date_trunc('week', first_ts)::DATE AS cohort_week,
+                  count(*)::BIGINT AS n_users
+           FROM f GROUP BY 1)
+         SELECT c.cohort_week, c.week_offset, s.n_users,
+                floor(c.rev6::DOUBLE / 1e6 * 1e4 + 0.5) / 1e4
+                  AS week_revenue,
+                floor((sum(c.rev6) OVER (PARTITION BY c.cohort_week
+                        ORDER BY c.week_offset
+                        ROWS UNBOUNDED PRECEDING))::DOUBLE
+                      / s.n_users / 1e6 * 1e6 + 0.5) / 1e6
+                  AS ltv_per_user
+         FROM cells c JOIN sizes s USING (cohort_week)
+         ORDER BY c.cohort_week, c.week_offset""",
     "retention_cohorts" ->
       """WITH f AS (SELECT user_id, min(ts) AS first_ts
                     FROM events GROUP BY user_id)

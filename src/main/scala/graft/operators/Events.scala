@@ -758,6 +758,48 @@ object Events {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** Cohort lifetime-value (LTV) curve — the revenue companion to
+    * [[retentionCohorts]]' activity counts: per signup-week cohort and
+    * week offset, the CUMULATIVE value per cohort member. Answers "how
+    * much is a week-N-old user worth so far" — the curve every
+    * payback-period decision reads. Same week conventions as the
+    * retention table (date_trunc week, offset = day-diff // 7).
+    *
+    * Exactness: event values land on the 1e-6 LONG grid, per-cell sums
+    * and the cumulative window are exact LONGs, cohort sizes exact
+    * counts — one double division per surfaced cell. Cost: one
+    * user-keyed shuffle for first-seen, one (cohort, offset)-keyed
+    * partial agg, then a window over the tiny cohort×offset table.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+    val first = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+    val cells = ev.join(first, "user_id")
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          date_trunc("week", col("first_ts")).cast("date")) / 7)
+          .cast("int").as("week_offset"),
+        col("v6"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(sum(col("v6")).as("rev6"))
+    val sizes = first
+      .groupBy(date_trunc("week", col("first_ts")).cast("date")
+        .as("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val wcum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(sizes, "cohort_week")
+      .withColumn("cum6", sum(col("rev6")).over(wcum))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        q(col("rev6").cast("double") / lit(1e6), 4).as("week_revenue"),
+        q(col("cum6").cast("double") / col("n_users") / lit(1e6), 6)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Interval-union coverage: treat each event as a half-open interval
     * [ts, ts + value seconds] and merge overlapping/touching intervals
     * per user (the classic overlap-merge: an interval opens a new island

@@ -850,6 +850,66 @@ object Similarity {
     dist.orderBy(col("mahal").desc, col("vec_id")).limit(k)
   }
 
+  /** Mutual nearest-neighbor pairs over IVF candidate lists — the
+    * HIGH-PRECISION dedup/alignment candidate generator: a pair
+    * survives only if each vector is the other's top-1 neighbor among
+    * its probe-list candidates. Mutuality filters the asymmetric
+    * "hub attracts everything" false positives that plain top-1 lists
+    * are full of (the classic trick from bitext mining and
+    * deduplication alike). Same sub-quadratic probe-list shape as
+    * [[knnLabelConsistency]]; the mutuality check is one self-join of
+    * the n-row top-1 table on the reversed key. Top-1 selection cuts
+    * on the 1e-9 grid distance with id tiebreak, so both engines pick
+    * identical champions; surfaced similarity is the 6-dp rounded
+    * cosine.
+    */
+  def mutualNnPairs(s: SparkSession, dir: String,
+                    numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding", "label")
+    val cent = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "centroid_id")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = emb
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val di = floor((lit(1.0) - cosine(col("embedding"), col("qv"))) *
+      lit(1e9) + lit(0.5)).cast("long")
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("di"), col("vec_id"))
+    val top1 = assigned
+      .join(probes.hint("shuffle_hash"), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), di.as("di"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), col("di"))
+      .localCheckpoint() // self-joined on the reversed key
+    top1.as("f")
+      .join(top1.as("r"),
+        col("f.query_id") === col("r.vec_id") &&
+          col("f.vec_id") === col("r.query_id"))
+      .filter(col("f.query_id") < col("f.vec_id"))
+      .select(col("f.query_id").as("vec_a"), col("f.vec_id").as("vec_b"),
+        graft.operators.Events.q(
+          lit(1.0) - col("f.di").cast("double") / lit(1e9), 6).as("sim"))
+      .orderBy("vec_a")
+  }
+
   /** Local Outlier Factor (Breunig et al. 2000) over IVF candidate
     * lists — the DENSITY-aware outlier screen that catches what a
     * global screen like [[mahalanobisOutliers]] can't: a point that is

@@ -71,6 +71,46 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("mutual_nn_pairs: planted twins pair up; hubs don't fake pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("mnn").toString
+    // two tight twin pairs + background spread; twins must match
+    val twins = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f), 0), (101L, Array(0.999f, 0.001f, 0.0f), 0),
+      (200L, Array(0.0f, 1.0f, 0.0f), 1), (201L, Array(0.001f, 0.999f, 0.0f), 1))
+    val bg = (0 until 30).map(i =>
+      (i.toLong, Array(0.5f + i * 0.01f, 0.5f - i * 0.01f, 0.3f), 2))
+    (twins ++ bg).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.mutualNnPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 101L)), s"twin pair 100-101 missing: $got")
+    assert(got.contains((200L, 201L)), s"twin pair 200-201 missing: $got")
+  }
+
+  test("mutual_nn_pairs: pairs are canonical, sims bounded, symmetric-free") {
+    val rows = Similarity.mutualNnPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be canonical a<b")
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+    val ids = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length, "no duplicate pairs")
+  }
+
+  test("cohort_ltv: curve is cumulative and internally consistent") {
+    val rows = Events.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getDate(0)).foreach { case (_, cohort) =>
+      val sorted = cohort.sortBy(_.getInt(1))
+      val ltv = sorted.map(_.getDouble(4))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a - 1e-9 },
+        "per-user LTV must be nondecreasing in week offset")
+      assert(sorted.map(_.getLong(2)).distinct.length == 1,
+        "cohort size must be constant within a cohort")
+    }
+  }
+
   test("kmv_set_ops: identical user sets make intersection = union") {
     val dir = java.nio.file.Files.createTempDirectory("kmvso").toString
     (0 until 400).map { i =>
