@@ -325,6 +325,7 @@ object SparkEntry {
     "kmv_set_ops" -> ((s, d) => Events.kmvSetOps(s, d)),
     "mutual_nn_pairs" -> ((s, d) => Similarity.mutualNnPairs(s, d)),
     "cohort_ltv" -> ((s, d) => Events.cohortLtv(s, d)),
+    "mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -1201,6 +1202,58 @@ object SparkEntry {
          LEFT JOIN ex ON ex.ta = t.ta AND ex.tb = t.tb
          JOIN es ON es.ta = t.ta AND es.tb = t.tb
          ORDER BY t.ta, t.tb"""
+
+  /** Unrolled MMR greedy selection (mirrors `Similarity.mmrSelect`:
+    * λ=1/2 so each round's objective is the exact LONG 2·rel9 −
+    * maxsim9; k argmax rounds as chained CTEs, vec-id tiebreak). */
+  private def mmrOracleSql(k: Int = 8): String = {
+    val sim = "CAST(floor(list_cosine_similarity(c.v, sv.v) * 1e9 + 0.5)" +
+      " AS BIGINT)"
+    val blocks = (1 to k).flatMap { i =>
+      val pick =
+        if (i == 1)
+          s"""s1 AS MATERIALIZED (
+             SELECT vec_id, label, 2 * rel9 AS score2, 1 AS rank
+             FROM scored ORDER BY 2 * rel9 DESC, vec_id LIMIT 1)"""
+        else
+          s"""s$i AS MATERIALIZED (
+             SELECT vec_id, label, score2, $i AS rank FROM (
+               SELECT c.vec_id, c.label,
+                      2 * c.rel9 - max($sim) AS score2
+               FROM scored c JOIN scored sv
+                 ON sv.vec_id IN (SELECT vec_id FROM sel${i - 1})
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+               GROUP BY c.vec_id, c.label, c.rel9)
+             ORDER BY score2 DESC, vec_id LIMIT 1)"""
+      val acc =
+        if (i == k) Nil
+        else if (i == 1)
+          Seq("sel1 AS MATERIALIZED (SELECT vec_id FROM s1)")
+        else Seq(s"sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1}" +
+          s" UNION ALL SELECT vec_id FROM s$i)")
+      pick +: acc
+    }
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         ps AS (SELECT pos, sum(vi)::BIGINT AS sv FROM (
+           SELECT unnest(list_transform(v, c ->
+             CAST(floor(c * 1e9 + 0.5) AS BIGINT))) AS vi,
+             generate_subscripts(v, 1) AS pos
+           FROM e) GROUP BY pos),
+         proto AS (SELECT list(sv::DOUBLE ORDER BY pos) AS pv FROM ps),
+         scored AS MATERIALIZED (
+           SELECT e.vec_id, e.label, e.v,
+             CAST(floor(list_cosine_similarity(e.v, p.pv) * 1e9 + 0.5)
+               AS BIGINT) AS rel9
+           FROM e CROSS JOIN proto p),
+         ${blocks.mkString(",\n         ")}
+         SELECT rank, vec_id, label,
+                floor(score2::DOUBLE / 2e9 * 1e6 + 0.5) / 1e6
+                  AS mmr_score
+         FROM (${(1 to k).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")})
+         ORDER BY rank"""
+  }
 
   /** KS separation (mirrors `Ml.ksStatistic`): cross-multiplied CDF
     * gap |cp·NN − cn·NP| in LONGs; one double division at the end.
@@ -3828,6 +3881,7 @@ object SparkEntry {
     "hll_error_audit" -> hllOracleSql,
     "kmv_error_audit" -> kmvOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
+    "mmr_select" -> mmrOracleSql(),
     // t-closeness: exact-integer EMD via cross-multiplied cumulative
     // histograms (HUGEINT mirrors Spark's DECIMAL(38)); violation is
     // the integer test 5·emd_num > 9·n_c·n_g — no double enters a

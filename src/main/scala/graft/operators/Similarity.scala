@@ -850,6 +850,75 @@ object Similarity {
     dist.orderBy(col("mahal").desc, col("vec_id")).limit(k)
   }
 
+  /** Maximal-marginal-relevance diverse selection (Carbonell &
+    * Goldstein 1998): pick `k` vectors greedily maximizing
+    * relevance − λ·redundancy, with relevance the cosine to the corpus
+    * prototype (the per-dim exact-integer sum — direction-identical to
+    * the mean) and redundancy the max cosine to anything already
+    * selected. The eval-set/few-shot-pool builder: top-k-by-relevance
+    * returns near-duplicates; MMR buys coverage of the corpus's
+    * directions instead.
+    *
+    * λ is pinned at 1/2 so the greedy objective is the EXACT LONG
+    * `2·rel9 − maxsim9` on the 1e-9 cosine grid — every argmax is an
+    * integer comparison with vec-id tiebreak, and the DuckDB oracle
+    * unrolls the identical k rounds. Per round: one broadcast
+    * crossJoin of candidates × the ≤k selected rows, one max-agg, one
+    * distributed TakeOrdered(1); the selected set itself is k scalars
+    * on the driver (the `markov_attribution` escape — bounded by k,
+    * never the corpus).
+    */
+  def mmrSelect(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val x = col("embedding").cast("array<double>")
+    val emb = CacheScope.track(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), x.as("v")).persist())
+    // corpus prototype: exact per-dim 1e-9-grid sums, surfaced as
+    // doubles (cosine is scale-invariant, so the sum IS the mean)
+    val proto = emb
+      .select(posexplode(transform(col("v"), c =>
+        floor(c * lit(1e9) + lit(0.5)).cast("long"))).as(Seq("pos", "vi")))
+      .groupBy("pos").agg(sum("vi").as("sv"))
+      .orderBy("pos").collect().map(_.getLong(1).toDouble)
+    val protoCol = array(proto.map(lit): _*)
+    val scored = CacheScope.track(emb
+      .select(col("vec_id"), col("label"),  col("v"),
+        floor(cosine(col("v"), protoCol) * lit(1e9) + lit(0.5))
+          .cast("long").as("rel9"))
+      .persist())
+    var selected = Vector.empty[(Long, Int, Long)] // (vec_id, label, score2)
+    for (_ <- 1 to k) {
+      val selIds = selected.map(_._1)
+      val cand = scored.filter(!col("vec_id").isInCollection(
+        if (selIds.isEmpty) Seq(-1L) else selIds))
+      val best =
+        if (selected.isEmpty)
+          cand.select(col("vec_id"), col("label"),
+            (col("rel9") * 2).as("score2"))
+        else {
+          val selDf = scored
+            .filter(col("vec_id").isInCollection(selIds))
+            .select(col("v").as("sv"))
+          cand.crossJoin(broadcast(selDf))
+            .select(col("vec_id"), col("label"), col("rel9"),
+              floor(cosine(col("v"), col("sv")) * lit(1e9) + lit(0.5))
+                .cast("long").as("sim9"))
+            .groupBy("vec_id", "label", "rel9")
+            .agg(max("sim9").as("ms9"))
+            .select(col("vec_id"), col("label"),
+              (col("rel9") * 2 - col("ms9")).as("score2"))
+        }
+      val row = best.orderBy(col("score2").desc, col("vec_id"))
+        .limit(1).head()
+      selected :+= ((row.getLong(0), row.getInt(1), row.getLong(2)))
+    }
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case ((id, lb, sc), i) =>
+        (i + 1, id, lb,
+          math.floor(sc.toDouble / 2e9 * 1e6 + 0.5) / 1e6)
+      }.toDF("rank", "vec_id", "label", "mmr_score")
+  }
+
   /** Mutual nearest-neighbor pairs over IVF candidate lists — the
     * HIGH-PRECISION dedup/alignment candidate generator: a pair
     * survives only if each vector is the other's top-1 neighbor among

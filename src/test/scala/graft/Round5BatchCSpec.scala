@@ -71,6 +71,33 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("mmr_select: diversity — one pick per axis cluster, not top-k-by-rel") {
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    // three tight orthogonal clusters; pure relevance would drain one
+    // cluster, MMR must visit all three in the first three picks
+    val vecs = (0 until 10).map(i => (i.toLong, Array(1.0f, i * 0.001f, 0.0f), 0)) ++
+      (0 until 10).map(i => (100L + i, Array(0.0f, 1.0f, i * 0.001f), 1)) ++
+      (0 until 10).map(i => (200L + i, Array(i * 0.001f, 0.0f, 1.0f), 2))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.operators.Similarity.mmrSelect(spark, dir, k = 3)
+      .collect()
+    val clusters = rows.map(_.getLong(1) / 100).toSet
+    assert(clusters == Set(0L, 1L, 2L),
+      s"first 3 picks must span the 3 clusters, got ${rows.mkString(", ")}")
+  }
+
+  test("mmr_select: fixture ranks are 1..k with distinct ids") {
+    val rows = graft.operators.Similarity.mmrSelect(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8))
+    assert(rows.map(_.getLong(1)).distinct.length == 8)
+    // NOTE: scores are NOT monotone — cosine to the selected set can
+    // be negative, so an anti-correlated later pick may out-score an
+    // earlier one. Scores are bounded by the objective's range though.
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.forall(v => v >= -1.5 && v <= 1.0))
+  }
+
   test("mutual_nn_pairs: planted twins pair up; hubs don't fake pairs") {
     val dir = java.nio.file.Files.createTempDirectory("mnn").toString
     // two tight twin pairs + background spread; twins must match
