@@ -326,6 +326,8 @@ object SparkEntry {
     "mutual_nn_pairs" -> ((s, d) => Similarity.mutualNnPairs(s, d)),
     "cohort_ltv" -> ((s, d) => Events.cohortLtv(s, d)),
     "mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d)),
+    "session_gap_sweep" -> ((s, d) => Events.sessionGapSweep(s, d)),
+    "ctfidf_terms" -> ((s, d) => Index.ctfidfTerms(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3882,6 +3884,58 @@ object SparkEntry {
     "kmv_error_audit" -> kmvOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
     "mmr_select" -> mmrOracleSql(),
+    // one gap pass, then the cutoff ladder as conditional counts:
+    // n_sessions(t) = n_users + #{gaps > t}
+    "session_gap_sweep" ->
+      """WITH g AS (
+           SELECT epoch_ms(ts) // 1000
+                  - lag(epoch_ms(ts) // 1000) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events),
+         tot AS (SELECT count(*)::BIGINT AS n_events,
+                        sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END)
+                          ::BIGINT AS n_users
+                 FROM g),
+         ks AS (SELECT unnest([5, 10, 15, 30, 60, 120]) AS gap_minutes),
+         br AS (SELECT k.gap_minutes,
+                  sum(CASE WHEN g.gap > k.gap_minutes * 60
+                      THEN 1 ELSE 0 END)::BIGINT AS n_breaks
+                FROM g CROSS JOIN ks k WHERE g.gap IS NOT NULL
+                GROUP BY 1)
+         SELECT b.gap_minutes,
+                (t.n_users + b.n_breaks)::BIGINT AS n_sessions,
+                floor(t.n_events::DOUBLE / (t.n_users + b.n_breaks)
+                      * 1e6 + 0.5) / 1e6 AS events_per_session
+         FROM br b CROSS JOIN tot t ORDER BY b.gap_minutes""",
+    // c-TF-IDF: exact counts, 1e-9-grid ln factor, rank on the LONG
+    // product c*L9 with term tiebreak
+    "ctfidf_terms" -> s"""$TokCte,
+         cts AS MATERIALIZED (
+           SELECT d.source, t.t AS term, count(*)::BIGINT AS c
+           FROM documents d
+           JOIN (SELECT doc_id, unnest(ts) AS t FROM toks) t
+             ON t.doc_id = d.doc_id
+           GROUP BY 1, 2),
+         ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM cts GROUP BY 1),
+         ft AS (SELECT term, sum(c)::BIGINT AS f FROM cts GROUP BY 1),
+         tot AS (SELECT sum(n_s)::BIGINT AS total,
+                        count(*)::BIGINT AS n_src FROM ns),
+         sc AS (
+           SELECT c.source, c.term, c.c,
+             c.c * CAST(floor(ln(1.0 + t.total::DOUBLE / t.n_src / f.f)
+                   * 1e9 + 0.5) AS BIGINT) AS s9
+           FROM cts c JOIN ft f USING (term) CROSS JOIN tot t),
+         rk AS (
+           SELECT source, term, c, s9,
+             row_number() OVER (PARTITION BY source
+               ORDER BY s9 DESC, term) AS rnk
+           FROM sc)
+         SELECT r.source, r.rnk, r.term, r.c,
+                floor(r.s9::DOUBLE / n.n_s / 1e9 * 1e6 + 0.5) / 1e6
+                  AS ctfidf
+         FROM rk r JOIN ns n USING (source)
+         WHERE r.rnk <= 5
+         ORDER BY r.source, r.rnk""",
     // t-closeness: exact-integer EMD via cross-multiplied cumulative
     // histograms (HUGEINT mirrors Spark's DECIMAL(38)); violation is
     // the integer test 5·emd_num > 9·n_c·n_g — no double enters a

@@ -2360,6 +2360,45 @@ object Events {
       .orderBy("arm")
   }
 
+  /** Session-gap sensitivity sweep — "how many sessions would each
+    * cutoff produce" for a ladder of gap thresholds, from ONE pass
+    * over the per-user gaps: a session starts wherever the preceding
+    * gap exceeds the cutoff, so n_sessions(t) = n_users + #{gaps > t}
+    * — no re-sessionization per threshold (the dedup_threshold_sweep
+    * trick applied to time). The table that tunes the production gap
+    * before anyone bakes 30 minutes into a pipeline.
+    *
+    * One user-keyed window computes gaps once; the ladder is a
+    * crossJoin against 6 constant rows with conditional counts, all
+    * exact integers. Mean events/session is the exact ratio
+    * n_events / n_sessions.
+    */
+  def sessionGapSweep(s: SparkSession, dir: String,
+                      minutes: Seq[Int] = Seq(5, 10, 15, 30, 60, 120))
+      : DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val epoch = unix_timestamp(col("ts"))
+    val gaps = CacheScope.track(Tables.events(s, dir)
+      .withColumn("gap", epoch - lag(epoch, 1).over(w))
+      .select(col("gap"))
+      .persist()) // totals + the ladder both scan it
+    val totals = gaps.agg(count(lit(1)).as("n_events"),
+      sum(when(col("gap").isNull, 1L).otherwise(0L)).as("n_users"))
+    val ladder = minutes.toDF("gap_minutes")
+    gaps.filter(col("gap").isNotNull)
+      .crossJoin(broadcast(ladder))
+      .groupBy("gap_minutes")
+      .agg(sum(when(col("gap") > col("gap_minutes") * lit(60L), 1L)
+        .otherwise(0L)).as("n_breaks"))
+      .crossJoin(broadcast(totals))
+      .select(col("gap_minutes"),
+        (col("n_users") + col("n_breaks")).as("n_sessions"),
+        q(col("n_events").cast("double") /
+          (col("n_users") + col("n_breaks")), 6).as("events_per_session"))
+      .orderBy("gap_minutes")
+  }
+
   /** KMV sketch SET OPERATIONS audit — the reason KMV is the sketch a
     * distributed engine ships: two sketches union by merging their
     * k-minimum value sets (an associative, order-free set union), and

@@ -364,4 +364,44 @@ object Index {
       .select("term", "doc_id", "rrf_rank", "rrf")
       .orderBy("term", "rrf_rank")
   }
+
+  /** Class-based TF-IDF keywords per SOURCE (Grootendorst's c-TF-IDF,
+    * the BERTopic labeler): score(t, s) = (c_ts / n_s) ·
+    * ln(1 + A / f_t) with c_ts the term's count inside the source,
+    * n_s the source's token total, f_t the corpus-wide count and A the
+    * mean tokens per source — the "what is this slice about" labels a
+    * corpus browser puts next to every source/cluster.
+    *
+    * Determinism: the ln factor is floor-quantized to the 1e-9 grid,
+    * so per-term scores rank by the exact LONG product c_ts·L9 (n_s is
+    * constant within a source — cross-multiplication for free); ties
+    * break on the term string. One token-count shuffle is the only
+    * corpus-bound stage; the rank window runs per source over
+    * vocabulary-bounded rows.
+    */
+  def ctfidfTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cts = CacheScope.track(Tables.documents(s, dir)
+      .select(col("source"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .persist()) // source totals, corpus df and the score join
+    val ns = cts.groupBy("source").agg(sum("c").as("n_s"))
+    val ft = cts.groupBy("term").agg(sum("c").as("f"))
+    val tot = ns.agg(sum(col("n_s")).as("total"),
+      count(lit(1)).as("n_src"))
+    val l9 = floor(log(lit(1.0) +
+      col("total").cast("double") / col("n_src") / col("f")) *
+      lit(1e9) + lit(0.5)).cast("long")
+    val w = Window.partitionBy("source")
+      .orderBy(col("s9").desc, col("term"))
+    cts.join(ft, "term").crossJoin(broadcast(tot))
+      .select(col("source"), col("term"), col("c"),
+        (col("c") * l9).as("s9"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .join(ns, "source")
+      .select(col("source"), col("rnk"), col("term"), col("c"),
+        graft.operators.Events.q(col("s9").cast("double") / col("n_s") /
+          lit(1e9), 6).as("ctfidf"))
+      .orderBy("source", "rnk")
+  }
 }

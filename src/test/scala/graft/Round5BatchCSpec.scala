@@ -71,6 +71,41 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("session_gap_sweep: 30-minute rung equals the real sessionizer") {
+    val n30 = Events.sessionGapSweep(spark, sf).collect()
+      .find(_.getInt(0) == 30).get.getLong(1)
+    assert(n30 == Events.sessionize(spark, sf).count(),
+      "sweep rung must equal an actual 30-min sessionization")
+    val rows = Events.sessionGapSweep(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(rows.zip(rows.tail).forall { case (a, b) => b <= a },
+      "larger gaps can only merge sessions")
+  }
+
+  test("ctfidf_terms: a source-exclusive dominant term tops its source") {
+    val dir = java.nio.file.Files.createTempDirectory("ctfidf").toString
+    val docs = (0 until 10).map { i =>
+      (i.toLong, "zebra zebra zebra common words here", "en", "srcA", 30L)
+    } ++ (10 until 20).map { i =>
+      (i.toLong, "common words here and more filler text", "en", "srcB", 30L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = graft.operators.Index.ctfidfTerms(spark, dir).collect()
+      .filter(_.getString(0) == "srcA").minBy(_.getInt(1))
+    assert(top.getString(2) == "zebra",
+      s"srcA's top keyword must be its exclusive term, got $top")
+  }
+
+  test("ctfidf_terms: ranks dense per source, scores positive") {
+    val rows = graft.operators.Index.ctfidfTerms(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to g.length))
+      assert(g.length <= 5)
+    }
+    assert(rows.forall(_.getDouble(4) > 0.0))
+  }
+
   test("mmr_select: diversity — one pick per axis cluster, not top-k-by-rel") {
     val dir = java.nio.file.Files.createTempDirectory("mmr").toString
     // three tight orthogonal clusters; pure relevance would drain one
