@@ -328,6 +328,8 @@ object SparkEntry {
     "mmr_select" -> ((s, d) => Similarity.mmrSelect(s, d)),
     "session_gap_sweep" -> ((s, d) => Events.sessionGapSweep(s, d)),
     "ctfidf_terms" -> ((s, d) => Index.ctfidfTerms(s, d)),
+    "stream_hll_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.hllReplay(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -1038,7 +1040,11 @@ object SparkEntry {
     * comparison chain, harmonic sum of exact powers of two, same
     * deterministic linear-counting branch.
     */
-  private def hllOracleSql: String = {
+  private def hllOracleSql: String = hllOracleSqlImpl(full = true)
+  /** The streaming replay grades the same estimate without the exact
+    * columns (the stream never sees the exact-count side). */
+  private def streamHllOracleSql: String = hllOracleSqlImpl(full = false)
+  private def hllOracleSqlImpl(full: Boolean): String = {
     val chain = (35 to 0 by -1).map(k =>
       s"WHEN suffix >= ${1L << k} THEN ${k + 1}").mkString(" ")
     s"""WITH pairs AS MATERIALIZED (
@@ -1080,11 +1086,15 @@ object SparkEntry {
                 FROM es),
          ex AS (SELECT event_type, count(*)::BIGINT AS exact_distinct
                 FROM pairs GROUP BY event_type)
-         SELECT event_type, exact_distinct,
+         ${if (full)
+        """SELECT event_type, exact_distinct,
            floor(e * 1e4 + 0.5) / 1e4 AS hll_est,
            floor((e - exact_distinct) / exact_distinct * 1e6 + 0.5)
              / 1e6 AS rel_err
          FROM ex JOIN ec USING (event_type) ORDER BY event_type"""
+      else
+        """SELECT event_type, floor(e * 1e4 + 0.5) / 1e4 AS hll_est
+         FROM ec ORDER BY event_type"""}"""
   }
 
   /** KMV audit (mirrors `Events.kmvErrorAudit`): same scrambled poly
@@ -3882,6 +3892,7 @@ object SparkEntry {
     // affine row hashes over the 20 low poly-hash bits
     "hll_error_audit" -> hllOracleSql,
     "kmv_error_audit" -> kmvOracleSql,
+    "stream_hll_replay" -> streamHllOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
     "mmr_select" -> mmrOracleSql(),
     // one gap pass, then the cutoff ladder as conditional counts:

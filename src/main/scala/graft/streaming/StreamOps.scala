@@ -325,6 +325,60 @@ object StreamOps {
         GroupStateTimeout.NoTimeout)(fold)
   }
 
+  /** (event_type, user_id) streaming input for [[hllSketch]]. */
+  case class TypeUser(event_type: String, user_id: Long)
+
+  /** Per-type HLL state: monotone max registers + an update counter
+    * (the counter only identifies the final snapshot in update-mode
+    * sinks; the registers are the sketch). */
+  case class HllState(event_type: String, n: Long, regs: Seq[Long])
+
+  /** The replicable 2^40 poly hash + 4 (multiply, xorshift) scramble
+    * rounds → (bucket, rank) — digit-for-digit the column chain of
+    * `Events.hllErrorAudit` and its oracle CTE. */
+  private[graft] def hllBucketRank(uid: Long): (Int, Long) = {
+    var h = 0L
+    uid.toString.foreach(c => h = (h * 31 + c.toLong) % 1099511627776L)
+    for (_ <- 1 to 4) {
+      h = (h * 8388593L) % 1099511627776L
+      h = h ^ (h >>> 20)
+    }
+    val suffix = h >>> 4
+    val bitlen =
+      if (suffix == 0L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(suffix)
+    ((h % 16L).toInt, 37L - bitlen)
+  }
+
+  /** Streaming HyperLogLog per event type (`mapGroupsWithState`,
+    * update): registers are per-bucket MAX ranks, so the state merge
+    * is idempotent, commutative and monotone — duplicates are free
+    * (HLL's defining property; no per-key distinct needed upstream)
+    * and batch boundaries provably can't change the drained sketch.
+    * This is the shape of a production streaming distinct-count:
+    * m longs per key, never a user set.
+    */
+  def hllSketch(events: Dataset[TypeUser]): Dataset[HllState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[TypeUser],
+         state: GroupState[HllState]) =>
+          val prev = state.getOption
+            .getOrElse(HllState(tpe, 0L, Seq.fill(16)(0L)))
+          val regs = prev.regs.toArray
+          var n = prev.n
+          it.foreach { e =>
+            val (b, r) = hllBucketRank(e.user_id)
+            if (r > regs(b)) regs(b) = r
+            n += 1
+          }
+          val cur = HllState(tpe, n, regs.toIndexedSeq)
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Running per-user moments on the 1e-3 value grid (all LONG-safe:
     * vi ≤ ~1e6, Σvi² ≤ ~1e15 at fixture value ranges). */
   case class Mom(n: Long, sv: Long, sv2: Long)

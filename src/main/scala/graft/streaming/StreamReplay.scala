@@ -362,6 +362,47 @@ object StreamReplay {
         col("ep"), col("value"))
   }
 
+  /** W287 gate: streaming HLL per event type, update mode. Registers
+    * are monotone maxima, so the drained sketch equals the batch
+    * sketch regardless of batching; the estimate recomputes the batch
+    * formula over the final registers (Σ2^-mj is an exact
+    * powers-of-two sum — order-free by construction).
+    */
+  def hllReplay(s: SparkSession, dir: String,
+                nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val evs = sortedEvents(s, dir).map(e =>
+      StreamOps.TypeUser(e.event_type, e.user_id))
+    val in = MemoryStream[StreamOps.TypeUser]
+    val nm = s"stream_hll_${ctr.incrementAndGet()}"
+    val q = StreamOps.hllSketch(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    val m = 16
+    val fin = finish(s, nm, q)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("n").desc)))
+      .filter(col("rn") === 1)
+    val est = fin
+      .select(col("event_type"), posexplode(col("regs"))
+        .as(Seq("bucket", "mj")))
+      .groupBy("event_type")
+      .agg(sum(pow(lit(2.0), -col("mj").cast("double"))).as("ssum"),
+        sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v"))
+      .select(col("event_type"),
+        (lit(0.673) * lit(256.0) / col("ssum")).as("e_raw"), col("v"))
+      .select(col("event_type"),
+        when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("e_raw")).as("e"))
+    est.select(col("event_type"),
+        (floor(col("e") * lit(1e4) + lit(0.5)) / lit(1e4)).as("hll_est"))
+      .orderBy("event_type")
+  }
+
   /** W276 gate: per-user running z-score anomaly flags, append mode.
     * The state decision is pure-integer (`StreamOps.anomalyFlag`), so
     * the drained sink equals the oracle's preceding-rows window

@@ -375,6 +375,16 @@ class Round5BatchCSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
   }
 
+  test("stream_hll_replay: drained sketch equals the batch estimate") {
+    val streamed = graft.streaming.StreamReplay.hllReplay(spark, sf, 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = Events.hllErrorAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(streamed == batch,
+      s"streamed $streamed must equal batch $batch — register-max merge" +
+        " is monotone, batching cannot matter")
+  }
+
   test("stream_anomaly_replay: batching is invisible to the flags") {
     // state carries across micro-batches: a 1-batch drain and a 5-batch
     // drain must flag the exact same events
