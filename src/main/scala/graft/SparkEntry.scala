@@ -330,6 +330,7 @@ object SparkEntry {
     "ctfidf_terms" -> ((s, d) => Index.ctfidfTerms(s, d)),
     "stream_hll_replay" ->
       ((s, d) => graft.streaming.StreamReplay.hllReplay(s, d)),
+    "stem_collisions" -> ((s, d) => TextStats.stemCollisions(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3918,6 +3919,41 @@ object SparkEntry {
                 floor(t.n_events::DOUBLE / (t.n_users + b.n_breaks)
                       * 1e6 + 0.5) / 1e6 AS events_per_session
          FROM br b CROSS JOIN tot t ORDER BY b.gap_minutes""",
+    // Harman S-stemmer collisions: three regexp branches, exact-count
+    // cut on (n_forms, token mass, stem)
+    "stem_collisions" -> s"""$TokCte,
+         tok AS (SELECT t, count(*)::BIGINT AS c FROM (
+                   SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+         st AS (
+           SELECT CASE
+                    WHEN regexp_matches(t, 'ies$$')
+                         AND NOT regexp_matches(t, '(aies|eies)$$')
+                      THEN regexp_replace(t, 'ies$$', 'y')
+                    WHEN regexp_matches(t, 'es$$')
+                         AND NOT regexp_matches(t, '(aes|ees|oes)$$')
+                      THEN regexp_replace(t, 's$$', '')
+                    WHEN regexp_matches(t, 's$$')
+                         AND NOT regexp_matches(t, '(us|ss)$$')
+                      THEN regexp_replace(t, 's$$', '')
+                    ELSE t END AS stem,
+                  t, c
+           FROM tok),
+         detail AS (
+           SELECT stem, count(DISTINCT t)::BIGINT AS n_forms,
+                  sum(c)::BIGINT AS n_tokens,
+                  string_agg(DISTINCT t, ',' ORDER BY t) AS forms
+           FROM st GROUP BY stem
+           HAVING count(DISTINCT t) >= 2
+           ORDER BY n_forms DESC, n_tokens DESC, stem LIMIT 30),
+         summary AS (
+           SELECT '_summary' AS stem,
+                  (count(DISTINCT t) - count(DISTINCT stem))::BIGINT
+                    AS n_forms,
+                  count(DISTINCT t)::BIGINT AS n_tokens,
+                  count(DISTINCT t)::VARCHAR || '->' ||
+                    count(DISTINCT stem)::VARCHAR AS forms
+           FROM st)
+         SELECT * FROM summary UNION ALL SELECT * FROM detail""",
     // c-TF-IDF: exact counts, 1e-9-grid ln factor, rank on the LONG
     // product c*L9 with term tiebreak
     "ctfidf_terms" -> s"""$TokCte,

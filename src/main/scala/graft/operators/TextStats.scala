@@ -882,6 +882,53 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** S-stemmer vocabulary-compression audit (Harman 1991's three-rule
+    * stemmer — `ies`→`y` unless aies/eies, strip the `s` of `es`
+    * unless aes/ees/oes, strip a final `s` unless us/ss): stems that
+    * collapse ≥2 surface forms, with form count, token mass and the
+    * sorted form list — the audit that says how much vocabulary a
+    * stemming stage would merge (and shows exactly WHAT it merges, the
+    * part people actually review). The full Porter cascade adds ~20
+    * rules but no new plumbing; the S-stemmer is the published
+    * baseline and exactly restatable in both engines.
+    *
+    * One token-count shuffle; stemming is three regexp branches inside
+    * codegen on the vocabulary-sized distinct table. Cut: top-k by
+    * (n_forms, token mass, stem) — all exact integers.
+    */
+  def stemCollisions(s: SparkSession, dir: String,
+                     k: Int = 30): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val t = col("t")
+    val stem = when(t.rlike("ies$") && !t.rlike("(aies|eies)$"),
+        regexp_replace(t, "ies$", "y"))
+      .when(t.rlike("es$") && !t.rlike("(aes|ees|oes)$"),
+        regexp_replace(t, "s$", ""))
+      .when(t.rlike("s$") && !t.rlike("(us|ss)$"),
+        regexp_replace(t, "s$", ""))
+      .otherwise(t)
+    val st = tok.select(stem.as("stem"), col("t"), col("c"))
+    val detail = st.groupBy("stem")
+      .agg(countDistinct(col("t")).as("n_forms"),
+        sum(col("c")).as("n_tokens"),
+        concat_ws(",", sort_array(collect_set(col("t")))).as("forms"))
+      .filter(col("n_forms") >= 2)
+      .orderBy(col("n_forms").desc, col("n_tokens").desc, col("stem"))
+      .limit(k)
+    // headline row first: the summary keeps the result non-empty on
+    // vocabularies with no plural pairs at all (the fixture's is one)
+    val summary = st.agg(countDistinct(col("t")).as("nv"),
+        countDistinct(col("stem")).as("ns"))
+      .select(lit("_summary").as("stem"), (col("nv") - col("ns") )
+          .as("n_forms"),
+        col("nv").as("n_tokens"),
+        concat_ws("->", col("nv").cast("string"),
+          col("ns").cast("string")).as("forms"))
+    summary.unionAll(detail)
+  }
+
   /** Per-source readability profile — Flesch reading ease over the
     * shared reference tokenizer, with sentences as `[.!?]+` terminator
     * groups (floor 1 so fragments count as one sentence) and syllables

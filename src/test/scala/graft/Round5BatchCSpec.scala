@@ -71,6 +71,31 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("stem_collisions: S-stemmer merges crafted plural families") {
+    val dir = java.nio.file.Files.createTempDirectory("stem").toString
+    Seq(
+      (1L, "query queries table tables bus buses class classes", "en", "a", 40L),
+      (2L, "query table value values window windows", "en", "a", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextStats.stemCollisions(spark, dir)
+      .collect()
+    val summary = rows.find(_.getString(0) == "_summary").get
+    val byStem = rows.filterNot(_.getString(0) == "_summary")
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    // query/queries -> 'query' via ies->y; table/tables via s-strip
+    assert(byStem.get("query").contains("queries,query"), s"$byStem")
+    assert(byStem.get("table").contains("table,tables"))
+    assert(byStem.get("value").contains("value,values"))
+    assert(byStem.get("window").contains("window,windows"))
+    // 'bus' (us) and 'class' (ss) are PROTECTED: no merge rows for them
+    assert(!byStem.contains("bus") && !byStem.contains("clas") &&
+      !byStem.contains("class"))
+    // summary counts the merged surface forms (one per family above;
+    // 'buses'->'buse' via es-rule is a lone form, no merge)
+    assert(summary.getLong(1) == 4L, s"merged forms: $summary")
+  }
+
   test("session_gap_sweep: 30-minute rung equals the real sessionizer") {
     val n30 = Events.sessionGapSweep(spark, sf).collect()
       .find(_.getInt(0) == 30).get.getLong(1)
