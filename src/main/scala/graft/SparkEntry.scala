@@ -331,6 +331,7 @@ object SparkEntry {
     "stream_hll_replay" ->
       ((s, d) => graft.streaming.StreamReplay.hllReplay(s, d)),
     "stem_collisions" -> ((s, d) => TextStats.stemCollisions(s, d)),
+    "prf_expansion" -> ((s, d) => Index.prfExpansion(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3503,6 +3504,43 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY term
              ORDER BY score DESC, doc_id) AS rnk FROM sc)
          WHERE rnk <= 10""",
+    // RM3-lite: BM25 top-10 feedback docs per df-top probe, RRF doc
+    // weights, contributions floor-quantized to LONGs before the sum
+    "prf_expansion" -> s"""$TokCte,
+         lens AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+         p AS (SELECT term, doc_id, count(*) AS tf
+               FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+               GROUP BY 1, 2),
+         d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         sc AS (SELECT p.term, p.doc_id,
+                  round(ln((n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+                    AS score
+                FROM p JOIN d USING (term) JOIN lens USING (doc_id)
+                CROSS JOIN c),
+         bm AS (SELECT term, doc_id, score FROM (
+                  SELECT *, row_number() OVER (PARTITION BY term
+                    ORDER BY score DESC, doc_id) AS rnk FROM sc)
+                WHERE rnk <= 10),
+         probes AS (SELECT term AS probe FROM d
+                    ORDER BY df DESC, term LIMIT 3),
+         pd AS (SELECT probe, doc_id,
+                  row_number() OVER (PARTITION BY probe
+                    ORDER BY score DESC, doc_id) AS rnk
+                FROM bm JOIN probes ON bm.term = probes.probe),
+         cand AS (
+           SELECT pd.probe, p.term AS cand,
+                  sum(CAST(floor(p.tf::DOUBLE * 1e9 / (60 + pd.rnk))
+                      AS BIGINT))::BIGINT AS w9
+           FROM pd JOIN p ON p.doc_id = pd.doc_id
+           WHERE p.term <> pd.probe
+           GROUP BY 1, 2)
+         SELECT probe, rnk, cand AS term,
+                floor(w9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS rm3_weight
+         FROM (SELECT *, row_number() OVER (PARTITION BY probe
+                 ORDER BY w9 DESC, cand) AS rnk FROM cand)
+         WHERE rnk <= 5 ORDER BY probe, rnk""",
     // discounted gains quantize to 1e-9 ints BEFORE the per-term sums;
     // nDCG divides the exact longs once; ranking uses the 1e-6 floor-
     // quantized BM25 score with doc_id tiebreak on both engines

@@ -365,6 +365,53 @@ object Index {
       .orderBy("term", "rrf_rank")
   }
 
+  /** RM3-lite pseudo-relevance-feedback query expansion: per probe
+    * term (top-`nProbes` by df), take the probe's BM25 top-`topDocs`
+    * feedback docs, weight each by the reciprocal-rank constant
+    * 1/(60 + rank) — RRF's positive, scale-free weight; raw
+    * score-weighted RM3 flips sign on saturated-df fixtures where the
+    * BM25 idf goes negative — and score expansion candidates by
+    * Σ_docs tf·w, probe excluded. The query-expansion stage a
+    * retrieval stack bolts on top of [[bm25Topk]].
+    *
+    * Determinism: feedback ranks come from the 6-dp BM25 score with
+    * doc-id tiebreak; each doc's contribution floor-quantizes
+    * tf·1e9/(60+rank) to a LONG before the order-free sum; the final
+    * cut ranks (weight, term). Cost: the postings shuffle dominates;
+    * feedback docs are nProbes·topDocs rows, candidates
+    * vocabulary-bounded.
+    */
+  def prfExpansion(s: SparkSession, dir: String, nProbes: Int = 3,
+                   topDocs: Int = 10, k: Int = 5): DataFrame = {
+    val postings = CacheScope.track(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .persist()) // df probe pick + the candidate join
+    val dft = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val probes = dft.orderBy(col("df").desc, col("term")).limit(nProbes)
+      .select(col("term").as("probe"))
+    val wD = Window.partitionBy("probe")
+      .orderBy(col("score").desc, col("doc_id"))
+    val pdocs = bm25Topk(s, dir, topDocs)
+      .join(broadcast(probes), col("term") === col("probe"))
+      .select(col("probe"), col("doc_id"), col("score"))
+      .withColumn("rnk", row_number().over(wD))
+    val contrib = floor(col("tf").cast("double") * lit(1e9) /
+      (lit(60) + col("rnk"))).cast("long")
+    val cand = pdocs
+      .join(postings.withColumnRenamed("term", "cand"), "doc_id")
+      .filter(col("cand") =!= col("probe"))
+      .groupBy("probe", "cand").agg(sum(contrib).as("w9"))
+    val wT = Window.partitionBy("probe")
+      .orderBy(col("w9").desc, col("cand"))
+    cand.withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") <= k)
+      .select(col("probe"), col("rnk"), col("cand").as("term"),
+        graft.operators.Events.q(col("w9").cast("double") / lit(1e9), 6)
+          .as("rm3_weight"))
+      .orderBy("probe", "rnk")
+  }
+
   /** Class-based TF-IDF keywords per SOURCE (Grootendorst's c-TF-IDF,
     * the BERTopic labeler): score(t, s) = (c_ts / n_s) ·
     * ln(1 + A / f_t) with c_ts the term's count inside the source,

@@ -71,6 +71,26 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("prf_expansion: co-occurring term expands its probe") {
+    val dir = java.nio.file.Files.createTempDirectory("prf").toString
+    // 'alpha' is the dominant probe; 'omega' co-occurs with it in every
+    // feedback doc while 'noise' terms scatter
+    val docs = (0 until 30).map { i =>
+      val extra = if (i % 3 == 0) "omega omega" else s"nz$i"
+      (i.toLong, s"alpha common filler $extra", "en", "a", 30L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Index.prfExpansion(spark, dir).collect()
+    val alpha = rows.filter(_.getString(0) == "alpha")
+    assert(alpha.nonEmpty, "dominant term must be a probe")
+    assert(alpha.forall(_.getDouble(3) > 0.0), "RRF weights are positive")
+    rows.groupBy(_.getString(0)).foreach { case (probe, g) =>
+      assert(g.forall(_.getString(2) != probe), "probe never expands itself")
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to g.length))
+    }
+  }
+
   test("stem_collisions: S-stemmer merges crafted plural families") {
     val dir = java.nio.file.Files.createTempDirectory("stem").toString
     Seq(
