@@ -332,6 +332,7 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.hllReplay(s, d)),
     "stem_collisions" -> ((s, d) => TextStats.stemCollisions(s, d)),
     "prf_expansion" -> ((s, d) => Index.prfExpansion(s, d)),
+    "isotropy_audit" -> ((s, d) => Similarity.isotropyAudit(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -2540,6 +2541,47 @@ object SparkEntry {
            floor(sum(CASE WHEN ag * 2 < kn THEN 1 ELSE 0 END)::DOUBLE
              / count(*) * 1e6 + 0.5) / 1e6 AS suspect_share
          FROM per GROUP BY qlabel ORDER BY label""",
+    // isotropy: 1e-9-grid norms and normalized components, exact
+    // HUGEINT moments, norms-of-sums as one double chain at the end
+    "isotropy_audit" ->
+      """WITH e AS (
+           SELECT vec_id, label::VARCHAR AS label,
+                  embedding::DOUBLE[] AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, v,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+           FROM e),
+         base AS (
+           SELECT vec_id, label,
+                  CAST(floor(nrm * 1e9 + 0.5) AS BIGINT) AS n9,
+                  list_transform(v, x ->
+                    CAST(floor(x / nrm * 1e9 + 0.5) AS BIGINT)) AS u
+           FROM n),
+         lab AS (SELECT label, n9, u FROM base
+                 UNION ALL SELECT '_all', n9, u FROM base),
+         st AS (SELECT label, count(*)::HUGEINT AS n,
+                       sum(n9)::HUGEINT AS sn,
+                       sum(n9::HUGEINT * n9) AS sn2
+                FROM lab GROUP BY 1),
+         comp AS (
+           SELECT label, pos, sum(ui)::BIGINT AS su FROM (
+             SELECT label, unnest(u) AS ui,
+                    generate_subscripts(u, 1) AS pos
+             FROM lab) GROUP BY 1, 2),
+         cs AS (SELECT label, sum(su::HUGEINT * su) AS ss2
+                FROM comp GROUP BY 1)
+         SELECT st.label, st.n::BIGINT AS n,
+           floor(sn::DOUBLE / n::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6
+             AS mean_norm,
+           floor(sqrt((n * sn2 - sn * sn)::DOUBLE
+                      / (n * (n - 1))::DOUBLE)
+                 / (sn::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6
+             AS norm_cv,
+           floor(sqrt(ss2::DOUBLE) / n::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6
+             AS isotropy
+         FROM st JOIN cs USING (label) ORDER BY st.label""",
     // LOF over the same IVF probe lists as knn_label_consistency:
     // grid distances, greatest-reachability, lrd ratios quantized to
     // 1e12 before the order-free sum, +1 smoothing on sum(reach)

@@ -850,6 +850,61 @@ object Similarity {
     dist.orderBy(col("mahal").desc, col("vec_id")).limit(k)
   }
 
+  /** Embedding isotropy / norm-health audit — the three numbers a team
+    * checks before trusting cosine geometry at all: the norm profile
+    * (mean ± CV: collapsed or exploding norms break dot-product
+    * ranking), and the ISOTROPY proxy ‖mean(v/‖v‖)‖ — the length of
+    * the mean direction of the normalized cloud (0 = perfectly
+    * isotropic; → 1 = everything shares one "common direction", the
+    * classic anisotropy failure of contextual embeddings, Ethayarajh
+    * 2019). Per label plus an `_all` row.
+    *
+    * Exactness: norms quantize to the 1e-9 grid per vector; normalized
+    * components quantize to 1e-9 BEFORE the per-dim sums (order-free
+    * LONGs); the final norms-of-sums ride doubles derived from exact
+    * integers. Cost: one n·d posexplode partial-agg pass + one n-row
+    * norm agg — same class as `embedding_drift`.
+    */
+  def isotropyAudit(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col("embedding").cast("array<double>")
+    val norm = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    val base = CacheScope.track(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("string").as("label"),
+        floor(norm * lit(1e9) + lit(0.5)).cast("long").as("n9"),
+        transform(x, v => floor(v / norm * lit(1e9) + lit(0.5))
+          .cast("long")).as("u"))
+      .persist()) // norm stats + the component pass
+    def audit(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+              comps: DataFrame): DataFrame = {
+      val stats = grouped
+        .agg(count(lit(1)).as("n"),
+          sum(col("n9").cast(dec)).as("sn"),
+          sum((col("n9").cast(dec) * col("n9")).cast(dec)).as("sn2"))
+      val compSums = comps
+        .groupBy("label", "pos").agg(sum("u").as("su"))
+        .groupBy("label")
+        .agg(sum(col("su").cast(dec) * col("su")).as("ss2"))
+      val meanN = col("sn").cast("double") / col("n").cast("double")
+      val varN = (col("n").cast(dec) * col("sn2") - col("sn") * col("sn"))
+        .cast("double") / (col("n") * (col("n") - 1)).cast("double")
+      stats.join(compSums, "label")
+        .select(col("label"), col("n"),
+          graft.operators.Events.q(meanN / lit(1e9), 6).as("mean_norm"),
+          graft.operators.Events.q(sqrt(varN) / meanN, 6).as("norm_cv"),
+          graft.operators.Events.q(
+            sqrt(col("ss2").cast("double")) /
+              col("n").cast("double") / lit(1e9), 6).as("isotropy"))
+    }
+    val perLabel = audit(base.groupBy("label"),
+      base.select(col("label"), posexplode(col("u")).as(Seq("pos", "u"))))
+    val overall = audit(
+      base.withColumn("label", lit("_all")).groupBy("label"),
+      base.select(lit("_all").as("label"),
+        posexplode(col("u")).as(Seq("pos", "u"))))
+    overall.unionAll(perLabel).orderBy("label")
+  }
+
   /** Maximal-marginal-relevance diverse selection (Carbonell &
     * Goldstein 1998): pick `k` vectors greedily maximizing
     * relevance − λ·redundancy, with relevance the cosine to the corpus

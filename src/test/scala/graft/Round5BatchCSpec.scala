@@ -71,6 +71,30 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("isotropy_audit: identical vectors are maximally anisotropic") {
+    val dir = java.nio.file.Files.createTempDirectory("iso").toString
+    (1 to 40).map(i => (i.toLong, Array(3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val all = Similarity.isotropyAudit(spark, dir).collect()
+      .find(_.getString(0) == "_all").get
+    assert(all.getDouble(2) == 5.0, s"mean norm must be 5: $all")
+    assert(all.getDouble(3) == 0.0, "identical norms have zero CV")
+    assert(math.abs(all.getDouble(4) - 1.0) < 1e-6,
+      s"one shared direction must give isotropy proxy 1, got $all")
+  }
+
+  test("isotropy_audit: fixture rows bounded and _all present") {
+    val rows = Similarity.isotropyAudit(spark, sf).collect()
+    assert(rows.exists(_.getString(0) == "_all"))
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0)
+      assert(r.getDouble(3) >= 0.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9,
+        s"isotropy proxy out of range: $r")
+    }
+  }
+
   test("prf_expansion: co-occurring term expands its probe") {
     val dir = java.nio.file.Files.createTempDirectory("prf").toString
     // 'alpha' is the dominant probe; 'omega' co-occurs with it in every
