@@ -333,6 +333,7 @@ object SparkEntry {
     "stem_collisions" -> ((s, d) => TextStats.stemCollisions(s, d)),
     "prf_expansion" -> ((s, d) => Index.prfExpansion(s, d)),
     "isotropy_audit" -> ((s, d) => Similarity.isotropyAudit(s, d)),
+    "ips_eval" -> ((s, d) => Events.ipsEval(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3976,6 +3977,43 @@ object SparkEntry {
     "stream_hll_replay" -> streamHllOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
     "mmr_select" -> mmrOracleSql(),
+    // IPS/SNIPS off-policy eval: empirical propensities, modal-action
+    // target policy, per-term LONG quantization before the sums
+    "ips_eval" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  CAST(floor(coalesce(value, 0) * 1e6 + 0.5) AS BIGINT)
+                    AS r6
+           FROM events),
+         ca AS (SELECT event_type, count(*)::BIGINT AS c_a
+                FROM ev GROUP BY 1),
+         pc AS (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+                FROM ev GROUP BY 1, 2),
+         pi AS (SELECT user_id, event_type AS pi_a FROM (
+                  SELECT user_id, event_type, row_number() OVER (
+                    PARTITION BY user_id ORDER BY cnt DESC, event_type)
+                    AS rn
+                  FROM pc) WHERE rn = 1),
+         ag AS (
+           SELECT count(*)::BIGINT AS n_events,
+             sum(CASE WHEN e.event_type = p.pi_a THEN 1 ELSE 0 END)
+               ::BIGINT AS n_matched,
+             sum(CASE WHEN e.event_type = p.pi_a THEN e.r6 ELSE 0 END)
+               ::BIGINT AS sr6,
+             sum(CASE WHEN e.event_type = p.pi_a THEN
+                 CAST(floor(e.r6::DOUBLE * 1e6 / c.c_a + 0.5) AS BIGINT)
+                 ELSE 0 END)::BIGINT AS sti,
+             sum(CASE WHEN e.event_type = p.pi_a THEN
+                 CAST(floor(1e12 / c.c_a + 0.5) AS BIGINT)
+                 ELSE 0 END)::BIGINT AS swi
+           FROM ev e JOIN pi p USING (user_id)
+           JOIN ca c USING (event_type))
+         SELECT n_events, n_matched,
+           floor(sr6::DOUBLE / n_matched / 1e6 * 1e6 + 0.5) / 1e6
+             AS direct_mean,
+           floor(sti::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS ips,
+           floor(sti::DOUBLE / swi * 1e6 + 0.5) / 1e6 AS snips
+         FROM ag""",
     // one gap pass, then the cutoff ladder as conditional counts:
     // n_sessions(t) = n_users + #{gaps > t}
     "session_gap_sweep" ->

@@ -2360,6 +2360,62 @@ object Events {
       .orderBy("arm")
   }
 
+  /** Off-policy evaluation of a counterfactual action policy by
+    * inverse-propensity scoring — the bandit-log readout (Horvitz–
+    * Thompson / Li et al. 2011): treat events as logged (context =
+    * user, action = event type, reward = value), estimate logging
+    * propensities empirically from global action shares p̂(a) = c_a/n,
+    * evaluate the deterministic target policy "play the user's modal
+    * action" via the direct mean on matched events, IPS
+    * Σ r·1[a=π(u)]/c_a, and the self-normalized SNIPS (the
+    * variance-bounded estimator production systems actually report).
+    *
+    * Exactness: rewards on the 1e-6 grid; each IPS term floor-
+    * quantizes r6·1e6/c_a (and 1e12/c_a for the SNIPS denominator) to
+    * LONGs before order-free sums — the estimates are then single
+    * double chains over exact integers. Cost: one user-keyed agg for
+    * the modal action (rank window over user×action rows), one
+    * broadcast of the action-count table, one pass for the sums.
+    */
+  def ipsEval(s: SparkSession, dir: String): DataFrame = {
+    val ev = CacheScope.track(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(coalesce(col("value"), lit(0.0)) * lit(1e6) + lit(0.5))
+          .cast("long").as("r6"))
+      .persist()) // propensities, modal policy and the scoring pass
+    val ca = ev.groupBy("event_type").agg(count(lit(1)).as("c_a"))
+    val wMode = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type"))
+    val pi = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wMode))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("pi_a"))
+    val n = ev.agg(count(lit(1)).as("n_events"))
+    val scoredAgg = ev
+      .join(pi.hint("shuffle_hash"), "user_id")
+      .join(broadcast(ca), "event_type")
+      .select(
+        (col("event_type") === col("pi_a")).cast("long").as("m"),
+        col("r6"), col("c_a"))
+      .agg(sum(col("m")).as("n_matched"),
+        sum(when(col("m") === 1, col("r6")).otherwise(0L)).as("sr6"),
+        sum(when(col("m") === 1,
+          floor(col("r6").cast("double") * lit(1e6) / col("c_a") +
+            lit(0.5)).cast("long")).otherwise(0L)).as("sti"),
+        sum(when(col("m") === 1,
+          floor(lit(1e12) / col("c_a") + lit(0.5)).cast("long"))
+          .otherwise(0L)).as("swi"))
+    scoredAgg.crossJoin(broadcast(n))
+      .select(col("n_events"), col("n_matched"),
+        q(col("sr6").cast("double") / col("n_matched") / lit(1e6), 6)
+          .as("direct_mean"),
+        q(col("sti").cast("double") / lit(1e12), 6).as("ips"),
+        // SNIPS = Σr·w/Σw: the 1e12 grids of numerator and
+        // denominator cancel exactly
+        q(col("sti").cast("double") / col("swi"), 6).as("snips"))
+  }
+
   /** Session-gap sensitivity sweep — "how many sessions would each
     * cutoff produce" for a ladder of gap thresholds, from ONE pass
     * over the per-user gaps: a session starts wherever the preceding

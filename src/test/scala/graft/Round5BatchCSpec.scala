@@ -71,6 +71,33 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("ips_eval: single-action log makes all three estimators agree") {
+    // one action only: propensity 1, every event matches the modal
+    // policy => direct mean == IPS == SNIPS == plain mean
+    val dir = java.nio.file.Files.createTempDirectory("ips").toString
+    (1 to 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        (i % 20).toLong, "view", (i % 4) * 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.ipsEval(spark, dir).collect().head
+    assert(r.getLong(1) == 200L, "every event matches the only action")
+    val mean = (1 to 200).map(i => (i % 4) * 1.0).sum / 200
+    assert(math.abs(r.getDouble(2) - mean) < 1e-6)
+    assert(math.abs(r.getDouble(3) - mean) < 1e-5, s"IPS ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - mean) < 1e-5, s"SNIPS ${r.getDouble(4)}")
+  }
+
+  test("ips_eval: fixture estimators are finite and consistent") {
+    val r = Events.ipsEval(spark, sf).collect().head
+    assert(r.getLong(1) > 0 && r.getLong(1) <= r.getLong(0))
+    Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)).foreach { v =>
+      assert(!v.isNaN && !v.isInfinite)
+    }
+    // SNIPS is the self-normalized IPS: same sign, same order of magnitude
+    assert(r.getDouble(4) >= 0.0 == r.getDouble(3) >= 0.0)
+  }
+
   test("isotropy_audit: identical vectors are maximally anisotropic") {
     val dir = java.nio.file.Files.createTempDirectory("iso").toString
     (1 to 40).map(i => (i.toLong, Array(3.0f, 4.0f), 0))
