@@ -334,6 +334,7 @@ object SparkEntry {
     "prf_expansion" -> ((s, d) => Index.prfExpansion(s, d)),
     "isotropy_audit" -> ((s, d) => Similarity.isotropyAudit(s, d)),
     "ips_eval" -> ((s, d) => Events.ipsEval(s, d)),
+    "window_funnel" -> ((s, d) => Events.windowFunnel(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3977,6 +3978,39 @@ object SparkEntry {
     "stream_hll_replay" -> streamHllOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
     "mmr_select" -> mmrOracleSql(),
+    // windowFunnel: greedy-earliest chain from each entry view is
+    // existence-optimal; depth decided by integer epoch comparisons
+    "window_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_ms(ts) // 1000 AS ep
+           FROM events),
+         v AS (SELECT user_id, ep AS tv FROM ev
+               WHERE event_type = 'view'),
+         c2 AS (SELECT v.user_id, v.tv, min(c.ep) AS t2
+                FROM v JOIN ev c ON c.user_id = v.user_id
+                  AND c.event_type = 'click' AND c.ep > v.tv
+                GROUP BY 1, 2),
+         c3 AS (SELECT c2.user_id, c2.tv, min(p.ep) AS t3
+                FROM c2 JOIN ev p ON p.user_id = c2.user_id
+                  AND p.event_type = 'purchase' AND p.ep > c2.t2
+                GROUP BY 1, 2),
+         d AS (
+           SELECT v.user_id,
+                  max(CASE WHEN c3.t3 IS NOT NULL
+                             AND c3.t3 <= v.tv + 21600 THEN 3
+                           WHEN c2.t2 IS NOT NULL
+                             AND c2.t2 <= v.tv + 21600 THEN 2
+                           ELSE 1 END) AS depth
+           FROM v
+           LEFT JOIN c2 ON c2.user_id = v.user_id AND c2.tv = v.tv
+           LEFT JOIN c3 ON c3.user_id = v.user_id AND c3.tv = v.tv
+           GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n_entered FROM d)
+         SELECT depth, count(*)::BIGINT AS n_users,
+                floor(count(*)::DOUBLE / t.n_entered * 1e6 + 0.5) / 1e6
+                  AS share
+         FROM d CROSS JOIN tot t
+         GROUP BY depth, t.n_entered ORDER BY depth""",
     // IPS/SNIPS off-policy eval: empirical propensities, modal-action
     // target policy, per-term LONG quantization before the sums
     "ips_eval" ->

@@ -575,6 +575,54 @@ object Events {
           when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
   }
 
+  /** Deadline-windowed funnel (ClickHouse `windowFunnel` semantics):
+    * a user reaches depth d iff SOME view→click→purchase chain exists
+    * with every stage inside `windowSecs` of ITS OWN entry view — the
+    * campaign-attribution funnel, where [[funnel]]'s lifetime funnel
+    * over-counts. Starting the chain greedily from each view and
+    * taking the earliest qualifying next stage is existence-optimal
+    * (earliest next step maximizes remaining slack), so the plan is a
+    * cascade of user-keyed joins + min-aggs per entry view — no
+    * per-user sort, nothing quadratic beyond per-user stage counts
+    * (the windowFunnel cost class everywhere it's implemented).
+    * Output: per reached depth, user count and corpus share.
+    */
+  def windowFunnel(s: SparkSession, dir: String,
+                   windowSecs: Long = 21600L): DataFrame = {
+    val ev = CacheScope.track(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"))
+      .persist()) // three stage filters scan it
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ep").as("tv"))
+    val c2 = v.join(ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ep").as("tc")), "user_id")
+      .filter(col("tc") > col("tv"))
+      .groupBy("user_id", "tv").agg(min("tc").as("t2"))
+    val c3 = c2.join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ep").as("tp")), "user_id")
+      .filter(col("tp") > col("t2"))
+      .groupBy("user_id", "tv", "t2").agg(min("tp").as("t3"))
+      .select("user_id", "tv", "t3")
+    val depth = v
+      .join(c2, Seq("user_id", "tv"), "left")
+      .join(c3, Seq("user_id", "tv"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull &&
+          col("t3") <= col("tv") + lit(windowSecs), 3)
+          .when(col("t2").isNotNull &&
+            col("t2") <= col("tv") + lit(windowSecs), 2)
+          .otherwise(1).as("d"))
+      .groupBy("user_id").agg(max("d").as("depth"))
+    val tot = depth.agg(count(lit(1)).as("n_entered"))
+    depth.groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("depth"), col("n_users"),
+        q(col("n_users").cast("double") / col("n_entered"), 6)
+          .as("share"))
+      .orderBy("depth")
+  }
+
   /** Event-transition matrix: P(next event type | current type) per
     * user timeline — `lead` over each user's (ts, event_id) order, pair
     * counts, then a per-source window total for the probability. Two

@@ -71,6 +71,28 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("window_funnel: deadline cuts a chain the lifetime funnel keeps") {
+    val dir = java.nio.file.Files.createTempDirectory("wf").toString
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // user 1: full chain within 6h; user 2: purchase 20h after view
+    // (beyond deadline, still a lifetime conversion); user 3: view only
+    val rows = Seq(
+      (1L, ts(1), 1L, "view", 1.0, "{}"), (2L, ts(2), 1L, "click", 1.0, "{}"),
+      (3L, ts(3), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(1), 2L, "view", 1.0, "{}"), (5L, ts(2), 2L, "click", 1.0, "{}"),
+      (6L, ts(21), 2L, "purchase", 1.0, "{}"),
+      (7L, ts(1), 3L, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val d = Events.windowFunnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(d == Map(1 -> 1L, 2 -> 1L, 3 -> 1L), s"got $d")
+    // the lifetime funnel would credit user 2 with depth 3
+    val lifetime = Events.funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lifetime(2L) == 3, "sanity: lifetime funnel keeps the late chain")
+  }
+
   test("ips_eval: single-action log makes all three estimators agree") {
     // one action only: propensity 1, every event matches the modal
     // policy => direct mean == IPS == SNIPS == plain mean
