@@ -335,6 +335,7 @@ object SparkEntry {
     "isotropy_audit" -> ((s, d) => Similarity.isotropyAudit(s, d)),
     "ips_eval" -> ((s, d) => Events.ipsEval(s, d)),
     "window_funnel" -> ((s, d) => Events.windowFunnel(s, d)),
+    "media_phash_buckets" -> ((s, d) => Multimodal.mediaPhashBuckets(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3978,6 +3979,25 @@ object SparkEntry {
     "stream_hll_replay" -> streamHllOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
     "mmr_select" -> mmrOracleSql(),
+    // dHash bucket audit: 9 fractional-offset byte samples, 8
+    // comparison bits, bucket-size histogram per kind
+    "media_phash_buckets" -> {
+      def smp(i: Int) =
+        s"ascii(substr(text, CAST(floor($i * (length(text) - 1) / 8.0)" +
+          s" AS INT) + 1, 1))"
+      val bits = (0 until 8).map(i =>
+        s"(CASE WHEN ${smp(i)} < ${smp(i + 1)} THEN 1 ELSE 0 END)" +
+          s" * ${1 << i}").mkString(" + ")
+      s"""WITH m AS (
+           SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+                  $bits AS phash
+           FROM documents WHERE length(text) >= 9),
+         b AS (SELECT kind, phash, count(*)::BIGINT AS bucket_size
+               FROM m GROUP BY 1, 2)
+         SELECT kind, bucket_size, count(*)::BIGINT AS n_buckets
+         FROM b GROUP BY 1, 2 ORDER BY kind, bucket_size"""
+    },
     // windowFunnel: greedy-earliest chain from each entry view is
     // existence-optimal; depth decided by integer epoch comparisons
     "window_funnel" ->

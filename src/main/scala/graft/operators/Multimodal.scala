@@ -211,4 +211,38 @@ object Multimodal {
           .otherwise(col("height")).as("new_h"),
         (longSide > maxSide).as("resized"))
   }
+
+  /** Perceptual-hash (dHash) bucket audit over the media blobs — the
+    * planning table for media near-dup: 9 bytes sampled at fixed
+    * fractional offsets of each blob, 8 consecutive-comparison bits →
+    * an 8-bit dHash; per kind, the bucket-size histogram says how
+    * collapsible the corpus is BEFORE anyone pays a verify pass
+    * (giant buckets ⇒ near-dup mass; singletons ⇒ don't bother). On a
+    * real image corpus the sampler reads decoded luma rows — the fake
+    * reads blob bytes; the hashing/bucketing plumbing is identical.
+    *
+    * Emitting the histogram instead of candidate PAIRS is the scale
+    * choice: bucket joins explode quadratically on a collapsible
+    * corpus, and the audit's job is to predict exactly that before it
+    * happens. One projection + two partial-agg shuffles, all integer.
+    */
+  def mediaPhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("blob").cast("string")
+    val len = length(txt)
+    // sample 9 bytes at i/8 fractional positions (1-based substr)
+    def sample(i: Int) = ascii(expr(
+      s"substr(cast(blob as string)," +
+        s" cast(floor($i * (length(cast(blob as string)) - 1) / 8.0)" +
+        s" as int) + 1, 1)"))
+    val bits = (0 until 8).map(i =>
+      (sample(i) < sample(i + 1)).cast("int") * lit(1 << i))
+    val phash = bits.reduce(_ + _)
+    mediaTable(s, dir)
+      .filter(len >= 9)
+      .select(col("kind"), phash.as("phash"))
+      .groupBy("kind", "phash").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("kind", "bucket_size")
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy("kind", "bucket_size")
+  }
 }

@@ -71,6 +71,24 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("media_phash_buckets: identical blobs share a bucket, kinds split") {
+    val dir = java.nio.file.Files.createTempDirectory("phash").toString
+    // doc_ids 0,3,6.. are 'image': three identical image blobs must
+    // land in ONE bucket of size 3; a distinct blob stays a singleton
+    Seq(
+      (0L, "abcdefghijklmnop", "en", "a", 16L),
+      (3L, "abcdefghijklmnop", "en", "a", 16L),
+      (6L, "abcdefghijklmnop", "en", "a", 16L),
+      (9L, "zyxwvutsrqponmlk", "en", "a", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Multimodal.mediaPhashBuckets(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ascending text -> phash 255, descending -> 0: two buckets
+    assert(rows.contains(("image", 3L, 1L)), s"got ${rows.mkString(",")}")
+    assert(rows.contains(("image", 1L, 1L)))
+  }
+
   test("window_funnel: deadline cuts a chain the lifetime funnel keeps") {
     val dir = java.nio.file.Files.createTempDirectory("wf").toString
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
