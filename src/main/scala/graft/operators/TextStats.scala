@@ -909,7 +909,9 @@ object TextStats {
       .when(t.rlike("s$") && !t.rlike("(us|ss)$"),
         regexp_replace(t, "s$", ""))
       .otherwise(t)
-    val st = tok.select(stem.as("stem"), col("t"), col("c"))
+    val st = CacheScope.track(
+      tok.select(stem.as("stem"), col("t"), col("c")).persist()
+    ) // summary + detail both read the stemmed vocabulary
     val detail = st.groupBy("stem")
       .agg(countDistinct(col("t")).as("n_forms"),
         sum(col("c")).as("n_tokens"),
