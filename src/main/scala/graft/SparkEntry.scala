@@ -336,6 +336,8 @@ object SparkEntry {
     "ips_eval" -> ((s, d) => Events.ipsEval(s, d)),
     "window_funnel" -> ((s, d) => Events.windowFunnel(s, d)),
     "media_phash_buckets" -> ((s, d) => Multimodal.mediaPhashBuckets(s, d)),
+    "entropy_rate" -> ((s, d) => Events.entropyRate(s, d)),
+    "ab_power" -> ((s, d) => Events.abPower(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3979,6 +3981,61 @@ object SparkEntry {
     "stream_hll_replay" -> streamHllOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
     "mmr_select" -> mmrOracleSql(),
+    // Markov entropy rate: 1e-9-grid ln ratios weighted by exact
+    // transition counts before the LONG sums
+    "entropy_rate" ->
+      """WITH tr AS (
+           SELECT event_type, nxt, count(*)::BIGINT AS c_st FROM (
+             SELECT event_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS nxt
+             FROM events)
+           WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         bs AS (SELECT event_type, sum(c_st)::BIGINT AS c_s
+                FROM tr GROUP BY 1),
+         t AS (SELECT tr.event_type, bs.c_s,
+                 tr.c_st * CAST(floor(ln(tr.c_st::DOUBLE / bs.c_s)
+                   * 1e9 + 0.5) AS BIGINT) AS t9
+               FROM tr JOIN bs USING (event_type)),
+         ps AS (SELECT event_type, c_s, sum(t9)::BIGINT AS st9
+                FROM t GROUP BY 1, 2),
+         r AS (SELECT floor(-sum(st9)::DOUBLE / sum(c_s) / 1e9
+                 * 1e6 + 0.5) / 1e6 AS entropy_rate FROM ps)
+         SELECT ps.event_type, ps.c_s AS n_out,
+                floor(-ps.st9::DOUBLE / ps.c_s / 1e9 * 1e6 + 0.5) / 1e6
+                  AS cond_entropy,
+                r.entropy_rate
+         FROM ps CROSS JOIN r ORDER BY ps.event_type""",
+    // MDE at alpha=.05 two-sided, 80% power: (z.975+z.8)=2.801585 as
+    // one parsed literal so both engines use the identical double
+    "ab_power" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::BIGINT
+                    AS v
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         m AS (SELECT
+             sum(CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+                 THEN 1 ELSE 0 END)::BIGINT AS na,
+             sum(CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+                 THEN 0 ELSE 1 END)::BIGINT AS nb,
+             count(*)::HUGEINT AS n, sum(v)::HUGEINT AS sv,
+             sum(v::HUGEINT * v) AS sv2
+           FROM pu),
+         m2 AS (SELECT na, nb,
+                  sv::DOUBLE / n::DOUBLE / 1e6 AS mean,
+                  sqrt((n * sv2 - sv * sv)::DOUBLE
+                       / (n * (n - 1))::DOUBLE) / 1e6 AS sigma
+                FROM m),
+         m3 AS (SELECT na, nb, mean, sigma,
+                  2.801585 * sigma * sqrt(1.0 / na + 1.0 / nb) AS mde
+                FROM m2)
+         SELECT na, nb,
+                floor(mean * 1e6 + 0.5) / 1e6 AS mean_value,
+                floor(sigma * 1e6 + 0.5) / 1e6 AS sigma,
+                floor(mde * 1e6 + 0.5) / 1e6 AS mde_abs,
+                floor(mde / mean * 1e6 + 0.5) / 1e6 AS mde_rel
+         FROM m3""",
     // dHash bucket audit: 9 fractional-offset byte samples, 8
     // comparison bits, bucket-size histogram per kind
     "media_phash_buckets" -> {

@@ -2408,6 +2408,91 @@ object Events {
       .orderBy("arm")
   }
 
+  /** Markov entropy RATE of user behavior — how predictable the next
+    * event type is given the current one: rate = Σ_s π(s)·H(next|s)
+    * over the empirical transition matrix (the one
+    * [[eventTransitions]] surfaces), with π the empirical state
+    * distribution. The engagement-predictability number behind "can
+    * we prefetch/cache the next step"; per-state conditional
+    * entropies show WHICH states are the chaotic ones. Distinct from
+    * [[sessionEntropy]]'s within-session type mix: this one is
+    * sequential structure.
+    *
+    * Exactness: each ln(c_st/c_s) lands on the 1e-9 grid and is
+    * weighted by the exact integer c_st BEFORE the order-free LONG
+    * sums; conditional entropies and the rate divide exact integers
+    * once. Cost: one user-keyed window for transitions, |types|²
+    * rows after — corpus-free arithmetic from there.
+    */
+  def entropyRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type"), col("nxt"))
+      .agg(count(lit(1)).as("c_st"))
+    val bySrc = trans.groupBy("event_type").agg(sum("c_st").as("c_s"))
+    val l9 = floor(log(col("c_st").cast("double") / col("c_s")) *
+      lit(1e9) + lit(0.5)).cast("long")
+    val terms = trans.join(bySrc, "event_type")
+      .select(col("event_type"), col("c_s"), (col("c_st") * l9).as("t9"))
+    val perState = terms.groupBy("event_type", "c_s")
+      .agg(sum("t9").as("st9"))
+      .select(col("event_type"), col("c_s").as("n_out"),
+        q(-col("st9").cast("double") / col("c_s") / lit(1e9), 6)
+          .as("cond_entropy"),
+        col("st9"), col("c_s"))
+    val rate = perState.agg(
+      q(-sum(col("st9")).cast("double") / sum(col("c_s")) / lit(1e9), 6)
+        .as("entropy_rate"))
+    perState.crossJoin(broadcast(rate))
+      .select(col("event_type"), col("n_out"), col("cond_entropy"),
+        col("entropy_rate"))
+      .orderBy("event_type")
+  }
+
+  /** A/B power analysis — the pre-experiment readout every platform
+    * shows before a test launches: with the current hash split and the
+    * per-user metric's pooled variance, the minimum detectable effect
+    * at α=0.05 (two-sided) and 80% power is
+    * (z₀.₉₇₅+z₀.₈)·σ·√(1/n_a+1/n_b). Companion to [[welchTtest]] /
+    * [[permutationTest]] (those judge an observed gap; this says what
+    * gap is even detectable). z constants are fixed literals
+    * (1.959964, 0.841621), documented to 6 dp.
+    *
+    * Same exactness recipe as [[cupedAdjust]]: per-user 1e-6-grid
+    * sums, pooled DECIMAL(38) moments, one double chain at the end.
+    * One user-keyed partial-agg shuffle; everything after is O(1).
+    */
+  def abPower(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perUser = Tables.events(s, dir).filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+        .as("v"))
+      .select(col("v"),
+        when(Curation.pctHash(col("user_id")) < 50, 1L).otherwise(0L)
+          .as("isA"))
+    val m = perUser.agg(
+      sum(col("isA")).as("na"),
+      sum(lit(1L) - col("isA")).as("nb"),
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("v").cast(dec)).as("sv"),
+      sum((col("v").cast(dec) * col("v")).cast(dec)).as("sv2"))
+    val mean = col("sv").cast("double") / col("n").cast("double") / lit(1e6)
+    val sigma = sqrt(
+      (col("n") * col("sv2") - col("sv") * col("sv")).cast("double") /
+        (col("n") * (col("n") - lit(1))).cast("double")) / lit(1e6)
+    val mde = lit(2.801585) * sigma *
+      sqrt(lit(1.0) / col("na") + lit(1.0) / col("nb"))
+    m.select(col("na"), col("nb"),
+      q(mean, 6).as("mean_value"),
+      q(sigma, 6).as("sigma"),
+      q(mde, 6).as("mde_abs"),
+      q(mde / mean, 6).as("mde_rel"))
+  }
+
   /** Off-policy evaluation of a counterfactual action policy by
     * inverse-propensity scoring — the bandit-log readout (Horvitz–
     * Thompson / Li et al. 2011): treat events as logged (context =

@@ -71,6 +71,42 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("entropy_rate: deterministic chains have rate 0, uniform ln(k)") {
+    val dir = java.nio.file.Files.createTempDirectory("erate").toString
+    // users cycle a->b->a->b deterministically: every transition is
+    // certain, so the entropy rate must be exactly 0
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 400).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * 1000L),
+        (i % 10).toLong, if ((i / 10) % 2 == 0) "a" else "b", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Events.entropyRate(spark, dir).collect()
+    assert(rows.forall(_.getDouble(3) == 0.0),
+      s"deterministic chain must have rate 0: ${rows.mkString(",")}")
+    assert(rows.forall(_.getDouble(2) == 0.0))
+  }
+
+  test("entropy_rate: fixture rate is a convex mix of conditionals") {
+    val rows = Events.entropyRate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val conds = rows.map(_.getDouble(2))
+    val rate = rows.head.getDouble(3)
+    assert(conds.forall(h => h >= 0.0 && h <= math.log(5) + 1e-6))
+    assert(rate >= conds.min - 1e-9 && rate <= conds.max + 1e-9,
+      s"rate $rate must sit inside [${conds.min}, ${conds.max}]")
+  }
+
+  test("ab_power: MDE shrinks with n and matches the closed form") {
+    val r = Events.abPower(spark, sf).collect().head
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val (sigma, mde) = (r.getDouble(3), r.getDouble(4))
+    assert(na > 0 && nb > 0)
+    val expect = 2.801585 * sigma * math.sqrt(1.0 / na + 1.0 / nb)
+    assert(math.abs(mde - expect) < 2e-6, s"mde $mde vs $expect")
+    assert(math.abs(r.getDouble(5) - mde / r.getDouble(2)) < 2e-6)
+  }
+
   test("media_phash_buckets: identical blobs share a bucket, kinds split") {
     val dir = java.nio.file.Files.createTempDirectory("phash").toString
     // doc_ids 0,3,6.. are 'image': three identical image blobs must
