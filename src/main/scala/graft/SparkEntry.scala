@@ -338,6 +338,8 @@ object SparkEntry {
     "media_phash_buckets" -> ((s, d) => Multimodal.mediaPhashBuckets(s, d)),
     "entropy_rate" -> ((s, d) => Events.entropyRate(s, d)),
     "ab_power" -> ((s, d) => Events.abPower(s, d)),
+    "max_drawdown" -> ((s, d) => Events.maxDrawdown(s, d)),
+    "diff_in_diff" -> ((s, d) => Events.diffInDiff(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3981,6 +3983,63 @@ object SparkEntry {
     "stream_hll_replay" -> streamHllOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
     "mmr_select" -> mmrOracleSql(),
+    // drawdown: pure LONG arithmetic over the dense day spine,
+    // earliest-trough tie on exact integers
+    "max_drawdown" ->
+      """WITH d0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::BIGINT
+                    AS x6
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         b AS (SELECT min(day) AS dlo, max(day) AS dhi FROM d0),
+         sp AS (SELECT unnest(range(dlo, dhi + 1)) AS day FROM b),
+         dly AS (SELECT sp.day, coalesce(d0.x6, 0)::BIGINT AS x6
+                 FROM sp LEFT JOIN d0 USING (day)),
+         c1 AS (SELECT day, sum(x6) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS cum FROM dly),
+         c2 AS (SELECT day, cum, max(cum) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS runmax FROM c1),
+         dd AS (SELECT day, cum, runmax, runmax - cum AS dd6 FROM c2),
+         mx AS (SELECT max(dd6) AS mx FROM dd)
+         SELECT day AS trough_day,
+                floor(mx::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6
+                  AS max_drawdown,
+                floor(runmax::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6
+                  AS peak_cum,
+                floor(cum::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6
+                  AS trough_cum
+         FROM dd CROSS JOIN mx WHERE dd6 = mx
+         ORDER BY day LIMIT 1""",
+    // DiD: same split/period conventions as cuped_adjust; 4 exact
+    // cells, one double chain for the estimator
+    "diff_in_diff" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ms(ts) // 1000 AS t,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT min(t) AS t0, max(t) AS t1 FROM ev),
+         cells AS (
+           SELECT CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+                       THEN 'a' ELSE 'b' END AS arm,
+                  CASE WHEN t <= CAST(floor((t0 + t1) / 2.0) AS BIGINT)
+                       THEN 'pre' ELSE 'post' END AS period,
+                  count(*)::BIGINT AS n, sum(vi)::HUGEINT AS sv
+           FROM ev, b GROUP BY 1, 2),
+         m AS (SELECT arm, period, n,
+                      sv::DOUBLE / n::DOUBLE / 1e6 AS m
+               FROM cells),
+         d AS (SELECT floor(((max(CASE WHEN arm = 'a' AND period = 'post'
+                               THEN m END)
+                       - max(CASE WHEN arm = 'a' AND period = 'pre'
+                             THEN m END))
+                       - (max(CASE WHEN arm = 'b' AND period = 'post'
+                              THEN m END)
+                       - max(CASE WHEN arm = 'b' AND period = 'pre'
+                             THEN m END))) * 1e6 + 0.5) / 1e6 AS did
+               FROM m)
+         SELECT arm, period, n,
+                floor(m * 1e6 + 0.5) / 1e6 AS mean_value, d.did
+         FROM m CROSS JOIN d ORDER BY arm, period""",
     // Markov entropy rate: 1e-9-grid ln ratios weighted by exact
     // transition counts before the LONG sums
     "entropy_rate" ->

@@ -2408,6 +2408,80 @@ object Events {
       .orderBy("arm")
   }
 
+  /** Maximum drawdown of the cumulative daily revenue series — the
+    * worst peak-to-trough fall, the risk number every cumulative KPI
+    * chart hides: cum_t over the dense day spine, running max, and
+    * the largest (runmax − cum) with its peak/trough days (earliest
+    * tie wins on exact integers). Pure LONG arithmetic end to end —
+    * day totals on the 1e-6 grid, cumulative and running-max windows
+    * over the calendar-bounded spine, integer argmax.
+    */
+  def maxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg(sum("v6").as("x6"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x6"), lit(0L)).as("x6"))
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = daily
+      .withColumn("cum", sum("x6").over(wc))
+      .withColumn("runmax", max("cum").over(wc))
+      .withColumn("dd6", col("runmax") - col("cum"))
+    val mx = dd.agg(max("dd6").as("mx"))
+    dd.crossJoin(broadcast(mx))
+      .filter(col("dd6") === col("mx"))
+      .orderBy("day").limit(1)
+      .select(col("day").as("trough_day"),
+        q(col("mx").cast("double") / lit(1e6), 6).as("max_drawdown"),
+        q(col("runmax").cast("double") / lit(1e6), 6).as("peak_cum"),
+        q(col("cum").cast("double") / lit(1e6), 6).as("trough_cum"))
+  }
+
+  /** Difference-in-differences readout over the hash-split arms and
+    * the time-midpoint periods (the same split/period conventions as
+    * [[cupedAdjust]]): per (arm, period) cell the exact-grid mean
+    * event value, and DiD = (a_post − a_pre) − (b_post − b_pre) — the
+    * estimator for "did the treated arm MOVE more", robust to fixed
+    * arm-level and period-level offsets that a raw post-period
+    * comparison absorbs as bias. One pass to 4 cells; each surfaced
+    * number is one double chain over exact LONG/DECIMAL sums.
+    */
+  def diffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+    val bounds = ev.agg(min("t").as("t0"), max("t").as("t1"))
+    val mid = ((col("t0") + col("t1")) / lit(2.0)).cast("long")
+    val cells = ev.crossJoin(broadcast(bounds))
+      .select(
+        when(Curation.pctHash(col("user_id")) < 50, "a").otherwise("b")
+          .as("arm"),
+        when(col("t") <= mid, "pre").otherwise("post").as("period"),
+        col("vi"))
+      .groupBy("arm", "period")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vi").cast("decimal(38,0)")).as("sv"))
+      .select(col("arm"), col("period"), col("n"),
+        (col("sv").cast("double") / col("n").cast("double") / lit(1e6))
+          .as("m"))
+    val flat = cells.groupBy()
+      .pivot(concat(col("arm"), lit("_"), col("period")),
+        Seq("a_pre", "a_post", "b_pre", "b_post"))
+      .agg(first(col("m")))
+    cells
+      .select(col("arm"), col("period"), col("n"), q(col("m"), 6)
+        .as("mean_value"))
+      .crossJoin(broadcast(flat.select(
+        q((col("a_post") - col("a_pre")) -
+          (col("b_post") - col("b_pre")), 6).as("did"))))
+      .orderBy("arm", "period")
+  }
+
   /** Markov entropy RATE of user behavior — how predictable the next
     * event type is given the current one: rate = Σ_s π(s)·H(next|s)
     * over the empirical transition matrix (the one

@@ -71,6 +71,34 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("max_drawdown: hand-built peak-trough series") {
+    val dir = java.nio.file.Files.createTempDirectory("dd").toString
+    // daily totals: +10, +5, -12, -3, +20 => cum 10,15,3,0,20
+    // runmax 10,15,15,15,20 => max drawdown 15 at the day of cum=0
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val vals = Seq(10.0, 5.0, -12.0, -3.0, 20.0)
+    vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new java.sql.Timestamp(base + i * 86400000L), 1L,
+        "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.maxDrawdown(spark, dir).collect().head
+    assert(r.getDouble(1) == 15.0, s"drawdown: $r")
+    assert(r.getDouble(2) == 15.0 && r.getDouble(3) == 0.0)
+  }
+
+  test("diff_in_diff: cell means reproduce the estimator") {
+    val rows = Events.diffInDiff(spark, sf).collect()
+    assert(rows.length == 4)
+    val m = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val did = rows.head.getDouble(4)
+    val expect = (m(("a", "post")) - m(("a", "pre"))) -
+      (m(("b", "post")) - m(("b", "pre")))
+    assert(math.abs(did - expect) < 5e-6, s"did $did vs $expect")
+    assert(rows.forall(_.getDouble(4) == did))
+  }
+
   test("entropy_rate: deterministic chains have rate 0, uniform ln(k)") {
     val dir = java.nio.file.Files.createTempDirectory("erate").toString
     // users cycle a->b->a->b deterministically: every transition is
