@@ -340,6 +340,8 @@ object SparkEntry {
     "ab_power" -> ((s, d) => Events.abPower(s, d)),
     "max_drawdown" -> ((s, d) => Events.maxDrawdown(s, d)),
     "diff_in_diff" -> ((s, d) => Events.diffInDiff(s, d)),
+    "seasonality_strength" -> ((s, d) => Events.seasonalityStrength(s, d)),
+    "peak_concurrency" -> ((s, d) => Events.peakConcurrency(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3983,6 +3985,67 @@ object SparkEntry {
     "stream_hll_replay" -> streamHllOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
     "mmr_select" -> mmrOracleSql(),
+    // STL strengths: exact-grid components, HUGEINT moments, one
+    // double chain per strength
+    "seasonality_strength" ->
+      """WITH d0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         b AS (SELECT min(day) AS dd0, max(day) AS dd1 FROM d0),
+         spine AS (SELECT unnest(range(dd0, dd1 + 1)) AS day FROM b),
+         daily AS (SELECT day, coalesce(y, 0)::BIGINT AS y
+                   FROM spine LEFT JOIN d0 USING (day)),
+         tr AS (SELECT day, y,
+                  CAST(floor((sum(y) OVER w)::DOUBLE /
+                    (count(*) OVER w) * 1e6 + 0.5) AS BIGINT) AS trend_i
+                FROM daily
+                WINDOW w AS (ORDER BY day
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         det AS (SELECT y, (y * 1000000 - trend_i)::BIGINT AS det_i,
+                        day % 7 AS dow
+                 FROM tr),
+         se AS (SELECT dow,
+                  CAST(floor(sum(det_i)::DOUBLE / count(*) + 0.5)
+                    AS BIGINT) AS seas_i
+                FROM det GROUP BY dow),
+         comp AS (SELECT (det_i - seas_i)::BIGINT AS ri,
+                         det_i::BIGINT AS sri,
+                         (y * 1000000 - seas_i)::BIGINT AS tri
+                  FROM det JOIN se USING (dow)),
+         m AS (SELECT count(*)::HUGEINT AS n,
+                 sum(ri)::HUGEINT AS s1r, sum(ri::HUGEINT * ri) AS s2r,
+                 sum(sri)::HUGEINT AS s1s, sum(sri::HUGEINT * sri) AS s2s,
+                 sum(tri)::HUGEINT AS s1t, sum(tri::HUGEINT * tri) AS s2t
+               FROM comp)
+         SELECT n::BIGINT AS n_days,
+           floor((CASE WHEN (n * s2s - s1s * s1s) > 0 THEN
+             greatest(0.0, 1.0 - (n * s2r - s1r * s1r)::DOUBLE
+                      / (n * s2s - s1s * s1s)::DOUBLE)
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS seasonal_strength,
+           floor((CASE WHEN (n * s2t - s1t * s1t) > 0 THEN
+             greatest(0.0, 1.0 - (n * s2r - s1r * s1r)::DOUBLE
+                      / (n * s2t - s1t * s1t)::DOUBLE)
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS trend_strength
+         FROM m""",
+    // minute-bucketed concurrency: bounded explode + one keyed agg,
+    // earliest-minute integer tiebreak
+    "peak_concurrency" ->
+      """WITH m AS (
+           SELECT unnest(range(
+             (epoch_ms(ts) // 1000) // 60,
+             (epoch_ms(ts) // 1000
+              + greatest(0, CAST(floor(coalesce(value, 0) + 0.5)
+                              AS BIGINT))) // 60 + 1)) AS minute
+           FROM events),
+         c AS (SELECT minute, count(*)::BIGINT AS concurrent
+               FROM m GROUP BY 1),
+         mx AS (SELECT max(concurrent) AS mx,
+                       count(*)::BIGINT AS n_active_minutes FROM c)
+         SELECT (c.minute * 60)::BIGINT AS peak_epoch,
+                mx.mx AS peak_concurrent, mx.n_active_minutes
+         FROM c CROSS JOIN mx WHERE c.concurrent = mx.mx
+         ORDER BY c.minute LIMIT 1""",
     // drawdown: pure LONG arithmetic over the dense day spine,
     // earliest-trough tie on exact integers
     "max_drawdown" ->

@@ -2408,6 +2408,92 @@ object Events {
       .orderBy("arm")
   }
 
+  /** Trend/seasonality STRENGTH of the daily series (Hyndman's
+    * tsfeatures summary of an STL fit): F_seasonal = max(0, 1 −
+    * Var(R)/Var(S+R)) and F_trend = max(0, 1 − Var(R)/Var(T+R)) over
+    * the same integer-grid decomposition [[stlDecompose]] surfaces —
+    * the two numbers that say whether the calendar pattern is real
+    * before anyone fits a seasonal forecaster. Components stay on
+    * their exact LONG grids (S+R = det_i, T+R = y·1e6 − seas_i, R =
+    * det_i − seas_i), variances ride DECIMAL(38) moments, and each
+    * strength is one double chain.
+    */
+  def seasonalityStrength(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0) // spine bounds + the left join
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val wT = Window.orderBy("day").rowsBetween(-3, 3)
+    val det = daily
+      .select(col("day"), col("y"),
+        floor(sum(col("y")).over(wT).cast("double") /
+          count(lit(1)).over(wT) * lit(1e6) + lit(0.5)).cast("long")
+          .as("trend_i"))
+      .select(col("y"),
+        (col("y") * lit(1000000L) - col("trend_i")).as("det_i"),
+        pmod(col("day"), lit(7L)).as("dow"))
+    val seas = det.groupBy("dow")
+      .agg(floor(sum(col("det_i")).cast("double") / count(lit(1)) +
+        lit(0.5)).cast("long").as("seas_i"))
+    val comp = det.join(broadcast(seas), "dow")
+      .select((col("det_i") - col("seas_i")).as("ri"),
+        col("det_i").as("sri"),
+        (col("y") * lit(1000000L) - col("seas_i")).as("tri"))
+    def mom(c: String) = Seq(
+      sum(col(c).cast(dec)).as(s"s1_$c"),
+      sum((col(c).cast(dec) * col(c)).cast(dec)).as(s"s2_$c"))
+    val aggs = Seq(count(lit(1)).cast(dec).as("n")) ++
+      mom("ri") ++ mom("sri") ++ mom("tri")
+    val m = comp.agg(aggs.head, aggs.tail: _*)
+    def varNum(c: String) =
+      (col("n") * col(s"s2_$c") - col(s"s1_$c") * col(s"s1_$c"))
+        .cast("double")
+    def strength(denom: String) =
+      when(varNum(denom) > 0,
+        greatest(lit(0.0), lit(1.0) - varNum("ri") / varNum(denom)))
+        .otherwise(lit(0.0))
+    m.select(col("n").cast("long").as("n_days"),
+      q(strength("sri"), 6).as("seasonal_strength"),
+      q(strength("tri"), 6).as("trend_strength"))
+  }
+
+  /** Peak concurrency of the event intervals ([ts, ts + value
+    * seconds], the [[intervalUnion]] convention) at MINUTE
+    * granularity: every interval scatters to the minutes it covers,
+    * a minute-keyed count aggregates, and the max (earliest-minute
+    * tiebreak) is the capacity-planning number. Minute bucketing is
+    * the scale choice: the exact instantaneous sweep needs a GLOBAL
+    * sort of all 2n boundaries, while this is one bounded explode
+    * (duration-limited) + one partial-agg shuffle + TakeOrdered —
+    * and at capacity-planning granularity the minute answer is the
+    * one anybody uses.
+    */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val ep = unix_timestamp(col("ts"))
+    val dur = greatest(lit(0L),
+      floor(coalesce(col("value"), lit(0.0)) + lit(0.5)).cast("long"))
+    val mins = Tables.events(s, dir)
+      .select(explode(sequence(floor(ep / lit(60L)).cast("long"),
+        floor((ep + dur) / lit(60L)).cast("long"))).as("minute"))
+      .groupBy("minute").agg(count(lit(1)).as("concurrent"))
+      .persist()
+    CacheScope.register(mins) // max + the argmax filter
+    val mx = mins.agg(max("concurrent").as("mx"),
+      count(lit(1)).as("n_active_minutes"))
+    mins.crossJoin(broadcast(mx))
+      .filter(col("concurrent") === col("mx"))
+      .orderBy("minute").limit(1)
+      .select((col("minute") * 60L).as("peak_epoch"),
+        col("mx").as("peak_concurrent"), col("n_active_minutes"))
+  }
+
   /** Maximum drawdown of the cumulative daily revenue series — the
     * worst peak-to-trough fall, the risk number every cumulative KPI
     * chart hides: cum_t over the dense day spine, running max, and

@@ -71,6 +71,44 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("seasonality_strength: a pure weekly pattern maxes F_seasonal") {
+    val dir = java.nio.file.Files.createTempDirectory("seas").toString
+    // counts cycle 1..7 by day-of-week for 8 weeks: after removing
+    // the weekly component, residuals are (almost) flat
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val rows = (0 until 56).flatMap { d =>
+      (0 until (d % 7) + 1).map { j =>
+        (d.toLong * 10 + j, new java.sql.Timestamp(base + d * 86400000L),
+          1L, "view", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.seasonalityStrength(spark, dir).collect().head
+    assert(r.getLong(0) == 56L)
+    assert(r.getDouble(1) > 0.8,
+      s"pure weekly pattern must score high F_seasonal: $r")
+    assert(r.getDouble(1) > r.getDouble(2),
+      "seasonal strength must dominate trend strength here")
+  }
+
+  test("peak_concurrency: stacked intervals count correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("conc").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    // three 10-minute intervals starting 0/2/4 min apart => all three
+    // overlap from minute 4; two extra singleton intervals elsewhere
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(base), 1L, "view", 600.0, "{}"),
+      (2L, new java.sql.Timestamp(base + 120000L), 2L, "view", 600.0, "{}"),
+      (3L, new java.sql.Timestamp(base + 240000L), 3L, "view", 600.0, "{}"),
+      (4L, new java.sql.Timestamp(base + 7200000L), 4L, "view", 60.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.peakConcurrency(spark, dir).collect().head
+    assert(r.getLong(1) == 3L, s"peak must be 3: $r")
+    assert(r.getLong(0) == (base / 1000 + 240), "earliest full-overlap minute")
+  }
+
   test("max_drawdown: hand-built peak-trough series") {
     val dir = java.nio.file.Files.createTempDirectory("dd").toString
     // daily totals: +10, +5, -12, -3, +20 => cum 10,15,3,0,20
