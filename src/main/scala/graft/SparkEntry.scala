@@ -342,6 +342,7 @@ object SparkEntry {
     "diff_in_diff" -> ((s, d) => Events.diffInDiff(s, d)),
     "seasonality_strength" -> ((s, d) => Events.seasonalityStrength(s, d)),
     "peak_concurrency" -> ((s, d) => Events.peakConcurrency(s, d)),
+    "cold_start_audit" -> ((s, d) => Events.coldStartAudit(s, d)),
     "stream_anomaly_replay" ->
       ((s, d) => graft.streaming.StreamReplay.anomalyReplay(s, d)),
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3985,6 +3986,33 @@ object SparkEntry {
     "stream_hll_replay" -> streamHllOracleSql,
     "kmv_set_ops" -> kmvSetOpsOracleSql(),
     "mmr_select" -> mmrOracleSql(),
+    // cold start: midpoint split, anti-join-shaped user coverage,
+    // exact conditional counts
+    "cold_start_audit" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 1000 AS t
+                     FROM events),
+         b AS (SELECT min(t) AS t0, max(t) AS t1 FROM ev),
+         pu AS (
+           SELECT user_id,
+             sum(CASE WHEN t <= CAST(floor((t0 + t1) / 2.0) AS BIGINT)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_pre,
+             sum(CASE WHEN t <= CAST(floor((t0 + t1) / 2.0) AS BIGINT)
+                 THEN 0 ELSE 1 END)::BIGINT AS n_post
+           FROM ev, b GROUP BY user_id)
+         SELECT
+           sum(CASE WHEN n_pre > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_users_pre,
+           sum(CASE WHEN n_post > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_users_post,
+           sum(CASE WHEN n_post > 0 AND n_pre = 0 THEN 1 ELSE 0 END)
+             ::BIGINT AS n_new_users,
+           floor(sum(CASE WHEN n_post > 0 AND n_pre = 0
+                     THEN 1 ELSE 0 END)::DOUBLE
+                 / sum(CASE WHEN n_post > 0 THEN 1 ELSE 0 END)
+                 * 1e6 + 0.5) / 1e6 AS new_user_share,
+           floor(sum(CASE WHEN n_pre = 0 THEN n_post ELSE 0 END)::DOUBLE
+                 / sum(n_post) * 1e6 + 0.5) / 1e6 AS cold_traffic_share
+         FROM pu""",
     // STL strengths: exact-grid components, HUGEINT moments, one
     // double chain per strength
     "seasonality_strength" ->

@@ -2408,6 +2408,43 @@ object Events {
       .orderBy("arm")
   }
 
+  /** Cold-start coverage audit — the train/serve out-of-distribution
+    * gate: split the stream at the time midpoint (the [[cupedAdjust]]
+    * convention), then measure how much of the serve period a model
+    * trained on the first half has NEVER SEEN: new-user share among
+    * post-period users, and the share of post-period EVENTS those new
+    * users generate (the traffic a per-user model would cold-start
+    * on). One anti-join-shaped left join between two user sets plus
+    * exact conditional counts — the audit every per-entity model
+    * (personalization, per-user quotas) runs before shipping.
+    */
+  def coldStartAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = CacheScope.track(Tables.events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+      .persist()) // bounds + both period scans
+    val bounds = ev.agg(min("t").as("t0"), max("t").as("t1"))
+    val mid = ((col("t0") + col("t1")) / lit(2.0)).cast("long")
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        (col("t") <= mid).cast("long").as("isPre"))
+    val perUser = tagged.groupBy("user_id")
+      .agg(sum(col("isPre")).as("n_pre"),
+        sum(lit(1L) - col("isPre")).as("n_post"))
+    perUser.agg(
+      sum(when(col("n_pre") > 0, 1L).otherwise(0L)).as("n_users_pre"),
+      sum(when(col("n_post") > 0, 1L).otherwise(0L)).as("n_users_post"),
+      sum(when(col("n_post") > 0 && col("n_pre") === 0, 1L)
+        .otherwise(0L)).as("n_new_users"),
+      sum(col("n_post")).as("n_post_events"),
+      sum(when(col("n_pre") === 0, col("n_post")).otherwise(0L))
+        .as("new_user_events"))
+      .select(col("n_users_pre"), col("n_users_post"), col("n_new_users"),
+        q(col("n_new_users").cast("double") / col("n_users_post"), 6)
+          .as("new_user_share"),
+        q(col("new_user_events").cast("double") / col("n_post_events"), 6)
+          .as("cold_traffic_share"))
+  }
+
   /** Trend/seasonality STRENGTH of the daily series (Hyndman's
     * tsfeatures summary of an STL fit): F_seasonal = max(0, 1 −
     * Var(R)/Var(S+R)) and F_trend = max(0, 1 − Var(R)/Var(T+R)) over

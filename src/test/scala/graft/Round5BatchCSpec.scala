@@ -71,6 +71,30 @@ class Round5BatchCSpec extends SparkSpec {
     }
   }
 
+  test("cold_start_audit: planted new users are counted exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("cold").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // users 1-10 active in both halves; users 11-15 appear only in the
+    // second half, one event each
+    val rows = (1 to 10).flatMap { u =>
+      Seq((u.toLong * 2, new java.sql.Timestamp(base), u.toLong,
+        "view", 1.0, "{}"),
+        (u.toLong * 2 + 1, new java.sql.Timestamp(base + 10 * 86400000L),
+          u.toLong, "view", 1.0, "{}"))
+    } ++ (11 to 15).map { u =>
+      (u.toLong * 100, new java.sql.Timestamp(base + 9 * 86400000L),
+        u.toLong, "view", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.coldStartAudit(spark, dir).collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 15L && r.getLong(2) == 5L,
+      s"got $r")
+    assert(r.getDouble(3) == math.rint(5.0 / 15 * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(5.0 / 15 * 1e6) / 1e6,
+      "5 of 15 post events come from cold users")
+  }
+
   test("seasonality_strength: a pure weekly pattern maxes F_seasonal") {
     val dir = java.nio.file.Files.createTempDirectory("seas").toString
     // counts cycle 1..7 by day-of-week for 8 weeks: after removing
