@@ -431,6 +431,15 @@ object SparkEntry {
     "join_cardinality" -> ((s, d) => Relational.joinCardinalityForecast(s, d)),
     "heaps_law" -> ((s, d) => TextStats.heapsLaw(s, d)),
     "embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
+    // round-5 batch D: game-theoretic attribution, multiple testing,
+    // closed-form ridge, temporal graph stability, corpus keyness,
+    // LATERAL decorrelation
+    "shapley_attribution" -> ((s, d) => Events.shapleyAttribution(s, d)),
+    "fdr_bh" -> ((s, d) => Events.fdrBh(s, d)),
+    "ridge_regression" -> ((s, d) => Ml.ridgeRegression(s, d)),
+    "graph_churn" -> ((s, d) => Graph.graphChurn(s, d)),
+    "keyness_g2" -> ((s, d) => TextStats.keynessG2(s, d)),
+    "lateral_join_topk" -> ((s, d) => Relational.lateralJoinTopk(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -6729,6 +6738,216 @@ object SparkEntry {
                 floor(num::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE))
                       * 1e6 + 0.5) / 1e6 AS proto_cosine
          FROM ag ORDER BY label""",
+    // round-5 batch D ------------------------------------------------
+    // exact coalition-game Shapley: v(S) = converting users whose
+    // touched set ⊆ S; 24·φ_c stays in LONGs until the final division
+    "shapley_attribution" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                       epoch_ms(ts) // 1000 AS t FROM events),
+         fp AS (SELECT user_id, min(t) AS tp FROM ev
+                WHERE event_type = 'purchase' GROUP BY 1),
+         bits AS (SELECT DISTINCT ev.user_id,
+                    CASE ev.event_type WHEN 'click' THEN 1
+                      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+                      WHEN 'view' THEN 8 ELSE 0 END AS bit
+                  FROM ev JOIN fp USING (user_id)
+                  WHERE ev.t < fp.tp AND ev.event_type <> 'purchase'),
+         masks AS (SELECT user_id, sum(bit)::BIGINT AS mask
+                   FROM bits GROUP BY 1),
+         conv AS (SELECT coalesce(mask, 0)::BIGINT AS mask,
+                    count(*)::BIGINT AS conv
+                  FROM fp LEFT JOIN masks USING (user_id) GROUP BY 1),
+         cs AS (SELECT unnest(range(0, 16))::BIGINT AS cs),
+         v AS (SELECT cs.cs,
+                 coalesce(sum(conv.conv), 0)::BIGINT AS v
+               FROM cs LEFT JOIN conv ON (conv.mask & cs.cs) = conv.mask
+               GROUP BY 1),
+         chan AS (SELECT * FROM (VALUES ('click', 1::BIGINT),
+                    ('error', 2::BIGINT), ('signup', 4::BIGINT),
+                    ('view', 8::BIGINT)) AS t(channel, cbit)),
+         sub AS (SELECT channel, cbit, cs.cs,
+                   (cs.cs & 1) + ((cs.cs >> 1) & 1) +
+                   ((cs.cs >> 2) & 1) + ((cs.cs >> 3) & 1) AS pc
+                 FROM chan, cs WHERE (cs.cs & cbit) = 0),
+         phi AS (SELECT channel,
+                   sum((CASE pc WHEN 0 THEN 6 WHEN 1 THEN 2
+                        WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+                       * (vw.v - vo.v))::BIGINT AS phi24
+                 FROM sub
+                 JOIN v vo ON vo.cs = sub.cs
+                 JOIN v vw ON vw.cs = sub.cs + sub.cbit
+                 GROUP BY 1),
+         tot AS (SELECT sum(phi24)::BIGINT AS tot24 FROM phi)
+         SELECT channel, phi24,
+           floor(phi24::DOUBLE / 24.0 * 1e6 + 0.5) / 1e6 AS phi,
+           CASE WHEN tot24 > 0
+             THEN floor(phi24::DOUBLE / tot24 * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS share
+         FROM phi, tot ORDER BY channel""",
+    // BH step-up over the welch pair screen, in −ln p space (A&S
+    // 7.1.26 erfc polynomial over the already-quantized |t|)
+    "fdr_bh" ->
+      """WITH st AS (
+           SELECT event_type, count(*)::BIGINT AS n,
+             sum(vi) AS sv, sum(vi * vi) AS sv2
+           FROM (SELECT event_type,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+                 FROM events WHERE value IS NOT NULL)
+           GROUP BY event_type),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n_a, b.n AS n_b,
+             a.sv::DOUBLE AS sva, a.sv2::DOUBLE AS sv2a,
+             b.sv::DOUBLE AS svb, b.sv2::DOUBLE AS sv2b
+           FROM st a JOIN st b ON a.event_type < b.event_type),
+         e AS (
+           SELECT *,
+             ((sv2a - sva * sva / n_a) / (n_a - 1) / 1e12) / n_a AS pa,
+             ((sv2b - svb * svb / n_b) / (n_b - 1) / 1e12) / n_b AS pb
+           FROM p),
+         tq AS (
+           SELECT type_a, type_b,
+             abs(coalesce(CASE WHEN pa + pb > 0
+               THEN floor((sva / n_a / 1e6 - svb / n_b / 1e6)
+                 / sqrt(pa + pb) * 1e6 + 0.5) / 1e6
+               ELSE NULL END, 0.0)) AS at
+           FROM e),
+         nl AS (
+           SELECT type_a, type_b, at,
+             CAST(floor((x * x - ln(
+               ((((1.061405429 * kk + -1.453152027) * kk
+                  + 1.421413741) * kk + -0.284496736) * kk
+                + 0.254829592) * kk)) * 1e6 + 0.5) AS BIGINT) AS nlp_i
+           FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS kk
+                 FROM (SELECT *, at / 1.4142135623730951 AS x FROM tq))),
+         rk AS (
+           SELECT type_a, type_b, at, nlp_i,
+             row_number() OVER (ORDER BY nlp_i DESC, type_a, type_b)
+               ::BIGINT AS p_rank
+           FROM nl),
+         mm AS (SELECT count(*)::BIGINT AS m FROM rk),
+         fl AS (
+           SELECT rk.*, CASE WHEN nlp_i >= CAST(floor(
+               ln(m::DOUBLE / (p_rank * 0.05)) * 1e6 + 0.5) AS BIGINT)
+             THEN 1 ELSE 0 END AS bh_ok
+           FROM rk, mm),
+         km AS (SELECT max(CASE WHEN bh_ok = 1 THEN p_rank
+                          ELSE 0 END)::BIGINT AS k_max FROM fl)
+         SELECT type_a, type_b, at AS abs_t,
+           floor(nlp_i::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS neg_log_p,
+           p_rank, k_max,
+           (CASE WHEN p_rank <= k_max THEN 1 ELSE 0 END)::BIGINT
+             AS reject
+         FROM fl, km ORDER BY p_rank""",
+    // closed-form ridge: exact HUGEINT Gram stats, Cramer 3×3 in one
+    // literal double chain (first-row expansion, same term order)
+    "ridge_regression" ->
+      """WITH li AS (
+           SELECT CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS x1,
+                  CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT) AS x2,
+                  CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+         st AS (SELECT count(*)::BIGINT AS n,
+           sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+           sum(y)::HUGEINT AS sy,
+           sum(x1::HUGEINT * x1) AS s11, sum(x1::HUGEINT * x2) AS s12,
+           sum(x2::HUGEINT * x2) AS s22, sum(x1::HUGEINT * y) AS s1y,
+           sum(x2::HUGEINT * y) AS s2y
+           FROM li),
+         a AS (SELECT n,
+           s11::DOUBLE / 1e12 + 0.1 AS a11,
+           s12::DOUBLE / 1e12 AS a12,
+           s1::DOUBLE / 1e6 AS a13,
+           s22::DOUBLE / 1e12 + 0.1 AS a22,
+           s2::DOUBLE / 1e6 AS a23,
+           n::DOUBLE + 0.1 AS a33,
+           s1y::DOUBLE / 1e12 AS b1,
+           s2y::DOUBLE / 1e12 AS b2,
+           sy::DOUBLE / 1e6 AS b3
+           FROM st),
+         d AS (SELECT n,
+           a11 * (a22 * a33 - a23 * a23)
+             - a12 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * a23 - a22 * a13) AS dA,
+           b1 * (a22 * a33 - a23 * a23)
+             - a12 * (b2 * a33 - a23 * b3)
+             + a13 * (b2 * a23 - a22 * b3) AS d1,
+           a11 * (b2 * a33 - a23 * b3)
+             - b1 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * b3 - b2 * a13) AS d2,
+           a11 * (a22 * b3 - b2 * a23)
+             - a12 * (a12 * b3 - b2 * a13)
+             + b1 * (a12 * a23 - a22 * a13) AS d3
+           FROM a)
+         SELECT n,
+           floor(d1 / dA * 1e6 + 0.5) / 1e6 AS beta_quantity,
+           floor(d2 / dA * 1e6 + 0.5) / 1e6 AS beta_discount,
+           floor(d3 / dA * 1e6 + 0.5) / 1e6 AS intercept
+         FROM d""",
+    // temporal edge churn: one period-tagged distinct-edge agg
+    "graph_churn" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+                      epoch_ms(o_orderdate) // 1000 AS t FROM orders),
+         b AS (SELECT min(t) AS t0, max(t) AS t1 FROM o),
+         tg AS (SELECT o_custkey AS c, l_suppkey AS sup,
+                  CASE WHEN t <= CAST(floor((t0 + t1) / 2.0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS isPre
+                FROM lineitem JOIN o ON l_orderkey = o_orderkey, b),
+         e AS (SELECT c, sup, max(isPre)::BIGINT AS inPre,
+                 max(1 - isPre)::BIGINT AS inPost
+               FROM tg GROUP BY 1, 2)
+         SELECT sum(inPre)::BIGINT AS edges_pre,
+           sum(inPost)::BIGINT AS edges_post,
+           sum(inPre * inPost)::BIGINT AS persisted,
+           sum(inPre * (1 - inPost))::BIGINT AS dropped,
+           sum((1 - inPre) * inPost)::BIGINT AS appeared,
+           floor(sum(inPre * inPost)::DOUBLE / count(*) * 1e6 + 0.5)
+             / 1e6 AS jaccard
+         FROM e""",
+    // Dunning G² keyness: exact counts weight 1e-9-grid ln ratios;
+    // ties break on the quantized LONG then the term
+    "keyness_g2" ->
+      """WITH tok AS (
+           SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS inF,
+             unnest(list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0)) AS term
+           FROM documents),
+         c AS (SELECT term, sum(inF)::BIGINT AS a,
+                 sum(1 - inF)::BIGINT AS b
+               FROM tok GROUP BY 1),
+         tot AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
+                 FROM c),
+         sc AS (SELECT term, a, b,
+             (CASE WHEN a > 0 THEN a * CAST(floor(ln(
+                (a::DOUBLE * (na::DOUBLE + nb::DOUBLE))
+                / (na::DOUBLE * (a::DOUBLE + b::DOUBLE))) * 1e9 + 0.5)
+                AS BIGINT) ELSE 0 END
+              + CASE WHEN b > 0 THEN b * CAST(floor(ln(
+                (b::DOUBLE * (na::DOUBLE + nb::DOUBLE))
+                / (nb::DOUBLE * (a::DOUBLE + b::DOUBLE))) * 1e9 + 0.5)
+                AS BIGINT) ELSE 0 END) AS g2i,
+             CASE WHEN a * nb > b * na THEN 'src0' ELSE 'rest' END
+               AS leans
+           FROM c, tot)
+         SELECT term, a AS n_focus, b AS n_rest,
+           floor(2.0 * g2i::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS g2,
+           leans
+         FROM sc ORDER BY g2i DESC, term LIMIT 30""",
+    // the IDENTICAL lateral SQL shape DuckDB executes as its own
+    // dependent join — total-ordered cut, so row sets match bitwise
+    "lateral_join_topk" ->
+      """SELECT o_orderkey, o_totalprice, l.l_linenumber,
+           l.l_extendedprice
+         FROM orders,
+           LATERAL (SELECT l_linenumber, l_extendedprice
+                    FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                    ORDER BY l_extendedprice DESC, l_linenumber
+                    LIMIT 2) AS l
+         WHERE o_orderdate >= timestamp'1996-03-01 00:00:00'
+           AND o_orderdate <  timestamp'1996-04-01 00:00:00'""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -2923,4 +2923,146 @@ object Events {
         q(col("n_ge").cast("double") / lit(perms.toDouble), 6)
           .as("p_value"))
   }
+
+  /** Exact Shapley-value conversion attribution (W301) — the
+    * coalition-game credit split that position rules
+    * ([[attribution]]) and removal effects ([[markovAttribution]])
+    * both approximate. Characteristic function: v(S) = number of
+    * converting users whose pre-conversion touched-channel set ⊆ S
+    * (the user still converts when only the channels in S exist).
+    * With C channels the game lives on 2^C coalitions, so the
+    * corpus-bound work is ONE distributed aggregation — first
+    * purchase per user, bitmask of channel types seen strictly
+    * before it — and everything after runs on a ≤2^C-row table of
+    * exact conversion counts (broadcast joins over generated
+    * coalition spines; C is the event-type alphabet, never the data).
+    * Shapley weights |S|!(C-|S|-1)!/C! are surfaced as exact integer
+    * numerators over the common denominator C! (24·φ_c here), so the
+    * whole computation is LONG arithmetic until one final division.
+    * Channel bit order is alphabetical — a fixed public convention
+    * both engines restate.
+    */
+  def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // channels = the non-purchase event types, alphabetical bit order
+    val channels = Seq("click", "error", "signup", "view")
+    val nC = channels.size
+    val bitOf = channels.zipWithIndex
+      .map { case (c, i) => (c, 1L << i) }.toMap
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("t")).as("tp"))
+    // touched mask: distinct channel types strictly before first buy
+    val bitCol = channels.tail.foldLeft(
+      when(col("event_type") === channels.head, lit(bitOf(channels.head)))) {
+        (acc, c) => acc.when(col("event_type") === c, lit(bitOf(c)))
+      }.otherwise(lit(0L))
+    val masks = ev.join(firstPurchase, "user_id")
+      .filter(col("t") < col("tp") && col("event_type") =!= "purchase")
+      .select(col("user_id"), bitCol.as("bit"))
+      .distinct()
+      .groupBy("user_id").agg(sum(col("bit")).as("mask"))
+    // conv(T): converting users with exact touched mask T. Users whose
+    // pre-purchase window saw no channel sit at mask 0 (constant in
+    // every marginal, so they cancel out of each φ_c).
+    val conv = firstPurchase.join(masks, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("conv"))
+      .localCheckpoint() // ≤2^C rows; probed once per coalition spine
+    // v(S) = Σ_{T ⊆ S} conv(T), over the dense coalition spine
+    val coalitions = s.range(1L << nC).toDF("cs")
+    val vOfS = coalitions.join(conv,
+        (col("mask").bitwiseAND(col("cs"))) === col("mask"), "left")
+      .groupBy("cs").agg(sum(coalesce(col("conv"), lit(0L))).as("v"))
+      .localCheckpoint() // 2^C rows; probed twice per channel below
+    // 24·φ_c = Σ_{S ⊆ C∖{c}} |S|!(3-|S|)!·[v(S∪{c}) − v(S)]
+    val wnum = Seq(6L, 2L, 2L, 6L) // s!(C-1-s)! for s = 0..3, C = 4
+    val wCol = wnum.zipWithIndex.tail.foldLeft(
+      when(col("pc") === 0, lit(wnum.head))) { case (acc, (w, i)) =>
+        acc.when(col("pc") === i, lit(w))
+      }.otherwise(lit(0L))
+    val chan = channels.map(c => (c, bitOf(c)))
+      .toDF("channel", "cbit")
+    val subsets = chan.crossJoin(coalitions)
+      .filter((col("cs").bitwiseAND(col("cbit"))) === 0)
+      .select(col("channel"), col("cbit"), col("cs"),
+        ((col("cs").bitwiseAND(lit(1L))) +
+          (shiftright(col("cs"), 1).bitwiseAND(lit(1L))) +
+          (shiftright(col("cs"), 2).bitwiseAND(lit(1L))) +
+          (shiftright(col("cs"), 3).bitwiseAND(lit(1L)))).as("pc"))
+      .select(col("channel"), col("cs"),
+        (col("cs") + col("cbit")).as("cs_with"), wCol.as("w"))
+    val phi = subsets
+      .join(vOfS.select(col("cs"), col("v").as("v_without")), "cs")
+      .join(vOfS.select(col("cs").as("cs_with"), col("v").as("v_with")),
+        "cs_with")
+      .groupBy("channel")
+      .agg(sum(col("w") * (col("v_with") - col("v_without")))
+        .as("phi24"))
+    val tot = phi.agg(sum(col("phi24")).as("tot24"))
+    phi.crossJoin(broadcast(tot))
+      .select(col("channel"), col("phi24"),
+        q(col("phi24").cast("double") / lit(24.0), 6).as("phi"),
+        when(col("tot24") > 0,
+          q(col("phi24").cast("double") / col("tot24"), 6))
+          .otherwise(lit(0.0)).as("share"))
+      .orderBy("channel")
+  }
+
+  /** Benjamini–Hochberg FDR control over the [[welchTtest]] pair
+    * screen (W303) — the multiple-testing step every "which segments
+    * differ?" readout needs before anyone acts on 10 simultaneous
+    * t-tests. p-values use the large-sample normal tail with the
+    * Abramowitz–Stegun 7.1.26 erfc polynomial — a PURE closed form
+    * both engines restate literally: p = 2(1−Φ(|t|)) =
+    * (Σ aᵢkⁱ)·e^(−t²/2), k = 1/(1+0.3275911·|t|/√2). Determinism:
+    * |t| is already on the 1e-6 grid; tiny p's would vanish on any
+    * absolute grid, so the surfaced/compared statistic is −ln p =
+    * t²/2 − ln(Σ aᵢkⁱ), floor-quantized to a 1e-6 LONG grid (ln of a
+    * moderate operand — the repo's ln-grid recipe), and the BH step-up
+    * p₍ᵢ₎ ≤ i·α/m runs entirely in that log space: reject ⟺ nlp ≥
+    * ln(m/(i·α)), with the threshold quantized on the same grid.
+    * All O(types²) rows; the only corpus-bound work is the one
+    * sufficient-stats scan inside [[welchTtest]].
+    */
+  def fdrBh(s: SparkSession, dir: String, alpha: Double = 0.05)
+      : DataFrame = {
+    val t = welchTtest(s, dir)
+      .select(col("type_a"), col("type_b"),
+        abs(coalesce(col("t_stat"), lit(0.0))).as("at"))
+    val x = col("at") / lit(1.4142135623730951) // |t|/√2
+    val kk = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * kk + lit(-1.453152027)) * kk
+      + lit(1.421413741)) * kk + lit(-0.284496736)) * kk
+      + lit(0.254829592)) * kk
+    val nlp = floor((x * x - log(poly)) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val scored = t.select(col("type_a"), col("type_b"),
+        col("at"), nlp.as("nlp_i"))
+    // m = the size of the tested family (C(types,2)), from the data —
+    // the same 10-row window that ranks the pairs counts them
+    val wRank = Window.orderBy(col("nlp_i").desc,
+      col("type_a"), col("type_b"))
+    val wAll = Window.partitionBy()
+    val thr = floor(log(col("m").cast("double")
+      / (col("p_rank") * lit(alpha))) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val ranked = scored
+      .withColumn("p_rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("bh_ok",
+        (col("nlp_i") >= thr).cast("long"))
+    val kMax = ranked.agg(
+      max(when(col("bh_ok") === 1, col("p_rank")).otherwise(0L))
+        .as("k_max"))
+    ranked.crossJoin(broadcast(kMax))
+      .select(col("type_a"), col("type_b"),
+        col("at").as("abs_t"),
+        q(col("nlp_i").cast("double") / lit(1e6), 6).as("neg_log_p"),
+        col("p_rank"), col("k_max"),
+        (col("p_rank") <= col("k_max")).cast("long").as("reject"))
+      .orderBy("p_rank")
+  }
 }

@@ -1446,4 +1446,45 @@ object Graph {
         .orderBy("support")
     }
   }
+
+  /** Temporal edge-churn audit (W304) — how stable the
+    * customer⇄supplier relationship graph is across the time midpoint
+    * of the order log: edge counts per period, the persisting /
+    * appeared / dropped split, and the edge-set Jaccard. The stability
+    * gate run before anyone trains per-edge features on "the" graph —
+    * a 0.2-Jaccard graph is a different graph every quarter. Shape:
+    * ONE pass builds period-tagged distinct edges (groupBy edge, max
+    * of two period flags — no set-op shuffles, no self-join), then a
+    * single exact-count aggregate; the midpoint comes from a
+    * broadcast 1-row bound, the repo's [[Events.coldStartAudit]]
+    * convention. All counts exact LONGs; Jaccard is one final
+    * division on the 1e-6 grid.
+    */
+  def graphChurn(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("t"))
+    val bounds = o.agg(min("t").as("t0"), max("t").as("t1"))
+    val mid = ((col("t0") + col("t1")) / lit(2.0)).cast("long")
+    val tagged = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(bounds))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"),
+        (col("t") <= mid).cast("long").as("isPre"))
+    val edges = tagged.groupBy("c", "sup")
+      .agg(max(col("isPre")).as("inPre"),
+        max(lit(1L) - col("isPre")).as("inPost"))
+    edges.agg(
+        sum(col("inPre")).as("edges_pre"),
+        sum(col("inPost")).as("edges_post"),
+        sum(col("inPre") * col("inPost")).as("persisted"),
+        sum(col("inPre") * (lit(1L) - col("inPost"))).as("dropped"),
+        sum((lit(1L) - col("inPre")) * col("inPost")).as("appeared"),
+        count(lit(1)).as("edges_union"))
+      .select(col("edges_pre"), col("edges_post"), col("persisted"),
+        col("dropped"), col("appeared"),
+        graft.operators.Events.q(
+          col("persisted").cast("double") / col("edges_union"), 6)
+          .as("jaccard"))
+  }
 }

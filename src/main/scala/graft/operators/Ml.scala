@@ -584,4 +584,73 @@ object Ml {
         max(col("fpr")) - min(col("fpr"))).as("eo_gap"))
     rates.crossJoin(broadcast(gaps))
   }
+
+  /** Closed-form multi-feature ridge regression (W302):
+    * β = (XᵀX + λI)⁻¹Xᵀy for l_extendedprice ~ quantity + discount +
+    * intercept — the multivariate step past [[Relational]]'s
+    * single-regressor `ols_trend`/`regression_agg`, and the shape
+    * every "fit a small linear probe over 100 TB" job takes: ONE scan
+    * accumulates the d² Gram sufficient statistics (d=3 here) as
+    * exact DECIMAL(38) sums over 1e6-grid LONG features, then the
+    * d×d solve is constant-size arithmetic — here unrolled as Cramer's
+    * rule in ONE fixed double expression tree (identical literal form
+    * in the DuckDB oracle, so no quantized intermediates are needed
+    * before the final 1e-6 output grid). λ rides the same natural
+    * units as the Gram entries (documented: the intercept row is
+    * regularized too, keeping the matrix a pure +λI shift). At scale
+    * nothing changes: the scan is map-side partial-agg'd to 9 numbers.
+    */
+  def ridgeRegression(s: SparkSession, dir: String,
+                      lambda: Double = 0.1): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir).select(
+      floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast("long")
+        .as("x1"),
+      floor(col("l_discount") * lit(1e6) + lit(0.5)).cast("long")
+        .as("x2"),
+      floor(col("l_extendedprice") * lit(1e6) + lit(0.5)).cast("long")
+        .as("y"))
+    val stats = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1").cast(dec)).as("s1"),
+      sum(col("x2").cast(dec)).as("s2"),
+      sum(col("y").cast(dec)).as("sy"),
+      // products ride DECIMAL(38) BEFORE the multiply: x·y on the 1e6
+      // grid brushes the LONG ceiling (5e7·1e11 ≈ 5e18), and DuckDB
+      // errors on BIGINT overflow rather than wrapping
+      sum(col("x1").cast(dec) * col("x1").cast(dec)).as("s11"),
+      sum(col("x1").cast(dec) * col("x2").cast(dec)).as("s12"),
+      sum(col("x2").cast(dec) * col("x2").cast(dec)).as("s22"),
+      sum(col("x1").cast(dec) * col("y").cast(dec)).as("s1y"),
+      sum(col("x2").cast(dec) * col("y").cast(dec)).as("s2y"))
+    // natural-unit Gram entries (grid factors divide out) + λ shift
+    def d(c: String, scale: Double) = col(c).cast("double") / lit(scale)
+    val a11 = d("s11", 1e12) + lit(lambda)
+    val a12 = d("s12", 1e12)
+    val a13 = d("s1", 1e6)
+    val a22 = d("s22", 1e12) + lit(lambda)
+    val a23 = d("s2", 1e6)
+    val a33 = col("n").cast("double") + lit(lambda)
+    val b1 = d("s1y", 1e12)
+    val b2 = d("s2y", 1e12)
+    val b3 = d("sy", 1e6)
+    // Cramer 3×3, expansion along the first row — the oracle restates
+    // this exact operation order
+    def det3(m11: org.apache.spark.sql.Column, m12: org.apache.spark.sql.Column,
+             m13: org.apache.spark.sql.Column, m21: org.apache.spark.sql.Column,
+             m22: org.apache.spark.sql.Column, m23: org.apache.spark.sql.Column,
+             m31: org.apache.spark.sql.Column, m32: org.apache.spark.sql.Column,
+             m33: org.apache.spark.sql.Column) =
+      m11 * (m22 * m33 - m23 * m32) -
+        m12 * (m21 * m33 - m23 * m31) +
+        m13 * (m21 * m32 - m22 * m31)
+    val dA = det3(a11, a12, a13, a12, a22, a23, a13, a23, a33)
+    val d1 = det3(b1, a12, a13, b2, a22, a23, b3, a23, a33)
+    val d2 = det3(a11, b1, a13, a12, b2, a23, a13, b3, a33)
+    val d3 = det3(a11, a12, b1, a12, a22, b2, a13, a23, b3)
+    stats.select(col("n"),
+      Events.q(d1 / dA, 6).as("beta_quantity"),
+      Events.q(d2 / dA, 6).as("beta_discount"),
+      Events.q(d3 / dA, 6).as("intercept"))
+  }
 }

@@ -1981,4 +1981,33 @@ object Relational {
         graft.operators.Events.q(col("qh"), 6).as("qhat_price"),
         graft.operators.Events.q(col("cov"), 6).as("coverage"))
   }
+
+  /** LATERAL correlated-subquery top-k (W306): each March-1996 order's
+    * 2 highest-value lineitems via `, LATERAL (… ORDER BY … LIMIT 2)` —
+    * the ANSI shape (also DuckDB's) for "top-k rows of B per row of
+    * A". Exercises a genuinely different Catalyst surface than the
+    * window-function [[windowTopk]]: `DecorrelateInnerQuery` +
+    * `RewriteLateralSubquery` must turn the per-row subquery into ONE
+    * ranked join — without that rewrite the plan would be N
+    * correlated executions. Ties break on (l_extendedprice DESC,
+    * l_linenumber), so the cut is total-ordered and the oracle's
+    * LATERAL (which DuckDB executes as its own dependent join)
+    * returns the identical row set. Scale: the decorrelated plan is a
+    * filter-pushed orders scan joined to a per-orderkey rank — no
+    * driver loops, no re-execution per row.
+    */
+  def lateralJoinTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice, l.l_linenumber, l.l_extendedprice
+      FROM graft_orders,
+        LATERAL (SELECT l_linenumber, l_extendedprice
+                 FROM graft_lineitem
+                 WHERE l_orderkey = o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber
+                 LIMIT 2) AS l
+      WHERE o_orderdate >= timestamp'1996-03-01 00:00:00'
+        AND o_orderdate <  timestamp'1996-04-01 00:00:00'""")
+  }
 }

@@ -971,4 +971,58 @@ object TextStats {
           .as("mean_flesch"))
       .orderBy("source")
   }
+
+  /** Dunning log-likelihood (G²) keyness (W305) — the terms that
+    * most distinguish one source's language from the rest of the
+    * corpus, ranked by the 2×2 likelihood-ratio statistic
+    * G² = 2·[a·ln(a/Eₐ) + b·ln(b/E_b)] (Dunning 1993). The per-TERM
+    * significance screen that corpus-level [[sourceKlDivergence]]
+    * can't give, and sturdier than [[ctfidf]]-style tf ratios on rare
+    * terms. Zero cells ride the 0·ln0 = 0 convention (exact: the
+    * weight is the exact integer count, so a zero count zeroes the
+    * term). Determinism: each ln(count-ratio) is floor-quantized to
+    * the 1e-9 LONG grid and weighted by its exact integer count
+    * (the [[sourceKlDivergence]] recipe); ordering ties break on the
+    * quantized LONG then the term string. Shape: one token-count
+    * shuffle (map-side combined), vocabulary-sized everything after,
+    * TakeOrdered cut — at 100 TB the corpus-bound work is exactly the
+    * one aggregation.
+    */
+  def keynessG2(s: SparkSession, dir: String, focus: String = "src0",
+                k: Int = 30): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select((col("source") === focus).cast("long").as("inF"),
+        explode(tokenize(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(sum(col("inF")).as("a"),
+        sum(lit(1L) - col("inF")).as("b"))
+      .persist()
+    CacheScope.register(counts) // totals + the scored pass read it
+    val tot = counts.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    // lq(x) = floor(ln(x)·1e9 + 0.5); products ride doubles (exact
+    // here, and the LONG a·N cross-product would overflow first at
+    // corpus scale) — the oracle restates the same double products
+    def lq(num: Column, den: Column) =
+      floor(log(num / den) * lit(1e9) + lit(0.5)).cast("long")
+    def dbl(c: Column) = c.cast("double")
+    val n = dbl(col("na")) + dbl(col("nb"))
+    val ab = dbl(col("a")) + dbl(col("b"))
+    val termA = when(col("a") > 0,
+      col("a") * lq(dbl(col("a")) * n, dbl(col("na")) * ab))
+      .otherwise(lit(0L))
+    val termB = when(col("b") > 0,
+      col("b") * lq(dbl(col("b")) * n, dbl(col("nb")) * ab))
+      .otherwise(lit(0L))
+    counts.crossJoin(broadcast(tot))
+      .select(col("term"), col("a").as("n_focus"), col("b").as("n_rest"),
+        (termA + termB).as("g2i"),
+        when(col("a") * col("nb") > col("b") * col("na"), focus)
+          .otherwise("rest").as("leans"))
+      .orderBy(col("g2i").desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("n_focus"), col("n_rest"),
+        Events.q(lit(2.0) * col("g2i").cast("double") / lit(1e9), 6)
+          .as("g2"),
+        col("leans"))
+  }
 }
