@@ -440,6 +440,13 @@ object SparkEntry {
     "graph_churn" -> ((s, d) => Graph.graphChurn(s, d)),
     "keyness_g2" -> ((s, d) => TextStats.keynessG2(s, d)),
     "lateral_join_topk" -> ((s, d) => Relational.lateralJoinTopk(s, d)),
+    // round-5 batch E: pattern mining, EM linkage, feature
+    // engineering, confounding + calibration decompositions
+    "seq_patterns" -> ((s, d) => Events.seqPatterns(s, d)),
+    "fs_em_weights" -> ((s, d) => Dedup.fsEmWeights(s, d)),
+    "target_encode" -> ((s, d) => Relational.targetEncode(s, d)),
+    "simpson_audit" -> ((s, d) => Relational.simpsonAudit(s, d)),
+    "brier_decomp" -> ((s, d) => Ml.brierDecomp(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -6935,6 +6942,208 @@ object SparkEntry {
            floor(2.0 * g2i::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS g2,
            leans
          FROM sc ORDER BY g2i DESC, term LIMIT 30""",
+    // round-5 batch E ------------------------------------------------
+    // greedy-earliest chains per (user, a, b); alphabet-bounded mins
+    "seq_patterns" ->
+      """WITH ev AS (SELECT user_id AS u, event_type AS ty,
+             (epoch_ms(ts) // 1000) * 1048576 + event_id AS t
+           FROM events),
+         f AS (SELECT u, ty AS a, min(t) AS t1 FROM ev GROUP BY 1, 2),
+         l AS (SELECT u, ty AS c, max(t) AS tl FROM ev GROUP BY 1, 2),
+         t2 AS (SELECT ev.u, f.a, ev.ty AS b, min(ev.t) AS t2
+                FROM ev JOIN f ON ev.u = f.u WHERE ev.t > f.t1
+                GROUP BY 1, 2, 3),
+         sp AS (SELECT a, b, c, count(*)::BIGINT AS support
+                FROM t2 JOIN l ON t2.u = l.u WHERE l.tl > t2.t2
+                GROUP BY 1, 2, 3)
+         SELECT a, b, c, support FROM sp
+         ORDER BY support DESC, a, b, c LIMIT 20""",
+    // two unrolled EM rounds over the 8-pattern spine; 1e9-grid
+    // responsibilities keep every M-step sum order-free and exact
+    "fs_em_weights" ->
+      """WITH p AS (
+           SELECT p_partkey AS k, string_split(p_name, ' ')[1] AS adj,
+                  string_split(p_name, ' ')[-1] AS noun, p_brand AS b,
+                  p_type AS t, p_size // 5 AS band
+           FROM part),
+         pat0 AS (
+           SELECT g, count(*)::BIGINT AS n FROM (
+             SELECT (CASE WHEN a.b = b.b THEN 1 ELSE 0 END) * 4 +
+                    (CASE WHEN a.t = b.t THEN 1 ELSE 0 END) * 2 +
+                    (CASE WHEN a.adj = b.adj THEN 1 ELSE 0 END) AS g
+             FROM p a JOIN p b
+               ON a.noun = b.noun AND a.band = b.band AND a.k < b.k)
+           GROUP BY g),
+         pd AS (
+           SELECT s.g, coalesce(n, 0)::BIGINT AS n,
+             (s.g >> 2) & 1 AS g1, (s.g >> 1) & 1 AS g2,
+             s.g & 1 AS g3
+           FROM (SELECT unnest(range(0, 8))::BIGINT AS g) s
+           LEFT JOIN pat0 ON s.g = pat0.g),
+         w1 AS (
+           SELECT n, g1, g2, g3,
+             CAST(floor(pm / (pm + pu) * 1e9 + 0.5) AS BIGINT) AS wq
+           FROM (SELECT *,
+               0.1 * ((CASE WHEN g1 = 1 THEN 0.9 ELSE 1.0 - 0.9 END)
+                    * (CASE WHEN g2 = 1 THEN 0.9 ELSE 1.0 - 0.9 END)
+                    * (CASE WHEN g3 = 1 THEN 0.9 ELSE 1.0 - 0.9 END))
+                 AS pm,
+               (1.0 - 0.1)
+                 * ((CASE WHEN g1 = 1 THEN 0.1 ELSE 1.0 - 0.1 END)
+                  * (CASE WHEN g2 = 1 THEN 0.1 ELSE 1.0 - 0.1 END)
+                  * (CASE WHEN g3 = 1 THEN 0.1 ELSE 1.0 - 0.1 END))
+                 AS pu
+             FROM pd)),
+         s1 AS (
+           SELECT sum(n)::BIGINT AS nn,
+             sum(n::HUGEINT * wq) AS sw,
+             sum(n::HUGEINT * wq * g1) AS sw1,
+             sum(n::HUGEINT * wq * g2) AS sw2,
+             sum(n::HUGEINT * wq * g3) AS sw3,
+             sum(n::HUGEINT * (1000000000 - wq)) AS su,
+             sum(n::HUGEINT * (1000000000 - wq) * g1) AS su1,
+             sum(n::HUGEINT * (1000000000 - wq) * g2) AS su2,
+             sum(n::HUGEINT * (1000000000 - wq) * g3) AS su3
+           FROM w1),
+         pr1 AS (
+           SELECT sw::DOUBLE / (nn::DOUBLE * 1e9) AS p,
+             sw1::DOUBLE / sw::DOUBLE AS m1,
+             sw2::DOUBLE / sw::DOUBLE AS m2,
+             sw3::DOUBLE / sw::DOUBLE AS m3,
+             su1::DOUBLE / su::DOUBLE AS u1,
+             su2::DOUBLE / su::DOUBLE AS u2,
+             su3::DOUBLE / su::DOUBLE AS u3
+           FROM s1),
+         w2 AS (
+           SELECT n, g1, g2, g3,
+             CAST(floor(pm / (pm + pu) * 1e9 + 0.5) AS BIGINT) AS wq
+           FROM (SELECT pd.*,
+               p * ((CASE WHEN g1 = 1 THEN m1 ELSE 1.0 - m1 END)
+                  * (CASE WHEN g2 = 1 THEN m2 ELSE 1.0 - m2 END)
+                  * (CASE WHEN g3 = 1 THEN m3 ELSE 1.0 - m3 END))
+                 AS pm,
+               (1.0 - p)
+                 * ((CASE WHEN g1 = 1 THEN u1 ELSE 1.0 - u1 END)
+                  * (CASE WHEN g2 = 1 THEN u2 ELSE 1.0 - u2 END)
+                  * (CASE WHEN g3 = 1 THEN u3 ELSE 1.0 - u3 END))
+                 AS pu
+             FROM pd, pr1)),
+         s2 AS (
+           SELECT sum(n)::BIGINT AS nn,
+             sum(n::HUGEINT * wq) AS sw,
+             sum(n::HUGEINT * wq * g1) AS sw1,
+             sum(n::HUGEINT * wq * g2) AS sw2,
+             sum(n::HUGEINT * wq * g3) AS sw3,
+             sum(n::HUGEINT * (1000000000 - wq)) AS su,
+             sum(n::HUGEINT * (1000000000 - wq) * g1) AS su1,
+             sum(n::HUGEINT * (1000000000 - wq) * g2) AS su2,
+             sum(n::HUGEINT * (1000000000 - wq) * g3) AS su3
+           FROM w2)
+         SELECT nn AS n_pairs,
+           floor(sw::DOUBLE / (nn::DOUBLE * 1e9) * 1e6 + 0.5) / 1e6
+             AS p_match,
+           floor(sw1::DOUBLE / sw::DOUBLE * 1e6 + 0.5) / 1e6 AS m_brand,
+           floor(sw2::DOUBLE / sw::DOUBLE * 1e6 + 0.5) / 1e6 AS m_type,
+           floor(sw3::DOUBLE / sw::DOUBLE * 1e6 + 0.5) / 1e6 AS m_adj,
+           floor(su1::DOUBLE / su::DOUBLE * 1e6 + 0.5) / 1e6 AS u_brand,
+           floor(su2::DOUBLE / su::DOUBLE * 1e6 + 0.5) / 1e6 AS u_type,
+           floor(su3::DOUBLE / su::DOUBLE * 1e6 + 0.5) / 1e6 AS u_adj
+         FROM s2""",
+    // fold-split sufficient stats in ONE scan; encodings are fixed
+    // double chains over exact DECIMAL sums
+    "target_encode" ->
+      """WITH j AS (
+           SELECT c_mktsegment AS segment,
+             CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS y,
+             CASE WHEN ((o_orderkey % 2147483648) * 8388593) % 100 < 50
+               THEN 1 ELSE 0 END AS inA
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         bs AS (SELECT segment,
+             sum(inA)::BIGINT AS na, sum(1 - inA)::BIGINT AS nb,
+             sum(CASE WHEN inA = 1 THEN y ELSE 0 END)::HUGEINT AS sa,
+             sum(CASE WHEN inA = 0 THEN y ELSE 0 END)::HUGEINT AS sb
+           FROM j GROUP BY 1),
+         tot AS (SELECT sum(na + nb)::BIGINT AS n_all,
+                   sum(sa + sb)::HUGEINT AS s_all FROM bs),
+         w AS (SELECT bs.*, n_all, s_all,
+                 s_all::DOUBLE / 1e6 / n_all::DOUBLE AS prior
+               FROM bs, tot)
+         SELECT segment, (na + nb)::BIGINT AS n,
+           floor((sa + sb)::DOUBLE / 1e6 / (na + nb)::DOUBLE
+             * 1e6 + 0.5) / 1e6 AS mean_raw,
+           floor(((sa + sb)::DOUBLE / 1e6 + 20.0 * prior)
+             / ((na + nb)::DOUBLE + 20.0) * 1e6 + 0.5) / 1e6
+             AS enc_full,
+           floor((sa::DOUBLE / 1e6 + 20.0 * prior)
+             / (na::DOUBLE + 20.0) * 1e6 + 0.5) / 1e6 AS enc_fold_a,
+           floor((sb::DOUBLE / 1e6 + 20.0 * prior)
+             / (nb::DOUBLE + 20.0) * 1e6 + 0.5) / 1e6 AS enc_fold_b,
+           floor(abs((sa::DOUBLE / 1e6 + 20.0 * prior)
+               / (na::DOUBLE + 20.0)
+             - (sb::DOUBLE / 1e6 + 20.0 * prior)
+               / (nb::DOUBLE + 20.0)) * 1e6 + 0.5) / 1e6 AS fold_gap
+         FROM w ORDER BY segment""",
+    // slope signs decided on exact integer numerators (denominators
+    // ≥ 0 by Cauchy–Schwarz)
+    "simpson_audit" ->
+      """WITH li AS (SELECT l_returnflag AS stratum,
+             CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+         g AS (SELECT stratum, count(*)::BIGINT AS n,
+                 sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                 sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+               FROM li GROUP BY 1),
+         p AS (SELECT sum(n)::HUGEINT AS pn, sum(sx)::HUGEINT AS psx,
+                 sum(sy)::HUGEINT AS psy, sum(sxx)::HUGEINT AS psxx,
+                 sum(sxy)::HUGEINT AS psxy FROM g)
+         SELECT stratum, n,
+           floor((n::HUGEINT * sxy - sx * sy)::DOUBLE
+             / (n::HUGEINT * sxx - sx * sx)::DOUBLE * 1e6 + 0.5) / 1e6
+             AS slope,
+           floor((pn * psxy - psx * psy)::DOUBLE
+             / (pn * psxx - psx * psx)::DOUBLE * 1e6 + 0.5) / 1e6
+             AS pooled_slope,
+           (CASE WHEN (n::HUGEINT * sxy - sx * sy) <> 0
+                  AND (pn * psxy - psx * psy) <> 0
+                  AND (((n::HUGEINT * sxy - sx * sy) < 0) <>
+                       ((pn * psxy - psx * psy) < 0))
+             THEN 1 ELSE 0 END)::BIGINT AS sign_flip
+         FROM g, p ORDER BY stratum""",
+    // Murphy decomposition over the calibration binning; per-row and
+    // per-bin terms quantized to 1e-9 LONG grids before any sum
+    "brier_decomp" -> s"""WITH sc AS (
+           SELECT label::BIGINT AS yv, 1.0 / (1.0 + exp(-score)) AS p
+           FROM ($sgdApplyOracle)),
+         r AS (SELECT yv,
+             least(floor(round(p * 10, 5))::INT, 9) AS bin,
+             CAST(floor(p * 1e9 + 0.5) AS BIGINT) AS pq,
+             CAST(floor((p - yv) * (p - yv) * 1e9 + 0.5) AS BIGINT)
+               AS bq
+           FROM sc),
+         bb AS (SELECT bin, count(*)::BIGINT AS nk,
+                  sum(yv)::BIGINT AS posk, sum(pq)::HUGEINT AS spk,
+                  sum(bq)::HUGEINT AS sbq
+                FROM r GROUP BY 1),
+         t AS (SELECT sum(nk)::BIGINT AS n, sum(posk)::BIGINT AS pos,
+                 sum(sbq)::HUGEINT AS sbq FROM bb)
+         SELECT max(t.n) AS n_rows,
+           max(floor(t.sbq::DOUBLE / 1e9 / t.n * 1e6 + 0.5) / 1e6)
+             AS brier,
+           floor(sum(CAST(floor(nk
+               * (posk::DOUBLE / nk - spk::DOUBLE / nk / 1e9)
+               * (posk::DOUBLE / nk - spk::DOUBLE / nk / 1e9)
+               * 1e9 + 0.5) AS BIGINT))::DOUBLE / 1e9 / max(t.n)
+             * 1e6 + 0.5) / 1e6 AS reliability,
+           floor(sum(CAST(floor(nk
+               * (posk::DOUBLE / nk - t.pos::DOUBLE / t.n)
+               * (posk::DOUBLE / nk - t.pos::DOUBLE / t.n)
+               * 1e9 + 0.5) AS BIGINT))::DOUBLE / 1e9 / max(t.n)
+             * 1e6 + 0.5) / 1e6 AS resolution,
+           max(floor(t.pos::DOUBLE / t.n
+             * (1.0 - t.pos::DOUBLE / t.n) * 1e6 + 0.5) / 1e6)
+             AS uncertainty
+         FROM bb, t""",
     // the IDENTICAL lateral SQL shape DuckDB executes as its own
     // dependent join — total-ordered cut, so row sets match bitwise
     "lateral_join_topk" ->

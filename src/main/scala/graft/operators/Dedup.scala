@@ -830,4 +830,96 @@ object Dedup {
           col("n_pairs"), col("n_docs"))
     }.reduce(_ unionAll _).orderBy("threshold")
   }
+
+  /** EM-estimated Fellegi–Sunter parameters (W311) — the estimation
+    * step [[linkageWeights]] deliberately froze: fit the match
+    * prevalence p and per-field agreement rates m_j = P(agree|match),
+    * u_j = P(agree|non-match) from the blocked candidate pairs
+    * themselves, via two unrolled EM iterations over the 2³
+    * AGREEMENT-PATTERN table (brand, type, adjective — conditional
+    * independence, the standard FS model). The corpus-bound work is
+    * one blocked self-join reduced to 8 exact pattern counts;
+    * EVERYTHING the EM touches after that is an 8-row spine, so the
+    * iteration count is free and there is no driver-side state.
+    * Determinism: each E-step responsibility w_g (a fixed double
+    * chain over the previous round's parameters) is floor-quantized
+    * to a 1e-9 LONG weight, so every M-step sum is an order-free
+    * exact DECIMAL(38) sum and each new parameter is ONE division of
+    * exact integers — transcendental-free end to end.
+    */
+  def fsEmWeights(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val p = Tables.part(s, dir).select(
+      col("p_partkey").as("k"),
+      element_at(split(col("p_name"), " "), 1).as("adj"),
+      element_at(split(col("p_name"), " "), -1).as("noun"),
+      col("p_brand").as("b"), col("p_type").as("t"),
+      floor(col("p_size") / 5).cast("long").as("band"))
+    def side(suf: String) = p.select(
+      col("k").as(s"k$suf"), col("adj").as(s"adj$suf"), col("noun"),
+      col("b").as(s"b$suf"), col("t").as(s"t$suf"), col("band"))
+    val pat0 = side("1").join(side("2"), Seq("noun", "band"))
+      .filter(col("k1") < col("k2"))
+      .select(((col("b1") === col("b2")).cast("long") * 4 +
+        (col("t1") === col("t2")).cast("long") * 2 +
+        (col("adj1") === col("adj2")).cast("long")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    // dense 8-pattern spine: EM sums must see absent patterns as 0
+    val pd = s.range(8).toDF("g")
+      .join(pat0, Seq("g"), "left").na.fill(0L, Seq("n"))
+      .select(col("g"), col("n"),
+        shiftright(col("g"), 2).bitwiseAND(lit(1L)).as("g1"),
+        shiftright(col("g"), 1).bitwiseAND(lit(1L)).as("g2"),
+        col("g").bitwiseAND(lit(1L)).as("g3"))
+      .localCheckpoint() // 8 rows; both EM rounds re-read it
+    // one EM round: pattern spine + current params (columns p, m1..3,
+    // u1..3 on every row) → 1-row next params
+    def emRound(df: DataFrame): DataFrame = {
+      def lik(pre: String) =
+        when(col("g1") === 1, col(s"${pre}1"))
+          .otherwise(lit(1.0) - col(s"${pre}1")) *
+        when(col("g2") === 1, col(s"${pre}2"))
+          .otherwise(lit(1.0) - col(s"${pre}2")) *
+        when(col("g3") === 1, col(s"${pre}3"))
+          .otherwise(lit(1.0) - col(s"${pre}3"))
+      val pm = col("p") * lik("m")
+      val pu = (lit(1.0) - col("p")) * lik("u")
+      val wq = floor(pm / (pm + pu) * lit(1e9) + lit(0.5)).cast("long")
+      df.select(col("n"), col("g1"), col("g2"), col("g3"),
+          wq.as("wq"), (lit(1000000000L) - wq).as("vq"))
+        .agg(sum(col("n")).as("nn"),
+          sum(col("n").cast(dec) * col("wq")).as("sw"),
+          sum(col("n").cast(dec) * col("wq") * col("g1")).as("sw1"),
+          sum(col("n").cast(dec) * col("wq") * col("g2")).as("sw2"),
+          sum(col("n").cast(dec) * col("wq") * col("g3")).as("sw3"),
+          sum(col("n").cast(dec) * col("vq")).as("su"),
+          sum(col("n").cast(dec) * col("vq") * col("g1")).as("su1"),
+          sum(col("n").cast(dec) * col("vq") * col("g2")).as("su2"),
+          sum(col("n").cast(dec) * col("vq") * col("g3")).as("su3"))
+        .select(col("nn"),
+          (col("sw").cast("double") /
+            (col("nn").cast("double") * lit(1e9))).as("p"),
+          (col("sw1").cast("double") / col("sw").cast("double")).as("m1"),
+          (col("sw2").cast("double") / col("sw").cast("double")).as("m2"),
+          (col("sw3").cast("double") / col("sw").cast("double")).as("m3"),
+          (col("su1").cast("double") / col("su").cast("double")).as("u1"),
+          (col("su2").cast("double") / col("su").cast("double")).as("u2"),
+          (col("su3").cast("double") / col("su").cast("double")).as("u3"))
+    }
+    val init = pd
+      .withColumn("p", lit(0.1))
+      .withColumn("m1", lit(0.9)).withColumn("m2", lit(0.9))
+      .withColumn("m3", lit(0.9))
+      .withColumn("u1", lit(0.1)).withColumn("u2", lit(0.1))
+      .withColumn("u3", lit(0.1))
+    val p1 = emRound(init)
+    val p2 = emRound(pd.crossJoin(broadcast(p1.drop("nn"))))
+    import graft.operators.Events.{q => qz}
+    p2.select(col("nn").as("n_pairs"),
+      qz(col("p"), 6).as("p_match"),
+      qz(col("m1"), 6).as("m_brand"), qz(col("m2"), 6).as("m_type"),
+      qz(col("m3"), 6).as("m_adj"),
+      qz(col("u1"), 6).as("u_brand"), qz(col("u2"), 6).as("u_type"),
+      qz(col("u3"), 6).as("u_adj"))
+  }
 }

@@ -3065,4 +3065,52 @@ object Events {
         (col("p_rank") <= col("k_max")).cast("long").as("reject"))
       .orderBy("p_rank")
   }
+
+  /** Sequential-pattern support mining (W307) — the support of EVERY
+    * length-3 ordered subsequence a→b→c over per-user event streams
+    * (non-contiguous: any gaps allowed), the discovery generalization
+    * of [[windowFunnel]]'s single fixed pattern and of
+    * [[eventuallyFollows]]' pairs. Existence uses the greedy-earliest
+    * chain (take the first a, the first b after it, then any c after
+    * that), which is EXISTENCE-OPTIMAL — a user contains the
+    * subsequence iff the greedy chain completes — so support counting
+    * is three alphabet-bounded keyed aggregations, never a per-user
+    * scan of |A|³ candidate walks:
+    * f[a](u)      = min t of a               (|A|·U rows)
+    * t2[a,b](u)   = min t of b strictly after f[a]   (|A|²·U rows)
+    * supported    ⟺ last[c](u) > t2[a,b](u)          (|A|³·U probes)
+    * |A| is the event-type alphabet (5 here) — the blow-up rides the
+    * alphabet, the corpus only ever feeds partial-agg'd min/max.
+    * Ties inside a timestamp second resolve by event_id (the log's
+    * total order), exactly restatable in SQL. Top-k by (support DESC,
+    * pattern) — exact integers end to end.
+    */
+  def seqPatterns(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ev = CacheScope.track(Tables.events(s, dir)
+      .select(col("user_id").as("u"), col("event_type").as("ty"),
+        // one strictly-increasing integer per event: second·2^20 + id
+        // (ids are unique; seconds fit 2^43 — no collision, no ties)
+        (unix_timestamp(col("ts")) * lit(1048576L) + col("event_id"))
+          .as("t"))
+      .persist()) // three aggregation passes read it
+    val first = ev.groupBy("u", "ty").agg(min(col("t")).as("t1"))
+      .select(col("u"), col("ty").as("a"), col("t1"))
+    val last = ev.groupBy("u", "ty").agg(max(col("t")).as("tl"))
+      .select(col("u"), col("ty").as("c"), col("tl"))
+    // first b strictly after first a, per (user, a, b) — user-keyed
+    // shuffle joins throughout (the per-type tables are U·|A| rows:
+    // too big to broadcast at scale, co-partitioned on u for free)
+    val t2 = ev.join(first, "u")
+      .filter(col("t") > col("t1"))
+      .groupBy(col("u"), col("a"), col("ty").as("b"))
+      .agg(min(col("t")).as("t2"))
+    // (u,a,b)×(u,c) rows are unique by construction — plain count
+    val support = t2.join(last, "u")
+      .filter(col("tl") > col("t2"))
+      .groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("support"))
+    support
+      .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+      .limit(k)
+  }
 }

@@ -653,4 +653,51 @@ object Ml {
       Events.q(d2 / dA, 6).as("beta_discount"),
       Events.q(d3 / dA, 6).as("intercept"))
   }
+
+  /** Murphy decomposition of the Brier score (W310): reliability −
+    * resolution + uncertainty over the [[calibrationBins]] binning of
+    * the SGD classifier's probabilities — the readout that says
+    * WHETHER a bad Brier score comes from miscalibration (REL: bin
+    * confidence far from bin hit rate) or from the model simply not
+    * separating (RES: bin hit rates all equal the base rate).
+    * Numerics: the raw Brier term (p−y)² and each bin's Σp are
+    * floor-quantized to 1e-9 LONG grids PER ROW and summed order-free
+    * (10-bin double sums would be merge-order-dependent); REL/RES
+    * quantize each bin's n_k·(gap)² term onto the same grid before
+    * the final 10-row sum. ō and n ride exact counts. One scored
+    * scan, O(bins) rows after.
+    */
+  def brierDecomp(s: SparkSession, dir: String): DataFrame = {
+    val p = lit(1.0) / (lit(1.0) + exp(-col("score")))
+    val rows = applyQuery(s, dir)
+      .select(col("label").cast("long").as("yv"), p.as("p"))
+      .select(col("yv"),
+        least(floor(round(col("p") * 10, 5)).cast("int"), lit(9))
+          .as("bin"),
+        floor(col("p") * lit(1e9) + lit(0.5)).cast("long").as("pq"),
+        floor((col("p") - col("yv")) * (col("p") - col("yv"))
+          * lit(1e9) + lit(0.5)).cast("long").as("bq"))
+    val byBin = rows.groupBy("bin")
+      .agg(count(lit(1)).as("nk"), sum(col("yv")).as("posk"),
+        sum(col("pq")).as("spk"), sum(col("bq")).as("sbq"))
+      .localCheckpoint() // ≤10 rows; totals + decomposition read it
+    val tot = byBin.agg(sum(col("nk")).as("n"),
+      sum(col("posk")).as("pos"), sum(col("sbq")).as("sbq_tot"))
+    val obar = col("pos").cast("double") / col("n")
+    val obark = col("posk").cast("double") / col("nk")
+    val pbark = col("spk").cast("double") / col("nk") / lit(1e9)
+    val relk = floor(col("nk") * (obark - pbark) * (obark - pbark)
+      * lit(1e9) + lit(0.5)).cast("long")
+    val resk = floor(col("nk") * (obark - obar) * (obark - obar)
+      * lit(1e9) + lit(0.5)).cast("long")
+    byBin.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_rows"),
+        max(Events.q(col("sbq_tot").cast("double") / lit(1e9) /
+          col("n"), 6)).as("brier"),
+        Events.q(sum(relk).cast("double") / lit(1e9) /
+          max(col("n")), 6).as("reliability"),
+        Events.q(sum(resk).cast("double") / lit(1e9) /
+          max(col("n")), 6).as("resolution"),
+        max(Events.q(obar * (lit(1.0) - obar), 6)).as("uncertainty"))
+  }
 }

@@ -2010,4 +2010,111 @@ object Relational {
       WHERE o_orderdate >= timestamp'1996-03-01 00:00:00'
         AND o_orderdate <  timestamp'1996-04-01 00:00:00'""")
   }
+
+  /** Smoothed target encoding with an out-of-fold leakage audit
+    * (W308): the empirical-Bayes categorical encoding enc(g) =
+    * (Σy_g + m·prior)/(n_g + m) of customer market segment against
+    * order value — plus the audit that makes it SAFE to use: the
+    * encoding refit on each half of a deterministic 2-fold split (the
+    * repo's hash-arm convention on o_orderkey) and the cross-fold
+    * gap. A segment whose fold encodings disagree is memorizing its
+    * own targets, which is exactly how target encoding leaks at
+    * training time. Sufficient statistics are exact 1e6-grid
+    * DECIMAL(38) sums split by fold ONCE (full = a+b — one scan, not
+    * three); prior and encodings are fixed double chains over those
+    * exact integers. O(segments) rows after one partial-agg shuffle.
+    */
+  def targetEncode(s: SparkSession, dir: String,
+                   m: Double = 20.0): DataFrame = {
+    val dec = "decimal(38,0)"
+    val j = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(1e6) + lit(0.5)).cast("long")
+          .as("y"),
+        (pmod(pmod(col("o_orderkey"), lit(2147483648L)) * lit(8388593L),
+          lit(100L)) < 50).cast("long").as("inA"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+    val bySeg = j.groupBy("segment")
+      .agg(sum(col("inA")).as("na"),
+        sum(lit(1L) - col("inA")).as("nb"),
+        sum(when(col("inA") === 1, col("y")).otherwise(0L).cast(dec))
+          .as("sa"),
+        sum(when(col("inA") === 0, col("y")).otherwise(0L).cast(dec))
+          .as("sb"))
+    val tot = bySeg.agg(sum(col("na") + col("nb")).as("n_all"),
+      sum(col("sa") + col("sb")).as("s_all"))
+    def enc(sum: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+      (sum.cast("double") / lit(1e6) + lit(m) * col("prior")) /
+        (n.cast("double") + lit(m))
+    bySeg.crossJoin(broadcast(tot))
+      .withColumn("prior",
+        col("s_all").cast("double") / lit(1e6) /
+          col("n_all").cast("double"))
+      .select(col("segment"), (col("na") + col("nb")).as("n"),
+        Events.q((col("sa") + col("sb")).cast("double") / lit(1e6) /
+          (col("na") + col("nb")).cast("double"), 6).as("mean_raw"),
+        Events.q(enc(col("sa") + col("sb"), col("na") + col("nb")), 6)
+          .as("enc_full"),
+        Events.q(enc(col("sa"), col("na")), 6).as("enc_fold_a"),
+        Events.q(enc(col("sb"), col("nb")), 6).as("enc_fold_b"),
+        Events.q(abs(enc(col("sa"), col("na"))
+          - enc(col("sb"), col("nb"))), 6).as("fold_gap"))
+      .orderBy("segment")
+  }
+
+  /** Simpson's-paradox audit (W309): the per-stratum OLS slope of
+    * extended price on discount vs the pooled slope, with the
+    * sign-reversal flag decided on EXACT integers — slope =
+    * (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) has both numerator and
+    * denominator as DECIMAL(38) products of exact 1e6-grid sums, so
+    * "stratum trend contradicts the aggregate trend" is a bit-exact
+    * sign comparison, not a float threshold. The confounding screen
+    * every observational readout ([[Events.cupedAdjust]],
+    * [[Events.diffInDiff]]) should run first: a reversed stratum
+    * means the pooled slope is mix composition, not effect. One
+    * partial-agg scan to strata moments; pooled moments are the SUM
+    * of stratum moments (no second scan).
+    */
+  def simpsonAudit(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("stratum"),
+      floor(col("l_discount") * lit(1e6) + lit(0.5)).cast("long")
+        .as("x"),
+      floor(col("l_extendedprice") * lit(1e6) + lit(0.5)).cast("long")
+        .as("y"))
+    val g = li.groupBy("stratum")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+      .localCheckpoint() // pooled row re-aggregates these 5-row stats
+    val pooled = g.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+      sum(col("sy")).as("sy"), sum(col("sxx")).as("sxx"),
+      sum(col("sxy")).as("sxy"))
+    def num(pre: String) = col(s"${pre}n").cast(dec) * col(s"${pre}sxy") -
+      col(s"${pre}sx") * col(s"${pre}sy")
+    def den(pre: String) = col(s"${pre}n").cast(dec) * col(s"${pre}sxx") -
+      col(s"${pre}sx") * col(s"${pre}sx")
+    val p = pooled.select(col("n").as("pn"), col("sx").as("psx"),
+      col("sy").as("psy"), col("sxx").as("psxx"), col("sxy").as("psxy"))
+    g.crossJoin(broadcast(p))
+      .select(col("stratum"), col("n"),
+        Events.q(num("").cast("double") / den("").cast("double"), 6)
+          .as("slope"),
+        Events.q(num("p").cast("double") / den("p").cast("double"), 6)
+          .as("pooled_slope"),
+        // exact sign logic on the numerators (denominators are ≥ 0 by
+        // Cauchy–Schwarz, so slope sign = numerator sign); compared as
+        // booleans — the DECIMAL(38) product would overflow. A zero
+        // numerator is "no trend", never a flip.
+        when(num("") =!= 0 && num("p") =!= 0 &&
+          ((num("") < 0) =!= (num("p") < 0)), 1L).otherwise(0L)
+          .as("sign_flip"))
+      .orderBy("stratum")
+  }
 }
