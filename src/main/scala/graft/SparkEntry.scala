@@ -447,6 +447,13 @@ object SparkEntry {
     "target_encode" -> ((s, d) => Relational.targetEncode(s, d)),
     "simpson_audit" -> ((s, d) => Relational.simpsonAudit(s, d)),
     "brier_decomp" -> ((s, d) => Ml.brierDecomp(s, d)),
+    // round-5 batch F: media pair-verify, bipartite motifs, queueing
+    // audits, PQ codebooks
+    "media_dedup_verify" -> ((s, d) => Multimodal.mediaDedupVerify(s, d)),
+    "butterfly_count" -> ((s, d) => Graph.butterflyCount(s, d)),
+    "littles_law" -> ((s, d) => Events.littlesLawAudit(s, d)),
+    "exp_gap_fit" -> ((s, d) => Events.expGapFit(s, d)),
+    "pq_codebook" -> ((s, d) => Similarity.pqCodebook(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -876,6 +883,70 @@ object SparkEntry {
                FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT $k)),
         $chain
         SELECT vec_id, cluster FROM a$iters"""
+  }
+
+  /** Unrolled per-subspace PQ build (mirrors `Similarity.pqCodebook`):
+    * 1e-6-grid components make every distance fold exact integer
+    * arithmetic; one Lloyd round re-estimates centroids ONTO the grid
+    * (floor(Σ/n + 0.5)); MSE from exact per-row squared errors.
+    */
+  private def pqOracleSql(m: Int = 2, k: Int = 4): String = {
+    val dim = 64
+    val sw = dim / m
+    def dist(wExpr: String, cExpr: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1,
+         ${sw + 1}), i -> ($wExpr[i] - $cExpr[i]) *
+         ($wExpr[i] - $cExpr[i]))), (a, b) -> a + b)"""
+    val subs = (0 until m).map { sub =>
+      val lo = sub * sw + 1
+      val hi = sub * sw + sw
+      s"""vs$sub AS (SELECT vec_id, v[$lo:$hi] AS w FROM vq),
+         cb0_$sub AS (
+           SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+                  w AS c
+           FROM (SELECT vec_id, w FROM vs$sub ORDER BY vec_id LIMIT $k)),
+         a0_$sub AS (
+           SELECT vec_id, w, cid AS code FROM (
+             SELECT vec_id, w, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cid) AS rn
+             FROM (SELECT vecs.vec_id, vecs.w, cb.cid,
+                     ${dist("vecs.w", "cb.c")} AS dist
+                   FROM vs$sub vecs CROSS JOIN cb0_$sub cb))
+           WHERE rn = 1),
+         cb1_$sub AS (
+           SELECT code AS cid, list(mq ORDER BY pos) AS c FROM (
+             SELECT code, pos, floor(sum(x) / count(*) + 0.5) AS mq
+             FROM (SELECT code, unnest(w) AS x,
+                     generate_subscripts(w, 1) AS pos
+                   FROM a0_$sub)
+             GROUP BY code, pos)
+           GROUP BY code),
+         r_$sub AS (
+           SELECT $sub AS subspace, code, count(*)::BIGINT AS n_vectors,
+             floor(sum(d2)::DOUBLE / count(*) / 1e12 * 1e6 + 0.5) / 1e6
+               AS recon_mse
+           FROM (
+             SELECT vec_id, cid AS code, CAST(dist AS BIGINT) AS d2 FROM (
+               SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rn
+               FROM (SELECT vecs.vec_id, cb.cid,
+                       ${dist("vecs.w", "cb.c")} AS dist
+                     FROM vs$sub vecs CROSS JOIN cb1_$sub cb))
+             WHERE rn = 1)
+           GROUP BY code)"""
+    }.mkString(",\n         ")
+    val union = (0 until m)
+      .map(sub => s"SELECT * FROM r_$sub").mkString(" UNION ALL ")
+    s"""WITH vq AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding::DOUBLE[],
+            x -> floor(x * 1e6 + 0.5)) AS v
+          FROM embeddings),
+        $subs
+        SELECT subspace::BIGINT AS subspace, code::BIGINT AS code,
+               n_vectors, recon_mse
+        FROM ($union) ORDER BY subspace, code"""
   }
 
   /** Unrolled power iteration (mirrors `Similarity.pcaPower`): the
@@ -7144,6 +7215,116 @@ object SparkEntry {
              * (1.0 - t.pos::DOUBLE / t.n) * 1e6 + 0.5) / 1e6)
              AS uncertainty
          FROM bb, t""",
+    // round-5 batch F ------------------------------------------------
+    // coarse-bucket join + fine-signature Hamming verify, all integer
+    "media_dedup_verify" -> {
+      def smp(p: Int, i: Int) =
+        s"ascii(substr(text, CAST(floor($i * (length(text) - 1) / $p.0)" +
+          s" AS INT) + 1, 1))"
+      def pack(p: Int) = (0 until p).map(i =>
+        s"(CASE WHEN ${smp(p, i)} < ${smp(p, i + 1)} THEN 1 ELSE 0 END)" +
+          s" * ${1L << i}").mkString(" + ")
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+             ${pack(8)} AS bucket,
+             ${pack(16)} AS sig
+           FROM documents WHERE length(text) >= 17)
+         SELECT a.kind, count(*)::BIGINT AS candidate_pairs,
+           sum(CASE WHEN bit_count(xor(a.sig, b.sig)) <= 2
+               THEN 1 ELSE 0 END)::BIGINT AS verified_pairs,
+           floor(sum(CASE WHEN bit_count(xor(a.sig, b.sig)) <= 2
+               THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6
+             AS verify_rate
+         FROM m a JOIN m b ON a.kind = b.kind AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+         GROUP BY a.kind ORDER BY a.kind"""
+    },
+    // supplier-pivoted wedges with the adamic_adar degree cap; C(w,2)
+    // identity — no 4-way join
+    "butterfly_count" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         d AS (SELECT sup, count(*)::BIGINT AS dg FROM e GROUP BY 1),
+         ee AS (SELECT e.c, e.sup FROM e JOIN d USING (sup)
+                WHERE dg >= 2 AND dg <= 64),
+         wdg AS (SELECT a.c AS c1, b.c AS c2, count(*)::BIGINT AS w
+                 FROM ee a JOIN ee b ON a.sup = b.sup AND a.c < b.c
+                 GROUP BY 1, 2),
+         agg AS (SELECT sum(w)::BIGINT AS n_wedges,
+                   count(*)::BIGINT AS n_pairs,
+                   sum(CASE WHEN w >= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_pairs_multi,
+                   sum(CAST(w * (w - 1) / 2 AS BIGINT))::BIGINT
+                     AS n_butterflies
+                 FROM wdg),
+         ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+         SELECT n_edges, n_wedges, n_pairs, n_pairs_multi,
+                n_butterflies
+         FROM agg, ne""",
+    // L = λW two ways: exact session-seconds vs the minute grid
+    "littles_law" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_ms(ts) // 1000 AS t,
+             event_id AS eid FROM events),
+         lg AS (SELECT u, t, eid,
+             CASE WHEN t - lag(t) OVER w > 1800
+                    OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+           FROM ev WINDOW w AS (PARTITION BY u ORDER BY t, eid)),
+         sd AS (SELECT u, t,
+             sum(ns) OVER (PARTITION BY u ORDER BY t, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM lg),
+         sess AS (SELECT u, sid, min(t) AS t0, max(t) AS t1
+                  FROM sd GROUP BY 1, 2),
+         sp AS (SELECT min(t0) AS s0, max(t1) AS s1,
+                  count(*)::BIGINT AS n_sessions,
+                  sum(t1 - t0)::BIGINT AS sum_dur
+                FROM sess),
+         oc AS (SELECT sum(t1 // 60 - t0 // 60 + 1)::BIGINT
+                  AS occ_minutes FROM sess)
+         SELECT n_sessions,
+           floor((s1 - s0)::DOUBLE / 3600.0 * 1e6 + 0.5) / 1e6
+             AS span_hours,
+           floor(n_sessions::DOUBLE / ((s1 - s0)::DOUBLE / 3600.0)
+             * 1e6 + 0.5) / 1e6 AS lambda_per_hour,
+           floor(sum_dur::DOUBLE / n_sessions / 60.0 * 1e6 + 0.5) / 1e6
+             AS w_mean_minutes,
+           floor(sum_dur::DOUBLE / (s1 - s0) * 1e6 + 0.5) / 1e6
+             AS l_pred,
+           floor(occ_minutes::DOUBLE / (s1 // 60 - s0 // 60 + 1)
+             * 1e6 + 0.5) / 1e6 AS l_obs_minutes,
+           floor(occ_minutes::DOUBLE / (s1 // 60 - s0 // 60 + 1)
+             / (sum_dur::DOUBLE / (s1 - s0)) * 1e6 + 0.5) / 1e6
+             AS ratio
+         FROM sp, oc""",
+    // KS sup in scaled integers after one quantized transcendental
+    "exp_gap_fit" ->
+      """WITH ev AS (SELECT event_type AS ty, epoch_ms(ts) // 1000 AS t,
+             event_id AS eid FROM events),
+         g0 AS (SELECT ty,
+             t - lag(t) OVER (PARTITION BY ty ORDER BY t, eid) AS g
+           FROM ev),
+         gg AS (SELECT ty, g FROM g0 WHERE g IS NOT NULL),
+         st AS (SELECT ty, count(*)::BIGINT AS n, sum(g)::BIGINT AS sg
+                FROM gg GROUP BY 1),
+         r AS (SELECT gg.ty, n, sg,
+             row_number() OVER (PARTITION BY gg.ty ORDER BY g)::BIGINT
+               AS i,
+             CAST(floor((1.0 - exp(-(n::DOUBLE / sg::DOUBLE * g)))
+               * 1e9 + 0.5) AS BIGINT) AS f9
+           FROM gg JOIN st ON gg.ty = st.ty),
+         dd AS (SELECT ty, n, sg,
+             greatest(abs(i * 1000000000 - n * f9),
+               abs((i - 1) * 1000000000 - n * f9)) AS d
+           FROM r)
+         SELECT ty AS event_type, max(n)::BIGINT AS n_gaps,
+           floor(max(n)::DOUBLE / max(sg)::DOUBLE * 3600.0 * 1e6 + 0.5)
+             / 1e6 AS lambda_per_hour,
+           floor(max(d)::DOUBLE / (max(n)::DOUBLE * 1e9) * 1e6 + 0.5)
+             / 1e6 AS ks_stat
+         FROM dd GROUP BY ty ORDER BY ty""",
+    "pq_codebook" -> pqOracleSql(),
     // the IDENTICAL lateral SQL shape DuckDB executes as its own
     // dependent join — total-ordered cut, so row sets match bitwise
     "lateral_join_topk" ->

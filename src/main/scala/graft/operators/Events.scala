@@ -3113,4 +3113,110 @@ object Events {
       .orderBy(col("support").desc, col("a"), col("b"), col("c"))
       .limit(k)
   }
+
+  /** Little's-law consistency audit (W314): L = λ·W, checked two
+    * independent ways over the session process — the queueing sanity
+    * gate for any capacity plan built on [[peakConcurrency]]. L_pred
+    * = Σ session-seconds / span is the law's exact form (λ·W with n
+    * cancelling); L_obs re-measures mean concurrency on the MINUTE
+    * grid (each session marks its occupied minutes on the dense
+    * minute spine — the peak_concurrency discretization). Their ratio
+    * isolates pure discretization + edge error: a ratio far from 1
+    * means minute-grid capacity numbers can't be trusted for these
+    * session lengths. Sessions are the 30-minute-gap convention
+    * ([[sessionize]]); every statistic is an exact-integer ratio.
+    * One user-keyed window + one bounded minute explode (Σdur/60
+    * rows); the audit itself is O(1) arithmetic.
+    */
+  def littlesLawAudit(s: SparkSession, dir: String,
+                      gapSec: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("u"), unix_timestamp(col("ts")).as("t"),
+        col("event_id").as("eid"))
+    val w = Window.partitionBy("u").orderBy("t", "eid")
+    val sess = ev
+      .withColumn("newSess",
+        when(col("t") - lag(col("t"), 1).over(w) > gapSec || lag(col("t"),
+          1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("newSess")).over(
+        Window.partitionBy("u").orderBy("t", "eid")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("u", "sid")
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .localCheckpoint() // totals + the minute explode both read it
+    val span = sess.agg(min(col("t0")).as("s0"), max(col("t1")).as("s1"),
+      count(lit(1)).as("n_sessions"),
+      sum(col("t1") - col("t0")).as("sum_dur"))
+    // occupied minutes per session on the dense minute spine
+    val occ = sess
+      .select(explode(sequence(floor(col("t0") / 60).cast("long"),
+        floor(col("t1") / 60).cast("long"))).as("minute"))
+      .agg(count(lit(1)).as("occ_minutes"))
+    span.crossJoin(broadcast(occ))
+      .select(col("n_sessions"),
+        q((col("s1") - col("s0")).cast("double") / lit(3600.0), 6)
+          .as("span_hours"),
+        q(col("n_sessions").cast("double") /
+          ((col("s1") - col("s0")).cast("double") / lit(3600.0)), 6)
+          .as("lambda_per_hour"),
+        q(col("sum_dur").cast("double") / col("n_sessions") / lit(60.0),
+          6).as("w_mean_minutes"),
+        q(col("sum_dur").cast("double") / (col("s1") - col("s0")), 6)
+          .as("l_pred"),
+        q(col("occ_minutes").cast("double") /
+          (floor(col("s1") / 60) - floor(col("s0") / 60) + 1), 6)
+          .as("l_obs_minutes"),
+        q(col("occ_minutes").cast("double") /
+          (floor(col("s1") / 60) - floor(col("s0") / 60) + 1) /
+          (col("sum_dur").cast("double") / (col("s1") - col("s0"))), 6)
+          .as("ratio"))
+  }
+
+  /** Inter-arrival exponentiality screen (W315): per event type, the
+    * KS distance between the empirical gap distribution and
+    * Exp(λ̂ = 1/mean gap) — "is this stream Poisson, or bursty?",
+    * the modeling gate before anyone assumes memorylessness
+    * (capacity models, [[abPower]]-style duration math). Numerics:
+    * gaps and their sum are exact integers; the fitted CDF value
+    * 1−e^(−λ̂g) is quantized to a 1e-9 LONG immediately after the
+    * single transcendental, and the KS sup runs entirely in scaled
+    * integers (|i·1e9 − n·F9| over the rank spine), so both engines
+    * take the max of identical LONGs. One per-type window for gaps +
+    * one per-type rank window; at 100 TB the rank pass becomes an
+    * equi-depth sketch ([[Relational.equiDepthHist]]) — documented
+    * cut, same statistic.
+    */
+  def expGapFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("ty"), unix_timestamp(col("ts"))
+        .as("t"), col("event_id").as("eid"))
+    val w = Window.partitionBy("ty").orderBy("t", "eid")
+    val gaps = ev
+      .withColumn("g", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("g").isNotNull)
+      .select(col("ty"), col("g"))
+    val stats = gaps.groupBy("ty")
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"))
+    val lam = col("n").cast("double") / col("sg").cast("double")
+    val ranked = gaps.join(stats, "ty")
+      .withColumn("i", row_number().over(
+        Window.partitionBy("ty").orderBy("g")).cast("long"))
+      .withColumn("f9",
+        floor((lit(1.0) - exp(-(lam * col("g")))) * lit(1e9) + lit(0.5))
+          .cast("long"))
+    ranked
+      .groupBy("ty")
+      .agg(max(col("n")).as("n_gaps"), max(col("sg")).as("sg"),
+        max(greatest(abs(col("i") * lit(1000000000L) - col("n") * col("f9")),
+          abs((col("i") - 1) * lit(1000000000L) - col("n") * col("f9"))))
+          .as("d9"))
+      .select(col("ty").as("event_type"), col("n_gaps"),
+        q(col("n_gaps").cast("double") / col("sg").cast("double") *
+          lit(3600.0), 6).as("lambda_per_hour"),
+        q(col("d9").cast("double") / (col("n_gaps").cast("double") *
+          lit(1e9)), 6).as("ks_stat"))
+      .orderBy("event_type")
+  }
 }

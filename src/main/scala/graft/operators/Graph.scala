@@ -1487,4 +1487,45 @@ object Graph {
           col("persisted").cast("double") / col("edges_union"), 6)
           .as("jaccard"))
   }
+
+  /** Bipartite butterfly census (W313) — 4-cycle (2×2 biclique)
+    * counting over the customer–supplier bipartite graph, the
+    * bipartite analogue of [[triangleCensus]]: B = Σ over customer
+    * pairs C(common-suppliers, 2), with the wedge count W = Σ common
+    * as the companion volume number. Butterflies are THE bipartite
+    * cohesion motif (Wang et al., "Butterfly Counting in Bipartite
+    * Networks") — a triangle can't exist in a bipartite graph, so
+    * clustering-style signals ride 4-cycles. Wedge generation pivots
+    * on the supplier side (Σ_sup C(deg,2) candidates) with the
+    * [[adamicAdar]] degree cap [2, 64] bounding skew: a 100×
+    * scale-up grows wedges linearly in suppliers, not in any
+    * hub's deg². Exact integers end to end; butterflies use the
+    * C(w,2) identity per customer pair — no 4-way join ever runs.
+    */
+  def butterflyCount(s: SparkSession, dir: String,
+                     maxDeg: Long = 64L): DataFrame = {
+    val e = CacheScope.track(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+        .persist()) // degree filter + both wedge sides read it
+    val deg = e.groupBy("sup").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= maxDeg)
+    val ee = e.join(deg, "sup") // only wedge-capable suppliers
+    val wedges = ee.select(col("sup"), col("c").as("c1"))
+      .join(ee.select(col("sup"), col("c").as("c2")), "sup")
+      .filter(col("c1") < col("c2"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+    wedges.agg(
+        sum(col("w")).as("n_wedges"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("w") >= 2, 1L).otherwise(0L)).as("n_pairs_multi"),
+        sum((col("w") * (col("w") - 1) / 2).cast("long"))
+          .as("n_butterflies"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_wedges"), col("n_pairs"),
+        col("n_pairs_multi"), col("n_butterflies"))
+  }
 }

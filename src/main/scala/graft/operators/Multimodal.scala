@@ -245,4 +245,48 @@ object Multimodal {
       .agg(count(lit(1)).as("n_buckets"))
       .orderBy("kind", "bucket_size")
   }
+
+  /** Media near-dup VERIFY stage (W312) — the pair pass
+    * [[mediaPhashBuckets]] plans for: candidates share an (kind,
+    * 8-bit dHash) bucket, verification compares a FINER 16-bit
+    * signature (17 samples at i/16 fractional offsets) by Hamming
+    * distance. The two-resolution split is the production media-dedup
+    * shape: the coarse hash bounds the join (candidate volume
+    * Σ bucket², observable in advance from the bucket audit), the
+    * fine signature does per-pair work only inside buckets. Integer
+    * end to end — sampled bytes, packed bits, `bit_count` Hamming —
+    * so the SQL oracle replays it bit-for-bit. Per kind: candidate
+    * pairs, verified pairs (dist ≤ 2), and the verify rate — the
+    * number that says whether the coarse buckets are precise or just
+    * collapsed.
+    */
+  def mediaDedupVerify(s: SparkSession, dir: String,
+                       maxDist: Int = 2): DataFrame = {
+    def sample(points: Int, i: Int) = ascii(expr(
+      s"substr(cast(blob as string)," +
+        s" cast(floor($i * (length(cast(blob as string)) - 1) / $points.0)" +
+        s" as int) + 1, 1)"))
+    def pack(points: Int) = (0 until points).map(i =>
+      (sample(points, i) < sample(points, i + 1)).cast("long") *
+        lit(1L << i)).reduce(_ + _)
+    val sigs = graft.CacheScope.track(mediaTable(s, dir)
+      .filter(length(col("blob").cast("string")) >= 17)
+      .select(col("doc_id"), col("kind"),
+        pack(8).as("bucket"), pack(16).as("sig"))
+      .persist()) // both sides of the bucket self-join
+    def side(sfx: String) = sigs.select(
+      col("doc_id").as(s"d$sfx"), col("kind"),
+      col("bucket"), col("sig").as(s"sig$sfx"))
+    side("1").join(side("2"), Seq("kind", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("kind"),
+        expr("bit_count(sig1 ^ sig2)").as("dist"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("candidate_pairs"),
+        sum((col("dist") <= maxDist).cast("long")).as("verified_pairs"))
+      .select(col("kind"), col("candidate_pairs"), col("verified_pairs"),
+        graft.operators.Events.q(col("verified_pairs").cast("double") /
+          col("candidate_pairs"), 6).as("verify_rate"))
+      .orderBy("kind")
+  }
 }

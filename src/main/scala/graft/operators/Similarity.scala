@@ -1117,4 +1117,73 @@ object Similarity {
       .orderBy(col("lof").desc, col("vec_id"))
       .limit(topn)
   }
+
+  /** Product-quantization codebook build + audit (W316) — the other
+    * half of the ANN index family: [[ivfTopK]] partitions the space,
+    * PQ compresses the residual bytes. Split each embedding into `m`
+    * subvectors, fit a k-codeword codebook per subspace (first-k
+    * init, one Lloyd round — the [[kmeans]] conventions), and surface
+    * the per-(subspace, code) population and reconstruction MSE — the
+    * table that says how many bits the corpus needs (dominant codes ⇒
+    * skew ⇒ add codewords) and what accuracy a PQ index would pay.
+    * Numerics make even the MSE bit-exact across engines: components
+    * land on the 1e-6 LONG grid at the scan, so every distance fold
+    * is arithmetic on integer-valued doubles (exact well below 2^53),
+    * Lloyd means round back ONTO the grid (floor(Σ/n + 0.5) of exact
+    * sums), and per-row squared errors are exact integers summed
+    * order-free. Codebook state is m·k·(dim/m) numbers driver-side —
+    * the canonical centroid-state shape; the corpus is scanned, never
+    * reshuffled.
+    */
+  def pqCodebook(s: SparkSession, dir: String,
+                 m: Int = 2, k: Int = 4): DataFrame = {
+    val vecs = CacheScope.track(Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1e6) + lit(0.5)).cast("double")).as("v"))
+      .persist()) // init pull + two assignment passes
+    val dim = 64
+    val sw = dim / m
+    // first-k init, whole-vector rows sliced per subspace
+    val initRows = vecs.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Double](1))
+    def assignCol(cb: Seq[(Int, Seq[Double])], sub: Int) = {
+      val cLit = array(cb.map { case (cid, c) =>
+        struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c"))
+      }: _*)
+      val wv = slice(col("v"), sub * sw + 1, sw)
+      array_min(transform(cLit, ct =>
+        struct(aggregate(zip_with(wv, ct("c"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _).as("dist"),
+          ct("cid").as("cid"))))
+    }
+    val out = (0 until m).map { sub =>
+      var cb: Seq[(Int, Seq[Double])] = initRows.zipWithIndex
+        .map { case (r, i) => (i, r.slice(sub * sw, sub * sw + sw)) }
+        .toSeq
+      // one Lloyd round: assign, re-estimate ON the grid (exact sums)
+      cb = vecs.select(assignCol(cb, sub)("cid").as("code"),
+          posexplode(slice(col("v"), sub * sw + 1, sw))
+            .as(Seq("pos", "x")))
+        .groupBy("code", "pos")
+        .agg(floor(sum(col("x")) / count(lit(1)) + lit(0.5))
+          .cast("double").as("mq"))
+        .groupBy("code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mq"))))
+          .as("ms"))
+        .collect()
+        .map(r => (r.getInt(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1))))
+        .sortBy(_._1).toSeq
+      val asg = assignCol(cb, sub)
+      vecs.select(lit(sub.toLong).as("subspace"),
+          asg("cid").cast("long").as("code"),
+          asg("dist").cast("long").as("d2"))
+        .groupBy("subspace", "code")
+        .agg(count(lit(1)).as("n_vectors"),
+          graft.operators.Events.q(sum(col("d2")).cast("double") /
+            count(lit(1)) / lit(1e12), 6).as("recon_mse"))
+    }.reduce(_ unionAll _)
+    out.orderBy("subspace", "code")
+  }
 }
