@@ -454,6 +454,12 @@ object SparkEntry {
     "littles_law" -> ((s, d) => Events.littlesLawAudit(s, d)),
     "exp_gap_fit" -> ((s, d) => Events.expGapFit(s, d)),
     "pq_codebook" -> ((s, d) => Similarity.pqCodebook(s, d)),
+    // round-5 batch G: temporal joins, structural privacy, model
+    // debugging, erasure sizing
+    "pit_join" -> ((s, d) => Relational.pitJoin(s, d)),
+    "perm_importance" -> ((s, d) => Relational.permImportance(s, d)),
+    "degree_anonymity" -> ((s, d) => Graph.degreeAnonymity(s, d)),
+    "deletion_impact" -> ((s, d) => Curation.deletionImpact(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -947,6 +953,89 @@ object SparkEntry {
         SELECT subspace::BIGINT AS subspace, code::BIGINT AS code,
                n_vectors, recon_mse
         FROM ($union) ORDER BY subspace, code"""
+  }
+
+  /** Ridge-R² restatement used by `perm_importance` (mirrors
+    * `Relational.permImportance`): Cramer 3×3 + SSE with the RAW Gram
+    * in the quadratic term, identical operation order per stats CTE.
+    */
+  private def permImportanceOracleSql(lambda: Double = 0.1): String = {
+    def r2Cte(name: String, st: String) =
+      s"""${name}_a AS (SELECT
+           s11::DOUBLE / 1e12 AS g11, s22::DOUBLE / 1e12 AS g22,
+           n::DOUBLE AS g33,
+           s11::DOUBLE / 1e12 + $lambda AS a11,
+           s12::DOUBLE / 1e12 AS a12, s1::DOUBLE / 1e6 AS a13,
+           s22::DOUBLE / 1e12 + $lambda AS a22,
+           s2::DOUBLE / 1e6 AS a23, n::DOUBLE + $lambda AS a33,
+           s1y::DOUBLE / 1e12 AS b1, s2y::DOUBLE / 1e12 AS b2,
+           sy::DOUBLE / 1e6 AS b3, syy::DOUBLE / 1e12 AS yy,
+           n::DOUBLE AS nd
+         FROM $st),
+         ${name}_d AS (SELECT *,
+           a11 * (a22 * a33 - a23 * a23)
+             - a12 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * a23 - a22 * a13) AS dA,
+           b1 * (a22 * a33 - a23 * a23)
+             - a12 * (b2 * a33 - a23 * b3)
+             + a13 * (b2 * a23 - a22 * b3) AS d1,
+           a11 * (b2 * a33 - a23 * b3)
+             - b1 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * b3 - b2 * a13) AS d2,
+           a11 * (a22 * b3 - b2 * a23)
+             - a12 * (a12 * b3 - b2 * a13)
+             + b1 * (a12 * a23 - a22 * a13) AS d3
+         FROM ${name}_a),
+         $name AS (SELECT 1.0 - (yy - 2.0 *
+             ((d1 / dA) * b1 + (d2 / dA) * b2 + (d3 / dA) * b3) +
+             ((d1 / dA) * (g11 * (d1 / dA) + a12 * (d2 / dA)
+                + a13 * (d3 / dA)) +
+              (d2 / dA) * (a12 * (d1 / dA) + g22 * (d2 / dA)
+                + a23 * (d3 / dA)) +
+              (d3 / dA) * (a13 * (d1 / dA) + a23 * (d2 / dA)
+                + g33 * (d3 / dA))))
+           / (yy - b3 * b3 / nd) AS r2
+         FROM ${name}_d)"""
+    def statsCte(name: String, src: String, c1: String, c2: String) =
+      s"""$name AS (SELECT count(*)::BIGINT AS n,
+           sum($c1)::HUGEINT AS s1, sum($c2)::HUGEINT AS s2,
+           sum(y)::HUGEINT AS sy,
+           sum($c1::HUGEINT * $c1) AS s11,
+           sum($c1::HUGEINT * $c2) AS s12,
+           sum($c2::HUGEINT * $c2) AS s22,
+           sum($c1::HUGEINT * y) AS s1y,
+           sum($c2::HUGEINT * y) AS s2y,
+           sum(y::HUGEINT * y) AS syy
+         FROM $src)"""
+    s"""WITH base AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+              ::BIGINT AS r,
+            CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) AS x1,
+            CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT) AS x2,
+            CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS y
+          FROM lineitem),
+        nn AS (SELECT count(*)::BIGINT AS n FROM base),
+        sh1 AS (SELECT ((r - 1 + n // 2) % n) + 1 AS r, x1 AS x1p
+                FROM base, nn),
+        sh2 AS (SELECT ((r - 1 + n // 2) % n) + 1 AS r, x2 AS x2p
+                FROM base, nn),
+        pm1 AS (SELECT b.r, s.x1p, b.x2, b.y
+                FROM base b JOIN sh1 s USING (r)),
+        pm2 AS (SELECT b.r, b.x1, s.x2p, b.y
+                FROM base b JOIN sh2 s USING (r)),
+        ${statsCte("st0", "base", "x1", "x2")},
+        ${statsCte("st1", "pm1", "x1p", "x2")},
+        ${statsCte("st2", "pm2", "x1", "x2p")},
+        ${r2Cte("r0", "st0")},
+        ${r2Cte("r1", "st1")},
+        ${r2Cte("r2x", "st2")}
+        SELECT
+          floor(r0.r2 * 1e6 + 0.5) / 1e6 AS r2_full,
+          floor(r1.r2 * 1e6 + 0.5) / 1e6 AS r2_perm_quantity,
+          floor(r2x.r2 * 1e6 + 0.5) / 1e6 AS r2_perm_discount,
+          floor((r0.r2 - r1.r2) * 1e6 + 0.5) / 1e6 AS imp_quantity,
+          floor((r0.r2 - r2x.r2) * 1e6 + 0.5) / 1e6 AS imp_discount
+        FROM r0, r1, r2x"""
   }
 
   /** Unrolled power iteration (mirrors `Similarity.pcaPower`): the
@@ -7325,6 +7414,77 @@ object SparkEntry {
              / 1e6 AS ks_stat
          FROM dd GROUP BY ty ORDER BY ty""",
     "pq_codebook" -> pqOracleSql(),
+    // round-5 batch G ------------------------------------------------
+    // SCD2 point-in-time bind: half-open version intervals, custkey-
+    // keyed range containment
+    "pit_join" ->
+      """WITH ch AS (
+           SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             epoch_ms(o_orderdate) // 1000 AS t_from,
+             o_orderkey AS okey,
+             lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey
+                ORDER BY epoch_ms(o_orderdate) // 1000, o_orderkey)
+               AS prev
+           FROM orders),
+         f AS (SELECT custkey, priority, t_from, okey FROM ch
+               WHERE prev IS NULL OR prev <> priority),
+         dim AS (SELECT custkey, priority, t_from,
+             lead(t_from) OVER (PARTITION BY custkey
+               ORDER BY t_from, okey) AS t_to
+           FROM f),
+         facts AS (SELECT l_orderkey,
+             epoch_ms(l_shipdate) // 1000 AS ship,
+             CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS rev,
+             o_custkey AS custkey, o_orderpriority AS order_prio
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT dim.priority, count(*)::BIGINT AS n_items,
+           floor(sum(rev)::DOUBLE / 1e6 * 1e4 + 0.5) / 1e4 AS revenue,
+           sum(CASE WHEN dim.priority <> order_prio THEN 1 ELSE 0 END)
+             ::BIGINT AS drifted
+         FROM facts JOIN dim ON facts.custkey = dim.custkey
+           AND ship >= t_from AND (t_to IS NULL OR ship < t_to)
+         GROUP BY dim.priority ORDER BY dim.priority""",
+    "perm_importance" -> permImportanceOracleSql(),
+    // 1.5-hop structural fingerprints; class-size histogram
+    "degree_anonymity" -> s"""WITH $GraphCte,
+         deg AS (SELECT src, count(*)::BIGINT AS d
+                 FROM edges GROUP BY 1),
+         sg AS (SELECT e.src,
+             dd.d::VARCHAR || '|' ||
+               array_to_string(list_sort(list(nd.d)), ',') AS sig
+           FROM edges e
+           JOIN deg nd ON e.dst = nd.src
+           JOIN deg dd ON e.src = dd.src
+           GROUP BY e.src, dd.d),
+         cl AS (SELECT sig, count(*)::BIGINT AS cls FROM sg GROUP BY 1)
+         SELECT cls AS class_size, count(*)::BIGINT AS n_classes,
+           (cls * count(*))::BIGINT AS n_nodes
+         FROM cl GROUP BY cls ORDER BY class_size""",
+    // erasure cascade sizing down the FK chain
+    "deletion_impact" ->
+      """WITH coh AS (SELECT c_custkey FROM customer
+             WHERE ((c_custkey % 2147483648) * 8388593) % 100 < 5),
+         ords AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM coh)),
+         li AS (SELECT l_orderkey,
+                  CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)
+                    AS rev
+                FROM lineitem),
+         aff AS (SELECT count(*)::BIGINT AS n_lineitems,
+                   sum(rev)::HUGEINT AS rev_del
+                 FROM li WHERE l_orderkey IN
+                   (SELECT o_orderkey FROM ords)),
+         tot AS (SELECT count(*)::BIGINT AS n_li_total,
+                   sum(rev)::HUGEINT AS rev_total FROM li),
+         nc AS (SELECT count(*)::BIGINT AS n_cust FROM customer),
+         ncoh AS (SELECT count(*)::BIGINT AS n_customers FROM coh),
+         no AS (SELECT count(*)::BIGINT AS n_orders FROM ords)
+         SELECT n_customers, n_cust AS n_customers_total, n_orders,
+           n_lineitems,
+           floor(rev_del::DOUBLE / rev_total::DOUBLE * 1e6 + 0.5) / 1e6
+             AS revenue_share
+         FROM ncoh, nc, no, aff, tot""",
     // the IDENTICAL lateral SQL shape DuckDB executes as its own
     // dependent join — total-ordered cut, so row sets match bitwise
     "lateral_join_topk" ->

@@ -727,4 +727,48 @@ object Curation {
         col("s.dropped_here").as("dropped_here"))
       .orderBy("stage")
   }
+
+  /** Right-to-erasure cascade impact (W320): given a deterministic 5%
+    * customer cohort (the hash-arm convention on c_custkey), count
+    * everything a GDPR-style deletion would cascade through — orders,
+    * lineitems, and the revenue share leaving the analytical tables.
+    * The sizing audit run BEFORE building a deletion pipeline: it
+    * prices the tombstone volume and says whether affected partitions
+    * need rewrite or the cohort is spread thin (it always is — hash
+    * cohorts hit every partition, which is exactly the point the
+    * number makes). Two key joins down the FK chain, exact 1e6-grid
+    * revenue sums, one row out.
+    */
+  def deletionImpact(s: SparkSession, dir: String,
+                     pct: Int = 5): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cohort = Tables.customer(s, dir)
+      .filter(pmod(pmod(col("c_custkey"), lit(2147483648L)) *
+        lit(8388593L), lit(100L)) < pct)
+      .select(col("c_custkey"))
+    val nCust = Tables.customer(s, dir).agg(count(lit(1)).as("n_cust"))
+    val ords = Tables.orders(s, dir)
+      .join(cohort, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+      .localCheckpoint() // counted + probed by the lineitem semi-join
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * lit(1e6) + lit(0.5)).cast("long")
+          .as("rev"))
+    val affected = li
+      .join(ords, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(col("rev").cast(dec)).as("rev_del"))
+    val total = li.agg(count(lit(1)).as("n_li_total"),
+      sum(col("rev").cast(dec)).as("rev_total"))
+    cohort.agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(nCust))
+      .crossJoin(broadcast(ords.agg(count(lit(1)).as("n_orders"))))
+      .crossJoin(broadcast(affected))
+      .crossJoin(broadcast(total))
+      .select(col("n_customers"), col("n_cust").as("n_customers_total"),
+        col("n_orders"), col("n_lineitems"),
+        Events.q(col("rev_del").cast("double") /
+          col("rev_total").cast("double"), 6).as("revenue_share"))
+  }
 }

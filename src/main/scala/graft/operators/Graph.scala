@@ -1528,4 +1528,36 @@ object Graph {
       .select(col("n_edges"), col("n_wedges"), col("n_pairs"),
         col("n_pairs_multi"), col("n_butterflies"))
   }
+
+  /** Degree-signature anonymity audit (W319) — the graph analogue of
+    * [[Events.kAnonymity]]: how many vertices of the customer⇄supplier
+    * graph are UNIQUELY identifiable by their structural fingerprint
+    * (degree + sorted multiset of neighbor degrees — the 1.5-hop view
+    * an adversary with a degree-sequence side channel holds, per the
+    * de-anonymization literature's H1/H2 attacks). Vertices sharing a
+    * signature form an equivalence class; the audit surfaces the
+    * class-size histogram plus the uniquely-identifiable share. One
+    * degree aggregation, one edge join to neighbor degrees, one
+    * per-vertex sort of a degree-bounded list — every stage keyed,
+    * nothing quadratic.
+    */
+  def degreeAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val e = CacheScope.track(
+      customerSupplierEdges(s, dir, distinctPairs = true)
+        .persist()) // degree agg + the signature join read it
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val sig = e
+      .join(deg.select(col("src").as("dst"), col("d").as("dd")), "dst")
+      .groupBy("src")
+      .agg(concat_ws(",", sort_array(collect_list(col("dd"))))
+        .as("nbrs"))
+      .join(deg, "src")
+      .select(col("src"), concat(col("d").cast("string"), lit("|"),
+        col("nbrs")).as("sig"))
+    val classes = sig.groupBy("sig").agg(count(lit(1)).as("cls"))
+    classes.groupBy("cls").agg(count(lit(1)).as("n_classes"))
+      .select(col("cls").as("class_size"), col("n_classes"),
+        (col("cls") * col("n_classes")).as("n_nodes"))
+      .orderBy("class_size")
+  }
 }

@@ -2117,4 +2117,158 @@ object Relational {
           .as("sign_flip"))
       .orderBy("stratum")
   }
+
+  /** Point-in-time (PIT) join (W317): each lineitem joined to the
+    * customer's order-priority VERSION valid at ship time — the
+    * temporal star-schema join every SCD2 dimension
+    * ([[scd2History]]) exists to serve, and the one a plain key join
+    * silently gets wrong (it reads today's attribute for yesterday's
+    * fact — time-travel leakage, the batch cousin of
+    * [[graft.operators.Curation]]'s train/serve leaks). Versions are
+    * half-open [eff_from, eff_to); facts bind by custkey + range
+    * containment, so the join is customer-keyed with per-customer
+    * version lists — co-partitioned, never quadratic. `drifted`
+    * counts lineitems whose valid-at-ship priority differs from the
+    * order's own — the rows a non-temporal join would mislabel.
+    * Exact 1e6-grid revenue sums; one row per priority.
+    */
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("custkey")
+      .orderBy(col("t_from"), col("okey"))
+    val dim = Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        unix_timestamp(col("o_orderdate")).as("t_from"),
+        col("o_orderkey").as("okey"))
+      .withColumn("prev", lag(col("priority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("priority"))
+      .withColumn("t_to", lead(col("t_from"), 1).over(w))
+      .select(col("custkey"), col("priority"), col("t_from"),
+        col("t_to"))
+    val facts = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        unix_timestamp(col("l_shipdate")).as("ship"),
+        floor(col("l_extendedprice") * lit(1e6) + lit(0.5)).cast("long")
+          .as("rev"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("order_prio")),
+        col("l_orderkey") === col("o_orderkey"))
+    facts.join(dim,
+        facts("custkey") === dim("custkey") &&
+          col("ship") >= col("t_from") &&
+          (col("t_to").isNull || col("ship") < col("t_to")))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_items"),
+        Events.q(sum(col("rev").cast("decimal(38,0)")).cast("double") /
+          lit(1e6), 4).as("revenue"),
+        sum((col("priority") =!= col("order_prio")).cast("long"))
+          .as("drifted"))
+      .orderBy("priority")
+  }
+
+  /** Permutation feature importance for the [[Ml.ridgeRegression]]
+    * fit (W318): R² of the full model vs R² with ONE feature's values
+    * deterministically permuted (rank r takes the value at rank
+    * (r + n/2) mod n over the (orderkey, linenumber) total order — a
+    * fixed derangement both engines restate, no RNG). Breaking the
+    * x↔y pairing kills exactly that feature's contribution, so the
+    * R² drop IS its importance — the model-debugging readout that
+    * coefficients can't give when features correlate. Only the cross
+    * moments (Σxy, Σx₁x₂) change under permutation — marginals are
+    * permutation-invariant — so each variant costs a rank join, not
+    * a refit-from-scratch. All moments exact DECIMAL(38); R² and the
+    * Cramer solve are fixed double chains. The global rank is the one
+    * scale-bound stage (documented: per-partition permutation is the
+    * 100 TB cut — same statistic in expectation).
+    */
+  def permImportance(s: SparkSession, dir: String,
+                     lambda: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_quantity") * lit(1e6) + lit(0.5)).cast("long")
+        .as("x1"),
+      floor(col("l_discount") * lit(1e6) + lit(0.5)).cast("long")
+        .as("x2"),
+      floor(col("l_extendedprice") * lit(1e6) + lit(0.5)).cast("long")
+        .as("y"))
+      .withColumn("r", row_number().over(
+        Window.orderBy("l_orderkey", "l_linenumber")).cast("long"))
+      .localCheckpoint() // three self-reads: stats + two perm joins
+    val n = base.count()
+    val shift = n / 2
+    def permuted(c: String) = base.select(col("r"), col("x1"),
+        col("x2"), col("y"))
+      .join(base.select(
+        (pmod(col("r") - 1 + lit(shift), lit(n)) + 1).as("r"),
+        col(c).as(s"${c}p")), "r")
+    def stats(df: DataFrame, c1: org.apache.spark.sql.Column,
+              c2: org.apache.spark.sql.Column) = df.agg(
+      count(lit(1)).as("n"),
+      sum(c1.cast(dec)).as("s1"), sum(c2.cast(dec)).as("s2"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(c1.cast(dec) * c1.cast(dec)).as("s11"),
+      sum(c1.cast(dec) * c2.cast(dec)).as("s12"),
+      sum(c2.cast(dec) * c2.cast(dec)).as("s22"),
+      sum(c1.cast(dec) * col("y").cast(dec)).as("s1y"),
+      sum(c2.cast(dec) * col("y").cast(dec)).as("s2y"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    def r2(st: DataFrame): org.apache.spark.sql.DataFrame = {
+      def d(c: String, scale: Double) = col(c).cast("double") / lit(scale)
+      val g11 = d("s11", 1e12)
+      val g22 = d("s22", 1e12)
+      val g33 = col("n").cast("double")
+      val a11 = g11 + lit(lambda)
+      val a12 = d("s12", 1e12)
+      val a13 = d("s1", 1e6)
+      val a22 = g22 + lit(lambda)
+      val a23 = d("s2", 1e6)
+      val a33 = g33 + lit(lambda)
+      val b1 = d("s1y", 1e12)
+      val b2 = d("s2y", 1e12)
+      val b3 = d("sy", 1e6)
+      def det3(m11: org.apache.spark.sql.Column,
+               m12: org.apache.spark.sql.Column,
+               m13: org.apache.spark.sql.Column,
+               m21: org.apache.spark.sql.Column,
+               m22: org.apache.spark.sql.Column,
+               m23: org.apache.spark.sql.Column,
+               m31: org.apache.spark.sql.Column,
+               m32: org.apache.spark.sql.Column,
+               m33: org.apache.spark.sql.Column) =
+        m11 * (m22 * m33 - m23 * m32) -
+          m12 * (m21 * m33 - m23 * m31) +
+          m13 * (m21 * m32 - m22 * m31)
+      val dA = det3(a11, a12, a13, a12, a22, a23, a13, a23, a33)
+      val d1 = det3(b1, a12, a13, b2, a22, a23, b3, a23, a33)
+      val d2 = det3(a11, b1, a13, a12, b2, a23, a13, b3, a33)
+      val d3 = det3(a11, a12, b1, a12, a22, b2, a13, a23, b3)
+      val (bb1, bb2, bb3) = (d1 / dA, d2 / dA, d3 / dA)
+      val yy = d("syy", 1e12)
+      // the quadratic term uses the RAW Gram (no λ): true residual SSE
+      val sse = yy - lit(2.0) * (bb1 * b1 + bb2 * b2 + bb3 * b3) +
+        (bb1 * (g11 * bb1 + a12 * bb2 + a13 * bb3) +
+          bb2 * (a12 * bb1 + g22 * bb2 + a23 * bb3) +
+          bb3 * (a13 * bb1 + a23 * bb2 + g33 * bb3))
+      val sst = yy - b3 * b3 / col("n").cast("double")
+      st.select((lit(1.0) - sse / sst).as("r2"))
+    }
+    val full = r2(stats(base, col("x1"), col("x2")))
+      .select(col("r2").as("r2_full"))
+    val p1 = r2(stats(permuted("x1"), col("x1p"), col("x2")))
+      .select(col("r2").as("r2_perm_x1"))
+    val p2 = r2(stats(permuted("x2"), col("x1"), col("x2p")))
+      .select(col("r2").as("r2_perm_x2"))
+    full.crossJoin(broadcast(p1)).crossJoin(broadcast(p2))
+      .select(Events.q(col("r2_full"), 6).as("r2_full"),
+        Events.q(col("r2_perm_x1"), 6).as("r2_perm_quantity"),
+        Events.q(col("r2_perm_x2"), 6).as("r2_perm_discount"),
+        Events.q(col("r2_full") - col("r2_perm_x1"), 6)
+          .as("imp_quantity"),
+        Events.q(col("r2_full") - col("r2_perm_x2"), 6)
+          .as("imp_discount"))
+  }
 }
