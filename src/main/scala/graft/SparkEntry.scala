@@ -460,6 +460,11 @@ object SparkEntry {
     "perm_importance" -> ((s, d) => Relational.permImportance(s, d)),
     "degree_anonymity" -> ((s, d) => Graph.degreeAnonymity(s, d)),
     "deletion_impact" -> ((s, d) => Curation.deletionImpact(s, d)),
+    // round-5 batch H: censoring-correct testing, stylometry,
+    // temporal link-prediction backtest
+    "logrank_test" -> ((s, d) => Events.logrankTest(s, d)),
+    "burrows_delta" -> ((s, d) => TextStats.burrowsDelta(s, d)),
+    "link_pred_eval" -> ((s, d) => Graph.linkPredEval(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -7461,6 +7466,153 @@ object SparkEntry {
          SELECT cls AS class_size, count(*)::BIGINT AS n_classes,
            (cls * count(*))::BIGINT AS n_nodes
          FROM cl GROUP BY cls ORDER BY class_size""",
+    // round-5 batch H ------------------------------------------------
+    // hypergeometric O−E per death time, 1e-9-grid E and V sums
+    "logrank_test" ->
+      """WITH pu AS (
+           SELECT user_id, min(ts)::DATE AS d0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)::DATE
+               AS dconv
+           FROM events GROUP BY user_id),
+         hz AS (SELECT max(ts)::DATE AS dmax FROM events),
+         durs AS (
+           SELECT CASE WHEN dconv IS NOT NULL
+                    THEN date_diff('day', d0, dconv)
+                    ELSE date_diff('day', d0, dmax) END AS t,
+             CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS event,
+             CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+               THEN 1 ELSE 0 END AS isA
+           FROM pu CROSS JOIN hz),
+         byt AS (
+           SELECT t, sum(event * isA)::BIGINT AS d1,
+             sum(event * (1 - isA))::BIGINT AS d2,
+             sum(isA)::BIGINT AS k1, sum(1 - isA)::BIGINT AS k2
+           FROM durs GROUP BY t),
+         tt AS (SELECT sum(k1)::BIGINT AS na, sum(k2)::BIGINT AS nb
+                FROM byt),
+         r AS (
+           SELECT t, d1, d2, na, nb,
+             na - coalesce(sum(k1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1,
+             nb - coalesce(sum(k2) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n2
+           FROM byt CROSS JOIN tt),
+         f AS (
+           SELECT *, n1 + n2 AS n, d1 + d2 AS d FROM r
+           WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+         g AS (
+           SELECT na, nb, d1,
+             CAST(floor(d::DOUBLE * n1 / n * 1e9 + 0.5) AS BIGINT)
+               AS e19,
+             CAST(floor(d::DOUBLE * n1 * n2 * (n - d)
+               / (n::DOUBLE * n * (n - 1)) * 1e9 + 0.5) AS BIGINT)
+               AS v9
+           FROM f),
+         a AS (SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                 sum(d1)::BIGINT AS obs_a, sum(e19)::BIGINT AS e9,
+                 sum(v9)::BIGINT AS vv9
+               FROM g)
+         SELECT n_a, n_b, obs_a,
+           floor(e9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS expected_a,
+           CASE WHEN vv9 > 0 THEN
+             floor((obs_a::DOUBLE - e9::DOUBLE / 1e9)
+               * (obs_a::DOUBLE - e9::DOUBLE / 1e9)
+               / (vv9::DOUBLE / 1e9) * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS chi2
+         FROM a""",
+    // z-scored marker-term frequencies on exact grids; zero-variance
+    // exclusion decided in DECIMAL
+    "burrows_delta" ->
+      """WITH tok AS (
+           SELECT source,
+             unnest(list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0)) AS term
+           FROM documents),
+         tc AS (SELECT source, term, count(*)::BIGINT AS c
+                FROM tok GROUP BY 1, 2),
+         topk AS (SELECT term FROM (
+             SELECT term, sum(c)::BIGINT AS ct FROM tc GROUP BY term)
+           ORDER BY ct DESC, term LIMIT 30),
+         ps AS (SELECT source, sum(c)::BIGINT AS ns FROM tc GROUP BY 1),
+         ns AS (SELECT count(*)::BIGINT AS s FROM ps),
+         grid AS (
+           SELECT ps.source, topk.term,
+             CAST(floor(coalesce(tc.c, 0)::DOUBLE / ps.ns * 1e9 + 0.5)
+               AS BIGINT) AS f9
+           FROM ps CROSS JOIN topk
+           LEFT JOIN tc ON tc.source = ps.source
+             AND tc.term = topk.term),
+         mo AS (SELECT term, sum(f9)::BIGINT AS sf,
+                  sum(f9::HUGEINT * f9) AS sf2
+                FROM grid GROUP BY term),
+         z AS (
+           SELECT g.source, g.term,
+             (g.f9 - mo.sf::DOUBLE / s) /
+               sqrt((mo.sf2::DOUBLE - mo.sf::DOUBLE * mo.sf::DOUBLE / s)
+                 / s) AS z
+           FROM grid g JOIN mo USING (term) CROSS JOIN ns
+           WHERE mo.sf2 * s > mo.sf::HUGEINT * mo.sf),
+         pr AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             CAST(floor(abs(a.z - b.z) * 1e9 + 0.5) AS BIGINT) AS dz9
+           FROM z a JOIN z b ON a.term = b.term
+             AND a.source < b.source)
+         SELECT source_a, source_b, count(*)::BIGINT AS n_terms,
+           floor(sum(dz9)::DOUBLE / 1e9 / count(*) * 1e6 + 0.5) / 1e6
+             AS delta
+         FROM pr GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // AA-scored pre wedges vs post-period ground truth; Mann–Whitney
+    // midrank AUC over the exact-integer score table
+    "link_pred_eval" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+             epoch_ms(o_orderdate) // 1000 AS t FROM orders),
+         b AS (SELECT min(t) AS t0, max(t) AS t1 FROM o),
+         tg AS (SELECT o_custkey AS c, l_suppkey AS sup,
+             CASE WHEN t <= CAST(floor((t0 + t1) / 2.0) AS BIGINT)
+               THEN 1 ELSE 0 END AS isPre
+           FROM lineitem JOIN o ON l_orderkey = o_orderkey, b),
+         e AS (SELECT c, sup, max(isPre)::BIGINT AS inPre,
+             max(1 - isPre)::BIGINT AS inPost
+           FROM tg GROUP BY 1, 2),
+         preDeg AS (SELECT sup, count(*)::BIGINT AS d FROM e
+                    WHERE inPre = 1 GROUP BY 1
+                    HAVING count(*) >= 2 AND count(*) <= 64),
+         preE AS (SELECT e.c, e.sup,
+             CAST(floor(1e9 / ln(d::DOUBLE) + 0.5) AS BIGINT) AS aa9
+           FROM e JOIN preDeg USING (sup) WHERE inPre = 1),
+         sc AS (SELECT a.c AS c1, b.c AS c2,
+             sum(a.aa9)::BIGINT AS score9
+           FROM preE a JOIN preE b ON a.sup = b.sup AND a.c < b.c
+           GROUP BY 1, 2),
+         postDeg AS (SELECT sup, count(*)::BIGINT AS d FROM e
+                     WHERE inPost = 1 GROUP BY 1
+                     HAVING count(*) >= 2 AND count(*) <= 64),
+         postE AS (SELECT e.c, e.sup FROM e JOIN postDeg USING (sup)
+                   WHERE inPost = 1),
+         pp AS (SELECT DISTINCT a.c AS c1, b.c AS c2
+                FROM postE a JOIN postE b
+                  ON a.sup = b.sup AND a.c < b.c),
+         lab AS (
+           SELECT sc.score9::DOUBLE AS sv,
+             CASE WHEN pp.c1 IS NOT NULL THEN 1 ELSE 0 END AS y
+           FROM sc LEFT JOIN pp USING (c1, c2)),
+         cnt AS (SELECT count(*)::BIGINT AS n_candidates,
+                   sum(y)::BIGINT AS n_pos FROM lab),
+         g AS (SELECT sv, sum(y) AS p, sum(1 - y) AS n
+               FROM lab GROUP BY sv),
+         cw AS (SELECT sv, p, n,
+                  coalesce(sum(n) OVER (ORDER BY sv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cumn
+                FROM g),
+         au AS (SELECT round(sum(p * (cumn + n / 2.0))
+                  / (sum(p) * sum(n)), 6) AS auc
+                FROM cw)
+         SELECT n_candidates, n_pos, auc FROM cnt, au""",
     // erasure cascade sizing down the FK chain
     "deletion_impact" ->
       """WITH coh AS (SELECT c_custkey FROM customer

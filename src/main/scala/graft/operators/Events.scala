@@ -3219,4 +3219,64 @@ object Events {
           lit(1e9)), 6).as("ks_stat"))
       .orderBy("event_type")
   }
+
+  /** Two-sample log-rank test (W321) — does time-to-purchase differ
+    * between the hash arms? The censoring-correct significance test
+    * on top of [[kaplanMeier]]'s curves (comparing mean durations
+    * ignores censoring; comparing KM curves by eye ignores sampling
+    * error — the log-rank statistic is the standard answer). At each
+    * death time: observed arm-A deaths vs the hypergeometric
+    * expectation d·n_A/n, variance d·n_A·n_B·(n−d)/(n²(n−1)); χ² =
+    * (ΣO−ΣE)²/ΣV. Risk sets fall out of ONE cumulative window over
+    * per-time arm counts (no per-user resort); E and V are quantized
+    * to 1e-9 LONGs per death time so their sums are order-free, with
+    * every input an exact integer count. One user-keyed reduction is
+    * the only corpus-bound stage; the test runs on O(distinct
+    * durations) rows.
+    */
+  def logrankTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val perUser = ev.groupBy("user_id").agg(
+      to_date(min(col("ts"))).as("d0"),
+      to_date(min(when(col("event_type") === "purchase", col("ts"))))
+        .as("dconv"))
+    val horizon = ev.agg(to_date(max(col("ts"))).as("dmax"))
+    val durs = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("dconv").isNotNull, datediff(col("dconv"), col("d0")))
+          .otherwise(datediff(col("dmax"), col("d0"))).as("t"),
+        when(col("dconv").isNotNull, 1L).otherwise(0L).as("event"),
+        (pmod(pmod(col("user_id"), lit(2147483648L)) * lit(8388593L),
+          lit(100L)) < 50).cast("long").as("isA"))
+    val byT = durs.groupBy("t").agg(
+      sum(col("event") * col("isA")).as("d1"),
+      sum(col("event") * (lit(1L) - col("isA"))).as("d2"),
+      sum(col("isA")).as("k1"),
+      sum(lit(1L) - col("isA")).as("k2"))
+    val tot = byT.agg(sum(col("k1")).as("na"), sum(col("k2")).as("nb"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("n1", col("na") - coalesce(sum(col("k1")).over(w),
+        lit(0L)))
+      .withColumn("n2", col("nb") - coalesce(sum(col("k2")).over(w),
+        lit(0L)))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("d", col("d1") + col("d2"))
+      .filter(col("d") > 0 && col("n") > 1)
+    val e19 = floor(col("d").cast("double") * col("n1") / col("n")
+      * lit(1e9) + lit(0.5)).cast("long")
+    val v9 = floor(col("d").cast("double") * col("n1") * col("n2")
+      * (col("n") - col("d")) /
+      (col("n").cast("double") * col("n") * (col("n") - 1))
+      * lit(1e9) + lit(0.5)).cast("long")
+    val agg = risk.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      sum(col("d1")).as("obs_a"), sum(e19).as("e9"), sum(v9).as("vv9"))
+    val diff = col("obs_a").cast("double") - col("e9").cast("double") /
+      lit(1e9)
+    agg.select(col("n_a"), col("n_b"), col("obs_a"),
+      q(col("e9").cast("double") / lit(1e9), 6).as("expected_a"),
+      when(col("vv9") > 0,
+        q(diff * diff / (col("vv9").cast("double") / lit(1e9)), 6))
+        .otherwise(lit(0.0)).as("chi2"))
+  }
 }

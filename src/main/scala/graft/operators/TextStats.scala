@@ -1025,4 +1025,68 @@ object TextStats {
           .as("g2"),
         col("leans"))
   }
+
+  /** Burrows' Delta stylometric distance (W322) — the standard
+    * authorship-attribution measure (Burrows 2002): z-score each of
+    * the corpus's top-k most frequent terms' relative frequencies
+    * across sources, then Δ(a,b) = mean |z_a − z_b| over those
+    * marker terms. [[sourceKlDivergence]] says how far a source sits
+    * from the corpus; Delta says which sources WRITE ALIKE — the
+    * pairwise signal used for attribution, style drift, and spotting
+    * machine-written subsets. Numerics: relative frequencies land on
+    * a 1e-9 LONG grid (exact count ratios), per-term mean/variance
+    * across the S sources come from exact integer sums of those
+    * grid values, z's are fixed double chains, and each pair's
+    * per-term |Δz| re-quantizes to 1e-9 before the k-term sum — every
+    * reduction order-free. Zero-variance terms (identical usage
+    * everywhere) carry no style signal and are excluded from the mean
+    * (n_terms surfaces the effective count). One token-count shuffle;
+    * everything after is (k·S)-sized.
+    */
+  def burrowsDelta(s: SparkSession, dir: String, k: Int = 30)
+      : DataFrame = {
+    val tok = CacheScope.track(Tables.documents(s, dir)
+      .select(col("source"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .persist()) // top-k cut + per-source totals + the dense grid
+    val topk = tok.groupBy("term").agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("term")).limit(k)
+      .select(col("term"))
+    val perSource = tok.groupBy("source").agg(sum(col("c")).as("ns"))
+    val grid = perSource.crossJoin(broadcast(topk))
+      .join(tok, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("source"), col("term"),
+        floor(col("c").cast("double") / col("ns") * lit(1e9) + lit(0.5))
+          .cast("long").as("f9"))
+      .localCheckpoint() // moments + both z sides read it
+    val nSources = perSource.count()
+    val moments = grid.groupBy("term")
+      .agg(sum(col("f9")).as("sf"),
+        sum(col("f9").cast("decimal(38,0)") * col("f9")).as("sf2"))
+    val mu = col("sf").cast("double") / lit(nSources.toDouble)
+    val varc = (col("sf2").cast("double") -
+      col("sf").cast("double") * col("sf").cast("double") /
+        lit(nSources.toDouble)) / lit(nSources.toDouble)
+    // zero-variance exclusion decided EXACTLY: S·Σf² > (Σf)² in
+    // DECIMAL(38) (the double comparison would blur at the 1e19 scale)
+    val z = grid.join(broadcast(moments), "term")
+      .filter(col("sf2") * lit(nSources) >
+        col("sf").cast("decimal(38,0)") * col("sf").cast("decimal(38,0)"))
+      .select(col("source"), col("term"),
+        ((col("f9") - mu) / sqrt(varc)).as("z"))
+    val pairs = z.select(col("source").as("source_a"), col("term"),
+        col("z").as("za"))
+      .join(z.select(col("source").as("source_b"), col("term"),
+        col("z").as("zb")), "term")
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        floor(abs(col("za") - col("zb")) * lit(1e9) + lit(0.5))
+          .cast("long").as("dz9"))
+    pairs.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_terms"),
+        Events.q(sum(col("dz9")).cast("double") / lit(1e9) /
+          count(lit(1)), 6).as("delta"))
+      .orderBy("source_a", "source_b")
+  }
 }
