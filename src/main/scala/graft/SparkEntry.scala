@@ -465,6 +465,11 @@ object SparkEntry {
     "logrank_test" -> ((s, d) => Events.logrankTest(s, d)),
     "burrows_delta" -> ((s, d) => TextStats.burrowsDelta(s, d)),
     "link_pred_eval" -> ((s, d) => Graph.linkPredEval(s, d)),
+    // round-5 batch I: seasonal forecasting, sequential testing,
+    // weighted graph distance
+    "hw_forecast" -> ((s, d) => Events.hwForecast(s, d)),
+    "obf_sequential" -> ((s, d) => Events.obfSequential(s, d)),
+    "weighted_sssp" -> ((s, d) => Graph.weightedSssp(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -7466,6 +7471,134 @@ object SparkEntry {
          SELECT cls AS class_size, count(*)::BIGINT AS n_classes,
            (cls * count(*))::BIGINT AS n_nodes
          FROM cl GROUP BY cls ORDER BY class_size""",
+    // round-5 batch I ------------------------------------------------
+    // HW additive seasonal: the HoltCte recursion carrying a 7-slot
+    // seasonal LIST; γ-learned from zero (no first-week seeding)
+    "hw_forecast" ->
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+           SELECT date_diff('day', DATE '2024-01-01', ts::DATE) AS day,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::DOUBLE
+                    / 1e6 AS x
+           FROM events GROUP BY 1),
+         ord AS MATERIALIZED (
+           SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+           FROM daily),
+         r AS (
+           SELECT day, x, rn, x AS level, 0.0::DOUBLE AS trend,
+                  x AS fitted,
+                  list_transform(range(0, 7), i -> 0.0::DOUBLE) AS seas
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.day, o.x, o.rn,
+             CASE WHEN o.rn = 2 THEN o.x
+                  ELSE 0.3 * (o.x - r.seas[(o.day % 7) + 1])
+                    + (1 - 0.3) * (r.level + r.trend) END,
+             CASE WHEN o.rn = 2 THEN o.x - r.x
+                  ELSE 0.1 * ((0.3 * (o.x - r.seas[(o.day % 7) + 1])
+                      + (1 - 0.3) * (r.level + r.trend)) - r.level)
+                    + (1 - 0.1) * r.trend END,
+             CASE WHEN o.rn = 2 THEN r.level
+                  ELSE r.level + r.trend
+                    + r.seas[(o.day % 7) + 1] END,
+             CASE WHEN o.rn = 2 THEN r.seas
+                  ELSE list_transform(range(0, 7), i ->
+                    CASE WHEN i = o.day % 7
+                      THEN 0.2 * (o.x -
+                          (0.3 * (o.x - r.seas[(o.day % 7) + 1])
+                            + (1 - 0.3) * (r.level + r.trend)))
+                        + (1 - 0.2) * r.seas[(o.day % 7) + 1]
+                      ELSE r.seas[i + 1] END) END
+           FROM ord o JOIN r ON o.rn = r.rn + 1),
+         last AS (SELECT * FROM r ORDER BY rn DESC LIMIT 1),
+         fc AS (
+           SELECT (l.day + h.h)::BIGINT AS day, h.h::BIGINT AS horizon,
+                  NULL::DOUBLE AS actual,
+                  floor((l.level + h.h * l.trend
+                    + l.seas[((l.day + h.h) % 7) + 1]) * 1e6 + 0.5)
+                    / 1e6 AS fitted
+           FROM last l CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h)
+         SELECT day::BIGINT AS day, 0::BIGINT AS horizon,
+                floor(x * 1e6 + 0.5) / 1e6 AS actual,
+                floor(fitted * 1e6 + 0.5) / 1e6 AS fitted
+         FROM r
+         UNION ALL SELECT day, horizon, actual, fitted FROM fc
+         ORDER BY day, horizon""",
+    // OBF boundaries vs cumulative Welch z at the time quartiles
+    "obf_sequential" ->
+      """WITH ev AS (SELECT epoch_ms(ts) // 1000 AS t,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi,
+             CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+               THEN 1 ELSE 0 END AS isA
+           FROM events WHERE value IS NOT NULL),
+         bd AS (SELECT min(t) AS t0, max(t) AS t1 FROM ev),
+         qq AS (SELECT least(CAST(floor((t - t0)::DOUBLE /
+               ((t1 - t0 + 1)::DOUBLE / 4)) AS BIGINT) + 1, 4) AS k,
+             vi, isA
+           FROM ev, bd),
+         g AS (SELECT k, sum(isA)::BIGINT AS ka,
+             sum(1 - isA)::BIGINT AS kb,
+             sum(CASE WHEN isA = 1 THEN vi ELSE 0 END)::HUGEINT AS sa,
+             sum(CASE WHEN isA = 0 THEN vi ELSE 0 END)::HUGEINT AS sb,
+             sum(CASE WHEN isA = 1 THEN vi::HUGEINT * vi ELSE 0 END)
+               AS sa2,
+             sum(CASE WHEN isA = 0 THEN vi::HUGEINT * vi ELSE 0 END)
+               AS sb2
+           FROM qq GROUP BY k),
+         c AS (SELECT k,
+             sum(ka) OVER w AS na, sum(kb) OVER w AS nb,
+             sum(sa) OVER w AS csa, sum(sb) OVER w AS csb,
+             sum(sa2) OVER w AS csa2, sum(sb2) OVER w AS csb2
+           FROM g WINDOW w AS (ORDER BY k ROWS UNBOUNDED PRECEDING)),
+         f AS (SELECT k, na, nb,
+             ((csa2::DOUBLE - csa::DOUBLE * csa::DOUBLE / na)
+               / (na - 1) / 1e12) / na AS pa,
+             ((csb2::DOUBLE - csb::DOUBLE * csb::DOUBLE / nb)
+               / (nb - 1) / 1e12) / nb AS pb,
+             csa::DOUBLE / na / 1e6 AS ma,
+             csb::DOUBLE / nb / 1e6 AS mb
+           FROM c),
+         zz AS (SELECT k, na, nb,
+             CASE WHEN pa + pb > 0
+               THEN floor((ma - mb) / sqrt(pa + pb) * 1e6 + 0.5) / 1e6
+               ELSE 0.0 END AS z,
+             floor(2.024 * sqrt(4.0 / k::DOUBLE) * 1e6 + 0.5) / 1e6
+               AS boundary
+           FROM f)
+         SELECT k AS look, na AS n_a, nb AS n_b, z, boundary,
+           (CASE WHEN abs(z) >= boundary THEN 1 ELSE 0 END)::BIGINT
+             AS crossed
+         FROM zz ORDER BY look""",
+    // bounded Bellman–Ford; exact-integer path costs make min()
+    // engine-order-free
+    "weighted_sssp" -> {
+      val rounds = (1 to 6).map { i =>
+        val prev = s"d${i - 1}"
+        s"""d$i AS (SELECT node, min(dist)::BIGINT AS dist FROM (
+             SELECT node, dist FROM $prev
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.w AS dist
+             FROM $prev d JOIN edges e ON d.node = e.src)
+           GROUP BY node)"""
+      }.mkString(",\n         ")
+      s"""WITH cnt AS (
+           SELECT o_custkey AS c, l_suppkey + 1000000 AS sup,
+             count(*)::BIGINT AS cnt
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         mx AS (SELECT max(cnt)::BIGINT AS mc FROM cnt),
+         ew AS (SELECT c, sup,
+             CAST(floor(ln(mc::DOUBLE / cnt) * 1e9 + 0.5) AS BIGINT)
+               AS w
+           FROM cnt, mx),
+         edges AS MATERIALIZED (
+           SELECT c AS src, sup AS dst, w FROM ew
+           UNION ALL SELECT sup, c, w FROM ew),
+         d0 AS (SELECT 1::BIGINT AS node, 0::BIGINT AS dist),
+         $rounds
+         SELECT node, dist AS dist9,
+           floor(dist::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS dist
+         FROM d6 ORDER BY dist9, node LIMIT 50"""
+    },
     // round-5 batch H ------------------------------------------------
     // hypergeometric O−E per death time, 1e-9-grid E and V sums
     "logrank_test" ->

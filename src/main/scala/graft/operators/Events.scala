@@ -3220,6 +3220,143 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Holt–Winters additive seasonal smoothing (W324) — the weekly-
+    * seasonal completion of [[holtForecast]]: state (level, trend,
+    * seasonal[7]) with fit = l + b + s_dow, the forecaster that
+    * [[seasonalityStrength]]'s F_S decides you need. Seasonals start
+    * at zero and learn through γ (no special first-week seeding — a
+    * simpler recurrence both engines restate verbatim); steps 1–2
+    * seed level/trend exactly as Holt does. The day-bounded series
+    * folds as ONE sorted array with the seasonal vector carried as a
+    * 7-slot array in the fold state — the oracle's recursive CTE
+    * carries the same LIST. In-sample rows surface the one-step-ahead
+    * fit; rows T+1..T+7 extrapolate l + h·b + s[(day+h) mod 7].
+    * Corpus-bound work: one day-keyed exact-grid aggregation.
+    */
+  def hwForecast(s: SparkSession, dir: String, alpha: Double = 0.3,
+                 beta: Double = 0.1, gamma: Double = 0.2,
+                 h: Int = 7): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg((sum(col("v6")).cast("double") / lit(1e6)).as("x"))
+    val acc0 = array().cast(
+      "array<struct<day:int,x:double,level:double,trend:double," +
+        "fitted:double,seas:array<double>>>")
+    val zeros = array((0 until 7).map(_ => lit(0.0)): _*)
+    val folded = daily
+      .select(struct(col("day").cast("int").as("day"), col("x")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(aggregate(col("es"), acc0, (acc, e) => {
+        val lst = element_at(acc, -1)
+        val dw = pmod(e("day"), lit(7))
+        val sdw = element_at(lst("seas"), dw + 1)
+        val seeded = struct(e("day").as("day"), e("x").as("x"),
+          e("x").as("level"), lit(0.0).as("trend"),
+          e("x").as("fitted"), zeros.as("seas"))
+        val second = struct(e("day").as("day"), e("x").as("x"),
+          e("x").as("level"), (e("x") - lst("x")).as("trend"),
+          lst("level").as("fitted"), lst("seas").as("seas"))
+        val fit = lst("level") + lst("trend") + sdw
+        val lvl = lit(alpha) * (e("x") - sdw) +
+          lit(1 - alpha) * (lst("level") + lst("trend"))
+        val snew = transform(sequence(lit(0), lit(6)), i =>
+          when(i === dw,
+            lit(gamma) * (e("x") - lvl) + lit(1 - gamma) * sdw)
+            .otherwise(element_at(lst("seas"), i + 1)))
+        val stepped = struct(e("day").as("day"), e("x").as("x"),
+          lvl.as("level"),
+          (lit(beta) * (lvl - lst("level")) +
+            lit(1 - beta) * lst("trend")).as("trend"),
+          fit.as("fitted"), snew.as("seas"))
+        when(size(acc) === 0, array(seeded)).otherwise(concat(acc,
+          array(when(size(acc) === 1, second).otherwise(stepped))))
+      }).as("out"))
+    val inSample = folded
+      .select(explode(col("out")).as("o"))
+      .select(col("o.day").cast("long").as("day"), lit(0L).as("horizon"),
+        q(col("o.x"), 6).as("actual"), q(col("o.fitted"), 6).as("fitted"))
+    val fc = folded
+      .select(element_at(col("out"), -1).as("f"))
+      .select(explode(sequence(lit(1), lit(h))).as("hz"), col("f"))
+      .select((col("f.day") + col("hz")).cast("long").as("day"),
+        col("hz").cast("long").as("horizon"),
+        lit(null).cast("double").as("actual"),
+        q(col("f.level") + col("hz") * col("f.trend") +
+          element_at(col("f.seas"),
+            pmod(col("f.day") + col("hz"), lit(7)) + 1), 6).as("fitted"))
+    inSample.unionAll(fc).orderBy("day", "horizon")
+  }
+
+  /** O'Brien–Fleming group-sequential monitor (W325) — the "can we
+    * stop the A/B test early?" readout: four interim looks at the
+    * time-quartile cutoffs, each comparing the hash arms' cumulative
+    * value means by a Welch z, against the OBF spending boundary
+    * z·√(K/k) (z = 2.024 for K = 4 looks, two-sided α ≈ 0.05 — the
+    * standard tabled constant). Naive repeated peeking at 1.96
+    * inflates false positives ~3×; OBF is the classical fix. Exact
+    * machinery: per-quartile sufficient stats (one scan), cumulated
+    * over a 4-row window, Welch z by the [[welchTtest]] recipe
+    * (quantized at 1e-6), boundary = one literal chain; `crossed`
+    * compares the two quantized values. O(1) rows after one scan.
+    */
+  def obfSequential(s: SparkSession, dir: String,
+                    looks: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val zobf = 2.024
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(unix_timestamp(col("ts")).as("t"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"),
+        (pmod(pmod(col("user_id"), lit(2147483648L)) * lit(8388593L),
+          lit(100L)) < 50).cast("long").as("isA"))
+    val bounds = ev.agg(min("t").as("t0"), max("t").as("t1"))
+    // quartile index 1..K; the last look takes the remainder
+    val qk = least(
+      floor((col("t") - col("t0")).cast("double") /
+        ((col("t1") - col("t0") + 1).cast("double") / lit(looks)))
+        .cast("long") + 1, lit(looks.toLong))
+    val byQ = ev.crossJoin(broadcast(bounds))
+      .select(qk.as("k"), col("vi"), col("isA"))
+      .groupBy("k")
+      .agg(sum(col("isA")).as("ka"),
+        sum(lit(1L) - col("isA")).as("kb"),
+        sum(when(col("isA") === 1, col("vi")).otherwise(0L).cast(dec))
+          .as("sa"),
+        sum(when(col("isA") === 0, col("vi")).otherwise(0L).cast(dec))
+          .as("sb"),
+        sum(when(col("isA") === 1, col("vi")).otherwise(0L).cast(dec) *
+          when(col("isA") === 1, col("vi")).otherwise(0L).cast(dec))
+          .as("sa2"),
+        sum(when(col("isA") === 0, col("vi")).otherwise(0L).cast(dec) *
+          when(col("isA") === 0, col("vi")).otherwise(0L).cast(dec))
+          .as("sb2"))
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byQ
+      .select(col("k"),
+        sum(col("ka")).over(w).as("na"), sum(col("kb")).over(w).as("nb"),
+        sum(col("sa")).over(w).as("csa"), sum(col("sb")).over(w).as("csb"),
+        sum(col("sa2")).over(w).as("csa2"),
+        sum(col("sb2")).over(w).as("csb2"))
+    def mean(sfx: String) =
+      col(s"cs$sfx").cast("double") / col(s"n$sfx") / lit(1e6)
+    def vpart(sfx: String) =
+      ((col(s"cs${sfx}2").cast("double") -
+        col(s"cs$sfx").cast("double") * col(s"cs$sfx").cast("double") /
+          col(s"n$sfx")) / (col(s"n$sfx") - 1) / lit(1e12)) /
+        col(s"n$sfx")
+    val se2 = vpart("a") + vpart("b")
+    val zq = when(se2 > 0,
+      q((mean("a") - mean("b")) / sqrt(se2), 6)).otherwise(lit(0.0))
+    val bnd = q(lit(zobf) * sqrt(lit(looks.toDouble) /
+      col("k").cast("double")), 6)
+    cum.select(col("k").as("look"), col("na").as("n_a"),
+        col("nb").as("n_b"), zq.as("z"), bnd.as("boundary"),
+        (abs(zq) >= bnd).cast("long").as("crossed"))
+      .orderBy("look")
+  }
+
   /** Two-sample log-rank test (W321) — does time-to-purchase differ
     * between the hash arms? The censoring-correct significance test
     * on top of [[kaplanMeier]]'s curves (comparing mean durations
