@@ -470,6 +470,11 @@ object SparkEntry {
     "hw_forecast" -> ((s, d) => Events.hwForecast(s, d)),
     "obf_sequential" -> ((s, d) => Events.obfSequential(s, d)),
     "weighted_sssp" -> ((s, d) => Graph.weightedSssp(s, d)),
+    // round-5 batch J: preference ranking, motif discovery,
+    // in-flight observability
+    "bradley_terry" -> ((s, d) => Ml.bradleyTerry(s, d)),
+    "ts_motif" -> ((s, d) => Events.tsMotif(s, d)),
+    "observe_metrics" -> ((s, d) => PlanAudits.observeMetrics(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -963,6 +968,57 @@ object SparkEntry {
         SELECT subspace::BIGINT AS subspace, code::BIGINT AS code,
                n_vectors, recon_mse
         FROM ($union) ORDER BY subspace, code"""
+  }
+
+  /** Two unrolled Bradley–Terry MM rounds (mirrors `Ml.bradleyTerry`):
+    * exact cross-multiplied win decisions, 1e-9-grid strengths,
+    * renormalized after every round.
+    */
+  private def bradleyTerryOracleSql: String = {
+    def round(i: Int, prev: String) =
+      s"""t$i AS (SELECT n.i,
+           sum(n.w)::BIGINT AS wi,
+           sum(CAST(floor(n.nij::DOUBLE /
+             ((pi.p9 + pj.p9)::DOUBLE / 1e9) * 1e9 + 0.5) AS BIGINT))
+             ::BIGINT AS den9
+         FROM nij n JOIN $prev pi ON n.i = pi.i
+                    JOIN $prev pj ON n.j = pj.i
+         GROUP BY n.i),
+         u$i AS (SELECT i, CASE WHEN den9 > 0
+             THEN CAST(floor(wi::DOUBLE / (den9::DOUBLE / 1e9) * 1e9
+               + 0.5) AS BIGINT) ELSE 0 END AS raw9
+           FROM t$i),
+         s$i AS (SELECT sum(raw9)::BIGINT AS t9 FROM u$i),
+         p$i AS (SELECT i, CASE WHEN t9 > 0
+             THEN CAST(floor(raw9::DOUBLE / t9 * 1e9 + 0.5) AS BIGINT)
+             ELSE 0 END AS p9
+           FROM u$i, s$i)"""
+    s"""WITH put AS (
+          SELECT user_id, event_type AS ty, count(*)::BIGINT AS n,
+            sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::BIGINT AS sv
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        wn AS (SELECT a.ty AS i, b.ty AS j, count(*)::BIGINT AS w
+          FROM put a JOIN put b ON a.user_id = b.user_id
+            AND a.ty <> b.ty
+          WHERE a.sv::HUGEINT * b.n > b.sv::HUGEINT * a.n
+          GROUP BY 1, 2),
+        pairs AS (SELECT i, j, sum(w)::BIGINT AS w FROM (
+            SELECT i, j, w FROM wn
+            UNION ALL SELECT j AS i, i AS j, 0::BIGINT AS w FROM wn)
+          GROUP BY 1, 2),
+        nij AS (SELECT p.i, p.j, p.w, (p.w + q.w)::BIGINT AS nij
+          FROM pairs p JOIN pairs q ON p.i = q.j AND p.j = q.i),
+        ty AS (SELECT DISTINCT i FROM pairs),
+        kk AS (SELECT count(*)::BIGINT AS k FROM ty),
+        p0 AS (SELECT i,
+            CAST(floor(1e9 / k::DOUBLE + 0.5) AS BIGINT) AS p9
+          FROM ty, kk),
+        ${round(1, "p0")},
+        ${round(2, "p1")},
+        wt AS (SELECT i, sum(w)::BIGINT AS wins FROM pairs GROUP BY i)
+        SELECT p2.i AS event_type, wins,
+          floor(p2.p9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS strength
+        FROM p2 JOIN wt ON p2.i = wt.i ORDER BY event_type"""
   }
 
   /** Ridge-R² restatement used by `perm_importance` (mirrors
@@ -7471,6 +7527,59 @@ object SparkEntry {
          SELECT cls AS class_size, count(*)::BIGINT AS n_classes,
            (cls * count(*))::BIGINT AS n_nodes
          FROM cl GROUP BY cls ORDER BY class_size""",
+    // round-5 batch J ------------------------------------------------
+    "bradley_terry" -> bradleyTerryOracleSql,
+    // z-normalized 7-day windows on the 1e-6 grid; exact LONG
+    // distances; matrix-profile trivial-match exclusion
+    "ts_motif" ->
+      """WITH d0 AS (SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+             count(*)::BIGINT AS y FROM events GROUP BY 1),
+         b AS (SELECT min(day) AS dd0, max(day) AS dd1 FROM d0),
+         sp AS (SELECT unnest(range(dd0, dd1 + 1)) AS day FROM b),
+         daily AS (SELECT day, coalesce(y, 0)::BIGINT AS y
+                   FROM sp LEFT JOIN d0 USING (day)),
+         wn AS (SELECT day - o AS st, o, y
+                FROM daily, (SELECT unnest(range(0, 7)) AS o) os),
+         wa AS (SELECT st, count(*)::BIGINT AS nw,
+                  sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS syy,
+                  list(y ORDER BY o) AS vs
+                FROM wn GROUP BY st HAVING count(*) = 7),
+         z AS (SELECT st,
+             CASE WHEN syy * 7 = sy * sy
+               THEN list_transform(vs, v -> 0::BIGINT)
+               ELSE list_transform(vs, v -> CAST(floor(
+                 (v - sy::DOUBLE / 7.0) /
+                 sqrt((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / 7.0)
+                   / 7.0) * 1e6 + 0.5) AS BIGINT)) END AS z
+           FROM wa),
+         pd AS (SELECT a.st AS ia, b.st AS ib,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(1, 8),
+                 i -> (a.z[i] - b.z[i]) * (a.z[i] - b.z[i]))),
+               (x, y) -> x + y) AS d2
+           FROM z a JOIN z b ON abs(a.st - b.st) >= 4),
+         mot AS (SELECT ia AS motif_i, ib AS motif_j,
+             floor(d2::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS motif_dist
+           FROM pd WHERE ia < ib ORDER BY d2, ia, ib LIMIT 1),
+         nn AS (SELECT ia, d2, ib FROM (
+             SELECT ia, d2, ib, row_number() OVER (PARTITION BY ia
+               ORDER BY d2, ib) AS rn FROM pd)
+           WHERE rn = 1),
+         dis AS (SELECT ia AS discord_i, ib AS discord_nn,
+             floor(d2::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6
+               AS discord_dist
+           FROM nn ORDER BY d2 DESC, ia LIMIT 1)
+         SELECT motif_i, motif_j, motif_dist,
+                discord_i, discord_nn, discord_dist
+         FROM mot, dis""",
+    // the observe() path must agree with the direct restatement
+    "observe_metrics" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+           sum((value IS NULL)::INT)::BIGINT AS null_values,
+           sum(((props->>'k') IS NULL)::INT)::BIGINT AS bad_props,
+           sum((value < 0)::INT)::BIGINT AS neg_values,
+           max(event_id)::BIGINT AS max_event_id
+         FROM events""",
     // round-5 batch I ------------------------------------------------
     // HW additive seasonal: the HoltCte recursion carrying a 7-slot
     // seasonal LIST; γ-learned from zero (no first-week seeding)

@@ -3357,6 +3357,77 @@ object Events {
       .orderBy("look")
   }
 
+  /** Matrix-profile-style motif + discord discovery (W328) over the
+    * daily event-count series: the closest pair of z-normalized
+    * 7-day windows (the MOTIF — a repeated weekly shape) and the
+    * window whose nearest neighbor is farthest (the DISCORD — the
+    * most anomalous week, the subsequence upgrade of
+    * [[madAnomalies]]' pointwise flags). Trivial matches (overlap:
+    * |i−j| < 4) are excluded, the matrix-profile convention.
+    * Numerics: window z-scores land on a 1e-6 LONG grid (means/vars
+    * from exact integer sums; zero-variance windows z≡0, decided by
+    * an exact integer comparison), so every pairwise distance is
+    * EXACT LONG arithmetic and argmin/argmax tie-break on (dist, i,
+    * j) bit-identically. The series is day-bounded, so the all-pairs
+    * join is span²— a few thousand rows at a century of days; the
+    * corpus-bound work is one day-keyed count.
+    */
+  def tsMotif(s: SparkSession, dir: String, w: Int = 7,
+              excl: Int = 4): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    // windows: start s, exact integer values in offset order
+    val win = daily
+      .select(explode(sequence(lit(0), lit(w - 1))).as("o"), col("day"),
+        col("y"))
+      .select((col("day") - col("o")).as("st"), col("o"), col("y"))
+      .groupBy("st")
+      .agg(count(lit(1)).as("nw"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sort_array(collect_list(struct(col("o"), col("y")))).as("vs"))
+      .filter(col("nw") === w)
+    // z on the 1e-6 grid; flat windows (w·Σy² == (Σy)², exact) → z≡0
+    val mean = col("sy").cast("double") / lit(w.toDouble)
+    val varw = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") /
+        lit(w.toDouble)) / lit(w.toDouble)
+    val zq = CacheScope.track(win
+      .select(col("st"),
+        when(col("syy") * lit(w.toLong) === col("sy") * col("sy"),
+          transform(col("vs"), _ => lit(0L)))
+          .otherwise(transform(col("vs"), v =>
+            floor((v("y") - mean) / sqrt(varw) * lit(1e6) + lit(0.5))
+              .cast("long"))).as("z"))
+      .persist()) // both sides of the all-pairs join
+    val dist = aggregate(
+      zip_with(col("za"), col("zb"), (a, b) => (a - b) * (a - b)),
+      lit(0L), _ + _)
+    val pd = zq.select(col("st").as("ia"), col("z").as("za"))
+      .join(zq.select(col("st").as("ib"), col("z").as("zb")),
+        abs(col("ia") - col("ib")) >= excl)
+      .select(col("ia"), col("ib"), dist.as("d2"))
+      .localCheckpoint() // motif argmin + discord argmax both scan it
+    val motif = pd.filter(col("ia") < col("ib"))
+      .orderBy(col("d2"), col("ia"), col("ib")).limit(1)
+      .select(col("ia").as("motif_i"), col("ib").as("motif_j"),
+        q(col("d2").cast("double") / lit(1e12), 6).as("motif_dist"))
+    val nn = pd.groupBy("ia")
+      .agg(min(struct(col("d2"), col("ib"))).as("m"))
+      .select(col("ia"), col("m.d2").as("d2"), col("m.ib").as("ib"))
+    val discord = nn
+      .orderBy(col("d2").desc, col("ia")).limit(1)
+      .select(col("ia").as("discord_i"), col("ib").as("discord_nn"),
+        q(col("d2").cast("double") / lit(1e12), 6).as("discord_dist"))
+    motif.crossJoin(discord)
+  }
+
   /** Two-sample log-rank test (W321) — does time-to-purchase differ
     * between the hash arms? The censoring-correct significance test
     * on top of [[kaplanMeier]]'s curves (comparing mean durations

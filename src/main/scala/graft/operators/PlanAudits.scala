@@ -87,4 +87,41 @@ object PlanAudits {
       .toDF("aqe_enabled", "declared_partitions", "final_partitions",
         "coalesced", "n_groups")
   }
+
+  /** In-flight pipeline observability via `Dataset.observe` (W329):
+    * a `CollectMetrics` node rides the events scan and surfaces
+    * row-count / null / malformed-JSON / negative-value tallies as a
+    * side effect of the SAME pass that does the work — the mechanism
+    * a 100 TB ingest uses for data-quality counters without paying a
+    * second scan (the `Observation` helper blocks until the action's
+    * metrics arrive; no listener plumbing). Unlike the plan audits
+    * above, the VALUES are plain aggregates, so this one carries a
+    * full DuckDB oracle: the observe path must agree with the direct
+    * restatement bit-for-bit.
+    */
+  def observeMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_obs_${java.util.UUID.randomUUID().toString.take(8)}")
+    val ev = Tables.events(s, dir).observe(obs,
+      count(lit(1)).as("rows"),
+      sum(col("value").isNull.cast("long")).as("null_values"),
+      sum(get_json_object(col("props"), "$.k").isNull.cast("long"))
+        .as("bad_props"),
+      sum((col("value") < 0).cast("long")).as("neg_values"),
+      // CollectMetrics forbids DISTINCT aggregates — max is the
+      // freshness stand-in a watermarking ingest would track anyway
+      max(col("event_id")).as("max_event_id"))
+    // the RDD-path actions (foreachPartition) bypass the SQL metrics
+    // event; count() drives the CollectMetrics node as documented
+    ev.count()
+    val m = obs.get
+    Seq((m("rows").asInstanceOf[Long],
+        m("null_values").asInstanceOf[Long],
+        m("bad_props").asInstanceOf[Long],
+        m("neg_values").asInstanceOf[Long],
+        m("max_event_id").asInstanceOf[Long]))
+      .toDF("n_rows", "null_values", "bad_props", "neg_values",
+        "max_event_id")
+  }
 }
