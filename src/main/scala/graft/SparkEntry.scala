@@ -475,6 +475,12 @@ object SparkEntry {
     "bradley_terry" -> ((s, d) => Ml.bradleyTerry(s, d)),
     "ts_motif" -> ((s, d) => Events.tsMotif(s, d)),
     "observe_metrics" -> ((s, d) => PlanAudits.observeMetrics(s, d)),
+    // round-5 batch K: LM retrieval, post-hoc calibration, sampling
+    // design, local-DP debiasing
+    "lm_dirichlet_topk" -> ((s, d) => Index.lmDirichletTopk(s, d)),
+    "temperature_scaling" -> ((s, d) => Ml.temperatureScaling(s, d)),
+    "neyman_allocation" -> ((s, d) => Events.neymanAllocation(s, d)),
+    "randomized_response" -> ((s, d) => Curation.randomizedResponse(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -7527,6 +7533,89 @@ object SparkEntry {
          SELECT cls AS class_size, count(*)::BIGINT AS n_classes,
            (cls * count(*))::BIGINT AS n_nodes
          FROM cl GROUP BY cls ORDER BY class_size""",
+    // round-5 batch K ------------------------------------------------
+    // Dirichlet query likelihood: 1e-9-grid ln scores, rank window
+    // decided on quantized integers
+    "lm_dirichlet_topk" -> s"""$TokCte,
+         p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+               GROUP BY 1, 2),
+         lens AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+         ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM p GROUP BY 1),
+         coll AS (SELECT sum(dl)::BIGINT AS clen FROM lens),
+         sc AS (SELECT p.term, p.doc_id,
+             CAST(floor(ln((tf::DOUBLE + 2000.0 * (ctf::DOUBLE / clen))
+               / (dl::DOUBLE + 2000.0)) * 1e9 + 0.5) AS BIGINT) AS s9
+           FROM p JOIN ctf USING (term) JOIN lens USING (doc_id), coll)
+         SELECT term, doc_id,
+           floor(s9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS score
+         FROM (SELECT term, doc_id, s9, row_number() OVER
+                 (PARTITION BY term ORDER BY s9 DESC, doc_id) AS rnk
+               FROM sc)
+         WHERE rnk <= 10""",
+    // softplus identity keeps the NLL overflow-free; per-(row, T)
+    // 1e-9 grid; argmin on exact integers
+    "temperature_scaling" -> s"""WITH sc AS (
+           SELECT label::BIGINT AS y, score AS z
+           FROM ($sgdApplyOracle)),
+         g AS (SELECT unnest(range(1, 17)) * 0.25 AS t),
+         r AS (SELECT t, CAST(floor((greatest(z / t, 0.0)
+               + ln(1.0 + exp(-abs(z / t))) - y * (z / t)) * 1e9 + 0.5)
+               AS BIGINT) AS term9
+           FROM sc, g),
+         bt AS (SELECT t, count(*)::BIGINT AS n,
+                  sum(term9)::BIGINT AS nll9
+                FROM r GROUP BY t),
+         best AS (SELECT t AS btv FROM bt ORDER BY nll9, t LIMIT 1)
+         SELECT t, floor(nll9::DOUBLE / 1e9 / n * 1e6 + 0.5) / 1e6
+             AS nll,
+           (CASE WHEN t = btv THEN 1 ELSE 0 END)::BIGINT AS is_best
+         FROM bt, best ORDER BY t""",
+    // Neyman ∝ N_h·σ_h; design effect from 1e-6-grid weight sums
+    "neyman_allocation" ->
+      """WITH st AS (SELECT event_type, count(*)::BIGINT AS nh,
+             sum(vi)::HUGEINT AS sv, sum(vi::HUGEINT * vi) AS sv2
+           FROM (SELECT event_type,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+                 FROM events WHERE value IS NOT NULL)
+           GROUP BY 1),
+         w AS (SELECT event_type, nh,
+             sqrt((sv2::DOUBLE - sv::DOUBLE * sv::DOUBLE / nh) / nh)
+               / 1e6 AS sd
+           FROM st),
+         w2 AS (SELECT *,
+             CAST(floor(nh * sd * 1e6 + 0.5) AS BIGINT) AS w6,
+             CAST(floor(nh * sd * sd * 1e6 + 0.5) AS BIGINT) AS vv6
+           FROM w),
+         t AS (SELECT sum(nh)::BIGINT AS nn, sum(w6)::BIGINT AS sw6,
+                 sum(vv6)::BIGINT AS svv6 FROM w2)
+         SELECT event_type, nh AS n_rows,
+           floor(sd * 1e6 + 0.5) / 1e6 AS sd,
+           CAST(floor(1000.0 * w6 / sw6 + 0.5) AS BIGINT) AS n_neyman,
+           CAST(floor(1000.0 * nh / nn + 0.5) AS BIGINT)
+             AS n_proportional,
+           floor(nn::DOUBLE * svv6 /
+             (sw6::DOUBLE / 1e3 * (sw6::DOUBLE / 1e3)) * 1e6 + 0.5)
+             / 1e6 AS design_effect
+         FROM w2, t ORDER BY event_type""",
+    // Warner RR with the deterministic hash coin; π̂ = (λ̂−p)/(1−2p)
+    "randomized_response" ->
+      """WITH ev AS (SELECT
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+             CASE WHEN ((event_id % 2147483648) * 8388593) % 100 < 25
+               THEN 1 ELSE 0 END AS flip
+           FROM events),
+         a AS (SELECT count(*)::BIGINT AS n, sum(b)::BIGINT AS nb,
+                 sum(b + flip - 2 * b * flip)::BIGINT AS nr FROM ev)
+         SELECT n,
+           floor(nb::DOUBLE / n * 1e6 + 0.5) / 1e6 AS true_rate,
+           floor(nr::DOUBLE / n * 1e6 + 0.5) / 1e6 AS reported_rate,
+           floor((nr::DOUBLE / n - 0.25) / 0.5 * 1e6 + 0.5) / 1e6
+             AS debiased_rate,
+           floor(abs((nr::DOUBLE / n - 0.25) / 0.5 - nb::DOUBLE / n)
+             * 1e6 + 0.5) / 1e6 AS abs_error,
+           floor(ln(3.0) * 1e6 + 0.5) / 1e6 AS epsilon
+         FROM a""",
     // round-5 batch J ------------------------------------------------
     "bradley_terry" -> bradleyTerryOracleSql,
     // z-normalized 7-day windows on the 1e-6 grid; exact LONG

@@ -771,4 +771,42 @@ object Curation {
         Events.q(col("rev_del").cast("double") /
           col("rev_total").cast("double"), 6).as("revenue_share"))
   }
+
+  /** Randomized-response debiasing audit (W333) — Warner's 1965
+    * mechanism, the collection-side privacy primitive under local
+    * DP: each row's sensitive bit ("is this a purchase event") is
+    * reported FLIPPED with probability p = 1/4, and the analyst
+    * recovers the population rate via π̂ = (λ̂ − p)/(1 − 2p). Run
+    * deterministically with the repo's hash-arm coin (flip ⟺
+    * event-hash < 25/100), the audit surfaces the true rate, the
+    * noised reported rate, the debiased estimate, its error, and the
+    * mechanism's ε = ln((1−p)/p) — the end-to-end check that the
+    * debias pipeline is wired right BEFORE real noise (where no
+    * ground truth exists) flows through it. All exact integer counts;
+    * three final divisions.
+    */
+  def randomizedResponse(s: SparkSession, dir: String,
+                         flipPct: Int = 25): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      (col("event_type") === "purchase").cast("long").as("b"),
+      (pmod(pmod(col("event_id"), lit(2147483648L)) * lit(8388593L),
+        lit(100L)) < flipPct).cast("long").as("flip"))
+    val p = flipPct / 100.0
+    ev.select(col("b"),
+        (col("b") + col("flip") - lit(2L) * col("b") * col("flip"))
+          .as("rep")) // b XOR flip in arithmetic
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("nb"),
+        sum(col("rep")).as("nr"))
+      .select(col("n"),
+        Events.q(col("nb").cast("double") / col("n"), 6)
+          .as("true_rate"),
+        Events.q(col("nr").cast("double") / col("n"), 6)
+          .as("reported_rate"),
+        Events.q((col("nr").cast("double") / col("n") - lit(p)) /
+          lit(1.0 - 2 * p), 6).as("debiased_rate"),
+        Events.q(abs((col("nr").cast("double") / col("n") - lit(p)) /
+          lit(1.0 - 2 * p) -
+          col("nb").cast("double") / col("n")), 6).as("abs_error"),
+        Events.q(log(lit((1.0 - p) / p)), 6).as("epsilon"))
+  }
 }

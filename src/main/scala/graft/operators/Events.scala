@@ -3357,6 +3357,54 @@ object Events {
       .orderBy("look")
   }
 
+  /** Neyman-optimal stratified allocation (W332) — the sampling
+    * design table: given a budget of `n` rows, allocate per stratum
+    * ∝ N_h·σ_h (Neyman 1934) and surface it against proportional
+    * allocation, plus the design effect (Var_prop/Var_neyman =
+    * N·ΣN_hσ_h² / (ΣN_hσ_h)²) that says how much the σ-aware design
+    * buys. The planning step in front of every [[Relational]]
+    * stratified-sample job — high-variance strata (here: event types
+    * with wild `value` spread) deserve more budget than their row
+    * share. σ_h rides exact DECIMAL moments and one sqrt (correctly
+    * rounded IEEE — no grid needed); the allocation weights quantize
+    * to 1e-6 LONGs so their sum is order-free. One partial-agg scan.
+    */
+  def neymanAllocation(s: SparkSession, dir: String,
+                       n: Long = 1000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nh"),
+        sum(col("vi").cast(dec)).as("sv"),
+        sum(col("vi").cast(dec) * col("vi").cast(dec)).as("sv2"))
+    val sd = sqrt((col("sv2").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double") /
+        col("nh")) / col("nh")) / lit(1e6)
+    val withW = st
+      .withColumn("sd", sd)
+      .withColumn("w6",
+        floor(col("nh") * col("sd") * lit(1e6) + lit(0.5)).cast("long"))
+      .localCheckpoint() // totals + the final table read it
+    val tot = withW.agg(sum(col("nh")).as("nn"), sum(col("w6")).as("sw6"),
+      sum(floor(col("nh") * col("sd") * col("sd") * lit(1e6) + lit(0.5))
+        .cast("long")).as("svv6"))
+    withW.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("nh").as("n_rows"),
+        q(col("sd"), 6).as("sd"),
+        floor(lit(n).cast("double") * col("w6") / col("sw6") + lit(0.5))
+          .cast("long").as("n_neyman"),
+        floor(lit(n).cast("double") * col("nh") / col("nn") + lit(0.5))
+          .cast("long").as("n_proportional"),
+        q(col("nn").cast("double") * col("svv6") /
+          (col("sw6").cast("double") / lit(1e3) *
+            (col("sw6").cast("double") / lit(1e3))), 6)
+          .as("design_effect"))
+      .orderBy("event_type")
+  }
+
   /** Matrix-profile-style motif + discord discovery (W328) over the
     * daily event-count series: the closest pair of z-normalized
     * 7-day windows (the MOTIF — a repeated weekly shape) and the

@@ -451,4 +451,49 @@ object Index {
           lit(1e9), 6).as("ctfidf"))
       .orderBy("source", "rnk")
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (W330) — the
+    * language-modeling ranking family next to [[bm25Topk]]'s
+    * probabilistic-relevance one (Zhai & Lafferty 2004): score(t,d)
+    * = ln((tf + μ·p(t|C)) / (|d| + μ)), p(t|C) the collection
+    * unigram model, μ = 2000. The two families disagree exactly on
+    * long documents (QL's additive smoothing vs BM25's saturation),
+    * which is why engines ship both. Candidates come from the
+    * postings (index-driven top-k; a tf=0 document can in principle
+    * outscore a long tf=1 one, but not inside a candidate set all
+    * containing t — documented cut). Determinism: scores quantize to
+    * the 1e-9 LONG grid straight off the ln, and the rank window
+    * orders by (quantized score DESC, doc_id) so the cut is decided
+    * on identical integers — one postings shuffle, one rank window.
+    */
+  def lmDirichletTopk(s: SparkSession, dir: String, k: Int = 10,
+                      mu: Double = 2000.0): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+    val lens = toks.select(col("doc_id"),
+      size(col("ts")).cast("long").as("dl"))
+    val p = toks
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .persist()
+    CacheScope.register(p) // collection stats + scoring join read it
+    val ctf = p.groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val coll = lens.agg(sum(col("dl")).as("clen"))
+    val s9 = floor(log(
+      (col("tf").cast("double") +
+        lit(mu) * (col("ctf").cast("double") / col("clen"))) /
+        (col("dl").cast("double") + lit(mu))) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("s9").desc, col("doc_id"))
+    p.join(ctf, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(coll))
+      .select(col("term"), col("doc_id"), s9.as("s9"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("term"), col("doc_id"),
+        graft.operators.Events.q(col("s9").cast("double") / lit(1e9), 6)
+          .as("score"))
+  }
 }

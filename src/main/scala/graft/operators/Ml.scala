@@ -786,4 +786,42 @@ object Ml {
         Events.q(col("p9").cast("double") / lit(1e9), 6).as("strength"))
       .orderBy("event_type")
   }
+
+  /** Temperature scaling (W331) — the one-parameter post-hoc
+    * calibration standard (Guo et al. 2017): sweep T over a fixed
+    * grid, pick the T minimizing the classifier's NLL, and surface
+    * the whole profile so the miscalibration direction is visible
+    * (best T > 1 ⇒ overconfident — the usual diagnosis).
+    * [[isotonicCalibration]] refits the whole curve; temperature
+    * scaling preserves ranking exactly and needs one number.
+    * Numerics: the per-row NLL term collapses to softplus(z/T) −
+    * y·(z/T) (the overflow-free identity; softplus written as
+    * max(a,0) + ln(1+e^{−|a|}), stable and restatable), quantized to
+    * the 1e-9 LONG grid per row so the per-T sums are order-free,
+    * and argmin compares exact integers (ties → smaller T). One
+    * scored scan fanned ×|grid| by a broadcast literal spine.
+    */
+  def temperatureScaling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = applyQuery(s, dir)
+      .select(col("label").cast("long").as("y"), col("score").as("z"))
+    val grid = (1 to 16).map(i => 0.25 * i).toDF("t")
+    val a = col("z") / col("t")
+    val softplus = greatest(a, lit(0.0)) +
+      log(lit(1.0) + exp(-abs(a)))
+    val term9 = floor((softplus - col("y") * a) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val byT = scored.crossJoin(broadcast(grid))
+      .select(col("t"), term9.as("term9"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum(col("term9")).as("nll9"))
+    val best = byT.orderBy(col("nll9"), col("t")).limit(1)
+      .select(col("t").as("bt"), col("nll9").as("bn"))
+    byT.crossJoin(broadcast(best))
+      .select(col("t"),
+        Events.q(col("nll9").cast("double") / lit(1e9) / col("n"), 6)
+          .as("nll"),
+        (col("t") === col("bt")).cast("long").as("is_best"))
+      .orderBy("t")
+  }
 }
