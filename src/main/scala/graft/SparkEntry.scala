@@ -481,6 +481,9 @@ object SparkEntry {
     "temperature_scaling" -> ((s, d) => Ml.temperatureScaling(s, d)),
     "neyman_allocation" -> ((s, d) => Events.neymanAllocation(s, d)),
     "randomized_response" -> ((s, d) => Curation.randomizedResponse(s, d)),
+    // round-5 batch L: experimentation guardrails
+    "ab_srm_check" -> ((s, d) => Events.abSrmCheck(s, d)),
+    "mann_kendall" -> ((s, d) => Events.mannKendall(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -7533,6 +7536,49 @@ object SparkEntry {
          SELECT cls AS class_size, count(*)::BIGINT AS n_classes,
            (cls * count(*))::BIGINT AS n_nodes
          FROM cl GROUP BY cls ORDER BY class_size""",
+    // round-5 batch L ------------------------------------------------
+    // one-cell χ² on exact per-user arm counts
+    "ab_srm_check" ->
+      """WITH u AS (SELECT user_id,
+             max(CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+               THEN 1 ELSE 0 END)::BIGINT AS isA
+           FROM events GROUP BY user_id),
+         a AS (SELECT sum(isA)::BIGINT AS na,
+                 sum(1 - isA)::BIGINT AS nb FROM u)
+         SELECT na AS n_a, nb AS n_b,
+           floor((na - nb)::DOUBLE * (na - nb)::DOUBLE
+             / (na + nb)::DOUBLE * 1e6 + 0.5) / 1e6 AS chi2,
+           (CASE WHEN floor((na - nb)::DOUBLE * (na - nb)::DOUBLE
+               / (na + nb)::DOUBLE * 1e6 + 0.5) / 1e6 > 3.841
+             THEN 1 ELSE 0 END)::BIGINT AS srm_flag
+         FROM a""",
+    // S and tie-corrected Var(S)·18 exact; one double chain for z
+    "mann_kendall" ->
+      """WITH d0 AS (SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+             count(*)::BIGINT AS y FROM events GROUP BY 1),
+         sp AS (SELECT sum(CASE WHEN b.y > a.y THEN 1
+                   WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s,
+                 count(*)::BIGINT AS n_pairs
+               FROM d0 a JOIN d0 b ON a.day < b.day),
+         nn AS (SELECT count(*)::BIGINT AS n FROM d0),
+         ti AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                  ::BIGINT AS tsum
+                FROM (SELECT count(*)::BIGINT AS t FROM d0 GROUP BY y)
+                WHERE t > 1),
+         f AS (SELECT n, s,
+             CASE WHEN s > 0 THEN s - 1
+                  WHEN s < 0 THEN s + 1 ELSE 0 END AS sadj,
+             (n * (n - 1) * (2 * n + 5) - tsum)::BIGINT AS var18
+           FROM sp, nn, ti)
+         SELECT n, s,
+           CASE WHEN var18 > 0 THEN floor(sadj::DOUBLE /
+               sqrt(var18::DOUBLE / 18.0) * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS z,
+           (CASE WHEN abs(CASE WHEN var18 > 0 THEN floor(sadj::DOUBLE /
+               sqrt(var18::DOUBLE / 18.0) * 1e6 + 0.5) / 1e6
+               ELSE 0.0 END) > 1.959964
+             THEN 1 ELSE 0 END)::BIGINT AS trend_flag
+         FROM f""",
     // round-5 batch K ------------------------------------------------
     // Dirichlet query likelihood: 1e-9-grid ln scores, rank window
     // decided on quantized integers

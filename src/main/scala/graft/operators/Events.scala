@@ -3405,6 +3405,72 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Sample-ratio-mismatch guardrail (W334) — the first check every
+    * experimentation platform runs before reading ANY metric: do the
+    * arm sizes match the declared 50/50 split? A mismatched ratio
+    * means assignment is broken (bot filtering, logging loss,
+    * redirect bugs) and every downstream readout ([[cupedAdjust]],
+    * [[obfSequential]], [[welchTtest]]) is invalid. One-cell χ² =
+    * (n_a − n_b)²/(n_a + n_b) against the declared even split, on
+    * exact USER counts (assignment is per-user — row counts would
+    * double-weight heavy users); flagged at the 3.841 two-sided 5%
+    * critical value, compared on quantized grids.
+    */
+  def abSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(s, dir)
+      .select(col("user_id"),
+        (pmod(pmod(col("user_id"), lit(2147483648L)) * lit(8388593L),
+          lit(100L)) < 50).cast("long").as("isA"))
+      .groupBy("user_id").agg(max(col("isA")).as("isA"))
+      .agg(sum(col("isA")).as("na"),
+        sum(lit(1L) - col("isA")).as("nb"))
+    val d = col("na") - col("nb")
+    val chi2 = d.cast("double") * d.cast("double") /
+      (col("na") + col("nb")).cast("double")
+    arms.select(col("na").as("n_a"), col("nb").as("n_b"),
+      q(chi2, 6).as("chi2"),
+      (q(chi2, 6) > lit(3.841)).cast("long").as("srm_flag"))
+  }
+
+  /** Mann–Kendall monotonic-trend test (W335) on the daily series —
+    * the non-parametric answer to "is activity really growing?" that
+    * [[Relational]]'s OLS trend can't give under heavy tails or
+    * step changes: S = Σ_{i<j} sign(y_j − y_i) needs no linearity or
+    * error model. S and the tie-corrected variance Var(S) =
+    * [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 are EXACT integers (the /18
+    * stays rational until the final z), so the only double is the
+    * normal z = (S ∓ 1)/√Var. The pair sum is span² over the
+    * day-bounded series — the ts_motif cost class; the corpus pays
+    * one day-keyed count.
+    */
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = CacheScope.track(Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()) // pair join (both sides) + ties + n read it
+    val sPairs = daily.select(col("day").as("d1"), col("y").as("y1"))
+      .join(daily.select(col("day").as("d2"), col("y").as("y2")),
+        col("d1") < col("d2"))
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy("y").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) *
+        (lit(2L) * col("t") + 5)), lit(0L)).as("tsum"))
+    val var18 = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+      - col("tsum"))
+    // continuity correction toward zero; z on the exact-int chain
+    val sAdj = when(col("s") > 0, col("s") - 1)
+      .when(col("s") < 0, col("s") + 1).otherwise(lit(0L))
+    // an all-tied series has Var(S) = 0 exactly (S is 0 too): z ≔ 0
+    val z = when(var18 > 0, q(sAdj.cast("double") /
+      sqrt(var18.cast("double") / lit(18.0)), 6)).otherwise(lit(0.0))
+    sPairs.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .select(col("n"), col("s"), z.as("z"),
+        (abs(z) > lit(1.959964)).cast("long").as("trend_flag"))
+  }
+
   /** Matrix-profile-style motif + discord discovery (W328) over the
     * daily event-count series: the closest pair of z-normalized
     * 7-day windows (the MOTIF — a repeated weekly shape) and the
