@@ -484,6 +484,17 @@ object SparkEntry {
     // round-5 batch L: experimentation guardrails
     "ab_srm_check" -> ((s, d) => Events.abSrmCheck(s, d)),
     "mann_kendall" -> ((s, d) => Events.mannKendall(s, d)),
+    // round-5 batch M: bounded distribution distance, GT smoothing,
+    // rank correlation, basket recommendations
+    "jensen_shannon" -> ((s, d) => TextStats.jensenShannon(s, d)),
+    "good_turing" -> ((s, d) => TextStats.goodTuring(s, d)),
+    "kendall_tau" -> ((s, d) => Events.kendallTau(s, d)),
+    "item_cf_topk" -> ((s, d) => Relational.itemCfTopk(s, d)),
+    // round-5 batch N: paired classifier testing, EB shrinkage,
+    // AR-order diagnostics
+    "mcnemar_test" -> ((s, d) => Ml.mcnemarTest(s, d)),
+    "beta_binomial_eb" -> ((s, d) => Events.betaBinomialEb(s, d)),
+    "pacf_daily" -> ((s, d) => Events.pacfDaily(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -8027,6 +8038,243 @@ object SparkEntry {
                     LIMIT 2) AS l
          WHERE o_orderdate >= timestamp'1996-03-01 00:00:00'
            AND o_orderdate <  timestamp'1996-04-01 00:00:00'""",
+    // per-source JSD to the corpus: mixture ratios collapse to exact
+    // integer ratios 2aB/(aB+bA); ln on the 1e-9 LONG grid weighted by
+    // the exact a (resp. b); two final divisions (mirrors
+    // TextStats.jensenShannon)
+    "jensen_shannon" ->
+      """WITH tok AS (
+           SELECT source,
+             unnest(list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0)) AS t
+           FROM documents),
+         st AS MATERIALIZED (
+           SELECT source, t, count(*)::BIGINT AS c_st
+           FROM tok GROUP BY 1, 2),
+         corpus AS (SELECT t, sum(c_st)::BIGINT AS c_t
+                    FROM st GROUP BY 1),
+         tot AS (SELECT sum(c_t)::BIGINT AS n, count(*)::BIGINT AS v
+                 FROM corpus),
+         ps AS (SELECT source, sum(c_st)::BIGINT AS n_s
+                FROM st GROUP BY 1),
+         grid AS (
+           SELECT p.source, p.n_s, tot.n, tot.v,
+             (coalesce(s.c_st, 0) + 1)::BIGINT AS a,
+             (c.c_t + 1)::BIGINT AS b,
+             (p.n_s + tot.v)::DOUBLE AS ad,
+             (tot.n + tot.v)::DOUBLE AS bd
+           FROM ps p CROSS JOIN corpus c CROSS JOIN tot
+           LEFT JOIN st s ON s.source = p.source AND s.t = c.t),
+         terms AS (
+           SELECT source, n_s, v, n,
+             a * CAST(floor(ln(2.0 * (a::DOUBLE * bd)
+                 / (a::DOUBLE * bd + b::DOUBLE * ad)) * 1e9 + 0.5)
+               AS BIGINT) AS tp,
+             b * CAST(floor(ln(2.0 * (b::DOUBLE * ad)
+                 / (a::DOUBLE * bd + b::DOUBLE * ad)) * 1e9 + 0.5)
+               AS BIGINT) AS tq
+           FROM grid),
+         agg AS (SELECT source, max(n_s)::BIGINT AS n_tokens,
+                   sum(tp)::BIGINT AS np, sum(tq)::BIGINT AS nq,
+                   max(n_s + v)::BIGINT AS aa, max(n + v)::BIGINT AS bb
+                 FROM terms GROUP BY source)
+         SELECT source, n_tokens,
+           floor((np::DOUBLE / aa + nq::DOUBLE / bb) / 2e9 * 1e6 + 0.5)
+             / 1e6 AS jsd
+         FROM agg ORDER BY source""",
+    // frequency-of-frequencies + GT-adjusted counts; r=0 row carries
+    // the Turing unseen mass N1/N (mirrors TextStats.goodTuring)
+    "good_turing" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0)) AS t
+           FROM documents),
+         cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+         fof AS MATERIALIZED (
+           SELECT c, count(*)::BIGINT AS n_r FROM cnt GROUP BY 1),
+         tot AS (SELECT sum(c)::BIGINT AS n FROM cnt),
+         spine AS (SELECT unnest(range(0, 6))::BIGINT AS r)
+         SELECT r, coalesce(f1.n_r, 0)::BIGINT AS n_r,
+           coalesce(f2.n_r, 0)::BIGINT AS n_r1,
+           CASE WHEN r = 0 THEN 0.0
+                WHEN coalesce(f1.n_r, 0) > 0 THEN
+                  floor((r + 1)::DOUBLE * coalesce(f2.n_r, 0) / f1.n_r
+                    * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS r_star,
+           floor((r + 1)::DOUBLE * coalesce(f2.n_r, 0) / n * 1e6 + 0.5)
+             / 1e6 AS gt_mass
+         FROM spine LEFT JOIN fof f1 ON f1.c = r
+         LEFT JOIN fof f2 ON f2.c = r + 1
+         CROSS JOIN tot ORDER BY r""",
+    // tau-b over the zero-filled daily pair join; C/D/T exact integers,
+    // one final double (mirrors Events.kendallTau)
+    "kendall_tau" ->
+      """WITH ev AS (SELECT event_type,
+             epoch_ms(ts) // 1000 // 86400 AS day FROM events),
+         da AS (SELECT day, count(*)::BIGINT AS a FROM ev
+                WHERE event_type = 'click' GROUP BY 1),
+         db AS (SELECT day, count(*)::BIGINT AS b FROM ev
+                WHERE event_type = 'purchase' GROUP BY 1),
+         j AS MATERIALIZED (
+           SELECT coalesce(da.day, db.day) AS day,
+             coalesce(a, 0)::BIGINT AS a, coalesce(b, 0)::BIGINT AS b
+           FROM da FULL OUTER JOIN db ON da.day = db.day),
+         pr AS (SELECT count(*)::BIGINT AS n0,
+             sum(CASE WHEN sign(y.a - x.a) * sign(y.b - x.b) = 1
+               THEN 1 ELSE 0 END)::BIGINT AS c,
+             sum(CASE WHEN sign(y.a - x.a) * sign(y.b - x.b) = -1
+               THEN 1 ELSE 0 END)::BIGINT AS d
+           FROM j x JOIN j y ON x.day < y.day),
+         ta AS (SELECT coalesce(sum(t * (t - 1) // 2), 0)::BIGINT AS t_a
+                FROM (SELECT count(*)::BIGINT AS t FROM j GROUP BY a)
+                WHERE t > 1),
+         tb AS (SELECT coalesce(sum(t * (t - 1) // 2), 0)::BIGINT AS t_b
+                FROM (SELECT count(*)::BIGINT AS t FROM j GROUP BY b)
+                WHERE t > 1),
+         nn AS (SELECT count(*)::BIGINT AS n_days FROM j)
+         SELECT n_days, c AS concordant, d AS discordant,
+           CASE WHEN n0 > t_a AND n0 > t_b THEN
+             floor((c - d)::DOUBLE /
+               sqrt((n0 - t_a)::DOUBLE * (n0 - t_b)::DOUBLE)
+               * 1e6 + 0.5) / 1e6
+           ELSE 0.0 END AS tau_b
+         FROM pr, ta, tb, nn""",
+    // basket-cosine recommender: rank on the exact integer
+    // floor(c_ab^2*1e12/(ca*cb)) so no double compare orders the cut
+    // (mirrors Relational.itemCfTopk)
+    "item_cf_topk" ->
+      """WITH b AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         supp AS (SELECT pk, count(*)::BIGINT AS c FROM b GROUP BY 1),
+         co AS (SELECT x.pk AS pa, y.pk AS pb, count(*)::BIGINT AS c_ab
+                FROM b x JOIN b y ON x.ok = y.ok AND x.pk <> y.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         sc AS (SELECT pa, pb, c_ab, sa.c AS ca, sb.c AS cb,
+                  (c_ab * c_ab * 1000000000000) // (sa.c * sb.c) AS key12
+                FROM co JOIN supp sa ON sa.pk = pa
+                JOIN supp sb ON sb.pk = pb),
+         rk AS (SELECT pa, pb, c_ab, ca, cb,
+                  row_number() OVER (PARTITION BY pa
+                    ORDER BY key12 DESC, pb) AS rn
+                FROM sc)
+         SELECT pa AS part, rn::BIGINT AS rank, pb AS rec_part,
+           c_ab AS co_count,
+           floor(c_ab::DOUBLE / sqrt(ca::DOUBLE * cb::DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS cosine
+         FROM rk WHERE rn <= 3""",
+    // paired discordant counts between the stopword-vote lang-id and
+    // the 1/8-share baseline; Edwards-corrected chi2 clamped at 0
+    // (mirrors Ml.mcnemarTest)
+    "mcnemar_test" -> McnemarSql,
+    // MoM beta prior on 1e-9-grid rates; v18 validity decided in
+    // HUGEINT; posterior mean per user (mirrors Events.betaBinomialEb)
+    "beta_binomial_eb" ->
+      """WITH per AS MATERIALIZED (
+           SELECT user_id, count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END)::BIGINT AS x
+           FROM events GROUP BY 1),
+         pr AS (SELECT user_id, n, x,
+             CAST(floor(x::DOUBLE / n * 1e9 + 0.5) AS BIGINT) AS r9
+           FROM per),
+         mo AS (SELECT count(*)::BIGINT AS ku, sum(r9)::BIGINT AS s1,
+             sum(r9::HUGEINT * r9) AS s2 FROM pr),
+         m0 AS (SELECT ku,
+             (ku::HUGEINT * s2 - s1::HUGEINT * s1) AS v18x,
+             s1::DOUBLE / ku / 1e9 AS m,
+             (ku::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE / ku / ku
+               / 1e18 AS v
+           FROM mo),
+         m1 AS (SELECT ku, v18x > 0 AS hasvar,
+             CASE WHEN v18x > 0 THEN m * (1.0 - m) / v - 1.0
+               ELSE 0.0 END AS kap,
+             CASE WHEN v18x > 0 THEN
+               m * (m * (1.0 - m) / v - 1.0) ELSE 0.0 END AS alpha,
+             CASE WHEN v18x > 0 THEN
+               (1.0 - m) * (m * (1.0 - m) / v - 1.0)
+               ELSE 0.0 END AS beta
+           FROM m0)
+         SELECT user_id, n AS n_events, x AS n_conv,
+           floor(x::DOUBLE / n * 1e6 + 0.5) / 1e6 AS raw_rate,
+           CASE WHEN hasvar AND kap > 0 THEN
+             floor((alpha + x) / (alpha + beta + n) * 1e6 + 0.5) / 1e6
+           ELSE floor(x::DOUBLE / n * 1e6 + 0.5) / 1e6 END AS eb_rate,
+           CASE WHEN hasvar AND kap > 0 THEN 1 ELSE 0 END::BIGINT
+             AS shrunk
+         FROM pr CROSS JOIN m1
+         ORDER BY eb_rate DESC, user_id LIMIT 15""",
+    // lag-1..3 Pearson r on the 1e-9 LONG grid, Durbin-Levinson
+    // unrolled; 1-r1^2 != 0 decided on the exact LONG
+    // (mirrors Events.pacfDaily)
+    "pacf_daily" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         daily AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 d ON s.day = d.day),
+         lags AS (SELECT unnest(range(1, 4))::INT AS lag),
+         pairs AS (
+           SELECT l.lag, a.y AS x, b.y AS y
+           FROM lags l JOIN daily a ON true
+           JOIN daily b ON b.day = a.day + l.lag),
+         st AS (
+           SELECT lag, count(*)::BIGINT AS n,
+                  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                  sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                  sum(x * y)::BIGINT AS sxy
+           FROM pairs GROUP BY lag),
+         rq AS (SELECT lag,
+             CAST(floor((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+                 (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx) *
+                  sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)) * 1e9 + 0.5)
+               AS BIGINT) AS r9
+           FROM st),
+         one AS (SELECT
+             max(CASE WHEN lag = 1 THEN r9 END) AS r91,
+             max(CASE WHEN lag = 2 THEN r9 END) AS r92,
+             max(CASE WHEN lag = 3 THEN r9 END) AS r93
+           FROM rq),
+         w1 AS (SELECT r91::DOUBLE / 1e9 AS r1, r92::DOUBLE / 1e9 AS r2,
+             r93::DOUBLE / 1e9 AS r3,
+             (1000000000000000000 - r91 * r91) <> 0 AS d2ok
+           FROM one),
+         w2 AS (SELECT r1, r2, r3, d2ok,
+             CASE WHEN d2ok THEN (r2 - r1 * r1) / (1.0 - r1 * r1)
+               ELSE 0.0 END AS phi22
+           FROM w1),
+         w3 AS (SELECT r1, r2, r3, phi22,
+             CASE WHEN d2ok THEN r1 - phi22 * r1 ELSE r1 END AS phi21,
+             CASE WHEN d2ok THEN floor(phi22 * 1e6 + 0.5) / 1e6
+               ELSE 0.0 END AS p2q
+           FROM w2),
+         w4 AS (SELECT r1, r2, r3, p2q, phi21, phi22,
+             1.0 - phi21 * r1 - phi22 * r2 AS d3
+           FROM w3),
+         fin AS (SELECT
+             floor(r1 * 1e6 + 0.5) / 1e6 AS acf1,
+             floor(r2 * 1e6 + 0.5) / 1e6 AS acf2,
+             floor(r3 * 1e6 + 0.5) / 1e6 AS acf3,
+             floor(r1 * 1e6 + 0.5) / 1e6 AS p1, p2q AS p2,
+             CASE WHEN d3 <> 0.0 THEN
+               floor((r3 - phi21 * r2 - phi22 * r1) / d3 * 1e6 + 0.5)
+                 / 1e6
+             ELSE 0.0 END AS p3
+           FROM w4)
+         SELECT * FROM (
+           SELECT 1::BIGINT AS lag, acf1 AS acf, p1 AS pacf FROM fin
+           UNION ALL SELECT 2, acf2, p2 FROM fin
+           UNION ALL SELECT 3, acf3, p3 FROM fin)
+         ORDER BY lag""",
   )
 
   private def sqlList(words: Seq[String]): String =
@@ -8436,5 +8684,45 @@ object SparkEntry {
        SELECT doc_id, ${langs.map(l => s"cnt_$l").mkString(", ")},
               CASE $cases ELSE 'und' END AS pred_lang
        FROM scored"""
+  }
+
+  /** McNemar oracle: classifier A = the lang-id priority vote's 'en'
+    * branch, B = the 1/8 en-stopword-share baseline, truth = the
+    * fixture label; mirrors `Ml.mcnemarTest` bit for bit.
+    */
+  private lazy val McnemarSql: String = {
+    val sw = graft.operators.TextStats.Stopwords
+    val langs = sw.map(_._1)
+    val cnts = sw.map { case (l, ws) =>
+      s"len(list_filter(ts, t -> list_contains(${sqlList(ws)}, t))) AS cnt_$l"
+    }.mkString(",\n                ")
+    val beatsAll = langs.filter(_ != "en")
+      .map(o => s"cnt_en >= cnt_$o").mkString(" AND ")
+    s"""$TokCte,
+       scored AS (
+         SELECT t.doc_id, d.lang, len(ts) AS n_toks,
+                $cnts
+         FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+       fl AS (
+         SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                CASE WHEN $beatsAll AND cnt_en > 0
+                  THEN 1 ELSE 0 END AS pa,
+                CASE WHEN cnt_en * 8 >= n_toks AND cnt_en > 0
+                  THEN 1 ELSE 0 END AS pb
+         FROM scored),
+       ag AS (SELECT count(*)::BIGINT AS n,
+                sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0
+                  END)::BIGINT AS both_right,
+                sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0
+                  END)::BIGINT AS b,
+                sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0
+                  END)::BIGINT AS c
+              FROM fl)
+       SELECT n, both_right, b, c,
+         CASE WHEN b + c > 0 THEN
+           floor(greatest(abs(b - c) - 1, 0)::DOUBLE *
+             greatest(abs(b - c) - 1, 0) / (b + c) * 1e6 + 0.5) / 1e6
+         ELSE 0.0 END AS chi2
+       FROM ag"""
   }
 }

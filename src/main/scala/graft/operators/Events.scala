@@ -3601,4 +3601,175 @@ object Events {
         q(diff * diff / (col("vv9").cast("double") / lit(1e9)), 6))
         .otherwise(lit(0.0)).as("chi2"))
   }
+
+  /** Kendall tau-b rank correlation (W338) between the daily counts of
+    * two event types — the tie-corrected, outlier-immune companion to
+    * [[typeDailyCorr]]'s Pearson r and the pairwise-concordance dual of
+    * [[mannKendall]]'s one-series trend S. Concordant/discordant/tied
+    * pair counts are EXACT integers over the day-bounded pair join
+    * (span² rows — the ts_motif cost class); tie corrections T_a, T_b
+    * come from exact per-value group counts; the only double is the
+    * final τ_b = (C−D)/√((n₀−T_a)(n₀−T_b)), floor-quantized at 1e-6.
+    * Corpus-bound work is one day-keyed count per type.
+    */
+  def kendallTau(s: SparkSession, dir: String,
+                 typeA: String = "click",
+                 typeB: String = "purchase"): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+    def daily(t: String, out: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy("day").agg(count(lit(1)).as(out))
+    val joined = CacheScope.track(daily(typeA, "a")
+      .join(daily(typeB, "b").withColumnRenamed("day", "day_b"),
+        col("day") === col("day_b"), "full_outer")
+      .select(coalesce(col("day"), col("day_b")).as("day"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .persist()) // pair join (both sides) + tie groups + n read it
+    val sgA = signum(col("a2") - col("a1")).cast("long")
+    val sgB = signum(col("b2") - col("b1")).cast("long")
+    val pairs = joined.select(col("day").as("d1"), col("a").as("a1"),
+        col("b").as("b1"))
+      .join(joined.select(col("day").as("d2"), col("a").as("a2"),
+        col("b").as("b2")), col("d1") < col("d2"))
+      .agg(count(lit(1)).as("n0"),
+        sum((sgA * sgB === 1).cast("long")).as("c"),
+        sum((sgA * sgB === -1).cast("long")).as("d"))
+    // t(t-1) is even, so /2 in double is exact (t < 9e7) before the
+    // LONG cast — keeps t_a/t_b integer-typed end to end
+    def tieSum(v: String) = joined.groupBy(col(v)).agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum((col("t") * (col("t") - 1) / 2).cast("long")),
+        lit(0L)).as(s"t_$v"))
+    val n = joined.agg(count(lit(1)).as("n_days"))
+    val den = sqrt((col("n0") - col("t_a")).cast("double") *
+      (col("n0") - col("t_b")).cast("double"))
+    pairs.crossJoin(broadcast(tieSum("a"))).crossJoin(broadcast(tieSum("b")))
+      .crossJoin(broadcast(n))
+      .select(col("n_days"), col("c").as("concordant"),
+        col("d").as("discordant"),
+        when((col("n0") > col("t_a")) && (col("n0") > col("t_b")),
+          q((col("c") - col("d")).cast("double") / den, 6))
+          .otherwise(lit(0.0)).as("tau_b"))
+  }
+
+  /** Beta-binomial empirical-Bayes rate shrinkage (W341): per-user
+    * purchase rates x/n pulled toward the population prior fitted by
+    * method-of-moments — the fix for "a 1/1 user outranks a 95/100
+    * user" that every small-denominator leaderboard needs (and the
+    * same machinery a curation pipeline uses to rank sources by
+    * defect rate). Prior: α = m·κ, β = (1−m)·κ with
+    * κ = m(1−m)/v − 1 from the mean/variance of the 1e-9-grid rates;
+    * posterior mean (α+x)/(α+β+n) per user.
+    *
+    * Determinism: each rate is floor-quantized to a 1e-9 LONG before
+    * the moment sums (Σr, Σr² in LONG/DECIMAL — order-free), so m, v,
+    * α, β are doubles computed from exact integers by one fixed
+    * expression; per-user posteriors quantize at 1e-6 before the
+    * (rate desc, user) top-k cut. Degenerate prior (zero variance or
+    * κ ≤ 0 — decided on the EXACT integer v18) falls back to the raw
+    * rate, flagged. One user-keyed aggregation is the corpus-bound
+    * stage; moments and the k·1 prior are broadcast scalars.
+    */
+  def betaBinomialEb(s: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase").cast("long")).as("x"))
+      .withColumn("r9",
+        floor(col("x").cast("double") / col("n") * lit(1e9) + lit(0.5))
+          .cast("long"))
+      .persist()
+    CacheScope.register(per) // eager: moments + the scored cut read it
+    val mo = per.agg(count(lit(1)).as("ku"), sum(col("r9")).as("s1"),
+      sum(col("r9").cast("decimal(38,0)") * col("r9")).as("s2"))
+    // v18 exact: ku·Σr² − (Σr)² in DECIMAL(38,0); prior validity is an
+    // integer-exact decision, the double κ only feeds the posterior
+    val v18x = (col("ku").cast("decimal(38,0)") * col("s2") -
+      col("s1").cast("decimal(38,0)") * col("s1"))
+    val m = col("s1").cast("double") / col("ku") / lit(1e9)
+    val v = v18x.cast("double") / col("ku") / col("ku") / lit(1e18)
+    val kap = m * (lit(1.0) - m) / v - lit(1.0)
+    val prior = mo.select(col("ku"), (v18x > 0).as("hasVar"),
+      when(v18x > 0, kap).otherwise(lit(0.0)).as("kap"),
+      when(v18x > 0, m * kap).otherwise(lit(0.0)).as("alpha"),
+      when(v18x > 0, (lit(1.0) - m) * kap).otherwise(lit(0.0)).as("beta"))
+    val shrinkOk = col("hasVar") && col("kap") > 0
+    per.crossJoin(broadcast(prior))
+      .select(col("user_id"), col("n").as("n_events"), col("x").as("n_conv"),
+        q(col("x").cast("double") / col("n"), 6).as("raw_rate"),
+        when(shrinkOk,
+          q((col("alpha") + col("x")) /
+            (col("alpha") + col("beta") + col("n")), 6))
+          .otherwise(q(col("x").cast("double") / col("n"), 6))
+          .as("eb_rate"),
+        shrinkOk.cast("long").as("shrunk"))
+      .orderBy(col("eb_rate").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Partial autocorrelation of the daily series (W342), lags 1–3 by
+    * the unrolled Durbin–Levinson recursion over the lag-correlogram —
+    * the "is lag-2 structure real or just lag-1 twice?" diagnostic
+    * that picks AR order where [[acfDaily]] alone cannot (an AR(1)
+    * series has geometric ACF at ALL lags but PACF ≈ 0 past lag 1).
+    * φ11 = r1; φ22 = (r2−r1²)/(1−r1²); φ33 from the order-2
+    * prediction coefficients.
+    *
+    * Each lag's Pearson r lands on a 1e-9 LONG grid first, so the DL
+    * arithmetic is one fixed double expression over exact integers —
+    * engine-order-free; the 1−r1² ≠ 0 guard is decided on the EXACT
+    * LONG 1e18−r9₁². Same cost shape as `acf_daily`: the corpus pays
+    * one day-keyed count, the lag join is spine-sized.
+    */
+  def pacfDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0) // eager: spine bounds + both join sides
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val lags = s.range(1, 4).select(col("id").cast("int").as("lag"))
+    val st = daily.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("day") + col("lag")).as("day"),
+        col("y").as("x"))
+      .join(daily.select(col("day"), col("y")), Seq("day"))
+      .groupBy("lag").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+      sqrt(nD * col("syy") - col("sy") * col("sy"))
+    val r9 = floor(num / den * lit(1e9) + lit(0.5)).cast("long")
+    def rAt(l: Int) = max(when(col("lag") === l, r9)).as(s"r9_$l")
+    val one = st.agg(rAt(1), rAt(2), rAt(3))
+    def r(l: Int) = col(s"r9_$l").cast("double") / lit(1e9)
+    val d2ok = lit(1000000000000000000L) - col("r9_1") * col("r9_1") =!= 0
+    val phi22 = (r(2) - r(1) * r(1)) / (lit(1.0) - r(1) * r(1))
+    val wide = one.select(q(r(1), 6).as("acf1"), q(r(2), 6).as("acf2"),
+      q(r(3), 6).as("acf3"), q(r(1), 6).as("p1"),
+      when(d2ok, q(phi22, 6)).otherwise(lit(0.0)).as("p2"),
+      when(d2ok, phi22).otherwise(lit(0.0)).as("phi22x"),
+      when(d2ok, r(1) - phi22 * r(1)).otherwise(r(1)).as("phi21x"),
+      r(1).as("r1d"), r(2).as("r2d"), r(3).as("r3d"))
+    val d3 = lit(1.0) - col("phi21x") * col("r1d") -
+      col("phi22x") * col("r2d")
+    val p3 = wide.select(col("acf1"), col("acf2"), col("acf3"),
+      col("p1"), col("p2"),
+      when(d3 =!= 0.0, q((col("r3d") - col("phi21x") * col("r2d") -
+        col("phi22x") * col("r1d")) / d3, 6)).otherwise(lit(0.0)).as("p3"))
+    p3.select(expr(
+      "stack(3, 1L, acf1, p1, 2L, acf2, p2, 3L, acf3, p3)" +
+        " AS (lag, acf, pacf)"))
+      .orderBy("lag")
+  }
 }

@@ -824,4 +824,43 @@ object Ml {
         (col("t") === col("bt")).cast("long").as("is_best"))
       .orderBy("t")
   }
+
+  /** McNemar's paired test (W340): do two classifiers differ, judged
+    * ONLY on the documents where they disagree? Accuracy deltas on a
+    * shared test set are correlated — the unpaired [[aucEval]]-style
+    * comparison over-states significance — so the right statistic is
+    * χ² = (|b−c|−1)²/(b+c) over the discordant counts (b = only A
+    * right, c = only B right), with the continuity correction.
+    * Here A = the priority-vote stopword language identifier
+    * ([[TextStats.langIdTokens]]'s rule), B = a one-feature baseline
+    * (English-stopword share ≥ 1/8 of tokens), ground truth the
+    * fixture's `lang` label restricted to 'en'-vs-rest.
+    *
+    * Both predictions are integer-exact boolean expressions inside one
+    * projection over the tokenized corpus — a single scan + one global
+    * aggregate (map-side combined); b, c, n are EXACT LONGs and the
+    * χ² is the only double, floor-quantized at 1e-6.
+    */
+  def mcnemarTest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokenize(col("text")).as("ts"))
+    val scored = TextStats.langIdTokens(base.select(col("doc_id"), col("ts")))
+      .join(base, "doc_id")
+    val y = (col("lang") === "en").cast("int")
+    val predA = (col("pred_lang") === "en").cast("int")
+    val predB = ((col("cnt_en") * 8 >= size(col("ts"))) &&
+      (col("cnt_en") > 0)).cast("int")
+    val agg = scored.agg(count(lit(1)).as("n"),
+      sum((predA === y).cast("long") * (predB === y).cast("long"))
+        .as("both_right"),
+      sum((predA === y).cast("long") * (predB =!= y).cast("long")).as("b"),
+      sum((predA =!= y).cast("long") * (predB === y).cast("long")).as("c"))
+    // Edwards correction, clamped at 0 so b = c gives χ² = 0 exactly
+    val diff = greatest(abs(col("b") - col("c")) - lit(1), lit(0L))
+    agg.select(col("n"), col("both_right"), col("b"), col("c"),
+      when(col("b") + col("c") > 0,
+        Events.q(diff.cast("double") * diff.cast("double") /
+          (col("b") + col("c")).cast("double"), 6))
+        .otherwise(lit(0.0)).as("chi2"))
+  }
 }

@@ -2271,4 +2271,50 @@ object Relational {
         Events.q(col("r2_full") - col("r2_perm_x2"), 6)
           .as("imp_discount"))
   }
+
+  /** Item-item collaborative-filtering top-k (W339): cosine similarity
+    * over order-basket co-occurrence — cos(a,b) = c_ab/√(c_a·c_b) with
+    * c_ab = baskets containing both, c_a = baskets containing a — and
+    * the k most similar parts per part, the classic "customers who
+    * bought X also bought Y" recommender table ([[frequentPairs]] gives
+    * raw support, [[pairLift]] independence lift; cosine is the
+    * normalization recommenders actually rank on).
+    *
+    * Candidate pairs come from an equality self-join on l_orderkey, so
+    * the blowup is bounded by Σ|basket|² (TPC-H baskets are ≤7 rows) —
+    * never an all-pairs item join. Ranking is deterministic without a
+    * double compare: the sort key is the EXACT integer
+    * ⌊c_ab²·10¹²/(c_a·c_b)⌋ (LONG integer division — monotone in
+    * cosine), tie-broken by partkey; the surfaced cosine is the usual
+    * 1e-6 floor-quantized double. Per-item cut is a rank window →
+    * WindowGroupLimit keeps map-local top-k before the shuffle.
+    */
+  def itemCfTopk(s: SparkSession, dir: String, k: Int = 3,
+                 minCo: Int = 2): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist()
+    CacheScope.register(baskets) // eager: support + the pair self-join
+    val supp = baskets.groupBy("pk").agg(count(lit(1)).as("c"))
+    val co = baskets.toDF("ok", "pa")
+      .join(baskets.toDF("ok2", "pb"),
+        col("ok") === col("ok2") && col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCo)
+    val scored = co
+      .join(broadcast(supp.select(col("pk").as("pa"), col("c").as("ca"))), "pa")
+      .join(broadcast(supp.select(col("pk").as("pb"), col("c").as("cb"))), "pb")
+      .select(col("pa"), col("pb"), col("c_ab"), col("ca"), col("cb"),
+        // `div` = LONG integer division (Column./ would go double)
+        expr("(c_ab * c_ab * 1000000000000) div (ca * cb)").as("key12"))
+    val w = Window.partitionBy("pa")
+      .orderBy(col("key12").desc, col("pb"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("pa").as("part"), col("rn").as("rank"),
+        col("pb").as("rec_part"), col("c_ab").as("co_count"),
+        Events.q(col("c_ab").cast("double") /
+          sqrt(col("ca").cast("double") * col("cb")), 6).as("cosine"))
+  }
 }

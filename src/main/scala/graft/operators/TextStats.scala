@@ -1089,4 +1089,101 @@ object TextStats {
           count(lit(1)), 6).as("delta"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Per-source Jensen–Shannon divergence to the corpus unigram
+    * distribution (W336) — the SYMMETRIC, √-metrizable, ln2-bounded
+    * companion to [[sourceKlDivergence]]: KL explodes when a source
+    * merely lacks corpus-common tokens, JSD stays bounded and
+    * comparable ACROSS sources, which is what a data-mixing dashboard
+    * actually ranks on. Same add-one smoothing over the shared corpus
+    * vocabulary; JSD = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q).
+    *
+    * Determinism recipe: with p = a/A (a = c_st+1, A = n_s+V) and
+    * q = b/B (b = c_t+1, B = n+V), the mixture ratios collapse to
+    * EXACT integer ratios — p/m = 2aB/(aB+bA), q/m = 2bA/(aB+bA) —
+    * so each ln lands on the 1e-9 LONG grid weighted by the exact
+    * integer a (resp. b) and the sums are order-free LONG adds; the
+    * only unquantized doubles are the two final divisions by A and B.
+    * The grid is the same broadcastable sources×vocab spine as
+    * `source_kl`: at 100 TB the corpus-bound work is the one
+    * (source, token) count aggregation (map-side partial-agg'd);
+    * everything downstream is O(sources·V).
+    */
+  def jensenShannon(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(tokenize(col("text"))).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+      .persist()
+    CacheScope.register(st) // eager: corpus rollup + grid both read it
+    val corpus = st.groupBy("t").agg(sum(col("c_st")).as("c_t"))
+    val totals = corpus.agg(sum(col("c_t")).as("n"), count(lit(1)).as("v"))
+    val perSource = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val grid = perSource
+      .crossJoin(broadcast(corpus.crossJoin(totals)))
+      .join(st, Seq("source", "t"), "left")
+      .na.fill(0L, Seq("c_st"))
+      // exact integers; products in double (IEEE-identical both engines)
+      .select(col("source"), col("n_s"), col("v"), col("n"),
+        (col("c_st") + lit(1)).as("a"), (col("c_t") + lit(1)).as("b"),
+        (col("n_s") + col("v")).cast("double").as("ad"),
+        (col("n") + col("v")).cast("double").as("bd"))
+    val aB = col("a").cast("double") * col("bd")
+    val bA = col("b").cast("double") * col("ad")
+    val lnP = floor(log(lit(2.0) * aB / (aB + bA)) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val lnQ = floor(log(lit(2.0) * bA / (aB + bA)) * lit(1e9) + lit(0.5))
+      .cast("long")
+    grid
+      .select(col("source"), col("n_s"), col("v"), col("n"),
+        (col("a") * lnP).as("tp"), (col("b") * lnQ).as("tq"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("tp")).as("np"), sum(col("tq")).as("nq"),
+        max(col("n_s") + col("v")).as("aa"),
+        max(col("n") + col("v")).as("bb"))
+      .select(col("source"), col("n_tokens"),
+        Events.q((col("np").cast("double") / col("aa") +
+          col("nq").cast("double") / col("bb")) / lit(2e9), 6).as("jsd"))
+      .orderBy("source")
+  }
+
+  /** Simple Good–Turing frequency re-estimation audit (W337): the
+    * frequency-of-frequencies table N_r and the GT-adjusted count
+    * r* = (r+1)·N_{r+1}/N_r for r = 1..5, plus the r = 0 row carrying
+    * the Turing unseen-probability mass p₀ = N₁/N — the smoothing
+    * view that [[TextStats]]' add-one operators approximate and the
+    * canonical answer to "how much probability does this corpus owe
+    * to tokens it has never seen?" (the held-out-novelty number an
+    * LM-data curator reads before fixing a vocabulary).
+    *
+    * All N_r are exact integers from two keyed aggregations (token →
+    * type counts → count-of-counts); the ≤6-row r-spine joins against
+    * the count-of-counts table and the only doubles are the final
+    * per-row rationals (r*, mass), floor-quantized at 1e-6. Corpus-
+    * bound work = the token count agg — one shuffle, partial-agg'd.
+    */
+  def goodTuring(s: SparkSession, dir: String, rMax: Int = 5): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokenize(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val fof = counts.groupBy("c").agg(count(lit(1)).as("n_r"))
+      .persist()
+    CacheScope.register(fof) // eager: spine joins it twice + total reads it
+    val nTot = counts.agg(sum(col("c")).as("n"))
+    val spine = s.range(0, rMax + 1).select(col("id").as("r"))
+    spine
+      .join(broadcast(fof.select(col("c").as("r"), col("n_r"))), Seq("r"), "left")
+      .join(broadcast(fof.select((col("c") - 1).as("r"),
+        col("n_r").as("n_r1"))), Seq("r"), "left")
+      .na.fill(0L, Seq("n_r", "n_r1"))
+      .crossJoin(broadcast(nTot))
+      .select(col("r"), col("n_r"), col("n_r1"),
+        when(col("r") === 0, lit(0.0))
+          .when(col("n_r") > 0, Events.q((col("r") + 1).cast("double") *
+            col("n_r1") / col("n_r"), 6)).otherwise(lit(0.0)).as("r_star"),
+        // r=0: Turing unseen mass N1/N; r>0: GT mass (r+1)·N_{r+1}/N
+        Events.q((col("r") + 1).cast("double") * col("n_r1") / col("n"), 6)
+          .as("gt_mass"))
+      .orderBy("r")
+  }
 }
