@@ -495,6 +495,16 @@ object SparkEntry {
     "mcnemar_test" -> ((s, d) => Ml.mcnemarTest(s, d)),
     "beta_binomial_eb" -> ((s, d) => Events.betaBinomialEb(s, d)),
     "pacf_daily" -> ((s, d) => Events.pacfDaily(s, d)),
+    // round-5 batch O: k-group testing, association/agreement,
+    // concentration/inequality, serial-randomness + drift monitors
+    "anova_oneway" -> ((s, d) => Events.anovaOneway(s, d)),
+    "kruskal_wallis" -> ((s, d) => Events.kruskalWallis(s, d)),
+    "runs_test" -> ((s, d) => Events.runsTest(s, d)),
+    "page_hinkley" -> ((s, d) => Events.pageHinkley(s, d)),
+    "cramers_v" -> ((s, d) => TextStats.cramersV(s, d)),
+    "cohens_kappa" -> ((s, d) => TextStats.cohensKappa(s, d)),
+    "herfindahl_index" -> ((s, d) => Relational.herfindahlIndex(s, d)),
+    "lorenz_gini" -> ((s, d) => Relational.lorenzGini(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -8275,6 +8285,260 @@ object SparkEntry {
            UNION ALL SELECT 2, acf2, p2 FROM fin
            UNION ALL SELECT 3, acf3, p3 FROM fin)
          ORDER BY lag""",
+    // one-way ANOVA (mirrors Events.anovaOneway: 1e-6 value grid,
+    // integer grand-mean centering, per-group rational term on the
+    // coarse 1e6 grid, all sums exact integer)
+    "anova_oneway" ->
+      """WITH vi AS (
+           SELECT event_type, floor("value" * 1e6 + 0.5)::BIGINT AS vi
+           FROM events WHERE "value" IS NOT NULL),
+         tot AS (SELECT count(*)::BIGINT AS nn, sum(vi)::HUGEINT AS sv
+                 FROM vi),
+         c0 AS (SELECT nn, floor(sv::DOUBLE / nn)::BIGINT AS c0 FROM tot),
+         d AS (SELECT event_type, nn, vi - c0 AS d FROM vi, c0),
+         g AS (SELECT event_type, nn, count(*)::BIGINT AS n,
+                 sum(d)::HUGEINT AS sd, sum(d * d)::HUGEINT AS sd2
+               FROM d GROUP BY 1, 2),
+         a AS (SELECT nn, count(*)::BIGINT AS k,
+                 sum(sd)::HUGEINT AS sdt, sum(sd2)::HUGEINT AS sd2t,
+                 sum(floor(sd::DOUBLE * sd::DOUBLE / n / 1e6)::BIGINT)
+                   ::HUGEINT AS b6
+               FROM g GROUP BY 1),
+         f AS (SELECT k, nn,
+                 b6::DOUBLE * 1e6 -
+                   sdt::DOUBLE * sdt::DOUBLE / nn AS ssb,
+                 (sd2t::DOUBLE - sdt::DOUBLE * sdt::DOUBLE / nn) -
+                   (b6::DOUBLE * 1e6 -
+                    sdt::DOUBLE * sdt::DOUBLE / nn) AS ssw
+               FROM a)
+         SELECT k AS k_groups, nn AS n_total,
+           floor(ssb / 1e12 * 1e6 + 0.5) / 1e6 AS ss_between,
+           floor(ssw / 1e12 * 1e6 + 0.5) / 1e6 AS ss_within,
+           CASE WHEN ssw > 0 AND k > 1 AND nn > k
+                THEN floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1e6 + 0.5)
+                  / 1e6
+                ELSE 0.0 END AS f_stat
+         FROM f""",
+    // Kruskal-Wallis (mirrors Events.kruskalWallis: exact 2*midrank
+    // integers, unit-grid per-group term, integer tie correction)
+    "kruskal_wallis" ->
+      """WITH vi AS (
+           SELECT event_type, floor("value" * 1e6 + 0.5)::BIGINT AS vi
+           FROM events WHERE "value" IS NOT NULL),
+         hist AS (SELECT vi, count(*)::BIGINT AS t FROM vi GROUP BY 1),
+         ranked AS (
+           SELECT vi, t,
+             coalesce(sum(t) OVER (ORDER BY vi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT * 2 + t + 1 AS r2
+           FROM hist),
+         gv AS (SELECT event_type, vi, count(*)::BIGINT AS tg
+                FROM vi GROUP BY 1, 2),
+         rg AS (SELECT event_type, sum(tg * r2)::HUGEINT AS r2g,
+                  sum(tg)::BIGINT AS n
+                FROM gv JOIN ranked USING (vi) GROUP BY 1),
+         ties AS (SELECT coalesce(sum(t * t * t - t), 0)::HUGEINT AS tt
+                  FROM hist WHERE t > 1),
+         a AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+                 sum(floor(r2g::DOUBLE / 2 * r2g::DOUBLE / 2 / n)
+                   ::BIGINT)::HUGEINT AS b1
+               FROM rg),
+         h AS (SELECT k, nn,
+                 12.0 / (nn::DOUBLE * (nn::DOUBLE + 1)) * b1::DOUBLE -
+                   3.0 * (nn::DOUBLE + 1) AS h,
+                 1.0 - tt::DOUBLE /
+                   (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE - nn::DOUBLE)
+                   AS corr
+               FROM a, ties)
+         SELECT k AS k_groups, nn AS n_total,
+           floor(h * 1e6 + 0.5) / 1e6 AS h_stat,
+           CASE WHEN corr > 0 THEN floor(h / corr * 1e6 + 0.5) / 1e6
+                ELSE floor(h * 1e6 + 0.5) / 1e6 END AS h_adj
+         FROM h""",
+    // Wald-Wolfowitz runs test (mirrors Events.runsTest: zero-change
+    // days dropped, run breaks counted on the filtered sign sequence)
+    "runs_test" ->
+      """WITH daily AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS c
+           FROM events GROUP BY 1),
+         sg0 AS (SELECT day,
+                   sign(c - lag(c) OVER (ORDER BY day))::BIGINT AS sg
+                 FROM daily),
+         sg AS (SELECT day, sg FROM sg0
+                WHERE sg IS NOT NULL AND sg <> 0),
+         brk AS (SELECT sg,
+                   CASE WHEN sg = lag(sg) OVER (ORDER BY day)
+                        THEN 0 ELSE 1 END AS b
+                 FROM sg),
+         r AS (SELECT sum(b)::BIGINT AS r,
+                 sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+                 sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_down
+               FROM brk)
+         SELECT n_up, n_down, r AS runs,
+           CASE WHEN n_up > 0 AND n_down > 0
+                 AND n_up::DOUBLE + n_down::DOUBLE > 1
+                 AND 2.0 * n_up::DOUBLE * n_down::DOUBLE *
+                     (2.0 * n_up::DOUBLE * n_down::DOUBLE -
+                      (n_up::DOUBLE + n_down::DOUBLE)) /
+                     ((n_up::DOUBLE + n_down::DOUBLE) *
+                      (n_up::DOUBLE + n_down::DOUBLE) *
+                      (n_up::DOUBLE + n_down::DOUBLE - 1)) > 0
+                THEN floor((r::DOUBLE -
+                  (2.0 * n_up::DOUBLE * n_down::DOUBLE /
+                   (n_up::DOUBLE + n_down::DOUBLE) + 1)) /
+                  sqrt(2.0 * n_up::DOUBLE * n_down::DOUBLE *
+                    (2.0 * n_up::DOUBLE * n_down::DOUBLE -
+                     (n_up::DOUBLE + n_down::DOUBLE)) /
+                    ((n_up::DOUBLE + n_down::DOUBLE) *
+                     (n_up::DOUBLE + n_down::DOUBLE) *
+                     (n_up::DOUBLE + n_down::DOUBLE - 1))) * 1e6 + 0.5)
+                  / 1e6
+                ELSE 0.0 END AS z
+         FROM r""",
+    // Page-Hinkley (mirrors Events.pageHinkley: delta=2.0, lambda=40,
+    // deviations on the 1e-9 LONG grid BEFORE the cumulative sum)
+    "page_hinkley" ->
+      """WITH daily AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS c
+           FROM events GROUP BY 1),
+         cum AS (SELECT day, c,
+                   row_number() OVER (ORDER BY day)::BIGINT AS i,
+                   sum(c) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sc
+                 FROM daily),
+         d9 AS (SELECT day, i,
+                  floor((c::DOUBLE - sc::DOUBLE / i - 2.0) * 1e9 + 0.5)
+                    ::BIGINT AS d9
+                FROM cum),
+         p1 AS (SELECT day, i,
+                  sum(d9) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    ::BIGINT AS ph9
+                FROM d9),
+         p2 AS (SELECT i, ph9,
+                  min(ph9) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    ::BIGINT AS mn9
+                FROM p1)
+         SELECT count(*)::BIGINT AS n_days,
+           floor(max(ph9 - mn9)::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6
+             AS max_excursion,
+           coalesce(min(CASE WHEN ph9 - mn9 > 40000000000
+                             THEN i END), -1)::BIGINT AS first_alarm_i,
+           sum(CASE WHEN ph9 - mn9 > 40000000000 THEN 1 ELSE 0 END)
+             ::BIGINT AS alarm_days
+         FROM p2""",
+    // Cramer's V over the full lang x source grid incl. empty cells
+    // (mirrors TextStats.cramersV: per-cell 1e-9 LONG terms)
+    "cramers_v" ->
+      """WITH cells AS (SELECT lang, source, count(*)::BIGINT AS o
+                        FROM documents GROUP BY 1, 2),
+         rowm AS (SELECT lang, sum(o)::BIGINT AS nl FROM cells GROUP BY 1),
+         colm AS (SELECT source, sum(o)::BIGINT AS nc
+                  FROM cells GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS nn,
+                 count(DISTINCT lang)::BIGINT AS r_levels,
+                 count(DISTINCT source)::BIGINT AS c_levels
+               FROM documents),
+         grid AS (SELECT rowm.lang, colm.source, nl, nc,
+                    coalesce(o, 0)::BIGINT AS o, nn, r_levels, c_levels
+                  FROM rowm CROSS JOIN colm
+                  LEFT JOIN cells USING (lang, source) CROSS JOIN n),
+         s AS (SELECT nn, r_levels, c_levels,
+                 sum(floor((o - nl::DOUBLE * nc / nn) *
+                   (o - nl::DOUBLE * nc / nn) /
+                   (nl::DOUBLE * nc / nn) * 1e9 + 0.5)::BIGINT)
+                   ::HUGEINT AS chi9
+               FROM grid GROUP BY 1, 2, 3)
+         SELECT nn AS n_docs, r_levels, c_levels,
+           floor(chi9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS chi2,
+           floor(sqrt(chi9::DOUBLE / 1e9 /
+             (nn * (least(r_levels, c_levels) - 1))) * 1e6 + 0.5) / 1e6
+             AS v
+         FROM s""",
+    // Cohen's kappa between the char-length and token-count raters
+    // (mirrors TextStats.cohensKappa: thresholds 300 chars / 55 tokens)
+    "cohens_kappa" -> s"""$TokCte,
+         r AS (SELECT (n_chars >= 300)::BIGINT AS ra,
+                 (len(ts) >= 55)::BIGINT AS rb
+               FROM documents JOIN toks USING (doc_id)),
+         c AS (SELECT count(*)::BIGINT AS n,
+                 sum(ra * rb)::BIGINT AS n11,
+                 sum(ra * (1 - rb))::BIGINT AS n10,
+                 sum((1 - ra) * rb)::BIGINT AS n01,
+                 sum((1 - ra) * (1 - rb))::BIGINT AS n00
+               FROM r),
+         k AS (SELECT n, n11, n10, n01, n00,
+                 (n11 + n00)::DOUBLE / n::DOUBLE AS po,
+                 ((n11 + n10)::DOUBLE * (n11 + n01) +
+                  (n01 + n00)::DOUBLE * (n10 + n00)) /
+                 (n::DOUBLE * n::DOUBLE) AS pe
+               FROM c)
+         SELECT n AS n_docs, n11, n10, n01, n00,
+           floor(po * 1e6 + 0.5) / 1e6 AS p_observed,
+           floor(pe * 1e6 + 0.5) / 1e6 AS p_expected,
+           CASE WHEN pe < 1.0
+                THEN floor((po - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS kappa
+         FROM k""",
+    // HHI of supplier-nation revenue shares per region (mirrors
+    // Relational.herfindahlIndex: exact 1e-4-unit revenue integers,
+    // share^2 on the 1e-12 LONG grid)
+    "herfindahl_index" ->
+      """WITH dims AS (
+           SELECT s_suppkey, n_name, r_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         rev AS (SELECT l_suppkey,
+                   floor(l_extendedprice * 100 + 0.5)::BIGINT *
+                   (100 - floor(l_discount * 100 + 0.5)::BIGINT) AS rv
+                 FROM lineitem),
+         bn AS (SELECT r_name, n_name, sum(rv)::HUGEINT AS nrev
+                FROM rev JOIN dims ON l_suppkey = s_suppkey
+                GROUP BY 1, 2),
+         br AS (SELECT r_name, sum(nrev)::HUGEINT AS rrev
+                FROM bn GROUP BY 1)
+         SELECT bn.r_name AS region, count(*)::BIGINT AS n_nations,
+           floor(sum(floor(nrev::DOUBLE / rrev::DOUBLE *
+             (nrev::DOUBLE / rrev::DOUBLE) * 1e12 + 0.5)::BIGINT)
+             ::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS hhi
+         FROM bn JOIN br USING (r_name)
+         GROUP BY 1 ORDER BY region""",
+    // Lorenz deciles + Gini of per-customer revenue (mirrors
+    // Relational.lorenzGini: exact DECIMAL sums, (rev, custkey) order)
+    "lorenz_gini" ->
+      """WITH rev AS (SELECT l_orderkey,
+                   floor(l_extendedprice * 100 + 0.5)::BIGINT *
+                   (100 - floor(l_discount * 100 + 0.5)::BIGINT) AS rv
+                 FROM lineitem),
+         per AS (SELECT o_custkey, sum(rv)::HUGEINT AS x
+                 FROM rev JOIN orders ON l_orderkey = o_orderkey
+                 GROUP BY 1),
+         rk AS (SELECT o_custkey, x,
+                  row_number() OVER (ORDER BY x, o_custkey)::BIGINT AS i
+                FROM per),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+                   sum(x * i)::HUGEINT AS six
+                 FROM rk),
+         cum AS (SELECT i, x,
+                   sum(x) OVER (ORDER BY x, o_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     ::HUGEINT AS cumx
+                 FROM rk),
+         dec AS (SELECT (floor((i - 1) * 10 / n) + 1)::INT AS decile,
+                   max(cumx)::HUGEINT AS cumx, n, sx, six
+                 FROM cum, tot GROUP BY 1, n, sx, six)
+         SELECT decile,
+           floor(cumx::DOUBLE / sx::DOUBLE * 1e6 + 0.5) / 1e6
+             AS cum_rev_share,
+           floor((2.0 * six::DOUBLE - (n + 1)::DOUBLE * sx::DOUBLE) /
+             (n::DOUBLE * sx::DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
+         FROM dec ORDER BY decile""",
   )
 
   private def sqlList(words: Seq[String]): String =

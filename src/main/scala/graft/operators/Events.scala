@@ -3772,4 +3772,189 @@ object Events {
         " AS (lag, acf, pacf)"))
       .orderBy("lag")
   }
+
+  /** One-way ANOVA (W343) over `value` by event type — the k-group
+    * generalization of [[welchTtest]]'s two-sample comparison: does any
+    * event type's mean spend differ from the rest? Values land on the
+    * 1e-6 grid, then every sum the F statistic needs is exact integer
+    * arithmetic: per-group (n, Σv, Σv²) in DECIMAL(38,0), values
+    * CENTERED on the integer grand-mean floor before squaring so the
+    * between-group sum of squares is a sum of small deviation terms
+    * rather than a catastrophic cancellation of near-equal huge ones.
+    * The only cross-group reduction of non-integers — Σ_g (Σd_g)²/n_g —
+    * is floor-quantized onto a coarse 1e6 integer grid per group (grid²
+    * units; coarse keeps the LONG floor overflow-safe at any SF while
+    * the induced error, ≤ k·1e-6 in value² units, sits at the output's
+    * own 1e-6 resolution) and summed as LONGs, so group arrival order
+    * cannot perturb low bits.
+    * SST comes from global exact sums in one fixed expression;
+    * SSW = SST − SSB. One row: k, N, ssb, ssw, f_stat (1e-6 grid).
+    * Scale: two value-keyed aggregations; the k-row group table is a
+    * broadcast scalar. Nothing corpus-bound ever sorts.
+    */
+  def anovaOneway(s: SparkSession, dir: String): DataFrame = {
+    val vi = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+    val tot = vi.agg(count(lit(1)).as("nn"),
+      sum(col("vi").cast("decimal(38,0)")).as("sv"))
+    // integer center: floor of the grand mean on the 1e-6 grid — the
+    // shift keeps d, Σd, Σd² exact while shrinking them ~1e6-fold
+    val c0 = tot.select(col("nn"),
+      floor(col("sv").cast("double") / col("nn")).cast("long").as("c0"))
+    val d = vi.crossJoin(broadcast(c0))
+      .select(col("event_type"), col("nn"),
+        (col("vi") - col("c0")).as("d"))
+    val g = d.groupBy("event_type", "nn")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d").cast("decimal(38,0)")).as("sd"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("sd2"))
+    // per-group rational term on the coarse integer grid, summed exactly
+    val term6 = floor(col("sd").cast("double") * col("sd").cast("double")
+      / col("n") / lit(1e6))
+    val agg = g.groupBy("nn")
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n_check"),
+        sum(col("sd")).as("sdt"), sum(col("sd2")).as("sd2t"),
+        sum(term6).as("b6"))
+    val sst = col("sd2t").cast("double") -
+      col("sdt").cast("double") * col("sdt").cast("double") / col("nn")
+    val ssb = col("b6").cast("double") * lit(1e6) -
+      col("sdt").cast("double") * col("sdt").cast("double") / col("nn")
+    val ssw = sst - ssb
+    agg.select(col("k").as("k_groups"), col("nn").as("n_total"),
+      q(ssb / lit(1e12), 6).as("ss_between"),
+      q(ssw / lit(1e12), 6).as("ss_within"),
+      when(ssw > 0 && col("k") > 1 && col("nn") > col("k"),
+        q((ssb / (col("k") - 1)) / (ssw / (col("nn") - col("k"))), 6))
+        .otherwise(lit(0.0)).as("f_stat"))
+  }
+
+  /** Kruskal–Wallis rank test (W344) — [[anovaOneway]]'s distribution-
+    * free sibling (and the k-group extension of a Mann–Whitney U):
+    * ranks replace values, so a heavy-tailed spend column can't let a
+    * few whales drive the statistic. Mid-ranks are kept EXACT as
+    * 2·rank integers (cum-before·2 + t + 1 — always integral), the
+    * per-group rank sums are exact DECIMAL, the one cross-group
+    * rational reduction Σ R_g²/n_g is floor-truncated to unit integers
+    * per group (ranks are N-bounded so the LONG floor is safe to
+    * N ≈ 2×10⁶ groups-worth of N³; beyond that the rank spine needs
+    * histogram compression anyway) and summed as LONGs, and the tie
+    * correction Σ(t³−t) is pure integer. H then
+    * divides exact terms once:
+    * H = 12/(N(N+1))·ΣR²/n − 3(N+1), H_adj = H/(1−Σ(t³−t)/(N³−N)).
+    * Scale: the rank spine is one aggregation per DISTINCT value (a
+    * global ordered prefix-sum over the value histogram — value-
+    * cardinality-bound, not row-bound), then one broadcast-joined
+    * group aggregation.
+    */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val vi = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+    val hist = vi.groupBy("vi").agg(count(lit(1)).as("t"))
+    val w = Window.orderBy("vi").rowsBetween(Window.unboundedPreceding, -1)
+    // 2·midrank = 2·(#strictly-below) + t + 1: integral, tie-exact
+    val ranked = hist.withColumn("below",
+        coalesce(sum(col("t")).over(w), lit(0L)))
+      .select(col("vi"), col("t"),
+        (col("below") * 2 + col("t") + 1).as("r2"))
+    val gv = vi.groupBy("event_type", "vi").agg(count(lit(1)).as("tg"))
+    val rg = gv.join(ranked, "vi")
+      .groupBy("event_type")
+      .agg(sum((col("tg") * col("r2")).cast("decimal(38,0)")).as("r2g"),
+        sum(col("tg")).as("n"))
+    val term1 = floor(col("r2g").cast("double") / 2 *
+      col("r2g").cast("double") / 2 / col("n"))
+    val ties = hist.filter(col("t") > 1)
+      .agg(coalesce(sum((col("t") * col("t") * col("t") - col("t"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("tt"))
+    val agg = rg.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(term1).as("b1"))
+      .crossJoin(broadcast(ties))
+    val nD = col("nn").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1)) *
+      col("b1").cast("double") - lit(3.0) * (nD + 1)
+    val corr = lit(1.0) - col("tt").cast("double") / (nD * nD * nD - nD)
+    agg.select(col("k").as("k_groups"), col("nn").as("n_total"),
+      q(h, 6).as("h_stat"),
+      when(corr > 0, q(h / corr, 6)).otherwise(q(h, 6)).as("h_adj"))
+  }
+
+  /** Wald–Wolfowitz runs test (W345) on the daily event-count series:
+    * is the sign of day-over-day change random, or does the series
+    * streak (trend/cycle) more or less than chance? Complements
+    * [[mannKendall]] (monotone trend) with a pure serial-dependence
+    * probe. Zero-change days drop (standard practice); the statistic
+    * is exact integers (runs R, n⁺, n⁻) until one final z expression:
+    * z = (R − μ)/σ, μ = 2n⁺n⁻/n + 1,
+    * σ² = 2n⁺n⁻(2n⁺n⁻ − n)/(n²(n−1)).
+    * Scale: one day-keyed count, then a day-cardinality spine — the
+    * same cost class as every daily-series op here.
+    */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val wd = Window.orderBy("day")
+    val sg = daily
+      .withColumn("sg", signum(col("c") - lag(col("c"), 1).over(wd))
+        .cast("long"))
+      .filter(col("sg").isNotNull && col("sg") =!= 0)
+    val runs = sg
+      .withColumn("brk",
+        when(col("sg") === lag(col("sg"), 1).over(wd), 0L).otherwise(1L))
+      .agg(sum(col("brk")).as("r"),
+        sum(when(col("sg") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sg") === -1, 1L).otherwise(0L)).as("n_down"))
+    val n1 = col("n_up").cast("double")
+    val n2 = col("n_down").cast("double")
+    val nT = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / nT + 1
+    val s2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nT) /
+      (nT * nT * (nT - 1))
+    runs.select(col("n_up"), col("n_down"), col("r").as("runs"),
+      when(col("n_up") > 0 && col("n_down") > 0 && nT > 1 && s2 > 0,
+        q((col("r").cast("double") - mu) / sqrt(s2), 6))
+        .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** Page–Hinkley change detector (W346) on the daily event-count
+    * series — the sequential drift monitor a feed-health pipeline runs
+    * where [[cusumChangepoint]] locates a single retrospective break:
+    * PH_t = Σ_{i≤t}(x_i − x̄_i − δ) against its running minimum, alarm
+    * when the gap exceeds λ. The deviation is quantized to a 1e-9
+    * integer grid per day BEFORE the cumulative sum (x̄_i = S_i/i is
+    * rational, and neither engine guarantees left-to-right double
+    * accumulation inside a window frame), so PH, its prefix minimum,
+    * and the alarm comparison are all exact LONG arithmetic.
+    * Output: days observed, max excursion (1e-6 grid), first alarm
+    * day index (NULL-free: -1 when no alarm), alarm count.
+    * Scale: day-cardinality spine after one day-keyed count.
+    */
+  def pageHinkley(s: SparkSession, dir: String,
+                  delta: Double = 2.0, lambda: Double = 40.0): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val wd = Window.orderBy("day")
+    val cum = daily
+      .withColumn("i", row_number().over(wd).cast("long"))
+      .withColumn("sc", sum(col("c")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+    val dev9 = floor((col("c").cast("double") -
+      col("sc").cast("double") / col("i") - lit(delta)) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val ph = cum.withColumn("d9", dev9)
+      .withColumn("ph9", sum(col("d9")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("mn9", min(col("ph9")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("exc9", col("ph9") - col("mn9"))
+    val lam9 = (lambda * 1e9).toLong
+    ph.agg(count(lit(1)).as("n_days"),
+      q(max(col("exc9")).cast("double") / lit(1e9), 6).as("max_excursion"),
+      coalesce(min(when(col("exc9") > lam9, col("i"))), lit(-1L))
+        .as("first_alarm_i"),
+      sum(when(col("exc9") > lam9, 1L).otherwise(0L)).as("alarm_days"))
+  }
 }

@@ -2317,4 +2317,92 @@ object Relational {
         Events.q(col("c_ab").cast("double") /
           sqrt(col("ca").cast("double") * col("cb")), 6).as("cosine"))
   }
+
+  /** Revenue in exact 1e-4 currency units: cents(price) × (100 −
+    * cents(discount)) — both factors are small integers recovered from
+    * the doubles by the deterministic floor(x·100+0.5), so every
+    * downstream sum can run in DECIMAL with zero float drift. */
+  private def rev4: Column =
+    (floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long")))
+
+  /** Herfindahl–Hirschman concentration index (W349) of supplier-nation
+    * revenue shares within each region — the market-concentration
+    * readout ("is one nation carrying this region's supply?") that the
+    * antitrust literature popularized and a sourcing dashboard reads as
+    * single-point-of-failure risk. Revenue is exact 1e-4-unit integers
+    * ([[rev4]]), per-(region, nation) and per-region sums are exact
+    * DECIMAL, each nation's share² lands on a 1e-12 LONG grid before
+    * the cross-nation sum (nation arrival order must not wiggle bits),
+    * and HHI surfaces on the 1e-6 grid. Scale: one lineitem-keyed agg
+    * against broadcast dims; the share grid is nation-cardinality.
+    */
+  def herfindahlIndex(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"), col("r_name"))
+    val byNation = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), rev4.as("rv"))
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("rv").cast("decimal(38,0)")).as("nrev"))
+    val byRegion = byNation.groupBy("r_name")
+      .agg(sum(col("nrev")).as("rrev"))
+    val share = col("nrev").cast("double") / col("rrev").cast("double")
+    byNation.join(byRegion, "r_name")
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        sum(floor(share * share * lit(1e12) + lit(0.5)).cast("long"))
+          .as("h12"))
+      .select(col("r_name").as("region"), col("n_nations"),
+        Events.q(col("h12").cast("double") / lit(1e12), 6).as("hhi"))
+      .orderBy("region")
+  }
+
+  /** Lorenz curve deciles + Gini coefficient (W350) of per-customer
+    * revenue — the inequality readout behind "what share of revenue do
+    * the bottom 80% of customers carry?", and the continuous dual of
+    * [[revenueShare]]'s fixed top-k cut. Per-customer revenue is exact
+    * 1e-4-unit DECIMAL; customers sort ascending by (revenue, custkey)
+    * so ranks are total-order deterministic; Σ i·xᵢ and the decile
+    * cumulative sums stay DECIMAL-exact; Gini divides exact terms once:
+    * G = (2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx). Ten rows: decile upper bound's
+    * cumulative revenue share, plus the scalar Gini broadcast onto
+    * each. Scale: the spine is CUSTOMER-cardinality (lineitem collapses
+    * in the first keyed agg); the rank window is the one global-order
+    * stage — at 100 TB this becomes a range-partitioned sort + offset
+    * fix-up, same as every quantile op in this file.
+    */
+  def lorenzGini(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), rev4.as("rv"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rv").cast("decimal(38,0)")).as("x"))
+    val w = Window.orderBy(col("x"), col("o_custkey"))
+    val ranked = per.withColumn("i", row_number().over(w).cast("long"))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("i").cast("decimal(38,0)")).as("six"))
+    val deciles = ranked.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("x")).over(
+        Window.orderBy(col("x"), col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      // explicit floor: integer/integer division promotes to DOUBLE in
+      // both engines, but their double→int casts disagree on rounding
+      .withColumn("dec", (floor((col("i") - 1) * 10 / col("n")) + 1)
+        .cast("int"))
+      .groupBy("dec", "n", "sx", "six")
+      .agg(max(col("cum")).as("cumx"))
+    val gini = (lit(2.0) * col("six").cast("double") -
+      (col("n") + 1).cast("double") * col("sx").cast("double")) /
+      (col("n").cast("double") * col("sx").cast("double"))
+    deciles.select(col("dec").as("decile"),
+      Events.q(col("cumx").cast("double") / col("sx").cast("double"), 6)
+        .as("cum_rev_share"),
+      Events.q(gini, 6).as("gini"))
+      .orderBy("decile")
+  }
 }

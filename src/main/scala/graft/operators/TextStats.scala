@@ -1186,4 +1186,74 @@ object TextStats {
           .as("gt_mass"))
       .orderBy("r")
   }
+
+  /** Cramér's V (W347) for the lang × source contingency table — the
+    * normalized strength companion to a raw χ² test: "are sources
+    * language-skewed, and by how much on a 0..1 scale?" is the question
+    * a curation pipeline asks before trusting per-source language
+    * quotas. The full grid (including EMPTY cells, which still
+    * contribute their expected mass to χ²) comes from a cross join of
+    * the two margins — r·c rows, a broadcast-sized dimension product
+    * regardless of corpus size. Each cell's (o−e)²/e term is floor-
+    * quantized to a 1e-9 LONG before the cross-cell sum so cell arrival
+    * order can't wiggle low bits; V = √(χ²/(N·(min(r,c)−1))).
+    * Scale: one (lang, source)-keyed count; everything after is
+    * margin-cardinality-bound.
+    */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("lang", "source")
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy("lang").agg(sum(col("o")).as("nl"))
+    val colM = cells.groupBy("source").agg(sum(col("o")).as("nc"))
+    val n = docs.agg(count(lit(1)).as("nn"),
+      countDistinct(col("lang")).as("r_levels"),
+      countDistinct(col("source")).as("c_levels"))
+    val grid = rowM.crossJoin(colM)
+      .join(cells, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(n))
+    val e = col("nl").cast("double") * col("nc") / col("nn")
+    val t9 = floor((col("o") - e) * (col("o") - e) / e * lit(1e9) +
+      lit(0.5)).cast("long")
+    val chi2 = col("chi9").cast("double") / lit(1e9)
+    grid.groupBy("nn", "r_levels", "c_levels")
+      .agg(sum(t9).as("chi9"))
+      .select(col("nn").as("n_docs"), col("r_levels"), col("c_levels"),
+        Events.q(chi2, 6).as("chi2"),
+        Events.q(sqrt(chi2 / (col("nn") *
+          (least(col("r_levels"), col("c_levels")) - 1))), 6).as("v"))
+  }
+
+  /** Cohen's kappa (W348) between two cheap document-quality raters —
+    * a char-length gate and a whitespace-token gate — the chance-
+    * corrected agreement score every labeling pipeline reports before
+    * trusting a heuristic as a silver label (raw percent agreement
+    * rewards voting with the majority class; kappa doesn't). All four
+    * confusion cells are exact integers from one pass; p_o and p_e are
+    * exact-integer ratios combined in a single fixed expression.
+    * Scale: one full-scan aggregate, no shuffle beyond the 4-cell
+    * partial-agg merge.
+    */
+  def cohensKappa(s: SparkSession, dir: String,
+                  charsMin: Long = 300, toksMin: Long = 55): DataFrame = {
+    val rated = Tables.documents(s, dir).select(
+      (col("n_chars") >= charsMin).cast("long").as("ra"),
+      (size(tokenize(col("text"))) >= toksMin).cast("long").as("rb"))
+    val cellsAgg = rated.agg(count(lit(1)).as("n"),
+      sum(col("ra") * col("rb")).as("n11"),
+      sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+      sum((lit(1L) - col("ra")) * col("rb")).as("n01"),
+      sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")).cast("double") *
+      (col("n11") + col("n01")) +
+      (col("n01") + col("n00")).cast("double") *
+        (col("n10") + col("n00"))) / (nD * nD)
+    cellsAgg.select(col("n").as("n_docs"), col("n11"), col("n10"),
+      col("n01"), col("n00"), Events.q(po, 6).as("p_observed"),
+      Events.q(pe, 6).as("p_expected"),
+      when(pe < 1.0, Events.q((po - pe) / (lit(1.0) - pe), 6))
+        .otherwise(lit(0.0)).as("kappa"))
+  }
 }
