@@ -505,6 +505,14 @@ object SparkEntry {
     "cohens_kappa" -> ((s, d) => TextStats.cohensKappa(s, d)),
     "herfindahl_index" -> ((s, d) => Relational.herfindahlIndex(s, d)),
     "lorenz_gini" -> ((s, d) => Relational.lorenzGini(s, d)),
+    // round-5 batch P: walk-count centrality, corpus-comparison terms,
+    // ranking/shape/distribution metrics, generative baseline
+    "katz_centrality" -> ((s, d) => Graph.katzCentrality(s, d)),
+    "log_odds_terms" -> ((s, d) => TextStats.logOddsTerms(s, d)),
+    "pr_auc" -> ((s, d) => TextStats.prAuc(s, d)),
+    "cvm_test" -> ((s, d) => Events.cvmTest(s, d)),
+    "skew_kurtosis" -> ((s, d) => Events.skewKurtosis(s, d)),
+    "gaussian_nb" -> ((s, d) => Similarity.gaussianNb(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -647,6 +655,30 @@ object SparkEntry {
       blocks.mkString(",\n") + "\n" +
       s"SELECT id, round(r, 9) AS rank FROM r$rounds" +
       s" ORDER BY round(r, 9) DESC, id LIMIT $k"
+  }
+
+  /** Unrolled Katz walk-count rounds (mirrors `Graph.katzCentrality`:
+    * exact INTEGER walk counts w_t(j) = Σ_{i→j} w_{t-1}(i), score =
+    * Σ α^t·w_t as one fixed expression whose α^t literals are the
+    * SAME doubles Scala's math.pow produced on the Spark side —
+    * shortest-repr round-trip makes them bit-identical in DuckDB). */
+  private def katzOracleSql(rounds: Int, alpha: Double, k: Int): String = {
+    val blocks = (1 to rounds).map { t =>
+      s"w$t AS MATERIALIZED (SELECT e.dst AS id," +
+        s" sum(p.w)::HUGEINT AS w" +
+        s" FROM edges e JOIN w${t - 1} p ON p.id = e.src GROUP BY e.dst)"
+    }
+    val joins = (1 to rounds)
+      .map(t => s"LEFT JOIN w$t ON w$t.id = n.id").mkString(" ")
+    val score = (1 to rounds)
+      .map(t => s"${math.pow(alpha, t)} * coalesce(w$t.w, 0)::DOUBLE")
+      .mkString(" + ")
+    s"WITH $GraphCte,\n" +
+      "w0 AS MATERIALIZED (SELECT id, 1::HUGEINT AS w FROM nodes),\n" +
+      blocks.mkString(",\n") + "\n" +
+      s"SELECT n.id, floor(($score) * 1e9 + 0.5) / 1e9 AS katz" +
+      s" FROM nodes n $joins" +
+      s" ORDER BY katz DESC, n.id LIMIT $k"
   }
 
   /** Unrolled WEIGHTED-PPR rounds (mirrors `Graph.weightedPpr`: link
@@ -8539,6 +8571,162 @@ object SparkEntry {
            floor((2.0 * six::DOUBLE - (n + 1)::DOUBLE * sx::DOUBLE) /
              (n::DOUBLE * sx::DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
          FROM dec ORDER BY decile""",
+    // Katz centrality: exact integer walk counts, unrolled 6 rounds
+    "katz_centrality" -> katzOracleSql(6, 0.05, 20),
+    // Monroe log-odds with informative Dirichlet prior (mirrors
+    // TextStats.logOddsTerms: a0=500, srcA='src0')
+    "log_odds_terms" -> s"""$TokCte,
+         tok AS (SELECT d.source, unnest(t.ts) AS tk
+                 FROM toks t JOIN documents d USING (doc_id)),
+         counts AS (SELECT tk AS term,
+                      sum((source = 'src0')::BIGINT)::BIGINT AS ya,
+                      sum((source <> 'src0')::BIGINT)::BIGINT AS yb
+                    FROM tok GROUP BY 1),
+         tots AS (SELECT sum(ya)::BIGINT AS na, sum(yb)::BIGINT AS nb
+                  FROM counts),
+         sc AS (SELECT term, ya, yb, na, nb,
+                  500.0 * (ya + yb) / (na + nb) AS aw
+                FROM counts, tots),
+         z AS (SELECT term, ya, yb,
+                 ln((ya + aw) / (na + 500.0 - ya - aw)) -
+                   ln((yb + aw) / (nb + 500.0 - yb - aw)) AS delta,
+                 1.0 / (ya + aw) + 1.0 / (yb + aw) AS s2
+               FROM sc)
+         SELECT term, ya, yb,
+           floor(delta * 1e6 + 0.5) / 1e6 AS delta,
+           floor(delta / sqrt(s2) * 1e6 + 0.5) / 1e6 AS z
+         FROM z ORDER BY z DESC, term LIMIT 15""",
+    // average precision of the en-stopword-share ranker (mirrors
+    // TextStats.prAuc: 1e-9 share grid, (share, doc_id) total order)
+    "pr_auc" -> s"""$TokCte,
+         sc AS (SELECT t.doc_id, (d.lang = 'en')::BIGINT AS y,
+                  floor(len(list_filter(t.ts, x -> list_contains(
+                    ${sqlList(graft.operators.TextStats.Stopwords.head._2)},
+                    x)))::DOUBLE * 1e9 / len(t.ts))::BIGINT AS s9
+                FROM toks t JOIN documents d USING (doc_id)
+                WHERE len(t.ts) > 0),
+         rk AS (SELECT doc_id, y, s9,
+                  row_number() OVER (ORDER BY s9 DESC, doc_id)::BIGINT
+                    AS k,
+                  sum(y) OVER (ORDER BY s9 DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    ::BIGINT AS tp
+                FROM sc),
+         a AS (SELECT count(*)::BIGINT AS n_docs,
+                 sum(y)::BIGINT AS n_pos,
+                 sum(CASE WHEN y = 1
+                     THEN floor(tp::DOUBLE * 1e9 / k + 0.5)::BIGINT
+                     ELSE 0 END)::BIGINT AS ap9,
+                 max(CASE WHEN k <= 10 THEN tp END)::BIGINT AS tp10
+               FROM rk)
+         SELECT n_docs, n_pos,
+           floor(ap9::DOUBLE / n_pos / 1e9 * 1e6 + 0.5) / 1e6 AS ap,
+           floor(tp10::DOUBLE / 10 * 1e6 + 0.5) / 1e6 AS p_at_10
+         FROM a""",
+    // two-sample Cramer-von Mises on combined ranks (mirrors
+    // Events.cvmTest: (grid, type, event_id) total order)
+    "cvm_test" ->
+      """WITH vi AS (
+           SELECT event_type, event_id,
+                  floor("value" * 1e6 + 0.5)::BIGINT AS vi
+           FROM events
+           WHERE "value" IS NOT NULL
+             AND event_type IN ('click', 'purchase')),
+         rk AS (SELECT event_type,
+                  row_number() OVER (ORDER BY vi, event_type, event_id)
+                    ::BIGINT AS r,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY vi, event_type, event_id)::BIGINT AS i
+                FROM vi),
+         g AS (SELECT event_type, count(*)::BIGINT AS n,
+                 sum((r - i) * (r - i))::HUGEINT AS sq
+               FROM rk GROUP BY 1),
+         ab AS (SELECT a.n AS n_a, a.sq AS sq_a, b.n AS n_b, b.sq AS sq_b
+                FROM (SELECT * FROM g WHERE event_type = 'click') a,
+                     (SELECT * FROM g WHERE event_type = 'purchase') b)
+         SELECT n_a, n_b,
+           floor(((n_a::HUGEINT * sq_a + n_b::HUGEINT * sq_b)::DOUBLE /
+             (n_a::DOUBLE * n_b::DOUBLE * (n_a::DOUBLE + n_b::DOUBLE)) -
+             (4.0 * n_a::DOUBLE * n_b::DOUBLE - 1) /
+             (6.0 * (n_a::DOUBLE + n_b::DOUBLE))) * 1e6 + 0.5) / 1e6
+             AS t_stat
+         FROM ab""",
+    // exact moment skew/kurtosis (mirrors Events.skewKurtosis: 1e-2
+    // grid, per-group integer-mean centering, DECIMAL power sums)
+    "skew_kurtosis" ->
+      """WITH vi AS (
+           SELECT event_type, floor("value" * 100 + 0.5)::BIGINT AS vi
+           FROM events WHERE "value" IS NOT NULL),
+         c AS (SELECT event_type AS et,
+                 floor(sum(vi)::DOUBLE / count(*))::BIGINT AS c0
+               FROM vi GROUP BY 1),
+         d AS (SELECT event_type, c0, vi - c0 AS d
+               FROM vi JOIN c ON event_type = et),
+         g AS (SELECT event_type, c0, count(*)::BIGINT AS n,
+                 sum(d)::HUGEINT AS s1, sum(d * d)::HUGEINT AS s2,
+                 sum(d * d * d)::HUGEINT AS s3,
+                 sum(d * d * d * d)::HUGEINT AS s4
+               FROM d GROUP BY 1, 2),
+         m AS (SELECT event_type, n, c0, s1::DOUBLE / n AS m1,
+                 s2::DOUBLE / n AS r2, s3::DOUBLE / n AS r3,
+                 s4::DOUBLE / n AS r4
+               FROM g),
+         mm AS (SELECT event_type, n, c0, m1,
+                  r2 - m1 * m1 AS m2,
+                  r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+                  r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 -
+                    3.0 * m1 * m1 * m1 * m1 AS m4
+                FROM m)
+         SELECT event_type, n,
+           floor((c0::DOUBLE + m1) / 100 * 1e6 + 0.5) / 1e6 AS mean,
+           CASE WHEN m2 > 0
+                THEN floor(m3 / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS skewness,
+           CASE WHEN m2 > 0
+                THEN floor((m4 / (m2 * m2) - 3) * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS kurtosis_excess
+         FROM mm ORDER BY event_type""",
+    // Gaussian NB confusion matrix (mirrors Similarity.gaussianNb:
+    // 1e-9 coordinate grid, per-dim 1e-9 log-density terms, smallest-
+    // label argmax tiebreak)
+    "gaussian_nb" ->
+      """WITH xd AS (
+           SELECT vec_id, label,
+                  floor(x::DOUBLE * 1e9 + 0.5)::BIGINT AS x9, pos
+           FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings)),
+         st AS (SELECT label AS cls, pos, count(*)::BIGINT AS n,
+                  sum(x9)::HUGEINT AS sv,
+                  sum(x9 * x9)::HUGEINT AS sv2
+                FROM xd GROUP BY 1, 2),
+         pr AS (SELECT label AS cls,
+                  floor(ln(count(*)::DOUBLE /
+                    (SELECT count(*) FROM embeddings)) * 1e9 + 0.5)
+                    ::BIGINT AS prior9
+                FROM embeddings GROUP BY 1),
+         t AS (SELECT xd.vec_id, xd.label, st.cls,
+                 CASE WHEN (sv2::DOUBLE -
+                        sv::DOUBLE * sv::DOUBLE / n) / n > 0
+                      THEN floor((-(x9 - sv::DOUBLE / n) *
+                        (x9 - sv::DOUBLE / n) /
+                        (2.0 * ((sv2::DOUBLE -
+                          sv::DOUBLE * sv::DOUBLE / n) / n)) -
+                        ln(6.283185307179586 *
+                          ((sv2::DOUBLE -
+                            sv::DOUBLE * sv::DOUBLE / n) / n) / 1e18)
+                          / 2) * 1e9 + 0.5)::BIGINT
+                      ELSE 0 END AS t9
+               FROM xd JOIN st ON xd.pos = st.pos),
+         ll AS (SELECT vec_id, label, cls, sum(t9)::BIGINT AS s9
+                FROM t GROUP BY 1, 2, 3),
+         scr AS (SELECT vec_id, label, ll.cls,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY s9 + prior9 DESC, ll.cls) AS rn
+                 FROM ll JOIN pr ON ll.cls = pr.cls)
+         SELECT label, cls AS predicted, count(*)::BIGINT AS n_vectors
+         FROM scr WHERE rn = 1
+         GROUP BY 1, 2 ORDER BY label, predicted""",
   )
 
   private def sqlList(words: Seq[String]): String =

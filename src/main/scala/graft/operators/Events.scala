@@ -3957,4 +3957,98 @@ object Events {
         .as("first_alarm_i"),
       sum(when(col("exc9") > lam9, 1L).otherwise(0L)).as("alarm_days"))
   }
+
+  /** Two-sample Cramér–von Mises test (W354) between the value
+    * distributions of two event types — the whole-distribution
+    * companion to [[ksStatistic]]'s single-worst-gap view (CvM
+    * integrates the squared ECDF gap, so it sees diffuse shifts KS
+    * misses). Computational form on combined ranks (Anderson 1962):
+    * U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)²,
+    * T = U/(nm(n+m)) − (4nm−1)/(6(n+m)).
+    * Ranks come from one TOTAL order — (value-grid, type, event_id) —
+    * so ties across samples break deterministically (documented: the
+    * classic statistic assumes continuity; the fixed tiebreak makes
+    * the discrete version exact and engine-order-free). Everything to
+    * U is integer (squared rank gaps summed in DECIMAL); T divides
+    * exact terms once. Scale: one global rank window over the
+    * two-type subset, the sort-bound stage every rank test shares.
+    */
+  def cvmTest(s: SparkSession, dir: String,
+              typeA: String = "click", typeB: String = "purchase")
+  : DataFrame = {
+    val vi = Tables.events(s, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+    val ord = Seq(col("vi"), col("event_type"), col("event_id"))
+    val ranked = vi
+      .withColumn("r", row_number().over(Window.orderBy(ord: _*))
+        .cast("long"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy(ord: _*)).cast("long"))
+    val g = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(((col("r") - col("i")) * (col("r") - col("i")))
+          .cast("decimal(38,0)")).as("sq"))
+    def side(sfx: String, t: String) = g.filter(col("event_type") === t)
+      .select(col("n").as(s"n_$sfx"), col("sq").as(s"sq_$sfx"))
+    val u = col("n_a").cast("decimal(38,0)") * col("sq_a") +
+      col("n_b").cast("decimal(38,0)") * col("sq_b")
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val t = u.cast("double") / (na * nb * (na + nb)) -
+      (lit(4.0) * na * nb - 1) / (lit(6.0) * (na + nb))
+    side("a", typeA).crossJoin(side("b", typeB))
+      .select(col("n_a"), col("n_b"), q(t, 6).as("t_stat"))
+  }
+
+  /** Exact third/fourth standardized moments (W355) of value per event
+    * type — the shape profile (skewness, excess kurtosis) that
+    * [[Relational.statsAgg]]'s variance tier stops short of, and the
+    * screen run before trusting any normal-theory test on a spend
+    * column. Values land on a 1e-2 grid (coarse ON PURPOSE: the grid
+    * bounds |d|⁴ under LONG per row at any value scale), are centered
+    * on the per-group integer mean floor, and all four power sums
+    * accumulate in DECIMAL(38,0) — the moment expansion
+    * m₂ = Σd²/n − m₁², m₃ = Σd³/n − 3m₁Σd²/n + 2m₁³,
+    * m₄ = Σd⁴/n − 4m₁Σd³/n + 6m₁²Σd²/n − 3m₁⁴
+    * then runs per group as one fixed expression (skew uses
+    * m₂·√m₂, never libm pow). Scale: two value-keyed aggregations
+    * (mean pass, moment pass) with the k-row mean table broadcast.
+    */
+  def skewKurtosis(s: SparkSession, dir: String): DataFrame = {
+    val vi = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("vi"))
+    val c = vi.groupBy(col("event_type").as("et"))
+      .agg(floor(sum(col("vi").cast("decimal(38,0)")).cast("double") /
+        count(lit(1))).cast("long").as("c0"))
+    val d = vi.join(broadcast(c), col("event_type") === col("et"))
+      .select(col("event_type"), col("c0"), (col("vi") - col("c0")).as("d"))
+    val g = d.groupBy("event_type", "c0")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d").cast("decimal(38,0)")).as("s1"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("s2"),
+        sum((col("d") * col("d") * col("d")).cast("decimal(38,0)"))
+          .as("s3"),
+        sum((col("d") * col("d") * col("d") * col("d"))
+          .cast("decimal(38,0)")).as("s4"))
+    val n = col("n").cast("double")
+    val m1 = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - m1 * m1
+    val m3 = col("s3").cast("double") / n -
+      lit(3.0) * m1 * (col("s2").cast("double") / n) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = col("s4").cast("double") / n -
+      lit(4.0) * m1 * (col("s3").cast("double") / n) +
+      lit(6.0) * m1 * m1 * (col("s2").cast("double") / n) -
+      lit(3.0) * m1 * m1 * m1 * m1
+    g.select(col("event_type"), col("n"),
+        q((col("c0").cast("double") + m1) / 100, 6).as("mean"),
+        when(m2 > 0, q(m3 / (m2 * sqrt(m2)), 6)).otherwise(lit(0.0))
+          .as("skewness"),
+        when(m2 > 0, q(m4 / (m2 * m2) - 3, 6)).otherwise(lit(0.0))
+          .as("kurtosis_excess"))
+      .orderBy("event_type")
+  }
 }

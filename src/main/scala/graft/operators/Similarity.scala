@@ -1186,4 +1186,62 @@ object Similarity {
     }.reduce(_ unionAll _)
     out.orderBy("subspace", "code")
   }
+
+  /** Gaussian naive Bayes over the embedding table (W356): per-(label,
+    * dim) mean/variance fit plus diagonal-covariance log-likelihood
+    * scoring, surfaced as the resubstitution confusion matrix — the
+    * generative counterpart to [[knnLabelConsistency]]'s instance-based
+    * check of how separable the embedding space's labels are (NB fits
+    * 2·L·D numbers; if THIS can classify the space, the labels are
+    * linearly-ish separable per dim). Coordinates land on a 1e-9 LONG
+    * grid so the (label, dim) moment sums are exact DECIMAL; each
+    * per-dim log-density term −(x−μ)²/(2σ²) − ln(2πσ²)/2 quantizes to
+    * a 1e-9 LONG before the per-vector sum (dim arrival order must not
+    * wiggle bits); zero-variance dims contribute nothing (flagged by
+    * the guard, not an ε-fudge); argmax breaks ties toward the
+    * smallest label via one rank window. Scale: the L·D stats table is
+    * a broadcast dimension; scoring is one pass over exploded
+    * vector-dims × L — linear in corpus size, no self-join anywhere.
+    */
+  def gaussianNb(s: SparkSession, dir: String): DataFrame = {
+    val xd = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1e9) + lit(0.5)).cast("long")
+          .as("x9"))
+    val stats = xd.groupBy(col("label").as("cls"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x9").cast("decimal(38,0)")).as("sv"),
+        sum((col("x9") * col("x9")).cast("decimal(38,0)")).as("sv2"))
+    val priors = Tables.embeddings(s, dir).groupBy(col("label").as("cls"))
+      .agg(count(lit(1)).as("nl"))
+      .crossJoin(broadcast(
+        Tables.embeddings(s, dir).agg(count(lit(1)).as("nv"))))
+      .select(col("cls"),
+        floor(log(col("nl").cast("double") / col("nv")) * lit(1e9) +
+          lit(0.5)).cast("long").as("prior9"))
+    val mu = col("sv").cast("double") / col("n")
+    val v18 = (col("sv2").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double") / col("n")) /
+      col("n")
+    val term = -(col("x9") - mu) * (col("x9") - mu) / (lit(2.0) * v18) -
+      log(lit(2.0 * math.Pi) * v18 / lit(1e18)) / 2
+    val ll = xd.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("label"), col("cls"),
+        when(v18 > 0, floor(term * lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(0L).as("t9"))
+      .groupBy("vec_id", "label", "cls")
+      .agg(sum(col("t9")).as("s9"))
+      .join(broadcast(priors), "cls")
+      .select(col("vec_id"), col("label"), col("cls"),
+        (col("s9") + col("prior9")).as("ll9"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ll9").desc, col("cls"))
+    ll.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("label", "predicted")
+  }
 }

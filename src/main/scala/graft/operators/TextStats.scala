@@ -1187,6 +1187,82 @@ object TextStats {
       .orderBy("r")
   }
 
+  /** Monroe–Colaresi–Quinn log-odds with an informative Dirichlet
+    * prior (W352): which terms distinguish source `srcA`'s documents
+    * from the rest of the corpus, shrunk toward the corpus-wide term
+    * distribution so rare terms can't dominate on noise — the
+    * fightin'-words statistic that fixed the known failure modes of
+    * raw log-odds, PMI, and tf-idf for corpus comparison (Monroe et
+    * al. 2008), and the sibling of [[keynessG2]]'s likelihood-ratio
+    * view. Per-term counts y_a/y_b are exact integers from one
+    * token-keyed aggregation; prior mass α_w = a0·f_w/N is a fixed
+    * rational per term; δ_w and its variance 1/(y_a+α)+1/(y_b+α)
+    * are single fixed expressions (two `ln` calls — the board's
+    * standard libm-parity exposure, quantized at 1e-6). Top-`k` by
+    * quantized z, term tiebreak. Scale: token-cardinality spine,
+    * corpus scalars broadcast.
+    */
+  def logOddsTerms(s: SparkSession, dir: String, srcA: String = "src0",
+                   a0: Double = 500.0, k: Int = 15): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(tokenize(col("text"))).as("t"))
+    val counts = tok.groupBy("t").agg(
+      sum((col("source") === srcA).cast("long")).as("ya"),
+      sum((col("source") =!= srcA).cast("long")).as("yb"))
+    val tots = counts.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"))
+    val nn = col("na") + col("nb")
+    val aw = lit(a0) * (col("ya") + col("yb")) / nn
+    val delta = log((col("ya") + aw) /
+        (col("na") + lit(a0) - col("ya") - aw)) -
+      log((col("yb") + aw) / (col("nb") + lit(a0) - col("yb") - aw))
+    val sigma2 = lit(1.0) / (col("ya") + aw) + lit(1.0) / (col("yb") + aw)
+    counts.crossJoin(broadcast(tots))
+      .select(col("t").as("term"), col("ya"), col("yb"),
+        Events.q(delta, 6).as("delta"),
+        Events.q(delta / sqrt(sigma2), 6).as("z"))
+      .orderBy(col("z").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Average precision / PR-AUC (W353) of the stopword-share English
+    * scorer against the fixture's lang labels — the ranking-quality
+    * readout that, unlike ROC-AUC (`sgd_auc`), doesn't reward a
+    * classifier for its performance on the overwhelming negative mass:
+    * AP = (1/P)·Σ_{positives k} tp_k/k over the score-ranked corpus.
+    * The score is the exact integer pair (en-stopword hits, tokens)
+    * quantized to a 1e-9 LONG share, the rank order is total
+    * ((share, doc_id) desc/asc), tp_k is a window-cumulated integer,
+    * and each precision term lands on a 1e-9 LONG grid before the one
+    * cross-row sum. Scale: one per-doc map + one global rank window
+    * (doc-cardinality — the sort-bound stage every ranking metric
+    * shares, range-partitioned at cluster scale).
+    */
+  def prAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val en = Stopwords.head._2
+    val scored = tokenized(s, dir)
+      .filter(size(col("ts")) > 0)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
+        floor(stopCount(col("ts"), en).cast("double") * lit(1e9) /
+          size(col("ts"))).as("s9"))
+    val w = Window.orderBy(col("s9").desc, col("doc_id"))
+    val ranked = scored
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("tp", sum(col("y")).over(
+        Window.orderBy(col("s9").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    ranked.agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(when(col("y") === 1,
+          floor(col("tp").cast("double") * lit(1e9) / col("k") + lit(0.5))
+            .cast("long")).otherwise(0L)).as("ap9"),
+        max(when(col("k") <= 10, col("tp"))).as("tp10"))
+      .select(col("n_docs"), col("n_pos"),
+        Events.q(col("ap9").cast("double") / col("n_pos") / lit(1e9), 6)
+          .as("ap"),
+        Events.q(col("tp10").cast("double") / 10, 6).as("p_at_10"))
+  }
+
   /** Cramér's V (W347) for the lang × source contingency table — the
     * normalized strength companion to a raw χ² test: "are sources
     * language-skewed, and by how much on a 0..1 scale?" is the question
