@@ -513,6 +513,13 @@ object SparkEntry {
     "cvm_test" -> ((s, d) => Events.cvmTest(s, d)),
     "skew_kurtosis" -> ((s, d) => Events.skewKurtosis(s, d)),
     "gaussian_nb" -> ((s, d) => Similarity.gaussianNb(s, d)),
+    // round-5 batch Q: residual whiteness + spectral seasonality,
+    // sketch/sampling estimator audits, marginal raking
+    "ljung_box" -> ((s, d) => Events.ljungBox(s, d)),
+    "periodogram_topk" -> ((s, d) => Events.periodogramTopk(s, d)),
+    "ams_f2_audit" -> ((s, d) => Relational.amsF2(s, d)),
+    "priority_sample_audit" -> ((s, d) => Relational.prioritySample(s, d)),
+    "ipf_raking" -> ((s, d) => Curation.ipfRaking(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -8727,6 +8734,161 @@ object SparkEntry {
          SELECT label, cls AS predicted, count(*)::BIGINT AS n_vectors
          FROM scr WHERE rn = 1
          GROUP BY 1, 2 ORDER BY label, predicted""",
+    // Ljung-Box on exact-integer z_t = n*y_t - sum(y) autocorrelations
+    // (mirrors Events.ljungBox: lags 1..7, 1e-12 LONG Q terms)
+    "ljung_box" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (SELECT s.day, coalesce(y, 0)::BIGINT AS y
+                   FROM spine s LEFT JOIN daily0 USING (day)),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+                 FROM dense),
+         z AS (SELECT day, n, (n * y - sy)::BIGINT AS z FROM dense, tot),
+         a0 AS (SELECT sum(z * z)::HUGEINT AS a0, max(n)::BIGINT AS n
+                FROM z),
+         lags AS (SELECT unnest(range(1, 8))::INT AS lag),
+         ak AS (SELECT lag, sum(z1.z * z2.z)::HUGEINT AS ak
+                FROM lags l
+                JOIN z z1 ON true
+                JOIN z z2 ON z2.day = z1.day + l.lag
+                GROUP BY 1),
+         t AS (SELECT lag, ak::DOUBLE / a0::DOUBLE AS rho, n,
+                 floor(ak::DOUBLE / a0::DOUBLE *
+                   (ak::DOUBLE / a0::DOUBLE) / (n - lag) * 1e12)
+                   ::BIGINT AS t12
+               FROM ak, a0),
+         cum AS (SELECT lag, rho, n,
+                   sum(t12) OVER (ORDER BY lag
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     ::BIGINT AS c12
+                 FROM t)
+         SELECT lag, floor(rho * 1e6 + 0.5) / 1e6 AS rho,
+           floor(n::DOUBLE * (n::DOUBLE + 2) * (c12::DOUBLE / 1e12) *
+             1e6 + 0.5) / 1e6 AS q_stat
+         FROM cum ORDER BY lag""",
+    // mean-removed DFT power at periods 2..14 (mirrors
+    // Events.periodogramTopk: phase reduced mod p before cos/sin,
+    // per-term 1e-6 LONG grid)
+    "periodogram_topk" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day - (SELECT min(day) FROM daily0) AS t,
+                  coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+                 FROM dense),
+         z AS (SELECT t, n, (n * y - sy)::BIGINT AS z FROM dense, tot),
+         ps AS (SELECT unnest(range(2, 15))::INT AS p),
+         terms AS (SELECT p, n,
+                     floor(z * cos(6.283185307179586 *
+                       ((t % p)::DOUBLE / p)) * 1e6 + 0.5)::BIGINT AS c6,
+                     floor(z * sin(6.283185307179586 *
+                       ((t % p)::DOUBLE / p)) * 1e6 + 0.5)::BIGINT AS s6
+                   FROM z, ps),
+         g AS (SELECT p, n, sum(c6)::BIGINT AS cs, sum(s6)::BIGINT AS ss
+               FROM terms GROUP BY 1, 2)
+         SELECT p AS period,
+           floor(((cs::DOUBLE / 1e6) * (cs::DOUBLE / 1e6) +
+                  (ss::DOUBLE / 1e6) * (ss::DOUBLE / 1e6)) /
+             (n::DOUBLE * n::DOUBLE) * 1e6 + 0.5) / 1e6 AS power
+         FROM g ORDER BY power DESC, period LIMIT 3""",
+    // AMS F2 sign-sketch vs exact second moment (mirrors
+    // Relational.amsF2: 16 rows, middle-bit poly-hash coin)
+    "ams_f2_audit" ->
+      """WITH counts AS (SELECT l_orderkey, count(*)::BIGINT AS c
+                         FROM lineitem GROUP BY 1),
+         ex AS (SELECT sum(c * c)::HUGEINT AS f2,
+                  count(*)::BIGINT AS n_keys
+                FROM counts),
+         iz AS (SELECT unnest(range(0, 16)) AS i),
+         sk AS (SELECT i,
+                  sum((CASE WHEN substr(md5(l_orderkey::VARCHAR || '-' ||
+                    i::VARCHAR), 32, 1) IN ('1','3','5','7','9','b',
+                    'd','f') THEN -1 ELSE 1 END) * c)::HUGEINT AS x
+                FROM counts, iz GROUP BY 1),
+         sx AS (SELECT sum(x * x)::HUGEINT AS sx2, count(*)::BIGINT AS r
+                FROM sk)
+         SELECT n_keys, f2::DOUBLE AS f2_exact,
+           floor(sx2::DOUBLE / r * 1e2 + 0.5) / 1e2 AS f2_est,
+           floor(abs(sx2::DOUBLE / r - f2::DOUBLE) / f2::DOUBLE * 1e6 +
+             0.5) / 1e6 AS rel_err
+         FROM ex, sx""",
+    // priority sampling estimator vs exact total (mirrors
+    // Relational.prioritySample: k=100, hash uniforms, tau = q_(k+1))
+    "priority_sample_audit" ->
+      """WITH rev AS (SELECT l_orderkey,
+                   floor(l_extendedprice * 100 + 0.5)::BIGINT *
+                   (100 - floor(l_discount * 100 + 0.5)::BIGINT) AS rv
+                 FROM lineitem),
+         per AS (SELECT o_orderkey AS key, sum(rv)::HUGEINT AS w
+                 FROM rev JOIN orders ON l_orderkey = o_orderkey
+                 GROUP BY 1),
+         ex AS (SELECT sum(w)::HUGEINT AS tot, count(*)::BIGINT AS n
+                FROM per),
+         rr AS (SELECT key, w,
+                  w::DOUBLE / ((('0x' || substr(md5(key::VARCHAR), 1, 7))
+                    ::BIGINT + 1)::DOUBLE / 268435456.0) AS q,
+                  row_number() OVER (ORDER BY w::DOUBLE /
+                    ((('0x' || substr(md5(key::VARCHAR), 1, 7))::BIGINT
+                    + 1)::DOUBLE / 268435456.0) DESC, key) AS rn
+                FROM per),
+         tau AS (SELECT coalesce(min(CASE WHEN rn = 101 THEN q END),
+                   0.0) AS tau FROM rr),
+         est AS (SELECT sum(floor(greatest(w::DOUBLE, tau) * 1e2 + 0.5)
+                   ::BIGINT)::HUGEINT AS e2
+                 FROM rr, tau WHERE rn <= 100)
+         SELECT n AS n_items, 100 AS k,
+           floor(tot::DOUBLE / 1e4 * 1e2 + 0.5) / 1e2 AS exact_total,
+           floor(e2::DOUBLE / 1e2 / 1e4 * 1e2 + 0.5) / 1e2 AS est_total,
+           floor(abs(e2::DOUBLE / 1e2 - tot::DOUBLE) / tot::DOUBLE *
+             1e6 + 0.5) / 1e6 AS rel_err
+         FROM ex, est""",
+    // two unrolled IPF rounds to uniform lang x source marginals
+    // (mirrors Curation.ipfRaking: 1e-6 LONG regrid after every scale)
+    "ipf_raking" ->
+      """WITH cells AS (SELECT lang, source, count(*)::BIGINT AS n
+                        FROM documents GROUP BY 1, 2),
+         g AS (SELECT sum(n)::BIGINT AS tt,
+                 count(DISTINCT lang)::BIGINT AS r,
+                 count(DISTINCT source)::BIGINT AS c
+               FROM cells),
+         w0 AS (SELECT lang, source, n, tt, r, c,
+                  n * 1000000 AS w6
+                FROM cells, g),
+         r1 AS (SELECT lang, source, n, tt, r, c,
+                  floor(w6::DOUBLE * (tt::DOUBLE * 1e6 / r) / s6 + 0.5)
+                    ::BIGINT AS w6
+                FROM (SELECT w0.*, sum(w6) OVER (PARTITION BY lang)
+                        AS s6 FROM w0)),
+         c1 AS (SELECT lang, source, n, tt, r, c,
+                  floor(w6::DOUBLE * (tt::DOUBLE * 1e6 / c) / s6 + 0.5)
+                    ::BIGINT AS w6
+                FROM (SELECT r1.*, sum(w6) OVER (PARTITION BY source)
+                        AS s6 FROM r1)),
+         r2 AS (SELECT lang, source, n, tt, r, c,
+                  floor(w6::DOUBLE * (tt::DOUBLE * 1e6 / r) / s6 + 0.5)
+                    ::BIGINT AS w6
+                FROM (SELECT c1.*, sum(w6) OVER (PARTITION BY lang)
+                        AS s6 FROM c1)),
+         c2 AS (SELECT lang, source, n,
+                  floor(w6::DOUBLE * (tt::DOUBLE * 1e6 / c) / s6 + 0.5)
+                    ::BIGINT AS w6
+                FROM (SELECT r2.*, sum(w6) OVER (PARTITION BY source)
+                        AS s6 FROM r2))
+         SELECT lang, source, n,
+           floor(w6::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS w_raked
+         FROM c2 ORDER BY lang, source""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -809,4 +809,47 @@ object Curation {
           col("nb").cast("double") / col("n")), 6).as("abs_error"),
         Events.q(log(lit((1.0 - p) / p)), 6).as("epsilon"))
   }
+
+  /** Iterative proportional fitting / raking (W361): reweight the
+    * lang × source document grid so BOTH marginals become uniform —
+    * the Deming–Stephan balancing step a curation pipeline runs when
+    * the corpus must match target language AND source mixes at once
+    * and per-axis quotas ([[sourceQuota]], [[mixWeights]]) fight each
+    * other. Two full (row-scale, column-scale) rounds, unrolled; after
+    * every scale the cell weights land back on a 1e-6 LONG grid, so
+    * each round's marginal sums are EXACT integer sums (a float
+    * weight-sum's merge order would otherwise leak into the next
+    * round's factors — the same reason [[Events.pageHinkley]] grids
+    * before its cumulative sum). Output: every present cell's raw
+    * count and raked weight. Scale: the grid is (langs × sources)
+    * rows — margin-cardinality, not corpus-bound, after one keyed
+    * count; each step is one keyed sum + broadcast join.
+    */
+  def ipfRaking(s: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .persist()
+    CacheScope.register(cells) // eager: glob + 4 scale steps read it
+    val glob = cells.agg(sum(col("n")).as("tt"),
+      countDistinct(col("lang")).as("r"),
+      countDistinct(col("source")).as("c"))
+    var w = cells.crossJoin(broadcast(glob))
+      .select(col("lang"), col("source"), col("n"),
+        col("tt"), col("r"), col("c"), (col("n") * lit(1000000L)).as("w6"))
+    for (_ <- 1 to rounds; axis <- Seq("lang", "source")) {
+      val tgt = if (axis == "lang")
+        col("tt").cast("double") * lit(1e6) / col("r")
+      else col("tt").cast("double") * lit(1e6) / col("c")
+      val sums = w.groupBy(col(axis).as("kx"))
+        .agg(sum(col("w6")).as("s6"))
+      w = w.join(broadcast(sums), w(axis) === col("kx"))
+        .select(col("lang"), col("source"), col("n"), col("tt"),
+          col("r"), col("c"),
+          floor(col("w6").cast("double") * tgt / col("s6") + lit(0.5))
+            .cast("long").as("w6"))
+    }
+    w.select(col("lang"), col("source"), col("n"),
+        Events.q(col("w6").cast("double") / lit(1e6), 6).as("w_raked"))
+      .orderBy("lang", "source")
+  }
 }

@@ -4051,4 +4051,107 @@ object Events {
           .as("kurtosis_excess"))
       .orderBy("event_type")
   }
+
+  /** Ljung–Box whiteness test (W357) on the daily event-count series:
+    * are the residual autocorrelations jointly zero, or does the
+    * series still carry structure a forecast should have absorbed?
+    * The classic post-fit diagnostic ([[acfDaily]] eyeballs single
+    * lags; this tests them JOINTLY). The trick that keeps it exact:
+    * with z_t = n·y_t − Σy (integers), every classic autocorrelation
+    * is ρ_k = Σ z_t·z_{t+k} / Σ z_t² — the n² in numerator and
+    * denominator cancels, so ρ_k is a ratio of two exact DECIMAL
+    * sums, no float mean ever subtracted. Each Q term
+    * ρ_k²/(n−k) lands on a 1e-12 LONG grid before the cross-lag
+    * cumulative sum; Q_h = n(n+2)·Σ_{k≤h}. One row per lag with its
+    * ρ and the cumulative Q. Scale: day-spine-bound after one
+    * day-keyed count; the lag fan-out is a broadcast of h rows.
+    */
+  def ljungBox(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0) // eager: bounds + spine + totals read it
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val tot = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val z = dense.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"),
+        (col("n") * col("y") - col("sy")).as("z"))
+      .persist()
+    CacheScope.register(z) // eager: A_0 + both sides of the lag join
+    val a0 = z.agg(sum((col("z") * col("z")).cast("decimal(38,0)"))
+      .as("a0"), max(col("n")).as("n"))
+    val lags = s.range(1, maxLag + 1).select(col("id").cast("int").as("lag"))
+    val ak = z.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("day") + col("lag")).as("day"),
+        col("z").as("z1"))
+      .join(z.select(col("day"), col("z").as("z2")), Seq("day"))
+      .groupBy("lag")
+      .agg(sum((col("z1") * col("z2")).cast("decimal(38,0)")).as("ak"))
+    val rho = col("ak").cast("double") / col("a0").cast("double")
+    val t12 = floor(rho * rho / (col("n") - col("lag")) * lit(1e12))
+    val n = col("n").cast("double")
+    val cum = ak.crossJoin(broadcast(a0))
+      .withColumn("t12", t12)
+      .withColumn("c12", sum(col("t12")).over(
+        Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)))
+    cum.select(col("lag"), q(rho, 6).as("rho"),
+        q(n * (n + 2) * (col("c12").cast("double") / lit(1e12)), 6)
+          .as("q_stat"))
+      .orderBy("lag")
+  }
+
+  /** Periodogram over candidate periods 2..`maxP` days (W358): DFT
+    * power of the MEAN-REMOVED daily series at each period, top-3 by
+    * power — the "is there a weekly cycle, or a 3-day one?" probe that
+    * [[acfDaily]] answers only for lags you already suspected. Two
+    * determinism guards: (a) the series is centered with the same
+    * exact-integer z_t = n·y_t − Σy trick as [[ljungBox]] (no float
+    * mean), and (b) the phase angle is reduced to 2π·((t mod p)/p)
+    * BEFORE cos/sin — small arguments keep libm argument-reduction out
+    * of play — and each z·cos / z·sin term lands on a 1e-6 LONG grid
+    * before the per-period sums. Power = (C² + S²)/n² surfaces on the
+    * 1e-6 grid. Scale: day-spine × (maxP−1) broadcast fan-out, two
+    * keyed sums.
+    */
+  def periodogramTopk(s: SparkSession, dir: String, maxP: Int = 14,
+                      k: Int = 3): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0)
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select((col("day") - col("d0")).as("t"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val tot = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val z = dense.crossJoin(broadcast(tot))
+      .select(col("t"), col("n"),
+        (col("n") * col("y") - col("sy")).as("z"))
+    val ps = s.range(2, maxP + 1).select(col("id").cast("int").as("p"))
+    val ang = lit(2.0 * math.Pi) *
+      (pmod(col("t"), col("p")).cast("double") / col("p"))
+    val terms = z.crossJoin(broadcast(ps))
+      .select(col("p"), col("n"),
+        floor(col("z") * cos(ang) * lit(1e6) + lit(0.5)).cast("long")
+          .as("c6"),
+        floor(col("z") * sin(ang) * lit(1e6) + lit(0.5)).cast("long")
+          .as("s6"))
+    val cS = col("cs").cast("double") / lit(1e6)
+    val sS = col("ss").cast("double") / lit(1e6)
+    val nD = col("n").cast("double")
+    terms.groupBy("p", "n")
+      .agg(sum(col("c6")).as("cs"), sum(col("s6")).as("ss"))
+      .select(col("p").as("period"),
+        q((cS * cS + sS * sS) / (nD * nD), 6).as("power"))
+      .orderBy(col("power").desc, col("period"))
+      .limit(k)
+  }
 }

