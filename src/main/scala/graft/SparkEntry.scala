@@ -520,6 +520,15 @@ object SparkEntry {
     "ams_f2_audit" -> ((s, d) => Relational.amsF2(s, d)),
     "priority_sample_audit" -> ((s, d) => Relational.prioritySample(s, d)),
     "ipf_raking" -> ((s, d) => Curation.ipfRaking(s, d)),
+    // round-5 batch R: weighted-graph sparsification, weighted
+    // quantiles, itemset mining, long-memory + influence diagnostics,
+    // moment-collapsed kernel two-sample distance
+    "graph_backbone" -> ((s, d) => Graph.graphBackbone(s, d)),
+    "weighted_median" -> ((s, d) => Relational.weightedMedian(s, d)),
+    "frequent_triples" -> ((s, d) => Relational.frequentTriples(s, d)),
+    "hurst_rs" -> ((s, d) => Events.hurstRs(s, d)),
+    "ols_influence" -> ((s, d) => Events.olsInfluence(s, d)),
+    "mmd_poly" -> ((s, d) => Similarity.mmdPoly(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -8889,6 +8898,214 @@ object SparkEntry {
          SELECT lang, source, n,
            floor(w6::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS w_raked
          FROM c2 ORDER BY lang, source""",
+    // disparity-filter backbone (mirrors Graph.graphBackbone: alpha
+    // 0.05, either-endpoint min-p rule, k=1 pinned to p=1)
+    "graph_backbone" ->
+      """WITH pairsm AS MATERIALIZED (
+           SELECT o_custkey AS c, l_suppkey + 1000000 AS sup
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         em AS (SELECT c AS src, sup AS dst FROM pairsm
+                UNION ALL SELECT sup, c FROM pairsm),
+         we AS MATERIALIZED (
+           SELECT src, dst, count(*)::BIGINT AS w FROM em GROUP BY 1, 2),
+         st AS (SELECT src, sum(w)::BIGINT AS st,
+                  count(*)::BIGINT AS deg
+                FROM we GROUP BY 1),
+         wp AS (SELECT we.src, we.dst, w,
+                  CASE WHEN deg = 1 THEN 1.0
+                       ELSE exp((deg - 1) * ln(1.0 - w::DOUBLE / st))
+                  END AS p
+                FROM we JOIN st ON we.src = st.src),
+         und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                   w, min(floor(p * 1e9 + 0.5)::BIGINT) AS p9
+                 FROM wp GROUP BY 1, 2, 3),
+         cnts AS (SELECT count(*)::BIGINT AS n_edges,
+                    sum((p9 < 50000000)::BIGINT)::BIGINT AS n_kept
+                  FROM und)
+         SELECT n_edges, n_kept, a AS src, b AS dst, w,
+           floor(p9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS p_value
+         FROM und, cnts WHERE p9 < 50000000
+         ORDER BY w DESC, a, b LIMIT 15""",
+    // exact quantity-weighted price quantiles (mirrors
+    // Relational.weightedMedian: integer cross-multiplied thresholds)
+    "weighted_median" ->
+      """WITH hist AS (SELECT l_returnflag,
+                   floor(l_extendedprice * 100 + 0.5)::BIGINT AS pc,
+                   sum(floor(l_quantity + 0.5)::BIGINT)::BIGINT AS w
+                 FROM lineitem GROUP BY 1, 2),
+         tot AS (SELECT l_returnflag AS rf, sum(w)::BIGINT AS wt
+                 FROM hist GROUP BY 1),
+         cum AS (SELECT l_returnflag, pc, wt,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     ::BIGINT AS cw
+                 FROM hist JOIN tot ON l_returnflag = rf)
+         SELECT l_returnflag, max(wt)::BIGINT AS w_total,
+           floor(min(CASE WHEN cw * 2 >= wt THEN pc END)::DOUBLE / 100
+             * 1e2 + 0.5) / 1e2 AS p50_price,
+           floor(min(CASE WHEN cw * 10 >= wt * 9 THEN pc END)::DOUBLE
+             / 100 * 1e2 + 0.5) / 1e2 AS p90_price
+         FROM cum GROUP BY 1 ORDER BY 1""",
+    // within-basket ordered 3-way join (mirrors
+    // Relational.frequentTriples: minSup=2, top-15)
+    "frequent_triples" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+                          l_partkey AS pk
+                        FROM lineitem)
+         SELECT a.pk AS a, b.pk AS b, c.pk AS c,
+           count(*)::BIGINT AS support
+         FROM items a
+         JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+         GROUP BY 1, 2, 3 HAVING count(*) >= 2
+         ORDER BY support DESC, a, b, c LIMIT 15""",
+    // rescaled-range Hurst (mirrors Events.hurstRs: m in {5,10,15},
+    // integer R and variance radicand, HUGEINT-exact ln-ln fit)
+    "hurst_rs" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day - (SELECT min(day) FROM daily0) AS t,
+                  coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         ms AS (SELECT unnest([5, 10, 15])::BIGINT AS m),
+         nn AS (SELECT count(*)::BIGINT AS nn FROM dense),
+         fl AS (SELECT m, t // m AS blk, t, y FROM dense, ms, nn
+                WHERE t // m < nn // m),
+         bs AS (SELECT m, blk, sum(y)::BIGINT AS sy,
+                  sum(y * y)::BIGINT AS sy2
+                FROM fl GROUP BY 1, 2),
+         z AS (SELECT f.m, f.blk, t, f.m * y - sy AS z,
+                 f.m * sy2 - sy * sy AS d2
+               FROM fl f JOIN bs ON f.m = bs.m AND f.blk = bs.blk),
+         cum AS (SELECT m, blk, d2,
+                   sum(z) OVER (PARTITION BY m, blk ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     ::BIGINT AS cz
+                 FROM z),
+         pb0 AS (SELECT m, blk, d2,
+                   (max(cz) - min(cz))::BIGINT AS rz
+                 FROM cum GROUP BY 1, 2, 3),
+         pb AS (SELECT m,
+                  floor(rz::DOUBLE / sqrt(d2) * 1e9 + 0.5)::BIGINT
+                    AS rs9
+                FROM pb0 WHERE d2 > 0),
+         pm AS (SELECT m, count(*)::BIGINT AS n_blocks,
+                  sum(rs9)::BIGINT AS srs9
+                FROM pb GROUP BY 1),
+         pts AS (SELECT m, n_blocks,
+                   srs9::DOUBLE / n_blocks / 1e9 AS rs_mean,
+                   floor(ln(m::DOUBLE) * 1e9 + 0.5)::BIGINT AS lx,
+                   floor(ln(srs9::DOUBLE / n_blocks / 1e9) * 1e9 + 0.5)
+                     ::BIGINT AS ly
+                 FROM pm),
+         fit AS (SELECT count(*)::HUGEINT AS kk, sum(lx)::HUGEINT AS sx,
+                   sum(ly)::HUGEINT AS sy, sum(lx::HUGEINT * ly) AS sxy,
+                   sum(lx::HUGEINT * lx) AS sxx
+                 FROM pts),
+         fb AS (SELECT (kk * sxy - sx * sy)::DOUBLE AS num,
+                  (kk * sxx - sx * sx)::DOUBLE AS den
+                FROM fit)
+         SELECT m, n_blocks,
+           floor(rs_mean * 1e6 + 0.5) / 1e6 AS rs_mean,
+           CASE WHEN den <> 0
+                THEN floor(num / den * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS hurst
+         FROM pts, fb ORDER BY m""",
+    // Cook's distance screen on the daily trend fit (mirrors
+    // Events.olsInfluence: integer leverage, 1e-6-grid e^2 sum, k=5)
+    "ols_influence" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day - (SELECT min(day) FROM daily0) AS t,
+                  coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+                   sum(y)::BIGINT AS sy, sum(t * t)::BIGINT AS stt,
+                   sum(t * y)::BIGINT AS sty
+                 FROM dense),
+         r0 AS (SELECT t, y, n,
+                  y::DOUBLE - (((sy::DOUBLE -
+                    ((n * sty - st * sy)::DOUBLE /
+                     (n * stt - st * st)::DOUBLE) * st) / n) +
+                    ((n * sty - st * sy)::DOUBLE /
+                     (n * stt - st * st)::DOUBLE) * t) AS e,
+                  (n * t - st) * (n * t - st) AS dt2,
+                  n * (n * stt - st * st) AS sdd
+                FROM dense, tot),
+         s2 AS (SELECT max(n)::BIGINT AS nx,
+                  sum(floor(e * e * 1e6 + 0.5)::BIGINT)::BIGINT AS se6
+                FROM r0)
+         SELECT t AS day_index, y,
+           floor(e * 1e6 + 0.5) / 1e6 AS residual,
+           floor((1.0 / n + dt2::DOUBLE / sdd::DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS leverage,
+           floor(e * e * (1.0 / n + dt2::DOUBLE / sdd::DOUBLE) /
+             (2.0 * (se6::DOUBLE / 1e6 / (nx - 2)) *
+              (1.0 - (1.0 / n + dt2::DOUBLE / sdd::DOUBLE)) *
+              (1.0 - (1.0 / n + dt2::DOUBLE / sdd::DOUBLE))) * 1e6
+             + 0.5) / 1e6 AS cooks_d
+         FROM r0, s2
+         ORDER BY cooks_d DESC, day_index LIMIT 5""",
+    // moment-collapsed quadratic-kernel MMD^2 (mirrors
+    // Similarity.mmdPoly: hash halves, 1e-15-grid difference terms)
+    "mmd_poly" ->
+      """WITH xd AS (
+           SELECT vec_id,
+                  CASE WHEN ((vec_id % 2147483648) * 8388593) % 100 < 50
+                       THEN 'a' ELSE 'b' END AS half,
+                  pos, floor(x::DOUBLE * 1e9 + 0.5)::BIGINT AS x9
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings)),
+         nv AS (SELECT half, count(*)::BIGINT AS n FROM xd
+                WHERE pos = 1 GROUP BY 1),
+         mu AS (SELECT half, pos, sum(x9)::HUGEINT AS s
+                FROM xd GROUP BY 1, 2),
+         mud AS (SELECT a.pos,
+                   a.s::DOUBLE / na.n / 1e9 AS va,
+                   b.s::DOUBLE / nb.n / 1e9 AS vb
+                 FROM (SELECT * FROM mu WHERE half = 'a') a
+                 JOIN (SELECT * FROM mu WHERE half = 'b') b USING (pos)
+                 JOIN nv na ON na.half = 'a'
+                 JOIN nv nb ON nb.half = 'b'),
+         m15 AS (SELECT sum(floor((va - vb) * (va - vb) * 1e15 + 0.5)
+                   ::BIGINT)::BIGINT AS mu15
+                 FROM mud),
+         xx AS (SELECT a.half, a.pos AS i, b.pos AS j,
+                  sum(a.x9 * b.x9)::HUGEINT AS s2
+                FROM xd a JOIN xd b ON a.vec_id = b.vec_id
+                GROUP BY 1, 2, 3),
+         xxm AS (SELECT i, j,
+                   xa.s2::DOUBLE / na.n / 1e18 AS va,
+                   xb.s2::DOUBLE / nb.n / 1e18 AS vb
+                 FROM (SELECT * FROM xx WHERE half = 'a') xa
+                 JOIN (SELECT * FROM xx WHERE half = 'b') xb
+                   USING (i, j)
+                 JOIN nv na ON na.half = 'a'
+                 JOIN nv nb ON nb.half = 'b'),
+         f15 AS (SELECT sum(floor((va - vb) * (va - vb) * 1e15 + 0.5)
+                   ::BIGINT)::BIGINT AS fro15
+                 FROM xxm)
+         SELECT na.n AS n_a, nb.n AS n_b,
+           floor(fro15::DOUBLE / 1e15 * 1e9 + 0.5) / 1e9 AS moment_gap,
+           floor(2.0 * mu15::DOUBLE / 1e15 * 1e9 + 0.5) / 1e9
+             AS mean_gap,
+           floor((fro15::DOUBLE + 2.0 * mu15::DOUBLE) / 1e15 * 1e9
+             + 0.5) / 1e9 AS mmd2
+         FROM f15, m15, nv na, nv nb
+         WHERE na.half = 'a' AND nb.half = 'b'""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -4154,4 +4154,134 @@ object Events {
       .orderBy(col("power").desc, col("period"))
       .limit(k)
   }
+
+  /** Rescaled-range Hurst exponent (W365) of the daily series: is the
+    * process mean-reverting (H<0.5), a random walk (H≈0.5), or
+    * long-range persistent (H>0.5)? — the memory diagnostic the
+    * ACF/periodogram pair can't answer about SCALING of fluctuations.
+    * Per block of size m the whole R/S collapses to integers: with
+    * z_t = m·y_t − Σ_block y, R/S = (max−min of cumsum z)/√(m·Σy²−
+    * (Σy)²) — the m's cancel, so R and the variance radicand are
+    * exact LONGs and each block contributes one quantized 1e-9 ratio.
+    * H is then the slope of (ln m, ln R̄/S̄) by the repo's HUGEINT-
+    * exact OLS recipe (heaps_law, hill_tail_index). One row per block
+    * size with its mean R/S, H broadcast onto each. Scale: day-spine
+    * bound; the block cumsum windows partition by (m, block).
+    */
+  def hurstRs(s: SparkSession, dir: String,
+              ms: Seq[Int] = Seq(5, 10, 15)): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0)
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select((col("day") - col("d0")).as("t"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val msDf = s.range(1)
+      .select(explode(array(ms.map(m => lit(m.toLong)): _*)).as("m"))
+    val base = dense.crossJoin(broadcast(msDf))
+      .withColumn("blk", floor(col("t") / col("m")).cast("long"))
+    // full blocks only: a ragged tail block would bias R/S low
+    val nDays = dense.agg(count(lit(1)).as("nn"))
+    val full = base.crossJoin(broadcast(nDays))
+      .filter(col("blk") < floor(col("nn") / col("m")).cast("long"))
+    val bs = full.groupBy("m", "blk")
+      .agg(sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("sy2"))
+    val z = full.join(bs, Seq("m", "blk"))
+      .select(col("m"), col("blk"), col("t"),
+        (col("m") * col("y") - col("sy")).as("z"),
+        (col("m") * col("sy2") - col("sy") * col("sy")).as("d2"))
+    val cum = z.withColumn("cz", sum(col("z")).over(
+      Window.partitionBy("m", "blk").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val perBlock = cum.groupBy("m", "blk", "d2")
+      .agg((max(col("cz")) - min(col("cz"))).as("rz"))
+      .filter(col("d2") > 0)
+      .select(col("m"),
+        floor(col("rz").cast("double") / sqrt(col("d2")) * lit(1e9) +
+          lit(0.5)).cast("long").as("rs9"))
+    val perM = perBlock.groupBy("m")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rs9")).as("srs9"))
+      .select(col("m"), col("n_blocks"),
+        (col("srs9").cast("double") / col("n_blocks") / lit(1e9))
+          .as("rs_mean"))
+    val pts = perM.select(col("m"), col("n_blocks"), col("rs_mean"),
+      floor(log(col("m").cast("double")) * lit(1e9) + lit(0.5))
+        .cast("long").as("lx"),
+      floor(log(col("rs_mean")) * lit(1e9) + lit(0.5)).cast("long")
+        .as("ly"))
+    val fit = pts.agg(count(lit(1)).cast("decimal(38,0)").as("kk"),
+      sum(col("lx").cast("decimal(38,0)")).as("sx"),
+      sum(col("ly").cast("decimal(38,0)")).as("sy"),
+      sum(col("lx").cast("decimal(38,0)") * col("ly")).as("sxy"),
+      sum(col("lx").cast("decimal(38,0)") * col("lx")).as("sxx"))
+    val num = (col("kk") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (col("kk") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    pts.crossJoin(broadcast(fit))
+      .select(col("m"), col("n_blocks"), q(col("rs_mean"), 6).as("rs_mean"),
+        when(den =!= 0.0, q(num / den, 6)).otherwise(lit(0.0)).as("hurst"))
+      .orderBy("m")
+  }
+
+  /** OLS influence diagnostics (W366) for the daily-count trend fit:
+    * which single days are DRIVING the slope [[olsTrend]] reports?
+    * Leverage collapses to exact integers via the same z-trick as
+    * [[ljungBox]]: with dt = n·t − Σt, h_t = 1/n + dt²/Σdt² (the n²'s
+    * cancel), so only the residual e_t = y − (a + b·t) is a double —
+    * from the exact-integer slope/intercept ratios — and each e²
+    * lands on a 1e-6 LONG grid before the σ̂² sum. Cook's distance
+    * D = e²·h/(p·σ̂²·(1−h)²) with p=2. Top-`k` by (D, day). Scale:
+    * day-spine bound, two passes (fit scalars broadcast, then the
+    * per-day screen).
+    */
+  def olsInfluence(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0)
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select((col("day") - col("d0")).as("t"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist()
+    CacheScope.register(dense) // eager: fit + residual pass read it
+    val tot = dense.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+      sum(col("y")).as("sy"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("y")).as("sty"))
+    val b = (col("n") * col("sty") - col("st") * col("sy"))
+      .cast("double") /
+      (col("n") * col("stt") - col("st") * col("st")).cast("double")
+    val a = (col("sy").cast("double") - b * col("st")) / col("n")
+    val e = col("y").cast("double") - (a + b * col("t"))
+    val dt = col("n") * col("t") - col("st")
+    val sdd = col("n") * (col("n") * col("stt") - col("st") * col("st"))
+    val h = lit(1.0) / col("n") +
+      (col("dt2")).cast("double") / col("sdd").cast("double")
+    val rows0 = dense.crossJoin(broadcast(tot))
+      .select(col("t"), col("y"), col("n"), e.as("e"),
+        (dt * dt).as("dt2"), sdd.as("sdd"),
+        floor(e * e * lit(1e6) + lit(0.5)).cast("long").as("e6"))
+    val s2 = rows0.agg(max(col("n")).as("nx"), sum(col("e6")).as("se6"))
+      .select((col("se6").cast("double") / lit(1e6) / (col("nx") - 2))
+        .as("sig2"))
+    val d = col("e") * col("e") * h /
+      (lit(2.0) * col("sig2") * (lit(1.0) - h) * (lit(1.0) - h))
+    rows0.crossJoin(broadcast(s2))
+      .select(col("t").as("day_index"), col("y"),
+        q(col("e"), 6).as("residual"), q(h, 6).as("leverage"),
+        q(d, 6).as("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("day_index"))
+      .limit(k)
+  }
 }

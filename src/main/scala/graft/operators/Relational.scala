@@ -2452,6 +2452,70 @@ object Relational {
         Events.q(abs(estD - totD) / totD, 6).as("rel_err"))
   }
 
+  /** Exact weighted quantiles (W363): quantity-weighted p50/p90 of
+    * extended price per return flag — "the price a typical UNIT ships
+    * at", which an unweighted median ([[percentiles]]) gets wrong
+    * whenever cheap lines carry big quantities. Entirely integer: the
+    * per-(flag, cents) weight histogram cumulates in one window, and
+    * the quantile picks the first value whose scaled cumulative weight
+    * clears the exact threshold (2·cum ≥ W for p50, 10·cum ≥ 9·W for
+    * p90 — integer cross-multiplication, no rational ever surfaces).
+    * Scale: histogram-cardinality after one keyed agg, the same shape
+    * as [[equiDepthHist]].
+    */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("pc"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("qw"))
+      .groupBy("l_returnflag", "pc")
+      .agg(sum(col("qw")).as("w"))
+    val tot = hist.groupBy(col("l_returnflag").as("rf"))
+      .agg(sum(col("w")).as("wt"))
+    val cum = hist
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy("l_returnflag").orderBy("pc")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot), col("l_returnflag") === col("rf"))
+    cum.groupBy("l_returnflag")
+      .agg(max(col("wt")).as("w_total"),
+        min(when(col("cw") * 2 >= col("wt"), col("pc"))).as("p50c"),
+        min(when(col("cw") * 10 >= col("wt") * 9, col("pc"))).as("p90c"))
+      .select(col("l_returnflag"), col("w_total"),
+        Events.q(col("p50c").cast("double") / 100, 2).as("p50_price"),
+        Events.q(col("p90c").cast("double") / 100, 2).as("p90_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Frequent 3-itemsets (W364) over order baskets — the association-
+    * mining step above [[frequentPairs]]: which part TRIPLES co-occur
+    * in enough orders to drive bundle logic? Candidates come from a
+    * within-basket ordered 3-way self-join (a < b < c), so the work is
+    * Σ C(basket, 3) — basket sizes are small and bounded, never a
+    * corpus self-join; the distinct-items projection first keeps
+    * multi-line parts from inflating counts. Exact integer supports;
+    * top-15 by (support desc, a, b, c). Scale: shuffles on the basket
+    * key three times, each side pruned to (order, part) pairs.
+    */
+  def frequentTriples(s: SparkSession, dir: String,
+                      minSup: Int = 2, k: Int = 15): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist()
+    CacheScope.register(items) // eager: three join sides read it
+    def side(n: String) = items.select(col("ok"), col("pk").as(n))
+    val triples = side("a")
+      .join(side("b"), Seq("ok")).filter(col("a") < col("b"))
+      .join(side("c"), Seq("ok")).filter(col("b") < col("c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSup)
+    triples.orderBy(col("support").desc, col("a"), col("b"), col("c"))
+      .limit(k)
+  }
+
   /** Lorenz curve deciles + Gini coefficient (W350) of per-customer
     * revenue — the inequality readout behind "what share of revenue do
     * the bottom 80% of customers carry?", and the continuous dual of

@@ -1244,4 +1244,73 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("label", "predicted")
   }
+
+  /** Polynomial-kernel MMD² two-sample test (W367) between the two
+    * hash-halves of the embedding table — the kernel two-sample
+    * distance (Gretton et al.) behind principled "did my embedding
+    * distribution drift?" monitoring, where [[embeddingDrift]] only
+    * compares centroids. The 100 TB trick: for the quadratic kernel
+    * k(x,y) = (⟨x,y⟩ + 1)², the biased MMD² COLLAPSES to moment
+    * matrices — MMD² = ‖M_A − M_B‖²_F + 2‖μ_A − μ_B‖² with
+    * M = E[xxᵀ], μ = E[x] — so the whole pairwise-kernel computation
+    * is two linear passes (one per moment) and a D²-sized broadcast
+    * difference, never an n² kernel join. Coordinates ride the 1e-9
+    * LONG grid so every moment sum is exact DECIMAL; each of the
+    * D² + D difference terms lands on a 1e-15 LONG grid before the
+    * final sums. Scale: corpus×D² partial-agg'd scan (same
+    * accumulator class as [[covarianceMatrix]]), then broadcast-size
+    * arithmetic.
+    */
+  def mmdPoly(s: SparkSession, dir: String): DataFrame = {
+    val halves = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        when(pmod(pmod(col("vec_id"), lit(2147483648L)) * lit(8388593L),
+          lit(100L)) < 50, lit("a")).otherwise(lit("b")).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("half"), col("dim"),
+        floor(col("x").cast("double") * lit(1e9) + lit(0.5)).cast("long")
+          .as("x9"))
+      .persist()
+    CacheScope.register(halves) // eager: first + second moments read it
+    val nv = halves.filter(col("dim") === 0)
+      .groupBy("half").agg(count(lit(1)).as("n"))
+    val mu = halves.groupBy("half", "dim")
+      .agg(sum(col("x9").cast("decimal(38,0)")).as("s"))
+      .join(broadcast(nv), "half")
+      .select(col("half"), col("dim"),
+        (col("s").cast("double") / col("n") / lit(1e9)).as("m"))
+    val xx = halves.select(col("vec_id"), col("half"),
+        col("dim").as("i"), col("x9").as("xi"))
+      .join(halves.select(col("vec_id"), col("dim").as("j"),
+        col("x9").as("xj")), "vec_id")
+      .groupBy("half", "i", "j")
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("s2"))
+      .join(broadcast(nv), "half")
+      .select(col("half"), col("i"), col("j"),
+        (col("s2").cast("double") / col("n") / lit(1e18)).as("mm"))
+    def diffSum(df: DataFrame, keys: Seq[String], v: String) = {
+      val a = df.filter(col("half") === "a")
+        .select(keys.map(col) :+ col(v).as("va"): _*)
+      val b = df.filter(col("half") === "b")
+        .select(keys.map(col) :+ col(v).as("vb"): _*)
+      a.join(b, keys)
+        .select(floor((col("va") - col("vb")) * (col("va") - col("vb"))
+          * lit(1e15) + lit(0.5)).cast("long").as("t15"))
+        .agg(sum(col("t15")).as("s15"))
+    }
+    val fro = diffSum(xx, Seq("i", "j"), "mm")
+      .select(col("s15").as("fro15"))
+    val muD = diffSum(mu, Seq("dim"), "m")
+      .select(col("s15").as("mu15"))
+    val mmd2 = (col("fro15").cast("double") +
+      lit(2.0) * col("mu15").cast("double")) / lit(1e15)
+    nv.groupBy().pivot("half", Seq("a", "b")).agg(first(col("n")))
+      .crossJoin(broadcast(fro)).crossJoin(broadcast(muD))
+      .select(col("a").as("n_a"), col("b").as("n_b"),
+        Events.q(col("fro15").cast("double") / lit(1e15), 9)
+          .as("moment_gap"),
+        Events.q(lit(2.0) * col("mu15").cast("double") / lit(1e15), 9)
+          .as("mean_gap"),
+        Events.q(mmd2, 9).as("mmd2"))
+  }
 }
