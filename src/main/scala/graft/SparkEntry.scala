@@ -529,6 +529,17 @@ object SparkEntry {
     "hurst_rs" -> ((s, d) => Events.hurstRs(s, d)),
     "ols_influence" -> ((s, d) => Events.olsInfluence(s, d)),
     "mmd_poly" -> ((s, d) => Similarity.mmdPoly(s, d)),
+    // round-5 batch S: lexical repeat-rate, binary-relevance MAP,
+    // AR(2) forecast, JL sketch audit, variance homogeneity, boxplot
+    // fences, weak-tie bridges, dose-response trend
+    "yule_k" -> ((s, d) => TextStats.yuleK(s, d)),
+    "map_at_10" -> ((s, d) => Index.mapAtK(s, d)),
+    "ar2_forecast" -> ((s, d) => Events.ar2Forecast(s, d)),
+    "jl_distortion" -> ((s, d) => Similarity.jlDistortion(s, d)),
+    "brown_forsythe" -> ((s, d) => TextStats.brownForsythe(s, d)),
+    "tukey_outliers" -> ((s, d) => Events.tukeyOutliers(s, d)),
+    "local_bridges" -> ((s, d) => Graph.localBridges(s, d)),
+    "cochran_armitage" -> ((s, d) => Relational.cochranArmitage(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -9106,6 +9117,260 @@ object SparkEntry {
              + 0.5) / 1e9 AS mmd2
          FROM f15, m15, nv na, nv nb
          WHERE na.half = 'a' AND nb.half = 'b'""",
+    // round-5 batch S ------------------------------------------------
+    // Σm²·V_m is exact-integer everywhere; one final double ratio
+    "yule_k" ->
+      """WITH ytk AS (
+           SELECT source,
+             list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         tf AS (SELECT source, t, count(*)::BIGINT AS m
+                FROM (SELECT source, unnest(ts) AS t FROM ytk)
+                GROUP BY 1, 2),
+         cc AS (SELECT source, m, count(*)::BIGINT AS vm
+                FROM tf GROUP BY 1, 2),
+         a AS (SELECT source, sum(m * vm)::HUGEINT AS n,
+                 sum(m * m * vm)::HUGEINT AS s2, sum(vm)::BIGINT AS v
+               FROM cc GROUP BY 1)
+         SELECT source, n::BIGINT AS n_tokens, v AS v_types,
+           floor(1e4 * (s2 - n)::DOUBLE / (n::DOUBLE * n::DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS yule_k
+         FROM a ORDER BY source""",
+    // per-rank precisions quantize to 1e-9 ints BEFORE the per-term
+    // sum; ranking/tiebreaks mirror ranking_metrics exactly
+    "map_at_10" -> s"""$TokCte,
+         lens AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+         po AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                GROUP BY 1, 2),
+         dft AS (SELECT term, count(*)::BIGINT AS df FROM po GROUP BY 1),
+         top AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 10),
+         c AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+               FROM lens),
+         g AS (SELECT po.term, t.df, po.doc_id,
+                 floor(ln(1.0 + (n_docs - t.df + 0.5) / (t.df + 0.5))
+                   * po.tf
+                   * 2.2 / (po.tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   * 1e6 + 0.5) / 1e6 AS score,
+                 (CASE WHEN po.tf >= 4 THEN 1 ELSE 0 END)::BIGINT AS rel
+               FROM po JOIN top t USING (term)
+                 JOIN lens USING (doc_id) CROSS JOIN c),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY term
+                   ORDER BY score DESC, doc_id) AS rnk,
+                 sum(rel) OVER (PARTITION BY term
+                   ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS relcnt
+               FROM g),
+         d AS (SELECT term, df, sum(rel)::BIGINT AS n_rel,
+                 sum(CASE WHEN rnk <= 10 AND rel = 1
+                   THEN CAST(floor(relcnt::DOUBLE / rnk * 1e9 + 0.5)
+                     AS BIGINT) ELSE 0 END)::BIGINT AS ap9
+               FROM r GROUP BY 1, 2)
+         SELECT term, df, n_rel,
+           CASE WHEN n_rel > 0 THEN floor(ap9::DOUBLE / 1e9 /
+               least(n_rel, 10)::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS ap
+         FROM d ORDER BY term""",
+    // z_t = n·y_t − Σy keeps the Yule-Walker scalars exact HUGEINTs;
+    // φ's are single divisions of exact terms
+    "ar2_forecast" ->
+      """WITH d0 AS (SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+             count(*)::BIGINT AS y FROM events GROUP BY 1),
+         bo AS (SELECT min(day) AS dmin, max(day) AS dmax FROM d0),
+         spine AS (SELECT unnest(range(dmin, dmax + 1)) AS day FROM bo),
+         d1 AS (SELECT s.day, coalesce(y, 0)::BIGINT AS y
+                FROM spine s LEFT JOIN d0 USING (day)),
+         t AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+                 max(day)::BIGINT AS dmax FROM d1),
+         z AS (SELECT day, (n * y - sy)::BIGINT AS z, dmax FROM d1, t),
+         st AS (SELECT
+                 sum((a.z * coalesce(b1.z, 0))::HUGEINT) AS a,
+                 sum((a.z * coalesce(b2.z, 0))::HUGEINT) AS b,
+                 sum((a.z * a.z)::HUGEINT) AS c,
+                 max(CASE WHEN a.day = a.dmax THEN a.z END) AS zn,
+                 max(CASE WHEN a.day = a.dmax - 1 THEN a.z END) AS zn1
+               FROM z a LEFT JOIN z b1 ON b1.day = a.day + 1
+                 LEFT JOIN z b2 ON b2.day = a.day + 2),
+         f AS (SELECT n, sy, a, b, c, zn, zn1,
+                 (c * c - a * a) AS den FROM st, t)
+         SELECT n AS n_days,
+           floor(sy::DOUBLE / n * 1e6 + 0.5) / 1e6 AS mean_daily,
+           CASE WHEN den::DOUBLE > 0 THEN floor((a * (c - b))::DOUBLE
+               / den::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS phi1,
+           CASE WHEN den::DOUBLE > 0 THEN floor((b * c - a * a)::DOUBLE
+               / den::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS phi2,
+           CASE WHEN den::DOUBLE > 0 THEN floor((sy::DOUBLE
+               + (a * (c - b))::DOUBLE / den::DOUBLE * zn
+               + (b * c - a * a)::DOUBLE / den::DOUBLE * zn1) / n
+               * 1e4 + 0.5) / 1e4
+             ELSE floor(sy::DOUBLE / n * 1e4 + 0.5) / 1e4
+           END AS forecast
+         FROM f""",
+    // md5 sign coin; 1e-6-grid coordinates make every projected
+    // coordinate and both squared distances exact LONGs
+    "jl_distortion" ->
+      """WITH u AS (
+           SELECT vec_id,
+             unnest(list_transform(embedding::DOUBLE[],
+               v -> CAST(floor(v * 1e6 + 0.5) AS BIGINT))) AS e6,
+             generate_subscripts(embedding, 1) - 1 AS pos
+           FROM embeddings),
+         js AS (SELECT unnest(range(0, 16)) AS j),
+         ps AS (SELECT DISTINCT pos FROM u),
+         sg AS (SELECT pos, j,
+             CASE WHEN substring(md5(pos::VARCHAR || '-' || j::VARCHAR),
+                 32, 1) IN ('1','3','5','7','9','b','d','f')
+               THEN -1 ELSE 1 END AS sgn
+           FROM ps, js),
+         p AS (SELECT vec_id, j, sum(sgn * e6)::BIGINT AS p
+               FROM u JOIN sg USING (pos) GROUP BY 1, 2),
+         dp AS (SELECT a.vec_id,
+                 sum((a.p - b.p) * (a.p - b.p))::BIGINT AS dp2
+               FROM p a JOIN p b ON b.vec_id = a.vec_id - 1
+                 AND b.j = a.j
+               GROUP BY 1),
+         dg AS (SELECT a.vec_id,
+                 sum((a.e6 - b.e6) * (a.e6 - b.e6))::BIGINT AS do2
+               FROM u a JOIN u b ON b.vec_id = a.vec_id - 1
+                 AND b.pos = a.pos
+               GROUP BY 1),
+         r AS (SELECT CAST(floor(dp2::DOUBLE / 16.0 / do2::DOUBLE
+                 * 1e6 + 0.5) AS BIGINT) AS r6
+               FROM dp JOIN dg USING (vec_id) WHERE do2 > 0)
+         SELECT count(*)::BIGINT AS n_pairs,
+           floor(sum(r6)::DOUBLE / count(*) / 1e6 * 1e6 + 0.5) / 1e6
+             AS mean_ratio,
+           floor(min(r6)::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS min_ratio,
+           floor(max(r6)::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS max_ratio,
+           floor(sum(CASE WHEN r6 < 500000 OR r6 > 2000000 THEN 1
+               ELSE 0 END)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6
+             AS bad_share
+         FROM r""",
+    // exact integer medians by cross-multiplied cumulative threshold;
+    // the anova recipe on |len − med|
+    "brown_forsythe" ->
+      """WITH h AS (SELECT source, n_chars AS len, count(*)::BIGINT AS w
+               FROM documents GROUP BY 1, 2),
+         t AS (SELECT source, sum(w)::BIGINT AS nt FROM h GROUP BY 1),
+         c AS (SELECT h.source, len, w, nt,
+                 sum(w) OVER (PARTITION BY h.source ORDER BY len
+                   ROWS UNBOUNDED PRECEDING) AS cw
+               FROM h JOIN t USING (source)),
+         med AS (SELECT source,
+                 min(CASE WHEN cw * 2 >= nt THEN len END)::BIGINT AS med
+               FROM c GROUP BY 1),
+         z AS (SELECT d.source, abs(d.n_chars - med)::BIGINT AS z
+               FROM documents d JOIN med ON d.source = med.source),
+         g AS (SELECT source, count(*)::BIGINT AS ng,
+                 sum(z)::HUGEINT AS sg, sum(z * z)::HUGEINT AS qg
+               FROM z GROUP BY 1),
+         a AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS nn,
+                 sum(sg)::HUGEINT AS st, sum(qg)::HUGEINT AS qt,
+                 sum(CAST(floor(sg::DOUBLE * sg::DOUBLE / ng * 1e6)
+                   AS HUGEINT)) AS b6
+               FROM g),
+         f AS (SELECT k, nn,
+                 b6::DOUBLE / 1e6
+                   - st::DOUBLE * st::DOUBLE / nn AS ssb,
+                 qt::DOUBLE - b6::DOUBLE / 1e6 AS ssw
+               FROM a)
+         SELECT k AS k_groups, nn AS n_docs,
+           floor(ssb * 1e4 + 0.5) / 1e4 AS ss_between,
+           floor(ssw * 1e4 + 0.5) / 1e4 AS ss_within,
+           CASE WHEN ssw > 0 AND k > 1 AND nn > k
+             THEN floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1e6 + 0.5)
+               / 1e6
+             ELSE 0.0 END AS f_stat
+         FROM f""",
+    // quartiles exact on the 1e-2 grid; fences compare exact LONGs on
+    // the doubled grid (2v vs 5Q1−3Q3 / 5Q3−3Q1)
+    "tukey_outliers" ->
+      """WITH h AS (SELECT event_type,
+             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS v2,
+             count(*)::BIGINT AS w
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT event_type, sum(w)::BIGINT AS nt
+               FROM h GROUP BY 1),
+         c AS (SELECT h.event_type, v2, w, nt,
+                 sum(w) OVER (PARTITION BY h.event_type ORDER BY v2
+                   ROWS UNBOUNDED PRECEDING) AS cw
+               FROM h JOIN t USING (event_type)),
+         qs AS (SELECT event_type, max(nt) AS n,
+                 min(CASE WHEN cw * 4 >= nt THEN v2 END) AS q1v,
+                 min(CASE WHEN cw * 4 >= nt * 3 THEN v2 END) AS q3v
+               FROM c GROUP BY 1),
+         o AS (SELECT h.event_type, n, q1v, q3v,
+                 sum(CASE WHEN v2 * 2 < q1v * 5 - q3v * 3 THEN w
+                   ELSE 0 END)::BIGINT AS n_low,
+                 sum(CASE WHEN v2 * 2 > q3v * 5 - q1v * 3 THEN w
+                   ELSE 0 END)::BIGINT AS n_high
+               FROM h JOIN qs USING (event_type) GROUP BY 1, 2, 3, 4)
+         SELECT event_type, n AS n_values,
+           floor(q1v::DOUBLE / 100 * 1e2 + 0.5) / 1e2 AS q1,
+           floor(q3v::DOUBLE / 100 * 1e2 + 0.5) / 1e2 AS q3,
+           n_low, n_high,
+           floor((n_low + n_high)::DOUBLE / n::DOUBLE * 1e6 + 0.5)
+             / 1e6 AS outlier_share
+         FROM o ORDER BY event_type""",
+    // embeddedness = common-neighbor count per edge; bridge ⇔ 0
+    "local_bridges" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS sk
+               FROM lineitem),
+         co AS (SELECT a.sk AS u, b.sk AS v, count(*)::BIGINT AS c
+               FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+               GROUP BY 1, 2),
+         e AS (SELECT u, v, least(c, 6)::BIGINT AS w FROM co
+               WHERE c >= 2),
+         und AS (SELECT u AS x, v AS y FROM e
+                 UNION ALL SELECT v, u FROM e),
+         sup AS (SELECT e.u, e.v, count(*)::BIGINT AS sup
+               FROM e JOIN und n1 ON n1.x = e.u
+                 JOIN und n2 ON n2.x = e.v AND n2.y = n1.y
+               GROUP BY 1, 2),
+         j AS (SELECT w, CASE WHEN coalesce(sup, 0) = 0 THEN 1 ELSE 0
+                 END AS isb
+               FROM e LEFT JOIN sup USING (u, v))
+         SELECT w AS tie_weight, count(*)::BIGINT AS n_edges,
+           sum(isb)::BIGINT AS n_bridges,
+           floor(sum(isb)::DOUBLE / count(*)::DOUBLE * 1e6 + 0.5) / 1e6
+             AS bridge_share
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // all sufficient statistics exact; Z² divides exact HUGEINT terms
+    // once, flagged at the χ²₁ 5% critical value
+    "cochran_armitage" ->
+      """WITH m AS (SELECT
+             (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS s,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+               END)::BIGINT AS d
+           FROM orders GROUP BY 1),
+         a AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+                 sum(d)::BIGINT AS dd, sum(s * d)::HUGEINT AS sd,
+                 sum(s * n)::HUGEINT AS sn,
+                 sum(s * s * n)::HUGEINT AS s2n
+               FROM m),
+         f AS (SELECT k, nn, dd,
+                 (nn * sd - dd * sn) AS num,
+                 (dd * (nn - dd))::HUGEINT
+                   * (nn * s2n - sn * sn) AS vart
+               FROM a)
+         SELECT k AS n_months, nn AS n_orders, dd AS n_fulfilled,
+           CASE WHEN vart::DOUBLE > 0
+             THEN floor(nn::DOUBLE * num::DOUBLE * num::DOUBLE
+               / vart::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS z2,
+           (CASE WHEN (CASE WHEN vart::DOUBLE > 0
+               THEN floor(nn::DOUBLE * num::DOUBLE * num::DOUBLE
+                 / vart::DOUBLE * 1e6 + 0.5) / 1e6
+               ELSE 0.0 END) > 3.841 THEN 1 ELSE 0 END)::BIGINT
+             AS trend_flag
+         FROM f""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -4284,4 +4284,116 @@ object Events {
       .orderBy(col("cooks_d").desc, col("day_index"))
       .limit(k)
   }
+
+  /** Yule–Walker AR(2) fit + one-step forecast (W370) on the day-
+    * densified daily count series — the autoregressive answer that
+    * [[acfDaily]] only diagnoses and [[holtForecast]]'s exponential
+    * smoothing can't give (Holt tracks level/trend; AR(2) captures the
+    * oscillatory/mean-reverting dynamics the ACF actually shows). The
+    * whole fit is THREE exact integer scalars: with z_t = n·y_t − Σy
+    * (the n-scaled centering that never leaves the integers), a =
+    * Σ z_t z_{t+1}, b = Σ z_t z_{t+2}, c = Σ z_t² give the Yule–Walker
+    * solution φ₁ = a(c−b)/(c²−a²), φ₂ = (bc−a²)/(c²−a²) — each ONE
+    * division of exact DECIMAL(38,0) terms (z ~ n·y keeps c² ≈ 1e24
+    * far inside 38 digits). Forecast ŷ = (Σy + φ₁z_n + φ₂z_{n−1})/n
+    * combines them in one fixed-order scalar expression. Scale: a
+    * day-keyed agg then two lag-1/lag-2 self-joins on the day spine —
+    * day-cardinality, not row-cardinality.
+    */
+  def ar2Forecast(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0) // eager: spine bounds + 3 join sides
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+      .persist()
+    CacheScope.register(daily)
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      max(col("day")).as("dmax"))
+    val z = daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), col("sy"), col("dmax"),
+        (col("n") * col("y") - col("sy")).as("z"))
+    def lagged(k: Int) = z.select((col("day") - k).as("day"),
+      col("z").as(s"z$k"))
+    val st = z
+      .join(lagged(1), Seq("day"), "left")
+      .join(lagged(2), Seq("day"), "left")
+      .groupBy("n", "sy", "dmax")
+      .agg(
+        sum((col("z") * coalesce(col("z1"), lit(0L)))
+          .cast("decimal(38,0)")).as("a"),
+        sum((col("z") * coalesce(col("z2"), lit(0L)))
+          .cast("decimal(38,0)")).as("b"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).as("c"),
+        max(when(col("day") === col("dmax"), col("z"))).as("zn"),
+        max(when(col("day") === col("dmax") - 1, col("z"))).as("zn1"))
+    val den = (col("c") * col("c") - col("a") * col("a"))
+    val phi1 = (col("a") * (col("c") - col("b"))).cast("double") /
+      den.cast("double")
+    val phi2 = (col("b") * col("c") - col("a") * col("a"))
+      .cast("double") / den.cast("double")
+    val nD = col("n").cast("double")
+    val yhat = (col("sy").cast("double") + phi1 * col("zn") +
+      phi2 * col("zn1")) / nD
+    st.select(col("n").as("n_days"),
+      q(col("sy").cast("double") / nD, 6).as("mean_daily"),
+      when(den.cast("double") > 0, q(phi1, 6)).otherwise(lit(0.0))
+        .as("phi1"),
+      when(den.cast("double") > 0, q(phi2, 6)).otherwise(lit(0.0))
+        .as("phi2"),
+      when(den.cast("double") > 0, q(yhat, 4))
+        .otherwise(q(col("sy").cast("double") / nD, 4)).as("forecast"))
+  }
+
+  /** Tukey-fence outlier audit (W373) per event type — the boxplot
+    * screen (x < Q1 − 1.5·IQR or x > Q3 + 1.5·IQR) every metrics
+    * pipeline runs before trusting a mean, and the rule-based cousin
+    * of [[madAnomalies]]' robust z. Values land on the 1e-2 integer
+    * grid; Q1/Q3 are exact lower-quartile picks by cross-multiplied
+    * cumulative threshold (4·cum ≥ n / 4·cum ≥ 3n — the
+    * [[Relational.weightedMedian]] rule); the fences stay integral on
+    * a doubled grid (2·fence_lo = 5Q1 − 3Q3, 2·fence_hi = 5Q3 − 3Q1),
+    * so the outlier predicate 2·v < 5Q1−3Q3 compares exact LONGs —
+    * no 1.5·IQR double ever exists. Scale: per-(type, cents)
+    * histogram agg, then type-cardinality reductions.
+    */
+  def tukeyOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(1e2) + lit(0.5)).cast("long").as("v2"))
+      .groupBy("event_type", "v2").agg(count(lit(1)).as("w"))
+      .persist()
+    CacheScope.register(hist) // quartile pick + outlier count read it
+    val tot = hist.groupBy(col("event_type").as("et"))
+      .agg(sum(col("w")).as("nt"))
+    val qs = hist
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy("event_type").orderBy("v2")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot), col("event_type") === col("et"))
+      .groupBy("event_type")
+      .agg(max(col("nt")).as("n"),
+        min(when(col("cw") * 4 >= col("nt"), col("v2"))).as("q1"),
+        min(when(col("cw") * 4 >= col("nt") * 3, col("v2"))).as("q3"))
+    hist.join(broadcast(qs), "event_type")
+      .groupBy(col("event_type"), col("n"), col("q1"), col("q3"))
+      .agg(
+        sum(when(col("v2") * 2 < col("q1") * 5 - col("q3") * 3,
+          col("w")).otherwise(0L)).as("n_low"),
+        sum(when(col("v2") * 2 > col("q3") * 5 - col("q1") * 3,
+          col("w")).otherwise(0L)).as("n_high"))
+      .select(col("event_type"), col("n").as("n_values"),
+        q(col("q1").cast("double") / 100, 2).as("q1"),
+        q(col("q3").cast("double") / 100, 2).as("q3"),
+        col("n_low"), col("n_high"),
+        q((col("n_low") + col("n_high")).cast("double") /
+          col("n").cast("double"), 6).as("outlier_share"))
+      .orderBy("event_type")
+  }
 }

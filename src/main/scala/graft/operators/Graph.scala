@@ -1791,4 +1791,63 @@ object Graph {
         col("b").as("dst"), col("w"),
         Events.q(col("p9").cast("double") / lit(1e9), 6).as("p_value"))
   }
+
+  /** Local-bridge / tie-strength audit (W374) over the PART
+    * co-purchase projection — Granovetter's "strength of weak ties"
+    * measured: a LOCAL BRIDGE is an edge whose endpoints share no
+    * common neighbor (embeddedness 0 — removing it puts its endpoints
+    * ≥ 3 hops apart), and the classic prediction is that weak ties
+    * (low co-purchase count) bridge while strong ties sit inside
+    * triangles. Output: per tie-weight bucket (co-purchase count
+    * capped at 6), edge count, bridge count, bridge share — the
+    * community-structure diagnostic next to [[kTruss]]'s peeling
+    * (which REMOVES the bridges this op is about). The projection is
+    * parts, not suppliers: the supplier dimension is so small that
+    * its co-purchase graph is COMPLETE (C(100,2) edges at sf0.01 —
+    * zero bridges by construction, measured); the part graph is
+    * order-basket-sparse, which is the regime the audit is about.
+    *
+    * Embeddedness is one [[edgeSupport]] pass — degree-oriented wedge
+    * join, O(Σ out-deg²) bounded by arboricity, never all-pairs; the
+    * projection prunes to edges with count ≥ 2 (a 1-count pair is
+    * noise, and the cut keeps the edge set basket-bounded at scale).
+    * Counts are exact LONGs; the share divides once on the 1e-6 grid.
+    */
+  def localBridges(s: SparkSession, dir: String, minC: Int = 2)
+  : DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("s1"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("s2"))
+    val e0 = CacheScope.track(a.join(b, "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minC)
+      .select(col("s1").as("u"), col("s2").as("v"),
+        least(col("c"), lit(6L)).as("w"))
+      .persist()) // orientation + support join + bucket agg read it
+    val act = e0.select("u", "v")
+    val deg = act.select(col("u").as("x"))
+      .unionAll(act.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val or0 = act
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"),
+        when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("t"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("dt"))
+    e0.join(edgeSupport(or0, act), Seq("u", "v"), "left")
+      .select(col("w"),
+        (coalesce(col("sup"), lit(0L)) === 0L).cast("long")
+          .as("isBridge"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_edges"), sum(col("isBridge")).as("n_bridges"))
+      .select(col("w").as("tie_weight"), col("n_edges"), col("n_bridges"),
+        Events.q(col("n_bridges").cast("double") /
+          col("n_edges").cast("double"), 6).as("bridge_share"))
+      .orderBy("tie_weight")
+  }
 }

@@ -496,4 +496,68 @@ object Index {
         graft.operators.Events.q(col("s9").cast("double") / lit(1e9), 6)
           .as("score"))
   }
+
+  /** Mean-average-precision@`k` (W369) of the BM25 ranker per probe
+    * term — the binary-relevance companion to [[rankingMetrics]]'s
+    * graded nDCG: AP rewards putting ALL the relevant documents early,
+    * not just the top-graded one, so a ranker can hold nDCG while AP
+    * exposes relevant docs parked at rank 9–10. Relevance is binary
+    * rel = (tf ≥ 4) — deterministic, and set at the bar where BM25's
+    * tf saturation + length normalization actually misrank (measured:
+    * tf ≥ 2 is so easy every AP is 1.0; at tf ≥ 4 the APs spread
+    * 0.46–0.88 because a short tf=3 doc outscores a long tf=5 one).
+    * AP@k = Σ_{i≤k, rel_i} P@i / min(R, k): each precision P@i =
+    * relcnt_i / i is a bounded rational quantized to the 1e-9 LONG
+    * grid BEFORE the per-term sum (in-group float sum order is
+    * engine-private; integer sums are not); the final AP divides the
+    * exact long once. The idf here is the Lucene-style non-negative
+    * variant ln(1 + (N−df+0.5)/(df+0.5)) — the fixture's probe terms
+    * all have df > N/2, where the classic Robertson idf goes NEGATIVE
+    * and inverts the ranking (every AP collapses to 0, measured);
+    * Lucene adopted this floor for exactly that regime. Probe
+    * selection, tiebreaks, and shape otherwise mirror
+    * [[rankingMetrics]] — scan → postings agg → broadcast probe join
+    * → one rank window → per-term agg.
+    */
+  def mapAtK(s: SparkSession, dir: String, k: Int = 10,
+             nTerms: Int = 10): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+    val lens = toks
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val p = postings(s, dir).persist()
+    CacheScope.register(p) // eager: df agg + the scoring join read it
+    val dft = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = dft.orderBy(col("df").desc, col("term")).limit(nTerms)
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val rawScore = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) * col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val graded = p.join(broadcast(top), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("term"), col("df"), col("doc_id"),
+        (floor(rawScore * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"),
+        (col("tf") >= 4).cast("long").as("rel"))
+    val wR = Window.partitionBy("term")
+      .orderBy(col("score").desc, col("doc_id"))
+    val ranked = graded
+      .withColumn("rnk", row_number().over(wR))
+      .withColumn("relcnt", sum(col("rel")).over(
+        Window.partitionBy("term").orderBy(col("score").desc,
+          col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)))
+    ranked.groupBy(col("term"), col("df"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(when(col("rnk") <= k && col("rel") === 1,
+          floor(col("relcnt").cast("double") / col("rnk") * lit(1e9)
+            + lit(0.5)).cast("long")).otherwise(0L)).as("ap9"))
+      .select(col("term"), col("df"), col("n_rel"),
+        when(col("n_rel") > 0,
+          graft.operators.Events.q(col("ap9").cast("double") / lit(1e9) /
+            least(col("n_rel"), lit(k.toLong)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("ap"))
+      .orderBy("term")
+  }
 }

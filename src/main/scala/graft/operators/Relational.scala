@@ -2560,4 +2560,45 @@ object Relational {
       Events.q(gini, 6).as("gini"))
       .orderBy("decile")
   }
+
+  /** Cochran–Armitage trend test (W375): is the share of fulfilled
+    * orders (o_orderstatus = 'F') MONOTONICALLY trending across order
+    * months? The dose-response test that a per-month χ² can't give — χ²
+    * asks "any difference anywhere", CA weights each month by an
+    * ordered score so only a consistent drift registers; the
+    * categorical sibling of [[Events.mannKendall]]'s rank trend. Scores
+    * are the calendar month index s = 12·year + month (the statistic is
+    * affine-score-invariant, so the origin doesn't matter). Everything
+    * up to the final division is exact: per-month n_i, d_i are LONGs,
+    * and Z² = N·(N·Σs·d − D·Σs·n)² / (D·(N−D)·(N·Σs²·n − (Σs·n)²))
+    * multiplies exact DECIMAL(38,0) terms (s ~ 2e4, s²·n ~ 1e13 —
+    * far inside 38 digits), divided once onto the 1e-6 grid; flagged
+    * at the χ²₁ 5% critical value 3.841. Scale: one month-keyed agg
+    * (month-cardinality spine), then a scalar reduction.
+    */
+  def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("s"),
+        (col("o_orderstatus") === "F").cast("long").as("f"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum(col("f")).as("d"))
+    val agg = m.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("d")).as("dd"),
+      sum((col("s") * col("d")).cast("decimal(38,0)")).as("sd"),
+      sum((col("s") * col("n")).cast("decimal(38,0)")).as("sn"),
+      sum((col("s") * col("s") * col("n")).cast("decimal(38,0)"))
+        .as("s2n"))
+    val num = (col("nn") * col("sd") - col("dd") * col("sn"))
+    val varT = (col("dd") * (col("nn") - col("dd")))
+      .cast("decimal(38,0)") *
+      (col("nn") * col("s2n") - col("sn") * col("sn"))
+    val z2 = col("nn").cast("double") * num.cast("double") *
+      num.cast("double") / varT.cast("double")
+    agg.select(col("k").as("n_months"), col("nn").as("n_orders"),
+      col("dd").as("n_fulfilled"),
+      when(varT.cast("double") > 0, Events.q(z2, 6)).otherwise(lit(0.0))
+        .as("z2"),
+      (when(varT.cast("double") > 0, Events.q(z2, 6))
+        .otherwise(lit(0.0)) > 3.841).cast("long").as("trend_flag"))
+  }
 }

@@ -1313,4 +1313,72 @@ object Similarity {
           .as("mean_gap"),
         Events.q(mmd2, 9).as("mmd2"))
   }
+
+  /** Johnson–Lindenstrauss random-projection distortion audit (W371):
+    * how much does a ±1 sign projection to `k` dimensions distort
+    * pairwise distances? The measured go/no-go for replacing full
+    * embeddings with a cheap sketch in the dedup/ANN tier ([[knnIvf]],
+    * [[dedupEmbeddingLsh]]) — JL promises ‖Sx/√k‖² ≈ ‖x‖², this op
+    * measures the actual ratio distribution on real vectors. The sign
+    * matrix is the md5 coin (`s(pos,j)` from the hash's last hex
+    * digit — the [[Relational.amsF2]] lesson: the repo's poly-hashes
+    * correlate with the fixture generator). Coordinates land on the
+    * 1e-6 integer grid FIRST, so every projected coordinate is an
+    * exact LONG dot product, both squared distances are exact LONGs,
+    * and per-pair ratios r = k_inv·dproj²/dorig² quantize to 1e-6
+    * before the exact-integer mean. Pairs are consecutive vec_ids —
+    * n pairs from one shifted self-join, never O(n²). Scale: n·d
+    * posexplode → (vec, j) partial agg (n·k rows out), one keyed
+    * pair join.
+    */
+  def jlDistortion(s: SparkSession, dir: String, k: Int = 16)
+  : DataFrame = {
+    val e6 = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("e6"))
+      .persist()
+    CacheScope.register(e6) // eager: projection + original-dist reads
+    val js = s.range(0, k).select(col("id").cast("int").as("j"))
+    val d = substring(md5(concat(col("pos").cast("string"), lit("-"),
+      col("j").cast("string"))), 32, 1)
+    val sgn = when(d.isin("1", "3", "5", "7", "9", "b", "d", "f"),
+      lit(-1L)).otherwise(lit(1L))
+    val proj = e6.crossJoin(broadcast(js))
+      .select(col("vec_id"), col("j"), (sgn * col("e6")).as("sx"))
+      .groupBy("vec_id", "j").agg(sum(col("sx")).as("p"))
+    def shifted(df: DataFrame, keys: Seq[String], v: String) =
+      df.select((col("vec_id") + 1).as("vec_id") +:
+        keys.map(col) :+ col(v).as(v + "b"): _*)
+    val dProj = proj
+      .join(shifted(proj, Seq("j"), "p"), Seq("vec_id", "j"))
+      .groupBy("vec_id")
+      .agg(sum((col("p") - col("pb")) * (col("p") - col("pb")))
+        .as("dp2"))
+    val dOrig = e6
+      .join(shifted(e6, Seq("pos"), "e6"), Seq("vec_id", "pos"))
+      .groupBy("vec_id")
+      .agg(sum((col("e6") - col("e6b")) * (col("e6") - col("e6b")))
+        .as("do2"))
+    val r = dProj.join(dOrig, "vec_id")
+      .filter(col("do2") > 0)
+      .select(floor(col("dp2").cast("double") / lit(k.toDouble) /
+        col("do2").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+        .as("r6"))
+    r.agg(count(lit(1)).as("n_pairs"), sum(col("r6")).as("sr6"),
+        min(col("r6")).as("mn6"), max(col("r6")).as("mx6"),
+        sum(when(col("r6") < 500000L || col("r6") > 2000000L, 1L)
+          .otherwise(0L)).as("n_bad"))
+      .select(col("n_pairs"),
+        Events.q(col("sr6").cast("double") / col("n_pairs") / lit(1e6),
+          6).as("mean_ratio"),
+        Events.q(col("mn6").cast("double") / lit(1e6), 6)
+          .as("min_ratio"),
+        Events.q(col("mx6").cast("double") / lit(1e6), 6)
+          .as("max_ratio"),
+        Events.q(col("n_bad").cast("double") / col("n_pairs"), 6)
+          .as("bad_share"))
+  }
 }

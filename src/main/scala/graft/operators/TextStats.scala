@@ -1332,4 +1332,87 @@ object TextStats {
       when(pe < 1.0, Events.q((po - pe) / (lit(1.0) - pe), 6))
         .otherwise(lit(0.0)).as("kappa"))
   }
+
+  /** Yule's characteristic K (W368) per source — the classic lexical-
+    * "repeat-rate" constant, K = 10⁴·(Σ_m m²·V_m − N)/N², where V_m is
+    * the number of types occurring exactly m times and N the token
+    * count. Unlike the type/token ratio (and unlike [[heapsLaw]]'s
+    * growth exponent), K is asymptotically length-INVARIANT, so it
+    * compares sources whose documents differ wildly in size — the
+    * vocabulary-concentration fingerprint next to [[zipfFit]]'s slope.
+    * Σ m²·V_m is exactly Σ_types m², so everything up to the final
+    * division is exact integer arithmetic (DECIMAL-summed); one double
+    * ratio lands on the 1e-6 grid. Scale: term-frequency agg, then a
+    * count-of-counts agg — vocabulary-cardinality, the [[heapsLaw]]
+    * shuffle class.
+    */
+  def yuleK(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(tokenize(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("m"))
+    val cc = tf.groupBy("source", "m").agg(count(lit(1)).as("vm"))
+    val agg = cc.groupBy("source").agg(
+      sum((col("m") * col("vm")).cast("decimal(38,0)")).as("n"),
+      sum((col("m") * col("m") * col("vm")).cast("decimal(38,0)"))
+        .as("s2"),
+      sum(col("vm")).as("v"))
+    val nD = col("n").cast("double")
+    agg.select(col("source"), col("n").cast("long").as("n_tokens"),
+        col("v").as("v_types"),
+        Events.q(lit(1e4) * (col("s2") - col("n")).cast("double") /
+          (nD * nD), 6).as("yule_k"))
+      .orderBy("source")
+  }
+
+  /** Brown–Forsythe (median-Levene) test (W372): are document-length
+    * VARIANCES homogeneous across sources? The spread-stability gate
+    * that [[Events.anovaOneway]]'s mean comparison silently assumes —
+    * and the robust variant (deviations from the MEDIAN, Brown &
+    * Forsythe 1974) so the fixture's heavy-tailed length distribution
+    * can't manufacture significance. Per-source medians are exact
+    * integers picked by cross-multiplied cumulative threshold
+    * (2·cum ≥ n, the [[Relational.weightedMedian]] rule); z = |len −
+    * med| is an exact LONG; the one-way F over z re-uses the anova
+    * recipe: per-group Σz/Σz² exact DECIMAL, the rational Σ S_g²/n_g
+    * floor-collapsed per group before one exact cross-group sum.
+    * Scale: a per-(source, len) histogram agg then source-cardinality
+    * reductions — never a global sort.
+    */
+  def brownForsythe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, dir)
+      .groupBy(col("source"), col("n_chars").as("len"))
+      .agg(count(lit(1)).as("w"))
+    val tot = hist.groupBy(col("source").as("src"))
+      .agg(sum(col("w")).as("nt"))
+    val med = hist
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy("source").orderBy("len")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot), col("source") === col("src"))
+      .groupBy("source")
+      .agg(min(when(col("cw") * 2 >= col("nt"), col("len"))).as("med"))
+    val z = Tables.documents(s, dir).select("source", "n_chars")
+      .join(broadcast(med), "source")
+      .select(col("source"), abs(col("n_chars") - col("med")).as("z"))
+    val g = z.groupBy("source").agg(count(lit(1)).as("ng"),
+      sum(col("z").cast("decimal(38,0)")).as("sg"),
+      sum((col("z") * col("z")).cast("decimal(38,0)")).as("qg"))
+    // per-group rational S_g²/n_g floored to the 1e-6 grid, then exact
+    val term6 = floor(col("sg").cast("double") * col("sg").cast("double")
+      / col("ng") * lit(1e6))
+    val agg = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"),
+      sum(col("sg")).as("st"), sum(col("qg")).as("qt"),
+      sum(term6.cast("decimal(38,0)")).as("b6"))
+    val bD = col("b6").cast("double") / lit(1e6)
+    val ssb = bD - col("st").cast("double") * col("st").cast("double") /
+      col("nn")
+    val ssw = col("qt").cast("double") - bD
+    agg.select(col("k").as("k_groups"), col("nn").as("n_docs"),
+      Events.q(ssb, 4).as("ss_between"), Events.q(ssw, 4).as("ss_within"),
+      when(ssw > 0 && col("k") > 1 && col("nn") > col("k"),
+        Events.q((ssb / (col("k") - 1)) /
+          (ssw / (col("nn") - col("k"))), 6))
+        .otherwise(lit(0.0)).as("f_stat"))
+  }
 }
