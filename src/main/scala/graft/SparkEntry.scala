@@ -540,6 +540,17 @@ object SparkEntry {
     "tukey_outliers" -> ((s, d) => Events.tukeyOutliers(s, d)),
     "local_bridges" -> ((s, d) => Graph.localBridges(s, d)),
     "cochran_armitage" -> ((s, d) => Relational.cochranArmitage(s, d)),
+    // round-5 batch T: rank-sum + effect sizes, normality screen,
+    // CDF-integral two-sample metrics, lead-lag CCF, normalized MI,
+    // partial correlation
+    "mann_whitney" -> ((s, d) => Events.mannWhitney(s, d)),
+    "jarque_bera" -> ((s, d) => Events.jarqueBera(s, d)),
+    "wasserstein_1d" -> ((s, d) => TextStats.wasserstein1d(s, d)),
+    "energy_distance" -> ((s, d) => Events.energyDistance(s, d)),
+    "cross_corr" -> ((s, d) => Events.crossCorrDaily(s, d)),
+    "theil_u" -> ((s, d) => Events.theilU(s, d)),
+    "effect_sizes" -> ((s, d) => Events.effectSizes(s, d)),
+    "partial_corr" -> ((s, d) => Relational.partialCorr(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -9371,6 +9382,274 @@ object SparkEntry {
                ELSE 0.0 END) > 3.841 THEN 1 ELSE 0 END)::BIGINT
              AS trend_flag
          FROM f""",
+    // midranks via the cumulative-count identity over DISTINCT grid
+    // values; 2R1 and 2U1 exact integers, tie-corrected z + Cliff's
+    // delta each divide once (mirrors Events.mannWhitney)
+    "mann_whitney" ->
+      """WITH vi AS (
+           SELECT event_type, floor("value" * 1e6 + 0.5)::BIGINT AS vi
+           FROM events
+           WHERE "value" IS NOT NULL
+             AND event_type IN ('click', 'purchase')),
+         bv AS (SELECT vi, count(*)::BIGINT AS ct,
+                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END)::BIGINT AS ca
+                FROM vi GROUP BY 1),
+         rk AS (SELECT ct, ca,
+                  coalesce(sum(ct) OVER (ORDER BY vi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0)::BIGINT AS cb
+                FROM bv),
+         a AS (SELECT sum(ca)::BIGINT AS na, sum(ct)::BIGINT AS ntot,
+                 sum(ca * (2 * cb + ct + 1))::HUGEINT AS r2,
+                 sum(ct * ct * ct - ct)::HUGEINT AS tie
+               FROM rk),
+         u AS (SELECT na, ntot, tie,
+                 (r2 - na::HUGEINT * (na + 1)) AS u2,
+                 na::DOUBLE AS nad, (ntot - na)::DOUBLE AS nbd,
+                 ntot::DOUBLE AS nnd
+               FROM a)
+         SELECT na AS n_a, (ntot - na) AS n_b, u2::BIGINT AS u2_stat,
+           floor((u2::DOUBLE / 2 - nad * nbd / 2) /
+             sqrt(nad * nbd / 12 *
+               ((nnd + 1) - tie::DOUBLE / (nnd * (nnd - 1))))
+             * 1e6 + 0.5) / 1e6 AS z_stat,
+           floor((2.0 * (u2::DOUBLE / 2) / (nad * nbd) - 1) * 1e6 + 0.5)
+             / 1e6 AS cliffs_delta
+         FROM u""",
+    // identical moment expansion (and evaluation order) to
+    // skew_kurtosis; JB = n/6*(S^2 + K^2/4), p = exp(-JB/2)
+    "jarque_bera" ->
+      """WITH vi AS (
+           SELECT event_type, floor("value" * 100 + 0.5)::BIGINT AS vi
+           FROM events WHERE "value" IS NOT NULL),
+         c AS (SELECT event_type AS et,
+                 floor(sum(vi)::DOUBLE / count(*))::BIGINT AS c0
+               FROM vi GROUP BY 1),
+         d AS (SELECT event_type, vi - c0 AS d
+               FROM vi JOIN c ON event_type = et),
+         g AS (SELECT event_type, count(*)::BIGINT AS n,
+                 sum(d)::HUGEINT AS s1, sum(d * d)::HUGEINT AS s2,
+                 sum(d * d * d)::HUGEINT AS s3,
+                 sum(d * d * d * d)::HUGEINT AS s4
+               FROM d GROUP BY 1),
+         m AS (SELECT event_type, n, s1::DOUBLE / n AS m1,
+                 s2::DOUBLE / n AS r2, s3::DOUBLE / n AS r3,
+                 s4::DOUBLE / n AS r4
+               FROM g),
+         mm AS (SELECT event_type, n, m1,
+                  r2 - m1 * m1 AS m2,
+                  r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+                  r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 -
+                    3.0 * m1 * m1 * m1 * m1 AS m4
+                FROM m),
+         jb AS (SELECT event_type, n,
+                  n::DOUBLE / 6 * ((m3 / (m2 * sqrt(m2)))
+                      * (m3 / (m2 * sqrt(m2)))
+                    + (m4 / (m2 * m2) - 3.0)
+                      * (m4 / (m2 * m2) - 3.0) / 4) AS jb
+                FROM mm)
+         SELECT event_type, n,
+           floor(jb * 1e4 + 0.5) / 1e4 AS jb_stat,
+           floor(exp(-jb / 2) * 1e9 + 0.5) / 1e9 AS p_approx
+         FROM jb ORDER BY event_type""",
+    // W1 = integral of |F_A - F_B| over the length axis: exact
+    // cross-multiplied integrand per distinct-value gap, one division
+    "wasserstein_1d" ->
+      """WITH d AS (
+           SELECT source, n_chars AS v FROM documents
+           WHERE source IN ('src0', 'src1')),
+         bv AS (SELECT v,
+                  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0
+                    END)::BIGINT AS ca,
+                  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                    END)::BIGINT AS cb
+                FROM d GROUP BY 1),
+         run AS (SELECT v,
+                   sum(ca) OVER (ORDER BY v)::BIGINT AS cum_a,
+                   sum(cb) OVER (ORDER BY v)::BIGINT AS cum_b,
+                   lead(v) OVER (ORDER BY v) - v AS gap
+                 FROM bv),
+         tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+                 FROM bv),
+         num AS (SELECT sum(gap *
+                   abs(cum_a * n_b - cum_b * n_a))::HUGEINT AS num
+                 FROM run, tot WHERE gap IS NOT NULL)
+         SELECT n_a, n_b,
+           floor(num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS w1_chars
+         FROM tot, num""",
+    // all three CDF integrals from one window pass over the distinct
+    // grid (mirrors Events.energyDistance; exact HUGEINT numerators)
+    "energy_distance" ->
+      """WITH vi AS (
+           SELECT event_type, floor("value" * 1e6 + 0.5)::BIGINT AS vi
+           FROM events
+           WHERE "value" IS NOT NULL
+             AND event_type IN ('click', 'purchase')),
+         bv AS (SELECT vi,
+                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END)::BIGINT AS ca,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END)::BIGINT AS cbn
+                FROM vi GROUP BY 1),
+         run AS (SELECT vi, ca, cbn,
+                   sum(ca) OVER (ORDER BY vi)::BIGINT AS cum_a,
+                   sum(cbn) OVER (ORDER BY vi)::BIGINT AS cum_b,
+                   lead(vi) OVER (ORDER BY vi) - vi AS gap
+                 FROM bv),
+         tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cbn)::BIGINT AS n_b
+                 FROM bv),
+         sums AS (SELECT n_a, n_b,
+             sum(gap * (cum_a * (n_b - cum_b)
+               + cum_b * (n_a - cum_a)))::HUGEINT AS ixy,
+             sum(gap * cum_a * (n_a - cum_a))::HUGEINT AS ixx,
+             sum(gap * cum_b * (n_b - cum_b))::HUGEINT AS iyy
+           FROM run, tot WHERE gap IS NOT NULL GROUP BY 1, 2)
+         SELECT n_a, n_b,
+           floor(ixy::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE * 1e6)
+             * 1e6 + 0.5) / 1e6 AS e_xy,
+           floor((2.0 * (ixy::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE * 1e6))
+               - 2.0 * ixx::DOUBLE / (n_a::DOUBLE * n_a::DOUBLE * 1e6)
+               - 2.0 * iyy::DOUBLE / (n_b::DOUBLE * n_b::DOUBLE * 1e6))
+             * 1e6 + 0.5) / 1e6 AS e_dist
+         FROM sums""",
+    // acf_daily's spine + Pearson recipe with two conditional series;
+    // negative lags mean clicks lead purchases
+    "cross_corr" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END)::BIGINT AS xa,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END)::BIGINT AS xb
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         daily AS (
+           SELECT s.day, coalesce(xa, 0)::BIGINT AS xa,
+                  coalesce(xb, 0)::BIGINT AS xb
+           FROM spine s LEFT JOIN daily0 d ON s.day = d.day),
+         lags AS (SELECT unnest(range(-3, 4))::INT AS lag),
+         pairs AS (
+           SELECT l.lag, a.xa AS x, b.xb AS y
+           FROM lags l JOIN daily a ON true
+           JOIN daily b ON b.day = a.day + l.lag),
+         st AS (
+           SELECT lag, count(*)::BIGINT AS n,
+                  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                  sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                  sum(x * y)::BIGINT AS sxy
+           FROM pairs GROUP BY lag)
+         SELECT lag, n AS n_pairs,
+                CASE WHEN sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx) *
+                          sqrt(n::DOUBLE * syy - sy::DOUBLE * sy) > 0
+                  THEN floor((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+                         (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx) *
+                          sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)) * 1e6
+                         + 0.5) / 1e6
+                  ELSE 0.0 END AS ccf
+         FROM st ORDER BY lag""",
+    // mutual_information's per-term 1e-6 grid for BOTH I(T;H) and
+    // H(T); U = I/H(T) divides the two grid sums once
+    "theil_u" ->
+      """WITH ev AS (
+           SELECT event_type AS t, extract(hour FROM ts) AS h
+           FROM events),
+         joint AS (SELECT t, h, count(*)::BIGINT AS njh
+                   FROM ev GROUP BY 1, 2),
+         mt AS (SELECT t, count(*)::BIGINT AS nt FROM ev GROUP BY 1),
+         mh AS (SELECT h, count(*)::BIGINT AS nh FROM ev GROUP BY 1),
+         tot AS (SELECT count(*)::DOUBLE AS tn FROM ev),
+         mi AS (
+           SELECT sum(CAST(floor((njh::DOUBLE / tn) *
+                    ln((njh::DOUBLE * tn) / (nt::DOUBLE * nh::DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT)) AS mi6
+           FROM joint JOIN mt USING (t) JOIN mh USING (h), tot),
+         ht AS (
+           SELECT sum(CAST(floor((-(nt::DOUBLE / tn)) *
+                    ln(nt::DOUBLE / tn) * 1e6 + 0.5) AS BIGINT)) AS ht6
+           FROM mt, tot)
+         SELECT floor(mi6::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS mi_nats,
+                floor(ht6::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS h_type,
+                floor(mi6::DOUBLE / ht6::DOUBLE * 1e6 + 0.5) / 1e6
+                  AS theil_u
+         FROM mi, ht""",
+    // exact 1e-6-grid moment sums; mean gap cross-multiplied before
+    // its single division (mirrors Events.effectSizes)
+    "effect_sizes" ->
+      """WITH vi AS (
+           SELECT (event_type = 'click') AS isa,
+                  floor("value" * 1e6 + 0.5)::BIGINT AS vi
+           FROM events
+           WHERE "value" IS NOT NULL
+             AND event_type IN ('click', 'purchase')),
+         g AS (SELECT
+             sum(CASE WHEN isa THEN 1 ELSE 0 END)::BIGINT AS na,
+             sum(CASE WHEN isa THEN vi ELSE 0 END)::HUGEINT AS s1a,
+             sum(CASE WHEN isa THEN vi * vi ELSE 0 END)::HUGEINT AS s2a,
+             sum(CASE WHEN isa THEN 0 ELSE 1 END)::BIGINT AS nb,
+             sum(CASE WHEN isa THEN 0 ELSE vi END)::HUGEINT AS s1b,
+             sum(CASE WHEN isa THEN 0 ELSE vi * vi END)::HUGEINT AS s2b
+           FROM vi),
+         e AS (SELECT na, nb,
+             (s1a::DOUBLE * nb::DOUBLE - s1b::DOUBLE * na::DOUBLE) /
+               (na::DOUBLE * nb::DOUBLE) / 1e6 AS gap,
+             (na::DOUBLE * s2a::DOUBLE - s1a::DOUBLE * s1a::DOUBLE) /
+               (na::DOUBLE * (na::DOUBLE - 1)) / 1e12 AS vaa,
+             (nb::DOUBLE * s2b::DOUBLE - s1b::DOUBLE * s1b::DOUBLE) /
+               (nb::DOUBLE * (nb::DOUBLE - 1)) / 1e12 AS vab
+           FROM g),
+         f AS (SELECT na, nb, gap, vab,
+             sqrt(((na::DOUBLE - 1) * vaa + (nb::DOUBLE - 1) * vab) /
+               (na::DOUBLE + nb::DOUBLE - 2)) AS sp,
+             1.0 - 3.0 / (4.0 * (na::DOUBLE + nb::DOUBLE) - 9) AS jf
+           FROM e)
+         SELECT na AS n_a, nb AS n_b,
+           floor(gap / sp * 1e6 + 0.5) / 1e6 AS cohens_d,
+           floor(jf * gap / sp * 1e6 + 0.5) / 1e6 AS hedges_g,
+           floor(gap / sqrt(vab) * 1e6 + 0.5) / 1e6 AS glass_delta
+         FROM f""",
+    // nine exact HUGEINT sufficient statistics; each pairwise r pinned
+    // to the 1e-12 grid BEFORE the closed-form partial
+    "partial_corr" ->
+      """WITH li AS (
+           SELECT floor(l_quantity * 100 + 0.5)::BIGINT AS x,
+                  floor(l_extendedprice * 100 + 0.5)::BIGINT AS y,
+                  floor(l_discount * 100 + 0.5)::BIGINT AS z
+           FROM lineitem),
+         g AS (SELECT count(*)::BIGINT AS n,
+                 sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                 sum(z)::HUGEINT AS sz,
+                 sum(x * x)::HUGEINT AS sxx, sum(y * y)::HUGEINT AS syy,
+                 sum(z * z)::HUGEINT AS szz,
+                 sum(x * y)::HUGEINT AS sxy, sum(x * z)::HUGEINT AS sxz,
+                 sum(y * z)::HUGEINT AS syz
+               FROM li),
+         r AS (SELECT n,
+             floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+               (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+               * 1e12 + 0.5) / 1e12 AS rxy,
+             floor((n::DOUBLE * sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE) /
+               (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE))
+               * 1e12 + 0.5) / 1e12 AS rxz,
+             floor((n::DOUBLE * syz::DOUBLE - sy::DOUBLE * sz::DOUBLE) /
+               (sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) *
+                sqrt(n::DOUBLE * szz::DOUBLE - sz::DOUBLE * sz::DOUBLE))
+               * 1e12 + 0.5) / 1e12 AS ryz
+           FROM g)
+         SELECT n,
+           floor(rxy * 1e6 + 0.5) / 1e6 AS r_xy,
+           floor(rxz * 1e6 + 0.5) / 1e6 AS r_xz,
+           floor(ryz * 1e6 + 0.5) / 1e6 AS r_yz,
+           floor((rxy - rxz * ryz) /
+             sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1e6 + 0.5)
+             / 1e6 AS partial_r
+         FROM r""",
   )
 
   private def sqlList(words: Seq[String]): String =

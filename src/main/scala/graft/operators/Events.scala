@@ -4396,4 +4396,296 @@ object Events {
           col("n").cast("double"), 6).as("outlier_share"))
       .orderBy("event_type")
   }
+
+  /** Mann–Whitney U rank-sum test + Cliff's delta (W376): do two
+    * event types' `value` distributions differ in LOCATION, without
+    * the normality Welch assumes, and with an assumption-free effect
+    * size (Cliff's δ = P(X>Y) − P(X<Y)) next to the p-proxy? The
+    * rank machinery never ranks ROWS: values land on the 1e-6 grid,
+    * the test runs over the (value → per-group count) table, and
+    * midranks come from the cumulative-count identity — a tie group
+    * of t rows starting after c others contributes ca·(2c + t + 1)/2
+    * to R₁. Keeping the DOUBLED sum makes every quantity an exact
+    * integer: 2U₁ = Σca·(2c+t+1) − n₁(n₁+1). The tie-corrected normal
+    * z and δ = 2U₁/(n₁n₂) − 1 each divide exact integers once.
+    * Scale: one value-keyed agg, then a window + final agg over
+    * DISTINCT values (grid-bounded, ≪ rows at any SF) — the only
+    * global order is over that bounded table.
+    */
+  def mannWhitney(s: SparkSession, dir: String,
+                  typeA: String = "click", typeB: String = "purchase")
+  : DataFrame = {
+    val vi = Tables.events(s, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+    val byV = vi.groupBy("vi").agg(
+      count(lit(1)).as("ct"),
+      sum(when(col("event_type") === typeA, lit(1L))
+        .otherwise(lit(0L))).as("ca"))
+    val cb = coalesce(sum(col("ct")).over(
+      Window.orderBy("vi").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val agg = byV
+      .select(col("ct"), col("ca"), cb.as("cb"))
+      .agg(sum(col("ca")).as("na"), sum(col("ct")).as("ntot"),
+        sum((col("ca") * (lit(2L) * col("cb") + col("ct") + lit(1L)))
+          .cast("decimal(38,0)")).as("r2"),
+        sum((col("ct") * col("ct") * col("ct") - col("ct"))
+          .cast("decimal(38,0)")).as("tie"))
+    val na = col("na").cast("double")
+    val nb = (col("ntot") - col("na")).cast("double")
+    val nn = col("ntot").cast("double")
+    val u2 = col("r2") - (col("na") * (col("na") + lit(1L)))
+      .cast("decimal(38,0)")
+    val u = u2.cast("double") / lit(2.0)
+    val sigma2 = na * nb / lit(12.0) *
+      ((nn + 1) - col("tie").cast("double") / (nn * (nn - 1)))
+    agg.select(col("na").as("n_a"),
+      (col("ntot") - col("na")).as("n_b"),
+      u2.cast("long").as("u2_stat"),
+      q((u - na * nb / 2) / sqrt(sigma2), 6).as("z_stat"),
+      q(lit(2.0) * u / (na * nb) - 1, 6).as("cliffs_delta"))
+  }
+
+  /** Jarque–Bera normality screen (W377) per event type: the
+    * one-number gate (JB = n/6·(S² + K²/4), p = exp(−JB/2) from the
+    * χ²₂ survival function — closed form, no special functions) run
+    * before any of the normal-theory tests on this board
+    * ([[welchTtest]], the z in [[mannWhitney]]) are trusted. S and K
+    * come from the exact-moment recipe of [[skewKurtosis]] — 1e-2
+    * grid, integer-mean centering, DECIMAL power sums, the m₂/m₃/m₄
+    * expansion as one fixed expression — so both engines compute JB
+    * from identical sufficient statistics. Scale: two value-keyed
+    * aggregations with a broadcast k-row mean table.
+    */
+  def jarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val vi = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("vi"))
+    val c = vi.groupBy(col("event_type").as("et"))
+      .agg(floor(sum(col("vi").cast("decimal(38,0)")).cast("double") /
+        count(lit(1))).cast("long").as("c0"))
+    val d = vi.join(broadcast(c), col("event_type") === col("et"))
+      .select(col("event_type"), (col("vi") - col("c0")).as("d"))
+    val g = d.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d").cast("decimal(38,0)")).as("s1"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("s2"),
+        sum((col("d") * col("d") * col("d")).cast("decimal(38,0)"))
+          .as("s3"),
+        sum((col("d") * col("d") * col("d") * col("d"))
+          .cast("decimal(38,0)")).as("s4"))
+    val n = col("n").cast("double")
+    // identical evaluation order to [[skewKurtosis]]/its oracle: the
+    // raw moments r_k = s_k/n are materialized FIRST, then the central
+    // expansion — regrouping (3·m1·s2)/n vs 3·m1·(s2/n) is a last-ulp
+    // difference that would break the cross-engine hash
+    val m1 = col("s1").cast("double") / n
+    val r2 = col("s2").cast("double") / n
+    val r3 = col("s3").cast("double") / n
+    val r4 = col("s4").cast("double") / n
+    val m2 = r2 - m1 * m1
+    val m3 = r3 - lit(3.0) * m1 * r2 + lit(2.0) * m1 * m1 * m1
+    val m4 = r4 - lit(4.0) * m1 * r3 + lit(6.0) * m1 * m1 * r2 -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val sk = m3 / (m2 * sqrt(m2))
+    val ku = m4 / (m2 * m2) - lit(3.0)
+    val jb = n / 6 * (sk * sk + ku * ku / 4)
+    g.select(col("event_type"), col("n"),
+        q(jb, 4).as("jb_stat"), q(exp(-jb / 2), 9).as("p_approx"))
+      .orderBy("event_type")
+  }
+
+  /** Székely's two-sample energy distance (W379): 2E|X−Y| − E|X−X'|
+    * − E|Y−Y'| between two event types' `value` distributions — the
+    * metric two-sample test that is zero IFF the distributions match
+    * (KS sees only the max CDF gap; this integrates ALL of it). No
+    * pair enumeration anywhere: in 1-D every expectation is a CDF
+    * integral (E|X−Y| = ∫ F_A(1−F_B) + F_B(1−F_A)), so one window
+    * pass over the DISTINCT grid values with per-group cumulative
+    * counts and the gap to the next value yields all three integrals
+    * as exact cross-multiplied integer sums (cum·(n−cum)·gap in
+    * DECIMAL); each divides once by its n²-scale denominator and the
+    * 1e6 grid. Scale: value-keyed agg + a grid-bounded window, same
+    * shape as [[mannWhitney]] — never the O(n²) kernel sum.
+    */
+  def energyDistance(s: SparkSession, dir: String,
+                     typeA: String = "click", typeB: String = "purchase")
+  : DataFrame = {
+    val vi = Tables.events(s, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+    val byV = vi.groupBy("vi").agg(
+      sum(when(col("event_type") === typeA, lit(1L)).otherwise(lit(0L)))
+        .as("ca"),
+      sum(when(col("event_type") === typeB, lit(1L)).otherwise(lit(0L)))
+        .as("cbn"))
+    val w = Window.orderBy("vi")
+    val run = byV
+      .withColumn("cum_a", sum(col("ca")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_b", sum(col("cbn")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap", lead(col("vi"), 1).over(w) - col("vi"))
+      .filter(col("gap").isNotNull)
+    val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cbn")).as("n_b"))
+    val sums = run.crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum((col("gap") * (col("cum_a") * (col("n_b") - col("cum_b")) +
+          col("cum_b") * (col("n_a") - col("cum_a"))))
+          .cast("decimal(38,0)")).as("ixy"),
+        sum((col("gap") * col("cum_a") * (col("n_a") - col("cum_a")))
+          .cast("decimal(38,0)")).as("ixx"),
+        sum((col("gap") * col("cum_b") * (col("n_b") - col("cum_b")))
+          .cast("decimal(38,0)")).as("iyy"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val exy = col("ixy").cast("double") / (na * nb * lit(1e6))
+    val exx = lit(2.0) * col("ixx").cast("double") / (na * na * lit(1e6))
+    val eyy = lit(2.0) * col("iyy").cast("double") / (nb * nb * lit(1e6))
+    sums.select(col("n_a"), col("n_b"), q(exy, 6).as("e_xy"),
+      q(lit(2.0) * exy - exx - eyy, 6).as("e_dist"))
+  }
+
+  /** Lead–lag cross-correlation (W380) between the daily click and
+    * purchase count series at lags −3..+3 — the "does engagement
+    * LEAD conversion" probe run before any attribution model, and
+    * the lag picker for [[diffInDiff]]-style designs. Mirrors
+    * [[acfDaily]]'s recipe exactly: densified day spine (missing
+    * days are real zeros — dropping them fabricates correlation),
+    * one broadcast lag spine, per-lag Pearson from exact integer
+    * sufficient statistics, one quantized division per lag. Negative
+    * lags mean clicks lead. Scale: two day-keyed aggs + a
+    * |days|×|lags| join — day-bounded, never row-bounded.
+    */
+  def crossCorrDaily(s: SparkSession, dir: String,
+                     typeA: String = "click", typeB: String = "purchase",
+                     maxLag: Int = 3): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(
+        sum(when(col("event_type") === typeA, lit(1L)).otherwise(lit(0L)))
+          .as("xa"),
+        sum(when(col("event_type") === typeB, lit(1L)).otherwise(lit(0L)))
+          .as("xb"))
+      .persist()
+    CacheScope.register(daily0) // eager: spine bounds + both join sides
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val daily = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("xa"), lit(0L)).as("xa"),
+        coalesce(col("xb"), lit(0L)).as("xb"))
+    val lags = s.range(-maxLag, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = daily.select(col("day"), col("xa").as("x"))
+      .crossJoin(broadcast(lags))
+      .select(col("lag"), (col("day") + col("lag")).as("day"), col("x"))
+      .join(daily.select(col("day"), col("xb").as("y")), Seq("day"))
+    val st = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(n * col("sxx") - col("sx") * col("sx")) *
+      sqrt(n * col("syy") - col("sy") * col("sy"))
+    // thin edge lags (or a constant series) have a zero-variance side:
+    // surface 0.0, not NaN — the caller reads "no linear signal"
+    st.select(col("lag"), col("n").as("n_pairs"),
+        when(den > 0, q(num / den, 6)).otherwise(lit(0.0)).as("ccf"))
+      .orderBy("lag")
+  }
+
+  /** Theil's uncertainty coefficient U(type|hour) (W381): what
+    * FRACTION of event-type entropy does knowing the hour remove?
+    * The normalized, asymmetric cousin of [[mutualInformation]] —
+    * U = I(T;H)/H(T) ∈ [0,1] reads as "% of type uncertainty
+    * explained by time-of-day", comparable across tables where raw
+    * nats are not. Both I and H(T) reuse the MI determinism recipe:
+    * every per-cell/per-type term is quantized to a 1e-6 integer
+    * grid BEFORE its sum, so accumulation order cannot perturb bits,
+    * and the final ratio divides the two grid sums once. Scale:
+    * three keyed aggs over a (types × 24)-bounded joint table.
+    */
+  def theilU(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("t"), hour(col("ts")).as("h"))
+      .persist()
+    CacheScope.register(ev) // eager: joint + both marginals read it
+    val joint = ev.groupBy("t", "h").agg(count(lit(1)).as("njh"))
+    val mt = ev.groupBy("t").agg(count(lit(1)).as("nt"))
+    val mh = ev.groupBy("h").agg(count(lit(1)).as("nh"))
+    val tot = ev.count()
+    val mi = joint.join(broadcast(mt), "t").join(broadcast(mh), "h")
+      .select(((col("njh").cast("double") / lit(tot.toDouble)) *
+        log((col("njh").cast("double") * lit(tot.toDouble)) /
+          (col("nt").cast("double") * col("nh").cast("double"))))
+        .as("term"))
+      .select(floor(col("term") * lit(1e6) + lit(0.5)).cast("long")
+        .as("ti"))
+      .agg(sum(col("ti")).as("mi6"))
+    val ht = mt
+      .select((-(col("nt").cast("double") / lit(tot.toDouble)) *
+        log(col("nt").cast("double") / lit(tot.toDouble))).as("term"))
+      .select(floor(col("term") * lit(1e6) + lit(0.5)).cast("long")
+        .as("ti"))
+      .agg(sum(col("ti")).as("ht6"))
+    mi.crossJoin(ht).select(
+      q(col("mi6").cast("double") / lit(1e6), 6).as("mi_nats"),
+      q(col("ht6").cast("double") / lit(1e6), 6).as("h_type"),
+      q(col("mi6").cast("double") / col("ht6").cast("double"), 6)
+        .as("theil_u"))
+  }
+
+  /** Standardized effect sizes (W382) for the click-vs-purchase value
+    * gap: Cohen's d (pooled sd), Hedges' g (small-sample J
+    * correction, the meta-analysis standard), Glass's Δ (control-sd
+    * only, for when variances differ — which [[brownForsythe]]
+    * tests). The report a significance-only readout ([[welchTtest]])
+    * always needs next to it: at 100 TB everything is "significant";
+    * the effect size is what decides if anyone should care. All
+    * sufficient statistics are exact 1e-6-grid DECIMAL sums; the
+    * mean gap cross-multiplies to one exact rational before its
+    * single division, and the three denominators are sqrt's of
+    * exact-rational variances — a fixed expression both engines run
+    * identically. Scale: one conditional aggregation, no join.
+    */
+  def effectSizes(s: SparkSession, dir: String,
+                  typeA: String = "click", typeB: String = "purchase")
+  : DataFrame = {
+    val vi = Tables.events(s, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .select((col("event_type") === typeA).as("isa"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"))
+    def side(p: org.apache.spark.sql.Column) = struct(
+      sum(when(p, lit(1L)).otherwise(lit(0L))).as("n"),
+      sum(when(p, col("vi")).otherwise(lit(0L)).cast("decimal(38,0)"))
+        .as("s1"),
+      sum(when(p, col("vi") * col("vi")).otherwise(lit(0L))
+        .cast("decimal(38,0)")).as("s2"))
+    val g = vi.agg(side(col("isa")).as("a"), side(!col("isa")).as("b"))
+    def n(c: String) = col(s"$c.n").cast("double")
+    def va(c: String) = (n(c) * col(s"$c.s2").cast("double") -
+      col(s"$c.s1").cast("double") * col(s"$c.s1").cast("double")) /
+      (n(c) * (n(c) - 1)) / lit(1e12)
+    val gap = (col("a.s1").cast("double") * n("b") -
+      col("b.s1").cast("double") * n("a")) / (n("a") * n("b")) / lit(1e6)
+    val sp = sqrt(((n("a") - 1) * va("a") + (n("b") - 1) * va("b")) /
+      (n("a") + n("b") - 2))
+    val jf = lit(1.0) - lit(3.0) / (lit(4.0) * (n("a") + n("b")) - 9)
+    g.select(col("a.n").as("n_a"), col("b.n").as("n_b"),
+      q(gap / sp, 6).as("cohens_d"),
+      q(jf * gap / sp, 6).as("hedges_g"),
+      q(gap / sqrt(va("b")), 6).as("glass_delta"))
+  }
 }

@@ -2601,4 +2601,56 @@ object Relational {
       (when(varT.cast("double") > 0, Events.q(z2, 6))
         .otherwise(lit(0.0)) > 3.841).cast("long").as("trend_flag"))
   }
+
+  /** First-order partial correlation (W383): how do quantity and
+    * extended price co-move once the discount is CONTROLLED for?
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the
+    * confounder screen [[covarianceMatrix]]'s raw pairwise view
+    * can't answer (a shared driver inflates every raw r; the partial
+    * subtracts it in closed form). All nine sufficient statistics
+    * (Σx, Σx², Σxy, …) are exact DECIMAL sums over grid-quantized
+    * columns (quantity ×100, price in cents, discount ×100); each
+    * pairwise r divides cross-multiplied exact integers once and is
+    * pinned to the 1e-12 grid BEFORE the partial formula, so both
+    * engines feed bit-identical r's into the same fixed expression.
+    * Scale: ONE aggregation over the scan — no join, no window; the
+    * grid quantization keeps every power sum inside DECIMAL(38,0) at
+    * any SF.
+    */
+  def partialCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      floor(col("l_quantity") * lit(100) + lit(0.5)).cast("long").as("x"),
+      floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+        .as("y"),
+      floor(col("l_discount") * lit(100) + lit(0.5)).cast("long").as("z"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val g = li.agg(count(lit(1)).as("n"),
+      sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+      sum(d38(col("z"))).as("sz"),
+      sum(d38(col("x") * col("x"))).as("sxx"),
+      sum(d38(col("y") * col("y"))).as("syy"),
+      sum(d38(col("z") * col("z"))).as("szz"),
+      sum(d38(col("x") * col("y"))).as("sxy"),
+      sum(d38(col("x") * col("z"))).as("sxz"),
+      sum(d38(col("y") * col("z"))).as("syz"))
+    val n = col("n").cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      Events.q((n * col(sab).cast("double") -
+        col(sa).cast("double") * col(sb).cast("double")) /
+        (sqrt(n * col(saa).cast("double") -
+          col(sa).cast("double") * col(sa).cast("double")) *
+         sqrt(n * col(sbb).cast("double") -
+           col(sb).cast("double") * col(sb).cast("double"))), 12)
+    val base = g.select(col("n"),
+      r("sxy", "sx", "sy", "sxx", "syy").as("rxy"),
+      r("sxz", "sx", "sz", "sxx", "szz").as("rxz"),
+      r("syz", "sy", "sz", "syy", "szz").as("ryz"))
+    base.select(col("n"),
+      Events.q(col("rxy"), 6).as("r_xy"),
+      Events.q(col("rxz"), 6).as("r_xz"),
+      Events.q(col("ryz"), 6).as("r_yz"),
+      Events.q((col("rxy") - col("rxz") * col("ryz")) /
+        sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+          (lit(1.0) - col("ryz") * col("ryz"))), 6).as("partial_r"))
+  }
 }

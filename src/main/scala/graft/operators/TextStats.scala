@@ -1415,4 +1415,50 @@ object TextStats {
           (ssw / (col("nn") - col("k"))), 6))
         .otherwise(lit(0.0)).as("f_stat"))
   }
+
+  /** 1-D Wasserstein (earth-mover) distance W₁ (W378) between two
+    * sources' document-length distributions — the drift metric that
+    * reports HOW FAR apart two distributions sit in the data's own
+    * units (characters), where KS/[[sourceKlDivergence]] report only
+    * probability-scale divergence (KL is infinite on disjoint
+    * support; W₁ degrades gracefully). In 1-D, W₁ = ∫|F_A − F_B| dt
+    * exactly: one window pass over the distinct length values with
+    * per-source cumulative counts and the gap to the next value, the
+    * integrand cross-multiplied to the exact integer
+    * |cumA·n_B − cumB·n_A|·gap (DECIMAL sum), one final division by
+    * n_A·n_B. Scale: a length-keyed agg + a window over DISTINCT
+    * lengths (value-bounded) — never a quantile sort over rows, and
+    * no transport LP anywhere.
+    */
+  def wasserstein1d(s: SparkSession, dir: String,
+                    srcA: String = "src0", srcB: String = "src1")
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), col("n_chars").as("v"))
+    val byV = d.groupBy("v").agg(
+      sum(when(col("source") === srcA, lit(1L)).otherwise(lit(0L)))
+        .as("ca"),
+      sum(when(col("source") === srcB, lit(1L)).otherwise(lit(0L)))
+        .as("cb"))
+    val w = Window.orderBy("v")
+    val run = byV
+      .withColumn("cum_a", sum(col("ca")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_b", sum(col("cb")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+      .filter(col("gap").isNotNull)
+    val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    run.crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum((col("gap") *
+          abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .cast("decimal(38,0)")).as("num"))
+      .select(col("n_a"), col("n_b"),
+        Events.q(col("num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("w1_chars"))
+  }
 }
