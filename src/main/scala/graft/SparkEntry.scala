@@ -551,6 +551,17 @@ object SparkEntry {
     "theil_u" -> ((s, d) => Events.theilU(s, d)),
     "effect_sizes" -> ((s, d) => Events.effectSizes(s, d)),
     "partial_corr" -> ((s, d) => Relational.partialCorr(s, d)),
+    // round-5 batch U: forecast family (theta, Croston), spectral +
+    // state-space complexity, unit-root screen, sequential decision,
+    // EWMA chart, relative-error sketch audit
+    "theta_forecast" -> ((s, d) => Events.thetaForecast(s, d)),
+    "croston_forecast" -> ((s, d) => Events.crostonForecast(s, d)),
+    "spectral_entropy" -> ((s, d) => Events.spectralEntropy(s, d)),
+    "sample_entropy" -> ((s, d) => Events.sampleEntropy(s, d)),
+    "adf_test" -> ((s, d) => Events.adfTest(s, d)),
+    "sprt_monitor" -> ((s, d) => Events.sprtMonitor(s, d)),
+    "ewma_chart" -> ((s, d) => Events.ewmaChart(s, d)),
+    "ddsketch_audit" -> ((s, d) => Relational.ddsketchAudit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -9650,6 +9661,319 @@ object SparkEntry {
              sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1e6 + 0.5)
              / 1e6 AS partial_r
          FROM r""",
+    // exact-integer OLS trend + dyadic-weight SES over the theta-2
+    // line (alpha = 1/2: every weight is a bit-shift ratio)
+    "theta_forecast" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         tl AS (SELECT day, y,
+                  row_number() OVER (ORDER BY day)::BIGINT AS t
+                FROM (SELECT day, y, row_number() OVER
+                        (ORDER BY day DESC) AS rd FROM dense)
+                WHERE rd <= 48),
+         st AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+                  sum(y)::BIGINT AS sy, sum(t * t)::BIGINT AS st2,
+                  sum(t * y)::BIGINT AS sty
+                FROM tl),
+         fit AS (SELECT n,
+             (n::DOUBLE * sty - st::DOUBLE * sy::DOUBLE) /
+               (n::DOUBLE * st2 - st::DOUBLE * st::DOUBLE) AS b,
+             (sy::DOUBLE -
+               (n::DOUBLE * sty - st::DOUBLE * sy::DOUBLE) /
+                 (n::DOUBLE * st2 - st::DOUBLE * st::DOUBLE) *
+               st::DOUBLE) / n::DOUBLE AS a
+           FROM st),
+         terms AS (SELECT n, a, b,
+             floor((2.0 * y - (a + b * t)) *
+               ((1::BIGINT << greatest(t - 1, 1)::INT)::DOUBLE /
+                (1::BIGINT << n::INT)::DOUBLE) * 1e9 + 0.5)::BIGINT
+               AS t9
+           FROM tl, fit),
+         agg AS (SELECT n, a, b, sum(t9)::BIGINT AS ses9
+                 FROM terms GROUP BY 1, 2, 3)
+         SELECT n AS n_days, floor(b * 1e6 + 0.5) / 1e6 AS slope,
+           floor(ses9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS ses_theta2,
+           floor((ses9::DOUBLE / 1e9 +
+             (a + b * (n + 1)::DOUBLE)) / 2 * 1e4 + 0.5) / 1e4
+             AS forecast
+         FROM agg""",
+    // two dyadic SES branches (demand sizes, inter-demand gaps) over
+    // the trailing 48 occurrences; forecast = their ratio
+    "croston_forecast" ->
+      """WITH daily AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS z
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+         d2 AS (SELECT day, z,
+                  day - lag(day) OVER (ORDER BY day) AS p
+                FROM daily),
+         ztl AS (SELECT z, row_number() OVER (ORDER BY day)::BIGINT AS t
+                 FROM (SELECT day, z, row_number() OVER
+                         (ORDER BY day DESC) AS rd FROM d2)
+                 WHERE rd <= 48),
+         zn AS (SELECT count(*)::BIGINT AS n FROM ztl),
+         zs AS (SELECT n, sum(floor(z::DOUBLE *
+                  ((1::BIGINT << greatest(t - 1, 1)::INT)::DOUBLE /
+                   (1::BIGINT << n::INT)::DOUBLE) * 1e9 + 0.5)::BIGINT)
+                  ::BIGINT AS s9
+                FROM ztl, zn GROUP BY 1),
+         ptl AS (SELECT p, row_number() OVER (ORDER BY day)::BIGINT AS t
+                 FROM (SELECT day, p, row_number() OVER
+                         (ORDER BY day DESC) AS rd FROM d2
+                       WHERE p IS NOT NULL)
+                 WHERE rd <= 48),
+         pn AS (SELECT count(*)::BIGINT AS n FROM ptl),
+         ps AS (SELECT n, sum(floor(p::DOUBLE *
+                  ((1::BIGINT << greatest(t - 1, 1)::INT)::DOUBLE /
+                   (1::BIGINT << n::INT)::DOUBLE) * 1e9 + 0.5)::BIGINT)
+                  ::BIGINT AS s9
+                FROM ptl, pn GROUP BY 1)
+         SELECT zs.n AS n_demands, ps.n AS n_gaps,
+           floor(zs.s9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS z_ses,
+           floor(ps.s9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS p_ses,
+           floor((zs.s9::DOUBLE / 1e9) / (ps.s9::DOUBLE / 1e9) * 1e6
+             + 0.5) / 1e6 AS croston
+         FROM zs, ps""",
+    // periodogram_topk's exact power recipe, powers pinned to 1e-6
+    // integers, -p*ln p per-term on the 1e-9 grid
+    "spectral_entropy" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day - (SELECT min(day) FROM daily0) AS t,
+                  coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+                 FROM dense),
+         z AS (SELECT t, n, (n * y - sy)::BIGINT AS z FROM dense, tot),
+         ps AS (SELECT unnest(range(2, 15))::INT AS p),
+         terms AS (SELECT p, n,
+                     floor(z * cos(6.283185307179586 *
+                       ((t % p)::DOUBLE / p)) * 1e6 + 0.5)::BIGINT AS c6,
+                     floor(z * sin(6.283185307179586 *
+                       ((t % p)::DOUBLE / p)) * 1e6 + 0.5)::BIGINT AS s6
+                   FROM z, ps),
+         pows AS (SELECT p,
+             floor(((cs::DOUBLE / 1e6) * (cs::DOUBLE / 1e6) +
+                    (ss::DOUBLE / 1e6) * (ss::DOUBLE / 1e6)) /
+               (n::DOUBLE * n::DOUBLE) * 1e6 + 0.5)::BIGINT AS p6
+           FROM (SELECT p, n, sum(c6)::BIGINT AS cs,
+                   sum(s6)::BIGINT AS ss
+                 FROM terms GROUP BY 1, 2)),
+         total AS (SELECT sum(p6)::BIGINT AS tp6, count(*)::BIGINT AS k
+                   FROM pows),
+         h AS (SELECT coalesce(sum(CAST(floor(
+                  (-(p6::DOUBLE / tp6::DOUBLE)) *
+                    ln(p6::DOUBLE / tp6::DOUBLE) * 1e9 + 0.5)
+                  AS BIGINT)), 0)::BIGINT AS h9
+               FROM pows, total WHERE p6 > 0)
+         SELECT k AS n_periods,
+           (CASE WHEN tp6 > 0 THEN 1 ELSE 0 END)::BIGINT AS defined,
+           floor(h9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS h_nats,
+           floor(h9::DOUBLE / 1e9 / ln(k::DOUBLE) * 1e6 + 0.5) / 1e6
+             AS h_norm
+         FROM h, total""",
+    // SampEn(2, floor(0.2 sigma)): i<j template pairs over the day
+    // spine, exact integer band conditions, one -ln(A/B)
+    "sample_entropy" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         st AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+                  sum(y * y)::BIGINT AS syy
+                FROM dense),
+         rr AS (SELECT n, greatest(1, floor(0.2 *
+                  sqrt((n * syy - sy * sy)::DOUBLE) / n::DOUBLE))
+                  ::BIGINT AS r
+                FROM st),
+         tpl AS (SELECT row_number() OVER (ORDER BY day)::BIGINT AS t,
+                   y AS x0, lead(y, 1) OVER (ORDER BY day) AS x1,
+                   lead(y, 2) OVER (ORDER BY day) AS x2
+                 FROM dense),
+         tt AS (SELECT t, x0, x1, x2 FROM tpl WHERE x2 IS NOT NULL),
+         pairs AS (SELECT n, r,
+             (CASE WHEN abs(a.x2 - b.x2) <= r THEN 1 ELSE 0
+              END)::BIGINT AS m3
+           FROM tt a JOIN tt b ON a.t < b.t, rr
+           WHERE abs(a.x0 - b.x0) <= r AND abs(a.x1 - b.x1) <= r),
+         g AS (SELECT n, r, count(*)::BIGINT AS b_pairs,
+                 sum(m3)::BIGINT AS a_pairs
+               FROM pairs GROUP BY 1, 2)
+         SELECT n AS n_days, r, b_pairs, a_pairs,
+           (CASE WHEN a_pairs > 0 THEN 1 ELSE 0 END)::BIGINT AS defined,
+           CASE WHEN a_pairs > 0
+             THEN floor(-ln(a_pairs::DOUBLE / b_pairs::DOUBLE) * 1e6
+               + 0.5) / 1e6
+             ELSE 0.0 END AS sampen
+         FROM g""",
+    // Delta-y on lagged-y OLS; gamma's numerator/denominator exact,
+    // one fixed t-statistic expression, -2.86 large-n critical value
+    "adf_test" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         reg0 AS (SELECT lag(y) OVER (ORDER BY day) AS x,
+                    (y - lag(y) OVER (ORDER BY day))::BIGINT AS dy
+                  FROM dense),
+         reg AS (SELECT x, dy FROM reg0 WHERE x IS NOT NULL),
+         g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                 sum(dy)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+                 sum(x * dy)::BIGINT AS sxy, sum(dy * dy)::BIGINT AS syy
+               FROM reg),
+         f AS (SELECT n,
+                 (n::DOUBLE * sxy - sx::DOUBLE * sy::DOUBLE) AS an,
+                 (n::DOUBLE * sxx - sx::DOUBLE * sx::DOUBLE) AS bd,
+                 (n::DOUBLE * syy - sy::DOUBLE * sy::DOUBLE) / n::DOUBLE
+                   AS syyc
+               FROM g),
+         h AS (SELECT n, an / bd AS gamma, bd / n::DOUBLE AS sxxc,
+                 an / n::DOUBLE AS sxyc, syyc
+               FROM f),
+         i AS (SELECT n, gamma,
+                 gamma / sqrt((syyc - gamma * sxyc) / (n::DOUBLE - 2) /
+                   sxxc) AS t
+               FROM h)
+         SELECT n AS n_obs, floor(gamma * 1e6 + 0.5) / 1e6 AS gamma,
+           floor(t * 1e4 + 0.5) / 1e4 AS t_stat,
+           (CASE WHEN floor(t * 1e4 + 0.5) / 1e4 < -2.86 THEN 1 ELSE 0
+            END)::BIGINT AS stationary_flag
+         FROM i""",
+    "sprt_monitor" -> {
+      // identical driver-computed ratio literals in both engines —
+      // no cross-libm ln anywhere in the increment
+      val l1 = math.log(0.25 / 0.20)
+      val l0 = math.log((1 - 0.25) / (1 - 0.20))
+      val up = math.floor(math.log(19.0) * 1e9 + 0.5).toLong
+      s"""WITH daily AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS n,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END)::BIGINT AS k
+           FROM events GROUP BY 1),
+         t AS (SELECT day, n, k,
+                 floor((k::DOUBLE * ($l1) + (n - k)::DOUBLE * ($l0))
+                   * 1e9 + 0.5)::BIGINT AS t9
+               FROM daily),
+         r AS (SELECT day, n, k,
+                 sum(t9) OVER (ORDER BY day)::BIGINT AS llr9
+               FROM t)
+         SELECT day, n, k,
+           floor(llr9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS llr,
+           CASE WHEN llr9 >= $up THEN 'accept_h1'
+                WHEN llr9 <= -$up THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+         FROM r ORDER BY day"""
+    },
+    // lambda = 1/2 closed form: z_t = mu/2^t + (sum y_i 2^i)/2^(t+1),
+    // every 2-power a bit shift; flags compare 1e-9 integers
+    "ewma_chart" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         tl AS (SELECT day, y,
+                  row_number() OVER (ORDER BY day)::BIGINT AS t
+                FROM (SELECT day, y, row_number() OVER
+                        (ORDER BY day DESC) AS rd FROM dense)
+                WHERE rd <= 60),
+         st AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+                  sum(y * y)::BIGINT AS syy
+                FROM tl),
+         base AS (SELECT sy::DOUBLE / n::DOUBLE AS mu,
+                    sqrt((n * syy - sy * sy)::DOUBLE) / n::DOUBLE
+                      AS sigma
+                  FROM st),
+         c AS (SELECT day, y, t,
+                 sum(y::HUGEINT * (1::BIGINT << t::INT)::HUGEINT)
+                   OVER (ORDER BY t)::HUGEINT AS cum
+               FROM tl),
+         zz AS (SELECT day, y, t, cum, mu, sigma,
+                  (1::BIGINT << (61 - t)::INT)::DOUBLE /
+                    (1::BIGINT << 61)::DOUBLE AS half
+                FROM c, base),
+         z2 AS (SELECT day, y, mu,
+                  mu * half + cum::DOUBLE /
+                    (1::BIGINT << (t + 1)::INT)::DOUBLE AS z,
+                  sigma * sqrt((1.0 - half * half) / 3) AS sz
+                FROM zz)
+         SELECT day, y, floor(z * 1e6 + 0.5) / 1e6 AS ewma,
+           floor((mu + 3.0 * sz) * 1e6 + 0.5) / 1e6 AS ucl,
+           floor((mu - 3.0 * sz) * 1e6 + 0.5) / 1e6 AS lcl,
+           (CASE WHEN floor(abs(z - mu) * 1e9 + 0.5)::BIGINT >
+                      floor(3.0 * sz * 1e9 + 0.5)::BIGINT
+             THEN 1 ELSE 0 END)::BIGINT AS oob
+         FROM z2 ORDER BY day""",
+    "ddsketch_audit" -> {
+      // one driver-computed ln(gamma) literal in both engines
+      val gamma = 1.01 / 0.99
+      val lnG = math.log(gamma)
+      val mid = (1 + gamma) / 2
+      val bound = (gamma - 1) / 2
+      s"""WITH vi AS (
+           SELECT floor("value" * 1e6 + 0.5)::BIGINT AS v6
+           FROM events WHERE "value" IS NOT NULL
+             AND floor("value" * 1e6 + 0.5)::BIGINT > 0),
+         tot AS (SELECT count(*)::BIGINT AS n FROM vi),
+         qs AS (SELECT unnest([50, 90, 99])::INT AS q_pct),
+         byb AS (SELECT floor(ln(v6::DOUBLE / 1e6) / ($lnG))::BIGINT
+                   AS b, count(*)::BIGINT AS cnt
+                 FROM vi GROUP BY 1),
+         cb AS (SELECT b, sum(cnt) OVER (ORDER BY b)::BIGINT AS cum
+                FROM byb),
+         pb AS (SELECT q_pct, min(b) AS b
+                FROM cb, tot, qs WHERE cum * 100 >= q_pct * n
+                GROUP BY 1),
+         byv AS (SELECT v6, count(*)::BIGINT AS cnt FROM vi GROUP BY 1),
+         cv AS (SELECT v6, sum(cnt) OVER (ORDER BY v6)::BIGINT AS cum
+                FROM byv),
+         pv AS (SELECT q_pct, min(v6) AS v6
+                FROM cv, tot, qs WHERE cum * 100 >= q_pct * n
+                GROUP BY 1)
+         SELECT q_pct,
+           floor(exp(b::DOUBLE * ($lnG)) * ($mid) * 1e6 + 0.5) / 1e6
+             AS est,
+           floor(v6::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS exact,
+           floor(abs(exp(b::DOUBLE * ($lnG)) * ($mid) -
+               v6::DOUBLE / 1e6) / (v6::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6
+             AS rel_err,
+           (CASE WHEN floor(abs(exp(b::DOUBLE * ($lnG)) * ($mid) -
+               v6::DOUBLE / 1e6) / (v6::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6
+               <= $bound THEN 1 ELSE 0 END)::BIGINT AS within_bound
+         FROM pb JOIN pv USING (q_pct) ORDER BY q_pct"""
+    },
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -4688,4 +4688,388 @@ object Events {
       q(jf * gap / sp, 6).as("hedges_g"),
       q(gap / sqrt(va("b")), 6).as("glass_delta"))
   }
+
+  /** The trailing-`w` slice of the dense daily count series,
+    * re-indexed t = 1..n ascending — the shared head of the batch-U
+    * forecasters. Truncating to a fixed tail is what makes the
+    * dyadic-weight trick exact: with α = ½ every SES weight is
+    * 2^(e)/2^n, a ratio of REPRESENTABLE powers of two (via bit
+    * shifts, never libm pow), and the dropped history carries weight
+    * < 2^−w — below every surfaced grid. Windows here order DAYS
+    * (spine-bounded), never rows.
+    */
+  /** 2^e as an exact LONG via a bit shift (e ≤ 62) — the dyadic-
+    * weight primitive: ratios of these are exactly-representable
+    * powers of two in both engines, with no libm pow anywhere.
+    */
+  private def pow2(e: org.apache.spark.sql.Column) =
+    call_function("shiftleft", lit(1L), e.cast("int"))
+
+  private def dailyTail(s: SparkSession, dir: String, w: Int)
+  : DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0) // eager: spine bounds + the join read it
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    dense
+      .withColumn("rd", row_number().over(Window.orderBy(col("day").desc)))
+      .filter(col("rd") <= w)
+      .withColumn("t", row_number().over(Window.orderBy(col("day")))
+        .cast("long"))
+      .select(col("day"), col("t"), col("y"))
+  }
+
+  /** Theta-method one-step forecast (W384, Assimakopoulos &
+    * Nikolopoulos): average of the theta-0 line (the OLS trend
+    * extrapolated to t = n+1) and an SES over the theta-2 line
+    * z_t = 2y_t − trend(t) — the M3-winning "double the curvature,
+    * smooth it, average with the trend" decomposition, next to the
+    * pure-smoothing [[holtForecast]]. The trend fit is the repo's
+    * exact-integer OLS (cross-multiplied LONG numerator/denominator,
+    * one division each); the SES uses α = ½ over the trailing 48
+    * days, so every weight is a bit-shift ratio 2^e/2^48 — exact in
+    * both engines, no libm pow — and each weighted term is quantized
+    * to a 1e-9 integer before the order-insensitive sum. Scale:
+    * day-spine-bounded; one agg + one 48-row weighted reduction.
+    */
+  def thetaForecast(s: SparkSession, dir: String, w: Int = 48)
+  : DataFrame = {
+    val tail = dailyTail(s, dir, w).persist()
+    CacheScope.register(tail) // eager: trend fit + SES both read it
+    val st = tail.agg(count(lit(1)).as("n"),
+      sum(col("t")).as("stt"), sum(col("y")).as("sy"),
+      sum(col("t") * col("t")).as("st2"),
+      sum(col("t") * col("y")).as("sty"))
+    val nD = col("n").cast("double")
+    val bHat = (nD * col("sty") - col("st").cast("double") * col("sy")) /
+      (nD * col("st2") - col("st").cast("double") *
+        col("st").cast("double"))
+    val fit = st.select(col("n"), col("stt").as("st"), col("sy"),
+        col("st2"), col("sty"))
+      .select(col("n"), bHat.as("b"),
+        ((col("sy").cast("double") - bHat * col("st").cast("double")) /
+          col("n").cast("double")).as("a"))
+    // SES(alpha=1/2) over z_t = 2y - (a + b t): weight(t) = 2^e/2^n
+    // with e = max(t-1, 1) (the t=1 term keeps the init weight)
+    val terms = tail.crossJoin(broadcast(fit))
+      .select(col("n"), col("a"), col("b"),
+        ((lit(2.0) * col("y") - (col("a") + col("b") * col("t"))) *
+          (pow2(greatest(col("t") - 1, lit(1L))).cast("double") /
+           pow2(col("n")).cast("double")))
+          .as("term"))
+      .select(col("n"), col("a"), col("b"),
+        floor(col("term") * lit(1e9) + lit(0.5)).cast("long").as("t9"))
+    terms.groupBy("n", "a", "b").agg(sum(col("t9")).as("ses9"))
+      .select(col("n").as("n_days"), q(col("b"), 6).as("slope"),
+        q(col("ses9").cast("double") / lit(1e9), 6).as("ses_theta2"),
+        q((col("ses9").cast("double") / lit(1e9) +
+          (col("a") + col("b") * (col("n") + 1).cast("double"))) / 2, 4)
+          .as("forecast"))
+  }
+
+  /** Croston's method (W385) for intermittent demand: SES the
+    * nonzero demand SIZES and the inter-demand INTERVALS separately
+    * (both α = ½, dyadic bit-shift weights over the trailing 48
+    * occurrences — the [[thetaForecast]] trick), then forecast
+    * demand-per-day as their ratio. THE standard for sparse series
+    * where plain SES chases zeros toward zero and a mean smears the
+    * burst structure — at 100 TB this is per-SKU/per-shard demand
+    * with mostly-empty days. Demand days come from the daily spine
+    * of 'error' events; sequences are day-ordered, per-term 1e-9
+    * quantized, summed as integers. Scale: day-bounded windows only.
+    */
+  def crostonForecast(s: SparkSession, dir: String,
+                      eventType: String = "error", w: Int = 48)
+  : DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === eventType)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("z"))
+      .withColumn("p",
+        col("day") - lag(col("day"), 1).over(Window.orderBy("day")))
+      .persist()
+    CacheScope.register(daily) // eager: both SES branches read it
+    def ses(src: DataFrame, valueCol: String): DataFrame = {
+      val tail = src
+        .withColumn("rd",
+          row_number().over(Window.orderBy(col("day").desc)))
+        .filter(col("rd") <= w)
+        .withColumn("t", row_number().over(Window.orderBy(col("day")))
+          .cast("long"))
+      val n1 = tail.agg(count(lit(1)).as("n"))
+      tail.crossJoin(broadcast(n1))
+        .select(col("n"),
+          (col(valueCol).cast("double") *
+            (pow2(greatest(col("t") - 1, lit(1L))).cast("double") /
+             pow2(col("n")).cast("double")))
+            .as("term"))
+        .select(col("n"),
+          floor(col("term") * lit(1e9) + lit(0.5)).cast("long").as("t9"))
+        .groupBy("n").agg(sum(col("t9")).as("s9"))
+        .select(col("n"),
+          (col("s9").cast("double") / lit(1e9)).as("ses"))
+    }
+    val zs = ses(daily, "z")
+      .select(col("n").as("n_demands"), col("ses").as("zs"))
+    val ps = ses(daily.filter(col("p").isNotNull), "p")
+      .select(col("n").as("n_gaps"), col("ses").as("psv"))
+    zs.crossJoin(ps).select(col("n_demands"), col("n_gaps"),
+      q(col("zs"), 6).as("z_ses"), q(col("psv"), 6).as("p_ses"),
+      q(col("zs") / col("psv"), 6).as("croston"))
+  }
+
+  /** Spectral entropy (W386) of the daily series over the candidate-
+    * period band p = 2..14: how CONCENTRATED is the periodogram? —
+    * one number ([[periodogramTopk]] surfaces the top peaks; this
+    * scores whether there IS a peak: H→0 pure cycle, H→1 white
+    * noise). Reuses the periodogram's exact recipe (centered z =
+    * n·y−Σy, per-term 1e-6-quantized cos/sin sums), pins each power
+    * to its 1e-6 integer, normalizes by the integer total, and
+    * accumulates −π·ln π on a per-term 1e-9 grid — every sum
+    * order-insensitive. Flat series (all powers 0) surface H = 0
+    * with a flag. Scale: day-spine × 13 periods.
+    */
+  def spectralEntropy(s: SparkSession, dir: String, maxP: Int = 14)
+  : DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0)
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select((col("day") - col("d0")).as("t"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val tot = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val z = dense.crossJoin(broadcast(tot))
+      .select(col("t"), col("n"),
+        (col("n") * col("y") - col("sy")).as("z"))
+    val ps = s.range(2, maxP + 1).select(col("id").cast("int").as("p"))
+    val ang = lit(2.0 * math.Pi) *
+      (pmod(col("t"), col("p")).cast("double") / col("p"))
+    val pows = z.crossJoin(broadcast(ps))
+      .select(col("p"), col("n"),
+        floor(col("z") * cos(ang) * lit(1e6) + lit(0.5)).cast("long")
+          .as("c6"),
+        floor(col("z") * sin(ang) * lit(1e6) + lit(0.5)).cast("long")
+          .as("s6"))
+      .groupBy("p", "n")
+      .agg(sum(col("c6")).as("cs"), sum(col("s6")).as("ss"))
+      .select(col("p"),
+        floor((col("cs").cast("double") / lit(1e6) *
+            (col("cs").cast("double") / lit(1e6)) +
+          col("ss").cast("double") / lit(1e6) *
+            (col("ss").cast("double") / lit(1e6))) /
+          (col("n").cast("double") * col("n").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("p6"))
+    val total = pows.agg(sum(col("p6")).as("tp6"), count(lit(1)).as("k"))
+    val h9 = pows.crossJoin(broadcast(total))
+      .filter(col("p6") > 0)
+      .select((-(col("p6").cast("double") / col("tp6").cast("double")) *
+        log(col("p6").cast("double") / col("tp6").cast("double")))
+        .as("term"))
+      .select(floor(col("term") * lit(1e9) + lit(0.5)).cast("long")
+        .as("t9"))
+      .agg(coalesce(sum(col("t9")), lit(0L)).as("h9"))
+    h9.crossJoin(total).select(col("k").as("n_periods"),
+      (col("tp6") > 0).cast("long").as("defined"),
+      q(col("h9").cast("double") / lit(1e9), 6).as("h_nats"),
+      q(col("h9").cast("double") / lit(1e9) /
+        log(col("k").cast("double")), 6).as("h_norm"))
+  }
+
+  /** Sample entropy SampEn(m=2, r = ⌊0.2σ⌋) (W387) of the daily
+    * series — the regularity statistic: how much does knowing a
+    * length-2 template's match predict the NEXT point matching too?
+    * Low SampEn = structured/periodic, high = irregular; the
+    * complexity axis the spectral tier ([[spectralEntropy]]) reads
+    * in frequency space, read here in state space, self-match-free
+    * (Richman & Moorman's fix to ApEn's bias). Template pairs come
+    * from ONE i<j self-join over (y_t, y_{t+1}, y_{t+2}) lead
+    * windows with exact-integer |Δ|≤r bands — O(D²) in DAYS (spine-
+    * bounded, never rows), with r from the exact centered variance.
+    * A and B are exact counts; −ln(A/B) divides them once.
+    */
+  def sampleEntropy(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0)
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val st = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"))
+    val rr = st.select(col("n"),
+      greatest(lit(1L), floor(lit(0.2) *
+        sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double")) / col("n").cast("double")).cast("long"))
+        .as("r"))
+    val w = Window.orderBy("day")
+    val tpl = dense
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("y1", lead(col("y"), 1).over(w))
+      .withColumn("y2", lead(col("y"), 2).over(w))
+      .filter(col("y2").isNotNull) // t <= n-2: same index range for A and B
+      .select(col("t"), col("y"), col("y1"), col("y2"))
+    val a = tpl.select(col("t").as("i"), col("y").as("x0"),
+      col("y1").as("x1"), col("y2").as("x2"))
+    val b = tpl.select(col("t").as("j"), col("y").as("z0"),
+      col("y1").as("z1"), col("y2").as("z2"))
+    val pairs = a.crossJoin(broadcast(rr)).join(b,
+      col("i") < col("j") &&
+        abs(col("x0") - col("z0")) <= col("r") &&
+        abs(col("x1") - col("z1")) <= col("r"))
+      .select(col("n"), col("r"),
+        (abs(col("x2") - col("z2")) <= col("r")).cast("long").as("m3"))
+    pairs.groupBy("n", "r")
+      .agg(count(lit(1)).as("b_pairs"), sum(col("m3")).as("a_pairs"))
+      .select(col("n").as("n_days"), col("r"), col("b_pairs"),
+        col("a_pairs"),
+        (col("a_pairs") > 0).cast("long").as("defined"),
+        when(col("a_pairs") > 0,
+          q(-log(col("a_pairs").cast("double") /
+            col("b_pairs").cast("double")), 6))
+          .otherwise(lit(0.0)).as("sampen"))
+  }
+
+  /** Dickey–Fuller unit-root screen (W388) on the daily series:
+    * regress Δy_t on y_{t−1} (with constant) and read γ's t-statistic
+    * against the −2.86 large-n 5% critical value — "is this series a
+    * random walk (γ≈0) or mean-reverting (γ≪0)?", the stationarity
+    * gate every forecaster upstream ([[ar2Forecast]],
+    * [[thetaForecast]]) silently assumes. γ's numerator/denominator
+    * are exact integer cross-products; SSE and the standard error
+    * run as one fixed double expression from the same exact sums, so
+    * both engines agree bit-for-bit after the output grid. Scale:
+    * one day-spine aggregation — no iteration, no matrix solve.
+    */
+  def adfTest(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+      .persist()
+    CacheScope.register(daily0)
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy("day")
+    val reg = dense
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("x"), (col("y") - col("x")).as("dy"))
+    val g = reg.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("dy")).as("sxy"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val n = col("n").cast("double")
+    val aN = n * col("sxy") - col("sx").cast("double") *
+      col("sy").cast("double")
+    val bD = n * col("sxx") - col("sx").cast("double") *
+      col("sx").cast("double")
+    val gamma = aN / bD
+    val sxxc = bD / n
+    val sxyc = aN / n
+    val syyc = (n * col("syy") - col("sy").cast("double") *
+      col("sy").cast("double")) / n
+    val sse = syyc - gamma * sxyc
+    val tStat = gamma / sqrt(sse / (n - 2) / sxxc)
+    g.select(col("n").as("n_obs"), q(gamma, 6).as("gamma"),
+      q(tStat, 4).as("t_stat"),
+      (q(tStat, 4) < lit(-2.86)).cast("long").as("stationary_flag"))
+  }
+
+  /** Wald's SPRT conversion monitor (W389): per day, the cumulative
+    * log-likelihood ratio of "purchase share = p₁" vs "= p₀" with
+    * the classic (α, β) = (.05, .05) accept boundaries ±ln 19 — the
+    * always-valid sequential decision rule next to
+    * [[obfSequential]]'s group-sequential spending. The per-day
+    * increment k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)) uses ratio
+    * literals computed ONCE on the driver and injected into both
+    * engines verbatim (no cross-libm ln), is quantized to a 1e-9
+    * integer per day, and the running LLR is an integer window sum —
+    * decisions compare integers. Scale: one day-keyed agg + a
+    * day-ordered cumulative window.
+    */
+  def sprtMonitor(s: SparkSession, dir: String,
+                  p0: Double = 0.20, p1: Double = 0.25): DataFrame = {
+    val l1 = math.log(p1 / p0)
+    val l0 = math.log((1 - p1) / (1 - p0))
+    val up = math.floor(math.log(19.0) * 1e9 + 0.5).toLong
+    val daily = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        (col("event_type") === "purchase").cast("long").as("k"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k"))
+    val term = col("k").cast("double") * lit(l1) +
+      (col("n") - col("k")).cast("double") * lit(l0)
+    val run = daily
+      .select(col("day"), col("n"), col("k"),
+        floor(term * lit(1e9) + lit(0.5)).cast("long").as("t9"))
+      .withColumn("llr9", sum(col("t9")).over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    run.select(col("day"), col("n"), col("k"),
+        q(col("llr9").cast("double") / lit(1e9), 6).as("llr"),
+        when(col("llr9") >= up, lit("accept_h1"))
+          .when(col("llr9") <= -up, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+      .orderBy("day")
+  }
+
+  /** EWMA control chart (W390, λ = ½, L = 3) over the daily count
+    * series: smoothed level z_t, time-varying ±3σ_z limits, and
+    * out-of-band flags — the small-shift change detector between
+    * [[cusumChangepoint]] (cumulative) and [[pageHinkley]]
+    * (sequential). λ = ½ makes the recursion closed-form EXACT:
+    * z_t = μ/2^t + (Σ y_i·2^i)/2^(t+1), where the weighted prefix
+    * sum is an exact DECIMAL window cumsum and every 2-power is a
+    * bit shift (never libm pow) — the trailing-60-day cap bounds the
+    * shift at 61 bits. σ_z folds (1 − ¼^t) with ¼^t = (½^t)², again
+    * shift-exact; flags compare 1e-9-quantized integers. Scale:
+    * day-bounded window over the trailing slice.
+    */
+  def ewmaChart(s: SparkSession, dir: String, w: Int = 60): DataFrame = {
+    val tail = dailyTail(s, dir, w).persist()
+    CacheScope.register(tail) // eager: stats + the chart read it
+    val st = tail.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val base = st.select(
+      (col("sy").cast("double") / nD).as("mu"),
+      (sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")) / nD).as("sigma"))
+    val cum = tail
+      .withColumn("w2", col("y").cast("decimal(38,0)") *
+        pow2(col("t")).cast("decimal(38,0)"))
+      .withColumn("cum", sum(col("w2")).over(Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val half = pow2(lit(61L) - col("t")).cast("double") /
+      pow2(lit(61L)).cast("double")
+    val z = col("mu") * half + col("cum").cast("double") /
+      pow2(col("t") + 1).cast("double")
+    val sz = col("sigma") * sqrt((lit(1.0) - half * half) / 3)
+    val dev9 = floor(abs(z - col("mu")) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val lim9 = floor(lit(3.0) * sz * lit(1e9) + lit(0.5)).cast("long")
+    cum.crossJoin(broadcast(base))
+      .select(col("day"), col("y"), q(z, 6).as("ewma"),
+        q(col("mu") + lit(3.0) * sz, 6).as("ucl"),
+        q(col("mu") - lit(3.0) * sz, 6).as("lcl"),
+        (dev9 > lim9).cast("long").as("oob"))
+      .orderBy("day")
+  }
 }

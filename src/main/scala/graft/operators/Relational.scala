@@ -2653,4 +2653,62 @@ object Relational {
         sqrt((lit(1.0) - col("rxz") * col("rxz")) *
           (lit(1.0) - col("ryz") * col("ryz"))), 6).as("partial_r"))
   }
+
+  /** DDSketch-style relative-error quantile audit (W391): log-bucket
+    * the positive event values at γ = (1+α)/(1−α), read q50/q90/q99
+    * off the bucket CDF, and CHECK the (γ−1)/2 relative-error
+    * guarantee against the exact grid quantiles — the audit row for
+    * the sketch family ([[mpQuantiles]] is rank-exact but
+    * weight-heavy; DDSketch is the O(log range)-space mergeable
+    * answer for latency-style long tails at 100 TB, where equi-depth
+    * bins lose the p99.9). Buckets ⌊ln v / ln γ⌋ use ONE ln-γ
+    * literal computed on the driver and injected into both engines
+    * (no cross-libm constant); estimates are γ^b·(1+γ)/2 via
+    * exp(b·lnγ); the quantile pick is the cross-multiplied
+    * cumulative-count rule on exact integers. Scale: a value-keyed
+    * agg collapsed onto a range-bounded bucket table (~2k buckets
+    * per decade span) — the window runs over buckets, never rows.
+    */
+  def ddsketchAudit(s: SparkSession, dir: String,
+                    relAcc: Double = 0.01): DataFrame = {
+    val gamma = (1 + relAcc) / (1 - relAcc)
+    val lnG = math.log(gamma)
+    val bound = (gamma - 1) / 2
+    val vi = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+        .as("v6"))
+      .filter(col("v6") > 0)
+      .persist()
+    CacheScope.register(vi) // eager: bucket + exact sides read it
+    val tot = vi.agg(count(lit(1)).as("n"))
+    val qs = s.range(0, 3).select(
+      element_at(array(lit(50), lit(90), lit(99)),
+        (col("id") + 1).cast("int")).as("q_pct"))
+    def pick(df: DataFrame, keyCol: String, out: String) = {
+      val cum = df
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(keyCol).rowsBetween(
+            Window.unboundedPreceding, 0)))
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+        .filter(col("cum") * 100 >= col("q_pct") * col("n"))
+        .groupBy("q_pct").agg(min(col(keyCol)).as(out))
+    }
+    val byB = vi
+      .select(floor(log(col("v6").cast("double") / lit(1e6)) / lit(lnG))
+        .cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val byV = vi.groupBy("v6").agg(count(lit(1)).as("cnt"))
+    val est = exp(col("b").cast("double") * lit(lnG)) *
+      lit((1 + gamma) / 2)
+    pick(byB, "b", "b").join(pick(byV, "v6", "v6"), "q_pct")
+      .select(col("q_pct"), Events.q(est, 6).as("est"),
+        Events.q(col("v6").cast("double") / lit(1e6), 6).as("exact"),
+        Events.q(abs(est - col("v6").cast("double") / lit(1e6)) /
+          (col("v6").cast("double") / lit(1e6)), 6).as("rel_err"),
+        (Events.q(abs(est - col("v6").cast("double") / lit(1e6)) /
+          (col("v6").cast("double") / lit(1e6)), 6) <= lit(bound))
+          .cast("long").as("within_bound"))
+      .orderBy("q_pct")
+  }
 }
