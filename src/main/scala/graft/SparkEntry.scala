@@ -562,6 +562,17 @@ object SparkEntry {
     "sprt_monitor" -> ((s, d) => Events.sprtMonitor(s, d)),
     "ewma_chart" -> ((s, d) => Events.ewmaChart(s, d)),
     "ddsketch_audit" -> ((s, d) => Relational.ddsketchAudit(s, d)),
+    // round-5 batch V: RAKE keywords, chi2 term selection, Cronbach
+    // reliability, SALSA, transition reciprocity, CEM matching,
+    // odds-ratio CI, blocking-scheme audit
+    "rake_keywords" -> ((s, d) => TextStats.rakeKeywords(s, d)),
+    "chi2_terms" -> ((s, d) => TextStats.chi2Terms(s, d)),
+    "cronbach_alpha" -> ((s, d) => TextStats.cronbachAlpha(s, d)),
+    "salsa_scores" -> ((s, d) => Graph.salsaScores(s, d)),
+    "reciprocity" -> ((s, d) => Events.reciprocity(s, d)),
+    "cem_att" -> ((s, d) => Relational.cemAtt(s, d)),
+    "odds_ratio_ci" -> ((s, d) => Relational.oddsRatioCi(s, d)),
+    "blocking_quality" -> ((s, d) => Dedup.blockingQuality(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -9974,6 +9985,266 @@ object SparkEntry {
                <= $bound THEN 1 ELSE 0 END)::BIGINT AS within_bound
          FROM pb JOIN pv USING (q_pct) ORDER BY q_pct"""
     },
+    // stopword-delimited phrase runs; word score deg/freq pinned to a
+    // 1e-9 grid before the per-phrase sum (mirrors TextStats.rakeKeywords)
+    "rake_keywords" -> s"""$TokCte,
+         tk AS (SELECT doc_id, unnest(ts) AS t,
+                  unnest(range(1, len(ts) + 1)) AS pos
+                FROM toks),
+         st AS (SELECT doc_id, t, pos,
+                  list_contains(${sqlList(
+                    graft.operators.TextStats.Stopwords.head._2)}, t)
+                    AS stop
+                FROM tk),
+         pidd AS (SELECT doc_id, t, pos, stop,
+                    sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER
+                      (PARTITION BY doc_id ORDER BY pos)::BIGINT AS pid
+                  FROM st),
+         mem AS (SELECT doc_id, pid, t, pos,
+                   count(*) OVER (PARTITION BY doc_id, pid)::BIGINT
+                     AS plen
+                 FROM pidd WHERE NOT stop),
+         words AS (SELECT t,
+                     floor(sum(plen)::DOUBLE / count(*)::DOUBLE * 1e9
+                       + 0.5)::BIGINT AS w9
+                   FROM mem GROUP BY 1),
+         ph AS (SELECT doc_id, pid,
+                  string_agg(m.t, ' ' ORDER BY pos) AS phrase,
+                  count(*)::BIGINT AS n_words, sum(w9)::BIGINT AS s9
+                FROM mem m JOIN words w ON m.t = w.t GROUP BY 1, 2),
+         agg AS (SELECT phrase, min(n_words)::BIGINT AS n_words,
+                   count(*)::BIGINT AS n_occur, min(s9)::BIGINT AS s9
+                 FROM ph GROUP BY 1)
+         SELECT phrase, n_words, n_occur,
+           floor(s9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS score
+         FROM agg ORDER BY score DESC, phrase LIMIT 15""",
+    // per-doc presence 2x2 vs the target source; exact HUGEINT
+    // cross-products, one division at 1e-4
+    "chi2_terms" ->
+      """WITH ytk AS (
+           SELECT doc_id, (source = 'src0') AS pos,
+             list_distinct(list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0)) AS ts
+           FROM documents),
+         dt AS (SELECT doc_id, pos, unnest(ts) AS t FROM ytk),
+         tot AS (SELECT count(*)::BIGINT AS nn,
+                   sum(CASE WHEN source = 'src0' THEN 1 ELSE 0
+                     END)::BIGINT AS n0
+                 FROM documents),
+         cells0 AS (SELECT t,
+                      sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS a,
+                      sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS c
+                    FROM dt GROUP BY 1),
+         cells AS (SELECT t, a, c FROM cells0 WHERE a + c >= 5),
+         f AS (SELECT t, a, (n0 - a)::BIGINT AS b, c,
+                 (nn - n0 - c)::BIGINT AS d, nn
+               FROM cells, tot)
+         SELECT t AS term, a AS df_target, c AS df_rest,
+           CASE WHEN (((a + b) * (c + d))::HUGEINT *
+                      ((a + c) * (b + d))::HUGEINT) > 0
+             THEN floor((nn::HUGEINT *
+                 ((a * d - b * c)::HUGEINT * (a * d - b * c)::HUGEINT))
+                 ::DOUBLE /
+               (((a + b) * (c + d))::HUGEINT *
+                ((a + c) * (b + d))::HUGEINT)::DOUBLE * 1e4 + 0.5) / 1e4
+             ELSE 0.0 END AS chi2
+         FROM f ORDER BY chi2 DESC, term LIMIT 15""",
+    // three correlated per-doc items; sample variances from exact
+    // HUGEINT sums, fixed-order three-term sum
+    "cronbach_alpha" -> s"""$TokCte,
+         items AS (
+           SELECT d.n_chars::BIGINT AS x1, len(ts)::BIGINT AS x2,
+             len(list_distinct(ts))::BIGINT AS x3,
+             (d.n_chars + len(ts) + len(list_distinct(ts)))::BIGINT
+               AS sm
+           FROM documents d JOIN toks USING (doc_id)),
+         g AS (SELECT count(*)::BIGINT AS n,
+                 sum(x1)::HUGEINT AS s1, sum(x1 * x1)::HUGEINT AS q1,
+                 sum(x2)::HUGEINT AS s2, sum(x2 * x2)::HUGEINT AS q2,
+                 sum(x3)::HUGEINT AS s3, sum(x3 * x3)::HUGEINT AS q3,
+                 sum(sm)::HUGEINT AS ss, sum(sm * sm)::HUGEINT AS qs
+               FROM items)
+         SELECT n AS n_docs, 3::BIGINT AS k_items,
+           floor(3.0 / 2 * (1.0 -
+             ((n::DOUBLE * q1 - s1::DOUBLE * s1::DOUBLE) /
+                (n::DOUBLE * (n::DOUBLE - 1)) +
+              (n::DOUBLE * q2 - s2::DOUBLE * s2::DOUBLE) /
+                (n::DOUBLE * (n::DOUBLE - 1)) +
+              (n::DOUBLE * q3 - s3::DOUBLE * s3::DOUBLE) /
+                (n::DOUBLE * (n::DOUBLE - 1))) /
+             ((n::DOUBLE * qs - ss::DOUBLE * ss::DOUBLE) /
+                (n::DOUBLE * (n::DOUBLE - 1)))) * 1e6 + 0.5) / 1e6
+             AS alpha
+         FROM g""",
+    // three unrolled integer SALSA rounds: every message is an exact
+    // `score // degree` — bit-identical iteration in both engines
+    "salsa_scores" -> s"""WITH $GraphCte,
+         dc AS (SELECT c, count(*)::BIGINT AS dc FROM pairs GROUP BY 1),
+         ds AS (SELECT sup, count(*)::BIGINT AS ds FROM pairs
+                GROUP BY 1),
+         h0 AS (SELECT c, 1000000000000::BIGINT AS h FROM dc),
+         a1 AS (SELECT sup, sum(h // dc)::BIGINT AS a FROM pairs
+                JOIN h0 USING (c) JOIN dc USING (c) GROUP BY 1),
+         h1 AS (SELECT c, sum(a // ds)::BIGINT AS h FROM pairs
+                JOIN a1 USING (sup) JOIN ds USING (sup) GROUP BY 1),
+         a2 AS (SELECT sup, sum(h // dc)::BIGINT AS a FROM pairs
+                JOIN h1 USING (c) JOIN dc USING (c) GROUP BY 1),
+         h2 AS (SELECT c, sum(a // ds)::BIGINT AS h FROM pairs
+                JOIN a2 USING (sup) JOIN ds USING (sup) GROUP BY 1),
+         a3 AS (SELECT sup, sum(h // dc)::BIGINT AS a FROM pairs
+                JOIN h2 USING (c) JOIN dc USING (c) GROUP BY 1),
+         h3 AS (SELECT c, sum(a // ds)::BIGINT AS h FROM pairs
+                JOIN a3 USING (sup) JOIN ds USING (sup) GROUP BY 1),
+         ta AS (SELECT 'auth' AS kind, sup AS id,
+                  floor(a::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS score
+                FROM a3 ORDER BY a DESC, sup LIMIT 10),
+         th AS (SELECT 'hub' AS kind, c AS id,
+                  floor(h::DOUBLE / 1e12 * 1e6 + 0.5) / 1e6 AS score
+                FROM h3 ORDER BY h DESC, c LIMIT 10)
+         SELECT * FROM ta UNION ALL SELECT * FROM th""",
+    // per-user consecutive-type transitions; unweighted + Squartini
+    // weighted reciprocity, exact counts
+    "reciprocity" ->
+      """WITH tr AS (
+           SELECT user_id, event_type AS b,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS a
+           FROM events),
+         e AS (SELECT a, b, count(*)::BIGINT AS wab
+               FROM tr WHERE a IS NOT NULL AND a <> b GROUP BY 1, 2),
+         j AS (SELECT e.wab, coalesce(r.wab, 0)::BIGINT AS wba
+               FROM e LEFT JOIN e r ON e.a = r.b AND e.b = r.a)
+         SELECT count(*)::BIGINT AS n_edges,
+           sum(CASE WHEN wba > 0 THEN 1 ELSE 0 END)::BIGINT AS n_recip,
+           floor(sum(CASE WHEN wba > 0 THEN 1 ELSE 0 END)::DOUBLE /
+             count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS recip,
+           sum(wab)::BIGINT AS w_total,
+           sum(least(wab, wba))::BIGINT AS w_recip,
+           floor(sum(least(wab, wba))::DOUBLE / sum(wab)::DOUBLE * 1e6
+             + 0.5) / 1e6 AS w_ratio
+         FROM j""",
+    // month x status strata; per-stratum exact-cents cross-product,
+    // treated-weighted sum, one division to dollars
+    "cem_att" ->
+      """WITH o AS (
+           SELECT (o_orderpriority = '1-URGENT') AS tr,
+             (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT
+               AS sm,
+             o_orderstatus AS ss,
+             floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+           FROM orders),
+         st AS (SELECT sm, ss,
+             sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS nt,
+             sum(CASE WHEN tr THEN cents ELSE 0 END)::HUGEINT AS stt,
+             sum(CASE WHEN tr THEN 0 ELSE 1 END)::BIGINT AS nc,
+             sum(CASE WHEN tr THEN 0 ELSE cents END)::HUGEINT AS sc
+           FROM o GROUP BY 1, 2),
+         m AS (SELECT nt,
+             floor((stt * nc - sc * nt)::DOUBLE / nc::DOUBLE * 1e6
+               + 0.5)::BIGINT AS t6
+           FROM st WHERE nt > 0 AND nc > 0),
+         dr AS (SELECT coalesce(sum(nt), 0)::BIGINT AS n_unmatched
+                FROM st WHERE nc = 0),
+         agg AS (SELECT count(*)::BIGINT AS n_strata,
+                   sum(nt)::BIGINT AS n_treated,
+                   sum(t6)::HUGEINT AS s6
+                 FROM m)
+         SELECT n_strata, n_treated, n_unmatched,
+           floor(s6::DOUBLE / 1e6 / n_treated::DOUBLE / 100 * 1e4 + 0.5)
+             / 1e4 AS att_dollars
+         FROM agg, dr""",
+    // exact-median exposure split; Woolf CI with identical ln/exp
+    // arguments in both engines; zero cells surface defined = 0
+    "odds_ratio_ci" ->
+      """WITH o AS (
+           SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS v,
+             (o_orderstatus = 'F') AS f
+           FROM orders),
+         tot AS (SELECT count(*)::BIGINT AS n FROM o),
+         med AS (SELECT min(v) AS med FROM (
+             SELECT v, sum(cnt) OVER (ORDER BY v)::BIGINT AS cum
+             FROM (SELECT v, count(*)::BIGINT AS cnt FROM o
+                   GROUP BY 1)), tot
+           WHERE cum * 2 >= n),
+         cells AS (SELECT
+             sum(CASE WHEN v > med AND f THEN 1 ELSE 0 END)::BIGINT
+               AS a,
+             sum(CASE WHEN v > med AND NOT f THEN 1 ELSE 0 END)::BIGINT
+               AS b,
+             sum(CASE WHEN v <= med AND f THEN 1 ELSE 0 END)::BIGINT
+               AS c,
+             sum(CASE WHEN v <= med AND NOT f THEN 1 ELSE 0 END)
+               ::BIGINT AS d
+           FROM o, med)
+         SELECT a, b, c, d,
+           (CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN 1
+            ELSE 0 END)::BIGINT AS defined,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN floor((a * d)::DOUBLE / (b * c)::DOUBLE * 1e6 + 0.5)
+               / 1e6
+             ELSE 0.0 END AS odds_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN floor((a * (c + d))::DOUBLE /
+               (c * (a + b))::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS risk_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN floor(exp(ln((a * d)::DOUBLE / (b * c)::DOUBLE) -
+               1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+               * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS or_lo,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN floor(exp(ln((a * d)::DOUBLE / (b * c)::DOUBLE) +
+               1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+               * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS or_hi
+         FROM cells""",
+    // candidate pairs from one key agg (never materialized); truth =
+    // the jaccard>=0.8 pipeline; RR + PC exact-count ratios
+    "blocking_quality" -> s"""$TokCte,
+         keys AS (SELECT d.doc_id,
+             concat_ws('|', ts[1], (d.n_chars // 20)::VARCHAR) AS bk
+           FROM documents d JOIN toks USING (doc_id)),
+         nn AS (SELECT count(*)::BIGINT AS n FROM keys),
+         cand AS (SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0)::BIGINT
+                    AS n_cand
+                  FROM (SELECT bk, count(*)::BIGINT AS cnt FROM keys
+                        GROUP BY 1)),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(ts) >= 3
+               THEN list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               ELSE [array_to_string(ts, ' ')] END) AS shs
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter
+           FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa
+             ON doc_a = sa.doc_id
+           JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb
+             ON doc_b = sb.doc_id
+           WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8),
+         tm AS (SELECT count(*)::BIGINT AS n_truth,
+                  coalesce(sum(CASE WHEN ka.bk = kb.bk THEN 1 ELSE 0
+                    END), 0)::BIGINT AS n_matched
+                FROM truth t
+                JOIN keys ka ON t.doc_a = ka.doc_id
+                JOIN keys kb ON t.doc_b = kb.doc_id)
+         SELECT n AS n_docs, n_truth, n_cand, n_matched,
+           CASE WHEN n_truth > 0
+             THEN floor(n_matched::DOUBLE / n_truth::DOUBLE * 1e6 + 0.5)
+               / 1e6
+             ELSE 1.0 END AS pairs_completeness,
+           floor((1.0 - n_cand::DOUBLE / ((n * (n - 1) // 2)::DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS reduction_ratio
+         FROM nn, cand, tm""",
   )
 
   private def sqlList(words: Seq[String]): String =

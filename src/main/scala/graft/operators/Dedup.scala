@@ -922,4 +922,50 @@ object Dedup {
       qz(col("u1"), 6).as("u_brand"), qz(col("u2"), 6).as("u_type"),
       qz(col("u3"), 6).as("u_adj"))
   }
+
+  /** Blocking-scheme quality audit (W399): before running any
+    * pairwise linkage at 100 TB you pick a BLOCKING KEY, and this op
+    * scores one (first token × 20-char length band) on the two
+    * numbers that matter — REDUCTION RATIO (1 − candidate/total
+    * pairs: how much work the block saves) and PAIRS COMPLETENESS
+    * (what share of true near-dup pairs, per [[jaccardPairs]] at
+    * 0.8, the block still co-locates). RR without PC is cheating
+    * (empty blocks have RR 1); PC without RR is the all-pairs join.
+    * Candidate counts are ΣC(block,2) from one key-keyed agg — the
+    * blocks are never materialized as pairs; truth pairs join their
+    * two block keys and compare. Every statistic is an exact LONG;
+    * the two ratios divide once. Scale: truth generation is the
+    * shingle-keyed jaccardPairs plan; everything else is key-agg.
+    */
+  def blockingQuality(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.documents(s, dir)
+      .select(col("doc_id"), concat_ws("|",
+        element_at(tokenize(col("text")), 1),
+        expr("n_chars div 20").cast("string")).as("bk"))
+      .persist()
+    CacheScope.register(keys) // eager: candidate agg + truth join
+    val n = keys.count()
+    val cand = keys.groupBy("bk").agg(count(lit(1)).as("cnt"))
+      .select(expr("cnt * (cnt - 1) div 2").as("cp"))
+      .agg(coalesce(sum(col("cp")), lit(0L)).as("n_cand"))
+    val truth = jaccardPairs(s, dir, 0.8)
+      .join(keys.select(col("doc_id").as("doc_a"), col("bk").as("ka")),
+        "doc_a")
+      .join(keys.select(col("doc_id").as("doc_b"), col("bk").as("kb")),
+        "doc_b")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum((col("ka") === col("kb")).cast("long")), lit(0L))
+          .as("n_matched"))
+    val totPairs = n * (n - 1) / 2
+    cand.crossJoin(truth)
+      .select(lit(n).as("n_docs"), col("n_truth"), col("n_cand"),
+        col("n_matched"),
+        when(col("n_truth") > 0,
+          graft.operators.Events.q(col("n_matched").cast("double") /
+            col("n_truth").cast("double"), 6)).otherwise(lit(1.0))
+          .as("pairs_completeness"),
+        graft.operators.Events.q(lit(1.0) -
+          col("n_cand").cast("double") / lit(totPairs.toDouble), 6)
+          .as("reduction_ratio"))
+  }
 }

@@ -5072,4 +5072,44 @@ object Events {
         (dev9 > lim9).cast("long").as("oob"))
       .orderBy("day")
   }
+
+  /** Reciprocity of the event-type transition digraph (W396): build
+    * per-user consecutive-event transitions a→b (a ≠ b), aggregate
+    * to a weighted digraph, and measure how SYMMETRIC the flow is —
+    * unweighted (share of directed edges with a reverse edge) and
+    * weighted (Squartini–Garlaschelli W↔/W = Σ min(w_ab, w_ba)/Σw).
+    * The process-mining symmetry check next to
+    * [[eventuallyFollows]]: click→purchase without purchase→click is
+    * a funnel; high reciprocity is oscillation (error↔retry loops).
+    * One lag window per user, one edge-keyed agg, one self-join on
+    * the REVERSED key; every statistic an exact integer, two final
+    * divisions. Scale: user-partitioned windows, edge table bounded
+    * by (types)².
+    */
+  def reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("b"))
+      .withColumn("a", lag(col("b"), 1).over(w))
+      .filter(col("a").isNotNull && col("a") =!= col("b"))
+    val edges = trans.groupBy("a", "b").agg(count(lit(1)).as("wab"))
+      .persist()
+    CacheScope.register(edges) // eager: both sides of the reverse join
+    val joined = edges.join(
+      edges.select(col("a").as("b2"), col("b").as("a2"),
+        col("wab").as("wba")),
+      col("a") === col("a2") && col("b") === col("b2"), "left")
+      .select(col("wab"), coalesce(col("wba"), lit(0L)).as("wba"))
+    joined.agg(count(lit(1)).as("n_edges"),
+        sum((col("wba") > 0).cast("long")).as("n_recip"),
+        sum(col("wab")).as("w_total"),
+        sum(least(col("wab"), col("wba"))).as("w_recip"))
+      .select(col("n_edges"), col("n_recip"),
+        q(col("n_recip").cast("double") / col("n_edges").cast("double"),
+          6).as("recip"),
+        col("w_total"), col("w_recip"),
+        q(col("w_recip").cast("double") / col("w_total").cast("double"),
+          6).as("w_ratio"))
+  }
 }

@@ -1850,4 +1850,54 @@ object Graph {
           col("n_edges").cast("double"), 6).as("bridge_share"))
       .orderBy("tie_weight")
   }
+
+  /** SALSA authority/hub scores (W395, Lempel & Moran): the
+    * degree-normalized cousin of [[hits]] — each node forwards its
+    * mass SPLIT EVENLY across its edges (a random walk on the
+    * bipartite graph) instead of copying it whole, so high-degree
+    * hubs can't inflate every neighbor (the TKC effect HITS suffers;
+    * running both and diffing the rankings is the audit). The whole
+    * iteration is EXACT INTEGER arithmetic: scores live on a 1e-12
+    * grid and every message is `score div degree` (integer division
+    * — defined as the operator's semantics, documented drift ≤
+    * degree ulps per round, far below the 1e-6 surfaced grid), so
+    * both engines replay bit-identical rounds with no double sums
+    * anywhere. Scale: two degree tables + two keyed aggs per round
+    * at pinned loop parallelism, same shuffle shape as [[hits]].
+    */
+  def salsaScores(s: SparkSession, dir: String, rounds: Int = 3,
+                  k: Int = 10): DataFrame = {
+    val pairs = customerSupplierEdges(s, dir)
+      .filter(col("src") < lit(1000000L))
+      .select(col("src").as("c"), col("dst").as("sup")).persist()
+    graft.CacheScope.register(pairs) // eager: degrees + each round
+    val dc = pairs.groupBy("c").agg(count(lit(1)).as("dc"))
+    val ds = pairs.groupBy("sup").agg(count(lit(1)).as("ds"))
+    val p = loopParallelism(s, pairs.count())
+    val (auth, hub) = withLoopConf(s, p) {
+      var hubDf = dc.select(col("c"), lit(1000000000000L).as("h"))
+        .localCheckpoint()
+      var authDf: DataFrame = null
+      for (_ <- 1 to rounds) {
+        authDf = pairs.join(hubDf, "c").join(dc.hint("broadcast"), "c")
+          .selectExpr("sup", "h div dc as m")
+          .groupBy("sup").agg(sum(col("m")).as("a"))
+          .localCheckpoint()
+        hubDf = pairs.join(authDf, "sup").join(ds.hint("broadcast"), "sup")
+          .selectExpr("c", "a div ds as m")
+          .groupBy("c").agg(sum(col("m")).as("h"))
+          .localCheckpoint()
+      }
+      (authDf, hubDf)
+    }
+    val topAuth = auth.orderBy(col("a").desc, col("sup")).limit(k)
+      .select(lit("auth").as("kind"), col("sup").as("id"),
+        graft.operators.Events.q(col("a").cast("double") / lit(1e12), 6)
+          .as("score"))
+    val topHub = hub.orderBy(col("h").desc, col("c")).limit(k)
+      .select(lit("hub").as("kind"), col("c").as("id"),
+        graft.operators.Events.q(col("h").cast("double") / lit(1e12), 6)
+          .as("score"))
+    topAuth.unionAll(topHub)
+  }
 }

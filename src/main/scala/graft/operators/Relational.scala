@@ -2711,4 +2711,96 @@ object Relational {
           .cast("long").as("within_bound"))
       .orderBy("q_pct")
   }
+
+  /** Coarsened-exact-matching ATT (W397, Iacus–King–Porro): stratify
+    * orders on coarse covariates (order month × status), keep strata
+    * containing BOTH urgent ("treated") and non-urgent orders, and
+    * estimate the treatment effect on totalprice as the
+    * treated-weighted within-stratum mean gap — the design-based
+    * causal readout next to [[Events.diffInDiff]] (time) and
+    * [[Curation.ipfRaking]] (marginals): matching ON OBSERVABLES
+    * with no model. Per-stratum terms collapse to the exact-cents
+    * cross-product (sT·nC − nT·sC)/nC, quantized to 1e-6 integers
+    * before the cross-strata sum; one division by matched-treated
+    * count surfaces dollars. Unmatched treated count is reported —
+    * silently dropping off-support units is how matching lies.
+    * Scale: ONE stratum-keyed aggregation with conditional sums.
+    */
+  def cemAtt(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      (col("o_orderpriority") === "1-URGENT").as("tr"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("stratum_m"),
+      col("o_orderstatus").as("stratum_s"),
+      floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+        .as("cents"))
+    val strata = o.groupBy("stratum_m", "stratum_s").agg(
+      sum(col("tr").cast("long")).as("nt"),
+      sum(when(col("tr"), col("cents")).otherwise(lit(0L))
+        .cast("decimal(38,0)")).as("st"),
+      sum((!col("tr")).cast("long")).as("nc"),
+      sum(when(!col("tr"), col("cents")).otherwise(lit(0L))
+        .cast("decimal(38,0)")).as("sc"))
+    val matched = strata.filter(col("nt") > 0 && col("nc") > 0)
+      .select(col("nt"),
+        floor((col("st") * col("nc") - col("sc") * col("nt"))
+          .cast("double") / col("nc").cast("double") * lit(1e6) +
+          lit(0.5)).cast("long").as("t6"))
+    val dropped = strata.filter(col("nc") === 0)
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("n_unmatched"))
+    matched.agg(count(lit(1)).as("n_strata"),
+        sum(col("nt")).as("n_treated"), sum(col("t6")).as("s6"))
+      .crossJoin(broadcast(dropped))
+      .select(col("n_strata"), col("n_treated"), col("n_unmatched"),
+        Events.q(col("s6").cast("double") / lit(1e6) /
+          col("n_treated").cast("double") / 100, 4).as("att_dollars"))
+  }
+
+  /** Odds ratio / risk ratio with Woolf 95% CI (W398) for the 2×2
+    * "high-value order × fulfilled" table — the epidemiology-style
+    * effect readout ([[cochranArmitage]] tests trend; this sizes ONE
+    * exposure): exposure = totalprice strictly above the exact
+    * median (cross-multiplied cumulative rule on the cents grid),
+    * outcome = status F. All four cells exact LONGs; OR and RR are
+    * cross-multiplied single divisions; the CI is
+    * exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) as one fixed expression —
+    * identical ln/exp arguments in both engines. Zero cells surface
+    * defined = 0 with zeroed stats rather than ±∞. Scale: a cents-
+    * keyed median pick + ONE conditional aggregation.
+    */
+  def oddsRatioCi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+        .as("v"),
+      (col("o_orderstatus") === "F").as("f"))
+      .persist()
+    CacheScope.register(o) // eager: median pick + the cell agg read it
+    val tot = o.agg(count(lit(1)).as("n"))
+    val med = o.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("v")).as("med"))
+    val cells = o.crossJoin(broadcast(med)).agg(
+      sum((col("v") > col("med") && col("f")).cast("long")).as("a"),
+      sum((col("v") > col("med") && !col("f")).cast("long")).as("b"),
+      sum((col("v") <= col("med") && col("f")).cast("long")).as("c"),
+      sum((col("v") <= col("med") && !col("f")).cast("long")).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val or = (col("a") * col("d")).cast("double") /
+      (col("b") * col("c")).cast("double")
+    val rr = (col("a") * (col("c") + col("d"))).cast("double") /
+      (col("c") * (col("a") + col("b"))).cast("double")
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      ok.cast("long").as("defined"),
+      when(ok, Events.q(or, 6)).otherwise(lit(0.0)).as("odds_ratio"),
+      when(ok, Events.q(rr, 6)).otherwise(lit(0.0)).as("risk_ratio"),
+      when(ok, Events.q(exp(log(or) - lit(1.96) * se), 6))
+        .otherwise(lit(0.0)).as("or_lo"),
+      when(ok, Events.q(exp(log(or) + lit(1.96) * se), 6))
+        .otherwise(lit(0.0)).as("or_hi"))
+  }
 }

@@ -1461,4 +1461,137 @@ object TextStats {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6)
           .as("w1_chars"))
   }
+
+  /** RAKE keyword extraction (W392, Rose et al. 2010): candidate
+    * phrases are maximal stopword-free token runs; a word scores
+    * deg/freq (deg = Σ length of its phrases — favors words that
+    * travel in long collocations); a phrase scores the sum of its
+    * words — the unsupervised keyword list next to
+    * [[textrankKeywords]] (graph centrality) and [[ctfidfTerms]]
+    * (class contrast), at one pass instead of an iteration. Phrase
+    * segmentation is a per-doc cumulative stopword count (windows
+    * partition BY DOC — row-bounded per doc, never global); phrase
+    * text assembles via sort_array(collect_list(struct(pos, t)))
+    * so aggregation order cannot reorder tokens; word scores are
+    * global-rational deg/freq pinned to a 1e-9 integer grid before
+    * the per-phrase sum. Scale: two token-keyed aggs + one phrase
+    * agg; the only top-k sort runs on the distinct-phrase table.
+    */
+  def rakeKeywords(s: SparkSession, dir: String, k: Int = 15)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = Stopwords.head._2
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokenize(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t"))
+      .withColumn("stop", col("t").isin(stops.map(lit): _*))
+    val members = toks
+      .withColumn("pid", sum(col("stop").cast("long")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(!col("stop"))
+      .withColumn("plen", count(lit(1)).over(
+        Window.partitionBy("doc_id", "pid")))
+      .persist()
+    CacheScope.register(members) // eager: word stats + phrases read it
+    val words = members.groupBy("t").agg(
+      count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("t"),
+        floor(col("deg").cast("double") / col("freq").cast("double") *
+          lit(1e9) + lit(0.5)).cast("long").as("w9"))
+    val phrases = members.join(words, "t")
+      .groupBy("doc_id", "pid")
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t")), " ").as("phrase"),
+        count(lit(1)).as("n_words"), sum(col("w9")).as("s9"))
+    phrases.groupBy("phrase")
+      .agg(first(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occur"), min(col("s9")).as("s9"))
+      .select(col("phrase"), col("n_words"), col("n_occur"),
+        Events.q(col("s9").cast("double") / lit(1e9), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+
+  /** χ² term selection (W393) against a target source: per term, the
+    * 2×2 document-frequency table (in src0 with t / without, rest
+    * with / without) collapses to χ² = N(ad−bc)²/((a+b)(c+d)(a+c)
+    * (b+d)) — the scikit-SelectKBest companion to [[keynessG2]]'s
+    * likelihood ratio (χ² is the quadratic approximation; comparing
+    * the two rankings is itself a diagnostic). Presence is per-DOC
+    * (array_contains after one distinct), every cell an exact LONG,
+    * the statistic one DECIMAL cross-product division quantized at
+    * 1e-4, df ≥ 5 pruning before the top-k sort. Scale: one
+    * term-keyed agg over (doc, term) distinct pairs; the broadcast
+    * doc totals are two scalars.
+    */
+  def chi2Terms(s: SparkSession, dir: String, target: String = "src0",
+                k: Int = 15, minDf: Long = 5): DataFrame = {
+    val dt = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("source") === target).as("pos"),
+        explode(array_distinct(tokenize(col("text")))).as("t"))
+      .persist()
+    CacheScope.register(dt) // eager: totals + the term agg read it
+    val tot = Tables.documents(s, dir).agg(
+      count(lit(1)).as("nn"),
+      sum((col("source") === target).cast("long")).as("n0"))
+    val cells = dt.groupBy("t").agg(
+      sum(col("pos").cast("long")).as("a"),
+      sum((!col("pos")).cast("long")).as("c"))
+      .filter(col("a") + col("c") >= minDf)
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("a"), (col("n0") - col("a")).as("b"),
+        col("c"), (col("nn") - col("n0") - col("c")).as("d"), col("nn"))
+    // (ad-bc) fits a LONG at any doc count (products <= n^2); the
+    // SQUARE must cast each factor first or it overflows at scale
+    val num = col("nn").cast("decimal(38,0)") *
+      ((col("a") * col("d") - col("b") * col("c")).cast("decimal(38,0)") *
+       (col("a") * col("d") - col("b") * col("c")).cast("decimal(38,0)"))
+    val den = ((col("a") + col("b")) * (col("c") + col("d")))
+      .cast("decimal(38,0)") *
+      ((col("a") + col("c")) * (col("b") + col("d")))
+      .cast("decimal(38,0)")
+    // a term present in EVERY doc (or every doc of one class) zeroes
+    // a margin — chi2 is 0 by convention, not a division error
+    cells.select(col("t").as("term"), col("a").as("df_target"),
+        col("c").as("df_rest"),
+        when(den > 0, Events.q(num.cast("double") / den.cast("double"), 4))
+          .otherwise(lit(0.0)).as("chi2"))
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Cronbach's α internal-consistency coefficient (W394) over three
+    * per-document "items" (n_chars, token count, distinct-token
+    * count): α = k/(k−1)·(1 − Σvarᵢ/var(Σ)) — the reliability
+    * gate run before averaging correlated quality signals into one
+    * score ([[qualityScore]] does exactly that average; this measures
+    * whether its components agree enough for the average to mean
+    * anything). All item sums/cross-sums are exact DECIMAL from ONE
+    * aggregation; each sample variance divides exact cross-products
+    * once, and the three-term variance sum adds in fixed order.
+    */
+  def cronbachAlpha(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.documents(s, dir)
+      .select(col("n_chars").as("x1"),
+        size(tokenize(col("text"))).cast("long").as("x2"),
+        size(array_distinct(tokenize(col("text")))).cast("long").as("x3"))
+      .withColumn("sm", col("x1") + col("x2") + col("x3"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val g = items.agg(count(lit(1)).as("n"),
+      sum(d38(col("x1"))).as("s1"), sum(d38(col("x1") * col("x1"))).as("q1"),
+      sum(d38(col("x2"))).as("s2"), sum(d38(col("x2") * col("x2"))).as("q2"),
+      sum(d38(col("x3"))).as("s3"), sum(d38(col("x3") * col("x3"))).as("q3"),
+      sum(d38(col("sm"))).as("ss"), sum(d38(col("sm") * col("sm"))).as("qs"))
+    val n = col("n").cast("double")
+    def v(sq: String, sx: String) =
+      (n * col(sq).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double")) / (n * (n - 1))
+    val alpha = lit(3.0) / 2 *
+      (lit(1.0) - (v("q1", "s1") + v("q2", "s2") + v("q3", "s3")) /
+        v("qs", "ss"))
+    g.select(col("n").as("n_docs"), lit(3L).as("k_items"),
+      Events.q(alpha, 6).as("alpha"))
+  }
 }
