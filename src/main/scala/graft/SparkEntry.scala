@@ -573,6 +573,17 @@ object SparkEntry {
     "cem_att" -> ((s, d) => Relational.cemAtt(s, d)),
     "odds_ratio_ci" -> ((s, d) => Relational.oddsRatioCi(s, d)),
     "blocking_quality" -> ((s, d) => Dedup.blockingQuality(s, d)),
+    // round-5 batch W: extreme values, density clustering, hazards,
+    // dispersion, influence seeding, structural holes, rank
+    // stability, association rules
+    "evt_gumbel" -> ((s, d) => Events.evtGumbel(s, d)),
+    "dbscan_1d" -> ((s, d) => Events.dbscan1d(s, d)),
+    "nelson_aalen" -> ((s, d) => Events.nelsonAalen(s, d)),
+    "dispersion_test" -> ((s, d) => Events.dispersionTest(s, d)),
+    "vote_rank" -> ((s, d) => Graph.voteRank(s, d)),
+    "burt_constraint" -> ((s, d) => Graph.burtConstraint(s, d)),
+    "rbo_stability" -> ((s, d) => TextStats.rboStability(s, d)),
+    "assoc_rules" -> ((s, d) => Relational.assocRules(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -10245,6 +10256,276 @@ object SparkEntry {
            floor((1.0 - n_cand::DOUBLE / ((n * (n - 1) // 2)::DOUBLE))
              * 1e6 + 0.5) / 1e6 AS reduction_ratio
          FROM nn, cand, tm""",
+    "evt_gumbel" -> {
+      // method-of-moments Gumbel over daily block maxima; all
+      // transcendental constants computed once on the driver
+      val c = math.sqrt(6.0) / math.Pi
+      val eg = 0.5772156649015329
+      def yT(t: Double) = -math.log(-math.log(1 - 1.0 / t))
+      s"""WITH mx AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  max(floor("value" * 1e6 + 0.5)::BIGINT) AS m6
+           FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+         g AS (SELECT count(*)::BIGINT AS n, sum(m6)::HUGEINT AS s1,
+                 sum(m6 * m6)::HUGEINT AS s2
+               FROM mx),
+         f AS (SELECT n, s1::DOUBLE / n::DOUBLE / 1e6 AS mean,
+                 sqrt((n::DOUBLE * s2::DOUBLE -
+                     s1::DOUBLE * s1::DOUBLE) /
+                   (n::DOUBLE * (n::DOUBLE - 1))) / 1e6 AS sd
+               FROM g),
+         h AS (SELECT n, mean - ($eg) * (sd * ($c)) AS mu,
+                 sd * ($c) AS beta
+               FROM f)
+         SELECT n AS n_days, floor(mu * 1e6 + 0.5) / 1e6 AS mu,
+           floor(beta * 1e6 + 0.5) / 1e6 AS beta,
+           floor((mu + beta * (${yT(30)})) * 1e4 + 0.5) / 1e4 AS rl_30d,
+           floor((mu + beta * (${yT(365)})) * 1e4 + 0.5) / 1e4
+             AS rl_365d
+         FROM h"""
+    },
+    // core = RANGE-frame neighbor count; border = within eps of the
+    // nearest core on either side; clusters = core chains
+    "dbscan_1d" ->
+      """WITH pts AS (
+           SELECT user_id AS u, epoch_ms(ts) // 1000 AS ep FROM events),
+         f1 AS (SELECT u, ep,
+                  (count(*) OVER (PARTITION BY u ORDER BY ep
+                    RANGE BETWEEN 1800 PRECEDING AND 1800 FOLLOWING))
+                    >= 3 AS core
+                FROM pts),
+         f2 AS (SELECT u, ep, core,
+                  max(CASE WHEN core THEN ep END) OVER
+                    (PARTITION BY u ORDER BY ep) AS pc,
+                  min(CASE WHEN core THEN ep END) OVER
+                    (PARTITION BY u ORDER BY ep DESC) AS nc
+                FROM f1),
+         cl AS (SELECT u, ep,
+                  CASE WHEN core THEN 'core'
+                       WHEN (pc IS NOT NULL AND ep - pc <= 1800) OR
+                            (nc IS NOT NULL AND nc - ep <= 1800)
+                         THEN 'border'
+                       ELSE 'noise' END AS role
+                FROM f2),
+         cr AS (SELECT (CASE WHEN gap IS NULL OR gap > 1800 THEN 1
+                  ELSE 0 END)::BIGINT AS newc
+                FROM (SELECT ep - lag(ep) OVER
+                        (PARTITION BY u ORDER BY ep) AS gap
+                      FROM f2 WHERE core)),
+         ncl AS (SELECT coalesce(sum(newc), 0)::BIGINT AS n_clusters
+                 FROM cr)
+         SELECT count(*)::BIGINT AS n_points,
+           sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END)::BIGINT
+             AS n_core,
+           sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END)::BIGINT
+             AS n_border,
+           sum(CASE WHEN role = 'noise' THEN 1 ELSE 0 END)::BIGINT
+             AS n_noise,
+           n_clusters
+         FROM cl, ncl GROUP BY n_clusters""",
+    // kaplan_meier's risk-set machinery; hazard increments on a 1e-9
+    // grid, H an exact integer cumsum, one exp per surfaced row
+    "nelson_aalen" ->
+      """WITH pu AS (
+           SELECT user_id, min(ts)::DATE AS d0,
+                  min(CASE WHEN event_type = 'purchase' THEN ts
+                    END)::DATE AS dconv
+           FROM events GROUP BY user_id),
+         hz AS (SELECT max(ts)::DATE AS dmax FROM events),
+         durs AS (
+           SELECT CASE WHEN dconv IS NOT NULL
+                       THEN date_diff('day', d0, dconv)
+                       ELSE date_diff('day', d0, dmax) END AS t,
+                  CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS event
+           FROM pu CROSS JOIN hz),
+         byt AS (SELECT t, sum(event)::BIGINT AS d,
+                   count(*)::BIGINT AS k
+                 FROM durs GROUP BY t),
+         n AS (SELECT count(*)::BIGINT AS nn FROM durs),
+         r AS (SELECT t, d,
+                 nn - coalesce(sum(k) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+               FROM byt CROSS JOIN n),
+         hzd AS (SELECT t, d, n_risk,
+                   CAST(floor(d::DOUBLE / n_risk::DOUBLE * 1e9 + 0.5)
+                     AS BIGINT) AS h9
+                 FROM r),
+         cum AS (SELECT t, d, n_risk,
+                   (sum(h9) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                     ::BIGINT AS hc9
+                 FROM hzd)
+         SELECT t::BIGINT AS t_day, n_risk, d AS deaths,
+           floor(hc9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS cum_hazard,
+           floor(exp(-(hc9::DOUBLE / 1e9)) * 1e6 + 0.5) / 1e6 AS surv_fh
+         FROM cum WHERE d > 0 ORDER BY t_day""",
+    "dispersion_test" -> {
+      val z95 = 1.6448536269514722
+      s"""WITH daily AS (
+           SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type, count(*)::BIGINT AS n,
+                 sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS syy
+               FROM daily GROUP BY 1),
+         f AS (SELECT event_type, n,
+                 sy::DOUBLE / n::DOUBLE AS mean,
+                 (n::DOUBLE * syy - sy::DOUBLE * sy::DOUBLE) /
+                   (n::DOUBLE * (n::DOUBLE - 1)) AS s2,
+                 1.0 - 2.0 / (9 * (n::DOUBLE - 1)) +
+                   ($z95) * sqrt(2.0 / (9 * (n::DOUBLE - 1))) AS aa
+               FROM g)
+         SELECT event_type, n AS n_days,
+           floor(mean * 1e6 + 0.5) / 1e6 AS mean,
+           floor(s2 / mean * 1e6 + 0.5) / 1e6 AS vmr,
+           floor((n::DOUBLE - 1) * s2 / mean * 1e4 + 0.5) / 1e4 AS chi2,
+           (CASE WHEN floor((n::DOUBLE - 1) * s2 / mean * 1e4 + 0.5)
+               / 1e4 >
+             floor((n::DOUBLE - 1) * aa * (aa * aa) * 1e4 + 0.5) / 1e4
+             THEN 1 ELSE 0 END)::BIGINT AS overdispersed
+         FROM f ORDER BY event_type"""
+    },
+    // three unrolled integer VoteRank rounds: exact 1e6-grid voting
+    // abilities, integer decrement floor(1e6*n/(2|E|))
+    "vote_rank" -> s"""WITH $GraphCte,
+         nds AS (SELECT DISTINCT src AS id FROM edges),
+         dl AS (SELECT (1000000 * (SELECT count(*) FROM nds)) //
+                  (2 * (SELECT count(*) FROM pairs)) AS delta),
+         va0 AS (SELECT id, 1000000::BIGINT AS va FROM nds),
+         s1 AS (SELECT e.dst AS id, sum(v.va)::BIGINT AS score
+                FROM edges e JOIN va0 v ON e.src = v.id GROUP BY 1),
+         t1 AS (SELECT id AS seed, score FROM s1
+                ORDER BY score DESC, id LIMIT 1),
+         va1 AS (SELECT v.id,
+                  (CASE WHEN v.id = (SELECT seed FROM t1) THEN 0
+                    WHEN v.id IN (SELECT e.dst FROM edges e
+                        WHERE e.src = (SELECT seed FROM t1))
+                      THEN greatest(v.va - (SELECT delta FROM dl), 0)
+                    ELSE v.va END)::BIGINT AS va
+                 FROM va0 v),
+         s2 AS (SELECT e.dst AS id, sum(v.va)::BIGINT AS score
+                FROM edges e JOIN va1 v ON e.src = v.id GROUP BY 1),
+         t2 AS (SELECT id AS seed, score FROM s2
+                WHERE id NOT IN (SELECT seed FROM t1)
+                ORDER BY score DESC, id LIMIT 1),
+         va2 AS (SELECT v.id,
+                  (CASE WHEN v.id = (SELECT seed FROM t2) THEN 0
+                    WHEN v.id IN (SELECT e.dst FROM edges e
+                        WHERE e.src = (SELECT seed FROM t2))
+                      THEN greatest(v.va - (SELECT delta FROM dl), 0)
+                    ELSE v.va END)::BIGINT AS va
+                 FROM va1 v),
+         s3 AS (SELECT e.dst AS id, sum(v.va)::BIGINT AS score
+                FROM edges e JOIN va2 v ON e.src = v.id GROUP BY 1),
+         t3 AS (SELECT id AS seed, score FROM s3
+                WHERE id NOT IN (SELECT seed FROM t1)
+                  AND id NOT IN (SELECT seed FROM t2)
+                ORDER BY score DESC, id LIMIT 1)
+         SELECT 1::BIGINT AS round, seed AS seed_id,
+           floor(score::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS score
+         FROM t1
+         UNION ALL SELECT 2::BIGINT, seed,
+           floor(score::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 FROM t2
+         UNION ALL SELECT 3::BIGINT, seed,
+           floor(score::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 FROM t3
+         ORDER BY round""",
+    // degree-oriented wedge join over the pruned part projection;
+    // 1e-9-grid p-products, square on the quantized value
+    "burt_constraint" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         und AS (SELECT a.pk AS s1, b.pk AS s2, count(*)::BIGINT AS c
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                 GROUP BY 1, 2),
+         e AS (SELECT s1 AS i, s2 AS j FROM und WHERE c >= 2
+               UNION ALL SELECT s2, s1 FROM und WHERE c >= 2),
+         deg AS (SELECT i, count(*)::BIGINT AS d FROM e GROUP BY 1),
+         ew AS (SELECT e.i, e.j, deg.d AS di FROM e JOIN deg USING (i)),
+         iq AS (SELECT ew.i, ew.j AS q, ew.di, dq.d AS dq
+                FROM ew JOIN deg dq ON ew.j = dq.i),
+         ind AS (SELECT iq.i, e2.j,
+                   sum(floor(1e9 / (iq.di * iq.dq)::DOUBLE + 0.5)
+                     ::BIGINT)::BIGINT AS ind9
+                 FROM iq JOIN e e2 ON iq.q = e2.i GROUP BY 1, 2),
+         terms AS (SELECT ew.i, ew.di,
+                     (floor(1e9 / ew.di::DOUBLE + 0.5)::BIGINT +
+                       coalesce(ind.ind9, 0))::BIGINT AS p9
+                   FROM ew LEFT JOIN ind
+                     ON ew.i = ind.i AND ew.j = ind.j),
+         c9 AS (SELECT i, di,
+                  floor((p9::DOUBLE / 1e9) * (p9::DOUBLE / 1e9) * 1e9
+                    + 0.5)::BIGINT AS c9
+                FROM terms),
+         fin AS (SELECT i AS part, di AS degree, sum(c9)::BIGINT AS s9
+                 FROM c9 GROUP BY 1, 2)
+         SELECT part, degree,
+           floor(s9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS "constraint"
+         FROM fin WHERE degree >= 3
+         ORDER BY "constraint", part LIMIT 15""",
+    "rbo_stability" -> {
+      // driver-injected geometric weights — no in-engine pow
+      val p = 0.9
+      val vals = (1 to 20)
+        .map(d => s"($d, ${math.pow(p, d - 1)})").mkString(", ")
+      s"""$TokCte,
+         tok AS (SELECT (doc_id % 2 = 0) AS h, unnest(ts) AS t
+                 FROM toks),
+         cn AS (SELECT h, t, count(*)::BIGINT AS c FROM tok
+                GROUP BY 1, 2),
+         rk AS (SELECT h, t, row_number() OVER
+                  (PARTITION BY h ORDER BY c DESC, t)::BIGINT AS r
+                FROM cn),
+         tp AS (SELECT h, t, r FROM rk WHERE r <= 20),
+         bt AS (SELECT greatest(a.r, b.r)::BIGINT AS rmax
+                  FROM (SELECT t, r FROM tp WHERE h) a
+                  JOIN (SELECT t, r FROM tp WHERE NOT h) b USING (t)),
+         ov AS (SELECT count(*)::BIGINT AS overlap FROM bt),
+         wt AS (SELECT * FROM (VALUES $vals) v(d, w)),
+         ad AS (SELECT wt.d, wt.w,
+                  (SELECT count(*) FROM bt WHERE rmax <= wt.d)
+                    ::BIGINT AS ad
+                FROM wt),
+         t9 AS (SELECT CAST(floor((${1 - p}) * w *
+                  (ad::DOUBLE / d) * 1e9 + 0.5) AS BIGINT) AS t9
+                FROM ad)
+         SELECT 20::BIGINT AS depth, overlap AS overlap_at_k,
+           floor((SELECT sum(t9) FROM t9)::DOUBLE / 1e9 * 1e6 + 0.5)
+             / 1e6 AS rbo
+         FROM ov"""
+    },
+    // directed rules over baskets; every metric a cross-multiplied
+    // exact rational, conviction guarded at confidence 1
+    "assoc_rules" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS it
+                     FROM lineitem),
+         nb AS (SELECT count(DISTINCT ok)::BIGINT AS nn FROM bk),
+         items AS (SELECT it, count(*)::BIGINT AS cnt FROM bk
+                   GROUP BY 1),
+         pairs AS (SELECT a.it AS x, b.it AS y, count(*)::BIGINT AS nab
+                   FROM bk a JOIN bk b ON a.ok = b.ok AND a.it < b.it
+                   GROUP BY 1, 2),
+         fp AS (SELECT * FROM pairs WHERE nab >= 5),
+         rules AS (SELECT x AS ante, y AS cons, nab FROM fp
+                   UNION ALL SELECT y, x, nab FROM fp),
+         rr AS (SELECT r.ante, r.cons, r.nab, ia.cnt AS na,
+                  ic.cnt AS nbc, nn
+                FROM rules r
+                JOIN items ia ON r.ante = ia.it
+                JOIN items ic ON r.cons = ic.it, nb)
+         SELECT ante, cons, nab AS support,
+           floor(nab::DOUBLE / na::DOUBLE * 1e6 + 0.5) / 1e6
+             AS confidence,
+           floor((nn * nab)::DOUBLE / (na * nbc)::DOUBLE * 1e6 + 0.5)
+             / 1e6 AS lift,
+           floor((nab * nn - na * nbc)::DOUBLE / (nn * nn)::DOUBLE
+             * 1e6 + 0.5) / 1e6 AS leverage,
+           (CASE WHEN na > nab THEN 1 ELSE 0 END)::BIGINT
+             AS conv_defined,
+           CASE WHEN na > nab
+             THEN floor(((nn - nbc) * na)::DOUBLE /
+               (nn * (na - nab))::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS conviction
+         FROM rr ORDER BY confidence DESC, ante, cons LIMIT 15""",
   )
 
   private def sqlList(words: Seq[String]): String =

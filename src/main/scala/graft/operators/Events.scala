@@ -5112,4 +5112,169 @@ object Events {
         q(col("w_recip").cast("double") / col("w_total").cast("double"),
           6).as("w_ratio"))
   }
+
+  /** Gumbel extreme-value fit (W400) by the method of moments over
+    * DAILY BLOCK MAXIMA of `value`, with 30-day and 365-day return
+    * levels — "how big a value should we provision for once a
+    * month / once a year?", the tail question [[hillTailIndex]]
+    * answers for power laws and this answers for the light-tailed
+    * max-domain (Fisher–Tippett type I). β = s·√6/π, μ = m − γ_E·β;
+    * return level x_T = μ + β·y_T with y_T = −ln(−ln(1−1/T)). Every
+    * constant (√6/π, Euler–Mascheroni, both y_T) is computed ONCE on
+    * the driver and injected into both engines; m and s come from
+    * exact 1e-6-grid DECIMAL sums over the day-keyed maxima. Scale:
+    * one day-keyed max + one moment aggregation.
+    */
+  def evtGumbel(s: SparkSession, dir: String): DataFrame = {
+    val c = math.sqrt(6.0) / math.Pi
+    val eg = 0.5772156649015329 // Euler-Mascheroni, driver literal
+    def yT(t: Double) = -math.log(-math.log(1 - 1.0 / t))
+    val mx = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg(max(col("v6")).as("m6"))
+    val g = mx.agg(count(lit(1)).as("n"),
+      sum(col("m6").cast("decimal(38,0)")).as("s1"),
+      sum((col("m6") * col("m6")).cast("decimal(38,0)")).as("s2"))
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n / lit(1e6)
+    val sd = sqrt((n * col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")) /
+      (n * (n - 1))) / lit(1e6)
+    val beta = sd * lit(c)
+    val mu = mean - lit(eg) * beta
+    g.select(col("n").as("n_days"), q(mu, 6).as("mu"),
+      q(beta, 6).as("beta"),
+      q(mu + beta * lit(yT(30)), 4).as("rl_30d"),
+      q(mu + beta * lit(yT(365)), 4).as("rl_365d"))
+  }
+
+  /** 1-D DBSCAN over per-user event timelines (W401, ε = 30 min,
+    * minPts = 3): core points from a RANGE-frame neighbor count,
+    * clusters as maximal core chains with inter-core gaps ≤ ε,
+    * border points within ε of a core, the rest noise — the
+    * density-based generalization of [[sessionize]] (a gap split
+    * calls two half-sessions separated by 31 idle minutes two
+    * sessions even if each is a single stray click; DBSCAN demands
+    * local density before it mints a cluster at all). In 1-D every
+    * DBSCAN primitive is a WINDOW: the ε-neighborhood is a RANGE
+    * frame, the nearest core on each side is a running max/min — no
+    * pair join anywhere, exact integer seconds throughout. Scale:
+    * user-partitioned windows only.
+    */
+  def dbscan1d(s: SparkSession, dir: String, epsSec: Long = 1800,
+               minPts: Int = 3): DataFrame = {
+    val pts = Tables.events(s, dir)
+      .select(col("user_id").as("u"), unix_timestamp(col("ts")).as("ep"))
+    val wr = Window.partitionBy("u").orderBy("ep")
+      .rangeBetween(-epsSec, epsSec)
+    // RANGE frames (not ROWS): duplicate timestamps are peers — a
+    // ROWS boundary would include ties in engine-dependent order
+    val wPrev = Window.partitionBy("u").orderBy("ep")
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("u").orderBy(col("ep").desc)
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val flagged = pts
+      .withColumn("core", count(lit(1)).over(wr) >= minPts)
+      .withColumn("pc", max(when(col("core"), col("ep"))).over(wPrev))
+      .withColumn("nc", min(when(col("core"), col("ep"))).over(wNext))
+    val classified = flagged.select(col("u"), col("ep"), col("core"),
+      when(col("core"), lit("core"))
+        .when((col("pc").isNotNull && col("ep") - col("pc") <= epsSec) ||
+              (col("nc").isNotNull && col("nc") - col("ep") <= epsSec),
+          lit("border"))
+        .otherwise(lit("noise")).as("role"))
+    // clusters: runs of core points whose consecutive gaps <= eps
+    val cores = classified.filter(col("core"))
+      .withColumn("gap", col("ep") - lag(col("ep"), 1).over(
+        Window.partitionBy("u").orderBy("ep")))
+      .select(when(col("gap").isNull || col("gap") > epsSec, lit(1L))
+        .otherwise(lit(0L)).as("newc"))
+    val nClusters = cores.agg(coalesce(sum(col("newc")), lit(0L))
+      .as("n_clusters"))
+    classified.groupBy()
+      .agg(count(lit(1)).as("n_points"),
+        sum((col("role") === "core").cast("long")).as("n_core"),
+        sum((col("role") === "border").cast("long")).as("n_border"),
+        sum((col("role") === "noise").cast("long")).as("n_noise"))
+      .crossJoin(broadcast(nClusters))
+  }
+
+  /** Nelson–Aalen cumulative hazard (W402) over the signup→purchase
+    * durations of [[kaplanMeier]]: H(t) = Σ d_i/n_i and the
+    * Fleming–Harrington survival exp(−H) — the estimator of choice
+    * when hazards (not survival curves) are the modeling target and
+    * the small-risk-set tail makes KM's product unstable. Identical
+    * risk-set machinery to KM (exact counts from one cumulative
+    * window); each hazard increment d/n is pinned to a 1e-9 integer
+    * before the cumulative sum, so H accumulates exactly; the only
+    * transcendental is one exp per surfaced row.
+    */
+  def nelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val perUser = ev.groupBy("user_id").agg(
+      to_date(min(col("ts"))).as("d0"),
+      to_date(min(when(col("event_type") === "purchase", col("ts"))))
+        .as("dconv"))
+    val horizon = ev.agg(to_date(max(col("ts"))).as("dmax"))
+    val durs = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("dconv").isNotNull, datediff(col("dconv"), col("d0")))
+          .otherwise(datediff(col("dmax"), col("d0"))).as("t"),
+        when(col("dconv").isNotNull, 1L).otherwise(0L).as("event"))
+    val byT = durs.groupBy("t").agg(
+      sum(col("event")).as("d"), count(lit(1)).as("k"))
+    val n = durs.count()
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", lit(n) - coalesce(sum(col("k")).over(w),
+        lit(0L)))
+      .withColumn("h9", floor(col("d").cast("double") /
+        col("n_risk").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+      .withColumn("hc9", sum(col("h9")).over(cum))
+      .filter(col("d") > 0)
+      .select(col("t").cast("long").as("t_day"), col("n_risk"),
+        col("d").as("deaths"),
+        q(col("hc9").cast("double") / lit(1e9), 6).as("cum_hazard"),
+        q(exp(-(col("hc9").cast("double") / lit(1e9))), 6).as("surv_fh"))
+      .orderBy("t_day")
+  }
+
+  /** Index-of-dispersion test (W403) per event type: is the daily
+    * count series Poisson (VMR ≈ 1), overdispersed (bursty — the
+    * usual truth for user traffic), or underdispersed (rate-limited/
+    * regular)? χ² = (n−1)s²/x̄ against the Wilson–Hilferty 95%
+    * critical value — the one-number screen run before ANY Poisson
+    * assumption (capacity models, [[abPower]]-style rate tests) is
+    * trusted. Sufficient statistics are exact per-(type, day) count
+    * sums; the statistic and the WH cube are fixed closed-form
+    * expressions with driver-injected z₀.₉₅. Scale: one (type, day)
+    * agg + one type agg.
+    */
+  def dispersionTest(s: SparkSession, dir: String): DataFrame = {
+    val z95 = 1.6448536269514722 // driver literal in both engines
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val g = daily.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val mean = col("sy").cast("double") / n
+    val s2 = (n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")) / (n * (n - 1))
+    val chi2 = (n - 1) * s2 / mean
+    val k = n - 1
+    val aa = lit(1.0) - lit(2.0) / (lit(9.0) * k) +
+      lit(z95) * sqrt(lit(2.0) / (lit(9.0) * k))
+    val crit = k * aa * (aa * aa)
+    g.select(col("event_type"), col("n").as("n_days"),
+        q(mean, 6).as("mean"), q(s2 / mean, 6).as("vmr"),
+        q(chi2, 4).as("chi2"),
+        (q(chi2, 4) > q(crit, 4)).cast("long").as("overdispersed"))
+      .orderBy("event_type")
+  }
 }

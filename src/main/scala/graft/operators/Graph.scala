@@ -1900,4 +1900,119 @@ object Graph {
           .as("score"))
     topAuth.unionAll(topHub)
   }
+
+  /** VoteRank influence-maximization seeds (W404, Zhang et al.): each
+    * round every node's score is the sum of its neighbors' VOTING
+    * ABILITY; the top scorer becomes a seed, its own ability drops to
+    * zero and its neighbors' by 1/⟨k⟩ — so the second seed is pushed
+    * AWAY from the first's neighborhood, which plain degree/PageRank
+    * top-k ("pick the whole hub cluster") gets wrong for seeding
+    * campaigns or crawl frontiers. Abilities live on an exact 1e-6
+    * integer grid with an integer decrement ⌊10⁶·n/(2|E|)⌋, so every
+    * round is bit-identical in both engines; the per-round argmax is
+    * a one-row driver collect (k rounds, k small — the seed LIST is
+    * the driver-side product). Scale: one edge-keyed agg per round
+    * at loop parallelism.
+    */
+  def voteRank(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist()
+    graft.CacheScope.register(e) // eager: every round reads it
+    val nEdges = e.count() / 2
+    val nodes = e.select(col("src").as("id")).distinct()
+      .persist()
+    graft.CacheScope.register(nodes)
+    val nNodes = nodes.count()
+    val delta = 1000000L * nNodes / (2 * nEdges)
+    val p = loopParallelism(s, nEdges)
+    var va = nodes.withColumn("va", lit(1000000L)).localCheckpoint()
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    withLoopConf(s, p) {
+      for (round <- 1L to k) {
+        val scores = e.join(va.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("va")).as("score"))
+        val excl: Seq[Any] = seeds.map(_._2).toSeq
+        val top = scores
+          .filter(if (excl.isEmpty) lit(true) else !col("id").isin(excl: _*))
+          .orderBy(col("score").desc, col("id"))
+          .limit(1).collect().head
+        val seed = top.getLong(0)
+        seeds += ((round, seed, top.getLong(1)))
+        val nb = e.filter(col("src") === seed)
+          .select(col("dst").as("id"), lit(delta).as("dec"))
+        va = va.join(nb, Seq("id"), "left")
+          .select(col("id"),
+            when(col("id") === seed, lit(0L))
+              .otherwise(greatest(col("va") - coalesce(col("dec"),
+                lit(0L)), lit(0L))).as("va"))
+          .localCheckpoint()
+      }
+    }
+    import s.implicits._
+    seeds.toSeq.toDF("round", "seed_id", "score6")
+      .select(col("round"), col("seed_id"),
+        graft.operators.Events.q(col("score6").cast("double") / lit(1e6),
+          6).as("score"))
+      .orderBy("round")
+  }
+
+  /** Burt's structural-hole constraint (W405) over the part
+    * co-purchase projection: c_i = Σ_j (p_ij + Σ_q p_iq·p_qj)² with
+    * p = 1/deg — LOW constraint marks brokers whose neighbors are
+    * NOT otherwise connected (the parts that bridge basket
+    * communities), the node-level complement of [[localBridges]]'
+    * edge view. The indirect term is one degree-oriented wedge join
+    * over the pruned projection (count ≥ 2, the localBridges cut
+    * that keeps the edge set basket-bounded); p-products are exact
+    * rationals quantized per term at 1e-9 before the per-(i,j) sum,
+    * the square runs on the quantized value, and per-i totals sum
+    * 1e-9 integers — order-free everywhere. Top-15 LOWEST-constraint
+    * brokers (deg ≥ 3) surface. Scale: the wedge volume is bounded
+    * by Σdeg² of the pruned projection; no all-pairs anywhere.
+    */
+  def burtConstraint(s: SparkSession, dir: String, k: Int = 15,
+                     minC: Int = 2): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("s1"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("s2"))
+    val und = a.join(b, "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minC)
+    val e = und.select(col("s1").as("i"), col("s2").as("j"))
+      .unionAll(und.select(col("s2").as("i"), col("s1").as("j")))
+      .persist()
+    graft.CacheScope.register(e) // eager: degrees + both wedge sides
+    val deg = e.groupBy("i").agg(count(lit(1)).as("d"))
+    val ew = e.join(deg, "i")
+      .select(col("i"), col("j"), col("d").as("di"))
+    // indirect: i -> q -> j with q adjacent to both, j a neighbor of i
+    val iq = ew.select(col("i"), col("j").as("q"), col("di"))
+      .join(deg.withColumnRenamed("i", "q"), "q")
+      .select(col("i"), col("q"), col("di"), col("d").as("dq"))
+    val qj = e.select(col("i").as("q"), col("j").as("jj"))
+    val ind = iq.join(qj, "q")
+      .select(col("i"), col("jj").as("j"),
+        floor(lit(1e9) / (col("di") * col("dq")).cast("double") +
+          lit(0.5)).cast("long").as("t9"))
+      .groupBy("i", "j").agg(sum(col("t9")).as("ind9"))
+    val terms = ew
+      .join(ind, Seq("i", "j"), "left")
+      .select(col("i"), col("di"),
+        (floor(lit(1e9) / col("di").cast("double") + lit(0.5))
+          .cast("long") + coalesce(col("ind9"), lit(0L))).as("p9"))
+      .select(col("i"), col("di"),
+        floor((col("p9").cast("double") / lit(1e9)) *
+          (col("p9").cast("double") / lit(1e9)) * lit(1e9) + lit(0.5))
+          .cast("long").as("c9"))
+    terms.groupBy(col("i").as("part"), col("di").as("degree"))
+      .agg(sum(col("c9")).as("s9"))
+      .filter(col("degree") >= 3)
+      .select(col("part"), col("degree"),
+        graft.operators.Events.q(col("s9").cast("double") / lit(1e9), 6)
+          .as("constraint"))
+      .orderBy(col("constraint"), col("part"))
+      .limit(k)
+  }
 }

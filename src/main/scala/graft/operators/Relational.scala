@@ -2803,4 +2803,56 @@ object Relational {
       when(ok, Events.q(exp(log(or) + lit(1.96) * se), 6))
         .otherwise(lit(0.0)).as("or_hi"))
   }
+
+  /** Directed association rules (W407) over order baskets: for every
+    * co-purchased part pair above support, BOTH rules a→b and b→a
+    * with confidence, lift, leverage, and conviction — the
+    * recommendation readout on top of [[pairLift]]'s symmetric lift
+    * (a rule is DIRECTED: bread→butter and butter→bread have the
+    * same lift but very different confidence, and conviction is the
+    * implication-strength measure lift lacks). Every metric is a
+    * cross-multiplied exact-integer rational with ONE division —
+    * conviction = (N−n_b)·n_a / (N·(n_a−n_ab)), guarded at
+    * confidence 1 — and the top-k orders on the quantized confidence
+    * with a pair tiebreak. Scale: one basket-keyed self-join bounded
+    * by basket size (the [[frequentPairs]] shape), two item aggs.
+    */
+  def assocRules(s: SparkSession, dir: String, minSup: Long = 5,
+                 k: Int = 15): DataFrame = {
+    val bk = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
+      .distinct().persist()
+    CacheScope.register(bk) // eager: item counts + both join sides
+    val nB = bk.select("ok").distinct().count()
+    val items = bk.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
+    val pairs = bk.join(bk.select(col("ok"), col("it").as("it2")), "ok")
+      .filter(col("it") < col("it2"))
+      .groupBy(col("it").as("x"), col("it2").as("y"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minSup)
+    val rules = pairs.select(col("x").as("ante"), col("y").as("cons"),
+        col("nab"))
+      .unionAll(pairs.select(col("y").as("ante"), col("x").as("cons"),
+        col("nab")))
+      .join(items.select(col("it").as("ante"), col("cnt").as("na")),
+        "ante")
+      .join(items.select(col("it").as("cons"), col("cnt").as("nb")),
+        "cons")
+    val conf = col("nab").cast("double") / col("na").cast("double")
+    val lift = (lit(nB) * col("nab")).cast("double") /
+      (col("na") * col("nb")).cast("double")
+    val lev = (col("nab") * lit(nB) - col("na") * col("nb"))
+      .cast("double") / lit((nB * nB).toDouble)
+    val convOk = col("na") > col("nab")
+    val conv = ((lit(nB) - col("nb")) * col("na")).cast("double") /
+      (lit(nB) * (col("na") - col("nab"))).cast("double")
+    rules.select(col("ante"), col("cons"), col("nab").as("support"),
+        Events.q(conf, 6).as("confidence"), Events.q(lift, 6).as("lift"),
+        Events.q(lev, 6).as("leverage"),
+        convOk.cast("long").as("conv_defined"),
+        when(convOk, Events.q(conv, 6)).otherwise(lit(0.0))
+          .as("conviction"))
+      .orderBy(col("confidence").desc, col("ante"), col("cons"))
+      .limit(k)
+  }
 }

@@ -1594,4 +1594,51 @@ object TextStats {
     g.select(col("n").as("n_docs"), lit(3L).as("k_items"),
       Events.q(alpha, 6).as("alpha"))
   }
+
+  /** Rank-biased overlap stability (W406, Webber et al., p = 0.9,
+    * depth 20) between the top-term lists of the two doc_id-parity
+    * halves of the corpus: RBO = (1−p)·Σ_d p^(d−1)·|S₁∩S₂|_d/d —
+    * "would the vocabulary ranking survive a resample?", the
+    * top-weighted stability audit that plain set overlap or
+    * [[Relational.spearmanCorr]]-style full-list correlation miss
+    * (RBO weights depth 1 ≫ depth 20 and tolerates non-conjoint
+    * lists). Every p^(d−1) weight is a DRIVER literal injected into
+    * both engines; A_d counts come from one rank join (exact
+    * integers); per-depth terms quantize at 1e-9 before the sum.
+    * Scale: two term-keyed aggs + a 20-row depth table.
+    */
+  def rboStability(s: SparkSession, dir: String, depth: Int = 20,
+                   p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir)
+      .select((col("doc_id") % 2 === 0).as("h"),
+        explode(tokenize(col("text"))).as("t"))
+    val counts = tok.groupBy("h", "t").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("h").orderBy(col("c").desc, col("t"))))
+      .filter(col("r") <= depth)
+      .persist()
+    CacheScope.register(counts) // eager: both halves of the rank join
+    val r1 = counts.filter(col("h")).select(col("t"), col("r").as("r1"))
+    val r2 = counts.filter(!col("h")).select(col("t"), col("r").as("r2"))
+    val both = r1.join(r2, "t")
+      .select(greatest(col("r1"), col("r2")).as("rmax"))
+    val weights = s.createDataFrame(
+      (1 to depth).map(d => (d, math.pow(p, d - 1)))
+    ).toDF("d", "w")
+    val terms = weights.crossJoin(broadcast(
+        both.groupBy().agg(count(lit(1)).as("overlap"))))
+      .join(both, col("rmax") <= col("d"), "left")
+      .groupBy("d", "w", "overlap")
+      .agg(sum(when(col("rmax").isNotNull, lit(1L)).otherwise(lit(0L)))
+        .as("ad"))
+      .select(col("overlap"),
+        floor(lit(1 - p) * col("w") *
+          (col("ad").cast("double") / col("d")) * lit(1e9) + lit(0.5))
+          .cast("long").as("t9"))
+    terms.groupBy("overlap").agg(sum(col("t9")).as("rbo9"))
+      .select(lit(depth.toLong).as("depth"),
+        col("overlap").as("overlap_at_k"),
+        Events.q(col("rbo9").cast("double") / lit(1e9), 6).as("rbo"))
+  }
 }
