@@ -584,6 +584,17 @@ object SparkEntry {
     "burt_constraint" -> ((s, d) => Graph.burtConstraint(s, d)),
     "rbo_stability" -> ((s, d) => TextStats.rboStability(s, d)),
     "assoc_rules" -> ((s, d) => Relational.assocRules(s, d)),
+    // round-5 batch X: noise-type classification, iid screens,
+    // survey estimators, geostat structure, mixing-by-attribute,
+    // demand economics, inequality decomposition
+    "allan_variance" -> ((s, d) => Events.allanVariance(s, d)),
+    "turning_points" -> ((s, d) => Events.turningPoints(s, d)),
+    "jackknife_ratio" -> ((s, d) => Events.jackknifeRatio(s, d)),
+    "variogram" -> ((s, d) => Events.variogram(s, d)),
+    "post_stratify" -> ((s, d) => Events.postStratify(s, d)),
+    "homophily_brand" -> ((s, d) => Graph.homophilyBrand(s, d)),
+    "price_elasticity" -> ((s, d) => Relational.priceElasticity(s, d)),
+    "inequality_indices" -> ((s, d) => Relational.inequalityIndices(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -10526,6 +10537,237 @@ object SparkEntry {
                (nn * (na - nab))::DOUBLE * 1e6 + 0.5) / 1e6
              ELSE 0.0 END AS conviction
          FROM rr ORDER BY confidence DESC, ante, cons LIMIT 15""",
+    // complete tau-day block sums, exact integer successive diffs,
+    // one division per tau
+    "allan_variance" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         tl AS (SELECT y, row_number() OVER (ORDER BY day)::BIGINT AS t
+                FROM dense),
+         taus AS (SELECT unnest([1, 2, 4])::BIGINT AS tau),
+         blocks AS (SELECT tau, (t - 1) // tau AS b,
+                      sum(y)::BIGINT AS sb
+                    FROM tl, taus GROUP BY 1, 2
+                    HAVING count(*) = tau),
+         diffs AS (SELECT tau,
+                     sb - lag(sb) OVER (PARTITION BY tau ORDER BY b)
+                       AS d
+                   FROM blocks),
+         g AS (SELECT tau, count(*)::BIGINT AS m1,
+                 sum(d * d)::HUGEINT AS sd2
+               FROM diffs WHERE d IS NOT NULL GROUP BY 1)
+         SELECT tau, (m1 + 1)::BIGINT AS m_blocks,
+           floor(sd2::DOUBLE / (2.0 * m1 * (tau * tau)::DOUBLE) * 1e6
+             + 0.5) / 1e6 AS avar,
+           floor(sqrt(floor(sd2::DOUBLE /
+               (2.0 * m1 * (tau * tau)::DOUBLE) * 1e6 + 0.5) / 1e6)
+             * 1e6 + 0.5) / 1e6 AS adev
+         FROM g ORDER BY tau""",
+    // strict local extrema count vs the iid closed form
+    "turning_points" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         mk AS (SELECT (CASE WHEN (yp < y AND y > yn) OR
+                             (yp > y AND y < yn) THEN 1 ELSE 0
+                  END)::BIGINT AS tp
+                FROM (SELECT y, lag(y) OVER (ORDER BY day) AS yp,
+                        lead(y) OVER (ORDER BY day) AS yn
+                      FROM dense)
+                WHERE yp IS NOT NULL AND yn IS NOT NULL),
+         g AS (SELECT (count(*) + 2)::BIGINT AS n, sum(tp)::BIGINT AS t
+               FROM mk)
+         SELECT n AS n_days, t AS turning_points,
+           floor(2.0 * (n::DOUBLE - 2) / 3 * 1e6 + 0.5) / 1e6
+             AS expected,
+           floor((t::DOUBLE - 2.0 * (n::DOUBLE - 2) / 3) /
+             sqrt((16.0 * n::DOUBLE - 29) / 90) * 1e6 + 0.5) / 1e6
+             AS z_stat,
+           (CASE WHEN abs(floor((t::DOUBLE - 2.0 * (n::DOUBLE - 2) / 3)
+               / sqrt((16.0 * n::DOUBLE - 29) / 90) * 1e6 + 0.5) / 1e6)
+               > 1.96 THEN 1 ELSE 0 END)::BIGINT AS nonrandom_flag
+         FROM g""",
+    // leave-one-day-out replicates closed-form from exact totals;
+    // jackknife variance via the cross-multiplied integer identity
+    "jackknife_ratio" ->
+      """WITH daily AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS x,
+                  sum(floor("value" * 1e6 + 0.5)::BIGINT)::BIGINT AS y6
+           FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+         tot AS (SELECT sum(x)::BIGINT AS sx, sum(y6)::BIGINT AS sy6,
+                   count(*)::BIGINT AS n
+                 FROM daily),
+         reps AS (SELECT sx, sy6, n,
+                    floor((sy6 - y6)::DOUBLE / (sx - x)::DOUBLE / 1e6
+                      * 1e9 + 0.5)::BIGINT AS r9
+                  FROM daily, tot),
+         g AS (SELECT sx, sy6, n, sum(r9)::HUGEINT AS sr,
+                 sum(r9::HUGEINT * r9::HUGEINT)::HUGEINT AS sr2
+               FROM reps GROUP BY 1, 2, 3)
+         SELECT n AS n_days,
+           floor(sy6::DOUBLE / sx::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6
+             AS ratio,
+           floor(sqrt((n::DOUBLE - 1) / n::DOUBLE *
+               ((n::DOUBLE * sr2::DOUBLE - sr::DOUBLE * sr::DOUBLE) /
+                (n::DOUBLE * n::DOUBLE)) / 1e18) * 1e6 + 0.5) / 1e6
+             AS jk_se,
+           floor((sy6::DOUBLE / sx::DOUBLE / 1e6 - 1.96 *
+             sqrt((n::DOUBLE - 1) / n::DOUBLE *
+               ((n::DOUBLE * sr2::DOUBLE - sr::DOUBLE * sr::DOUBLE) /
+                (n::DOUBLE * n::DOUBLE)) / 1e18)) * 1e6 + 0.5) / 1e6
+             AS ci_lo,
+           floor((sy6::DOUBLE / sx::DOUBLE / 1e6 + 1.96 *
+             sqrt((n::DOUBLE - 1) / n::DOUBLE *
+               ((n::DOUBLE * sr2::DOUBLE - sr::DOUBLE * sr::DOUBLE) /
+                (n::DOUBLE * n::DOUBLE)) / 1e18)) * 1e6 + 0.5) / 1e6
+             AS ci_hi
+         FROM g""",
+    // exact integer squared differences per lag, one division
+    "variogram" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         tl AS (SELECT row_number() OVER (ORDER BY day)::BIGINT AS t, y
+                FROM dense),
+         lags AS (SELECT unnest(range(1, 8))::INT AS lag),
+         pairs AS (SELECT l.lag, a.y AS ya, b.y AS yb
+                   FROM lags l JOIN tl a ON true
+                   JOIN tl b ON b.t = a.t + l.lag),
+         g AS (SELECT lag, count(*)::BIGINT AS n_pairs,
+                 sum((yb - ya) * (yb - ya))::HUGEINT AS ss
+               FROM pairs GROUP BY 1)
+         SELECT lag, n_pairs,
+           floor(ss::DOUBLE / (2.0 * n_pairs::DOUBLE) * 1e6 + 0.5) / 1e6
+             AS gamma
+         FROM g ORDER BY lag""",
+    // per-hour rates on a 1e-9 grid, equal-weight average vs raw
+    "post_stratify" ->
+      """WITH byh AS (
+           SELECT extract(hour FROM ts)::INT AS h, count(*)::BIGINT AS n,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END)::BIGINT AS k
+           FROM events GROUP BY 1),
+         g AS (SELECT count(*)::BIGINT AS n_strata, sum(n)::BIGINT AS nn,
+                 sum(k)::BIGINT AS kk,
+                 sum(floor(k::DOUBLE / n::DOUBLE * 1e9 + 0.5)::BIGINT)
+                   ::BIGINT AS sp9
+               FROM byh)
+         SELECT n_strata, nn AS n_events,
+           floor(kk::DOUBLE / nn::DOUBLE * 1e6 + 0.5) / 1e6 AS p_raw,
+           floor(sp9::DOUBLE / 1e9 / n_strata::DOUBLE * 1e6 + 0.5) / 1e6
+             AS p_post,
+           floor((sp9::DOUBLE / 1e9 / n_strata::DOUBLE -
+             kk::DOUBLE / nn::DOUBLE) * 1e6 + 0.5) / 1e6 AS mix_shift
+         FROM g""",
+    // Newman categorical mixing r = (MS - P)/(M^2 - P), exact cells
+    "homophily_brand" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         und AS (SELECT a.pk AS s1, b.pk AS s2, count(*)::BIGINT AS c
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                 GROUP BY 1, 2),
+         e AS (SELECT s1 AS i, s2 AS j FROM und WHERE c >= 2
+               UNION ALL SELECT s2, s1 FROM und WHERE c >= 2),
+         eb AS (SELECT e.i, e.j, pi.p_brand AS bi, pj.p_brand AS bj
+                FROM e JOIN part pi ON e.i = pi.p_partkey
+                JOIN part pj ON e.j = pj.p_partkey),
+         tot AS (SELECT count(*)::BIGINT AS m,
+                   sum(CASE WHEN bi = bj THEN 1 ELSE 0 END)::BIGINT AS s
+                 FROM eb),
+         marg AS (SELECT sum(d * d)::HUGEINT AS p,
+                    count(*)::BIGINT AS n_brands
+                  FROM (SELECT bi, count(*)::BIGINT AS d FROM eb
+                        GROUP BY 1))
+         SELECT n_brands, m AS m_edges,
+           floor(s::DOUBLE / m::DOUBLE * 1e6 + 0.5) / 1e6 AS same_share,
+           floor((m::DOUBLE * s::DOUBLE - p::DOUBLE) /
+             (m::DOUBLE * m::DOUBLE - p::DOUBLE) * 1e6 + 0.5) / 1e6
+             AS assortativity
+         FROM tot, marg""",
+    // both log coordinates pinned to 1e-9 grids before the exact
+    // sufficient-statistic sums
+    "price_elasticity" ->
+      """WITH qty AS (SELECT l_partkey,
+                  floor(sum(l_quantity) + 0.5)::BIGINT AS qy
+                FROM lineitem GROUP BY 1),
+         pts AS (SELECT
+             floor(ln((floor(p_retailprice * 100 + 0.5)::BIGINT)
+               ::DOUBLE) * 1e9 + 0.5)::BIGINT AS x9,
+             floor(ln(qy::DOUBLE) * 1e9 + 0.5)::BIGINT AS y9
+           FROM qty JOIN part ON l_partkey = p_partkey),
+         g AS (SELECT count(*)::BIGINT AS n, sum(x9)::HUGEINT AS sx,
+                 sum(y9)::HUGEINT AS sy,
+                 sum(x9::HUGEINT * x9::HUGEINT)::HUGEINT AS sxx,
+                 sum(x9::HUGEINT * y9::HUGEINT)::HUGEINT AS sxy,
+                 sum(y9::HUGEINT * y9::HUGEINT)::HUGEINT AS syy
+               FROM pts),
+         f AS (SELECT n,
+                 (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   AS num,
+                 (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                   AS dx,
+                 (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                   AS dy,
+                 sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+               FROM g)
+         SELECT n AS n_parts,
+           floor(num / dx * 1e6 + 0.5) / 1e6 AS elasticity,
+           floor((syd - num / dx * sxd) / n::DOUBLE / 1e9 * 1e6 + 0.5)
+             / 1e6 AS intercept,
+           floor(num / dx * (num / dy) * 1e6 + 0.5) / 1e6 AS r2
+         FROM f""",
+    // decomposable entropy-family indices; per-customer terms on a
+    // 1e-9 grid, one ln/exp of exact aggregates
+    "inequality_indices" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS x
+           FROM orders GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+                 FROM spend WHERE x > 0),
+         nz AS (SELECT count(*)::BIGINT AS n_zero FROM spend
+                WHERE x <= 0),
+         terms AS (SELECT n, sx,
+             floor((x::DOUBLE * n::DOUBLE / sx::DOUBLE) *
+               ln(x::DOUBLE * n::DOUBLE / sx::DOUBLE) * 1e9 + 0.5)
+               ::BIGINT AS tt9,
+             floor(ln(x::DOUBLE) * 1e9 + 0.5)::BIGINT AS lx9
+           FROM spend, tot WHERE x > 0),
+         g AS (SELECT n, sx, sum(tt9)::HUGEINT AS st,
+                 sum(lx9)::HUGEINT AS sl
+               FROM terms GROUP BY 1, 2)
+         SELECT n AS n_customers, n_zero,
+           floor(st::DOUBLE / 1e9 / n::DOUBLE * 1e6 + 0.5) / 1e6
+             AS theil_t,
+           floor((ln(sx::DOUBLE / n::DOUBLE) -
+             sl::DOUBLE / 1e9 / n::DOUBLE) * 1e6 + 0.5) / 1e6
+             AS theil_l,
+           floor((1.0 - exp(sl::DOUBLE / 1e9 / n::DOUBLE) /
+             (sx::DOUBLE / n::DOUBLE)) * 1e6 + 0.5) / 1e6 AS atkinson_1
+         FROM g, nz""",
   )
 
   private def sqlList(words: Seq[String]): String =

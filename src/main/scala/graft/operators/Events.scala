@@ -5277,4 +5277,171 @@ object Events {
         (q(chi2, 4) > q(crit, 4)).cast("long").as("overdispersed"))
       .orderBy("event_type")
   }
+
+  /** Allan variance of the daily count series (W408) at block sizes
+    * τ ∈ {1, 2, 4}: AVAR(τ) = Σ(s_{b+1}−s_b)²/(2(M−1)τ²) over
+    * complete τ-day block sums — the drift-vs-noise separator
+    * ([[acfDaily]] sees correlation; Allan deviation's SLOPE across
+    * τ classifies the noise type: white flattens as 1/τ, random
+    * walk grows). Every block sum and successive difference is an
+    * exact integer from one div-keyed aggregation + a lag window
+    * over blocks; the statistic divides once per τ. Scale: day-
+    * spine-bounded; three block aggs.
+    */
+  def allanVariance(s: SparkSession, dir: String,
+                    taus: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val tail = dailyTail(s, dir, Int.MaxValue).persist()
+    CacheScope.register(tail) // eager: one block agg per tau
+    val perTau = taus.map { tau =>
+      val blocks = tail
+        .select((((col("t") - 1) / tau).cast("long")).as("b"), col("y"))
+        .groupBy("b").agg(sum(col("y")).as("sb"),
+          count(lit(1)).as("cnt"))
+        .filter(col("cnt") === tau)
+      val diffs = blocks
+        .withColumn("d", col("sb") - lag(col("sb"), 1).over(
+          Window.orderBy("b")))
+        .filter(col("d").isNotNull)
+      diffs.agg(count(lit(1)).as("m1"),
+          sum((col("d") * col("d")).cast("decimal(38,0)")).as("sd2"))
+        // a tau with < 2 complete blocks has no diffs: drop the row
+        // (the oracle's GROUP BY vanishes; a global agg would not)
+        .filter(col("m1") > 0)
+        .select(lit(tau.toLong).as("tau"),
+          (col("m1") + 1).as("m_blocks"),
+          q(col("sd2").cast("double") /
+            (lit(2.0) * col("m1") * lit((tau * tau).toDouble)), 6)
+            .as("avar"))
+    }
+    perTau.reduce(_ unionAll _)
+      .select(col("tau"), col("m_blocks"), col("avar"),
+        q(sqrt(col("avar")), 6).as("adev"))
+      .orderBy("tau")
+  }
+
+  /** Turning-point randomness test (W409) on the daily series: count
+    * strict local extrema; under iid, E[T] = 2(n−2)/3 and
+    * Var = (16n−29)/90, so z = (T−E)/√V screens for serial
+    * dependence — the cheapest iid check next to [[runsTest]] (signs
+    * vs median) and [[ljungBox]] (full ACF): turning points catch
+    * smooth trends/cycles that leave the median-run structure
+    * intact. T is an exact count from one lag/lead window; ties
+    * (plateaus) are not extrema by the strict inequalities. Scale:
+    * one day-spine window + one agg.
+    */
+  def turningPoints(s: SparkSession, dir: String): DataFrame = {
+    val tail = dailyTail(s, dir, Int.MaxValue)
+    val w = Window.orderBy("t")
+    val marked = tail
+      .withColumn("yp", lag(col("y"), 1).over(w))
+      .withColumn("yn", lead(col("y"), 1).over(w))
+      .filter(col("yp").isNotNull && col("yn").isNotNull)
+      .select(((col("yp") < col("y") && col("y") > col("yn")) ||
+        (col("yp") > col("y") && col("y") < col("yn")))
+        .cast("long").as("tp"))
+    val g = marked.agg((count(lit(1)) + 2).as("n"),
+      sum(col("tp")).as("t"))
+    val n = col("n").cast("double")
+    val e = lit(2.0) * (n - 2) / 3
+    val v = (lit(16.0) * n - 29) / 90
+    val z = (col("t").cast("double") - e) / sqrt(v)
+    g.select(col("n").as("n_days"), col("t").as("turning_points"),
+      q(e, 6).as("expected"), q(z, 6).as("z_stat"),
+      (abs(q(z, 6)) > lit(1.96)).cast("long").as("nonrandom_flag"))
+  }
+
+  /** Delete-one-day jackknife SE (W410) for the revenue-per-event
+    * RATIO estimator R = ΣY/ΣX — the survey-sampling answer to "the
+    * mean of daily ratios is biased and the ratio of sums has no
+    * textbook SE": each leave-one-out replicate R₍ᵢ₎ =
+    * (SY−yᵢ)/(SX−xᵢ) is closed-form from the exact totals (no
+    * resampling pass), pinned to a 1e-9 integer, and the jackknife
+    * variance (n−1)/n·Σ(R₍ᵢ₎−R̄)² collapses to the cross-multiplied
+    * integer identity (nΣR9²−(ΣR9)²)/n². One day-keyed agg + one
+    * replicate agg; the ±1.96·SE interval surfaces alongside.
+    */
+  def jackknifeRatio(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg(count(lit(1)).as("x"), sum(col("v6")).as("y6"))
+      .persist()
+    CacheScope.register(daily) // eager: totals + replicates read it
+    val tot = daily.agg(sum(col("x")).as("sx"), sum(col("y6")).as("sy6"),
+      count(lit(1)).as("n"))
+    val reps = daily.crossJoin(broadcast(tot))
+      .select(col("sx"), col("sy6"), col("n"),
+        floor((col("sy6") - col("y6")).cast("double") /
+          (col("sx") - col("x")).cast("double") / lit(1e6) * lit(1e9) +
+          lit(0.5)).cast("long").as("r9"))
+    val g = reps.groupBy("sx", "sy6", "n").agg(
+      sum(col("r9").cast("decimal(38,0)")).as("sr"),
+      // replicate squares pass Int64 for ratios > ~3: promote first
+      sum(col("r9").cast("decimal(38,0)") *
+        col("r9").cast("decimal(38,0)")).as("sr2"))
+    val n = col("n").cast("double")
+    val varJ = (n - 1) / n *
+      ((n * col("sr2").cast("double") -
+        col("sr").cast("double") * col("sr").cast("double")) / (n * n)) /
+      lit(1e18)
+    val ratio = col("sy6").cast("double") / col("sx").cast("double") /
+      lit(1e6)
+    g.select(col("n").as("n_days"), q(ratio, 6).as("ratio"),
+      q(sqrt(varJ), 6).as("jk_se"),
+      q(ratio - lit(1.96) * sqrt(varJ), 6).as("ci_lo"),
+      q(ratio + lit(1.96) * sqrt(varJ), 6).as("ci_hi"))
+  }
+
+  /** Empirical variogram (W411) of the daily series at lags 1..7:
+    * γ(h) = Σ(y_{t+h}−y_t)²/(2N_h) — the geostatistics view of
+    * temporal structure ([[acfDaily]] normalizes by global variance;
+    * the variogram keeps the data's units, stays defined under
+    * trend, and its sill/nugget shape diagnoses smoothness). One
+    * broadcast lag spine + one self-join on the dense day spine,
+    * exact integer squared differences, one division per lag.
+    */
+  def variogram(s: SparkSession, dir: String, maxLag: Int = 7)
+  : DataFrame = {
+    val tail = dailyTail(s, dir, Int.MaxValue).persist()
+    CacheScope.register(tail) // eager: both join sides read it
+    val lags = s.range(1, maxLag + 1).select(col("id").cast("int").as("lag"))
+    val pairs = tail.select(col("t"), col("y").as("ya"))
+      .crossJoin(broadcast(lags))
+      .select(col("lag"), (col("t") + col("lag")).as("t"), col("ya"))
+      .join(tail.select(col("t"), col("y").as("yb")), Seq("t"))
+    pairs.groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum((col("yb") - col("ya")) * (col("yb") - col("ya"))).as("ss"))
+      .select(col("lag"), col("n_pairs"),
+        q(col("ss").cast("double") /
+          (lit(2.0) * col("n_pairs").cast("double")), 6).as("gamma"))
+      .orderBy("lag")
+  }
+
+  /** Post-stratified conversion estimate (W412): reweight the
+    * purchase share to a UNIFORM hour-of-day target instead of the
+    * observed traffic mix — the survey-methods fix for "our metric
+    * moved because the TRAFFIC MIX moved" ([[Curation.ipfRaking]]
+    * generalizes to multiple margins; this is the one-margin
+    * textbook estimator whose gap vs the raw share IS the mix-shift
+    * readout). Per-stratum rates are exact rationals quantized to
+    * 1e-9 integers before the equal-weight average; one hour-keyed
+    * aggregation total.
+    */
+  def postStratify(s: SparkSession, dir: String): DataFrame = {
+    val byH = Tables.events(s, dir)
+      .select(hour(col("ts")).as("h"),
+        (col("event_type") === "purchase").cast("long").as("k"))
+      .groupBy("h").agg(count(lit(1)).as("n"), sum(col("k")).as("k"))
+    val g = byH.agg(count(lit(1)).as("n_strata"),
+      sum(col("n")).as("nn"), sum(col("k")).as("kk"),
+      sum(floor(col("k").cast("double") / col("n").cast("double") *
+        lit(1e9) + lit(0.5)).cast("long")).as("sp9"))
+    val raw = col("kk").cast("double") / col("nn").cast("double")
+    val post = col("sp9").cast("double") / lit(1e9) /
+      col("n_strata").cast("double")
+    g.select(col("n_strata"), col("nn").as("n_events"),
+      q(raw, 6).as("p_raw"), q(post, 6).as("p_post"),
+      q(post - raw, 6).as("mix_shift"))
+  }
 }

@@ -1980,21 +1980,50 @@ object Graph {
       .filter(col("s1") < col("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minC)
+      .select("s1", "s2")
+      .persist()
+    graft.CacheScope.register(und) // eager: degrees, ew, orientation
     val e = und.select(col("s1").as("i"), col("s2").as("j"))
       .unionAll(und.select(col("s2").as("i"), col("s1").as("j")))
-      .persist()
-    graft.CacheScope.register(e) // eager: degrees + both wedge sides
     val deg = e.groupBy("i").agg(count(lit(1)).as("d"))
     val ew = e.join(deg, "i")
       .select(col("i"), col("j"), col("d").as("di"))
-    // indirect: i -> q -> j with q adjacent to both, j a neighbor of i
-    val iq = ew.select(col("i"), col("j").as("q"), col("di"))
-      .join(deg.withColumnRenamed("i", "q"), "q")
-      .select(col("i"), col("q"), col("di"), col("d").as("dq"))
-    val qj = e.select(col("i").as("q"), col("j").as("jj"))
-    val ind = iq.join(qj, "q")
-      .select(col("i"), col("jj").as("j"),
-        floor(lit(1e9) / (col("di") * col("dq")).cast("double") +
+    // indirect terms exist only on TRIANGLES (q adjacent to both ends
+    // of the edge (i,j)): enumerate them once, degree-ORIENTED (out-
+    // fan bounded by arboricity — the unoriented i→q→j wedge join is
+    // Σdeg², measured 15.1s vs 6.9s at sf0.1), then
+    // scatter each triangle to its 6 ordered (i, j, center) roles
+    val ow = und
+      .join(deg.select(col("i").as("s1"), col("d").as("d1")), "s1")
+      .join(deg.select(col("i").as("s2"), col("d").as("d2")), "s2")
+      .select(when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("s1") < col("s2")),
+        struct(col("s1").as("s"), col("s2").as("t"), col("d2").as("dt")))
+        .otherwise(struct(col("s2").as("s"), col("s1").as("t"),
+          col("d1").as("dt"))).as("e"))
+      .select(col("e.s"), col("e.t"), col("e.dt"))
+      .localCheckpoint()
+    val w = ow.select(col("s").as("a"), col("t").as("b"), col("dt").as("db"))
+      .join(ow.select(col("s").as("a"), col("t").as("c"),
+        col("dt").as("dc")), "a")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val tri = w.join(ow.select(col("s").as("b"), col("t").as("c")),
+      Seq("b", "c")).select("a", "b", "c")
+    val ordered = tri.select(explode(array(
+        struct(col("a").as("i"), col("b").as("j"), col("c").as("q")),
+        struct(col("b").as("i"), col("a").as("j"), col("c").as("q")),
+        struct(col("a").as("i"), col("c").as("j"), col("b").as("q")),
+        struct(col("c").as("i"), col("a").as("j"), col("b").as("q")),
+        struct(col("b").as("i"), col("c").as("j"), col("a").as("q")),
+        struct(col("c").as("i"), col("b").as("j"), col("a").as("q"))))
+        .as("x"))
+      .select(col("x.i"), col("x.j"), col("x.q"))
+    val ind = ordered
+      .join(deg.select(col("i"), col("d").as("dii")), "i")
+      .join(deg.select(col("i").as("q"), col("d").as("dq")), "q")
+      .select(col("i"), col("j"),
+        floor(lit(1e9) / (col("dii") * col("dq")).cast("double") +
           lit(0.5)).cast("long").as("t9"))
       .groupBy("i", "j").agg(sum(col("t9")).as("ind9"))
     val terms = ew
@@ -2014,5 +2043,53 @@ object Graph {
           .as("constraint"))
       .orderBy(col("constraint"), col("part"))
       .limit(k)
+  }
+
+  /** Categorical assortativity (W413, Newman mixing) of the part
+    * co-purchase graph BY BRAND: do baskets combine same-brand parts
+    * (homophily, r → 1) or mix across brands (r < 0)? — the
+    * attribute-level companion to the degree [[assortativity]], and
+    * the community-structure prior checked before trusting
+    * [[labelProp]]-style clusters to mean anything. Over the
+    * DIRECTED doubled edge list, r = (M·S − P)/(M² − P) with
+    * S = same-brand edges and P = Σ_brand (degree mass)² — every
+    * term an exact integer from two keyed aggs, one division.
+    * Scale: the pruned (count ≥ 2) projection of [[localBridges]],
+    * one broadcast part-attribute join.
+    */
+  def homophilyBrand(s: SparkSession, dir: String, minC: Int = 2)
+  : DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("s1"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("s2"))
+    val und = a.join(b, "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minC)
+    val e = und.select(col("s1").as("i"), col("s2").as("j"))
+      .unionAll(und.select(col("s2").as("i"), col("s1").as("j")))
+    val brands = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val eb = e
+      .join(broadcast(brands.withColumnRenamed("p_partkey", "i")
+        .withColumnRenamed("p_brand", "bi")), "i")
+      .join(broadcast(brands.withColumnRenamed("p_partkey", "j")
+        .withColumnRenamed("p_brand", "bj")), "j")
+      .persist()
+    graft.CacheScope.register(eb) // eager: totals + marginals read it
+    val tot = eb.agg(count(lit(1)).as("m"),
+      sum((col("bi") === col("bj")).cast("long")).as("s"))
+    val marg = eb.groupBy("bi").agg(count(lit(1)).as("d"))
+      .agg(sum((col("d") * col("d")).cast("decimal(38,0)")).as("p"),
+        count(lit(1)).as("n_brands"))
+    tot.crossJoin(marg).select(col("n_brands"), col("m").as("m_edges"),
+      graft.operators.Events.q(col("s").cast("double") /
+        col("m").cast("double"), 6).as("same_share"),
+      graft.operators.Events.q(
+        (col("m").cast("double") * col("s").cast("double") -
+          col("p").cast("double")) /
+        (col("m").cast("double") * col("m").cast("double") -
+          col("p").cast("double")), 6).as("assortativity"))
   }
 }

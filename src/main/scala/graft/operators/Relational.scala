@@ -2855,4 +2855,100 @@ object Relational {
       .orderBy(col("confidence").desc, col("ante"), col("cons"))
       .limit(k)
   }
+
+  /** Log-log demand-curve fit (W414): regress ln(total quantity
+    * ordered) on ln(retail price) across parts — the price
+    * ELASTICITY readout (slope ≈ %ΔQ per %ΔP) that turns the
+    * [[Events.olsTrend]] machinery into an economics question the
+    * lineitem star can actually answer. Both log coordinates are
+    * pinned to 1e-9 integer grids BEFORE the sufficient-statistic
+    * sums (ln args are exact grid integers, identical in both
+    * engines), so the five sums are exact DECIMALs; slope,
+    * intercept, and R² each divide cross-multiplied exact values
+    * once. Scale: one part-keyed agg + one broadcast part join +
+    * one moment agg.
+    */
+  def priceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(floor(sum(col("l_quantity")) + lit(0.5)).cast("long").as("qy"))
+    val pts = qty.join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"),
+          floor(col("p_retailprice") * lit(100) + lit(0.5)).cast("long")
+            .as("pc"))), "l_partkey")
+      .select(
+        floor(log(col("pc").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("long").as("x9"),
+        floor(log(col("qy").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("long").as("y9"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    // 1e-9-grid log coordinates square past Int64 — promote FIRST
+    val g = pts.agg(count(lit(1)).as("n"),
+      sum(d38(col("x9"))).as("sx"), sum(d38(col("y9"))).as("sy"),
+      sum(d38(col("x9")) * d38(col("x9"))).as("sxx"),
+      sum(d38(col("x9")) * d38(col("y9"))).as("sxy"),
+      sum(d38(col("y9")) * d38(col("y9"))).as("syy"))
+    val n = col("n").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val slope = num / dx
+    val icept = (col("sy").cast("double") - slope *
+      col("sx").cast("double")) / n / lit(1e9)
+    g.select(col("n").as("n_parts"),
+      Events.q(slope, 6).as("elasticity"),
+      Events.q(icept, 6).as("intercept"),
+      Events.q(num / dx * (num / dy), 6).as("r2"))
+  }
+
+  /** Inequality indices of per-customer spend (W415): Theil T
+    * (top-sensitive), Theil L / mean-log-deviation
+    * (bottom-sensitive), Atkinson(1) = 1 − geomean/mean — the
+    * decomposable entropy family next to [[lorenzGini]]'s rank-based
+    * Gini (Theil SUMS across subgroups, which is what a per-source/
+    * per-shard drill-down needs; Gini doesn't). Spend is exact
+    * cents; each per-customer x·ln-term is quantized to a 1e-9
+    * integer (the x/μ rational cross-multiplies to x·n/S before the
+    * single ln), so every sum is order-free; Atkinson folds ONE exp
+    * of the exact mean-log. Zero-spend customers are excluded
+    * (entropy indices are undefined at 0) and counted. Scale: one
+    * customer-keyed agg + one moment agg.
+    */
+  def inequalityIndices(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+        .cast("long")).as("x"))
+      .persist()
+    CacheScope.register(spend) // eager: totals + the term agg read it
+    val tot = spend.filter(col("x") > 0)
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val nz = spend.filter(col("x") <= 0).agg(count(lit(1)).as("n_zero"))
+    val terms = spend.filter(col("x") > 0).crossJoin(broadcast(tot))
+      .select(col("n"), col("sx"),
+        floor((col("x").cast("double") * col("n").cast("double") /
+          col("sx").cast("double")) *
+          log(col("x").cast("double") * col("n").cast("double") /
+            col("sx").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("long").as("tt9"),
+        floor(log(col("x").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("long").as("lx9"))
+    val g = terms.groupBy("n", "sx").agg(
+      sum(col("tt9").cast("decimal(38,0)")).as("st"),
+      sum(col("lx9").cast("decimal(38,0)")).as("sl"))
+    val n = col("n").cast("double")
+    val mu = col("sx").cast("double") / n
+    val theilT = col("st").cast("double") / lit(1e9) / n
+    val meanLog = col("sl").cast("double") / lit(1e9) / n
+    val theilL = log(mu) - meanLog
+    val atk = lit(1.0) - exp(meanLog) / mu
+    g.crossJoin(broadcast(nz))
+      .select(col("n").as("n_customers"), col("n_zero"),
+        Events.q(theilT, 6).as("theil_t"),
+        Events.q(theilL, 6).as("theil_l"),
+        Events.q(atk, 6).as("atkinson_1"))
+  }
 }
