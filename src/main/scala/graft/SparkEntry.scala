@@ -595,6 +595,15 @@ object SparkEntry {
     "homophily_brand" -> ((s, d) => Graph.homophilyBrand(s, d)),
     "price_elasticity" -> ((s, d) => Relational.priceElasticity(s, d)),
     "inequality_indices" -> ((s, d) => Relational.inequalityIndices(s, d)),
+    // round-5 batch Y: redistribution share, distribution metrics,
+    // ordinal complexity, corpus balance, detector cross-audit,
+    // quantile-level effects
+    "hoover_index" -> ((s, d) => Relational.hooverIndex(s, d)),
+    "hellinger_distance" -> ((s, d) => TextStats.hellingerDistance(s, d)),
+    "permutation_entropy" -> ((s, d) => Events.permutationEntropy(s, d)),
+    "pielou_evenness" -> ((s, d) => TextStats.pielouEvenness(s, d)),
+    "detector_agreement" -> ((s, d) => Dedup.detectorAgreement(s, d)),
+    "quantile_gap" -> ((s, d) => Events.quantileGap(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -10768,6 +10777,144 @@ object SparkEntry {
            floor((1.0 - exp(sl::DOUBLE / 1e9 / n::DOUBLE) /
              (sx::DOUBLE / n::DOUBLE)) * 1e6 + 0.5) / 1e6 AS atkinson_1
          FROM g, nz""",
+    // |x*n - S| exact deviations, one division by 2nS
+    "hoover_index" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS x
+           FROM orders GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+                 FROM spend),
+         d AS (SELECT n, sx,
+                 sum(abs(x::HUGEINT * n - sx))::HUGEINT AS sd
+               FROM spend, tot GROUP BY 1, 2)
+         SELECT n AS n_customers,
+           floor(sd::DOUBLE / (2.0 * n::DOUBLE * sx::DOUBLE) * 1e6
+             + 0.5) / 1e6 AS hoover
+         FROM d""",
+    // per-term sqrt(p*q) on a 1e-9 grid; BC clamped at 1
+    "hellinger_distance" ->
+      """WITH ytk AS (
+           SELECT source,
+             list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0) AS ts
+           FROM documents WHERE source IN ('src0', 'src1')),
+         tf AS (SELECT t,
+                  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0
+                    END)::BIGINT AS c1,
+                  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                    END)::BIGINT AS c2
+                FROM (SELECT source, unnest(ts) AS t FROM ytk)
+                GROUP BY 1),
+         tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+                   sum(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0
+                     END)::BIGINT AS vocab_both
+                 FROM tf),
+         bc AS (SELECT sum(floor(sqrt((c1 * c2)::DOUBLE /
+                  (n1::DOUBLE * n2::DOUBLE)) * 1e9 + 0.5)::BIGINT)
+                  ::BIGINT AS bc9
+                FROM tf, tot)
+         SELECT n1, n2, vocab_both,
+           floor(bc9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS bc,
+           floor(sqrt(greatest(0.0, 1.0 - bc9::DOUBLE / 1e9)) * 1e6
+             + 0.5) / 1e6 AS hellinger
+         FROM bc, tot""",
+    "permutation_entropy" -> {
+      val ln6 = math.log(6.0)
+      s"""WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         tr AS (SELECT ((CASE WHEN y <= y1 THEN 1 ELSE 0 END) * 4 +
+                  (CASE WHEN y <= y2 THEN 1 ELSE 0 END) * 2 +
+                  (CASE WHEN y1 <= y2 THEN 1 ELSE 0 END))::BIGINT
+                  AS pid
+                FROM (SELECT y, lead(y, 1) OVER (ORDER BY day) AS y1,
+                        lead(y, 2) OVER (ORDER BY day) AS y2
+                      FROM dense)
+                WHERE y2 IS NOT NULL),
+         pats AS (SELECT pid, count(*)::BIGINT AS c FROM tr GROUP BY 1),
+         tot AS (SELECT sum(c)::BIGINT AS nn,
+                   count(*)::BIGINT AS n_patterns
+                 FROM pats),
+         h AS (SELECT coalesce(sum(CAST(floor(
+                  (-(c::DOUBLE / nn::DOUBLE)) *
+                    ln(c::DOUBLE / nn::DOUBLE) * 1e9 + 0.5) AS BIGINT)),
+                  0)::BIGINT AS h9
+               FROM pats, tot)
+         SELECT nn AS n_triples, n_patterns,
+           floor(h9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS h_nats,
+           floor(h9::DOUBLE / 1e9 / ($ln6) * 1e6 + 0.5) / 1e6 AS h_norm
+         FROM h, tot"""
+    },
+    // per-source -p ln p on a 1e-9 grid, one division by exact ln k
+    "pielou_evenness" ->
+      """WITH per AS (SELECT source, count(*)::BIGINT AS c
+                      FROM documents GROUP BY 1),
+         tot AS (SELECT sum(c)::BIGINT AS nn, count(*)::BIGINT AS k
+                 FROM per),
+         h AS (SELECT sum(CAST(floor((-(c::DOUBLE / nn::DOUBLE)) *
+                  ln(c::DOUBLE / nn::DOUBLE) * 1e9 + 0.5) AS BIGINT))
+                  ::BIGINT AS h9
+               FROM per, tot)
+         SELECT k AS k_sources, nn AS n_docs,
+           floor(h9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS h_nats,
+           floor(h9::DOUBLE / 1e9 / ln(k::DOUBLE) * 1e6 + 0.5) / 1e6
+             AS evenness
+         FROM h, tot""",
+    // pair-set overlap of the two detectors' full pipelines
+    "detector_agreement" -> s"""WITH ja AS ($JaccardSql),
+         sa AS ($SimhashSql),
+         j AS (SELECT coalesce(l.ina, 0)::BIGINT AS ina,
+                 coalesce(r.inb, 0)::BIGINT AS inb
+               FROM (SELECT doc_a, doc_b, 1::BIGINT AS ina FROM ja) l
+               FULL OUTER JOIN
+                 (SELECT doc_a, doc_b, 1::BIGINT AS inb FROM sa) r
+               USING (doc_a, doc_b))
+         SELECT sum(ina * inb)::BIGINT AS n_both,
+           sum(ina * (1 - inb))::BIGINT AS n_only_jaccard,
+           sum((1 - ina) * inb)::BIGINT AS n_only_simhash,
+           CASE WHEN count(*) > 0
+             THEN floor(sum(ina * inb)::DOUBLE / count(*)::DOUBLE * 1e6
+               + 0.5) / 1e6
+             ELSE 1.0 END AS agreement
+         FROM j""",
+    // cross-multiplied cumulative quantile rule per type, grid gaps
+    "quantile_gap" ->
+      """WITH vi AS (
+           SELECT event_type, floor("value" * 1e6 + 0.5)::BIGINT AS v6,
+                  count(*)::BIGINT AS cnt
+           FROM events
+           WHERE "value" IS NOT NULL
+             AND event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+         tot AS (SELECT event_type AS et, sum(cnt)::BIGINT AS n
+                 FROM vi GROUP BY 1),
+         cum AS (SELECT event_type, v6,
+                   sum(cnt) OVER (PARTITION BY event_type
+                     ORDER BY v6)::BIGINT AS cum
+                 FROM vi),
+         qs AS (SELECT unnest([50, 90])::INT AS q_pct),
+         picks AS (SELECT event_type, q_pct, min(v6) AS v6
+                   FROM cum JOIN tot ON event_type = et CROSS JOIN qs
+                   WHERE cum * 100 >= q_pct * n
+                   GROUP BY 1, 2)
+         SELECT q_pct,
+           floor(a.v6::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS q_a,
+           floor(b.v6::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS q_b,
+           floor((a.v6 - b.v6)::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS gap
+         FROM (SELECT q_pct, v6 FROM picks WHERE event_type = 'click') a
+         JOIN (SELECT q_pct, v6 FROM picks
+               WHERE event_type = 'purchase') b USING (q_pct)
+         ORDER BY q_pct""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -968,4 +968,32 @@ object Dedup {
           col("n_cand").cast("double") / lit(totPairs.toDouble), 6)
           .as("reduction_ratio"))
   }
+  /** Near-dup detector agreement audit (W421): the pair-set overlap
+    * between the exact shingle-Jaccard detector ([[jaccardPairs]] at
+    * 0.8) and the SimHash bank detector ([[simhashPairs]]) — the
+    * "would switching detectors change the corpus?" number that a
+    * single detector's own precision/recall can't answer. One
+    * full-outer join on the canonical (doc_a, doc_b) key; exact
+    * counts of both/only-A/only-B and their Jaccard, one division.
+    */
+  def detectorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val a = jaccardPairs(s, dir, 0.8).select("doc_a", "doc_b")
+      .withColumn("ina", lit(1L))
+    val b = simhashPairs(s, dir).select("doc_a", "doc_b")
+      .withColumn("inb", lit(1L))
+    val j = a.join(b, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("ina"), lit(0L)).as("ina"),
+        coalesce(col("inb"), lit(0L)).as("inb"))
+    j.agg(sum(col("ina") * col("inb")).as("n_both"),
+        sum(col("ina") * (lit(1L) - col("inb"))).as("n_only_jaccard"),
+        sum((lit(1L) - col("ina")) * col("inb")).as("n_only_simhash"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_both"), col("n_only_jaccard"),
+        col("n_only_simhash"),
+        when(col("n_union") > 0,
+          graft.operators.Events.q(col("n_both").cast("double") /
+            col("n_union").cast("double"), 6)).otherwise(lit(1.0))
+          .as("agreement"))
+  }
 }
+

@@ -5444,4 +5444,90 @@ object Events {
       q(raw, 6).as("p_raw"), q(post, 6).as("p_post"),
       q(post - raw, 6).as("mix_shift"))
   }
+
+  /** Permutation entropy (W418, Bandt–Pompe, m = 3) of the daily
+    * series: the Shannon entropy of consecutive-triple ORDINAL
+    * patterns, normalized by ln 6 — the complexity axis read in
+    * order space ([[sampleEntropy]] reads amplitude space; ordinal
+    * patterns are amplitude-free, so a monotone rescale of the
+    * series cannot change the answer). Ties break toward temporal
+    * order (the standard stable convention), so each triple maps to
+    * one of 6 exact pattern ids via three integer comparisons; the
+    * entropy accumulates −p·ln p on the 1e-9 per-term grid. Scale:
+    * one day-spine window + a ≤6-row aggregation.
+    */
+  def permutationEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tail = dailyTail(s, dir, Int.MaxValue)
+    val w = Window.orderBy("t")
+    val pats = tail
+      .withColumn("y1", lead(col("y"), 1).over(w))
+      .withColumn("y2", lead(col("y"), 2).over(w))
+      .filter(col("y2").isNotNull)
+      .select(((col("y") <= col("y1")).cast("long") * 4 +
+        (col("y") <= col("y2")).cast("long") * 2 +
+        (col("y1") <= col("y2")).cast("long")).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("c"))
+      .persist()
+    CacheScope.register(pats) // eager: total + the term agg read it
+    val tot = pats.agg(sum(col("c")).as("nn"),
+      count(lit(1)).as("n_patterns"))
+    val h9 = pats.crossJoin(broadcast(tot))
+      .select((-(col("c").cast("double") / col("nn").cast("double")) *
+        log(col("c").cast("double") / col("nn").cast("double")))
+        .as("term"))
+      .select(floor(col("term") * lit(1e9) + lit(0.5)).cast("long")
+        .as("t9"))
+      .agg(coalesce(sum(col("t9")), lit(0L)).as("h9"))
+    h9.crossJoin(tot).select(col("nn").as("n_triples"),
+      col("n_patterns"),
+      q(col("h9").cast("double") / lit(1e9), 6).as("h_nats"),
+      q(col("h9").cast("double") / lit(1e9) / lit(math.log(6.0)), 6)
+        .as("h_norm"))
+  }
+
+  /** Per-type exact quantile gap (W419): q50/q90 of the click vs
+    * purchase value distributions and their differences — the
+    * quantile-level effect readout that [[effectSizes]]' mean-based
+    * d cannot see (a treatment that moves the tail but not the
+    * median has d ≈ 0 and a large Δq90). Quantiles use the repo's
+    * cross-multiplied cumulative rule on the exact 1e-6 value grid;
+    * the gaps subtract two grid values. Scale: one value-keyed agg
+    * per type + a 2-row quantile spine.
+    */
+  def quantileGap(s: SparkSession, dir: String,
+                  typeA: String = "click", typeB: String = "purchase")
+  : DataFrame = {
+    val vi = Tables.events(s, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("event_type", "v6").agg(count(lit(1)).as("cnt"))
+      .persist()
+    CacheScope.register(vi) // eager: totals + both quantile picks
+    val tot = vi.groupBy(col("event_type").as("et"))
+      .agg(sum(col("cnt")).as("n"))
+    val cum = vi.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy("event_type").orderBy("v6")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val qs = s.range(0, 2).select(
+      element_at(array(lit(50), lit(90)), (col("id") + 1).cast("int"))
+        .as("q_pct"))
+    val picks = cum.join(broadcast(tot), col("event_type") === col("et"))
+      .crossJoin(broadcast(qs))
+      .filter(col("cum") * 100 >= col("q_pct") * col("n"))
+      .groupBy("event_type", "q_pct").agg(min(col("v6")).as("v6"))
+    val qa = picks.filter(col("event_type") === typeA)
+      .select(col("q_pct"), col("v6").as("va"))
+    val qb = picks.filter(col("event_type") === typeB)
+      .select(col("q_pct"), col("v6").as("vb"))
+    qa.join(qb, "q_pct")
+      .select(col("q_pct"), q(col("va").cast("double") / lit(1e6), 6)
+        .as("q_a"),
+        q(col("vb").cast("double") / lit(1e6), 6).as("q_b"),
+        q((col("va") - col("vb")).cast("double") / lit(1e6), 6)
+          .as("gap"))
+      .orderBy("q_pct")
+  }
 }
+

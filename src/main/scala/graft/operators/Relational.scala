@@ -2951,4 +2951,33 @@ object Relational {
         Events.q(theilL, 6).as("theil_l"),
         Events.q(atk, 6).as("atkinson_1"))
   }
+
+  /** Hoover (Robin Hood) index (W416) of per-customer spend: the
+    * share of total spend that would have to MOVE to equalize
+    * everyone — (1/2)*Sum|x_i/S - 1/n|, the maximum vertical gap of
+    * [[lorenzGini]]'s Lorenz curve, and the inequality number with a
+    * direct operational reading ("rebalance this fraction"). The
+    * absolute deviations cross-multiply to the exact integers
+    * |x_i*n - S| summed in DECIMAL; ONE division by 2*n*S surfaces
+    * the index. Scale: one customer-keyed agg + one moment agg.
+    */
+  def hooverIndex(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+        .cast("long")).as("x"))
+      .persist()
+    CacheScope.register(spend) // eager: totals + the deviation agg
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    spend.crossJoin(broadcast(tot))
+      .select(col("n"), col("sx"),
+        abs(col("x").cast("decimal(38,0)") * col("n") - col("sx"))
+          .as("dev"))
+      .groupBy("n", "sx").agg(sum(col("dev")).as("sd"))
+      .select(col("n").as("n_customers"),
+        Events.q(col("sd").cast("double") /
+          (lit(2.0) * col("n").cast("double") *
+            col("sx").cast("double")), 6).as("hoover"))
+  }
 }
+

@@ -1641,4 +1641,69 @@ object TextStats {
         col("overlap").as("overlap_at_k"),
         Events.q(col("rbo9").cast("double") / lit(1e9), 6).as("rbo"))
   }
+
+  /** Hellinger distance (W417) between two sources' unigram
+    * distributions: H = sqrt(1 - Sum sqrt(p_i q_i)) — the bounded,
+    * symmetric, zero-tolerant member of the divergence family
+    * ([[sourceKlDivergence]] blows up on disjoint support; Hellinger
+    * is a true metric in [0,1]). Each sqrt(p*q) term divides exact
+    * counts once inside one fixed sqrt and is pinned to a 1e-9
+    * integer before the sum; BC is clamped at 1 (per-term rounding
+    * can push an identical pair a few 1e-9 over). Scale: one
+    * term-keyed agg over the union vocabulary.
+    */
+  def hellingerDistance(s: SparkSession, dir: String,
+                        srcA: String = "src0", srcB: String = "src1")
+  : DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), explode(tokenize(col("text"))).as("t"))
+      .groupBy("t").agg(
+        sum((col("source") === srcA).cast("long")).as("c1"),
+        sum((col("source") === srcB).cast("long")).as("c2"))
+      .persist()
+    CacheScope.register(tf) // eager: totals + the term agg read it
+    val tot = tf.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum((col("c1") > 0 && col("c2") > 0).cast("long"))
+        .as("vocab_both"))
+    val bc9 = tf.crossJoin(broadcast(tot))
+      .select(floor(sqrt((col("c1") * col("c2")).cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double"))) *
+        lit(1e9) + lit(0.5)).cast("long").as("t9"))
+      .agg(sum(col("t9")).as("bc9"))
+    bc9.crossJoin(tot).select(col("n1"), col("n2"), col("vocab_both"),
+      Events.q(col("bc9").cast("double") / lit(1e9), 6).as("bc"),
+      Events.q(sqrt(greatest(lit(0.0),
+        lit(1.0) - col("bc9").cast("double") / lit(1e9))), 6)
+        .as("hellinger"))
+  }
+
+  /** Pielou evenness (W420) of the per-source document distribution:
+    * J = H/ln k — "is the corpus mix balanced across sources?" as
+    * one number in [0, 1], the normalization [[Curation]]'s quota
+    * and mixing ops target ([[Relational.herfindahlIndex]] reads
+    * CONCENTRATION; J reads the entropy view of the same margin).
+    * Per-source -p*ln p terms on the 1e-9 grid, one division by the
+    * exact ln k. Scale: one source-keyed agg (k rows).
+    */
+  def pielouEvenness(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .persist()
+    CacheScope.register(per) // eager: total + the term agg read it
+    val tot = per.agg(sum(col("c")).as("nn"), count(lit(1)).as("k"))
+    val h9 = per.crossJoin(broadcast(tot))
+      .select((-(col("c").cast("double") / col("nn").cast("double")) *
+        log(col("c").cast("double") / col("nn").cast("double")))
+        .as("term"))
+      .select(floor(col("term") * lit(1e9) + lit(0.5)).cast("long")
+        .as("t9"))
+      .agg(sum(col("t9")).as("h9"))
+    h9.crossJoin(tot).select(col("k").as("k_sources"),
+      col("nn").as("n_docs"),
+      Events.q(col("h9").cast("double") / lit(1e9), 6).as("h_nats"),
+      Events.q(col("h9").cast("double") / lit(1e9) /
+        log(col("k").cast("double")), 6).as("evenness"))
+  }
 }
+
