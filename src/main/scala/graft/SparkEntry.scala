@@ -604,6 +604,26 @@ object SparkEntry {
     "pielou_evenness" -> ((s, d) => TextStats.pielouEvenness(s, d)),
     "detector_agreement" -> ((s, d) => Dedup.detectorAgreement(s, d)),
     "quantile_gap" -> ((s, d) => Events.quantileGap(s, d)),
+    // round-5 batch Z: stationarity from the reversed null,
+    // cointegration, repeated-measures ranks, tail-weighted GOF,
+    // ratio-metric CIs, predictive causality
+    "kpss_test" -> ((s, d) => Events.kpssTest(s, d)),
+    "engle_granger" -> ((s, d) => Events.engleGranger(s, d)),
+    "friedman_test" -> ((s, d) => Relational.friedmanTest(s, d)),
+    "anderson_darling" -> ((s, d) => Relational.andersonDarling(s, d)),
+    "delta_method_ratio" -> ((s, d) => Events.deltaMethodRatio(s, d)),
+    "granger_causality" -> ((s, d) => Events.grangerCausality(s, d)),
+    // round-5 batch AA: prestige centrality, community move gains,
+    // hub-discounted link prediction, k-detector agreement,
+    // cycle-robust trend, residual independence
+    "eigenvector_centrality" ->
+      ((s, d) => Graph.eigenvectorCentrality(s, d)),
+    "louvain_move_gains" -> ((s, d) => Graph.louvainMoveGains(s, d)),
+    "resource_allocation" -> ((s, d) => Graph.resourceAllocation(s, d)),
+    "cochrans_q" -> ((s, d) => TextStats.cochransQ(s, d)),
+    "seasonal_mann_kendall" ->
+      ((s, d) => Events.seasonalMannKendall(s, d)),
+    "durbin_watson" -> ((s, d) => Events.durbinWatson(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -770,6 +790,25 @@ object SparkEntry {
       s"SELECT n.id, floor(($score) * 1e9 + 0.5) / 1e9 AS katz" +
       s" FROM nodes n $joins" +
       s" ORDER BY katz DESC, n.id LIMIT $k"
+  }
+
+  /** Unrolled truncated-power-iteration eigenvector centrality
+    * (mirrors `Graph.eigenvectorCentrality`: exact HUGEINT walk
+    * counts, single L1 normalization at the end, 9-dp top-k cut). */
+  private def eigenvectorOracleSql(rounds: Int, k: Int): String = {
+    val blocks = (1 to rounds).map { t =>
+      s"w$t AS MATERIALIZED (SELECT e.dst AS id," +
+        s" sum(p.w)::HUGEINT AS w" +
+        s" FROM edges e JOIN w${t - 1} p ON p.id = e.src GROUP BY e.dst)"
+    }
+    s"WITH $GraphCte,\n" +
+      "w0 AS MATERIALIZED (SELECT id, 1::HUGEINT AS w FROM nodes),\n" +
+      blocks.mkString(",\n") + ",\n" +
+      s"lastw AS (SELECT n.id, coalesce(w$rounds.w, 0)::HUGEINT AS w" +
+      s" FROM nodes n LEFT JOIN w$rounds ON w$rounds.id = n.id),\n" +
+      "tot AS (SELECT sum(w)::HUGEINT AS sw FROM lastw)\n" +
+      "SELECT id, floor(w::DOUBLE / sw::DOUBLE * 1e9 + 0.5) / 1e9" +
+      s" AS ec FROM lastw, tot ORDER BY ec DESC, id LIMIT $k"
   }
 
   /** Unrolled WEIGHTED-PPR rounds (mirrors `Graph.weightedPpr`: link
@@ -10915,6 +10954,452 @@ object SparkEntry {
          JOIN (SELECT q_pct, v6 FROM picks
                WHERE event_type = 'purchase') b USING (q_pct)
          ORDER BY q_pct""",
+    // exact integer partial sums + Bartlett lag products; one division
+    "kpss_test" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         st AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+                FROM dense),
+         ee AS (SELECT day, n, (y * n - sy)::BIGINT AS e
+                FROM dense, st),
+         c AS (SELECT n, e,
+                 sum(e) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   ::BIGINT AS sp,
+                 lag(e, 1) OVER (ORDER BY day) AS e1,
+                 lag(e, 2) OVER (ORDER BY day) AS e2,
+                 lag(e, 3) OVER (ORDER BY day) AS e3,
+                 lag(e, 4) OVER (ORDER BY day) AS e4,
+                 lag(e, 5) OVER (ORDER BY day) AS e5
+               FROM ee),
+         g AS (SELECT n, sum(sp::HUGEINT * sp)::HUGEINT AS ssq,
+                 sum(e::HUGEINT * e)::HUGEINT AS g0,
+                 sum(e::HUGEINT * e1)::HUGEINT AS g1,
+                 sum(e::HUGEINT * e2)::HUGEINT AS g2,
+                 sum(e::HUGEINT * e3)::HUGEINT AS g3,
+                 sum(e::HUGEINT * e4)::HUGEINT AS g4,
+                 sum(e::HUGEINT * e5)::HUGEINT AS g5
+               FROM c GROUP BY n),
+         f AS (SELECT n, ssq,
+                 (g0 * 6 + 2 * (5 * g1 + 4 * g2 + 3 * g3 + 2 * g4
+                   + 1 * g5))::HUGEINT AS lrn
+               FROM g),
+         z AS (SELECT n,
+                 CASE WHEN lrn > 0
+                   THEN floor(ssq::DOUBLE * 6.0 /
+                     (n::DOUBLE * lrn::DOUBLE) * 1e6 + 0.5) / 1e6
+                   ELSE 0.0 END AS eta
+               FROM f)
+         SELECT n AS n_obs, eta,
+           (CASE WHEN eta > 0.463 THEN 1 ELSE 0 END)::BIGINT
+             AS nonstationary_flag
+         FROM z""",
+    // residuals as exact integers R = bden(ny−Σy) − bnum(nx−Σx);
+    // the n·bden scale cancels in every DF ratio
+    "engle_granger" ->
+      """WITH d0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                    END)::BIGINT AS x,
+                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END)::BIGINT AS y
+           FROM events WHERE event_type IN ('view', 'click')
+           GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM d0),
+                               (SELECT max(day) FROM d0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(x, 0)::BIGINT AS x,
+                  coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN d0 USING (day)),
+         g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                 sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+                 sum(x * y)::BIGINT AS sxy
+               FROM dense),
+         o AS (SELECT n, sx, sy,
+                 (n * sxy - sx * sy)::BIGINT AS bnum,
+                 (n * sxx - sx * sx)::BIGINT AS bden
+               FROM g),
+         r AS (SELECT day, n, bnum, bden,
+                 (bden::HUGEINT * (y * n - sy) -
+                  bnum::HUGEINT * (x * n - sx))::HUGEINT AS r
+               FROM dense, o),
+         l AS (SELECT n, bnum, bden,
+                 lag(r) OVER (ORDER BY day) AS rl,
+                 (r - lag(r) OVER (ORDER BY day))::HUGEINT AS dr
+               FROM r),
+         m AS (SELECT n, bnum, bden, count(*)::BIGINT AS m,
+                 sum(rl * dr)::HUGEINT AS srd,
+                 sum(rl * rl)::HUGEINT AS srr,
+                 sum(dr * dr)::HUGEINT AS sdd
+               FROM l WHERE rl IS NOT NULL GROUP BY 1, 2, 3),
+         f AS (SELECT n, bnum, bden, srr,
+                 (bden != 0) AS okb,
+                 (bden != 0 AND srr != 0) AS ok,
+                 srd::DOUBLE / srr::DOUBLE AS gam,
+                 (sdd::DOUBLE - srd::DOUBLE / srr::DOUBLE * srd::DOUBLE)
+                   AS sse, m
+               FROM m),
+         t AS (SELECT n, bnum, bden, okb, ok, gam,
+                 gam / sqrt(sse / (m::DOUBLE - 1) / srr::DOUBLE) AS t
+               FROM f)
+         SELECT n AS n_days,
+           CASE WHEN okb THEN floor(bnum::DOUBLE / bden::DOUBLE * 1e6
+             + 0.5) / 1e6 ELSE 0.0 END AS beta,
+           CASE WHEN ok THEN floor(gam * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS rho_gamma,
+           CASE WHEN ok THEN floor(t * 1e4 + 0.5) / 1e4
+             ELSE 0.0 END AS eg_t,
+           (CASE WHEN ok AND floor(t * 1e4 + 0.5) / 1e4 < -3.37
+             THEN 1 ELSE 0 END)::BIGINT AS cointegrated_flag
+         FROM t""",
+    // midrank ties in half-units on exact cent totals
+    "friedman_test" ->
+      """WITH cells AS (
+           SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT
+               AS blk,
+             l_returnflag AS trt,
+             sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+               AS v
+           FROM lineitem GROUP BY 1, 2),
+         k AS (SELECT count(DISTINCT trt)::BIGINT AS k FROM cells),
+         nb AS (SELECT blk, count(*)::BIGINT AS nb FROM cells
+                GROUP BY 1),
+         cb AS (SELECT c.blk, trt, v, k FROM cells c
+                JOIN nb USING (blk), k WHERE nb = k),
+         rk AS (SELECT blk, trt, k,
+                  (2 * rank() OVER (PARTITION BY blk ORDER BY v) +
+                   count(*) OVER (PARTITION BY blk, v) - 1)::BIGINT
+                    AS r2
+                FROM cb),
+         sums AS (SELECT trt, k, count(DISTINCT blk)::BIGINT AS b,
+                    sum(r2)::BIGINT AS rj
+                  FROM rk GROUP BY 1, 2),
+         g AS (SELECT k, b, sum(rj * rj)::BIGINT AS ssr
+               FROM sums GROUP BY 1, 2),
+         z AS (SELECT b, k,
+                 floor((3.0 * ssr::DOUBLE /
+                   (b::DOUBLE * k::DOUBLE * (k::DOUBLE + 1)) -
+                   3.0 * b::DOUBLE * (k::DOUBLE + 1)) * 1e6 + 0.5)
+                   / 1e6 AS q_stat
+               FROM g)
+         SELECT b AS n_blocks, k AS k_treatments, q_stat,
+           (CASE WHEN q_stat > 5.991 THEN 1 ELSE 0 END)::BIGINT
+             AS reject_flag
+         FROM z""",
+    // grouped (2i−1) runs: 2sc+c² and 2c(n−s)−c²; logs on the 1e-9 grid
+    "anderson_darling" ->
+      """WITH byv AS (
+           SELECT l_quantity::BIGINT AS v, count(*)::BIGINT AS c
+           FROM lineitem WHERE l_quantity BETWEEN 1 AND 50
+           GROUP BY 1),
+         tot AS (SELECT sum(c)::BIGINT AS n FROM byv),
+         cum AS (SELECT v, c, n,
+                   coalesce(sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS s
+                 FROM byv, tot),
+         t AS (SELECT n,
+                 ((2 * s * c + c * c)::HUGEINT *
+                    floor(ln((v::DOUBLE - 0.5) / 50.0) * 1e9 + 0.5)
+                      ::BIGINT +
+                  (2 * c * (n - s) - c * c)::HUGEINT *
+                    floor(ln(1.0 - (v::DOUBLE - 0.5) / 50.0) * 1e9
+                      + 0.5)::BIGINT)::HUGEINT AS t9
+               FROM cum),
+         g AS (SELECT n, sum(t9)::HUGEINT AS s9 FROM t GROUP BY 1),
+         z AS (SELECT n,
+                 floor((-(n::DOUBLE) - s9::DOUBLE /
+                   (n::DOUBLE * 1e9)) * 1e6 + 0.5) / 1e6 AS a2
+               FROM g)
+         SELECT n AS n_rows, a2,
+           (CASE WHEN a2 > 2.492 THEN 1 ELSE 0 END)::BIGINT
+             AS reject_flag
+         FROM z""",
+    // ratio of totals + linearization se from exact cent moments
+    "delta_method_ratio" ->
+      """WITH pu AS (
+           SELECT (user_id % 2)::BIGINT AS arm, user_id,
+             sum(floor("value" * 100 + 0.5)::BIGINT)::BIGINT AS x,
+             count(*)::BIGINT AS y
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                 sum(y)::BIGINT AS sy,
+                 sum(x::HUGEINT * x)::HUGEINT AS sxx,
+                 sum(x::HUGEINT * y)::HUGEINT AS sxy,
+                 sum(y::HUGEINT * y)::HUGEINT AS syy
+               FROM pu GROUP BY 1),
+         a AS (SELECT arm, n,
+                 sx::DOUBLE / sy::DOUBLE AS r,
+                 (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) /
+                   (n::DOUBLE * n::DOUBLE) AS vx,
+                 (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                   (n::DOUBLE * n::DOUBLE) AS cxy,
+                 (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) /
+                   (n::DOUBLE * n::DOUBLE) AS vy,
+                 sy::DOUBLE / n::DOUBLE AS muy
+               FROM m),
+         b AS (SELECT arm, n, r / 100.0 AS ratio,
+                 sqrt(greatest(0.0,
+                   (vx - 2.0 * r * cxy + r * r * vy) /
+                   (n::DOUBLE * muy * muy))) / 100.0 AS se
+               FROM a),
+         p AS (SELECT
+                 sum(CASE WHEN arm = 0 THEN n END)::BIGINT AS n0,
+                 sum(CASE WHEN arm = 1 THEN n END)::BIGINT AS n1,
+                 max(CASE WHEN arm = 0 THEN ratio END) AS r0,
+                 max(CASE WHEN arm = 1 THEN ratio END) AS r1,
+                 max(CASE WHEN arm = 0 THEN se END) AS e0,
+                 max(CASE WHEN arm = 1 THEN se END) AS e1
+               FROM b)
+         SELECT n0, n1,
+           floor(r0 * 1e6 + 0.5) / 1e6 AS ratio_0,
+           floor(r1 * 1e6 + 0.5) / 1e6 AS ratio_1,
+           floor(e0 * 1e6 + 0.5) / 1e6 AS se_0,
+           floor(e1 * 1e6 + 0.5) / 1e6 AS se_1,
+           CASE WHEN e0 * e0 + e1 * e1 > 0
+             THEN floor((r1 - r0) / sqrt(e0 * e0 + e1 * e1) * 1e4
+               + 0.5) / 1e4
+             ELSE 0.0 END AS z_diff
+         FROM p""",
+    // Cramer's rule on exact HUGEINT determinants; χ²(1) flag at 3.84
+    "granger_causality" ->
+      """WITH d0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                    END)::BIGINT AS v,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END)::BIGINT AS p
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM d0),
+                               (SELECT max(day) FROM d0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(v, 0)::BIGINT AS v,
+                  coalesce(p, 0)::BIGINT AS p
+           FROM spine s LEFT JOIN d0 USING (day)),
+         rows0 AS (SELECT p AS yt,
+                     lag(p) OVER (ORDER BY day) AS yl,
+                     lag(v) OVER (ORDER BY day) AS xl
+                   FROM dense),
+         r AS (SELECT yt, yl, xl FROM rows0 WHERE yl IS NOT NULL),
+         g AS (SELECT count(*)::BIGINT AS n, sum(yt)::BIGINT AS st,
+                 sum(yl)::BIGINT AS sl, sum(xl)::BIGINT AS sx,
+                 sum(yt * yt)::BIGINT AS stt,
+                 sum(yt * yl)::BIGINT AS stl,
+                 sum(yt * xl)::BIGINT AS stx,
+                 sum(yl * yl)::BIGINT AS sll,
+                 sum(yl * xl)::BIGINT AS slx,
+                 sum(xl * xl)::BIGINT AS sxx
+               FROM r),
+         d AS (SELECT n, st, stl, stx, stt,
+                 (n::HUGEINT * (sll::HUGEINT * sxx - slx::HUGEINT * slx)
+                  - sl::HUGEINT * (sl::HUGEINT * sxx
+                    - slx::HUGEINT * sx)
+                  + sx::HUGEINT * (sl::HUGEINT * slx
+                    - sll::HUGEINT * sx))::HUGEINT AS det,
+                 (st::HUGEINT * (sll::HUGEINT * sxx - slx::HUGEINT * slx)
+                  - sl::HUGEINT * (stl::HUGEINT * sxx
+                    - slx::HUGEINT * stx)
+                  + sx::HUGEINT * (stl::HUGEINT * slx
+                    - sll::HUGEINT * stx))::HUGEINT AS deta,
+                 (n::HUGEINT * (stl::HUGEINT * sxx - stx::HUGEINT * slx)
+                  - st::HUGEINT * (sl::HUGEINT * sxx
+                    - slx::HUGEINT * sx)
+                  + sx::HUGEINT * (sl::HUGEINT * stx
+                    - stl::HUGEINT * sx))::HUGEINT AS detb,
+                 (n::HUGEINT * (sll::HUGEINT * stx - slx::HUGEINT * stl)
+                  - sl::HUGEINT * (sl::HUGEINT * stx
+                    - stl::HUGEINT * sx)
+                  + st::HUGEINT * (sl::HUGEINT * slx
+                    - sll::HUGEINT * sx))::HUGEINT AS detc,
+                 (n::HUGEINT * stt - st::HUGEINT * st)::HUGEINT AS ncyy,
+                 (n::HUGEINT * stl - st::HUGEINT * sl)::HUGEINT AS ncyl,
+                 (n::HUGEINT * sll - sl::HUGEINT * sl)::HUGEINT AS ncll
+               FROM g),
+         e AS (SELECT n, det, deta, detb, detc, ncll,
+                 (det * stt - (deta * st + detb * stl + detc * stx))
+                   ::HUGEINT AS sseun,
+                 ncyy, ncyl
+               FROM d),
+         f AS (SELECT n, det, detb, detc,
+                 (det != 0 AND ncll != 0 AND sseun != 0) AS ok,
+                 sseun::DOUBLE / det::DOUBLE AS sseu,
+                 (ncyy::DOUBLE - ncyl::DOUBLE * ncyl::DOUBLE /
+                   ncll::DOUBLE) / n::DOUBLE AS sser
+               FROM e),
+         z AS (SELECT n, det, detb, detc, ok,
+                 (sser - sseu) * (n::DOUBLE - 3) / sseu AS fstat
+               FROM f)
+         SELECT n AS n_obs,
+           CASE WHEN ok THEN floor(detb::DOUBLE / det::DOUBLE * 1e6
+             + 0.5) / 1e6 ELSE 0.0 END AS b_ylag,
+           CASE WHEN ok THEN floor(detc::DOUBLE / det::DOUBLE * 1e6
+             + 0.5) / 1e6 ELSE 0.0 END AS c_xlag,
+           CASE WHEN ok THEN floor(fstat * 1e4 + 0.5) / 1e4
+             ELSE 0.0 END AS f_stat,
+           (CASE WHEN ok AND floor(fstat * 1e4 + 0.5) / 1e4 > 3.84
+             THEN 1 ELSE 0 END)::BIGINT AS causal_flag
+         FROM z""",
+    "eigenvector_centrality" -> eigenvectorOracleSql(6, 20),
+    // exact integer gain numerators 2m·w_ij − k_i·k_j, argmax per src
+    "louvain_move_gains" ->
+      """WITH pw AS MATERIALIZED (
+           SELECT o_custkey AS c, l_suppkey + 1000000 AS sup,
+                  count(*)::BIGINT AS w
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2),
+         we AS MATERIALIZED (
+           SELECT c AS src, sup AS dst, w FROM pw
+           UNION ALL SELECT sup, c, w FROM pw),
+         deg AS (SELECT src, sum(w)::BIGINT AS kk FROM we GROUP BY 1),
+         tot AS (SELECT sum(w)::BIGINT AS m2 FROM we),
+         g AS (SELECT e.src, e.dst, m2,
+                 (m2::HUGEINT * e.w - d1.kk::HUGEINT * d2.kk)::HUGEINT
+                   AS num
+               FROM we e JOIN deg d1 ON d1.src = e.src
+                 JOIN deg d2 ON d2.src = e.dst, tot),
+         pick AS (SELECT src, dst, num, m2,
+                    row_number() OVER (PARTITION BY src
+                      ORDER BY num DESC, dst) AS rn
+                  FROM g),
+         best AS (SELECT src, dst, num, m2 FROM pick WHERE rn = 1),
+         summ AS (SELECT count(*)::BIGINT AS n_nodes,
+                    sum(CASE WHEN num > 0 THEN 1 ELSE 0 END)::BIGINT
+                      AS n_moved,
+                    sum(CASE WHEN num > 0 THEN num ELSE 0 END)::HUGEINT
+                      AS gs,
+                    max(m2)::BIGINT AS m2s
+                  FROM best)
+         SELECT n_nodes, n_moved,
+           floor(2.0 * gs::DOUBLE / (m2s::DOUBLE * m2s::DOUBLE) * 1e9
+             + 0.5) / 1e9 AS total_gain,
+           src, dst AS best_dst,
+           floor(2.0 * num::DOUBLE / (m2::DOUBLE * m2::DOUBLE) * 1e9
+             + 0.5) / 1e9 AS gain
+         FROM best, summ ORDER BY num DESC, src LIMIT 15""",
+    // integer 10⁹ div deg wedge weights — no float anywhere
+    "resource_allocation" -> s"""WITH $GraphCte,
+         dg AS (SELECT c, count(*)::BIGINT AS deg FROM pairs
+                GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+         wb AS (SELECT p.c, p.sup, (1000000000 // d.deg)::BIGINT AS w9
+                FROM pairs p JOIN dg d USING (c)),
+         sc AS (SELECT a.sup AS s1, b.sup AS s2,
+                  count(*)::BIGINT AS common, sum(a.w9)::BIGINT AS ra9
+                FROM wb a JOIN wb b ON a.c = b.c AND a.sup < b.sup
+                GROUP BY 1, 2)
+         SELECT s1, s2, common, ra9 FROM sc
+         ORDER BY ra9 DESC, s1, s2 LIMIT 50""",
+    // exact C_j/R_i integer moments; all-agree denominator gates to 0
+    "cochrans_q" ->
+      """WITH f AS (
+           SELECT (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)::BIGINT
+               AS d1,
+             (CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0
+               END)::BIGINT AS d2,
+             (CASE WHEN strpos(lower(text), ' the ') > 0 THEN 1 ELSE 0
+               END)::BIGINT AS d3
+           FROM documents),
+         g AS (SELECT count(*)::BIGINT AS n_docs,
+                 sum(d1)::BIGINT AS c1, sum(d2)::BIGINT AS c2,
+                 sum(d3)::BIGINT AS c3,
+                 sum(d1 + d2 + d3)::BIGINT AS nn,
+                 sum((d1 + d2 + d3) * (d1 + d2 + d3))::BIGINT AS rr
+               FROM f),
+         z AS (SELECT n_docs, c1, c2, c3,
+                 CASE WHEN 3 * nn - rr > 0
+                   THEN floor((2::HUGEINT * (3::HUGEINT *
+                     (c1::HUGEINT * c1 + c2::HUGEINT * c2 +
+                      c3::HUGEINT * c3) - nn::HUGEINT * nn))::DOUBLE /
+                     (3 * nn - rr)::DOUBLE * 1e6 + 0.5) / 1e6
+                   ELSE 0.0 END AS q_stat
+               FROM g)
+         SELECT n_docs, c1, c2, c3, q_stat,
+           (CASE WHEN q_stat > 5.991 THEN 1 ELSE 0 END)::BIGINT
+             AS reject_flag
+         FROM z""",
+    // per-season sign pairs + tie-corrected Var(S) on exact integers
+    "seasonal_mann_kendall" ->
+      """WITH cell AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  extract(hour FROM ts)::INT AS hr,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM cell),
+                               (SELECT max(day) FROM cell) + 1)) AS day),
+         hrs AS (SELECT unnest(range(0, 24))::INT AS hr),
+         grid AS (
+           SELECT s.day, h.hr, coalesce(c.y, 0)::BIGINT AS y
+           FROM spine s CROSS JOIN hrs h
+           LEFT JOIN cell c ON c.day = s.day AND c.hr = h.hr),
+         sp AS (SELECT sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT
+                  AS s
+                FROM grid a JOIN grid b
+                  ON a.hr = b.hr AND a.day < b.day),
+         nd AS (SELECT max(n)::BIGINT AS n FROM (
+                  SELECT hr, count(*)::BIGINT AS n FROM grid
+                  GROUP BY 1)),
+         ties AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                    ::BIGINT AS tsum
+                  FROM (SELECT hr, y, count(*)::BIGINT AS t FROM grid
+                        GROUP BY 1, 2) WHERE t > 1),
+         z AS (SELECT n, s,
+                 (24 * n * (n - 1) * (2 * n + 5) - tsum)::BIGINT
+                   AS var18,
+                 (CASE WHEN s > 0 THEN s - 1
+                       WHEN s < 0 THEN s + 1 ELSE 0 END)::BIGINT
+                   AS sadj
+               FROM sp, nd, ties),
+         zz AS (SELECT n, s,
+                  CASE WHEN var18 > 0
+                    THEN floor(sadj::DOUBLE /
+                      sqrt(var18::DOUBLE / 18.0) * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS z
+                FROM z)
+         SELECT n AS n_days, 24::BIGINT AS n_seasons, s, z,
+           (CASE WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END)::BIGINT
+             AS trend_flag
+         FROM zz""",
+    // n·ΣΔ² / (n·Σy² − S²), one exact division; constant series → 2.0
+    "durbin_watson" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         l AS (SELECT y, lag(y) OVER (ORDER BY day) AS yl FROM dense),
+         g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+                 sum(y * y)::BIGINT AS syy,
+                 sum(CASE WHEN yl IS NOT NULL
+                   THEN (y - yl) * (y - yl) END)::BIGINT AS sdd
+               FROM l),
+         z AS (SELECT n,
+                 CASE WHEN n * syy - sy * sy > 0
+                   THEN floor(n::DOUBLE * sdd::DOUBLE /
+                     (n * syy - sy * sy)::DOUBLE * 1e6 + 0.5) / 1e6
+                   ELSE 2.0 END AS dw
+               FROM g)
+         SELECT n AS n_obs, dw,
+           (CASE WHEN dw < 1.5 THEN 1 ELSE 0 END)::BIGINT
+             AS pos_autocorr_flag,
+           (CASE WHEN dw > 2.5 THEN 1 ELSE 0 END)::BIGINT
+             AS neg_autocorr_flag
+         FROM z""",
   )
 
   private def sqlList(words: Seq[String]): String =

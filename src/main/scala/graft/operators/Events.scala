@@ -5529,5 +5529,366 @@ object Events {
           .as("gap"))
       .orderBy("q_pct")
   }
+
+  /** KPSS level-stationarity test (W422, fixed Bartlett lag L=5) on
+    * the dense daily event-count series — the null-REVERSED
+    * complement of [[adfTest]]: ADF's null is "unit root", KPSS's
+    * null is "stationary", so running both brackets the series from
+    * both sides (agree = confident, disagree = inspect). Demeaned
+    * residuals cross-multiply to exact integers e'_t = n·y_t − Σy;
+    * the partial sums S'_t, their squares, and every Bartlett-
+    * weighted lag product γ'_j = Σ e'_t e'_{t−j} stay exact DECIMAL
+    * (weights 1 − j/(L+1) fold over the common denominator L+1), and
+    * η = (L+1)·ΣS'² / (n · lr') divides ONCE at the end. A constant
+    * series (lr' ≤ 0 exactly) surfaces η = 0. Scale: one day-keyed
+    * agg + an O(L)-lag window over the day spine — no iteration.
+    */
+  def kpssTest(s: SparkSession, dir: String, lag: Int = 5): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val st = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val w = Window.orderBy("day")
+    val e = dense.crossJoin(broadcast(st))
+      .select(col("day"), col("n"),
+        (col("y") * col("n") - col("sy")).as("e"))
+      .withColumn("sp", sum(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val prodCols = (0 to lag).map(j =>
+      (col("e").cast("decimal(38,0)") *
+        org.apache.spark.sql.functions.lag(col("e"), j).over(w))
+        .as(s"p$j"))
+    val prods = e.select(Seq(col("n"),
+      (col("sp").cast("decimal(38,0)") * col("sp")).as("sp2")) ++
+      prodCols: _*)
+    val aggs = prods.groupBy("n").agg(sum(col("sp2")).as("ssq"),
+      (0 to lag).map(j => sum(col(s"p$j")).as(s"g$j")): _*)
+    // lr' numerator over denominator L+1: (L+1)γ0 + Σ 2(L+1−j)γj
+    val lrn = (1 to lag).foldLeft(
+      col("g0") * lit(lag + 1): org.apache.spark.sql.Column)(
+      (acc, j) => acc + col(s"g$j") * lit(2 * (lag + 1 - j)))
+    val eta = when(lrn > 0,
+      q(col("ssq").cast("double") * lit((lag + 1).toDouble) /
+        (col("n").cast("double") * lrn.cast("double")), 6))
+      .otherwise(lit(0.0))
+    aggs.select(col("n").as("n_obs"), eta.as("eta"),
+      (eta > lit(0.463)).cast("long").as("nonstationary_flag"))
+  }
+
+  /** Engle–Granger two-step cointegration screen (W423) between the
+    * daily `view` and `click` count series: OLS click ~ view, then a
+    * Dickey–Fuller regression on the residuals — "do these two series
+    * share a common stochastic trend, or does their gap wander?",
+    * the pair test [[adfTest]] and [[kpssTest]] can't answer alone.
+    * The residual is never materialized as a double: R_t =
+    * bden·(n·y_t − Σy) − bnum·(n·x_t − Σx) = n·bden·u_t is an exact
+    * DECIMAL integer, and both DF ratios (γ and its t) are built from
+    * exact sums of R — the n·bden scale cancels in every ratio.
+    * Degenerate x (bden = 0 exactly) surfaces zeros. Scale: one
+    * day-keyed agg, one O(1)-lag window, one moment agg.
+    */
+  def engleGranger(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        (col("event_type") === "view").cast("long").as("isv"))
+      .groupBy("day")
+      .agg(sum(col("isv")).as("x"),
+        sum(lit(1L) - col("isv")).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist()
+    CacheScope.register(dense) // eager: the OLS agg + residual pass
+    val g = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val ols = g.select(col("n"), col("sx"), col("sy"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("bnum"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).as("bden"))
+    val w = Window.orderBy("day")
+    val res = dense.crossJoin(broadcast(ols))
+      .select(col("day"), col("n"), col("bnum"), col("bden"),
+        (col("bden").cast("decimal(38,0)") *
+          (col("y") * col("n") - col("sy")) -
+          col("bnum").cast("decimal(38,0)") *
+            (col("x") * col("n") - col("sx"))).as("r"))
+      .withColumn("rl", org.apache.spark.sql.functions.lag(col("r"), 1)
+        .over(w))
+      .filter(col("rl").isNotNull)
+      .select(col("n"), col("bnum"), col("bden"), col("rl"),
+        (col("r") - col("rl")).as("dr"))
+    val df = res.groupBy("n", "bnum", "bden")
+      .agg(count(lit(1)).as("m"),
+        sum(col("rl") * col("dr")).as("srd"),
+        sum(col("rl") * col("rl")).as("srr"),
+        sum(col("dr") * col("dr")).as("sdd"))
+    // safe denominators: ANSI div-by-zero fires even inside untaken
+    // CASE branches once subexpression elimination hoists the divide
+    val srrS = when(col("srr") === 0, lit(1)).otherwise(col("srr"))
+      .cast("double")
+    val bdenS = when(col("bden") === 0, lit(1)).otherwise(col("bden"))
+      .cast("double")
+    val gam = col("srd").cast("double") / srrS
+    val sse = col("sdd").cast("double") -
+      gam * col("srd").cast("double")
+    val t = gam / sqrt(sse / (col("m").cast("double") - 1) / srrS)
+    val okB = col("bden") =!= 0
+    val ok = okB && col("srr") =!= 0
+    df.select(col("n").as("n_days"),
+      when(okB, q(col("bnum").cast("double") / bdenS, 6))
+        .otherwise(lit(0.0)).as("beta"),
+      when(ok, q(gam, 6)).otherwise(lit(0.0)).as("rho_gamma"),
+      when(ok, q(t, 4)).otherwise(lit(0.0)).as("eg_t"),
+      when(ok && q(t, 4) < lit(-3.37), lit(1L)).otherwise(lit(0L))
+        .as("cointegrated_flag"))
+  }
+
+  /** Delta-method ratio-metric readout (W424) for the user-split A/B
+    * frame (arm = user_id % 2): revenue-per-event as a RATIO OF
+    * TOTALS Σx/Σy with its linearization standard error
+    * se² = (v_x − 2R·c_xy + R²·v_y) / (n·ȳ²) — the correct CI for
+    * ratio metrics, where naive per-user averaging is biased and
+    * per-event variance ignores user clustering. Per-user totals
+    * land on the exact cent grid; all five second moments are exact
+    * DECIMAL sums, the variance folds them in ONE fixed double
+    * expression, and the two-arm z divides once. Scale: one
+    * user-keyed partial agg + one arm-keyed moment agg.
+    */
+  def deltaMethodRatio(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .select((col("user_id") % 2).cast("long").as("arm"),
+        col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy("arm", "user_id")
+      .agg(sum(col("cents")).as("x"), count(lit(1)).as("y"))
+    val m = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val r = col("sx").cast("double") / col("sy").cast("double")
+    val vx = (nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) / (nD * nD)
+    val cxy = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / (nD * nD)
+    val vy = (nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")) / (nD * nD)
+    val muY = col("sy").cast("double") / nD
+    val se = sqrt(greatest(lit(0.0),
+      (vx - lit(2.0) * r * cxy + r * r * vy) / (nD * muY * muY)))
+    val arms = m.select(col("arm"), col("n"),
+      (r / lit(100.0)).as("ratio"), (se / lit(100.0)).as("se"))
+    arms.agg(
+      sum(when(col("arm") === 0, col("n"))).as("n0"),
+      sum(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 0, col("ratio"))).as("r0"),
+      max(when(col("arm") === 1, col("ratio"))).as("r1"),
+      max(when(col("arm") === 0, col("se"))).as("e0"),
+      max(when(col("arm") === 1, col("se"))).as("e1"))
+      .select(col("n0"), col("n1"), q(col("r0"), 6).as("ratio_0"),
+        q(col("r1"), 6).as("ratio_1"),
+        q(col("e0"), 6).as("se_0"), q(col("e1"), 6).as("se_1"), {
+          // zero pooled se (identical users per arm): z := 0, and the
+          // divide runs on a safe denominator (ANSI + subexpr hoist)
+          val den2 = col("e0") * col("e0") + col("e1") * col("e1")
+          when(den2 > 0, q((col("r1") - col("r0")) /
+            sqrt(when(den2 > 0, den2).otherwise(lit(1.0))), 4))
+            .otherwise(lit(0.0)).as("z_diff")
+        })
+  }
+
+  /** Lag-1 Granger-causality screen (W425): does yesterday's `view`
+    * count improve today's `purchase` forecast beyond yesterday's
+    * purchases alone? Unrestricted OLS p_t ~ 1 + p_{t−1} + v_{t−1}
+    * is solved by CRAMER'S RULE on the 3×3 normal equations — every
+    * determinant is exact DECIMAL arithmetic over exact integer
+    * cross-moments, so β̂, the restricted/unrestricted SSEs, and the
+    * F-ratio all come from ONE fixed double expression per value
+    * (the [[adfTest]] recipe, one rank higher). The flag compares
+    * F against 3.84, the asymptotic χ²(1) 5% point for a single
+    * restriction. Scale: one day-keyed agg + one O(1)-lag window +
+    * one 9-moment agg — no iteration, no matrix library.
+    */
+  def grangerCausality(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        (col("event_type") === "view").cast("long").as("isv"))
+      .groupBy("day")
+      .agg(sum(col("isv")).as("v"), sum(lit(1L) - col("isv")).as("p"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("v"), lit(0L)).as("v"),
+        coalesce(col("p"), lit(0L)).as("p"))
+    val w = Window.orderBy("day")
+    val rows = dense
+      .withColumn("pl", org.apache.spark.sql.functions.lag(col("p"), 1)
+        .over(w))
+      .withColumn("vl", org.apache.spark.sql.functions.lag(col("v"), 1)
+        .over(w))
+      .filter(col("pl").isNotNull)
+      .select(col("p").as("yt"), col("pl").as("yl"), col("vl").as("xl"))
+    val g = rows.agg(count(lit(1)).as("n"),
+      sum(col("yt")).as("st"), sum(col("yl")).as("sl"),
+      sum(col("xl")).as("sx"),
+      sum(col("yt") * col("yt")).as("stt"),
+      sum(col("yt") * col("yl")).as("stl"),
+      sum(col("yt") * col("xl")).as("stx"),
+      sum(col("yl") * col("yl")).as("sll"),
+      sum(col("yl") * col("xl")).as("slx"),
+      sum(col("xl") * col("xl")).as("sxx"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // 3x3 determinants over M = [[n,sl,sx],[sl,sll,slx],[sx,slx,sxx]]
+    val det = d38(col("n")) * (d38(col("sll")) * col("sxx") -
+        d38(col("slx")) * col("slx")) -
+      d38(col("sl")) * (d38(col("sl")) * col("sxx") -
+        d38(col("slx")) * col("sx")) +
+      d38(col("sx")) * (d38(col("sl")) * col("slx") -
+        d38(col("sll")) * col("sx"))
+    val detA = d38(col("st")) * (d38(col("sll")) * col("sxx") -
+        d38(col("slx")) * col("slx")) -
+      d38(col("sl")) * (d38(col("stl")) * col("sxx") -
+        d38(col("slx")) * col("stx")) +
+      d38(col("sx")) * (d38(col("stl")) * col("slx") -
+        d38(col("sll")) * col("stx"))
+    val detB = d38(col("n")) * (d38(col("stl")) * col("sxx") -
+        d38(col("stx")) * col("slx")) -
+      d38(col("st")) * (d38(col("sl")) * col("sxx") -
+        d38(col("slx")) * col("sx")) +
+      d38(col("sx")) * (d38(col("sl")) * col("stx") -
+        d38(col("stl")) * col("sx"))
+    val detC = d38(col("n")) * (d38(col("sll")) * col("stx") -
+        d38(col("slx")) * col("stl")) -
+      d38(col("sl")) * (d38(col("sl")) * col("stx") -
+        d38(col("stl")) * col("sx")) +
+      d38(col("st")) * (d38(col("sl")) * col("slx") -
+        d38(col("sll")) * col("sx"))
+    val nD = col("n").cast("double")
+    // SSE_u·det is exact: det·Σy² − (detA·Σy + detB·Σy·yl + detC·Σy·xl)
+    val sseuNum = det * col("stt") -
+      (detA * col("st") + detB * col("stl") + detC * col("stx"))
+    // safe denominators: ANSI div-by-zero fires even inside untaken
+    // CASE branches once subexpression elimination hoists the divide
+    val detS = when(det === 0, lit(1)).otherwise(det).cast("double")
+    val sseu = sseuNum.cast("double") / detS
+    // restricted y_t ~ 1 + y_{t−1}: centered sums stay exact via ×n
+    val ncyy = d38(col("n")) * col("stt") - d38(col("st")) * col("st")
+    val ncyl = d38(col("n")) * col("stl") - d38(col("st")) * col("sl")
+    val ncll = d38(col("n")) * col("sll") - d38(col("sl")) * col("sl")
+    val ncllS = when(ncll === 0, lit(1)).otherwise(ncll).cast("double")
+    val sser = (ncyy.cast("double") -
+      ncyl.cast("double") * ncyl.cast("double") / ncllS) / nD
+    val sseuS = when(sseuNum === 0, lit(1.0)).otherwise(sseu)
+    val f = (sser - sseu) * (nD - 3) / sseuS
+    val ok = det =!= 0 && ncll =!= 0 && sseuNum =!= 0
+    g.select(col("n").as("n_obs"),
+      when(ok, q(detB.cast("double") / detS, 6))
+        .otherwise(lit(0.0)).as("b_ylag"),
+      when(ok, q(detC.cast("double") / detS, 6))
+        .otherwise(lit(0.0)).as("c_xlag"),
+      when(ok, q(f, 4)).otherwise(lit(0.0)).as("f_stat"),
+      when(ok && q(f, 4) > lit(3.84), lit(1L)).otherwise(lit(0L))
+        .as("causal_flag"))
+  }
+
+  /** Seasonal Mann–Kendall trend test (W431, Hirsch–Slack): the MK
+    * sign statistic computed WITHIN each hour-of-day season over the
+    * dense day×hour count grid, then S and Var(S) summed across the
+    * 24 seasons — the trend test that survives strong diurnal cycles,
+    * where plain [[mannKendall]] on raw hourly data would read the
+    * cycle itself as trend. Per-season tie correction
+    * Σt(t−1)(2t+5) on exact integer counts, continuity-corrected z
+    * from the exact-int chain, all-tied seasons contribute 0/0
+    * exactly. Scale: one (day,hour)-keyed agg; the pair join is
+    * seasons × span² — day-bounded, never corpus-bounded.
+    */
+  def seasonalMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        hour(col("ts")).as("hr"))
+      .groupBy("day", "hr").agg(count(lit(1)).as("y"))
+    val bounds = cell.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(s.range(0, 24).select(col("id").cast("int").as("hr")))
+      .join(cell, Seq("day", "hr"), "left")
+      .select(col("day"), col("hr"), coalesce(col("y"), lit(0L)).as("y"))
+      .persist()
+    CacheScope.register(grid) // eager: pair join (both sides) + ties
+    val sPairs = grid.select(col("hr"), col("day").as("d1"),
+        col("y").as("y1"))
+      .join(grid.select(col("hr"), col("day").as("d2"),
+        col("y").as("y2")), Seq("hr"))
+      .filter(col("d1") < col("d2"))
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s"))
+    val nDays = grid.groupBy("hr").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("n")) // identical across seasons (dense)
+    val ties = grid.groupBy("hr", "y").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) *
+        (lit(2L) * col("t") + 5)), lit(0L)).as("tsum"))
+    val var18 = (lit(24L) * col("n") * (col("n") - 1) *
+      (lit(2L) * col("n") + 5) - col("tsum"))
+    val sAdj = when(col("s") > 0, col("s") - 1)
+      .when(col("s") < 0, col("s") + 1).otherwise(lit(0L))
+    val z = when(var18 > 0, q(sAdj.cast("double") /
+      sqrt(var18.cast("double") / lit(18.0)), 6)).otherwise(lit(0.0))
+    sPairs.crossJoin(broadcast(nDays)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), lit(24L).as("n_seasons"),
+        col("s"), z.as("z"),
+        (abs(z) > lit(1.959964)).cast("long").as("trend_flag"))
+  }
+
+  /** Durbin–Watson first-order autocorrelation screen (W432) on the
+    * dense daily count series: DW = ΣΔ²/Σ(y−ȳ)², cross-multiplied to
+    * the single exact division n·ΣΔ² / (n·Σy² − S²) — the one-number
+    * residual-independence check (DW ≈ 2(1−ρ̂₁)) run before trusting
+    * any OLS-on-time readout ([[olsTrend]], [[adfTest]]'s regression).
+    * A constant series (denominator 0 exactly) surfaces the no-
+    * evidence value 2.0. The <1.5 / >2.5 heuristic bands are
+    * surfaced as flags (exact n-dependent critical values need t
+    * tables; the bands are the standard screen). Scale: one day-keyed
+    * agg + one O(1)-lag window.
+    */
+  def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy("day")
+    val withLag = dense
+      .withColumn("yl", org.apache.spark.sql.functions.lag(col("y"), 1)
+        .over(w))
+    val g = withLag.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("yl").isNotNull,
+        (col("y") - col("yl")) * (col("y") - col("yl")))).as("sdd"))
+    val den = col("n") * col("syy") - col("sy") * col("sy")
+    val dw = when(den > 0, q(col("n").cast("double") *
+      col("sdd").cast("double") / den.cast("double"), 6))
+      .otherwise(lit(2.0))
+    g.select(col("n").as("n_obs"), dw.as("dw"),
+      (dw < lit(1.5)).cast("long").as("pos_autocorr_flag"),
+      (dw > lit(2.5)).cast("long").as("neg_autocorr_flag"))
+  }
 }
 

@@ -2092,4 +2092,137 @@ object Graph {
         (col("m").cast("double") * col("m").cast("double") -
           col("p").cast("double")), 6).as("assortativity"))
   }
+
+  /** Truncated-power-iteration eigenvector centrality (W428): the
+    * walk-count vector after `rounds` unnormalized multiplications by
+    * the adjacency matrix, L1-normalized ONCE at the end — the
+    * prestige score where a node is central because its NEIGHBORS are
+    * central, with none of [[katzCentrality]]'s length discounting
+    * and none of PageRank's stochastic rescaling. Skipping per-round
+    * normalization is what keeps the loop exact: w_t stays an exact
+    * DECIMAL(38,0) integer (the scale factor is irrelevant to the
+    * limiting direction), so the ONLY float in the operator is the
+    * final w/Σw division on the 1e-9 grid. Same fixpoint posture as
+    * the PageRank family: edges cached once on pinned partitions,
+    * per-round shuffle carries (id, count) rows, `localCheckpoint`
+    * cuts lineage.
+    */
+  def eigenvectorCentrality(s: SparkSession, dir: String,
+                            rounds: Int = 6, k: Int = 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 12, "walk-count truncation depth")
+    val e = CacheScope.track(customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist())
+    val p = loopParallelism(s, e.count())
+    withLoopConf(s, p) {
+      val nodes = CacheScope.track(
+        e.select(col("src").as("id")).distinct().persist())
+      var w = nodes.select(col("id"),
+        lit(1).cast("decimal(38,0)").as("w"))
+      for (_ <- 1 to rounds) {
+        val recv = e.join(
+            w.select(col("id").as("jid"), col("w").as("pw")),
+            e("src") === col("jid"))
+          .groupBy(col("dst").as("id2")).agg(sum(col("pw")).as("nw"))
+        w = nodes.join(recv, nodes("id") === col("id2"), "left")
+          .select(nodes("id"),
+            coalesce(col("nw"), lit(0).cast("decimal(38,0)")).as("w"))
+          .localCheckpoint()
+      }
+      val tot = w.agg(sum(col("w")).as("sw"))
+      w.crossJoin(broadcast(tot))
+        .select(col("id"),
+          Events.q(col("w").cast("double") / col("sw").cast("double"),
+            9).as("ec"))
+        .orderBy(col("ec").desc, col("id"))
+        .limit(k)
+    }
+  }
+
+  /** First-phase Louvain move proposals (W429) on the weighted
+    * customer⇄supplier graph from singleton communities: every node
+    * simultaneously evaluates moving next to each neighbor and keeps
+    * the best — ΔQ(i→{j}) = w_ij/m − k_i·k_j/(2m²), whose numerator
+    * cross-multiplies to the EXACT integer 2m·w_ij − k_i·k_j (weights
+    * and weighted degrees are link-multiplicity counts), so the
+    * argmax per node compares integers and ties break on the smaller
+    * target id. Surfaces how much modularity one synchronous sweep
+    * would claim and the top moves; full Louvain iterates this sweep
+    * + graph contraction (the sweep is the distributed-cost part —
+    * contraction is a keyed groupBy). Scale: one weighted-edge agg,
+    * one degree agg, one edge-keyed join + per-src argmax window.
+    */
+  def louvainMoveGains(s: SparkSession, dir: String,
+                       k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ew = CacheScope.track(
+      customerSupplierEdges(s, dir, distinctPairs = false)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .persist()) // eager: degrees + totals + the gain join read it
+    val deg = ew.groupBy("src").agg(sum(col("w")).as("kk"))
+    val tot = ew.agg(sum(col("w")).as("m2")) // = 2m
+    val gains = ew
+      .join(deg.select(col("src").as("si"), col("kk").as("ki")),
+        col("src") === col("si"))
+      .join(deg.select(col("src").as("sj"), col("kk").as("kj")),
+        col("dst") === col("sj"))
+      .crossJoin(broadcast(tot))
+      .select(col("src"), col("dst"), col("m2"),
+        (col("m2").cast("decimal(38,0)") * col("w") -
+          col("ki").cast("decimal(38,0)") * col("kj")).as("num"))
+    val best = gains
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src")
+          .orderBy(col("num").desc, col("dst"))))
+      .filter(col("rn") === 1)
+      .select(col("src"), col("dst"), col("num"), col("m2"))
+      .persist()
+    CacheScope.register(best) // eager: summary + top-k read it
+    val summ = best.agg(count(lit(1)).as("n_nodes"),
+      sum((col("num") > 0).cast("long")).as("n_moved"),
+      sum(when(col("num") > 0, col("num"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("gs"),
+      max(col("m2")).as("m2s"))
+    val m2D = col("m2").cast("double")
+    best.orderBy(col("num").desc, col("src")).limit(k)
+      .crossJoin(broadcast(summ))
+      .select(col("n_nodes"), col("n_moved"),
+        Events.q(lit(2.0) * col("gs").cast("double") /
+          (col("m2s").cast("double") * col("m2s").cast("double")), 9)
+          .as("total_gain"),
+        col("src"), col("dst").as("best_dst"),
+        Events.q(lit(2.0) * col("num").cast("double") / (m2D * m2D), 9)
+          .as("gain"))
+  }
+
+  /** Resource-allocation link prediction (W430): for supplier pairs,
+    * RA(s1,s2) = Σ_{z ∈ Γ(s1)∩Γ(s2)} 1/deg(z) — [[adamicAdar]]'s
+    * sibling with the harsher 1/deg weight (a shared hub customer is
+    * worth almost nothing; a shared exclusive customer is worth
+    * everything). The wedge weight is the INTEGER 10⁹ div deg — pure
+    * integral division on both engines, so scores are exact LONG
+    * sums with no float anywhere (Adamic–Adar's 1/ln(deg) can't do
+    * this; that's why this variant gets the hash-exact contract).
+    * Same scale posture as adamicAdar: the degree band [2, degCap]
+    * bounds wedge fan-out, candidate volume is Σ deg² over capped
+    * degrees.
+    */
+  def resourceAllocation(s: SparkSession, dir: String, k: Int = 50,
+                         degCap: Int = 64): DataFrame = {
+    val adj = customerSupplierEdges(s, dir)
+      .filter(col("src") < lit(1000000L))
+      .select(col("src").as("c"), col("dst").as("sup"))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+      .filter(col("deg").between(2, degCap))
+    val wb = adj.join(deg, "c")
+      .select(col("c"), col("sup"),
+        expr("CAST(1000000000 DIV deg AS BIGINT)").as("w9"))
+      .persist()
+    graft.CacheScope.register(wb) // eager: both wedge sides read it
+    wb.join(wb.select(col("c"), col("sup").as("s2")), "c")
+      .filter(col("sup") < col("s2"))
+      .groupBy(col("sup").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("common"), sum(col("w9")).as("ra9"))
+      .orderBy(col("ra9").desc, col("s1"), col("s2"))
+      .limit(k)
+  }
 }

@@ -2979,5 +2979,95 @@ object Relational {
           (lit(2.0) * col("n").cast("double") *
             col("sx").cast("double")), 6).as("hoover"))
   }
+
+  /** Friedman rank test (W426): do the three return-flag classes
+    * keep the SAME revenue ordering month after month, or does the
+    * ranking shuffle? Blocks = ship months, treatments =
+    * `l_returnflag`, ranked WITHIN each complete block — the
+    * nonparametric repeated-measures ANOVA that [[Events.anovaOneway]]
+    * can't be (months are paired, not independent samples). Ranks
+    * use midrank ties on the exact cent totals and are carried in
+    * HALF-UNITS (2·rank + ties − 1), so every rank sum is an exact
+    * integer and Q = 3·ΣR'²/(b·k·(k+1)) − 3·b·(k+1) divides once.
+    * Flag vs χ²₂ = 5.991 (k = 3). Scale: one (month, flag)-keyed
+    * partial agg; the rank window partitions by month — b·k rows.
+    */
+  def friedmanTest(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .as("blk"), col("l_returnflag").as("trt"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy("blk", "trt").agg(sum(col("cents")).as("v"))
+      .persist()
+    CacheScope.register(cells) // eager: k-count + complete-block filter
+    val k = cells.agg(countDistinct(col("trt")).as("k"))
+    val complete = cells
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("blk")))
+      .crossJoin(broadcast(k)).filter(col("nb") === col("k"))
+    val ranked = complete
+      .withColumn("rk", rank().over(
+        Window.partitionBy("blk").orderBy("v")))
+      .withColumn("te", count(lit(1)).over(
+        Window.partitionBy("blk", "v")))
+      .select(col("blk"), col("trt"), col("k"),
+        (col("rk") * 2 + col("te") - 1).cast("long").as("r2"))
+    val sums = ranked.groupBy("trt", "k")
+      .agg(countDistinct(col("blk")).as("b"), sum(col("r2")).as("rj"))
+    val g = sums.groupBy("k", "b")
+      .agg(sum(col("rj") * col("rj")).as("ssr"))
+    val bD = col("b").cast("double")
+    val kD = col("k").cast("double")
+    val qStat = lit(3.0) * col("ssr").cast("double") /
+      (bD * kD * (kD + 1)) - lit(3.0) * bD * (kD + 1)
+    g.select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+      Events.q(qStat, 6).as("q_stat"),
+      (Events.q(qStat, 6) > lit(5.991)).cast("long").as("reject_flag"))
+  }
+
+  /** Anderson–Darling uniformity test (W427) of `l_quantity` against
+    * its design distribution Uniform{1..50} (PIT u = (v−½)/50) — the
+    * tail-weighted upgrade of [[ksStatistic]]: AD weights deviations
+    * by 1/(F(1−F)), so corrupted extremes move it long before the KS
+    * sup-norm notices. The classic sorted-sample sum
+    * Σ(2i−1)(ln u_(i) + ln(1−u_(n+1−i))) NEVER materializes a global
+    * sort: grouping by the 50 distinct values turns each group's
+    * (2i−1) run into the closed forms 2sc+c² and 2c(n−s)−c² (s =
+    * rows before the group), so the statistic is a 50-row window
+    * over exact counts, with the two logs on the 1e-9 grid. Flag vs
+    * 2.492, the 5% point for a fully-specified null. Scale: one
+    * value-keyed count agg; everything after is O(distinct values).
+    */
+  def andersonDarling(s: SparkSession, dir: String): DataFrame = {
+    val byV = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("v"))
+      .filter(col("v").between(1L, 50L))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("v")
+    val tot = byV.agg(sum(col("c")).as("n"))
+    val cum = byV
+      .withColumn("s", coalesce(sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val u = (col("v").cast("double") - lit(0.5)) / lit(50.0)
+    val lnu9 = floor(log(u) * lit(1e9) + lit(0.5)).cast("long")
+    val ln1u9 = floor(log(lit(1.0) - u) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val coefA = lit(2L) * col("s") * col("c") + col("c") * col("c")
+    val coefB = lit(2L) * col("c") * (col("n") - col("s")) -
+      col("c") * col("c")
+    val terms = cum.select(col("n"),
+      (coefA.cast("decimal(38,0)") * lnu9 +
+        coefB.cast("decimal(38,0)") * ln1u9).as("t9"))
+    terms.groupBy("n").agg(sum(col("t9")).as("s9"))
+      .select(col("n").as("n_rows"),
+        Events.q(-col("n").cast("double") -
+          col("s9").cast("double") /
+            (col("n").cast("double") * lit(1e9)), 6).as("a2"),
+        (Events.q(-col("n").cast("double") -
+          col("s9").cast("double") /
+            (col("n").cast("double") * lit(1e9)), 6) > lit(2.492))
+          .cast("long").as("reject_flag"))
+  }
 }
 

@@ -1705,5 +1705,43 @@ object TextStats {
       Events.q(col("h9").cast("double") / lit(1e9) /
         log(col("k").cast("double")), 6).as("evenness"))
   }
+
+  /** Cochran's Q test (W433) across three binary quality detectors on
+    * the SAME documents — long-doc (n_chars ≥ 200), has-digit, and
+    * has-' the ' — the k-detector generalization of [[mcnemarTest]]:
+    * do the detectors fire at the same rate, or does at least one
+    * flag a systematically different slice? Q = (k−1)(k·ΣC_j² − N²) /
+    * (k·N − ΣR_i²) runs ENTIRELY on exact integers (column totals C_j,
+    * per-doc row totals R_i) with one final division; the degenerate
+    * all-agree case (every R_i ∈ {0,k}, denominator 0 exactly)
+    * surfaces Q = 0. Flag vs χ²₂ = 5.991. Scale: one single-scan
+    * projection + one moment agg — detector columns are cheap
+    * codegen'd predicates on the existing scan.
+    */
+  def cochransQ(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val flags = Tables.documents(s, dir)
+      .select((col("n_chars") >= 200).cast("long").as("d1"),
+        col("text").rlike("[0-9]").cast("long").as("d2"),
+        lower(col("text")).contains(" the ").cast("long").as("d3"))
+      .select(col("d1"), col("d2"), col("d3"),
+        (col("d1") + col("d2") + col("d3")).as("r"))
+    val g = flags.agg(count(lit(1)).as("n_docs"),
+      sum(col("d1")).as("c1"), sum(col("d2")).as("c2"),
+      sum(col("d3")).as("c3"), sum(col("r")).as("nn"),
+      sum(col("r") * col("r")).as("rr"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val num = lit((k - 1).toLong) *
+      (lit(k.toLong) * (d38(col("c1")) * col("c1") +
+        d38(col("c2")) * col("c2") + d38(col("c3")) * col("c3")) -
+        d38(col("nn")) * col("nn"))
+    val den = lit(k.toLong) * col("nn") - col("rr")
+    val qStat = when(den > 0,
+      Events.q(num.cast("double") / den.cast("double"), 6))
+      .otherwise(lit(0.0))
+    g.select(col("n_docs"), col("c1"), col("c2"), col("c3"),
+      qStat.as("q_stat"),
+      (qStat > lit(5.991)).cast("long").as("reject_flag"))
+  }
 }
 
