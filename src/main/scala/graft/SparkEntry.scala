@@ -624,6 +624,17 @@ object SparkEntry {
     "seasonal_mann_kendall" ->
       ((s, d) => Events.seasonalMannKendall(s, d)),
     "durbin_watson" -> ((s, d) => Events.durbinWatson(s, d)),
+    // round-5 batch AB: structural break, paired ranks, signed
+    // sketch, detector capture-recapture, network autocorrelation,
+    // ordered-alternative trend
+    "chow_test" -> ((s, d) => Events.chowTest(s, d)),
+    "wilcoxon_signed_rank" ->
+      ((s, d) => Events.wilcoxonSignedRank(s, d)),
+    "countsketch_audit" -> ((s, d) => TextStats.countSketchAudit(s, d)),
+    "dedup_capture_recapture" ->
+      ((s, d) => Dedup.captureRecapture(s, d)),
+    "moran_i" -> ((s, d) => Graph.moranI(s, d)),
+    "page_trend" -> ((s, d) => Relational.pageTrend(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -11399,6 +11410,271 @@ object SparkEntry {
              AS pos_autocorr_flag,
            (CASE WHEN dw > 2.5 THEN 1 ELSE 0 END)::BIGINT
              AS neg_autocorr_flag
+         FROM z""",
+    // per-segment closed-form SSEs from exact moments; pooled row =
+    // sum of the two segment rows (raw moments are additive)
+    "chow_test" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense0 AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         bb AS (SELECT min(day)::BIGINT AS d0, max(day)::BIGINT AS d1
+                FROM dense0),
+         seg AS (SELECT
+                   CASE WHEN (day - d0) <
+                     floor((d1 - d0 + 1) / 2.0)::BIGINT
+                     THEN 0 ELSE 1 END AS seg,
+                   (day - d0)::BIGINT AS t, y
+                 FROM dense0, bb),
+         sg AS (SELECT seg, count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+                  sum(y)::BIGINT AS sy, sum(t * t)::BIGINT AS stt,
+                  sum(t * y)::BIGINT AS sty, sum(y * y)::BIGINT AS syy
+                FROM seg GROUP BY 1),
+         ps AS (SELECT seg, n, st, sy, stt, sty, syy,
+                  (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                    AS syyc,
+                  (n::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE)
+                    AS sxyc,
+                  (n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE)
+                    AS sxxc
+                FROM sg),
+         pe AS (SELECT seg, n, st, sy, stt, sty, syy,
+                  (syyc - sxyc * sxyc /
+                    (CASE WHEN sxxc = 0.0 THEN 1.0 ELSE sxxc END)) /
+                    n::DOUBLE AS ssei
+                FROM ps),
+         g AS (SELECT sum(n)::BIGINT AS n, sum(ssei) AS sse12,
+                 sum(st)::BIGINT AS st, sum(sy)::BIGINT AS sy,
+                 sum(stt)::BIGINT AS stt, sum(sty)::BIGINT AS sty,
+                 sum(syy)::BIGINT AS syy, min(n)::BIGINT AS nmin
+               FROM pe),
+         gp AS (SELECT n, sse12, nmin,
+                  (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                    AS syyc,
+                  (n::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE)
+                    AS sxyc,
+                  (n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE)
+                    AS sxxc
+                FROM g),
+         gf AS (SELECT n, sse12, nmin,
+                  (syyc - sxyc * sxyc /
+                    (CASE WHEN sxxc = 0.0 THEN 1.0 ELSE sxxc END)) /
+                    n::DOUBLE AS ssep
+                FROM gp),
+         z AS (SELECT n, nmin, sse12,
+                 (ssep - sse12) / 2.0 /
+                   ((CASE WHEN sse12 <= 0.0 THEN 1.0 ELSE sse12 END) /
+                    (n::DOUBLE - 4)) AS f
+               FROM gf)
+         SELECT n AS n_obs,
+           CASE WHEN nmin >= 3 AND sse12 > 0.0
+             THEN floor(f * 1e4 + 0.5) / 1e4 ELSE 0.0 END AS f_stat,
+           (CASE WHEN nmin >= 3 AND sse12 > 0.0
+               AND floor(f * 1e4 + 0.5) / 1e4 > 3.0
+             THEN 1 ELSE 0 END)::BIGINT AS break_flag
+         FROM z""",
+    // half-unit midranks on |d|; z = 2(W⁺₂ − n(n+1)/2)/√Σr₂²
+    "wilcoxon_signed_rank" ->
+      """WITH daily AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                    END)::BIGINT AS x,
+                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END)::BIGINT AS y
+           FROM events WHERE event_type IN ('view', 'click')
+           GROUP BY 1),
+         d AS (SELECT (x - y)::BIGINT AS d FROM daily WHERE x - y != 0),
+         rk AS (SELECT d,
+                  (2 * rank() OVER (ORDER BY abs(d)) +
+                   count(*) OVER (PARTITION BY abs(d)) - 1)::BIGINT
+                    AS r2
+                FROM d),
+         g AS (SELECT count(*)::BIGINT AS n,
+                 sum(CASE WHEN d > 0 THEN r2 ELSE 0 END)::BIGINT
+                   AS wp2,
+                 sum(r2 * r2)::BIGINT AS s22
+               FROM rk),
+         z AS (SELECT n, wp2,
+                 CASE WHEN s22 > 0
+                   THEN floor(2.0 * (wp2::DOUBLE -
+                     n::DOUBLE * (n::DOUBLE + 1) / 2) /
+                     sqrt((CASE WHEN s22 = 0 THEN 1 ELSE s22
+                       END)::DOUBLE) * 1e6 + 0.5) / 1e6
+                   ELSE 0.0 END AS z
+               FROM g)
+         SELECT n AS n_pairs, wp2, z,
+           (CASE WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END)::BIGINT
+             AS shift_flag
+         FROM z""",
+    // signed cells: sum(sign·count); estimate = exact integer median
+    "countsketch_audit" -> s"""$TokCte,
+         cnt AS (SELECT t, count(*)::BIGINT AS exact
+                 FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+         hx AS (SELECT t, exact,
+                  (list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''),
+                       c -> ord(c)::BIGINT)),
+                     (h, c) -> (h * 31 + c) % 1099511627776)) % 1048576
+                    AS hv
+                FROM cnt),
+         cl AS (SELECT e.row AS row, e.cellv AS cellv,
+                  sum(e.sgn * c)::BIGINT AS cellsum
+                FROM (SELECT unnest([
+                    {'row': 0, 'cellv': ((hv * 37 + 17) % 1048573) % 256,
+                     'sgn': CASE WHEN ((hv * 131 + 19) % 1048573) % 2 = 1
+                       THEN 1 ELSE -1 END},
+                    {'row': 1, 'cellv': ((hv * 8191 + 257) % 1048573) % 256,
+                     'sgn': CASE WHEN ((hv * 8209 + 263) % 1048573) % 2 = 1
+                       THEN 1 ELSE -1 END},
+                    {'row': 2, 'cellv': ((hv * 524287 + 65537) % 1048573)
+                       % 256,
+                     'sgn': CASE WHEN ((hv * 524309 + 65539) % 1048573) % 2
+                       = 1 THEN 1 ELSE -1 END}]) AS e,
+                    exact AS c
+                  FROM hx)
+                GROUP BY 1, 2),
+         top AS (SELECT t, exact, hv FROM hx
+                 ORDER BY exact DESC, t LIMIT 20),
+         pr AS (SELECT t, exact, e.row AS row, e.cellv AS cellv,
+                  e.sgn AS sgn
+                FROM (SELECT t, exact, unnest([
+                    {'row': 0, 'cellv': ((hv * 37 + 17) % 1048573) % 256,
+                     'sgn': CASE WHEN ((hv * 131 + 19) % 1048573) % 2 = 1
+                       THEN 1 ELSE -1 END},
+                    {'row': 1, 'cellv': ((hv * 8191 + 257) % 1048573) % 256,
+                     'sgn': CASE WHEN ((hv * 8209 + 263) % 1048573) % 2 = 1
+                       THEN 1 ELSE -1 END},
+                    {'row': 2, 'cellv': ((hv * 524287 + 65537) % 1048573)
+                       % 256,
+                     'sgn': CASE WHEN ((hv * 524309 + 65539) % 1048573) % 2
+                       = 1 THEN 1 ELSE -1 END}]) AS e
+                  FROM top))
+         SELECT t AS term, exact,
+           list_sort(list(sgn * cellsum))[2]::BIGINT AS est,
+           (list_sort(list(sgn * cellsum))[2] - exact)::BIGINT AS error
+         FROM pr JOIN cl USING (row, cellv)
+         GROUP BY t, exact ORDER BY exact DESC, term""",
+    // Chapman: N̂ = (n1+1)(n2+1)/(m+1) − 1 over the two pair sets
+    "dedup_capture_recapture" -> s"""WITH ja AS ($JaccardSql),
+         sa AS ($SimhashSql),
+         j AS (SELECT coalesce(l.ina, 0)::BIGINT AS ina,
+                 coalesce(r.inb, 0)::BIGINT AS inb
+               FROM (SELECT doc_a, doc_b, 1::BIGINT AS ina FROM ja) l
+               FULL OUTER JOIN
+                 (SELECT doc_a, doc_b, 1::BIGINT AS inb FROM sa) r
+               USING (doc_a, doc_b)),
+         g AS (SELECT sum(ina)::BIGINT AS n1, sum(inb)::BIGINT AS n2,
+                 sum(ina * inb)::BIGINT AS m,
+                 count(*)::BIGINT AS n_union
+               FROM j),
+         c AS (SELECT n1, n2, m, n_union,
+                 (n1::DOUBLE + 1) * (n2::DOUBLE + 1) /
+                   (m::DOUBLE + 1) - 1 AS chap
+               FROM g)
+         SELECT n1 AS n_jaccard, n2 AS n_simhash, m AS n_both, n_union,
+           floor(chap * 1e2 + 0.5) / 1e2 AS chapman_est,
+           floor(greatest(0.0, chap - n_union::DOUBLE) * 1e2 + 0.5)
+             / 1e2 AS est_missed
+         FROM c""",
+    // exact z'ᵢ = n·xᵢ − S; I = n·Σ_w z'z' / (W·Σz'²), one division
+    "moran_i" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_suppkey,
+             floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents
+           FROM lineitem),
+         x AS (SELECT l_suppkey AS sid, sum(cents)::BIGINT AS x
+               FROM li GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+                 FROM x),
+         z AS (SELECT sid, n, (x::HUGEINT * n - sx)::HUGEINT AS z
+               FROM x, tot),
+         dl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li),
+         ok AS (SELECT l_orderkey FROM dl GROUP BY 1
+                HAVING count(*) BETWEEN 2 AND 16),
+         adj AS (SELECT d.l_orderkey, d.l_suppkey
+                 FROM dl d JOIN ok USING (l_orderkey)),
+         pairs0 AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b,
+                      count(*)::BIGINT AS c
+                    FROM adj a JOIN adj b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+                    GROUP BY 1, 2),
+         np AS (SELECT count(*)::BIGINT AS np FROM pairs0),
+         cum AS (SELECT c, sum(cnt) OVER (ORDER BY c
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                 FROM (SELECT c, count(*)::BIGINT AS cnt FROM pairs0
+                       GROUP BY 1)),
+         thr AS (SELECT min(c)::BIGINT AS thr FROM cum, np
+                 WHERE cum * 10 >= np * 9),
+         pairs AS (SELECT a, b FROM pairs0, thr WHERE c >= thr),
+         num AS (SELECT coalesce(sum(za.z * zb.z), 0)::HUGEINT AS num,
+                   count(*)::BIGINT AS npairs
+                 FROM pairs p
+                   JOIN z za ON za.sid = p.a
+                   JOIN z zb ON zb.sid = p.b),
+         den AS (SELECT sum(z * z)::HUGEINT AS den, max(n)::BIGINT AS n
+                 FROM z),
+         f AS (SELECT n, npairs * 2 AS w, num, den,
+                 n::DOUBLE * (2.0 * num::DOUBLE) /
+                   ((CASE WHEN npairs * 2 = 0 THEN 1
+                     ELSE npairs * 2 END)::DOUBLE *
+                    (CASE WHEN den = 0 THEN 1 ELSE den END)::DOUBLE)
+                   AS i
+               FROM num, den)
+         SELECT n AS n_suppliers, w::BIGINT AS w_edges,
+           CASE WHEN w > 0 AND den > 0
+             THEN floor(i * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS moran_i,
+           floor(-1.0 / (n::DOUBLE - 1) * 1e6 + 0.5) / 1e6 AS e_i,
+           (CASE WHEN w > 0 AND den > 0
+               AND floor(i * 1e6 + 0.5) / 1e6 >
+                 floor(-1.0 / (n::DOUBLE - 1) * 1e6 + 0.5) / 1e6
+             THEN 1 ELSE 0 END)::BIGINT AS clustered_flag
+         FROM f""",
+    // L₂ = Σ j·R₂ over friedman's half-unit midranks; one-sided z
+    "page_trend" ->
+      """WITH cells AS (
+           SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT
+               AS blk,
+             l_returnflag AS trt,
+             sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+               AS v
+           FROM lineitem GROUP BY 1, 2),
+         k AS (SELECT count(DISTINCT trt)::BIGINT AS k FROM cells),
+         nb AS (SELECT blk, count(*)::BIGINT AS nb FROM cells
+                GROUP BY 1),
+         cb AS (SELECT c.blk, trt, v, k FROM cells c
+                JOIN nb USING (blk), k WHERE nb = k),
+         rk AS (SELECT blk, k,
+                  dense_rank() OVER (ORDER BY trt)::BIGINT AS j,
+                  (2 * rank() OVER (PARTITION BY blk ORDER BY v) +
+                   count(*) OVER (PARTITION BY blk, v) - 1)::BIGINT
+                    AS r2
+                FROM cb),
+         g AS (SELECT count(DISTINCT blk)::BIGINT AS b,
+                 max(k)::BIGINT AS k, sum(j * r2)::BIGINT AS l2
+               FROM rk),
+         f AS (SELECT b, k, l2,
+                 b::DOUBLE * k::DOUBLE * (k::DOUBLE + 1) *
+                   (k::DOUBLE + 1) / 2 AS mean2,
+                 b::DOUBLE * k::DOUBLE * k::DOUBLE * (k::DOUBLE + 1) *
+                   (k::DOUBLE * k::DOUBLE - 1) / 36 AS vr
+               FROM g),
+         z AS (SELECT b, k, l2,
+                 CASE WHEN vr > 0.0
+                   THEN floor((l2::DOUBLE - mean2) /
+                     sqrt(CASE WHEN vr <= 0.0 THEN 1.0 ELSE vr END)
+                     * 1e6 + 0.5) / 1e6
+                   ELSE 0.0 END AS z
+               FROM f)
+         SELECT b AS n_blocks, k AS k_treatments, l2, z,
+           (CASE WHEN z > 1.644854 THEN 1 ELSE 0 END)::BIGINT
+             AS trend_flag
          FROM z""",
   )
 

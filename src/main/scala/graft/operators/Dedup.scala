@@ -995,5 +995,41 @@ object Dedup {
             col("n_union").cast("double"), 6)).otherwise(lit(1.0))
           .as("agreement"))
   }
+
+  /** Capture–recapture estimate of the TRUE near-dup pair population
+    * (W437): treat the exact-Jaccard and SimHash detectors as two
+    * independent "captures" of the same underlying duplicate-pair
+    * set and apply the bias-corrected Chapman estimator
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the ecology workhorse, repurposed
+    * to answer the question [[detectorAgreement]] can't: "how many
+    * near-dup pairs do BOTH detectors MISS?" (est_missed = N̂ −
+    * observed union). Counts are exact integers; the estimator is
+    * one division on a 1e-2 grid. Independence is optimistic when
+    * the detectors share failure modes (both shingle-based misses
+    * correlate) — surfaced as a floor, not a census, per the
+    * scaladoc contract. Scale: the two pair pipelines + one
+    * full-outer pair join, all LSH-bucketed upstream.
+    */
+  def captureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val a = jaccardPairs(s, dir, 0.8).select("doc_a", "doc_b")
+      .withColumn("ina", lit(1L))
+    val b = simhashPairs(s, dir).select("doc_a", "doc_b")
+      .withColumn("inb", lit(1L))
+    val j = a.join(b, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("ina"), lit(0L)).as("ina"),
+        coalesce(col("inb"), lit(0L)).as("inb"))
+    val g = j.agg(sum(col("ina")).as("n1"), sum(col("inb")).as("n2"),
+      sum(col("ina") * col("inb")).as("m"),
+      count(lit(1)).as("n_union"))
+    val chap = (col("n1").cast("double") + 1) *
+      (col("n2").cast("double") + 1) /
+      (col("m").cast("double") + 1) - 1
+    g.select(col("n1").as("n_jaccard"), col("n2").as("n_simhash"),
+      col("m").as("n_both"), col("n_union"),
+      graft.operators.Events.q(chap, 2).as("chapman_est"),
+      graft.operators.Events.q(
+        greatest(lit(0.0), chap - col("n_union").cast("double")), 2)
+        .as("est_missed"))
+  }
 }
 

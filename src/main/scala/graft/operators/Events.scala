@@ -5890,5 +5890,116 @@ object Events {
       (dw < lit(1.5)).cast("long").as("pos_autocorr_flag"),
       (dw > lit(2.5)).cast("long").as("neg_autocorr_flag"))
   }
+
+  /** Chow structural-break test (W434) at the series midpoint: fit
+    * y ~ a + b·t on the whole dense daily series and on each half,
+    * F = ((SSE_p − SSE₁ − SSE₂)/2) / ((SSE₁+SSE₂)/(n−4)) — "did the
+    * trend line CHANGE mid-window?", the regression-level upgrade of
+    * [[cusumChangepoint]]'s mean-shift scan. Each SSE is the closed
+    * form (n·Σy²−S²−(nΣty−StSy)²/(nΣt²−St²))/n over EXACT integer
+    * moments, computed per segment in one conditional-sum pass and
+    * pooled by adding the two segment rows (raw moments are
+    * additive). Flag vs 3.00, the asymptotic χ²₂/2 point. Scale: one
+    * day-keyed agg + one 2-row combine.
+    */
+  def chowTest(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense2 = bounds
+      .select(col("d0"), col("d1"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select((col("day") - col("d0")).as("t"),
+        coalesce(col("y"), lit(0L)).as("y"),
+        floor((col("d1") - col("d0") + 1) / lit(2.0)).cast("long")
+          .as("m"))
+    val segs = dense2
+      .select(when(col("t") < col("m"), lit(0L)).otherwise(lit(1L))
+        .as("seg"), col("t"), col("y"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("y")).as("sty"),
+        sum(col("y") * col("y")).as("syy"))
+    def sse(n: org.apache.spark.sql.Column, st: org.apache.spark.sql.Column,
+            sy: org.apache.spark.sql.Column, stt: org.apache.spark.sql.Column,
+            sty: org.apache.spark.sql.Column, syy: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val nD = n.cast("double")
+      val sxxc = nD * stt.cast("double") -
+        st.cast("double") * st.cast("double")
+      val sxyc = nD * sty.cast("double") -
+        st.cast("double") * sy.cast("double")
+      val syyc = nD * syy.cast("double") -
+        sy.cast("double") * sy.cast("double")
+      val sxxcS = when(sxxc === 0.0, lit(1.0)).otherwise(sxxc)
+      (syyc - sxyc * sxyc / sxxcS) / nD
+    }
+    val perSeg = segs.select(col("seg"), col("n"),
+      sse(col("n"), col("st"), col("sy"), col("stt"), col("sty"),
+        col("syy")).as("ssei"),
+      col("st"), col("sy"), col("stt"), col("sty"), col("syy"))
+    val g = perSeg.agg(sum(col("n")).as("n"),
+      sum(col("ssei")).as("sse12"),
+      sum(col("st")).as("st"), sum(col("sy")).as("sy"),
+      sum(col("stt")).as("stt"), sum(col("sty")).as("sty"),
+      sum(col("syy")).as("syy"),
+      min(col("n")).as("nmin"))
+    val sseP = sse(col("n"), col("st"), col("sy"), col("stt"),
+      col("sty"), col("syy"))
+    val sse12S = when(col("sse12") <= 0.0, lit(1.0))
+      .otherwise(col("sse12"))
+    val f = (sseP - col("sse12")) / lit(2.0) /
+      (sse12S / (col("n").cast("double") - 4))
+    val ok = col("nmin") >= 3 && col("sse12") > 0.0
+    g.select(col("n").as("n_obs"),
+      when(ok, q(f, 4)).otherwise(lit(0.0)).as("f_stat"),
+      when(ok && q(f, 4) > lit(3.0), lit(1L)).otherwise(lit(0L))
+        .as("break_flag"))
+  }
+
+  /** Wilcoxon signed-rank test (W435) on the paired daily (view,
+    * click) counts: are the two series' levels systematically offset,
+    * beyond what sign flips explain? Zero differences drop (the
+    * standard convention), |d| midranks are carried in HALF-UNITS
+    * (2·rank + ties − 1) so the rank total is the exact integer
+    * n(n+1) and the tie-robust variance Var(W⁺) = Σr²/4 folds into
+    * z = 2·(ΣposR₂ − n(n+1)/2)/√(Σr₂²) — one sqrt, one division,
+    * everything else exact integers. The k=2-paired sibling of
+    * [[Relational.friedmanTest]] (months×flags) and the paired
+    * counterpart of [[mannWhitney]] (independent samples). Scale:
+    * one day-keyed agg; the rank window runs over the day spine.
+    */
+  def wilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        (col("event_type") === "view").cast("long").as("isv"))
+      .groupBy("day")
+      .agg(sum(col("isv")).as("x"), sum(lit(1L) - col("isv")).as("y"))
+      .select((col("x") - col("y")).as("d"))
+      .filter(col("d") =!= 0)
+    val w = Window.orderBy(abs(col("d")))
+    val ranked = daily
+      .withColumn("rk", rank().over(w))
+      .withColumn("te", count(lit(1)).over(
+        Window.partitionBy(abs(col("d")))))
+      .select(col("d"), (col("rk") * 2 + col("te") - 1).cast("long")
+        .as("r2"))
+    val g = ranked.agg(count(lit(1)).as("n"),
+      sum(when(col("d") > 0, col("r2")).otherwise(lit(0L))).as("wp2"),
+      sum(col("r2") * col("r2")).as("s22"))
+    val num2 = col("wp2").cast("double") -
+      col("n").cast("double") * (col("n").cast("double") + 1) / 2
+    val s22S = when(col("s22") === 0, lit(1L)).otherwise(col("s22"))
+    val z = when(col("s22") > 0,
+      q(lit(2.0) * num2 / sqrt(s22S.cast("double")), 6))
+      .otherwise(lit(0.0))
+    g.select(col("n").as("n_pairs"), col("wp2"), z.as("z"),
+      (abs(z) > lit(1.959964)).cast("long").as("shift_flag"))
+  }
 }
 

@@ -2225,4 +2225,93 @@ object Graph {
       .orderBy(col("ra9").desc, col("s1"), col("s2"))
       .limit(k)
   }
+
+  /** Moran's I network autocorrelation (W438) of supplier revenue
+    * over the co-purchase projection: do high-revenue suppliers sit
+    * NEXT TO other high-revenue suppliers (I > E[I] = −1/(n−1)), or
+    * is revenue scattered independently of the graph? The spatial-
+    * statistics workhorse pointed at a transaction graph — the
+    * attribute-level complement of [[assortativity]] (which
+    * correlates DEGREES, not an external attribute). Deviations
+    * cross-multiply to exact integers z'ᵢ = n·xᵢ − S (cents), so the
+    * numerator Σ_w z'ᵢz'ⱼ and denominator Σ z'ᵢ² are exact DECIMAL
+    * and the n² scale cancels in I = n·Σ_w z'z' / (W·Σz'²) — one
+    * division. All suppliers with revenue enter n and the variance;
+    * only projection edges enter the numerator (isolates dilute I,
+    * as they should). The projection caps order fan-out at
+    * `orderCap` suppliers so wedge volume is Σ cap² — the
+    * [[adamicAdar]] posture; at ~1e7 suppliers the cent-grid
+    * products approach DECIMAL(38)'s ceiling: coarsen the value grid
+    * to whole currency units there (I is grid-invariant).
+    */
+  def moranI(s: SparkSession, dir: String,
+             orderCap: Int = 16): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+    val x = li.groupBy(col("l_suppkey").as("sid"))
+      .agg(sum(col("cents")).as("x")).persist()
+    CacheScope.register(x) // eager: moments + both numerator sides
+    val tot = x.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val z = x.crossJoin(broadcast(tot))
+      .select(col("sid"), col("n"),
+        (col("x").cast("decimal(38,0)") * col("n") - col("sx"))
+          .as("z"))
+      .persist()
+    CacheScope.register(z) // eager: denominator + two join probes
+    val ok = li.select("l_orderkey", "l_suppkey").distinct()
+      .groupBy("l_orderkey").agg(count(lit(1)).as("osz"))
+      .filter(col("osz").between(2, orderCap))
+    val adj = li.select("l_orderkey", "l_suppkey").distinct()
+      .join(ok.select("l_orderkey"), "l_orderkey")
+    // co-occurrence multiplicity per pair; keep the top decile by the
+    // exact cross-multiplied cumulative rule (c ≥ the 90th-pct value)
+    // — a dense fixture would otherwise yield the COMPLETE graph, on
+    // which I ≡ −1/(n−1) identically. Scale-invariant: the cut is a
+    // quantile of the multiplicity distribution, not a literal.
+    val pairs0 = adj.select(col("l_orderkey").as("kk"),
+        col("l_suppkey").as("a"))
+      .join(adj.select(col("l_orderkey").as("kk"),
+        col("l_suppkey").as("b")), "kk")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .persist()
+    CacheScope.register(pairs0) // eager: threshold + the kept edges
+    val np = pairs0.agg(count(lit(1)).as("np"))
+    val thr = pairs0.groupBy("c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("c")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .crossJoin(broadcast(np))
+      .filter(col("cum") * 10 >= col("np") * 9)
+      .agg(min(col("c")).as("thr"))
+    val pairs = pairs0.crossJoin(broadcast(thr))
+      .filter(col("c") >= col("thr"))
+      .select("a", "b")
+    val num = pairs
+      .join(z.select(col("sid").as("a"), col("z").as("za")), "a")
+      .join(z.select(col("sid").as("b"), col("z").as("zb")), "b")
+      .agg(coalesce(sum(col("za") * col("zb")),
+        lit(0).cast("decimal(38,0)")).as("num"),
+        count(lit(1)).as("npairs"))
+    val den = z.agg(sum(col("z") * col("z")).as("den"),
+      max(col("n")).as("n"))
+    val wTot = col("npairs") * 2
+    val denS = when(col("den") === 0, lit(1)).otherwise(col("den"))
+      .cast("double")
+    val wS = when(wTot === 0, lit(1L)).otherwise(wTot).cast("double")
+    val i = col("n").cast("double") *
+      (lit(2.0) * col("num").cast("double")) / (wS * denS)
+    val okI = wTot > 0 && col("den") > 0
+    num.crossJoin(broadcast(den))
+      .select(col("n").as("n_suppliers"), wTot.as("w_edges"),
+        when(okI, Events.q(i, 6)).otherwise(lit(0.0)).as("moran_i"),
+        Events.q(lit(-1.0) / (col("n").cast("double") - 1), 6)
+          .as("e_i"),
+        when(okI && Events.q(i, 6) >
+          Events.q(lit(-1.0) / (col("n").cast("double") - 1), 6),
+          lit(1L)).otherwise(lit(0L)).as("clustered_flag"))
+  }
 }

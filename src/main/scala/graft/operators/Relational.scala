@@ -3069,5 +3069,54 @@ object Relational {
             (col("n").cast("double") * lit(1e9)), 6) > lit(2.492))
           .cast("long").as("reject_flag"))
   }
+
+  /** Page's trend test (W439) for ORDERED alternatives in the
+    * [[friedmanTest]] layout (blocks = ship months, treatments =
+    * return flags in the hypothesized order A < N < R): L = Σ_j j·R_j
+    * rejects when the rank sums RISE along the hypothesized order —
+    * strictly more powerful than Friedman's "any difference" when a
+    * direction is pre-registered. Ranks ride the same half-unit
+    * midrank trick, so L₂ = 2L is an exact integer and
+    * z = (L₂ − bk(k+1)²/2) / √(b·k²(k+1)(k²−1)/36) is one sqrt and
+    * one division over exact integers. One-sided flag at 1.644854.
+    * Scale: identical to friedmanTest — one (month, flag) partial
+    * agg, a b·k-row rank window.
+    */
+  def pageTrend(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .select((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .as("blk"), col("l_returnflag").as("trt"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy("blk", "trt").agg(sum(col("cents")).as("v"))
+      .persist()
+    CacheScope.register(cells) // eager: k-count + complete-block filter
+    val k = cells.agg(countDistinct(col("trt")).as("k"))
+    val complete = cells
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("blk")))
+      .crossJoin(broadcast(k)).filter(col("nb") === col("k"))
+    val ranked = complete
+      .withColumn("rk", rank().over(
+        Window.partitionBy("blk").orderBy("v")))
+      .withColumn("te", count(lit(1)).over(
+        Window.partitionBy("blk", "v")))
+      // hypothesized treatment order = lexicographic flag order
+      .withColumn("j", dense_rank().over(Window.orderBy("trt")))
+      .select(col("blk"), col("k"), col("j").cast("long").as("j"),
+        (col("rk") * 2 + col("te") - 1).cast("long").as("r2"))
+    val g = ranked.agg(countDistinct(col("blk")).as("b"),
+      max(col("k")).as("k"), sum(col("j") * col("r2")).as("l2"))
+    val bD = col("b").cast("double")
+    val kD = col("k").cast("double")
+    val mean2 = bD * kD * (kD + 1) * (kD + 1) / 2
+    val vr = bD * kD * kD * (kD + 1) * (kD * kD - 1) / 36
+    val vrS = when(vr <= 0.0, lit(1.0)).otherwise(vr)
+    val z = when(vr > 0.0,
+      Events.q((col("l2").cast("double") - mean2) / sqrt(vrS), 6))
+      .otherwise(lit(0.0))
+    g.select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+      col("l2").as("l2"), z.as("z"),
+      (z > lit(1.644854)).cast("long").as("trend_flag"))
+  }
 }
 

@@ -1743,5 +1743,58 @@ object TextStats {
       qStat.as("q_stat"),
       (qStat > lit(5.991)).cast("long").as("reject_flag"))
   }
+
+  /** Count-Sketch accuracy audit (W436): the SIGNED sibling of
+    * [[countMinAudit]] — each of 3 rows hashes a term to one of 256
+    * cells AND to a ±1 sign, cells accumulate sign·count, and the
+    * estimate is the exact integer MEDIAN of the 3 signed cell reads.
+    * Unlike Count-Min the error is two-sided and unbiased (colliding
+    * terms cancel instead of stacking), which is why Count-Sketch
+    * backs heavy-hitter pipelines over adversarial or heavy-tailed
+    * streams. Same LONG-safe affine hash family; everything through
+    * the median is exact integer arithmetic. Scale: the sketch is a
+    * 3×256 cell table built by one keyed agg — broadcast-sized by
+    * construction, the distributed-sketch shape.
+    */
+  def countSketchAudit(s: SparkSession, dir: String, width: Int = 256,
+                       topK: Int = 20): DataFrame = {
+    val As = Seq(37L, 8191L, 524287L)
+    val Bs = Seq(17L, 257L, 65537L)
+    val Cs = Seq(131L, 8209L, 524309L)
+    val Ds = Seq(19L, 263L, 65539L)
+    val P = 1048573L
+    val exact = tokenized(s, dir).select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("exact"))
+      .select(col("t"), col("exact"),
+        (element_at(polyHashArray(array(col("t"))), 1) % lit(1048576L))
+          .as("hv"))
+      .persist()
+    CacheScope.register(exact) // eager: cell build + top-k probe scan
+    def cellOf(i: Int) =
+      pmod(pmod(col("hv") * lit(As(i)) + lit(Bs(i)), lit(P)),
+        lit(width.toLong))
+    def signOf(i: Int) =
+      when(pmod(pmod(col("hv") * lit(Cs(i)) + lit(Ds(i)), lit(P)),
+        lit(2L)) === 1, lit(1L)).otherwise(lit(-1L))
+    val cells = exact.select(explode(array((0 until 3).map(i =>
+        struct(lit(i).as("row"), cellOf(i).as("cell"),
+          (signOf(i) * col("exact")).as("c"))): _*)).as("e"))
+      .select(col("e.*"))
+      .groupBy("row", "cell").agg(sum("c").as("cellsum"))
+    val top = exact.orderBy(col("exact").desc, col("t")).limit(topK)
+      .select(col("t"), col("exact"),
+        explode(array((0 until 3).map(i =>
+          struct(lit(i).as("row"), cellOf(i).as("cell"),
+            signOf(i).as("sgn"))): _*)).as("h"))
+      .select(col("t"), col("exact"), col("h.row"), col("h.cell"),
+        col("h.sgn"))
+    top.join(broadcast(cells), Seq("row", "cell"))
+      .groupBy("t", "exact")
+      .agg(element_at(sort_array(collect_list(
+        col("sgn") * col("cellsum"))), 2).as("est"))
+      .select(col("t").as("term"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("error"))
+      .orderBy(col("exact").desc, col("term"))
+  }
 }
 
