@@ -635,6 +635,12 @@ object SparkEntry {
       ((s, d) => Dedup.captureRecapture(s, d)),
     "moran_i" -> ((s, d) => Graph.moranI(s, d)),
     "page_trend" -> ((s, d) => Relational.pageTrend(s, d)),
+    // round-5 batch AC: submodular data selection, AUC interval,
+    // survival-curve area
+    "facility_location_select" ->
+      ((s, d) => Similarity.facilityLocationSelect(s, d)),
+    "auc_ci" -> ((s, d) => Ml.aucCi(s, d)),
+    "rmst" -> ((s, d) => Events.rmst(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -801,6 +807,45 @@ object SparkEntry {
       s"SELECT n.id, floor(($score) * 1e9 + 0.5) / 1e9 AS katz" +
       s" FROM nodes n $joins" +
       s" ORDER BY katz DESC, n.id LIMIT $k"
+  }
+
+  /** Unrolled greedy facility-location selection (mirrors
+    * `Similarity.facilityLocationSelect`: 1e-6 clamped cosine grid,
+    * exact integer marginal gains, argmax ties on the smaller id). */
+  private def facilityOracleSql(k: Int, pool: Int): String = {
+    val blocks = (1 to k).flatMap { r =>
+      val notIn = if (r == 1) ""
+      else " WHERE s.c NOT IN (" +
+        (1 until r).map(i => s"SELECT c FROM p$i")
+          .mkString(" UNION ALL ") + ")"
+      Seq(
+        s"g$r AS MATERIALIZED (SELECT s.c," +
+          s" sum(greatest(u.cur, s.s9))::BIGINT AS gain" +
+          s" FROM sims s JOIN cur${r - 1} u USING (d)$notIn" +
+          " GROUP BY s.c)",
+        s"p$r AS MATERIALIZED (SELECT c, gain FROM g$r" +
+          " ORDER BY gain DESC, c LIMIT 1)",
+        s"cur$r AS MATERIALIZED (SELECT u.d," +
+          " greatest(u.cur, s.s9)::BIGINT AS cur" +
+          s" FROM cur${r - 1} u JOIN sims s ON s.d = u.d" +
+          s" AND s.c = (SELECT c FROM p$r))")
+    }
+    val out = (1 to k).map(r =>
+      s"SELECT $r::INT AS round, c::BIGINT AS selected_vec," +
+        " floor(gain::DOUBLE / nn::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6" +
+        s" AS mean_coverage FROM p$r, nn")
+      .mkString(" UNION ALL ")
+    "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v" +
+      " FROM embeddings),\n" +
+      s"pool AS (SELECT vec_id AS c, v AS pv FROM emb" +
+      s" WHERE vec_id < $pool),\n" +
+      "sims AS MATERIALIZED (SELECT e.vec_id AS d, p.c," +
+      " greatest(0, floor(list_cosine_similarity(e.v, p.pv) * 1e6" +
+      " + 0.5)::BIGINT) AS s9 FROM emb e CROSS JOIN pool p),\n" +
+      "nn AS (SELECT count(*)::BIGINT AS nn FROM emb),\n" +
+      "cur0 AS (SELECT vec_id AS d, 0::BIGINT AS cur FROM emb),\n" +
+      blocks.mkString(",\n") + "\n" +
+      s"SELECT * FROM ($out) ORDER BY round"
   }
 
   /** Unrolled truncated-power-iteration eigenvector centrality
@@ -11676,6 +11721,97 @@ object SparkEntry {
            (CASE WHEN z > 1.644854 THEN 1 ELSE 0 END)::BIGINT
              AS trend_flag
          FROM z""",
+    "facility_location_select" -> facilityOracleSql(5, 32),
+    // half-unit rank-sum num₂ = Σp(2·cumn+n); Hanley–McNeil interval
+    "auc_ci" -> s"""WITH lab AS (
+           SELECT score AS s,
+                  CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+           FROM ($sgdApplyOracle)),
+         g AS (SELECT s, sum(y)::BIGINT AS p, sum(1 - y)::BIGINT AS n
+               FROM lab GROUP BY s),
+         c AS (SELECT s, p, n,
+                 coalesce(sum(n) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS cumn
+               FROM g),
+         m AS (SELECT sum(p * (2 * cumn + n))::BIGINT AS num2,
+                 sum(p)::BIGINT AS np, sum(n)::BIGINT AS nn
+               FROM c),
+         f AS (SELECT np, nn,
+                 num2::DOUBLE / (2.0 * np::DOUBLE * nn::DOUBLE) AS a
+               FROM m),
+         f2 AS (SELECT np, nn, a,
+                  sqrt(greatest(0.0,
+                    (a * (1.0 - a) +
+                     (np::DOUBLE - 1) * (a / (2.0 - a) - a * a) +
+                     (nn::DOUBLE - 1) *
+                       (2.0 * a * a / (1.0 + a) - a * a)) /
+                    (np::DOUBLE * nn::DOUBLE))) AS se
+                FROM f)
+         SELECT np AS n_pos, nn AS n_neg,
+           CASE WHEN np > 0 AND nn > 0
+             THEN floor(a * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS auc,
+           CASE WHEN np > 0 AND nn > 0
+             THEN floor(se * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS se,
+           CASE WHEN np > 0 AND nn > 0
+             THEN floor((a - 1.959964 * se) * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS ci_lo,
+           CASE WHEN np > 0 AND nn > 0
+             THEN floor((a + 1.959964 * se) * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS ci_hi
+         FROM f2""",
+    // KM step-function area on the exact 1e-6 grid: t₁ + Σ gap·S(tᵢ)
+    "rmst" ->
+      """WITH pu AS (
+           SELECT user_id, min(ts)::DATE AS d0,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)::DATE
+                    AS dconv
+           FROM events GROUP BY user_id),
+         hz AS (SELECT max(ts)::DATE AS dmax FROM events),
+         durs AS (
+           SELECT CASE WHEN dconv IS NOT NULL
+                       THEN date_diff('day', d0, dconv)
+                       ELSE date_diff('day', d0, dmax) END AS t,
+                  CASE WHEN dconv IS NOT NULL THEN 1 ELSE 0 END AS event
+           FROM pu CROSS JOIN hz),
+         byt AS (
+           SELECT t, sum(event)::BIGINT AS d,
+                  sum(1 - event)::BIGINT AS c, count(*)::BIGINT AS k
+           FROM durs GROUP BY t),
+         n AS (SELECT count(*)::BIGINT AS nn FROM durs),
+         tau AS (SELECT max(t)::BIGINT AS tau, count(*)::BIGINT
+                   AS n_users
+                 FROM durs),
+         r AS (
+           SELECT t, d, c,
+                  nn - coalesce(sum(k) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+           FROM byt CROSS JOIN n),
+         lq AS (
+           SELECT t, d,
+                  CAST(floor(ln(greatest(
+                      (n_risk - d)::DOUBLE / n_risk::DOUBLE, 1e-18))
+                    * 1e9 + 0.5) AS BIGINT) AS lnq
+           FROM r),
+         srv AS (
+           SELECT t, d,
+                  floor(exp((sum(lnq) OVER (ORDER BY t
+                      ROWS UNBOUNDED PRECEDING))::DOUBLE / 1e9)
+                    * 1e6 + 0.5) / 1e6 AS surv
+           FROM lq),
+         km AS (SELECT t::BIGINT AS t_day, surv FROM srv WHERE d > 0),
+         steps AS (
+           SELECT tau, n_users, t_day,
+                  ((coalesce(lead(t_day) OVER (ORDER BY t_day), tau)
+                    - t_day) *
+                   floor(surv * 1e6 + 0.5)::BIGINT)::BIGINT AS a6
+           FROM km CROSS JOIN tau)
+         SELECT max(n_users)::BIGINT AS n_users,
+           max(tau)::BIGINT AS tau,
+           floor((min(t_day)::DOUBLE * 1e6 + sum(a6)::DOUBLE) / 1e6
+             * 1e4 + 0.5) / 1e4 AS rmst
+         FROM steps""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -6001,5 +6001,54 @@ object Events {
     g.select(col("n").as("n_pairs"), col("wp2"), z.as("z"),
       (abs(z) > lit(1.959964)).cast("long").as("shift_flag"))
   }
+
+  /** Restricted mean survival time (W442): the area under the
+    * [[kaplanMeier]] curve up to the observation horizon τ — "the
+    * average event-free days a user banks in the first τ days", the
+    * single-number summary clinicians reach for when hazards aren't
+    * proportional and a median doesn't exist (KM never dropping below
+    * 0.5). Reuses kaplanMeier's exact chain (per-step ln(1−d/n) on
+    * the 1e-9 grid, exact cumulative sum, 6-dp survival), then
+    * integrates the step function with one lead window:
+    * RMST = t₁ + Σ S(tᵢ)·(t_{i+1}−tᵢ) + S(t_m)·(τ−t_m), every term a
+    * product of the 6-dp survival and an exact integer day gap.
+    * Scale: the kaplanMeier cost class — one user-keyed agg + an
+    * event-time window.
+    */
+  def rmst(s: SparkSession, dir: String): DataFrame = {
+    val km = kaplanMeier(s, dir)
+      .select(col("t_day"), col("surv"))
+    val ev = Tables.events(s, dir)
+    val perUser = ev.groupBy("user_id").agg(
+      to_date(min(col("ts"))).as("d0"),
+      to_date(min(when(col("event_type") === "purchase", col("ts"))))
+        .as("dconv"))
+    val horizon = ev.agg(to_date(max(col("ts"))).as("dmax"))
+    val tau = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("dconv").isNotNull, datediff(col("dconv"), col("d0")))
+          .otherwise(datediff(col("dmax"), col("d0"))).as("t"))
+      .agg(max(col("t")).cast("long").as("tau"),
+        count(lit(1)).as("n_users"))
+    val w = Window.orderBy("t_day")
+    // area = t₁·1 + Σᵢ (t_{i+1} − tᵢ)·S(tᵢ), with t_{m+1} = τ. Each
+    // term lands on an exact integer 1e-6 grid (gap is integer days,
+    // S is already 6-dp: recover its integer numerator with one
+    // floor) so the sum is merge-order-free.
+    val steps = km.crossJoin(broadcast(tau))
+      .withColumn("tnext", coalesce(
+        org.apache.spark.sql.functions.lead(col("t_day"), 1).over(w),
+        col("tau")))
+      .select(col("tau"), col("n_users"), col("t_day"),
+        ((col("tnext") - col("t_day")) *
+          floor(col("surv") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("a6"))
+    steps
+      .agg(max(col("tau")).as("tau"), max(col("n_users")).as("n_users"),
+        min(col("t_day")).as("t1"), sum(col("a6")).as("sa6"))
+      .select(col("n_users"), col("tau"),
+        q((col("t1").cast("double") * lit(1e6) +
+          col("sa6").cast("double")) / lit(1e6), 4).as("rmst"))
+  }
 }
 

@@ -863,4 +863,44 @@ object Ml {
           (col("b") + col("c")).cast("double"), 6))
         .otherwise(lit(0.0)).as("chi2"))
   }
+
+  /** AUC with a Hanley–McNeil confidence interval (W441): the
+    * rank-sum AUC of [[auc]] recomputed in HALF-UNITS (num₂ =
+    * Σ p·(2·cumn + n), an exact integer under ties) so
+    * A = num₂/(2·n₊·n₋) is one division, then the classic
+    * se² = (A(1−A) + (n₊−1)(Q₁−A²) + (n₋−1)(Q₂−A²)) / (n₊·n₋) with
+    * Q₁ = A/(2−A), Q₂ = 2A²/(1+A) — the CI that turns a point AUC
+    * into a deployment decision ("is 0.71 actually better than
+    * 0.68?"). One fixed double expression per value from exact
+    * integer sums. Scale: the [[auc]] cost class — one score-keyed
+    * agg, a distinct-scores window.
+    */
+  def aucCi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = applyQuery(s, dir).groupBy(col("score").as("s"))
+      .agg(sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("p"),
+        sum(when(col("label") === 1.0, 0L).otherwise(1L)).as("n"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = g.withColumn("cumn", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("p") * (lit(2L) * col("cumn") + col("n")))
+        .as("num2"),
+        sum(col("p")).as("np"), sum(col("n")).as("nn"))
+    val npD = col("np").cast("double")
+    val nnD = col("nn").cast("double")
+    val a = col("num2").cast("double") / (lit(2.0) * npD * nnD)
+    val q1 = a / (lit(2.0) - a)
+    val q2 = lit(2.0) * a * a / (lit(1.0) + a)
+    val se = sqrt(greatest(lit(0.0),
+      (a * (lit(1.0) - a) + (npD - 1) * (q1 - a * a) +
+        (nnD - 1) * (q2 - a * a)) / (npD * nnD)))
+    val okC = col("np") > 0 && col("nn") > 0
+    m.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+      when(okC, Events.q(a, 6)).otherwise(lit(0.0)).as("auc"),
+      when(okC, Events.q(se, 6)).otherwise(lit(0.0)).as("se"),
+      when(okC, Events.q(a - lit(1.959964) * se, 6)).otherwise(lit(0.0))
+        .as("ci_lo"),
+      when(okC, Events.q(a + lit(1.959964) * se, 6)).otherwise(lit(0.0))
+        .as("ci_hi"))
+  }
 }

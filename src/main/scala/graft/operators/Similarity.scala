@@ -1381,4 +1381,58 @@ object Similarity {
         Events.q(col("n_bad").cast("double") / col("n_pairs"), 6)
           .as("bad_share"))
   }
+
+  /** Greedy facility-location data selection (W440): pick `k`
+    * exemplar vectors from a candidate pool maximizing corpus
+    * coverage Σ_d max_{s∈S} sim(d, s) — the submodular "choose the
+    * training subset that best represents everything" primitive
+    * (1−1/e-optimal greedily, the data-selection workhorse next to
+    * [[Dedup]]'s remove-redundancy view). Similarities land on the
+    * 1e-6 LONG grid (negative cosines clamp to 0: an exemplar can't
+    * anti-cover), so per-round marginal gains are exact integer sums
+    * and the argmax tie-breaks on the smaller candidate id; each
+    * round surfaces the chosen exemplar and the cumulative mean
+    * coverage. The candidate pool is the first `pool` vectors — the
+    * repo's deterministic k-means-seed stand-in — which is what
+    * bounds the work: rounds × one (corpus × pool) broadcast join,
+    * never corpus². Coverage state is one narrow (vec, cur) column,
+    * checkpointed per round.
+    */
+  def facilityLocationSelect(s: SparkSession, dir: String, k: Int = 5,
+                             pool: Int = 32): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cand = emb.filter(col("vec_id") < pool)
+      .select(col("vec_id").as("c"), col("embedding").as("cv"))
+    val sims = CacheScope.track(emb.crossJoin(broadcast(cand))
+      .select(col("vec_id").as("d"), col("c"),
+        greatest(lit(0L),
+          floor(cosine(col("embedding"), col("cv")) * lit(1e6) +
+            lit(0.5)).cast("long")).as("s9"))
+      .persist())
+    val n = emb.count()
+    var cur = emb.select(col("vec_id").as("d"), lit(0L).as("cur"))
+    var chosen = List.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double)]
+    for (r <- 1 to k) {
+      val gains = sims.filter(!col("c").isInCollection(
+          if (chosen.isEmpty) Seq(-1L) else chosen))
+        .join(cur, "d")
+        .groupBy("c").agg(sum(greatest(col("cur"), col("s9")))
+          .as("gain"))
+        .orderBy(col("gain").desc, col("c")).limit(1)
+        .head()
+      val sel = gains.getLong(0)
+      val gain = gains.getLong(1)
+      chosen = sel :: chosen
+      cur = cur.join(sims.filter(col("c") === sel)
+          .select(col("d"), col("s9")), "d")
+        .select(col("d"), greatest(col("cur"), col("s9")).as("cur"))
+        .localCheckpoint()
+      out += ((r, sel,
+        math.floor(gain.toDouble / n / 1e6 * 1e6 + 0.5) / 1e6))
+    }
+    import s.implicits._
+    out.toSeq.toDF("round", "selected_vec", "mean_coverage")
+  }
 }
