@@ -641,6 +641,12 @@ object SparkEntry {
       ((s, d) => Similarity.facilityLocationSelect(s, d)),
     "auc_ci" -> ((s, d) => Ml.aucCi(s, d)),
     "rmst" -> ((s, d) => Events.rmst(s, d)),
+    // round-5 batch AD: tail shape, robust consensus trend,
+    // DP release utility, multi-rater agreement
+    "pot_gpd" -> ((s, d) => Events.potGpd(s, d)),
+    "ransac_trend" -> ((s, d) => Events.ransacTrend(s, d)),
+    "dp_utility_audit" -> ((s, d) => Curation.dpUtilityAudit(s, d)),
+    "fleiss_kappa" -> ((s, d) => TextStats.fleissKappa(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -11812,6 +11818,126 @@ object SparkEntry {
            floor((min(t_day)::DOUBLE * 1e6 + sum(a6)::DOUBLE) / 1e6
              * 1e4 + 0.5) / 1e4 AS rmst
          FROM steps""",
+    // exact cumulative 95th-pct threshold; GPD by method of moments
+    "pot_gpd" ->
+      """WITH v AS (SELECT floor("value" * 1e6 + 0.5)::BIGINT AS v6
+                    FROM events WHERE "value" IS NOT NULL),
+         byv AS (SELECT v6, count(*)::BIGINT AS cnt FROM v GROUP BY 1),
+         tot AS (SELECT sum(cnt)::BIGINT AS n FROM byv),
+         cum AS (SELECT v6, sum(cnt) OVER (ORDER BY v6
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                 FROM byv),
+         thr AS (SELECT min(v6)::BIGINT AS thr6 FROM cum, tot
+                 WHERE cum * 100 >= n * 95),
+         ex AS (SELECT (v6 - thr6)::BIGINT AS e, thr6
+                FROM v, thr WHERE v6 > thr6),
+         g AS (SELECT thr6, count(*)::BIGINT AS k, sum(e)::BIGINT AS se,
+                 sum(e * e)::BIGINT AS see
+               FROM ex GROUP BY 1),
+         f AS (SELECT thr6, k,
+                 se::DOUBLE / k::DOUBLE AS m,
+                 (k::DOUBLE * see::DOUBLE - se::DOUBLE * se::DOUBLE) /
+                   (k::DOUBLE * k::DOUBLE) AS s2
+               FROM g),
+         f2 AS (SELECT thr6, k, m, s2,
+                  m * m / (CASE WHEN s2 = 0.0 THEN 1.0 ELSE s2 END)
+                    AS ratio,
+                  (k >= 2 AND s2 != 0.0) AS ok
+                FROM f)
+         SELECT k AS n_exceed,
+           floor(thr6::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6 AS threshold,
+           CASE WHEN ok THEN floor(0.5 * (1.0 - ratio) * 1e6 + 0.5)
+             / 1e6 ELSE 0.0 END AS xi,
+           CASE WHEN ok THEN floor(0.5 * m * (ratio + 1.0) / 1e6 * 1e6
+             + 0.5) / 1e6 ELSE 0.0 END AS sigma
+         FROM f2""",
+    // exact cross-multiplied inlier test 20n|r| ≤ Σy·Δt, best consensus
+    "ransac_trend" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT (s.day - (SELECT min(day) FROM daily0))::BIGINT AS t,
+                  coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         st AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+                FROM dense),
+         cand AS (SELECT a.t AS ti, a.y AS yi,
+                    (b.t - a.t)::BIGINT AS dx, (b.y - a.y)::BIGINT AS dy
+                  FROM dense a JOIN dense b ON a.t < b.t),
+         probe AS (SELECT c.ti, c.dx, c.dy, st.n,
+                     (CASE WHEN abs((d.y - c.yi) * c.dx -
+                         c.dy * (d.t - c.ti)) * 20 * st.n <=
+                         st.sy * c.dx
+                       THEN 1 ELSE 0 END)::BIGINT AS inlier
+                   FROM cand c CROSS JOIN st CROSS JOIN dense d),
+         scored AS (SELECT ti, dx, dy, n,
+                      sum(inlier)::BIGINT AS n_inliers
+                    FROM probe GROUP BY 1, 2, 3, 4),
+         best AS (SELECT * FROM scored
+                  ORDER BY n_inliers DESC, ti, dx, dy LIMIT 1)
+         SELECT n AS n_days, ti AS anchor_t,
+           floor(dy::DOUBLE / dx::DOUBLE * 1e6 + 0.5) / 1e6 AS slope,
+           n_inliers,
+           floor(n_inliers::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6
+             AS inlier_share
+         FROM best""",
+    // closed-form Laplace moments vs exact counts; no RNG anywhere
+    "dp_utility_audit" ->
+      """WITH daily AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1),
+         g AS (SELECT count(*)::BIGINT AS k_cells,
+                 sum(cnt)::BIGINT AS n_total,
+                 sum(CASE WHEN cnt <= 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS noise_dominated
+               FROM daily)
+         SELECT k_cells, n_total, 1.0 AS eps,
+           floor(k_cells::DOUBLE * 1.0 * 1e4 + 0.5) / 1e4
+             AS exp_l1_error,
+           floor(k_cells::DOUBLE * 1.0 / n_total::DOUBLE * 1e6 + 0.5)
+             / 1e6 AS rel_error,
+           noise_dominated
+         FROM g""",
+    // exact P_i numerators over the constant r(r−1)=6 denominator
+    "fleiss_kappa" ->
+      """WITH f AS (
+           SELECT ((CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) +
+             (CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0
+               END) +
+             (CASE WHEN strpos(lower(text), ' the ') > 0 THEN 1 ELSE 0
+               END))::BIGINT AS x
+           FROM documents),
+         g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                 sum(x * (x - 1) + (3 - x) * (3 - x - 1))::BIGINT
+                   AS pnum
+               FROM f),
+         z AS (SELECT n,
+                 pnum::DOUBLE / (n::DOUBLE * 6.0) AS pbar,
+                 sx::DOUBLE / (n::DOUBLE * 3.0) AS pyes
+               FROM g),
+         z2 AS (SELECT n, pbar,
+                  pyes * pyes + (1.0 - pyes) * (1.0 - pyes) AS pe
+                FROM z),
+         z3 AS (SELECT n, pbar, pe,
+                  CASE WHEN 1.0 - pe != 0.0
+                    THEN floor((pbar - pe) /
+                      (CASE WHEN 1.0 - pe = 0.0 THEN 1.0
+                       ELSE 1.0 - pe END) * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS kappa
+                FROM z2)
+         SELECT n AS n_docs,
+           floor(pbar * 1e6 + 0.5) / 1e6 AS p_bar,
+           floor(pe * 1e6 + 0.5) / 1e6 AS p_e,
+           kappa,
+           (CASE WHEN kappa > 0.4 THEN 1 ELSE 0 END)::BIGINT
+             AS moderate_agree_flag
+         FROM z3""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -852,4 +852,35 @@ object Curation {
         Events.q(col("w6").cast("double") / lit(1e6), 6).as("w_raked"))
       .orderBy("lang", "source")
   }
+
+  /** ε-differential-privacy histogram utility audit (W445): before
+    * releasing the per-day event-count histogram under Laplace noise
+    * (scale b = Δ/ε, sensitivity Δ = 1 for a count histogram), report
+    * what the noise would COST — expected total L1 error k·b (each
+    * Laplace cell contributes E|Lap(b)| = b exactly), its share of
+    * the true mass, and how many cells are NOISE-DOMINATED (true
+    * count ≤ ⌈b⌉, where the released value is mostly noise) — the
+    * deterministic go/no-go audit run before any DP release, next to
+    * the k-anonymity/l-diversity/t-closeness tier. No RNG anywhere:
+    * the audit uses closed-form noise moments against exact counts.
+    * Scale: one day-keyed count agg.
+    */
+  def dpUtilityAudit(s: SparkSession, dir: String,
+                     eps: Double = 1.0): DataFrame = {
+    val b = 1.0 / eps
+    val ceilB = math.ceil(b).toLong
+    val daily = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    daily.agg(count(lit(1)).as("k_cells"),
+        sum(col("cnt")).as("n_total"),
+        sum((col("cnt") <= ceilB).cast("long")).as("noise_dominated"))
+      .select(col("k_cells"), col("n_total"),
+        lit(eps).as("eps"),
+        Events.q(col("k_cells").cast("double") * lit(b), 4)
+          .as("exp_l1_error"),
+        Events.q(col("k_cells").cast("double") * lit(b) /
+          col("n_total").cast("double"), 6).as("rel_error"),
+        col("noise_dominated"))
+  }
 }

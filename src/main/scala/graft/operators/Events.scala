@@ -6050,5 +6050,106 @@ object Events {
         q((col("t1").cast("double") * lit(1e6) +
           col("sa6").cast("double")) / lit(1e6), 4).as("rmst"))
   }
+
+  /** Peaks-over-threshold tail fit (W443): generalized-Pareto shape
+    * and scale for event-value exceedances over the exact 95th-
+    * percentile threshold, by METHOD OF MOMENTS (ξ = ½(1 − m̄²/s²),
+    * σ = ½·m̄·(m̄²/s² + 1)) — the all-exceedances complement of
+    * [[evtGumbel]]'s block maxima (POT uses every tail point, not one
+    * per block, so it converges at far smaller samples). The
+    * threshold comes from the cross-multiplied cumulative rule on the
+    * 1e-6 value grid (no percentile interpolation), exceedances stay
+    * exact integers, and the two moment ratios are one fixed double
+    * fold. ξ < 0 ⇒ bounded tail, ξ ≈ 0 ⇒ exponential, ξ > 0 ⇒ heavy.
+    * Scale: one value-keyed count agg + one moment agg.
+    */
+  def potGpd(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+        .as("v6"))
+      .persist()
+    CacheScope.register(v) // eager: threshold pick + the exceedance agg
+    val byV = v.groupBy("v6").agg(count(lit(1)).as("cnt"))
+    val tot = byV.agg(sum(col("cnt")).as("n"))
+    val thr = byV
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("v6")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 100 >= col("n") * 95)
+      .agg(min(col("v6")).as("thr6"))
+    val ex = v.crossJoin(broadcast(thr))
+      .filter(col("v6") > col("thr6"))
+      .select((col("v6") - col("thr6")).as("e"), col("thr6"))
+    val g = ex.groupBy("thr6").agg(count(lit(1)).as("k"),
+      sum(col("e")).as("se"),
+      sum(col("e") * col("e")).as("see"))
+    val kD = col("k").cast("double")
+    // population moments on the grid: m = Σe/k, s² = (kΣe² − (Σe)²)/k²
+    val m = col("se").cast("double") / kD
+    val s2 = (kD * col("see").cast("double") -
+      col("se").cast("double") * col("se").cast("double")) / (kD * kD)
+    val s2S = when(s2 === 0.0, lit(1.0)).otherwise(s2)
+    val ratio = m * m / s2S
+    val ok = col("k") >= 2 && s2 =!= 0.0
+    g.select(col("k").as("n_exceed"),
+      q(col("thr6").cast("double") / lit(1e6), 6).as("threshold"),
+      when(ok, q(lit(0.5) * (lit(1.0) - ratio), 6)).otherwise(lit(0.0))
+        .as("xi"),
+      when(ok, q(lit(0.5) * m * (ratio + lit(1.0)) / lit(1e6), 6))
+        .otherwise(lit(0.0)).as("sigma"))
+  }
+
+  /** Deterministic RANSAC trend fit (W444) on the dense daily count
+    * series: every day pair proposes the line through its two points,
+    * each proposal counts inliers with the FULLY EXACT cross-
+    * multiplied test 20·n·|(y_t−y_i)·Δt_c − Δy_c·(t−t_i)| ≤ Σy·|Δt_c|
+    * (tolerance = 5% of the mean level — scale-invariant, no float
+    * anywhere in the consensus loop), and the best consensus wins
+    * (ties → earlier anchor pair). Where [[olsTrend]] bends toward
+    * outlier days and [[theilSen]] takes the median slope, RANSAC
+    * surfaces the largest self-consistent regime AND how many days
+    * sit outside it. Scale: the proposal×day volume is span³ —
+    * day-bounded, never corpus-bounded; the corpus pays one day-keyed
+    * count agg.
+    */
+  def ransacTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(col("d0"), explode(sequence(col("d0"), col("d1")))
+        .as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select((col("day") - col("d0")).as("t"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist()
+    CacheScope.register(dense) // eager: proposals + the inlier probe
+    val st = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val cand = dense.select(col("t").as("ti"), col("y").as("yi"))
+      .join(dense.select(col("t").as("tj"), col("y").as("yj")),
+        col("ti") < col("tj"))
+      .select(col("ti"), col("yi"), (col("tj") - col("ti")).as("dx"),
+        (col("yj") - col("yi")).as("dy"))
+    val probe = cand.crossJoin(broadcast(st))
+      .crossJoin(dense)
+      .select(col("ti"), col("yi"), col("dx"), col("dy"), col("n"),
+        col("sy"),
+        (abs((col("y") - col("yi")) * col("dx") -
+          col("dy") * (col("t") - col("ti"))) * lit(20L) * col("n") <=
+          col("sy") * col("dx")).cast("long").as("inlier"))
+    val scored = probe.groupBy("ti", "dx", "dy", "n")
+      .agg(sum(col("inlier")).as("n_inliers"))
+    scored
+      .orderBy(col("n_inliers").desc, col("ti"), col("dx"), col("dy"))
+      .limit(1)
+      .select(col("n").as("n_days"), col("ti").as("anchor_t"),
+        q(col("dy").cast("double") / col("dx").cast("double"), 6)
+          .as("slope"),
+        col("n_inliers"),
+        q(col("n_inliers").cast("double") / col("n").cast("double"), 6)
+          .as("inlier_share"))
+  }
 }
 

@@ -1796,5 +1796,44 @@ object TextStats {
         (col("est") - col("exact")).as("error"))
       .orderBy(col("exact").desc, col("term"))
   }
+
+  /** Fleiss' kappa (W446) across the SAME three binary quality
+    * detectors as [[cochransQ]]: chance-corrected multi-rater
+    * agreement — Cochran's Q asks "do the detectors fire at the same
+    * RATE?", Fleiss asks "do they agree on the same DOCUMENTS beyond
+    * chance?" (detectors can have identical rates yet flag disjoint
+    * slices). Per-doc agreement P_i = (x(x−1) + (r−x)(r−x−1)) /
+    * (r(r−1)) keeps an exact integer numerator over the constant
+    * denominator r(r−1) = 6, so P̄ and the chance term fold in one
+    * fixed double expression from three exact sums. Perfect chance
+    * agreement (P_e = 1: every doc unanimous the same way) gates κ
+    * to 0 by convention. Scale: one single-scan projection + one
+    * moment agg.
+    */
+  def fleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val r = 3
+    val flags = Tables.documents(s, dir)
+      .select((col("n_chars") >= 200).cast("long").as("d1"),
+        col("text").rlike("[0-9]").cast("long").as("d2"),
+        lower(col("text")).contains(" the ").cast("long").as("d3"))
+      .select((col("d1") + col("d2") + col("d3")).as("x"))
+    val g = flags.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * (col("x") - 1) +
+        (lit(r.toLong) - col("x")) * (lit(r.toLong) - col("x") - 1))
+        .as("pnum"))
+    val nD = col("n").cast("double")
+    val pBar = col("pnum").cast("double") /
+      (nD * lit((r * (r - 1)).toDouble))
+    val pYes = col("sx").cast("double") / (nD * lit(r.toDouble))
+    val pE = pYes * pYes + (lit(1.0) - pYes) * (lit(1.0) - pYes)
+    val denom = lit(1.0) - pE
+    val denomS = when(denom === 0.0, lit(1.0)).otherwise(denom)
+    val kappa = when(denom =!= 0.0,
+      Events.q((pBar - pE) / denomS, 6)).otherwise(lit(0.0))
+    g.select(col("n").as("n_docs"),
+      Events.q(pBar, 6).as("p_bar"), Events.q(pE, 6).as("p_e"),
+      kappa.as("kappa"),
+      (kappa > lit(0.4)).cast("long").as("moderate_agree_flag"))
+  }
 }
 
