@@ -647,6 +647,11 @@ object SparkEntry {
     "ransac_trend" -> ((s, d) => Events.ransacTrend(s, d)),
     "dp_utility_audit" -> ((s, d) => Curation.dpUtilityAudit(s, d)),
     "fleiss_kappa" -> ((s, d) => TextStats.fleissKappa(s, d)),
+    // round-5 batch AE: hitting probabilities, collaboration-weighted
+    // projection, configuration-model edge lift
+    "markov_absorption" -> ((s, d) => Events.markovAbsorption(s, d)),
+    "newman_projection" -> ((s, d) => Graph.newmanProjection(s, d)),
+    "edge_surprise" -> ((s, d) => Graph.edgeSurprise(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -11938,6 +11943,100 @@ object SparkEntry {
            (CASE WHEN kappa > 0.4 THEN 1 ELSE 0 END)::BIGINT
              AS moderate_agree_flag
          FROM z3""",
+    // h_{t+1}(s) = P(s,tgt) + Σ P(s,s')h_t(s'), 9-dp grid per round
+    "markov_absorption" ->
+      """WITH seq AS (
+           SELECT event_type, lead(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events),
+         tr AS (SELECT event_type AS cur, nxt, count(*)::BIGINT AS c
+                FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT cur, sum(c)::BIGINT AS tc FROM tr GROUP BY cur),
+         p AS (SELECT cur, nxt, round(c / tc, 9) AS p
+               FROM tr JOIN tot USING (cur)),
+         direct AS (SELECT cur AS st, p AS pd FROM p
+                    WHERE nxt = 'purchase'),
+         states AS (SELECT DISTINCT cur AS st FROM p
+                    WHERE cur <> 'purchase'),
+         h1 AS (SELECT s.st, round(coalesce(pd, 0.0), 9) AS h
+                FROM states s LEFT JOIN direct USING (st)),
+         g2 AS (SELECT p.cur AS st, sum(p.p * h1.h) AS acc
+                FROM p JOIN h1 ON p.nxt = h1.st
+                WHERE p.nxt <> 'purchase' GROUP BY 1),
+         h2 AS (SELECT s.st, round(coalesce(pd, 0.0) +
+                  coalesce(acc, 0.0), 9) AS h
+                FROM states s LEFT JOIN direct USING (st)
+                LEFT JOIN g2 USING (st)),
+         g3 AS (SELECT p.cur AS st, sum(p.p * h2.h) AS acc
+                FROM p JOIN h2 ON p.nxt = h2.st
+                WHERE p.nxt <> 'purchase' GROUP BY 1),
+         h3 AS (SELECT s.st, round(coalesce(pd, 0.0) +
+                  coalesce(acc, 0.0), 9) AS h
+                FROM states s LEFT JOIN direct USING (st)
+                LEFT JOIN g3 USING (st)),
+         g4 AS (SELECT p.cur AS st, sum(p.p * h3.h) AS acc
+                FROM p JOIN h3 ON p.nxt = h3.st
+                WHERE p.nxt <> 'purchase' GROUP BY 1),
+         h4 AS (SELECT s.st, round(coalesce(pd, 0.0) +
+                  coalesce(acc, 0.0), 9) AS h
+                FROM states s LEFT JOIN direct USING (st)
+                LEFT JOIN g4 USING (st)),
+         g5 AS (SELECT p.cur AS st, sum(p.p * h4.h) AS acc
+                FROM p JOIN h4 ON p.nxt = h4.st
+                WHERE p.nxt <> 'purchase' GROUP BY 1),
+         h5 AS (SELECT s.st, round(coalesce(pd, 0.0) +
+                  coalesce(acc, 0.0), 9) AS h
+                FROM states s LEFT JOIN direct USING (st)
+                LEFT JOIN g5 USING (st)),
+         g6 AS (SELECT p.cur AS st, sum(p.p * h5.h) AS acc
+                FROM p JOIN h5 ON p.nxt = h5.st
+                WHERE p.nxt <> 'purchase' GROUP BY 1),
+         h6 AS (SELECT s.st, round(coalesce(pd, 0.0) +
+                  coalesce(acc, 0.0), 9) AS h
+                FROM states s LEFT JOIN direct USING (st)
+                LEFT JOIN g6 USING (st))
+         SELECT st AS state, round(h, 6) AS p_absorb FROM h6
+         ORDER BY state""",
+    // exact 10⁹ div (n_o−1) collaboration credit per shared order
+    "newman_projection" ->
+      """WITH dl AS (SELECT DISTINCT l_orderkey, l_suppkey
+                     FROM lineitem),
+         osz AS (SELECT l_orderkey, count(*)::BIGINT AS osz FROM dl
+                 GROUP BY 1 HAVING count(*) BETWEEN 2 AND 16),
+         adj AS (SELECT d.l_orderkey AS kk, d.l_suppkey AS sup,
+                   (1000000000 // (osz - 1))::BIGINT AS w9
+                 FROM dl d JOIN osz USING (l_orderkey))
+         SELECT a.sup AS s1, b.s2 AS s2, count(*)::BIGINT AS n_orders,
+           sum(a.w9)::BIGINT AS nw9
+         FROM adj a JOIN (SELECT kk, sup AS s2, w9 FROM adj) b
+           ON a.kk = b.kk AND a.sup < b.s2
+         GROUP BY 1, 2 ORDER BY nw9 DESC, s1, s2 LIMIT 30""",
+    // lift = w·2m/(k_i·k_j): observed over configuration-model null
+    "edge_surprise" ->
+      """WITH dl AS (SELECT DISTINCT l_orderkey, l_suppkey
+                     FROM lineitem),
+         osz AS (SELECT l_orderkey FROM dl GROUP BY 1
+                 HAVING count(*) BETWEEN 2 AND 16),
+         adj AS (SELECT d.l_orderkey, d.l_suppkey
+                 FROM dl d JOIN osz USING (l_orderkey)),
+         pw AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b,
+                  count(*)::BIGINT AS w
+                FROM adj a JOIN adj b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2),
+         deg AS (SELECT x, sum(w)::BIGINT AS kx FROM (
+                   SELECT a AS x, w FROM pw
+                   UNION ALL SELECT b, w FROM pw) GROUP BY 1),
+         m2 AS (SELECT (sum(w) * 2)::BIGINT AS m2 FROM pw),
+         lift AS (SELECT pw.a AS s1, pw.b AS s2, w,
+                    floor(w::DOUBLE * m2::DOUBLE /
+                      (da.kx::DOUBLE * db.kx::DOUBLE) * 1e6 + 0.5)
+                      / 1e6 AS lift
+                  FROM pw JOIN deg da ON da.x = pw.a
+                    JOIN deg db ON db.x = pw.b, m2
+                  WHERE w >= 5)
+         SELECT s1, s2, w, lift FROM lift
+         ORDER BY lift DESC, s1, s2 LIMIT 20""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -6151,5 +6151,57 @@ object Events {
         q(col("n_inliers").cast("double") / col("n").cast("double"), 6)
           .as("inlier_share"))
   }
+
+  /** K-step Markov absorption probabilities (W447): for each
+    * non-target state, the probability the user-journey chain REACHES
+    * `target` within `rounds` steps — h_{t+1}(s) = P(s,target) +
+    * Σ_{s'≠target} P(s,s')·h_t(s'), the hitting-probability recursion
+    * that [[markovStationary]]'s long-run shares can't answer ("from
+    * a support `error`, how likely is a purchase in the next 6
+    * clicks?"). Transition probabilities ride the same 9-dp grid as
+    * the stationary op (merge-order noise absorbed by per-round
+    * rounding, the PageRank-family convention), and the state space
+    * is |event types| — the per-round join is constant-size; the
+    * corpus pays one lead-window transition count.
+    */
+  def markovAbsorption(s: SparkSession, dir: String, rounds: Int = 6,
+                       target: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"),
+      col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val tot = trans.groupBy("cur").agg(sum(col("c")).as("tc"))
+    val p = trans.join(tot, "cur")
+      .select(col("cur"), col("nxt"),
+        round(col("c") / col("tc"), 9).as("p"))
+      .localCheckpoint()
+    val direct = p.filter(col("nxt") === target)
+      .select(col("cur").as("st"), col("p").as("pd"))
+    val states = p.select(col("cur").as("st")).distinct()
+      .filter(col("st") =!= target)
+    var h = states.join(direct, Seq("st"), "left")
+      .select(col("st"), round(coalesce(col("pd"), lit(0.0)), 9)
+        .as("h"))
+      .localCheckpoint()
+    for (_ <- 2 to rounds) {
+      val gather = p.filter(col("nxt") =!= target)
+        .join(h.select(col("st").as("s2"), col("h").as("hp")),
+          col("nxt") === col("s2"))
+        .groupBy(col("cur").as("stg"))
+        .agg(sum(col("p") * col("hp")).as("acc"))
+      h = states.join(direct, Seq("st"), "left")
+        .join(gather, col("st") === col("stg"), "left")
+        .select(col("st"), round(coalesce(col("pd"), lit(0.0)) +
+          coalesce(col("acc"), lit(0.0)), 9).as("h"))
+        .localCheckpoint()
+    }
+    h.select(col("st").as("state"), round(col("h"), 6).as("p_absorb"))
+      .orderBy("state")
+  }
 }
 

@@ -2314,4 +2314,74 @@ object Graph {
           Events.q(lit(-1.0) / (col("n").cast("double") - 1), 6),
           lit(1L)).otherwise(lit(0L)).as("clustered_flag"))
   }
+
+  /** Newman-weighted bipartite projection (W448): supplier pairs
+    * scored by collaboration weight Σ_orders 1/(n_o − 1) — each
+    * shared order's credit SPLITS among the pairs it creates, so a
+    * 2-supplier order (an exclusive collaboration) outweighs ten
+    * 16-supplier ones, where the plain co-occurrence count
+    * ([[moranI]]'s projection) treats them alike. The weight is the
+    * INTEGER 10⁹ div (n_o − 1) — integral division on both engines,
+    * scores are exact LONG sums, no float anywhere (the
+    * [[resourceAllocation]] contract, order-centric). Order fan-out
+    * capped at `orderCap`, so pair volume is Σ cap² per order.
+    */
+  def newmanProjection(s: SparkSession, dir: String, k: Int = 30,
+                       orderCap: Int = 16): DataFrame = {
+    val dl = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey").distinct()
+    val osz = dl.groupBy("l_orderkey").agg(count(lit(1)).as("osz"))
+      .filter(col("osz").between(2, orderCap))
+    val adj = dl.join(osz, "l_orderkey")
+      .select(col("l_orderkey").as("kk"), col("l_suppkey").as("sup"),
+        expr("CAST(1000000000 DIV (osz - 1) AS BIGINT)").as("w9"))
+    adj.join(adj.select(col("kk"), col("sup").as("s2"),
+        col("w9").as("w92")), "kk")
+      .filter(col("sup") < col("s2"))
+      .groupBy(col("sup").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("w9")).as("nw9"))
+      .orderBy(col("nw9").desc, col("s1"), col("s2"))
+      .limit(k)
+  }
+
+  /** Configuration-model edge surprise (W449): observed co-purchase
+    * weight over its degree-preserving null expectation,
+    * lift = w_ij·2m / (k_i·k_j) — "which supplier pairs co-occur far
+    * MORE than their popularity predicts?", the modularity numerator
+    * ([[louvainMoveGains]]) read as a per-edge diagnostic instead of
+    * a partition objective, and the ratio complement of
+    * [[graphBackbone]]'s within-node significance test. Weights,
+    * weighted degrees, and 2m are exact integers; the lift is ONE
+    * division on the 1e-6 grid; a minimum support w ≥ `minW` keeps
+    * the tiny-expectation noise out of the top list. Scale: one
+    * pair agg + one degree agg + a keyed join.
+    */
+  def edgeSurprise(s: SparkSession, dir: String, k: Int = 20,
+                   minW: Long = 5L, orderCap: Int = 16): DataFrame = {
+    val dl = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey").distinct()
+    val osz = dl.groupBy("l_orderkey").agg(count(lit(1)).as("osz"))
+      .filter(col("osz").between(2, orderCap))
+    val adj = dl.join(osz.select("l_orderkey"), "l_orderkey")
+    val pw = CacheScope.track(adj
+      .select(col("l_orderkey").as("kk"), col("l_suppkey").as("a"))
+      .join(adj.select(col("l_orderkey").as("kk"),
+        col("l_suppkey").as("b")), "kk")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .persist()) // eager: degrees + total + the lift join read it
+    val deg = pw.select(col("a").as("x"), col("w"))
+      .unionAll(pw.select(col("b").as("x"), col("w")))
+      .groupBy("x").agg(sum(col("w")).as("kx"))
+    val m2 = pw.agg((sum(col("w")) * 2).as("m2"))
+    val lift = pw.filter(col("w") >= minW)
+      .join(deg.select(col("x").as("a"), col("kx").as("ka")), "a")
+      .join(deg.select(col("x").as("b"), col("kx").as("kb")), "b")
+      .crossJoin(broadcast(m2))
+      .select(col("a").as("s1"), col("b").as("s2"), col("w"),
+        Events.q(col("w").cast("double") * col("m2").cast("double") /
+          (col("ka").cast("double") * col("kb").cast("double")), 6)
+          .as("lift"))
+    lift.orderBy(col("lift").desc, col("s1"), col("s2")).limit(k)
+  }
 }
