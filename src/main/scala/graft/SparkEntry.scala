@@ -652,6 +652,13 @@ object SparkEntry {
     "markov_absorption" -> ((s, d) => Events.markovAbsorption(s, d)),
     "newman_projection" -> ((s, d) => Graph.newmanProjection(s, d)),
     "edge_surprise" -> ((s, d) => Graph.edgeSurprise(s, d)),
+    // round-5 batch AF: two-sample drift, information flow,
+    // extreme co-movement, circular uniformity
+    "ks_two_sample" -> ((s, d) => Events.ksTwoSample(s, d)),
+    "transfer_entropy" -> ((s, d) => Events.transferEntropy(s, d)),
+    "tail_dependence" -> ((s, d) => Events.tailDependence(s, d)),
+    "rayleigh_uniformity" ->
+      ((s, d) => Events.rayleighUniformity(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -12037,6 +12044,189 @@ object SparkEntry {
                   WHERE w >= 5)
          SELECT s1, s2, w, lift FROM lift
          ORDER BY lift DESC, s1, s2 LIMIT 20""",
+    // sup gap on exact cross-multiplied integers over union values
+    "ks_two_sample" ->
+      """WITH ev AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  floor("value" * 1e6 + 0.5)::BIGINT AS v6
+           FROM events WHERE "value" IS NOT NULL),
+         mid AS (SELECT ((min(day) + max(day)) // 2)::BIGINT AS mid
+                 FROM ev),
+         halves AS (SELECT v6,
+                      (CASE WHEN day < mid THEN 1 ELSE 0 END)::BIGINT
+                        AS h1
+                    FROM ev, mid),
+         byv AS (SELECT v6, sum(h1)::BIGINT AS c1,
+                   sum(1 - h1)::BIGINT AS c2
+                 FROM halves GROUP BY 1),
+         tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+                 FROM byv),
+         gaps AS (SELECT n1, n2,
+                    abs((sum(c1) OVER (ORDER BY v6
+                        ROWS UNBOUNDED PRECEDING))::HUGEINT * n2 -
+                      (sum(c2) OVER (ORDER BY v6
+                        ROWS UNBOUNDED PRECEDING))::HUGEINT * n1)
+                      ::HUGEINT AS gap
+                  FROM byv, tot),
+         g AS (SELECT n1, n2, max(gap)::HUGEINT AS mx FROM gaps
+               GROUP BY 1, 2),
+         z AS (SELECT n1, n2,
+                 floor(mx::DOUBLE / (n1::DOUBLE * n2::DOUBLE) * 1e6
+                   + 0.5) / 1e6 AS d,
+                 floor(1.358 * sqrt((n1::DOUBLE + n2::DOUBLE) /
+                   (n1::DOUBLE * n2::DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS crit
+               FROM g)
+         SELECT n1, n2, d AS d_stat, crit AS critical,
+           (CASE WHEN d > crit THEN 1 ELSE 0 END)::BIGINT
+             AS drift_flag
+         FROM z""",
+    // 8-cell lag-triple counts; per-cell log ratio on the 1e-9 grid
+    "transfer_entropy" ->
+      """WITH d0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                    END)::BIGINT AS x,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END)::BIGINT AS y
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM d0),
+                               (SELECT max(day) FROM d0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(x, 0)::BIGINT AS x,
+                  coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN d0 USING (day)),
+         mx AS (SELECT min(v)::BIGINT AS medx FROM (
+                  SELECT v, sum(k) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum, n FROM (
+                    SELECT x AS v, count(*)::BIGINT AS k FROM dense
+                    GROUP BY 1),
+                    (SELECT count(*)::BIGINT AS n FROM dense))
+                WHERE cum * 2 >= n),
+         my AS (SELECT min(v)::BIGINT AS medy FROM (
+                  SELECT v, sum(k) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum, n FROM (
+                    SELECT y AS v, count(*)::BIGINT AS k FROM dense
+                    GROUP BY 1),
+                    (SELECT count(*)::BIGINT AS n FROM dense))
+                WHERE cum * 2 >= n),
+         bin AS (SELECT day,
+                   (CASE WHEN x > medx THEN 1 ELSE 0 END)::BIGINT
+                     AS bx,
+                   (CASE WHEN y > medy THEN 1 ELSE 0 END)::BIGINT
+                     AS by
+                 FROM dense, mx, my),
+         lagd AS (SELECT by,
+                    lag(by) OVER (ORDER BY day) AS byl,
+                    lag(bx) OVER (ORDER BY day) AS bxl
+                  FROM bin),
+         trip AS (SELECT byl, bxl, by, count(*)::BIGINT AS c
+                  FROM lagd WHERE byl IS NOT NULL GROUP BY 1, 2, 3),
+         cyx AS (SELECT byl AS a1, bxl AS a2, sum(c)::BIGINT AS cyx
+                 FROM trip GROUP BY 1, 2),
+         cyy AS (SELECT byl AS b1, by AS b2, sum(c)::BIGINT AS cyy
+                 FROM trip GROUP BY 1, 2),
+         cy AS (SELECT byl AS e1, sum(c)::BIGINT AS cy FROM trip
+                GROUP BY 1),
+         n AS (SELECT sum(c)::BIGINT AS nn FROM trip),
+         terms AS (SELECT c,
+                     floor(ln((c::DOUBLE * cy::DOUBLE) /
+                       (cyx::DOUBLE * cyy::DOUBLE)) * 1e9 + 0.5)
+                       ::BIGINT AS l9
+                   FROM trip
+                     JOIN cyx ON byl = a1 AND bxl = a2
+                     JOIN cyy ON byl = b1 AND by = b2
+                     JOIN cy ON byl = e1),
+         g AS (SELECT max(nn)::BIGINT AS n_obs,
+                 sum(c * l9)::BIGINT AS te9
+               FROM terms, n),
+         z AS (SELECT n_obs,
+                 floor(te9::DOUBLE / (n_obs::DOUBLE * 1e9) * 1e6 + 0.5)
+                   / 1e6 AS te
+               FROM g)
+         SELECT n_obs, te AS te_nats,
+           (CASE WHEN te > 0.01 THEN 1 ELSE 0 END)::BIGINT
+             AS flow_flag
+         FROM z""",
+    // exact q80 thresholds; λ_U is one division of exact counts
+    "tail_dependence" ->
+      """WITH d0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                    END)::BIGINT AS x,
+                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END)::BIGINT AS y
+           FROM events WHERE event_type IN ('view', 'click')
+           GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM d0),
+                               (SELECT max(day) FROM d0) + 1)) AS day),
+         dense AS (
+           SELECT coalesce(x, 0)::BIGINT AS x,
+                  coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN d0 USING (day)),
+         tx AS (SELECT min(v)::BIGINT AS tx FROM (
+                  SELECT v, sum(k) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum, n FROM (
+                    SELECT x AS v, count(*)::BIGINT AS k FROM dense
+                    GROUP BY 1),
+                    (SELECT count(*)::BIGINT AS n FROM dense))
+                WHERE cum * 5 >= n * 4),
+         ty AS (SELECT min(v)::BIGINT AS ty FROM (
+                  SELECT v, sum(k) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum, n FROM (
+                    SELECT y AS v, count(*)::BIGINT AS k FROM dense
+                    GROUP BY 1),
+                    (SELECT count(*)::BIGINT AS n FROM dense))
+                WHERE cum * 5 >= n * 4),
+         g AS (SELECT count(*)::BIGINT AS n,
+                 sum(CASE WHEN x > tx THEN 1 ELSE 0 END)::BIGINT
+                   AS nx,
+                 sum(CASE WHEN y > ty THEN 1 ELSE 0 END)::BIGINT
+                   AS ny,
+                 sum(CASE WHEN x > tx AND y > ty THEN 1 ELSE 0
+                   END)::BIGINT AS nxy,
+                 max(tx)::BIGINT AS tx, max(ty)::BIGINT AS ty
+               FROM dense, tx, ty)
+         SELECT n AS n_days, tx, ty, nxy AS n_joint,
+           CASE WHEN ny > 0
+             THEN floor(nxy::DOUBLE /
+               (CASE WHEN ny = 0 THEN 1 ELSE ny END)::DOUBLE * 1e6
+               + 0.5) / 1e6
+             ELSE 0.0 END AS lambda_u,
+           floor(nx::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6
+             AS indep_base
+         FROM g""",
+    // driver-computed 1e-9 trig literals — no per-engine libm trig
+    "rayleigh_uniformity" -> {
+      val ws = (0 until 24).map { h =>
+        val a = 2 * math.Pi * h / 24
+        s"{'hr': $h, 'c9': ${math.floor(math.cos(a) * 1e9 + 0.5).toLong}" +
+          s", 's9': ${math.floor(math.sin(a) * 1e9 + 0.5).toLong}}"
+      }.mkString(", ")
+      s"""WITH w AS (SELECT e.hr AS hr, e.c9 AS c9, e.s9 AS s9
+                     FROM (SELECT unnest([$ws]) AS e)),
+         byh AS (SELECT extract(hour FROM ts)::INT AS hr,
+                   count(*)::BIGINT AS cnt
+                 FROM events GROUP BY 1),
+         g AS (SELECT sum(cnt)::BIGINT AS n,
+                 sum(cnt::HUGEINT * c9)::HUGEINT AS sc,
+                 sum(cnt::HUGEINT * s9)::HUGEINT AS ss
+               FROM byh JOIN w USING (hr)),
+         z AS (SELECT n,
+                 n::DOUBLE * ((sc::DOUBLE * sc::DOUBLE +
+                   ss::DOUBLE * ss::DOUBLE) /
+                   (n::DOUBLE * n::DOUBLE * 1e18)) AS z
+               FROM g)
+         SELECT n AS n_events,
+           floor(z * 1e4 + 0.5) / 1e4 AS rayleigh_z,
+           floor(exp(-z) * 1e6 + 0.5) / 1e6 AS p_approx,
+           (CASE WHEN floor(exp(-z) * 1e6 + 0.5) / 1e6 < 0.05
+             THEN 1 ELSE 0 END)::BIGINT AS nonuniform_flag
+         FROM z"""
+    },
   )
 
   private def sqlList(words: Seq[String]): String =

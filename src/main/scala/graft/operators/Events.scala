@@ -6203,5 +6203,215 @@ object Events {
     h.select(col("st").as("state"), round(col("h"), 6).as("p_absorb"))
       .orderBy("state")
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift test (W450) between the
+    * first and second half of the event stream (split at the median
+    * day): did the VALUE distribution move? The supremum gap runs on
+    * the exact cross-multiplied integers |cum₁·n₂ − cum₂·n₁| over the
+    * union of distinct 1e-6 grid values, one division surfaces D, and
+    * the 5% decision compares the 6-dp D against the 6-dp critical
+    * value 1.358·√((n₁+n₂)/(n₁n₂)). The generic two-sample sibling of
+    * [[Ml.ksStatistic]] (classifier score separation) and the
+    * all-quantile upgrade of [[psiDrift]]'s binned divergence. Scale:
+    * one value-keyed count agg per half + a distinct-values window.
+    */
+  def ksTwoSample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .persist()
+    CacheScope.register(ev) // eager: the split bound + both halves
+    val mid = ev.agg(((min(col("day")) + max(col("day"))) / lit(2))
+      .cast("long").as("mid"))
+    val halves = ev.crossJoin(broadcast(mid))
+      .select(col("v6"), (col("day") < col("mid")).cast("long")
+        .as("h1"))
+    val byV = halves.groupBy("v6")
+      .agg(sum(col("h1")).as("c1"),
+        sum(lit(1L) - col("h1")).as("c2"))
+    val tot = byV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.orderBy("v6")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gaps = byV
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+          col("cum2").cast("decimal(38,0)") * col("n1")).as("gap"))
+    val g = gaps.groupBy("n1", "n2").agg(max(col("gap")).as("mx"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val d = q(col("mx").cast("double") / (n1D * n2D), 6)
+    val crit = q(lit(1.358) * sqrt((n1D + n2D) / (n1D * n2D)), 6)
+    g.select(col("n1"), col("n2"), d.as("d_stat"), crit.as("critical"),
+      (d > crit).cast("long").as("drift_flag"))
+  }
+
+  /** Binary transfer entropy view→purchase (W451): after median-
+    * splitting both dense daily series, TE = Σ p(y',x',y)·
+    * ln[p(y|y',x')/p(y|y')] over the 8 lag-triple cells — does
+    * yesterday's VIEW level carry information about today's PURCHASE
+    * level beyond purchase's own history? The nonlinear,
+    * direction-aware complement of [[grangerCausality]] (which only
+    * sees linear mean shifts) and the dynamic sibling of
+    * [[mutualInformation]]. Cell counts and all four marginals are
+    * exact integers; each cell's log-ratio lands once on the 1e-9
+    * grid and the weighted sum divides once by N. Scale: one
+    * day-keyed agg + an 8-row fold.
+    */
+  def transferEntropy(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        (col("event_type") === "view").cast("long").as("isv"))
+      .groupBy("day")
+      .agg(sum(col("isv")).as("x"), sum(lit(1L) - col("isv")).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist()
+    CacheScope.register(dense) // eager: two medians + the triple scan
+    def med(c: String) = {
+      val byV = dense.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
+      val n = byV.agg(sum(col("k")).as("n"))
+      byV.withColumn("cum", sum(col("k")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(n))
+        .filter(col("cum") * 2 >= col("n"))
+        .agg(min(col("v")).as(s"med$c"))
+    }
+    val w = Window.orderBy("day")
+    // strictly ABOVE the lower median: `>=` would degenerate to
+    // all-ones whenever the low value carries exactly half the mass
+    val bin = dense.crossJoin(broadcast(med("x")))
+      .crossJoin(broadcast(med("y")))
+      .select(col("day"), (col("x") > col("medx")).cast("long")
+        .as("bx"), (col("y") > col("medy")).cast("long").as("by"))
+    val trip = bin
+      .withColumn("byl", org.apache.spark.sql.functions.lag(col("by"), 1)
+        .over(w))
+      .withColumn("bxl", org.apache.spark.sql.functions.lag(col("bx"), 1)
+        .over(w))
+      .filter(col("byl").isNotNull)
+      .groupBy(col("byl"), col("bxl"), col("by"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    CacheScope.register(trip) // eager: four marginals read it
+    val cYX = trip.groupBy(col("byl").as("a1"), col("bxl").as("a2"))
+      .agg(sum(col("c")).as("cyx"))
+    val cYY = trip.groupBy(col("byl").as("b1"), col("by").as("b2"))
+      .agg(sum(col("c")).as("cyy"))
+    val cY = trip.groupBy(col("byl").as("d1")).agg(sum(col("c")).as("cy"))
+    val n = trip.agg(sum(col("c")).as("nn"))
+    val terms = trip
+      .join(cYX, col("byl") === col("a1") && col("bxl") === col("a2"))
+      .join(cYY, col("byl") === col("b1") && col("by") === col("b2"))
+      .join(cY, col("byl") === col("d1"))
+      .select(col("c"),
+        floor(log((col("c").cast("double") * col("cy").cast("double")) /
+          (col("cyx").cast("double") * col("cyy").cast("double"))) *
+          lit(1e9) + lit(0.5)).cast("long").as("l9"))
+    terms.crossJoin(broadcast(n))
+      .agg(max(col("nn")).as("n_obs"),
+        sum(col("c") * col("l9")).as("te9"))
+      .select(col("n_obs"),
+        q(col("te9").cast("double") /
+          (col("n_obs").cast("double") * lit(1e9)), 6).as("te_nats"),
+        (q(col("te9").cast("double") /
+          (col("n_obs").cast("double") * lit(1e9)), 6) > lit(0.01))
+          .cast("long").as("flow_flag"))
+  }
+
+  /** Empirical upper-tail dependence (W452) between the daily view
+    * and click series: λ_U = P(x > q₈₀(x) | y > q₈₀(y)) — when one
+    * series spikes, does the other spike WITH it? Correlation can be
+    * high while tails are independent (and vice versa); tail
+    * dependence is what capacity planning actually needs. Both
+    * thresholds come from the exact cumulative rule, the conditional
+    * probability is one division of exact counts, and the
+    * independence baseline P(x > q₈₀) is surfaced next to it. Scale:
+    * one day-keyed agg + two tiny threshold windows.
+    */
+  def tailDependence(s: SparkSession, dir: String): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        (col("event_type") === "view").cast("long").as("isv"))
+      .groupBy("day")
+      .agg(sum(col("isv")).as("x"), sum(lit(1L) - col("isv")).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist()
+    CacheScope.register(dense) // eager: two thresholds + the joint scan
+    def q80(c: String) = {
+      val byV = dense.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
+      val n = byV.agg(sum(col("k")).as("n"))
+      byV.withColumn("cum", sum(col("k")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(n))
+        .filter(col("cum") * 5 >= col("n") * 4)
+        .agg(min(col("v")).as(s"t$c"))
+    }
+    val g = dense.crossJoin(broadcast(q80("x")))
+      .crossJoin(broadcast(q80("y")))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") > col("tx")).cast("long")).as("nx"),
+        sum((col("y") > col("ty")).cast("long")).as("ny"),
+        sum((col("x") > col("tx") && col("y") > col("ty"))
+          .cast("long")).as("nxy"),
+        max(col("tx")).as("tx"), max(col("ty")).as("ty"))
+    val nyS = when(col("ny") === 0, lit(1L)).otherwise(col("ny"))
+    g.select(col("n").as("n_days"), col("tx"), col("ty"),
+      col("nxy").as("n_joint"),
+      when(col("ny") > 0, q(col("nxy").cast("double") /
+        nyS.cast("double"), 6)).otherwise(lit(0.0)).as("lambda_u"),
+      q(col("nx").cast("double") / col("n").cast("double"), 6)
+        .as("indep_base"))
+  }
+
+  /** Rayleigh test for hour-of-day uniformity (W453): the resultant
+    * length of the 24 hourly counts placed on the unit circle —
+    * R̄² = (S² + C²)/n², z = n·R̄², p ≈ e^(−z) — "is activity FLAT
+    * around the clock, or does it have a preferred hour?", the
+    * circular-statistics primitive behind [[seasonalHourly]]'s
+    * descriptive profile. The 24 cos/sin weights are DRIVER-COMPUTED
+    * 1e-9 integer literals injected identically into both engines
+    * (never per-engine libm trig), so S and C are exact integer dot
+    * products and only the final z/p expression is float. Scale: one
+    * hour-keyed count agg + a 24-row fold.
+    */
+  def rayleighUniformity(s: SparkSession, dir: String): DataFrame = {
+    val weights = (0 until 24).map { h =>
+      val a = 2 * math.Pi * h / 24
+      (h, math.floor(math.cos(a) * 1e9 + 0.5).toLong,
+        math.floor(math.sin(a) * 1e9 + 0.5).toLong)
+    }
+    import s.implicits._
+    val wdf = broadcast(weights.toDF("hr", "c9", "s9"))
+    val byH = Tables.events(s, dir)
+      .select(hour(col("ts")).as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+    val g = byH.join(wdf, "hr")
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt").cast("decimal(38,0)") * col("c9")).as("sc"),
+        sum(col("cnt").cast("decimal(38,0)") * col("s9")).as("ss"))
+    val nD = col("n").cast("double")
+    val r2 = (col("sc").cast("double") * col("sc").cast("double") +
+      col("ss").cast("double") * col("ss").cast("double")) /
+      (nD * nD * lit(1e18))
+    val z = nD * r2
+    g.select(col("n").as("n_events"), q(z, 4).as("rayleigh_z"),
+      q(exp(-z), 6).as("p_approx"),
+      (q(exp(-z), 6) < lit(0.05)).cast("long").as("nonuniform_flag"))
+  }
 }
 
