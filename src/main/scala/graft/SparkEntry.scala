@@ -659,6 +659,13 @@ object SparkEntry {
     "tail_dependence" -> ((s, d) => Events.tailDependence(s, d)),
     "rayleigh_uniformity" ->
       ((s, d) => Events.rayleighUniformity(s, d)),
+    // round-5 batch AG: graph robustness, tail risk, HAC inference,
+    // embedding hubness
+    "percolation_threshold" ->
+      ((s, d) => Graph.percolationThreshold(s, d)),
+    "cvar_es" -> ((s, d) => Relational.cvarEs(s, d)),
+    "hac_mean_ci" -> ((s, d) => Events.hacMeanCi(s, d)),
+    "knn_hubness" -> ((s, d) => Graph.knnHubness(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -12227,6 +12234,150 @@ object SparkEntry {
              THEN 1 ELSE 0 END)::BIGINT AS nonuniform_flag
          FROM z"""
     },
+    // κ = Σk²/Σk exact; f_c = (κ−2)/(κ−1); κ>2 giant-component flag
+    "percolation_threshold" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS sup
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         nodes AS (SELECT c AS src FROM pairs
+                   UNION ALL SELECT sup FROM pairs),
+         deg AS (SELECT src, count(*)::BIGINT AS k FROM nodes
+                 GROUP BY 1),
+         g AS (SELECT count(*)::BIGINT AS n, sum(k)::BIGINT AS sk,
+                 sum(k::HUGEINT * k)::HUGEINT AS skk
+               FROM deg),
+         z AS (SELECT n, sk,
+                 skk::DOUBLE / sk::DOUBLE AS kap
+               FROM g)
+         SELECT n AS n_nodes,
+           floor(sk::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6 AS mean_deg,
+           floor(kap * 1e6 + 0.5) / 1e6 AS kappa,
+           CASE WHEN kap > 1.0
+             THEN floor((kap - 2) /
+               ((CASE WHEN kap = 1.0 THEN 2.0 ELSE kap END) - 1) * 1e6
+               + 0.5) / 1e6
+             ELSE 0.0 END AS f_critical,
+           (CASE WHEN floor(kap * 1e6 + 0.5) / 1e6 > 2.0 THEN 1
+             ELSE 0 END)::BIGINT AS giant_component_flag
+         FROM z""",
+    // exact cumulative VaR₉₅ + one-division conditional tail mean
+    "cvar_es" ->
+      """WITH v AS (SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS c
+                    FROM orders),
+         byv AS (SELECT c, count(*)::BIGINT AS k FROM v GROUP BY 1),
+         tot AS (SELECT sum(k)::BIGINT AS n FROM byv),
+         thr AS (SELECT min(c)::BIGINT AS var_c FROM (
+                   SELECT c, sum(k) OVER (ORDER BY c
+                     ROWS UNBOUNDED PRECEDING) AS cum FROM byv), tot
+                 WHERE cum * 100 >= n * 95),
+         g AS (SELECT max(n)::BIGINT AS n, max(var_c)::BIGINT AS var_c,
+                 sum(CASE WHEN c >= var_c THEN 1 ELSE 0 END)::BIGINT
+                   AS n_tail,
+                 sum(CASE WHEN c >= var_c THEN c ELSE 0 END)::BIGINT
+                   AS s_tail
+               FROM v, thr, tot)
+         SELECT n AS n_orders,
+           floor(var_c::DOUBLE / 100.0 * 1e2 + 0.5) / 1e2 AS var_95,
+           floor(s_tail::DOUBLE / n_tail::DOUBLE / 100.0 * 1e2 + 0.5)
+             / 1e2 AS es_95,
+           floor(n_tail::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6
+             AS tail_share
+         FROM g""",
+    // the kpss lag-product chain re-read as a Newey–West mean CI
+    "hac_mean_ci" ->
+      """WITH daily0 AS (
+           SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                  count(*)::BIGINT AS y
+           FROM events GROUP BY 1),
+         spine AS (
+           SELECT unnest(range((SELECT min(day) FROM daily0),
+                               (SELECT max(day) FROM daily0) + 1)) AS day),
+         dense AS (
+           SELECT s.day, coalesce(y, 0)::BIGINT AS y
+           FROM spine s LEFT JOIN daily0 USING (day)),
+         st AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+                FROM dense),
+         ee AS (SELECT day, n, sy, (y * n - sy)::BIGINT AS e
+                FROM dense, st),
+         c AS (SELECT n, sy, e,
+                 lag(e, 1) OVER (ORDER BY day) AS e1,
+                 lag(e, 2) OVER (ORDER BY day) AS e2,
+                 lag(e, 3) OVER (ORDER BY day) AS e3,
+                 lag(e, 4) OVER (ORDER BY day) AS e4,
+                 lag(e, 5) OVER (ORDER BY day) AS e5
+               FROM ee),
+         g AS (SELECT n, sy,
+                 sum(e::HUGEINT * e)::HUGEINT AS g0,
+                 sum(e::HUGEINT * e1)::HUGEINT AS g1,
+                 sum(e::HUGEINT * e2)::HUGEINT AS g2,
+                 sum(e::HUGEINT * e3)::HUGEINT AS g3,
+                 sum(e::HUGEINT * e4)::HUGEINT AS g4,
+                 sum(e::HUGEINT * e5)::HUGEINT AS g5
+               FROM c GROUP BY n, sy),
+         f AS (SELECT n, sy,
+                 (g0 * 6 + 2 * (5 * g1 + 4 * g2 + 3 * g3 + 2 * g4
+                   + 1 * g5))::HUGEINT AS lrn, g0
+               FROM g),
+         z AS (SELECT n,
+                 sy::DOUBLE / n::DOUBLE AS mean,
+                 sqrt(greatest(0.0, lrn::DOUBLE /
+                   (6.0 * n::DOUBLE * n::DOUBLE * n::DOUBLE *
+                    n::DOUBLE))) AS sehac,
+                 sqrt(greatest(0.0, g0::DOUBLE /
+                   (n::DOUBLE * n::DOUBLE * n::DOUBLE * n::DOUBLE)))
+                   AS senaive
+               FROM f)
+         SELECT n AS n_days,
+           floor(mean * 1e6 + 0.5) / 1e6 AS mean_daily,
+           floor(senaive * 1e6 + 0.5) / 1e6 AS se_naive,
+           floor(sehac * 1e6 + 0.5) / 1e6 AS se_hac,
+           floor((mean - 1.959964 * sehac) * 1e6 + 0.5) / 1e6 AS ci_lo,
+           floor((mean + 1.959964 * sehac) * 1e6 + 0.5) / 1e6 AS ci_hi
+         FROM z""",
+    // k-occurrence moments of the exact top-k neighbor lists
+    "knn_hubness" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sc AS (SELECT q.vec_id AS qid, ee.vec_id AS vid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(ee.v, q.v) DESC,
+                      ee.vec_id) AS rn
+                FROM e q CROSS JOIN e ee WHERE ee.vec_id <> q.vec_id),
+         occ AS (SELECT e.vec_id,
+                   coalesce(o, 0)::BIGINT AS o
+                 FROM e LEFT JOIN (
+                   SELECT vid, count(*)::BIGINT AS o FROM sc
+                   WHERE rn <= 10 GROUP BY 1) t ON t.vid = e.vec_id),
+         g AS (SELECT count(*)::BIGINT AS n, sum(o)::BIGINT AS so,
+                 sum(o * o)::BIGINT AS soo,
+                 sum(o * o * o)::BIGINT AS sooo,
+                 max(o)::BIGINT AS mx
+               FROM occ),
+         m AS (SELECT n, mx,
+                 so::DOUBLE / n::DOUBLE AS m1,
+                 soo::DOUBLE / n::DOUBLE -
+                   (so::DOUBLE / n::DOUBLE) * (so::DOUBLE / n::DOUBLE)
+                   AS m2,
+                 sooo::DOUBLE / n::DOUBLE -
+                   3.0 * (so::DOUBLE / n::DOUBLE) *
+                     (soo::DOUBLE / n::DOUBLE) +
+                   2.0 * (so::DOUBLE / n::DOUBLE) *
+                     (so::DOUBLE / n::DOUBLE) *
+                     (so::DOUBLE / n::DOUBLE) AS m3
+               FROM g),
+         z AS (SELECT n, mx,
+                 CASE WHEN m2 > 0.0
+                   THEN floor(m3 /
+                     ((CASE WHEN m2 <= 0.0 THEN 1.0 ELSE m2 END) *
+                      sqrt(CASE WHEN m2 <= 0.0 THEN 1.0 ELSE m2 END))
+                     * 1e6 + 0.5) / 1e6
+                   ELSE 0.0 END AS skew
+               FROM m)
+         SELECT n AS n_vecs, 10::BIGINT AS k, mx AS max_k_occurrence,
+           skew AS skew_g1,
+           (CASE WHEN skew > 1.0 THEN 1 ELSE 0 END)::BIGINT
+             AS hubness_flag
+         FROM z""",
   )
 
   private def sqlList(words: Seq[String]): String =

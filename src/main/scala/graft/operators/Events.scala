@@ -6413,5 +6413,54 @@ object Events {
       q(exp(-z), 6).as("p_approx"),
       (q(exp(-z), 6) < lit(0.05)).cast("long").as("nonuniform_flag"))
   }
+
+  /** HAC (Newey–West, Bartlett lag 5) confidence interval for the
+    * daily mean (W456): the daily count series is autocorrelated, so
+    * the naive se = s/√n UNDERSTATES uncertainty — the long-run
+    * variance replaces s² with γ₀ + 2Σ(1−j/(L+1))γⱼ, the same exact
+    * integer lag-product chain as [[kpssTest]] (demeaned residuals
+    * cross-multiplied to e′ = n·y − Σy, every γ′ⱼ exact DECIMAL, the
+    * L+1 weight denominator folded exactly). Surfacing naive and HAC
+    * se side by side shows how much the iid illusion flatters the
+    * CI. Scale: one day-keyed agg + an O(L)-lag window.
+    */
+  def hacMeanCi(s: SparkSession, dir: String, lag: Int = 5): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val st = dense.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val w = Window.orderBy("day")
+    val e = dense.crossJoin(broadcast(st))
+      .select(col("day"), col("n"), col("sy"),
+        (col("y") * col("n") - col("sy")).as("e"))
+    val prodCols = (0 to lag).map(j =>
+      (col("e").cast("decimal(38,0)") *
+        org.apache.spark.sql.functions.lag(col("e"), j).over(w))
+        .as(s"p$j"))
+    val prods = e.select(Seq(col("n"), col("sy")) ++ prodCols: _*)
+    val aggs = prods.groupBy("n", "sy").agg(
+      sum(col("p0")).as("g0"),
+      (1 to lag).map(j => sum(col(s"p$j")).as(s"g$j")): _*)
+    val lrn = (1 to lag).foldLeft(
+      col("g0") * lit(lag + 1): org.apache.spark.sql.Column)(
+      (acc, j) => acc + col(s"g$j") * lit(2 * (lag + 1 - j)))
+    val nD = col("n").cast("double")
+    val mean = col("sy").cast("double") / nD
+    // γ′ units are (n·e)²: σ²_lr = lrn/((L+1)·n³); se² = σ²_lr/n
+    val seHac = sqrt(greatest(lit(0.0),
+      lrn.cast("double") / (lit((lag + 1).toDouble) * nD * nD * nD *
+        nD)))
+    val seNaive = sqrt(greatest(lit(0.0),
+      col("g0").cast("double") / (nD * nD * nD * nD)))
+    aggs.select(col("n").as("n_days"), q(mean, 6).as("mean_daily"),
+      q(seNaive, 6).as("se_naive"), q(seHac, 6).as("se_hac"),
+      q(mean - lit(1.959964) * seHac, 6).as("ci_lo"),
+      q(mean + lit(1.959964) * seHac, 6).as("ci_hi"))
+  }
 }
 

@@ -2384,4 +2384,79 @@ object Graph {
           .as("lift"))
     lift.orderBy(col("lift").desc, col("s1"), col("s2")).limit(k)
   }
+
+  /** Molloy–Reed percolation threshold (W454) of the
+    * customer⇄supplier graph: κ = ⟨k²⟩/⟨k⟩ and the random-failure
+    * critical fraction f_c = (κ−2)/(κ−1) — "what share of nodes can
+    * fail before the giant component shatters?", the one-number
+    * robustness readout behind every degree-distribution plot
+    * ([[degreeDistribution]] shows the histogram; this is its
+    * actionable summary). κ > 2 is the giant-component existence
+    * criterion. Degree moments are exact integer sums (Σk² ≤ n·k²max
+    * in DECIMAL), both ratios divide once. Scale: one degree agg +
+    * one moment agg.
+    */
+  def percolationThreshold(s: SparkSession, dir: String): DataFrame = {
+    val deg = customerSupplierEdges(s, dir)
+      .groupBy("src").agg(count(lit(1)).as("k"))
+    val g = deg.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+      sum(col("k").cast("decimal(38,0)") * col("k")).as("skk"))
+    val kap = col("skk").cast("double") / col("sk").cast("double")
+    val kapS = when(kap === lit(1.0), lit(2.0)).otherwise(kap)
+    g.select(col("n").as("n_nodes"),
+      Events.q(col("sk").cast("double") / col("n").cast("double"), 6)
+        .as("mean_deg"),
+      Events.q(kap, 6).as("kappa"),
+      when(kap > 1.0, Events.q((kap - 2) / (kapS - 1), 6))
+        .otherwise(lit(0.0)).as("f_critical"),
+      (Events.q(kap, 6) > lit(2.0)).cast("long")
+        .as("giant_component_flag"))
+  }
+
+  /** kNN-graph hubness audit (W455): the k-occurrence distribution —
+    * how often each vector appears in OTHER vectors' top-k lists —
+    * summarized by its max and moment skewness. High-dimensional
+    * embedding spaces grow HUBS (a few vectors near everyone) whose
+    * k-occurrence skew silently corrupts kNN classification and
+    * retrieval diversity; this is the canonical health check run
+    * before trusting [[bruteForceTopK]]-style retrieval. Neighbor
+    * lists use the exact fused cosine with a (sim, id) total order;
+    * occurrence moments are exact integers and the g₁ skewness is
+    * one fixed double fold. Exact all-pairs at fixture scale; the
+    * 100 TB path reuses [[ivfTopK]]'s candidate lists — hubness only
+    * needs each vector's top-k, however those are produced.
+    */
+  def knnHubness(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val scored = emb.crossJoin(broadcast(
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qv")).as("sim"))
+    val topk = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+    val occ = emb.select(col("vec_id"))
+      .join(topk.groupBy("vec_id").agg(count(lit(1)).as("o")),
+        Seq("vec_id"), "left")
+      .select(coalesce(col("o"), lit(0L)).as("o"))
+    val g = occ.agg(count(lit(1)).as("n"), sum(col("o")).as("so"),
+      sum(col("o") * col("o")).as("soo"),
+      sum(col("o") * col("o") * col("o")).as("sooo"),
+      max(col("o")).as("mx"))
+    val nD = col("n").cast("double")
+    val m1 = col("so").cast("double") / nD
+    val m2 = col("soo").cast("double") / nD - m1 * m1
+    val m3 = col("sooo").cast("double") / nD -
+      lit(3.0) * m1 * (col("soo").cast("double") / nD) +
+      lit(2.0) * m1 * m1 * m1
+    val m2S = when(m2 <= 0.0, lit(1.0)).otherwise(m2)
+    val skew = when(m2 > 0.0,
+      Events.q(m3 / (m2S * sqrt(m2S)), 6)).otherwise(lit(0.0))
+    g.select(col("n").as("n_vecs"), lit(k.toLong).as("k"),
+      col("mx").as("max_k_occurrence"), skew.as("skew_g1"),
+      (skew > lit(1.0)).cast("long").as("hubness_flag"))
+  }
 }

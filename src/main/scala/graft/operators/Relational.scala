@@ -3118,5 +3118,42 @@ object Relational {
       col("l2").as("l2"), z.as("z"),
       (z > lit(1.644854)).cast("long").as("trend_flag"))
   }
+
+  /** Value-at-Risk and expected shortfall (W457) of order totals:
+    * VaR₉₅ from the exact cross-multiplied cumulative rule on the
+    * cent grid (no percentile interpolation), then
+    * ES₉₅ = E[X | X ≥ VaR₉₅] as one division of exact integer sums —
+    * the coherent tail-risk pair ([[Events.potGpd]] models the tail's
+    * SHAPE; this prices its AVERAGE). The tail share is surfaced so a
+    * reader sees how much mass the conditional mean averages over.
+    * Scale: one value-keyed count agg + one conditional-moment agg.
+    */
+  def cvarEs(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * lit(100) + lit(0.5))
+        .cast("long").as("c"))
+      .persist()
+    CacheScope.register(v) // eager: threshold pick + the tail agg
+    val byV = v.groupBy("c").agg(count(lit(1)).as("k"))
+    val tot = byV.agg(sum(col("k")).as("n"))
+    val thr = byV
+      .withColumn("cum", sum(col("k")).over(Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 100 >= col("n") * 95)
+      .agg(min(col("c")).as("var_c"))
+    val g = v.crossJoin(broadcast(thr)).crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("var_c")).as("var_c"),
+        sum((col("c") >= col("var_c")).cast("long")).as("n_tail"),
+        sum(when(col("c") >= col("var_c"), col("c"))
+          .otherwise(lit(0L))).as("s_tail"))
+    g.select(col("n").as("n_orders"),
+      Events.q(col("var_c").cast("double") / lit(100.0), 2)
+        .as("var_95"),
+      Events.q(col("s_tail").cast("double") /
+        col("n_tail").cast("double") / lit(100.0), 2).as("es_95"),
+      Events.q(col("n_tail").cast("double") / col("n").cast("double"),
+        6).as("tail_share"))
+  }
 }
 
