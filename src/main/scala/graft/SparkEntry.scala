@@ -666,6 +666,11 @@ object SparkEntry {
     "cvar_es" -> ((s, d) => Relational.cvarEs(s, d)),
     "hac_mean_ci" -> ((s, d) => Events.hacMeanCi(s, d)),
     "knn_hubness" -> ((s, d) => Graph.knnHubness(s, d)),
+    // round-5 batch AH: count-correct GLM trend, parametric survival,
+    // unseen-vocabulary estimate
+    "poisson_glm_trend" -> ((s, d) => Events.poissonGlmTrend(s, d)),
+    "weibull_plot_fit" -> ((s, d) => Events.weibullPlotFit(s, d)),
+    "chao1_richness" -> ((s, d) => TextStats.chao1Richness(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -832,6 +837,55 @@ object SparkEntry {
       s"SELECT n.id, floor(($score) * 1e9 + 0.5) / 1e9 AS katz" +
       s" FROM nodes n $joins" +
       s" ORDER BY katz DESC, n.id LIMIT $k"
+  }
+
+  /** Unrolled Newton steps for the Poisson GLM trend (mirrors
+    * `Events.poissonGlmTrend`: fitted means on the 1e-6 integer grid
+    * per step, exact gradient/Hessian sums, 1e-9 re-quantized state). */
+  private def poissonOracleSql(rounds: Int): String = {
+    val blocks = (1 to rounds).flatMap { r =>
+      Seq(
+        s"m$r AS (SELECT t, y, a, b," +
+          s" floor(exp(a + b * t) * 1e6 + 0.5)::BIGINT AS m6" +
+          s" FROM dense CROSS JOIN s${r - 1})",
+        s"g$r AS (SELECT a, b, sum(m6)::BIGINT AS s0," +
+          " sum(m6 * t)::BIGINT AS s1," +
+          " sum(m6::HUGEINT * t * t)::HUGEINT AS s2," +
+          " sum(y * 1000000)::BIGINT AS y0," +
+          " sum(y * t * 1000000)::BIGINT AS y1" +
+          s" FROM m$r GROUP BY a, b)",
+        s"s$r AS (SELECT" +
+          " floor((a + (s2::DOUBLE * (y0 - s0)::DOUBLE -" +
+          " s1::DOUBLE * (y1 - s1)::DOUBLE) /" +
+          " (CASE WHEN s0::HUGEINT * s2 - s1::HUGEINT * s1 = 0 THEN 1" +
+          " ELSE s0::HUGEINT * s2 - s1::HUGEINT * s1 END)::DOUBLE)" +
+          " * 1e9 + 0.5) / 1e9 AS a," +
+          " floor((b + (s0::DOUBLE * (y1 - s1)::DOUBLE -" +
+          " s1::DOUBLE * (y0 - s0)::DOUBLE) /" +
+          " (CASE WHEN s0::HUGEINT * s2 - s1::HUGEINT * s1 = 0 THEN 1" +
+          " ELSE s0::HUGEINT * s2 - s1::HUGEINT * s1 END)::DOUBLE)" +
+          s" * 1e9 + 0.5) / 1e9 AS b FROM g$r)")
+    }
+    """WITH daily0 AS (
+         SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+                count(*)::BIGINT AS y
+         FROM events GROUP BY 1),
+       spine AS (
+         SELECT unnest(range((SELECT min(day) FROM daily0),
+                             (SELECT max(day) FROM daily0) + 1)) AS day),
+       dense AS (
+         SELECT (s.day - (SELECT min(day) FROM daily0))::BIGINT AS t,
+                coalesce(y, 0)::BIGINT AS y
+         FROM spine s LEFT JOIN daily0 USING (day)),
+       st AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+              FROM dense),
+       s0 AS (SELECT floor(ln(greatest(sy::DOUBLE / n::DOUBLE, 1.0))
+                * 1e9 + 0.5) / 1e9 AS a, 0.0 AS b FROM st),
+    """ + blocks.mkString(",\n") + "\n" +
+      s"SELECT n AS n_days, floor(a * 1e6 + 0.5) / 1e6 AS a_intercept," +
+      " floor(b * 1e6 + 0.5) / 1e6 AS b_slope," +
+      " floor(exp(b) * 1e6 + 0.5) / 1e6 AS rate_ratio" +
+      s" FROM s$rounds, st"
   }
 
   /** Unrolled greedy facility-location selection (mirrors
@@ -12378,6 +12432,80 @@ object SparkEntry {
            (CASE WHEN skew > 1.0 THEN 1 ELSE 0 END)::BIGINT
              AS hubness_flag
          FROM z""",
+    "poisson_glm_trend" -> poissonOracleSql(3),
+    // Bernard median ranks from exact cumulative counts; 1e-9 log
+    // grids before exact DECIMAL OLS sums
+    "weibull_plot_fit" ->
+      """WITH pu AS (
+           SELECT user_id, min(ts)::DATE AS d0,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)::DATE
+                    AS dconv
+           FROM events GROUP BY user_id),
+         durs AS (SELECT date_diff('day', d0, dconv)::BIGINT AS t
+                  FROM pu WHERE dconv IS NOT NULL),
+         pos AS (SELECT t FROM durs WHERE t >= 1),
+         byt AS (SELECT t, count(*)::BIGINT AS c FROM pos GROUP BY 1),
+         m AS (SELECT sum(c)::BIGINT AS m FROM byt),
+         pts AS (SELECT t,
+                   floor(ln(t::DOUBLE) * 1e9 + 0.5)::BIGINT AS x9,
+                   floor(ln(-ln(1.0 -
+                     ((sum(c) OVER (ORDER BY t
+                        ROWS UNBOUNDED PRECEDING))::DOUBLE - 0.3) /
+                     (m::DOUBLE + 0.4))) * 1e9 + 0.5)::BIGINT AS y9
+                 FROM byt, m),
+         g AS (SELECT count(*)::BIGINT AS k,
+                 (SELECT m FROM m) AS m,
+                 sum(x9)::BIGINT AS sx, sum(y9)::BIGINT AS sy,
+                 sum(x9::HUGEINT * x9)::HUGEINT AS sxx,
+                 sum(x9::HUGEINT * y9)::HUGEINT AS sxy,
+                 sum(y9::HUGEINT * y9)::HUGEINT AS syy
+               FROM pts),
+         f AS (SELECT k, m,
+                 (k::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   AS bn,
+                 (k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                   AS bd,
+                 (k::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                   AS dd, sx, sy
+               FROM g),
+         z AS (SELECT k, m, bn, bd, dd,
+                 bn / (CASE WHEN bd = 0.0 THEN 1.0 ELSE bd END)
+                   AS slope, sx, sy
+               FROM f),
+         z2 AS (SELECT k, m, bn, bd, dd, slope,
+                  (sy::DOUBLE - slope * sx::DOUBLE) /
+                    (k::DOUBLE * 1e9) AS inter
+                FROM z)
+         SELECT m AS n_conversions, k AS n_points,
+           CASE WHEN k >= 2 AND bd != 0.0
+             THEN floor(slope * 1e4 + 0.5) / 1e4 ELSE 0.0 END
+             AS k_shape,
+           CASE WHEN k >= 2 AND bd != 0.0 AND bn != 0.0
+             THEN floor(exp(-inter /
+               (CASE WHEN bn = 0.0 THEN 1.0 ELSE slope END)) * 1e2
+               + 0.5) / 1e2
+             ELSE 0.0 END AS lambda_scale,
+           CASE WHEN k >= 2 AND bd != 0.0 AND dd != 0.0
+             THEN floor(bn * bn /
+               ((CASE WHEN bd = 0.0 THEN 1.0 ELSE bd END) *
+                (CASE WHEN dd = 0.0 THEN 1.0 ELSE dd END)) * 1e6
+               + 0.5) / 1e6
+             ELSE 0.0 END AS r2
+         FROM z2""",
+    // Chao1 = V + F₁(F₁−1)/(2(F₂+1)); Good–Turing coverage 1 − F₁/N
+    "chao1_richness" -> s"""$TokCte,
+         cnt AS (SELECT t, count(*)::BIGINT AS c
+                 FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+         g AS (SELECT count(*)::BIGINT AS v, sum(c)::BIGINT AS n,
+                 sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                 sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+               FROM cnt)
+         SELECT n AS n_tokens, v AS vocab, f1 AS hapax, f2 AS dis,
+           floor((v::DOUBLE + f1::DOUBLE * (f1::DOUBLE - 1) /
+             (2.0 * (f2::DOUBLE + 1))) * 1e2 + 0.5) / 1e2 AS chao1,
+           floor((1.0 - f1::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6
+             AS coverage
+         FROM g""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -6462,5 +6462,130 @@ object Events {
       q(mean - lit(1.959964) * seHac, 6).as("ci_lo"),
       q(mean + lit(1.959964) * seHac, 6).as("ci_hi"))
   }
+
+  /** Poisson GLM trend (W459): y_t ~ Poisson(exp(a + b·t)) over the
+    * dense daily series, fit by `rounds` unrolled Newton steps — the
+    * COUNT-correct alternative to [[olsTrend]]'s Gaussian line (no
+    * negative fitted counts, multiplicative rate_ratio = e^b per
+    * day). Cross-engine determinism for an iterative libm fit: each
+    * step's fitted means land on the 1e-6 integer grid
+    * (μ₆ = ⌊e^{a+bt}·10⁶+½⌋ — exp of IDENTICAL quantized (a,b) both
+    * sides), so the gradient/Hessian sums are exact integers and the
+    * 2×2 Newton solve is one fixed double expression, re-quantized
+    * to 1e-9 before the next step. Scale: rounds × one day-spine
+    * scan — the state is two scalars.
+    */
+  def poissonGlmTrend(s: SparkSession, dir: String,
+                      rounds: Int = 3): DataFrame = {
+    val daily0 = Tables.events(s, dir)
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("y"))
+    val bounds = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = bounds
+      .select(col("d0"), explode(sequence(col("d0"), col("d1")))
+        .as("day"))
+      .join(daily0, Seq("day"), "left")
+      .select((col("day") - col("d0")).as("t"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist()
+    CacheScope.register(dense) // eager: init + every Newton scan
+    val q9 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    var state = dense
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      .select(q9(log(greatest(col("sy").cast("double") /
+        col("n").cast("double"), lit(1.0)))).as("a"),
+        lit(0.0).as("b"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val mu = dense.crossJoin(broadcast(state))
+        .select(col("t"), col("y"), col("a"), col("b"),
+          floor(exp(col("a") + col("b") * col("t")) * lit(1e6) +
+            lit(0.5)).cast("long").as("m6"))
+      val g = mu.groupBy("a", "b").agg(
+        sum(col("m6")).as("s0"),
+        sum(col("m6") * col("t")).as("s1"),
+        sum(col("m6").cast("decimal(38,0)") * col("t") * col("t"))
+          .as("s2"),
+        sum(col("y") * lit(1000000L)).as("y0"),
+        sum(col("y") * col("t") * lit(1000000L)).as("y1"))
+      val det = col("s0").cast("decimal(38,0)") * col("s2") -
+        col("s1").cast("decimal(38,0)") * col("s1")
+      val detS = when(det === 0, lit(1)).otherwise(det).cast("double")
+      val u0 = (col("y0") - col("s0")).cast("double")
+      val u1 = (col("y1") - col("s1")).cast("double")
+      val da = (col("s2").cast("double") * u0 -
+        col("s1").cast("double") * u1) / detS
+      val db = (col("s0").cast("double") * u1 -
+        col("s1").cast("double") * u0) / detS
+      state = g.select(q9(col("a") + da).as("a"),
+        q9(col("b") + db).as("b")).localCheckpoint()
+    }
+    val n = dense.agg(count(lit(1)).as("n"))
+    state.crossJoin(broadcast(n))
+      .select(col("n").as("n_days"), q(col("a"), 6).as("a_intercept"),
+        q(col("b"), 6).as("b_slope"),
+        q(exp(col("b")), 6).as("rate_ratio"))
+  }
+
+  /** Weibull plotting-position fit (W460) of conversion times: OLS of
+    * ln(−ln(1−F_i)) on ln(t_i) over the distinct event-day points,
+    * with Bernard's median ranks F = (i − 0.3)/(m + 0.4) from exact
+    * cumulative counts — shape k (slope) and scale λ = e^{−c/k}
+    * answer "is conversion hazard rising (k > 1) or front-loaded
+    * (k < 1)?", the parametric layer over [[kaplanMeier]]'s
+    * nonparametric curve. Both log coordinates land on 1e-9 integer
+    * grids before EXACT DECIMAL OLS sums (the priceElasticity
+    * recipe); one division each for slope/intercept/R². Scale: one
+    * user-keyed duration agg + a distinct-day window.
+    */
+  def weibullPlotFit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val perUser = ev.groupBy("user_id").agg(
+      to_date(min(col("ts"))).as("d0"),
+      to_date(min(when(col("event_type") === "purchase", col("ts"))))
+        .as("dconv"))
+      .filter(col("dconv").isNotNull)
+      .select(datediff(col("dconv"), col("d0")).cast("long").as("t"))
+      .filter(col("t") >= 1)
+    val byT = perUser.groupBy("t").agg(count(lit(1)).as("c"))
+    val m = byT.agg(sum(col("c")).as("m"))
+    val pts = byT
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(m))
+      .select(col("t"), col("cum"), col("m"),
+        floor(log(col("t").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("long").as("x9"),
+        floor(log(-log(lit(1.0) -
+          (col("cum").cast("double") - lit(0.3)) /
+          (col("m").cast("double") + lit(0.4)))) * lit(1e9) +
+          lit(0.5)).cast("long").as("y9"))
+    val g = pts.agg(count(lit(1)).as("k"), max(col("m")).as("m"),
+      sum(col("x9")).as("sx"), sum(col("y9")).as("sy"),
+      sum(col("x9").cast("decimal(38,0)") * col("x9")).as("sxx"),
+      sum(col("x9").cast("decimal(38,0)") * col("y9")).as("sxy"),
+      sum(col("y9").cast("decimal(38,0)") * col("y9")).as("syy"))
+    val kD = col("k").cast("double")
+    val bn = kD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val bd = kD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dd = kD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val bdS = when(bd === 0.0, lit(1.0)).otherwise(bd)
+    val ddS = when(dd === 0.0, lit(1.0)).otherwise(dd)
+    val slope = bn / bdS
+    val inter = (col("sy").cast("double") - slope *
+      col("sx").cast("double")) / (kD * lit(1e9))
+    val slopeS = when(bn === 0.0, lit(1.0)).otherwise(slope)
+    val okW = col("k") >= 2 && bd =!= 0.0
+    g.select(col("m").as("n_conversions"), col("k").as("n_points"),
+      when(okW, q(slope, 4)).otherwise(lit(0.0)).as("k_shape"),
+      when(okW && bn =!= 0.0, q(exp(-inter / slopeS), 2))
+        .otherwise(lit(0.0)).as("lambda_scale"),
+      when(okW && dd =!= 0.0, q(bn * bn / (bdS * ddS), 6))
+        .otherwise(lit(0.0)).as("r2"))
+  }
 }
 

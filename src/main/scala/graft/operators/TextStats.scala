@@ -1835,5 +1835,32 @@ object TextStats {
       kappa.as("kappa"),
       (kappa > lit(0.4)).cast("long").as("moderate_agree_flag"))
   }
+
+  /** Chao1 vocabulary-richness estimate (W458): how many types does
+    * the corpus's vocabulary REALLY have, counting the ones we
+    * haven't seen yet? Chao1 = V + F₁(F₁−1)/(2(F₂+1)) (the
+    * bias-corrected form — no F₂ = 0 blowup) from the hapax/dis
+    * counts, plus Good–Turing coverage C = 1 − F₁/N — the
+    * unseen-mass pair that tells a data pipeline whether more
+    * crawling buys more vocabulary ([[heapsLaw]] fits the growth
+    * CURVE; Chao1 reads off its asymptote). Count-of-counts is two
+    * exact keyed aggs; both estimates are one division each. Scale:
+    * the word_count cost class.
+    */
+  def chao1Richness(s: SparkSession, dir: String): DataFrame = {
+    val counts = tokenized(s, dir).select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val g = counts.agg(count(lit(1)).as("v"), sum(col("c")).as("n"),
+      sum((col("c") === 1).cast("long")).as("f1"),
+      sum((col("c") === 2).cast("long")).as("f2"))
+    val chao = col("v").cast("double") +
+      col("f1").cast("double") * (col("f1").cast("double") - 1) /
+        (lit(2.0) * (col("f2").cast("double") + 1))
+    g.select(col("n").as("n_tokens"), col("v").as("vocab"),
+      col("f1").as("hapax"), col("f2").as("dis"),
+      Events.q(chao, 2).as("chao1"),
+      Events.q(lit(1.0) - col("f1").cast("double") /
+        col("n").cast("double"), 6).as("coverage"))
+  }
 }
 
