@@ -671,6 +671,14 @@ object SparkEntry {
     "poisson_glm_trend" -> ((s, d) => Events.poissonGlmTrend(s, d)),
     "weibull_plot_fit" -> ((s, d) => Events.weibullPlotFit(s, d)),
     "chao1_richness" -> ((s, d) => TextStats.chao1Richness(s, d)),
+    // round-5 batch AI: source duplication structure, degree-mixing
+    // curve, embedding intrinsic dimension, vocabulary rarefaction
+    "dedup_source_matrix" -> ((s, d) => Dedup.dedupSourceMatrix(s, d)),
+    "avg_neighbor_degree" ->
+      ((s, d) => Graph.avgNeighborDegree(s, d)),
+    "intrinsic_dimension" ->
+      ((s, d) => Similarity.intrinsicDimension(s, d)),
+    "rarefaction_curve" -> ((s, d) => TextStats.rarefactionCurve(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -12506,6 +12514,95 @@ object SparkEntry {
            floor((1.0 - f1::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6
              AS coverage
          FROM g""",
+    // sorted source-pair cells over the exact-Jaccard pair set
+    "dedup_source_matrix" -> s"""WITH ja AS ($JaccardSql),
+         cells AS (SELECT least(da.source, db.source) AS src_a,
+                     greatest(da.source, db.source) AS src_b,
+                     count(*)::BIGINT AS n_pairs
+                   FROM ja JOIN documents da ON da.doc_id = ja.doc_a
+                     JOIN documents db ON db.doc_id = ja.doc_b
+                   GROUP BY 1, 2),
+         tot AS (SELECT sum(n_pairs)::BIGINT AS tot FROM cells)
+         SELECT src_a, src_b, n_pairs,
+           (CASE WHEN src_a = src_b THEN 1 ELSE 0 END)::BIGINT
+             AS within_source,
+           floor(n_pairs::DOUBLE / tot::DOUBLE * 1e6 + 0.5) / 1e6
+             AS share
+         FROM cells, tot ORDER BY n_pairs DESC, src_a, src_b""",
+    // knn(d) flattened to edge level: one exact division per bucket
+    "avg_neighbor_degree" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS sup
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         edges AS (SELECT c AS src, sup AS dst FROM pairs
+                   UNION ALL SELECT sup, c FROM pairs),
+         deg AS (SELECT src, count(*)::BIGINT AS k FROM edges
+                 GROUP BY 1),
+         flat AS (SELECT least(du.k, 20)::BIGINT AS bucket, dv.k AS kv
+                  FROM edges e JOIN deg du ON du.src = e.src
+                    JOIN deg dv ON dv.src = e.dst)
+         SELECT bucket, count(*)::BIGINT AS n_edges,
+           floor(sum(kv)::DOUBLE / count(*)::DOUBLE * 1e6 + 0.5) / 1e6
+             AS knn_mean
+         FROM flat GROUP BY 1 ORDER BY 1""",
+    // μ = r₂/r₁ on the 1e-9 distance grid; d̂ = n/Σ ln μ
+    "intrinsic_dimension" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sc AS (SELECT q.vec_id AS qid, ee.vec_id AS vid,
+                  list_cosine_similarity(ee.v, q.v) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(ee.v, q.v) DESC,
+                      ee.vec_id) AS rn
+                FROM e q CROSS JOIN e ee WHERE ee.vec_id <> q.vec_id),
+         t2 AS (SELECT qid, rn,
+                  floor((1.0 - sim) * 1e9 + 0.5)::BIGINT AS d9
+                FROM sc WHERE rn <= 2),
+         mu AS (SELECT qid,
+                  min(CASE WHEN rn = 1 THEN d9 END)::BIGINT AS d1,
+                  min(CASE WHEN rn = 2 THEN d9 END)::BIGINT AS d2
+                FROM t2 GROUP BY 1),
+         valid AS (SELECT floor(ln(d2::DOUBLE / d1::DOUBLE) * 1e9
+                     + 0.5)::BIGINT AS l9
+                   FROM mu WHERE d1 > 0),
+         g AS (SELECT count(*)::BIGINT AS n_all,
+                 sum(CASE WHEN d1 = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup
+               FROM mu),
+         f AS (SELECT count(*)::BIGINT AS n_valid,
+                 sum(l9)::BIGINT AS sl9
+               FROM valid)
+         SELECT n_all AS n_vecs, n_dup AS n_zero_r1, n_valid,
+           CASE WHEN sl9 > 0
+             THEN floor(n_valid::DOUBLE * 1e9 /
+               (CASE WHEN sl9 <= 0 THEN 1 ELSE sl9 END)::DOUBLE * 1e4
+               + 0.5) / 1e4
+             ELSE 0.0 END AS id_hat
+         FROM f, g""",
+    // fixed retention fractions → ln(1−f) driver literals both sides
+    "rarefaction_curve" -> {
+      val rows = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+        .map(f => s"{'frac': $f, 'ln1f': ${math.log(1.0 - f)}}")
+        .mkString(", ")
+      s"""$TokCte,
+         fr AS (SELECT e.frac AS frac, e.ln1f AS ln1f
+                FROM (SELECT unnest([$rows]) AS e)),
+         cnt AS (SELECT t, count(*)::BIGINT AS c
+                 FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+         kc AS (SELECT c, count(*)::BIGINT AS k FROM cnt GROUP BY 1),
+         v AS (SELECT sum(k)::BIGINT AS v FROM kc),
+         terms AS (SELECT frac, k,
+                     floor((1.0 - exp(c::DOUBLE * ln1f)) * 1e9 + 0.5)
+                       ::BIGINT AS t9
+                   FROM kc, fr),
+         g AS (SELECT frac, sum(k::HUGEINT * t9)::HUGEINT AS s9
+               FROM terms GROUP BY 1)
+         SELECT frac,
+           floor(s9::DOUBLE / 1e9 * 1e2 + 0.5) / 1e2 AS exp_vocab,
+           floor(s9::DOUBLE / 1e9 / v::DOUBLE * 1e6 + 0.5) / 1e6
+             AS vocab_share
+         FROM g, v ORDER BY frac"""
+    },
   )
 
   private def sqlList(words: Seq[String]): String =

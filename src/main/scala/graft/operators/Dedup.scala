@@ -1031,5 +1031,40 @@ object Dedup {
         greatest(lit(0.0), chap - col("n_union").cast("double")), 2)
         .as("est_missed"))
   }
+
+  /** Source-pair duplication matrix (W461): the exact-Jaccard
+    * near-dup pairs bucketed by their documents' (source, source)
+    * cell — WHICH sources duplicate each other? Within-source cells
+    * mean a crawler re-fetching itself; cross-source cells mean
+    * syndication, and they decide whether per-source dedup
+    * ([[incrementalDedup]]'s batch-vs-corpus shape) suffices or a
+    * global pass is required. Cells key on the sorted source pair so
+    * (a,b) and (b,a) merge; counts are exact, the share divides once
+    * by the total. Scale: the pair pipeline + two broadcast-able
+    * doc-source joins + one tiny cell agg.
+    */
+  def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir, 0.8).select("doc_a", "doc_b")
+    val src = Tables.documents(s, dir).select(col("doc_id"),
+      col("source"))
+    val cells = pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("sa0")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("sb0")), "doc_b")
+      .select(least(col("sa0"), col("sb0")).as("src_a"),
+        greatest(col("sa0"), col("sb0")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .persist()
+    graft.CacheScope.register(cells) // eager: total + the share scan
+    val tot = cells.agg(sum(col("n_pairs")).as("tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        (col("src_a") === col("src_b")).cast("long")
+          .as("within_source"),
+        graft.operators.Events.q(col("n_pairs").cast("double") /
+          col("tot").cast("double"), 6).as("share"))
+      .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
+  }
 }
 

@@ -2459,4 +2459,33 @@ object Graph {
       col("mx").as("max_k_occurrence"), skew.as("skew_g1"),
       (skew > lit(1.0)).cast("long").as("hubness_flag"))
   }
+
+  /** Average-neighbor-degree curve knn(d) (W462): for nodes of
+    * degree bucket d (degrees above `cap` pool into the top bucket),
+    * the mean degree of their neighbors — the CURVE behind
+    * [[assortativity]]'s single correlation number (rising knn(d) =
+    * assortative core, falling = hubs feeding leaves, the
+    * rich-club/disassortative signature). Flattened to edge level so
+    * each bucket is one exact integer division: knn(d) =
+    * Σ_{(u,v): deg(u)∈d} deg(v) / #such edges — no per-node rational
+    * ever materializes. Scale: one degree agg + two degree joins
+    * keyed on edge endpoints.
+    */
+  def avgNeighborDegree(s: SparkSession, dir: String,
+                        cap: Int = 20): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+    val deg = CacheScope.track(e.groupBy("src")
+      .agg(count(lit(1)).as("k")).persist())
+    val flat = e
+      .join(deg.select(col("src"), col("k").as("ku")), "src")
+      .join(deg.select(col("src").as("dst"), col("k").as("kv")), "dst")
+      .select(least(col("ku"), lit(cap.toLong)).as("bucket"),
+        col("kv"))
+    flat.groupBy("bucket")
+      .agg(count(lit(1)).as("n_edges"), sum(col("kv")).as("sk"))
+      .select(col("bucket"), col("n_edges"),
+        Events.q(col("sk").cast("double") /
+          col("n_edges").cast("double"), 6).as("knn_mean"))
+      .orderBy("bucket")
+  }
 }

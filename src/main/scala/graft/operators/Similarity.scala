@@ -1435,4 +1435,50 @@ object Similarity {
     import s.implicits._
     out.toSeq.toDF("round", "selected_vec", "mean_coverage")
   }
+
+  /** TwoNN intrinsic-dimension estimate (W463, Facco et al.): from
+    * each vector's two nearest cosine distances, μ = r₂/r₁, and the
+    * MLE d̂ = n/Σ ln μ — "how many dimensions does the data ACTUALLY
+    * occupy?", the number that says whether 128-d embeddings live on
+    * a 10-d manifold (LSH/IVF will work brilliantly) or genuinely
+    * fill the space. Distances land on the 1e-9 grid before the
+    * ratio (exact-duplicate neighbors, r₁ = 0 on the grid, are
+    * excluded and COUNTED — they'd send μ to ∞), each ln lands once
+    * on the 1e-9 grid, and d̂ is one division. Exact top-2 via the
+    * (sim, id) total-order window at fixture scale; the 100 TB path
+    * feeds the same estimator from [[ivfTopK]] candidates.
+    */
+  def intrinsicDimension(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val scored = emb.crossJoin(broadcast(
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+    val top2 = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("rn"),
+        floor((lit(1.0) - col("sim")) * lit(1e9) + lit(0.5))
+          .cast("long").as("d9"))
+    val mu = top2.groupBy("qid")
+      .agg(min(when(col("rn") === 1, col("d9"))).as("d1"),
+        min(when(col("rn") === 2, col("d9"))).as("d2"))
+    val valid = mu.filter(col("d1") > 0)
+      .select(floor(log(col("d2").cast("double") /
+        col("d1").cast("double")) * lit(1e9) + lit(0.5)).cast("long")
+        .as("l9"))
+    val g = mu.agg(count(lit(1)).as("n_all"),
+      sum((col("d1") === 0).cast("long")).as("n_dup"))
+    val f = valid.agg(count(lit(1)).as("n_valid"),
+      sum(col("l9")).as("sl9"))
+    val sl9S = when(col("sl9") <= 0, lit(1L)).otherwise(col("sl9"))
+    f.crossJoin(broadcast(g))
+      .select(col("n_all").as("n_vecs"), col("n_dup").as("n_zero_r1"),
+        col("n_valid"),
+        when(col("sl9") > 0, Events.q(col("n_valid").cast("double") *
+          lit(1e9) / sl9S.cast("double"), 4)).otherwise(lit(0.0))
+          .as("id_hat"))
+  }
 }

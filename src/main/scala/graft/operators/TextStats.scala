@@ -1862,5 +1862,43 @@ object TextStats {
       Events.q(lit(1.0) - col("f1").cast("double") /
         col("n").cast("double"), 6).as("coverage"))
   }
+
+  /** Bernoulli rarefaction curve (W464): expected vocabulary size
+    * when the corpus is subsampled to fixed fractions —
+    * E[V_m] ≈ Σ_c k_c·(1 − (1−f)^c) over the count-of-counts — the
+    * curve [[chao1Richness]] summarizes at its endpoint, and the
+    * budget question in data-mixing terms: "how much vocabulary do I
+    * LOSE at 25% of the tokens?". The retention fractions are FIXED
+    * constants, so ln(1−f) is a driver literal injected into both
+    * engines (no data-dependent logs); each count group's term
+    * exp(c·ln(1−f)) lands once on the 1e-9 grid, making the per-
+    * fraction sum exact. Scale: one count-of-counts agg × 5
+    * broadcast fraction rows.
+    */
+  def rarefactionCurve(s: SparkSession, dir: String): DataFrame = {
+    val fracs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val lits = fracs.map(f => (f, math.log(1.0 - f)))
+    import s.implicits._
+    val fr = broadcast(lits.toDF("frac", "ln1f"))
+    val kc = tokenized(s, dir).select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("k"))
+      .persist()
+    CacheScope.register(kc) // eager: V total + the 5-fraction scan
+    val v = kc.agg(sum(col("k")).as("v"))
+    val terms = kc.crossJoin(fr)
+      .select(col("frac"), col("k"),
+        floor((lit(1.0) - exp(col("c").cast("double") * col("ln1f")))
+          * lit(1e9) + lit(0.5)).cast("long").as("t9"))
+    terms.groupBy("frac")
+      .agg(sum(col("k").cast("decimal(38,0)") * col("t9")).as("s9"))
+      .crossJoin(broadcast(v))
+      .select(col("frac"),
+        Events.q(col("s9").cast("double") / lit(1e9), 2)
+          .as("exp_vocab"),
+        Events.q(col("s9").cast("double") / lit(1e9) /
+          col("v").cast("double"), 6).as("vocab_share"))
+      .orderBy("frac")
+  }
 }
 
