@@ -679,6 +679,14 @@ object SparkEntry {
     "intrinsic_dimension" ->
       ((s, d) => Similarity.intrinsicDimension(s, d)),
     "rarefaction_curve" -> ((s, d) => TextStats.rarefactionCurve(s, d)),
+    // round-5 batch AJ: count-model diagnostics, decomposable
+    // inequality, index numbers, demand intermittency
+    "zero_inflation" -> ((s, d) => Events.zeroInflation(s, d)),
+    "theil_decomposition" ->
+      ((s, d) => Relational.theilDecomposition(s, d)),
+    "price_index" -> ((s, d) => Relational.priceIndex(s, d)),
+    "demand_classification" ->
+      ((s, d) => Relational.demandClassification(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -12603,6 +12611,150 @@ object SparkEntry {
              AS vocab_share
          FROM g, v ORDER BY frac"""
     },
+    // van den Broek score vs χ²(1); p̂₀ = e^{−λ̂} on the 1e-9 grid
+    "zero_inflation" ->
+      """WITH pu AS (
+           SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END)::BIGINT AS k
+           FROM events GROUP BY 1),
+         g AS (SELECT count(*)::BIGINT AS n, sum(k)::BIGINT AS sk,
+                 sum(CASE WHEN k = 0 THEN 1 ELSE 0 END)::BIGINT AS n0
+               FROM pu),
+         z AS (SELECT n, sk, n0,
+                 sk::DOUBLE / n::DOUBLE AS lam,
+                 floor(exp(-(sk::DOUBLE / n::DOUBLE)) * 1e9 + 0.5)
+                   / 1e9 AS p0
+               FROM g),
+         z2 AS (SELECT n, n0, lam, p0,
+                  n::DOUBLE * p0 AS expz,
+                  n::DOUBLE * p0 * (1.0 - p0) -
+                    n::DOUBLE * lam * p0 * p0 AS den
+                FROM z),
+         z3 AS (SELECT n, n0, lam, expz, den,
+                 (n0::DOUBLE - expz) * (n0::DOUBLE - expz) /
+                   (CASE WHEN den <= 0.0 THEN 1.0 ELSE den END) AS sc
+               FROM z2)
+         SELECT n AS n_users,
+           floor(lam * 1e6 + 0.5) / 1e6 AS lambda_hat,
+           n0 AS obs_zero,
+           floor(expz * 1e2 + 0.5) / 1e2 AS exp_zero,
+           CASE WHEN den > 0.0 THEN floor(sc * 1e4 + 0.5) / 1e4
+             ELSE 0.0 END AS score,
+           (CASE WHEN den > 0.0 AND floor(sc * 1e4 + 0.5) / 1e4 > 3.84
+             THEN 1 ELSE 0 END)::BIGINT AS zero_inflated_flag
+         FROM z3""",
+    // per-term 1e-9 grids over exact rational arguments x·n/S
+    "theil_decomposition" ->
+      """WITH spend AS (
+           SELECT o.o_custkey,
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS x,
+             max(c.c_nationkey) AS nat
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1),
+         sp AS (SELECT * FROM spend WHERE x > 0),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+                 FROM sp),
+         tt AS (SELECT sum(floor((x::DOUBLE * n / sx::DOUBLE) *
+                    ln(x::DOUBLE * n / sx::DOUBLE) * 1e9 + 0.5)
+                    ::BIGINT)::BIGINT AS st9
+                FROM sp, tot),
+         byg AS (SELECT nat, count(*)::BIGINT AS ng,
+                   sum(x)::BIGINT AS xg
+                 FROM sp GROUP BY 1),
+         tb AS (SELECT n, sum(floor((xg::DOUBLE / sx::DOUBLE) *
+                    ln(xg::DOUBLE * n /
+                      (ng::DOUBLE * sx::DOUBLE)) * 1e9 + 0.5)
+                    ::BIGINT)::BIGINT AS sb9
+                FROM byg, tot GROUP BY n),
+         z AS (SELECT n, st9, sb9,
+                 st9::DOUBLE / (n::DOUBLE * 1e9) AS ttot,
+                 sb9::DOUBLE / 1e9 AS tbet
+               FROM tt, tb)
+         SELECT n AS n_customers,
+           floor(ttot * 1e6 + 0.5) / 1e6 AS theil_total,
+           floor(tbet * 1e6 + 0.5) / 1e6 AS theil_between,
+           floor((ttot - tbet) * 1e6 + 0.5) / 1e6 AS theil_within,
+           CASE WHEN st9 != 0
+             THEN floor((ttot - tbet) /
+               (CASE WHEN st9 = 0 THEN 1.0 ELSE ttot END) * 1e6 + 0.5)
+               / 1e6
+             ELSE 0.0 END AS within_share
+         FROM z""",
+    // ΣR₀/ΣR₁ exact; cross terms R₁Q₀/Q₁, R₀Q₁/Q₀ on the cent grid
+    "price_index" ->
+      """WITH li AS (
+           SELECT l_partkey AS pk,
+             (year(l_shipdate) * 12 + month(l_shipdate))::BIGINT AS m,
+             floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents,
+             l_quantity::BIGINT AS qty
+           FROM lineitem),
+         mid AS (SELECT ((min(m) + max(m)) // 2)::BIGINT AS mid
+                 FROM li),
+         per AS (SELECT pk,
+                   (CASE WHEN m <= mid THEN 1 ELSE 0 END)::INT AS p0,
+                   sum(cents)::BIGINT AS r, sum(qty)::BIGINT AS q
+                 FROM li, mid GROUP BY 1, 2),
+         bothp AS (SELECT a.pk, a.r AS r0, a.q AS q0, b.r AS r1,
+                     b.q AS q1
+                   FROM (SELECT * FROM per WHERE p0 = 1) a
+                     JOIN (SELECT * FROM per WHERE p0 = 0) b
+                     USING (pk)
+                   WHERE a.q > 0 AND b.q > 0),
+         terms AS (SELECT r0, r1,
+                     floor(r1::DOUBLE * q0 / q1::DOUBLE + 0.5)::BIGINT
+                       AS lnum,
+                     floor(r0::DOUBLE * q1 / q0::DOUBLE + 0.5)::BIGINT
+                       AS pden
+                   FROM bothp),
+         g AS (SELECT count(*)::BIGINT AS n_parts,
+                 sum(r0)::BIGINT AS sr0, sum(r1)::BIGINT AS sr1,
+                 sum(lnum)::BIGINT AS sl, sum(pden)::BIGINT AS sp
+               FROM terms),
+         z AS (SELECT n_parts,
+                 sl::DOUBLE / sr0::DOUBLE AS lasp,
+                 sr1::DOUBLE / sp::DOUBLE AS paas
+               FROM g)
+         SELECT n_parts,
+           floor(lasp * 1e6 + 0.5) / 1e6 AS laspeyres,
+           floor(paas * 1e6 + 0.5) / 1e6 AS paasche,
+           floor(sqrt(lasp * paas) * 1e6 + 0.5) / 1e6 AS fisher
+         FROM z""",
+    // exact-integer ADI and CV² ratios, quantized before the cuts
+    "demand_classification" ->
+      """WITH pm AS (
+           SELECT l_partkey AS pk,
+             (year(l_shipdate) * 12 + month(l_shipdate))::BIGINT AS m,
+             sum(l_quantity::BIGINT)::BIGINT AS q
+           FROM lineitem GROUP BY 1, 2),
+         span AS (SELECT (max(m) - min(m) + 1)::BIGINT AS span
+                  FROM pm),
+         pp AS (SELECT pk, count(*)::BIGINT AS dm, sum(q)::BIGINT
+                  AS sq, sum(q * q)::BIGINT AS sqq
+                FROM pm GROUP BY 1),
+         c AS (SELECT pk,
+                 floor(span::DOUBLE / dm::DOUBLE * 1e4 + 0.5) / 1e4
+                   AS adi,
+                 floor((dm::DOUBLE * sqq::DOUBLE -
+                   sq::DOUBLE * sq::DOUBLE) /
+                   (sq::DOUBLE * sq::DOUBLE) * 1e4 + 0.5) / 1e4 AS cv2
+               FROM pp, span),
+         cl AS (SELECT CASE
+                  WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+                  WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+                  WHEN adi < 1.32 THEN 'erratic'
+                  ELSE 'lumpy' END AS cls
+                FROM c)
+         SELECT count(*)::BIGINT AS n_parts,
+           sum(CASE WHEN cls = 'smooth' THEN 1 ELSE 0 END)::BIGINT
+             AS n_smooth,
+           sum(CASE WHEN cls = 'intermittent' THEN 1 ELSE 0
+             END)::BIGINT AS n_intermittent,
+           sum(CASE WHEN cls = 'erratic' THEN 1 ELSE 0 END)::BIGINT
+             AS n_erratic,
+           sum(CASE WHEN cls = 'lumpy' THEN 1 ELSE 0 END)::BIGINT
+             AS n_lumpy
+         FROM cl""",
   )
 
   private def sqlList(words: Seq[String]): String =

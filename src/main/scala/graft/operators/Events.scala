@@ -6587,5 +6587,39 @@ object Events {
       when(okW && dd =!= 0.0, q(bn * bn / (bdS * ddS), 6))
         .otherwise(lit(0.0)).as("r2"))
   }
+
+  /** Zero-inflation score test (W465, van den Broek): do MORE users
+    * make zero purchases than a Poisson with the observed mean
+    * predicts? S = (n₀ − n·p̂₀)² / (n·p̂₀(1−p̂₀) − n·ȳ·p̂₀²) against
+    * χ²(1) — the "is there a never-buyer segment?" gate run before
+    * fitting any count model ([[poissonGlmTrend]] silently assumes
+    * no). Per-user counts are exact; p̂₀ = e^{−λ̂} lands once on the
+    * 1e-9 grid (λ̂ from exact integer sums), and the score is one
+    * fixed double expression. A non-positive variance denominator
+    * (degenerate fits) gates to 0. Scale: one user-keyed agg + one
+    * moment agg.
+    */
+  def zeroInflation(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum((col("event_type") === "purchase").cast("long"))
+        .as("k"))
+    val g = perUser.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+      sum((col("k") === 0).cast("long")).as("n0"))
+    val nD = col("n").cast("double")
+    val lam = col("sk").cast("double") / nD
+    val p09 = floor(exp(-lam) * lit(1e9) + lit(0.5)).cast("long")
+    val p0 = p09.cast("double") / lit(1e9)
+    val expZero = nD * p0
+    val den = nD * p0 * (lit(1.0) - p0) - nD * lam * p0 * p0
+    val denS = when(den <= 0.0, lit(1.0)).otherwise(den)
+    val sc = (col("n0").cast("double") - expZero) *
+      (col("n0").cast("double") - expZero) / denS
+    g.select(col("n").as("n_users"), q(lam, 6).as("lambda_hat"),
+      col("n0").as("obs_zero"), q(expZero, 2).as("exp_zero"),
+      when(den > 0.0, q(sc, 4)).otherwise(lit(0.0)).as("score"),
+      when(den > 0.0 && q(sc, 4) > lit(3.84), lit(1L))
+        .otherwise(lit(0L)).as("zero_inflated_flag"))
+  }
 }
 

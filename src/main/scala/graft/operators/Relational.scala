@@ -3155,5 +3155,148 @@ object Relational {
       Events.q(col("n_tail").cast("double") / col("n").cast("double"),
         6).as("tail_share"))
   }
+
+  /** Theil-T within/between decomposition (W466) of customer spend by
+    * nation: T = T_between + Σ_g s_g·T_within(g) — how much spend
+    * inequality is ACROSS nations vs inside them, the question the
+    * single [[inequalityIndices]] number can't answer (and the Theil
+    * index's defining advantage over Gini, which doesn't decompose).
+    * Per-customer and per-nation log terms each land once on the
+    * 1e-9 grid over exact rational arguments (x·n/S — never a
+    * floating mean), sums are exact integers, and the within share
+    * is one division. Scale: one customer agg + a broadcast nation
+    * join + one 25-row group layer.
+    */
+  def theilDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+        .cast("long")).as("x"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").as("nat"))), "o_custkey")
+      .filter(col("x") > 0)
+      .persist()
+    CacheScope.register(spend) // eager: totals + both term layers
+    val tot = spend.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    // total T = (1/n)·Σ (x·n/S)·ln(x·n/S), per-term 1e-9 grid
+    val tTerms = spend.crossJoin(broadcast(tot))
+      .select(floor((col("x").cast("double") * col("n") /
+        col("sx").cast("double")) *
+        log(col("x").cast("double") * col("n") /
+          col("sx").cast("double")) * lit(1e9) + lit(0.5))
+        .cast("long").as("t9"))
+    val tT = tTerms.agg(sum(col("t9")).as("st9"))
+    // between: Σ_g (n_g/n)·(μ_g/μ)·ln(μ_g/μ); μ_g/μ = (x_g·n)/(n_g·S)
+    val byG = spend.groupBy("nat")
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("xg"))
+    val bTerms = byG.crossJoin(broadcast(tot))
+      .select(floor((col("xg").cast("double") /
+        col("sx").cast("double")) *
+        log(col("xg").cast("double") * col("n") /
+          (col("ng").cast("double") * col("sx").cast("double"))) *
+        lit(1e9) + lit(0.5)).cast("long").as("b9"),
+        col("n"))
+    val tB = bTerms.groupBy("n").agg(sum(col("b9")).as("sb9"))
+    val tTotal = col("st9").cast("double") /
+      (col("n").cast("double") * lit(1e9))
+    val tBetween = col("sb9").cast("double") / lit(1e9)
+    val tW = tTotal - tBetween
+    val tTotalS = when(col("st9") === 0, lit(1.0)).otherwise(tTotal)
+    tT.crossJoin(broadcast(tB))
+      .select(col("n").as("n_customers"),
+        Events.q(tTotal, 6).as("theil_total"),
+        Events.q(tBetween, 6).as("theil_between"),
+        Events.q(tW, 6).as("theil_within"),
+        when(col("st9") =!= 0, Events.q(tW / tTotalS, 6))
+          .otherwise(lit(0.0)).as("within_share"))
+  }
+
+  /** Laspeyres/Paasche/Fisher price indices (W467) between the first
+    * and second half of the ship-month span, over parts traded in
+    * BOTH periods: with unit values v = R/Q, the Laspeyres
+    * denominator Σv₀Q₀ and Paasche numerator Σv₁Q₁ collapse to the
+    * EXACT revenues ΣR₀ / ΣR₁, and the two cross terms quantize
+    * R₁Q₀/Q₁ and R₀Q₁/Q₀ per part on the cent grid before exact
+    * sums — so "did like-for-like prices rise?" separates from "did
+    * the basket change?" with two divisions and one sqrt (Fisher).
+    * Scale: one (part, period) agg + a part-keyed self-join.
+    */
+  def priceIndex(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .as("m"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5))
+          .cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+    val mid = li.agg(((min(col("m")) + max(col("m"))) / lit(2))
+      .cast("long").as("mid"))
+    val per = li.crossJoin(broadcast(mid))
+      .select(col("pk"), (col("m") <= col("mid")).cast("int")
+        .as("p0"), col("cents"), col("qty"))
+      .groupBy("pk", "p0")
+      .agg(sum(col("cents")).as("r"), sum(col("qty")).as("q"))
+    val both = per.filter(col("p0") === 1)
+      .select(col("pk"), col("r").as("r0"), col("q").as("q0"))
+      .join(per.filter(col("p0") === 0)
+        .select(col("pk"), col("r").as("r1"), col("q").as("q1")), "pk")
+      .filter(col("q0") > 0 && col("q1") > 0)
+    val terms = both.select(col("r0"), col("r1"),
+      floor(col("r1").cast("double") * col("q0") /
+        col("q1").cast("double") + lit(0.5)).cast("long").as("lnum"),
+      floor(col("r0").cast("double") * col("q1") /
+        col("q0").cast("double") + lit(0.5)).cast("long").as("pden"))
+    val g = terms.agg(count(lit(1)).as("n_parts"),
+      sum(col("r0")).as("sr0"), sum(col("r1")).as("sr1"),
+      sum(col("lnum")).as("sl"), sum(col("pden")).as("sp"))
+    val lasp = col("sl").cast("double") / col("sr0").cast("double")
+    val paas = col("sr1").cast("double") / col("sp").cast("double")
+    g.select(col("n_parts"),
+      Events.q(lasp, 6).as("laspeyres"),
+      Events.q(paas, 6).as("paasche"),
+      Events.q(sqrt(lasp * paas), 6).as("fisher"))
+  }
+
+  /** Syntetos–Boylan demand classification (W468): per part, the
+    * average inter-demand interval ADI = span-months / demand-months
+    * and the CV² of nonzero monthly quantities, cut at the canonical
+    * (1.32, 0.49) quadrants — smooth / intermittent / erratic /
+    * lumpy, the routing decision between [[Events.crostonForecast]]
+    * (intermittent) and ordinary smoothing (smooth). Both statistics
+    * are exact-integer ratios quantized once; the quadrant compare
+    * runs on the quantized values so the census is engine-identical.
+    * Scale: one (part, month) agg + one part agg.
+    */
+  def demandClassification(s: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .as("m"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("pk", "m").agg(sum(col("qty")).as("q"))
+    val span = pm.agg((max(col("m")) - min(col("m")) + 1)
+      .cast("long").as("span"))
+    val perPart = pm.groupBy("pk")
+      .agg(count(lit(1)).as("dm"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .crossJoin(broadcast(span))
+    val dmD = col("dm").cast("double")
+    val adi = Events.q(col("span").cast("double") / dmD, 4)
+    val cv2 = Events.q(
+      (dmD * col("sqq").cast("double") -
+        col("sq").cast("double") * col("sq").cast("double")) /
+        (col("sq").cast("double") * col("sq").cast("double")), 4)
+    val classed = perPart.select(
+      when(adi < lit(1.32) && cv2 < lit(0.49), lit("smooth"))
+        .when(adi >= lit(1.32) && cv2 < lit(0.49), lit("intermittent"))
+        .when(adi < lit(1.32), lit("erratic"))
+        .otherwise(lit("lumpy")).as("cls"))
+    classed.groupBy().agg(count(lit(1)).as("n_parts"),
+      sum((col("cls") === "smooth").cast("long")).as("n_smooth"),
+      sum((col("cls") === "intermittent").cast("long"))
+        .as("n_intermittent"),
+      sum((col("cls") === "erratic").cast("long")).as("n_erratic"),
+      sum((col("cls") === "lumpy").cast("long")).as("n_lumpy"))
+  }
 }
 
