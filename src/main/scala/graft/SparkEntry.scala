@@ -687,6 +687,11 @@ object SparkEntry {
     "price_index" -> ((s, d) => Relational.priceIndex(s, d)),
     "demand_classification" ->
       ((s, d) => Relational.demandClassification(s, d)),
+    // round-5 batch AK: fulfillment SLA, contrastive embedding quality
+    "perfect_order_rate" ->
+      ((s, d) => Relational.perfectOrderRate(s, d)),
+    "embedding_alignment" ->
+      ((s, d) => Similarity.embeddingAlignment(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -12755,6 +12760,62 @@ object SparkEntry {
            sum(CASE WHEN cls = 'lumpy' THEN 1 ELSE 0 END)::BIGINT
              AS n_lumpy
          FROM cl""",
+    // worst-line lead per order; exact cumulative p95, one division
+    "perfect_order_rate" ->
+      """WITH leads AS (
+           SELECT l.l_orderkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate)::BIGINT
+               AS lead
+           FROM lineitem l JOIN orders o
+             ON o.o_orderkey = l.l_orderkey),
+         po AS (SELECT l_orderkey, max(lead)::BIGINT AS wl FROM leads
+                GROUP BY 1),
+         og AS (SELECT count(*)::BIGINT AS n_orders,
+                  sum(CASE WHEN wl <= 30 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_perfect
+                FROM po),
+         lg AS (SELECT count(*)::BIGINT AS nl, sum(lead)::BIGINT AS sl
+                FROM leads),
+         p95 AS (SELECT min(lead)::BIGINT AS p95_lead FROM (
+                   SELECT lead, sum(k) OVER (ORDER BY lead
+                     ROWS UNBOUNDED PRECEDING) AS cum FROM (
+                     SELECT lead, count(*)::BIGINT AS k FROM leads
+                     GROUP BY 1)), lg
+                 WHERE cum * 100 >= nl * 95)
+         SELECT n_orders,
+           floor(n_perfect::DOUBLE / n_orders::DOUBLE * 1e6 + 0.5)
+             / 1e6 AS perfect_share,
+           floor(sl::DOUBLE / nl::DOUBLE * 1e4 + 0.5) / 1e4
+             AS mean_lead_days,
+           p95_lead
+         FROM og, lg, p95""",
+    // per-pair 1e-9 grids: alignment over same-label pairs,
+    // uniformity ln E[e^{−4(1−cos)}] over all pairs
+    "embedding_alignment" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                    FROM embeddings),
+         pairs AS (SELECT
+                     (CASE WHEN a.label = b.label THEN 1 ELSE 0
+                       END)::BIGINT AS same,
+                     floor((1.0 - list_cosine_similarity(a.v, b.v))
+                       * 1e9 + 0.5)::BIGINT AS d9
+                   FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         g AS (SELECT count(*)::BIGINT AS np,
+                 sum(same)::BIGINT AS npos,
+                 sum(CASE WHEN same = 1 THEN d9 ELSE 0 END)::BIGINT
+                   AS spos,
+                 sum(floor(exp(d9::DOUBLE / -250000000.0) * 1e9
+                   + 0.5)::BIGINT)::BIGINT AS su9
+               FROM pairs)
+         SELECT np AS n_pairs, npos AS n_pos_pairs,
+           CASE WHEN npos > 0
+             THEN floor(spos::DOUBLE /
+               ((CASE WHEN npos = 0 THEN 1 ELSE npos END)::DOUBLE
+                * 1e9) * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS alignment,
+           floor(ln(su9::DOUBLE / (np::DOUBLE * 1e9)) * 1e6 + 0.5)
+             / 1e6 AS uniformity
+         FROM g""",
   )
 
   private def sqlList(words: Seq[String]): String =

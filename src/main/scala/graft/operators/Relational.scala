@@ -3298,5 +3298,48 @@ object Relational {
       sum((col("cls") === "erratic").cast("long")).as("n_erratic"),
       sum((col("cls") === "lumpy").cast("long")).as("n_lumpy"))
   }
+
+  /** Perfect-order rate and lead-time profile (W470): per order, the
+    * WORST line's lead time (days from order date to ship date); an
+    * order is "perfect" when even that worst line ships within
+    * `slaDays`. Surfaces the rate, the exact mean lead, and the
+    * exact cumulative-rule p95 — the fulfillment SLA readout over
+    * the same join [[q7TopRevenue]] prices. Lead times are integer
+    * days, the p95 needs no interpolation, and every ratio is one
+    * division. Scale: one orders⋈lineitem join (orderkey-keyed) +
+    * one order-level max + tiny day-keyed aggs.
+    */
+  def perfectOrderRate(s: SparkSession, dir: String,
+                       slaDays: Int = 30): DataFrame = {
+    val leads = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      .select(col("l_orderkey"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("lead"))
+      .persist()
+    CacheScope.register(leads) // eager: order max + the p95 histogram
+    val perOrder = leads.groupBy("l_orderkey")
+      .agg(max(col("lead")).as("wl"))
+    val og = perOrder.agg(count(lit(1)).as("n_orders"),
+      sum((col("wl") <= slaDays).cast("long")).as("n_perfect"))
+    val lg = leads.agg(count(lit(1)).as("nl"), sum(col("lead")).as("sl"))
+    val byL = leads.groupBy("lead").agg(count(lit(1)).as("k"))
+    val p95 = byL
+      .withColumn("cum", sum(col("k")).over(Window.orderBy("lead")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(lg))
+      .filter(col("cum") * 100 >= col("nl") * 95)
+      .agg(min(col("lead")).as("p95_lead"))
+    og.crossJoin(broadcast(lg)).crossJoin(broadcast(p95))
+      .select(col("n_orders"),
+        Events.q(col("n_perfect").cast("double") /
+          col("n_orders").cast("double"), 6).as("perfect_share"),
+        Events.q(col("sl").cast("double") / col("nl").cast("double"),
+          4).as("mean_lead_days"),
+        col("p95_lead"))
+  }
 }
 

@@ -1481,4 +1481,44 @@ object Similarity {
           lit(1e9) / sl9S.cast("double"), 4)).otherwise(lit(0.0))
           .as("id_hat"))
   }
+
+  /** Wang–Isola alignment/uniformity (W469) on cosine distance
+    * (for unit-norm vectors ‖x−y‖² = 2(1−cos), so the cosine form is
+    * the embedding-native restatement): ALIGNMENT = mean (1−cos)
+    * over SAME-label pairs (good representations pull positives
+    * together → small), UNIFORMITY = ln E[e^{−4(1−cos)}] over ALL
+    * pairs (good representations spread mass over the sphere → very
+    * negative). The contrastive-quality pair that predicts
+    * downstream linear-probe accuracy. Every pairwise term lands
+    * once on the 1e-9 grid so both means are exact integer sums with
+    * one division (+ one ln for uniformity). Exact all-pairs at
+    * fixture scale; at corpus scale both expectations subsample
+    * pairs — the estimator is a plain mean, so any deterministic
+    * pair sample plugs in.
+    */
+  def embeddingAlignment(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding", "label")
+    val pairs = CacheScope.track(emb
+      .join(broadcast(emb.select(col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("label").as("lb"))),
+        col("vec_id") < col("vb"))
+      .select((col("label") === col("lb")).cast("long").as("same"),
+        floor((lit(1.0) - cosine(col("embedding"), col("eb"))) *
+          lit(1e9) + lit(0.5)).cast("long").as("d9"))
+      .persist())
+    val g = pairs.agg(count(lit(1)).as("np"),
+      sum(col("same")).as("npos"),
+      sum(when(col("same") === 1, col("d9")).otherwise(lit(0L)))
+        .as("spos"),
+      sum(floor(exp(col("d9").cast("double") / lit(-250000000.0)) *
+        lit(1e9) + lit(0.5)).cast("long")).as("su9"))
+    val nposS = when(col("npos") === 0, lit(1L)).otherwise(col("npos"))
+    g.select(col("np").as("n_pairs"), col("npos").as("n_pos_pairs"),
+      when(col("npos") > 0, Events.q(col("spos").cast("double") /
+        (nposS.cast("double") * lit(1e9)), 6)).otherwise(lit(0.0))
+        .as("alignment"),
+      Events.q(log(col("su9").cast("double") /
+        (col("np").cast("double") * lit(1e9))), 6).as("uniformity"))
+  }
 }
