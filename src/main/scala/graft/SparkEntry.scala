@@ -692,6 +692,9 @@ object SparkEntry {
       ((s, d) => Relational.perfectOrderRate(s, d)),
     "embedding_alignment" ->
       ((s, d) => Similarity.embeddingAlignment(s, d)),
+    // round-5 batch AL: Pareto inventory census
+    "abc_classification" ->
+      ((s, d) => Relational.abcClassification(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -12815,6 +12818,44 @@ object SparkEntry {
              ELSE 0.0 END AS alignment,
            floor(ln(su9::DOUBLE / (np::DOUBLE * 1e9)) * 1e6 + 0.5)
              / 1e6 AS uniformity
+         FROM g""",
+    // exact Pareto cuts: A while cum_excl·10 < S·8, B while ·20 < S·19
+    "abc_classification" ->
+      """WITH rev AS (
+           SELECT l_partkey AS pk,
+             sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+               AS r
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(r)::BIGINT AS sr FROM rev),
+         cls AS (SELECT r, sr,
+                   CASE WHEN coalesce(sum(r) OVER (
+                       ORDER BY r DESC, pk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                         PRECEDING), 0) * 10 < sr * 8 THEN 'A'
+                     WHEN coalesce(sum(r) OVER (
+                       ORDER BY r DESC, pk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                         PRECEDING), 0) * 20 < sr * 19 THEN 'B'
+                     ELSE 'C' END AS cls
+                 FROM rev, tot),
+         g AS (SELECT count(*)::BIGINT AS n_parts,
+                 sum(CASE WHEN cls = 'A' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_a,
+                 sum(CASE WHEN cls = 'B' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_b,
+                 sum(CASE WHEN cls = 'C' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_c,
+                 sum(CASE WHEN cls = 'A' THEN r ELSE 0 END)::BIGINT
+                   AS ra,
+                 sum(CASE WHEN cls = 'B' THEN r ELSE 0 END)::BIGINT
+                   AS rb,
+                 max(sr)::BIGINT AS sr
+               FROM cls)
+         SELECT n_parts, n_a, n_b, n_c,
+           floor(ra::DOUBLE / sr::DOUBLE * 1e6 + 0.5) / 1e6
+             AS rev_share_a,
+           floor(rb::DOUBLE / sr::DOUBLE * 1e6 + 0.5) / 1e6
+             AS rev_share_b
          FROM g""",
   )
 

@@ -3341,5 +3341,46 @@ object Relational {
           4).as("mean_lead_days"),
         col("p95_lead"))
   }
+
+  /** ABC (Pareto) inventory classification (W471): parts ranked by
+    * revenue; a part is class A while the revenue BEFORE it is under
+    * 80% of the total (exact rule cum_excl·10 < S·8 — no float, no
+    * interpolation), B under 95%, C otherwise — the census behind
+    * "20% of parts carry 80% of revenue" and the prioritization cut
+    * for cycle counting. Surfaces both the part counts and each
+    * class's exact revenue share. Scale: one part-keyed agg + a
+    * revenue-ordered cumulative window over parts (dimension-sized,
+    * not fact-sized).
+    */
+  def abcClassification(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(floor(col("l_extendedprice") * lit(100) + lit(0.5))
+        .cast("long")).as("r"))
+    val tot = rev.agg(sum(col("r")).as("sr"))
+    val w = Window.orderBy(col("r").desc, col("pk"))
+    val classed = rev
+      .withColumn("cumx", coalesce(sum(col("r")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("r"),
+        when(col("cumx") * 10 < col("sr") * 8, lit("A"))
+          .when(col("cumx") * 20 < col("sr") * 19, lit("B"))
+          .otherwise(lit("C")).as("cls"), col("sr"))
+    classed.groupBy().agg(count(lit(1)).as("n_parts"),
+        sum((col("cls") === "A").cast("long")).as("n_a"),
+        sum((col("cls") === "B").cast("long")).as("n_b"),
+        sum((col("cls") === "C").cast("long")).as("n_c"),
+        sum(when(col("cls") === "A", col("r")).otherwise(lit(0L)))
+          .as("ra"),
+        sum(when(col("cls") === "B", col("r")).otherwise(lit(0L)))
+          .as("rb"),
+        max(col("sr")).as("sr"))
+      .select(col("n_parts"), col("n_a"), col("n_b"), col("n_c"),
+        Events.q(col("ra").cast("double") / col("sr").cast("double"),
+          6).as("rev_share_a"),
+        Events.q(col("rb").cast("double") / col("sr").cast("double"),
+          6).as("rev_share_b"))
+  }
 }
 
