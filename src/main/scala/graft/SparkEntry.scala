@@ -695,6 +695,9 @@ object SparkEntry {
     // round-5 batch AL: Pareto inventory census
     "abc_classification" ->
       ((s, d) => Relational.abcClassification(s, d)),
+    // round-5 batch AM: diversity profile, privacy-utility frontier
+    "hill_numbers" -> ((s, d) => TextStats.hillNumbers(s, d)),
+    "anonymity_sweep" -> ((s, d) => Events.anonymitySweep(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -12857,6 +12860,56 @@ object SparkEntry {
            floor(rb::DOUBLE / sr::DOUBLE * 1e6 + 0.5) / 1e6
              AS rev_share_b
          FROM g""",
+    // ⁰D exact, ¹D = e^H on the −p·ln p grid, ²D = N²/Σn² exact
+    "hill_numbers" ->
+      """WITH bys AS (SELECT source, count(*)::BIGINT AS c
+                      FROM documents GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS k, sum(c)::BIGINT AS n,
+                   sum(c::HUGEINT * c)::HUGEINT AS cc
+                 FROM bys),
+         h AS (SELECT sum(floor(-(c::DOUBLE / n) *
+                   ln(c::DOUBLE / n) * 1e9 + 0.5)::BIGINT)::BIGINT
+                   AS h9
+               FROM bys, tot)
+         SELECT n AS n_docs, k AS d0_richness,
+           floor(exp(h9::DOUBLE / 1e9) * 1e4 + 0.5) / 1e4
+             AS d1_shannon,
+           floor(n::DOUBLE * n::DOUBLE / cc::DOUBLE * 1e4 + 0.5) / 1e4
+             AS d2_simpson
+         FROM tot, h""",
+    // three granularities of the (type, time-bucket) QI; true user
+    // share via countDistinct over violating classes
+    "anonymity_sweep" ->
+      """WITH ev AS (
+           SELECT event_type, user_id,
+                  (epoch_ms(ts) // 1000 // 3600)::BIGINT AS hb
+           FROM events),
+         nu AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM ev),
+         g AS (SELECT e.gr AS gr, e.div AS div FROM (SELECT unnest([
+                 {'gr': 'hour', 'div': 1},
+                 {'gr': '4hour', 'div': 4},
+                 {'gr': 'day', 'div': 24}]) AS e)),
+         rowsg AS (SELECT gr, event_type, (hb // div)::BIGINT AS b,
+                     user_id
+                   FROM ev, g),
+         classes AS (SELECT gr, event_type, b,
+                       count(DISTINCT user_id)::BIGINT AS cu
+                     FROM rowsg GROUP BY 1, 2, 3),
+         summ AS (SELECT gr, count(*)::BIGINT AS n_classes,
+                    sum(CASE WHEN cu < 5 THEN 1 ELSE 0 END)::BIGINT
+                      AS n_violating
+                  FROM classes GROUP BY 1),
+         risk AS (SELECT r.gr,
+                    count(DISTINCT r.user_id)::BIGINT AS ur
+                  FROM rowsg r JOIN classes c
+                    ON c.gr = r.gr AND c.event_type = r.event_type
+                   AND c.b = r.b
+                  WHERE c.cu < 5 GROUP BY 1)
+         SELECT s.gr AS granularity, n_classes, n_violating,
+           floor(coalesce(ur, 0)::DOUBLE / nu::DOUBLE * 1e6 + 0.5)
+             / 1e6 AS user_risk_share
+         FROM summ s LEFT JOIN risk ON risk.gr = s.gr, nu
+         ORDER BY granularity""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -6621,5 +6621,48 @@ object Events {
       when(den > 0.0 && q(sc, 4) > lit(3.84), lit(1L))
         .otherwise(lit(0L)).as("zero_inflated_flag"))
   }
+
+  /** k-anonymity generalization sweep (W473): re-identification risk
+    * of the (event_type, time-bucket) quasi-identifier at THREE time
+    * granularities — hour, 4-hour, day — surfacing how the violating-
+    * class count and the true at-risk USER share (countDistinct over
+    * violating classes, the [[kAnonymity]] contract) fall as the
+    * release coarsens: the privacy–utility frontier a data publisher
+    * walks before picking a granularity. All counts exact; one
+    * division per row. Scale: three (type, bucket)-keyed aggs + one
+    * distinct-user semi-join each — the violating-class list is tiny
+    * and broadcasts.
+    */
+  def anonymitySweep(s: SparkSession, dir: String,
+                     k: Int = 5): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        (floor(unix_timestamp(col("ts")) / lit(3600L))).as("hb"))
+      .persist()
+    CacheScope.register(ev) // eager: all three granularities read it
+    val totUsers = ev.agg(countDistinct(col("user_id")).as("nu"))
+    val rows = Seq(("hour", 1L), ("4hour", 4L), ("day", 24L)).map {
+      case (nm, div) =>
+        val rowsG = ev.select(col("event_type"),
+          (col("hb") / lit(div)).cast("long").as("b"), col("user_id"))
+        val classes = rowsG.groupBy("event_type", "b")
+          .agg(countDistinct(col("user_id")).as("cu"))
+        val viol = classes.filter(col("cu") < k)
+        val atRisk = rowsG
+          .join(broadcast(viol.select("event_type", "b")),
+            Seq("event_type", "b"))
+          .agg(coalesce(countDistinct(col("user_id")), lit(0L))
+            .as("ur"))
+        classes.agg(count(lit(1)).as("n_classes"),
+            sum((col("cu") < k).cast("long")).as("n_violating"))
+          .crossJoin(broadcast(atRisk))
+          .crossJoin(broadcast(totUsers))
+          .select(lit(nm).as("granularity"), col("n_classes"),
+            col("n_violating"),
+            q(col("ur").cast("double") / col("nu").cast("double"), 6)
+              .as("user_risk_share"))
+    }
+    rows.reduce(_ unionAll _).orderBy("granularity")
+  }
 }
 

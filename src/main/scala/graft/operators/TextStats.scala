@@ -1900,5 +1900,33 @@ object TextStats {
           col("v").cast("double"), 6).as("vocab_share"))
       .orderBy("frac")
   }
+
+  /** Hill-number diversity profile of the source mix (W472):
+    * ⁰D = richness, ¹D = e^H (Shannon's effective source count),
+    * ²D = N²/Σn² (Simpson's — the inverse of [[herfindahlIndex]]'s
+    * concentration) — one ladder that unifies the diversity zoo:
+    * reading the three together shows whether "diverse" means many
+    * RARE sources (⁰D ≫ ¹D) or several balanced ones (⁰D ≈ ²D), the
+    * corpus-mixing question a single index hides. Σn² is exact
+    * DECIMAL; H reuses the per-source 1e-9 −p·ln p grid; each D is
+    * one expression. Scale: one source-keyed count agg.
+    */
+  def hillNumbers(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("c"))
+    val tot = bySrc.agg(count(lit(1)).as("k"), sum(col("c")).as("n"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("cc"))
+    val h9 = bySrc.crossJoin(broadcast(tot))
+      .select(floor(-(col("c").cast("double") / col("n")) *
+        log(col("c").cast("double") / col("n")) * lit(1e9) + lit(0.5))
+        .cast("long").as("t9"))
+      .agg(sum(col("t9")).as("h9"))
+    tot.crossJoin(broadcast(h9))
+      .select(col("n").as("n_docs"), col("k").as("d0_richness"),
+        Events.q(exp(col("h9").cast("double") / lit(1e9)), 4)
+          .as("d1_shannon"),
+        Events.q(col("n").cast("double") * col("n").cast("double") /
+          col("cc").cast("double"), 4).as("d2_simpson"))
+  }
 }
 
