@@ -7014,8 +7014,11 @@ object SparkEntry {
     // Kaplan–Meier: survival probabilities as exact-integer hazards;
     // each ln(1 - d/n) factor floor-quantized to the 1e-9 LONG grid
     // before the (order-free) prefix sum, mirroring Events.kaplanMeier
+    // exact-integer survival fold s6 <- floor(s6*(n-d)/n) replayed by
+    // a recursive CTE in the same IEEE op order as the engine's
+    // aggregate() lambda — no ln/exp anywhere (engine-proof)
     "kaplan_meier" ->
-      """WITH pu AS (
+      """WITH RECURSIVE pu AS (
            SELECT user_id, min(ts)::DATE AS d0,
                   min(CASE WHEN event_type = 'purchase' THEN ts END)::DATE
                     AS dconv
@@ -7038,21 +7041,25 @@ object SparkEntry {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS n_risk
            FROM byt CROSS JOIN n),
-         lq AS (
+         dr AS (
            SELECT t, d, c, n_risk,
-                  CAST(floor(ln(greatest(
-                      (n_risk - d)::DOUBLE / n_risk::DOUBLE, 1e-18))
-                    * 1e9 + 0.5) AS BIGINT) AS lnq
-           FROM r),
-         srv AS (
-           SELECT t, d, c, n_risk,
-                  floor(exp((sum(lnq) OVER (ORDER BY t
-                      ROWS UNBOUNDED PRECEDING))::DOUBLE / 1e9)
-                    * 1e6 + 0.5) / 1e6 AS surv
-           FROM lq)
+                  row_number() OVER (ORDER BY t) AS rn
+           FROM r WHERE d > 0),
+         fold AS (
+           SELECT rn, t, d, c, n_risk,
+                  CAST(floor(1000000::BIGINT::DOUBLE
+                    * (n_risk - d)::DOUBLE / n_risk::DOUBLE) AS BIGINT)
+                    AS s6
+           FROM dr WHERE rn = 1
+           UNION ALL
+           SELECT k.rn, k.t, k.d, k.c, k.n_risk,
+                  CAST(floor(f.s6::DOUBLE
+                    * (k.n_risk - k.d)::DOUBLE / k.n_risk::DOUBLE)
+                    AS BIGINT)
+           FROM fold f JOIN dr k ON k.rn = f.rn + 1)
          SELECT t::BIGINT AS t_day, n_risk, d AS deaths, c AS censored,
-                surv
-         FROM srv WHERE d > 0 ORDER BY t_day""",
+                s6 AS surv6, s6::DOUBLE / 1e6 AS surv
+         FROM fold ORDER BY t_day""",
     // Holt linear smoothing: recursive CTE replays the engine's fold in
     // the same IEEE op order; smoothing constants appear as (1 - a)
     // expressions so both engines derive the identical double
@@ -8139,23 +8146,26 @@ object SparkEntry {
              sum(sa2) OVER w AS csa2, sum(sb2) OVER w AS csb2
            FROM g WINDOW w AS (ORDER BY k ROWS UNBOUNDED PRECEDING)),
          f AS (SELECT k, na, nb,
-             ((csa2::DOUBLE - csa::DOUBLE * csa::DOUBLE / na)
-               / (na - 1) / 1e12) / na AS pa,
-             ((csb2::DOUBLE - csb::DOUBLE * csb::DOUBLE / nb)
-               / (nb - 1) / 1e12) / nb AS pb,
-             csa::DOUBLE / na / 1e6 AS ma,
-             csb::DOUBLE / nb / 1e6 AS mb
+             CAST(csa // na AS BIGINT) - CAST(csb // nb AS BIGINT)
+               AS d6,
+             CAST((na::HUGEINT * csa2 - csa * csa)
+                 // (na::HUGEINT * na * (na - 1)) AS BIGINT)
+               + CAST((nb::HUGEINT * csb2 - csb * csb)
+                 // (nb::HUGEINT * nb * (nb - 1)) AS BIGINT) AS vp12
            FROM c),
-         zz AS (SELECT k, na, nb,
-             CASE WHEN pa + pb > 0
-               THEN floor((ma - mb) / sqrt(pa + pb) * 1e6 + 0.5) / 1e6
+         zz AS (SELECT k, na, nb, d6, vp12,
+             CASE WHEN vp12 > 0
+               THEN floor(d6::DOUBLE / sqrt(vp12::DOUBLE) * 1e6 + 0.5)
+                 / 1e6
                ELSE 0.0 END AS z,
              floor(2.024 * sqrt(4.0 / k::DOUBLE) * 1e6 + 0.5) / 1e6
                AS boundary
            FROM f)
-         SELECT k AS look, na AS n_a, nb AS n_b, z, boundary,
-           (CASE WHEN abs(z) >= boundary THEN 1 ELSE 0 END)::BIGINT
-             AS crossed
+         SELECT k AS look, na AS n_a, nb AS n_b, d6, vp12, z, boundary,
+           (CASE WHEN vp12 > 0 AND
+               d6::HUGEINT * d6 * k * 1000000 >=
+               4096576::HUGEINT * 4 * vp12
+             THEN 1 ELSE 0 END)::BIGINT AS crossed
          FROM zz ORDER BY look""",
     // bounded Bellman–Ford; exact-integer path costs make min()
     // engine-order-free
@@ -10576,9 +10586,8 @@ object SparkEntry {
                    (sum(h9) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
                      ::BIGINT AS hc9
                  FROM hzd)
-         SELECT t::BIGINT AS t_day, n_risk, d AS deaths,
-           floor(hc9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS cum_hazard,
-           floor(exp(-(hc9::DOUBLE / 1e9)) * 1e6 + 0.5) / 1e6 AS surv_fh
+         SELECT t::BIGINT AS t_day, n_risk, d AS deaths, hc9,
+           floor(hc9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS cum_hazard
          FROM cum WHERE d > 0 ORDER BY t_day""",
     "dispersion_test" -> {
       val z95 = 1.6448536269514722
@@ -11867,8 +11876,9 @@ object SparkEntry {
              ELSE 0.0 END AS ci_hi
          FROM f2""",
     // KM step-function area on the exact 1e-6 grid: t₁ + Σ gap·S(tᵢ)
+    // rides kaplan_meier's exact-integer recursive fold (no ln/exp)
     "rmst" ->
-      """WITH pu AS (
+      """WITH RECURSIVE pu AS (
            SELECT user_id, min(ts)::DATE AS d0,
                   min(CASE WHEN event_type = 'purchase' THEN ts END)::DATE
                     AS dconv
@@ -11894,24 +11904,26 @@ object SparkEntry {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS n_risk
            FROM byt CROSS JOIN n),
-         lq AS (
-           SELECT t, d,
-                  CAST(floor(ln(greatest(
-                      (n_risk - d)::DOUBLE / n_risk::DOUBLE, 1e-18))
-                    * 1e9 + 0.5) AS BIGINT) AS lnq
-           FROM r),
-         srv AS (
-           SELECT t, d,
-                  floor(exp((sum(lnq) OVER (ORDER BY t
-                      ROWS UNBOUNDED PRECEDING))::DOUBLE / 1e9)
-                    * 1e6 + 0.5) / 1e6 AS surv
-           FROM lq),
-         km AS (SELECT t::BIGINT AS t_day, surv FROM srv WHERE d > 0),
+         dr AS (
+           SELECT t, d, n_risk, row_number() OVER (ORDER BY t) AS rn
+           FROM r WHERE d > 0),
+         fold AS (
+           SELECT rn, t,
+                  CAST(floor(1000000::BIGINT::DOUBLE
+                    * (n_risk - d)::DOUBLE / n_risk::DOUBLE) AS BIGINT)
+                    AS s6
+           FROM dr WHERE rn = 1
+           UNION ALL
+           SELECT k.rn, k.t,
+                  CAST(floor(f.s6::DOUBLE
+                    * (k.n_risk - k.d)::DOUBLE / k.n_risk::DOUBLE)
+                    AS BIGINT)
+           FROM fold f JOIN dr k ON k.rn = f.rn + 1),
+         km AS (SELECT t::BIGINT AS t_day, s6 FROM fold),
          steps AS (
            SELECT tau, n_users, t_day,
                   ((coalesce(lead(t_day) OVER (ORDER BY t_day), tau)
-                    - t_day) *
-                   floor(surv * 1e6 + 0.5)::BIGINT)::BIGINT AS a6
+                    - t_day) * s6)::BIGINT AS a6
            FROM km CROSS JOIN tau)
          SELECT max(n_users)::BIGINT AS n_users,
            max(tau)::BIGINT AS tau,

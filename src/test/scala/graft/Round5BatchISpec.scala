@@ -57,10 +57,12 @@ class Round5BatchISpec extends SparkSpec {
     assert(got.length == 4)
     got.foreach { r =>
       val k = r.getLong(0)
-      assert(r.getDouble(4) == q6(2.024 * math.sqrt(4.0 / k)),
-        s"boundary at look $k: ${r.getDouble(4)}")
-      assert(r.getDouble(3) == 0.0, s"z at look $k: ${r.getDouble(3)}")
-      assert(r.getLong(5) == 0L)
+      assert(r.getDouble(6) == q6(2.024 * math.sqrt(4.0 / k)),
+        s"boundary at look $k: ${r.getDouble(6)}")
+      // identical arm value sequences → exact integer mean gap is 0
+      assert(r.getLong(3) == 0L, s"d6 at look $k: ${r.getLong(3)}")
+      assert(r.getDouble(5) == 0.0, s"z at look $k: ${r.getDouble(5)}")
+      assert(r.getLong(7) == 0L)
     }
   }
 

@@ -57,8 +57,8 @@ class Round5BatchWSpec extends SparkSpec {
     val h9 = math.floor(2.0 / 3 * 1e9 + 0.5).toLong
     assert(r.getLong(0) == 2L && r.getLong(1) == 3L &&
       r.getLong(2) == 2L, s"risk: $r")
-    assert(r.getDouble(3) == q6(h9 / 1e9), s"H: $r")
-    assert(r.getDouble(4) == q6(math.exp(-(h9 / 1e9))), s"S: $r")
+    assert(r.getLong(3) == h9, s"hc9: $r")
+    assert(r.getDouble(4) == q6(h9 / 1e9), s"H: $r")
   }
 
   test("dispersionTest: two-day Poisson-like series — VMR 1, not flagged") {

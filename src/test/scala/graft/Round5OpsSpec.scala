@@ -694,20 +694,21 @@ class Round5OpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = operators.Events.kaplanMeier(spark, dir).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4))))
+        r.getDouble(5))))
     CacheScope.release(spark)
     val m = got.toMap
     assert(got.map(_._1).toSeq == Seq(0L, 2L, 5L))
     assert(m(0L)._1 == 4L && m(0L)._2 == 1L && m(0L)._3 == 0L)
     assert(m(2L)._1 == 3L && m(2L)._2 == 1L)
     assert(m(5L)._1 == 2L && m(5L)._2 == 1L && m(5L)._3 == 1L)
-    // survival drops 3/4 → 1/2 → 1/4 (grid arithmetic ≈ exact values)
-    assert(math.abs(m(0L)._4 - 0.75) < 2e-6)
-    assert(math.abs(m(2L)._4 - 0.5) < 2e-6)
-    assert(math.abs(m(5L)._4 - 0.25) < 2e-6)
+    // survival drops 3/4 → 1/2 → 1/4 — EXACT on the integer s6 chain
+    // (750000·2/3 = 500000, 500000·1/2 = 250000; clean fractions)
+    assert(m(0L)._4 == 0.75)
+    assert(m(2L)._4 == 0.5)
+    assert(m(5L)._4 == 0.25)
     // fixture sanity: survival is non-increasing in t
     val fix = operators.Events.kaplanMeier(spark, sf).collect()
-      .map(_.getDouble(4))
+      .map(_.getDouble(5))
     CacheScope.release(spark)
     assert(fix.zip(fix.tail).forall { case (a, b) => b <= a })
   }
