@@ -12577,25 +12577,45 @@ object SparkEntry {
              AS knn_mean
          FROM flat GROUP BY 1 ORDER BY 1""",
     // μ = r₂/r₁ on the 1e-9 distance grid; d̂ = n/Σ ln μ
+    // TwoNN over the same IVF probe lists as knn_label_consistency:
+    // assign to nearest of 16 centroids, probe the 4 nearest lists
     "intrinsic_dimension" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings),
-         sc AS (SELECT q.vec_id AS qid, ee.vec_id AS vid,
-                  list_cosine_similarity(ee.v, q.v) AS sim,
-                  row_number() OVER (PARTITION BY q.vec_id
-                    ORDER BY list_cosine_similarity(ee.v, q.v) DESC,
-                      ee.vec_id) AS rn
-                FROM e q CROSS JOIN e ee WHERE ee.vec_id <> q.vec_id),
+         cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                  WHERE vec_id < 16),
+         assigned AS (
+           SELECT vec_id, v, centroid_id FROM (
+             SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                          c.centroid_id) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         probes AS (
+           SELECT qid, qv, centroid_id FROM (
+             SELECT q.vec_id AS qid, q.v AS qv, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                          c.centroid_id) AS rn
+             FROM e q CROSS JOIN cent c) WHERE rn <= 4),
          t2 AS (SELECT qid, rn,
                   floor((1.0 - sim) * 1e9 + 0.5)::BIGINT AS d9
-                FROM sc WHERE rn <= 2),
+                FROM (
+                  SELECT p.qid, a.vec_id,
+                    list_cosine_similarity(a.v, p.qv) AS sim,
+                    row_number() OVER (PARTITION BY p.qid
+                      ORDER BY list_cosine_similarity(a.v, p.qv) DESC,
+                               a.vec_id) AS rn
+                  FROM assigned a JOIN probes p USING (centroid_id)
+                  WHERE a.vec_id <> p.qid)
+                WHERE rn <= 2),
          mu AS (SELECT qid,
                   min(CASE WHEN rn = 1 THEN d9 END)::BIGINT AS d1,
                   min(CASE WHEN rn = 2 THEN d9 END)::BIGINT AS d2
                 FROM t2 GROUP BY 1),
          valid AS (SELECT floor(ln(d2::DOUBLE / d1::DOUBLE) * 1e9
                      + 0.5)::BIGINT AS l9
-                   FROM mu WHERE d1 > 0),
+                   FROM mu WHERE d1 > 0 AND d2 IS NOT NULL),
          g AS (SELECT count(*)::BIGINT AS n_all,
                  sum(CASE WHEN d1 = 0 THEN 1 ELSE 0 END)::BIGINT
                    AS n_dup
