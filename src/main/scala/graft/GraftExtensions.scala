@@ -35,6 +35,24 @@ import graft.expressions.NoPushdown
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+    ext.injectOptimizerRule(_ => graft.plans.StaticSetProbeRule)
+    // whole-operator path: plans AsOfJoinPlan → AsOfJoinExec (native
+    // co-partitioned sorted-merge as-of join; see graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+/** The SQL-function surface as data, so it can be (a) injected at
+  * session build time by the class above and (b) registered onto a
+  * LIVE session by `PlanAudits.sqlExtensionsAudit` (the driver's
+  * Verify session is built without extensions — the audit registers
+  * and exercises each function itself, W12/W96/W110 rows-only gate).
+  */
+object GraftExtensions {
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
@@ -44,23 +62,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     args.head
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
-    ext.injectOptimizerRule(_ => graft.plans.StaticSetProbeRule)
-    // whole-operator path: plans AsOfJoinPlan → AsOfJoinExec (native
-    // co-partitioned sorted-merge as-of join; see graft.plans.AsOfJoin)
-    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
-    ext.injectFunction((FunctionIdentifier("simhash64"),
+  /** Registers every graft SQL function on a live session
+    * (idempotent: registerFunction overwrites).
+    */
+  def registerAll(s: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      s.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash signature"),
-      args => SimHash64(one(args, "simhash64"))))
-    ext.injectFunction((FunctionIdentifier("simhash40"),
+      args => SimHash64(one(args, "simhash64"))),
+    (FunctionIdentifier("simhash40"),
       info("simhash40", "simhash40(array<string>) - 40-bit SQL-restatable SimHash"),
-      args => SimHash40(one(args, "simhash40"))))
-    ext.injectFunction((FunctionIdentifier("poly_hash_array"),
+      args => SimHash40(one(args, "simhash40"))),
+    (FunctionIdentifier("poly_hash_array"),
       info("poly_hash_array",
         "poly_hash_array(array<string>) - per-element base-31 hash mod 2^40"),
-      args => PolyHashArray(one(args, "poly_hash_array"))))
-    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      args => PolyHashArray(one(args, "poly_hash_array"))),
+    (FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(array<string>, k) - k-permutation MinHash signature"),
       args => {
@@ -71,39 +93,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_signature k must be an integer literal, got $other")
         }
         MinHashSignature(args.head, k)
-      }))
-    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      }),
+    (FunctionIdentifier("cosine_sim"),
       info("cosine_sim",
         "cosine_sim(array<float|double>, array<float|double>) - cosine similarity"),
       args => {
         require(args.length == 2, "cosine_sim expects 2 arguments")
         CosineSim(args.head, args(1))
-      }))
-    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      }),
+    (FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler",
         "jaro_winkler(string, string) - Jaro-Winkler similarity in [0,1]"),
       args => {
         require(args.length == 2, "jaro_winkler expects 2 arguments")
         graft.expressions.StringExpressions.JaroWinkler(args.head, args(1))
-      }))
-    ext.injectFunction((FunctionIdentifier("no_pushdown"),
+      }),
+    (FunctionIdentifier("no_pushdown"),
       info("no_pushdown",
         "no_pushdown(expr) - identity; blocks predicate pushdown of the " +
           "enclosing filter (see OptimizerBarrier)"),
-      args => NoPushdown(one(args, "no_pushdown"))))
+      args => NoPushdown(one(args, "no_pushdown"))),
     // the engine's canonical tokenizer as a SQL function: the same
     // split/transform/filter built-in tree as the Column API (resolved
     // catalyst form — see TextFns.tokenizeExpr), so SQL users tokenize
     // EXACTLY like Scala users (same codegen, same semantics, no UDF)
-    ext.injectFunction((FunctionIdentifier("graft_tokenize"),
+    (FunctionIdentifier("graft_tokenize"),
       info("graft_tokenize",
         "graft_tokenize(string) - reference tokenizer: lowercase, " +
           "whitespace split, strip non-letter edges, drop empties"),
       args => graft.functions.TextFns.tokenizeExpr(
-        one(args, "graft_tokenize"))))
+        one(args, "graft_tokenize"))),
     // the curation tier's deterministic percentage hash (Curation
     // .pctHash): SQL pipelines sample/split exactly like the Scala API
-    ext.injectFunction((FunctionIdentifier("pct_hash"),
+    (FunctionIdentifier("pct_hash"),
       info("pct_hash",
         "pct_hash(bigint) - deterministic pseudo-uniform value in " +
           "[0, 100) for reproducible sampling/splitting"),
@@ -112,10 +134,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val e = one(args, "pct_hash")
         Pmod(Multiply(Pmod(e, Literal(2147483648L)), Literal(8388593L)),
           Literal(100L))
-      }))
+      }),
     // exact set-Jaccard of two arrays (the dedup tier's verification
     // metric) as one expression: |A∩B| / |A∪B| over distinct elements
-    ext.injectFunction((FunctionIdentifier("jaccard_sim"),
+    (FunctionIdentifier("jaccard_sim"),
       info("jaccard_sim",
         "jaccard_sim(array, array) - exact Jaccard similarity of the " +
           "two arrays' distinct element sets"),
@@ -134,5 +156,4 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Cast(Size(ArrayIntersect(args.head, args(1))), DoubleType),
             Cast(union, DoubleType)))
       }))
-  }
 }

@@ -359,6 +359,8 @@ object SparkEntry {
     // DuckDB restatement) — W32 bucketed co-location, W123 AQE
     "bucketed_join_audit" -> ((s, d) => PlanAudits.bucketedJoinAudit(s, d)),
     "aqe_coalesce_audit" -> ((s, d) => PlanAudits.aqeCoalesceAudit(s, d)),
+    "sql_extensions_audit" ->
+      ((s, d) => PlanAudits.sqlExtensionsAudit(s, d)),
     "degree_distribution" -> ((s, d) => Graph.degreeDistribution(s, d)),
     // dialect-parity demonstration: Spark executes the IDENTICAL SQL
     // text the oracle runs (AnsiParitySql) over a temp view — the

@@ -263,4 +263,59 @@ object HashExpressions {
 
   def setProbeCount(c: Column, elements: Seq[String]): Column =
     ColumnBridge.column(SetProbeCount(ColumnBridge.expression(c), elements))
+
+  /** Shared evaluator for HashedSetProbeCount (called from generated
+    * code): hash each element with xxhash64 seed 42 (bit-identical to
+    * the built-in `xxhash64(stringCol)`, so the probe side can be
+    * collected with the built-in) and count DISTINCT hashes present in
+    * the sorted reference array. Binary search over a primitive
+    * `long[]` — no boxing on the probe path; the tiny matched-set is
+    * bounded by the reference size.
+    */
+  def hashedProbeCountEval(input: ArrayData, sorted: Array[Long]): Int = {
+    val matched = new java.util.HashSet[java.lang.Long](8)
+    var i = 0
+    while (i < input.numElements()) {
+      if (!input.isNullAt(i)) {
+        val s = input.getUTF8String(i)
+        val h = xx(s, 42L)
+        if (java.util.Arrays.binarySearch(sorted, h) >= 0) matched.add(h)
+      }
+      i += 1
+    }
+    matched.size
+  }
+
+  /** [[SetProbeCount]] with the reference set carried as xxhash64
+    * LONGs instead of strings — the decontamination probe's
+    * driver-memory fix (VERDICT r5 #4): collecting 2M shingle STRINGS
+    * held ~40+ bytes each boxed on the driver and sorted them as
+    * UTF8; the hashed probe is 8 bytes/entry in one primitive array
+    * (~6-10× smaller), and the executor-side reference is the same
+    * single shared object. Matching by hash admits a ~n²/2⁶⁴ false
+    * merge — zero observed on the fixtures, and the distributed
+    * fallback uses the same hashes so both paths agree.
+    */
+  case class HashedSetProbeCount(child: Expression, elements: Array[Long])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    @transient private lazy val sorted = {
+      val a = elements.clone()
+      java.util.Arrays.sort(a)
+      a
+    }
+    override def nullSafeEval(input: Any): Any =
+      hashedProbeCountEval(input.asInstanceOf[ArrayData], sorted)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("probeHashes", sorted, "long[]")
+      defineCodeGen(ctx, ev,
+        c => s"$Evaluator.hashedProbeCountEval($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): HashedSetProbeCount =
+      copy(child = c)
+  }
+
+  def hashedSetProbeCount(c: Column, elements: Array[Long]): Column =
+    ColumnBridge.column(
+      HashedSetProbeCount(ColumnBridge.expression(c), elements))
 }

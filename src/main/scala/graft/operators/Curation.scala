@@ -148,33 +148,39 @@ object Curation {
       .select(col("doc_id"), tokenize(col("text")).as("ts"))
       .select(col("doc_id"),
         array_distinct(Dedup.shingles(col("ts"), n)).as("shs"))
-    // `limit(cutoff+1).collect` answers "does the eval set fit in the
-    // driver?" and fetches it in the same action: < cutoff+1 rows back
-    // means we hold the COMPLETE distinct set (the limit never bit).
-    val probe = evalSh.limit(driverCutoff + 1).as[String].collect()
+    // the probe travels as xxhash64 LONGs, not shingle strings: 8
+    // bytes/entry in one primitive array on the driver (~6-10× less
+    // memory than the r5 string probe — VERDICT r5 #4) and the same
+    // bytes broadcast to executors. `limit(cutoff+1).collect` answers
+    // "does the eval set fit in the driver?" and fetches it in the
+    // same action: < cutoff+1 rows back means we hold the COMPLETE
+    // distinct set (the limit never bit).
+    val evalH = evalSh.select(xxhash64(col("sh")).as("h")).distinct()
+    val probe = evalH.limit(driverCutoff + 1).as[Long].collect()
     if (probe.length <= driverCutoff) {
-      // per-doc shingles probe the eval set in one codegen'd pass via
-      // the SetProbeCount expression (hash table built once per
-      // executor — see its scaladoc for why the built-in encodings pay
-      // per row or per optimizer pass). Barrier keeps the n_shared
+      // per-doc shingles hash-probe the eval set in one codegen'd pass
+      // via HashedSetProbeCount (sorted long[] shared once per
+      // executor — see its scaladoc). Barrier keeps the n_shared
       // filter from being pushed below the projection with the whole
       // probe re-inlined.
       corpus
         .select(col("doc_id"),
-          graft.expressions.HashExpressions.setProbeCount(
-            col("shs"), probe.sorted.toSeq).as("n_shared"))
+          graft.expressions.HashExpressions.hashedSetProbeCount(
+            col("shs"), probe).as("n_shared"))
         .filter(graft.expressions.OptimizerBarrier.noPushdown(
           col("n_shared") > 0))
     } else {
       // eval set too big for one executor's memory: distributed
-      // fallback — explode the corpus shingles and semi-count against
-      // the eval shingle table with an ordinary shuffle hash join on
-      // the shingle key. Same answer (n_shared counts DISTINCT shared
-      // shingles either way: both sides are pre-distinct'd), one extra
-      // shuffle — the price of not holding the eval set anywhere whole.
+      // fallback — explode the corpus shingle hashes and semi-count
+      // against the eval hash table with an ordinary shuffle hash join
+      // on the 8-byte key (same hashes as the probe path, so both
+      // paths agree). One extra shuffle — the price of not holding
+      // the eval set anywhere whole.
       corpus
-        .select(col("doc_id"), explode(col("shs")).as("sh"))
-        .join(evalSh, "sh")
+        .select(col("doc_id"),
+          explode(col("shs")).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        .join(evalH, "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_shared"))
     }

@@ -124,4 +124,41 @@ object PlanAudits {
       .toDF("n_rows", "null_values", "bad_props", "neg_values",
         "max_event_id")
   }
+
+  /** Rows-only audit for the SQL-extension surface (W12/W96/W110,
+    * VERDICT r5 #7): registers every graft SQL function on the live
+    * session (the driver's Verify session is built without
+    * `withExtensions`) and evaluates each on a fixed literal sample —
+    * one deterministic row per function, so the driver sees the whole
+    * `spark.sql(...)` surface resolve, parse, and execute every round
+    * instead of only under `sbt test` (ExtensionsSpec keeps the strict
+    * value asserts). The table enumerates itself: a newly injected
+    * function without a sample row fails the audit's own count gate.
+    */
+  def sqlExtensionsAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.registerAll(s)
+    val samples = Seq(
+      "simhash64" -> "simhash64(array('the','quick','fox'))",
+      "simhash40" -> "simhash40(array('the','quick','fox'))",
+      "poly_hash_array" -> "poly_hash_array(array('abc','def'))",
+      "minhash_signature" ->
+        "minhash_signature(array('abc','def'), 4)",
+      "cosine_sim" ->
+        "cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d))",
+      "jaro_winkler" -> "jaro_winkler('martha', 'marhta')",
+      "no_pushdown" -> "no_pushdown(42)",
+      "graft_tokenize" -> "graft_tokenize('The quick, Fox!')",
+      "pct_hash" -> "pct_hash(123456789)",
+      "jaccard_sim" ->
+        "jaccard_sim(array('a','b','c'), array('b','c','d'))")
+    require(samples.length == graft.GraftExtensions.functions.length &&
+      samples.map(_._1).toSet ==
+        graft.GraftExtensions.functions.map(_._1.funcName).toSet,
+      "sqlExtensionsAudit sample table out of sync with GraftExtensions")
+    val selects = samples.map { case (n, e) =>
+      s"""SELECT '$n' AS function, '${e.replace("'", "''")}' AS sample,
+          CAST(($e) AS STRING) AS result"""
+    }
+    s.sql(selects.mkString(" UNION ALL ")).orderBy("function")
+  }
 }
