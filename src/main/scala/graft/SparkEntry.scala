@@ -582,6 +582,14 @@ object SparkEntry {
     "dbscan_1d" -> ((s, d) => Events.dbscan1d(s, d)),
     "nelson_aalen" -> ((s, d) => Events.nelsonAalen(s, d)),
     "dispersion_test" -> ((s, d) => Events.dispersionTest(s, d)),
+    "ansari_bradley" -> ((s, d) => Events.ansariBradley(s, d)),
+    "mood_median" -> ((s, d) => Events.moodMedian(s, d)),
+    "jonckheere_terpstra" -> ((s, d) => Events.jonckheereTerpstra(s, d)),
+    "brown_forsythe" -> ((s, d) => Events.brownForsythe(s, d)),
+    "kuiper_two_sample" -> ((s, d) => Events.kuiperTwoSample(s, d)),
+    "hodges_lehmann" -> ((s, d) => Events.hodgesLehmann(s, d)),
+    "cochran_armitage" -> ((s, d) => Events.cochranArmitage(s, d)),
+    "grubbs_test" -> ((s, d) => Events.grubbsTest(s, d)),
     "vote_rank" -> ((s, d) => Graph.voteRank(s, d)),
     "burt_constraint" -> ((s, d) => Graph.burtConstraint(s, d)),
     "rbo_stability" -> ((s, d) => TextStats.rboStability(s, d)),
@@ -10591,6 +10599,351 @@ object SparkEntry {
          SELECT t::BIGINT AS t_day, n_risk, d AS deaths, hc9,
            floor(hc9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS cum_hazard
          FROM cum WHERE d > 0 ORDER BY t_day""",
+    // Ansari-Bradley scale test: exact piecewise f(m) score sums on
+    // integer ranks, parity-split classical moments as one pinned
+    // double chain (no libm)
+    "ansari_bradley" ->
+      """WITH ev AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+             AS vi,
+           CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+             THEN 1 ELSE 0 END AS isA
+           FROM events WHERE value IS NOT NULL),
+         byv AS (SELECT vi, count(*)::BIGINT AS ct,
+                   sum(isA)::BIGINT AS ca
+                 FROM ev GROUP BY 1),
+         tot AS (SELECT sum(ct)::BIGINT AS nn, sum(ca)::BIGINT AS na
+                 FROM byv),
+         blk AS (SELECT ct, ca,
+                   coalesce(sum(ct) OVER (ORDER BY vi
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS cb
+                 FROM byv),
+         pre AS (SELECT nn, na, (nn + 1) // 2 AS h, cb AS m0,
+                   cb + ca AS m1
+                 FROM blk CROSS JOIN tot),
+         fa AS (SELECT nn, na,
+                  (CASE WHEN m1 <= h THEN (m1 * (m1 + 1)) // 2
+                     ELSE (h * (h + 1)) // 2 +
+                       ((2 * nn + 1 - h - m1) * (m1 - h)) // 2 END -
+                   CASE WHEN m0 <= h THEN (m0 * (m0 + 1)) // 2
+                     ELSE (h * (h + 1)) // 2 +
+                       ((2 * nn + 1 - h - m0) * (m0 - h)) // 2 END)
+                    ::BIGINT AS fa
+                FROM pre),
+         g AS (SELECT max(nn)::BIGINT AS nn, max(na)::BIGINT AS na,
+                 sum(fa)::BIGINT AS ta FROM fa),
+         f AS (SELECT nn, na, (nn - na)::BIGINT AS nb, ta,
+                 CASE WHEN nn % 2 = 0
+                   THEN (na::DOUBLE * (nn::DOUBLE + 2.0)) / 4.0
+                   ELSE (na::DOUBLE * (nn::DOUBLE + 1.0) *
+                     (nn::DOUBLE + 1.0)) / (4.0 * nn::DOUBLE) END AS e,
+                 CASE WHEN nn % 2 = 0
+                   THEN (na::DOUBLE * (nn - na)::DOUBLE *
+                     (nn::DOUBLE + 2.0) * (nn::DOUBLE - 2.0)) /
+                     (48.0 * (nn::DOUBLE - 1.0))
+                   ELSE (na::DOUBLE * (nn - na)::DOUBLE *
+                     (nn::DOUBLE + 1.0) *
+                     (3.0 + nn::DOUBLE * nn::DOUBLE)) /
+                     (48.0 * nn::DOUBLE * nn::DOUBLE) END AS v
+               FROM g),
+         zz AS (SELECT na, nb, ta,
+                  CASE WHEN v > 0
+                    THEN floor((ta::DOUBLE - e) / sqrt(v) * 1e6 + 0.5)
+                      / 1e6
+                    ELSE 0.0 END AS z
+                FROM f)
+         SELECT na AS n_a, nb AS n_b, ta AS t_ab, z,
+           (CASE WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END)::BIGINT
+             AS scale_differs
+         FROM zz""",
+    // Mood's median test: grand median by the cross-multiplied
+    // cumulative rule, per-type chi2 terms on the 1e-9 grid,
+    // Wilson-Hilferty critical value from a driver z95 literal
+    "mood_median" -> {
+      val z95 = 1.6448536269514722
+      s"""WITH vi AS (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+           FROM events WHERE value IS NOT NULL),
+         byv AS (SELECT v2, count(*)::BIGINT AS ct FROM vi GROUP BY 1),
+         tot AS (SELECT sum(ct)::BIGINT AS ntot FROM byv),
+         med AS (SELECT min(v2)::BIGINT AS med2 FROM (
+             SELECT v2, sum(ct) OVER (ORDER BY v2
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             FROM byv) c CROSS JOIN tot
+           WHERE cum * 2 >= ntot),
+         pt AS (SELECT event_type, count(*)::BIGINT AS n,
+                  sum(CASE WHEN v2 > med2 THEN 1 ELSE 0 END)::BIGINT
+                    AS a
+                FROM vi CROSS JOIN med GROUP BY 1),
+         g AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+                 sum(a)::BIGINT AS m FROM pt),
+         terms AS (SELECT k, nn, m,
+                     CASE WHEN m > 0 AND m < nn THEN
+                       CAST(floor((
+                         (a::DOUBLE - n::DOUBLE *
+                           (m::DOUBLE / nn::DOUBLE)) *
+                         (a::DOUBLE - n::DOUBLE *
+                           (m::DOUBLE / nn::DOUBLE)) /
+                         (n::DOUBLE * (m::DOUBLE / nn::DOUBLE)) +
+                         (a::DOUBLE - n::DOUBLE *
+                           (m::DOUBLE / nn::DOUBLE)) *
+                         (a::DOUBLE - n::DOUBLE *
+                           (m::DOUBLE / nn::DOUBLE)) /
+                         (n::DOUBLE * (1.0 - m::DOUBLE / nn::DOUBLE)))
+                         * 1e9 + 0.5) AS BIGINT)
+                     ELSE 0 END AS t9
+                   FROM pt CROSS JOIN g),
+         agg AS (SELECT k, nn, m,
+                   floor(sum(t9)::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6
+                     AS chi2
+                 FROM terms GROUP BY 1, 2, 3),
+         fin AS (SELECT k, nn, chi2, med2,
+                   (k - 1)::DOUBLE AS kk,
+                   1.0 - 2.0 / (9.0 * (k - 1)::DOUBLE) +
+                     ($z95) * sqrt(2.0 / (9.0 * (k - 1)::DOUBLE)) AS aa
+                 FROM agg CROSS JOIN med)
+         SELECT k AS n_types, nn AS n_total,
+           med2::DOUBLE / 100.0 AS median, chi2,
+           floor(kk * aa * (aa * aa) * 1e6 + 0.5) / 1e6 AS chi2_crit,
+           (CASE WHEN chi2 > floor(kk * aa * (aa * aa) * 1e6 + 0.5)
+              / 1e6 THEN 1 ELSE 0 END)::BIGINT AS median_differs
+         FROM fin"""
+    },
+    // Jonckheere-Terpstra: doubled pairwise-win counts per grid value
+    // over the 21 ordered weekday pairs, exact no-tie null moments
+    "jonckheere_terpstra" -> {
+      val cCols = (0 until 7).map(i =>
+        s"sum(CASE WHEN g = $i THEN 1 ELSE 0 END)::BIGINT AS c$i")
+        .mkString(", ")
+      val ccCols = (0 until 7).map(i =>
+        s"coalesce(sum(c$i) OVER w, 0)::BIGINT AS cc$i").mkString(", ")
+      val cList = (0 until 7).map(i => s"c$i").mkString(", ")
+      val contrib = (for { i <- 0 until 7; j <- i + 1 until 7 } yield
+        s"c$j * (2 * cc$i + c$i)").mkString(" + ")
+      val nSums = (0 until 7).map(i => s"sum(c$i)::BIGINT AS n$i")
+        .mkString(", ")
+      val nTot = (0 until 7).map(i => s"n$i").mkString(" + ")
+      val sumN2 = (0 until 7).map(i => s"n$i * n$i").mkString(" + ")
+      val sumN2w = (0 until 7).map(i =>
+        s"n$i * n$i * (2 * n$i + 3)").mkString(" + ")
+      s"""WITH ev AS (SELECT
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi,
+             (epoch_ms(ts) // 1000 // 86400) % 7 AS g
+           FROM events WHERE value IS NOT NULL),
+         byv AS (SELECT vi, $cCols FROM ev GROUP BY 1),
+         cums AS (SELECT vi, $cList, $ccCols FROM byv
+           WINDOW w AS (ORDER BY vi
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         rows_ AS (SELECT ($contrib)::BIGINT AS row2, $cList
+                   FROM cums),
+         g1 AS (SELECT sum(row2)::BIGINT AS jt2, $nSums FROM rows_),
+         g2 AS (SELECT jt2, ($nTot)::BIGINT AS ntot,
+                  ($sumN2)::BIGINT AS sn2, ($sumN2w)::BIGINT AS sn2w
+                FROM g1),
+         g3 AS (SELECT jt2, ntot,
+                  (2 * jt2 - (ntot * ntot - sn2))::BIGINT AS d4,
+                  (ntot * ntot * (2 * ntot + 3) - sn2w)::BIGINT AS w72
+                FROM g2),
+         zz AS (SELECT ntot, jt2,
+                  CASE WHEN w72 > 0
+                    THEN floor((d4::DOUBLE / 4.0) /
+                      sqrt(w72::DOUBLE / 72.0) * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS z
+                FROM g3)
+         SELECT ntot AS n_total, jt2, z,
+           (CASE WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END)::BIGINT
+             AS trend
+         FROM zz"""
+    },
+    // Brown-Forsythe: per-type exact grid medians, |x-med| moment
+    // sums, per-group terms on the 1e-3 grid, WH chi2 flag
+    "brown_forsythe" -> {
+      val z95 = 1.6448536269514722
+      s"""WITH vi AS (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+           FROM events WHERE value IS NOT NULL),
+         bytv AS (SELECT event_type, v2, count(*)::BIGINT AS ct
+                  FROM vi GROUP BY 1, 2),
+         med AS (SELECT event_type AS et, min(v2)::BIGINT AS medg
+                 FROM (SELECT event_type, v2,
+                         sum(ct) OVER (PARTITION BY event_type
+                           ORDER BY v2 ROWS UNBOUNDED PRECEDING)
+                           ::BIGINT AS cum,
+                         sum(ct) OVER (PARTITION BY event_type)
+                           ::BIGINT AS ng
+                       FROM bytv) c
+                 WHERE cum * 2 >= ng GROUP BY 1),
+         z AS (SELECT vi.event_type, abs(v2 - medg)::BIGINT AS z
+               FROM vi JOIN med ON vi.event_type = med.et),
+         pt AS (SELECT event_type, count(*)::BIGINT AS n,
+                  sum(z)::BIGINT AS s1, sum(z * z)::BIGINT AS s2
+                FROM z GROUP BY 1),
+         g AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+                 sum(s1)::BIGINT AS st FROM pt),
+         terms AS (SELECT k, nn,
+                     CAST(floor(n::DOUBLE *
+                       ((s1::DOUBLE / n::DOUBLE -
+                         st::DOUBLE / nn::DOUBLE) *
+                        (s1::DOUBLE / n::DOUBLE -
+                         st::DOUBLE / nn::DOUBLE)) * 1e3 + 0.5)
+                       AS BIGINT) AS num3,
+                     CAST(floor((s2::DOUBLE -
+                       (s1::DOUBLE * s1::DOUBLE) / n::DOUBLE) * 1e3
+                       + 0.5) AS BIGINT) AS den3
+                   FROM pt CROSS JOIN g),
+         agg AS (SELECT k, nn, sum(num3)::BIGINT AS num3,
+                   sum(den3)::BIGINT AS den3
+                 FROM terms GROUP BY 1, 2),
+         fin AS (SELECT k, nn,
+                   CASE WHEN den3 > 0
+                     THEN ((nn - k)::DOUBLE / (k - 1)::DOUBLE) *
+                       (num3::DOUBLE / den3::DOUBLE)
+                     ELSE 0.0 END AS bfw,
+                   (k - 1)::DOUBLE AS kk,
+                   1.0 - 2.0 / (9.0 * (k - 1)::DOUBLE) +
+                     ($z95) * sqrt(2.0 / (9.0 * (k - 1)::DOUBLE)) AS aa
+                 FROM agg)
+         SELECT k AS n_types, nn AS n_total,
+           floor(bfw * 1e6 + 0.5) / 1e6 AS bf_w,
+           floor(kk * aa * (aa * aa) * 1e6 + 0.5) / 1e6 AS chi2_crit,
+           (CASE WHEN floor(kk * bfw * 1e6 + 0.5) / 1e6 >
+              floor(kk * aa * (aa * aa) * 1e6 + 0.5) / 1e6
+            THEN 1 ELSE 0 END)::BIGINT AS variance_heterogeneous
+         FROM fin"""
+    },
+    // Kuiper two-sample: cross-multiplied CDF gaps both ways, exact
+    // LONG sups, asymptotic 1.747 flag from driver literals
+    "kuiper_two_sample" ->
+      """WITH ev AS (SELECT
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi,
+           CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+             THEN 1 ELSE 0 END AS isA
+           FROM events WHERE value IS NOT NULL),
+         byv AS (SELECT vi, count(*)::BIGINT AS ct,
+                   sum(isA)::BIGINT AS ca
+                 FROM ev GROUP BY 1),
+         cums AS (SELECT
+             sum(ca) OVER w::BIGINT AS cpa,
+             (sum(ct) OVER w - sum(ca) OVER w)::BIGINT AS cpb
+           FROM byv
+           WINDOW w AS (ORDER BY vi ROWS UNBOUNDED PRECEDING)),
+         tot AS (SELECT sum(ca)::BIGINT AS na,
+                   (sum(ct) - sum(ca))::BIGINT AS nb
+                 FROM byv),
+         g AS (SELECT max(na)::BIGINT AS na, max(nb)::BIGINT AS nb,
+                 greatest(max(cpa * nb - cpb * na), 0)::BIGINT AS dp,
+                 greatest(max(cpb * na - cpa * nb), 0)::BIGINT AS dm
+               FROM cums CROSS JOIN tot)
+         SELECT na AS n_a, nb AS n_b, dp AS dplus_num,
+           dm AS dminus_num,
+           floor((dp + dm)::DOUBLE / (na::DOUBLE * nb::DOUBLE) * 1e6
+             + 0.5) / 1e6 AS v_stat,
+           (CASE WHEN floor((dp + dm)::DOUBLE /
+                (na::DOUBLE * nb::DOUBLE) *
+                sqrt((na::DOUBLE * nb::DOUBLE) / (na + nb)::DOUBLE)
+                * 1e6 + 0.5) / 1e6 > 1.747
+            THEN 1 ELSE 0 END)::BIGINT AS distribution_differs
+         FROM g""",
+    // Hodges-Lehmann shift: exact daily totals, span-bounded pair
+    // grid, exact middle-rank selection
+    "hodges_lehmann" ->
+      """WITH ev AS (SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi,
+           CASE WHEN ((user_id % 2147483648) * 8388593) % 100 < 50
+             THEN 1 ELSE 0 END AS isA
+           FROM events WHERE value IS NOT NULL),
+         da AS (SELECT day, sum(vi)::BIGINT AS va FROM ev
+                WHERE isA = 1 GROUP BY 1),
+         db AS (SELECT day, sum(vi)::BIGINT AS vb FROM ev
+                WHERE isA = 0 GROUP BY 1),
+         diffs AS (SELECT (va - vb)::BIGINT AS d
+                   FROM da CROSS JOIN db),
+         rk AS (SELECT d, row_number() OVER (ORDER BY d) AS rn
+                FROM diffs),
+         cnts AS (SELECT (SELECT count(*) FROM da)::BIGINT AS na,
+                    (SELECT count(*) FROM db)::BIGINT AS nb),
+         mm AS (SELECT na, nb, (na * nb)::BIGINT AS m FROM cnts),
+         sel AS (SELECT na, nb, m,
+                   min(CASE WHEN rn = (m + 1) // 2 THEN d END)::BIGINT
+                     AS dlo,
+                   min(CASE WHEN rn = m // 2 + 1 THEN d END)::BIGINT
+                     AS dhi
+                 FROM rk CROSS JOIN mm GROUP BY 1, 2, 3)
+         SELECT na AS n_days_a, nb AS n_days_b, m AS n_pairs,
+           floor((dlo + dhi)::DOUBLE / 2.0 / 1e6 * 1e6 + 0.5) / 1e6
+             AS hl_shift
+         FROM sel""",
+    // Cochran-Armitage: deterministic count-grid quartiles, exact
+    // score sums, pinned double chain
+    "cochran_armitage" ->
+      """WITH pu AS (SELECT user_id, count(*)::BIGINT AS cnt,
+             (CASE WHEN count(DISTINCT CASE WHEN event_type = 'purchase'
+                THEN epoch_ms(ts) // 1000 // 86400 END) >= 12
+              THEN 1 ELSE 0 END)::BIGINT AS pos
+           FROM events GROUP BY 1),
+         byc AS (SELECT cnt, count(*)::BIGINT AS nu,
+                   sum(pos)::BIGINT AS np
+                 FROM pu GROUP BY 1),
+         tot AS (SELECT sum(nu)::BIGINT AS nn FROM byc),
+         grp AS (SELECT least((4 * cb) // nn, 3)::BIGINT AS g, nu, np
+                 FROM (SELECT nu, np,
+                         coalesce(sum(nu) OVER (ORDER BY cnt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                             PRECEDING), 0)::BIGINT AS cb
+                       FROM byc) b CROSS JOIN tot),
+         gg AS (SELECT g, sum(nu)::BIGINT AS ng, sum(np)::BIGINT AS rg
+                FROM grp GROUP BY 1),
+         agg AS (SELECT sum(ng)::BIGINT AS nn, sum(rg)::BIGINT AS rr,
+                   sum(g * rg)::BIGINT AS t, sum(g * ng)::BIGINT AS sn,
+                   sum(g * g * ng)::BIGINT AS sn2
+                 FROM gg),
+         fin AS (SELECT nn, rr, t,
+                   (rr::DOUBLE / nn::DOUBLE) * sn::DOUBLE AS e,
+                   ((rr::DOUBLE / nn::DOUBLE) *
+                     (1.0 - rr::DOUBLE / nn::DOUBLE)) *
+                   (sn2::DOUBLE - (sn::DOUBLE * sn::DOUBLE)
+                     / nn::DOUBLE) AS vr
+                 FROM agg),
+         zz AS (SELECT nn, rr, t,
+                  CASE WHEN vr > 0
+                    THEN floor((t::DOUBLE - e) / sqrt(vr) * 1e6 + 0.5)
+                      / 1e6
+                    ELSE 0.0 END AS z
+                FROM fin)
+         SELECT nn AS n_users, rr AS n_positive, t AS t_stat, z,
+           (CASE WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END)::BIGINT
+             AS trend
+         FROM zz""",
+    // Grubbs: integer-centered daily moments, one double chain, 3
+    // sigma operational flag
+    "grubbs_test" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS v
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         c AS (SELECT CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT)
+                 AS c0
+               FROM daily),
+         d AS (SELECT (v - c0)::BIGINT AS d FROM daily CROSS JOIN c),
+         g AS (SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS s1,
+                 sum(d * d)::BIGINT AS q,
+                 max(d)::BIGINT AS dmax, min(d)::BIGINT AS dmin
+               FROM d),
+         fin AS (SELECT n,
+                   s1::DOUBLE / n::DOUBLE AS meand,
+                   sqrt((q::DOUBLE - (s1::DOUBLE * s1::DOUBLE)
+                     / n::DOUBLE) / (n::DOUBLE - 1.0)) AS sd,
+                   dmax, dmin
+                 FROM g),
+         zz AS (SELECT n,
+                  CASE WHEN sd > 0
+                    THEN floor(greatest(dmax::DOUBLE - meand,
+                      meand - dmin::DOUBLE) / sd * 1e6 + 0.5) / 1e6
+                    ELSE 0.0 END AS g_stat
+                FROM fin)
+         SELECT n AS n_days, g_stat,
+           (CASE WHEN g_stat > 3.0 THEN 1 ELSE 0 END)::BIGINT
+             AS sigma3_outlier
+         FROM zz""",
     "dispersion_test" -> {
       val z95 = 1.6448536269514722
       s"""WITH daily AS (

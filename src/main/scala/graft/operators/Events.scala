@@ -6712,5 +6712,385 @@ object Events {
     }
     rows.reduce(_ unionAll _).orderBy("granularity")
   }
+
+  /** Ansari–Bradley two-sample scale test (W474) between the hash
+    * arms of [[obfSequential]]: did the experiment change the SPREAD
+    * of `value`, not its location? AB scores rank from both ends
+    * (a(r) = min(r, N+1−r)); the arm-A score total comes from the
+    * value-grid count table via the exact piecewise closed form
+    * f(m) = Σ_{r≤m} a(r) per block (ties deterministically give arm A
+    * the lower ranks — documented convention, never a row sort), so
+    * `t_ab` is an exact integer. The null mean/variance are the
+    * classical parity-split rationals evaluated as one pinned-order
+    * double chain over exact ≤2⁵³ LONGs — no libm, engine-proof.
+    * Scale: one value-keyed agg + a window over DISTINCT grid values.
+    */
+  def ansariBradley(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+        .as("vi"),
+        (pmod(pmod(col("user_id"), lit(2147483648L)) * lit(8388593L),
+          lit(100L)) < 50).cast("long").as("isA"))
+    val byV = ev.groupBy("vi").agg(count(lit(1)).as("ct"),
+      sum(col("isA")).as("ca"))
+    val tot = byV.agg(sum(col("ct")).as("nn"), sum(col("ca")).as("na"))
+    val cb = coalesce(sum(col("ct")).over(
+      Window.orderBy("vi").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val blocks = byV.select(col("ct"), col("ca"), cb.as("cb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("h", expr("(nn + 1) div 2"))
+      .withColumn("m0", col("cb"))
+      .withColumn("m1", col("cb") + col("ca"))
+      .withColumn("fa", expr(
+        """CASE WHEN m1 <= h THEN (m1 * (m1 + 1)) div 2
+             ELSE (h * (h + 1)) div 2 +
+               ((2 * nn + 1 - h - m1) * (m1 - h)) div 2 END -
+           CASE WHEN m0 <= h THEN (m0 * (m0 + 1)) div 2
+             ELSE (h * (h + 1)) div 2 +
+               ((2 * nn + 1 - h - m0) * (m0 - h)) div 2 END"""))
+    val g = blocks.agg(max(col("nn")).as("nn"), max(col("na")).as("na"),
+      sum(col("fa")).as("ta"))
+    val nnD = col("nn").cast("double")
+    val naD = col("na").cast("double")
+    val nbD = (col("nn") - col("na")).cast("double")
+    val even = pmod(col("nn"), lit(2L)) === 0
+    val e = when(even, (naD * (nnD + lit(2.0))) / lit(4.0))
+      .otherwise((naD * (nnD + lit(1.0)) * (nnD + lit(1.0))) /
+        (lit(4.0) * nnD))
+    val v = when(even,
+      (naD * nbD * (nnD + lit(2.0)) * (nnD - lit(2.0))) /
+        (lit(48.0) * (nnD - lit(1.0))))
+      .otherwise((naD * nbD * (nnD + lit(1.0)) *
+        (lit(3.0) + nnD * nnD)) / (lit(48.0) * nnD * nnD))
+    val z = when(v > 0,
+      q((col("ta").cast("double") - e) / sqrt(v), 6)).otherwise(lit(0.0))
+    g.select(col("na").as("n_a"), (col("nn") - col("na")).as("n_b"),
+      col("ta").as("t_ab"), z.as("z"),
+      (abs(z) > lit(1.959964)).cast("long").as("scale_differs"))
+  }
+
+  /** Mood's median test (W475) across event types: do the types share
+    * one median `value`? The grand median is the cross-multiplied
+    * cumulative rule on the cent grid (2·cum ≥ N — an exact integer,
+    * no interpolation); per-type above-median counts make a 2×k
+    * contingency whose χ² terms are pinned-order doubles over exact
+    * integers, each quantized to the 1e-9 LONG grid BEFORE the
+    * order-free sum. The critical value is Wilson–Hilferty with a
+    * driver-injected z₉₅ — the [[dispersionTest]] recipe. One
+    * value-keyed agg + one type-keyed agg.
+    */
+  def moodMedian(s: SparkSession, dir: String): DataFrame = {
+    val z95 = 1.6448536269514722
+    val vi = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("v2"))
+    val byV = vi.groupBy("v2").agg(count(lit(1)).as("ct"))
+    val tot = byV.agg(sum(col("ct")).as("ntot"))
+    val cum = sum(col("ct")).over(Window.orderBy("v2")
+      .rowsBetween(Window.unboundedPreceding, 0))
+    val med = byV.select(col("v2"), cum.as("cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("ntot"))
+      .agg(min(col("v2")).as("med2"))
+    val perType = vi.crossJoin(broadcast(med))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("v2") > col("med2")).cast("long")).as("a"),
+        max(col("med2")).as("med2"))
+    val g = perType.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("a")).as("m"), max(col("med2")).as("med2"))
+    val p = col("m").cast("double") / col("nn").cast("double")
+    val ea = col("n").cast("double") * p
+    val eb = col("n").cast("double") * (lit(1.0) - p)
+    val diff = col("a").cast("double") - ea
+    val term = diff * diff / ea + diff * diff / eb
+    val terms = perType.drop("med2").crossJoin(broadcast(g))
+      .select(col("k"), col("nn"), col("m"), col("med2"),
+        when(col("m") > 0 && col("m") < col("nn"),
+          floor(term * lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("t9"))
+    val kk = (col("k") - 1).cast("double")
+    val aa = lit(1.0) - lit(2.0) / (lit(9.0) * kk) +
+      lit(z95) * sqrt(lit(2.0) / (lit(9.0) * kk))
+    val chi2 = q(sum(col("t9")).cast("double") / lit(1e9), 6)
+    terms.groupBy("k", "nn", "m", "med2")
+      .agg(chi2.as("chi2"))
+      .select(col("k").as("n_types"), col("nn").as("n_total"),
+        (col("med2").cast("double") / lit(100.0)).as("median"),
+        col("chi2"), q(kk * aa * (aa * aa), 6).as("chi2_crit"),
+        (col("chi2") > q(kk * aa * (aa * aa), 6)).cast("long")
+          .as("median_differs"))
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative trend test (W476): does
+    * `value` drift monotonically across the week (groups = epoch-day
+    * mod 7, an ordered 7-level factor both engines derive
+    * identically)? 2·JT accumulates per grid value as
+    * Σ_{i<j} c_j·(2·C_i + c_i) (strict wins + half-ties, DOUBLED so
+    * every quantity is an exact integer) over the 21 ordered group
+    * pairs — one expression per row of the value-count table, never a
+    * pairwise join. The no-tie null moments are exact LONGs
+    * (4E = N²−Σn², 72V = N²(2N+3)−Σn²(2n+3), both < 2⁵³ at any
+    * fixture SF), and z is one pinned-order double chain. Scale: one
+    * value-keyed agg + one window over distinct grid values.
+    */
+  def jonckheereTerpstra(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+        .as("vi"),
+        pmod(expr("unix_timestamp(ts) div 86400"), lit(7L)).as("g"))
+    val cCols = (0 until 7).map(i =>
+      sum((col("g") === i).cast("long")).as(s"c$i"))
+    val byV = ev.groupBy("vi").agg(cCols.head, cCols.tail: _*)
+    val w = Window.orderBy("vi").rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = byV.select(col("vi") +: (0 until 7).flatMap(i => Seq(
+      col(s"c$i"),
+      coalesce(sum(col(s"c$i")).over(w), lit(0L)).as(s"cc$i"))): _*)
+    val contrib = (0 until 7).flatMap(i => (i + 1 until 7).map(j =>
+      col(s"c$j") * (lit(2L) * col(s"cc$i") + col(s"c$i"))))
+      .reduce(_ + _)
+    val nCols = (0 until 7).map(i => sum(col(s"c$i")).as(s"n$i"))
+    val g = withCum.select(contrib.as("row2") +:
+        (0 until 7).map(i => col(s"c$i")): _*)
+      .agg(sum(col("row2")).as("jt2"), nCols: _*)
+    val nTot = (0 until 7).map(i => col(s"n$i")).reduce(_ + _)
+    val sumN2 = (0 until 7).map(i => col(s"n$i") * col(s"n$i"))
+      .reduce(_ + _)
+    val sumN2w = (0 until 7).map(i =>
+      col(s"n$i") * col(s"n$i") * (lit(2L) * col(s"n$i") + lit(3L)))
+      .reduce(_ + _)
+    val withTot = g.withColumn("ntot", nTot)
+      .withColumn("d4", lit(2L) * col("jt2") -
+        (col("ntot") * col("ntot") - sumN2))
+      .withColumn("w72", col("ntot") * col("ntot") *
+        (lit(2L) * col("ntot") + lit(3L)) - sumN2w)
+    val z = when(col("w72") > 0,
+      q((col("d4").cast("double") / lit(4.0)) /
+        sqrt(col("w72").cast("double") / lit(72.0)), 6))
+      .otherwise(lit(0.0))
+    withTot.select(col("ntot").as("n_total"), col("jt2"),
+      z.as("z"), (abs(z) > lit(1.959964)).cast("long").as("trend"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (W477) across event
+    * types — Levene's test on |x − group MEDIAN| (the robust variant):
+    * are the per-type `value` spreads equal enough for pooled-variance
+    * methods? Group medians are exact cent-grid integers
+    * (cross-multiplied cumulative rule per type), absolute deviations
+    * are exact LONGs, and both the between-group and within-group
+    * sums of squares ride exact (S, Q, n) per type with each group
+    * term quantized to a 1e-3 LONG before the order-free sum. The
+    * heterogeneity flag compares (k−1)·W to the Wilson–Hilferty
+    * χ²₉₅(k−1) (driver-injected z₉₅), the large-N approximation
+    * documented on [[dispersionTest]]. Two keyed aggs + one broadcast
+    * median join.
+    */
+  def brownForsythe(s: SparkSession, dir: String): DataFrame = {
+    val z95 = 1.6448536269514722
+    val vi = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("v2"))
+    val byTV = vi.groupBy("event_type", "v2").agg(count(lit(1)).as("ct"))
+    val wT = Window.partitionBy("event_type").orderBy("v2")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nT = Window.partitionBy("event_type")
+    val med = byTV
+      .withColumn("cum", sum(col("ct")).over(wT))
+      .withColumn("ng", sum(col("ct")).over(nT))
+      .filter(col("cum") * 2 >= col("ng"))
+      .groupBy(col("event_type").as("et"))
+      .agg(min(col("v2")).as("medg"))
+    val z = vi.join(broadcast(med), col("event_type") === col("et"))
+      .select(col("event_type"), abs(col("v2") - col("medg")).as("z"))
+    val perType = z.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("z")).as("s1"), sum(col("z") * col("z")).as("s2"))
+    val g = perType.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s1")).as("st"))
+    val zbarG = col("s1").cast("double") / col("n").cast("double")
+    val zbar = col("st").cast("double") / col("nn").cast("double")
+    val numT = col("n").cast("double") * ((zbarG - zbar) * (zbarG - zbar))
+    val denT = col("s2").cast("double") -
+      (col("s1").cast("double") * col("s1").cast("double")) /
+        col("n").cast("double")
+    val terms = perType.crossJoin(broadcast(g))
+      .select(col("k"), col("nn"),
+        floor(numT * lit(1e3) + lit(0.5)).cast("long").as("num3"),
+        floor(denT * lit(1e3) + lit(0.5)).cast("long").as("den3"))
+    val agg = terms.groupBy("k", "nn")
+      .agg(sum(col("num3")).as("num3"), sum(col("den3")).as("den3"))
+    val kk = (col("k") - 1).cast("double")
+    val bfw = when(col("den3") > 0,
+      ((col("nn") - col("k")).cast("double") / kk) *
+        (col("num3").cast("double") / col("den3").cast("double")))
+      .otherwise(lit(0.0))
+    val aa = lit(1.0) - lit(2.0) / (lit(9.0) * kk) +
+      lit(z95) * sqrt(lit(2.0) / (lit(9.0) * kk))
+    val crit = q(kk * aa * (aa * aa), 6)
+    agg.select(col("k").as("n_types"), col("nn").as("n_total"),
+      q(bfw, 6).as("bf_w"), crit.as("chi2_crit"),
+      (q(kk * bfw, 6) > crit).cast("long").as("variance_heterogeneous"))
+  }
+
+  /** Kuiper two-sample test (W478) between the hash arms — the
+    * rotation-invariant KS variant V = D⁺ + D⁻ that catches SPREAD
+    * and tail differences a one-sided sup misses. Both CDF gaps are
+    * cross-multiplied exact integers over the value-grid cumulative
+    * counts (sup includes the 0 boundary), so `dplus_num`/`dminus_num`
+    * are LONGs; V and the asymptotic flag V·√(n_e) > 1.747 (the 95%
+    * Kuiper point, a driver literal) are pinned-order doubles. One
+    * value-keyed agg + one bounded window.
+    */
+  def kuiperTwoSample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+        .as("vi"),
+        (pmod(pmod(col("user_id"), lit(2147483648L)) * lit(8388593L),
+          lit(100L)) < 50).cast("long").as("isA"))
+    val byV = ev.groupBy("vi").agg(count(lit(1)).as("ct"),
+      sum(col("isA")).as("ca"))
+    val w = Window.orderBy("vi")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cums = byV.select(
+      sum(col("ca")).over(w).as("cpa"),
+      (sum(col("ct")).over(w) - sum(col("ca")).over(w)).as("cpb"))
+    val tot = byV.agg(sum(col("ca")).as("na"),
+      (sum(col("ct")) - sum(col("ca"))).as("nb"))
+    val g = cums.crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        greatest(max(col("cpa") * col("nb") - col("cpb") * col("na")),
+          lit(0L)).as("dp"),
+        greatest(max(col("cpb") * col("na") - col("cpa") * col("nb")),
+          lit(0L)).as("dm"))
+    val vstat = (col("dp") + col("dm")).cast("double") /
+      (col("na").cast("double") * col("nb").cast("double"))
+    val ne = (col("na").cast("double") * col("nb").cast("double")) /
+      (col("na") + col("nb")).cast("double")
+    g.select(col("na").as("n_a"), col("nb").as("n_b"),
+      col("dp").as("dplus_num"), col("dm").as("dminus_num"),
+      q(vstat, 6).as("v_stat"),
+      (q(vstat * sqrt(ne), 6) > lit(1.747)).cast("long")
+        .as("distribution_differs"))
+  }
+
+  /** Hodges–Lehmann shift estimate (W479) between the hash arms'
+    * DAILY revenue totals: the median of all pairwise differences —
+    * the robust "how much did the experiment move daily revenue?"
+    * number that a mean-difference can't give under outliers. Daily
+    * totals are exact 1e-6-grid LONGs; the pair frame is
+    * span-bounded² (days × days, never corpus²) so the cross join is
+    * a constant-size grid at any corpus scale; the median is the
+    * exact lower/upper-middle selection by row_number (both
+    * surfaced), and `hl_shift` is their exact midpoint over two
+    * divisions. No transcendental anywhere.
+    */
+  def hodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"),
+        (pmod(pmod(col("user_id"), lit(2147483648L)) * lit(8388593L),
+          lit(100L)) < 50).cast("long").as("isA"))
+    val da = ev.filter(col("isA") === 1).groupBy("day")
+      .agg(sum(col("vi")).as("va"))
+    val db = ev.filter(col("isA") === 0).groupBy(col("day").as("dayb"))
+      .agg(sum(col("vi")).as("vb"))
+    val diffs = da.crossJoin(db)
+      .select((col("va") - col("vb")).as("d"))
+    val wD = Window.orderBy(col("d"))
+    val ranked = diffs.withColumn("rn", row_number().over(wD))
+    // the pair count is span² (bounded), so the lower/upper middle
+    // ranks are two driver integers, like kaplanMeier's risk-set count
+    val na = da.count()
+    val nb = db.count()
+    val m = na * nb
+    val g = ranked.agg(
+      min(when(col("rn") === lit((m + 1) / 2), col("d"))).as("dlo"),
+      min(when(col("rn") === lit(m / 2 + 1), col("d"))).as("dhi"))
+    g.select(lit(na).as("n_days_a"), lit(nb).as("n_days_b"),
+      lit(m).as("n_pairs"),
+      q((col("dlo") + col("dhi")).cast("double") / lit(2.0) / lit(1e6),
+        6).as("hl_shift"))
+  }
+
+  /** Cochran–Armitage trend test (W480): does purchase propensity
+    * rise with activity? Users land in 4 activity quartiles by the
+    * deterministic cumulative rule over the per-user event-count grid
+    * (every user with the same count gets the same quartile — no row
+    * ranking), outcome = heavy repeat buyer (purchases on ≥
+    * `posDays` distinct days — has-any-purchase saturates on this
+    * fixture). T = Σ g·r_g with scores
+    * 0..3 is an exact LONG; the null moments p̄(1−p̄)[Σg²n−(Σgn)²/N]
+    * ride exact integers through one pinned-order double chain. One
+    * user-keyed agg + one count-grid window.
+    */
+  def cochranArmitage(s: SparkSession, dir: String,
+                      posDays: Int = 12): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"),
+        (countDistinct(when(col("event_type") === "purchase",
+          expr("unix_timestamp(ts) div 86400"))) >= posDays)
+          .cast("long").as("pos"))
+    val byC = perUser.groupBy("cnt").agg(count(lit(1)).as("nu"),
+      sum(col("pos")).as("np"))
+    val tot = byC.agg(sum(col("nu")).as("nn"))
+    val cb = coalesce(sum(col("nu")).over(
+      Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val grouped = byC.select(col("nu"), col("np"), cb.as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(least(expr("(4 * cb) div nn"), lit(3L)).as("g"),
+        col("nu"), col("np"))
+      .groupBy("g")
+      .agg(sum(col("nu")).as("ng"), sum(col("np")).as("rg"))
+    val agg = grouped.agg(sum(col("ng")).as("nn"),
+      sum(col("rg")).as("rr"),
+      sum(col("g") * col("rg")).as("t"),
+      sum(col("g") * col("ng")).as("sn"),
+      sum(col("g") * col("g") * col("ng")).as("sn2"))
+    val p = col("rr").cast("double") / col("nn").cast("double")
+    val e = p * col("sn").cast("double")
+    val vr = (p * (lit(1.0) - p)) * (col("sn2").cast("double") -
+      (col("sn").cast("double") * col("sn").cast("double")) /
+        col("nn").cast("double"))
+    val z = when(vr > 0,
+      q((col("t").cast("double") - e) / sqrt(vr), 6)).otherwise(lit(0.0))
+    agg.select(col("nn").as("n_users"), col("rr").as("n_positive"),
+      col("t").as("t_stat"), z.as("z"),
+      (abs(z) > lit(1.959964)).cast("long").as("trend"))
+  }
+
+  /** Grubbs max-deviation outlier screen (W481) on the daily revenue
+    * series: G = max|x − x̄|/s, the "is the worst day a statistical
+    * outlier?" single number. Daily totals are exact cent-grid LONGs
+    * centered on the integer floor-mean (the [[jarqueBera]] recipe, so
+    * the moment sums stay far under 2⁵³), and G is one pinned-order
+    * double chain over (n, Σd, Σd², max d, min d) — five exact
+    * integers. The flag is the operational 3σ rule (driver literal).
+    * One day-keyed agg + one scalar agg.
+    */
+  def grubbsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("v2"))
+      .groupBy("day").agg(sum(col("v2")).as("v"))
+    val c = daily.agg(floor(sum(col("v")).cast("double") /
+      count(lit(1))).cast("long").as("c0"))
+    val d = daily.crossJoin(broadcast(c))
+      .select((col("v") - col("c0")).as("d"))
+    val g = d.agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+      sum(col("d") * col("d")).as("q"),
+      max(col("d")).as("dmax"), min(col("d")).as("dmin"))
+    val n = col("n").cast("double")
+    val meanD = col("s1").cast("double") / n
+    val sd = sqrt((col("q").cast("double") -
+      (col("s1").cast("double") * col("s1").cast("double")) / n) /
+      (n - lit(1.0)))
+    val gstat = when(sd > 0, q(greatest(
+      col("dmax").cast("double") - meanD,
+      meanD - col("dmin").cast("double")) / sd, 6)).otherwise(lit(0.0))
+    g.select(col("n").as("n_days"), gstat.as("g_stat"),
+      (gstat > lit(3.0)).cast("long").as("sigma3_outlier"))
+  }
 }
 
