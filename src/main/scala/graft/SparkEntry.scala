@@ -590,6 +590,18 @@ object SparkEntry {
     "hodges_lehmann" -> ((s, d) => Events.hodgesLehmann(s, d)),
     "cochran_armitage" -> ((s, d) => Events.cochranArmitage(s, d)),
     "grubbs_test" -> ((s, d) => Events.grubbsTest(s, d)),
+    "running_records" -> ((s, d) => Events.runningRecords(s, d)),
+    "gini_mean_difference" ->
+      ((s, d) => Relational.giniMeanDifference(s, d)),
+    "benford_digits" -> ((s, d) => Relational.benfordDigits(s, d)),
+    "jaccard_link_pred" -> ((s, d) => Graph.jaccardLinkPred(s, d)),
+    "preferential_attachment" ->
+      ((s, d) => Graph.preferentialAttachment(s, d)),
+    "lix_readability" -> ((s, d) => TextStats.lixReadability(s, d)),
+    "msttr_diversity" -> ((s, d) => TextStats.msttrDiversity(s, d)),
+    "doc_containment" -> ((s, d) => Dedup.docContainment(s, d)),
+    "mcc_threshold" -> ((s, d) => Ml.mccThreshold(s, d)),
+    "pareto_front" -> ((s, d) => Curation.paretoFront(s, d)),
     "vote_rank" -> ((s, d) => Graph.voteRank(s, d)),
     "burt_constraint" -> ((s, d) => Graph.burtConstraint(s, d)),
     "rbo_stability" -> ((s, d) => TextStats.rboStability(s, d)),
@@ -2438,6 +2450,51 @@ object SparkEntry {
                 floor(sum(fi)::DOUBLE / count(*) / 1e4 * 1e6 + 0.5) / 1e6
                   AS mean_flesch
          FROM f GROUP BY source ORDER BY source""",
+    // LIX: exact word/sentence/long-word sums, two divisions, no libm
+    "lix_readability" ->
+      """WITH d AS (
+           SELECT source,
+             list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0) AS ts,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               ::BIGINT AS sn
+           FROM documents),
+         f AS (SELECT source, len(ts)::BIGINT AS w,
+                 len(list_filter(ts, t -> len(t) > 6))::BIGINT AS lw,
+                 sn
+               FROM d WHERE len(ts) > 0)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(w)::BIGINT AS words, sum(sn)::BIGINT AS sentences,
+           sum(lw)::BIGINT AS long_words,
+           floor((sum(w)::DOUBLE / sum(sn)::DOUBLE +
+             100.0 * sum(lw)::DOUBLE / sum(w)::DOUBLE) * 1e4 + 0.5)
+             / 1e4 AS lix
+         FROM f GROUP BY source ORDER BY source""",
+    // MSTTR-25: full 25-token segments, exact distinct counts, one
+    // division per source
+    "msttr_diversity" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         ex AS (SELECT source, doc_id,
+                  (generate_subscripts(ts, 1) - 1) // 25 AS seg,
+                  (generate_subscripts(ts, 1) - 1) AS pos,
+                  len(ts) AS lenl, unnest(ts) AS t
+                FROM d),
+         segs AS (SELECT source, doc_id, seg,
+                    count(DISTINCT t)::BIGINT AS nd
+                  FROM ex WHERE pos // 25 < lenl // 25
+                  GROUP BY 1, 2, 3)
+         SELECT source, count(*)::BIGINT AS n_segments,
+           floor(sum(nd)::DOUBLE / (25 * count(*))::DOUBLE * 1e6 + 0.5)
+             / 1e6 AS msttr
+         FROM segs GROUP BY source ORDER BY source""",
     "hits_scores" -> hitsOracleSql(3, 20),
     "mix_weights" ->
       """WITH per AS (
@@ -2486,6 +2543,40 @@ object SparkEntry {
                 GROUP BY a.sup, b.sup)
          SELECT s1, s2, aa_score, common FROM sc
          ORDER BY aa_score DESC, s1, s2 LIMIT 50""",
+    // Jaccard link prediction on the same degree-capped wedges as
+    // adamic_adar — integer counts, one division, no ln
+    "jaccard_link_pred" -> s"""WITH $GraphCte,
+         deg AS (SELECT c, count(*) AS deg FROM pairs GROUP BY c),
+         cap AS (SELECT p.c, p.sup FROM pairs p JOIN deg USING (c)
+                 WHERE deg BETWEEN 2 AND 64),
+         degs AS (SELECT sup, count(*)::BIGINT AS d FROM cap
+                  GROUP BY 1),
+         com AS (SELECT a.sup AS s1, b.sup AS s2,
+                   count(*)::BIGINT AS common
+                 FROM cap a JOIN cap b ON a.c = b.c AND a.sup < b.sup
+                 GROUP BY 1, 2)
+         SELECT s1, s2, common, (d1 + d2 - common)::BIGINT AS union_sz,
+           floor(common::DOUBLE / (d1 + d2 - common)::DOUBLE * 1e6
+             + 0.5) / 1e6 AS jaccard
+         FROM (SELECT com.s1, com.s2, com.common, a.d AS d1, b.d AS d2
+               FROM com JOIN degs a ON com.s1 = a.sup
+               JOIN degs b ON com.s2 = b.sup)
+         ORDER BY jaccard DESC, s1, s2 LIMIT 50""",
+    // preferential attachment: exact integer degree products over the
+    // same wedge candidates
+    "preferential_attachment" -> s"""WITH $GraphCte,
+         deg AS (SELECT c, count(*) AS deg FROM pairs GROUP BY c),
+         cap AS (SELECT p.c, p.sup FROM pairs p JOIN deg USING (c)
+                 WHERE deg BETWEEN 2 AND 64),
+         degs AS (SELECT sup, count(*)::BIGINT AS d FROM cap
+                  GROUP BY 1),
+         cand AS (SELECT DISTINCT a.sup AS s1, b.sup AS s2
+                  FROM cap a JOIN cap b ON a.c = b.c
+                    AND a.sup < b.sup)
+         SELECT s1, s2, a.d AS d1, b.d AS d2,
+           (a.d * b.d)::BIGINT AS pa_score
+         FROM cand JOIN degs a ON s1 = a.sup JOIN degs b ON s2 = b.sup
+         ORDER BY pa_score DESC, s1, s2 LIMIT 50""",
     "top_paths" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, event_type,
@@ -2544,6 +2635,44 @@ object SparkEntry {
            sum(CASE WHEN label = 0.0 AND pred = 'ham' THEN 1 ELSE 0 END)
              ::BIGINT AS tn
           FROM ($sgdApplyOracle))""",
+    // MCC over the same confusion cells; margin products as one
+    // pinned-order double chain
+    "mcc_threshold" -> s"""SELECT tp, fp, fn, tn,
+           CASE WHEN sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE *
+               (tn + fp)::DOUBLE * (tn + fn)::DOUBLE) > 0
+             THEN floor((tp::DOUBLE * tn::DOUBLE -
+               fp::DOUBLE * fn::DOUBLE) /
+               sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE *
+                 (tn + fp)::DOUBLE * (tn + fn)::DOUBLE) * 1e6 + 0.5)
+               / 1e6
+             ELSE 0.0 END AS mcc
+         FROM (SELECT
+           sum(CASE WHEN label = 1.0 AND pred = 'spam' THEN 1 ELSE 0 END)
+             ::BIGINT AS tp,
+           sum(CASE WHEN label = 0.0 AND pred = 'spam' THEN 1 ELSE 0 END)
+             ::BIGINT AS fp,
+           sum(CASE WHEN label = 1.0 AND pred = 'ham' THEN 1 ELSE 0 END)
+             ::BIGINT AS fn,
+           sum(CASE WHEN label = 0.0 AND pred = 'ham' THEN 1 ELSE 0 END)
+             ::BIGINT AS tn
+          FROM ($sgdApplyOracle))""",
+    // Pareto front on (length, distinct): sort-and-cummax skyline,
+    // integer-only decisions
+    "pareto_front" -> s"""$TokCte,
+         d AS (SELECT doc_id, len(ts)::BIGINT AS len,
+                 len(list_distinct(ts))::BIGINT AS dist
+               FROM toks WHERE len(ts) > 0),
+         bylen AS (SELECT len, max(dist)::BIGINT AS maxd FROM d
+                   GROUP BY 1),
+         fl AS (SELECT len, maxd,
+                  max(maxd) OVER (ORDER BY len DESC ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+                FROM bylen),
+         front AS (SELECT len, maxd FROM fl
+                   WHERE m1 IS NULL OR maxd > m1)
+         SELECT doc_id, d.len AS n_tokens, dist AS n_distinct
+         FROM d JOIN front ON d.len = front.len AND d.dist = front.maxd
+         ORDER BY n_tokens DESC, doc_id LIMIT 50""",
     "skew_report" ->
       """SELECT n_rows, n_keys, max_cnt,
            round(n_rows / n_keys, 6) AS avg_cnt,
@@ -2924,6 +3053,38 @@ object SparkEntry {
     // j>=0.8 and exact-Jaccard verification of candidates, so on
     // non-adversarial data its result equals the exact operator's.
     "dedup_minhash" -> JaccardSql,
+    // exact all-pairs containment >= 0.9 (the LSH candidate recall at
+    // this threshold is 1 on the fixture — see the dedup_minhash note)
+    "doc_containment" -> s"""$TokCte,
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(ts) >= 3
+               THEN list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               ELSE [array_to_string(ts, ' ')] END) AS shs
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*)::BIGINT AS inter
+           FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         f AS (SELECT doc_a, doc_b, inter,
+                 least(sa.n, sb.n)::BIGINT AS min_sz
+               FROM inter
+               JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa
+                 ON doc_a = sa.doc_id
+               JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb
+                 ON doc_b = sb.doc_id),
+         c AS (SELECT doc_a, doc_b, inter, min_sz,
+                 floor(inter::DOUBLE / min_sz::DOUBLE * 1e6 + 0.5)
+                   / 1e6 AS containment
+               FROM f)
+         SELECT doc_a, doc_b, inter, min_sz, containment,
+           (CASE WHEN inter = min_sz THEN 1 ELSE 0 END)::BIGINT
+             AS subset_flag
+         FROM c WHERE containment >= 0.9
+         ORDER BY doc_a, doc_b""",
     // 40-bit simhash restated: per-token poly fold + 2×(mult/xorshift)
     // mixing (all mod 2^40, matching SimHash40), per-bit ±1 votes,
     // 4×10-bit bank join, exact Hamming check
@@ -10944,6 +11105,82 @@ object SparkEntry {
            (CASE WHEN g_stat > 3.0 THEN 1 ELSE 0 END)::BIGINT
              AS sigma3_outlier
          FROM zz""",
+    // record-breaking days: pure integer window comparisons
+    "running_records" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS v
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         r AS (SELECT day, v,
+                 max(v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING) AS pm
+               FROM daily),
+         f AS (SELECT day, v,
+                 (CASE WHEN pm IS NULL OR v > pm THEN 1 ELSE 0
+                   END)::BIGINT AS rec
+               FROM r)
+         SELECT count(*)::BIGINT AS n_days, sum(rec)::BIGINT
+             AS n_records,
+           max(CASE WHEN rec = 1 THEN day END)::BIGINT
+             AS last_record_day,
+           floor(max(v)::DOUBLE / 100.0 * 1e2 + 0.5) / 1e2
+             AS max_daily_revenue
+         FROM f""",
+    // GMD by the sorted-rank identity per value group; exact HUGEINT
+    // sums reduced below 2^53 before any double
+    "gini_mean_difference" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+             AS BIGINT) AS c
+           FROM orders),
+         byv AS (SELECT c, count(*)::BIGINT AS ct FROM v GROUP BY 1),
+         tot AS (SELECT sum(ct)::BIGINT AS n,
+                   sum(c::HUGEINT * ct)::HUGEINT AS t
+                 FROM byv),
+         blk AS (SELECT c, ct,
+                   coalesce(sum(ct) OVER (ORDER BY c ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                     AS cb
+                 FROM byv),
+         g AS (SELECT max(n)::BIGINT AS n,
+                 CAST(max(t) AS BIGINT) AS t,
+                 CAST(sum(c::HUGEINT * ct * (2 * cb + ct - n))
+                   AS BIGINT) AS s
+               FROM blk CROSS JOIN tot)
+         SELECT n AS n_orders,
+           floor((2.0 * s::DOUBLE) / (n::DOUBLE * (n::DOUBLE - 1.0))
+             / 100.0 * 1e4 + 0.5) / 1e4 AS gmd,
+           floor(s::DOUBLE / ((n::DOUBLE - 1.0) * t::DOUBLE) * 1e6
+             + 0.5) / 1e6 AS gini
+         FROM g""",
+    // Benford: leading digit via integer->string (no float), expected
+    // shares as driver literals, chi2 terms on the 1e-9 grid
+    "benford_digits" -> {
+      val probs = (1 to 9)
+        .map(d => s"($d, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
+      s"""WITH spine AS (SELECT digit::BIGINT AS digit, p
+             FROM (VALUES $probs) AS t(digit, p)),
+         dig AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100
+                 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit,
+               count(*)::BIGINT AS n_obs
+             FROM orders GROUP BY 1),
+         byd AS (SELECT spine.digit, p,
+                   coalesce(n_obs, 0)::BIGINT AS n_obs
+                 FROM spine LEFT JOIN dig ON spine.digit = dig.digit),
+         tot AS (SELECT sum(n_obs)::BIGINT AS n FROM byd),
+         terms AS (SELECT digit, n_obs, p, n,
+             CAST(floor((n_obs::DOUBLE - n::DOUBLE * p) *
+               (n_obs::DOUBLE - n::DOUBLE * p) / (n::DOUBLE * p) * 1e9
+               + 0.5) AS BIGINT) AS t9
+           FROM byd CROSS JOIN tot),
+         c2 AS (SELECT floor(sum(t9)::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6
+                  AS chi2
+                FROM terms)
+         SELECT digit, n_obs,
+           floor(n_obs::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6
+             AS obs_share,
+           floor(p * 1e6 + 0.5) / 1e6 AS benford_share, chi2
+         FROM terms CROSS JOIN c2 ORDER BY digit"""
+    },
     "dispersion_test" -> {
       val z95 = 1.6448536269514722
       s"""WITH daily AS (

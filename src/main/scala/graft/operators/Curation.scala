@@ -889,4 +889,40 @@ object Curation {
           col("n_total").cast("double"), 6).as("rel_error"),
         col("noise_dominated"))
   }
+
+  /** Pareto front of documents on (length, lexical richness) (W491):
+    * the docs no other doc dominates on BOTH token count and distinct
+    * token count — the skyline a curation pipeline samples from when
+    * it wants "long AND rich" exemplars without committing to a
+    * weighting. The classic O(n²) dominance test collapses to two
+    * exact integer windows: a doc is on the front iff its distinct
+    * count equals its length-group max AND strictly exceeds the
+    * running max over all LONGER length groups (the standard
+    * sort-and-cummax skyline; ties on both axes are mutually
+    * non-dominating and all surface). Integer-only decisions; output
+    * is the front ordered by length desc, capped at `k` rows.
+    */
+  def paretoFront(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("len"),
+        size(array_distinct(col("ts"))).cast("long").as("dist"))
+      .filter(col("len") > 0)
+    val byLen = docs.groupBy("len")
+      .agg(max(col("dist")).as("maxd"))
+    val wLonger = org.apache.spark.sql.expressions.Window
+      .orderBy(col("len").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val frontLens = byLen
+      .withColumn("m1", max(col("maxd")).over(wLonger))
+      .filter(col("m1").isNull || col("maxd") > col("m1"))
+      .select(col("len"), col("maxd"))
+    docs.join(broadcast(frontLens), Seq("len"))
+      .filter(col("dist") === col("maxd"))
+      .select(col("doc_id"), col("len").as("n_tokens"),
+        col("dist").as("n_distinct"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1066,5 +1066,51 @@ object Dedup {
           col("tot").cast("double"), 6).as("share"))
       .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
   }
+
+  /** Asymmetric containment pairs (W490): |A∩B| / min(|A|,|B|) over
+    * the MinHash-LSH candidate set — the dedup signal Jaccard
+    * UNDERSTATES when one document quotes or wraps another (a page
+    * fully containing a short doc can sit at Jaccard 0.1 but
+    * containment 1.0). Candidates come from the same banded-signature
+    * join as [[minhashPairs]] (sub-quadratic; a short-in-long pair
+    * with LOW Jaccard can evade the bands — documented recall bound,
+    * same as every LSH consumer, and the oracle's exact all-pairs
+    * check pins the fixture's recall at 1). Counts are exact
+    * integers; the score is one division; `subset_flag` marks full
+    * containment by an integer equality.
+    */
+  def docContainment(s: SparkSession, dir: String,
+                     threshold: Double = 0.9, n: Int = 3,
+                     numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val (docSh, banded) =
+      bandedSignatures(TextStats.tokenized(s, dir), n, numHashes, bands)
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"),
+      col("bh"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"),
+      col("bh"))
+    val cand = l.join(r, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(docSh.select(col("doc_id").as("doc_a"),
+        col("shs").as("sa")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"),
+        col("shs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long")
+          .as("inter"),
+        least(size(col("sa")), size(col("sb"))).cast("long")
+          .as("min_sz"))
+      .withColumn("containment",
+        graft.operators.Events.q(col("inter").cast("double") /
+          col("min_sz").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .withColumn("subset_flag",
+        (col("inter") === col("min_sz")).cast("long"))
+      .select("doc_a", "doc_b", "inter", "min_sz", "containment",
+        "subset_flag")
+      .orderBy("doc_a", "doc_b")
+  }
 }
 

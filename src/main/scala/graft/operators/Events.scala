@@ -7092,5 +7092,28 @@ object Events {
     g.select(col("n").as("n_days"), gstat.as("g_stat"),
       (gstat > lit(3.0)).cast("long").as("sigma3_outlier"))
   }
+
+  /** Running-records profile (W484) of the daily revenue series: how
+    * many days set a new all-time high, and when was the last one? A
+    * trend/stationarity smell on pure integer comparisons (a
+    * stationary i.i.d. series grows records like ln n; a trending one
+    * keeps setting them). Daily totals are exact cent-grid LONGs; a
+    * record is `v > max(previous)` (first day counts) — one window
+    * over the span-bounded day series, all decisions integer.
+    */
+  def runningRecords(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("v2"))
+      .groupBy("day").agg(sum(col("v2")).as("v"))
+    val prevMax = max(col("v")).over(Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1))
+    daily.withColumn("rec",
+        (prevMax.isNull || col("v") > prevMax).cast("long"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rec")).as("n_records"),
+        max(when(col("rec") === 1, col("day"))).as("last_record_day"),
+        q(max(col("v")).cast("double") / lit(100.0), 2)
+          .as("max_daily_revenue"))
+  }
 }
 

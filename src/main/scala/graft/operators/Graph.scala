@@ -2492,4 +2492,75 @@ object Graph {
           col("n_edges").cast("double"), 6).as("knn_mean"))
       .orderBy("bucket")
   }
+
+  /** Jaccard link prediction (W485) between suppliers through shared
+    * customers — |Γa∩Γb|/|Γa∪Γb|, the set-overlap companion to
+    * [[adamicAdar]]'s weighted score, and the one with NO
+    * transcendental anywhere: common counts and degrees are exact
+    * integers from the same degree-capped wedge join (deg ∈ [2, cap]
+    * customers only, so wedge volume stays linear in |E|), union =
+    * d₁+d₂−common, and the ratio is one division. Degrees are counted
+    * over the SAME capped customer set the wedges use, so the score
+    * is internally consistent (documented convention). Top-k cut on
+    * the 6-dp quantized score with pair tiebreak.
+    */
+  def jaccardLinkPred(s: SparkSession, dir: String, k: Int = 50,
+                      degCap: Int = 64): DataFrame = {
+    val adj = customerSupplierEdges(s, dir)
+      .filter(col("src") < lit(1000000L))
+      .select(col("src").as("c"), col("dst").as("sup"))
+    val degC = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+      .filter(col("deg").between(2, degCap))
+    val capped = CacheScope.track(
+      adj.join(degC.select("c"), "c").persist())
+    val degS = capped.groupBy("sup").agg(count(lit(1)).as("d"))
+    val common = capped
+      .join(capped.select(col("c"), col("sup").as("s2")), "c")
+      .filter(col("sup") < col("s2"))
+      .groupBy(col("sup").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(degS.select(col("sup").as("s1"), col("d").as("d1")), "s1")
+      .join(degS.select(col("sup").as("s2"), col("d").as("d2")), "s2")
+      .select(col("s1"), col("s2"), col("common"),
+        (col("d1") + col("d2") - col("common")).as("union_sz"),
+        Events.q(col("common").cast("double") /
+          (col("d1") + col("d2") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+      .limit(k)
+  }
+
+  /** Preferential-attachment link scores (W486) — deg(a)·deg(b) over
+    * wedge-connected supplier pairs, the "rich get richer" baseline
+    * every link-prediction eval includes next to [[jaccardLinkPred]]
+    * and [[adamicAdar]]. Pure integer products over the same
+    * degree-capped candidate wedges (suppliers are never directly
+    * adjacent in the bipartite projection, so every candidate is a
+    * genuine non-edge); top-k cut on the exact LONG score with pair
+    * tiebreak — no float anywhere in the operator.
+    */
+  def preferentialAttachment(s: SparkSession, dir: String, k: Int = 50,
+                             degCap: Int = 64): DataFrame = {
+    val adj = customerSupplierEdges(s, dir)
+      .filter(col("src") < lit(1000000L))
+      .select(col("src").as("c"), col("dst").as("sup"))
+    val degC = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+      .filter(col("deg").between(2, degCap))
+    val capped = CacheScope.track(
+      adj.join(degC.select("c"), "c").persist())
+    val degS = capped.groupBy("sup").agg(count(lit(1)).as("d"))
+    val cand = capped
+      .join(capped.select(col("c"), col("sup").as("s2")), "c")
+      .filter(col("sup") < col("s2"))
+      .select(col("sup").as("s1"), col("s2"))
+      .distinct()
+    cand
+      .join(degS.select(col("sup").as("s1"), col("d").as("d1")), "s1")
+      .join(degS.select(col("sup").as("s2"), col("d").as("d2")), "s2")
+      .select(col("s1"), col("s2"), col("d1"), col("d2"),
+        (col("d1") * col("d2")).as("pa_score"))
+      .orderBy(col("pa_score").desc, col("s1"), col("s2"))
+      .limit(k)
+  }
 }

@@ -903,4 +903,37 @@ object Ml {
       when(okC, Events.q(a + lit(1.959964) * se, 6)).otherwise(lit(0.0))
         .as("ci_hi"))
   }
+
+  /** Matthews correlation coefficient (W489) of the SGD classifier at
+    * threshold 0 — the single-number confusion summary that stays
+    * honest under class imbalance, where `prf_metrics`' accuracy and
+    * F1 both flatter the majority class. The four cells are exact
+    * integer counts; MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)
+    * (TN+FN)) is one pinned-order double chain over those LONGs (the
+    * margin products may pass 2⁵³ — IEEE multiply is still
+    * correctly-rounded identically on both engines, only the OP ORDER
+    * matters). Degenerate margins (any factor 0) surface MCC = 0, the
+    * standard convention.
+    */
+  def mccThreshold(s: SparkSession, dir: String): DataFrame = {
+    val tp = sum(when(col("label") === 1.0 && col("pred") === "spam", 1L)
+      .otherwise(0L))
+    val fp = sum(when(col("label") === 0.0 && col("pred") === "spam", 1L)
+      .otherwise(0L))
+    val fn = sum(when(col("label") === 1.0 && col("pred") === "ham", 1L)
+      .otherwise(0L))
+    val tn = sum(when(col("label") === 0.0 && col("pred") === "ham", 1L)
+      .otherwise(0L))
+    val g = applyQuery(s, dir)
+      .agg(tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"))
+    val num = col("tp").cast("double") * col("tn").cast("double") -
+      col("fp").cast("double") * col("fn").cast("double")
+    val den = sqrt((col("tp") + col("fp")).cast("double") *
+      (col("tp") + col("fn")).cast("double") *
+      (col("tn") + col("fp")).cast("double") *
+      (col("tn") + col("fn")).cast("double"))
+    g.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(den > 0, Events.q(num / den, 6)).otherwise(lit(0.0))
+        .as("mcc"))
+  }
 }

@@ -3382,5 +3382,78 @@ object Relational {
         Events.q(col("rb").cast("double") / col("sr").cast("double"),
           6).as("rev_share_b"))
   }
+
+  /** Gini mean difference of order totals (W482) — E|X−X'|, the
+    * dispersion number behind every inequality readout, plus the Gini
+    * coefficient it implies (G = GMD/2μ = S/((n−1)·T)). The O(n²)
+    * pairwise definition collapses to the exact sorted-rank identity
+    * Σ(2i−n−1)·x₍ᵢ₎, evaluated per VALUE GROUP on the cent grid (a
+    * tie block of ct rows after cb others contributes
+    * v·ct·(2cb+ct−n) — one exact integer per distinct value, never a
+    * row sort). Scale: one value-keyed agg + one window over distinct
+    * cent values; the two surfaced ratios are single pinned double
+    * chains.
+    */
+  def giniMeanDifference(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * lit(100) + lit(0.5))
+        .cast("long").as("c"))
+    val byV = v.groupBy("c").agg(count(lit(1)).as("ct"))
+    val tot = byV.agg(sum(col("ct")).as("n"),
+      sum(col("c").cast(dec) * col("ct")).as("t"))
+    val cb = coalesce(sum(col("ct")).over(
+      Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val g = byV.select(col("c"), col("ct"), cb.as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("t"),
+        (col("c").cast(dec) * col("ct") *
+          (lit(2L) * col("cb") + col("ct") - col("n"))).as("s"))
+      .groupBy("n", "t").agg(sum(col("s")).as("s"))
+    val nD = col("n").cast("double")
+    g.select(col("n").as("n_orders"),
+      Events.q((lit(2.0) * col("s").cast("double")) /
+        (nD * (nD - lit(1.0))) / lit(100.0), 4).as("gmd"),
+      Events.q(col("s").cast("double") /
+        ((nD - lit(1.0)) * col("t").cast("double")), 6).as("gini"))
+  }
+
+  /** Benford first-digit screen (W483) on order totals — the fraud/
+    * synthetic-data smell test: natural multi-scale amounts follow
+    * P(d) = log10(1+1/d). The leading digit is extracted from the
+    * cent-grid LONG via its decimal string (pure integer → text, no
+    * float, engine-identical); expected shares are DRIVER-INJECTED
+    * literals (the only transcendental runs in Scala, once); χ² terms
+    * land on the 1e-9 grid before the order-free sum. One digit-keyed
+    * agg over a 9-row spine that keeps zero-count digits.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probs = (1 to 9).map(d => (d.toLong, math.log10(1.0 + 1.0 / d)))
+    val spine = probs.toDF("digit", "p")
+    val dig = Tables.orders(s, dir)
+      .select(substring(floor(col("o_totalprice") * lit(100) + lit(0.5))
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val byD = broadcast(spine).join(dig, Seq("digit"), "left")
+      .select(col("digit"), col("p"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val tot = byD.agg(sum(col("n_obs")).as("n"))
+    val withT = byD.crossJoin(broadcast(tot))
+    val e = col("n").cast("double") * col("p")
+    val diff = col("n_obs").cast("double") - e
+    val terms = withT.withColumn("t9",
+      floor(diff * diff / e * lit(1e9) + lit(0.5)).cast("long"))
+    val chi2 = terms.agg(
+      Events.q(sum(col("t9")).cast("double") / lit(1e9), 6).as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"),
+        Events.q(col("n_obs").cast("double") / col("n").cast("double"),
+          6).as("obs_share"),
+        Events.q(col("p"), 6).as("benford_share"),
+        col("chi2"))
+      .orderBy("digit")
+  }
 }
 

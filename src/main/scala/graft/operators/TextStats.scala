@@ -1928,5 +1928,67 @@ object TextStats {
         Events.q(col("n").cast("double") * col("n").cast("double") /
           col("cc").cast("double"), 4).as("d2_simpson"))
   }
+
+  /** Per-source LIX readability (W487) — the Scandinavian index
+    * W/S + 100·LW/W (LW = words longer than 6 characters), the
+    * formula-free-of-syllables companion to [[readability]]'s Flesch
+    * (LIX needs no vowel heuristic, so it transfers across languages
+    * — exactly why corpus pipelines keep both). All three counts are
+    * exact integer sums over the shared tokenizer ([.!?]+ sentence
+    * groups, floor 1 per doc), and the index is two divisions over
+    * per-source exact sums — no libm. One partial-agg shuffle over
+    * O(sources) keys.
+    */
+  def lixReadability(s: SparkSession, dir: String): DataFrame = {
+    val ts = tokenize(col("text"))
+    val w = size(ts).cast("long")
+    val lw = size(filter(ts, t => length(t) > 6)).cast("long")
+    val sn = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    Tables.documents(s, dir)
+      .select(col("source"), w.as("w"), lw.as("lw"), sn.as("sn"))
+      .filter(col("w") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("sw"),
+        sum("sn").as("ssn"), sum("lw").as("slw"))
+      .select(col("source"), col("n_docs"), col("sw").as("words"),
+        col("ssn").as("sentences"), col("slw").as("long_words"),
+        Events.q(col("sw").cast("double") / col("ssn").cast("double") +
+          lit(100.0) * col("slw").cast("double") /
+            col("sw").cast("double"), 4).as("lix"))
+      .orderBy("source")
+  }
+
+  /** Per-source MSTTR-25 lexical diversity (W488) — mean segmental
+    * type-token ratio: each document splits into consecutive FULL
+    * 25-token segments, each segment contributes |distinct|/25, and
+    * the source score is the mean over its segments. The
+    * length-bias-free upgrade of raw TTR (raw TTR falls with document
+    * length, so corpus mixes can't be compared on it; fixed-size
+    * segments remove the bias — the cheap stand-in for MTLD). All
+    * counts are exact integers; the score is one division of
+    * Σ distinct by 25·segments. Scale: one posexplode + one
+    * (doc, segment)-keyed distinct agg — linear, no window.
+    */
+  def msttrDiversity(s: SparkSession, dir: String,
+                     segLen: Int = 25): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), tokenize(col("text")).as("ts"))
+      .select(col("source"), col("doc_id"),
+        size(col("ts")).cast("long").as("len"),
+        posexplode(col("ts")))
+      .filter(expr(s"pos div $segLen < len div $segLen"))
+      .select(col("source"), col("doc_id"),
+        expr(s"pos div $segLen").as("seg"), col("col").as("t"))
+    base.groupBy("source", "doc_id", "seg")
+      .agg(countDistinct(col("t")).as("nd"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_segments"), sum(col("nd")).as("snd"))
+      .select(col("source"), col("n_segments"),
+        Events.q(col("snd").cast("double") /
+          (lit(segLen.toLong) * col("n_segments")).cast("double"), 6)
+          .as("msttr"))
+      .orderBy("source")
+  }
 }
 
