@@ -602,6 +602,9 @@ object SparkEntry {
     "doc_containment" -> ((s, d) => Dedup.docContainment(s, d)),
     "mcc_threshold" -> ((s, d) => Ml.mccThreshold(s, d)),
     "pareto_front" -> ((s, d) => Curation.paretoFront(s, d)),
+    "nprobe_recall_sweep" ->
+      ((s, d) => Similarity.nprobeRecallSweep(s, d)),
+    "inventory_policy" -> ((s, d) => Relational.inventoryPolicy(s, d)),
     "vote_rank" -> ((s, d) => Graph.voteRank(s, d)),
     "burt_constraint" -> ((s, d) => Graph.burtConstraint(s, d)),
     "rbo_stability" -> ((s, d) => TextStats.rboStability(s, d)),
@@ -2656,6 +2659,77 @@ object SparkEntry {
            sum(CASE WHEN label = 0.0 AND pred = 'ham' THEN 1 ELSE 0 END)
              ::BIGINT AS tn
           FROM ($sgdApplyOracle))""",
+    // nprobe sweep: one assignment pass, probe-rank cutoffs per sweep
+    // point, engine brute-force truth
+    "nprobe_recall_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                  WHERE vec_id < 16),
+         assigned AS (SELECT vec_id, v, centroid_id FROM (
+             SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                          c.centroid_id) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         plist AS (SELECT query_id, qv, centroid_id, pr FROM (
+             SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                          c.centroid_id) AS pr
+             FROM e q CROSS JOIN cent c WHERE q.vec_id < 10)
+           WHERE pr <= 8),
+         swept AS (SELECT p.query_id, a.vec_id,
+             list_cosine_similarity(a.v, p.qv) AS sim, p.pr, np.nprobe
+           FROM assigned a JOIN plist p USING (centroid_id)
+           CROSS JOIN (SELECT unnest([1, 2, 4, 8])::BIGINT AS nprobe)
+             np
+           WHERE a.vec_id <> p.query_id AND p.pr <= np.nprobe),
+         approx AS (SELECT nprobe, query_id, vec_id FROM (
+             SELECT nprobe, query_id, vec_id,
+               row_number() OVER (PARTITION BY nprobe, query_id
+                 ORDER BY sim DESC, vec_id) AS rn
+             FROM swept) WHERE rn <= 10),
+         truth AS (SELECT query_id, vec_id FROM (
+             SELECT q.vec_id AS query_id, e2.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e2.v, q.v) DESC,
+                          e2.vec_id) AS rn
+             FROM e q CROSS JOIN e e2
+             WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id)
+           WHERE rn <= 10),
+         ncand AS (SELECT nprobe, count(*)::BIGINT AS n_candidates
+                   FROM swept GROUP BY 1),
+         hits AS (SELECT nprobe, count(*)::BIGINT AS hits
+                  FROM approx JOIN truth USING (query_id, vec_id)
+                  GROUP BY 1)
+         SELECT nc.nprobe, nc.n_candidates,
+           floor(coalesce(hits, 0)::DOUBLE / 100.0 * 1e6 + 0.5) / 1e6
+             AS recall
+         FROM ncand nc LEFT JOIN hits USING (nprobe)
+         ORDER BY nprobe""",
+    // inventory policy: exact daily-demand moments, driver-literal
+    // constants, pinned sqrt chains
+    "inventory_policy" ->
+      """WITH daily AS (SELECT p_brand, l_shipdate AS day,
+             sum(CAST(l_quantity AS BIGINT))::BIGINT AS dq
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         g AS (SELECT p_brand, count(*)::BIGINT AS n,
+                 sum(dq)::BIGINT AS d, sum(dq * dq)::BIGINT AS q2
+               FROM daily GROUP BY 1)
+         SELECT p_brand, n AS n_days, d AS total_qty,
+           floor(sqrt((2.0 * d::DOUBLE * 100.0) / 2.0) * 1e4 + 0.5)
+             / 1e4 AS eoq,
+           floor((1.6448536269514722 *
+             sqrt((q2::DOUBLE - (d::DOUBLE * d::DOUBLE) / n::DOUBLE)
+               / (n::DOUBLE - 1.0)) * sqrt(7.0)) * 1e4 + 0.5) / 1e4
+             AS safety_stock,
+           floor((d::DOUBLE / n::DOUBLE * 7.0 + 1.6448536269514722 *
+             sqrt((q2::DOUBLE - (d::DOUBLE * d::DOUBLE) / n::DOUBLE)
+               / (n::DOUBLE - 1.0)) * sqrt(7.0)) * 1e4 + 0.5) / 1e4
+             AS reorder_point
+         FROM g ORDER BY p_brand""",
     // Pareto front on (length, distinct): sort-and-cummax skyline,
     // integer-only decisions
     "pareto_front" -> s"""$TokCte,

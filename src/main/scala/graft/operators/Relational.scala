@@ -3455,5 +3455,45 @@ object Relational {
         col("chi2"))
       .orderBy("digit")
   }
+
+  /** Per-brand inventory policy (W493): EOQ, safety stock, and
+    * reorder point from the daily shipped-quantity series — the
+    * operations-research table a replenishment planner reads
+    * (√(2DS/H) Wilson lot size; z·σ_d·√L buffer; ROP = d̄·L + SS).
+    * Demand moments are exact integer sums over (brand, ship-day)
+    * daily totals; z/lead-time/cost constants are driver literals;
+    * the three policy numbers are pinned ÷/√ chains — no libm.
+    * Scale: one (brand, day)-keyed agg then a brands-sized table.
+    */
+  def inventoryPolicy(s: SparkSession, dir: String, leadDays: Int = 7,
+                      setupCost: Double = 100.0,
+                      holdCost: Double = 2.0): DataFrame = {
+    val z95 = 1.6448536269514722
+    val daily = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_shipdate").as("day"),
+        col("l_quantity").cast("long").as("q"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "day").agg(sum(col("q")).as("dq"))
+    val g = daily.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("dq")).as("d"),
+        sum(col("dq") * col("dq")).as("q2"))
+    val nD = col("n").cast("double")
+    val mean = col("d").cast("double") / nD
+    val sigma = sqrt((col("q2").cast("double") -
+      (col("d").cast("double") * col("d").cast("double")) / nD) /
+      (nD - lit(1.0)))
+    val eoq = sqrt((lit(2.0) * col("d").cast("double") *
+      lit(setupCost)) / lit(holdCost))
+    val ss = lit(z95) * sigma * sqrt(lit(leadDays.toDouble))
+    g.select(col("p_brand"), col("n").as("n_days"),
+        col("d").as("total_qty"),
+        Events.q(eoq, 4).as("eoq"),
+        Events.q(ss, 4).as("safety_stock"),
+        Events.q(mean * lit(leadDays.toDouble) + ss, 4)
+          .as("reorder_point"))
+      .orderBy("p_brand")
+  }
 }
 

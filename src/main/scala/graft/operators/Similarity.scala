@@ -163,6 +163,71 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF nprobe tuning sweep (W492): recall@k AND candidate volume at
+    * nprobe ∈ {1,2,4,8} from ONE assignment pass — the table an ANN
+    * deployment reads to pick its operating point (recall rises with
+    * nprobe, cost rises linearly; the knee is the config). The probe
+    * RANK computed once per (query, centroid) serves every sweep
+    * point (candidates at nprobe p = rank ≤ p), so the sweep costs
+    * one probe-list search at the LARGEST nprobe, not |sweep| passes
+    * — the same one-pass-many-cutoffs shape as
+    * `Dedup.dedupThresholdSweep`. Ground truth is the engine's own
+    * brute-force top-k over the BOUNDED query set (how recall is
+    * estimated at any corpus size); recall is an exact integer ratio
+    * divided once.
+    */
+  def nprobeRecallSweep(s: SparkSession, dir: String,
+                        numQueries: Int = 10, k: Int = 10,
+                        numCentroids: Int = 16,
+                        probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cent = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "centroid_id")
+    val pmax = probes.max
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val plist = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= pmax)
+      .select("query_id", "qv", "centroid_id", "pr")
+    val swept = assigned.join(broadcast(plist), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("pr"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .select(col("query_id"), col("vec_id"), col("sim"), col("pr"),
+        explode(array(probes.map(p => lit(p.toLong)): _*)).as("nprobe"))
+      .filter(col("pr") <= col("nprobe"))
+    val wTop = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val approx = swept
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select("nprobe", "query_id", "vec_id")
+    val truth = bruteForceTopK(s, dir, numQueries, k)
+      .select("query_id", "vec_id")
+    val nCand = swept.groupBy("nprobe")
+      .agg(count(lit(1)).as("n_candidates"))
+    approx.join(truth, Seq("query_id", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+      .join(nCand, Seq("nprobe"), "right")
+      .select(col("nprobe"), col("n_candidates"),
+        Events.q(coalesce(col("hits"), lit(0L)).cast("double") /
+          lit((numQueries * k).toDouble), 6).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** ANN quality gate (W221): per-query recall@`k` of the IVF index
     * against the exact brute-force top-k — THE number that decides
     * whether an approximate index ships (quantizeInt8's reconstruction
