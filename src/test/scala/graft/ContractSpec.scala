@@ -23,11 +23,13 @@ class ContractSpec extends SparkSpec {
   }
 
   test("every query is oracle-checked (full coverage, no rows-only)") {
-    // the two plan audits surface PHYSICAL-plan facts (shuffle-exchange
-    // count, finalized AQE partition count) that have no DuckDB
+    // the plan/infra audits surface PHYSICAL-plan or session-registry
+    // facts (shuffle-exchange count, finalized AQE partition count,
+    // the injected SQL-function surface) that have no DuckDB
     // restatement — the consciously-allowed rows-only exceptions; their
-    // strict asserts live in SourcesSpec / AqeSpec / Round5OpsSpec
-    val rowsOnlyAllowed = Set("bucketed_join_audit", "aqe_coalesce_audit")
+    // strict asserts live in SourcesSpec / AqeSpec / ExtensionsSpec
+    val rowsOnlyAllowed = Set("bucketed_join_audit", "aqe_coalesce_audit",
+      "sql_extensions_audit")
     val unoracled = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnlyAllowed
     assert(unoracled.isEmpty,
