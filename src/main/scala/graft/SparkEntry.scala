@@ -605,6 +605,7 @@ object SparkEntry {
     "nprobe_recall_sweep" ->
       ((s, d) => Similarity.nprobeRecallSweep(s, d)),
     "inventory_policy" -> ((s, d) => Relational.inventoryPolicy(s, d)),
+    "lsh_band_sweep" -> ((s, d) => Dedup.lshBandSweep(s, d)),
     "vote_rank" -> ((s, d) => Graph.voteRank(s, d)),
     "burt_constraint" -> ((s, d) => Graph.burtConstraint(s, d)),
     "rbo_stability" -> ((s, d) => TextStats.rboStability(s, d)),
@@ -3127,6 +3128,79 @@ object SparkEntry {
     // j>=0.8 and exact-Jaccard verification of candidates, so on
     // non-adversarial data its result equals the exact operator's.
     "dedup_minhash" -> JaccardSql,
+    // band sweep over the oracle-replicable poly-hash minhash: both
+    // engines build identical signatures, band keys, and candidates
+    "lsh_band_sweep" -> {
+      val k = graft.operators.Dedup.MhA.length
+      val p = graft.operators.Dedup.MhP
+      val mins = graft.operators.Dedup.MhA
+        .zip(graft.operators.Dedup.MhB)
+        .map { case (a, b) =>
+          s"list_min(list_transform(hv, h -> (h * ${a} + ${b}) % ${p}))"
+        }
+        .mkString("[", ",\n               ", "]")
+      val bandSel = Seq(4, 8, 16).map { bc =>
+        val r = k / bc
+        s"""SELECT ${bc}::BIGINT AS bands, doc_id, b,
+              array_to_string(list_transform(
+                sig[b * $r + 1 : b * $r + $r], x -> x::VARCHAR), '_')
+                AS key
+            FROM sig2, (SELECT unnest(range(0, $bc)) AS b)"""
+      }.mkString(" UNION ALL ")
+      s"""$TokCte,
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(ts) >= 3
+               THEN list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               ELSE [array_to_string(ts, ' ')] END) AS shs
+           FROM toks),
+         hs AS (
+           SELECT doc_id,
+             list_transform(shs, s -> list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(s, ''),
+                   c -> ord(c)::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1099511627776)) AS hv
+           FROM sh),
+         sig2 AS (SELECT doc_id, $mins AS sig FROM hs),
+         banded AS ($bandSel),
+         cand AS (SELECT DISTINCT l.bands, l.doc_id AS doc_a,
+             r.doc_id AS doc_b
+           FROM banded l JOIN banded r
+             ON l.bands = r.bands AND l.b = r.b AND l.key = r.key
+               AND l.doc_id < r.doc_id),
+         ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+         szs AS (SELECT doc_id, len(shs)::BIGINT AS nsh FROM sh),
+         truth AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS inter
+             FROM ex a JOIN ex b ON a.sh = b.sh
+               AND a.doc_id < b.doc_id
+             GROUP BY 1, 2) i
+           JOIN szs sa ON doc_a = sa.doc_id
+           JOIN szs sb ON doc_b = sb.doc_id
+           WHERE inter * 100 >= (sa.nsh + sb.nsh - inter) * 80),
+         nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+         det AS (SELECT bands, count(*)::BIGINT AS n_detected
+                 FROM cand JOIN truth USING (doc_a, doc_b) GROUP BY 1),
+         nc AS (SELECT bands, count(*)::BIGINT AS n_candidates
+                FROM cand GROUP BY 1)
+         SELECT nc.bands, ($k // nc.bands)::BIGINT AS rows_per_band,
+           n_candidates, n_true,
+           coalesce(n_detected, 0)::BIGINT AS n_detected,
+           CASE WHEN n_true > 0
+             THEN floor(coalesce(n_detected, 0)::DOUBLE /
+               n_true::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS recall,
+           CASE WHEN n_candidates > 0
+             THEN floor(coalesce(n_detected, 0)::DOUBLE /
+               n_candidates::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS cand_precision
+         FROM nc LEFT JOIN det USING (bands) CROSS JOIN nt
+         ORDER BY bands"""
+    },
     // exact all-pairs containment >= 0.9 (the LSH candidate recall at
     // this threshold is 1 on the fixture — see the dedup_minhash note)
     "doc_containment" -> s"""$TokCte,

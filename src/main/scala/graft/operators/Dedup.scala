@@ -1067,6 +1067,88 @@ object Dedup {
       .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
   }
 
+  /** MinHash-LSH banding sweep (W494): candidate volume, recall, and
+    * candidate precision at band counts 4/8/16 over the SAME 16-hash
+    * oracle-replicable signature ([[minhashEstError]]'s poly-hash
+    * permutations) — the dedup-side tuning table
+    * ([[graft.operators.Similarity.nprobeRecallSweep]]'s twin): more
+    * bands ⇒ higher recall AND more candidate pairs to verify; the
+    * operating point is the knee. One signature pass serves every
+    * config (band keys are signature slices serialized to strings, so
+    * the bucket join and the oracle replay byte-identically); ground
+    * truth is the exact shingle-join pair set at the cross-multiplied
+    * integer threshold (100·|∩| ≥ thr·|∪| — division-free). At corpus
+    * scale the sweep runs on a document sample, like every tuning
+    * table.
+    */
+  def lshBandSweep(s: SparkSession, dir: String, threshold: Double = 0.8,
+                   n: Int = 3,
+                   bandCounts: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    import graft.operators.Events.q
+    val k = MhA.length
+    val thrN = math.round(threshold * 100)
+    val docSh = docShingles(s, dir, n).persist()
+    CacheScope.register(docSh)
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
+    val ex = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val truth = ex.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")),
+        "doc_b")
+      .filter(col("inter") * lit(100L) >=
+        (col("na") + col("nb") - col("inter")) * lit(thrN))
+      .select("doc_a", "doc_b")
+      .persist()
+    CacheScope.register(truth)
+    val sig = docSh
+      .select(col("doc_id"), polyHashArray(col("shs")).as("hs"))
+      .select(col("doc_id"), array((0 until k).map { j =>
+        array_min(transform(col("hs"),
+          h => (h * lit(MhA(j)) + lit(MhB(j))) % lit(MhP)))
+      }: _*).as("sig"))
+      .persist()
+    CacheScope.register(sig)
+    val banded = bandCounts.map { bc =>
+      val r = k / bc
+      sig.select(lit(bc.toLong).as("bands"), col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${bc - 1}), b -> struct(b AS band,
+              array_join(transform(slice(sig, b * $r + 1, $r),
+                x -> cast(x AS string)), '_') AS key))""")).as("t"))
+        .select(col("bands"), col("doc_id"), col("t.band"), col("t.key"))
+    }.reduce(_ unionAll _)
+    val cand = banded
+      .select(col("bands"), col("band"), col("key"),
+        col("doc_id").as("doc_a"))
+      .join(banded.select(col("bands"), col("band"), col("key"),
+        col("doc_id").as("doc_b")), Seq("bands", "band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("bands", "doc_a", "doc_b")
+      .distinct()
+      .persist()
+    CacheScope.register(cand)
+    val nTrue = truth.count()
+    val det = cand.join(truth, Seq("doc_a", "doc_b"))
+      .groupBy("bands").agg(count(lit(1)).as("n_detected"))
+    cand.groupBy("bands").agg(count(lit(1)).as("n_candidates"))
+      .join(det, Seq("bands"), "left")
+      .select(col("bands"), expr(s"$k div bands").as("rows_per_band"),
+        col("n_candidates"), lit(nTrue).as("n_true"),
+        coalesce(col("n_detected"), lit(0L)).as("n_detected"),
+        when(lit(nTrue) > 0,
+          q(coalesce(col("n_detected"), lit(0L)).cast("double") /
+            lit(nTrue.toDouble), 6)).otherwise(lit(0.0)).as("recall"),
+        when(col("n_candidates") > 0,
+          q(coalesce(col("n_detected"), lit(0L)).cast("double") /
+            col("n_candidates").cast("double"), 6)).otherwise(lit(0.0))
+          .as("cand_precision"))
+      .orderBy("bands")
+  }
+
   /** Asymmetric containment pairs (W490): |A∩B| / min(|A|,|B|) over
     * the MinHash-LSH candidate set — the dedup signal Jaccard
     * UNDERSTATES when one document quotes or wraps another (a page

@@ -21,6 +21,28 @@ class Round6BatchCSpec extends SparkSpec {
     assert(recalls.forall(r => r > 0.0 && r <= 1.0))
   }
 
+  test("lshBandSweep: more bands never loses candidates; near-dup found") {
+    val dir = java.nio.file.Files.createTempDirectory("lbs6").toString
+    val base = ('a' to 'l').map(c => s"$c$c$c").mkString(" ")
+    Seq((1L, base, "sA"), (2L, base + " tail", "sA"),
+      (3L, "entirely different words that never overlap at all", "sB"))
+      .map { case (id, t, src) =>
+        (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rs = graft.operators.Dedup.lshBandSweep(spark, dir).collect()
+    CacheScope.release(spark)
+    assert(rs.length == 3)
+    assert(rs.map(_.getLong(0)).toSeq == Seq(4L, 8L, 16L))
+    // docs 1-2 share 10 of 11 shingles (j = 10/11 >= 0.8): one truth
+    // pair, found at the single-hash banding with certainty-in-practice
+    assert(rs.forall(_.getLong(3) == 1L), s"n_true: ${rs.mkString(";")}")
+    assert(rs.last.getDouble(5) == 1.0, s"recall@16: ${rs.last}")
+    val cands = rs.map(_.getLong(2))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a },
+      s"candidates must not fall as bands rise: ${cands.mkString(",")}")
+  }
+
   test("inventoryPolicy: two-day brand — exact EOQ/SS/ROP chain") {
     val dir = java.nio.file.Files.createTempDirectory("inv6").toString
     def d(day: Int) = java.sql.Date.valueOf(f"2024-01-${day + 1}%02d")
