@@ -606,6 +606,9 @@ object SparkEntry {
       ((s, d) => Similarity.nprobeRecallSweep(s, d)),
     "inventory_policy" -> ((s, d) => Relational.inventoryPolicy(s, d)),
     "lsh_band_sweep" -> ((s, d) => Dedup.lshBandSweep(s, d)),
+    "cluster_density_audit" ->
+      ((s, d) => Dedup.clusterDensityAudit(s, d)),
+    "dup_quality_matrix" -> ((s, d) => Curation.dupQualityMatrix(s, d)),
     "vote_rank" -> ((s, d) => Graph.voteRank(s, d)),
     "burt_constraint" -> ((s, d) => Graph.burtConstraint(s, d)),
     "rbo_stability" -> ((s, d) => TextStats.rboStability(s, d)),
@@ -3257,6 +3260,86 @@ object SparkEntry {
            SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id)
          SELECT id AS doc_id, min(comp) AS canonical_id
          FROM walk GROUP BY id""",
+    // dup-cluster shape audit: components via the recursive walk
+    // (labels only need consistency — only aggregates surface);
+    // density as an exact integral division on the 1e-9 grid
+    "cluster_density_audit" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         nodes0 AS (SELECT DISTINCT s AS id FROM edges),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes0
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+         cmp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         nn AS (SELECT comp, count(*)::BIGINT AS n FROM cmp GROUP BY 1),
+         ee AS (SELECT c.comp, count(*)::BIGINT AS e
+                FROM prs p JOIN cmp c ON p.doc_a = c.id GROUP BY 1),
+         cl AS (SELECT nn.comp, n, e,
+                  ((2000000000 * e) // (n * (n - 1)))::BIGINT AS d9
+                FROM nn JOIN ee USING (comp)),
+         g AS (SELECT count(*)::BIGINT AS k,
+                 coalesce(sum(n), 0)::BIGINT AS n_dup_docs,
+                 coalesce(max(n), 0)::BIGINT AS max_cluster_size,
+                 coalesce(sum(CASE WHEN e * 2 = n * (n - 1) THEN 1
+                   ELSE 0 END), 0)::BIGINT AS n_cliques,
+                 coalesce(sum(CASE WHEN e = n - 1 AND n >= 3 THEN 1
+                   ELSE 0 END), 0)::BIGINT AS n_tree_chains,
+                 coalesce(sum(d9), 0)::BIGINT AS sd9
+               FROM cl)
+         SELECT k AS n_clusters, n_dup_docs, max_cluster_size,
+           n_cliques, n_tree_chains,
+           CASE WHEN k > 0
+             THEN floor(sd9::DOUBLE / k::DOUBLE / 1e9 * 1e6 + 0.5)
+               / 1e6
+             ELSE 0.0 END AS mean_density
+         FROM g""",
+    // near-dup x quality 2x2: grid median by the cumulative rule,
+    // exact cells, pinned odds-ratio chain
+    "dup_quality_matrix" -> s"""WITH prs AS ($JaccardSql),
+         qual AS ($QualitySql),
+         q6t AS (SELECT doc_id,
+             CAST(floor(quality * 1e6 + 0.5) AS BIGINT) AS q6
+           FROM qual),
+         dups AS (SELECT DISTINCT doc_id FROM (
+             SELECT doc_a AS doc_id FROM prs
+             UNION ALL SELECT doc_b FROM prs)),
+         byq AS (SELECT q6, count(*)::BIGINT AS ct FROM q6t GROUP BY 1),
+         tot AS (SELECT sum(ct)::BIGINT AS nn FROM byq),
+         med AS (SELECT min(q6)::BIGINT AS medq FROM (
+             SELECT q6, sum(ct) OVER (ORDER BY q6
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             FROM byq) c CROSS JOIN tot
+           WHERE cum * 2 >= nn),
+         fl AS (SELECT
+             CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS dup,
+             CASE WHEN q6 > medq THEN 1 ELSE 0 END AS above
+           FROM q6t q LEFT JOIN dups d USING (doc_id) CROSS JOIN med),
+         g AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN dup = 1 AND above = 1 THEN 1 ELSE 0 END)
+               ::BIGINT AS dup_above,
+             sum(CASE WHEN dup = 1 AND above = 0 THEN 1 ELSE 0 END)
+               ::BIGINT AS dup_below,
+             sum(CASE WHEN dup = 0 AND above = 1 THEN 1 ELSE 0 END)
+               ::BIGINT AS clean_above,
+             sum(CASE WHEN dup = 0 AND above = 0 THEN 1 ELSE 0 END)
+               ::BIGINT AS clean_below
+           FROM fl)
+         SELECT n_docs, dup_above, dup_below, clean_above, clean_below,
+           CASE WHEN dup_below > 0 AND clean_above > 0
+             THEN floor((dup_above::DOUBLE * clean_below::DOUBLE) /
+               (dup_below::DOUBLE * clean_above::DOUBLE) * 1e6 + 0.5)
+               / 1e6
+             ELSE 0.0 END AS odds_ratio,
+           CASE WHEN dup_above + clean_above > 0
+             THEN floor(dup_above::DOUBLE /
+               (dup_above + clean_above)::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS dup_rate_above,
+           CASE WHEN dup_below + clean_below > 0
+             THEN floor(dup_below::DOUBLE /
+               (dup_below + clean_below)::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS dup_rate_below
+         FROM g""",
     // capstone composition: quality ∧ english ∧ dedup-survivor
     "curation_pipeline" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
          edges AS (SELECT doc_a AS s, doc_b AS d FROM prs

@@ -890,6 +890,69 @@ object Curation {
         col("noise_dominated"))
   }
 
+  /** Near-dup × quality contingency (W496): are near-duplicate
+    * documents LOWER quality than the rest of the corpus? The 2×2 of
+    * (has-a-near-dup, quality-above-median) with its odds ratio — the
+    * audit that tells a pipeline whether dedup doubles as a quality
+    * filter (boilerplate/SEO spam clusters heavily) or is orthogonal.
+    * The median is the cross-multiplied cumulative rule on the
+    * 1e-6 quality grid (exact integer, no interpolation); all four
+    * cells are exact counts; the odds ratio and the two dup-rates are
+    * pinned double chains over those LONGs. One pair-set pass + one
+    * quality scan.
+    */
+  def dupQualityMatrix(s: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qual = graft.operators.TextStats.quality(s, dir)
+      .select(col("doc_id"),
+        floor(col("quality") * lit(1e6) + lit(0.5)).cast("long")
+          .as("q6"))
+      .persist()
+    CacheScope.register(qual)
+    val pairs = graft.operators.Dedup.jaccardPairs(s, dir, threshold)
+    val dups = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val byQ = qual.groupBy("q6").agg(count(lit(1)).as("ct"))
+    val tot = byQ.agg(sum(col("ct")).as("nn"))
+    val med = byQ
+      .select(col("q6"), sum(col("ct")).over(Window.orderBy("q6")
+        .rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("nn"))
+      .agg(min(col("q6")).as("medq"))
+    val fl = qual
+      .join(dups.withColumn("isdup", lit(1L)), Seq("doc_id"), "left")
+      .crossJoin(broadcast(med))
+      .select(coalesce(col("isdup"), lit(0L)).as("dup"),
+        (col("q6") > col("medq")).cast("long").as("above"))
+    val g = fl.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("dup") === 1 && col("above") === 1, 1L)
+        .otherwise(0L)).as("dup_above"),
+      sum(when(col("dup") === 1 && col("above") === 0, 1L)
+        .otherwise(0L)).as("dup_below"),
+      sum(when(col("dup") === 0 && col("above") === 1, 1L)
+        .otherwise(0L)).as("clean_above"),
+      sum(when(col("dup") === 0 && col("above") === 0, 1L)
+        .otherwise(0L)).as("clean_below"))
+    val or = (col("dup_above").cast("double") *
+      col("clean_below").cast("double")) /
+      (col("dup_below").cast("double") * col("clean_above").cast("double"))
+    g.select(col("n_docs"), col("dup_above"), col("dup_below"),
+      col("clean_above"), col("clean_below"),
+      when(col("dup_below") > 0 && col("clean_above") > 0,
+        Events.q(or, 6)).otherwise(lit(0.0)).as("odds_ratio"),
+      when(col("dup_above") + col("clean_above") > 0,
+        Events.q(col("dup_above").cast("double") /
+          (col("dup_above") + col("clean_above")).cast("double"), 6))
+        .otherwise(lit(0.0)).as("dup_rate_above"),
+      when(col("dup_below") + col("clean_below") > 0,
+        Events.q(col("dup_below").cast("double") /
+          (col("dup_below") + col("clean_below")).cast("double"), 6))
+        .otherwise(lit(0.0)).as("dup_rate_below"))
+  }
+
   /** Pareto front of documents on (length, lexical richness) (W491):
     * the docs no other doc dominates on BOTH token count and distinct
     * token count — the skyline a curation pipeline samples from when

@@ -1067,6 +1067,48 @@ object Dedup {
       .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
   }
 
+  /** Dup-cluster shape audit (W495): does the near-dup pair set's
+    * transitive closure CHAIN (A~B~C with A≁C — the classic
+    * threshold-too-low pathology that merges unrelated documents
+    * through bridges) or form honest cliques? Per component: node
+    * count, edge count, density 2e/n(n−1) as an EXACT integer on the
+    * 1e-9 grid (integral division — no float), clique and tree flags
+    * by integer equalities. Components ride the engine's
+    * [[graft.operators.Graph.connectedComponents]]; the oracle's
+    * recursive walk only needs label CONSISTENCY, never label parity,
+    * because only per-cluster aggregates surface. One summary row —
+    * the go/no-go a dedup rollout reads before trusting
+    * `assignCanonical` at a given threshold.
+    */
+  def clusterDensityAudit(s: SparkSession, dir: String,
+                          threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Events.q
+    val pairs = jaccardPairs(s, dir, threshold)
+      .select("doc_a", "doc_b").persist()
+    CacheScope.register(pairs)
+    val comps = Graph.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val nodes = comps.groupBy("comp").agg(count(lit(1)).as("n"))
+    val edges = pairs
+      .join(comps.select(col("id").as("doc_a"), col("comp")), "doc_a")
+      .groupBy("comp").agg(count(lit(1)).as("e"))
+    val cl = nodes.join(edges, Seq("comp"))
+      .withColumn("d9", expr("(2000000000 * e) div (n * (n - 1))"))
+    cl.agg(count(lit(1)).as("k"),
+        coalesce(sum(col("n")), lit(0L)).as("n_dup_docs"),
+        coalesce(max(col("n")), lit(0L)).as("max_cluster_size"),
+        coalesce(sum((col("e") * 2 === col("n") * (col("n") - 1))
+          .cast("long")), lit(0L)).as("n_cliques"),
+        coalesce(sum((col("e") === col("n") - 1 && col("n") >= 3)
+          .cast("long")), lit(0L)).as("n_tree_chains"),
+        coalesce(sum(col("d9")), lit(0L)).as("sd9"))
+      .select(col("k").as("n_clusters"), col("n_dup_docs"),
+        col("max_cluster_size"), col("n_cliques"), col("n_tree_chains"),
+        when(col("k") > 0, q(col("sd9").cast("double") /
+          col("k").cast("double") / lit(1e9), 6)).otherwise(lit(0.0))
+          .as("mean_density"))
+  }
+
   /** MinHash-LSH banding sweep (W494): candidate volume, recall, and
     * candidate precision at band counts 4/8/16 over the SAME 16-hash
     * oracle-replicable signature ([[minhashEstError]]'s poly-hash
