@@ -585,15 +585,15 @@ object SparkEntry {
     "ansari_bradley" -> ((s, d) => Events.ansariBradley(s, d)),
     "mood_median" -> ((s, d) => Events.moodMedian(s, d)),
     "jonckheere_terpstra" -> ((s, d) => Events.jonckheereTerpstra(s, d)),
-    "brown_forsythe" -> ((s, d) => Events.brownForsythe(s, d)),
+    "brown_forsythe_values" -> ((s, d) => Events.brownForsythe(s, d)),
     "kuiper_two_sample" -> ((s, d) => Events.kuiperTwoSample(s, d)),
     "hodges_lehmann" -> ((s, d) => Events.hodgesLehmann(s, d)),
-    "cochran_armitage" -> ((s, d) => Events.cochranArmitage(s, d)),
+    "ca_trend_activity" -> ((s, d) => Events.cochranArmitage(s, d)),
     "grubbs_test" -> ((s, d) => Events.grubbsTest(s, d)),
     "running_records" -> ((s, d) => Events.runningRecords(s, d)),
     "gini_mean_difference" ->
       ((s, d) => Relational.giniMeanDifference(s, d)),
-    "benford_digits" -> ((s, d) => Relational.benfordDigits(s, d)),
+    "benford_order_totals" -> ((s, d) => Relational.benfordDigits(s, d)),
     "jaccard_link_pred" -> ((s, d) => Graph.jaccardLinkPred(s, d)),
     "preferential_attachment" ->
       ((s, d) => Graph.preferentialAttachment(s, d)),
@@ -11147,9 +11147,9 @@ object SparkEntry {
              AS trend
          FROM zz"""
     },
-    // Brown-Forsythe: per-type exact grid medians, |x-med| moment
-    // sums, per-group terms on the 1e-3 grid, WH chi2 flag
-    "brown_forsythe" -> {
+    // Brown-Forsythe on event values: per-type exact grid medians,
+    // |x-med| moment sums, per-group terms on the 1e-3 grid, WH flag
+    "brown_forsythe_values" -> {
       val z95 = 1.6448536269514722
       s"""WITH vi AS (SELECT event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
@@ -11265,9 +11265,9 @@ object SparkEntry {
            floor((dlo + dhi)::DOUBLE / 2.0 / 1e6 * 1e6 + 0.5) / 1e6
              AS hl_shift
          FROM sel""",
-    // Cochran-Armitage: deterministic count-grid quartiles, exact
-    // score sums, pinned double chain
-    "cochran_armitage" ->
+    // Cochran-Armitage on activity quartiles: deterministic
+    // count-grid groups, exact score sums, pinned double chain
+    "ca_trend_activity" ->
       """WITH pu AS (SELECT user_id, count(*)::BIGINT AS cnt,
              (CASE WHEN count(DISTINCT CASE WHEN event_type = 'purchase'
                 THEN epoch_ms(ts) // 1000 // 86400 END) >= 12
@@ -11382,9 +11382,9 @@ object SparkEntry {
            floor(s::DOUBLE / ((n::DOUBLE - 1.0) * t::DOUBLE) * 1e6
              + 0.5) / 1e6 AS gini
          FROM g""",
-    // Benford: leading digit via integer->string (no float), expected
-    // shares as driver literals, chi2 terms on the 1e-9 grid
-    "benford_digits" -> {
+    // Benford on order totals: leading digit via integer->string (no
+    // float), driver-literal shares, chi2 terms on the 1e-9 grid
+    "benford_order_totals" -> {
       val probs = (1 to 9)
         .map(d => s"($d, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
       s"""WITH spine AS (SELECT digit::BIGINT AS digit, p
