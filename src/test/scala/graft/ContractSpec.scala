@@ -40,4 +40,22 @@ class ContractSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no shadowed keys in the queries/oracle map literals") {
+    // a Map literal with a repeated key silently keeps only the last
+    // entry — a re-used query name would drop an existing operator
+    // from the driver gate (it happened in round 6: three r5 ops were
+    // shadowed by same-named additions). Parse the source and compare
+    // key occurrences against the materialized map sizes.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")))
+    val qSec = src.substring(src.indexOf("def queries"),
+      src.indexOf("def oracleSql"))
+    val keyRe = """"([a-z0-9_]+)" ->""".r
+    val qKeys = keyRe.findAllMatchIn(qSec).map(_.group(1)).toSeq
+    val dups = qKeys.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query keys in source: $dups")
+    assert(qKeys.size == SparkEntry.queries.size,
+      "queries map dropped entries — duplicate keys?")
+  }
 }
