@@ -112,6 +112,8 @@ object SparkEntry {
     // streaming tier, oracle-gated via deterministic micro-batch replay
     "stream_window_replay" -> ((s, d) => streaming.StreamReplay.windowReplay(s, d)),
     "stream_session_replay" -> ((s, d) => streaming.StreamReplay.sessionReplay(s, d)),
+    "stream_sesswin_replay" ->
+      ((s, d) => streaming.StreamReplay.sessionWindowReplay(s, d)),
     "stream_dedup_replay" -> ((s, d) => streaming.StreamReplay.dedupReplay(s, d)),
     "stream_join_replay" -> ((s, d) => streaming.StreamReplay.joinReplay(s, d)),
     "stream_running_replay" -> ((s, d) => streaming.StreamReplay.runningReplay(s, d)),
@@ -4434,6 +4436,31 @@ object SparkEntry {
          FROM g
          WHERE session_seq < (SELECT max(session_seq) FROM g g2
                               WHERE g2.user_id = g.user_id)""",
+    // the BUILT-IN session_window agg merges windows that overlap OR
+    // TOUCH (measured: a gap of exactly 30 min still merges, so a new
+    // session starts iff gap > 30 min, microsecond precision; end =
+    // last event + gap); the flush sentinel closes every real
+    // session, so the oracle is the full strict->-boundary
+    // sessionization
+    "stream_sesswin_replay" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+                    FROM events),
+         s AS (SELECT user_id, us, event_id,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY us, event_id)),
+         s2 AS (SELECT user_id, us,
+                  sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                    ::BIGINT AS sid
+                FROM s)
+         SELECT user_id, min(us)::BIGINT AS start_us,
+                (max(us) + 1800000000)::BIGINT AS end_us,
+                count(*)::BIGINT AS n_events
+         FROM s2 GROUP BY user_id, sid
+         ORDER BY user_id, start_us""",
     // the event-time-timeout sessionizer drains COMPLETELY (timeouts
     // close final sessions), so its oracle is the full batch
     // sessionization with no last-session exclusion

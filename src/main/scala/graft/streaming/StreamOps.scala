@@ -40,6 +40,25 @@ object StreamOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
 
+  /** Built-in dynamic-gap session windows (W497):
+    * `session_window(ts, gap)` — Spark's NATIVE session-window
+    * aggregation, the declarative twin of [[sessionize]]'s explicit
+    * flatMapGroupsWithState state machine (same semantics class, zero
+    * custom state code; the engine merges windows that overlap or
+    * TOUCH — measured: a gap of exactly `gap` still merges — so a new
+    * session starts iff the inter-event gap is strictly > `gap`, at
+    * full microsecond precision, matching the explicit variant's
+    * boundary). Watermark-evicted like any windowed agg; append mode
+    * emits each session once it can no longer grow.
+    */
+  def sessionWindowNative(events: DataFrame, gap: String = "30 minutes",
+                          watermarkDelay: String = "10 minutes")
+  : DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Gap-based sessionization with explicit state
     * (`flatMapGroupsWithState`): a session closes when a later event
     * arrives more than `gapSeconds` after the previous one (or the group

@@ -106,6 +106,38 @@ object StreamReplay {
     finish(s, nm, q).filter(col("event_type") =!= "__flush__")
   }
 
+  /** W497 gate: the BUILT-IN `session_window` aggregation (native
+    * dynamic-gap session windows), append mode. The flush sentinel 3 h
+    * past the last event pushes the watermark past every real
+    * session's close; the sentinel's own (user −1) session stays open
+    * and is filtered. Surfaced bounds are exact epoch MICROS (the
+    * engine merges at full timestamp precision, so the batch oracle
+    * restates the strict >-gap boundary on epoch_us integers — a gap
+    * of exactly 30 min still merges, the windows touch).
+    */
+  def sessionWindowReplay(s: SparkSession, dir: String,
+                          nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val in = MemoryStream[REvent]
+    val nm = s"stream_sesswin_${ctr.incrementAndGet()}"
+    val q = StreamOps.sessionWindowNative(in.toDF())
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    in.addData(REvent(
+      new Timestamp(evs.last.ts.getTime + 3L * 3600 * 1000),
+      -1L, -1L, "__flush__", 0.0))
+    q.processAllAvailable()
+    finish(s, nm, q).filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "start_us")
+  }
+
   /** W17 gate: stateful gap sessionization. Sessions are emitted when
     * CLOSED by a later event; each user's final session is still open
     * at end-of-replay, so the batch restatement excludes each user's

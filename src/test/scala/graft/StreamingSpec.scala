@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.StreamOps
+import graft.streaming.{StreamOps, StreamReplay}
 import graft.streaming.StreamOps.{Event, Session}
 
 class StreamingSpec extends SparkSpec {
@@ -236,5 +236,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(got.map(p => (p.event_id, p.tokens_left)).toSeq ==
       Seq((1L, 1L), (2L, 0L), (4L, 0L), (6L, 0L)), got.toSeq)
+  }
+
+  test("sessionWindowNative: the >= gap boundary splits; < gap merges") {
+    implicit val ctx = spark.sqlContext
+    import java.sql.Timestamp
+    val in = MemoryStream[StreamReplay.REvent]
+    def ev(id: Long, sec: Long) = StreamReplay.REvent(
+      new Timestamp(1704067200000L + sec * 1000), id, 7L, "view", 1.0)
+    val q = StreamOps.sessionWindowNative(in.toDF())
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        col("n_events"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sw_out").start()
+    // events at t=0 and t=1799 merge; an exactly-1800s gap would
+    // still merge (touching windows), so the third event sits 1801 s
+    // after the second → a NEW session; a far sentinel closes both
+    in.addData(ev(1, 0), ev(2, 1799), ev(3, 3600))
+    q.processAllAvailable()
+    in.addData(StreamReplay.REvent(
+      new Timestamp(1704067200000L + 86400L * 1000), -1L, -1L,
+      "__flush__", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("sw_out")
+      .filter(col("user_id") === 7L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    q.stop()
+    spark.catalog.dropTempView("sw_out")
+    assert(got.toSeq == Seq(
+      (1704067200000000L, 2L),
+      (1704067200000000L + 3600L * 1000000, 1L)), got.toSeq)
   }
 }
