@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner's periodic GC defaults to 30min — it never fires
+      // inside a ~15min run, so localCheckpoint blocks from 500+ queries
+      // pile up in the block manager and the iterative graph tier pays
+      // for all of them (r6 driver charged k_truss 55.3s vs 10.4s
+      // standalone; VERDICT r6 #4). 60s keeps the cleaner live.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warmup so the first measured query isn't
@@ -55,9 +61,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // operators track persist()'d intermediates in CacheScope; release
       // them (library contract), then clearCache as a measurement-tool
-      // backstop so one query's cache never pressures the next query
+      // backstop so one query's cache never pressures the next query.
+      // localCheckpoint RDDs are NOT catalog-cached — sweep the block
+      // manager's persistent-RDD registry too, else checkpoint blocks
+      // accumulate across the full board and inflate later loops
       CacheScope.release(spark)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

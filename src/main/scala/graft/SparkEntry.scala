@@ -729,6 +729,13 @@ object SparkEntry {
     // round-5 batch AM: diversity profile, privacy-utility frontier
     "hill_numbers" -> ((s, d) => TextStats.hillNumbers(s, d)),
     "anonymity_sweep" -> ((s, d) => Events.anonymitySweep(s, d)),
+    // round-7: crawl-slice novelty, SimHash radius tuning, per-language
+    // tokenizer-tail mass, per-source quality drift
+    "ngram_novelty" -> ((s, d) => TextStats.ngramNovelty(s, d)),
+    "simhash_radius_sweep" ->
+      ((s, d) => Dedup.simhashRadiusSweep(s, d)),
+    "tail_token_mass" -> ((s, d) => TextStats.tailTokenMass(s, d)),
+    "quality_drift" -> ((s, d) => TextStats.qualityDrift(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -3277,15 +3284,20 @@ object SparkEntry {
          nn AS (SELECT comp, count(*)::BIGINT AS n FROM cmp GROUP BY 1),
          ee AS (SELECT c.comp, count(*)::BIGINT AS e
                 FROM prs p JOIN cmp c ON p.doc_a = c.id GROUP BY 1),
-         cl AS (SELECT nn.comp, n, e,
+         dg AS (SELECT c.comp, max(d.deg)::BIGINT AS md
+                FROM (SELECT s AS id, count(*)::BIGINT AS deg
+                      FROM edges GROUP BY 1) d
+                JOIN cmp c ON d.id = c.id GROUP BY 1),
+         cl AS (SELECT nn.comp, n, e, md,
                   ((2000000000 * e) // (n * (n - 1)))::BIGINT AS d9
-                FROM nn JOIN ee USING (comp)),
+                FROM nn JOIN ee USING (comp) JOIN dg USING (comp)),
          g AS (SELECT count(*)::BIGINT AS k,
                  coalesce(sum(n), 0)::BIGINT AS n_dup_docs,
                  coalesce(max(n), 0)::BIGINT AS max_cluster_size,
                  coalesce(sum(CASE WHEN e * 2 = n * (n - 1) THEN 1
                    ELSE 0 END), 0)::BIGINT AS n_cliques,
-                 coalesce(sum(CASE WHEN e = n - 1 AND n >= 3 THEN 1
+                 coalesce(sum(CASE WHEN e = n - 1 AND n >= 3
+                   AND md <= 2 THEN 1
                    ELSE 0 END), 0)::BIGINT AS n_tree_chains,
                  coalesce(sum(d9), 0)::BIGINT AS sd9
                FROM cl)
@@ -4897,7 +4909,8 @@ object SparkEntry {
              (CASE WHEN a.sz = b.sz THEN 2.0 ELSE -2.0 END) AS w
            FROM p a JOIN p b
              ON a.noun = b.noun AND a.band = b.band AND a.k < b.k)
-         SELECT k1, k2, round(w, 6) AS weight FROM pr WHERE w >= 4.0""",
+         SELECT k1, k2, round(w, 6)::DOUBLE AS weight
+         FROM pr WHERE w >= 4.0""",
     // bigram stream via zipped adjacent-token unnests; model CTEs mirror
     // the Spark re-aggregations of the (w1,w2) counts table exactly
     "kn_bigram_logprob" -> s"""$TokCte,
@@ -7486,7 +7499,8 @@ object SparkEntry {
                     * (k.n_risk - k.d)::DOUBLE / k.n_risk::DOUBLE)
                     AS BIGINT)
            FROM fold f JOIN dr k ON k.rn = f.rn + 1)
-         SELECT t::BIGINT AS t_day, n_risk, d AS deaths, c AS censored,
+         SELECT t::BIGINT AS t_day, n_risk::BIGINT AS n_risk,
+                d AS deaths, c AS censored,
                 s6 AS surv6, s6::DOUBLE / 1e6 AS surv
          FROM fold ORDER BY t_day""",
     // Holt linear smoothing: recursive CTE replays the engine's fold in
@@ -8385,7 +8399,7 @@ object SparkEntry {
     "temperature_scaling" -> s"""WITH sc AS (
            SELECT label::BIGINT AS y, score AS z
            FROM ($sgdApplyOracle)),
-         g AS (SELECT unnest(range(1, 17)) * 0.25 AS t),
+         g AS (SELECT unnest(range(1, 17))::DOUBLE * 0.25 AS t),
          r AS (SELECT t, CAST(floor((greatest(z / t, 0.0)
                + ln(1.0 + exp(-abs(z / t))) - y * (z / t)) * 1e9 + 0.5)
                AS BIGINT) AS term9
@@ -8590,7 +8604,8 @@ object SparkEntry {
              floor(2.024 * sqrt(4.0 / k::DOUBLE) * 1e6 + 0.5) / 1e6
                AS boundary
            FROM f)
-         SELECT k AS look, na AS n_a, nb AS n_b, d6, vp12, z, boundary,
+         SELECT k AS look, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           d6, vp12, z, boundary,
            (CASE WHEN vp12 > 0 AND
                d6::HUGEINT * d6 * k * 1000000 >=
                4096576::HUGEINT * 4 * vp12
@@ -11015,7 +11030,8 @@ object SparkEntry {
                    (sum(h9) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
                      ::BIGINT AS hc9
                  FROM hzd)
-         SELECT t::BIGINT AS t_day, n_risk, d AS deaths, hc9,
+         SELECT t::BIGINT AS t_day, n_risk::BIGINT AS n_risk,
+           d AS deaths, hc9,
            floor(hc9::DOUBLE / 1e9 * 1e6 + 0.5) / 1e6 AS cum_hazard
          FROM cum WHERE d > 0 ORDER BY t_day""",
     // Ansari-Bradley scale test: exact piecewise f(m) score sums on
@@ -11420,7 +11436,7 @@ object SparkEntry {
                  + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
                  AS digit,
                count(*)::BIGINT AS n_obs
-             FROM orders GROUP BY 1),
+             FROM orders WHERE o_totalprice > 0 GROUP BY 1),
          byd AS (SELECT spine.digit, p,
                    coalesce(n_obs, 0)::BIGINT AS n_obs
                  FROM spine LEFT JOIN dig ON spine.digit = dig.digit),
@@ -12859,7 +12875,7 @@ object SparkEntry {
                  sum(CASE WHEN cnt <= 1 THEN 1 ELSE 0 END)::BIGINT
                    AS noise_dominated
                FROM daily)
-         SELECT k_cells, n_total, 1.0 AS eps,
+         SELECT k_cells, n_total, 1.0::DOUBLE AS eps,
            floor(k_cells::DOUBLE * 1.0 * 1e4 + 0.5) / 1e4
              AS exp_l1_error,
            floor(k_cells::DOUBLE * 1.0 / n_total::DOUBLE * 1e6 + 0.5)
@@ -13498,7 +13514,7 @@ object SparkEntry {
                    FROM kc, fr),
          g AS (SELECT frac, sum(k::HUGEINT * t9)::HUGEINT AS s9
                FROM terms GROUP BY 1)
-         SELECT frac,
+         SELECT frac::DOUBLE AS frac,
            floor(s9::DOUBLE / 1e9 * 1e2 + 0.5) / 1e2 AS exp_vocab,
            floor(s9::DOUBLE / 1e9 / v::DOUBLE * 1e6 + 0.5) / 1e6
              AS vocab_share
@@ -13792,6 +13808,104 @@ object SparkEntry {
              / 1e6 AS user_risk_share
          FROM summ s LEFT JOIN risk ON risk.gr = s.gr, nu
          ORDER BY granularity""",
+    // round-7: occurrence-mass novelty by ingestion slice; first
+    // occurrences via min(doc_id) per shingle, slice labels by pure
+    // integer arithmetic on the (lo,hi) id bounds
+    "ngram_novelty" -> s"""$TokCte,
+         sh AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(ts) >= 3
+               THEN list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               ELSE [array_to_string(ts, ' ')] END)) AS sh
+           FROM toks),
+         b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM sh),
+         f AS (SELECT sh AS s2, min(doc_id) AS first_id
+               FROM sh GROUP BY 1),
+         lab AS (SELECT
+             least((10 * (e.doc_id - lo)) // (hi - lo + 1), 9)::BIGINT
+               AS slice,
+             e.doc_id,
+             CASE WHEN e.doc_id = f.first_id THEN 1 ELSE 0 END AS novel
+           FROM sh e JOIN f ON e.sh = f.s2 CROSS JOIN b),
+         g AS (SELECT slice, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                 count(*)::BIGINT AS n_occ, sum(novel)::BIGINT AS n_novel
+               FROM lab GROUP BY 1),
+         sp AS (SELECT unnest(range(0, 10))::BIGINT AS slice)
+         SELECT sp.slice AS slice,
+           coalesce(n_docs, 0)::BIGINT AS n_docs,
+           coalesce(n_occ, 0)::BIGINT AS n_occ,
+           coalesce(n_novel, 0)::BIGINT AS n_novel,
+           CASE WHEN coalesce(n_occ, 0) > 0
+             THEN floor(n_novel::DOUBLE / n_occ::DOUBLE * 1e6 + 0.5) / 1e6
+             ELSE 0.0 END AS novelty_rate
+         FROM sp LEFT JOIN g ON sp.slice = g.slice ORDER BY slice""",
+    // pair volume by exact Hamming distance over the banked SimHash
+    // candidates (exhaustive to distance 3 by pigeonhole)
+    "simhash_radius_sweep" -> s"""WITH p AS ($SimhashSql),
+         sp AS (SELECT unnest(range(0, 4))::BIGINT AS radius)
+         SELECT radius,
+           (SELECT count(*) FROM p WHERE dist <= radius)::BIGINT
+             AS n_pairs,
+           (SELECT count(*) FROM p WHERE dist = radius)::BIGINT
+             AS n_at_radius
+         FROM sp ORDER BY radius""",
+    // per-language token mass outside the global top-1000 vocabulary;
+    // the head set is rank-deterministic (count desc, token)
+    "tail_token_mass" ->
+      """WITH toksl AS (
+           SELECT lang,
+             list_filter(list_transform(
+               string_split_regex(lower(text), '\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         tok AS (SELECT lang, unnest(ts) AS t FROM toksl),
+         cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+         top AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 1000),
+         g AS (SELECT lang, count(*)::BIGINT AS n_tokens,
+                 sum(CASE WHEN top.t IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_tail
+               FROM tok LEFT JOIN top ON tok.t = top.t GROUP BY 1)
+         SELECT lang, n_tokens, n_tail,
+           floor(n_tail::DOUBLE / n_tokens::DOUBLE * 1e6 + 0.5) / 1e6
+             AS tail_share
+         FROM g ORDER BY lang""",
+    // per-source mean quality of the first vs last ingestion-order
+    // quarter; per-doc quality on the 1e-6 LONG grid before the sums
+    "quality_drift" -> {
+      s"""WITH q AS ($QualitySql),
+         q6t AS (SELECT doc_id,
+             CAST(floor(quality * 1e6 + 0.5) AS BIGINT) AS q6
+           FROM q),
+         base AS (SELECT q6t.doc_id, q6, source
+                  FROM q6t JOIN documents USING (doc_id)),
+         b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM base),
+         lab AS (SELECT source, q6,
+             least((4 * (doc_id - lo)) // (hi - lo + 1), 3)::BIGINT
+               AS qt
+           FROM base CROSS JOIN b),
+         g AS (SELECT source, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN qt = 0 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+             sum(CASE WHEN qt = 3 THEN 1 ELSE 0 END)::BIGINT AS n_last,
+             sum(CASE WHEN qt = 0 THEN q6 ELSE 0 END)::BIGINT AS s_first,
+             sum(CASE WHEN qt = 3 THEN q6 ELSE 0 END)::BIGINT AS s_last
+           FROM lab GROUP BY 1),
+         m AS (SELECT source, n_docs, n_first, n_last,
+             CASE WHEN n_first > 0
+               THEN floor(s_first::DOUBLE / n_first::DOUBLE / 1e6 * 1e6
+                 + 0.5) / 1e6
+               ELSE 0.0 END AS mean_q_first,
+             CASE WHEN n_last > 0
+               THEN floor(s_last::DOUBLE / n_last::DOUBLE / 1e6 * 1e6
+                 + 0.5) / 1e6
+               ELSE 0.0 END AS mean_q_last
+           FROM g)
+         SELECT source, n_docs, n_first, n_last, mean_q_first,
+           mean_q_last,
+           floor((mean_q_last - mean_q_first) * 1e6 + 0.5) / 1e6
+             AS drift
+         FROM m ORDER BY source"""
+    },
   )
 
   private def sqlList(words: Seq[String]): String =

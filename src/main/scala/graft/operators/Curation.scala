@@ -173,16 +173,19 @@ object Curation {
       // eval set too big for one executor's memory: distributed
       // fallback — explode the corpus shingle hashes and semi-count
       // against the eval hash table with an ordinary shuffle hash join
-      // on the 8-byte key (same hashes as the probe path, so both
-      // paths agree). One extra shuffle — the price of not holding
-      // the eval set anywhere whole.
+      // on the 8-byte key. countDistinct on the hash, not count of
+      // joined rows: the probe path counts DISTINCT matched hashes, so
+      // two distinct shingles in one doc colliding to the same
+      // xxhash64 value must contribute 1 here too — both paths count
+      // the same quantity. One extra shuffle — the price of not
+      // holding the eval set anywhere whole.
       corpus
         .select(col("doc_id"),
           explode(col("shs")).as("sh"))
         .select(col("doc_id"), xxhash64(col("sh")).as("h"))
         .join(evalH, "h")
         .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_shared"))
+        .agg(countDistinct(col("h")).cast("int").as("n_shared"))
     }
   }
 

@@ -181,6 +181,30 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** SimHash radius sweep (W499): near-dup pair volume at Hamming
+    * radius 0..`maxDist` over the 40-bit signature — [[lshBandSweep]]'s
+    * SimHash-side twin; the table that picks the production radius
+    * (radius 0 = hash-exact dups, each +1 bit admits more candidates
+    * at falling precision; the knee is the operating point). One
+    * banked candidate pass serves every radius (the 4×10-bit
+    * pigeonhole join is exhaustive to distance 3), then a 4-row spine
+    * classifies by exact distance — no per-radius rescans.
+    */
+  def simhashRadiusSweep(s: SparkSession, dir: String,
+                         maxDist: Int = 3): DataFrame = {
+    import s.implicits._
+    val pairs = simhashPairs(s, dir, maxDist).persist()
+    CacheScope.register(pairs)
+    val spine = (0L to maxDist.toLong).toDF("radius")
+    broadcast(spine)
+      .join(pairs, col("dist") <= col("radius"), "left")
+      .groupBy("radius")
+      .agg(count(col("dist")).as("n_pairs"),
+        coalesce(sum((col("dist") === col("radius")).cast("long")),
+          lit(0L)).as("n_at_radius"))
+      .orderBy("radius")
+  }
+
   /** Fuzzy dedup: exact edit-distance verification of SimHash
     * candidates. Candidates come from the banked signature join
     * (`simhashPairs` — never all-pairs); the expensive O(len²)
@@ -1092,15 +1116,24 @@ object Dedup {
     val edges = pairs
       .join(comps.select(col("id").as("doc_a"), col("comp")), "doc_a")
       .groupBy("comp").agg(count(lit(1)).as("e"))
-    val cl = nodes.join(edges, Seq("comp"))
+    // a CHAIN is a tree (e = n−1) whose every node has degree ≤ 2 —
+    // without the degree cap a star (one hub near-dup of many mutually
+    // dissimilar docs) is also a tree and would be miscounted as the
+    // threshold-chaining pathology this column exists to flag
+    val maxdeg = pairs.select(col("doc_a").as("id"))
+      .unionAll(pairs.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .join(comps, "id")
+      .groupBy("comp").agg(max(col("deg")).as("md"))
+    val cl = nodes.join(edges, Seq("comp")).join(maxdeg, Seq("comp"))
       .withColumn("d9", expr("(2000000000 * e) div (n * (n - 1))"))
     cl.agg(count(lit(1)).as("k"),
         coalesce(sum(col("n")), lit(0L)).as("n_dup_docs"),
         coalesce(max(col("n")), lit(0L)).as("max_cluster_size"),
         coalesce(sum((col("e") * 2 === col("n") * (col("n") - 1))
           .cast("long")), lit(0L)).as("n_cliques"),
-        coalesce(sum((col("e") === col("n") - 1 && col("n") >= 3)
-          .cast("long")), lit(0L)).as("n_tree_chains"),
+        coalesce(sum((col("e") === col("n") - 1 && col("n") >= 3 &&
+          col("md") <= 2).cast("long")), lit(0L)).as("n_tree_chains"),
         coalesce(sum(col("d9")), lit(0L)).as("sd9"))
       .select(col("k").as("n_clusters"), col("n_dup_docs"),
         col("max_cluster_size"), col("n_cliques"), col("n_tree_chains"),
@@ -1133,9 +1166,31 @@ object Dedup {
     CacheScope.register(docSh)
     val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
     val ex = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val truth = ex.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(ex.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .persist()
+    CacheScope.register(ex) // eager: df, prefix, and both verify joins
+    // ground truth via the SAME lossless PPJoin prefix filter as
+    // [[jaccardPrefixFilter]] (W172): each doc indexes only its
+    // |s| − ⌈t·|s|⌉ + 1 globally-rarest shingles, which provably
+    // covers every pair at Jaccard ≥ t — identical truth set to the
+    // former full shared-shingle self-join, without that join's
+    // quadratic blow-up on hot boilerplate shingles (VERDICT r6 #5).
+    val tdf = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val tprefix = ex.join(tdf, "sh")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <=
+        col("nsh") - ceil(round(lit(threshold) * col("nsh"), 9)) + 1)
+      .select("doc_id", "sh")
+    val tcand = tprefix.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(tprefix.select(col("doc_id").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val truth = tcand
+      .join(ex.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")),
         "doc_a")

@@ -6990,10 +6990,15 @@ object Events {
         floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("vi"),
         (pmod(pmod(col("user_id"), lit(2147483648L)) * lit(8388593L),
           lit(100L)) < 50).cast("long").as("isA"))
+    // persisted: each arm's daily agg feeds BOTH its count() and the
+    // diffs grid — unpersisted, the events scan + daily agg would run
+    // up to three times (two count jobs + the diffs job)
     val da = ev.filter(col("isA") === 1).groupBy("day")
-      .agg(sum(col("vi")).as("va"))
+      .agg(sum(col("vi")).as("va")).persist()
     val db = ev.filter(col("isA") === 0).groupBy(col("day").as("dayb"))
-      .agg(sum(col("vi")).as("vb"))
+      .agg(sum(col("vi")).as("vb")).persist()
+    graft.CacheScope.register(da)
+    graft.CacheScope.register(db)
     val diffs = da.crossJoin(db)
       .select((col("va") - col("vb")).as("d"))
     val wD = Window.orderBy(col("d"))

@@ -3426,13 +3426,18 @@ object Relational {
     * float, engine-identical); expected shares are DRIVER-INJECTED
     * literals (the only transcendental runs in Scala, once); χ² terms
     * land on the 1e-9 grid before the order-free sum. One digit-keyed
-    * agg over a 9-row spine that keeps zero-count digits.
+    * agg over a 9-row spine that keeps zero-count digits. Domain is
+    * POSITIVE totals (explicit filter, mirrored in the oracle): a
+    * zero/negative amount has no Benford leading digit — without the
+    * filter Spark would silently cast its '0'/'-' lead char to 0/null
+    * while DuckDB errors, divergent behavior off-fixture.
     */
   def benfordDigits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val probs = (1 to 9).map(d => (d.toLong, math.log10(1.0 + 1.0 / d)))
     val spine = probs.toDF("digit", "p")
     val dig = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 0)
       .select(substring(floor(col("o_totalprice") * lit(100) + lit(0.5))
         .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))

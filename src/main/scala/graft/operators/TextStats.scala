@@ -1990,5 +1990,121 @@ object TextStats {
           .as("msttr"))
       .orderBy("source")
   }
+
+  /** Crawl-slice n-gram novelty (W498): per ingestion slice (doc_id
+    * range split into `slices` equal-width windows — the id is the
+    * ingestion-order proxy), the share of shingle OCCURRENCES whose
+    * FIRST corpus occurrence is in that slice. The marginal-value
+    * curve of continued crawling: a slice whose novelty_rate has
+    * collapsed is re-crawling what the corpus already holds.
+    * [[heapsLaw]] is the TYPE-growth twin; this is occurrence-mass —
+    * the number that predicts dedup's yield on the next batch.
+    * First occurrences are one min-agg keyed by shingle (partial-agg'd,
+    * no window); slice labels are pure arithmetic on the broadcast
+    * (min,max) id bounds — order-free, no global sort at any scale.
+    */
+  def ngramNovelty(s: SparkSession, dir: String, n: Int = 3,
+                   slices: Int = 10): DataFrame = {
+    import s.implicits._
+    val ex = tokenized(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("ts"), n))).as("sh"))
+      .persist()
+    CacheScope.register(ex) // eager: bounds + firsts + the label join
+    val bounds = ex.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val firsts = ex.groupBy("sh").agg(min(col("doc_id")).as("first_id"))
+    val lab = ex.join(firsts, "sh")
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(expr(s"($slices * (doc_id - lo)) div (hi - lo + 1)"),
+          lit(slices - 1L)).as("slice"),
+        col("doc_id"),
+        (col("doc_id") === col("first_id")).cast("long").as("novel"))
+    val g = lab.groupBy("slice")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), sum(col("novel")).as("n_novel"))
+    val spine = (0L until slices.toLong).toDF("slice")
+    broadcast(spine).join(g, Seq("slice"), "left")
+      .select(col("slice"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_occ"), lit(0L)) > 0,
+          Events.q(col("n_novel").cast("double") /
+            col("n_occ").cast("double"), 6)).otherwise(lit(0.0))
+          .as("novelty_rate"))
+      .orderBy("slice")
+  }
+
+  /** Per-language tail-token mass (W500): share of a language's token
+    * occurrences falling OUTSIDE the corpus-global top-`topN`
+    * vocabulary — the signal that a language's text won't compress
+    * into a shared tokenizer's head and will pay long byte-level
+    * splits. [[vocabCoverage]] is the corpus-global coverage table;
+    * this is its per-language breakdown against one shared head. The
+    * top set is rank-deterministic (count desc, then token) and
+    * broadcast; per-language masses are one partial-agg'd pass.
+    */
+  def tailTokenMass(s: SparkSession, dir: String,
+                    topN: Int = 1000): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokenize(col("text"))).as("t"))
+      .persist()
+    CacheScope.register(tok) // eager: global counts + the per-lang pass
+    val top = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(topN)
+      .select(col("t"), lit(1L).as("in_top"))
+    tok.join(broadcast(top), Seq("t"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_top").isNull, 1L).otherwise(0L)).as("n_tail"))
+      .select(col("lang"), col("n_tokens"), col("n_tail"),
+        Events.q(col("n_tail").cast("double") /
+          col("n_tokens").cast("double"), 6).as("tail_share"))
+      .orderBy("lang")
+  }
+
+  /** Per-source quality drift (W501): mean quality score of a source's
+    * FIRST vs LAST ingestion-order quarter (doc_id-range windows, the
+    * same id-as-ingestion proxy as [[ngramNovelty]]) — the curation
+    * alarm that a feed's quality is sliding between crawls. Per-doc
+    * quality quantizes to the 1e-6 LONG grid before the per-quarter
+    * integer sums (engine-order-free, like `dup_quality_matrix`);
+    * each mean is one division. One doc-keyed pass + a sources-sized
+    * agg; bounds broadcast.
+    */
+  def qualityDrift(s: SparkSession, dir: String,
+                   quarters: Int = 4): DataFrame = {
+    val q6 = qualityTokens(tokenized(s, dir))
+      .select(col("doc_id"),
+        floor(col("quality") * lit(1e6) + lit(0.5)).cast("long").as("q6"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val base = q6.join(src, "doc_id").persist()
+    CacheScope.register(base) // eager: bounds + the quarter agg
+    val bounds = base.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val lab = base.crossJoin(broadcast(bounds))
+      .select(col("source"), col("q6"),
+        least(expr(s"($quarters * (doc_id - lo)) div (hi - lo + 1)"),
+          lit(quarters - 1L)).as("qt"))
+    val last = quarters - 1L
+    lab.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("qt") === 0L).cast("long")).as("n_first"),
+        sum((col("qt") === last).cast("long")).as("n_last"),
+        sum(when(col("qt") === 0L, col("q6")).otherwise(0L)).as("s_first"),
+        sum(when(col("qt") === last, col("q6")).otherwise(0L)).as("s_last"))
+      .select(col("source"), col("n_docs"), col("n_first"), col("n_last"),
+        when(col("n_first") > 0, Events.q(col("s_first").cast("double") /
+          col("n_first").cast("double") / lit(1e6), 6)).otherwise(lit(0.0))
+          .as("mean_q_first"),
+        when(col("n_last") > 0, Events.q(col("s_last").cast("double") /
+          col("n_last").cast("double") / lit(1e6), 6)).otherwise(lit(0.0))
+          .as("mean_q_last"))
+      .withColumn("drift",
+        Events.q(col("mean_q_last") - col("mean_q_first"), 6))
+      .orderBy("source")
+  }
 }
 

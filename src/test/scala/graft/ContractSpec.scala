@@ -57,5 +57,42 @@ class ContractSpec extends SparkSpec {
     assert(dups.isEmpty, s"duplicate query keys in source: $dups")
     assert(qKeys.size == SparkEntry.queries.size,
       "queries map dropped entries — duplicate keys?")
+    // same scan over the oracleSql map literal: a duplicated key there
+    // silently keeps the LAST SQL and gates an existing query against
+    // the wrong oracle — the other half of the round-6 failure mode
+    val oStart = src.indexOf("def oracleSql")
+    val oEnd = src.indexOf("private def sqlList")
+    assert(oStart >= 0 && oEnd > oStart, "SparkEntry layout changed — " +
+      "update the oracleSql section markers in this guard")
+    val oSec = src.substring(oStart, oEnd)
+    val oKeys = keyRe.findAllMatchIn(oSec).map(_.group(1)).toSeq
+      .filter(SparkEntry.oracleSql.contains) // skip SQL-literal hits
+    val oDups = oKeys.groupBy(identity).filter(_._2.size > 1).keys
+    assert(oDups.isEmpty, s"duplicate oracle keys in source: $oDups")
+    assert(oKeys.distinct.size == SparkEntry.oracleSql.size,
+      "oracleSql map dropped entries — duplicate keys?")
+  }
+
+  test("oracle-gated queries surface only driver-hashable dtypes") {
+    // the driver's hash compare canonicalizes plain int/float widths
+    // identically, but DECIMAL and DuckDB's HUGEINT (windowed
+    // sum(BIGINT) widens to it silently) hash through a different
+    // pandas path — a latent hash-fail even when values are bit-equal
+    // (the round-5/6 kaplan_meier class). Pin the Spark side to plain
+    // int/float/string/date/bool; tools/strictcheck.py enforces the
+    // mirror allowlist on the DuckDB side of every oracle.
+    import org.apache.spark.sql.types._
+    val ok: DataType => Boolean = {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | StringType | DateType | BooleanType => true
+      case _ => false
+    }
+    val bad = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap { name =>
+      val off = SparkEntry.queries(name)(spark, sf).schema.fields
+        .filterNot(f => ok(f.dataType))
+      if (off.isEmpty) None
+      else Some(s"$name: ${off.map(f => s"${f.name}:${f.dataType}").mkString(",")}")
+    }
+    assert(bad.isEmpty, s"non-hashable surfaced dtypes: $bad")
   }
 }

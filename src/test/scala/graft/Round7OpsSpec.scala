@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextStats}
+
+/** Brute-force in-memory oracles for the round-7 operator batch
+  * (crawl-slice novelty, SimHash radius sweep, tail-token mass,
+  * quality drift). The driver hash-checks values against DuckDB;
+  * these pin semantics on the tiny fixture without DuckDB.
+  */
+class Round7OpsSpec extends SparkSpec {
+
+  /** (doc_id, shingle) occurrences exactly as ngramNovelty sees them. */
+  private def shingleOcc(): Array[(Long, String)] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(
+          graft.functions.TextFns.tokenize(col("text")), 3))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+  test("ngram_novelty: matches driver-side first-occurrence fold") {
+    val occ = shingleOcc()
+    val lo = occ.map(_._1).min
+    val hi = occ.map(_._1).max
+    val first = occ.groupBy(_._2).map { case (sh, xs) =>
+      sh -> xs.map(_._1).min
+    }
+    def slice(id: Long): Long =
+      math.min(10L * (id - lo) / (hi - lo + 1), 9L)
+    val bySlice = occ.groupBy { case (id, _) => slice(id) }
+    val want = (0L to 9L).map { sl =>
+      val xs = bySlice.getOrElse(sl, Array.empty[(Long, String)])
+      val nNovel = xs.count { case (id, sh) => first(sh) == id }
+      (sl, xs.map(_._1).distinct.length.toLong, xs.length.toLong,
+        nNovel.toLong)
+    }
+    val got = TextStats.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want)
+    // occurrence-mass invariant: every distinct shingle is novel exactly
+    // once, so the novel column sums to the distinct-shingle count
+    assert(got.map(_._4).sum == first.size)
+  }
+
+  test("ngram_novelty: novelty_rate is the quantized ratio") {
+    val rows = TextStats.ngramNovelty(spark, sf).collect()
+    rows.foreach { r =>
+      val (occ, novel, rate) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      val want = if (occ == 0) 0.0
+        else math.floor(novel.toDouble / occ * 1e6 + 0.5) / 1e6
+      assert(rate == want, s"slice ${r.getLong(0)}")
+    }
+  }
+
+  test("simhash_radius_sweep: matches the pair set's distance histogram") {
+    val dists = Dedup.simhashPairs(spark, sf, 3).collect()
+      .map(_.getInt(2))
+    val got = Dedup.simhashRadiusSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    got.foreach { case (r, cum, at) =>
+      assert(cum == dists.count(_ <= r), s"radius $r cumulative")
+      assert(at == dists.count(_ == r), s"radius $r exact")
+    }
+    // cumulative counts are monotone and end at the full pair set
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+    assert(got.last._2 == dists.length)
+  }
+
+  test("tail_token_mass: matches driver-side head-set computation") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"),
+        explode(graft.functions.TextFns.tokenize(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val counts = toks.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.length.toLong
+    }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(1000).map(_._1).toSet
+    val want = toks.groupBy(_._1).map { case (lang, xs) =>
+      val tail = xs.count(x => !top.contains(x._2)).toLong
+      lang -> (xs.length.toLong, tail)
+    }
+    val got = TextStats.tailTokenMass(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, tail) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == tail, r.getString(0))
+      assert(r.getDouble(3) ==
+        math.floor(tail.toDouble / n * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("quality_drift: matches driver-side quarter means and drift sign") {
+    val q6 = TextStats.quality(spark, sf)
+      .select(col("doc_id"),
+        floor(col("quality") * lit(1e6) + lit(0.5)).cast("long").as("q6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val srcs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => q6.contains(id) }
+    val lo = srcs.map(_._1).min
+    val hi = srcs.map(_._1).max
+    def quarter(id: Long): Long =
+      math.min(4L * (id - lo) / (hi - lo + 1), 3L)
+    val want = srcs.groupBy(_._2).map { case (src, xs) =>
+      val firstQ = xs.filter(x => quarter(x._1) == 0L)
+      val lastQ = xs.filter(x => quarter(x._1) == 3L)
+      def mean(q: Array[(Long, String)]): Double =
+        if (q.isEmpty) 0.0
+        else math.floor(q.map(x => q6(x._1)).sum.toDouble / q.length /
+          1e6 * 1e6 + 0.5) / 1e6
+      src -> (xs.length.toLong, firstQ.length.toLong, lastQ.length.toLong,
+        mean(firstQ), mean(lastQ))
+    }
+    val got = TextStats.qualityDrift(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, nf, nl, mf, ml) = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, nf, nl)),
+        r.getString(0))
+      assert(r.getDouble(4) == mf && r.getDouble(5) == ml, r.getString(0))
+      assert(r.getDouble(6) ==
+        math.floor((ml - mf) * 1e6 + 0.5) / 1e6, r.getString(0))
+    }
+  }
+
+  test("lsh_band_sweep: prefix-filtered truth equals the unpruned join") {
+    // the W494 truth stage now rides the W172 lossless prefix filter;
+    // recall at 16 bands over the 16-hash signature must still be
+    // computed against the SAME exact-Jaccard truth the unpruned
+    // shared-shingle self-join produced — pin n_true to the exact
+    // integer-threshold pair count computed brute-force
+    val occ = shingleOcc()
+    val byDoc = occ.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map(_._2).toSet
+    }
+    val docs = byDoc.keys.toArray.sorted
+    var nTrue = 0L
+    for {
+      i <- docs.indices
+      j <- (i + 1) until docs.length
+      a = byDoc(docs(i)); b = byDoc(docs(j))
+      inter = (a & b).size
+      if inter > 0 && inter * 100L >= (a.size + b.size - inter) * 80L
+    } nTrue += 1
+    val got = Dedup.lshBandSweep(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(3) == nTrue, "n_true"))
+  }
+}

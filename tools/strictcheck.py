@@ -12,6 +12,34 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+# Dtype-parity guard (round-7, VERDICT r6 #2): DuckDB silently widens
+# windowed sum(BIGINT) to HUGEINT and types bare numeric literals as
+# DECIMAL; those hash through a different pandas canonicalization
+# (object/Decimal/int128) than Spark's parquet int64/float64, so any
+# oracle surfacing one is a latent hash-fail even when values are
+# bit-equal (the r5/r6 kaplan_meier class). Plain int widths are fine —
+# pandas canonicalizes int32/uint32/int64 identically for hashing (58
+# oracles surface INTEGER today and are driver-green). Fail fast on the
+# SQL alone, before any data compare.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT",
+                 "UINTEGER", "USMALLINT", "UTINYINT", "DOUBLE", "FLOAT",
+                 "VARCHAR", "DATE", "BOOLEAN"}
+dtype_fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        cols = con.sql(f"DESCRIBE {sql}").fetchall()
+    except Exception as ex:
+        print(f"  {name}: ORACLE-DESCRIBE FAIL {ex}")
+        dtype_fail += 1
+        continue
+    bad_t = [(c[0], c[1]) for c in cols
+             if c[1].split("(")[0] not in ALLOWED_TYPES]
+    if bad_t:
+        print(f"  {name}: DTYPE-FAIL {bad_t}")
+        dtype_fail += 1
+print(f"DTYPE FAILURES: {dtype_fail}")
+
 exact_fail, near = 0, []
 for name in sorted(os.listdir(outdir)):
     path = os.path.join(outdir, name)
@@ -48,3 +76,5 @@ for name in sorted(os.listdir(outdir)):
         exact_fail += 1
         print(f"  {name}: EXACT-FAIL {bad}")
 print(f"EXACT FAILURES: {exact_fail}")
+if dtype_fail:
+    sys.exit(1)
