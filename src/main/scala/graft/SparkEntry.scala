@@ -736,6 +736,8 @@ object SparkEntry {
       ((s, d) => Dedup.simhashRadiusSweep(s, d)),
     "tail_token_mass" -> ((s, d) => TextStats.tailTokenMass(s, d)),
     "quality_drift" -> ((s, d) => TextStats.qualityDrift(s, d)),
+    "residual_dup_audit" -> ((s, d) => Dedup.residualDupAudit(s, d)),
+    "minhash_k_sweep" -> ((s, d) => Dedup.minhashKSweep(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -13906,6 +13908,37 @@ object SparkEntry {
              AS drift
          FROM m ORDER BY source"""
     },
+    // survivors = docs that are their component's min id under the
+    // 0.8-pair transitive closure (singletons survive by definition);
+    // residual pairs = 0.7-pairs between two survivors
+    "residual_dup_audit" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         prs7 AS (${jaccardSqlAt(0.7)}),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         nodes0 AS (SELECT DISTINCT s AS id FROM edges),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes0
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+         cmp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         dd AS (SELECT count(*)::BIGINT AS n_dup,
+                  coalesce(sum(CASE WHEN id = comp THEN 1 ELSE 0 END),
+                    0)::BIGINT AS n_dup_surv
+                FROM cmp),
+         ns AS (SELECT n_docs, (n_docs - n_dup + n_dup_surv)::BIGINT
+                  AS n_survivors
+                FROM nd, dd),
+         losers AS (SELECT id FROM cmp WHERE id <> comp),
+         resid AS (SELECT count(*)::BIGINT AS n_residual_pairs
+                   FROM prs7 p
+                   WHERE p.doc_a NOT IN (SELECT id FROM losers)
+                     AND p.doc_b NOT IN (SELECT id FROM losers))
+         SELECT n_docs, n_survivors, n_residual_pairs,
+           floor(n_residual_pairs::DOUBLE * 1000.0 /
+             n_survivors::DOUBLE * 1e6 + 0.5) / 1e6 AS residual_per_1k
+         FROM ns, resid""",
+    "minhash_k_sweep" -> MinhashKSweepSql,
   )
 
   private def sqlList(words: Seq[String]): String =
@@ -14020,8 +14053,12 @@ object SparkEntry {
     * via `Dedup.MhA`/`MhB`/`MhP`), agreement counted over the signature,
     * exact Jaccard from the shingle sets.
     */
-  private lazy val MinhashEstErrorSql: String = {
-    val k = graft.operators.Dedup.MhA.length
+  /** Shared front half of the MinHash estimator oracles: the affine
+    * signature family + the exact-Jaccard candidate pairs at the 0.05
+    * audit floor. Consumed by `minhash_est_error` (W228, fixed k) and
+    * `minhash_k_sweep` (W503, prefix sizes).
+    */
+  private lazy val MinhashPrSigCtes: String = {
     val p = graft.operators.Dedup.MhP
     val mins = graft.operators.Dedup.MhA.zip(graft.operators.Dedup.MhB)
       .map { case (a, b) => s"list_min(list_transform(hv, h -> (h * ${a}" +
@@ -14057,7 +14094,12 @@ object SparkEntry {
          FROM inter
          JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa ON doc_a = sa.doc_id
          JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb ON doc_b = sb.doc_id
-         WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05),
+         WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05)"""
+  }
+
+  private lazy val MinhashEstErrorSql: String = {
+    val k = graft.operators.Dedup.MhA.length
+    s"""$MinhashPrSigCtes,
        ag AS (
          SELECT doc_a, doc_b, jaccard,
            list_sum(list_transform(range(1, ${k + 1}),
@@ -14073,6 +14115,35 @@ object SparkEntry {
            * 1e6 + 0.5) / 1e6 AS est_error
        FROM ag ORDER BY doc_a, doc_b"""
   }
+
+  /** Prefix-size estimator-error sweep (mirrors `Dedup.minhashKSweep`:
+    * same signature family, per-k agreement over the first k slots,
+    * abs errors on the 1e-6 LONG grid before the order-free sums).
+    */
+  private lazy val MinhashKSweepSql: String =
+    s"""$MinhashPrSigCtes,
+       ag AS (
+         SELECT kk, jaccard,
+           list_sum(list_transform(range(1, kk + 1),
+             j -> CASE WHEN x.sig[j] = y.sig[j] THEN 1 ELSE 0
+               END))::BIGINT AS agree
+         FROM pr JOIN sig x ON doc_a = x.doc_id
+                 JOIN sig y ON doc_b = y.doc_id,
+              (SELECT unnest([4, 8, 16]) AS kk)),
+       e AS (
+         SELECT kk,
+           CAST(floor(abs(agree::DOUBLE / kk
+             - floor(jaccard * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) AS BIGINT)
+             AS e6
+         FROM ag),
+       g AS (SELECT kk::BIGINT AS k, count(*)::BIGINT AS n_pairs,
+               sum(e6)::BIGINT AS se6, max(e6)::BIGINT AS me6
+             FROM e GROUP BY 1)
+       SELECT k, n_pairs,
+         floor(se6::DOUBLE / n_pairs::DOUBLE / 1e6 * 1e6 + 0.5) / 1e6
+           AS mean_abs_err,
+         me6::DOUBLE / 1e6 AS max_abs_err
+       FROM g ORDER BY k"""
 
   /** Markov removal-effect attribution (W236): sessionized paths →
     * first-order transition matrix (9-dp) → `rounds` unrolled value
@@ -14272,7 +14343,7 @@ object SparkEntry {
   /** Exact shingle-Jaccard near-dup pairs (threshold 0.8, 3-gram
     * shingles) — also the oracle for the MinHash+LSH variant.
     */
-  private lazy val JaccardSql: String = s"""$TokCte,
+  private def jaccardSqlAt(threshold: Double): String = s"""$TokCte,
        sh AS (
          SELECT doc_id, list_distinct(
            CASE WHEN len(ts) >= 3
@@ -14291,7 +14362,9 @@ object SparkEntry {
          FROM inter
          JOIN (SELECT doc_id, len(shs) AS n FROM sh) sa ON doc_a = sa.doc_id
          JOIN (SELECT doc_id, len(shs) AS n FROM sh) sb ON doc_b = sb.doc_id)
-       WHERE jaccard >= 0.8"""
+       WHERE jaccard >= $threshold"""
+
+  private lazy val JaccardSql: String = jaccardSqlAt(0.8)
 
   /** Stopword-count language ID with fixed priority tie-break, generated
     * from the same `TextStats.Stopwords` table the Spark side uses.

@@ -564,7 +564,18 @@ object Dedup {
     * `dedup_jaccard` — passing means the filter lost nothing.
     */
   def jaccardPrefixFilter(s: SparkSession, dir: String,
-                          threshold: Double = 0.8, n: Int = 3): DataFrame = {
+                          threshold: Double = 0.8, n: Int = 3): DataFrame =
+    prefixPairsRaw(s, dir, threshold, n)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** [[jaccardPrefixFilter]]'s pipeline with the UNROUNDED jaccard kept
+    * on the output — consumers that re-threshold (residualDupAudit
+    * splits one tLo pass into tLo/tHi classes) must compare the same
+    * unrounded value the filter did, or a 0.7999996 pair would flip
+    * class after 6-dp rounding.
+    */
+  private def prefixPairsRaw(s: SparkSession, dir: String,
+                             threshold: Double, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docSh = docShingles(s, dir, n).persist()
     CacheScope.register(docSh)
@@ -595,7 +606,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Cross-source corpus overlap matrix: shingle-set Jaccard between
@@ -1290,6 +1300,111 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "min_sz", "containment",
         "subset_flag")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Residual-duplication audit (W502): after canonical assignment at
+    * the production threshold `tHi`, how much near-dup mass SURVIVES
+    * just under it? Counts exact-Jaccard pairs at `tLo` whose BOTH
+    * endpoints are survivors — pairs at ≥ tHi can't qualify (their
+    * endpoints share a cluster, so at most one survives), so every
+    * counted pair is genuinely sub-threshold leftover linking two
+    * distinct clusters. A high residual rate says the threshold sits
+    * on a mass ridge and dedup should drop (or the pair stage should
+    * re-run incrementally). Both pair passes are the prefix-filtered /
+    * shingle-keyed joins — never all-pairs; the survivor filter is one
+    * semi-join.
+    */
+  def residualDupAudit(s: SparkSession, dir: String, tHi: Double = 0.8,
+                       tLo: Double = 0.7, n: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    // ONE prefix-filtered pass at the lower threshold serves both
+    // classes: tLo's lossless prefix is a superset of tHi's, so the
+    // tHi pairs are exactly the tLo pairs re-thresholded (on the
+    // UNROUNDED jaccard, matching what a dedicated tHi pass computes)
+    val pairsLo = prefixPairsRaw(s, dir, tLo, n).persist()
+    CacheScope.register(pairsLo)
+    val hi = pairsLo.filter(col("jaccard") >= tHi)
+      .select("doc_a", "doc_b")
+    val assign = assignCanonicalDocs(docs, hi).persist()
+    CacheScope.register(assign) // eager: totals + the survivor filter
+    val surv = assign.filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+    val resid = pairsLo
+      .join(surv.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(surv.select(col("doc_id").as("doc_b")), "doc_b")
+      .agg(count(lit(1)).as("n_residual_pairs"))
+    val totals = assign.agg(count(lit(1)).as("n_docs"),
+      sum((col("doc_id") === col("canonical_id")).cast("long"))
+        .as("n_survivors"))
+    totals.crossJoin(resid)
+      .select(col("n_docs"), col("n_survivors"), col("n_residual_pairs"),
+        graft.operators.Events.q(col("n_residual_pairs").cast("double") *
+          lit(1000.0) / col("n_survivors").cast("double"), 6)
+          .as("residual_per_1k"))
+  }
+
+  /** MinHash signature-size sweep (W503): estimator error vs k over
+    * PREFIXES of the same 16-perm affine family ([[minhashEstError]]'s
+    * tuning table, [[lshBandSweep]]'s third axis) — the first k
+    * permutations of a MinHash family ARE a k-hash family, so one
+    * signature pass serves every k; per-(pair,k) agreement slices the
+    * shared signature. Errors quantize to the 1e-6 LONG grid before
+    * the order-free sums; k is a power of two so agree/k divides
+    * exactly.
+    */
+  def minhashKSweep(s: SparkSession, dir: String,
+                    ks: Seq[Int] = Seq(4, 8, 16),
+                    threshold: Double = 0.05): DataFrame = {
+    val k = MhA.length
+    require(ks.forall(_ <= k), s"prefix sizes must be <= $k")
+    val docSh = docShingles(s, dir, 3).persist()
+    CacheScope.register(docSh) // sizes + join sides + signatures read it
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).as("nsh"))
+    val ex = docSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val pairs = ex.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val sig = docSh
+      .select(col("doc_id"), polyHashArray(col("shs")).as("hs"))
+      .select(col("doc_id"), array((0 until k).map { j =>
+        array_min(transform(col("hs"),
+          h => (h * lit(MhA(j)) + lit(MhB(j))) % lit(MhP)))
+      }: _*).as("sig"))
+    val agreeK = ks.map { kk =>
+      struct(lit(kk.toLong).as("k"),
+        aggregate(zip_with(slice(col("sa"), 1, kk),
+          slice(col("sb"), 1, kk),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("agree"))
+    }
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        "doc_b")
+      .select(graft.operators.Events.q(col("jaccard"), 6).as("qj"),
+        explode(array(agreeK: _*)).as("t"))
+      .select(col("t.k").as("k"),
+        floor(abs(col("t.agree").cast("double") / col("t.k") - col("qj"))
+          * lit(1e6) + lit(0.5)).cast("long").as("e6"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("e6")).as("se6"),
+        max(col("e6")).as("me6"))
+      .select(col("k"), col("n_pairs"),
+        graft.operators.Events.q(col("se6").cast("double") /
+          col("n_pairs").cast("double") / lit(1e6), 6).as("mean_abs_err"),
+        (col("me6").cast("double") / lit(1e6)).as("max_abs_err"))
+      .orderBy("k")
   }
 }
 

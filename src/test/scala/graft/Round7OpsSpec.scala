@@ -149,4 +149,58 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach(r => assert(r.getLong(3) == nTrue, "n_true"))
   }
+
+  test("residual_dup_audit: matches driver-side closure + survivor count") {
+    val occ = shingleOcc()
+    val byDoc = occ.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map(_._2).toSet
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val ids = byDoc.keys.toArray.sorted
+    def pairsAt(t: Double): Seq[(Long, Long)] = for {
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+      a = byDoc(ids(i)); b = byDoc(ids(j))
+      inter = (a & b).size.toDouble
+      if inter / (a.size + b.size - inter) >= t
+    } yield (ids(i), ids(j))
+    // union-find over the 0.8 pairs; canonical = component min
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairsAt(0.8).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = docs.filter(d => find(d) != d).toSet
+    val nSurv = docs.length - losers.size
+    val resid = pairsAt(0.7).count { case (a, b) =>
+      !losers(a) && !losers(b)
+    }
+    val row = Dedup.residualDupAudit(spark, sf).collect().head
+    assert(row.getLong(0) == docs.length)
+    assert(row.getLong(1) == nSurv)
+    assert(row.getLong(2) == resid)
+  }
+
+  test("minhash_k_sweep: error shrinks with k and k=16 matches est_error") {
+    val sweep = Dedup.minhashKSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sweep.map(_._1).toSeq == Seq(4L, 8L, 16L))
+    // one candidate set serves every k
+    assert(sweep.map(_._2).distinct.length == 1)
+    // the MinHash variance bound j(1-j)/k: mean abs error at k=16 must
+    // not exceed the k=4 error (sampling noise shrinks with k)
+    assert(sweep.last._3 <= sweep.head._3 + 1e-9)
+    // cross-check the k=16 row against minhashEstError's per-pair rows
+    val errs = Dedup.minhashEstError(spark, sf).collect()
+      .map(r => math.floor(math.abs(r.getDouble(4) - r.getDouble(2))
+        * 1e6 + 0.5).toLong)
+    val want = math.floor(
+      errs.sum.toDouble / errs.length / 1e6 * 1e6 + 0.5) / 1e6
+    assert(sweep.last._3 == want)
+  }
 }
