@@ -738,6 +738,10 @@ object SparkEntry {
     "quality_drift" -> ((s, d) => TextStats.qualityDrift(s, d)),
     "residual_dup_audit" -> ((s, d) => Dedup.residualDupAudit(s, d)),
     "minhash_k_sweep" -> ((s, d) => Dedup.minhashKSweep(s, d)),
+    "recall_at_k_sweep" ->
+      ((s, d) => Similarity.recallAtKSweep(s, d)),
+    "dedup_policy_compare" ->
+      ((s, d) => Dedup.dedupPolicyCompare(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -13939,6 +13943,97 @@ object SparkEntry {
              n_survivors::DOUBLE * 1e6 + 0.5) / 1e6 AS residual_per_1k
          FROM ns, resid""",
     "minhash_k_sweep" -> MinhashKSweepSql,
+    // rank-cutoff recall sweep over ONE IVF candidate pass at nprobe=4
+    // (nprobe_recall_sweep's other axis); both rankings ranked once
+    "recall_at_k_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                  WHERE vec_id < 16),
+         assigned AS (SELECT vec_id, v, centroid_id FROM (
+             SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                          c.centroid_id) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         plist AS (SELECT query_id, qv, centroid_id FROM (
+             SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                          c.centroid_id) AS pr
+             FROM e q CROSS JOIN cent c WHERE q.vec_id < 10)
+           WHERE pr <= 4),
+         cand AS (SELECT p.query_id, a.vec_id,
+             list_cosine_similarity(a.v, p.qv) AS sim
+           FROM assigned a JOIN plist p USING (centroid_id)
+           WHERE a.vec_id <> p.query_id),
+         approx AS (SELECT query_id, vec_id, ra FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS ra
+             FROM cand) WHERE ra <= 10),
+         truth AS (SELECT query_id, vec_id, rt FROM (
+             SELECT q.vec_id AS query_id, e2.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e2.v, q.v) DESC,
+                          e2.vec_id) AS rt
+             FROM e q CROSS JOIN e e2
+             WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id)
+           WHERE rt <= 10),
+         nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+         ks AS (SELECT unnest([1, 5, 10])::BIGINT AS k),
+         h AS (SELECT k, count(*)::BIGINT AS hits
+               FROM approx JOIN truth USING (query_id, vec_id)
+               CROSS JOIN ks
+               WHERE ra <= k AND rt <= k GROUP BY 1)
+         SELECT ks.k AS k, n_candidates,
+           coalesce(hits, 0)::BIGINT AS hits,
+           floor(coalesce(hits, 0)::DOUBLE / (10.0 * ks.k::DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS recall
+         FROM ks LEFT JOIN h ON ks.k = h.k CROSS JOIN nc
+         ORDER BY k""",
+    // min-id vs quality-argmax survivorship over size>=2 clusters;
+    // per-cluster picks by rank windows, gain on the 1e-6 LONG grid
+    "dedup_policy_compare" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                   UNION ALL SELECT doc_b, doc_a FROM prs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id),
+         canon AS (SELECT id AS doc_id, min(comp) AS canonical_id
+                   FROM walk GROUP BY id),
+         qual AS ($QualitySql),
+         wq AS (SELECT c.doc_id, c.canonical_id,
+                  coalesce(CAST(floor(q.quality * 1e6 + 0.5) AS BIGINT),
+                    0) AS q6
+                FROM canon c LEFT JOIN qual q ON q.doc_id = c.doc_id),
+         rankq AS (SELECT canonical_id, doc_id, q6,
+             row_number() OVER (PARTITION BY canonical_id
+               ORDER BY q6 DESC, doc_id) AS rq,
+             row_number() OVER (PARTITION BY canonical_id
+               ORDER BY doc_id) AS rid
+           FROM wq),
+         per AS (SELECT canonical_id, count(*)::BIGINT AS n,
+             max(CASE WHEN rq = 1 THEN doc_id END)::BIGINT AS keep_id,
+             max(CASE WHEN rq = 1 THEN q6 END)::BIGINT AS bq6,
+             max(CASE WHEN rid = 1 THEN q6 END)::BIGINT AS mq6
+           FROM rankq GROUP BY 1),
+         g AS (SELECT count(*)::BIGINT AS n_clusters,
+             coalesce(sum(CASE WHEN keep_id = canonical_id THEN 1
+               ELSE 0 END), 0)::BIGINT AS n_agree,
+             coalesce(sum(bq6 - mq6), 0)::BIGINT AS gain6
+           FROM per WHERE n >= 2)
+         SELECT n_clusters, n_agree,
+           CASE WHEN n_clusters > 0
+             THEN floor(n_agree::DOUBLE / n_clusters::DOUBLE * 1e6
+               + 0.5) / 1e6
+             ELSE 0.0 END AS agree_share,
+           CASE WHEN n_clusters > 0
+             THEN floor(gain6::DOUBLE / n_clusters::DOUBLE / 1e6 * 1e6
+               + 0.5) / 1e6
+             ELSE 0.0 END AS mean_q_gain
+         FROM g""",
   )
 
   private def sqlList(words: Seq[String]): String =

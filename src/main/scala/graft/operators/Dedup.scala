@@ -1343,6 +1343,49 @@ object Dedup {
           .as("residual_per_1k"))
   }
 
+  /** Survivorship-policy comparison (W505): over real dup clusters
+    * (size ≥ 2), how often does min-id survivorship
+    * ([[assignCanonical]]) pick the same document as quality-argmax
+    * survivorship ([[bestSurvivor]]), and how much mean quality does
+    * the argmax policy buy? The one-row readout that decides whether
+    * the cheaper min-id policy is good enough for a corpus (agree_share
+    * near 1 / gain near 0 ⇒ keep min-id and skip the quality join at
+    * dedup time). Per-cluster argmax/argmin ride `min_by` in ONE
+    * cluster-keyed agg; quality quantizes to the 1e-6 LONG grid before
+    * the gain sum.
+    */
+  def dedupPolicyCompare(s: SparkSession, dir: String,
+                         threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Events.q
+    val assigned = assignCanonical(s, dir, jaccardPairs(s, dir, threshold))
+    val qual = TextStats.quality(s, dir).select(col("doc_id"),
+      floor(col("quality") * lit(1e6) + lit(0.5)).cast("long").as("q6"))
+    val withQ = assigned.join(qual, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("canonical_id"),
+        coalesce(col("q6"), lit(0L)).as("q6"))
+    val per = withQ.groupBy("canonical_id")
+      .agg(count(lit(1)).as("n"),
+        min_by(col("doc_id"),
+          struct((-col("q6")).as("nq"), col("doc_id"))).as("keep_id"),
+        min_by(col("q6"),
+          struct((-col("q6")).as("nq"), col("doc_id"))).as("bq6"),
+        min_by(col("q6"), col("doc_id")).as("mq6"))
+    per.filter(col("n") >= 2)
+      .agg(count(lit(1)).as("n_clusters"),
+        coalesce(sum((col("keep_id") === col("canonical_id"))
+          .cast("long")), lit(0L)).as("n_agree"),
+        coalesce(sum(col("bq6") - col("mq6")), lit(0L)).as("gain6"))
+      .select(col("n_clusters"), col("n_agree"),
+        when(col("n_clusters") > 0,
+          q(col("n_agree").cast("double") /
+            col("n_clusters").cast("double"), 6)).otherwise(lit(0.0))
+          .as("agree_share"),
+        when(col("n_clusters") > 0,
+          q(col("gain6").cast("double") /
+            col("n_clusters").cast("double") / lit(1e6), 6))
+          .otherwise(lit(0.0)).as("mean_q_gain"))
+  }
+
   /** MinHash signature-size sweep (W503): estimator error vs k over
     * PREFIXES of the same 16-perm affine family ([[minhashEstError]]'s
     * tuning table, [[lshBandSweep]]'s third axis) — the first k

@@ -254,6 +254,73 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Recall@k sweep (W504): IVF recall at rank cutoffs k = 1/5/10 from
+    * ONE candidate pass at a fixed nprobe — [[nprobeRecallSweep]]'s
+    * other axis (that table fixes k and sweeps probe width; this fixes
+    * the probe budget and asks how deep the returned ranking stays
+    * trustworthy — recall@1 gates a dedup-by-NN rollout, recall@10 a
+    * retrieval one). Both rankings are ranked once; every cutoff reads
+    * the same two rank columns, so the sweep costs a 3-row spine, not
+    * three searches.
+    */
+  def recallAtKSweep(s: SparkSession, dir: String, numQueries: Int = 10,
+                     numCentroids: Int = 16, nprobe: Int = 4,
+                     ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    import s.implicits._
+    val kmax = ks.max
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cent = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "centroid_id")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val plist = queries.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val cand = assigned.join(broadcast(plist), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .persist()
+    CacheScope.register(cand) // eager: count + ranked read it
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val approx = cand.withColumn("ra", row_number().over(wRank))
+      .filter(col("ra") <= kmax).select("query_id", "vec_id", "ra")
+    val truth = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rt", row_number().over(wRank))
+      .filter(col("rt") <= kmax).select("query_id", "vec_id", "rt")
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val spine = ks.map(_.toLong).toDF("k")
+    val hits = approx.join(truth, Seq("query_id", "vec_id"))
+      .crossJoin(broadcast(spine))
+      .filter(col("ra") <= col("k") && col("rt") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("hits"))
+    broadcast(spine).join(hits, Seq("k"), "left")
+      .crossJoin(broadcast(nCand))
+      .select(col("k"), col("n_candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        Events.q(coalesce(col("hits"), lit(0L)).cast("double") /
+          (lit(numQueries.toDouble) * col("k").cast("double")), 6)
+          .as("recall"))
+      .orderBy("k")
+  }
+
   /** Deterministic k-center seeding (W222): Gonzalez farthest-first
     * traversal over cosine distance — start from vec_id 0, repeatedly
     * pick the vector farthest from every centroid chosen so far (ties

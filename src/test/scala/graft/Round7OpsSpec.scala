@@ -203,4 +203,50 @@ class Round7OpsSpec extends SparkSpec {
       errs.sum.toDouble / errs.length / 1e6 * 1e6 + 0.5) / 1e6
     assert(sweep.last._3 == want)
   }
+
+  test("recall_at_k_sweep: hits bounded by k·queries, k=10@nprobe=4 " +
+      "matches annRecall") {
+    val got = graft.operators.Similarity.recallAtKSweep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 5L, 10L))
+    got.foreach { case (k, hits, recall) =>
+      assert(hits <= 10 * k)
+      assert(recall ==
+        math.floor(hits.toDouble / (10.0 * k) * 1e6 + 0.5) / 1e6)
+    }
+    // the k=10 cutoff is exactly annRecall's recall@10 at nprobe=4,
+    // summed over queries
+    val ann = graft.operators.Similarity
+      .annRecall(spark, sf, k = 10, nprobe = 4).collect()
+      .map(_.getLong(1)).sum
+    assert(got.last._2 == ann)
+  }
+
+  test("dedup_policy_compare: matches a driver-side fold over clusters") {
+    val assigned = Dedup.assignCanonical(spark, sf,
+      Dedup.jaccardPairs(spark, sf, 0.8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val q6 = graft.operators.TextStats.quality(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("quality") * 1e6 + 0.5)
+          .cast("long").as("q6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val clusters = assigned.groupBy(_._2).filter(_._2.length >= 2)
+    var agree = 0L
+    var gain = 0L
+    clusters.foreach { case (canon, members) =>
+      val ms = members.map { case (id, _) => (id, q6.getOrElse(id, 0L)) }
+      val best = ms.minBy { case (id, qq) => (-qq, id) }
+      if (best._1 == canon) agree += 1
+      gain += best._2 - ms.minBy(_._1)._2
+    }
+    val row = Dedup.dedupPolicyCompare(spark, sf).collect().head
+    assert(row.getLong(0) == clusters.size)
+    assert(row.getLong(1) == agree)
+    if (clusters.nonEmpty) {
+      assert(row.getDouble(3) == math.floor(
+        gain.toDouble / clusters.size / 1e6 * 1e6 + 0.5) / 1e6)
+    }
+  }
 }
