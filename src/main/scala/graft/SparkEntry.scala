@@ -742,6 +742,8 @@ object SparkEntry {
       ((s, d) => Similarity.recallAtKSweep(s, d)),
     "dedup_policy_compare" ->
       ((s, d) => Dedup.dedupPolicyCompare(s, d)),
+    "stream_tws_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.typeCensusReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14034,6 +14036,12 @@ object SparkEntry {
                + 0.5) / 1e6
              ELSE 0.0 END AS mean_q_gain
          FROM g""",
+    // transformWithState census: final per-user sink row equals the
+    // batch groupBy — counts are exact integers, no float anywhere
+    "stream_tws_replay" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+           count(DISTINCT event_type)::BIGINT AS n_types
+         FROM events GROUP BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

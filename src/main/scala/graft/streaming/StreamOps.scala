@@ -398,6 +398,65 @@ object StreamOps {
       }
   }
 
+  /** Census row emitted by [[typeCensus]]: a user's running event
+    * total and distinct event-type count. */
+  case class TypeCensus(user_id: Long, n_events: Long, n_types: Long)
+
+  /** Per-user distinct-event-type census on Spark 4's
+    * `transformWithState` (W506) — the arbitrary-stateful-processing
+    * v2 API: typed `ValueState`/`MapState` handles over the RocksDB
+    * state store, the declared successor of [[runningCounts]]'s
+    * mapGroupsWithState (which round-trips the WHOLE state value per
+    * key per batch; here the type→count map updates per-entry and
+    * only touched entries hit the store). State composition shown on
+    * purpose: a MapState (type → count) plus a ValueState (total).
+    * Emits the updated census once per (key, micro-batch); batching
+    * changes which INTERMEDIATE censuses appear, but each user's
+    * final census (its max-n_events row) is batch-invariant and
+    * equals the batch `groupBy(user).agg(count, countDistinct)` — the
+    * replay contract. Scale: state is per-user and per-(user, type) —
+    * keyed, sharded with the shuffle, entries bounded by the type
+    * vocabulary.
+    */
+  class TypeCensusProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypeUser, TypeCensus] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        E.STRING, E.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total", E.scalaLong,
+        TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TypeUser],
+        timerValues: TimerValues): Iterator[TypeCensus] = {
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { r =>
+        n += 1
+        val c = if (counts.containsKey(r.event_type))
+          counts.getValue(r.event_type) else 0L
+        counts.updateValue(r.event_type, c + 1)
+      }
+      total.update(n)
+      Iterator.single(TypeCensus(key, n, counts.keys().size.toLong))
+    }
+  }
+
+  /** [[TypeCensusProcessor]] wired over a keyed stream. Requires the
+    * RocksDB state store provider (transformWithState's backing
+    * store) — the replay harness sets it for the run. */
+  def typeCensus(events: Dataset[TypeUser]): Dataset[TypeCensus] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCensusProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Running per-user moments on the 1e-3 value grid (all LONG-safe:
     * vi ≤ ~1e6, Σvi² ≤ ~1e15 at fixture value ranges). */
   case class Mom(n: Long, sv: Long, sv2: Long)

@@ -278,6 +278,44 @@ object StreamReplay {
     * cannot emit. The oracle is therefore the full batch sessionize
     * restatement, no exclusions.
     */
+  /** W506 gate: `transformWithState` distinct-type census (Update
+    * mode). TWS runs only on the RocksDB state store provider — set
+    * for this query, restored after (the rest of the board stays on
+    * the default provider). Each user's FINAL census is its
+    * max-n_events sink row (n_events strictly grows, so rn=1 is
+    * unambiguous); batching only changes which intermediates appear.
+    */
+  def typeCensusReplay(s: SparkSession, dir: String,
+                       nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val evs = sortedEvents(s, dir).map(e =>
+        StreamOps.TypeUser(e.event_type, e.user_id))
+      val in = MemoryStream[StreamOps.TypeUser]
+      val nm = s"stream_tws_${ctr.incrementAndGet()}"
+      val q = StreamOps.typeCensus(in.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(nm)
+        .start()
+      feed(in, q, evs.toSeq, nBatches)
+      finish(s, nm, q)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "n_events", "n_types")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   def timeoutSessionReplay(s: SparkSession, dir: String,
                            nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -268,4 +268,25 @@ class StreamingSpec extends SparkSpec {
       (1704067200000000L, 2L),
       (1704067200000000L + 3600L * 1000000, 1L)), got.toSeq)
   }
+
+  test("typeCensus (transformWithState): state carries across batches " +
+      "and the final census is batch-invariant") {
+    import graft.streaming.{StreamOps, StreamReplay}
+    // the replay at different batch counts must converge to the same
+    // final per-user census, which equals the batch groupBy
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val one = StreamReplay.typeCensusReplay(spark, sf, nBatches = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val four = StreamReplay.typeCensusReplay(spark, sf, nBatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(one.toSeq == want.toSeq)
+    assert(four.toSeq == want.toSeq)
+  }
 }
