@@ -744,6 +744,8 @@ object SparkEntry {
       ((s, d) => Dedup.dedupPolicyCompare(s, d)),
     "stream_tws_replay" ->
       ((s, d) => graft.streaming.StreamReplay.typeCensusReplay(s, d)),
+    "stream_tws_init_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.typeCensusWarmReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14039,6 +14041,12 @@ object SparkEntry {
     // transformWithState census: final per-user sink row equals the
     // batch groupBy — counts are exact integers, no float anywhere
     "stream_tws_replay" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+           count(DISTINCT event_type)::BIGINT AS n_types
+         FROM events GROUP BY 1""",
+    // warm-start handoff: seed(first half) + stream(second half) must
+    // reproduce the FULL-corpus census — identical oracle by design
+    "stream_tws_init_replay" ->
       """SELECT user_id, count(*)::BIGINT AS n_events,
            count(DISTINCT event_type)::BIGINT AS n_types
          FROM events GROUP BY 1""",

@@ -457,6 +457,68 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** One per-user warm-start seed for [[typeCensusWarmStart]]: the
+    * batch-computed census a stream resumes FROM. */
+  case class CensusSeed(user_id: Long, type_counts: Map[String, Long],
+                        total: Long)
+
+  /** [[TypeCensusProcessor]] with BATCH-seeded initial state (W507) —
+    * `StatefulProcessorWithInitialState`, the backfill→stream handoff
+    * API: a batch job computes per-key state once (here the census of
+    * everything already ingested), the streaming query loads it on
+    * first run, and live events continue the SAME state — no
+    * reprocessing of history through the stream and no cold-start
+    * window where counts lie. `handleInitialState` writes each seed
+    * into the same MapState/ValueState handles the input path uses,
+    * so the drained census over (batch prefix as seed) + (stream
+    * suffix as input) is provably the full-corpus census.
+    */
+  class TypeCensusWarmStartProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, TypeUser, TypeCensus, CensusSeed] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        E.STRING, E.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total", E.scalaLong,
+        TTLConfig.NONE)
+    }
+    override def handleInitialState(key: Long, seed: CensusSeed,
+        timerValues: TimerValues): Unit = {
+      seed.type_counts.foreach { case (t, c) => counts.updateValue(t, c) }
+      total.update(seed.total)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TypeUser],
+        timerValues: TimerValues): Iterator[TypeCensus] = {
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { r =>
+        n += 1
+        val c = if (counts.containsKey(r.event_type))
+          counts.getValue(r.event_type) else 0L
+        counts.updateValue(r.event_type, c + 1)
+      }
+      total.update(n)
+      Iterator.single(TypeCensus(key, n, counts.keys().size.toLong))
+    }
+  }
+
+  /** [[TypeCensusWarmStartProcessor]] wired over a keyed stream with a
+    * batch-computed seed. Same provider requirement as [[typeCensus]].
+    */
+  def typeCensusWarmStart(events: Dataset[TypeUser],
+                          seed: Dataset[CensusSeed]): Dataset[TypeCensus] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCensusWarmStartProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        seed.groupByKey(_.user_id))
+  }
+
   /** Running per-user moments on the 1e-3 value grid (all LONG-safe:
     * vi ≤ ~1e6, Σvi² ≤ ~1e15 at fixture value ranges). */
   case class Mom(n: Long, sv: Long, sv2: Long)

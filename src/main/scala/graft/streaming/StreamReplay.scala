@@ -316,6 +316,63 @@ object StreamReplay {
     }
   }
 
+  /** W507 gate: warm-started `transformWithState` census
+    * (`StatefulProcessorWithInitialState`). The corpus splits at its
+    * midpoint: the FIRST half becomes the batch-computed seed (the
+    * backfill), the SECOND half streams in — the drained census must
+    * equal the FULL-corpus batch census, proving the handoff loses
+    * nothing. Users whose events all landed in the seed half never
+    * appear in the sink (state persists silently without input);
+    * their seed census IS their full census, appended via anti-join.
+    */
+  def typeCensusWarmReplay(s: SparkSession, dir: String,
+                           nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val evs = sortedEvents(s, dir).map(e =>
+        StreamOps.TypeUser(e.event_type, e.user_id))
+      val (pre, live) = evs.splitAt(evs.length / 2)
+      val seed = s.createDataset(pre.toIndexedSeq)
+        .groupByKey(_.user_id)
+        .mapGroups { (uid, it) =>
+          val m = scala.collection.mutable.Map.empty[String, Long]
+          var n = 0L
+          it.foreach { e =>
+            n += 1
+            m.update(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+          }
+          StreamOps.CensusSeed(uid, m.toMap, n)
+        }
+      val in = MemoryStream[StreamOps.TypeUser]
+      val nm = s"stream_twsi_${ctr.incrementAndGet()}"
+      val q = StreamOps.typeCensusWarmStart(in.toDS(), seed)
+        .writeStream.outputMode("update").format("memory").queryName(nm)
+        .start()
+      feed(in, q, live.toSeq, nBatches)
+      val last = finish(s, nm, q)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "n_events", "n_types")
+      val seedOnly = seed.toDF()
+        .join(last.select("user_id"), Seq("user_id"), "left_anti")
+        .select(col("user_id"), col("total").as("n_events"),
+          size(map_keys(col("type_counts"))).cast("long").as("n_types"))
+      last.unionAll(seedOnly)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   def timeoutSessionReplay(s: SparkSession, dir: String,
                            nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -289,4 +289,55 @@ class StreamingSpec extends SparkSpec {
     assert(one.toSeq == want.toSeq)
     assert(four.toSeq == want.toSeq)
   }
+
+  test("typeCensusWarmStart: seeded state continues, not restarts") {
+    import graft.streaming.StreamOps
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    try {
+      // user 1 seeded with {view: 2} total 2 then streams a purchase
+      // (census must CONTINUE: 3 events, 2 types); user 2 exists only
+      // in the seed and must not emit (no input rows)
+      val seed = Seq(
+        StreamOps.CensusSeed(1L, Map("view" -> 2L), 2L),
+        StreamOps.CensusSeed(2L, Map("click" -> 5L), 5L)).toDS()
+      val in = MemoryStream[StreamOps.TypeUser]
+      val q = StreamOps.typeCensusWarmStart(in.toDS(), seed)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tws_warm").start()
+      in.addData(StreamOps.TypeUser("purchase", 1L))
+      q.processAllAvailable()
+      val got = spark.table("tws_warm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      q.stop()
+      spark.catalog.dropTempView("tws_warm")
+      assert(got.toSeq == Seq((1L, 3L, 2L)), got.toSeq)
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("typeCensusWarmReplay: seed half + stream half = full census") {
+    import graft.streaming.StreamReplay
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val got = StreamReplay.typeCensusWarmReplay(spark, sf, nBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == want.toSeq)
+  }
 }
