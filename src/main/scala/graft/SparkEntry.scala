@@ -746,6 +746,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.typeCensusReplay(s, d)),
     "stream_tws_init_replay" ->
       ((s, d) => graft.streaming.StreamReplay.typeCensusWarmReplay(s, d)),
+    "stream_tws_timer_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.timerSessionReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14050,6 +14052,24 @@ object SparkEntry {
       """SELECT user_id, count(*)::BIGINT AS n_events,
            count(DISTINCT event_type)::BIGINT AS n_types
          FROM events GROUP BY 1""",
+    // timer-closed sessions ≡ the batch gap-sessionize restatement
+    // (same SQL as stream_timeout_replay — same semantics, new API)
+    "stream_tws_timer_replay" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+                  epoch_ms(ts) // 1000 AS ep,
+                  CASE WHEN lag(epoch_ms(ts) // 1000) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - lag(epoch_ms(ts) // 1000) OVER w > 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq FROM e)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                min(ep) AS start_epoch, max(ep) AS end_epoch,
+                round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, session_seq""",
   )
 
   private def sqlList(words: Seq[String]): String =

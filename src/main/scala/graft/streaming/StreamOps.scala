@@ -519,6 +519,101 @@ object StreamOps {
         seed.groupByKey(_.user_id))
   }
 
+  /** Gap sessionization on `transformWithState` EVENT-TIME TIMERS
+    * (W508) — the third leg of the v2 API after state vars (W506) and
+    * initial state (W507), and THE feature FMGS timeouts can't match:
+    * timers are explicit per-key alarms (register/delete by expiry
+    * time, several may coexist), where `GroupStateTimeout` allows only
+    * one implicit deadline overwritten on every state update. A
+    * session's close alarm is registered at (last + gap); an
+    * extending event DELETES the stale alarm and arms the new one; the
+    * alarm firing (watermark passing it) emits the session from
+    * [[StreamOps.Session]]-shaped state and clears it — no tombstone
+    * machinery, unlike [[sessionizeEventTime]]'s closed-flag dance,
+    * because a cleared key with a deleted timer simply has no state.
+    * A persistent seq counter (second ValueState) numbers a user's
+    * sessions across closes. Same session semantics as the FMGS
+    * variants: batch-sorted arrival, gap strictly > `gapSeconds`
+    * starts a new session.
+    */
+  class TimerSessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TEvent, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig,
+      TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var sess: ValueState[OpenSession] = _
+    @transient private var seqCtr: ValueState[Long] = _
+    private def expiryMs(s: OpenSession): Long =
+      (s.last + gapSeconds) * 1000L
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[OpenSession]("sess",
+        E.product[OpenSession], TTLConfig.NONE)
+      seqCtr = getHandle.getValueState[Long]("seq_ctr", E.scalaLong,
+        TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TEvent],
+        timerValues: TimerValues): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      def nextSeq(): Long = {
+        val n = (if (seqCtr.exists()) seqCtr.get() else 0L) + 1L
+        seqCtr.update(n)
+        n
+      }
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val ep = e.ts.getTime / 1000
+        cur match {
+          case Some(s) if ep - s.last <= gapSeconds =>
+            getHandle.deleteTimer(expiryMs(s))
+            cur = Some(s.copy(last = ep, nEv = s.nEv + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            // gap exceeded by a LATER event before the alarm fired:
+            // the prior session closes here, its stale alarm dies
+            out += Session(key, s.seq, s.nEv, s.start, s.last, s.total)
+            getHandle.deleteTimer(expiryMs(s))
+            cur = Some(OpenSession(nextSeq(), ep, ep, 1, e.value))
+          case None =>
+            cur = Some(OpenSession(nextSeq(), ep, ep, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        getHandle.registerTimer(expiryMs(s))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (sess.exists()) {
+        val s = sess.get()
+        // only the CURRENT session's alarm closes it — a stale timer
+        // (deleted-but-raced) must not emit a live session early
+        if (expiredTimerInfo.getExpiryTimeInMs() == expiryMs(s)) {
+          sess.clear()
+          Iterator.single(Session(key, s.seq, s.nEv, s.start, s.last,
+            s.total))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** [[TimerSessionProcessor]] wired over a watermarked keyed stream
+    * (TimeMode.EventTime — timers fire when the watermark passes
+    * their expiry). Same provider requirement as [[typeCensus]]. */
+  def timerSessions(events: Dataset[TEvent], gapSeconds: Long,
+                    watermarkDelay: String = "1 second")
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Running per-user moments on the 1e-3 value grid (all LONG-safe:
     * vi ≤ ~1e6, Σvi² ≤ ~1e15 at fixture value ranges). */
   case class Mom(n: Long, sv: Long, sv2: Long)

@@ -373,6 +373,45 @@ object StreamReplay {
     }
   }
 
+  /** W508 gate: TIMER-based sessionization on transformWithState
+    * (TimeMode.EventTime). Same session semantics and oracle as the
+    * FMGS timeout variant; the flush sentinel pushes the watermark
+    * past every armed alarm so the sink holds every session.
+    */
+  def timerSessionReplay(s: SparkSession, dir: String,
+                         nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val evs = sortedEvents(s, dir).map(e =>
+        StreamOps.TEvent(e.ts, e.user_id, e.event_id, e.value))
+      val in = MemoryStream[StreamOps.TEvent]
+      val nm = s"stream_twst_${ctr.incrementAndGet()}"
+      val q = StreamOps.timerSessions(in.toDS(), gapSeconds = 1800)
+        .writeStream.outputMode("append").format("memory").queryName(nm)
+        .start()
+      feed(in, q, evs.toSeq, nBatches)
+      in.addData(StreamOps.TEvent(
+        new Timestamp(evs.last.ts.getTime + 10L * 3600 * 1000),
+        -1L, -1L, 0.0))
+      q.processAllAvailable()
+      finish(s, nm, q)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("start_epoch"), col("end_epoch"),
+          round(col("sum_value"), 4).as("sum_value"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   def timeoutSessionReplay(s: SparkSession, dir: String,
                            nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -327,6 +327,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timerSessions: alarm fires on silence, extension re-arms it, " +
+      "seq persists across timer closes") {
+    import graft.streaming.StreamOps
+    implicit val ctx = spark.sqlContext
+    import java.sql.Timestamp
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    try {
+      val base = 1704067200000L
+      def ev(sec: Long, id: Long, uid: Long = 5L) = StreamOps.TEvent(
+        new Timestamp(base + sec * 1000), uid, id, 1.0)
+      val in = MemoryStream[StreamOps.TEvent]
+      val q = StreamOps.timerSessions(in.toDS(), gapSeconds = 1800)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_timer").start()
+      // two events 100 s apart: the second must DELETE the first's
+      // alarm and re-arm at its own (last + gap)
+      in.addData(ev(0, 1), ev(100, 2))
+      q.processAllAvailable()
+      // sentinel drives the watermark past 100+1800 → alarm fires,
+      // session 1 (2 events) emits via handleExpiredTimer
+      in.addData(ev(5000, 90, uid = -1L))
+      q.processAllAvailable()
+      // a fresh event starts session TWO — the seq counter must have
+      // survived the timer close
+      in.addData(ev(10000, 3))
+      q.processAllAvailable()
+      in.addData(ev(20000, 91, uid = -1L))
+      q.processAllAvailable()
+      val got = spark.table("tws_timer")
+        .filter(col("user_id") === 5L).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      q.stop()
+      spark.catalog.dropTempView("tws_timer")
+      val t0 = base / 1000
+      assert(got.toSeq == Seq(
+        (1L, 2L, t0, t0 + 100),
+        (2L, 1L, t0 + 10000, t0 + 10000)), got.toSeq)
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("typeCensusWarmReplay: seed half + stream half = full census") {
     import graft.streaming.StreamReplay
     val want = Tables.events(spark, sf)
