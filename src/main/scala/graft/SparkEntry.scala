@@ -748,6 +748,7 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.typeCensusWarmReplay(s, d)),
     "stream_tws_timer_replay" ->
       ((s, d) => graft.streaming.StreamReplay.timerSessionReplay(s, d)),
+    "pq_m_sweep" -> ((s, d) => Similarity.pqMSweep(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -1372,6 +1373,81 @@ object SparkEntry {
         SELECT subspace::BIGINT AS subspace, code::BIGINT AS code,
                n_vectors, recon_mse
         FROM ($union) ORDER BY subspace, code"""
+  }
+
+  /** `pqOracleSql`'s construction per m with m-suffixed CTE names,
+    * ending in per-m TOTALS (mirrors `Similarity.pqMSweep`: exact
+    * LONG d2 sums across all subspaces, one division by the vector
+    * count). */
+  private def pqSweepOracleSql(ms: Seq[Int] = Seq(2, 4),
+                               k: Int = 4): String = {
+    val dim = 64
+    val log2k = 31 - Integer.numberOfLeadingZeros(k)
+    val blocks = ms.map { m =>
+      val sw = dim / m
+      def dist(wExpr: String, cExpr: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform(range(1,
+           ${sw + 1}), i -> ($wExpr[i] - $cExpr[i]) *
+           ($wExpr[i] - $cExpr[i]))), (a, b) -> a + b)"""
+      val subs = (0 until m).map { sub =>
+        val p = s"m${m}_$sub"
+        val lo = sub * sw + 1
+        val hi = sub * sw + sw
+        s"""vs$p AS (SELECT vec_id, v[$lo:$hi] AS w FROM vq),
+           cb0_$p AS (
+             SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT
+                      AS cid,
+                    w AS c
+             FROM (SELECT vec_id, w FROM vs$p ORDER BY vec_id
+                   LIMIT $k)),
+           a0_$p AS (
+             SELECT vec_id, w, cid AS code FROM (
+               SELECT vec_id, w, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rn
+               FROM (SELECT vecs.vec_id, vecs.w, cb.cid,
+                       ${dist("vecs.w", "cb.c")} AS dist
+                     FROM vs$p vecs CROSS JOIN cb0_$p cb))
+             WHERE rn = 1),
+           cb1_$p AS (
+             SELECT code AS cid, list(mq ORDER BY pos) AS c FROM (
+               SELECT code, pos, floor(sum(x) / count(*) + 0.5) AS mq
+               FROM (SELECT code, unnest(w) AS x,
+                       generate_subscripts(w, 1) AS pos
+                     FROM a0_$p)
+               GROUP BY code, pos)
+             GROUP BY code),
+           r_$p AS (
+             SELECT count(*)::BIGINT AS nr, sum(d2)::BIGINT AS sd2
+             FROM (
+               SELECT vec_id, CAST(dist AS BIGINT) AS d2 FROM (
+                 SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dist, cid) AS rn
+                 FROM (SELECT vecs.vec_id, cb.cid,
+                         ${dist("vecs.w", "cb.c")} AS dist
+                       FROM vs$p vecs CROSS JOIN cb1_$p cb))
+               WHERE rn = 1))"""
+      }.mkString(",\n           ")
+      val un = (0 until m).map(sub => s"SELECT * FROM r_m${m}_$sub")
+        .mkString(" UNION ALL ")
+      val total =
+        s"""t_m$m AS (
+             SELECT ${m}::BIGINT AS m, ${m * log2k}::BIGINT AS code_bits,
+               (sum(nr) // $m)::BIGINT AS n_vectors,
+               floor(sum(sd2)::DOUBLE / (sum(nr) // $m)::DOUBLE / 1e12
+                 * 1e6 + 0.5) / 1e6 AS mean_mse
+             FROM ($un))"""
+      (s"$subs,\n           $total", s"SELECT * FROM t_m$m")
+    }
+    s"""WITH vq AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding::DOUBLE[],
+            x -> floor(x * 1e6 + 0.5)) AS v
+          FROM embeddings),
+        ${blocks.map(_._1).mkString(",\n        ")}
+        SELECT m, code_bits, n_vectors, mean_mse
+        FROM (${blocks.map(_._2).mkString(" UNION ALL ")})
+        ORDER BY m"""
   }
 
   /** Two unrolled Bradley–Terry MM rounds (mirrors `Ml.bradleyTerry`):
@@ -14070,6 +14146,9 @@ object SparkEntry {
                 min(ep) AS start_epoch, max(ep) AS end_epoch,
                 round(sum(value), 4) AS sum_value
          FROM s GROUP BY user_id, session_seq""",
+    // PQ memory↔distortion tuning: per-m concatenated-vector MSE from
+    // exact LONG d2 totals over the same one-Lloyd-round construction
+    "pq_m_sweep" -> pqSweepOracleSql(),
   )
 
   private def sqlList(words: Seq[String]): String =

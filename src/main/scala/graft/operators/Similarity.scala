@@ -1268,7 +1268,20 @@ object Similarity {
     * reshuffled.
     */
   def pqCodebook(s: SparkSession, dir: String,
-                 m: Int = 2, k: Int = 4): DataFrame = {
+                 m: Int = 2, k: Int = 4): DataFrame =
+    pqAssign(s, dir, m, k)
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n_vectors"),
+        graft.operators.Events.q(sum(col("d2")).cast("double") /
+          count(lit(1)) / lit(1e12), 6).as("recon_mse"))
+      .orderBy("subspace", "code")
+
+  /** Shared PQ construction: first-k init + one Lloyd round per
+    * subspace, returning one (subspace, code, d2) row per (vector,
+    * subspace) final assignment — [[pqCodebook]] aggregates it per
+    * code, [[pqMSweep]] per m. */
+  private def pqAssign(s: SparkSession, dir: String,
+                       m: Int, k: Int): DataFrame = {
     val vecs = CacheScope.track(Tables.embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
@@ -1311,12 +1324,34 @@ object Similarity {
       vecs.select(lit(sub.toLong).as("subspace"),
           asg("cid").cast("long").as("code"),
           asg("dist").cast("long").as("d2"))
-        .groupBy("subspace", "code")
-        .agg(count(lit(1)).as("n_vectors"),
-          graft.operators.Events.q(sum(col("d2")).cast("double") /
-            count(lit(1)) / lit(1e12), 6).as("recon_mse"))
     }.reduce(_ unionAll _)
-    out.orderBy("subspace", "code")
+    out
+  }
+
+  /** PQ codebook-count sweep (W509): full-vector reconstruction MSE
+    * and bits/vector at m = 2 and m = 4 subspaces over the SAME
+    * one-Lloyd-round construction as [[pqCodebook]] — the
+    * memory↔distortion tuning table (each doubling of m doubles the
+    * code bits and must buy distortion, or the smaller code wins).
+    * Per-m distortion is the exact LONG sum of final-assignment d2
+    * across ALL subspaces divided once by the vector count — the
+    * concatenated-vector error, not a per-code average, so the m
+    * rows compare directly.
+    */
+  def pqMSweep(s: SparkSession, dir: String, ms: Seq[Int] = Seq(2, 4),
+               k: Int = 4): DataFrame = {
+    require((k & (k - 1)) == 0, "k must be a power of two for code_bits")
+    val log2k = (31 - Integer.numberOfLeadingZeros(k)).toLong
+    ms.map { m =>
+      pqAssign(s, dir, m, k)
+        .agg(count(lit(1)).as("n_rows"), sum(col("d2")).as("sd2"))
+        .select(lit(m.toLong).as("m"),
+          lit(m * log2k).as("code_bits"),
+          expr(s"n_rows div $m").as("n_vectors"),
+          graft.operators.Events.q(col("sd2").cast("double") /
+            expr(s"n_rows div $m").cast("double") / lit(1e12), 6)
+            .as("mean_mse"))
+    }.reduce(_ unionAll _).orderBy("m")
   }
 
   /** Gaussian naive Bayes over the embedding table (W356): per-(label,

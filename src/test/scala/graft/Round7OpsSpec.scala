@@ -222,6 +222,23 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.last._2 == ann)
   }
 
+  test("pq_m_sweep: per-m totals reconcile with pq_codebook's groups") {
+    import graft.operators.Similarity
+    // the sweep's m=2 row must aggregate exactly the vectors the
+    // per-code table covers, and more subspaces must not increase the
+    // per-vector distortion (finer partitions can only fit better or
+    // equal under the same init rule)
+    val codes = Similarity.pqCodebook(spark, sf, m = 2, k = 4).collect()
+    val nVec = codes.filter(_.getLong(0) == 0L).map(_.getLong(2)).sum
+    val sweep = Similarity.pqMSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(sweep.map(_._1).toSeq == Seq(2L, 4L))
+    assert(sweep.map(_._2).toSeq == Seq(4L, 8L)) // m * log2(4)
+    sweep.foreach { case (_, _, n, _) => assert(n == nVec) }
+    assert(sweep.last._4 <= sweep.head._4 + 1e-9,
+      s"m=4 must not be worse: $sweep")
+  }
+
   test("dedup_policy_compare: matches a driver-side fold over clusters") {
     val assigned = Dedup.assignCanonical(spark, sf,
       Dedup.jaccardPairs(spark, sf, 0.8)).collect()
