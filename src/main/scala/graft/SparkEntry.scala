@@ -749,6 +749,7 @@ object SparkEntry {
     "stream_tws_timer_replay" ->
       ((s, d) => graft.streaming.StreamReplay.timerSessionReplay(s, d)),
     "pq_m_sweep" -> ((s, d) => Similarity.pqMSweep(s, d)),
+    "ivf_centroid_sweep" -> ((s, d) => Similarity.centroidSweep(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -1373,6 +1374,59 @@ object SparkEntry {
         SELECT subspace::BIGINT AS subspace, code::BIGINT AS code,
                n_vectors, recon_mse
         FROM ($union) ORDER BY subspace, code"""
+  }
+
+  /** IVF centroid-count sweep (mirrors `Similarity.centroidSweep`):
+    * shared exact-truth CTE, one assigned/plist/cand block per C with
+    * C-suffixed names, per-C recall at the fixed probe budget. */
+  private def centroidSweepOracleSql(cs: Seq[Int] = Seq(8, 16, 32),
+                                     nq: Int = 10, k: Int = 10,
+                                     nprobe: Int = 4): String = {
+    val blocks = cs.map { c =>
+      s"""cent_c$c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+             WHERE vec_id < $c),
+         assigned_c$c AS (SELECT vec_id, v, centroid_id FROM (
+             SELECT e.vec_id, e.v, cc.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, cc.cv) DESC,
+                          cc.centroid_id) AS rn
+             FROM e CROSS JOIN cent_c$c cc) WHERE rn = 1),
+         plist_c$c AS (SELECT query_id, qv, centroid_id FROM (
+             SELECT q.vec_id AS query_id, q.v AS qv, cc.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, cc.cv) DESC,
+                          cc.centroid_id) AS pr
+             FROM e q CROSS JOIN cent_c$c cc WHERE q.vec_id < $nq)
+           WHERE pr <= $nprobe),
+         cand_c$c AS (SELECT p.query_id, a.vec_id,
+             list_cosine_similarity(a.v, p.qv) AS sim
+           FROM assigned_c$c a JOIN plist_c$c p USING (centroid_id)
+           WHERE a.vec_id <> p.query_id),
+         approx_c$c AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS ra
+             FROM cand_c$c) WHERE ra <= $k),
+         r_c$c AS (SELECT ${c}::BIGINT AS n_centroids,
+             (SELECT count(*) FROM cand_c$c)::BIGINT AS n_candidates,
+             (SELECT count(*) FROM approx_c$c
+              JOIN truth USING (query_id, vec_id))::BIGINT AS hits)"""
+    }
+    val un = cs.map(c => s"SELECT * FROM r_c$c").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+       truth AS (SELECT query_id, vec_id FROM (
+           SELECT q.vec_id AS query_id, e2.vec_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e2.v, q.v) DESC,
+                        e2.vec_id) AS rt
+           FROM e q CROSS JOIN e e2
+           WHERE q.vec_id < $nq AND e2.vec_id <> q.vec_id)
+         WHERE rt <= $k),
+       ${blocks.mkString(",\n       ")}
+       SELECT n_centroids, n_candidates, hits,
+         floor(hits::DOUBLE / ${nq * k}.0 * 1e6 + 0.5) / 1e6 AS recall
+       FROM ($un) ORDER BY n_centroids"""
   }
 
   /** `pqOracleSql`'s construction per m with m-suffixed CTE names,
@@ -14149,6 +14203,9 @@ object SparkEntry {
     // PQ memory↔distortion tuning: per-m concatenated-vector MSE from
     // exact LONG d2 totals over the same one-Lloyd-round construction
     "pq_m_sweep" -> pqSweepOracleSql(),
+    // IVF list-count tuning at fixed probe budget: shared exact truth,
+    // one assignment block per C
+    "ivf_centroid_sweep" -> centroidSweepOracleSql(),
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -321,6 +321,73 @@ object Similarity {
       .orderBy("k")
   }
 
+  /** IVF centroid-count sweep (W510): recall@k and candidate volume
+    * at numCentroids = 8/16/32 with the probe budget FIXED — the
+    * third IVF tuning axis after probe width ([[nprobeRecallSweep]])
+    * and rank depth ([[recallAtKSweep]]). More centroids shrink each
+    * list (fewer candidates scanned per query — the speed win) but
+    * the fixed nprobe covers a smaller corpus fraction (the recall
+    * price); the table shows where that trade crosses. Ground truth
+    * is ranked ONCE and shared by every sweep point; each C costs one
+    * assignment pass over the corpus.
+    */
+  def centroidSweep(s: SparkSession, dir: String, numQueries: Int = 10,
+                    k: Int = 10, nprobe: Int = 4,
+                    cs: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .persist()
+    CacheScope.register(emb) // every sweep point scans it
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val truth = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("sim"))
+      .withColumn("rt", row_number().over(wRank))
+      .filter(col("rt") <= k).select("query_id", "vec_id")
+      .persist()
+    CacheScope.register(truth) // joined by every sweep point
+    cs.map { c =>
+      val cent = emb.filter(col("vec_id") < c)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cv"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("centroid_id"))
+      val assigned = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          cosine(col("embedding"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select("vec_id", "embedding", "centroid_id")
+      val wProbe = Window.partitionBy("query_id")
+        .orderBy(col("csim").desc, col("centroid_id"))
+      val plist = queries.crossJoin(broadcast(cent))
+        .select(col("query_id"), col("qv"), col("centroid_id"),
+          cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+      val cand = assigned.join(broadcast(plist), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("embedding"), col("qv")).as("sim"))
+        .persist()
+      CacheScope.register(cand) // count + ranked read it
+      val approx = cand.withColumn("ra", row_number().over(wRank))
+        .filter(col("ra") <= k).select("query_id", "vec_id")
+      val hits = approx.join(truth, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      hits.crossJoin(nCand)
+        .select(lit(c.toLong).as("n_centroids"), col("n_candidates"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          Events.q(coalesce(col("hits"), lit(0L)).cast("double") /
+            lit((numQueries * k).toDouble), 6).as("recall"))
+    }.reduce(_ unionAll _).orderBy("n_centroids")
+  }
+
   /** Deterministic k-center seeding (W222): Gonzalez farthest-first
     * traversal over cosine distance — start from vec_id 0, repeatedly
     * pick the vector farthest from every centroid chosen so far (ties

@@ -239,6 +239,26 @@ class Round7OpsSpec extends SparkSpec {
       s"m=4 must not be worse: $sweep")
   }
 
+  test("ivf_centroid_sweep: C=16 row matches recallAtKSweep's k=10 " +
+      "point; candidate volume shrinks as C grows") {
+    import graft.operators.Similarity
+    val sweep = Similarity.centroidSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(sweep.map(_._1).toSeq == Seq(8L, 16L, 32L))
+    sweep.foreach { case (_, nc, hits, recall) =>
+      assert(hits <= 100L)
+      assert(recall == math.floor(hits.toDouble / 100.0 * 1e6 + 0.5) / 1e6)
+      assert(nc > 0)
+    }
+    // finer lists at a fixed probe budget scan fewer candidates
+    assert(sweep.map(_._2).toSeq == sweep.map(_._2).sortBy(-_).toSeq,
+      s"candidates must not grow with C: $sweep")
+    // the C=16, nprobe=4, k=10 point is exactly recallAtKSweep's k=10 row
+    val rk = Similarity.recallAtKSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(sweep(1)._3 == rk(10L))
+  }
+
   test("dedup_policy_compare: matches a driver-side fold over clusters") {
     val assigned = Dedup.assignCanonical(spark, sf,
       Dedup.jaccardPairs(spark, sf, 0.8)).collect()
