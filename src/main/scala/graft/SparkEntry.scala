@@ -750,6 +750,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.timerSessionReplay(s, d)),
     "pq_m_sweep" -> ((s, d) => Similarity.pqMSweep(s, d)),
     "ivf_centroid_sweep" -> ((s, d) => Similarity.centroidSweep(s, d)),
+    "stream_tws_list_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.funnelReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14206,6 +14208,20 @@ object SparkEntry {
     // IVF list-count tuning at fixed probe budget: shared exact truth,
     // one assignment block per C
     "ivf_centroid_sweep" -> centroidSweepOracleSql(),
+    // consecutive view→click→purchase triples in (ts, event_id) order
+    // — the ListState funnel detector's batch twin via two lags
+    "stream_tws_list_replay" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_ms(ts) // 1000 AS ep,
+                  lag(event_type, 2) OVER w AS t2,
+                  lag(event_type, 1) OVER w AS t1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id, ep
+         FROM e
+         WHERE t2 = 'view' AND t1 = 'click'
+           AND event_type = 'purchase'""",
   )
 
   private def sqlList(words: Seq[String]): String =

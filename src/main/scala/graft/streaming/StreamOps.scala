@@ -519,6 +519,65 @@ object StreamOps {
         seed.groupByKey(_.user_id))
   }
 
+  /** Typed event for [[funnelHits]] (type + ids; epoch seconds come
+    * off the timestamp at emit time). */
+  case class TypedEvent(ts: java.sql.Timestamp, user_id: Long,
+                        event_id: Long, event_type: String)
+
+  /** One detected pattern completion emitted by [[funnelHits]]. */
+  case class FunnelHit(user_id: Long, event_id: Long, ep: Long)
+
+  /** Streaming consecutive-funnel detector on `transformWithState`
+    * LIST state (W511) — the remaining v2 state primitive after
+    * ValueState/MapState (W506) and timers (W508): a bounded
+    * ListState buffer holds each user's last `pattern.length − 1`
+    * event types IN ORDER (the one state shape Value/Map can't
+    * express without encoding tricks), and an arriving event
+    * completing the exact consecutive sequence emits a hit. The
+    * ingest-time "user just converted through the funnel" tripwire:
+    * O(|pattern|) state per key, each event touched once, append
+    * output. Batch twin: a 2-lag window over (ts, event_id) order —
+    * the oracle. Like the other replay ops, events sort within a
+    * batch and rely on batch-ordered arrival across batches.
+    */
+  class FunnelProcessor(pattern: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEvent, FunnelHit] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode,
+      TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var tail: ListState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tail = getHandle.getListState[String]("tail", E.STRING,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[FunnelHit] = {
+      val keep = pattern.length - 1
+      var buf = if (tail.exists()) tail.get().toVector
+        else Vector.empty[String]
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (buf.length == keep && buf :+ e.event_type == pattern)
+          out += FunnelHit(key, e.event_id, e.ts.getTime / 1000)
+        buf = (buf :+ e.event_type).takeRight(keep)
+      }
+      tail.put(buf.toArray)
+      out.iterator
+    }
+  }
+
+  /** [[FunnelProcessor]] wired over a keyed stream. Same provider
+    * requirement as [[typeCensus]]. */
+  def funnelHits(events: Dataset[TypedEvent],
+                 pattern: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(pattern),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Gap sessionization on `transformWithState` EVENT-TIME TIMERS
     * (W508) — the third leg of the v2 API after state vars (W506) and
     * initial state (W507), and THE feature FMGS timeouts can't match:

@@ -412,6 +412,36 @@ object StreamReplay {
     }
   }
 
+  /** W511 gate: ListState consecutive-funnel detector. No watermark,
+    * no sentinel — every hit emits in the batch that completes it.
+    */
+  def funnelReplay(s: SparkSession, dir: String,
+                   nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val evs = sortedEvents(s, dir).map(e =>
+        StreamOps.TypedEvent(e.ts, e.user_id, e.event_id, e.event_type))
+      val in = MemoryStream[StreamOps.TypedEvent]
+      val nm = s"stream_twsl_${ctr.incrementAndGet()}"
+      val q = StreamOps.funnelHits(in.toDS())
+        .writeStream.outputMode("append").format("memory").queryName(nm)
+        .start()
+      feed(in, q, evs.toSeq, nBatches)
+      finish(s, nm, q)
+        .select("user_id", "event_id", "ep")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   def timeoutSessionReplay(s: SparkSession, dir: String,
                            nBatches: Int = 4): DataFrame = withReplayConf(s) {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -379,6 +379,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnelHits (ListState): tail buffer survives a batch boundary") {
+    import graft.streaming.StreamOps
+    implicit val ctx = spark.sqlContext
+    import java.sql.Timestamp
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    try {
+      val base = 1704067200000L
+      def ev(sec: Long, id: Long, tpe: String) = StreamOps.TypedEvent(
+        new Timestamp(base + sec * 1000), 9L, id, tpe)
+      val in = MemoryStream[StreamOps.TypedEvent]
+      val q = StreamOps.funnelHits(in.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_funnel").start()
+      // the (view, click) prefix lands in batch 1; the completing
+      // purchase arrives in batch 2 — the ListState tail must carry
+      in.addData(ev(0, 1, "view"), ev(10, 2, "click"))
+      q.processAllAvailable()
+      in.addData(ev(20, 3, "purchase"), ev(30, 4, "view"),
+        ev(40, 5, "purchase")) // view→purchase is NOT a triple
+      q.processAllAvailable()
+      val got = spark.table("tws_funnel").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      q.stop()
+      spark.catalog.dropTempView("tws_funnel")
+      assert(got.toSeq == Seq((9L, 3L, base / 1000 + 20)), got.toSeq)
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("funnelReplay: hit set is batch-invariant and equals the batch " +
+      "2-lag window") {
+    import graft.streaming.StreamReplay
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_timestamp(ts)").as("ep"), col("event_type"),
+        lag(col("event_type"), 2).over(w).as("t2"),
+        lag(col("event_type"), 1).over(w).as("t1"))
+      .filter(col("t2") === "view" && col("t1") === "click" &&
+        col("event_type") === "purchase")
+      .select("user_id", "event_id", "ep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val one = StreamReplay.funnelReplay(spark, sf, nBatches = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val five = StreamReplay.funnelReplay(spark, sf, nBatches = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(one.toSeq == want.toSeq)
+    assert(five.toSeq == want.toSeq)
+  }
+
   test("typeCensusWarmReplay: seed half + stream half = full census") {
     import graft.streaming.StreamReplay
     val want = Tables.events(spark, sf)
