@@ -334,22 +334,32 @@ object Curation {
     * the corpus' tokens concentrate in few documents (0 = perfectly
     * even, →1 = a handful of giants dominate), the balance metric a
     * mix owner checks before sharding. Standard rank formula
-    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending token counts; the
-    * rank window runs over one row per document (if that's ever too
-    * big, bucket counts first — the formula degrades gracefully).
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending (n_tokens, doc_id),
+    * restated per VALUE GROUP (the W482 `gini_mean_difference` identity,
+    * round-8 plan hardening): a tie block of ct docs of length v after
+    * cb shorter docs occupies ranks cb+1..cb+ct regardless of doc_id
+    * order, so Σ i·xᵢ = Σᵥ v·(ct·cb + ct(ct+1)/2) — one exact LONG per
+    * distinct length (ct(ct+1) is even; shiftright halves it exactly).
+    * No per-document rank window survives: the one remaining global
+    * window cumulates over DISTINCT document lengths — a value grid
+    * bounded by max doc length, never corpus-proportional.
     */
   def tokenGini(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(s, dir)
-      .select(col("doc_id"), size(tokenize(col("text")))
-        .cast("long").as("n_tokens"))
-    val w = Window.orderBy(col("n_tokens"), col("doc_id"))
-    counts.withColumn("i", row_number().over(w))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        round(lit(2.0) * sum(col("i") * col("n_tokens")) /
-          (count(lit(1)) * sum(col("n_tokens"))) -
-          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+      .select(size(tokenize(col("text"))).cast("long").as("n_tokens"))
+    val byV = counts.groupBy("n_tokens").agg(count(lit(1)).as("ct"))
+    val cb = coalesce(sum(col("ct")).over(Window.orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    byV.select(col("n_tokens"), col("ct"), cb.as("cb"))
+      .agg(sum(col("ct")).as("n_docs"),
+        sum(col("n_tokens") * col("ct")).as("total_tokens"),
+        sum(col("n_tokens") * (col("ct") * col("cb") +
+          shiftright(col("ct") * (col("ct") + 1), 1))).as("six"))
+      .select(col("n_docs"), col("total_tokens"),
+        round(lit(2.0) * col("six") /
+          (col("n_docs") * col("total_tokens")) -
+          (col("n_docs") + lit(1.0)) / col("n_docs"), 6).as("gini"))
   }
 
   /** LM-score tiering: the corpus bucketed into deciles of unigram

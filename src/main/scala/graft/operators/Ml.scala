@@ -482,24 +482,35 @@ object Ml {
     * positives caught so far — the "top 20% of scores finds X% of
     * spam" number) and the lift over the base rate. Everything after
     * the ntile cut is exact-integer counts; the two surfaced ratios
-    * divide exact longs once. One window sort over the scored frame —
-    * the same cost class as [[auc]].
+    * divide exact longs once. The (score desc, docid) rank is computed
+    * scale-safe (round-8, [[Ranks.ranked]] on the negated score):
+    * range buckets + a bucket-PARTITIONED window, no single-partition
+    * sort; [[Ranks.ntileFromRank]] restates NTILE from the rank and the
+    * decile cumulatives ride a ≤deciles² broadcast self-join instead of
+    * a spine window — zero unpartitioned WindowExec in the plan
+    * (asserted, with NTILE parity, in Round8OpsSpec).
     */
   def gainsTable(s: SparkSession, dir: String,
                  deciles: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sc = applyQuery(s, dir).select(col("docid"), col("score"),
       when(col("label") === 1.0, 1L).otherwise(0L).as("y"))
-    val w = Window.orderBy(col("score").desc, col("docid"))
-    val g = sc.withColumn("dec", ntile(deciles).over(w))
+      .withColumn("__g_ns", -col("score")) // asc(−score) ≡ desc(score)
+    val cnt = sc.agg(count(lit(1)).as("__g_cnt")) // reads Ranks' cache
+    val g = Ranks.ranked(sc, "__g_ns", "docid", "__g_r")
+      .crossJoin(broadcast(cnt))
+      .withColumn("dec",
+        Ranks.ntileFromRank(col("__g_r"), col("__g_cnt"), deciles))
       .groupBy("dec").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .persist()
+    CacheScope.register(g) // eager: totals + the cumulative join read it
     val tot = g.agg(sum("pos").as("tp"), sum("n").as("tn"))
-    val wc = Window.orderBy("dec")
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.select(col("dec").as("__g_d2"), col("pos").as("__g_p2"),
+      col("n").as("__g_n2"))
     g.crossJoin(broadcast(tot))
-      .withColumn("cpos", sum("pos").over(wc))
-      .withColumn("cn", sum("n").over(wc))
-      .select(col("dec").cast("long").as("decile"), col("n"), col("pos"),
+      .join(broadcast(cum), col("__g_d2") <= col("dec"))
+      .groupBy("dec", "n", "pos", "tp", "tn")
+      .agg(sum("__g_p2").as("cpos"), sum("__g_n2").as("cn"))
+      .select(col("dec").as("decile"), col("n"), col("pos"),
         graft.operators.Events.q(
           col("cpos").cast("double") / col("tp"), 6).as("capture"),
         graft.operators.Events.q(

@@ -2526,9 +2526,12 @@ object Relational {
     * G = (2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx). Ten rows: decile upper bound's
     * cumulative revenue share, plus the scalar Gini broadcast onto
     * each. Scale: the spine is CUSTOMER-cardinality (lineitem collapses
-    * in the first keyed agg); the rank window is the one global-order
-    * stage — at 100 TB this becomes a range-partitioned sort + offset
-    * fix-up, same as every quantile op in this file.
+    * in the first keyed agg); the rank and running revenue come from
+    * [[Ranks.ranked]] (round-8) — approx-percentile range buckets +
+    * bucket-PARTITIONED windows + broadcast offsets, the distributed
+    * range-sort-with-offset-fixup this scaladoc used to promise —
+    * value-identical to the single-window formulation and with zero
+    * unpartitioned WindowExec in the plan (asserted in Round8OpsSpec).
     */
   def lorenzGini(s: SparkSession, dir: String): DataFrame = {
     val per = Tables.lineitem(s, dir)
@@ -2537,14 +2540,12 @@ object Relational {
       .select(col("o_custkey"), rev4.as("rv"))
       .groupBy("o_custkey")
       .agg(sum(col("rv").cast("decimal(38,0)")).as("x"))
-    val w = Window.orderBy(col("x"), col("o_custkey"))
-    val ranked = per.withColumn("i", row_number().over(w).cast("long"))
+    val ranked = Ranks.ranked(per, "x", "o_custkey", "i",
+      runningSums = Seq("x" -> "cum")).persist()
+    CacheScope.register(ranked) // eager: totals + decile rollup read it
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("x") * col("i").cast("decimal(38,0)")).as("six"))
     val deciles = ranked.crossJoin(broadcast(tot))
-      .withColumn("cum", sum(col("x")).over(
-        Window.orderBy(col("x"), col("o_custkey"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
       // explicit floor: integer/integer division promotes to DOUBLE in
       // both engines, but their double→int casts disagree on rounding
       .withColumn("dec", (floor((col("i") - 1) * 10 / col("n")) + 1)

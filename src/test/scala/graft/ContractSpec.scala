@@ -85,6 +85,28 @@ class ContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries missing from SURVEY.md: $missing")
   }
 
+  // ONE construction per query, shared by the dtype and window-posture
+  // guards (ADVICE r7: the dtype test alone re-ran every streaming
+  // replay just to read .schema): name -> (surfaced schema, number of
+  // logical Window nodes with an EMPTY partitionSpec in the ANALYZED
+  // plan). The analyzed plan is read pre-cache-substitution, so
+  // persisted subtrees stay visible; eagerly localCheckpoint()'d frames
+  // truncate at the checkpoint — their upstream posture is covered by
+  // the operators' own plan specs (e.g. Round8OpsSpec pins Ranks).
+  private lazy val planAudit: Map[String,
+      (org.apache.spark.sql.types.StructType, Int)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.queryExecution.analyzed.collect {
+        case w: LWin if w.partitionSpec.isEmpty => w
+      }.size
+      CacheScope.release(spark)
+      spark.catalog.clearCache()
+      name -> ((df.schema, n))
+    }.toMap
+  }
+
   test("oracle-gated queries surface only driver-hashable dtypes") {
     // the driver's hash compare canonicalizes plain int/float widths
     // identically, but DECIMAL and DuckDB's HUGEINT (windowed
@@ -100,11 +122,57 @@ class ContractSpec extends SparkSpec {
       case _ => false
     }
     val bad = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap { name =>
-      val off = SparkEntry.queries(name)(spark, sf).schema.fields
-        .filterNot(f => ok(f.dataType))
+      val off = planAudit(name)._1.fields.filterNot(f => ok(f.dataType))
       if (off.isEmpty) None
       else Some(s"$name: ${off.map(f => s"${f.name}:${f.dataType}").mkString(",")}")
     }
     assert(bad.isEmpty, s"non-hashable surfaced dtypes: $bad")
+  }
+
+  test("no query grows an unpartitioned Window beyond its audited " +
+    "baseline") {
+    // VERDICT r7 #3: an unpartitioned window over corpus-proportional
+    // rows funnels everything through ONE partition — the last
+    // scale-killer class on the board. Every legitimate remaining site
+    // is a bounded spine (day grid, value grid, bins, top-k, band
+    // rollup), audited and RECORDED per query in the checked-in
+    // baseline; this guard fails any query whose analyzed plan plans
+    // MORE empty-partitionSpec Window nodes than its audit recorded.
+    // New queries default to 0 — a new global window must be audited
+    // (and the baseline regenerated) to ship. Regenerate with
+    //   SPARK_GRAFT_REGEN_WINDOW_BASELINE=1 sbt "testOnly *ContractSpec"
+    val path = java.nio.file.Paths.get(
+      "src/test/resources/global_window_baseline.txt")
+    val counts = planAudit.view.mapValues(_._2).toMap
+    if (sys.env.contains("SPARK_GRAFT_REGEN_WINDOW_BASELINE")) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, counts.toSeq.sorted
+        .map { case (n, c) => s"$n $c" }.mkString("", "\n", "\n"))
+      succeed
+    } else {
+      assert(java.nio.file.Files.exists(path),
+        s"missing $path — regenerate it (see comment above)")
+      val baseline = scala.io.Source.fromFile(path.toFile).getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, c) = l.split(' '); n -> c.toInt
+        }.toMap
+      val grew = counts.filter { case (n, c) =>
+        c > baseline.getOrElse(n, 0) }
+      assert(grew.isEmpty,
+        s"queries planning NEW unpartitioned windows vs baseline: " +
+          grew.toSeq.sorted.map { case (n, c) =>
+            s"$n ($c > ${baseline.getOrElse(n, 0)})" }.mkString(", ") +
+          " — restate with Ranks.ranked / a bounded spine, or audit " +
+          "the site as bounded and regenerate the baseline")
+      val shrank = counts.filter { case (n, c) =>
+        c < baseline.getOrElse(n, 0) }
+      if (shrank.nonEmpty) info(s"improved vs baseline (regen to " +
+        s"ratchet down): ${shrank.keys.toSeq.sorted.mkString(", ")}")
+      // the four round-8 restatements must stay pinned at their fixed
+      // posture even if the baseline file is regenerated carelessly
+      assert(counts("dedup_bias") == 0 && counts("lorenz_gini") == 0 &&
+        counts("gains_table") == 0 && counts("token_gini") <= 1,
+        "round-8 global-rank restatement regressed")
+    }
   }
 }
