@@ -8,12 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // ContextCleaner's periodic GC defaults to 30min — it never fires
-      // inside a ~15min run, so localCheckpoint blocks from 500+ queries
-      // pile up in the block manager and the iterative graph tier pays
-      // for all of them (r6 driver charged k_truss 55.3s vs 10.4s
-      // standalone; VERDICT r6 #4). 60s keeps the cleaner live.
-      .config("spark.cleaner.periodicGC.interval", "60s")
+      // attribution v3 (VERDICT r7 #2): the r6 fix set this to 60s so
+      // checkpoint blocks wouldn't pile up — but that thread's
+      // System.gc() pauses then landed INSIDE whichever query was on
+      // the clock (driver charged eigenvector_centrality 31.4s vs 6.5s
+      // standalone). The per-query sweep below now drains blocks
+      // synchronously and runs its own gc BETWEEN the clocks, so the
+      // async cleaner thread should never have work to do mid-run —
+      // park it past the run's horizon.
+      .config("spark.cleaner.periodicGC.interval", "120min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warmup so the first measured query isn't
@@ -50,12 +53,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("stream_"))
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .zipWithIndex.map { case ((name, fn), i) =>
-      // bench hygiene for a 500+-query single-JVM run: drain one
-      // query's GC debt before the next one's clock starts, every 20
-      // queries (r5 charged contamination 63s in-sequence vs 5.3s
-      // standalone — run-adjacent heap state, not plan; VERDICT r5 #6)
-      if (i % 20 == 0) System.gc()
+      .map { case (name, fn) =>
+      // attribution v3 (VERDICT r7 #2, third relocation of the same
+      // ~55s of JVM debt): every piece of cross-query housekeeping now
+      // runs SYNCHRONOUSLY between the clocks. The every-20 gc + async
+      // unpersist of r6 enqueued block removals that landed on the
+      // NEXT query's wall-clock — 5-8× inflation on innocent queries.
+      // Order per query: measure → blocking sweep of this query's
+      // caches/checkpoints → full gc — so each clock starts on a
+      // drained block manager and a settled heap.
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -65,10 +71,11 @@ object Bench {
       // localCheckpoint RDDs are NOT catalog-cached — sweep the block
       // manager's persistent-RDD registry too, else checkpoint blocks
       // accumulate across the full board and inflate later loops
-      CacheScope.release(spark)
+      CacheScope.release(spark, blocking = true)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -46,11 +46,14 @@ object CacheScope {
     track(df)
   }
 
-  /** Unpersist every intermediate tracked for `spark` (non-blocking;
-    * already-unpersisted entries are no-ops). */
-  def release(spark: SparkSession): Unit = {
+  /** Unpersist every intermediate tracked for `spark`
+    * (already-unpersisted entries are no-ops). Non-blocking by default
+    * — library callers shouldn't stall on block removal; measurement
+    * harnesses pass `blocking = true` so one query's removals can't
+    * land on the next query's clock (VERDICT r7 #2). */
+  def release(spark: SparkSession, blocking: Boolean = false): Unit = {
     val drained = synchronized { tracked.remove(spark) }
-    drained.foreach(_.foreach(_.unpersist(blocking = false)))
+    drained.foreach(_.foreach(_.unpersist(blocking)))
   }
 
   /** Run `body` (a query build plus the action consuming it), then
