@@ -752,6 +752,12 @@ object SparkEntry {
     "ivf_centroid_sweep" -> ((s, d) => Similarity.centroidSweep(s, d)),
     "stream_tws_list_replay" ->
       ((s, d) => graft.streaming.StreamReplay.funnelReplay(s, d)),
+    "stream_foreach_batch_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.foreachBatchReplay(s, d)),
+    "stream_changelog_restart_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.changelogRestartReplay(s, d)),
+    "stream_state_source_audit" ->
+      ((s, d) => graft.streaming.StreamReplay.stateSourceAudit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -1435,6 +1441,84 @@ object SparkEntry {
     * ending in per-m TOTALS (mirrors `Similarity.pqMSweep`: exact
     * LONG d2 sums across all subspaces, one division by the vector
     * count). */
+  /** tail_token_mass oracle generated from the operator's own default
+    * head size (ADVICE r7: hardcoded sweep literals drift silently when
+    * the op is invoked with non-default parameters). */
+  private def tailTokenMassOracleSql(
+      topN: Int = graft.operators.TextStats.TailTopN): String =
+    s"""WITH toksl AS (
+           SELECT lang,
+             list_filter(list_transform(
+               string_split_regex(lower(text), '\\s+'),
+               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$$)', '', 'g')),
+               t -> len(t) > 0) AS ts
+           FROM documents),
+         tok AS (SELECT lang, unnest(ts) AS t FROM toksl),
+         cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+         top AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT $topN),
+         g AS (SELECT lang, count(*)::BIGINT AS n_tokens,
+                 sum(CASE WHEN top.t IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_tail
+               FROM tok LEFT JOIN top ON tok.t = top.t GROUP BY 1)
+         SELECT lang, n_tokens, n_tail,
+           floor(n_tail::DOUBLE / n_tokens::DOUBLE * 1e6 + 0.5) / 1e6
+             AS tail_share
+         FROM g ORDER BY lang"""
+
+  /** recall_at_k_sweep oracle with the sweep axes interpolated from the
+    * same defaults as [[graft.operators.Similarity.recallAtKSweep]]. */
+  private def recallAtKSweepOracleSql(nq: Int = 10, nc: Int = 16,
+                                      nprobe: Int = 4,
+                                      ks: Seq[Int] = Seq(1, 5, 10)): String = {
+    val kmax = ks.max
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+                  WHERE vec_id < $nc),
+         assigned AS (SELECT vec_id, v, centroid_id FROM (
+             SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                          c.centroid_id) AS rn
+             FROM e CROSS JOIN cent c) WHERE rn = 1),
+         plist AS (SELECT query_id, qv, centroid_id FROM (
+             SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
+                          c.centroid_id) AS pr
+             FROM e q CROSS JOIN cent c WHERE q.vec_id < $nq)
+           WHERE pr <= $nprobe),
+         cand AS (SELECT p.query_id, a.vec_id,
+             list_cosine_similarity(a.v, p.qv) AS sim
+           FROM assigned a JOIN plist p USING (centroid_id)
+           WHERE a.vec_id <> p.query_id),
+         approx AS (SELECT query_id, vec_id, ra FROM (
+             SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS ra
+             FROM cand) WHERE ra <= $kmax),
+         truth AS (SELECT query_id, vec_id, rt FROM (
+             SELECT q.vec_id AS query_id, e2.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e2.v, q.v) DESC,
+                          e2.vec_id) AS rt
+             FROM e q CROSS JOIN e e2
+             WHERE q.vec_id < $nq AND e2.vec_id <> q.vec_id)
+           WHERE rt <= $kmax),
+         nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+         ks AS (SELECT unnest([${ks.mkString(", ")}])::BIGINT AS k),
+         h AS (SELECT k, count(*)::BIGINT AS hits
+               FROM approx JOIN truth USING (query_id, vec_id)
+               CROSS JOIN ks
+               WHERE ra <= k AND rt <= k GROUP BY 1)
+         SELECT ks.k AS k, n_candidates,
+           coalesce(hits, 0)::BIGINT AS hits,
+           floor(coalesce(hits, 0)::DOUBLE / ($nq.0 * ks.k::DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS recall
+         FROM ks LEFT JOIN h ON ks.k = h.k CROSS JOIN nc
+         ORDER BY k"""
+  }
+
   private def pqSweepOracleSql(ms: Seq[Int] = Seq(2, 4),
                                k: Int = 4): String = {
     val dim = 64
@@ -13995,25 +14079,7 @@ object SparkEntry {
          FROM sp ORDER BY radius""",
     // per-language token mass outside the global top-1000 vocabulary;
     // the head set is rank-deterministic (count desc, token)
-    "tail_token_mass" ->
-      """WITH toksl AS (
-           SELECT lang,
-             list_filter(list_transform(
-               string_split_regex(lower(text), '\s+'),
-               t -> regexp_replace(t, '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-               t -> len(t) > 0) AS ts
-           FROM documents),
-         tok AS (SELECT lang, unnest(ts) AS t FROM toksl),
-         cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1),
-         top AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 1000),
-         g AS (SELECT lang, count(*)::BIGINT AS n_tokens,
-                 sum(CASE WHEN top.t IS NULL THEN 1 ELSE 0 END)::BIGINT
-                   AS n_tail
-               FROM tok LEFT JOIN top ON tok.t = top.t GROUP BY 1)
-         SELECT lang, n_tokens, n_tail,
-           floor(n_tail::DOUBLE / n_tokens::DOUBLE * 1e6 + 0.5) / 1e6
-             AS tail_share
-         FROM g ORDER BY lang""",
+    "tail_token_mass" -> tailTokenMassOracleSql(),
     // per-source mean quality of the first vs last ingestion-order
     // quarter; per-doc quality on the 1e-6 LONG grid before the sums
     "quality_drift" -> {
@@ -14083,53 +14149,7 @@ object SparkEntry {
     "minhash_k_sweep" -> MinhashKSweepSql,
     // rank-cutoff recall sweep over ONE IVF candidate pass at nprobe=4
     // (nprobe_recall_sweep's other axis); both rankings ranked once
-    "recall_at_k_sweep" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                    FROM embeddings),
-         cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-                  WHERE vec_id < 16),
-         assigned AS (SELECT vec_id, v, centroid_id FROM (
-             SELECT e.vec_id, e.v, c.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                          c.centroid_id) AS rn
-             FROM e CROSS JOIN cent c) WHERE rn = 1),
-         plist AS (SELECT query_id, qv, centroid_id FROM (
-             SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(q.v, c.cv) DESC,
-                          c.centroid_id) AS pr
-             FROM e q CROSS JOIN cent c WHERE q.vec_id < 10)
-           WHERE pr <= 4),
-         cand AS (SELECT p.query_id, a.vec_id,
-             list_cosine_similarity(a.v, p.qv) AS sim
-           FROM assigned a JOIN plist p USING (centroid_id)
-           WHERE a.vec_id <> p.query_id),
-         approx AS (SELECT query_id, vec_id, ra FROM (
-             SELECT query_id, vec_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY sim DESC, vec_id) AS ra
-             FROM cand) WHERE ra <= 10),
-         truth AS (SELECT query_id, vec_id, rt FROM (
-             SELECT q.vec_id AS query_id, e2.vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(e2.v, q.v) DESC,
-                          e2.vec_id) AS rt
-             FROM e q CROSS JOIN e e2
-             WHERE q.vec_id < 10 AND e2.vec_id <> q.vec_id)
-           WHERE rt <= 10),
-         nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
-         ks AS (SELECT unnest([1, 5, 10])::BIGINT AS k),
-         h AS (SELECT k, count(*)::BIGINT AS hits
-               FROM approx JOIN truth USING (query_id, vec_id)
-               CROSS JOIN ks
-               WHERE ra <= k AND rt <= k GROUP BY 1)
-         SELECT ks.k AS k, n_candidates,
-           coalesce(hits, 0)::BIGINT AS hits,
-           floor(coalesce(hits, 0)::DOUBLE / (10.0 * ks.k::DOUBLE)
-             * 1e6 + 0.5) / 1e6 AS recall
-         FROM ks LEFT JOIN h ON ks.k = h.k CROSS JOIN nc
-         ORDER BY k""",
+    "recall_at_k_sweep" -> recallAtKSweepOracleSql(),
     // min-id vs quality-argmax survivorship over size>=2 clusters;
     // per-cluster picks by rank windows, gain on the 1e-6 LONG grid
     "dedup_policy_compare" -> s"""WITH RECURSIVE prs AS ($JaccardSql),
@@ -14222,6 +14242,34 @@ object SparkEntry {
          FROM e
          WHERE t2 = 'view' AND t1 = 'click'
            AND event_type = 'purchase'""",
+    // exactly-once foreachBatch sink: every batch committed TWICE into
+    // its own batch=<id> path (idempotent overwrite) — readback must
+    // equal the plain batch aggregate, or re-delivery double-counted
+    "stream_foreach_batch_replay" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // mid-stream cold restart under RocksDB changelog checkpointing:
+    // state reloads from snapshot+changelog, census must equal the
+    // full-corpus batch census (same oracle as stream_tws_replay)
+    "stream_changelog_restart_replay" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+           count(DISTINCT event_type)::BIGINT AS n_types
+         FROM events GROUP BY 1""",
+    // statestore batch read of the checkpoint after 2 of 4 fed batches
+    // = per-user stats over exactly the first ceil(n/4)*2 events in
+    // (ts, event_id) order (the replay's deterministic batch split)
+    "stream_state_source_audit" ->
+      """WITH o AS (SELECT user_id, value,
+             row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+           FROM events)
+         SELECT user_id, count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM o
+         WHERE rn <= least(CAST(ceiling(n / 4.0) AS BIGINT) * 2, n)
+         GROUP BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -15,6 +15,10 @@ import graft.functions.TextFns._
   */
 object TextStats {
 
+  /** Default head-vocabulary size for [[tailTokenMass]]; the oracle SQL
+    * interpolates THIS constant so op and gate can't drift (ADVICE r7). */
+  val TailTopN = 1000
+
   /** Stopword lists per language; fixed priority order breaks ties. */
   val Stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it"),
@@ -2047,7 +2051,7 @@ object TextStats {
     * broadcast; per-language masses are one partial-agg'd pass.
     */
   def tailTokenMass(s: SparkSession, dir: String,
-                    topN: Int = 1000): DataFrame = {
+                    topN: Int = TailTopN): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("lang"), explode(tokenize(col("text"))).as("t"))
       .persist()

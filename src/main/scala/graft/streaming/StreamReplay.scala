@@ -622,4 +622,176 @@ object StreamReplay {
         round(col("value"), 4).as("value"))
       .orderBy("user_id", "ep", "event_id")
   }
+
+  /** W512 gate: the `foreachBatch` EXACTLY-ONCE sink contract. Each
+    * micro-batch lands at its own `batch=<id>` path with Overwrite
+    * semantics — the standard idempotent-sink recipe for stores
+    * without transactional streaming writers — and the replay commits
+    * every batch TWICE (the same (data, batchId) pair a post-failure
+    * re-delivery presents), so a sink that appended instead of
+    * overwriting would double-count and hash-fail. The readback
+    * aggregate over all batch paths must equal the plain batch
+    * aggregate over the full events fixture: at-least-once delivery +
+    * idempotent-by-batchId writes = exactly-once contents.
+    */
+  def foreachBatchReplay(s: SparkSession, dir: String,
+                         nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fb_replay").toString
+    val sink = s"$root/sink"
+    val in = MemoryStream[REvent]
+    val q = in.toDF()
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v_cents"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        // pin the batch's rows once so the two commits below write the
+        // SAME data (re-delivery replays identical content)
+        val once = df.localCheckpoint()
+        once.write.mode("overwrite").parquet(s"$sink/batch=$id")
+        // simulated re-delivery: a retried epoch re-commits the same
+        // batchId — Overwrite-by-path keeps the sink exactly-once
+        once.write.mode("overwrite").parquet(s"$sink/batch=$id")
+        ()
+      }
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    q.stop()
+    val out = s.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("v_cents"))
+      .orderBy("event_type")
+      .localCheckpoint() // materialize before the sink dir is deleted
+    deleteRec(root)
+    out
+  }
+
+  /** W513 gate: RocksDB CHANGELOG CHECKPOINTING survives a mid-stream
+    * restart. The transformWithState census runs with
+    * `rocksdb.changelogCheckpointing.enabled` (per-batch delta files
+    * instead of full snapshot uploads — the setting a large-state
+    * production stream runs), is STOPPED cold after the first half of
+    * the batches, and a NEW query resumes from the same checkpoint —
+    * state must reload from snapshot+changelog replay and the final
+    * census must equal the full-corpus batch census, proving the
+    * restart lost no state. Sink is the W512 idempotent
+    * foreachBatch-by-batchId store (a memory sink would reset on
+    * restart); update-mode rows resolve to each user's LAST census via
+    * the monotone n_events (strictly increasing per update).
+    */
+  def changelogRestartReplay(s: SparkSession, dir: String,
+                             nBatches: Int = 4): DataFrame =
+    withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val logKey = "spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled"
+    val prevProv = s.conf.getOption(provKey)
+    val prevLog = s.conf.getOption(logKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    s.conf.set(logKey, "true")
+    try {
+      val evs = sortedEvents(s, dir).map(e =>
+        StreamOps.TypeUser(e.event_type, e.user_id))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_clog_replay").toString
+      val sink = s"$root/sink"
+      val in = MemoryStream[StreamOps.TypeUser]
+      def start() = StreamOps.typeCensus(in.toDS()).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          df.write.mode("overwrite").parquet(s"$sink/batch=$id")
+          ()
+        }
+        .start()
+      val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+      val batches = evs.grouped(per).toSeq
+      val (firstHalf, secondHalf) = batches.splitAt(batches.length / 2)
+      val q1 = start()
+      firstHalf.foreach { b => in.addData(b); q1.processAllAvailable() }
+      q1.stop() // cold stop; offsets + RocksDB changelog are committed
+      val q2 = start() // resumes from the checkpoint, reloads state
+      secondHalf.foreach { b => in.addData(b); q2.processAllAvailable() }
+      q2.processAllAvailable()
+      q2.stop()
+      val out = s.read.parquet(sink)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "n_events", "n_types")
+        .localCheckpoint() // materialize before the sink dir is deleted
+      deleteRec(root)
+      out
+    } finally {
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      prevLog match {
+        case Some(v) => s.conf.set(logKey, v)
+        case None => s.conf.unset(logKey)
+      }
+    }
+  }
+
+  /** W514 gate: the STATE DATA SOURCE (`spark.read.format("statestore")`,
+    * Spark 4) — checkpointed operator state inspected as a first-class
+    * batch read, the on-call path when a stateful stream misbehaves.
+    * The running per-user census streams the FIRST 2 of `nBatches`
+    * micro-batches into a checkpoint and stops cold; the state store
+    * is then read BACK as a plain DataFrame, and its value rows must
+    * equal the batch aggregate over exactly that half-corpus prefix —
+    * pinning both the reader's fidelity and the checkpoint's
+    * completeness (a dropped or double-counted key would hash-fail).
+    */
+  def stateSourceAudit(s: SparkSession, dir: String,
+                       nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir).map(e =>
+      StreamOps.Event(e.user_id, e.event_id, e.ts.getTime / 1000, e.value))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_state_src").toString
+    val in = MemoryStream[StreamOps.Event]
+    val nm = s"stream_ssrc_${ctr.incrementAndGet()}"
+    val q = StreamOps.runningCounts(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(nm)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+    evs.grouped(per).take(2).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    s.catalog.dropTempView(nm)
+    val out = s.read.format("statestore").load(s"$root/ckpt")
+      // FMGS wraps the user state: value.groupState = the UserStats row
+      .select(col("value.groupState.*"))
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("user_id")
+      .localCheckpoint() // materialize before the checkpoint is deleted
+    deleteRec(root)
+    out
+  }
+
+  private def deleteRec(root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
 }

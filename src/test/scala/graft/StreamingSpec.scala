@@ -455,4 +455,62 @@ class StreamingSpec extends SparkSpec {
       .sorted
     assert(got.toSeq == want.toSeq)
   }
+
+  test("foreachBatchReplay: double-committed batches stay exactly-once " +
+      "and batch-invariant") {
+    import graft.streaming.StreamReplay
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val one = StreamReplay.foreachBatchReplay(spark, sf, nBatches = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val five = StreamReplay.foreachBatchReplay(spark, sf, nBatches = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(one.toSeq == want.toSeq)
+    assert(five.toSeq == want.toSeq)
+  }
+
+  test("changelogRestartReplay: a cold mid-stream restart under " +
+      "changelog checkpointing loses no state") {
+    import graft.streaming.StreamReplay
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // 4 batches → restart after 2: half the census arrives before the
+    // cold stop, so a state reload that dropped ANY key would misreport
+    // that key's n_events and fail the exact compare
+    val got = StreamReplay.changelogRestartReplay(spark, sf, nBatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("stateSourceAudit: statestore batch read equals the half-prefix " +
+      "batch aggregate") {
+    import graft.streaming.StreamReplay
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("value"))
+      .orderBy("ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val half = math.min(
+      2 * math.max(1, math.ceil(evs.length / 4.0).toInt), evs.length)
+    val want = evs.take(half).groupBy(_._1).map { case (uid, xs) =>
+      // same fold order as the stream: (ts, event_id) arrival sequence
+      (uid, xs.length.toLong,
+        math.round(xs.foldLeft(0.0)(_ + _._2) * 1e4) / 1e4)
+    }.toSeq.sorted
+    val got = StreamReplay.stateSourceAudit(spark, sf, nBatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted
+    assert(got.toSeq == want.toSeq)
+  }
 }

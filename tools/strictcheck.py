@@ -76,5 +76,7 @@ for name in sorted(os.listdir(outdir)):
         exact_fail += 1
         print(f"  {name}: EXACT-FAIL {bad}")
 print(f"EXACT FAILURES: {exact_fail}")
-if dtype_fail:
+# nonzero exit on EITHER failure class, so exit-code callers catch value
+# regressions too, not just dtype drift (ADVICE r7)
+if dtype_fail or exact_fail:
     sys.exit(1)
