@@ -758,6 +758,11 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.changelogRestartReplay(s, d)),
     "stream_state_source_audit" ->
       ((s, d) => graft.streaming.StreamReplay.stateSourceAudit(s, d)),
+    "stream_outer_join_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.outerJoinReplay(s, d)),
+    "stream_dedup_wm_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.dedupWithinWatermarkReplay(s, d)),
+    "variant_roundtrip" -> ((s, d) => VariantOps.variantRoundtrip(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14270,6 +14275,34 @@ object SparkEntry {
          FROM o
          WHERE rn <= least(CAST(ceiling(n / 4.0) AS BIGINT) * 2, n)
          GROUP BY 1""",
+    // left-outer stream-stream join: same pairs as stream_join_replay
+    // plus unmatched clicks with the -1 sentinel right side
+    "stream_outer_join_replay" ->
+      """SELECT c.user_id, c.event_id AS l_event_id,
+                coalesce(p.event_id, -1)::BIGINT AS r_event_id,
+                epoch_ms(c.ts) // 1000 AS l_ep,
+                coalesce(epoch_ms(p.ts) // 1000, -1)::BIGINT AS r_ep
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND epoch_ns(c.ts) // 1000 >= epoch_ns(p.ts) // 1000 - 3600000000
+          AND epoch_ns(c.ts) // 1000 <= epoch_ns(p.ts) // 1000""",
+    // at-least-once feed (in-batch dups + re-delivered batch tails)
+    // deduped within the watermark = every event exactly once
+    "stream_dedup_wm_replay" ->
+      """SELECT event_id, user_id, event_type,
+                epoch_ms(ts) // 1000 AS ep
+         FROM events""",
+    // VARIANT roundtrip: aggregates recovered via parse_json +
+    // variant_get equal the same aggregates on the typed columns;
+    // the probed missing path never materializes a phantom value
+    "variant_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents,
+           sum(user_id)::BIGINT AS uid_sum,
+           0::BIGINT AS n_phantom
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Semi-structured ingestion via Spark 4's VARIANT type (W517): the
+  * open-schema JSON path a real ingest pipeline takes before its
+  * schemas stabilize. Each event serializes to a JSON document, parses
+  * back to a VARIANT (`parse_json` — binary-encoded, no corpus-wide
+  * schema-inference pass), and typed values are recovered with
+  * `variant_get` plus `try_variant_get` probing a path that does not
+  * exist (the open-schema miss case must yield NULL, not an error).
+  * The gate pins the full roundtrip: per-type counts, cent-grid value
+  * sums and user-id sums recovered FROM THE VARIANT must equal the
+  * same aggregates on the original typed columns — `to_json` prints
+  * doubles in shortest-roundtrip form, so the double survives
+  * bit-exactly. Scale: one scan + one type-keyed rollup; per-row
+  * parse cost is O(|json|), state-free.
+  */
+object VariantOps {
+
+  def variantRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val js = Tables.events(s, dir)
+      .select(to_json(struct(col("user_id"), col("event_type"),
+        col("value"))).as("js"))
+    val v = js.select(parse_json(col("js")).as("v"))
+    val got = v.select(
+      variant_get(col("v"), "$.event_type", "string").as("event_type"),
+      variant_get(col("v"), "$.user_id", "bigint").as("user_id"),
+      variant_get(col("v"), "$.value", "double").as("value"),
+      try_variant_get(col("v"), "$.missing", "bigint").as("miss"))
+    got.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"),
+        sum(col("user_id")).as("uid_sum"),
+        sum(when(col("miss").isNull, 0L).otherwise(1L)).as("n_phantom"))
+      .orderBy("event_type")
+  }
+}

@@ -225,6 +225,45 @@ object StreamOps {
         col("l_ts"), col("r_ts"))
   }
 
+  /** LEFT-OUTER stream-stream join (W515): [[streamStreamJoin]]'s
+    * attribution shape plus the UNMATCHED lefts — a click with no
+    * purchase inside the window eventually emits with a null right
+    * side, but only once the WATERMARK has passed click-ts + window
+    * (until then a matching purchase could still arrive, so append
+    * mode must hold the row back). State on both sides evicts at the
+    * same horizon; the replay pushes a far-future sentinel through
+    * both streams to flush every pending outer row deterministically.
+    */
+  def streamStreamJoinOuter(left: DataFrame, right: DataFrame,
+                            windowSecs: Long,
+                            watermarkDelay: String = "0 seconds"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("l_event_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("r_user_id"),
+        col("event_id").as("r_event_id"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $windowSecs SECONDS") &&
+        col("l_ts") <= col("r_ts"),
+      "left_outer")
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
+  /** Watermark-bounded streaming dedup (W516):
+    * `dropDuplicatesWithinWatermark` — unlike plain `dropDuplicates`,
+    * state for a key is DROPPABLE once the watermark passes its event
+    * time + delay, so the dedup store is bounded by the lateness
+    * horizon instead of growing with every key ever seen — the only
+    * sane shape for an at-least-once ingest firehose at corpus scale.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           delay: String = "3650 days"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Running per-user counters carried across micro-batches
     * (`mapGroupsWithState`, Update mode): each batch folds its events
     * into the user's persistent (n_events, sum_value) state and emits

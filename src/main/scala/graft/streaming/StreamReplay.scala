@@ -744,6 +744,80 @@ object StreamReplay {
     }
   }
 
+  /** W515 gate: LEFT-OUTER stream-stream join. Clicks join purchases
+    * by the same user inside [l_ts, l_ts+1h]; unmatched clicks must
+    * surface with the −1 sentinel right side (null-free for the hash
+    * gate). Zero watermark delay + the sorted feed keep nothing late
+    * (each batch's min ts ≥ the previous watermark), so the inner
+    * pairs equal the batch join exactly; a far-future sentinel event
+    * through BOTH streams then pushes the watermark past every
+    * pending click + window so append mode flushes every outer row.
+    */
+  def outerJoinReplay(s: SparkSession, dir: String,
+                      nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val lin = MemoryStream[REvent]
+    val rin = MemoryStream[REvent]
+    val nm = s"stream_ojoin_${ctr.incrementAndGet()}"
+    val joined = StreamOps.streamStreamJoinOuter(
+      lin.toDF().filter(col("event_type") === "click"),
+      rin.toDF().filter(col("event_type") === "purchase"),
+      windowSecs = 3600, watermarkDelay = "0 seconds")
+    val q = joined
+      .select(col("user_id"), col("l_event_id"),
+        coalesce(col("r_event_id"), lit(-1L)).as("r_event_id"),
+        unix_timestamp(col("l_ts")).as("l_ep"),
+        coalesce(unix_timestamp(col("r_ts")), lit(-1L)).as("r_ep"))
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+    evs.grouped(per).foreach { b =>
+      lin.addData(b.toSeq)
+      rin.addData(b.toSeq)
+      q.processAllAvailable()
+    }
+    // flush sentinel: one far-future click + purchase on user −999
+    // advances BOTH watermarks past every pending click + window
+    val far = Timestamp.valueOf("2200-01-01 00:00:00")
+    lin.addData(REvent(far, -1L, -999L, "click", 0.0))
+    rin.addData(REvent(far, -2L, -999L, "purchase", 0.0))
+    q.processAllAvailable()
+    finish(s, nm, q).filter(col("user_id") =!= -999L)
+  }
+
+  /** W516 gate: `dropDuplicatesWithinWatermark` under an at-least-once
+    * feed — every batch re-delivers the PREVIOUS batch's tail (the
+    * overlap an upstream retry produces) and duplicates each row
+    * inside the batch too; the sink must still hold every event
+    * exactly once. The 10-year delay keeps all dedup state live for
+    * the fixture replay; production sizes it to the real re-delivery
+    * horizon, which is what bounds the state store.
+    */
+  def dedupWithinWatermarkReplay(s: SparkSession, dir: String,
+                                 nBatches: Int = 4): DataFrame =
+    withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val in = MemoryStream[REvent]
+    val nm = s"stream_dwm_${ctr.incrementAndGet()}"
+    val q = StreamOps.dedupWithinWatermark(in.toDF(), Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"))
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+    val chunks = evs.grouped(per).toSeq
+    chunks.zipWithIndex.foreach { case (b, i) =>
+      val redelivered = if (i == 0) b else chunks(i - 1).takeRight(3) ++ b
+      in.addData(redelivered.toSeq ++ redelivered.toSeq) // in-batch dups
+      q.processAllAvailable()
+    }
+    finish(s, nm, q)
+  }
+
   /** W514 gate: the STATE DATA SOURCE (`spark.read.format("statestore")`,
     * Spark 4) — checkpointed operator state inspected as a first-class
     * batch read, the on-call path when a stateful stream misbehaves.

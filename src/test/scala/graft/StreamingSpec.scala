@@ -513,4 +513,63 @@ class StreamingSpec extends SparkSpec {
       .sorted
     assert(got.toSeq == want.toSeq)
   }
+
+  test("outerJoinReplay: inner pairs equal the batch join and every " +
+      "unmatched click flushes with the -1 sentinel") {
+    import graft.streaming.StreamReplay
+    val c = Tables.events(spark, sf).filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("l_event_id"),
+        col("ts").as("l_ts"))
+    val p = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("r_event_id"), col("ts").as("r_ts"))
+    val want = c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("l_ts") >= col("r_ts") - expr("INTERVAL 3600 SECONDS") &&
+          col("l_ts") <= col("r_ts"), "left_outer")
+      .select(col("user_id"), col("l_event_id"),
+        coalesce(col("r_event_id"), lit(-1L)).as("r_event_id"),
+        unix_timestamp(col("l_ts")).as("l_ep"),
+        coalesce(unix_timestamp(col("r_ts")), lit(-1L)).as("r_ep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted
+    val got = StreamReplay.outerJoinReplay(spark, sf, nBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(_._3 == -1L), "no outer rows surfaced — the " +
+      "flush sentinel did not advance the watermark")
+  }
+
+  test("dedupWithinWatermarkReplay: re-delivered tails and in-batch " +
+      "dups collapse to exactly-once") {
+    import graft.streaming.StreamReplay
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).sorted
+    val got = StreamReplay.dedupWithinWatermarkReplay(spark, sf,
+        nBatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("variantRoundtrip: variant_get recovers the typed aggregates " +
+      "bit-exactly and the missing path stays null") {
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"),
+        sum(col("user_id")).as("uid_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), 0L)).sorted
+    val got = graft.operators.VariantOps.variantRoundtrip(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
 }
