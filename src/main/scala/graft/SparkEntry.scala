@@ -763,6 +763,9 @@ object SparkEntry {
     "stream_dedup_wm_replay" ->
       ((s, d) => graft.streaming.StreamReplay.dedupWithinWatermarkReplay(s, d)),
     "variant_roundtrip" -> ((s, d) => VariantOps.variantRoundtrip(s, d)),
+    "stream_state_metadata_audit" ->
+      ((s, d) => graft.streaming.StreamReplay.stateMetadataAudit(s, d)),
+    "xml_roundtrip" -> ((s, d) => VariantOps.xmlRoundtrip(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14302,6 +14305,23 @@ object SparkEntry {
              AS v_cents,
            sum(user_id)::BIGINT AS uid_sum,
            0::BIGINT AS n_phantom
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // the checkpoint's operator registry after 2 fed batches: one
+    // deterministic row (operator 0, FMGS, default store, the replay's
+    // 4 shuffle partitions, batch range 0..1)
+    "stream_state_metadata_audit" ->
+      """SELECT 0::BIGINT AS operator_id,
+           'flatMapGroupsWithState' AS operator_name,
+           'default' AS state_store_name,
+           4::INTEGER AS num_partitions,
+           0::BIGINT AS min_batch_id,
+           1::BIGINT AS max_batch_id""",
+    // XML hop (to_xml -> from_xml) preserves the typed aggregates
+    "xml_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents,
+           sum(user_id)::BIGINT AS uid_sum
          FROM events GROUP BY 1 ORDER BY 1""",
   )
 

@@ -38,4 +38,32 @@ object VariantOps {
         sum(when(col("miss").isNull, 0L).otherwise(1L)).as("n_phantom"))
       .orderBy("event_type")
   }
+
+  /** XML ingestion roundtrip (W518 sibling, W519): Spark 4's built-in
+    * XML path (`to_xml` / `from_xml`, the spark-xml lineage merged into
+    * core) — each event serializes to an XML `<ROW>` document and
+    * parses back through an explicit schema; the per-type aggregates
+    * recovered from the XML hop must equal the typed-column
+    * aggregates bit-exactly (doubles print shortest-roundtrip, and the
+    * event_type vocabulary needs no XML escaping — escaping itself is
+    * the parser's concern either way since to_xml writes entities).
+    * Scale: one scan + one type-keyed rollup, row-local parse cost.
+    */
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.events(s, dir)
+      .select(to_xml(struct(col("user_id"), col("event_type"),
+        col("value"))).as("x"))
+    val back = x.select(from_xml(col("x"),
+        lit("STRUCT<user_id: BIGINT, event_type: STRING, value: DOUBLE>"))
+        .as("r"))
+      .select(col("r.user_id").as("user_id"),
+        col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+    back.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"),
+        sum(col("user_id")).as("uid_sum"))
+      .orderBy("event_type")
+  }
 }

@@ -859,6 +859,48 @@ object StreamReplay {
     out
   }
 
+  /** W518 gate: the STATE-METADATA source
+    * (`spark.read.format("state-metadata")`) — the checkpoint's
+    * operator registry read as a batch DataFrame, the first thing an
+    * operator upgrade or state migration inspects (which stateful
+    * operators exist, under which store names, spanning which batch
+    * range). Two fed batches produce one deterministic row: operator 0,
+    * FMGS, the default store, the replay's 4 shuffle partitions,
+    * batches 0..1.
+    */
+  def stateMetadataAudit(s: SparkSession, dir: String,
+                         nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir).map(e =>
+      StreamOps.Event(e.user_id, e.event_id, e.ts.getTime / 1000, e.value))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_state_md").toString
+    val in = MemoryStream[StreamOps.Event]
+    val nm = s"stream_smd_${ctr.incrementAndGet()}"
+    val q = StreamOps.runningCounts(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(nm)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+    evs.grouped(per).take(2).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    s.catalog.dropTempView(nm)
+    val out = s.read.format("state-metadata").load(s"$root/ckpt")
+      .select(col("operatorId").as("operator_id"),
+        col("operatorName").as("operator_name"),
+        col("stateStoreName").as("state_store_name"),
+        col("numPartitions").as("num_partitions"),
+        col("minBatchId").as("min_batch_id"),
+        col("maxBatchId").as("max_batch_id"))
+      .orderBy("operator_id")
+      .localCheckpoint() // materialize before the checkpoint is deleted
+    deleteRec(root)
+    out
+  }
+
   private def deleteRec(root: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

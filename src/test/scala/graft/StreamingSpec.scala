@@ -557,6 +557,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stateMetadataAudit: the checkpoint registry surfaces the one " +
+      "FMGS operator with its batch span") {
+    import graft.streaming.StreamReplay
+    val got = StreamReplay.stateMetadataAudit(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getString(1) == "flatMapGroupsWithState"
+      && r.getString(2) == "default" && r.getInt(3) == 4 &&
+      r.getLong(4) == 0L && r.getLong(5) == 1L, r.toString)
+  }
+
+  test("xmlRoundtrip: the to_xml/from_xml hop preserves the typed " +
+      "aggregates bit-exactly") {
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"),
+        sum(col("user_id")).as("uid_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    val got = graft.operators.VariantOps.xmlRoundtrip(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("variantRoundtrip: variant_get recovers the typed aggregates " +
       "bit-exactly and the missing path stays null") {
     val want = Tables.events(spark, sf)
