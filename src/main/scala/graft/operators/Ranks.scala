@@ -60,13 +60,28 @@ object Ranks {
     * through its double image; the double cast is monotone and ties
     * stay together, so exact-typed order is preserved); `tieCol` may
     * be any orderable type. The input is persisted via [[CacheScope]]
-    * — the boundary aggregate and the bucketed scan both read it.
+    * — the boundary aggregate and the bucketed scan both read it, and
+    * the cache-materializing count doubles as the sizing pass:
+    * `buckets = 0` (the default) auto-sizes to ~2^16 rows per bucket,
+    * clamped to [4, 4096], so one window partition stays
+    * executor-sized at ANY corpus scale without a hand-tuned knob
+    * (bucket placement never affects the ranks, only balance).
     */
   def ranked(df: DataFrame, valueCol: String, tieCol: String,
              rankCol: String, runningSums: Seq[(String, String)] = Nil,
-             buckets: Int = 64): DataFrame = {
+             buckets: Int = 0): DataFrame = {
     val in = df.persist()
-    CacheScope.register(in)
+    val n = in.count() // materializes the cache AND sizes the buckets
+    CacheScope.track(in)
+    val autoB = math.max(4L, math.min(4096L, n >> 16)).toInt
+    val nb = if (buckets > 0) buckets else autoB
+    rankedWith(in, valueCol, tieCol, rankCol, runningSums, nb)
+  }
+
+  private def rankedWith(in: DataFrame, valueCol: String, tieCol: String,
+                         rankCol: String,
+                         runningSums: Seq[(String, String)],
+                         buckets: Int): DataFrame = {
     val v = col(valueCol).cast("double")
     val qs = array((1 until buckets).map(i =>
       lit(i.toDouble / buckets)): _*)
