@@ -77,6 +77,8 @@ class Round8OpsSpec extends SparkSpec {
         round(lit(2.0) * sum(col("i") * col("n_tokens")) /
           (count(lit(1)) * sum(col("n_tokens"))) -
           (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+    assert(globalWindows(want) == 1,
+      "negative control: the counter must see the legacy global window")
     val got = Curation.tokenGini(spark, sf)
     assert(rows(got) == rows(want))
     // the one surviving global window cumulates over DISTINCT document
@@ -134,6 +136,8 @@ class Round8OpsSpec extends SparkSpec {
         q((col("cpos").cast("double") / col("cn")) /
           (col("tp").cast("double") / col("tn")), 6).as("lift"))
       .orderBy("decile")
+    assert(globalWindows(want) >= 2,
+      "negative control: legacy NTILE + spine windows must be counted")
     val got = Ml.gainsTable(spark, sf)
     assert(rows(got) == rows(want))
     assert(globalWindows(got) == 0)
