@@ -766,6 +766,9 @@ object SparkEntry {
     "stream_state_metadata_audit" ->
       ((s, d) => graft.streaming.StreamReplay.stateMetadataAudit(s, d)),
     "xml_roundtrip" -> ((s, d) => VariantOps.xmlRoundtrip(s, d)),
+    "stream_available_now_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.availableNowReplay(s, d)),
+    "named_params_sql" -> ((s, d) => Relational.namedParamsSql(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14323,6 +14326,20 @@ object SparkEntry {
              AS v_cents,
            sum(user_id)::BIGINT AS uid_sum
          FROM events GROUP BY 1 ORDER BY 1""",
+    // file-source + AvailableNow backfill: the complete-mode census is
+    // split-invariant, so the sink equals the plain batch aggregate
+    "stream_available_now_replay" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // the :m/:r binding must equal this literal-inlined restatement
+    "named_params_sql" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents
+         FROM events WHERE user_id % 7 = 3
+         GROUP BY event_type ORDER BY event_type""",
   )
 
   private def sqlList(words: Seq[String]): String =

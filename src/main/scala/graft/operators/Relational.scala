@@ -3501,5 +3501,24 @@ object Relational {
           .as("reorder_point"))
       .orderBy("p_brand")
   }
+
+  /** Named-parameter SQL (W521): `spark.sql(text, args)` — the
+    * injection-safe parameter-binding API (`:m`, `:r` markers bound
+    * from a Map, never string-spliced), the surface a query service
+    * exposes to callers. The gate pins that binding semantics equal
+    * the literal-inlined SQL the oracle runs: one cohort filter + the
+    * usual type rollup.
+    */
+  def namedParamsSql(s: SparkSession, dir: String,
+                     m: Int = 7, r: Int = 3): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events_np")
+    s.sql(
+      """SELECT event_type, count(*) AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
+         FROM graft_events_np
+         WHERE pmod(user_id, :m) = :r
+         GROUP BY event_type ORDER BY event_type""",
+      Map("m" -> m, "r" -> r))
+  }
 }
 

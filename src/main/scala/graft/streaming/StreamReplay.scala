@@ -901,6 +901,44 @@ object StreamReplay {
     out
   }
 
+  /** W520 gate: FILE-SOURCE streaming + `Trigger.AvailableNow` — the
+    * backfill shape (process everything already on disk as a bounded
+    * stream, then stop) over the fixture's own parquet files, paced to
+    * one file per micro-batch. Every other replay feeds a
+    * MemoryStream; this one exercises the FileStreamSource's listing /
+    * offset tracking and the self-terminating trigger. Complete-mode
+    * census to the sink: the final table must equal the batch
+    * aggregate however the files split into batches.
+    */
+  def availableNowReplay(s: SparkSession, dir: String): DataFrame =
+    withReplayConf(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    // the fixture table is one parquet FILE; a file stream needs a
+    // directory, so stage it as 4 files — which also makes the
+    // one-file-per-trigger split a real 4-batch backfill
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_avnow").toString
+    val staged = s"$root/events"
+    Tables.events(s, dir).repartition(4).write.parquet(staged)
+    val schema = Tables.events(s, dir).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val nm = s"stream_avnow_${ctr.incrementAndGet()}"
+    val q = src.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .writeStream.outputMode("complete").format("memory").queryName(nm)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000) // AvailableNow self-terminates when caught up
+    val out = s.table(nm).localCheckpoint()
+    s.catalog.dropTempView(nm)
+    deleteRec(root)
+    out.orderBy("event_type")
+  }
+
   private def deleteRec(root: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

@@ -584,6 +584,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("availableNowReplay: file-source backfill census is " +
+      "split-invariant and equals the batch aggregate") {
+    import graft.streaming.StreamReplay
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val got = StreamReplay.availableNowReplay(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("namedParamsSql: :m/:r binding equals the literal-inlined SQL") {
+    val want = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(7)) === 3)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val got = graft.operators.Relational.namedParamsSql(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
   test("variantRoundtrip: variant_get recovers the typed aggregates " +
       "bit-exactly and the missing path stays null") {
     val want = Tables.events(spark, sf)
