@@ -769,6 +769,9 @@ object SparkEntry {
     "stream_available_now_replay" ->
       ((s, d) => graft.streaming.StreamReplay.availableNowReplay(s, d)),
     "named_params_sql" -> ((s, d) => Relational.namedParamsSql(s, d)),
+    "recursive_cte_ema" -> ((s, d) => Relational.recursiveCteEma(s, d)),
+    "sql_udf_rollup" -> ((s, d) => Relational.sqlUdfRollup(s, d)),
+    "session_vars_sql" -> ((s, d) => Relational.sessionVarsSql(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14339,6 +14342,26 @@ object SparkEntry {
            sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
              AS v_cents
          FROM events WHERE user_id % 7 = 3
+         GROUP BY event_type ORDER BY event_type""",
+    // the SAME recursive-CTE text both engines run verbatim (linear
+    // 12-step recursion; identical double chain -> identical 1e-6 EMA)
+    "recursive_cte_ema" -> graft.operators.Relational
+      .recursiveCteEmaSql("orders"),
+    // the SQL-defined function inlines to exactly this expression
+    "sql_udf_rollup" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the session variable's exact cent-grid mean, inlined as a
+    // scalar subquery with the same division order
+    "session_vars_sql" ->
+      """WITH cut AS (
+           SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS DOUBLE) / count(*) / 100 AS c
+           FROM events)
+         SELECT event_type, count(*)::BIGINT AS n_above
+         FROM events, cut WHERE value > c
          GROUP BY event_type ORDER BY event_type""",
   )
 

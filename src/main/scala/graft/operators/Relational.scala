@@ -3520,5 +3520,84 @@ object Relational {
          GROUP BY event_type ORDER BY event_type""",
       Map("m" -> m, "r" -> r))
   }
+
+  /** Recursive-CTE EMA (W522): month-of-year order counts smoothed by
+    * the exponential recurrence e(m) = 0.3·n(m) + 0.7·e(m−1) — the
+    * canonical computation plain SQL windows cannot express (each row
+    * needs the PREVIOUS row's OUTPUT) and the first exercise of Spark
+    * 4's `WITH RECURSIVE`. One SQL string, two engines: the linear
+    * recursion (12 steps, anchor at month 1, recursive member joins
+    * the next month) runs verbatim in DuckDB, and the double chain
+    * multiplies in the same order on both, so the 1e-6-grid quantized
+    * EMA is bit-identical. The `CAST(0.3 AS DOUBLE)` is load-bearing:
+    * a bare 0.3 parses as DECIMAL(1,1) in Spark but DOUBLE in DuckDB —
+    * the cross-engine literal-typing trap the dtype guard exists for.
+    * Scale: the corpus-bound work is ONE month-keyed partial-agg scan;
+    * the recursion iterates over a 12-row spine.
+    */
+  def recursiveCteEma(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_rc")
+    s.sql(recursiveCteEmaSql("graft_orders_rc"))
+  }
+
+  /** The shared two-engine SQL text (table name injected so the oracle
+    * runs it against DuckDB's `orders` view verbatim). */
+  def recursiveCteEmaSql(table: String): String =
+    s"""WITH RECURSIVE cnt AS (
+          SELECT CAST(month(o_orderdate) AS INT) AS mn, count(*) AS n
+          FROM $table GROUP BY 1),
+        ema(mn, n, e) AS (
+          SELECT mn, n, CAST(n AS DOUBLE) FROM cnt WHERE mn = 1
+          UNION ALL
+          SELECT c.mn, c.n,
+                 CAST(0.3 AS DOUBLE) * c.n + CAST(0.7 AS DOUBLE) * ema.e
+          FROM ema JOIN cnt c ON c.mn = ema.mn + 1)
+        SELECT mn AS mth, n AS n_orders,
+               floor(e * 1e6 + 0.5) / 1e6 AS ema
+        FROM ema ORDER BY mn"""
+
+  /** SQL-defined functions (W523): `CREATE TEMPORARY FUNCTION …
+    * RETURN <expr>` — logic shipped as SQL and inlined by Catalyst at
+    * plan time (no closure, no serialization, full codegen), the shape
+    * a SQL-first team uses instead of Scala UDFs. A scalar function
+    * (the engine's cent-grid quantizer) feeds the usual type rollup;
+    * the gate pins that the function registry + inlining produce
+    * exactly the hand-inlined expression's results.
+    */
+  def sqlUdfRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events_udf")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+             RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)""")
+    s.sql(
+      """SELECT event_type, count(*) AS n_events,
+               sum(graft_cents(value)) AS v_cents
+         FROM graft_events_udf
+         GROUP BY event_type ORDER BY event_type""")
+  }
+
+  /** Session variables + EXECUTE IMMEDIATE (W524): `DECLARE VARIABLE`,
+    * `SET VARIABLE … = (scalar subquery)`, then the final query runs
+    * through `EXECUTE IMMEDIATE … USING` the variable — the scripted
+    * two-step (compute a corpus statistic, parameterize the next query
+    * with it) a SQL workflow engine runs. The cut is the exact
+    * cent-grid mean (integer sum ÷ count, division order pinned), so
+    * the variable's value — and therefore the filtered rollup — is
+    * bit-identical to the oracle's inlined scalar subquery.
+    */
+  def sessionVarsSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events_sv")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_cut DOUBLE")
+    s.sql(
+      """SET VARIABLE graft_cut =
+           (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) / count(*) / 100
+            FROM graft_events_sv)""")
+    s.sql(
+      """EXECUTE IMMEDIATE
+           'SELECT event_type, count(*) AS n_above
+            FROM graft_events_sv WHERE value > ?
+            GROUP BY event_type ORDER BY event_type'
+         USING graft_cut""")
+  }
 }
 

@@ -182,4 +182,51 @@ class Round8OpsSpec extends SparkSpec {
     assert(rs.map(_.toString).sorted.toSeq == rows(want))
     CacheScope.release(spark)
   }
+
+  test("recursive_cte_ema: anchor + 11 recursive steps reproduce the " +
+      "driver-side fold") {
+    val cnt = Tables.orders(spark, sf)
+      .groupBy(month(col("o_orderdate")).as("mn"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(cnt.length == 12)
+    var e = cnt.head._2.toDouble
+    val want = cnt.map { case (mn, n) =>
+      if (mn > 1) e = 0.3 * n + 0.7 * e
+      (mn, n, math.floor(e * 1e6 + 0.5) / 1e6)
+    }
+    val got = Relational.recursiveCteEma(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("sql_udf_rollup: the registered SQL function inlines to the " +
+      "hand-written expression") {
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val got = Relational.sqlUdfRollup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("session_vars_sql: the variable binds the exact cent-grid mean " +
+      "and EXECUTE IMMEDIATE filters with it") {
+    val cut = Tables.events(spark, sf)
+      .agg((sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .cast("double") / count(lit(1)) / 100).as("c"))
+      .collect().head.getDouble(0)
+    val want = Tables.events(spark, sf)
+      .filter(col("value") > cut)
+      .groupBy("event_type").agg(count(lit(1)).as("n_above"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val got = Relational.sessionVarsSql(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
 }
