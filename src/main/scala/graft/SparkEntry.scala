@@ -772,6 +772,9 @@ object SparkEntry {
     "recursive_cte_ema" -> ((s, d) => Relational.recursiveCteEma(s, d)),
     "sql_udf_rollup" -> ((s, d) => Relational.sqlUdfRollup(s, d)),
     "session_vars_sql" -> ((s, d) => Relational.sessionVarsSql(s, d)),
+    "sql_scripting_newton" ->
+      ((s, d) => Relational.sqlScriptingNewton(s, d)),
+    "pipe_syntax_rollup" -> ((s, d) => Relational.pipeSyntaxRollup(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14362,6 +14365,26 @@ object SparkEntry {
            FROM events)
          SELECT event_type, count(*)::BIGINT AS n_above
          FROM events, cut WHERE value > c
+         GROUP BY event_type ORDER BY event_type""",
+    // the scripting WHILE loop's float chain, restated as a recursive
+    // CTE with the identical IEEE op order (x + n/x) / 2
+    "sql_scripting_newton" ->
+      """WITH RECURSIVE s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+         it(k, x) AS (
+           SELECT 0, n FROM s
+           UNION ALL
+           SELECT k + 1, (x + (SELECT n FROM s) / x) / CAST(2 AS DOUBLE)
+           FROM it WHERE k < 20)
+         SELECT CAST((SELECT n FROM s) AS BIGINT) AS n_orders,
+                floor(x * 1e9 + 0.5) / 1e9 AS newton_sqrt
+         FROM it WHERE k = 20""",
+    // the pipe spelling must lower to exactly this classic query
+    "pipe_syntax_rollup" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents
+         FROM events WHERE user_id % 2 = 0
          GROUP BY event_type ORDER BY event_type""",
   )
 

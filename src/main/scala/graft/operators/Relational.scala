@@ -3599,5 +3599,48 @@ object Relational {
             GROUP BY event_type ORDER BY event_type'
          USING graft_cut""")
   }
+
+  /** SQL scripting (W525): a `BEGIN … WHILE … END` compound statement
+    * — Spark 4's procedural control flow — runs 20 Newton iterations
+    * x ← (x + n/x)/2 toward √n of the order count, returning the last
+    * statement's result. The oracle restates the SAME float sequence
+    * as a DuckDB recursive CTE: identical IEEE op order, so the
+    * 1e-9-grid root is bit-identical — control-flow machinery gated
+    * against recursion machinery computing one chain. Driver-sized:
+    * the corpus contributes one count; the loop is 20 scalar steps.
+    */
+  def sqlScriptingNewton(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_sc")
+    s.sql(
+      """BEGIN
+           DECLARE n DOUBLE;
+           DECLARE x DOUBLE;
+           DECLARE k INT DEFAULT 0;
+           SET n = (SELECT CAST(count(*) AS DOUBLE) FROM graft_orders_sc);
+           SET x = n;
+           WHILE k < 20 DO
+             SET x = (x + n / x) / CAST(2 AS DOUBLE);
+             SET k = k + 1;
+           END WHILE;
+           SELECT CAST(n AS BIGINT) AS n_orders,
+                  floor(x * 1e9 + 0.5) / 1e9 AS newton_sqrt;
+         END""")
+  }
+
+  /** SQL pipe syntax (W526): Spark 4's `|>` operators — the
+    * top-to-bottom dataflow spelling of filter → aggregate → order.
+    * The gate pins the pipe FRONTEND lowers to exactly the classic
+    * query's plan semantics (the oracle is the plain-SQL restatement).
+    */
+  def pipeSyntaxRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events_pipe")
+    s.sql(
+      """FROM graft_events_pipe
+         |> WHERE pmod(user_id, 2) = 0
+         |> AGGREGATE count(*) AS n_events,
+              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents
+            GROUP BY event_type
+         |> ORDER BY event_type""")
+  }
 }
 

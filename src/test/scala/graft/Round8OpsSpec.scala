@@ -229,4 +229,31 @@ class Round8OpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
+
+  test("sql_scripting_newton: the WHILE loop reproduces the " +
+      "driver-side Newton fold bit-exactly") {
+    val n = Tables.orders(spark, sf).count().toDouble
+    var x = n
+    for (_ <- 0 until 20) x = (x + n / x) / 2.0
+    val want = (n.toLong, math.floor(x * 1e9 + 0.5) / 1e9)
+    val got = Relational.sqlScriptingNewton(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    assert(got == want)
+  }
+
+  test("pipe_syntax_rollup: the |> spelling lowers to the classic " +
+      "query's results") {
+    val want = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(2)) === 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val got = Relational.pipeSyntaxRollup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
 }
