@@ -775,6 +775,7 @@ object SparkEntry {
     "sql_scripting_newton" ->
       ((s, d) => Relational.sqlScriptingNewton(s, d)),
     "pipe_syntax_rollup" -> ((s, d) => Relational.pipeSyntaxRollup(s, d)),
+    "sql_table_function" -> ((s, d) => Relational.sqlTableFunction(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14386,6 +14387,12 @@ object SparkEntry {
              AS v_cents
          FROM events WHERE user_id % 2 = 0
          GROUP BY event_type ORDER BY event_type""",
+    // the SQL TVF's spine expansion, inlined as a series
+    "sql_table_function" ->
+      """SELECT t.mn AS mth, count(o.o_orderkey)::BIGINT AS n_orders
+         FROM (SELECT unnest(range(1, 13))::INT AS mn) t
+         LEFT JOIN orders o ON month(o.o_orderdate) = t.mn
+         GROUP BY t.mn ORDER BY t.mn""",
   )
 
   private def sqlList(words: Seq[String]): String =

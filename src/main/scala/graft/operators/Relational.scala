@@ -3642,5 +3642,25 @@ object Relational {
             GROUP BY event_type
          |> ORDER BY event_type""")
   }
+
+  /** SQL table-valued function (W527): `CREATE TEMPORARY FUNCTION …
+    * RETURNS TABLE(…) RETURN SELECT …` — a SQL-defined relation
+    * appearing in the FROM clause like any table (the spine-generator
+    * shape every densification query wants as a named reusable). The
+    * parameterized month spine LEFT JOINs the order counts; the gate
+    * pins the TVF's expansion against the oracle's inline series.
+    */
+  def sqlTableFunction(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_tvf")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_mspine(n INT)
+         RETURNS TABLE(mn INT)
+         RETURN SELECT explode(sequence(1, n)) AS mn""")
+    s.sql(
+      """SELECT t.mn AS mth, count(o.o_orderkey) AS n_orders
+         FROM graft_mspine(12) t
+         LEFT JOIN graft_orders_tvf o ON month(o.o_orderdate) = t.mn
+         GROUP BY t.mn ORDER BY t.mn""")
+  }
 }
 

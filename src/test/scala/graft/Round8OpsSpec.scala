@@ -256,4 +256,15 @@ class Round8OpsSpec extends SparkSpec {
       .sorted
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
+
+  test("sql_table_function: the TVF month spine joins to the same " +
+      "counts as an explicit series") {
+    val want = Tables.orders(spark, sf)
+      .groupBy(month(col("o_orderdate")).as("mth"))
+      .agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val got = Relational.sqlTableFunction(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(got.toSeq == want.toSeq && got.length == 12)
+  }
 }
