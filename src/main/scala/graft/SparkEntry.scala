@@ -776,6 +776,10 @@ object SparkEntry {
       ((s, d) => Relational.sqlScriptingNewton(s, d)),
     "pipe_syntax_rollup" -> ((s, d) => Relational.pipeSyntaxRollup(s, d)),
     "sql_table_function" -> ((s, d) => Relational.sqlTableFunction(s, d)),
+    "stream_union_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.unionReplay(s, d)),
+    "stream_observe_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.observeStreamReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14393,6 +14397,18 @@ object SparkEntry {
          FROM (SELECT unnest(range(1, 13))::INT AS mn) t
          LEFT JOIN orders o ON month(o.o_orderdate) = t.mn
          GROUP BY t.mn ORDER BY t.mn""",
+    // two unioned sources must census to the single-source aggregate
+    "stream_union_replay" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // summed per-batch observe() metrics = the batch totals
+    "stream_observe_replay" ->
+      """SELECT count(*)::BIGINT AS rows_total,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS cents_total
+         FROM events""",
   )
 
   private def sqlList(words: Seq[String]): String =

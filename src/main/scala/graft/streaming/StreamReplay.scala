@@ -939,6 +939,80 @@ object StreamReplay {
     out.orderBy("event_type")
   }
 
+  /** W528 gate: streaming UNION of two sources — the multi-feed ingest
+    * shape (two kafka topics / two directories landing in one
+    * pipeline). The fixture splits by alternating index across two
+    * MemoryStreams feeding one unioned complete-mode census; the sink
+    * must equal the single-source batch aggregate, pinning that the
+    * union'd micro-batch planner loses/duplicates nothing across the
+    * two sources' independent offset logs.
+    */
+  def unionReplay(s: SparkSession, dir: String,
+                  nBatches: Int = 4): DataFrame = withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val a = MemoryStream[REvent]
+    val b = MemoryStream[REvent]
+    val nm = s"stream_union_${ctr.incrementAndGet()}"
+    val q = a.toDF().union(b.toDF())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .writeStream.outputMode("complete").format("memory").queryName(nm)
+      .start()
+    val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+    evs.grouped(per).foreach { chunk =>
+      val (ea, eb) = chunk.zipWithIndex.partition(_._2 % 2 == 0)
+      a.addData(ea.map(_._1).toSeq)
+      b.addData(eb.map(_._1).toSeq)
+      q.processAllAvailable()
+    }
+    finish(s, nm, q).orderBy("event_type")
+  }
+
+  /** W529 gate: STREAMING `observe()` metrics — per-batch data-quality
+    * counters riding the stream for free (CollectMetrics inside the
+    * micro-batch plan, surfaced through `StreamingQueryProgress
+    * .observedMetrics`, the hook a production monitor subscribes to).
+    * The driver folds every batch's reported (rows, cents); the totals
+    * must equal the batch aggregate — each micro-batch must have
+    * reported exactly its own slice, no batch silent or double-counted.
+    */
+  def observeStreamReplay(s: SparkSession, dir: String,
+                          nBatches: Int = 4): DataFrame =
+    withReplayConf(s) {
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val in = MemoryStream[REvent]
+    val nm = s"stream_obs_${ctr.incrementAndGet()}"
+    val q = in.toDF()
+      .observe("graft_metrics", count(lit(1)).as("rows"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      .select(col("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName(nm)
+      .start()
+    feed(in, q, evs.toSeq, nBatches)
+    q.processAllAvailable()
+    val perBatch = q.recentProgress.toSeq
+      // keep only entries CARRYING metrics, then dedupe by batchId —
+      // an idle (no-data) progress event reuses the last batchId with
+      // no observedMetrics and must not shadow the real entry
+      .flatMap(p => Option(p.observedMetrics.get("graft_metrics"))
+        .map(m => p.batchId -> m))
+      .groupBy(_._1).map(_._2.head._2)
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))) // empty batch: null sum
+      .toSeq
+    q.stop()
+    s.catalog.dropTempView(nm)
+    s.createDataFrame(Seq((perBatch.map(_._1).sum,
+      perBatch.map(_._2).sum)))
+      .toDF("rows_total", "cents_total")
+  }
+
   private def deleteRec(root: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

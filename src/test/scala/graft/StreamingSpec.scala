@@ -630,4 +630,33 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).sorted
     assert(got.toSeq == want.toSeq)
   }
+
+  test("unionReplay: two alternating feeds census to the single-source " +
+      "aggregate") {
+    import graft.streaming.StreamReplay
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val got = StreamReplay.unionReplay(spark, sf, nBatches = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("observeStreamReplay: folded per-batch observed metrics equal " +
+      "the batch totals") {
+    import graft.streaming.StreamReplay
+    val want = Tables.events(spark, sf)
+      .agg(count(lit(1)).as("rows_total"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("cents_total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val got = StreamReplay.observeStreamReplay(spark, sf, nBatches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got == want)
+  }
 }
