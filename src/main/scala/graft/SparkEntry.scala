@@ -780,6 +780,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.unionReplay(s, d)),
     "stream_observe_replay" ->
       ((s, d) => graft.streaming.StreamReplay.observeStreamReplay(s, d)),
+    "csv_roundtrip" -> ((s, d) => VariantOps.csvRoundtrip(s, d)),
+    "orc_roundtrip" -> ((s, d) => VariantOps.orcRoundtrip(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14409,6 +14411,19 @@ object SparkEntry {
            sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
              AS cents_total
          FROM events""",
+    // the CSV text hop preserves the typed aggregates
+    "csv_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents,
+           sum(user_id)::BIGINT AS uid_sum
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // the ORC write->scan hop preserves the typed aggregates
+    "orc_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

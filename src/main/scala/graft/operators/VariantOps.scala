@@ -66,4 +66,65 @@ object VariantOps {
         sum(col("user_id")).as("uid_sum"))
       .orderBy("event_type")
   }
+
+  /** CSV ingestion roundtrip (W530): the third serde hop after VARIANT
+    * JSON and XML — `to_csv` / `from_csv` with an explicit schema (the
+    * flat-file lingua franca every ingest boundary still speaks).
+    * Same contract: per-type aggregates recovered from the CSV text
+    * must equal the typed-column aggregates bit-exactly (doubles print
+    * shortest-roundtrip; event_type has no delimiter/quote characters,
+    * and quoting is the parser's concern regardless).
+    */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .select(to_csv(struct(col("user_id"), col("event_type"),
+        col("value"))).as("c"))
+    val back = c.select(from_csv(col("c"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, event_type STRING, value DOUBLE"),
+        Map.empty[String, String]).as("r"))
+      .select(col("r.user_id").as("user_id"),
+        col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+    back.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"),
+        sum(col("user_id")).as("uid_sum"))
+      .orderBy("event_type")
+  }
+
+  /** ORC sink + scan roundtrip (W531): the engine's columnar-format
+    * breadth beyond parquet — events written to ORC (zlib, the
+    * default) and read back must aggregate identically; the scan path
+    * exercises ORC's own predicate/column machinery (the readback
+    * projects 2 of 4 columns, so the ORC reader prunes). Staged in a
+    * temp dir, deleted after the readback materializes.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_orc").toString
+    val staged = s"$root/events_orc"
+    Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.orc(staged)
+    val out = s.read.orc(staged)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .orderBy("event_type")
+      .localCheckpoint() // materialize before the staging dir is deleted
+    deleteRec(root)
+    out
+  }
+
+  private def deleteRec(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -659,4 +659,24 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     assert(got == want)
   }
+
+  test("csvRoundtrip and orcRoundtrip: serde hops preserve the typed " +
+      "aggregates bit-exactly") {
+    val base = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"),
+        sum(col("user_id")).as("uid_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    val csv = graft.operators.VariantOps.csvRoundtrip(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    assert(csv == base)
+    val orc = graft.operators.VariantOps.orcRoundtrip(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(orc == base.map(t => (t._1, t._2, t._3)))
+  }
 }
