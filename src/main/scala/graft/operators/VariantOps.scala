@@ -102,21 +102,23 @@ object VariantOps {
     * temp dir, deleted after the readback materializes.
     */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    // try/finally: a failed write/read must still reclaim the staging
+    // tree, or retries accumulate leaked temp dirs (ADVICE r8)
     val root = java.nio.file.Files
       .createTempDirectory("graft_orc").toString
-    val staged = s"$root/events_orc"
-    Tables.events(s, dir)
-      .select("event_id", "user_id", "event_type", "value")
-      .write.orc(staged)
-    val out = s.read.orc(staged)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
-          .as("v_cents"))
-      .orderBy("event_type")
-      .localCheckpoint() // materialize before the staging dir is deleted
-    deleteRec(root)
-    out
+    try {
+      val staged = s"$root/events_orc"
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.orc(staged)
+      s.read.orc(staged)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("v_cents"))
+        .orderBy("event_type")
+        .localCheckpoint() // materialize before the staging dir is deleted
+    } finally deleteRec(root)
   }
 
   private def deleteRec(root: String): Unit = {

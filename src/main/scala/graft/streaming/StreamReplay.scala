@@ -639,8 +639,7 @@ object StreamReplay {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val evs = sortedEvents(s, dir)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_fb_replay").toString
+    inTempDir("graft_fb_replay") { root =>
     val sink = s"$root/sink"
     val in = MemoryStream[REvent]
     val q = in.toDF()
@@ -662,13 +661,12 @@ object StreamReplay {
       .start()
     feed(in, q, evs.toSeq, nBatches)
     q.stop()
-    val out = s.read.parquet(sink)
+    s.read.parquet(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("v_cents"))
       .orderBy("event_type")
       .localCheckpoint() // materialize before the sink dir is deleted
-    deleteRec(root)
-    out
+    }
   }
 
   /** W513 gate: RocksDB CHANGELOG CHECKPOINTING survives a mid-stream
@@ -701,8 +699,7 @@ object StreamReplay {
     try {
       val evs = sortedEvents(s, dir).map(e =>
         StreamOps.TypeUser(e.event_type, e.user_id))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_clog_replay").toString
+      inTempDir("graft_clog_replay") { root =>
       val sink = s"$root/sink"
       val in = MemoryStream[StreamOps.TypeUser]
       def start() = StreamOps.typeCensus(in.toDS()).toDF()
@@ -724,14 +721,13 @@ object StreamReplay {
       secondHalf.foreach { b => in.addData(b); q2.processAllAvailable() }
       q2.processAllAvailable()
       q2.stop()
-      val out = s.read.parquet(sink)
+      s.read.parquet(sink)
         .withColumn("rn", row_number().over(
           Window.partitionBy("user_id").orderBy(col("n_events").desc)))
         .filter(col("rn") === 1)
         .select("user_id", "n_events", "n_types")
         .localCheckpoint() // materialize before the sink dir is deleted
-      deleteRec(root)
-      out
+      }
     } finally {
       prevProv match {
         case Some(v) => s.conf.set(provKey, v)
@@ -834,8 +830,7 @@ object StreamReplay {
     import s.implicits._
     val evs = sortedEvents(s, dir).map(e =>
       StreamOps.Event(e.user_id, e.event_id, e.ts.getTime / 1000, e.value))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_state_src").toString
+    inTempDir("graft_state_src") { root =>
     val in = MemoryStream[StreamOps.Event]
     val nm = s"stream_ssrc_${ctr.incrementAndGet()}"
     val q = StreamOps.runningCounts(in.toDS())
@@ -848,15 +843,14 @@ object StreamReplay {
     }
     q.stop()
     s.catalog.dropTempView(nm)
-    val out = s.read.format("statestore").load(s"$root/ckpt")
+    s.read.format("statestore").load(s"$root/ckpt")
       // FMGS wraps the user state: value.groupState = the UserStats row
       .select(col("value.groupState.*"))
       .select(col("user_id"), col("n_events"),
         round(col("sum_value"), 4).as("sum_value"))
       .orderBy("user_id")
       .localCheckpoint() // materialize before the checkpoint is deleted
-    deleteRec(root)
-    out
+    }
   }
 
   /** W518 gate: the STATE-METADATA source
@@ -874,8 +868,7 @@ object StreamReplay {
     import s.implicits._
     val evs = sortedEvents(s, dir).map(e =>
       StreamOps.Event(e.user_id, e.event_id, e.ts.getTime / 1000, e.value))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_state_md").toString
+    inTempDir("graft_state_md") { root =>
     val in = MemoryStream[StreamOps.Event]
     val nm = s"stream_smd_${ctr.incrementAndGet()}"
     val q = StreamOps.runningCounts(in.toDS())
@@ -888,7 +881,7 @@ object StreamReplay {
     }
     q.stop()
     s.catalog.dropTempView(nm)
-    val out = s.read.format("state-metadata").load(s"$root/ckpt")
+    s.read.format("state-metadata").load(s"$root/ckpt")
       .select(col("operatorId").as("operator_id"),
         col("operatorName").as("operator_name"),
         col("stateStoreName").as("state_store_name"),
@@ -897,8 +890,7 @@ object StreamReplay {
         col("maxBatchId").as("max_batch_id"))
       .orderBy("operator_id")
       .localCheckpoint() // materialize before the checkpoint is deleted
-    deleteRec(root)
-    out
+    }
   }
 
   /** W520 gate: FILE-SOURCE streaming + `Trigger.AvailableNow` — the
@@ -916,8 +908,7 @@ object StreamReplay {
     // the fixture table is one parquet FILE; a file stream needs a
     // directory, so stage it as 4 files — which also makes the
     // one-file-per-trigger split a real 4-batch backfill
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_avnow").toString
+    inTempDir("graft_avnow") { root =>
     val staged = s"$root/events"
     Tables.events(s, dir).repartition(4).write.parquet(staged)
     val schema = Tables.events(s, dir).schema
@@ -932,11 +923,15 @@ object StreamReplay {
       .writeStream.outputMode("complete").format("memory").queryName(nm)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000) // AvailableNow self-terminates when caught up
+    // AvailableNow self-terminates when caught up; a false return means
+    // the 5-minute budget elapsed with the backfill still running —
+    // fail HERE instead of hashing a partial sink table (ADVICE r8)
+    assert(q.awaitTermination(300000),
+      "AvailableNow backfill did not terminate within 300s")
     val out = s.table(nm).localCheckpoint()
     s.catalog.dropTempView(nm)
-    deleteRec(root)
     out.orderBy("event_type")
+    }
   }
 
   /** W528 gate: streaming UNION of two sources — the multi-feed ingest
@@ -1021,5 +1016,15 @@ object StreamReplay {
       Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))
     }
+  }
+
+  /** Staging-dir scope: `body` gets a fresh temp root, reclaimed in a
+    * `finally` so a failing query/stream no longer leaks the tree
+    * (ADVICE r8 — failures used to skip the success-path deleteRec and
+    * accumulate across a 577-query board with retries). Results must be
+    * materialized (localCheckpoint) before `body` returns. */
+  private def inTempDir[T](prefix: String)(body: String => T): T = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(root) finally deleteRec(root)
   }
 }

@@ -8,12 +8,8 @@ package graft
 class ContractSpec extends SparkSpec {
 
   test("every queries entry runs and returns rows at sf0.001") {
-    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val n = fn(spark, sf).count()
-        spark.catalog.clearCache()
-        if (n == 0) Some(name) else None
-    }
+    val empty = planAudit.collect { case (name, (_, _, 0L)) => name }
+      .toSeq.sorted
     assert(empty.isEmpty, s"queries with empty results: $empty")
   }
 
@@ -85,25 +81,29 @@ class ContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries missing from SURVEY.md: $missing")
   }
 
-  // ONE construction per query, shared by the dtype and window-posture
-  // guards (ADVICE r7: the dtype test alone re-ran every streaming
-  // replay just to read .schema): name -> (surfaced schema, number of
+  // ONE construction + ONE count action per query, shared by the
+  // rows-gate, dtype, and window-posture guards (ADVICE r7 + VERDICT
+  // r8 #5: the rows test and the old plan audit each constructed every
+  // query — including running all 26 streaming replays — so the suite
+  // paid the replay tour twice): name -> (surfaced schema, number of
   // logical Window nodes with an EMPTY partitionSpec in the ANALYZED
-  // plan). The analyzed plan is read pre-cache-substitution, so
-  // persisted subtrees stay visible; eagerly localCheckpoint()'d frames
-  // truncate at the checkpoint — their upstream posture is covered by
-  // the operators' own plan specs (e.g. Round8OpsSpec pins Ranks).
+  // plan, row count at sf0.001). The analyzed plan is read
+  // pre-cache-substitution, so persisted subtrees stay visible;
+  // eagerly localCheckpoint()'d frames truncate at the checkpoint —
+  // their upstream posture is covered by the operators' own plan
+  // specs (e.g. Round8OpsSpec pins Ranks).
   private lazy val planAudit: Map[String,
-      (org.apache.spark.sql.types.StructType, Int)] = {
+      (org.apache.spark.sql.types.StructType, Int, Long)] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, sf)
       val n = df.queryExecution.analyzed.collect {
         case w: LWin if w.partitionSpec.isEmpty => w
       }.size
+      val rows = df.count()
       CacheScope.release(spark)
       spark.catalog.clearCache()
-      name -> ((df.schema, n))
+      name -> ((df.schema, n, rows))
     }.toMap
   }
 
