@@ -782,6 +782,10 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.observeStreamReplay(s, d)),
     "csv_roundtrip" -> ((s, d) => VariantOps.csvRoundtrip(s, d)),
     "orc_roundtrip" -> ((s, d) => VariantOps.orcRoundtrip(s, d)),
+    "dsv2_overwrite_audit" ->
+      ((s, d) => graft.sources.CatalogAudit.overwriteAudit(s, d)),
+    "stream_concurrent_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.concurrentReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14420,6 +14424,28 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY 1""",
     // the ORC write->scan hop preserves the typed aggregates
     "orc_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+             AS v_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // DSv2 catalog CTAS of (region -> nation) edges, then
+    // overwrite($"src" >= 2) replaces that key range with reversed
+    // (nation -> region) edges: readback = old rows with src < 2
+    // UNION ALL the replacement rows
+    "dsv2_overwrite_audit" ->
+      """WITH olde AS (SELECT n_regionkey::BIGINT AS src,
+                         n_nationkey::BIGINT AS dst FROM nation),
+         newe AS (SELECT n_nationkey::BIGINT AS src,
+                    n_regionkey::BIGINT AS dst FROM nation
+                  WHERE n_nationkey >= 2),
+         fin AS (SELECT * FROM olde WHERE src < 2
+                 UNION ALL SELECT * FROM newe)
+         SELECT src, count(*)::BIGINT AS n_edges,
+           sum(dst)::BIGINT AS dst_sum
+         FROM fin GROUP BY 1 ORDER BY 1""",
+    // two concurrent ProcessingTime queries, one census each over the
+    // alternating-index halves: summed sinks = the batch census
+    "stream_concurrent_replay" ->
       """SELECT event_type, count(*)::BIGINT AS n_events,
            sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
              AS v_cents

@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource-V2 `TableCatalog` over [[AdjacencyDataSource]] tables
+  * (W532): identifiers map to directories under a configured root
+  * (`spark.sql.catalog.<name>.root`), each directory an adjacency-list
+  * table. This is the piece that lets the adjacency source participate
+  * in name-resolved plans — `spark.table("cat.edges")`,
+  * `df.writeTo("cat.edges").create()/append()/overwrite(cond)` — so
+  * Catalyst's DSv2 rules (create-table-as-select, append, and
+  * OVERWRITE-BY-FILTER with the condition translated to source
+  * filters) drive the connector instead of path-string plumbing. At
+  * cluster scale the root is a shared filesystem prefix and the
+  * catalog is the graph-table namespace a 1000-executor job resolves
+  * against.
+  */
+class AdjacencyCatalog extends TableCatalog {
+  private var catName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("root")).getOrElse(throw
+      new IllegalArgumentException(
+        s"spark.sql.catalog.$name.root is required"))
+  }
+  override def name(): String = catName
+
+  private def dir(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(new Path(root))((p, s) => new Path(p, s))
+  private def fs: FileSystem =
+    FileSystem.get(new Path(root).toUri, AdjacencySource.driverConf())
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = namespace.foldLeft(new Path(root))((p, s) => new Path(p, s))
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base).filter(_.isDirectory)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(dir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = dir(ident)
+    if (!fs.exists(d)) throw new NoSuchTableException(ident)
+    new AdjacencyTable(d.toString, false)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-adjacency tables are unpartitioned (one neighbor-list " +
+        "directory); partition transforms are not supported")
+    val fields = schema.fields
+    require(fields.length == 2 && fields.forall(_.dataType == LongType) &&
+      fields.map(_.name).toSeq == Seq("src", "dst"),
+      s"graft-adjacency tables are (src: bigint, dst: bigint); " +
+        s"got ${schema.simpleString}")
+    val d = dir(ident)
+    if (fs.exists(d)) throw new TableAlreadyExistsException(ident)
+    fs.mkdirs(d)
+    new AdjacencyTable(d.toString, false)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-adjacency tables have a fixed (src, dst) schema")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = dir(ident)
+    fs.exists(d) && fs.delete(d, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.rename(dir(oldIdent), dir(newIdent)))
+      throw new java.io.IOException(
+        s"failed to rename ${dir(oldIdent)} to ${dir(newIdent)}")
+  }
+}
+
+/** The W532 gate query: drive the catalog + overwrite-by-filter path
+  * end-to-end and surface a census the DuckDB oracle can restate. */
+object CatalogAudit {
+  private val ctr = new AtomicLong(0L)
+
+  /** Creates an adjacency table through [[AdjacencyCatalog]] with
+    * CTAS (`writeTo(...).create()` — edges (region → nation) from the
+    * nation fixture), then REPLACES the src ≥ 2 key range with
+    * reversed (nation → region) edges via
+    * `writeTo(...).overwrite($"src" >= 2)` — Catalyst translates the
+    * condition to source filters, the connector rewrites surviving
+    * lines as a distributed per-file job, and the new data appends.
+    * Readback through `spark.table` resolves the same catalog. The
+    * census must equal: original edges with src < 2 ∪ replacement
+    * edges.
+    */
+  def overwriteAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_ow").toString
+    try {
+      val cat = s"graft_adj_c${ctr.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[AdjacencyCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val nation = graft.Tables.nation(s, dir)
+      nation.select(col("n_regionkey").cast("long").as("src"),
+          col("n_nationkey").cast("long").as("dst"))
+        .writeTo(s"$cat.edges").create()
+      nation.filter(col("n_nationkey") >= 2)
+        .select(col("n_nationkey").cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .writeTo(s"$cat.edges").overwrite(col("src") >= lit(2L))
+      s.table(s"$cat.edges")
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_edges"), sum("dst").as("dst_sum"))
+        .orderBy("src")
+        .localCheckpoint() // materialize before the root is deleted
+    } finally {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+}

@@ -15,11 +15,11 @@ import org.apache.spark.sql.connector.read.{
   ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
-  PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder,
+  PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder,
   WriterCommitMessage}
 import org.apache.spark.sql.sources.{
-  DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
-  LessThan, LessThanOrEqual}
+  AlwaysTrue, DataSourceRegister, EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -113,6 +113,67 @@ object AdjacencySource {
   }
 
   def listFiles(path: String): Seq[String] = listFiles(path, driverConf())
+
+  /** Conjunction of src-key comparisons as a single predicate — the
+    * overwrite-by-filter delete condition. Returns None if ANY filter
+    * is outside the supported set: unlike the reader's pushed filters
+    * (an optimization with Spark re-checking residuals above the
+    * scan), a delete condition is CORRECTNESS-bearing, so unsupported
+    * shapes must reject the write, never approximate it. */
+  private[sources] def srcPredicate(
+      filters: Seq[Filter]): Option[Long => Boolean] = {
+    val preds = filters.map {
+      case _: AlwaysTrue => Some((_: Long) => true)
+      case EqualTo("src", v: Long) => Some((s: Long) => s == v)
+      case GreaterThan("src", v: Long) => Some((s: Long) => s > v)
+      case GreaterThanOrEqual("src", v: Long) => Some((s: Long) => s >= v)
+      case LessThan("src", v: Long) => Some((s: Long) => s < v)
+      case LessThanOrEqual("src", v: Long) => Some((s: Long) => s <= v)
+      case _ => None
+    }
+    if (preds.exists(_.isEmpty)) None
+    else { val ps = preds.flatten; Some(s => ps.forall(_(s))) }
+  }
+
+  /** Task-side body of the distributed overwrite-by-filter maintenance
+    * job: rewrite ONE part file, dropping lines whose src matches the
+    * delete condition. A line with an unparseable src is kept — delete
+    * only what provably matches. The tmp-then-rename keeps a killed
+    * task from leaving a half-rewritten visible file (the hidden `.`
+    * prefix excludes the tmp from reader listings). */
+  private[sources] def rewriteDropping(file: String, filters: Seq[Filter],
+                                       conf: SerializableHadoopConf): Unit = {
+    val drop = srcPredicate(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-adjacency: unsupported delete condition $filters"))
+    val p = new Path(file)
+    val fs = FileSystem.get(p.toUri, conf.value)
+    val tmp = new Path(p.getParent, "." + p.getName + ".rw.tmp")
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    var kept = 0
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        val t = line.trim
+        val srcOpt =
+          if (t.isEmpty) None
+          else try Some(t.split("\\s+")(0).toLong)
+          catch { case _: NumberFormatException => None }
+        if (srcOpt.forall(s => !drop(s))) {
+          out.write(line); out.newLine(); kept += 1
+        }
+        line = in.readLine()
+      }
+    } finally { in.close(); out.close() }
+    fs.delete(p, false)
+    if (kept > 0) {
+      if (!fs.rename(tmp, p)) throw new java.io.IOException(
+        s"graft-adjacency: failed to finalize rewrite of $file")
+    } else fs.delete(tmp, false)
+  }
 }
 
 private[sources] class AdjacencyTable(path: String, permissive: Boolean)
@@ -122,7 +183,8 @@ private[sources] class AdjacencyTable(path: String, permissive: Boolean)
   override def schema(): StructType = AdjacencySource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AdjacencyScanBuilder(path, permissive)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -286,9 +348,18 @@ private[sources] class AdjacencyReader(
   */
 private[sources] class AdjacencyWriteBuilder(path: String,
                                              info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
-  private var doTruncate = false
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
+    extends WriteBuilder with SupportsOverwrite {
+  // None = plain append; Some(filters) = delete matching rows first
+  // (mode("overwrite")/truncate arrives as overwrite(AlwaysTrue) via
+  // SupportsOverwrite's default truncate())
+  private var deleteWhere: Option[Seq[Filter]] = None
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(AdjacencySource.srcPredicate(filters.toSeq).isDefined,
+      "graft-adjacency overwrite supports src-key comparisons " +
+        s"(=, <, <=, >, >=) and TRUE only; got ${filters.mkString(", ")}")
+    deleteWhere = Some(filters.toSeq)
+    this
+  }
   override def build(): Write = {
     val fields = info.schema().fields
     require(fields.length == 2 &&
@@ -298,12 +369,13 @@ private[sources] class AdjacencyWriteBuilder(path: String,
         s"got ${info.schema().simpleString}")
     new Write {
       override def toBatch: BatchWrite = new AdjacencyBatchWrite(
-        path, doTruncate, info.queryId())
+        path, deleteWhere, info.queryId())
     }
   }
 }
 
-private[sources] class AdjacencyBatchWrite(path: String, doTruncate: Boolean,
+private[sources] class AdjacencyBatchWrite(path: String,
+                                           deleteWhere: Option[Seq[Filter]],
                                            queryId: String)
     extends BatchWrite {
   private val conf = new SerializableHadoopConf(AdjacencySource.driverConf())
@@ -312,9 +384,32 @@ private[sources] class AdjacencyBatchWrite(path: String, doTruncate: Boolean,
       info: PhysicalWriteInfo): DataWriterFactory = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf.value)
-    if (doTruncate && fs.exists(p))
-      fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
-        .foreach(st => fs.delete(st.getPath, false))
+    deleteWhere match {
+      case Some(fls) if fls.isEmpty || fls.exists(_.isInstanceOf[AlwaysTrue]) =>
+        // truncate: drop every prior part- file up front on the driver
+        // (non-atomic, like any file-listing sink without a commit log)
+        if (fs.exists(p))
+          fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+            .foreach(st => fs.delete(st.getPath, false))
+      case Some(fls) =>
+        // overwrite-by-filter: rewrite surviving lines BEFORE the new
+        // data lands, as a DISTRIBUTED maintenance job — one task per
+        // part file, the same file-granular parallelism as the read
+        // side, so a many-file table rewrites cluster-wide instead of
+        // looping on the driver
+        if (fs.exists(p)) {
+          val files = fs.listStatus(p)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map(_.getPath.toString).toSeq
+          if (files.nonEmpty) {
+            val sconf = conf
+            org.apache.spark.sql.SparkSession.active.sparkContext
+              .parallelize(files, files.size)
+              .foreach(f => AdjacencySource.rewriteDropping(f, fls, sconf))
+          }
+        }
+      case None => () // plain append
+    }
     fs.mkdirs(p)
     new AdjacencyWriterFactory(path, queryId, conf)
   }

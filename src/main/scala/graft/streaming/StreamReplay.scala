@@ -967,6 +967,62 @@ object StreamReplay {
     finish(s, nm, q).orderBy("event_type")
   }
 
+  /** W533 gate: TWO streaming queries running CONCURRENTLY in one
+    * session under `Trigger.ProcessingTime` — the multi-pipeline
+    * production shape (several clock-paced jobs sharing one driver's
+    * scheduler) that every other replay sidesteps by driver-pacing a
+    * single query with processAllAvailable(). The fixture splits by
+    * alternating index across two MemoryStreams; each query runs its
+    * own complete-mode census on a 25 ms clock WHILE the other runs;
+    * the gate feeds both without pacing and polls both sinks until
+    * each has absorbed its half — covering concurrent micro-batch
+    * planning, trigger clocking, and per-query state isolation. The
+    * summed censuses must equal the single-source batch census.
+    */
+  def concurrentReplay(s: SparkSession, dir: String): DataFrame =
+    withReplayConf(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evs = sortedEvents(s, dir)
+    val (ea, eb) = evs.zipWithIndex.partition(_._2 % 2 == 0)
+    val a = MemoryStream[REvent]
+    val b = MemoryStream[REvent]
+    val base = ctr.incrementAndGet()
+    val nmA = s"stream_conc_a_$base"
+    val nmB = s"stream_conc_b_$base"
+    def start(in: MemoryStream[REvent], nm: String) = in.toDF()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .writeStream.outputMode("complete").format("memory").queryName(nm)
+      .trigger(Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    val qa = start(a, nmA)
+    val qb = start(b, nmB)
+    // feed each stream its half in slices with NO pacing call — the
+    // ProcessingTime clocks drain them while both queries are live
+    val sa = ea.map(_._1).toSeq
+    val sb = eb.map(_._1).toSeq
+    sa.grouped(sa.length / 4 + 1).foreach(a.addData(_))
+    sb.grouped(sb.length / 4 + 1).foreach(b.addData(_))
+    def absorbed(nm: String): Long = s.table(nm)
+      .agg(coalesce(sum("n_events"), lit(0L))).head().getLong(0)
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while ((absorbed(nmA) < sa.length || absorbed(nmB) < sb.length) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(25)
+    assert(absorbed(nmA) == sa.length && absorbed(nmB) == sb.length,
+      "concurrent ProcessingTime queries did not absorb both feeds " +
+        "within 120s")
+    val outA = finish(s, nmA, qa)
+    val outB = finish(s, nmB, qb)
+    outA.union(outB).groupBy("event_type")
+      .agg(sum("n_events").as("n_events"), sum("v_cents").as("v_cents"))
+      .orderBy("event_type")
+  }
+
   /** W529 gate: STREAMING `observe()` metrics — per-batch data-quality
     * counters riding the stream for free (CollectMetrics inside the
     * micro-batch plan, surfaced through `StreamingQueryProgress

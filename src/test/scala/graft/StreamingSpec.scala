@@ -660,6 +660,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("concurrentReplay: two ProcessingTime-clocked queries running " +
+      "at once census to the single-source aggregate") {
+    import graft.streaming.StreamReplay
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("v_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val got = StreamReplay.concurrentReplay(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("csvRoundtrip and orcRoundtrip: serde hops preserve the typed " +
       "aggregates bit-exactly") {
     val base = Tables.events(spark, sf)
