@@ -786,6 +786,8 @@ object SparkEntry {
       ((s, d) => graft.sources.CatalogAudit.overwriteAudit(s, d)),
     "stream_concurrent_replay" ->
       ((s, d) => graft.streaming.StreamReplay.concurrentReplay(s, d)),
+    "dsv2_runtime_filter_audit" ->
+      ((s, d) => graft.sources.CatalogAudit.runtimeFilterAudit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14450,6 +14452,16 @@ object SparkEntry {
            sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
              AS v_cents
          FROM events GROUP BY 1 ORDER BY 1""",
+    // (nation -> region) adjacency joined to the region-2 nation keys:
+    // runtime filtering prunes the scan, the values are the plain join
+    "dsv2_runtime_filter_audit" ->
+      """WITH e AS (SELECT n_nationkey::BIGINT AS src,
+                      n_regionkey::BIGINT AS dst FROM nation),
+         d AS (SELECT n_nationkey::BIGINT AS k FROM nation
+               WHERE n_regionkey = 2)
+         SELECT src, count(*)::BIGINT AS n_edges,
+           sum(dst)::BIGINT AS dst_sum
+         FROM e JOIN d ON e.src = d.k GROUP BY 1 ORDER BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

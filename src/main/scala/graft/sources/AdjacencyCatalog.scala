@@ -103,6 +103,14 @@ class AdjacencyCatalog extends TableCatalog {
 object CatalogAudit {
   private val ctr = new AtomicLong(0L)
 
+  private def deleteRec(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   /** Creates an adjacency table through [[AdjacencyCatalog]] with
     * CTAS (`writeTo(...).create()` — edges (region → nation) from the
     * nation fixture), then REPLACES the src ≥ 2 key range with
@@ -114,6 +122,36 @@ object CatalogAudit {
     * census must equal: original edges with src < 2 ∪ replacement
     * edges.
     */
+  /** The W534 gate query: dynamic pruning through
+    * `SupportsRuntimeFiltering` — (nation → region) edges staged as an
+    * adjacency table, joined to the nation dim filtered on a NON-join
+    * column (n_regionkey = 2, so static constraint inference cannot
+    * pre-push a src range); at execution the broadcast build side
+    * hands the scan its n_nationkey set as `In(src, ...)` and the
+    * reader skips non-matching lines before the neighbor fan-out. The
+    * census must equal the plain join restatement (runtime filters are
+    * an optimization — Spark keeps the join above — so the oracle pins
+    * values while AdjacencySourceSpec pins the pruning posture).
+    */
+  def runtimeFilterAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_rtf").toString
+    try {
+      val nation = graft.Tables.nation(s, dir)
+      nation.select(col("n_nationkey").cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .write.format("graft-adjacency").mode("append").save(root)
+      val edges = s.read.format("graft-adjacency").load(root)
+      val dim = nation.filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey").cast("long").as("k"))
+      edges.join(dim, col("src") === col("k"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_edges"), sum("dst").as("dst_sum"))
+        .orderBy("src")
+        .localCheckpoint() // materialize before the root is deleted
+    } finally deleteRec(root)
+  }
+
   def overwriteAudit(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_cat_ow").toString
@@ -135,13 +173,6 @@ object CatalogAudit {
         .agg(count(lit(1)).as("n_edges"), sum("dst").as("dst_sum"))
         .orderBy("src")
         .localCheckpoint() // materialize before the root is deleted
-    } finally {
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    } finally deleteRec(root)
   }
 }

@@ -17,9 +17,12 @@ import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
   PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder,
   WriterCommitMessage}
+import org.apache.spark.sql.connector.expressions.{
+  Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
 import org.apache.spark.sql.sources.{
   AlwaysTrue, DataSourceRegister, EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -228,8 +231,28 @@ trait AdjacencyScanForTest { def pushedForTest: Seq[Filter] }
 private[sources] class AdjacencyScan(path: String, required: StructType,
                                      pushed: Array[Filter],
                                      permissive: Boolean)
-    extends Scan with Batch with AdjacencyScanForTest {
-  override def pushedForTest: Seq[Filter] = pushed.toSeq
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with AdjacencyScanForTest {
+  // RUNTIME filters (W534): a join against this table hands the scan
+  // the build side's src-key set at execution time (dynamic pruning's
+  // DSv2 path) — merged into the same per-line predicate the planning-
+  // time pushdown uses, so the neighbor fan-out of non-matching lines
+  // never happens. Like the planning-time pushdown, application here
+  // is an optimization only — Spark keeps the join semantics above.
+  private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("src"))
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter {
+      case EqualTo("src", _: Long) => true
+      case In("src", vs) => vs.forall(_.isInstanceOf[Long])
+      case GreaterThan("src", _: Long) => true
+      case GreaterThanOrEqual("src", _: Long) => true
+      case LessThan("src", _: Long) => true
+      case LessThanOrEqual("src", _: Long) => true
+      case _ => false
+    }
+  override def pushedForTest: Seq[Filter] = pushed.toSeq ++ runtime.toSeq
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -237,7 +260,7 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
       .map(f => AdjacencyFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new AdjacencyReaderFactory(
-      required.fieldNames.toSeq, pushed.toSeq, permissive,
+      required.fieldNames.toSeq, pushed.toSeq ++ runtime.toSeq, permissive,
       new SerializableHadoopConf(AdjacencySource.driverConf()))
 }
 
@@ -262,6 +285,10 @@ private[sources] class AdjacencyReader(
   private val srcOk: Long => Boolean = {
     val preds = pushed.collect {
       case EqualTo("src", v: Long) => (s: Long) => s == v
+      case In("src", vs) if vs.forall(_.isInstanceOf[Long]) =>
+        // runtime-filter shape (W534): the join build side's key set
+        val set = vs.map(_.asInstanceOf[Long]).toSet
+        (s: Long) => set.contains(s)
       case GreaterThan("src", v: Long) => (s: Long) => s > v
       case GreaterThanOrEqual("src", v: Long) => (s: Long) => s >= v
       case LessThan("src", v: Long) => (s: Long) => s < v

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions.col
 
 /** DSv2 adjacency-list source: row semantics, column pruning reaching
   * the reader, src-filter pushdown, multi-file partitioning, and
@@ -96,5 +97,45 @@ class AdjacencySourceSpec extends SparkSpec {
     val leftovers = Files.list(java.nio.file.Path.of(out)).toArray.toSeq
       .map(_.toString).filter(_.endsWith(".tmp"))
     assert(leftovers.isEmpty, s"uncleaned attempt temps: $leftovers")
+  }
+
+  test("runtime filtering (W534): a selective build side hands the " +
+    "scan its src key set at execution") {
+    // build-side filter on a NON-join column (grp), so static constraint
+    // inference cannot pre-push a src range — only dynamic pruning can
+    // narrow the scan, via SupportsRuntimeFiltering.filter(In(src, ...))
+    val dir = Files.createTempDirectory("adjrt")
+    val sb = new StringBuilder
+    for (s <- 0 until 50)
+      sb.append(s).append(" ")
+        .append((0 until 5).map(d => s * 5 + d).mkString(" ")).append("\n")
+    Files.writeString(dir.resolve("a.txt"), sb.toString)
+    val edges = spark.read.format("graft-adjacency").load(dir.toString)
+    val dim = spark.range(50).select(col("id").as("k"),
+      (col("id") % 25).as("grp"))
+    val j = edges.join(dim.filter(col("grp") === 1), col("src") === col("k"))
+    val rows = j.collect()
+    assert(rows.length == 10) // src in {1, 26}, 5 neighbors each
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def allScans(p: SparkPlan): Seq[BatchScanExec] = p.collectWithSubqueries {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val scans = allScans(j.queryExecution.executedPlan)
+    assert(scans.size == 1)
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "dynamic pruning planned no runtime filter for the DSv2 scan")
+    val applied = scans.head.scan
+      .asInstanceOf[graft.sources.AdjacencyScanForTest].pushedForTest
+    val in = applied.collectFirst {
+      case org.apache.spark.sql.sources.In("src", vs) =>
+        vs.map(_.asInstanceOf[Long]).toSet
+    }
+    assert(in.contains(Set(1L, 26L)),
+      s"scan did not receive the build side's key set: $applied")
   }
 }
