@@ -788,6 +788,10 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.concurrentReplay(s, d)),
     "dsv2_runtime_filter_audit" ->
       ((s, d) => graft.sources.CatalogAudit.runtimeFilterAudit(s, d)),
+    "dsv2_topn_push_audit" ->
+      ((s, d) => graft.sources.CatalogAudit.topNPushAudit(s, d)),
+    "dsv2_stats_audit" ->
+      ((s, d) => graft.sources.CatalogAudit.statsAudit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14462,6 +14466,27 @@ object SparkEntry {
          SELECT src, count(*)::BIGINT AS n_edges,
            sum(dst)::BIGINT AS dst_sum
          FROM e JOIN d ON e.src = d.k GROUP BY 1 ORDER BY 1""",
+    // ORDER BY (src DESC, dst) LIMIT 7 through the pushed size-7 heap:
+    // src is unique, so the cut is deterministic and the order-free
+    // census restates it exactly
+    "dsv2_topn_push_audit" ->
+      """WITH e AS (SELECT n_nationkey::BIGINT AS src,
+                      n_regionkey::BIGINT AS dst FROM nation),
+         t AS (SELECT * FROM e ORDER BY src DESC, dst LIMIT 7)
+         SELECT count(*)::BIGINT AS n_rows, sum(src)::BIGINT AS src_sum,
+           sum(dst)::BIGINT AS dst_sum
+         FROM t""",
+    // adjacency (nation -> region) joined to customer on nation key:
+    // the reported scan stats move the build side, never the values
+    "dsv2_stats_audit" ->
+      """WITH e AS (SELECT n_nationkey::BIGINT AS src,
+                      n_regionkey::BIGINT AS dst FROM nation),
+         c AS (SELECT c_nationkey::BIGINT AS k,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                   AS bal_cents FROM customer)
+         SELECT dst, count(*)::BIGINT AS n_custs,
+           sum(bal_cents)::BIGINT AS bal_sum
+         FROM e JOIN c ON e.src = c.k GROUP BY 1 ORDER BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -152,6 +152,58 @@ object CatalogAudit {
     } finally deleteRec(root)
   }
 
+  /** The W535 gate query: LIMIT / top-N pushdown through the DSv2 scan
+    * — ORDER BY (src DESC, dst) LIMIT 7 plans a size-7 bounded heap
+    * per reader (`SupportsPushDownTopN`), so 7 rows per file reach the
+    * final TakeOrdered instead of the full edge fan-out. The order-free
+    * census over the top rows must equal the SQL restatement (the
+    * ordering is total — src unique — so the cut is deterministic);
+    * AdjacencySourceSpec pins that the scan actually received the
+    * pushed (orders, k) and a bare limit. */
+  def topNPushAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_topn").toString
+    try {
+      graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .write.format("graft-adjacency").mode("append").save(root)
+      s.read.format("graft-adjacency").load(root)
+        .orderBy(col("src").desc, col("dst")).limit(7)
+        .agg(count(lit(1)).as("n_rows"), sum("src").as("src_sum"),
+          sum("dst").as("dst_sum"))
+        .localCheckpoint() // materialize before the root is deleted
+    } finally deleteRec(root)
+  }
+
+  /** The W536 gate query: `SupportsReportStatistics` — the scan
+    * reports its file-listing size, so Catalyst AUTO-broadcasts the
+    * small adjacency build side into the customer join (without stats
+    * a DSv2 scan reports the conf default and can never win the
+    * broadcast decision). Values are the plain join census either way
+    * (the stat only moves the build side); the spec pins that the
+    * BatchScanExec actually lands under the broadcast exchange. */
+  def statsAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_stats").toString
+    try {
+      graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .write.format("graft-adjacency").mode("append").save(root)
+      val edges = s.read.format("graft-adjacency").load(root)
+      val cust = graft.Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("long").as("k"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+            .as("bal_cents"))
+      edges.join(cust, col("src") === col("k"))
+        .groupBy("dst")
+        .agg(count(lit(1)).as("n_custs"), sum("bal_cents").as("bal_sum"))
+        .orderBy("dst")
+        .localCheckpoint() // materialize before the root is deleted
+    } finally deleteRec(root)
+  }
+
   def overwriteAudit(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_cat_ow").toString

@@ -10,9 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
   SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.SortOrder
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  ScanBuilder, Statistics, SupportsPushDownFilters,
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
+  SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
   PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder,
@@ -197,12 +200,45 @@ private[sources] class AdjacencyTable(path: String, permissive: Boolean)
 private[sources] class AdjacencyScanBuilder(path: String,
                                             permissive: Boolean)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = AdjacencySource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var topN: Option[(Seq[(String, Boolean)], Int)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown (W535): each reader stops after `l` edges — for a
+    * bare limit the scan terminates mid-file instead of paying the
+    * full line/neighbor fan-out. Partial: Spark keeps its GlobalLimit
+    * above (per-partition caps overshoot across files). */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** Top-N pushdown (W535): ORDER BY src/dst LIMIT k becomes a size-k
+    * bounded heap per reader — k rows per partition reach the final
+    * TakeOrdered instead of the whole file. Only src/dst orderings are
+    * accepted (both columns are non-null, so null ordering is moot);
+    * anything else declines and Spark plans the full sort. */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val cols = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 &&
+            (nr.fieldNames()(0) == "src" || nr.fieldNames()(0) == "dst") =>
+          Some((nr.fieldNames()(0),
+            o.direction() == SortDirection.ASCENDING))
+        case _ => None
+      }
+    }
+    if (cols.isEmpty || cols.exists(_.isEmpty)) false
+    else { topN = Some((cols.flatten, l)); true }
+  }
+
+  // both pushdowns are per-partition: Spark must keep its own
+  // limit/TakeOrdered above the scan
+  override def isPartiallyPushed: Boolean = true
 
   /** Accept src-key comparisons as scan-level skips; EVERYTHING is
     * returned as residual so Spark re-evaluates above the scan — the
@@ -222,17 +258,24 @@ private[sources] class AdjacencyScanBuilder(path: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new AdjacencyScan(path, required, pushed, permissive)
+    new AdjacencyScan(path, required, pushed, permissive, limit, topN)
 }
 
 /** Test-visible view of what a scan pushed (DSv2 keeps Scan opaque). */
-trait AdjacencyScanForTest { def pushedForTest: Seq[Filter] }
+trait AdjacencyScanForTest {
+  def pushedForTest: Seq[Filter]
+  def pushedLimitForTest: Int
+  def pushedTopNForTest: Option[(Seq[(String, Boolean)], Int)]
+}
 
 private[sources] class AdjacencyScan(path: String, required: StructType,
                                      pushed: Array[Filter],
-                                     permissive: Boolean)
+                                     permissive: Boolean,
+                                     limit: Int = -1,
+                                     topN: Option[(Seq[(String, Boolean)],
+                                       Int)] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with AdjacencyScanForTest {
+    with SupportsReportStatistics with AdjacencyScanForTest {
   // RUNTIME filters (W534): a join against this table hands the scan
   // the build side's src-key set at execution time (dynamic pruning's
   // DSv2 path) — merged into the same per-line predicate the planning-
@@ -253,7 +296,31 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
       case _ => false
     }
   override def pushedForTest: Seq[Filter] = pushed.toSeq ++ runtime.toSeq
+  override def pushedLimitForTest: Int = limit
+  override def pushedTopNForTest: Option[(Seq[(String, Boolean)], Int)] =
+    topN
   override def readSchema(): StructType = required
+
+  /** Size stats from the file listing (W536): without them a DSv2 scan
+    * reports the conf default (huge), so Catalyst would never
+    * auto-broadcast a small adjacency table into a join. Text bytes ≈
+    * in-memory row bytes for (long, long) edges, so the raw listing
+    * size is an honest estimate; row count is unknowable without a
+    * scan and stays empty. */
+  override def estimateStatistics(): Statistics = {
+    val conf = AdjacencySource.driverConf()
+    val bytes = AdjacencySource.listFiles(path, conf).map { f =>
+      val p = new Path(f)
+      FileSystem.get(p.toUri, conf).getFileStatus(p).getLen
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     AdjacencySource.listFiles(path)
@@ -261,7 +328,8 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new AdjacencyReaderFactory(
       required.fieldNames.toSeq, pushed.toSeq ++ runtime.toSeq, permissive,
-      new SerializableHadoopConf(AdjacencySource.driverConf()))
+      new SerializableHadoopConf(AdjacencySource.driverConf()),
+      limit, topN)
 }
 
 private[sources] case class AdjacencyFilePartition(file: String)
@@ -269,17 +337,20 @@ private[sources] case class AdjacencyFilePartition(file: String)
 
 private[sources] class AdjacencyReaderFactory(
     columns: Seq[String], pushed: Seq[Filter], permissive: Boolean,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf, limit: Int = -1,
+    topN: Option[(Seq[(String, Boolean)], Int)] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new AdjacencyReader(
       p.asInstanceOf[AdjacencyFilePartition].file, columns, pushed,
-      permissive, conf)
+      permissive, conf, limit, topN)
 }
 
 private[sources] class AdjacencyReader(
     file: String, columns: Seq[String], pushed: Seq[Filter],
-    permissive: Boolean, conf: SerializableHadoopConf)
+    permissive: Boolean, conf: SerializableHadoopConf,
+    limit: Int = -1,
+    topN: Option[(Seq[(String, Boolean)], Int)] = None)
     extends PartitionReader[InternalRow] {
 
   private val srcOk: Long => Boolean = {
@@ -322,7 +393,12 @@ private[sources] class AdjacencyReader(
             s"of $file (use option(\"mode\",\"permissive\") to skip)", e)
     }
 
-  override def next(): Boolean = {
+  private var emitted = 0
+  private var pairSrc = 0L
+  private var pairDst = 0L
+
+  /** Position (pairSrc, pairDst) at the file's next surviving edge. */
+  private def advance(): Boolean = {
     while (i >= dsts.length) {
       val line = in.readLine()
       if (line == null) return false
@@ -338,13 +414,50 @@ private[sources] class AdjacencyReader(
         }
       }
     }
+    pairSrc = src
+    pairDst = parseLong(dsts(i), curLine)
+    i += 1
+    true
+  }
+
+  /** Pushed top-N (W535): a size-k worst-on-top heap over the whole
+    * file, emitted in order — k rows per partition reach Spark's final
+    * TakeOrdered instead of the file's full edge count. Built lazily
+    * on first `next()`. */
+  private lazy val topIter: Iterator[(Long, Long)] = {
+    val (cols, k) = topN.get
+    val ord = cols.map {
+      case ("src", asc) =>
+        val o = Ordering.by[(Long, Long), Long](_._1)
+        if (asc) o else o.reverse
+      case (_, asc) =>
+        val o = Ordering.by[(Long, Long), Long](_._2)
+        if (asc) o else o.reverse
+    }.reduce(_ orElse _)
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+    while (advance()) {
+      heap.enqueue((pairSrc, pairDst))
+      if (heap.size > k) { heap.dequeue(); () }
+    }
+    // dequeueAll yields worst-first under ord; reverse = the top k in order
+    heap.dequeueAll.reverse.iterator
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // pushed LIMIT (W535)
+    val ok =
+      if (topN.isDefined) {
+        if (topIter.hasNext) {
+          val (s, d) = topIter.next(); pairSrc = s; pairDst = d; true
+        } else false
+      } else advance()
+    if (!ok) return false
     var c = 0
     while (c < columns.length) {
-      row.setLong(c,
-        if (columns(c) == "src") src else parseLong(dsts(i), curLine))
+      row.setLong(c, if (columns(c) == "src") pairSrc else pairDst)
       c += 1
     }
-    i += 1
+    emitted += 1
     true
   }
   override def get(): InternalRow = row

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** DSv2 adjacency-list source: row semantics, column pruning reaching
   * the reader, src-filter pushdown, multi-file partitioning, and
@@ -137,5 +137,85 @@ class AdjacencySourceSpec extends SparkSpec {
     }
     assert(in.contains(Set(1L, 26L)),
       s"scan did not receive the build side's key set: $applied")
+  }
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def all(p: SparkPlan): Seq[BatchScanExec] = p.collectWithSubqueries {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+    }.flatten
+    all(df.queryExecution.executedPlan)
+  }
+
+  test("limit and top-N push into the scan (W535); values match the " +
+    "full-scan restatement") {
+    val dir = Files.createTempDirectory("adjtopn")
+    val sb = new StringBuilder
+    for (s <- 0 until 30)
+      sb.append(s).append(" ")
+        .append((0 until 4).map(d => 1000 - s * 4 - d).mkString(" "))
+        .append("\n")
+    Files.writeString(dir.resolve("a.txt"), sb.toString)
+    val edges = spark.read.format("graft-adjacency").load(dir.toString)
+    // bare LIMIT: pushed per-partition cap, GlobalLimit kept above
+    val lim = edges.limit(5)
+    assert(lim.collect().length == 5)
+    val limScan = scansOf(lim).head.scan
+      .asInstanceOf[graft.sources.AdjacencyScanForTest]
+    assert(limScan.pushedLimitForTest == 5)
+    // top-N: ORDER BY src DESC, dst ASC LIMIT 3 becomes a size-3 heap
+    val top = edges.orderBy(col("src").desc, col("dst")).limit(3)
+    val got = top.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (s, d) => (-s, d) }.take(3).toSeq
+    assert(got == want)
+    val topScan = scansOf(top).head.scan
+      .asInstanceOf[graft.sources.AdjacencyScanForTest]
+    assert(topScan.pushedTopNForTest ==
+      Some((Seq(("src", false), ("dst", true)), 3)),
+      s"top-N not pushed: ${topScan.pushedTopNForTest}")
+  }
+
+  test("reported size stats win the broadcast decision (W536)") {
+    val dir = Files.createTempDirectory("adjstats")
+    Files.writeString(dir.resolve("a.txt"),
+      (0 until 20).map(s => s"$s ${s % 5}").mkString("\n"))
+    val edges = spark.read.format("graft-adjacency").load(dir.toString)
+    val big = spark.range(100000).select(
+      (col("id") % 20).as("k"), col("id").as("v"))
+    val j = edges.join(big, col("src") === col("k"))
+      .groupBy("dst").agg(count(lit(1)).as("n"))
+    assert(j.collect().map(_.getLong(1)).sum == 100000L)
+    // the adjacency scan must be the BROADCAST side: without
+    // estimateStatistics a DSv2 scan reports the conf default (huge)
+    // and the 100k-row range would broadcast instead
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def findBhj(p: SparkPlan): Seq[BroadcastHashJoinExec] =
+      p.collectWithSubqueries {
+        case b: BroadcastHashJoinExec => Seq(b)
+        case a: AdaptiveSparkPlanExec => findBhj(a.executedPlan)
+        case q: QueryStageExec => findBhj(q.plan)
+      }.flatten
+    val bhjs = findBhj(j.queryExecution.executedPlan)
+    assert(bhjs.nonEmpty, "join did not plan a broadcast hash join")
+    val bhj = bhjs.head
+    val buildPlan = bhj.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.left
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.right
+    }
+    def hasScan(p: SparkPlan): Boolean = p.collectWithSubqueries {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => if (hasScan(a.executedPlan)) Seq(null) else Seq()
+      case q: QueryStageExec => if (hasScan(q.plan)) Seq(null) else Seq()
+    }.nonEmpty
+    assert(hasScan(buildPlan),
+      "the adjacency scan is not on the broadcast build side")
   }
 }
