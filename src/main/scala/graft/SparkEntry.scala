@@ -792,6 +792,8 @@ object SparkEntry {
       ((s, d) => graft.sources.CatalogAudit.topNPushAudit(s, d)),
     "dsv2_stats_audit" ->
       ((s, d) => graft.sources.CatalogAudit.statsAudit(s, d)),
+    "dsv2_agg_push_audit" ->
+      ((s, d) => graft.sources.CatalogAudit.aggPushAudit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14487,6 +14489,14 @@ object SparkEntry {
          SELECT dst, count(*)::BIGINT AS n_custs,
            sum(bal_cents)::BIGINT AS bal_sum
          FROM e JOIN c ON e.src = c.k GROUP BY 1 ORDER BY 1""",
+    // ungrouped count/min/max census folded inside the DSv2 readers
+    "dsv2_agg_push_audit" ->
+      """WITH e AS (SELECT n_nationkey::BIGINT AS src,
+                      n_regionkey::BIGINT AS dst FROM nation)
+         SELECT count(*)::BIGINT AS n_edges, min(src)::BIGINT AS src_min,
+           max(src)::BIGINT AS src_max, min(dst)::BIGINT AS dst_min,
+           max(dst)::BIGINT AS dst_max
+         FROM e""",
   )
 
   private def sqlList(words: Seq[String]): String =

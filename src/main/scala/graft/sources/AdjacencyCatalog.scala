@@ -204,6 +204,29 @@ object CatalogAudit {
     } finally deleteRec(root)
   }
 
+  /** The W537 gate query: aggregate pushdown
+    * (`SupportsPushDownAggregates`) — an ungrouped COUNT(*)/MIN/MAX
+    * census over the staged edges folds inside each reader (one
+    * partial row per file reaches Spark's final merge); values must
+    * equal the SQL restatement, and AdjacencySourceSpec pins that the
+    * scan actually received the pushed aggregation and that multi-file
+    * partials merge exactly. */
+  def aggPushAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_agg").toString
+    try {
+      graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .write.format("graft-adjacency").mode("append").save(root)
+      s.read.format("graft-adjacency").load(root)
+        .agg(count(lit(1)).as("n_edges"),
+          min("src").as("src_min"), max("src").as("src_max"),
+          min("dst").as("dst_min"), max("dst").as("dst_max"))
+        .localCheckpoint() // materialize before the root is deleted
+    } finally deleteRec(root)
+  }
+
   def overwriteAudit(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_cat_ow").toString

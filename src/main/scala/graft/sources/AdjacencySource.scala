@@ -11,11 +11,14 @@ import org.apache.spark.sql.connector.catalog.{
   SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.SortOrder
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, Statistics, SupportsPushDownFilters,
-  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
-  SupportsPushDownTopN, SupportsReportStatistics}
+  ScanBuilder, Statistics, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsPushDownTopN,
+  SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
   PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder,
@@ -201,7 +204,8 @@ private[sources] class AdjacencyScanBuilder(path: String,
                                             permissive: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
   private var required: StructType = AdjacencySource.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
@@ -240,6 +244,36 @@ private[sources] class AdjacencyScanBuilder(path: String,
   // limit/TakeOrdered above the scan
   override def isPartiallyPushed: Boolean = true
 
+  /** Aggregate pushdown (W537): an ungrouped COUNT(*)/MIN/MAX over
+    * src/dst folds inside each reader in one pass — one row per FILE
+    * reaches Spark's final merge instead of the full edge fan-out (the
+    * fold still parses every token, deliberately: strict-mode error
+    * semantics must match a full scan). Partial (the default
+    * supportCompletePushDown=false): Spark re-aggregates the per-file
+    * rows, so multi-file tables stay exact. Only fires when no filter
+    * survives above the scan (Spark's own precondition — this source
+    * reports every filter as residual, so only filterless scans
+    * qualify). */
+  private var agg: Option[Seq[(String, String)]] = None // (fn, col)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+          (nr.fieldNames()(0) == "src" || nr.fieldNames()(0) == "dst") =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val specs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("count", ""))
+      case m: Min => colOf(m.column()).map(("min", _))
+      case m: Max => colOf(m.column()).map(("max", _))
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) false
+    else { agg = Some(specs.flatten); true }
+  }
+
   /** Accept src-key comparisons as scan-level skips; EVERYTHING is
     * returned as residual so Spark re-evaluates above the scan — the
     * reader's application is an optimization only.
@@ -258,7 +292,7 @@ private[sources] class AdjacencyScanBuilder(path: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new AdjacencyScan(path, required, pushed, permissive, limit, topN)
+    new AdjacencyScan(path, required, pushed, permissive, limit, topN, agg)
 }
 
 /** Test-visible view of what a scan pushed (DSv2 keeps Scan opaque). */
@@ -266,6 +300,7 @@ trait AdjacencyScanForTest {
   def pushedForTest: Seq[Filter]
   def pushedLimitForTest: Int
   def pushedTopNForTest: Option[(Seq[(String, Boolean)], Int)]
+  def pushedAggForTest: Option[Seq[(String, String)]]
 }
 
 private[sources] class AdjacencyScan(path: String, required: StructType,
@@ -273,7 +308,9 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
                                      permissive: Boolean,
                                      limit: Int = -1,
                                      topN: Option[(Seq[(String, Boolean)],
-                                       Int)] = None)
+                                       Int)] = None,
+                                     agg: Option[Seq[(String, String)]] =
+                                       None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with AdjacencyScanForTest {
   // RUNTIME filters (W534): a join against this table hands the scan
@@ -299,7 +336,18 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
   override def pushedLimitForTest: Int = limit
   override def pushedTopNForTest: Option[(Seq[(String, Boolean)], Int)] =
     topN
-  override def readSchema(): StructType = required
+  override def pushedAggForTest: Option[Seq[(String, String)]] = agg
+
+  /** With a pushed aggregation the scan's rows ARE the per-file
+    * partial aggregates (Spark's rule matches positionally, then
+    * plans the final merge above). */
+  override def readSchema(): StructType = agg match {
+    case Some(specs) => StructType(specs.map { case (fn, c) =>
+      StructField(if (fn == "count") "count(*)" else s"$fn($c)",
+        LongType, nullable = fn != "count")
+    })
+    case None => required
+  }
 
   /** Size stats from the file listing (W536): without them a DSv2 scan
     * reports the conf default (huge), so Catalyst would never
@@ -329,7 +377,7 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
     new AdjacencyReaderFactory(
       required.fieldNames.toSeq, pushed.toSeq ++ runtime.toSeq, permissive,
       new SerializableHadoopConf(AdjacencySource.driverConf()),
-      limit, topN)
+      limit, topN, agg)
 }
 
 private[sources] case class AdjacencyFilePartition(file: String)
@@ -338,19 +386,21 @@ private[sources] case class AdjacencyFilePartition(file: String)
 private[sources] class AdjacencyReaderFactory(
     columns: Seq[String], pushed: Seq[Filter], permissive: Boolean,
     conf: SerializableHadoopConf, limit: Int = -1,
-    topN: Option[(Seq[(String, Boolean)], Int)] = None)
+    topN: Option[(Seq[(String, Boolean)], Int)] = None,
+    agg: Option[Seq[(String, String)]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new AdjacencyReader(
       p.asInstanceOf[AdjacencyFilePartition].file, columns, pushed,
-      permissive, conf, limit, topN)
+      permissive, conf, limit, topN, agg)
 }
 
 private[sources] class AdjacencyReader(
     file: String, columns: Seq[String], pushed: Seq[Filter],
     permissive: Boolean, conf: SerializableHadoopConf,
     limit: Int = -1,
-    topN: Option[(Seq[(String, Boolean)], Int)] = None)
+    topN: Option[(Seq[(String, Boolean)], Int)] = None,
+    agg: Option[Seq[(String, String)]] = None)
     extends PartitionReader[InternalRow] {
 
   private val srcOk: Long => Boolean = {
@@ -443,7 +493,43 @@ private[sources] class AdjacencyReader(
     heap.dequeueAll.reverse.iterator
   }
 
+  /** Pushed aggregation (W537): one pass over the file folds the
+    * requested count/min/max directly — a single partial-agg row per
+    * partition reaches Spark's final merge. The fold rides the same
+    * `advance()` as row emission, so strict-mode parse errors and
+    * permissive-mode line skips behave identically to a full scan. */
+  private var aggOut: InternalRow = _
+  private var aggEmitted = false
+  private def nextAgg(specs: Seq[(String, String)]): Boolean = {
+    if (aggEmitted) return false
+    var cnt = 0L
+    var mnS = Long.MaxValue; var mxS = Long.MinValue
+    var mnD = Long.MaxValue; var mxD = Long.MinValue
+    while (advance()) {
+      cnt += 1
+      if (pairSrc < mnS) mnS = pairSrc
+      if (pairSrc > mxS) mxS = pairSrc
+      if (pairDst < mnD) mnD = pairDst
+      if (pairDst > mxD) mxD = pairDst
+    }
+    val out = new GenericInternalRow(specs.length)
+    specs.zipWithIndex.foreach { case ((fn, c), idx) =>
+      (fn, c) match {
+        case ("count", _) => out.setLong(idx, cnt)
+        case _ if cnt == 0 => out.update(idx, null) // empty partial min/max
+        case ("min", "src") => out.setLong(idx, mnS)
+        case ("max", "src") => out.setLong(idx, mxS)
+        case ("min", _) => out.setLong(idx, mnD)
+        case (_, _) => out.setLong(idx, mxD)
+      }
+    }
+    aggOut = out
+    aggEmitted = true
+    true
+  }
+
   override def next(): Boolean = {
+    if (agg.isDefined) return nextAgg(agg.get) // pushed aggregate (W537)
     if (limit >= 0 && emitted >= limit) return false // pushed LIMIT (W535)
     val ok =
       if (topN.isDefined) {
@@ -460,7 +546,7 @@ private[sources] class AdjacencyReader(
     emitted += 1
     true
   }
-  override def get(): InternalRow = row
+  override def get(): InternalRow = if (aggOut != null) aggOut else row
   override def close(): Unit = in.close()
 }
 

@@ -180,6 +180,24 @@ class AdjacencySourceSpec extends SparkSpec {
       s"top-N not pushed: ${topScan.pushedTopNForTest}")
   }
 
+  test("aggregate pushdown (W537): count/min/max fold inside the " +
+    "reader, per-file partials merge exactly") {
+    val dir = Files.createTempDirectory("adjagg")
+    Files.writeString(dir.resolve("a.txt"), "5 10 11 12\n7 1\n")
+    Files.writeString(dir.resolve("b.txt"), "2 99\n9 3 4\n")
+    val edges = spark.read.format("graft-adjacency").load(dir.toString)
+    val q = edges.agg(count(lit(1)).as("n"),
+      org.apache.spark.sql.functions.min("src").as("mn"),
+      org.apache.spark.sql.functions.max("dst").as("mx"))
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 2L, 99L)))
+    val scan = scansOf(q).head.scan
+      .asInstanceOf[graft.sources.AdjacencyScanForTest]
+    assert(scan.pushedAggForTest ==
+      Some(Seq(("count", ""), ("min", "src"), ("max", "dst"))),
+      s"aggregation not pushed: ${scan.pushedAggForTest}")
+  }
+
   test("reported size stats win the broadcast decision (W536)") {
     val dir = Files.createTempDirectory("adjstats")
     Files.writeString(dir.resolve("a.txt"),
