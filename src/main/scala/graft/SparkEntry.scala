@@ -794,6 +794,8 @@ object SparkEntry {
       ((s, d) => graft.sources.CatalogAudit.statsAudit(s, d)),
     "dsv2_agg_push_audit" ->
       ((s, d) => graft.sources.CatalogAudit.aggPushAudit(s, d)),
+    "dsv2_metadata_col_audit" ->
+      ((s, d) => graft.sources.CatalogAudit.metadataColAudit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14497,6 +14499,16 @@ object SparkEntry {
            max(src)::BIGINT AS src_max, min(dst)::BIGINT AS dst_min,
            max(dst)::BIGINT AS dst_max
          FROM e""",
+    // per-source-file provenance census via the _source_file metadata
+    // column; the staging split is src < 12 -> a.txt, else b.txt
+    "dsv2_metadata_col_audit" ->
+      """WITH e AS (SELECT n_nationkey::BIGINT AS src,
+                      n_regionkey::BIGINT AS dst FROM nation),
+         lab AS (SELECT CASE WHEN src < 12 THEN 'a.txt' ELSE 'b.txt' END
+                   AS source_file, dst FROM e)
+         SELECT source_file, count(*)::BIGINT AS n_edges,
+           sum(dst)::BIGINT AS dst_sum
+         FROM lab GROUP BY 1 ORDER BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

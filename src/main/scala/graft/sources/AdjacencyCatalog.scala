@@ -227,6 +227,38 @@ object CatalogAudit {
     } finally deleteRec(root)
   }
 
+  /** The W538 gate query: the `_source_file` METADATA COLUMN
+    * (`SupportsMetadataColumns`) — per-file provenance census. The
+    * nation edges stage as two fixed-name text files (a.txt = src <
+    * 12, b.txt = the rest; 25 collected rows — fixture staging, not a
+    * data path), the scan SELECTs the hidden column by name, and the
+    * per-source-file rollup must match the SQL restatement of the same
+    * split. At corpus scale this is the lineage column a quarantine /
+    * re-ingest audit groups by. */
+  def metadataColAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_meta").toString
+    try {
+      val rows = graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      def stage(name: String, es: Seq[(Long, Long)]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(root, name),
+          es.map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n"))
+      stage("a.txt", rows.filter(_._1 < 12).toSeq)
+      stage("b.txt", rows.filter(_._1 >= 12).toSeq)
+      s.read.format("graft-adjacency").load(root)
+        .select(col("dst"), col(AdjacencySource.SourceFileCol).as("f"))
+        .groupBy(regexp_extract(col("f"), "([ab]\\.txt)$", 1)
+          .as("source_file"))
+        .agg(count(lit(1)).as("n_edges"), sum("dst").as("dst_sum"))
+        .orderBy("source_file")
+        .localCheckpoint() // materialize before the root is deleted
+    } finally deleteRec(root)
+  }
+
   def overwriteAudit(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_cat_ow").toString

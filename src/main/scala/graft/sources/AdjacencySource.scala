@@ -8,7 +8,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
-  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+  MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.SortOrder
 import org.apache.spark.sql.connector.expressions.aggregate.{
@@ -98,6 +99,9 @@ object AdjacencySource {
     StructField("src", LongType, nullable = true),
     StructField("dst", LongType, nullable = true)))
 
+  /** Name of the `_source_file` metadata column (W538). */
+  val SourceFileCol: String = "_source_file"
+
   /** The active session's Hadoop conf when one exists (driver-side
     * planning), else a default conf (tests constructing pieces
     * directly). */
@@ -186,10 +190,27 @@ object AdjacencySource {
 }
 
 private[sources] class AdjacencyTable(path: String, permissive: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
   require(path != null, "graft-adjacency requires a load(path)/save(path)")
   override def name(): String = s"graft-adjacency:$path"
   override def schema(): StructType = AdjacencySource.schema
+
+  /** `_source_file` metadata column (W538) — the provenance column the
+    * built-in file sources expose as `_metadata.file_path`: hidden
+    * from `SELECT *`, materialized only when SELECTed by name, and
+    * delivered to the reader through the same pruned-schema path as
+    * data columns (a reader fills it with its partition's file, so it
+    * costs nothing when unrequested). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = AdjacencySource.SourceFileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "fully qualified path of the file this edge was read from"
+    })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -540,12 +561,19 @@ private[sources] class AdjacencyReader(
     if (!ok) return false
     var c = 0
     while (c < columns.length) {
-      row.setLong(c, if (columns(c) == "src") pairSrc else pairDst)
+      columns(c) match {
+        case "src" => row.setLong(c, pairSrc)
+        case AdjacencySource.SourceFileCol => row.update(c, fileUtf8)
+        case _ => row.setLong(c, pairDst)
+      }
       c += 1
     }
     emitted += 1
     true
   }
+  // materialized once per reader — every row of a partition shares it
+  private lazy val fileUtf8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(file)
   override def get(): InternalRow = if (aggOut != null) aggOut else row
   override def close(): Unit = in.close()
 }

@@ -198,6 +198,23 @@ class AdjacencySourceSpec extends SparkSpec {
       s"aggregation not pushed: ${scan.pushedAggForTest}")
   }
 
+  test("_source_file metadata column (W538): hidden from *, " +
+    "per-partition provenance when selected") {
+    val dir = Files.createTempDirectory("adjmeta")
+    Files.writeString(dir.resolve("a.txt"), "1 2 3\n")
+    Files.writeString(dir.resolve("b.txt"), "7 8\n")
+    val df = spark.read.format("graft-adjacency").load(dir.toString)
+    // hidden from SELECT * like the built-in sources' _metadata
+    assert(df.columns.toSeq == Seq("src", "dst"))
+    val withF = df.select(col("src"), col("dst"),
+      col("_source_file").as("f"))
+    val got = withF.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).split('/').last)).toSet
+    assert(got == Set((1L, 2L, "a.txt"), (1L, 3L, "a.txt"),
+      (7L, 8L, "b.txt")))
+  }
+
   test("reported size stats win the broadcast decision (W536)") {
     val dir = Files.createTempDirectory("adjstats")
     Files.writeString(dir.resolve("a.txt"),
