@@ -63,11 +63,17 @@ object Bench {
       }
     }
     /** Listener-bus events are async; wait for the in-flight job-end
-      * events of an already-completed action to land (bounded). */
-    def drain(maxMs: Long = 10000): Unit = {
+      * events of an already-completed action to land (bounded).
+      * Returns false when the bound was hit with events still pending
+      * — the caller must FLAG that query's `queries_job` entry as
+      * undercounting instead of silently shipping it (VERDICT r9 #4:
+      * a silent undercount is the exact failure mode the map exists
+      * to expose). */
+    def drain(maxMs: Long = 10000): Boolean = {
       val deadline = System.nanoTime() + maxMs * 1000000
       while (pending.get() > 0 && System.nanoTime() < deadline)
         Thread.sleep(2)
+      pending.get() == 0
     }
   }
 
@@ -99,6 +105,13 @@ object Bench {
   private def warmup(spark: SparkSession, sfDir: String,
                      full: Boolean): Unit = {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // every chunk (VERDICT r9 #5): warm the fresh context's shuffle
+    // write/read path too, so a chunk's first query isn't charged
+    // ~0.26s of first-exchange setup the other queries don't pay
+    locally {
+      import org.apache.spark.sql.functions.col
+      spark.range(10000).groupBy(col("id") % 64).count().count()
+    }
     if (full) {
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(org.apache.spark.sql.functions.explode(
@@ -142,6 +155,9 @@ object Bench {
     val results = collection.mutable.ArrayBuffer.empty[(String, Double)]
     val jobSecs = collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    // queries whose listener drain timed out — their queries_job entry
+    // may undercount (VERDICT r9 #4); flagged in the artifact
+    val jobIncomplete = collection.mutable.ArrayBuffer.empty[String]
     names.grouped(chunkSize).zipWithIndex.foreach { case (chunk, ci) =>
       val spark = newSession(cpus)
       val sc = spark.sparkContext
@@ -160,9 +176,11 @@ object Bench {
           fn(spark, sfDir).count(); ()
         }
         catch { case t: Throwable =>
+          // strip ALL control chars (Spark messages embed tabs/plan
+          // dumps), not just CR/LF — else the artifact is invalid JSON
           errors(name) = s"${t.getClass.getSimpleName}: ${
-            Option(t.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r]", " ")
-              .take(200)}"
+            Option(t.getMessage).getOrElse("")
+              .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)}"
         }
         val dt = (System.nanoTime() - t0) / 1e9
         sc.clearJobGroup()
@@ -177,7 +195,7 @@ object Bench {
         spark.catalog.clearCache()
         sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
-        listener.drain()
+        if (!listener.drain()) jobIncomplete += name
         results += name -> dt
         jobSecs(name) =
           listener.groupMs.getOrDefault(s"graftq:$name", 0L) / 1e3
@@ -194,8 +212,19 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the reading key ships IN the artifact (VERDICT r9 #3) so a future
+    // round can't misread AQE stage-concurrency as a regression
+    val jobKey = "queries_job sums listener-attributed job wall-time " +
+      "per query. job >> wall is EXPECTED (AQE materializes query " +
+      "stages as concurrent jobs); wall >> job is the phantom-debt " +
+      "signal (un-attributed session work landing on the clock). " +
+      "Queries in queries_job_incomplete hit the 10s listener drain " +
+      "bound and may undercount job time."
+    val jinc = jobIncomplete.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"queries_job":$jq,"errors":$errs,"sf":"$sfDir"}"""
+      s""""queries":$qs,"queries_job":$jq,""" +
+      s""""queries_job_key":"$jobKey",""" +
+      s""""queries_job_incomplete":$jinc,"errors":$errs,"sf":"$sfDir"}"""
     // full payload first in the log, and always in a file: the
     // driver's log-tail parse only sees the LAST ~2000 chars, which a
     // 250-query map overflows — that full map lives here
@@ -221,6 +250,9 @@ object Bench {
     // a crashing query must FAIL the bench run, not shave its total
     // (VERDICT r8 #2) — correctness gates the values; this gates the
     // artifact's integrity
+    if (jobIncomplete.nonEmpty)
+      System.err.println("[bench] WARNING: listener drain timed out for: " +
+        jobIncomplete.mkString(", ") + " (queries_job may undercount)")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")
       sys.exit(1)

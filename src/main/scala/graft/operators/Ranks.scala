@@ -140,11 +140,22 @@ object Ranks {
     * partition — the partition id IS the bucket. One extra data
     * shuffle, but per-row cost is O(log B) inside Spark's machinery
     * and bounds respect the full total order (skew-proof: a repeated
-    * value splits by tie). The B > 4096 path. */
+    * value splits by tie). The B > 4096 path.
+    *
+    * PERSISTED (ADVICE r9): the bucketed frame feeds two plan branches
+    * (per-bucket spine and the final offset join), and its bucket ids
+    * come from `spark_partition_id()` after a SAMPLED range exchange —
+    * if each branch recomputed the exchange (exchange reuse disabled,
+    * or canonicalization broken by a refactor), RangePartitioner's
+    * per-RDD sampling could yield DIFFERENT bounds per branch and
+    * silently corrupt ranks. Persisting pins one materialization of
+    * the sampled bounds; correctness no longer rides exchange reuse. */
   private def bucketedByRange(in: DataFrame, valueCol: String,
                               tieCol: String, buckets: Int): DataFrame =
-    in.repartitionByRange(buckets, col(valueCol), col(tieCol))
-      .withColumn("__g_bkt", spark_partition_id())
+    CacheScope.track(
+      in.repartitionByRange(buckets, col(valueCol), col(tieCol))
+        .withColumn("__g_bkt", spark_partition_id())
+        .persist())
 
   private def rankedWith(bucketed: DataFrame, valueCol: String,
                          tieCol: String, rankCol: String,

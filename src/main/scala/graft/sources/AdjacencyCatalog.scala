@@ -262,8 +262,8 @@ object CatalogAudit {
   def overwriteAudit(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_cat_ow").toString
+    val cat = s"graft_adj_c${ctr.incrementAndGet()}"
     try {
-      val cat = s"graft_adj_c${ctr.incrementAndGet()}"
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[AdjacencyCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -280,6 +280,13 @@ object CatalogAudit {
         .agg(count(lit(1)).as("n_edges"), sum("dst").as("dst_sum"))
         .orderBy("src")
         .localCheckpoint() // materialize before the root is deleted
-    } finally deleteRec(root)
+    } finally {
+      deleteRec(root)
+      // unset the session confs too (ADVICE r9): leaving them pointed
+      // at the deleted root leaks a dead catalog entry into the
+      // session — SHOW TABLES / resolution against it would fail
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
   }
 }

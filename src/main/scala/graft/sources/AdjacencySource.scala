@@ -151,9 +151,20 @@ object AdjacencySource {
   /** Task-side body of the distributed overwrite-by-filter maintenance
     * job: rewrite ONE part file, dropping lines whose src matches the
     * delete condition. A line with an unparseable src is kept — delete
-    * only what provably matches. The tmp-then-rename keeps a killed
-    * task from leaving a half-rewritten visible file (the hidden `.`
-    * prefix excludes the tmp from reader listings). */
+    * only what provably matches.
+    *
+    * Durability (VERDICT r9 #1/#2): every step is recoverable — the
+    * original is never deleted before its replacement is in place.
+    * Survivors stream to a hidden, TASK-ATTEMPT-SUFFIXED tmp (hidden
+    * `.` prefix excludes it from reader listings; the attempt suffix
+    * keeps speculative/retried attempts on the same file from
+    * colliding), then the original is renamed ASIDE to a hidden
+    * `.bak`, the tmp renamed into place, and only then is the `.bak`
+    * deleted. A kill at any point leaves either the original visible
+    * or both files on disk (the `.bak` holds every original row); a
+    * failed finalize rolls the original back. A write-side failure
+    * (disk full, ...) deletes the tmp in `finally` instead of leaking
+    * it. */
   private[sources] def rewriteDropping(file: String, filters: Seq[Filter],
                                        conf: SerializableHadoopConf): Unit = {
     val drop = srcPredicate(filters).getOrElse(
@@ -161,31 +172,48 @@ object AdjacencySource {
         s"graft-adjacency: unsupported delete condition $filters"))
     val p = new Path(file)
     val fs = FileSystem.get(p.toUri, conf.value)
-    val tmp = new Path(p.getParent, "." + p.getName + ".rw.tmp")
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
-    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => tc.taskAttemptId().toString).getOrElse("driver")
+    val tmp = new Path(p.getParent, "." + p.getName + s".rw.$attempt.tmp")
+    val bak = new Path(p.getParent, "." + p.getName + s".rw.$attempt.bak")
     var kept = 0
+    var written = false
     try {
-      var line = in.readLine()
-      while (line != null) {
-        val t = line.trim
-        val srcOpt =
-          if (t.isEmpty) None
-          else try Some(t.split("\\s+")(0).toLong)
-          catch { case _: NumberFormatException => None }
-        if (srcOpt.forall(s => !drop(s))) {
-          out.write(line); out.newLine(); kept += 1
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          val t = line.trim
+          val srcOpt =
+            if (t.isEmpty) None
+            else try Some(t.split("\\s+")(0).toLong)
+            catch { case _: NumberFormatException => None }
+          if (srcOpt.forall(s => !drop(s))) {
+            out.write(line); out.newLine(); kept += 1
+          }
+          line = in.readLine()
         }
-        line = in.readLine()
-      }
-    } finally { in.close(); out.close() }
-    fs.delete(p, false)
-    if (kept > 0) {
-      if (!fs.rename(tmp, p)) throw new java.io.IOException(
+      } finally { in.close(); out.close() }
+      written = true
+    } finally if (!written) fs.delete(tmp, false)
+    // Finalize. Original aside first — recoverable at every step.
+    if (!fs.rename(p, bak)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"graft-adjacency: failed to set aside $file for rewrite " +
+          "(concurrent rewrite attempt?)")
+    }
+    if (kept > 0 && !fs.rename(tmp, p)) {
+      fs.rename(bak, p) // roll the original back into place
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
         s"graft-adjacency: failed to finalize rewrite of $file")
-    } else fs.delete(tmp, false)
+    }
+    if (kept == 0) fs.delete(tmp, false) // empty survivor set: drop file
+    fs.delete(bak, false)
   }
 }
 
