@@ -796,6 +796,11 @@ object SparkEntry {
       ((s, d) => graft.sources.CatalogAudit.aggPushAudit(s, d)),
     "dsv2_metadata_col_audit" ->
       ((s, d) => graft.sources.CatalogAudit.metadataColAudit(s, d)),
+    // round-10 batch A: state-space filtering, Markov chain structure
+    "kalman_filter" -> ((s, d) => Events.kalmanFilter(s, d)),
+    "markov_classes" -> ((s, d) => Events.markovClasses(s, d)),
+    "hash_walks" -> ((s, d) => Graph.hashWalks(s, d)),
+    "geo_radius_join" -> ((s, d) => Spatial.geoRadiusJoin(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -839,6 +844,52 @@ object SparkEntry {
          SELECT c AS src, sup AS dst FROM pairs
          UNION ALL SELECT sup, c FROM pairs),
        nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)"""
+
+  /** One unrolled hash-walk step (mirrors `Graph.hashWalks`): from
+    * w{t-1}'s (seed, node), join neighbors, pick argmin of the affine
+    * + 2×(multiply, xorshift) mix on the 2^40 grid, dst tie-break. */
+  private def walkStepSql(t: Int): String =
+    s"""w$t AS (
+         SELECT seed, dst AS node FROM (
+           SELECT seed, dst,
+             row_number() OVER (PARTITION BY seed ORDER BY h, dst) AS rn
+           FROM (
+             SELECT seed, dst, xor(m2, m2 // 1048576) AS h FROM (
+               SELECT seed, dst,
+                 (x1 * 8388593) % 1099511627776 AS m2 FROM (
+                 SELECT seed, dst, xor(m1, m1 // 1048576) AS x1 FROM (
+                   SELECT seed, dst,
+                     (z0 * 8388593) % 1099511627776 AS m1 FROM (
+                     SELECT w.seed AS seed, e.dst AS dst,
+                       (w.node * 1000003 + $t * 999983 + e.dst)
+                         % 1099511627776 AS z0
+                     FROM w${t - 1} w
+                     JOIN edges e ON w.node = e.src))))))
+         WHERE rn = 1)"""
+
+  /** Key-derived deterministic grid coordinates (mirrors
+    * `Spatial.mix40`): affine + 2×(multiply, xorshift) on the 2^40
+    * grid, salted per axis, reduced mod `grid`. Emits
+    * `SELECT <key> AS id<extra>, … AS x, … AS y FROM <src>`. */
+  private def gridCoordsSql(src: String, key: String, extraDef: String,
+                            extraRef: String, saltX: Long, saltY: Long,
+                            grid: Long): String =
+    s"""SELECT id$extraRef, h1 % $grid AS x, h2 % $grid AS y FROM (
+          SELECT id$extraRef, xor(m12, m12 // 1048576) AS h1,
+                 xor(m22, m22 // 1048576) AS h2 FROM (
+            SELECT id$extraRef, (x11 * 8388593) % 1099511627776 AS m12,
+                   (x21 * 8388593) % 1099511627776 AS m22 FROM (
+              SELECT id$extraRef, xor(m11, m11 // 1048576) AS x11,
+                     xor(m21, m21 // 1048576) AS x21 FROM (
+                SELECT id$extraRef,
+                       (z1 * 8388593) % 1099511627776 AS m11,
+                       (z2 * 8388593) % 1099511627776 AS m21 FROM (
+                  SELECT $key::BIGINT AS id$extraDef,
+                    ($key::BIGINT * 1000003 + $saltX)
+                      % 1099511627776 AS z1,
+                    ($key::BIGINT * 1000003 + $saltY)
+                      % 1099511627776 AS z2
+                  FROM $src)))))"""
 
   /** Media fake-decode hash (mirrors `Multimodal.fakeDecode`): base-31
     * fold of the blob bytes mod 2^40, plus kind/byte-length columns.
@@ -14509,6 +14560,122 @@ object SparkEntry {
          SELECT source_file, count(*)::BIGINT AS n_edges,
            sum(dst)::BIGINT AS dst_sum
          FROM lab GROUP BY 1 ORDER BY 1""",
+    // Kalman local-level recursion replayed step-exact: P- = P + Q;
+    // K = P-/(P- + R); l += K(x-l); P = (1-K)P-  (Q=0.5, R=2.0,
+    // seeded l=x1, P=R, K=1) — identical IEEE op order both engines
+    "kalman_filter" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+           SELECT date_diff('day', DATE '2024-01-01', ts::DATE) AS day,
+                  sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::DOUBLE
+                    / 1e6 AS x
+           FROM events GROUP BY 1),
+         ord AS MATERIALIZED (
+           SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+           FROM daily),
+         r AS (
+           SELECT day, x, rn, x AS pred, x AS level,
+                  2.0::DOUBLE AS p, 1.0::DOUBLE AS gain
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.day, o.x, o.rn,
+             r.level,
+             r.level + ((r.p + 0.5) / ((r.p + 0.5) + 2.0))
+               * (o.x - r.level),
+             (1.0 - ((r.p + 0.5) / ((r.p + 0.5) + 2.0))) * (r.p + 0.5),
+             (r.p + 0.5) / ((r.p + 0.5) + 2.0)
+           FROM ord o JOIN r ON o.rn = r.rn + 1)
+         SELECT day::BIGINT AS day,
+                floor(x * 1e6 + 0.5) / 1e6 AS actual,
+                floor(pred * 1e6 + 0.5) / 1e6 AS pred,
+                floor(level * 1e6 + 0.5) / 1e6 AS filtered,
+                floor(gain * 1e6 + 0.5) / 1e6 AS gain,
+                floor(p * 1e6 + 0.5) / 1e6 AS p_var
+         FROM r ORDER BY day""",
+    // communicating classes (SCC) of the per-source top-2 transition
+    // skeleton + closed (recurrent) verdict; closure via recursive CTE
+    "markov_classes" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_type AS cur,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+           FROM events),
+         tr AS (SELECT cur, nxt, count(*)::BIGINT AS c FROM seq
+                WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         edges AS (SELECT cur AS src, nxt AS dst FROM (
+                     SELECT cur, nxt, row_number() OVER (
+                       PARTITION BY cur ORDER BY c DESC, nxt) AS rn
+                     FROM tr)
+                   WHERE rn <= 2),
+         nodes AS (SELECT DISTINCT src AS n FROM edges
+                   UNION SELECT DISTINCT dst FROM edges),
+         reach AS (
+           SELECT n AS src, n AS dst FROM nodes
+           UNION SELECT src, dst FROM edges
+           UNION SELECT r.src, e.dst
+           FROM reach r JOIN edges e ON r.dst = e.src),
+         mutual AS (
+           SELECT f.src AS node, f.dst AS peer
+           FROM reach f JOIN reach b
+             ON f.src = b.dst AND f.dst = b.src),
+         classes AS (
+           SELECT node, min(peer) AS class_id,
+                  count(*)::BIGINT AS class_size
+           FROM mutual GROUP BY node),
+         esc AS (
+           SELECT DISTINCT cs.class_id
+           FROM edges ed
+           JOIN classes cs ON ed.src = cs.node
+           JOIN classes cd ON ed.dst = cd.node
+           WHERE cs.class_id <> cd.class_id)
+         SELECT node AS event_type, class_id, class_size,
+           CASE WHEN class_id IN (SELECT class_id FROM esc)
+             THEN 0 ELSE 1 END::BIGINT AS closed
+         FROM classes ORDER BY event_type""",
+    // 4 unrolled deterministic-hash walk steps over the
+    // customer<->supplier graph; argmin of the shared 2^40 mix per
+    // (seed, step), dst tie-break — identical integers both engines
+    "hash_walks" ->
+      (s"WITH $GraphCte,\n" +
+        """seeds AS (
+             SELECT DISTINCT c_custkey::BIGINT AS seed FROM customer
+             WHERE c_custkey % 100 = 1
+               AND c_custkey IN (SELECT src FROM edges)),
+           w0 AS (SELECT seed, seed AS node FROM seeds),
+        """ +
+        (1 to 4).map(walkStepSql).mkString(",\n") + "\n" +
+        """SELECT seed, 0::BIGINT AS step, node::BIGINT AS node FROM w0
+           UNION ALL SELECT seed, 1, node FROM w1
+           UNION ALL SELECT seed, 2, node FROM w2
+           UNION ALL SELECT seed, 3, node FROM w3
+           UNION ALL SELECT seed, 4, node FROM w4
+           ORDER BY seed, step"""),
+    // cell-blocked radius join on key-derived integer coordinates;
+    // 3x3 probe neighborhood + exact dx^2+dy^2 <= r^2 verify (r=150)
+    "geo_radius_join" ->
+      (s"""WITH cust AS (
+             ${gridCoordsSql("customer", "c_custkey",
+               ", c_mktsegment AS segment", ", segment", 1L, 2L,
+               10000L)}),
+           supp AS (
+             ${gridCoordsSql("supplier", "s_suppkey", "", "", 3L, 4L,
+               10000L)}),
+           probe AS (
+             SELECT s.id AS sid, s.x AS sx, s.y AS sy,
+                    s.x // 150 + dx.d AS px, s.y // 150 + dy.d AS py
+             FROM supp s
+             CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) dx
+             CROSS JOIN (SELECT unnest(range(-1, 2)) AS d) dy)
+           SELECT c.segment, count(*)::BIGINT AS n_pairs,
+                  count(DISTINCT c.id)::BIGINT AS n_customers,
+                  sum((c.x - p.sx) * (c.x - p.sx)
+                    + (c.y - p.sy) * (c.y - p.sy))::BIGINT AS d2_sum,
+                  min((c.x - p.sx) * (c.x - p.sx)
+                    + (c.y - p.sy) * (c.y - p.sy))::BIGINT AS d2_min
+           FROM cust c JOIN probe p
+             ON c.x // 150 = p.px AND c.y // 150 = p.py
+           WHERE (c.x - p.sx) * (c.x - p.sx)
+             + (c.y - p.sy) * (c.y - p.sy) <= 22500
+           GROUP BY c.segment ORDER BY c.segment"""),
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -1073,6 +1073,81 @@ object Events {
       .orderBy("state")
   }
 
+  /** Communicating classes of the user-behavior Markov chain (W540) —
+    * the strongly connected components of [[markovStationary]]'s
+    * transition graph, plus the recurrent/transient verdict: a class
+    * is CLOSED (recurrent) iff no kept transition leaves it, which is
+    * the condition under which the chain's long-run mass can live
+    * there at all — the structural sanity check run before trusting
+    * any stationary-distribution readout. The graph is the
+    * DOMINANT-BEHAVIOR skeleton: each source keeps only its top-2
+    * transitions by exact count (next-type tie-break), so the class
+    * structure reflects where users mostly go rather than welding
+    * everything into one blob through thin back-edges — and the
+    * kept/dropped decision is exact-integer, bit-identical in both
+    * engines (the fixture yields a closed recurrent core plus a
+    * transient singleton, which is the shape the op exists to find).
+    * Reachability closes by path DOUBLING (R ← R ∪ R∘R) to a counted
+    * fixpoint — ⌈log₂ diameter⌉ ≤ ⌈log₂ |types|⌉ joins, every frame
+    * ≤ |types|² rows, the same |types|-bounded contract as every
+    * Markov op here; scc(v) = min{u : v→u ∧ u→v}. Corpus-bound work
+    * is ONE windowed lead + one keyed count; the closure never sees a
+    * corpus-proportional row.
+    */
+  def markovClasses(s: SparkSession, dir: String,
+                    maxDoublings: Int = 12): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val wSrc = Window.partitionBy("cur")
+      .orderBy(col("c").desc, col("nxt"))
+    val edges = CacheScope.track(trans
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= 2)
+      .select(col("cur").as("src"), col("nxt").as("dst"))
+      .persist())
+    val nodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct()
+    var reach = nodes.select(col("n").as("src"), col("n").as("dst"))
+      .union(edges).distinct().localCheckpoint()
+    var n = reach.count()
+    var rounds = 0
+    var fixed = false
+    while (!fixed && rounds < maxDoublings) {
+      val next = reach.as("a")
+        .join(reach.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .union(reach).distinct().localCheckpoint()
+      val n2 = next.count()
+      fixed = n2 == n
+      n = n2; reach = next; rounds += 1
+    }
+    val mutual = reach.as("f")
+      .join(reach.as("b"),
+        col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
+      .select(col("f.src").as("node"), col("f.dst").as("peer"))
+    val classes = mutual.groupBy("node")
+      .agg(min(col("peer")).as("class_id"),
+        count(lit(1)).as("class_size"))
+    val open = edges
+      .join(classes.select(col("node").as("sn"),
+        col("class_id").as("scid")), col("src") === col("sn"))
+      .join(classes.select(col("node").as("dn"),
+        col("class_id").as("dcid")), col("dst") === col("dn"))
+      .filter(col("scid") =!= col("dcid"))
+      .select(col("scid").as("class_id")).distinct()
+      .withColumn("esc", lit(1))
+    classes.join(open, Seq("class_id"), "left")
+      .select(col("node").as("event_type"), col("class_id"),
+        col("class_size"),
+        when(col("esc").isNull, lit(1L)).otherwise(lit(0L)).as("closed"))
+      .orderBy("event_type")
+  }
+
   /** First-/last-touch conversion attribution: every purchase is
     * attributed to the earliest and latest non-purchase event of the
     * same user inside a `lookbackDays` window strictly before the
@@ -3304,6 +3379,58 @@ object Events {
           element_at(col("f.seas"),
             pmod(col("f.day") + col("hz"), lit(7)) + 1), 6).as("fitted"))
     inSample.unionAll(fc).orderBy("day", "horizon")
+  }
+
+  /** Kalman local-level filter of the daily revenue series (W539) —
+    * the state-space counterpart of [[holtForecast]]'s fixed-gain
+    * smoothing: a random-walk level observed under noise (x_t = l_t +
+    * ε, l_t = l_{t−1} + η), filtered by the exact scalar Kalman
+    * recursion. Unlike Holt/EMA the GAIN is itself state — it starts
+    * at 1 (all trust in the first observation, seeded P₀ = R) and
+    * relaxes monotonically to the steady-state Riccati fixed point, so
+    * early days are tracked and later days smoothed, which no
+    * constant-α smoother can do. Per step: P⁻ = P + Q; K = P⁻/(P⁻+R);
+    * l ← l + K(x − l); P ← (1−K)·P⁻ — four IEEE-exact +,−,×,÷ per day
+    * written in the precise op order the oracle's recursive CTE
+    * replays, so both engines walk bit-identical doubles (the
+    * [[hwForecast]] determinism contract). Surfaced: the one-step
+    * prediction (prior mean), filtered level, gain, and posterior
+    * variance, all 1e-6-quantized. Corpus-bound work is one day-keyed
+    * exact-grid aggregation; the fold is O(days) at any event volume.
+    */
+  def kalmanFilter(s: SparkSession, dir: String, qVar: Double = 0.5,
+                   rVar: Double = 2.0): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg((sum(col("v6")).cast("double") / lit(1e6)).as("x"))
+    val acc0 = array().cast(
+      "array<struct<day:int,x:double,pred:double,level:double," +
+        "p:double,gain:double>>")
+    val folded = daily
+      .select(struct(col("day").cast("int").as("day"), col("x")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(aggregate(col("es"), acc0, (acc, e) => {
+        val lst = element_at(acc, -1)
+        val seeded = struct(e("day").as("day"), e("x").as("x"),
+          e("x").as("pred"), e("x").as("level"),
+          lit(rVar).as("p"), lit(1.0).as("gain"))
+        val pp = lst("p") + lit(qVar)
+        val k = pp / (pp + lit(rVar))
+        val stepped = struct(e("day").as("day"), e("x").as("x"),
+          lst("level").as("pred"),
+          (lst("level") + k * (e("x") - lst("level"))).as("level"),
+          ((lit(1.0) - k) * pp).as("p"), k.as("gain"))
+        when(size(acc) === 0, array(seeded))
+          .otherwise(concat(acc, array(stepped)))
+      }).as("out"))
+    folded
+      .select(explode(col("out")).as("o"))
+      .select(col("o.day").cast("long").as("day"),
+        q(col("o.x"), 6).as("actual"), q(col("o.pred"), 6).as("pred"),
+        q(col("o.level"), 6).as("filtered"),
+        q(col("o.gain"), 6).as("gain"), q(col("o.p"), 6).as("p_var"))
+      .orderBy("day")
   }
 
   /** O'Brien–Fleming group-sequential monitor (W325) — the "can we

@@ -963,6 +963,52 @@ object Graph {
     }
   }
 
+  /** Deterministic hash-seeded random walks (W541) — the node2vec/
+    * DeepWalk CORPUS GENERATOR re-expressed so it is replayable and
+    * oracle-able: at step t from node u the walk moves to the neighbor
+    * v minimizing a scrambled integer hash h(u,t,v) (v as tie-break),
+    * which is a fixed pseudo-random choice — same walks on any
+    * cluster, any partitioning, any retry, with no RNG state to
+    * coordinate across executors (the property that makes sampled
+    * walk corpora reproducible at 100 TB). Each step is ONE
+    * shuffle join of the frontier against the cached edge table plus
+    * a per-seed argmin (`min(struct(h, dst))` — partial-aggregated,
+    * never a sort); T steps = T keyed joins, frontier rows = |seeds|
+    * throughout, `localCheckpoint` bounds the loop's lineage exactly
+    * like the PPR loop above. The hash is the replicable affine +
+    * 2×(multiply, xorshift) mix on the [0, 2^40) grid every sketch op
+    * here shares — both engines walk identical integers.
+    */
+  def hashWalks(s: SparkSession, dir: String, steps: Int = 4): DataFrame = {
+    val e = CacheScope.track(customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist())
+    val seeds = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("seed"))
+      .filter(pmod(col("seed"), lit(100L)) === lit(1L))
+      .join(e.select(col("src").as("seed")).distinct(), Seq("seed"))
+    var walk = seeds
+      .select(col("seed"), lit(0L).as("step"), col("seed").as("node"))
+      .localCheckpoint()
+    val levels = collection.mutable.ArrayBuffer(walk)
+    for (t <- 1 to steps) {
+      val z0 = pmod(col("node") * lit(1000003L) +
+        lit(t.toLong) * lit(999983L) + col("dst"), lit(1099511627776L))
+      val h = (1 to 2).foldLeft(z0) { (acc, _) =>
+        val hm = (acc * lit(8388593L)) % lit(1099511627776L)
+        hm.bitwiseXOR(shiftright(hm, 20))
+      }
+      walk = walk.join(e, col("node") === col("src"))
+        .select(col("seed"), h.as("h"), col("dst"))
+        .groupBy("seed")
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("seed"), lit(t.toLong).as("step"),
+          col("m.dst").as("node"))
+        .localCheckpoint()
+      levels += walk
+    }
+    levels.reduce(_ unionAll _).orderBy("seed", "step")
+  }
+
   /** Classic global PageRank (uniform teleport) over the undirected
     * customer⇄supplier graph, fixed `rounds`, top-`k` by 9-dp rounded
     * rank with id tiebreak. The reference only ships the PERSONALIZED

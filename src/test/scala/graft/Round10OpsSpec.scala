@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, Graph, Spatial}
+
+/** Round-10 operators: Kalman local-level filter (W539), Markov
+  * communicating classes (W540), deterministic hash walks (W541),
+  * grid-blocked spatial radius join (W542).
+  */
+class Round10OpsSpec extends SparkSpec {
+
+  test("kalman_filter matches a sequential scalar replay at 1e-9") {
+    val got = Events.kalmanFilter(spark, sf).collect()
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .select(datediff(to_date(col("ts")), lit("2024-01-01")).as("day"),
+        floor(col("value") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .groupBy("day").agg((sum(col("v6")).cast("double") / lit(1e6)).as("x"))
+      .orderBy("day").collect()
+      .map(r => (r.getInt(0).toLong, r.getDouble(1)))
+    // sequential scalar Kalman, identical op order
+    val (qv, rv) = (0.5, 2.0)
+    var (level, p) = (daily.head._2, rv)
+    val expected = daily.zipWithIndex.map { case ((d, x), i) =>
+      if (i == 0) { level = x; p = rv; (d, x, x, 1.0) }
+      else {
+        val pp = p + qv
+        val k = pp / (pp + rv)
+        val pred = level
+        level = level + k * (x - level)
+        p = (1.0 - k) * pp
+        (d, x, pred, k)
+      }
+    }
+    assert(got.length == expected.length)
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    got.sortBy(_.getLong(0)).zip(expected).foreach { case (r, (d, x, pred, k)) =>
+      assert(r.getLong(0) == d)
+      assert(math.abs(r.getDouble(1) - q6(x)) < 1e-9, s"actual day $d")
+      assert(math.abs(r.getDouble(2) - q6(pred)) < 1e-9, s"pred day $d")
+      assert(math.abs(r.getDouble(4) - q6(k)) < 1e-9, s"gain day $d")
+    }
+    // the gain relaxes monotonically from 1 toward the Riccati fixed
+    // point — the property constant-alpha smoothers lack
+    val gains = got.sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(gains.head == 1.0)
+    gains.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-12) }
+  }
+
+  test("markov_classes: classes partition the types; ids are minima") {
+    val rows = Events.markovClasses(spark, sf).collect()
+    val types = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == types)
+    // class_id is the min member, so id <= member for every row, and
+    // each class's size is consistent across its members
+    rows.foreach(r => assert(r.getString(1) <= r.getString(0)))
+    val bySize = rows.groupBy(_.getString(1))
+    bySize.foreach { case (cid, ms) =>
+      assert(ms.map(_.getLong(2)).toSet.size == 1)
+      assert(ms.length == ms.head.getLong(2), s"class $cid size")
+      assert(ms.map(_.getString(0)).min == cid)
+      assert(ms.map(_.getLong(3)).toSet.size == 1) // shared verdict
+    }
+    // classes partition: per-class member counts sum to all types
+    assert(bySize.values.map(_.length).sum == rows.length)
+  }
+
+  test("hash_walks: deterministic, neighbor-consistent, full-length") {
+    val w1 = Graph.hashWalks(spark, sf).collect()
+    val w2 = Graph.hashWalks(spark, sf).collect()
+    assert(w1.map(_.toString).sorted.sameElements(
+      w2.map(_.toString).sorted)) // replayable: no RNG anywhere
+    val seeds = w1.filter(_.getLong(1) == 0L).map(_.getLong(0)).toSet
+    assert(seeds.nonEmpty)
+    // every seed walks all 5 levels (undirected graph: no dead ends)
+    val bySeed = w1.groupBy(_.getLong(0))
+    bySeed.foreach { case (s, rs) =>
+      assert(rs.map(_.getLong(1)).toSet == Set(0L, 1L, 2L, 3L, 4L), s"$s")
+    }
+    // each step moves along a real edge
+    val edges = Graph.customerSupplierEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    bySeed.foreach { case (_, rs) =>
+      val path = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      path.sliding(2).foreach { case Array(a, b) =>
+        assert(edges.contains((a, b)), s"non-edge $a->$b")
+      }
+    }
+  }
+
+  test("geo_radius_join equals the brute-force all-pairs census") {
+    val got = Spatial.geoRadiusJoin(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // brute force: no cells, no neighborhood — proves the 3x3
+    // blocking loses nothing and admits nothing
+    val mix = (k: Long, salt: Long) => {
+      var h = (k * 1000003L + salt) % 1099511627776L
+      for (_ <- 1 to 2) {
+        val m = (h * 8388593L) % 1099511627776L
+        h = m ^ (m >> 20)
+      }
+      h % 10000L
+    }
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1), mix(r.getLong(0), 1L),
+        mix(r.getLong(0), 2L)))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey").collect()
+      .map(r => (r.getLong(0), mix(r.getLong(0), 3L), mix(r.getLong(0), 4L)))
+    val pairs = for {
+      (cid, seg, cx, cy) <- cust
+      (_, sx, sy) <- supp
+      d2 = (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+      if d2 <= 150L * 150L
+    } yield (seg, cid, d2)
+    val want = pairs.groupBy(_._1).map { case (seg, ps) =>
+      seg -> ((ps.length.toLong, ps.map(_._2).distinct.length.toLong,
+        ps.map(_._3).sum, ps.map(_._3).min))
+    }
+    assert(got == want, s"got $got want $want")
+  }
+}
