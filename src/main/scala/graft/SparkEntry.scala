@@ -801,6 +801,9 @@ object SparkEntry {
     "markov_classes" -> ((s, d) => Events.markovClasses(s, d)),
     "hash_walks" -> ((s, d) => Graph.hashWalks(s, d)),
     "geo_radius_join" -> ((s, d) => Spatial.geoRadiusJoin(s, d)),
+    "topk_sketch_rollup" -> ((s, d) => Relational.topkSketchRollup(s, d)),
+    "try_arithmetic" -> ((s, d) => Relational.tryArithmetic(s, d)),
+    "quantile_normalize" -> ((s, d) => Curation.quantileNormalize(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14676,6 +14679,64 @@ object SparkEntry {
            WHERE (c.x - p.sx) * (c.x - p.sx)
              + (c.y - p.sy) * (c.y - p.sy) <= 22500
            GROUP BY c.segment ORDER BY c.segment"""),
+    // frequent-items sketch in its exact regime (cap >= distinct):
+    // the merged estimate equals the exact census
+    "topk_sketch_rollup" ->
+      """SELECT event_type, count(*)::BIGINT AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // try_multiply/try_divide null semantics restated as explicit
+    // guards: overflow iff cents > Long.Max // 2e12; div-by-zero null
+    "try_arithmetic" ->
+      """WITH li AS (
+           SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS cents,
+             l_linenumber::BIGINT AS ln
+           FROM lineitem),
+         t AS (
+           SELECT l_returnflag,
+             CASE WHEN cents > 9223372036854775807 // 2000000000000
+               THEN NULL ELSE cents * 2000000000000 END AS mul,
+             CASE WHEN ln = 1 THEN NULL
+               ELSE cents / (ln - 1) END AS dv
+           FROM li)
+         SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN mul IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_mul_overflow,
+           max(mul)::BIGINT AS mul_max,
+           sum(CASE WHEN dv IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_div_null,
+           sum(CAST(floor(dv * 1e6 + 0.5) AS BIGINT))::BIGINT
+             AS div_sum6
+         FROM t GROUP BY 1 ORDER BY 1""",
+    // cross-source quantile normalization: pooled order statistic at
+    // idx = ceil((2r-1)N / (2 n_g)), HUGEINT product, interval lookup
+    "quantile_normalize" ->
+      """WITH docs AS (
+           SELECT source, doc_id, n_chars::BIGINT AS v FROM documents),
+         rk AS (
+           SELECT source, v,
+             row_number() OVER (PARTITION BY source
+               ORDER BY v, doc_id)::BIGINT AS r,
+             count(*) OVER (PARTITION BY source)::BIGINT AS ng
+           FROM docs),
+         tot AS (SELECT count(*)::BIGINT AS nn FROM docs),
+         pooled AS (
+           SELECT v AS pv,
+             sum(pc) OVER (ORDER BY v) - pc + 1 AS lo,
+             sum(pc) OVER (ORDER BY v) AS hi
+           FROM (SELECT v, count(*)::BIGINT AS pc FROM docs GROUP BY v)),
+         ix AS (
+           SELECT source,
+             CAST(((2 * r - 1)::HUGEINT * nn + (2 * ng - 1))
+               // (2 * ng) AS BIGINT) AS idx
+           FROM rk, tot)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(pv)::BIGINT AS norm_sum, min(pv)::BIGINT AS norm_min,
+           max(pv)::BIGINT AS norm_max,
+           count(DISTINCT pv)::BIGINT AS n_norm_values
+         FROM ix JOIN pooled p ON ix.idx BETWEEN p.lo AND p.hi
+         GROUP BY source ORDER BY source""",
   )
 
   private def sqlList(words: Seq[String]): String =

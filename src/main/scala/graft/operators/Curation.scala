@@ -1001,4 +1001,60 @@ object Curation {
       .orderBy(col("n_tokens").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Cross-source quantile normalization (W545) — the calibration
+    * step that makes per-source score thresholds comparable: each
+    * document's length score is replaced by the POOLED distribution's
+    * order statistic at the same relative rank (midpoint convention:
+    * pooled index ⌈(2r−1)·N / (2n_g)⌉ for within-source rank r of
+    * n_g), so "top 10% of source A" and "top 10% of source B" mean
+    * the same pooled value — the fix for mixing corpora whose quality
+    * scores live on different scales. EXACT throughout: within-source
+    * ranks come from a fine-keyed (source, value) window plus the
+    * cumulative-count identity over the per-source DISTINCT-value
+    * grid (never a corpus-wide or per-source row sort); the index
+    * product rides DECIMAL(38) (2rN overflows LONG past ~2³¹ rows);
+    * the pooled lookup is a broadcast interval join against the
+    * ≤ |distinct values| pooled grid. The one unpartitioned window
+    * runs over that bounded pooled grid (audited in the window
+    * baseline). Surfaced per source: census of the normalized values.
+    */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("v"))
+    val wCell = Window.partitionBy("source", "v").orderBy("doc_id")
+    val ranked = docs
+      .withColumn("tie", row_number().over(wCell).cast("long"))
+    val cell = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy("source").orderBy("v")
+    val grid = cell
+      .withColumn("base", sum(col("c")).over(wg) - col("c"))
+      .select(col("source"), col("v"), col("base"))
+    val ng = docs.groupBy("source").agg(count(lit(1)).as("n_g"))
+    val wp = Window.orderBy("v") // pooled DISTINCT grid — bounded
+    val pooled = docs.groupBy("v").agg(count(lit(1)).as("pc"))
+      .withColumn("hi", sum(col("pc")).over(wp))
+      .select(col("v").as("pv"), (col("hi") - col("pc") + 1).as("lo"),
+        col("hi"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val idx = call_function("div",
+      dec(col("r") * 2 - 1) * dec(col("nn")) +
+        dec(col("n_g") * 2 - 1),
+      dec(col("n_g") * 2))
+    ranked
+      .join(grid, Seq("source", "v")) // co-partitioned with wCell
+      .join(broadcast(ng), "source")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
+      .withColumn("r", col("base") + col("tie"))
+      .withColumn("idx", idx)
+      .join(broadcast(pooled),
+        col("idx") >= col("lo") && col("idx") <= col("hi"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pv")).as("norm_sum"),
+        min(col("pv")).as("norm_min"), max(col("pv")).as("norm_max"),
+        countDistinct(col("pv")).as("n_norm_values"))
+      .orderBy("source")
+  }
 }

@@ -1629,6 +1629,66 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Mergeable frequency-sketch rollup (W543) — the datasketches
+    * FREQUENT-ITEMS tour [[hllRollup]] gives cardinality: per-day
+    * `approx_top_k_accumulate` partial sketches, one
+    * `approx_top_k_combine` union, one `approx_top_k_estimate` — the
+    * two-phase shape that lets a 1000-executor ingest keep per-shard
+    * heavy-hitter state and merge it without reshuffling raw rows.
+    * Gated in the sketch's EXACT regime: `cap` ≥ distinct types, so
+    * no counter is ever evicted and the estimate equals the exact
+    * census (and `k` ≥ distinct, so no tie at a cut boundary can
+    * reorder the surfaced set) — the same exactness discipline as the
+    * HLL/KMV audits, but here the sketch itself is the operator under
+    * test, not its error. Exploded to (item, count) rows so the
+    * compare is order-free.
+    */
+  def topkSketchRollup(s: SparkSession, dir: String, cap: Int = 100,
+                       k: Int = 50): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr(s"approx_top_k_accumulate(event_type, $cap)").as("sk"))
+    daily
+      .agg(expr(s"approx_top_k_estimate(" +
+        s"approx_top_k_combine(sk, $cap), $k)").as("est"))
+      .select(explode(col("est")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
+      .orderBy("event_type")
+  }
+
+  /** `try_*` ANSI-safe arithmetic surface (W544): overflow and
+    * division-by-zero return NULL (`try_multiply`, `try_divide`)
+    * instead of wrapping silently (legacy mode) or failing the stage
+    * (ANSI mode) — the per-row error-quarantine semantics a 100 TB
+    * pipeline needs, where one poisoned row must not kill a 6-hour
+    * job NOR corrupt an aggregate by wrapping. The planted overflow
+    * (cents × 2×10¹², crossing 2⁶³ exactly where cents >
+    * ⌊Long.Max/2×10¹²⌋) splits the fixture both ways, and the oracle
+    * restates the semantics as explicit guards — so the gate pins
+    * WHERE the null boundary sits, bit-exactly. Per-flag census of
+    * null counts and the surviving values; one partial-agg'd scan.
+    */
+  def tryArithmetic(s: SparkSession, dir: String): DataFrame = {
+    val m = 2000000000000L
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"),
+        col("l_linenumber").cast("long").as("ln"))
+      .select(col("l_returnflag"),
+        try_multiply(col("cents"), lit(m)).as("mul"),
+        try_divide(col("cents"), col("ln") - lit(1L)).as("dv"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("mul").isNull, 1L).otherwise(0L))
+          .as("n_mul_overflow"),
+        max(col("mul")).as("mul_max"),
+        sum(when(col("dv").isNull, 1L).otherwise(0L)).as("n_div_null"),
+        sum(floor(col("dv") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("div_sum6"))
+      .orderBy("l_returnflag")
+  }
+
   /** Association LIFT over the basket pairs [[frequentPairs]] mines:
     * lift(a,b) = P(a,b)/(P(a)·P(b)) = support_ab·N/(s_a·s_b) — the
     * "is this co-occurrence more than chance" score that separates

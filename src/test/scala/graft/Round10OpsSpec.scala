@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Events, Graph, Spatial}
+import graft.operators.{Curation, Events, Graph, Relational, Spatial}
 
 /** Round-10 operators: Kalman local-level filter (W539), Markov
   * communicating classes (W540), deterministic hash walks (W541),
-  * grid-blocked spatial radius join (W542).
+  * grid-blocked spatial radius join (W542), frequency-sketch rollup
+  * (W543), try_* arithmetic surface (W544), cross-source quantile
+  * normalization (W545).
   */
 class Round10OpsSpec extends SparkSpec {
 
@@ -120,5 +122,58 @@ class Round10OpsSpec extends SparkSpec {
         ps.map(_._3).sum, ps.map(_._3).min))
     }
     assert(got == want, s"got $got want $want")
+  }
+
+  test("topk_sketch_rollup in the exact regime equals the census") {
+    val got = Relational.topkSketchRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("try_arithmetic null boundaries sit exactly at the guards") {
+    val rows = Relational.tryArithmetic(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice", "l_linenumber")
+      .collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong, r.getInt(2)))
+    val cut = Long.MaxValue / 2000000000000L
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val g = li.filter(_._1 == flag)
+      assert(r.getLong(1) == g.length)
+      assert(r.getLong(2) == g.count(_._2 > cut), s"$flag overflow")
+      assert(r.getLong(4) == g.count(_._3 == 1), s"$flag div-null")
+      val okMul = g.filter(_._2 <= cut).map(_._2 * 2000000000000L)
+      assert(r.getLong(3) == okMul.max, s"$flag mul_max")
+    }
+  }
+
+  test("quantile_normalize: equal-size sources share one census") {
+    val rows = Curation.quantileNormalize(spark, sf).collect()
+    val perSource = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.map(_.getString(0)).toSet == perSource.keySet)
+    rows.foreach(r => assert(r.getLong(1) == perSource(r.getString(0))))
+    // the fixture's sources are equal-sized, so normalization maps
+    // every source onto the SAME pooled quantile set — identical
+    // census across sources is the op's defining invariant
+    if (perSource.values.toSet.size == 1) {
+      val censuses = rows.map(r =>
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(censuses.size == 1, s"censuses differ: $censuses")
+    }
+    // normalized values are pooled order statistics: min/max must be
+    // actual n_chars values from the corpus
+    val vals = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("n_chars").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(vals.contains(r.getLong(3)) && vals.contains(r.getLong(4)))
+    }
   }
 }
