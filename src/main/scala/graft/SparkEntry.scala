@@ -804,6 +804,9 @@ object SparkEntry {
     "topk_sketch_rollup" -> ((s, d) => Relational.topkSketchRollup(s, d)),
     "try_arithmetic" -> ((s, d) => Relational.tryArithmetic(s, d)),
     "quantile_normalize" -> ((s, d) => Curation.quantileNormalize(s, d)),
+    "hitting_time" -> ((s, d) => Events.hittingTime(s, d)),
+    "identifier_templated" ->
+      ((s, d) => Relational.identifierTemplated(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -869,6 +872,19 @@ object SparkEntry {
                      FROM w${t - 1} w
                      JOIN edges e ON w.node = e.src))))))
          WHERE rn = 1)"""
+
+  /** One unrolled hitting-time value-iteration round (mirrors
+    * `Events.hittingTime`): H'(s) = 10⁶ + (Σ_t c_st·H(t)) div tc_s,
+    * target pinned at 0 — exact integers, identical both engines. */
+  private def hitStepSql(i: Int): String =
+    s"""h$i AS (
+         SELECT tr.cur AS state,
+           CASE WHEN tr.cur = 'purchase' THEN 0
+             ELSE 1000000 + CAST(sum(tr.c * p.h6) // min(tt.tc)
+               AS BIGINT) END AS h6
+         FROM tr JOIN h${i - 1} p ON tr.nxt = p.state
+         JOIN tc tt ON tt.cur = tr.cur
+         GROUP BY tr.cur)"""
 
   /** Key-derived deterministic grid coordinates (mirrors
     * `Spatial.mix40`): affine + 2×(multiply, xorshift) on the 2^40
@@ -14737,6 +14753,30 @@ object SparkEntry {
            count(DISTINCT pv)::BIGINT AS n_norm_values
          FROM ix JOIN pooled p ON ix.idx BETWEEN p.lo AND p.hi
          GROUP BY source ORDER BY source""",
+    // 12 unrolled exact-integer value-iteration rounds of
+    // h(s) = 1 + sum_t P(s,t) h(t), h(purchase) = 0, on the 1e-6 grid
+    "hitting_time" ->
+      ("""WITH seq AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS nxt
+            FROM events),
+          tr AS (SELECT cur, nxt, count(*)::BIGINT AS c FROM seq
+                 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          tc AS (SELECT cur, sum(c)::BIGINT AS tc FROM tr GROUP BY 1),
+          h0 AS (SELECT DISTINCT cur AS state, 0::BIGINT AS h6 FROM tr),
+       """ +
+        (1 to 12).map(hitStepSql).mkString(",\n") + "\n" +
+        """SELECT state, h6,
+             floor((h6::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6 AS steps
+           FROM h12 ORDER BY state"""),
+    // IDENTIFIER('...') table/column/group-key templating must
+    // resolve to the literal spelling's semantics
+    "identifier_templated" ->
+      """SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_orders,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+             AS cents
+         FROM orders GROUP BY 1 ORDER BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -1073,6 +1073,51 @@ object Events {
       .orderBy("state")
   }
 
+  /** Expected hitting time to the `target` state (W546) — the
+    * absorbing-chain readout over [[markovStationary]]'s empirical
+    * transition matrix: h(target) = 0, h(s) = 1 + Σ_t P(s,t)·h(t),
+    * solved by `rounds` steps of value iteration from h₀ = 0 (so the
+    * surfaced value is the exact expected number of steps truncated
+    * at the horizon — "how many clicks from here to a purchase, within
+    * k moves"). The ENTIRE iteration is exact integer arithmetic on
+    * the 1e-6 grid (the `salsa_scores` discipline): each round is
+    * H'(s) = 10⁶ + (Σ_t c_st·H(t)) div tc_s — one keyed join + one
+    * partial-agg'd sum + one integral divide per round, every frame
+    * ≤ |types|² rows, bit-identical in both engines (the oracle
+    * unrolls the same rounds). Corpus-bound work: one windowed lead +
+    * one keyed count, same as every Markov op here.
+    */
+  def hittingTime(s: SparkSession, dir: String,
+                  target: String = "purchase",
+                  rounds: Int = 12): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = CacheScope.track(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .persist())
+    val tc = trans.groupBy("cur").agg(sum(col("c")).as("tc"))
+    var h = trans.select(col("cur").as("state")).distinct()
+      .select(col("state"), lit(0L).as("h6"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      h = trans.join(h, col("nxt") === col("state"))
+        .groupBy("cur")
+        .agg(sum(col("c") * col("h6")).as("num"))
+        .join(tc, "cur")
+        .select(col("cur").as("state"),
+          when(col("cur") === lit(target), lit(0L))
+            .otherwise(lit(1000000L) +
+              Ranks.exactDiv(col("num"), col("tc"))).as("h6"))
+        .localCheckpoint()
+    }
+    h.select(col("state"), col("h6"),
+        q(col("h6").cast("double") / lit(1e6), 6).as("steps"))
+      .orderBy("state")
+  }
+
   /** Communicating classes of the user-behavior Markov chain (W540) —
     * the strongly connected components of [[markovStationary]]'s
     * transition graph, plus the recurrent/transient verdict: a class

@@ -1689,6 +1689,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** `IDENTIFIER()` templated-name resolution (W547) — the
+    * SQL-injection-safe parameterization surface: table, aggregated
+    * column, and group key all flow through `IDENTIFIER('…')`
+    * constant-expression clauses, which Catalyst must resolve to the
+    * same plan as the literal spelling (the mechanism a multi-tenant
+    * query service uses to template object names WITHOUT string
+    * splicing — a non-identifier string fails resolution instead of
+    * injecting SQL). Gated value-exact against the oracle's plain
+    * spelling; cents stay on the exact integer grid.
+    */
+  def identifierTemplated(s: SparkSession, dir: String): DataFrame = {
+    val view = "graft_identifier_orders"
+    Tables.orders(s, dir).createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT IDENTIFIER('o_orderpriority') AS priority,
+                 count(*) AS n_orders,
+                 sum(CAST(floor(IDENTIFIER('o_totalprice') * 100 + 0.5)
+                   AS BIGINT)) AS cents
+          FROM IDENTIFIER('$view')
+          GROUP BY IDENTIFIER('o_orderpriority')
+          ORDER BY priority""")
+  }
+
   /** Association LIFT over the basket pairs [[frequentPairs]] mines:
     * lift(a,b) = P(a,b)/(P(a)·P(b)) = support_ab·N/(s_a·s_b) — the
     * "is this co-occurrence more than chance" score that separates

@@ -176,4 +176,44 @@ class Round10OpsSpec extends SparkSpec {
       assert(vals.contains(r.getLong(3)) && vals.contains(r.getLong(4)))
     }
   }
+
+  test("hitting_time matches an exact-integer sequential replay") {
+    val got = Events.hittingTime(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val tc = tr.groupBy(_._1._1).map { case (s0, xs) => s0 -> xs.map(_._2).sum }
+    val states = tr.map(_._1._1).distinct.sorted
+    var h = states.map(_ -> 0L).toMap
+    for (_ <- 1 to 12) {
+      h = states.map { s0 =>
+        if (s0 == "purchase") s0 -> 0L
+        else {
+          val num = tr.filter(_._1._1 == s0)
+            .map { case ((_, t), c) => c * h(t) }.sum
+          s0 -> (1000000L + num / tc(s0))
+        }
+      }.toMap
+    }
+    assert(got == h, s"got $got want $h")
+    assert(got("purchase") == 0L)
+  }
+
+  test("identifier_templated equals the literal-spelling query") {
+    val got = Relational.identifierTemplated(spark, sf).collect()
+      .map(_.toString).toSeq
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("priority").collect().map(_.toString).toSeq
+    assert(got == want)
+  }
 }
