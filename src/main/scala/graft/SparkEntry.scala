@@ -807,6 +807,8 @@ object SparkEntry {
     "hitting_time" -> ((s, d) => Events.hittingTime(s, d)),
     "identifier_templated" ->
       ((s, d) => Relational.identifierTemplated(s, d)),
+    "conductance" -> ((s, d) => Graph.conductance(s, d)),
+    "effective_diameter" -> ((s, d) => Graph.effectiveDiameter(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -885,6 +887,33 @@ object SparkEntry {
          FROM tr JOIN h${i - 1} p ON tr.nxt = p.state
          JOIN tc tt ON tt.cur = tr.cur
          GROUP BY tr.cur)"""
+
+  /** One HyperANF register-merge round (mirrors
+    * `Graph.effectiveDiameter`): registers-as-rows, MAX along edges
+    * plus self, m·|E| messages. */
+  private def anfRoundSql(t: Int): String =
+    s"""r$t AS (
+         SELECT id, bucket, max(mj)::BIGINT AS mj FROM (
+           SELECT e.src AS id, r.bucket, r.mj
+           FROM edges e JOIN r${t - 1} r ON e.dst = r.id
+           UNION ALL SELECT id, bucket, mj FROM r${t - 1})
+         GROUP BY 1, 2)"""
+
+  /** Round-`t` neighborhood-function estimate: the `hll_error_audit`
+    * formula per node (dense v via 16 − present), 1e-6-quantized
+    * BEFORE the order-free global sum. */
+  private def anfEstSql(t: Int): String =
+    s"""est$t AS (
+         SELECT $t::BIGINT AS t, sum(e6)::BIGINT AS n6 FROM (
+           SELECT CAST(floor((CASE WHEN 0.673 * 256.0 / ssum <= 40.0
+                 AND v > 0 THEN 16.0 * ln(16.0 / v)
+               ELSE 0.673 * 256.0 / ssum END) * 1e6 + 0.5) AS BIGINT)
+             AS e6
+           FROM (SELECT id,
+                   sum(pow(2.0, -mj::DOUBLE)) + (16 - count(*))
+                     AS ssum,
+                   (16 - count(*))::BIGINT AS v
+                 FROM r$t GROUP BY id)))"""
 
   /** Key-derived deterministic grid coordinates (mirrors
     * `Spatial.mix40`): affine + 2×(multiply, xorshift) on the 2^40
@@ -14777,6 +14806,64 @@ object SparkEntry {
            sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
              AS cents
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // per-nation cut conductance on the symmetrized graph:
+    // phi6 = cut*1e6 div min(vol, vtot - vol), exact integers
+    "conductance" ->
+      (s"WITH $GraphCte,\n" +
+        """grp AS (
+             SELECT c_custkey::BIGINT AS id,
+                    c_nationkey::BIGINT AS g FROM customer
+             UNION ALL
+             SELECT s_suppkey + 1000000, s_nationkey::BIGINT
+             FROM supplier),
+           tagged AS (
+             SELECT gs.g AS nation,
+                    CASE WHEN gs.g <> gd.g THEN 1 ELSE 0 END AS mixed
+             FROM edges e
+             JOIN grp gs ON e.src = gs.id
+             JOIN grp gd ON e.dst = gd.id),
+           per AS (
+             SELECT nation, count(*)::BIGINT AS vol,
+                    sum(mixed)::BIGINT AS cut
+             FROM tagged GROUP BY nation),
+           tot AS (SELECT sum(vol)::BIGINT AS vtot FROM per)
+         SELECT nation, vol, cut,
+           CAST(cut * 1000000 // least(vol, vtot - vol) AS BIGINT)
+             AS phi6
+         FROM per, tot ORDER BY nation"""),
+    // HyperANF: 4 register-merge rounds + per-round neighborhood-
+    // function estimates; reached90's first true row = eff. diameter
+    "effective_diameter" ->
+      (s"WITH $GraphCte,\n" +
+        """h0s AS (SELECT id,
+               (list_reduce(list_prepend(0::BIGINT,
+                  list_transform(string_split(id::VARCHAR, ''),
+                    c -> ord(c)::BIGINT)),
+                  (h, c) -> (h * 31 + c) % 1099511627776)) AS h
+             FROM nodes),
+        """ +
+        (0 until 4).map(i =>
+          s"""mx$i AS (SELECT id, xor(hm, hm // 1048576) AS h
+             FROM (SELECT id, (h * 8388593) % 1099511627776 AS hm
+               FROM ${if (i == 0) "h0s" else s"mx${i - 1}"}))""")
+          .mkString(",\n") + ",\n" +
+        s"""r0 AS (SELECT id, h % 16 AS bucket,
+               (37 - (CASE ${(35 to 0 by -1).map(k =>
+                 s"WHEN suffix >= ${1L << k} THEN ${k + 1}")
+                 .mkString(" ")} ELSE 0 END))::BIGINT AS mj
+             FROM (SELECT id, h, h >> 4 AS suffix FROM mx3)),
+        """ +
+        (1 to 4).map(anfRoundSql).mkString(",\n") + ",\n" +
+        (0 to 4).map(anfEstSql).mkString(",\n") + ",\n" +
+        """nf AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
+             UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3
+             UNION ALL SELECT * FROM est4),
+           fin AS (SELECT n6 AS nfv FROM nf WHERE t = 4)
+         SELECT t, n6,
+           CAST(n6::HUGEINT * 1000000000 // nfv AS BIGINT) AS frac9,
+           CAST(n6::HUGEINT * 1000000000 // nfv AS BIGINT)
+             >= 900000000 AS reached90
+         FROM nf, fin ORDER BY t"""),
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -963,6 +963,117 @@ object Graph {
     }
   }
 
+  /** HyperANF neighborhood function + effective diameter (W549 —
+    * Boldi/Rosa/Vigna, WWW'11): per-node HLL registers approximate
+    * |B(v,t)| (distinct nodes within t hops), one register-MAX merge
+    * along edges per round — the ONLY known way to estimate a 100 TB
+    * graph's distance distribution without all-pairs BFS. State is
+    * m=16 register ROWS per node (never an array shuffle), a round is
+    * one keyed join + one partial-agg'd MAX (messages ≤ m·|E|), and
+    * the register-max merge is idempotent/commutative/monotone, so
+    * retries and duplicates are free. The per-node estimate is the
+    * `hll_error_audit` formula verbatim (exact powers-of-two harmonic
+    * sum, deterministic linear-counting branch, replicable hash), each
+    * estimate quantized to a 1e-6 LONG BEFORE the global sum so N(t)
+    * is merge-order-free. Surfaced per round: N6(t), the exact-integer
+    * fraction of the horizon mass (DECIMAL-safe ×10⁹ div), and the
+    * ≥90% flag whose first true row IS the effective diameter.
+    */
+  def effectiveDiameter(s: SparkSession, dir: String,
+                        rounds: Int = 4): DataFrame = {
+    import graft.expressions.HashExpressions.polyHashArray
+    val m = 16
+    val e = CacheScope.track(customerSupplierEdges(s, dir)
+      .select(col("src"), col("dst")).persist())
+    val nodes = e.select(col("src").as("id")).distinct()
+    val h0 = element_at(polyHashArray(array(col("id").cast("string"))), 1)
+    val h = (1 to 4).foldLeft(h0) { (acc, _) =>
+      val hm = (acc * lit(8388593L)) % lit(1099511627776L)
+      hm.bitwiseXOR(shiftright(hm, 20))
+    }
+    val suffix = shiftright(h, 4)
+    val bitlen = coalesce(
+      ((35 to 0 by -1).map(k =>
+        when(suffix >= lit(1L << k), lit(k + 1))) :+ lit(0)): _*)
+    var regs = nodes.select(col("id"), pmod(h, lit(m.toLong)).as("bucket"),
+      (lit(37) - bitlen).cast("long").as("mj")).localCheckpoint()
+    val perRound = collection.mutable.ArrayBuffer((0, regs))
+    for (t <- 1 to rounds) {
+      regs = e.join(regs, col("dst") === col("id"))
+        .select(col("src").as("id"), col("bucket"), col("mj"))
+        .unionAll(regs)
+        .groupBy("id", "bucket").agg(max(col("mj")).as("mj"))
+        .localCheckpoint()
+      perRound += ((t, regs))
+    }
+    val nf = perRound.map { case (t, r) =>
+      r.groupBy("id")
+        .agg(sum(pow(lit(2.0), -col("mj").cast("double"))).as("sp"),
+          count(lit(1)).as("np"))
+        .select(
+          (col("sp") + (lit(m.toDouble) - col("np").cast("double")))
+            .as("ssum"),
+          (lit(m.toLong) - col("np")).as("v"))
+        .select((lit(0.673) * lit(256.0) / col("ssum")).as("e_raw"),
+          col("v"))
+        .select(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("e_raw")).as("e"))
+        .select(floor(col("e") * lit(1e6) + lit(0.5)).cast("long")
+          .as("e6"))
+        .agg(sum(col("e6")).as("n6"))
+        .select(lit(t.toLong).as("t"), col("n6"))
+    }.reduce(_ unionAll _)
+    val fin = nf.filter(col("t") === lit(rounds.toLong))
+      .select(col("n6").as("nfv"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    nf.crossJoin(broadcast(fin))
+      .withColumn("frac9", call_function("div",
+        dec(col("n6")) * dec(lit(1000000000L)), dec(col("nfv"))))
+      .select(col("t"), col("n6"), col("frac9"),
+        (col("frac9") >= lit(900000000L)).as("reached90"))
+      .orderBy("t")
+  }
+
+  /** Cut conductance of candidate communities (W548) — for each
+    * nation-induced vertex set S (customers and suppliers of nation
+    * k), φ(S) = cut(S, S̄) / min(vol(S), vol(V)−vol(S)): the standard
+    * community-quality score (low φ = a real community, φ → 1 = an
+    * arbitrary slice), the metric that VALIDATES any partition before
+    * it drives sharding or sampling decisions. On the symmetrized
+    * edge list vol(S) is exactly the directed edges leaving S-rows
+    * and cut counts mixed-endpoint edges once per direction, so the
+    * whole computation is: two keyed joins to tag endpoints with
+    * their nation + ONE partial-agg'd pass (vol = count, cut = count
+    * of mixed), then an exact integral 1e-6-grid division. No
+    * per-community subgraph materialization, no driver loop — at
+    * 100 TB this is two shuffles regardless of community count.
+    */
+  def conductance(s: SparkSession, dir: String): DataFrame = {
+    val e = customerSupplierEdges(s, dir)
+    val nodeGrp = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("id"),
+        col("c_nationkey").cast("long").as("grp"))
+      .unionAll(Tables.supplier(s, dir)
+        .select((col("s_suppkey") + lit(1000000L)).as("id"),
+          col("s_nationkey").cast("long").as("grp")))
+    val tagged = e
+      .join(nodeGrp.select(col("id").as("src"), col("grp").as("sgrp")),
+        Seq("src"))
+      .join(nodeGrp.select(col("id").as("dst"), col("grp").as("dgrp")),
+        Seq("dst"))
+    val per = tagged.groupBy(col("sgrp").as("nation"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("sgrp") =!= col("dgrp"), 1L).otherwise(0L))
+          .as("cut"))
+    val total = per.agg(sum(col("vol")).as("vtot"))
+    per.crossJoin(broadcast(total))
+      .select(col("nation"), col("vol"), col("cut"),
+        Ranks.exactDiv(col("cut") * lit(1000000L),
+          least(col("vol"), col("vtot") - col("vol"))).as("phi6"))
+      .orderBy("nation")
+  }
+
   /** Deterministic hash-seeded random walks (W541) — the node2vec/
     * DeepWalk CORPUS GENERATOR re-expressed so it is replayable and
     * oracle-able: at step t from node u the walk moves to the neighbor

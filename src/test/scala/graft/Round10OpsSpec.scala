@@ -205,6 +205,46 @@ class Round10OpsSpec extends SparkSpec {
     assert(got("purchase") == 0L)
   }
 
+  test("conductance equals a brute-force recount of cut and volume") {
+    val got = Graph.conductance(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val grp = (spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("id"),
+        col("c_nationkey").cast("long").as("g"))
+      .unionAll(spark.read.parquet(s"$sf/supplier.parquet")
+        .select((col("s_suppkey") + 1000000L).as("id"),
+          col("s_nationkey").cast("long").as("g"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = Graph.customerSupplierEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vtot = edges.length.toLong
+    val per = edges.groupBy(e => grp(e._1)).map { case (g, es) =>
+      val vol = es.length.toLong
+      val cut = es.count(e => grp(e._2) != g).toLong
+      g -> ((vol, cut, cut * 1000000L / math.min(vol, vtot - vol)))
+    }
+    assert(got == per)
+  }
+
+  test("effective_diameter: N(t) monotone, saturates, r0 near exact") {
+    val rows = Graph.effectiveDiameter(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val n6 = rows.map(_.getLong(1))
+    n6.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    assert(rows.last.getLong(2) == 1000000000L) // final frac = 1
+    // reached90 is monotone in t (neighborhood function is monotone)
+    val flags = rows.map(_.getBoolean(3))
+    flags.sliding(2).foreach { case Array(a, b) => assert(!a || b) }
+    // round 0 estimates |B(v,0)| = 1 per node: the sum is an m=16 HLL
+    // estimate of... each node's own singleton — per-node est is
+    // deterministic near 1; sum/1e6 must be within 20% of node count
+    val n = Graph.customerSupplierEdges(spark, sf)
+      .select("src").distinct().count()
+    val est0 = n6.head.toDouble / 1e6
+    assert(math.abs(est0 - n) / n < 0.2, s"est0 $est0 vs n $n")
+  }
+
   test("identifier_templated equals the literal-spelling query") {
     val got = Relational.identifierTemplated(spark, sf).collect()
       .map(_.toString).toSeq
