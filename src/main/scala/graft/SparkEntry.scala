@@ -14831,7 +14831,7 @@ object SparkEntry {
            CAST(cut * 1000000 // least(vol, vtot - vol) AS BIGINT)
              AS phi6
          FROM per, tot ORDER BY nation"""),
-    // HyperANF: 4 register-merge rounds + per-round neighborhood-
+    // HyperANF: 3 register-merge rounds + per-round neighborhood-
     // function estimates; reached90's first true row = eff. diameter
     "effective_diameter" ->
       (s"WITH $GraphCte,\n" +
@@ -14853,12 +14853,11 @@ object SparkEntry {
                  .mkString(" ")} ELSE 0 END))::BIGINT AS mj
              FROM (SELECT id, h, h >> 4 AS suffix FROM mx3)),
         """ +
-        (1 to 4).map(anfRoundSql).mkString(",\n") + ",\n" +
-        (0 to 4).map(anfEstSql).mkString(",\n") + ",\n" +
+        (1 to 3).map(anfRoundSql).mkString(",\n") + ",\n" +
+        (0 to 3).map(anfEstSql).mkString(",\n") + ",\n" +
         """nf AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
-             UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3
-             UNION ALL SELECT * FROM est4),
-           fin AS (SELECT n6 AS nfv FROM nf WHERE t = 4)
+             UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3),
+           fin AS (SELECT n6 AS nfv FROM nf WHERE t = 3)
          SELECT t, n6,
            CAST(n6::HUGEINT * 1000000000 // nfv AS BIGINT) AS frac9,
            CAST(n6::HUGEINT * 1000000000 // nfv AS BIGINT)

@@ -968,21 +968,29 @@ object Graph {
     * |B(v,t)| (distinct nodes within t hops), one register-MAX merge
     * along edges per round — the ONLY known way to estimate a 100 TB
     * graph's distance distribution without all-pairs BFS. State is
-    * m=16 register ROWS per node (never an array shuffle), a round is
-    * one keyed join + one partial-agg'd MAX (messages ≤ m·|E|), and
-    * the register-max merge is idempotent/commutative/monotone, so
-    * retries and duplicates are free. The per-node estimate is the
+    * ONE row per node carrying the m=16 registers as an array, so a
+    * merge round is exactly |E| message rows folded by 16 COLUMNAR
+    * partial-agg'd MAXes (the registers-as-rows layout shuffled m·|E|
+    * rows and measured 2× the wall-clock at sf0.1); the register-max
+    * merge is idempotent/commutative/monotone, so retries and
+    * duplicates are free. The per-node estimate is the
     * `hll_error_audit` formula verbatim (exact powers-of-two harmonic
     * sum, deterministic linear-counting branch, replicable hash), each
     * estimate quantized to a 1e-6 LONG BEFORE the global sum so N(t)
     * is merge-order-free. Surfaced per round: N6(t), the exact-integer
     * fraction of the horizon mass (DECIMAL-safe ×10⁹ div), and the
-    * ≥90% flag whose first true row IS the effective diameter.
+    * ≥90% flag whose first true row IS the effective diameter. (The
+    * oracle keeps the equivalent registers-as-rows spelling — an
+    * absent row IS a zero slot.)
     */
   def effectiveDiameter(s: SparkSession, dir: String,
-                        rounds: Int = 4): DataFrame = {
+                        rounds: Int = 3): DataFrame = {
     import graft.expressions.HashExpressions.polyHashArray
     val m = 16
+    // NOTE: unlike the label/rank loops this one does NOT pin
+    // loopParallelism — message rows carry a 16-slot array (wide), so
+    // the narrow-row 150k-rows/task sizing under-parallelizes the
+    // CPU-bound 16-max fold (measured 13.5 s vs 10.2 s at sf0.1)
     val e = CacheScope.track(customerSupplierEdges(s, dir)
       .select(col("src"), col("dst")).persist())
     val nodes = e.select(col("src").as("id")).distinct()
@@ -995,25 +1003,36 @@ object Graph {
     val bitlen = coalesce(
       ((35 to 0 by -1).map(k =>
         when(suffix >= lit(1L << k), lit(k + 1))) :+ lit(0)): _*)
-    var regs = nodes.select(col("id"), pmod(h, lit(m.toLong)).as("bucket"),
-      (lit(37) - bitlen).cast("long").as("mj")).localCheckpoint()
+    var regs = nodes
+      .select(col("id"), pmod(h, lit(m.toLong)).as("bucket"),
+        (lit(37) - bitlen).cast("long").as("mj"))
+      .select(col("id"), transform(sequence(lit(0L), lit(m - 1L)),
+        i => when(i === col("bucket"), col("mj")).otherwise(lit(0L)))
+        .as("arr"))
+      .localCheckpoint()
     val perRound = collection.mutable.ArrayBuffer((0, regs))
+    val maxes = (1 to m).map(i =>
+      max(element_at(col("arr"), i)).as(s"__m$i"))
+    // measured at sf0.1: the default AQE plan (10.2 s) beats both a
+    // pinned-parallelism loop (13.5 s — wide array rows break the
+    // narrow-row task sizing) and a shuffle_hash hint (11.5 s); leave
+    // strategy choice to AQE here
     for (t <- 1 to rounds) {
       regs = e.join(regs, col("dst") === col("id"))
-        .select(col("src").as("id"), col("bucket"), col("mj"))
+        .select(col("src").as("id"), col("arr"))
         .unionAll(regs)
-        .groupBy("id", "bucket").agg(max(col("mj")).as("mj"))
+        .groupBy("id").agg(maxes.head, maxes.tail: _*)
+        .select(col("id"),
+          array((1 to m).map(i => col(s"__m$i")): _*).as("arr"))
         .localCheckpoint()
       perRound += ((t, regs))
     }
     val nf = perRound.map { case (t, r) =>
-      r.groupBy("id")
-        .agg(sum(pow(lit(2.0), -col("mj").cast("double"))).as("sp"),
-          count(lit(1)).as("np"))
-        .select(
-          (col("sp") + (lit(m.toDouble) - col("np").cast("double")))
+      r.select(
+          aggregate(col("arr"), lit(0.0),
+            (acc, mj) => acc + pow(lit(2.0), -mj.cast("double")))
             .as("ssum"),
-          (lit(m.toLong) - col("np")).as("v"))
+          size(filter(col("arr"), mj => mj === 0L)).cast("long").as("v"))
         .select((lit(0.673) * lit(256.0) / col("ssum")).as("e_raw"),
           col("v"))
         .select(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
