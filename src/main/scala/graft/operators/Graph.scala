@@ -1110,12 +1110,16 @@ object Graph {
     * here shares — both engines walk identical integers.
     */
   def hashWalks(s: SparkSession, dir: String, steps: Int = 4): DataFrame = {
-    val e = CacheScope.track(customerSupplierEdges(s, dir)
-      .select(col("src"), col("dst")).persist())
+    // argmin over a multiset equals argmin over its set, so edge
+    // MULTIPLICITY cannot change a walk — skip the distinct()'s full
+    // edge shuffle (the components loop makes the same cut)
+    val e = CacheScope.track(
+      customerSupplierEdges(s, dir, distinctPairs = false)
+        .select(col("src"), col("dst")).persist())
     val seeds = Tables.customer(s, dir)
       .select(col("c_custkey").cast("long").as("seed"))
       .filter(pmod(col("seed"), lit(100L)) === lit(1L))
-      .join(e.select(col("src").as("seed")).distinct(), Seq("seed"))
+      .join(e, col("seed") === col("src"), "left_semi")
     var walk = seeds
       .select(col("seed"), lit(0L).as("step"), col("seed").as("node"))
       .localCheckpoint()
