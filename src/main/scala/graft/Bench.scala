@@ -3,7 +3,7 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
-  SparkListenerJobStart}
+  SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Per-query engine timing for the driver's round bench.
@@ -30,6 +30,10 @@ import org.apache.spark.sql.SparkSession
   *     submitted — reported as `queries_job` next to the wall-clock
   *     `queries` map, so phantom debt (wall ≫ job time) is visible in
   *     the artifact itself instead of needing a standalone re-run.
+  *     `queries_task` additionally sums executor task run time per
+  *     query (stage-attributed `executorRunTime`) — wall drifts with
+  *     machine mood, job wall inflates under AQE stage concurrency;
+  *     task time is robust to both and is the cross-round comparator.
   *
   * Failures are LOUD (VERDICT r8 #2): a throwing query records an
   * `errors` entry and the run exits nonzero — a crash can no longer
@@ -37,11 +41,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Sums job wall-time per job group (only groups tagged `graftq:`). */
+  /** Sums job wall-time AND executor task run-time per job group
+    * (only groups tagged `graftq:`). Task time (VERDICT r9 #2: "the
+    * one metric robust to both machine drift and stage concurrency")
+    * is attributed stage→group via the stage ids each job start
+    * announces, then summed from each completed stage's
+    * `taskMetrics.executorRunTime` — retried stage attempts both
+    * count (both did real work). */
   private final class GroupTimeListener extends SparkListener {
     private val jobGroup = new ConcurrentHashMap[Int, String]()
     private val jobStart = new ConcurrentHashMap[Int, Long]()
+    private val stageGroup = new ConcurrentHashMap[Int, String]()
     val groupMs = new ConcurrentHashMap[String, Long]()
+    val taskMs = new ConcurrentHashMap[String, Long]()
     val pending = new AtomicInteger(0)
     override def onJobStart(js: SparkListenerJobStart): Unit = {
       val g = Option(js.properties)
@@ -49,7 +61,17 @@ object Bench {
       if (g != null && g.startsWith("graftq:")) {
         jobGroup.put(js.jobId, g)
         jobStart.put(js.jobId, js.time)
+        js.stageIds.foreach(sid => stageGroup.put(sid, g))
         pending.incrementAndGet()
+        ()
+      }
+    }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      // get, not remove: a retried attempt re-completes the same id
+      val g = stageGroup.get(sc.stageInfo.stageId)
+      val m = sc.stageInfo.taskMetrics
+      if (g != null && m != null) {
+        taskMs.merge(g, m.executorRunTime, (a, b) => a + b)
         ()
       }
     }
@@ -154,6 +176,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = collection.mutable.ArrayBuffer.empty[(String, Double)]
     val jobSecs = collection.mutable.LinkedHashMap.empty[String, Double]
+    val taskSecs = collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
     // queries whose listener drain timed out — their queries_job entry
     // may undercount (VERDICT r9 #4); flagged in the artifact
@@ -199,6 +222,8 @@ object Bench {
         results += name -> dt
         jobSecs(name) =
           listener.groupMs.getOrDefault(s"graftq:$name", 0L) / 1e3
+        taskSecs(name) =
+          listener.taskMs.getOrDefault(s"graftq:$name", 0L) / 1e3
       }
       sc.removeSparkListener(listener)
       spark.stop()
@@ -209,6 +234,7 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
     val jq = jmap(jobSecs)
+    val tq = jmap(taskSecs)
     val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -219,10 +245,13 @@ object Bench {
       "stages as concurrent jobs); wall >> job is the phantom-debt " +
       "signal (un-attributed session work landing on the clock). " +
       "Queries in queries_job_incomplete hit the 10s listener drain " +
-      "bound and may undercount job time."
+      "bound and may undercount job time. queries_task sums executor " +
+      "task run time (executorRunTime, all cores) per query - the one " +
+      "number robust to BOTH machine drift and stage concurrency; " +
+      "compare IT across rounds."
     val jinc = jobIncomplete.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"queries_job":$jq,""" +
+      s""""queries":$qs,"queries_job":$jq,"queries_task":$tq,""" +
       s""""queries_job_key":"$jobKey",""" +
       s""""queries_job_incomplete":$jinc,"errors":$errs,"sf":"$sfDir"}"""
     // full payload first in the log, and always in a file: the

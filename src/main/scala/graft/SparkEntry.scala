@@ -809,6 +809,8 @@ object SparkEntry {
       ((s, d) => Relational.identifierTemplated(s, d)),
     "conductance" -> ((s, d) => Graph.conductance(s, d)),
     "effective_diameter" -> ((s, d) => Graph.effectiveDiameter(s, d)),
+    "stream_dsv2_sink_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.dsv2SinkReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14863,6 +14865,13 @@ object SparkEntry {
            CAST(n6::HUGEINT * 1000000000 // nfv AS BIGINT)
              >= 900000000 AS reached90
          FROM nf, fin ORDER BY t"""),
+    // the DSv2 streaming sink must land exactly the batch edge census
+    "stream_dsv2_sink_replay" ->
+      """WITH ed AS (SELECT user_id % 50 AS src,
+             event_id % 1000 AS dst FROM events)
+         SELECT src, count(*)::BIGINT AS n_edges,
+           sum(dst)::BIGINT AS dst_sum
+         FROM ed GROUP BY 1 ORDER BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

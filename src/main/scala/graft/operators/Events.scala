@@ -1103,14 +1103,17 @@ object Events {
       .select(col("state"), lit(0L).as("h6"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      // c·h6 rides DECIMAL(38): at 100 TB a transition count times a
+      // 1e-6-grid value crosses 2^63 (the oracle's HUGEINT twin)
       h = trans.join(h, col("nxt") === col("state"))
         .groupBy("cur")
-        .agg(sum(col("c") * col("h6")).as("num"))
+        .agg(sum(col("c").cast("decimal(38,0)") * col("h6")).as("num"))
         .join(tc, "cur")
         .select(col("cur").as("state"),
           when(col("cur") === lit(target), lit(0L))
             .otherwise(lit(1000000L) +
-              Ranks.exactDiv(col("num"), col("tc"))).as("h6"))
+              Ranks.exactDiv(col("num"),
+                col("tc").cast("decimal(38,0)"))).as("h6"))
         .localCheckpoint()
     }
     h.select(col("state"), col("h6"),
@@ -1171,6 +1174,12 @@ object Events {
       fixed = n2 == n
       n = n2; reach = next; rounds += 1
     }
+    // doubling covers diameter 2^maxDoublings (default 4096 — far past
+    // any |types| seen); a non-fixpoint here means classes would be
+    // computed on a PARTIAL closure and silently wrong — fail loudly
+    if (!fixed) throw new IllegalStateException(
+      s"markovClasses: reachability closure did not converge in " +
+        s"$maxDoublings doublings ($n pairs) — raise maxDoublings")
     val mutual = reach.as("f")
       .join(reach.as("b"),
         col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))

@@ -150,8 +150,8 @@ object Ranks {
     * per-RDD sampling could yield DIFFERENT bounds per branch and
     * silently corrupt ranks. Persisting pins one materialization of
     * the sampled bounds; correctness no longer rides exchange reuse. */
-  private def bucketedByRange(in: DataFrame, valueCol: String,
-                              tieCol: String, buckets: Int): DataFrame =
+  private[graft] def bucketedByRange(in: DataFrame, valueCol: String,
+                                     tieCol: String, buckets: Int): DataFrame =
     CacheScope.track(
       in.repartitionByRange(buckets, col(valueCol), col(tieCol))
         .withColumn("__g_bkt", spark_partition_id())

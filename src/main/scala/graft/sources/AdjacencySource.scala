@@ -24,6 +24,8 @@ import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
   PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder,
   WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.connector.expressions.{
   Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -215,6 +217,38 @@ object AdjacencySource {
     if (kept == 0) fs.delete(tmp, false) // empty survivor set: drop file
     fs.delete(bak, false)
   }
+
+  /** Driver-side finalize shared by batch commit and streaming epoch
+    * commit: rename each committed attempt's temp to its final name,
+    * replace-if-exists — so re-finalizing the same names (an epoch
+    * replay) is idempotent. */
+  private[sources] def finalizeCommits(
+      messages: Array[WriterCommitMessage],
+      conf: SerializableHadoopConf): Unit =
+    messages.foreach {
+      case AdjacencyCommit(temp, dest) =>
+        val t = new Path(temp)
+        val d = new Path(dest)
+        val fs = FileSystem.get(t.toUri, conf.value)
+        if (fs.exists(d)) fs.delete(d, false)
+        if (!fs.rename(t, d))
+          throw new java.io.IOException(
+            s"graft-adjacency: failed to finalize $temp -> $dest")
+      case _ =>
+    }
+
+  /** Abort-side cleanup: drop every temp the commit messages mention;
+    * attempts that never committed cleaned their own temp in the
+    * task-level `abort()`. */
+  private[sources] def dropTemps(messages: Array[WriterCommitMessage],
+                                 conf: SerializableHadoopConf): Unit =
+    messages.foreach {
+      case AdjacencyCommit(temp, _) =>
+        val t = new Path(temp)
+        FileSystem.get(t.toUri, conf.value).delete(t, false)
+        ()
+      case _ =>
+    }
 }
 
 private[sources] class AdjacencyTable(path: String, permissive: Boolean)
@@ -242,7 +276,8 @@ private[sources] class AdjacencyTable(path: String, permissive: Boolean)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AdjacencyScanBuilder(path, permissive)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -652,6 +687,15 @@ private[sources] class AdjacencyWriteBuilder(path: String,
     new Write {
       override def toBatch: BatchWrite = new AdjacencyBatchWrite(
         path, deleteWhere, info.queryId())
+      override def toStreaming: StreamingWrite = {
+        // complete/update modes arrive as truncate → overwrite(TRUE);
+        // a file sink with no commit log cannot atomically truncate
+        // per epoch, so only append-mode streaming is supported
+        require(deleteWhere.isEmpty,
+          "graft-adjacency streaming sink is append-only")
+        new AdjacencyStreamingWrite(path,
+          new SerializableHadoopConf(AdjacencySource.driverConf()))
+      }
     }
   }
 }
@@ -700,31 +744,52 @@ private[sources] class AdjacencyBatchWrite(path: String,
     * its final name. Exactly one attempt per partition reaches here
     * (Spark de-duplicates commit messages), so the rename is race-free.
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach {
-      case AdjacencyCommit(temp, dest) =>
-        val t = new Path(temp)
-        val d = new Path(dest)
-        val fs = FileSystem.get(t.toUri, conf.value)
-        if (fs.exists(d)) fs.delete(d, false)
-        if (!fs.rename(t, d))
-          throw new java.io.IOException(
-            s"graft-adjacency: failed to finalize $temp -> $dest")
-      case _ =>
-    }
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    AdjacencySource.finalizeCommits(messages, conf)
 
   /** Job-level abort: drop every temp the committed messages mention;
     * attempts that never committed cleaned their own temp in the
     * task-level `abort()`. */
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach {
-      case AdjacencyCommit(temp, _) =>
-        val t = new Path(temp)
-        FileSystem.get(t.toUri, conf.value).delete(t, false)
-      case _ =>
-    }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    AdjacencySource.dropTemps(messages, conf)
+}
+
+/** Epoch-granular streaming sink (W550) — the STREAMING_WRITE half of
+  * the connector's DSv2 tour. Exactly-once by NAMING: a task writes a
+  * hidden attempt-unique tmp, and the final file name carries ONLY
+  * (epochId, partitionId) — no queryId, no taskId — so a replayed
+  * epoch (failure before the checkpoint's commit log recorded it,
+  * with or without a query restart) regenerates the SAME final names
+  * and the replace-if-exists rename overwrites its own previous
+  * output instead of duplicating it. Append-only: complete/update
+  * modes arrive as truncate → overwrite(AlwaysTrue) and are rejected
+  * at build() (a file sink with no commit log cannot atomically
+  * truncate per epoch).
+  */
+private[sources] class AdjacencyStreamingWrite(
+    path: String, conf: SerializableHadoopConf) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val p = new Path(path)
+    FileSystem.get(p.toUri, conf.value).mkdirs(p)
+    new AdjacencyStreamingWriterFactory(path, conf)
   }
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    AdjacencySource.finalizeCommits(messages, conf)
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    AdjacencySource.dropTemps(messages, conf)
+}
+
+private[sources] class AdjacencyStreamingWriterFactory(
+    path: String, conf: SerializableHadoopConf)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new AdjacencyWriter(
+      s"$path/.part-e$epochId-$partitionId-$taskId.adj.tmp",
+      s"$path/part-e$epochId-$partitionId.adj", conf)
 }
 
 private[sources] class AdjacencyWriterFactory(path: String, queryId: String,

@@ -934,6 +934,46 @@ object StreamReplay {
     }
   }
 
+  /** W550 gate: streaming WRITE through the DSv2 adjacency sink — the
+    * STREAMING_WRITE half of the connector's surface. A 4-file
+    * AvailableNow backfill maps events to (src, dst) edges and lands
+    * them through `writeStream.format("graft-adjacency")`; final file
+    * names carry only (epoch, partition), so a replayed epoch
+    * overwrites its own output (exactly-once by idempotent rename —
+    * same discipline as the batch commit). The gate reads the sink
+    * BACK through the connector's own scan and its census must equal
+    * the oracle's batch restatement of the same edge mapping: the
+    * epoch-granular sink lost nothing, duplicated nothing.
+    */
+  def dsv2SinkReplay(s: SparkSession, dir: String): DataFrame =
+    withReplayConf(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      inTempDir("graft_dsv2sink") { root =>
+        val staged = s"$root/events"
+        Tables.events(s, dir).repartition(4).write.parquet(staged)
+        val schema = Tables.events(s, dir).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged)
+        val sink = s"$root/edges"
+        val q = src
+          .select(pmod(col("user_id"), lit(50L)).as("src"),
+            pmod(col("event_id"), lit(1000L)).as("dst"))
+          .writeStream.format("graft-adjacency")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start(sink)
+        assert(q.awaitTermination(300000),
+          "AvailableNow DSv2-sink backfill did not terminate in 300s")
+        s.read.format("graft-adjacency").load(sink)
+          .groupBy("src")
+          .agg(count(lit(1)).as("n_edges"), sum(col("dst")).as("dst_sum"))
+          .orderBy("src")
+          .localCheckpoint() // materialize before the root is deleted
+      }
+    }
+
   /** W528 gate: streaming UNION of two sources — the multi-feed ingest
     * shape (two kafka topics / two directories landing in one
     * pipeline). The fixture splits by alternating index across two

@@ -245,6 +245,46 @@ class Round10OpsSpec extends SparkSpec {
     assert(math.abs(est0 - n) / n < 0.2, s"est0 $est0 vs n $n")
   }
 
+  test("Ranks range path under a >50%-dominant value: exact parity " +
+    "AND ties split across buckets (no skewed bucket)") {
+    // VERDICT r9 #4: the claim "a heavily repeated value splits by
+    // tie" was argued, not measured. Fixture: ONE value owns 60% of
+    // all rows; ranks must still match the single-window formulation
+    // and no range bucket may exceed 2x the even-split target — i.e.
+    // RangePartitioner's (value, tie) bounds really do cut THROUGH
+    // the tie block instead of funneling it into one bucket.
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Ranks
+    val n = 2000L
+    val buckets = 16
+    val df = spark.range(n).select(
+      when(col("id") < 1200, lit(5.0)) // 60% of rows share v=5.0
+        .otherwise((col("id") % 40).cast("double")).as("v"),
+      concat(lit("k"), format_string("%05d", col("id"))).as("k"),
+      (col("id") % 9).cast("long").as("x"))
+    val w = Window.orderBy(col("v"), col("k"))
+    val want = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("c", sum(col("x"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(_.toString).toSeq.sorted
+    val got = Ranks.rankedRange(df, "v", "k", "r",
+      runningSums = Seq("x" -> "c"), buckets = buckets)
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == want)
+    // balance: measure the actual bucket census of the SAME bucketing
+    // the rank path used
+    val sizes = Ranks.bucketedByRange(df, "v", "k", buckets)
+      .groupBy("__g_bkt").count().collect().map(_.getLong(1))
+    val target = n.toDouble / buckets
+    info(s"bucket sizes (target $target): ${sizes.sorted.mkString(",")}" +
+      s" — max/target = ${sizes.max / target}")
+    assert(sizes.max <= 2 * target,
+      s"max bucket ${sizes.max} vs target $target (sizes: ${
+        sizes.sorted.mkString(",")})")
+    CacheScope.release(spark)
+  }
+
   test("identifier_templated equals the literal-spelling query") {
     val got = Relational.identifierTemplated(spark, sf).collect()
       .map(_.toString).toSeq
