@@ -811,6 +811,8 @@ object SparkEntry {
     "effective_diameter" -> ((s, d) => Graph.effectiveDiameter(s, d)),
     "stream_dsv2_sink_replay" ->
       ((s, d) => graft.streaming.StreamReplay.dsv2SinkReplay(s, d)),
+    "stream_dsv2_source_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.dsv2SourceReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14867,6 +14869,13 @@ object SparkEntry {
          FROM nf, fin ORDER BY t"""),
     // the DSv2 streaming sink must land exactly the batch edge census
     "stream_dsv2_sink_replay" ->
+      """WITH ed AS (SELECT user_id % 50 AS src,
+             event_id % 1000 AS dst FROM events)
+         SELECT src, count(*)::BIGINT AS n_edges,
+           sum(dst)::BIGINT AS dst_sum
+         FROM ed GROUP BY 1 ORDER BY 1""",
+    // the DSv2 streaming source must deliver every file exactly once
+    "stream_dsv2_source_replay" ->
       """WITH ed AS (SELECT user_id % 50 AS src,
              event_id % 1000 AS dst FROM events)
          SELECT src, count(*)::BIGINT AS n_edges,

@@ -20,6 +20,9 @@ import org.apache.spark.sql.connector.read.{
   SupportsPushDownFilters, SupportsPushDownLimit,
   SupportsPushDownRequiredColumns, SupportsPushDownTopN,
   SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
   PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder,
@@ -277,15 +280,18 @@ private[sources] class AdjacencyTable(path: String, permissive: Boolean)
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AdjacencyScanBuilder(path, permissive)
+    new AdjacencyScanBuilder(path, permissive,
+      options.getInt("maxFilesPerTrigger", -1))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AdjacencyWriteBuilder(path, info)
 }
 
 private[sources] class AdjacencyScanBuilder(path: String,
-                                            permissive: Boolean)
+                                            permissive: Boolean,
+                                            maxFilesPerTrigger: Int = -1)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -376,7 +382,8 @@ private[sources] class AdjacencyScanBuilder(path: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new AdjacencyScan(path, required, pushed, permissive, limit, topN, agg)
+    new AdjacencyScan(path, required, pushed, permissive, limit, topN, agg,
+      maxFilesPerTrigger)
 }
 
 /** Test-visible view of what a scan pushed (DSv2 keeps Scan opaque). */
@@ -394,7 +401,8 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
                                      topN: Option[(Seq[(String, Boolean)],
                                        Int)] = None,
                                      agg: Option[Seq[(String, String)]] =
-                                       None)
+                                       None,
+                                     maxFilesPerTrigger: Int = -1)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with AdjacencyScanForTest {
   // RUNTIME filters (W534): a join against this table hands the scan
@@ -462,6 +470,119 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
       required.fieldNames.toSeq, pushed.toSeq ++ runtime.toSeq, permissive,
       new SerializableHadoopConf(AdjacencySource.driverConf()),
       limit, topN, agg)
+
+  /** Streaming read (W551): file-arrival micro-batches. Column pruning
+    * and pushed src filters flow through unchanged; the batch-only
+    * pushdowns (limit/top-N/aggregate) never fire on a streaming scan
+    * and are not forwarded. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new AdjacencyMicroBatchStream(path, required.fieldNames.toSeq,
+      pushed.toSeq, permissive,
+      new SerializableHadoopConf(AdjacencySource.driverConf()),
+      maxFilesPerTrigger)
+}
+
+/** Offset of the adjacency micro-batch stream (W551): the SET of files
+  * already processed, as a sorted JSON array. Set-difference semantics
+  * make batch planning deterministic and arrival-order-proof — a file
+  * landing with an older name/mtime than already-seen files is still
+  * picked up by the next batch (a position-based offset would skip
+  * it). The snapshot offset grows O(files); a production compaction
+  * (FileStreamSource keeps a log + max-age eviction) is orthogonal to
+  * the surface toured here and documented as the scale path.
+  */
+private[graft] case class AdjacencyStreamOffset(files: Seq[String])
+    extends StreamOffset {
+  override def json(): String =
+    files.sorted.map(f => "\"" +
+      f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+private[graft] object AdjacencyStreamOffset {
+  def fromJson(j: String): AdjacencyStreamOffset = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    AdjacencyStreamOffset(JsonMethods.parse(j).extract[Seq[String]])
+  }
+  def of(o: StreamOffset): AdjacencyStreamOffset = o match {
+    case a: AdjacencyStreamOffset => a
+    case other => fromJson(other.json())
+  }
+}
+
+/** Micro-batch streaming READ of the adjacency table (W551) — the
+  * file-arrival ingest shape: each trigger processes the files that
+  * appeared since the last committed offset, through the SAME
+  * per-file reader (and the same pruning/pushdown) as the batch scan.
+  * Admission control honors `maxFilesPerTrigger`; Trigger.AvailableNow
+  * is first-class (`prepareForTriggerAvailableNow` snapshots the
+  * listing, and every subsequent micro-batch caps to that snapshot, so
+  * a backfill terminates even while new files keep landing). Files are
+  * immutable once visible (the write side renames hidden tmps into
+  * place), so replaying a batch from the checkpoint re-reads identical
+  * bytes — exactly-once end to end when the sink dedups by batch id.
+  */
+private[sources] class AdjacencyMicroBatchStream(
+    path: String, columns: Seq[String], pushed: Seq[Filter],
+    permissive: Boolean, conf: SerializableHadoopConf,
+    maxFilesPerTrigger: Int)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def snapshot(): Seq[String] =
+    AdjacencySource.listFiles(path, conf.value)
+
+  // AvailableNow: cap every batch to the listing taken at prepare time
+  @volatile private var availableNowCap: Option[Set[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(snapshot().toSet)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def initialOffset(): StreamOffset = AdjacencyStreamOffset(Nil)
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (admission control)")
+
+  override def latestOffset(start: StreamOffset,
+                            limit: ReadLimit): StreamOffset = {
+    val seen = AdjacencyStreamOffset.of(start).files.toSet
+    val visible = availableNowCap match {
+      case Some(cap) => snapshot().filter(cap)
+      case None => snapshot()
+    }
+    val fresh = visible.filterNot(seen).sorted
+    val admitted = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    AdjacencyStreamOffset((seen ++ admitted).toSeq.sorted)
+  }
+
+  override def reportLatestOffset(): StreamOffset =
+    AdjacencyStreamOffset(snapshot())
+
+  override def planInputPartitions(start: StreamOffset,
+                                   end: StreamOffset): Array[InputPartition] = {
+    val s = AdjacencyStreamOffset.of(start).files.toSet
+    AdjacencyStreamOffset.of(end).files.filterNot(s).sorted
+      .map(f => AdjacencyFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AdjacencyReaderFactory(columns, pushed, permissive, conf)
+
+  override def deserializeOffset(json: String): StreamOffset =
+    AdjacencyStreamOffset.fromJson(json)
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class AdjacencyFilePartition(file: String)

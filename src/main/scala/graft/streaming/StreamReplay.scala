@@ -974,6 +974,48 @@ object StreamReplay {
       }
     }
 
+  /** W551 gate: streaming READ through the DSv2 adjacency source — the
+    * MICRO_BATCH_READ half of the connector (W550 toured the write
+    * half). The events edge mapping lands in the connector's table
+    * through three batch appends (three file generations), then an
+    * AvailableNow stream with `maxFilesPerTrigger=2` drains it in
+    * file-admission-controlled micro-batches into a parquet sink. The
+    * gate censuses the sink: the offset set-difference planning must
+    * deliver every file exactly once — equal to the oracle's batch
+    * restatement of the same mapping.
+    */
+  def dsv2SourceReplay(s: SparkSession, dir: String): DataFrame =
+    withReplayConf(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      inTempDir("graft_dsv2src") { root =>
+        val table = s"$root/edges"
+        val edges = Tables.events(s, dir)
+          .select(pmod(col("user_id"), lit(50L)).as("src"),
+            pmod(col("event_id"), lit(1000L)).as("dst"))
+        // three arrival slices through the connector's batch writer
+        (0 until 3).foreach { i =>
+          edges.where(pmod(col("dst"), lit(3L)) === i)
+            .write.format("graft-adjacency").mode("append").save(table)
+        }
+        val out = s"$root/out"
+        val q = s.readStream.format("graft-adjacency")
+          .option("maxFilesPerTrigger", "2")
+          .load(table)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", s"$root/ckpt")
+          .option("path", out)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(300000),
+          "AvailableNow DSv2-source drain did not terminate in 300s")
+        s.read.parquet(out)
+          .groupBy("src")
+          .agg(count(lit(1)).as("n_edges"), sum(col("dst")).as("dst_sum"))
+          .orderBy("src")
+          .localCheckpoint() // materialize before the root is deleted
+      }
+    }
+
   /** W528 gate: streaming UNION of two sources — the multi-feed ingest
     * shape (two kafka topics / two directories landing in one
     * pipeline). The fixture splits by alternating index across two
