@@ -813,6 +813,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.dsv2SinkReplay(s, d)),
     "stream_dsv2_source_replay" ->
       ((s, d) => graft.streaming.StreamReplay.dsv2SourceReplay(s, d)),
+    "spj_self_join_audit" ->
+      ((s, d) => graft.sources.CatalogAudit.spjSelfJoinAudit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14881,6 +14883,14 @@ object SparkEntry {
          SELECT src, count(*)::BIGINT AS n_edges,
            sum(dst)::BIGINT AS dst_sum
          FROM ed GROUP BY 1 ORDER BY 1""",
+    // the storage-partitioned self-join must census like a plain join
+    "spj_self_join_audit" ->
+      """WITH ed AS (SELECT (c_custkey % 100)::BIGINT AS src,
+             c_nationkey::BIGINT AS dst FROM customer)
+         SELECT a.src AS src, count(*)::BIGINT AS n_pairs,
+           sum(a.dst + b.dst)::BIGINT AS dst_sum
+         FROM ed a JOIN ed b ON a.src = b.src
+         GROUP BY 1 ORDER BY 1""",
   )
 
   private def sqlList(words: Seq[String]): String =

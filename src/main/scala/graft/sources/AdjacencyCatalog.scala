@@ -5,11 +5,15 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{
-  NoSuchTableException, TableAlreadyExistsException}
+  NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, Table, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
+  FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{
+  BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Literal, Transform}
+import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -27,7 +31,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * catalog is the graph-table namespace a 1000-executor job resolves
   * against.
   */
-class AdjacencyCatalog extends TableCatalog {
+class AdjacencyCatalog extends TableCatalog with FunctionCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -62,12 +66,32 @@ class AdjacencyCatalog extends TableCatalog {
     new AdjacencyTable(d.toString, false)
   }
 
+  /** The one partition transform supported (W552): `bucket(n, src)` —
+    * returns n, or None for an unpartitioned create; anything else
+    * rejects loudly. */
+  private def bucketCount(partitions: Array[Transform]): Option[Int] =
+    partitions match {
+      case Array() => None
+      case Array(t) if t.name() == "bucket" &&
+          t.references().map(_.fieldNames().mkString(".")).toSeq ==
+            Seq("src") =>
+        t.arguments().collectFirst {
+          case l: Literal[_] if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        } match {
+          case Some(n) if n > 0 => Some(n)
+          case _ => throw new IllegalArgumentException(
+            s"bucket transform needs a positive bucket count; got $t")
+        }
+      case other => throw new IllegalArgumentException(
+        "graft-adjacency tables support PARTITIONED BY " +
+          s"(bucket(n, src)) only; got ${other.mkString(", ")}")
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-adjacency tables are unpartitioned (one neighbor-list " +
-        "directory); partition transforms are not supported")
+    val buckets = bucketCount(partitions)
     val fields = schema.fields
     require(fields.length == 2 && fields.forall(_.dataType == LongType) &&
       fields.map(_.name).toSeq == Seq("src", "dst"),
@@ -76,8 +100,25 @@ class AdjacencyCatalog extends TableCatalog {
     val d = dir(ident)
     if (fs.exists(d)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(d)
+    buckets.foreach(n => AdjacencySource.writeBucketSpec(
+      d.toString, n, AdjacencySource.driverConf()))
     new AdjacencyTable(d.toString, false)
   }
+
+  // ---- FunctionCatalog (W552): the `bucket` function the reported
+  // KeyGroupedPartitioning's transform resolves against. Identity of
+  // this function (canonicalName) is what Spark compares to decide two
+  // scans are co-partitioned — both sides of a storage-partitioned
+  // join resolve it here, so the comparison is by construction true
+  // for same-bucket-count graft tables.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction.unbound
+    else throw new NoSuchFunctionException(ident)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -95,6 +136,37 @@ class AdjacencyCatalog extends TableCatalog {
     if (!fs.rename(dir(oldIdent), dir(newIdent)))
       throw new java.io.IOException(
         s"failed to rename ${dir(oldIdent)} to ${dir(newIdent)}")
+  }
+}
+
+/** `bucket(n, src)` as a catalog-resolvable V2 function (W552):
+  * floor-mod of the src key — the SAME arithmetic
+  * [[AdjacencySource.bucketOf]] uses to name the writer's bucket-pure
+  * files. Spark only needs it for identity comparison and (under
+  * partially-clustered distribution) partition-value evaluation, but
+  * the implementation must agree with the storage layout regardless.
+  */
+object GraftBucketFunction extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] =
+    Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket(src)"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer =
+    AdjacencySource.bucketOf(input.getLong(1), input.getInt(0))
+
+  val unbound: UnboundFunction = new UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, src): floor-mod bucket of a graft-adjacency src key"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == LongType,
+        s"bucket(n: int, src: bigint); got ${inputType.simpleString}")
+      GraftBucketFunction
+    }
   }
 }
 
@@ -257,6 +329,56 @@ object CatalogAudit {
         .orderBy("source_file")
         .localCheckpoint() // materialize before the root is deleted
     } finally deleteRec(root)
+  }
+
+  /** The W552 gate query: STORAGE-PARTITIONED JOIN — a bucketed
+    * adjacency table (`PARTITIONED BY (bucket(8, src))`, bucket-pure
+    * files, catalog-resolved `bucket` function) self-joined on src
+    * with auto-broadcast disabled, so the join can only avoid the
+    * exchange by riding the scan's reported KeyGroupedPartitioning
+    * (`spark.sql.sources.v2.bucketing.enabled`). The per-src pair
+    * census must equal the oracle's restatement; SpjSpec pins the
+    * plan posture (ZERO shuffle exchanges under the join) and the
+    * file-level bucket purity the report stands on. At 100 TB this is
+    * the co-located-join story: two bucketed graph tables join
+    * shuffle-free on 1000 executors because co-bucketed splits are
+    * grouped into the same partition at planning time.
+    */
+  def spjSelfJoinAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_spj").toString
+    val cat = s"graft_adj_c${ctr.incrementAndGet()}"
+    val tuned = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = tuned.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[AdjacencyCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // the small side would auto-broadcast (W536 stats!) and hide the
+      // partitioned-join path — force the clustered plan
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.Tables.customer(s, dir)
+        .select(pmod(col("c_custkey").cast("long"), lit(100L)).as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .writeTo(s"$cat.edges")
+        .partitionedBy(bucket(8, col("src")))
+        .create()
+      val e = s.table(s"$cat.edges")
+      e.as("a").join(e.as("b"), col("a.src") === col("b.src"))
+        .groupBy(col("a.src").as("src"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.dst") + col("b.dst")).as("dst_sum"))
+        .orderBy("src")
+        .localCheckpoint() // materialize under the SPJ confs
+    } finally {
+      deleteRec(root)
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }
   }
 
   def overwriteAudit(s: SparkSession, dir: String): DataFrame = {

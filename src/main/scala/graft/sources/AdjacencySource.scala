@@ -23,6 +23,13 @@ import org.apache.spark.sql.connector.read.{
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+import org.apache.spark.sql.connector.read.{
+  HasPartitionKey, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{
+  KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.distributions.{
+  Distribution, Distributions}
+import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
   PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder,
@@ -106,6 +113,48 @@ object AdjacencySource {
 
   /** Name of the `_source_file` metadata column (W538). */
   val SourceFileCol: String = "_source_file"
+
+  /** Sidecar recording a table's bucket spec (W552) — `_`-prefixed so
+    * file listings skip it. Content: the bucket count (always on
+    * `src`). Present ⇔ the table was created `PARTITIONED BY
+    * (bucket(n, src))` through [[AdjacencyCatalog]]. */
+  val BucketSpecFile: String = "_bucketspec"
+
+  /** The bucket of a src key: floor-mod, total on all longs. BOTH the
+    * writer's file naming and [[GraftBucketFunction]] (the catalog
+    * function SPJ resolves the reported transform against) compute
+    * this — they must agree or storage-partitioned joins would
+    * co-locate the wrong rows. */
+  private[graft] def bucketOf(src: Long, n: Int): Int =
+    ((src % n + n) % n).toInt
+
+  /** Final-name pattern of bucket-pure part files: `part-b<bucket>-…`. */
+  private[sources] val BucketFileRe = "^part-b(\\d+)-.*".r
+
+  private[graft] def readBucketSpec(path: String,
+                                    conf: Configuration): Option[Int] = {
+    val f = new Path(path, BucketSpecFile)
+    val fs = FileSystem.get(f.toUri, conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val txt = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        Some(txt.toInt)
+      } finally in.close()
+    }
+  }
+
+  private[graft] def writeBucketSpec(path: String, n: Int,
+                                       conf: Configuration): Unit = {
+    val f = new Path(path, BucketSpecFile)
+    val fs = FileSystem.get(f.toUri, conf)
+    val out = fs.create(f, true)
+    try out.write(s"$n\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** The active session's Hadoop conf when one exists (driver-side
     * planning), else a default conf (tests constructing pieces
@@ -227,31 +276,40 @@ object AdjacencySource {
     * replay) is idempotent. */
   private[sources] def finalizeCommits(
       messages: Array[WriterCommitMessage],
-      conf: SerializableHadoopConf): Unit =
+      conf: SerializableHadoopConf): Unit = {
+    def finalize1(temp: String, dest: String): Unit = {
+      val t = new Path(temp)
+      val d = new Path(dest)
+      val fs = FileSystem.get(t.toUri, conf.value)
+      if (fs.exists(d)) fs.delete(d, false)
+      if (!fs.rename(t, d))
+        throw new java.io.IOException(
+          s"graft-adjacency: failed to finalize $temp -> $dest")
+    }
     messages.foreach {
-      case AdjacencyCommit(temp, dest) =>
-        val t = new Path(temp)
-        val d = new Path(dest)
-        val fs = FileSystem.get(t.toUri, conf.value)
-        if (fs.exists(d)) fs.delete(d, false)
-        if (!fs.rename(t, d))
-          throw new java.io.IOException(
-            s"graft-adjacency: failed to finalize $temp -> $dest")
+      case AdjacencyCommit(temp, dest) => finalize1(temp, dest)
+      case AdjacencyMultiCommit(pairs) =>
+        pairs.foreach { case (t, d) => finalize1(t, d) }
       case _ =>
     }
+  }
 
   /** Abort-side cleanup: drop every temp the commit messages mention;
     * attempts that never committed cleaned their own temp in the
     * task-level `abort()`. */
   private[sources] def dropTemps(messages: Array[WriterCommitMessage],
-                                 conf: SerializableHadoopConf): Unit =
+                                 conf: SerializableHadoopConf): Unit = {
+    def drop1(temp: String): Unit = {
+      val t = new Path(temp)
+      FileSystem.get(t.toUri, conf.value).delete(t, false)
+      ()
+    }
     messages.foreach {
-      case AdjacencyCommit(temp, _) =>
-        val t = new Path(temp)
-        FileSystem.get(t.toUri, conf.value).delete(t, false)
-        ()
+      case AdjacencyCommit(temp, _) => drop1(temp)
+      case AdjacencyMultiCommit(pairs) => pairs.foreach(p => drop1(p._1))
       case _ =>
     }
+  }
 }
 
 private[sources] class AdjacencyTable(path: String, permissive: Boolean)
@@ -260,6 +318,16 @@ private[sources] class AdjacencyTable(path: String, permissive: Boolean)
   require(path != null, "graft-adjacency requires a load(path)/save(path)")
   override def name(): String = s"graft-adjacency:$path"
   override def schema(): StructType = AdjacencySource.schema
+
+  /** Bucket spec (W552), read once per table resolution: present when
+    * the table was created `PARTITIONED BY (bucket(n, src))`. Drives
+    * the reported partitioning, the writer's bucket-pure file split,
+    * and the scan's KeyGroupedPartitioning. */
+  private[sources] lazy val bucketN: Option[Int] =
+    AdjacencySource.readBucketSpec(path, AdjacencySource.driverConf())
+
+  override def partitioning(): Array[Transform] =
+    bucketN.map(n => Expressions.bucket(n, "src") : Transform).toArray
 
   /** `_source_file` metadata column (W538) — the provenance column the
     * built-in file sources expose as `_metadata.file_path`: hidden
@@ -284,14 +352,15 @@ private[sources] class AdjacencyTable(path: String, permissive: Boolean)
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AdjacencyScanBuilder(path, permissive,
-      options.getInt("maxFilesPerTrigger", -1))
+      options.getInt("maxFilesPerTrigger", -1), bucketN)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AdjacencyWriteBuilder(path, info)
+    new AdjacencyWriteBuilder(path, info, bucketN)
 }
 
 private[sources] class AdjacencyScanBuilder(path: String,
                                             permissive: Boolean,
-                                            maxFilesPerTrigger: Int = -1)
+                                            maxFilesPerTrigger: Int = -1,
+                                            bucketN: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -383,7 +452,7 @@ private[sources] class AdjacencyScanBuilder(path: String,
 
   override def build(): Scan =
     new AdjacencyScan(path, required, pushed, permissive, limit, topN, agg,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, bucketN)
 }
 
 /** Test-visible view of what a scan pushed (DSv2 keeps Scan opaque). */
@@ -402,9 +471,11 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
                                        Int)] = None,
                                      agg: Option[Seq[(String, String)]] =
                                        None,
-                                     maxFilesPerTrigger: Int = -1)
+                                     maxFilesPerTrigger: Int = -1,
+                                     bucketN: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics with AdjacencyScanForTest {
+    with SupportsReportStatistics with SupportsReportPartitioning
+    with AdjacencyScanForTest {
   // RUNTIME filters (W534): a join against this table hands the scan
   // the build side's src-key set at execution time (dynamic pruning's
   // DSv2 path) — merged into the same per-line predicate the planning-
@@ -462,9 +533,51 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
   }
 
   override def toBatch: Batch = this
+
+  /** Bucket-grouped splits (W552): when the table has a bucket spec
+    * AND every data file is bucket-pure (named `part-b<bucket>-…` by
+    * the bucketed writer), group files by bucket into one split per
+    * bucket, each carrying its bucket id as the partition key. Any
+    * non-bucket-named file (data appended before the spec, or through
+    * a path-based write) voids the guarantee → per-file splits and
+    * unknown partitioning, never a wrong co-location. One listing per
+    * scan: partition planning and the reported partitioning must see
+    * the SAME files. */
+  private lazy val bucketGroups: Option[Seq[(Int, Seq[String])]] =
+    bucketN.flatMap { _ =>
+      val files = AdjacencySource.listFiles(path)
+      val keyed = files.map { f =>
+        new Path(f).getName match {
+          case AdjacencySource.BucketFileRe(b) => Some(b.toInt -> f)
+          case _ => None
+        }
+      }
+      if (files.isEmpty || keyed.exists(_.isEmpty)) None
+      else Some(keyed.flatten.groupBy(_._1).toSeq
+        .map { case (b, fs) => b -> fs.map(_._2).sorted }
+        .sortBy(_._1))
+    }
+
+  // pushed limit/top-N/aggregate change split semantics (per-PARTITION
+  // partials) — grouping buckets under them is legal but pointless;
+  // keep the report honest by only claiming key-grouping on plain scans
+  private def keyGrouped: Option[Seq[(Int, Seq[String])]] =
+    if (agg.isEmpty && topN.isEmpty && limit < 0) bucketGroups else None
+
+  override def outputPartitioning(): Partitioning = keyGrouped match {
+    case Some(groups) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(bucketN.get, "src")), groups.size)
+    case None => new UnknownPartitioning(planInputPartitions().length)
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    AdjacencySource.listFiles(path)
-      .map(f => AdjacencyFilePartition(f): InputPartition).toArray
+    keyGrouped match {
+      case Some(groups) => groups.map { case (b, fs) =>
+        AdjacencyBucketPartition(b, fs): InputPartition }.toArray
+      case None => AdjacencySource.listFiles(path)
+        .map(f => AdjacencyFilePartition(f): InputPartition).toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new AdjacencyReaderFactory(
       required.fieldNames.toSeq, pushed.toSeq ++ runtime.toSeq, permissive,
@@ -588,6 +701,16 @@ private[sources] class AdjacencyMicroBatchStream(
 private[sources] case class AdjacencyFilePartition(file: String)
     extends InputPartition
 
+/** One split per BUCKET (W552): all of a bucket's files, keyed by the
+  * bucket id — `HasPartitionKey` is what lets Spark group co-bucketed
+  * splits across two scans into one exchange-free join partition. */
+private[sources] case class AdjacencyBucketPartition(
+    bucket: Int, files: Seq[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 private[sources] class AdjacencyReaderFactory(
     columns: Seq[String], pushed: Seq[Filter], permissive: Boolean,
     conf: SerializableHadoopConf, limit: Int = -1,
@@ -595,9 +718,37 @@ private[sources] class AdjacencyReaderFactory(
     agg: Option[Seq[(String, String)]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new AdjacencyReader(
-      p.asInstanceOf[AdjacencyFilePartition].file, columns, pushed,
-      permissive, conf, limit, topN, agg)
+    p match {
+      case AdjacencyFilePartition(f) =>
+        new AdjacencyReader(f, columns, pushed, permissive, conf,
+          limit, topN, agg)
+      case AdjacencyBucketPartition(_, files) =>
+        // bucket splits only plan on plain scans (no limit/topN/agg)
+        new ConcatReader(files.map(f => () =>
+          new AdjacencyReader(f, columns, pushed, permissive, conf)))
+    }
+}
+
+/** Sequential concatenation of per-file readers — a bucket split reads
+  * its files one after another, opening each lazily. */
+private[sources] class ConcatReader(
+    parts: Seq[() => PartitionReader[InternalRow]])
+    extends PartitionReader[InternalRow] {
+  private val it = parts.iterator
+  private var cur: PartitionReader[InternalRow] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = it.next()()
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 private[sources] class AdjacencyReader(
@@ -785,7 +936,8 @@ private[sources] class AdjacencyReader(
   * reader's file listing.
   */
 private[sources] class AdjacencyWriteBuilder(path: String,
-                                             info: LogicalWriteInfo)
+                                             info: LogicalWriteInfo,
+                                             bucketN: Option[Int] = None)
     extends WriteBuilder with SupportsOverwrite {
   // None = plain append; Some(filters) = delete matching rows first
   // (mode("overwrite")/truncate arrives as overwrite(AlwaysTrue) via
@@ -805,25 +957,49 @@ private[sources] class AdjacencyWriteBuilder(path: String,
       fields.map(_.name).toSeq == Seq("src", "dst"),
       s"graft-adjacency writes (src: bigint, dst: bigint); " +
         s"got ${info.schema().simpleString}")
-    new Write {
+    new Write with RequiresDistributionAndOrdering {
       override def toBatch: BatchWrite = new AdjacencyBatchWrite(
-        path, deleteWhere, info.queryId())
+        path, deleteWhere, info.queryId(), bucketN)
       override def toStreaming: StreamingWrite = {
         // complete/update modes arrive as truncate → overwrite(TRUE);
         // a file sink with no commit log cannot atomically truncate
         // per epoch, so only append-mode streaming is supported
         require(deleteWhere.isEmpty,
           "graft-adjacency streaming sink is append-only")
+        // the streaming writer does not split files by bucket, and one
+        // impure file silently demotes every future scan to unknown
+        // partitioning — reject rather than degrade (W552)
+        require(bucketN.isEmpty,
+          "graft-adjacency streaming sink does not write bucketed " +
+            "tables; stream into an unbucketed table")
         new AdjacencyStreamingWrite(path,
           new SerializableHadoopConf(AdjacencySource.driverConf()))
       }
+      /** Bucketed writes (W552) cluster rows by src so a bucket's rows
+        * land in few tasks (each task still splits its output by
+        * bucket, so purity never depends on this — clustering only
+        * bounds file counts: ≤ tasks×buckets worst case becomes
+        * ~1 file per bucket). Identity clustering needs no function
+        * catalog, so path-based writes resolve it too. Unbucketed
+        * writes request nothing, exactly as before. */
+      override def requiredDistribution(): Distribution =
+        if (bucketN.isDefined)
+          Distributions.clustered(Array(Expressions.column("src")))
+        else Distributions.unspecified()
+      override def requiredOrdering(): Array[SortOrder] =
+        if (bucketN.isDefined)
+          Array(Expressions.sort(Expressions.column("src"),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING))
+        else Array.empty
     }
   }
 }
 
 private[sources] class AdjacencyBatchWrite(path: String,
                                            deleteWhere: Option[Seq[Filter]],
-                                           queryId: String)
+                                           queryId: String,
+                                           bucketN: Option[Int] = None)
     extends BatchWrite {
   private val conf = new SerializableHadoopConf(AdjacencySource.driverConf())
 
@@ -858,7 +1034,7 @@ private[sources] class AdjacencyBatchWrite(path: String,
       case None => () // plain append
     }
     fs.mkdirs(p)
-    new AdjacencyWriterFactory(path, queryId, conf)
+    new AdjacencyWriterFactory(path, queryId, conf, bucketN)
   }
 
   /** Driver-side finalize: rename each committed attempt's temp file to
@@ -914,17 +1090,55 @@ private[sources] class AdjacencyStreamingWriterFactory(
 }
 
 private[sources] class AdjacencyWriterFactory(path: String, queryId: String,
-                                              conf: SerializableHadoopConf)
+                                              conf: SerializableHadoopConf,
+                                              bucketN: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new AdjacencyWriter(
-      s"$path/.part-$partitionId-$queryId-$taskId.adj.tmp",
-      s"$path/part-$partitionId-$queryId.adj", conf)
+    bucketN match {
+      case Some(n) =>
+        new AdjacencyBucketedWriter(path, partitionId, queryId, taskId,
+          n, conf)
+      case None =>
+        new AdjacencyWriter(
+          s"$path/.part-$partitionId-$queryId-$taskId.adj.tmp",
+          s"$path/part-$partitionId-$queryId.adj", conf)
+    }
 }
 
 private[sources] case class AdjacencyCommit(temp: String, dest: String)
     extends WriterCommitMessage
+
+/** Commit of a bucketed task (W552): one (temp, dest) pair per bucket
+  * the task touched. */
+private[sources] case class AdjacencyMultiCommit(
+    pairs: Seq[(String, String)]) extends WriterCommitMessage
+
+/** Bucket-pure writer (W552): one [[AdjacencyWriter]] per bucket this
+  * task encounters, opened lazily, each emitting to
+  * `part-b<bucket>-<partition>-<queryId>.adj` — every final file holds
+  * rows of exactly one bucket, which is the invariant the scan's
+  * KeyGroupedPartitioning report stands on. The same attempt-suffixed
+  * tmp + driver-side rename protocol applies per file. */
+private[sources] class AdjacencyBucketedWriter(
+    path: String, partitionId: Int, queryId: String, taskId: Long,
+    buckets: Int, conf: SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
+  private val open =
+    scala.collection.mutable.HashMap.empty[Int, AdjacencyWriter]
+  private def writerFor(b: Int): AdjacencyWriter =
+    open.getOrElseUpdate(b, new AdjacencyWriter(
+      s"$path/.part-b$b-$partitionId-$queryId-$taskId.adj.tmp",
+      s"$path/part-b$b-$partitionId-$queryId.adj", conf))
+  override def write(row: InternalRow): Unit =
+    writerFor(AdjacencySource.bucketOf(row.getLong(0), buckets)).write(row)
+  override def commit(): WriterCommitMessage =
+    AdjacencyMultiCommit(open.values.toSeq.map(_.commit()).collect {
+      case AdjacencyCommit(t, d) => (t, d)
+    })
+  override def abort(): Unit = open.values.foreach(_.abort())
+  override def close(): Unit = open.values.foreach(_.close())
+}
 
 private[sources] class AdjacencyWriter(temp: String, dest: String,
                                        conf: SerializableHadoopConf)
