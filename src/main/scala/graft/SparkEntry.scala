@@ -815,6 +815,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.dsv2SourceReplay(s, d)),
     "spj_self_join_audit" ->
       ((s, d) => graft.sources.CatalogAudit.spjSelfJoinAudit(s, d)),
+    "stream_custom_statestore_replay" ->
+      ((s, d) => graft.streaming.StreamReplay.customStateStoreReplay(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -4864,6 +4866,9 @@ object SparkEntry {
                 round(sum(value), 4) AS sum_value
          FROM s GROUP BY user_id, session_seq""",
     "stream_dedup_replay" ->
+      """SELECT DISTINCT user_id, ts::DATE AS day FROM events""",
+    // same census through the CUSTOM state store provider (W553)
+    "stream_custom_statestore_replay" ->
       """SELECT DISTINCT user_id, ts::DATE AS day FROM events""",
     // comparisons at MICROSECOND precision: Spark timestamps are micros
     // while the parquet fixture carries nanos, so the restatement

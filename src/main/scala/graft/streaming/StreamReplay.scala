@@ -1016,6 +1016,41 @@ object StreamReplay {
       }
     }
 
+  /** W553 gate: a CUSTOM StateStoreProvider
+    * (`streaming.GraftCountingStateStoreProvider`, plugged through
+    * `spark.sql.streaming.stateStore.providerClass` — the same hook
+    * RocksDB ships through) carrying the W31 exact-dedup replay. The
+    * provider delegates storage to the built-in HDFS-backed store and
+    * counts every keyed operation; the census must equal
+    * `SELECT DISTINCT user_id, day` exactly — a user-supplied state
+    * backend runs the stateful query bit-identically. The provider
+    * conf is set for this query and restored after.
+    */
+  def customStateStoreReplay(s: SparkSession, dir: String,
+                             nBatches: Int = 4): DataFrame =
+    withReplayConf(s) {
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, classOf[GraftCountingStateStoreProvider].getName)
+      try {
+        val evs = sortedEvents(s, dir).map { e =>
+          DayRow(e.ts, e.user_id,
+            e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+        }
+        val in = MemoryStream[DayRow]
+        val nm = s"stream_cstore_${ctr.incrementAndGet()}"
+        val q = StreamOps.dedupStream(in.toDF(), Seq("user_id", "day"),
+            watermarkDelay = "3650 days")
+          .select(col("user_id"), col("day"))
+          .writeStream.outputMode("append").format("memory").queryName(nm)
+          .start()
+        feed(in, q, evs.toSeq, nBatches)
+        finish(s, nm, q)
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }
+
   /** W528 gate: streaming UNION of two sources — the multi-feed ingest
     * shape (two kafka topics / two directories landing in one
     * pipeline). The fixture splits by alternating index across two
