@@ -817,6 +817,8 @@ object SparkEntry {
       ((s, d) => graft.sources.CatalogAudit.spjSelfJoinAudit(s, d)),
     "stream_custom_statestore_replay" ->
       ((s, d) => graft.streaming.StreamReplay.customStateStoreReplay(s, d)),
+    "dsv2_delete_audit" ->
+      ((s, d) => graft.sources.CatalogAudit.deleteAudit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14888,6 +14890,13 @@ object SparkEntry {
          SELECT src, count(*)::BIGINT AS n_edges,
            sum(dst)::BIGINT AS dst_sum
          FROM ed GROUP BY 1 ORDER BY 1""",
+    // DELETE FROM must leave exactly the non-matching rows
+    "dsv2_delete_audit" ->
+      """SELECT n_regionkey::BIGINT AS dst,
+           count(*)::BIGINT AS n_edges,
+           sum(n_nationkey)::BIGINT AS src_sum
+         FROM nation WHERE NOT (n_nationkey >= 12)
+         GROUP BY 1 ORDER BY 1""",
     // the storage-partitioned self-join must census like a plain join
     "spj_self_join_audit" ->
       """WITH ed AS (SELECT (c_custkey % 100)::BIGINT AS src,

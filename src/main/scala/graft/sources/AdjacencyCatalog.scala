@@ -381,6 +381,41 @@ object CatalogAudit {
     }
   }
 
+  /** The W554 gate query: SQL `DELETE FROM` through `SupportsDelete` —
+    * nation edges staged as a catalog table, `DELETE FROM cat.edges
+    * WHERE src >= 12` rewrites every part file in the distributed
+    * per-file maintenance job (the overwrite-by-filter machinery with
+    * no new data), and the readback census must equal the oracle's
+    * `WHERE NOT (src >= 12)` restatement. The delete condition is
+    * correctness-bearing: unsupported shapes report
+    * `canDeleteWhere = false` and the statement fails loudly
+    * (spec-pinned) rather than approximating.
+    */
+  def deleteAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_del").toString
+    val cat = s"graft_adj_c${ctr.incrementAndGet()}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[AdjacencyCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .writeTo(s"$cat.edges").create()
+      s.sql(s"DELETE FROM $cat.edges WHERE src >= 12")
+      s.table(s"$cat.edges")
+        .groupBy("dst")
+        .agg(count(lit(1)).as("n_edges"), sum("src").as("src_sum"))
+        .orderBy("dst")
+        .localCheckpoint() // materialize before the root is deleted
+    } finally {
+      deleteRec(root)
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
   def overwriteAudit(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_cat_ow").toString

@@ -270,6 +270,29 @@ object AdjacencySource {
     fs.delete(bak, false)
   }
 
+  /** Distributed delete-matching-rows maintenance job, shared by
+    * overwrite-by-filter (W532) and SQL `DELETE FROM` (W554): one task
+    * per part file — the same file-granular parallelism as the read
+    * side — each rewriting its file through the crash-recoverable
+    * [[rewriteDropping]] protocol. */
+  private[sources] def deleteMatchingDistributed(
+      path: String, fls: Seq[Filter],
+      conf: SerializableHadoopConf): Unit = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf.value)
+    if (fs.exists(p)) {
+      val files = fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).toSeq
+      if (files.nonEmpty) {
+        val sconf = conf
+        org.apache.spark.sql.SparkSession.active.sparkContext
+          .parallelize(files, files.size)
+          .foreach(f => AdjacencySource.rewriteDropping(f, fls, sconf))
+      }
+    }
+  }
+
   /** Driver-side finalize shared by batch commit and streaming epoch
     * commit: rename each committed attempt's temp to its final name,
     * replace-if-exists — so re-finalizing the same names (an epoch
@@ -314,8 +337,28 @@ object AdjacencySource {
 
 private[sources] class AdjacencyTable(path: String, permissive: Boolean)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft-adjacency requires a load(path)/save(path)")
+
+  /** SQL `DELETE FROM` (W554): accepted for the same src-key
+    * comparison conjunctions the overwrite-by-filter path supports —
+    * a delete condition is correctness-bearing, so anything else
+    * reports `canDeleteWhere = false` and Spark fails the statement
+    * loudly instead of this table approximating it. The delete itself
+    * is the SAME distributed per-file rewrite job (one task per part
+    * file, crash-recoverable tmp/bak protocol); bucket-pure file
+    * names are preserved, so a bucketed table keeps SPJ eligibility
+    * through deletes. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    AdjacencySource.srcPredicate(filters.toSeq).isDefined
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graft-adjacency DELETE supports src-key comparisons " +
+        s"(=, <, <=, >, >=) and TRUE only; got ${filters.mkString(", ")}")
+    AdjacencySource.deleteMatchingDistributed(path, filters.toSeq,
+      new SerializableHadoopConf(AdjacencySource.driverConf()))
+  }
   override def name(): String = s"graft-adjacency:$path"
   override def schema(): StructType = AdjacencySource.schema
 
@@ -1016,21 +1059,9 @@ private[sources] class AdjacencyBatchWrite(path: String,
             .foreach(st => fs.delete(st.getPath, false))
       case Some(fls) =>
         // overwrite-by-filter: rewrite surviving lines BEFORE the new
-        // data lands, as a DISTRIBUTED maintenance job — one task per
-        // part file, the same file-granular parallelism as the read
-        // side, so a many-file table rewrites cluster-wide instead of
-        // looping on the driver
-        if (fs.exists(p)) {
-          val files = fs.listStatus(p)
-            .filter(_.getPath.getName.startsWith("part-"))
-            .map(_.getPath.toString).toSeq
-          if (files.nonEmpty) {
-            val sconf = conf
-            org.apache.spark.sql.SparkSession.active.sparkContext
-              .parallelize(files, files.size)
-              .foreach(f => AdjacencySource.rewriteDropping(f, fls, sconf))
-          }
-        }
+        // data lands, as a DISTRIBUTED maintenance job (one task per
+        // part file — shared with SQL DELETE FROM, W554)
+        AdjacencySource.deleteMatchingDistributed(path, fls, conf)
       case None => () // plain append
     }
     fs.mkdirs(p)

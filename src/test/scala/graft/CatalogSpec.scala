@@ -45,6 +45,50 @@ class CatalogSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("DELETE FROM (W554): distributed rewrite leaves exactly the " +
+    "survivors; a non-src condition fails loudly") {
+    withCatalog { (cat, _) =>
+      spark.range(100).select((col("id") % 20).as("src"),
+          (col("id") % 7).as("dst"))
+        .writeTo(s"$cat.edges").create()
+      spark.sql(s"DELETE FROM $cat.edges WHERE src >= 10")
+      val got = spark.table(s"$cat.edges")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = spark.range(100).select((col("id") % 20).as("src"),
+          (col("id") % 7).as("dst"))
+        .where(col("src") < 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == want && got.nonEmpty)
+      // delete everything that's left: empty table, not an error
+      spark.sql(s"DELETE FROM $cat.edges WHERE src >= 0")
+      assert(spark.table(s"$cat.edges").count() == 0)
+      // a condition on dst is not translatable to the src-key rewrite:
+      // canDeleteWhere=false → the statement fails, data untouched
+      spark.range(5).select(col("id").as("src"), col("id").as("dst"))
+        .writeTo(s"$cat.edges").append()
+      val ex = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.edges WHERE dst = 3")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).nonEmpty, ex)
+      assert(spark.table(s"$cat.edges").count() == 5)
+    }
+  }
+
+  test("gate: deleteAudit census equals the oracle restatement") {
+    val got = CatalogAudit.deleteAudit(spark, sf)
+      .collect().map(_.toString).toSeq
+    val want = Tables.nation(spark, sf)
+      .where(col("n_nationkey") < 12)
+      .groupBy(col("n_regionkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("n_nationkey").cast("long")).as("src_sum"))
+      .orderBy("dst").collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
   test("overwrite on a non-src condition is rejected, not approximated") {
     withCatalog { (cat, _) =>
       val edges = spark.range(10).select(col("id").as("src"),

@@ -169,6 +169,56 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("two DIFFERENT co-bucketed tables join exchange-free, and a " +
+    "DELETE keeps SPJ eligibility") {
+    val root = Files.createTempDirectory("graft_spj2").toString
+    val cat = "graft_spj2_cat"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[AdjacencyCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val n = 8
+      spark.range(300).select((col("id") % 23).as("src"),
+          (col("id") % 5).as("dst"))
+        .writeTo(s"$cat.clicks").partitionedBy(bucket(n, col("src")))
+        .create()
+      spark.range(60).select((col("id") % 23).as("src"),
+          (col("id") % 3).as("dst"))
+        .writeTo(s"$cat.buys").partitionedBy(bucket(n, col("src")))
+        .create()
+      def joined(): DataFrame =
+        spark.table(s"$cat.clicks").as("a")
+          .join(spark.table(s"$cat.buys").as("b"),
+            col("a.src") === col("b.src"))
+          .groupBy(col("a.src").as("src"))
+          .agg(count(lit(1)).as("n_pairs"))
+      withConfs(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val j = joined()
+        assert(shuffles(j) == 0,
+          s"two co-bucketed tables must join exchange-free:\n${
+            j.queryExecution.executedPlan}")
+        val want = j.collect().map(_.toString).toSeq.sorted
+        // DELETE rewrites files IN PLACE (names preserved): the table
+        // stays bucket-pure and the next join still plans SPJ
+        spark.sql(s"DELETE FROM $cat.clicks WHERE src >= 20")
+        val j2 = joined()
+        assert(shuffles(j2) == 0, "post-DELETE join lost SPJ")
+        val got = j2.collect().map(_.toString).toSeq.sorted
+        assert(got == want.filterNot { s =>
+          val src = s.stripPrefix("[").takeWhile(_ != ',').toLong
+          src >= 20
+        })
+      }
+    } finally {
+      deleteRec(root)
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
   test("streaming write into a bucketed table is rejected loudly") {
     val root = Files.createTempDirectory("graft_spj_stream").toString
     try {
