@@ -74,6 +74,10 @@ class CatalogSpec extends SparkSpec {
           Option(e.getMessage).toSeq ++ msgs(e.getCause))
       assert(msgs(ex).nonEmpty, ex)
       assert(spark.table(s"$cat.edges").count() == 5)
+      // SQL TRUNCATE TABLE rides TruncatableTable (SupportsDelete's
+      // parent): deleteWhere(TRUE) → every part file dropped
+      spark.sql(s"TRUNCATE TABLE $cat.edges")
+      assert(spark.table(s"$cat.edges").count() == 0)
     }
   }
 
