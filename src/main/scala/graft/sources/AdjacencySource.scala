@@ -587,11 +587,16 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
     * scan: partition planning and the reported partitioning must see
     * the SAME files. */
   private lazy val bucketGroups: Option[Seq[(Int, Seq[String])]] =
-    bucketN.flatMap { _ =>
+    bucketN.flatMap { n =>
       val files = AdjacencySource.listFiles(path)
       val keyed = files.map { f =>
         new Path(f).getName match {
-          case AdjacencySource.BucketFileRe(b) => Some(b.toInt -> f)
+          // a bucket id at or past the spec'd count means the file was
+          // written under a DIFFERENT layout than the sidecar claims —
+          // claiming key-grouping over it could co-locate the wrong
+          // rows, so it demotes like any other impure file
+          case AdjacencySource.BucketFileRe(b) if b.toInt < n =>
+            Some(b.toInt -> f)
           case _ => None
         }
       }

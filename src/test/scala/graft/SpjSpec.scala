@@ -148,6 +148,20 @@ class SpjSpec extends SparkSpec {
         assert(got.size == want.size + 1) // src=400 joins itself once
       }
 
+      // a file claiming a bucket id at/past the spec'd count (layout
+      // drift) demotes too — claiming key-grouping over it could
+      // co-locate the wrong rows
+      Files.writeString(
+        Paths.get(root, "edges", s"part-b$n-drift-0.adj"), "600 1\n")
+      withConfs(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        assert(shuffles(selfJoin()) > 0,
+          "out-of-range bucket id must demote the scan")
+      }
+      Files.delete(Paths.get(root, "edges", s"part-b$n-drift-0.adj"))
+
       // a file the connector did NOT write (manual drop — the one way
       // an impure file can appear) voids the guarantee: the scan
       // demotes to per-file splits + unknown partitioning, results
