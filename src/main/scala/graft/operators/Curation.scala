@@ -1021,9 +1021,14 @@ object Curation {
     */
   def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
+    // persisted (round-10 review finding): five plan branches read
+    // this frame (ranked, the cell grid, per-source counts, the pooled
+    // grid, the corpus count) — unpinned, each was its own full
+    // documents scan
+    val docs = graft.CacheScope.track(Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         col("n_chars").cast("long").as("v"))
+      .persist())
     val wCell = Window.partitionBy("source", "v").orderBy("doc_id")
     val ranked = docs
       .withColumn("tie", row_number().over(wCell).cast("long"))

@@ -218,7 +218,18 @@ object AdjacencySource {
     * or both files on disk (the `.bak` holds every original row); a
     * failed finalize rolls the original back. A write-side failure
     * (disk full, ...) deletes the tmp in `finally` instead of leaking
-    * it. */
+    * it.
+    *
+    * RETRY-recoverable, not just manually recoverable (round-10 review
+    * finding): a task killed between `rename(p, bak)` and
+    * `rename(tmp, p)` leaves only the hidden `.bak`; the RETRY attempt
+    * detects the missing original, reads the survivors from the
+    * orphaned `.bak` (any `.bak` holds the complete original — the
+    * set-aside rename can only ever have succeeded once), finishes the
+    * rewrite under its own attempt id, and sweeps every stale
+    * `.rw.*` artifact of this file on success. Without this, every
+    * retry threw at the set-aside step and the file's rows stayed
+    * invisible until a human recovered the `.bak` by hand. */
   private[sources] def rewriteDropping(file: String, filters: Seq[Filter],
                                        conf: SerializableHadoopConf): Unit = {
     val drop = srcPredicate(filters).getOrElse(
@@ -230,11 +241,24 @@ object AdjacencySource {
       .map(tc => tc.taskAttemptId().toString).getOrElse("driver")
     val tmp = new Path(p.getParent, "." + p.getName + s".rw.$attempt.tmp")
     val bak = new Path(p.getParent, "." + p.getName + s".rw.$attempt.bak")
+    def staleArtifacts(): Seq[Path] =
+      fs.listStatus(p.getParent).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("." + p.getName + ".rw."))
+    // read source: the original, or — retry after a mid-finalize kill —
+    // the orphaned .bak a previous attempt set aside
+    val recovering = !fs.exists(p)
+    val src =
+      if (!recovering) p
+      else staleArtifacts().filter(_.getName.endsWith(".bak"))
+        .sortBy(_.getName).headOption.getOrElse(
+          throw new java.io.IOException(
+            s"graft-adjacency: $file is missing and no .bak exists " +
+              "to recover the rewrite from"))
     var kept = 0
     var written = false
     try {
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+        fs.open(src), java.nio.charset.StandardCharsets.UTF_8))
       val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
       try {
@@ -253,21 +277,26 @@ object AdjacencySource {
       } finally { in.close(); out.close() }
       written = true
     } finally if (!written) fs.delete(tmp, false)
-    // Finalize. Original aside first — recoverable at every step.
-    if (!fs.rename(p, bak)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"graft-adjacency: failed to set aside $file for rewrite " +
-          "(concurrent rewrite attempt?)")
+    // Finalize. Original aside first — recoverable at every step. In
+    // the recovery path the original is already aside (we read it from
+    // the orphan .bak), so there is nothing to set aside.
+    if (!recovering) {
+      if (!fs.rename(p, bak)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"graft-adjacency: failed to set aside $file for rewrite " +
+            "(concurrent rewrite attempt?)")
+      }
     }
     if (kept > 0 && !fs.rename(tmp, p)) {
-      fs.rename(bak, p) // roll the original back into place
+      if (!recovering) fs.rename(bak, p) // roll the original back
       fs.delete(tmp, false)
       throw new java.io.IOException(
         s"graft-adjacency: failed to finalize rewrite of $file")
     }
     if (kept == 0) fs.delete(tmp, false) // empty survivor set: drop file
-    fs.delete(bak, false)
+    if (!recovering) fs.delete(bak, false)
+    else staleArtifacts().foreach(fs.delete(_, false)) // sweep orphans
   }
 
   /** Distributed delete-matching-rows maintenance job, shared by
@@ -616,7 +645,9 @@ private[sources] class AdjacencyScan(path: String, required: StructType,
     case Some(groups) =>
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(bucketN.get, "src")), groups.size)
-    case None => new UnknownPartitioning(planInputPartitions().length)
+    // Spark only reads the report when it is key-grouped; don't pay a
+    // second directory listing just to fill a discarded count
+    case None => new UnknownPartitioning(0)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -1107,9 +1138,31 @@ private[sources] class AdjacencyStreamingWrite(
     FileSystem.get(p.toUri, conf.value).mkdirs(p)
     new AdjacencyStreamingWriterFactory(path, conf)
   }
+
+  /** Epoch commit: finalize this replay's files, then DELETE any
+    * leftover `part-e<epochId>-*` the commit did not produce
+    * (round-10 review finding): a replayed epoch can plan FEWER write
+    * partitions than the crashed original (shuffle-partition conf
+    * change, AQE coalescing, fewer cores), and idempotent naming only
+    * overwrites the partition ids the replay reaches — the original's
+    * higher-numbered files would survive and double-count. The commit
+    * message set is the epoch's complete manifest, so anything else
+    * under the epoch prefix is stale by construction. */
   override def commit(epochId: Long,
-                      messages: Array[WriterCommitMessage]): Unit =
+                      messages: Array[WriterCommitMessage]): Unit = {
     AdjacencySource.finalizeCommits(messages, conf)
+    val dests = messages.collect {
+      case AdjacencyCommit(_, d) => new Path(d).getName
+    }.toSet
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf.value)
+    fs.listStatus(p).map(_.getPath)
+      .filter { f =>
+        f.getName.startsWith(s"part-e$epochId-") &&
+          !dests.contains(f.getName)
+      }
+      .foreach(fs.delete(_, false))
+  }
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
     AdjacencySource.dropTemps(messages, conf)
