@@ -121,6 +121,18 @@ class SpjSpec extends SparkSpec {
             j.queryExecution.executedPlan}")
         assert(j.collect().map(_.toString).toSeq.sorted == want)
       }
+      // AQE ON (the posture Verify/Bench run under): SPJ must still
+      // engage — execute, then count exchanges in the adaptive plan
+      withConfs(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true") {
+        val j = selfJoin()
+        assert(j.collect().map(_.toString).toSeq.sorted == want)
+        assert(shuffles(j) == 0,
+          s"SPJ must hold under AQE:\n${j.queryExecution.executedPlan}")
+      }
+
       // same answer with the conf OFF (shuffled plan) — the report is
       // an optimization, never a correctness dependency
       withConfs(
