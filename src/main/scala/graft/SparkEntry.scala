@@ -802,6 +802,7 @@ object SparkEntry {
     "hash_walks" -> ((s, d) => Graph.hashWalks(s, d)),
     "geo_radius_join" -> ((s, d) => Spatial.geoRadiusJoin(s, d)),
     "topk_sketch_rollup" -> ((s, d) => Relational.topkSketchRollup(s, d)),
+    "hll_sketch_rollup" -> ((s, d) => Relational.hllSketchRollup(s, d)),
     "try_arithmetic" -> ((s, d) => Relational.tryArithmetic(s, d)),
     "quantile_normalize" -> ((s, d) => Curation.quantileNormalize(s, d)),
     "hitting_time" -> ((s, d) => Events.hittingTime(s, d)),
@@ -14890,6 +14891,13 @@ object SparkEntry {
          SELECT src, count(*)::BIGINT AS n_edges,
            sum(dst)::BIGINT AS dst_sum
          FROM ed GROUP BY 1 ORDER BY 1""",
+    // the HLL rollup's exact census; the two Spark-side sketch
+    // contracts (merge consistency, 5% tolerance) restate as TRUE
+    "hll_sketch_rollup" ->
+      """SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_distinct,
+           TRUE AS merge_consistent, TRUE AS est_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
     // DELETE FROM must leave exactly the non-matching rows
     "dsv2_delete_audit" ->
       """SELECT n_regionkey::BIGINT AS dst,

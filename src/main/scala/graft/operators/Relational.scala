@@ -1656,6 +1656,45 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Mergeable HLL distinct-count rollup (W555) — the Spark-4.1
+    * datasketches HLL surface (`hll_sketch_agg` / `hll_union_agg` /
+    * `hll_sketch_estimate`), the two-phase shape a 1000-executor
+    * ingest uses for distinct users: per-(type, day) partial sketches
+    * (bytes, not user ids) union'd per type WITHOUT reshuffling raw
+    * rows. The estimate itself is engine-specific, so the gate pins
+    * what IS restatable: the exact distinct census, and two booleans
+    * computed Spark-side — `merge_consistent` (the union of daily
+    * partials lands within 2% of the one direct global sketch;
+    * TOLERANCE, not equality, because DataSketches estimates are not
+    * layout-independent — a directly-built sketch keeps the HIP
+    * estimator while a non-trivial union falls back to the composite
+    * one, so two cuts of the same set can differ by a few counts,
+    * measured in Round10OpsSpec) and `est_ok` (|est − exact|·20 ≤
+    * exact, within 5% — far outside HLL's error at lgK=12) — which
+    * the oracle restates as literal TRUEs. A broken union (dropped
+    * register, wrong max) blows both tolerances and hash-fails the
+    * gate.
+    */
+  def hllSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val merged = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("est_direct"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        (abs(col("est_merged") - col("est_direct")) * lit(50L) <=
+          col("exact_distinct")).as("merge_consistent"),
+        (abs(col("est_merged") - col("exact_distinct")) * lit(20L) <=
+          col("exact_distinct")).as("est_ok"))
+      .orderBy("event_type")
+  }
+
   /** `try_*` ANSI-safe arithmetic surface (W544): overflow and
     * division-by-zero return NULL (`try_multiply`, `try_divide`)
     * instead of wrapping silently (legacy mode) or failing the stage

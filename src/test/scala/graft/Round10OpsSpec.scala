@@ -285,6 +285,41 @@ class Round10OpsSpec extends SparkSpec {
     CacheScope.release(spark)
   }
 
+  test("hll_sketch_rollup: unions from different partial layouts " +
+    "agree within tolerance; estimates near the known cardinality") {
+    // known cardinality per group: g = id%2, u = id%1000 over 5000
+    // ids → even ids hit even u, odd ids odd u → 500 distinct each.
+    // NOTE measured here: DataSketches estimates are NOT
+    // layout-independent (direct sketches keep the HIP estimator,
+    // non-trivial unions use the composite one), so the contract is
+    // tolerance, not equality — byMod vs byRange differed by up to 7
+    // counts at 500 when this spec was written.
+    val df = spark.range(5000).select(
+      (col("id") % 2).as("g"), (col("id") % 1000).as("u"))
+    def est(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy("g").agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byMod = est(df.groupBy(col("g"), expr("u % 7"))
+      .agg(hll_sketch_agg(col("u")).as("sk")))
+    val byRange = est(df.repartitionByRange(13, col("u"))
+      .groupBy(col("g"), spark_partition_id().as("p"))
+      .agg(hll_sketch_agg(col("u")).as("sk")))
+    (byMod.keySet ++ byRange.keySet).foreach { g =>
+      assert(math.abs(byMod(g) - byRange(g)) * 50 <= 500L,
+        s"layouts disagree past 2%: $byMod vs $byRange")
+    }
+    (byMod.values ++ byRange.values).foreach(e =>
+      assert(math.abs(e - 500L) * 20 <= 500L, s"estimate $e vs 500"))
+    // the gate itself: booleans all true at sf0.001
+    val g = graft.operators.Relational.hllSketchRollup(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getBoolean(2), s"merge_consistent false: $r")
+      assert(r.getBoolean(3), s"est_ok false: $r")
+    }
+  }
+
   test("identifier_templated equals the literal-spelling query") {
     val got = Relational.identifierTemplated(spark, sf).collect()
       .map(_.toString).toSeq
