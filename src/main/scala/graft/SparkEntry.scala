@@ -820,6 +820,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamReplay.customStateStoreReplay(s, d)),
     "dsv2_delete_audit" ->
       ((s, d) => graft.sources.CatalogAudit.deleteAudit(s, d)),
+    "dsv2_check_audit" ->
+      ((s, d) => graft.sources.CatalogAudit.checkAudit(s, d)),
   )
 
   /** One SQL string, two engines (see `ansi_sql_parity`): restricted
@@ -14898,6 +14900,14 @@ object SparkEntry {
            count(DISTINCT user_id)::BIGINT AS exact_distinct,
            TRUE AS merge_consistent, TRUE AS est_ok
          FROM events GROUP BY 1 ORDER BY 1""",
+    // the constrained table holds exactly the fixture; the rejected
+    // violating write restates as TRUE
+    "dsv2_check_audit" ->
+      """SELECT n_regionkey::BIGINT AS dst,
+           count(*)::BIGINT AS n_edges,
+           sum(n_nationkey)::BIGINT AS src_sum,
+           TRUE AS violation_rejected
+         FROM nation GROUP BY 1 ORDER BY 1""",
     // DELETE FROM must leave exactly the non-matching rows
     "dsv2_delete_audit" ->
       """SELECT n_regionkey::BIGINT AS dst,

@@ -102,6 +102,11 @@ class AdjacencyCatalog extends TableCatalog with FunctionCatalog {
     fs.mkdirs(d)
     buckets.foreach(n => AdjacencySource.writeBucketSpec(
       d.toString, n, AdjacencySource.driverConf()))
+    // CHECK constraint (W556): a `check` table property persists as a
+    // sidecar and is reported ENFORCED through Table.constraints()
+    Option(properties.get("check")).filter(_.trim.nonEmpty).foreach(sql =>
+      AdjacencySource.writeCheckSpec(
+        d.toString, sql.trim, AdjacencySource.driverConf()))
     new AdjacencyTable(d.toString, false)
   }
 
@@ -407,6 +412,54 @@ object CatalogAudit {
       s.table(s"$cat.edges")
         .groupBy("dst")
         .agg(count(lit(1)).as("n_edges"), sum("src").as("src_sum"))
+        .orderBy("dst")
+        .localCheckpoint() // materialize before the root is deleted
+    } finally {
+      deleteRec(root)
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
+  /** The W556 gate query: ENFORCED DSv2 CHECK constraints — nation
+    * edges land in a table created with
+    * `check = src >= 0 AND dst BETWEEN 0 AND 4` (all fixture rows
+    * satisfy it), then a violating append (dst = 9) must FAIL and
+    * land nothing — Catalyst's `ResolveTableConstraints` plans the
+    * per-row validation into the write from the constraint the table
+    * reports. The census restates the intact fixture, and
+    * `violation_rejected` (the write threw AND the census is
+    * unchanged) restates as literal TRUE. At 100 TB this is schema
+    * governance at the STORAGE boundary: no pipeline, however buggy,
+    * can land a row the table's contract forbids.
+    */
+  def checkAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cat_chk").toString
+    val cat = s"graft_adj_c${ctr.incrementAndGet()}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[AdjacencyCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      graft.Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .writeTo(s"$cat.edges")
+        .tableProperty("check", "src >= 0 AND dst >= 0 AND dst <= 4")
+        .create()
+      val before = s.table(s"$cat.edges").count()
+      val threw =
+        try {
+          s.range(1).select(lit(99L).as("src"), lit(9L).as("dst"))
+            .writeTo(s"$cat.edges").append()
+          false
+        } catch { case _: Throwable => true }
+      val after = s.table(s"$cat.edges").count()
+      s.table(s"$cat.edges")
+        .groupBy("dst")
+        .agg(count(lit(1)).as("n_edges"), sum("src").as("src_sum"))
+        .withColumn("violation_rejected",
+          lit(threw && after == before))
         .orderBy("dst")
         .localCheckpoint() // materialize before the root is deleted
     } finally {

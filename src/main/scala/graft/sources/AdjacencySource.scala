@@ -156,6 +156,38 @@ object AdjacencySource {
     finally out.close()
   }
 
+  /** Sidecar recording a table's CHECK constraint predicate (W556) —
+    * one line of ANSI SQL over (src, dst), reported through
+    * `Table.constraints()` as an ENFORCED check so Catalyst's
+    * `ResolveTableConstraints` validates every incoming V2 write
+    * row-by-row. */
+  val CheckSpecFile: String = "_checkspec"
+
+  private[graft] def readCheckSpec(path: String,
+                                   conf: Configuration): Option[String] = {
+    val f = new Path(path, CheckSpecFile)
+    val fs = FileSystem.get(f.toUri, conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val txt = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (txt.isEmpty) None else Some(txt)
+      } finally in.close()
+    }
+  }
+
+  private[graft] def writeCheckSpec(path: String, sql: String,
+                                    conf: Configuration): Unit = {
+    val f = new Path(path, CheckSpecFile)
+    val fs = FileSystem.get(f.toUri, conf)
+    val out = fs.create(f, true)
+    try out.write(s"$sql\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** The active session's Hadoop conf when one exists (driver-side
     * planning), else a default conf (tests constructing pieces
     * directly). */
@@ -400,6 +432,22 @@ private[sources] class AdjacencyTable(path: String, permissive: Boolean)
 
   override def partitioning(): Array[Transform] =
     bucketN.map(n => Expressions.bucket(n, "src") : Transform).toArray
+
+  /** CHECK constraint (W556): present when the table was created with
+    * a `check` property through [[AdjacencyCatalog]]. Reported
+    * ENFORCED: Catalyst's `ResolveTableConstraints` plans a per-row
+    * validation into every V2 write against this table, so a
+    * violating row fails the write loudly instead of landing. */
+  private[sources] lazy val checkSql: Option[String] =
+    AdjacencySource.readCheckSpec(path, AdjacencySource.driverConf())
+
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    checkSql.map { sql =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check("graft_check").predicateSql(sql).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** `_source_file` metadata column (W538) — the provenance column the
     * built-in file sources expose as `_metadata.file_path`: hidden
