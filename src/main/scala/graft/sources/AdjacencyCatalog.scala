@@ -44,6 +44,12 @@ class AdjacencyCatalog extends TableCatalog with FunctionCatalog {
   }
   override def name(): String = catName
 
+  // W556: opt in to ALTER TABLE ADD/DROP CONSTRAINT routing here
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def dir(ident: Identifier): Path =
     (ident.namespace() :+ ident.name())
       .foldLeft(new Path(root))((p, s) => new Path(p, s))
@@ -125,9 +131,37 @@ class AdjacencyCatalog extends TableCatalog with FunctionCatalog {
       GraftBucketFunction.unbound
     else throw new NoSuchFunctionException(ident)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-adjacency tables have a fixed (src, dst) schema")
+  /** Schema is fixed; the ONE alterable aspect is the W556 CHECK
+    * constraint — `ALTER TABLE … ADD CONSTRAINT <name> CHECK (…)`
+    * persists the predicate to the sidecar (Spark validates existing
+    * rows first when the constraint is ENFORCED), and
+    * `DROP CONSTRAINT` removes it. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = dir(ident)
+    if (!fs.exists(d)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(
+              AdjacencySource.readCheckSpec(d.toString,
+                AdjacencySource.driverConf()).isEmpty,
+              "graft-adjacency tables hold at most one CHECK " +
+                "constraint; DROP the existing one first")
+            AdjacencySource.writeCheckSpec(d.toString, c.predicateSql(),
+              AdjacencySource.driverConf())
+          case other => throw new UnsupportedOperationException(
+            s"graft-adjacency supports CHECK constraints only; got $other")
+        }
+      case _: TableChange.DropConstraint =>
+        val f = new Path(d, AdjacencySource.CheckSpecFile)
+        fs.delete(f, false)
+        ()
+      case _ => throw new UnsupportedOperationException(
+        "graft-adjacency tables have a fixed (src, dst) schema")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = dir(ident)

@@ -58,4 +58,44 @@ class CheckConstraintSpec extends SparkSpec {
       spark.conf.unset(s"spark.sql.catalog.$cat.root")
     }
   }
+
+  test("ALTER TABLE ADD CONSTRAINT validates existing rows; DROP " +
+    "CONSTRAINT lifts enforcement") {
+    val root = Files.createTempDirectory("graft_check_alter").toString
+    val cat = "graft_chka_cat"
+    try {
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[AdjacencyCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.range(4).select(col("id").as("src"), (col("id") % 2).as("dst"))
+        .writeTo(s"$cat.edges").create()
+      // adding an ENFORCED constraint the EXISTING data violates must
+      // fail and leave the table unconstrained
+      val ex = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.edges ADD CONSTRAINT bad " +
+          "CHECK (src >= 10)")
+      }
+      assert(Option(ex.getMessage).nonEmpty)
+      assert(!Files.exists(Paths.get(root, "edges", "_checkspec")),
+        "failed ALTER must not persist the constraint")
+      // a satisfiable constraint lands and then enforces writes
+      spark.sql(s"ALTER TABLE $cat.edges ADD CONSTRAINT ok " +
+        "CHECK (src >= 0)")
+      assert(Files.exists(Paths.get(root, "edges", "_checkspec")))
+      intercept[Exception] {
+        spark.range(1).select(lit(-1L).as("src"), lit(0L).as("dst"))
+          .writeTo(s"$cat.edges").append()
+      }
+      assert(spark.table(s"$cat.edges").count() == 4)
+      // DROP lifts it: the same row now lands
+      spark.sql(s"ALTER TABLE $cat.edges DROP CONSTRAINT ok")
+      spark.range(1).select(lit(-1L).as("src"), lit(0L).as("dst"))
+        .writeTo(s"$cat.edges").append()
+      assert(spark.table(s"$cat.edges").count() == 5)
+    } finally {
+      deleteRec(root)
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
 }
