@@ -3,7 +3,8 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
-  SparkListenerJobStart, SparkListenerStageCompleted}
+  SparkListenerJobStart, SparkListenerStageCompleted,
+  SparkListenerStageSubmitted}
 import org.apache.spark.sql.SparkSession
 
 /** Per-query engine timing for the driver's round bench.
@@ -55,6 +56,11 @@ object Bench {
     val groupMs = new ConcurrentHashMap[String, Long]()
     val taskMs = new ConcurrentHashMap[String, Long]()
     val pending = new AtomicInteger(0)
+    // in-flight SUBMITTED-but-not-COMPLETED stages of graftq groups:
+    // drain() waits on this too (ADVICE r10: job-end alone lets a
+    // still-queued StageCompleted land AFTER queries_task is read,
+    // silently undercounting that query and crediting the next one)
+    val pendingStages = new AtomicInteger(0)
     override def onJobStart(js: SparkListenerJobStart): Unit = {
       val g = Option(js.properties)
         .map(_.getProperty("spark.jobGroup.id")).orNull
@@ -66,12 +72,17 @@ object Bench {
         ()
       }
     }
+    override def onStageSubmitted(ss: SparkListenerStageSubmitted): Unit =
+      if (stageGroup.containsKey(ss.stageInfo.stageId)) {
+        pendingStages.incrementAndGet(); ()
+      }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       // get, not remove: a retried attempt re-completes the same id
       val g = stageGroup.get(sc.stageInfo.stageId)
       val m = sc.stageInfo.taskMetrics
-      if (g != null && m != null) {
-        taskMs.merge(g, m.executorRunTime, (a, b) => a + b)
+      if (g != null) {
+        if (m != null) taskMs.merge(g, m.executorRunTime, (a, b) => a + b)
+        pendingStages.decrementAndGet() // must mirror onStageSubmitted
         ()
       }
     }
@@ -93,9 +104,10 @@ object Bench {
       * to expose). */
     def drain(maxMs: Long = 10000): Boolean = {
       val deadline = System.nanoTime() + maxMs * 1000000
-      while (pending.get() > 0 && System.nanoTime() < deadline)
+      while ((pending.get() > 0 || pendingStages.get() > 0) &&
+          System.nanoTime() < deadline)
         Thread.sleep(2)
-      pending.get() == 0
+      pending.get() == 0 && pendingStages.get() == 0
     }
   }
 

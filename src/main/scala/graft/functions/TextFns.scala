@@ -12,8 +12,20 @@ object TextFns {
 
   /** Reference tokenizer semantics: whitespace-split → lowercase → strip
     * leading/trailing non-`[a-z]` runs → drop empties.
+    *
+    * OPTIMIZATION r11 (guide §4): now the fused codegen expression
+    * [[graft.expressions.TextExpressions.Tokenize]] — one pass, no
+    * regex, no interpreted higher-order functions. Token-for-token
+    * identical to the built-ins composite below (TokenizeExprSpec pins
+    * it on the fixture corpus + adversarial cases).
     */
   def tokenize(c: Column): Column =
+    graft.expressions.TextExpressions.tokenize(c)
+
+  /** The pre-r11 pure-built-ins composite, kept as the no-custom-code
+    * reference implementation the equivalence spec compares against.
+    */
+  def tokenizeBuiltins(c: Column): Column =
     filter(
       transform(
         split(lower(c), "\\s+"),
@@ -34,16 +46,6 @@ object TextFns {
     * ExtensionsSpec asserts SQL-vs-Column equality.
     */
   def tokenizeExpr(e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : org.apache.spark.sql.catalyst.expressions.Expression = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.StringType
-    val split = StringSplit(Lower(e), Literal("\\s+"), Literal(-1))
-    val v1 = NamedLambdaVariable("t", StringType, nullable = true)
-    val stripped = ArrayTransform(split, LambdaFunction(
-      RegExpReplace(v1, Literal("(^[^a-z]+|[^a-z]+$)"), Literal("")),
-      Seq(v1)))
-    val v2 = NamedLambdaVariable("u", StringType, nullable = true)
-    ArrayFilter(stripped, LambdaFunction(
-      GreaterThan(Length(v2), Literal(0)), Seq(v2)))
-  }
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    graft.expressions.TextExpressions.Tokenize(e)
 }

@@ -19,8 +19,22 @@ import graft.functions.TextFns._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a token array, space-joined. */
+  /** Word n-gram shingles of a token array, space-joined.
+    *
+    * OPTIMIZATION r11 (guide §4): now the fused codegen expression
+    * [[graft.expressions.TextExpressions.WordShingles]] — the former
+    * `when(size >= n, transform(slice, ...)).otherwise(...)` composite
+    * evaluated an interpreted lambda per shingle, each allocating a
+    * sliced sub-array (ShinglesExprSpec pins element-for-element
+    * equality against that composite, kept below as
+    * [[shinglesBuiltins]]).
+    */
   def shingles(ts: Column, n: Int): Column =
+    graft.expressions.TextExpressions.wordShingles(ts, n)
+
+  /** The pre-r11 pure-built-ins composite, kept as the reference
+    * implementation the equivalence spec compares against. */
+  def shinglesBuiltins(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(
         slice(ts, lit(1), greatest(size(ts) - (n - 1), lit(0))),

@@ -934,18 +934,24 @@ object Graph {
         lit(0).as("dist"), lit(1L).as("n_paths"))
       .localCheckpoint())
     var hop = 0
+    // OPTIMIZATION r11 (guide §4): the ring distance is carried as
+    // min(dist) + 1 from the (constant-dist) frontier instead of the
+    // loop variable baked in as `lit(hop)` — the hop-invariant plan
+    // text lets whole-stage codegen compile the per-hop join/agg shape
+    // once for the whole loop. Identical values: every frontier row
+    // has dist == hop − 1.
     while (hop < maxHops) {
       hop += 1
       val frontier = rings.last
       val seen = rings.map(_.select("source", "id")).reduce(_ unionAll _)
       val next = e.join(frontier.select(col("source"),
-          col("id").as("src"), col("n_paths")), "src")
+          col("id").as("src"), col("dist"), col("n_paths")), "src")
         .groupBy(col("source"), col("dst"))
-        .agg(sum("n_paths").as("n_paths"))
-        .select(col("source"), col("dst").as("id"), col("n_paths"))
+        .agg(sum("n_paths").as("n_paths"), min(col("dist")).as("pd"))
+        .select(col("source"), col("dst").as("id"),
+          (col("pd") + 1).as("dist"), col("n_paths"))
         .join(seen, Seq("source", "id"), "left_anti")
-        .select(col("source"), col("id"), lit(hop).as("dist"),
-          col("n_paths"))
+        .select(col("source"), col("id"), col("dist"), col("n_paths"))
         .localCheckpoint()
       rings :+= next
     }
@@ -1124,18 +1130,24 @@ object Graph {
       .select(col("seed"), lit(0L).as("step"), col("seed").as("node"))
       .localCheckpoint()
     val levels = collection.mutable.ArrayBuffer(walk)
-    for (t <- 1 to steps) {
+    // OPTIMIZATION r11 (guide §4): the step index rides the carried
+    // `step` column ((step + 1) everywhere the former code baked the
+    // loop variable `t` in as a literal), so all `steps` rounds share
+    // ONE generated-code shape and janino compiles it once. Identical
+    // integers: step + 1 == t on every row of the round's frontier.
+    for (_ <- 1 to steps) {
       val z0 = pmod(col("node") * lit(1000003L) +
-        lit(t.toLong) * lit(999983L) + col("dst"), lit(1099511627776L))
+        (col("step") + lit(1L)) * lit(999983L) + col("dst"),
+        lit(1099511627776L))
       val h = (1 to 2).foldLeft(z0) { (acc, _) =>
         val hm = (acc * lit(8388593L)) % lit(1099511627776L)
         hm.bitwiseXOR(shiftright(hm, 20))
       }
       walk = walk.join(e, col("node") === col("src"))
-        .select(col("seed"), h.as("h"), col("dst"))
-        .groupBy("seed")
+        .select(col("seed"), col("step"), h.as("h"), col("dst"))
+        .groupBy("seed", "step")
         .agg(min(struct(col("h"), col("dst"))).as("m"))
-        .select(col("seed"), lit(t.toLong).as("step"),
+        .select(col("seed"), (col("step") + lit(1L)).as("step"),
           col("m.dst").as("node"))
         .localCheckpoint()
       levels += walk
@@ -1903,24 +1915,36 @@ object Graph {
     withLoopConf(s, p) {
       val nodes = CacheScope.track(
         e.select(col("src").as("id")).distinct().persist())
+      // OPTIMIZATION r11: accumulate Σ α^t·w_t incrementally instead of
+      // accreting one w_t column per round — the per-round checkpoint
+      // carries (id, w, acc) at CONSTANT width rather than t DECIMAL(38)
+      // columns, and the loop's plan is structurally round-invariant
+      // (fixed column names; α^t rides a broadcast 1-row frame, the PPR
+      // convention) so whole-stage codegen compiles once, not per round.
+      // acc adds the α^t·w_t terms left-to-right in round order — the
+      // exact association the former reduce(_ + _) over t=1..rounds
+      // used, with an exact 0.0 start — so scores are bit-identical.
+      import s.implicits._
       var walks = nodes.select(col("id"),
-        lit(1).cast("decimal(38,0)").as("w0"))
+        lit(1).cast("decimal(38,0)").as("w"), lit(0.0).as("acc"))
       for (t <- 1 to rounds) {
-        val prev = s"w${t - 1}"
-        val recv = e.join(walks.select(col("id"), col(prev)),
+        val at = broadcast(Seq(math.pow(alpha, t)).toDF("at"))
+        val recv = e.join(walks.select(col("id"), col("w")),
             e("src") === walks("id"))
           .groupBy(col("dst").as("id2"))
-          .agg(sum(col(prev)).as(s"w$t"))
-        walks = walks.join(recv, walks("id") === col("id2"), "left")
-          .drop("id2")
-          .na.fill(0, Seq(s"w$t"))
+          .agg(sum(col("w")).as("wn"))
+        walks = walks.select(col("id"), col("acc"))
+          .join(recv, col("id") === col("id2"), "left")
+          .crossJoin(at)
+          .select(col("id"),
+            coalesce(col("wn"), lit(0).cast("decimal(38,0)")).as("w"),
+            (col("acc") + col("at") *
+              coalesce(col("wn"), lit(0).cast("decimal(38,0)"))
+                .cast("double")).as("acc"))
           .localCheckpoint()
       }
-      val score = (1 to rounds).map(t =>
-        lit(math.pow(alpha, t)) * col(s"w$t").cast("double"))
-        .reduce(_ + _)
       walks
-        .select(col("id"), Events.q(score, 9).as("katz"))
+        .select(col("id"), Events.q(col("acc"), 9).as("katz"))
         .orderBy(col("katz").desc, col("id"))
         .limit(k)
     }
@@ -2111,28 +2135,36 @@ object Graph {
     val p = loopParallelism(s, nEdges)
     var va = nodes.withColumn("va", lit(1000000L)).localCheckpoint()
     val seeds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    import s.implicits._
+    // OPTIMIZATION r11 (guide §4): the per-round scalars (chosen seeds,
+    // this round's seed) ride broadcast local relations instead of
+    // literals baked into the plan (`isin(...)`, `=== seed`) — literal
+    // churn re-generated and re-compiled every stage's codegen each
+    // round; data-side values keep the generated source identical, so
+    // janino compiles the round shape once. Same rows, same arithmetic.
     withLoopConf(s, p) {
       for (round <- 1L to k) {
         val scores = e.join(va.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(sum(col("va")).as("score"))
-        val excl: Seq[Any] = seeds.map(_._2).toSeq
+        val exclDf = broadcast(seeds.map(_._2).toSeq.toDF("xid"))
         val top = scores
-          .filter(if (excl.isEmpty) lit(true) else !col("id").isin(excl: _*))
+          .join(exclDf, col("id") === col("xid"), "left_anti")
           .orderBy(col("score").desc, col("id"))
           .limit(1).collect().head
         val seed = top.getLong(0)
         seeds += ((round, seed, top.getLong(1)))
-        val nb = e.filter(col("src") === seed)
+        val seedDf = broadcast(Seq(seed).toDF("sid"))
+        val nb = e.join(seedDf, col("src") === col("sid"))
           .select(col("dst").as("id"), lit(delta).as("dec"))
         va = va.join(nb, Seq("id"), "left")
+          .crossJoin(seedDf)
           .select(col("id"),
-            when(col("id") === seed, lit(0L))
+            when(col("id") === col("sid"), lit(0L))
               .otherwise(greatest(col("va") - coalesce(col("dec"),
                 lit(0L)), lit(0L))).as("va"))
           .localCheckpoint()
       }
     }
-    import s.implicits._
     seeds.toSeq.toDF("round", "seed_id", "score6")
       .select(col("round"), col("seed_id"),
         graft.operators.Events.q(col("score6").cast("double") / lit(1e6),

@@ -386,16 +386,44 @@ object Index {
     val postings = CacheScope.track(Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .persist()) // df probe pick + the candidate join
+      .persist()) // df probe pick + probe scoring + the candidate join
+    // OPTIMIZATION r11 (guide §2.3/§2.4): score BM25 for the PROBE
+    // TERMS' postings only, instead of calling bm25Topk over the whole
+    // vocabulary and keeping 3 terms of it. The window partitions by
+    // term, so dropping the other terms' rows before the scoring join
+    // and rank window changes nothing the probes see — same rounded
+    // scores, same (score DESC, doc_id) ranks. This removes a second
+    // corpus tokenize (bm25Topk re-tokenized internally), the
+    // full-vocabulary scoring join, and the full-vocabulary rank
+    // window from the plan.
+    //  - doc length dl = Σ tf over the doc's postings — exactly
+    //    size(tokenize(text)) without the second tokenize pass;
+    //  - n_docs counts ALL documents (a zero-token doc has no postings
+    //    row but still counts toward N and avgdl's denominator);
+    //  - avgdl = (Σ dl) / n_docs — token totals are integers < 2^53,
+    //    so this double equals avg(dl) over per-doc lengths exactly.
+    val lens = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dft = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val probes = dft.orderBy(col("df").desc, col("term")).limit(nProbes)
-      .select(col("term").as("probe"))
+      .select(col("term").as("probe"), col("df"))
+    val corpus = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(lens.agg(sum("dl").as("toktot")))
+      .select(col("n_docs"),
+        (col("toktot").cast("double") / col("n_docs")).as("avgdl"))
+    // the bm25Topk score expression verbatim (same tree, same rounding)
+    val score = log((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) * col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
     val wD = Window.partitionBy("probe")
       .orderBy(col("score").desc, col("doc_id"))
-    val pdocs = bm25Topk(s, dir, topDocs)
+    val pdocs = postings
       .join(broadcast(probes), col("term") === col("probe"))
-      .select(col("probe"), col("doc_id"), col("score"))
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("probe"), col("doc_id"), round(score, 6).as("score"))
       .withColumn("rnk", row_number().over(wD))
+      .filter(col("rnk") <= topDocs)
     val contrib = floor(col("tf").cast("double") * lit(1e9) /
       (lit(60) + col("rnk"))).cast("long")
     val cand = pdocs

@@ -1134,36 +1134,44 @@ object Similarity {
       .groupBy("pos").agg(sum("vi").as("sv"))
       .orderBy("pos").collect().map(_.getLong(1).toDouble)
     val protoCol = array(proto.map(lit): _*)
-    val scored = CacheScope.track(emb
-      .select(col("vec_id"), col("label"),  col("v"),
+    // OPTIMIZATION r11 (guide §1.2 "don't compute things you throw
+    // away"): the greedy redundancy term max_{s∈selected} cos(c, s)
+    // changes per round by exactly ONE new member, so carry it as an
+    // incremental `ms9` column — max(ms9_prev, sim9(c, s_new)) — in a
+    // per-round checkpointed state frame instead of re-scoring every
+    // candidate against the WHOLE selected set each round (k²/2 → k
+    // cosine passes; per-pair quantization means the incremental max
+    // is bit-identical to the recomputed one). The per-round plan is
+    // literal-free (the new member rides a broadcast 1-row frame, the
+    // repo's PPR convention), so whole-stage codegen compiles once for
+    // all k rounds instead of once per round.
+    var state = emb
+      .select(col("vec_id"), col("label"), col("v"),
         floor(cosine(col("v"), protoCol) * lit(1e9) + lit(0.5))
-          .cast("long").as("rel9"))
-      .persist())
+          .cast("long").as("rel9"),
+        lit(Long.MinValue).as("ms9"))
+      .localCheckpoint()
     var selected = Vector.empty[(Long, Int, Long)] // (vec_id, label, score2)
-    for (_ <- 1 to k) {
-      val selIds = selected.map(_._1)
-      val cand = scored.filter(!col("vec_id").isInCollection(
-        if (selIds.isEmpty) Seq(-1L) else selIds))
+    for (i <- 1 to k) {
       val best =
-        if (selected.isEmpty)
-          cand.select(col("vec_id"), col("label"),
-            (col("rel9") * 2).as("score2"))
-        else {
-          val selDf = scored
-            .filter(col("vec_id").isInCollection(selIds))
-            .select(col("v").as("sv"))
-          cand.crossJoin(broadcast(selDf))
-            .select(col("vec_id"), col("label"), col("rel9"),
-              floor(cosine(col("v"), col("sv")) * lit(1e9) + lit(0.5))
-                .cast("long").as("sim9"))
-            .groupBy("vec_id", "label", "rel9")
-            .agg(max("sim9").as("ms9"))
-            .select(col("vec_id"), col("label"),
-              (col("rel9") * 2 - col("ms9")).as("score2"))
-        }
+        if (i == 1) state.select(col("vec_id"), col("label"),
+          (col("rel9") * 2).as("score2"))
+        else state.select(col("vec_id"), col("label"),
+          (col("rel9") * 2 - col("ms9")).as("score2"))
       val row = best.orderBy(col("score2").desc, col("vec_id"))
         .limit(1).head()
       selected :+= ((row.getLong(0), row.getInt(1), row.getLong(2)))
+      if (i < k) {
+        val sel = state.filter(col("vec_id") === lit(row.getLong(0)))
+          .select(col("v").as("sv"), col("vec_id").as("sid"))
+        state = state.crossJoin(broadcast(sel))
+          .filter(col("vec_id") =!= col("sid"))
+          .select(col("vec_id"), col("label"), col("v"), col("rel9"),
+            greatest(col("ms9"),
+              floor(cosine(col("v"), col("sv")) * lit(1e9) + lit(0.5))
+                .cast("long")).as("ms9"))
+          .localCheckpoint()
+      }
     }
     import s.implicits._
     selected.zipWithIndex
@@ -1648,9 +1656,16 @@ object Similarity {
     var chosen = List.empty[Long]
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Long, Double)]
+    import s.implicits._
+    // OPTIMIZATION r11 (guide §4): chosen-set exclusion and the
+    // selected exemplar ride broadcast local relations instead of
+    // per-round literals (isInCollection / === sel), so every round
+    // reuses the first round's generated code instead of re-compiling
+    // the whole plan's codegen with new literal values. Same rows.
     for (r <- 1 to k) {
-      val gains = sims.filter(!col("c").isInCollection(
-          if (chosen.isEmpty) Seq(-1L) else chosen))
+      val chosenDf = broadcast(chosen.toDF("cid"))
+      val gains = sims
+        .join(chosenDf, col("c") === col("cid"), "left_anti")
         .join(cur, "d")
         .groupBy("c").agg(sum(greatest(col("cur"), col("s9")))
           .as("gain"))
@@ -1659,14 +1674,14 @@ object Similarity {
       val sel = gains.getLong(0)
       val gain = gains.getLong(1)
       chosen = sel :: chosen
-      cur = cur.join(sims.filter(col("c") === sel)
+      val selDf = broadcast(Seq(sel).toDF("selc"))
+      cur = cur.join(sims.join(selDf, col("c") === col("selc"))
           .select(col("d"), col("s9")), "d")
         .select(col("d"), greatest(col("cur"), col("s9")).as("cur"))
         .localCheckpoint()
       out += ((r, sel,
         math.floor(gain.toDouble / n / 1e6 * 1e6 + 0.5) / 1e6))
     }
-    import s.implicits._
     out.toSeq.toDF("round", "selected_vec", "mean_coverage")
   }
 

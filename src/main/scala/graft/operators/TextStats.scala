@@ -551,25 +551,16 @@ object TextStats {
   def bpeIter2Counts(s: SparkSession, dir: String, k: Int = 40): DataFrame = {
     val top = bpePairCounts(s, dir, 1).collect()(0).getString(0)
     val (x, y) = (top.substring(0, 1), top.substring(1))
-    val zero = struct(
-      array().cast("array<string>").as("out"),
-      lit(null).cast("string").as("carry"))
+    // OPTIMIZATION r11 (guide §4): the greedy carry-fold merge is now
+    // the fused codegen expression BpeMergeOnce — the former
+    // aggregate(split(tok, ""), struct-fold) built O(len²) intermediate
+    // arrays per token through interpreted higher-order eval
+    // (BpeMergeSpec pins symbol-for-symbol equality to that fold).
     val merged = tokenized(s, dir)
       .select(explode(col("ts")).as("tok"))
       .filter(length(col("tok")) >= 2)
-      .select(aggregate(split(col("tok"), ""), zero,
-        (acc, c) => struct(
-          when(acc("carry").isNull, acc("out"))
-            .when(acc("carry") === lit(x) && c === lit(y),
-              concat(acc("out"), array(lit(x + y))))
-            .otherwise(concat(acc("out"), array(acc("carry")))).as("out"),
-          when(acc("carry").isNull, c)
-            .when(acc("carry") === lit(x) && c === lit(y),
-              lit(null).cast("string"))
-            .otherwise(c).as("carry")),
-        acc => when(acc("carry").isNull, acc("out"))
-          .otherwise(concat(acc("out"), array(acc("carry")))))
-        .as("ms"))
+      .select(graft.expressions.TextExpressions
+        .bpeMergeOnce(col("tok"), x, y).as("ms"))
     merged.filter(size(col("ms")) >= 2)
       .select(col("ms"),
         explode(sequence(lit(1), size(col("ms")) - 1)).as("i"))

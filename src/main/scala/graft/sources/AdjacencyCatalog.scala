@@ -482,12 +482,23 @@ object CatalogAudit {
         .tableProperty("check", "src >= 0 AND dst >= 0 AND dst <= 4")
         .create()
       val before = s.table(s"$cat.edges").count()
+      // `threw` means CONSTRAINT-rejected, not merely "the write failed":
+      // match the violation's error text down the cause chain (the same
+      // check CheckConstraintSpec makes) so an unrelated write-path
+      // breakage cannot masquerade as enforcement (ADVICE r10)
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ msgs(e.getCause))
       val threw =
         try {
           s.range(1).select(lit(99L).as("src"), lit(9L).as("dst"))
             .writeTo(s"$cat.edges").append()
           false
-        } catch { case _: Throwable => true }
+        } catch { case t: Throwable =>
+          msgs(t).exists(m => m.toLowerCase.contains("check") ||
+            m.contains("graft_check") ||
+            m.toLowerCase.contains("constraint"))
+        }
       val after = s.table(s"$cat.edges").count()
       s.table(s"$cat.edges")
         .groupBy("dst")

@@ -327,8 +327,16 @@ object AdjacencySource {
         s"graft-adjacency: failed to finalize rewrite of $file")
     }
     if (kept == 0) fs.delete(tmp, false) // empty survivor set: drop file
-    if (!recovering) fs.delete(bak, false)
-    else staleArtifacts().foreach(fs.delete(_, false)) // sweep orphans
+    // Success: sweep EVERY stale `.rw.*` artifact of this file, not just
+    // this attempt's `.bak`. A prior attempt killed between
+    // rename(tmp, p) and delete(bak) leaves a stale `.bak` holding
+    // pre-delete rows; a LATER rewrite of the same file that crashes
+    // mid-finalize would recover from the lexicographically-first
+    // `.bak` — which could be that stale one, resurrecting rows the
+    // earlier delete removed. Sweeping on every successful finalize
+    // guarantees at most one `.bak` can exist whenever recovery has to
+    // select one.
+    staleArtifacts().foreach(fs.delete(_, false))
   }
 
   /** Distributed delete-matching-rows maintenance job, shared by
