@@ -128,14 +128,20 @@ object Cooccur {
       e.select(col("src").as("id")).distinct().persist())
     val n = nodes.count()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to rounds) {
-      ranks = struct0.join(ranks, struct0("src") === ranks("id"))
+    // OPTIMIZATION r11: checkpoint every 2nd round — each ranks plan is
+    // referenced exactly once by the next round, so two scatter/gather
+    // rounds chain lazily into ONE job (localCheckpoint is
+    // semantics-neutral; only the job boundaries move). Halves the
+    // loop's materialization barriers; measured A/B in
+    // OPTIMIZATION_r11.md.
+    for (it <- 1 to rounds) {
+      val r0 = struct0.join(ranks, struct0("src") === ranks("id"))
         .select(col("dst").as("id"),
           (col("r") * col("w") / col("wout")).as("c"))
         .groupBy("id").agg(sum("c").as("recv"))
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * col("recv")).as("r"))
-        .localCheckpoint()
+      ranks = if (it % 2 == 0 || it == rounds) r0.localCheckpoint() else r0
     }
     ranks.orderBy(round(col("r"), 9).desc, col("id"))
       .limit(k)

@@ -129,11 +129,16 @@ object Dedup {
     CacheScope.register(docSh) // eager: see jaccardPairs
     val sig = docSh.select(col("doc_id"),
       minhashSignature(col("shs"), numHashes).as("sig"))
-    val banded = sig.select(col("doc_id"),
+    // persist+register (r11): every consumer self-joins `banded` (two
+    // reads of one action) — uncached, the 64-permutation MinHash
+    // signature pass ran once PER SIDE (StageProbe duplicate-stage
+    // sweep); caching the (doc, band, bh) rows is ~3 ints/doc/band
+    val banded = CacheScope.register(sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           hash(slice(col("sig"), b * rows + lit(1), lit(rows))).as("bh")))).as("t"))
       .select(col("doc_id"), col("t.band"), col("t.bh"))
+      .persist())
     (docSh, banded)
   }
 
@@ -598,13 +603,17 @@ object Dedup {
       .persist()
     CacheScope.register(ex) // eager: df count, prefix, and both verify joins
     val df = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefix = ex.join(df, "sh")
+    // persist+register (r11): prefix feeds BOTH sides of the candidate
+    // self-join — uncached, the df join + per-doc rank window ran twice
+    // per query (StageProbe duplicate-stage sweep)
+    val prefix = CacheScope.register(ex.join(df, "sh")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
       .join(sizes, "doc_id")
       .filter(col("pos") <=
         col("nsh") - ceil(round(lit(threshold) * col("nsh"), 9)) + 1)
       .select("doc_id", "sh")
+      .persist())
     val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))
@@ -1203,7 +1212,10 @@ object Dedup {
     // former full shared-shingle self-join, without that join's
     // quadratic blow-up on hot boilerplate shingles (VERDICT r6 #5).
     val tdf = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    val tprefix = ex.join(tdf, "sh")
+    // persist+register (r11): tprefix feeds BOTH sides of the truth
+    // candidate self-join — uncached, the df join + rank window ran
+    // twice per query (StageProbe duplicate-stage sweep)
+    val tprefix = CacheScope.register(ex.join(tdf, "sh")
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("df"), col("sh"))))
@@ -1211,6 +1223,7 @@ object Dedup {
       .filter(col("pos") <=
         col("nsh") - ceil(round(lit(threshold) * col("nsh"), 9)) + 1)
       .select("doc_id", "sh")
+      .persist())
     val tcand = tprefix.select(col("doc_id").as("doc_a"), col("sh"))
       .join(tprefix.select(col("doc_id").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))

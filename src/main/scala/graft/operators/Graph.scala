@@ -466,10 +466,13 @@ object Graph {
   def pprTopK(s: SparkSession, dir: String, sources: Seq[Long],
               iterations: Int, k: Int): DataFrame = {
     // the symmetrized graph has no dangling vertices, so the fast
-    // lazy-chained path applies; checkpointing every 2nd iteration
-    // halves the materialization barriers (two scatter/gather rounds
-    // fuse into one job) — localCheckpoint is semantics-neutral, only
-    // the job boundaries move
+    // lazy-chained path applies. checkpointEvery stays 1: the r11 A/B
+    // of 2 (two scatter/gather rounds fused per job) measured 4.1 →
+    // 6.7 s warm at sf0.1 — the multi-rank-column rows make the fused
+    // double-join job slower than two materialized single-round jobs,
+    // the opposite of the single-rank loops (textrank/pagerank), where
+    // fusion won. localCheckpoint placement is semantics-neutral
+    // either way.
     val ranks = personalizedPageRank(
       customerSupplierEdges(s, dir), sources, iterations,
       danglingFree = true, checkpointEvery = 1)
@@ -997,7 +1000,10 @@ object Graph {
     // loopParallelism — message rows carry a 16-slot array (wide), so
     // the narrow-row 150k-rows/task sizing under-parallelizes the
     // CPU-bound 16-max fold (measured 13.5 s vs 10.2 s at sf0.1)
-    val e = CacheScope.track(customerSupplierEdges(s, dir)
+    // register (eager, r11): AQE materializes the first job's query
+    // stages concurrently, and a LAZY persist let them race — the
+    // 1.17M-row edge build ran 3× per query (StageProbe)
+    val e = CacheScope.register(customerSupplierEdges(s, dir)
       .select(col("src"), col("dst")).persist())
     val nodes = e.select(col("src").as("id")).distinct()
     val h0 = element_at(polyHashArray(array(col("id").cast("string"))), 1)
@@ -1178,13 +1184,17 @@ object Graph {
         e.select(col("src").as("id")).distinct().persist())
       val n = nodes.count()
       var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
-      for (_ <- 1 to rounds) {
-        ranks = struct0.join(ranks, struct0("src") === ranks("id"))
+      // OPTIMIZATION r11: checkpoint every 2nd round — ranks is
+      // referenced exactly once per round, so two rounds fuse into one
+      // job (semantics-neutral; A/B in OPTIMIZATION_r11.md)
+      for (it <- 1 to rounds) {
+        val r0 = struct0.join(ranks, struct0("src") === ranks("id"))
           .select(col("dst").as("id"), (col("r") / col("outdeg")).as("c"))
           .groupBy("id").agg(sum("c").as("recv"))
           .select(col("id"),
             (lit(alpha / n) + lit(1.0 - alpha) * col("recv")).as("r"))
-          .localCheckpoint()
+        ranks = if (it % 2 == 0 || it == rounds) r0.localCheckpoint()
+          else r0
       }
       ranks
         .orderBy(round(col("r"), 9).desc, col("id"))
@@ -1216,21 +1226,25 @@ object Graph {
       val outw = e.groupBy("src").agg(sum("w").as("wout"))
       val struct0 = CacheScope.track(
         e.join(outw.hint("shuffle_hash"), "src").persist())
-      val nodes = CacheScope.track(
-        e.select(col("src").as("id")).distinct().persist())
+      val nodes = CacheScope.register( // eager (r11): round 1 reads it
+        e.select(col("src").as("id")).distinct().persist()) // from 2 subtrees
       var ranks = nodes.select(col("id"),
         when(col("id") === source, 1.0).otherwise(0.0).as("r"))
-      for (_ <- 1 to rounds) {
+      // OPTIMIZATION r11: checkpoint every 2nd round — ranks is
+      // referenced exactly once per round, so two rounds fuse into one
+      // job (semantics-neutral; A/B in OPTIMIZATION_r11.md)
+      for (it <- 1 to rounds) {
         val gathered = struct0.join(ranks, struct0("src") === ranks("id"))
           .select(col("dst").as("id"),
             (col("r") * col("w") / col("wout")).as("c"))
           .groupBy("id").agg(sum("c").as("recv"))
-        ranks = nodes.join(gathered, Seq("id"), "left")
+        val r0 = nodes.join(gathered, Seq("id"), "left")
           .select(col("id"),
             (lit(1.0 - alpha) * coalesce(col("recv"), lit(0.0)) +
               when(col("id") === source, lit(alpha)).otherwise(lit(0.0)))
               .as("r"))
-          .localCheckpoint()
+        ranks = if (it % 2 == 0 || it == rounds) r0.localCheckpoint()
+          else r0
       }
       ranks
         .orderBy(round(col("r"), 9).desc, col("id"))
@@ -1913,8 +1927,8 @@ object Graph {
       .select(col("src"), col("dst")).persist())
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      val nodes = CacheScope.track(
-        e.select(col("src").as("id")).distinct().persist())
+      val nodes = CacheScope.register( // eager (r11): round 1 reads it
+        e.select(col("src").as("id")).distinct().persist()) // from 2 subtrees
       // OPTIMIZATION r11: accumulate Σ α^t·w_t incrementally instead of
       // accreting one w_t column per round — the per-round checkpoint
       // carries (id, w, acc) at CONSTANT width rather than t DECIMAL(38)
@@ -1968,10 +1982,15 @@ object Graph {
     */
   def graphBackbone(s: SparkSession, dir: String,
                     alpha: Double = 0.05, k: Int = 15): DataFrame = {
-    val e = CacheScope.track(
+    // OPTIMIZATION r11 (guide §1.2): REGISTER (eager), not track — the
+    // single final action reads `e` from two concurrent subtrees
+    // (strengths + the p-value join's probe side); a lazy persist let
+    // both stages race and compute the 1.17M-row weighted-edge build
+    // independently (StageProbe: 3 identical build stages per run)
+    val e = CacheScope.register(
       customerSupplierEdges(s, dir, distinctPairs = false)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .persist()) // eager below: strengths + the p-value join read it
+        .persist())
     val st = e.groupBy("src")
       .agg(sum(col("w")).as("st"), count(lit(1)).as("deg"))
     val withP = e
@@ -1982,13 +2001,18 @@ object Graph {
             log(lit(1.0) - col("w").cast("double") / col("st"))))
           .as("p"))
     // undirected edge id: each direction carries its own p; the edge
-    // survives on the MIN of the two (either-endpoint rule)
-    val undirected = withP
+    // survives on the MIN of the two (either-endpoint rule).
+    // r11: persisted+registered — it feeds THREE subtrees of the final
+    // action (n_edges count, n_kept count, the top-k cut); unpersisted
+    // it was recomputed once per subtree (StageProbe: 3 × 361k-row
+    // stages)
+    val undirected = CacheScope.register(withP
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"),
         floor(col("p") * lit(1e9) + lit(0.5)).cast("long").as("p9"))
       .groupBy("a", "b", "w")
       .agg(min(col("p9")).as("p9"))
+      .persist())
     val a9 = (alpha * 1e9).toLong
     val kept = undirected.filter(col("p9") < a9)
     val counts = undirected.agg(count(lit(1)).as("n_edges"))
@@ -2330,19 +2354,22 @@ object Graph {
       .select(col("src"), col("dst")).persist())
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      val nodes = CacheScope.track(
-        e.select(col("src").as("id")).distinct().persist())
+      val nodes = CacheScope.register( // eager (r11): round 1 reads it
+        e.select(col("src").as("id")).distinct().persist()) // from 2 subtrees
       var w = nodes.select(col("id"),
         lit(1).cast("decimal(38,0)").as("w"))
-      for (_ <- 1 to rounds) {
+      // OPTIMIZATION r11: checkpoint every 2nd round — w is referenced
+      // exactly once per round, so two multiplications fuse into one
+      // job (semantics-neutral; A/B in OPTIMIZATION_r11.md)
+      for (it <- 1 to rounds) {
         val recv = e.join(
             w.select(col("id").as("jid"), col("w").as("pw")),
             e("src") === col("jid"))
           .groupBy(col("dst").as("id2")).agg(sum(col("pw")).as("nw"))
-        w = nodes.join(recv, nodes("id") === col("id2"), "left")
+        val w0 = nodes.join(recv, nodes("id") === col("id2"), "left")
           .select(nodes("id"),
             coalesce(col("nw"), lit(0).cast("decimal(38,0)")).as("w"))
-          .localCheckpoint()
+        w = if (it % 2 == 0 || it == rounds) w0.localCheckpoint() else w0
       }
       val tot = w.agg(sum(col("w")).as("sw"))
       w.crossJoin(broadcast(tot))
@@ -2370,10 +2397,15 @@ object Graph {
   def louvainMoveGains(s: SparkSession, dir: String,
                        k: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // lazy track, not eager register (r11 measured both): the race
+    // builds the edge table twice, but the eager count's extra action
+    // + cache-encode round measured slightly WORSE query CPU here —
+    // unlike graph_backbone, where the same table feeds three branches
+    // and eager registration removed two full rebuilds
     val ew = CacheScope.track(
       customerSupplierEdges(s, dir, distinctPairs = false)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .persist()) // eager: degrees + totals + the gain join read it
+        .persist()) // degrees + totals + the gain join read it
     val deg = ew.groupBy("src").agg(sum(col("w")).as("kk"))
     val tot = ew.agg(sum(col("w")).as("m2")) // = 2m
     val gains = ew
@@ -2476,6 +2508,10 @@ object Graph {
           .as("z"))
       .persist()
     CacheScope.register(z) // eager: denominator + two join probes
+    // NOT cached (r11 measured): the distinct runs twice (size filter
+    // + adjacency probe) but recomputing the codegen'd scan+distinct
+    // is cheaper than an InMemoryRelation round-trip (caching measured
+    // 2× query CPU) — see edgeSurprise for the rule of thumb
     val ok = li.select("l_orderkey", "l_suppkey").distinct()
       .groupBy("l_orderkey").agg(count(lit(1)).as("osz"))
       .filter(col("osz").between(2, orderCap))
@@ -2574,6 +2610,12 @@ object Graph {
     */
   def edgeSurprise(s: SparkSession, dir: String, k: Int = 20,
                    minW: Long = 5L, orderCap: Int = 16): DataFrame = {
+    // NOT cached (r11 measured): dl is read twice (size filter + the
+    // adjacency probe), but the dup subtree is a codegen'd parquet
+    // scan + distinct — cheaper to recompute than to encode/decode an
+    // InMemoryRelation (caching measured +65% query CPU; the cache
+    // only pays when the duplicated subtree is join/window-expensive,
+    // e.g. graph_backbone's weighted-edge build)
     val dl = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey").distinct()
     val osz = dl.groupBy("l_orderkey").agg(count(lit(1)).as("osz"))

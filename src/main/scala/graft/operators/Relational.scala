@@ -1552,7 +1552,10 @@ object Relational {
     CacheScope.register(items) // eager: size filter + both pair sides
     val small = items.groupBy("ok").agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= basketCap).select("ok")
-    val b = items.join(small, "ok")
+    // persist+register (r11): b feeds BOTH pair-join sides — uncached,
+    // the items⋈small restriction ran twice per query (StageProbe; the
+    // sibling pairLift already cached it)
+    val b = CacheScope.register(items.join(small, "ok").persist())
     b.select(col("ok"), col("pk").as("p1"))
       .join(b.select(col("ok"), col("pk").as("p2")), Seq("ok"))
       .filter(col("p1") < col("p2"))
