@@ -69,6 +69,15 @@ object Index {
   def tfidfTopk(s: SparkSession, dir: String, k: Int): DataFrame = {
     val p = postings(s, dir).persist()
     CacheScope.register(p) // eager: df + the weight join both read it
+    tfidfTopkFrom(s, dir, p, k)
+  }
+
+  /** [[tfidfTopk]] over a prebuilt (cached) postings frame — so fusion
+    * consumers (rrfFusion, rankAgreement) can share ONE tokenize +
+    * postings build across both rankers (OPTIMIZATION r11, guide §1.2).
+    */
+  private def tfidfTopkFrom(s: SparkSession, dir: String, p: DataFrame,
+                            k: Int): DataFrame = {
     val nDocs = Tables.documents(s, dir)
       .agg(count(lit(1)).as("n_docs"))
     val df = p.groupBy("term").agg(count(lit(1)).as("df"))
@@ -94,16 +103,30 @@ object Index {
     * 0.25) on BOTH engines so no constant-fold tie-rounding can differ.
     */
   def bm25Topk(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), tokenize(col("text")).as("ts"))
-    val lens = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
-    val p = toks
-      .select(col("doc_id"), explode(col("ts")).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .persist()
-    CacheScope.register(p) // eager: df and the scoring join both read it
+    val p = postings(s, dir).persist()
+    CacheScope.register(p) // eager: lens, df and the scoring join read it
+    bm25TopkFrom(s, dir, p, k)
+  }
+
+  /** [[bm25Topk]] over a prebuilt (cached) postings frame
+    * (OPTIMIZATION r11, guide §1.2): doc lengths derive from the
+    * postings (dl = Σ tf per doc ≡ size(tokenize(text)) — no second
+    * corpus tokenize), n_docs counts ALL documents (a zero-token doc
+    * has no postings row but still counts toward N and avgdl's
+    * denominator), and avgdl = Σdl / n_docs — token totals are
+    * integers < 2^53 so the double equals avg(dl) exactly (the same
+    * equivalence prfExpansion rides, oracle-verified at both SFs).
+    * Shared by the fusion consumers so rrfFusion / rankAgreement pay
+    * ONE tokenize + postings build for both rankers.
+    */
+  private def bm25TopkFrom(s: SparkSession, dir: String, p: DataFrame,
+                           k: Int): DataFrame = {
+    val lens = p.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = p.groupBy("term").agg(count(lit(1)).as("df"))
-    val corpus = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val corpus = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(lens.agg(sum("dl").as("toktot")))
+      .select(col("n_docs"),
+        (col("toktot").cast("double") / col("n_docs")).as("avgdl"))
     val score = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
       col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
@@ -135,16 +158,18 @@ object Index {
     */
   def rankingMetrics(s: SparkSession, dir: String, k: Int = 10,
                      nTerms: Int = 10): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), tokenize(col("text")).as("ts"))
-    val lens = toks
-      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
     val p = postings(s, dir).persist()
-    CacheScope.register(p) // eager: df agg + the scoring join read it
+    CacheScope.register(p) // eager: lens, df agg + the scoring join
+    // r11: doc lengths derive from the postings (dl = Σ tf ≡
+    // size(tokenize(text)) — drops a second corpus tokenize); n_docs /
+    // avgdl per the bm25TopkFrom equivalence note
+    val lens = p.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dft = p.groupBy("term").agg(count(lit(1)).as("df"))
     val top = dft.orderBy(col("df").desc, col("term")).limit(nTerms)
-    val corpus = lens.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    val corpus = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(lens.agg(sum("dl").as("toktot")))
+      .select(col("n_docs"),
+        (col("toktot").cast("double") / col("n_docs")).as("avgdl"))
     val rawScore = log((col("n_docs") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))) * col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) *
@@ -304,10 +329,14 @@ object Index {
       .orderBy(col("score").desc, col("doc_id"))
     val wb = Window.partitionBy("term")
       .orderBy(col("tfidf").desc, col("doc_id"))
-    val ra = bm25Topk(s, dir, k)
+    // ONE tokenize + postings build shared by both rankers (r11 —
+    // each ranker previously built and cached its own identical copy)
+    val p = postings(s, dir).persist()
+    CacheScope.register(p)
+    val ra = bm25TopkFrom(s, dir, p, k)
       .withColumn("ra", row_number().over(wa))
       .select(col("term"), col("doc_id"), col("ra"))
-    val rb = tfidfTopk(s, dir, k)
+    val rb = tfidfTopkFrom(s, dir, p, k)
       .withColumn("rb", row_number().over(wb))
       .select(col("term"), col("doc_id"), col("rb"))
     val common = ra.join(rb, Seq("term", "doc_id"))
@@ -346,10 +375,14 @@ object Index {
       .orderBy(col("score").desc, col("doc_id"))
     val wb = Window.partitionBy("term")
       .orderBy(col("tfidf").desc, col("doc_id"))
-    val ra = bm25Topk(s, dir, k)
+    // ONE tokenize + postings build shared by both rankers (r11 —
+    // each ranker previously built and cached its own identical copy)
+    val p = postings(s, dir).persist()
+    CacheScope.register(p)
+    val ra = bm25TopkFrom(s, dir, p, k)
       .withColumn("ra", row_number().over(wa))
       .select(col("term"), col("doc_id"), col("ra"))
-    val rb = tfidfTopk(s, dir, k)
+    val rb = tfidfTopkFrom(s, dir, p, k)
       .withColumn("rb", row_number().over(wb))
       .select(col("term"), col("doc_id"), col("rb"))
     val fused = ra.join(rb, Seq("term", "doc_id"), "full")
@@ -496,17 +529,14 @@ object Index {
     */
   def lmDirichletTopk(s: SparkSession, dir: String, k: Int = 10,
                       mu: Double = 2000.0): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), tokenize(col("text")).as("ts"))
-    val lens = toks.select(col("doc_id"),
-      size(col("ts")).cast("long").as("dl"))
-    val p = toks
-      .select(col("doc_id"), explode(col("ts")).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .persist()
+    val p = postings(s, dir).persist()
     CacheScope.register(p) // collection stats + scoring join read it
+    // r11: doc lengths + collection length derive from the postings
+    // (dl = Σ tf ≡ size(tokenize(text)); clen = Σ dl — zero-token docs
+    // contribute 0 either way) — drops a second corpus tokenize
+    val lens = p.groupBy("doc_id").agg(sum("tf").as("dl"))
     val ctf = p.groupBy("term").agg(sum(col("tf")).as("ctf"))
-    val coll = lens.agg(sum(col("dl")).as("clen"))
+    val coll = p.agg(sum(col("tf")).as("clen"))
     val s9 = floor(log(
       (col("tf").cast("double") +
         lit(mu) * (col("ctf").cast("double") / col("clen"))) /
@@ -549,16 +579,17 @@ object Index {
     */
   def mapAtK(s: SparkSession, dir: String, k: Int = 10,
              nTerms: Int = 10): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), tokenize(col("text")).as("ts"))
-    val lens = toks
-      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
     val p = postings(s, dir).persist()
-    CacheScope.register(p) // eager: df agg + the scoring join read it
+    CacheScope.register(p) // eager: lens, df agg + the scoring join
+    // r11: doc lengths derive from the postings (see bm25TopkFrom) —
+    // drops a second corpus tokenize
+    val lens = p.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dft = p.groupBy("term").agg(count(lit(1)).as("df"))
     val top = dft.orderBy(col("df").desc, col("term")).limit(nTerms)
-    val corpus = lens.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    val corpus = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(lens.agg(sum("dl").as("toktot")))
+      .select(col("n_docs"),
+        (col("toktot").cast("double") / col("n_docs")).as("avgdl"))
     val rawScore = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))) * col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) *

@@ -406,23 +406,38 @@ object Similarity {
                         k: Int = 8): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      .persist()
-    CacheScope.register(emb) // eager: k-1 argmax scans read it
-    var chosen = Vector(0L)
     val picked = scala.collection.mutable.ArrayBuffer[
       (Int, Long, Option[Double])]((0, 0L, None))
+    // OPTIMIZATION r11 (the mmrSelect treatment, guide §1.2/§4): the
+    // min-distance-to-chosen changes per step by exactly ONE new
+    // center, so carry it as an incremental `d` column —
+    // least(d_prev, dist(v, new)) ≡ min over the chosen set (min is
+    // fold-order-free) — instead of re-scoring every candidate
+    // against the WHOLE chosen set each step (k²/2 → k cosine
+    // passes). The new center rides a broadcast 1-row frame, so the
+    // per-step plan is literal-free and codegen compiles once.
+    val c0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("cv"), col("vec_id").as("cid"))
+    var state = emb.crossJoin(broadcast(c0))
+      .filter(col("vec_id") =!= col("cid"))
+      .select(col("vec_id"), col("embedding"),
+        (lit(1.0) - cosine(col("embedding"), col("cv"))).as("d"))
+      .localCheckpoint()
     for (step <- 1 until k) {
-      val c = emb.filter(col("vec_id").isInCollection(chosen))
-        .select(col("embedding").as("cv"))
-      val r = emb.filter(!col("vec_id").isInCollection(chosen))
-        .crossJoin(broadcast(c))
-        .select(col("vec_id"),
-          (lit(1.0) - cosine(col("embedding"), col("cv"))).as("d"))
-        .groupBy("vec_id").agg(min(col("d")).as("d"))
+      val r = state.select(col("vec_id"), col("d"))
         .orderBy(col("d").desc, col("vec_id"))
         .limit(1).collect()(0)
-      chosen :+= r.getLong(0)
       picked += ((step, r.getLong(0), Some(r.getDouble(1))))
+      if (step < k - 1) {
+        val sel = state.filter(col("vec_id") === lit(r.getLong(0)))
+          .select(col("embedding").as("cv"), col("vec_id").as("cid"))
+        state = state.crossJoin(broadcast(sel))
+          .filter(col("vec_id") =!= col("cid"))
+          .select(col("vec_id"), col("embedding"),
+            least(col("d"),
+              lit(1.0) - cosine(col("embedding"), col("cv"))).as("d"))
+          .localCheckpoint()
+      }
     }
     picked.toSeq
       .map { case (st, id, d) =>
