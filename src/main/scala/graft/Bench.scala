@@ -242,6 +242,32 @@ object Bench {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
+    // MECHANICAL REGRESSION GATE (VERDICT r11 #2, carried from ADVICE
+    // r10): compare this run's per-query task seconds against the
+    // COMMITTED baseline map (bench_task_baseline.json at the repo
+    // root, regenerated each round from the accepted final board) and
+    // flag every query whose task time exceeds 1.5× its baseline into
+    // the artifact itself — full-board cold acceptance is the gate,
+    // not isolated warm probes. Additions-only: new top-level fields.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_TASK_BASELINE",
+      "bench_task_baseline.json")
+    val baseline: Map[String, Double] = {
+      val p = java.nio.file.Path.of(baselinePath)
+      if (java.nio.file.Files.isReadable(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    }
+    val taskRegressions = taskSecs.toSeq.flatMap { case (n, t) =>
+      baseline.get(n) match {
+        // 0.5s floor: sub-second queries ratio-flap on host noise
+        case Some(b) if b > 0 && t > 1.5 * b && t > 0.5 =>
+          Some(n -> math.floor(t / b * 100 + 0.5) / 100)
+        case _ => None
+      }
+    }.sortBy(-_._2)
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
@@ -262,9 +288,12 @@ object Bench {
       "number robust to BOTH machine drift and stage concurrency; " +
       "compare IT across rounds."
     val jinc = jobIncomplete.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val trj = jmap(taskRegressions)
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"queries_job":$jq,"queries_task":$tq,""" +
       s""""queries_job_key":"$jobKey",""" +
+      s""""task_baseline":"${if (baseline.isEmpty) "" else baselinePath}",""" +
+      s""""task_regressions":$trj,""" +
       s""""queries_job_incomplete":$jinc,"errors":$errs,"sf":"$sfDir"}"""
     // full payload first in the log, and always in a file: the
     // driver's log-tail parse only sees the LAST ~2000 chars, which a
@@ -287,7 +316,12 @@ object Bench {
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""n_queries":${results.length},"median":${r3(median)},""" +
       s""""n_errors":${errors.size},"queries":$top,""" +
+      s""""n_task_regressions":${taskRegressions.length},""" +
       s""""queries_full":"$outFile","sf":"$sfDir"}""")
+    if (taskRegressions.nonEmpty)
+      System.err.println("[bench] task-time regressions vs committed " +
+        s"baseline (>1.5x): ${taskRegressions.take(20).map {
+          case (n, r) => s"$n=${r}x" }.mkString(", ")}")
     // a crashing query must FAIL the bench run, not shave its total
     // (VERDICT r8 #2) — correctness gates the values; this gates the
     // artifact's integrity

@@ -128,20 +128,19 @@ object Cooccur {
       e.select(col("src").as("id")).distinct().persist())
     val n = nodes.count()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
-    // OPTIMIZATION r11: checkpoint every 2nd round — each ranks plan is
-    // referenced exactly once by the next round, so two scatter/gather
-    // rounds chain lazily into ONE job (localCheckpoint is
-    // semantics-neutral; only the job boundaries move). Halves the
-    // loop's materialization barriers; measured A/B in
-    // OPTIMIZATION_r11.md.
-    for (it <- 1 to rounds) {
-      val r0 = struct0.join(ranks, struct0("src") === ranks("id"))
+    // checkpoint EVERY round (r12 revert of the r11 every-2nd-round
+    // fusion): the builder's own full cold board contradicted the
+    // isolated warm A/B that justified fusing — textrank task 65→77 s
+    // WITH the fusion (VERDICT r11 #3/#6); the fused double-join job's
+    // larger live state loses what the removed barrier saves.
+    for (_ <- 1 to rounds) {
+      ranks = struct0.join(ranks, struct0("src") === ranks("id"))
         .select(col("dst").as("id"),
           (col("r") * col("w") / col("wout")).as("c"))
         .groupBy("id").agg(sum("c").as("recv"))
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * col("recv")).as("r"))
-      ranks = if (it % 2 == 0 || it == rounds) r0.localCheckpoint() else r0
+        .localCheckpoint()
     }
     ranks.orderBy(round(col("r"), 9).desc, col("id"))
       .limit(k)

@@ -603,17 +603,22 @@ object Dedup {
       .persist()
     CacheScope.register(ex) // eager: df count, prefix, and both verify joins
     val df = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    // persist+register (r11): prefix feeds BOTH sides of the candidate
-    // self-join — uncached, the df join + per-doc rank window ran twice
-    // per query (StageProbe duplicate-stage sweep)
-    val prefix = CacheScope.register(ex.join(df, "sh")
+    // NOT cached (r12 revert of the r11 persist): the prefix table does
+    // feed both candidate self-join sides, but persisting it regressed
+    // the FULL cold board at local[32] (residual_dup_audit 8.2→29.3 s
+    // driver wall, anti-scaling 0.23 at 8-vs-32 cores) — the cache
+    // materialization + heap pressure of one more in-memory relation on
+    // top of docSh/ex costs more at high concurrency than the window
+    // recompute it saves (VERDICT r11 #1/#2). The isolated warm −15%
+    // CPU reading that justified it did not survive cold full-board
+    // conditions; recompute wins here, the same rule as moran_i.
+    val prefix = ex.join(df, "sh")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
       .join(sizes, "doc_id")
       .filter(col("pos") <=
         col("nsh") - ceil(round(lit(threshold) * col("nsh"), 9)) + 1)
       .select("doc_id", "sh")
-      .persist())
     val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))
@@ -1212,10 +1217,15 @@ object Dedup {
     // former full shared-shingle self-join, without that join's
     // quadratic blow-up on hot boilerplate shingles (VERDICT r6 #5).
     val tdf = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    // persist+register (r11): tprefix feeds BOTH sides of the truth
-    // candidate self-join — uncached, the df join + rank window ran
-    // twice per query (StageProbe duplicate-stage sweep)
-    val tprefix = CacheScope.register(ex.join(tdf, "sh")
+    // NOT cached (r12 revert of the r11 persist): tprefix feeds both
+    // truth self-join sides, but the persist regressed lsh_band_sweep
+    // on EVERY measurement (driver 8.7→30.1 s wall at local[32], the
+    // builder's own full board 8.5→10.6 s wall / 173→188 s task) — this
+    // query already carries docSh+ex+truth+sig+cand caches, and one
+    // more materialized relation pushes it past the memory/GC knee at
+    // 32 concurrent tasks (VERDICT r11 #1). Recomputing the rank
+    // window twice is cheaper under cold full-board conditions.
+    val tprefix = ex.join(tdf, "sh")
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("df"), col("sh"))))
@@ -1223,7 +1233,6 @@ object Dedup {
       .filter(col("pos") <=
         col("nsh") - ceil(round(lit(threshold) * col("nsh"), 9)) + 1)
       .select("doc_id", "sh")
-      .persist())
     val tcand = tprefix.select(col("doc_id").as("doc_a"), col("sh"))
       .join(tprefix.select(col("doc_id").as("doc_b"), col("sh")), "sh")
       .filter(col("doc_a") < col("doc_b"))

@@ -1184,17 +1184,18 @@ object Graph {
         e.select(col("src").as("id")).distinct().persist())
       val n = nodes.count()
       var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
-      // OPTIMIZATION r11: checkpoint every 2nd round — ranks is
-      // referenced exactly once per round, so two rounds fuse into one
-      // job (semantics-neutral; A/B in OPTIMIZATION_r11.md)
-      for (it <- 1 to rounds) {
-        val r0 = struct0.join(ranks, struct0("src") === ranks("id"))
+      // checkpoint EVERY round (r12 revert of the r11 every-2nd-round
+      // fusion): the builder's own full cold board contradicted the
+      // isolated warm A/B — pagerank_global task 55→60 s WITH the fusion
+      // (VERDICT r11 #3/#6); the fused double-join job's larger live
+      // state loses what the removed barrier saves.
+      for (_ <- 1 to rounds) {
+        ranks = struct0.join(ranks, struct0("src") === ranks("id"))
           .select(col("dst").as("id"), (col("r") / col("outdeg")).as("c"))
           .groupBy("id").agg(sum("c").as("recv"))
           .select(col("id"),
             (lit(alpha / n) + lit(1.0 - alpha) * col("recv")).as("r"))
-        ranks = if (it % 2 == 0 || it == rounds) r0.localCheckpoint()
-          else r0
+          .localCheckpoint()
       }
       ranks
         .orderBy(round(col("r"), 9).desc, col("id"))
@@ -1230,21 +1231,21 @@ object Graph {
         e.select(col("src").as("id")).distinct().persist()) // from 2 subtrees
       var ranks = nodes.select(col("id"),
         when(col("id") === source, 1.0).otherwise(0.0).as("r"))
-      // OPTIMIZATION r11: checkpoint every 2nd round — ranks is
-      // referenced exactly once per round, so two rounds fuse into one
-      // job (semantics-neutral; A/B in OPTIMIZATION_r11.md)
-      for (it <- 1 to rounds) {
+      // checkpoint EVERY round (r12 revert of the r11 every-2nd-round
+      // fusion): the builder's own full cold board contradicted the
+      // isolated warm A/B — weighted_ppr task 57→73 s WITH the fusion
+      // (VERDICT r11 #3/#6).
+      for (_ <- 1 to rounds) {
         val gathered = struct0.join(ranks, struct0("src") === ranks("id"))
           .select(col("dst").as("id"),
             (col("r") * col("w") / col("wout")).as("c"))
           .groupBy("id").agg(sum("c").as("recv"))
-        val r0 = nodes.join(gathered, Seq("id"), "left")
+        ranks = nodes.join(gathered, Seq("id"), "left")
           .select(col("id"),
             (lit(1.0 - alpha) * coalesce(col("recv"), lit(0.0)) +
               when(col("id") === source, lit(alpha)).otherwise(lit(0.0)))
               .as("r"))
-        ranks = if (it % 2 == 0 || it == rounds) r0.localCheckpoint()
-          else r0
+          .localCheckpoint()
       }
       ranks
         .orderBy(round(col("r"), 9).desc, col("id"))
@@ -2177,16 +2178,29 @@ object Graph {
           .limit(1).collect().head
         val seed = top.getLong(0)
         seeds += ((round, seed, top.getLong(1)))
-        val seedDf = broadcast(Seq(seed).toDF("sid"))
-        val nb = e.join(seedDf, col("src") === col("sid"))
-          .select(col("dst").as("id"), lit(delta).as("dec"))
-        va = va.join(nb, Seq("id"), "left")
-          .crossJoin(seedDf)
-          .select(col("id"),
-            when(col("id") === col("sid"), lit(0L))
-              .otherwise(greatest(col("va") - coalesce(col("dec"),
-                lit(0L)), lit(0L))).as("va"))
-          .localCheckpoint()
+        // OPTIMIZATION r12 (guide §5 driver-paced loops, VERDICT r11
+        // #5): one job per round instead of two — the vote-power
+        // update rides a LAZY persist (next round's single argmax
+        // action materializes it; both of that round's reads — the
+        // score join and the following update — then hit the cache),
+        // where the old per-round localCheckpoint was its own
+        // materialization job. And the final round's update is never
+        // computed at all: the query output is the driver-side seed
+        // list, so va_k was dead work. Values are unchanged — the
+        // update expression is deterministic and persist() only moves
+        // where it materializes.
+        if (round < k) {
+          val seedDf = broadcast(Seq(seed).toDF("sid"))
+          val nb = e.join(seedDf, col("src") === col("sid"))
+            .select(col("dst").as("id"), lit(delta).as("dec"))
+          va = graft.CacheScope.track(va.join(nb, Seq("id"), "left")
+            .crossJoin(seedDf)
+            .select(col("id"),
+              when(col("id") === col("sid"), lit(0L))
+                .otherwise(greatest(col("va") - coalesce(col("dec"),
+                  lit(0L)), lit(0L))).as("va"))
+            .persist())
+        }
       }
     }
     seeds.toSeq.toDF("round", "seed_id", "score6")
@@ -2358,18 +2372,23 @@ object Graph {
         e.select(col("src").as("id")).distinct().persist()) // from 2 subtrees
       var w = nodes.select(col("id"),
         lit(1).cast("decimal(38,0)").as("w"))
-      // OPTIMIZATION r11: checkpoint every 2nd round — w is referenced
-      // exactly once per round, so two multiplications fuse into one
-      // job (semantics-neutral; A/B in OPTIMIZATION_r11.md)
-      for (it <- 1 to rounds) {
+      // checkpoint EVERY round (r12 revert of the r11 every-2nd-round
+      // fusion): the fused two-multiplication job doubles per-task live
+      // state (two chained join+agg pipelines of DECIMAL(38) sums), and
+      // the full cold board contradicted the isolated warm A/B that
+      // justified it — this query became the driver's worst 8-vs-32-core
+      // anti-scaler (ratio 0.19, 28.7 s wall at local[32] vs 5.6 s at
+      // local[8]; VERDICT r11 #2/#6). One materialized single-round job
+      // per iteration keeps peak memory flat at any core count.
+      for (_ <- 1 to rounds) {
         val recv = e.join(
             w.select(col("id").as("jid"), col("w").as("pw")),
             e("src") === col("jid"))
           .groupBy(col("dst").as("id2")).agg(sum(col("pw")).as("nw"))
-        val w0 = nodes.join(recv, nodes("id") === col("id2"), "left")
+        w = nodes.join(recv, nodes("id") === col("id2"), "left")
           .select(nodes("id"),
             coalesce(col("nw"), lit(0).cast("decimal(38,0)")).as("w"))
-        w = if (it % 2 == 0 || it == rounds) w0.localCheckpoint() else w0
+          .localCheckpoint()
       }
       val tot = w.agg(sum(col("w")).as("sw"))
       w.crossJoin(broadcast(tot))
