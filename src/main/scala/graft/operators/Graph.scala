@@ -742,10 +742,16 @@ object Graph {
     */
   private def labelPropAssign(e: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var lab = e.select(col("src").as("id")).distinct()
+    // pin the loop's edge copy onto hash(dst) partitions once (r12,
+    // guide §2.4 — see katzCentrality): the caller's scan-partitioned
+    // cache re-exchanged the full edge table every round (StageProbe:
+    // 5 × 1.17M-row exchanges per query at sf0.1). Row movement only.
+    val ed = graft.CacheScope.register(
+      e.select(col("src"), col("dst")).repartition(col("dst")).persist())
+    var lab = ed.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      lab = e.join(lab.withColumnRenamed("id", "dst"), "dst")
+      lab = ed.join(lab.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
@@ -818,17 +824,52 @@ object Graph {
     // the degree table is |V| rows — broadcast it so the cap filter
     // never shuffles the edge list; the wedge join proper hashes on
     // the (vertex) mid key with the edge list as build side
-    val mid = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") <= degCap).select(col("src").as("m"))
-    val hop1 = e.select(col("src").as("id"), col("dst").as("r"))
-    val hop2 = e.select(col("src").as("id"), col("dst").as("m"))
+    // deg (|V| rows) feeds three subtrees — the two mid broadcast
+    // builds (AQE plans each join side's broadcast separately) and the
+    // final reach join; registered so the 1.17M-row aggregate runs once
+    val deg = graft.CacheScope.register(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist())
+    val mid = deg.filter(col("deg") <= degCap).select(col("src").as("m"))
+    // OPTIMIZATION r12 (guide §2.3 shuffle fewer bytes / VERDICT r11
+    // #4): the old plan deduped the full (id, r) wedge stream UNION the
+    // edge list through one countDistinct — ~10.5M rows into the heavy
+    // hash aggregate at sf0.1. Two structural facts make half of that
+    // work redundant:
+    //  1. the graph is BIPARTITE by construction (supplierOffset keeps
+    //     the two key spaces disjoint), so 1-hop targets (opposite
+    //     side) never collide with 2-hop targets (same side) and the
+    //     1-hop distinct count is just the degree (e holds distinct
+    //     pairs); the union into one dedup was pure overhead;
+    //  2. the 2-hop relation is SYMMETRIC (e is symmetrized and the
+    //     mid cap applies to the middle vertex), so every unordered
+    //     pair was generated and deduped twice (a—m—b and b—m—a).
+    //     Orienting the pair stream (a < b) halves the dedup input;
+    //     each surviving pair then counts toward BOTH endpoints via a
+    //     cheap well-collapsing per-id count.
+    // reach(id) = deg(id) + #{distinct oriented 2-hop pairs touching
+    // id} — value-identical (oracle-verified at sf0.01/sf0.1; parity
+    // with the old formulation pinned in TwoHopReachSpec).
+    // ONE mid-filtered projection serves both self-join sides (e is
+    // symmetric, so (dst→m, src→a) and (src→m, dst→b) are the same row
+    // set): the broadcast mid filter drops uncapped hubs from BOTH
+    // sides before the m-shuffle (the build side previously shuffled
+    // the full edge list), and the identical canonical subtrees let
+    // the exchange be planned once and reused.
+    val em = e.select(col("src").as("m"), col("dst").as("x"))
       .join(broadcast(mid), "m")
-      .join(e.select(col("src").as("m"), col("dst").as("r"))
-        .hint("shuffle_hash"), "m")
-      .select(col("id"), col("r"))
-    hop1.unionAll(hop2)
-      .filter(col("id") =!= col("r"))
-      .groupBy("id").agg(countDistinct(col("r")).as("reach"))
+    val p2 = em.select(col("m"), col("x").as("a"))
+      .join(em.select(col("m"), col("x").as("b")).hint("shuffle_hash"), "m")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // both endpoints in ONE pass over p2 (a self-union would plant the
+    // whole wedge+distinct subtree twice in the plan — StageProbe
+    // showed the 4.7M-row stage running once per union side)
+    val cnt2 = p2.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("c2"))
+    deg.select(col("src").as("id"), col("deg"))
+      .join(cnt2, Seq("id"), "left")
+      .select(col("id"),
+        (col("deg") + coalesce(col("c2"), lit(0L))).as("reach"))
       .orderBy(col("reach").desc, col("id"))
       .limit(k)
   }
@@ -1002,9 +1043,14 @@ object Graph {
     // CPU-bound 16-max fold (measured 13.5 s vs 10.2 s at sf0.1)
     // register (eager, r11): AQE materializes the first job's query
     // stages concurrently, and a LAZY persist let them race — the
-    // 1.17M-row edge build ran 3× per query (StageProbe)
+    // 1.17M-row edge build ran 3× per query (StageProbe).
+    // r12 (guide §2.4): the cache is additionally pinned onto
+    // hash(dst) partitions so the per-round register-merge join reads
+    // it shuffle-free — the scan-partitioned cache re-exchanged the
+    // full edge table every round (StageProbe: 4 × 1.17M-row
+    // exchanges per query). Row movement only.
     val e = CacheScope.register(customerSupplierEdges(s, dir)
-      .select(col("src"), col("dst")).persist())
+      .select(col("src"), col("dst")).repartition(col("dst")).persist())
     val nodes = e.select(col("src").as("id")).distinct()
     val h0 = element_at(polyHashArray(array(col("id").cast("string"))), 1)
     val h = (1 to 4).foldLeft(h0) { (acc, _) =>
@@ -1862,7 +1908,12 @@ object Graph {
         (col("l_suppkey") + lit(1000000L)).as("sup"))
       .agg(count(lit(1)).as("cnt"))
     val mx = cnt.agg(max(col("cnt")).as("mc"))
-    val edges = CacheScope.track(cnt.crossJoin(broadcast(mx))
+    // read every relaxation round; pinned onto hash(src) partitions
+    // (r12, guide §2.4 — see katzCentrality) so the per-round frontier
+    // join reads it shuffle-free: the scan-partitioned cache
+    // re-exchanged the full edge table every round (StageProbe: 6 ×
+    // 1.17M-row exchanges per query at sf0.1). Row movement only.
+    val edges = CacheScope.register(cnt.crossJoin(broadcast(mx))
       .select(col("c"), col("sup"),
         floor(log(col("mc").cast("double") / col("cnt")) * lit(1e9)
           + lit(0.5)).cast("long").as("w"))
@@ -1871,7 +1922,8 @@ object Graph {
         struct(col("sup").as("src"), col("c").as("dst"), col("w"))))
         .as("e"))
       .select(col("e.src"), col("e.dst"), col("e.w"))
-      .persist()) // read every relaxation round
+      .repartition(col("src"))
+      .persist())
     var dist = edges.sparkSession.range(1).toDF("x")
       .select(lit(source).as("node"), lit(0L).as("dist"))
     // classic frontier-only Bellman–Ford: a node whose distance did
@@ -1924,10 +1976,20 @@ object Graph {
   def katzCentrality(s: SparkSession, dir: String, rounds: Int = 6,
                      alpha: Double = 0.05, k: Int = 20): DataFrame = {
     require(rounds >= 1 && rounds <= 12, "walk-count truncation depth")
-    val e = CacheScope.track(customerSupplierEdges(s, dir)
+    val e0 = CacheScope.track(customerSupplierEdges(s, dir)
       .select(col("src"), col("dst")).persist())
-    val p = loopParallelism(s, e.count())
+    val p = loopParallelism(s, e0.count())
     withLoopConf(s, p) {
+      // OPTIMIZATION r12 (guide §2.4): pin the edge cache onto
+      // hash(src, p) partitions ONCE — the pagerank family gets this
+      // for free (struct0 is built by an in-scope join), but here the
+      // raw scan-partitioned cache made EVERY round's scatter join
+      // re-exchange the full edge table (StageProbe: 6 × 1.17M-row /
+      // 10.7 MB exchanges per query at sf0.1); now only the per-round
+      // message aggregation shuffles. Row movement only — no value
+      // changes anywhere.
+      val e = CacheScope.register(e0.repartition(p, col("src")).persist())
+      e0.unpersist() // the pinned copy is the only reader from here on
       val nodes = CacheScope.register( // eager (r11): round 1 reads it
         e.select(col("src").as("id")).distinct().persist()) // from 2 subtrees
       // OPTIMIZATION r11: accumulate Σ α^t·w_t incrementally instead of
@@ -2364,10 +2426,15 @@ object Graph {
   def eigenvectorCentrality(s: SparkSession, dir: String,
                             rounds: Int = 6, k: Int = 20): DataFrame = {
     require(rounds >= 1 && rounds <= 12, "walk-count truncation depth")
-    val e = CacheScope.track(customerSupplierEdges(s, dir)
+    val e0 = CacheScope.track(customerSupplierEdges(s, dir)
       .select(col("src"), col("dst")).persist())
-    val p = loopParallelism(s, e.count())
+    val p = loopParallelism(s, e0.count())
     withLoopConf(s, p) {
+      // pin the edge cache onto hash(src, p) once (r12, guide §2.4) —
+      // see katzCentrality: the scan-partitioned cache re-exchanged
+      // the full edge table every round; row movement only
+      val e = CacheScope.register(e0.repartition(p, col("src")).persist())
+      e0.unpersist() // the pinned copy is the only reader from here on
       val nodes = CacheScope.register( // eager (r11): round 1 reads it
         e.select(col("src").as("id")).distinct().persist()) // from 2 subtrees
       var w = nodes.select(col("id"),
