@@ -1844,7 +1844,13 @@ object Graph {
         unix_timestamp(col("o_orderdate")).as("t"))
     val bounds = o.agg(min("t").as("t0"), max("t").as("t1"))
     val mid = ((col("t0") + col("t1")) / lit(2.0)).cast("long")
-    val edges = CacheScope.track(
+    // register (eager, r12): the final action reads this join+agg
+    // subtree from FOUR concurrent AQE query stages (pre-wedge deg +
+    // pre-wedge join, post-wedge deg + post-wedge join) and the lazy
+    // persist let them race — StageProbe showed the lineitem⋈orders
+    // build running 4-6x per query (the same stampede batch-2 r11
+    // fixed elsewhere; this query never got the fix)
+    val edges = CacheScope.register(
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .crossJoin(broadcast(bounds))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"),
@@ -1852,7 +1858,7 @@ object Graph {
         .groupBy("c", "sup")
         .agg(max(col("isPre")).as("inPre"),
           max(lit(1L) - col("isPre")).as("inPost"))
-        .persist()) // pre wedge build + post label build read it
+        .persist())
     def wedgePairs(flag: String) = {
       val e = edges.filter(col(flag) === 1).select("c", "sup")
       val deg = e.groupBy("sup").agg(count(lit(1)).as("d"))
@@ -1873,11 +1879,14 @@ object Graph {
       .join(postE.select(col("sup"), col("c").as("c2")), "sup")
       .filter(col("c1") < col("c2"))
       .select("c1", "c2").distinct()
-    val labeled = CacheScope.track(scored
+    // register (eager, r12): counts + the AUC rank pass read it from
+    // concurrent stages — lazily persisted, the expensive scored
+    // self-join could run once per reader (see edges above)
+    val labeled = CacheScope.register(scored
       .join(postPairs.withColumn("y", lit(1)), Seq("c1", "c2"), "left")
       .na.fill(0, Seq("y"))
       .select(col("score9").cast("double").as("score"), col("y"))
-      .persist()) // counts + the AUC rank pass read it
+      .persist())
     val counts = labeled.agg(count(lit(1)).as("n_candidates"),
       sum(col("y").cast("long")).as("n_pos"))
     counts.crossJoin(broadcast(
