@@ -1009,7 +1009,13 @@ object Graph {
     graft.CacheScope.register(e) // eager: every hop joins it
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      frontierLoop(e, Seq(source), maxHops).select("id", "dist")
+      // pin the loop's edge cache onto hash(src, p) once (r12, guide
+      // §2.4 — see katzCentrality): the scan-partitioned cache
+      // re-exchanged the full edge table every hop (StageProbe)
+      val ed = graft.CacheScope.register(
+        e.repartition(p, col("src")).persist())
+      e.unpersist()
+      frontierLoop(ed, Seq(source), maxHops).select("id", "dist")
     }
   }
 
@@ -1317,7 +1323,13 @@ object Graph {
     graft.CacheScope.register(e) // eager: every hop joins it
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      frontierLoop(e, sources, maxHops)
+      // pin the loop's edge cache onto hash(src, p) once (r12, guide
+      // §2.4 — see katzCentrality): the scan-partitioned cache
+      // re-exchanged the full edge table every hop (StageProbe)
+      val ed = graft.CacheScope.register(
+        e.repartition(p, col("src")).persist())
+      e.unpersist()
+      frontierLoop(ed, sources, maxHops)
         .groupBy("source", "dist")
         .agg(count(lit(1)).as("n_nodes"))
     }
@@ -1388,7 +1400,13 @@ object Graph {
     graft.CacheScope.register(e) // eager: every hop joins it
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
-      frontierLoop(e, Seq(source), maxHops)
+      // pin the loop's edge cache onto hash(src, p) once (r12, guide
+      // §2.4 — see katzCentrality): the scan-partitioned cache
+      // re-exchanged the full edge table every hop (StageProbe)
+      val ed = graft.CacheScope.register(
+        e.repartition(p, col("src")).persist())
+      e.unpersist()
+      frontierLoop(ed, Seq(source), maxHops)
         .select("id", "dist", "n_paths")
     }
   }
@@ -1478,11 +1496,17 @@ object Graph {
     graft.CacheScope.register(e) // eager: forward + every backward level
     val p = loopParallelism(s, e.count())
     withLoopConf(s, p) {
+      // pin the loop's edge cache onto hash(src, p) once (r12, guide
+      // §2.4 — see katzCentrality): the scan-partitioned cache
+      // re-exchanged the full edge table every hop (StageProbe)
+      val ed = graft.CacheScope.register(
+        e.repartition(p, col("src")).persist())
+      e.unpersist()
       // per-level rings straight from the kernel: each is already its
       // own localCheckpoint'ed frame, so the backward pass touches
       // exactly ring(lvl) and ring(lvl+1) per level instead of
       // re-filtering the unioned BFS table (2 full-table scans/level)
-      val rings = frontierRings(e, sources, maxHops)
+      val rings = frontierRings(ed, sources, maxHops)
       var delta = rings(maxHops)
         .select(col("source"), col("id"), lit(0L).as("di"))
         .localCheckpoint()
@@ -1498,7 +1522,7 @@ object Graph {
             col("di").as("dw")), Seq("source", "w"), "left")
           .na.fill(0L, Seq("dw"))
         val d = cur
-          .join(e.select(col("src").as("v"), col("dst").as("w")), "v")
+          .join(ed.select(col("src").as("v"), col("dst").as("w")), "v")
           .join(nxt, Seq("source", "w"))
           .groupBy(col("source"), col("v"))
           .agg(sum(floor(col("sv").cast("double") / col("sw") *
