@@ -641,13 +641,21 @@ object Graph {
     // round; at the default partition count scheduling dominates
     val p = loopParallelism(s, pairs.count())
     val (auth, hub) = withLoopConf(s, p) {
-      var hub = pairs.select(col("c")).distinct()
+      // the two half-rounds join on DIFFERENT keys, so one pinned copy
+      // per key (r12, guide §2.4 — see katzCentrality): the raw cache
+      // re-exchanged the edge projection on c AND sup every round
+      val pc = graft.CacheScope.register(
+        pairs.repartition(p, col("c")).persist())
+      val ps = graft.CacheScope.register(
+        pairs.repartition(p, col("sup")).persist())
+      pairs.unpersist()
+      var hub = pc.select(col("c")).distinct()
         .withColumn("h", lit(1.0)).localCheckpoint()
       var auth: DataFrame = null
       for (_ <- 1 to rounds) {
-        auth = l1(pairs.join(hub, "c")
+        auth = l1(pc.join(hub, "c")
           .groupBy("sup").agg(sum(col("h")).as("a")).localCheckpoint(), "a")
-        hub = l1(pairs.join(auth, "sup")
+        hub = l1(ps.join(auth, "sup")
           .groupBy("c").agg(sum(col("a")).as("h")).localCheckpoint(), "h")
       }
       (auth, hub)
@@ -2199,19 +2207,28 @@ object Graph {
       .filter(col("src") < lit(1000000L))
       .select(col("src").as("c"), col("dst").as("sup")).persist()
     graft.CacheScope.register(pairs) // eager: degrees + each round
-    val dc = pairs.groupBy("c").agg(count(lit(1)).as("dc"))
-    val ds = pairs.groupBy("sup").agg(count(lit(1)).as("ds"))
     val p = loopParallelism(s, pairs.count())
     val (auth, hub) = withLoopConf(s, p) {
+      // one pinned copy per half-round join key (r12, guide §2.4 —
+      // see hits): the raw cache re-exchanged the edge projection on
+      // c AND sup every round. The degree tables derive from the
+      // pinned copies so the raw cache can be freed here.
+      val pc = graft.CacheScope.register(
+        pairs.repartition(p, col("c")).persist())
+      val ps = graft.CacheScope.register(
+        pairs.repartition(p, col("sup")).persist())
+      pairs.unpersist()
+      val dc = pc.groupBy("c").agg(count(lit(1)).as("dc"))
+      val ds = ps.groupBy("sup").agg(count(lit(1)).as("ds"))
       var hubDf = dc.select(col("c"), lit(1000000000000L).as("h"))
         .localCheckpoint()
       var authDf: DataFrame = null
       for (_ <- 1 to rounds) {
-        authDf = pairs.join(hubDf, "c").join(dc.hint("broadcast"), "c")
+        authDf = pc.join(hubDf, "c").join(dc.hint("broadcast"), "c")
           .selectExpr("sup", "h div dc as m")
           .groupBy("sup").agg(sum(col("m")).as("a"))
           .localCheckpoint()
-        hubDf = pairs.join(authDf, "sup").join(ds.hint("broadcast"), "sup")
+        hubDf = ps.join(authDf, "sup").join(ds.hint("broadcast"), "sup")
           .selectExpr("c", "a div ds as m")
           .groupBy("c").agg(sum(col("m")).as("h"))
           .localCheckpoint()
